@@ -1,0 +1,24 @@
+"""PySpark-native data drift / data-quality analytics engine.
+
+A brand-new, Spark-first re-expression of the capabilities of
+``JayaBigDataIsCool/pyspark_data_drift_detector`` (reference read-only at
+``/root/reference/``; see SURVEY.md for the metric-by-metric semantics map).
+
+Architectural stance (SURVEY.md §7.1): one core primitive — a *profile
+aggregation* computed in a single wide ``agg`` per DataFrame — and every
+drift metric is expression math over a join of two profile tables. Only
+O(columns)-sized summaries ever reach the driver; all category/frequency
+math stays distributed, so the engine scales to arbitrarily large tables.
+"""
+
+from pyspark_data_drift_detector_spark.config import DriftConfig, generate_config, load_config
+from pyspark_data_drift_detector_spark.pipeline import detect_drift
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DriftConfig",
+    "generate_config",
+    "load_config",
+    "detect_drift",
+]

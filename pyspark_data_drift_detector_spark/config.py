@@ -1,0 +1,191 @@
+"""Config system: JSON configs with threshold profiles.
+
+Reimplements the *intent* of the reference's missing ``config_manager.py``
+(the call sites are ``data_drift_detector.py:26`` and ``main.py:15`` in the
+reference) plus the generated-config schema from
+``config_generator.py:25-104``. Profiles ``summary``/``standard``/
+``deep_dive`` carry the threshold trees verbatim (values are observable
+behavior, reproduced from the reference's generator).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# Threshold profiles — values match /root/reference/config_generator.py:41-102.
+THRESHOLD_PROFILES: dict[str, dict[str, Any]] = {
+    "summary": {
+        "numerical": {
+            "mean_threshold": 0.1,
+            "median_threshold": 0.1,
+            "std_threshold": 0.2,
+            "iqr_threshold": 0.2,
+            "null_threshold": 0.01,
+        },
+        "categorical": {
+            "category_threshold": 0.05,
+            "chi_square_pvalue": 0.01,
+            "null_threshold": 0.01,
+        },
+        "correlation_threshold": 0.7,
+        "correlation_change_threshold": 0.3,
+        "js_distance_threshold": 0.1,
+        "rare_value_threshold": 0.01,
+        "analyze_distributions": False,
+        "detect_rare_values": False,
+    },
+    "standard": {
+        "numerical": {
+            "mean_threshold": 0.05,
+            "median_threshold": 0.05,
+            "std_threshold": 0.1,
+            "iqr_threshold": 0.1,
+            "null_threshold": 0.005,
+        },
+        "categorical": {
+            "category_threshold": 0.03,
+            "chi_square_pvalue": 0.05,
+            "null_threshold": 0.005,
+        },
+        "correlation_threshold": 0.7,
+        "correlation_change_threshold": 0.2,
+        "js_distance_threshold": 0.1,
+        "rare_value_threshold": 0.01,
+        "analyze_distributions": True,
+        "detect_rare_values": True,
+        "gen_distribution_summaries": False,
+    },
+    "deep_dive": {
+        "numerical": {
+            "mean_threshold": 0.03,
+            "median_threshold": 0.03,
+            "std_threshold": 0.05,
+            "iqr_threshold": 0.05,
+            "null_threshold": 0.001,
+        },
+        "categorical": {
+            "category_threshold": 0.01,
+            "chi_square_pvalue": 0.05,
+            "null_threshold": 0.001,
+        },
+        "correlation_threshold": 0.6,
+        "correlation_change_threshold": 0.15,
+        "js_distance_threshold": 0.05,
+        "rare_value_threshold": 0.005,
+        "analyze_distributions": True,
+        "detect_rare_values": True,
+        "gen_distribution_summaries": True,
+    },
+}
+
+_DEFAULTS: dict[str, Any] = {
+    "table_path": None,
+    "reference_version": 0,
+    "current_version": 1,
+    "profile": "standard",
+    "analyze_distributions": True,
+    "analyze_correlations": True,
+    "analyze_groups": True,
+    "analyze_feature_importance": False,
+    "analyze_outliers": True,
+    "target_column": None,
+    "include_columns": [],
+    "exclude_columns": [],
+    "custom_column_types": {},
+    "group_columns": [],
+    "sample_size": 100000,
+    "adaptive_thresholds": False,
+    # Category-domain truncation knobs (observable semantics — SURVEY §2.6 T1):
+    # the categorical analyzer sees top-k categories; the distribution analyzer
+    # sees ALL categories. Both behaviors are preserved behind these knobs.
+    "categorical_top_k": 20,
+    "group_top_k": 20,
+    "group_value_top_k": 10,
+    # Quantile strategy: exact matches the DuckDB oracle; approx is the
+    # 100 TB path (percentile_approx, single-pass sketch).
+    "exact_quantiles": True,
+    "quantile_accuracy": 10000,
+}
+
+
+@dataclass
+class DriftConfig:
+    """Resolved configuration for one drift-detection run."""
+
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        merged = copy.deepcopy(_DEFAULTS)
+        merged.update(self.raw or {})
+        profile = merged.get("profile", "standard")
+        if profile not in THRESHOLD_PROFILES:
+            raise ValueError(f"unknown profile {profile!r}; expected one of {sorted(THRESHOLD_PROFILES)}")
+        thresholds = copy.deepcopy(THRESHOLD_PROFILES[profile])
+        # user-level threshold overrides win over the profile
+        user_thresholds = (self.raw or {}).get("thresholds", {})
+        if user_thresholds:
+            for key, val in user_thresholds.items():
+                if isinstance(val, dict) and isinstance(thresholds.get(key), dict):
+                    thresholds[key].update(val)
+                else:
+                    thresholds[key] = val
+        merged["thresholds"] = thresholds
+        self.raw = merged
+
+    # -- convenience accessors ------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self.raw[key]
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self.raw.get(key, default)
+
+    @property
+    def thresholds(self) -> dict[str, Any]:
+        return self.raw["thresholds"]
+
+    @property
+    def numerical_thresholds(self) -> dict[str, float]:
+        return self.thresholds["numerical"]
+
+    @property
+    def categorical_thresholds(self) -> dict[str, float]:
+        return self.thresholds["categorical"]
+
+
+def generate_config(
+    table_path: str | None = None,
+    reference_version: int = 0,
+    current_version: int = 1,
+    profile: str = "standard",
+    output_table: str | None = None,
+    **overrides: Any,
+) -> DriftConfig:
+    """Build a config dict the way the reference's generator does."""
+    raw: dict[str, Any] = {
+        "table_path": table_path,
+        "reference_version": reference_version,
+        "current_version": current_version,
+        "profile": profile,
+    }
+    if output_table:
+        raw["output_table"] = output_table
+    raw.update(overrides)
+    return DriftConfig(raw)
+
+
+def load_config(path: str) -> DriftConfig:
+    """Load a JSON config file and merge with defaults.
+
+    Contract reconstructed from the reference's
+    ``ConfigManager.load_config_and_defaults`` call sites.
+    """
+    with open(path) as fh:
+        return DriftConfig(json.load(fh))
+
+
+def save_config(config: DriftConfig, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(config.raw, fh, indent=2)

@@ -1,0 +1,272 @@
+"""Categorical drift: JS distance, chi-square, category-set changes.
+
+The reference collects every frequency table to the driver and does the
+JS/chi² math in Python loops (``categorical_analyzer.py:126-437``,
+SURVEY §2.9 M6-M8, M18, M20, §2.3 J2). Here the frequency tables stay
+distributed: ref and curr are aligned with ONE full-outer equi-join on
+``(column_name, value)`` (the J1 pattern the reference itself uses in
+``rare_event_analyzer.py:49-51``), and JS / chi² / new-missing categories
+are aggregate expressions over the joined table. Only the final
+O(columns)-row drift summary ever reaches the driver.
+
+Semantics reproduced (with citations):
+- per-side distributions = top-20 categories, frequencies over non-null
+  rows of the full column (``categorical_analyzer.py:145-161``); top-k is
+  taken per side BEFORE alignment, so the JS support is the union of the
+  two top-k sets exactly as the reference's dict union builds it
+  (``categorical_analyzer.py:284-287``);
+- JS midpoint formulation, log2, sqrt → distance
+  (``categorical_analyzer.py:269-303``);
+- chi² over the FULL category union (not top-k), non-null, cells included
+  only when both expected counts ≥ 5, dof = k-1, total < 10 → no test
+  (``categorical_analyzer.py:342-390``);
+- step-ladder p-value approximation (``categorical_analyzer.py:395-437``)
+  as the default (oracle-faithful); ``p_value_mode='exact'`` computes the
+  real chi² survival function via a vectorized pandas UDF over the tiny
+  per-column table (flagged deviation, SURVEY §7.4 risk 2);
+- new/missing category ratios relative to the ref top-k category count
+  (``categorical_analyzer.py:201-210``);
+- drift decision/causes (``categorical_analyzer.py:65-94``) — note the
+  reference compares JS distance against ``category_threshold``, not
+  ``js_distance_threshold`` (SURVEY §2.9 M20) — preserved;
+- weighted drift score (``categorical_analyzer.py:439-491``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from pyspark_data_drift_detector_spark.operators.frequency import frequency_table, top_k_filter
+from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
+from pyspark_data_drift_detector_spark.operators.profile import categorical_summary
+
+DEFAULT_CAT_THRESHOLDS: dict[str, float] = {
+    "category_threshold": 0.03,
+    "chi_square_pvalue": 0.05,
+    "null_threshold": 0.005,
+}
+
+
+def chi2_critical_value_expr(dof: Column) -> Column:
+    """p=0.05 critical values — categorical_analyzer.py:410-421."""
+    table = {1: 3.84, 2: 5.99, 3: 7.81, 4: 9.49, 5: 11.07,
+             6: 12.59, 7: 14.07, 8: 15.51, 9: 16.92, 10: 18.31}
+    expr = F.when(dof > 10, dof + F.sqrt(2.0 * dof))
+    for k, v in table.items():
+        expr = expr.when(dof == k, F.lit(v))
+    return expr.otherwise(F.lit(3.84))
+
+
+def chi2_p_value_ladder_expr(chi: Column, dof: Column) -> Column:
+    """The reference's step-ladder p-value — categorical_analyzer.py:423-437."""
+    cv = chi2_critical_value_expr(dof)
+    return (
+        F.when(chi < 0.001, F.lit(1.0))
+        .when(chi > 3 * cv, F.lit(0.001))
+        .when(chi > 2 * cv, F.lit(0.01))
+        .when(chi > cv, F.lit(0.05))
+        .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(0.05), 1.0 - (chi / cv) * 0.95)))
+    )
+
+
+def chi_significance_score_expr(p: Column) -> Column:
+    """p-value → significance score ladder — categorical_analyzer.py:461-470."""
+    return (
+        F.when(p <= 0.001, F.lit(1.0))
+        .when(p <= 0.01, F.lit(0.8))
+        .when(p <= 0.05, F.lit(0.6))
+        .when(p <= 0.1, F.lit(0.3))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def align_frequencies(ref_freq: DataFrame, curr_freq: DataFrame) -> DataFrame:
+    """Full-outer join of two frequency tables on (column_name, value).
+
+    Missing categories get cnt=0, freq=0.0 on the absent side (the J1
+    pattern, ``rare_event_analyzer.py:49-51``). The shuffle key includes the
+    category value, so skewed single-category volume never concentrates.
+    """
+    ref = ref_freq.select(
+        "column_name",
+        "value",
+        F.col("cnt").alias("ref_cnt"),
+        F.col("freq").alias("ref_freq"),
+    )
+    curr = curr_freq.select(
+        "column_name",
+        "value",
+        F.col("cnt").alias("curr_cnt"),
+        F.col("freq").alias("curr_freq"),
+    )
+    return ref.join(curr, on=["column_name", "value"], how="full_outer").fillna(
+        {"ref_cnt": 0, "curr_cnt": 0, "ref_freq": 0.0, "curr_freq": 0.0}
+    )
+
+
+def js_distance_by_column(aligned: DataFrame) -> DataFrame:
+    """Jensen-Shannon distance per column from an aligned frequency table."""
+    p = F.col("ref_freq")
+    q = F.col("curr_freq")
+    m = (p + q) / 2
+    kl_p = F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
+    return aligned.groupBy("column_name").agg(
+        F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("js_distance")
+    )
+
+
+def chi_square_by_column(aligned_full: DataFrame) -> DataFrame:
+    """Chi-square homogeneity statistic per column, fully distributed.
+
+    Input must be the alignment of FULL (untruncated) frequency tables.
+    Output: ``column_name, chi_square, degrees_of_freedom`` (nulls when the
+    test is invalid: <2 categories or total count <10).
+    """
+    win = Window.partitionBy("column_name")
+    cells = (
+        aligned_full.withColumn("ref_total", F.sum("ref_cnt").over(win))
+        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        .withColumn("total_sum", F.col("ref_total") + F.col("curr_total"))
+        .withColumn("cat_sum", F.col("ref_cnt") + F.col("curr_cnt"))
+        .withColumn("exp_ref", F.col("ref_total") * F.col("cat_sum") / F.col("total_sum"))
+        .withColumn("exp_curr", F.col("curr_total") * F.col("cat_sum") / F.col("total_sum"))
+        .withColumn(
+            "contrib",
+            F.when(
+                (F.col("exp_ref") >= 5) & (F.col("exp_curr") >= 5),
+                F.pow(F.col("ref_cnt") - F.col("exp_ref"), 2) / F.col("exp_ref")
+                + F.pow(F.col("curr_cnt") - F.col("exp_curr"), 2) / F.col("exp_curr"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return cells.groupBy("column_name").agg(
+        F.when(
+            (F.count(F.lit(1)) >= 2) & (F.max("total_sum") >= 10), F.sum("contrib")
+        ).alias("chi_square"),
+        F.when(
+            (F.count(F.lit(1)) >= 2) & (F.max("total_sum") >= 10), F.count(F.lit(1)) - 1
+        ).cast("int").alias("degrees_of_freedom"),
+    )
+
+
+def category_changes_by_column(aligned_topk: DataFrame) -> DataFrame:
+    """New/missing category counts + ratios from aligned top-k tables.
+
+    'New' = in curr's top-k support but not ref's; ratios are relative to
+    the ref top-k category count (``categorical_analyzer.py:207-210``).
+    """
+    is_new = (F.col("ref_cnt") == 0).cast("long")
+    is_missing = (F.col("curr_cnt") == 0).cast("long")
+    in_ref = (F.col("ref_cnt") > 0).cast("long")
+    return aligned_topk.groupBy("column_name").agg(
+        F.sum(is_new).alias("new_categories"),
+        F.sum(is_missing).alias("missing_categories"),
+        F.sum(in_ref).alias("ref_categories"),
+        (F.sum(is_new) / F.greatest(F.sum(in_ref), F.lit(1))).alias("new_categories_ratio"),
+        (F.sum(is_missing) / F.greatest(F.sum(in_ref), F.lit(1))).alias(
+            "missing_categories_ratio"
+        ),
+    )
+
+
+def _exact_p_value(df: DataFrame) -> DataFrame:
+    """Vectorized exact chi² survival function over the tiny per-column table."""
+    from pyspark_data_drift_detector_spark.functions.udfs import chi2_sf_udf
+
+    return df.withColumn(
+        "p_value", chi2_sf_udf(F.col("chi_square"), F.col("degrees_of_freedom"))
+    )
+
+
+def categorical_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    thresholds: dict[str, float] | None = None,
+    top_k: int = 20,
+    p_value_mode: str = "ladder",
+) -> DataFrame:
+    """Full categorical drift row per column (M6-M8, M18, M20 combined)."""
+    th = dict(DEFAULT_CAT_THRESHOLDS)
+    th.update(thresholds or {})
+
+    # full tables computed once; top-k derives from them so Spark reuses the
+    # unpivot+groupBy exchange instead of rescanning the source twice
+    ref_full = frequency_table(df_ref, columns)
+    curr_full = frequency_table(df_curr, columns)
+    ref_topk = top_k_filter(ref_full, top_k)
+    curr_topk = top_k_filter(curr_full, top_k)
+
+    aligned_topk = align_frequencies(ref_topk, curr_topk)
+    aligned_full = align_frequencies(ref_full, curr_full)
+
+    js = js_distance_by_column(aligned_topk)
+    chi = chi_square_by_column(aligned_full)
+    if p_value_mode == "exact":
+        chi = _exact_p_value(chi)
+    else:
+        chi = chi.withColumn(
+            "p_value",
+            chi2_p_value_ladder_expr(F.col("chi_square"), F.col("degrees_of_freedom")),
+        )
+    cats = category_changes_by_column(aligned_topk)
+
+    ref_sum = categorical_summary(df_ref, columns).select(
+        "column_name",
+        F.col("null_ratio").alias("ref_null_ratio"),
+        F.col("distinct_count").alias("ref_distinct_count"),
+        F.col("n_rows").alias("ref_n_rows"),
+    )
+    curr_sum = categorical_summary(df_curr, columns).select(
+        "column_name",
+        F.col("null_ratio").alias("curr_null_ratio"),
+        F.col("distinct_count").alias("curr_distinct_count"),
+        F.col("n_rows").alias("curr_n_rows"),
+    )
+
+    out = (
+        js.join(chi, "column_name", "full_outer")
+        .join(cats, "column_name", "full_outer")
+        .join(F.broadcast(ref_sum), "column_name", "left")
+        .join(F.broadcast(curr_sum), "column_name", "left")
+        .withColumn("null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio"))
+    )
+
+    js_c = F.coalesce(F.col("js_distance"), F.lit(0.0))
+    p_c = F.coalesce(F.col("p_value"), F.lit(1.0))
+    null_c = F.coalesce(F.col("null_diff"), F.lit(0.0))
+    new_r = F.coalesce(F.col("new_categories_ratio"), F.lit(0.0))
+    miss_r = F.coalesce(F.col("missing_categories_ratio"), F.lit(0.0))
+
+    js_drift = js_c > th["category_threshold"]
+    chi_drift = p_c < th["chi_square_pvalue"]
+    null_drift = F.abs(null_c) > th["null_threshold"]
+    new_drift = new_r > th["category_threshold"]
+    miss_drift = miss_r > th["category_threshold"]
+
+    # weighted score — categorical_analyzer.py:473-491
+    score = (
+        0.4 * F.least(F.lit(1.0), js_c * 4)
+        + 0.3 * chi_significance_score_expr(p_c)
+        + 0.1 * F.least(F.lit(1.0), F.abs(null_c) * 10)
+        + 0.2 * F.least(F.lit(1.0), F.greatest(new_r, miss_r) * 2)
+    )
+
+    causes = F.array_compact(
+        F.array(
+            F.when(js_drift, F.lit("distribution_change")),
+            F.when(chi_drift, F.lit("statistical_significance")),
+            F.when(null_drift, F.lit("null_proportion")),
+            F.when(new_drift, F.lit("new_categories")),
+            F.when(miss_drift, F.lit("missing_categories")),
+        )
+    )
+    return (
+        out.withColumn("drift_detected", js_drift | chi_drift | null_drift | new_drift | miss_drift)
+        .withColumn("drift_causes", causes)
+        .withColumn("drift_score", F.least(F.lit(1.0), score))
+        .withColumn("drift_severity", severity_expr(F.col("drift_score")))
+    )

@@ -1,0 +1,151 @@
+"""Frequency tables, top-k truncation, entropy — all columns in one pass.
+
+The reference runs a ``groupBy(col).count()`` + ``orderBy().limit(20)`` +
+``collect()`` *per column per side* (``categorical_analyzer.py:145-151``)
+and normalizes frequencies driver-side. Here all categorical columns are
+unpivoted into ``(column_name, value)`` pairs first, so ONE shuffle builds
+every column's frequency table, and normalization / top-k / entropy are
+window + aggregate expressions that never leave the cluster.
+
+Scale notes:
+- The unpivot is a narrow map (explode) — no extra shuffle; the single
+  ``groupBy(column_name, value)`` benefits from map-side partial
+  aggregation, so shuffle volume is O(total distinct categories), not rows.
+- Top-k uses ``row_number`` over ``(column_name)`` partitions — the per-key
+  state is bounded, never a driver collect (SURVEY §7.4 risk 5).
+
+Covers SURVEY.md §2.4 A6-A8, §2.5 W1, §2.6 T1-T3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def unpivot_values(df: DataFrame, columns: list[str], keep_nulls: bool = False) -> DataFrame:
+    """Melt selected columns to ``(column_name, value:string)`` rows."""
+    if not columns:
+        raise ValueError("no columns to unpivot")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]
+    )
+    out = df.select(F.explode(pairs).alias("kv")).select("kv.*")
+    if not keep_nulls:
+        out = out.filter(F.col("value").isNotNull())
+    return out
+
+
+def frequency_table(
+    df: DataFrame,
+    columns: list[str],
+    top_k: int | None = None,
+    keep_nulls: bool = False,
+) -> DataFrame:
+    """Per-column category counts and frequencies.
+
+    Output: ``column_name, value, cnt, n_nonnull, freq`` where ``freq`` is
+    ``cnt / n_nonnull`` — the reference's denominator is non-null rows of
+    that column (``categorical_analyzer.py:161``).
+
+    ``top_k`` keeps the k most frequent categories per column (deterministic
+    tie-break on value) — the reference's top-20 truncation semantics
+    (``categorical_analyzer.py:151``, SURVEY §2.6 T1). Note the truncation
+    happens AFTER normalization, so frequencies stay relative to the full
+    column as in the reference.
+    """
+    counts = (
+        unpivot_values(df, columns, keep_nulls=keep_nulls)
+        .groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    col_win = Window.partitionBy("column_name")
+    counts = counts.withColumn("n_nonnull", F.sum("cnt").over(col_win)).withColumn(
+        "freq", F.col("cnt") / F.col("n_nonnull")
+    )
+    if top_k is not None:
+        counts = top_k_filter(counts, top_k)
+    return counts
+
+
+def top_k_filter(freq: DataFrame, top_k: int, extra_keys: list[str] | None = None) -> DataFrame:
+    """Keep the k most frequent categories per column (tie-break on value).
+
+    Separate from ``frequency_table`` so a full table can be computed once
+    and truncated as a second consumer — Spark reuses the shuffle exchange
+    instead of rescanning the source.
+    """
+    keys = ["column_name", *(extra_keys or [])]
+    rank_win = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        freq.withColumn("__rn", F.row_number().over(rank_win))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )
+
+
+def entropy(freq: DataFrame, base2: bool = True) -> DataFrame:
+    """Shannon entropy per column from a frequency table.
+
+    ``-Σ p·log(p)``; the reference's categorical path uses log2
+    (``categorical_analyzer.py:163-167``) while the adaptive-threshold path
+    uses ln (``adaptive_threshold.py:441-455``) — base is a knob.
+    """
+    log = F.log2 if base2 else F.log
+    return freq.groupBy("column_name").agg(
+        (-F.sum(F.col("freq") * log(F.col("freq")))).alias("entropy")
+    )
+
+
+def grouped_frequency_table(
+    df: DataFrame,
+    dimension: str,
+    columns: list[str],
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequency tables sliced by a dimension column, single pass.
+
+    Replaces the reference's per-category ``filter()`` loop
+    (``group_analyzer.py:66-102``) with one ``groupBy(dimension,
+    column_name, value)`` aggregate. Output adds ``dimension_value``;
+    ``top_k`` is per ``(dimension_value, column_name)``.
+    """
+    melted = df.select(
+        F.col(dimension).cast("string").alias("dimension_value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv"),
+    ).select("dimension_value", "kv.*")
+    counts = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy("dimension_value", "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = Window.partitionBy("dimension_value", "column_name")
+    counts = counts.withColumn("n_nonnull", F.sum("cnt").over(win)).withColumn(
+        "freq", F.col("cnt") / F.col("n_nonnull")
+    )
+    if top_k is not None:
+        rank_win = Window.partitionBy("dimension_value", "column_name").orderBy(
+            F.desc("cnt"), F.asc("value")
+        )
+        counts = (
+            counts.withColumn("__rn", F.row_number().over(rank_win))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return counts

@@ -1,0 +1,154 @@
+"""Column profile aggregation — the engine's core primitive.
+
+The reference gathers per-column statistics through dozens of sequential
+driver round-trips (2 ``count`` jobs + 3 ``collect`` jobs per numeric column,
+``numerical_analyzer.py:113-192``; a ``distinct().count()`` job per column for
+inference, ``column_analyzer.py:100``). This module computes *every*
+statistic for *all* columns in **one wide hash aggregate**: a single Spark
+job whose partial aggregation happens map-side, shuffling exactly one row.
+
+The wide single-row result is then unpivoted driver-free (explode of an
+array of structs — O(columns) rows) into the long profile table that all
+drift operators join on. At 100 TB this is one full scan, no matter how many
+columns or statistics are requested.
+
+Covers SURVEY.md §2.4 A1-A5, A7, §2.2 P2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_QUANTILES: tuple[float, ...] = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def _qname(p: float) -> str:
+    # 0.25 -> "p25", 0.05 -> "p5", 0.001 -> "p0_1"
+    pct = p * 100
+    if float(pct).is_integer():
+        return f"p{int(pct)}"
+    return "p" + str(pct).replace(".", "_")
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Columns with a numeric physical type (fractional, integral, decimal)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType) and not isinstance(f.dataType, T.BooleanType)
+    ]
+
+
+def numeric_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = DEFAULT_QUANTILES,
+    exact_quantiles: bool = True,
+    quantile_accuracy: int = 10000,
+    with_shape: bool = True,
+) -> DataFrame:
+    """Long-format numeric profile: one row per column, one Spark job total.
+
+    Output schema::
+
+        column_name string, n_rows long, n long, null_count long,
+        null_ratio double, min double, max double, mean double,
+        stddev double, [skewness double, kurtosis double,]
+        p1 .. p99 double  (per requested quantile)
+
+    ``exact_quantiles=True`` uses ``F.percentile`` (sort-based exact — matches
+    the DuckDB oracle's ``quantile_cont``); at 100 TB switch to
+    ``exact_quantiles=False`` → ``percentile_approx`` (single-pass
+    KLL-style sketch, reference's choice at ``numerical_analyzer.py:306-307``).
+
+    Reference semantics: scalar stats ``numerical_analyzer.py:131-192``;
+    null counts folded into conditional aggregates instead of separate
+    ``filter().count()`` jobs (``numerical_analyzer.py:125``).
+    """
+    cols = columns if columns is not None else numeric_columns(df)
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+
+    qlist = list(quantiles)
+    aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        dc = F.col(c).cast("double")
+        aggs += [
+            F.count(dc).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_count"),
+            F.min(dc).alias(f"{c}__min"),
+            F.max(dc).alias(f"{c}__max"),
+            F.avg(dc).alias(f"{c}__mean"),
+            F.stddev(dc).alias(f"{c}__stddev"),
+        ]
+        if with_shape:
+            aggs += [
+                F.skewness(dc).alias(f"{c}__skewness"),
+                F.kurtosis(dc).alias(f"{c}__kurtosis"),
+            ]
+        if qlist:
+            if exact_quantiles:
+                qexpr = F.percentile(dc, F.array(*[F.lit(p) for p in qlist]))
+            else:
+                qexpr = F.percentile_approx(
+                    dc, F.array(*[F.lit(p) for p in qlist]), F.lit(quantile_accuracy)
+                )
+            aggs.append(qexpr.alias(f"{c}__q"))
+
+    wide = df.agg(*aggs)
+
+    shape_fields = ["skewness", "kurtosis"] if with_shape else []
+    structs = []
+    for c in cols:
+        fields = [
+            F.lit(c).alias("column_name"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__null_count").alias("null_count"),
+            (F.col(f"{c}__null_count") / F.col("__n_rows")).alias("null_ratio"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__stddev").alias("stddev"),
+        ]
+        fields += [F.col(f"{c}__{s}").alias(s) for s in shape_fields]
+        fields += [F.col(f"{c}__q")[i].alias(_qname(p)) for i, p in enumerate(qlist)]
+        structs.append(F.struct(*fields))
+
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def categorical_summary(
+    df: DataFrame,
+    columns: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column counts/nulls/cardinality for categorical columns, one job.
+
+    ``exact_distinct=False`` switches to ``approx_count_distinct`` (HLL) —
+    the 100 TB path when cardinality only gates heuristics (SURVEY §2.4 A7).
+    Reference: ``categorical_analyzer.py:126-180``.
+    """
+    if not columns:
+        raise ValueError("no categorical columns to summarize")
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_count"),
+            distinct_fn(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"{c}__null_count").alias("null_count"),
+            (F.col(f"{c}__null_count") / F.col("__n_rows")).alias("null_ratio"),
+            F.col(f"{c}__distinct").cast("long").alias("distinct_count"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

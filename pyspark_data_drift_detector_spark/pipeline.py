@@ -1,0 +1,126 @@
+"""Drift-detection pipeline: the reference's fixed "query", Spark-first.
+
+Entry point semantics follow the reference's canonical orchestrator
+(``data_drift_detector.py:423-446`` → ``detect_drift``), but the execution
+shape is SURVEY §7.1's: a constant number of Spark jobs per analyzer family
+(wide profile aggregates + profile joins), instead of the reference's
+O(jobs-per-column) driver loop (~50 collect() sites, SURVEY §3).
+
+Canonical output is the long-format result table
+(``result_handler.py:14-21`` schema): one row per (column, dimension) with
+``run_timestamp, column_name, column_type, dimension_id, drift_score,
+drift_severity, drift_detected, metrics`` (metrics = JSON string, built
+distributed via ``to_json(struct(...))``). The nested-dict report derives
+from it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.config import DriftConfig
+from pyspark_data_drift_detector_spark.functions.inference import columns_by_type, infer_column_types
+from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
+from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift
+from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+
+RESULT_COLUMNS = [
+    "run_timestamp",
+    "column_name",
+    "column_type",
+    "dimension_id",
+    "drift_score",
+    "drift_severity",
+    "drift_detected",
+    "drift_causes",
+    "metrics",
+]
+
+
+def _to_result_rows(drift_df: DataFrame, column_type: str, dimension_id: str = "all") -> DataFrame:
+    metric_cols = [
+        c
+        for c in drift_df.columns
+        if c not in {"column_name", "drift_score", "drift_severity", "drift_detected", "drift_causes"}
+    ]
+    return drift_df.select(
+        F.current_timestamp().alias("run_timestamp"),
+        F.col("column_name"),
+        F.lit(column_type).alias("column_type"),
+        F.lit(dimension_id).alias("dimension_id"),
+        F.col("drift_score").cast("double").alias("drift_score"),
+        F.col("drift_severity"),
+        F.col("drift_detected"),
+        F.col("drift_causes"),
+        F.to_json(F.struct(*[F.col(c) for c in metric_cols])).alias("metrics"),
+    )
+
+
+def detect_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    config: DriftConfig | dict[str, Any] | None = None,
+) -> DataFrame:
+    """Run the drift-detection pipeline, returning the long result DataFrame.
+
+    The returned plan is lazy — nothing is collected here; callers write it
+    to a sink or collect the O(columns) summary themselves.
+    """
+    cfg = config if isinstance(config, DriftConfig) else DriftConfig(config or {})
+
+    include = set(cfg.get("include_columns") or [])
+    exclude = set(cfg.get("exclude_columns") or [])
+    common = [c for c in df_ref.columns if c in set(df_curr.columns)]
+    if include:
+        common = [c for c in common if c in include]
+    common = [c for c in common if c not in exclude]
+
+    types = infer_column_types(
+        df_ref.select(*common), custom_column_types=cfg.get("custom_column_types")
+    )
+    by_type = columns_by_type(types)
+
+    results: list[DataFrame] = []
+
+    num_cols = by_type.get("numerical", [])
+    if num_cols:
+        quantiles = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+        kwargs = dict(
+            columns=num_cols,
+            quantiles=quantiles,
+            exact_quantiles=bool(cfg.get("exact_quantiles", True)),
+            quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
+        )
+        ref_prof = numeric_profile(df_ref, **kwargs)
+        curr_prof = numeric_profile(df_curr, **kwargs)
+        results.append(
+            _to_result_rows(
+                numeric_drift(ref_prof, curr_prof, cfg.numerical_thresholds), "numerical"
+            )
+        )
+
+    cat_cols = by_type.get("categorical", [])
+    if cat_cols:
+        results.append(
+            _to_result_rows(
+                categorical_drift(
+                    df_ref,
+                    df_curr,
+                    cat_cols,
+                    thresholds=cfg.categorical_thresholds,
+                    top_k=int(cfg.get("categorical_top_k", 20)),
+                ),
+                "categorical",
+            )
+        )
+
+    if not results:
+        raise ValueError("no analyzable columns in common between ref and curr")
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,122 @@
+"""Snapshot sources and result sinks.
+
+Covers the reference's scan/sink surface (SURVEY.md §2.1, S1-S7):
+Delta time-travel scans (``data_loader.py:8-40``), latest-version lookup
+(``data_loader.py:42-65``), bounded seeded sampling (``data_loader.py:67-90``),
+and Delta/Parquet append sinks (``result_handler.py:206-224``,
+``data_drift_detector.py:246-281``).
+
+Scale notes:
+- The reference eagerly ``cache()`` + ``count()``s every snapshot
+  (``data_loader.py:30-33``) — a full extra scan. Here caching is opt-in and
+  nothing is materialized eagerly; Catalyst sees the whole plan and prunes
+  columns/partitions down to the parquet scan.
+- Sampling computes ``df.count()`` twice in the reference
+  (``data_loader.py:79,83``); here the fraction comes from one count, and the
+  sample is a pushed-down ``sample()`` (no ``limit`` barrier unless a hard
+  cap is demanded, because ``limit`` funnels through a single task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _has_delta(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def load_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fmt: str | None = None,
+    cache: bool = False,
+) -> DataFrame:
+    """Load one table snapshot.
+
+    ``fmt=None`` auto-detects: ``.parquet`` paths (the test harness data) read
+    as parquet; otherwise Delta with ``versionAsOf`` time travel when a
+    version is requested (reference behavior, ``data_loader.py:24``).
+    """
+    if fmt is None:
+        fmt = "parquet" if path.endswith(".parquet") else "delta"
+    reader = spark.read.format(fmt)
+    if version is not None and fmt == "delta":
+        reader = reader.option("versionAsOf", version)
+    df = reader.load(path)
+    if cache:
+        df = df.cache()
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the harness parquet tables from a scale-factor dir."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def latest_version(spark: SparkSession, table_path: str) -> int:
+    """Most recent Delta version of a table (``DESCRIBE HISTORY`` → max).
+
+    Reference: ``data_loader.py:42-65`` (orderBy desc + first → here a
+    single ``max`` aggregate).
+    """
+    history = spark.sql(f"DESCRIBE HISTORY delta.`{table_path}`")
+    row = history.agg(F.max("version").alias("v")).first()
+    if row is None or row["v"] is None:
+        raise ValueError(f"no history for {table_path}")
+    return int(row["v"])
+
+
+def sample_bounded(
+    df: DataFrame,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Seeded uniform sample targeting ~``sample_size`` rows.
+
+    ``sample_size <= 0`` disables sampling (reference convention,
+    ``README.md:138``). Uses a slightly inflated fraction instead of a hard
+    ``limit`` so the sample stays fully parallel; statistical profiles don't
+    need an exact row cap.
+    """
+    if sample_size is None or sample_size <= 0:
+        return df
+    n = total_rows if total_rows is not None else df.count()
+    if n <= sample_size:
+        return df
+    fraction = min(1.0, (sample_size / n) * 1.02)
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def split_snapshot_pair(df: DataFrame, predicate: str) -> tuple[DataFrame, DataFrame]:
+    """Derive a deterministic (ref, curr) pair from one table.
+
+    ``ref`` rows satisfy ``predicate`` (a SQL boolean expression); ``curr``
+    rows are the complement. Used by the harness fixtures (FIXTURES.md §B).
+    """
+    cond = F.expr(predicate)
+    return df.filter(cond), df.filter(~cond)
+
+
+def write_results(
+    results_df: DataFrame,
+    output_path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+) -> None:
+    """Append a result DataFrame to a Delta/Parquet sink.
+
+    Reference: ``result_handler.py:206-224`` (long rows) and
+    ``data_drift_detector.py:275-279`` (mergeSchema append).
+    """
+    writer = results_df.write.format(fmt).mode(mode)
+    if fmt == "delta":
+        writer = writer.option("mergeSchema", "true")
+    writer.save(output_path)

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("drift-engine-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+
+
+@pytest.fixture(scope="session")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet").cache()

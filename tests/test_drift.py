@@ -1,0 +1,91 @@
+"""Drift-metric tests: identical inputs ⇒ no drift; seeded drift is caught.
+
+Mirrors the reference's example.py drift scenario (SURVEY §5, FIXTURES §A).
+"""
+
+import random
+
+import pytest
+
+from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
+from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift
+from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+
+
+def _make_version(spark, seed, mean, std, cats, null_rate, n=2000):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        num = rng.gauss(mean, std)
+        cat = rng.choices(list(cats), weights=list(cats.values()))[0]
+        nullable = None if rng.random() < null_rate else float(rng.randint(1, 100))
+        rows.append((i, num, cat, nullable))
+    return spark.createDataFrame(rows, "id long, numeric_normal double, category string, null_col double")
+
+
+@pytest.fixture(scope="module")
+def v1(spark):
+    return _make_version(spark, 1, 100, 15, {"X": 0.7, "Y": 0.2, "Z": 0.1}, 0.10).cache()
+
+
+@pytest.fixture(scope="module")
+def v3(spark):
+    # example.py v3: strong numeric drift + category swap + null drift
+    return _make_version(spark, 3, 120, 25, {"X": 0.4, "Y": 0.4, "W": 0.2}, 0.25).cache()
+
+
+def test_identical_inputs_no_drift(spark, v1):
+    prof = numeric_profile(v1, quantiles=(0.25, 0.5, 0.75))
+    drift = numeric_drift(prof, prof)
+    for row in drift.collect():
+        assert row["drift_score"] == pytest.approx(0.0)
+        assert not row["drift_detected"]
+        assert row["drift_severity"] == "None"
+
+
+def test_identical_categorical_no_drift(spark, v1):
+    drift = categorical_drift(v1, v1, ["category"]).collect()[0]
+    assert drift["js_distance"] == pytest.approx(0.0)
+    assert drift["drift_score"] == pytest.approx(0.0)
+    assert not drift["drift_detected"]
+
+
+def test_strong_numeric_drift_detected(spark, v1, v3):
+    ref = numeric_profile(v1, columns=["numeric_normal", "null_col"], quantiles=(0.25, 0.5, 0.75))
+    curr = numeric_profile(v3, columns=["numeric_normal", "null_col"], quantiles=(0.25, 0.5, 0.75))
+    drift = {r["column_name"]: r for r in numeric_drift(ref, curr).collect()}
+    nn = drift["numeric_normal"]
+    assert nn["drift_detected"]
+    assert "mean" in nn["drift_causes"]
+    assert nn["mean_relative_diff"] == pytest.approx(0.2, abs=0.05)
+    nc = drift["null_col"]
+    # null rate 0.10 → 0.25
+    assert "null_proportion" in nc["drift_causes"]
+    assert nc["null_diff"] == pytest.approx(0.15, abs=0.05)
+
+
+def test_category_swap_detected(spark, v1, v3):
+    drift = categorical_drift(v1, v3, ["category"]).collect()[0]
+    assert drift["drift_detected"]
+    assert drift["js_distance"] > 0.1
+    assert drift["new_categories"] == 1  # W appeared
+    assert drift["missing_categories"] == 1  # Z disappeared
+    assert "new_categories" in drift["drift_causes"]
+    assert drift["drift_score"] > 0.25
+    assert drift["p_value"] <= 0.05
+
+
+def test_drift_score_bounds(spark, v1, v3):
+    # property: scores always in [0, 1]
+    ref = numeric_profile(v1, quantiles=(0.25, 0.5, 0.75))
+    curr = numeric_profile(v3, quantiles=(0.25, 0.5, 0.75))
+    for row in numeric_drift(ref, curr).collect():
+        assert 0.0 <= row["drift_score"] <= 1.0
+    for row in categorical_drift(v1, v3, ["category"]).collect():
+        assert 0.0 <= row["drift_score"] <= 1.0
+
+
+def test_exact_p_value_mode(spark, v1, v3):
+    drift = categorical_drift(v1, v3, ["category"], p_value_mode="exact").collect()[0]
+    assert drift["p_value"] is not None
+    assert 0.0 <= drift["p_value"] <= 1.0
