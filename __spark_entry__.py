@@ -65,13 +65,13 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M16+M19: numeric drift metrics over the even/odd lineitem split."""
-    from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift
-    from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+    """M16+M19: numeric drift over the even/odd lineitem split — one scan+agg."""
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
 
     ref, curr = _split(_lineitem(spark, sf_dir))
-    kwargs = dict(columns=LINEITEM_NUMERIC, quantiles=(0.25, 0.5, 0.75), with_shape=False)
-    drift = numeric_drift(numeric_profile(ref, **kwargs), numeric_profile(curr, **kwargs))
+    drift = numeric_drift_pair(
+        ref, curr, columns=LINEITEM_NUMERIC, quantiles=(0.25, 0.5, 0.75)
+    )
     rounded = [
         "mean_relative_diff",
         "median_relative_diff",
@@ -148,6 +148,148 @@ def q_top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(
         freq.select("column_name", "value", F.col("cnt").cast("long").alias("cnt"), "freq"),
         ["freq"],
+    )
+
+
+def q_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: per-quantile abs/rel shifts over the lineitem split."""
+    from pyspark_data_drift_detector_spark.operators.distribution import quantile_shift
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    shifts = quantile_shift(
+        ref,
+        curr,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        quantiles=(0.25, 0.5, 0.75, 0.95),
+        exact_quantiles=True,
+    )
+    return _round_cols(
+        shifts.select("column_name", "quantile", "ref_value", "curr_value", "abs_diff", "rel_diff"),
+        ["ref_value", "curr_value", "abs_diff", "rel_diff"],
+    )
+
+
+def q_dist_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: skewness/kurtosis drift + classification over the lineitem split."""
+    from pyspark_data_drift_detector_spark.operators.distribution import shape_change
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = shape_change(ref, curr, ["l_quantity", "l_extendedprice", "l_tax"])
+    rounded = ["ref_skewness", "curr_skewness", "skew_diff", "ref_kurtosis", "curr_kurtosis", "kurt_diff"]
+    return _round_cols(out.select("column_name", *rounded, "skew_change", "kurt_change"), rounded)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: 10-bucket equi-width histogram, DataFrame-native (no RDD)."""
+    from pyspark_data_drift_detector_spark.operators.distribution import histogram
+
+    h = histogram(_lineitem(spark, sf_dir), ["l_extendedprice", "l_quantity"], bins=10)
+    return _round_cols(
+        h.select(
+            "column_name",
+            F.col("bucket").cast("int").alias("bucket"),
+            "lower",
+            "upper",
+            F.col("cnt").cast("long").alias("cnt"),
+        ),
+        ["lower", "upper"],
+    )
+
+
+def q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: rare-category changes on high-cardinality l_partkey."""
+    from pyspark_data_drift_detector_spark.operators.rare_events import rare_category_changes
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = rare_category_changes(ref, curr, ["l_partkey"], min_count=10, max_frequency=0.01)
+    return _round_cols(
+        out.select(
+            "column",
+            "category",
+            "change_type",
+            F.col("ref_count").cast("long").alias("ref_count"),
+            F.col("curr_count").cast("long").alias("curr_count"),
+            "ref_freq",
+            "curr_freq",
+            "rel_change",
+            "severity",
+        ),
+        ["ref_freq", "curr_freq", "rel_change"],
+    )
+
+
+def q_outlier_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13+M14: z-score and IQR outlier-rate drift over the lineitem split."""
+    from pyspark_data_drift_detector_spark.operators.rare_events import outlier_drift
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = outlier_drift(ref, curr, ["l_extendedprice", "l_quantity"])
+    ints = [
+        "ref_n", "curr_n",
+        "ref_z_outlier_count", "curr_z_outlier_count",
+        "ref_outlier_count", "curr_outlier_count",
+        "ref_extreme_count", "curr_extreme_count",
+    ]
+    rounded = ["ref_outlier_rate", "curr_outlier_rate", "outlier_rate_diff", "z_rel_change"]
+    return _round_cols(
+        out.select(
+            "column_name",
+            *[F.col(c).cast("long").alias(c) for c in ints],
+            *rounded,
+            "z_significant",
+        ),
+        rounded,
+    )
+
+
+def q_group_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M26 numeric half: per-group stats + percent changes, single pass."""
+    from pyspark_data_drift_detector_spark.operators.groups import group_numeric_stats
+
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    ref = df.filter(F.col("o_orderkey") % 2 == 0)
+    curr = df.filter(F.col("o_orderkey") % 2 == 1)
+    out = group_numeric_stats(ref, curr, "o_orderpriority", ["o_totalprice"])
+    rounded = [
+        "ref_mean", "curr_mean", "ref_median", "curr_median",
+        "mean_pct_change", "stddev_pct_change", "median_pct_change",
+        "range_pct_change", "null_drift",
+    ]
+    return _round_cols(
+        out.select(
+            "dimension_value",
+            "column_name",
+            F.col("ref_rows").cast("long").alias("ref_rows"),
+            F.col("curr_rows").cast("long").alias("curr_rows"),
+            *rounded,
+        ),
+        rounded,
+    )
+
+
+def q_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M26+M21: full per-group drift rollup on orders by priority."""
+    from pyspark_data_drift_detector_spark.operators.groups import group_drift
+
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    ref = df.filter(F.col("o_orderkey") % 2 == 0)
+    curr = df.filter(F.col("o_orderkey") % 2 == 1)
+    out = group_drift(
+        ref, curr, "o_orderpriority",
+        numeric_columns=["o_totalprice"],
+        categorical_columns=["o_orderstatus"],
+    )
+    return _round_cols(
+        out.select(
+            "dimension_value",
+            F.col("ref_rows").cast("long").alias("ref_rows"),
+            F.col("curr_rows").cast("long").alias("curr_rows"),
+            "row_pct_change",
+            F.col("metrics_with_drift").cast("long").alias("metrics_with_drift"),
+            "drift_score",
+            "drift_detected",
+        ),
+        ["row_pct_change", "drift_score"],
     )
 
 
@@ -339,6 +481,274 @@ def _categorical_drift_sql() -> str:
     FROM js JOIN pv USING (column_name) JOIN nulls USING (column_name)"""
 
 
+_REF_W = "l_orderkey % 2 = 0"
+_CURR_W = "l_orderkey % 2 = 1"
+
+
+def _quantile_shift_sql() -> str:
+    cols = ["l_extendedprice", "l_quantity", "l_discount"]
+    qs = [0.25, 0.5, 0.75, 0.95]
+    parts = []
+    for c in cols:
+        for q in qs:
+            parts.append(f"""
+            SELECT '{c}' AS column_name, '{q}' AS quantile,
+              ROUND(rq, {ROUND}) AS ref_value, ROUND(cq, {ROUND}) AS curr_value,
+              ROUND(ABS(cq - rq), {ROUND}) AS abs_diff,
+              ROUND(CASE WHEN rq <> 0 THEN ABS((cq - rq) / rq)
+                         WHEN cq <> 0 THEN ABS(cq - rq) / GREATEST(ABS(cq), 1e-10)
+                         ELSE 0 END, {ROUND}) AS rel_diff
+            FROM (SELECT
+              (SELECT CAST(quantile_cont({c}, {q}) AS DOUBLE) FROM lineitem WHERE {_REF_W}) AS rq,
+              (SELECT CAST(quantile_cont({c}, {q}) AS DOUBLE) FROM lineitem WHERE {_CURR_W}) AS cq)""")
+    return " UNION ALL ".join(parts)
+
+
+def _shape_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+
+    def moments(where: str, c: str) -> str:
+        return (
+            f"(SELECT AVG(POW({c}-mu,3))/POW(AVG(POW({c}-mu,2)),1.5) AS skew, "
+            f"AVG(POW({c}-mu,4))/POW(AVG(POW({c}-mu,2)),2)-3 AS kurt "
+            f"FROM lineitem CROSS JOIN (SELECT AVG({c}) AS mu FROM lineitem WHERE {where}) "
+            f"WHERE {where})"
+        )
+
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+          ROUND(r.skew, {ROUND}) AS ref_skewness, ROUND(cu.skew, {ROUND}) AS curr_skewness,
+          ROUND(ABS(cu.skew - r.skew), {ROUND}) AS skew_diff,
+          ROUND(r.kurt, {ROUND}) AS ref_kurtosis, ROUND(cu.kurt, {ROUND}) AS curr_kurtosis,
+          ROUND(ABS(cu.kurt - r.kurt), {ROUND}) AS kurt_diff,
+          CASE WHEN ABS(cu.skew - r.skew) <= 0.5 THEN 'none'
+               WHEN cu.skew > r.skew THEN 'more_right_skewed'
+               ELSE 'more_left_skewed' END AS skew_change,
+          CASE WHEN ABS(cu.kurt - r.kurt) <= 1.0 THEN 'none'
+               WHEN cu.kurt > r.kurt THEN 'more_outliers'
+               ELSE 'fewer_outliers' END AS kurt_change
+        FROM {moments(_REF_W, c)} r CROSS JOIN {moments(_CURR_W, c)} cu""")
+    return " UNION ALL ".join(parts)
+
+
+def _histogram_sql() -> str:
+    cols = ["l_extendedprice", "l_quantity"]
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS v FROM lineitem WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    return f"""
+    WITH v AS ({melt}),
+    m AS (SELECT column_name, MIN(v) AS mn, MAX(v) AS mx FROM v GROUP BY column_name)
+    SELECT v.column_name,
+      CAST(CASE WHEN m.mx = m.mn THEN 0
+           ELSE LEAST(FLOOR((v.v - m.mn) / ((m.mx - m.mn) / 10)), 9) END AS INT) AS bucket,
+      ROUND(m.mn + CAST(CASE WHEN m.mx = m.mn THEN 0
+           ELSE LEAST(FLOOR((v.v - m.mn) / ((m.mx - m.mn) / 10)), 9) END AS INT) * (m.mx - m.mn) / 10, {ROUND}) AS lower,
+      ROUND(m.mn + (CAST(CASE WHEN m.mx = m.mn THEN 0
+           ELSE LEAST(FLOOR((v.v - m.mn) / ((m.mx - m.mn) / 10)), 9) END AS INT) + 1) * (m.mx - m.mn) / 10, {ROUND}) AS upper,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM v JOIN m USING (column_name)
+    GROUP BY 1, 2, 3, 4"""
+
+
+def _rare_categories_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS category,
+        SUM(CASE WHEN {_REF_W} THEN 1 ELSE 0 END) AS ref_cnt,
+        SUM(CASE WHEN {_CURR_W} THEN 1 ELSE 0 END) AS curr_cnt
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct FROM cells),
+    enr AS (
+      SELECT category, ref_cnt, curr_cnt,
+        CAST(ref_cnt AS DOUBLE) / GREATEST(rt, 1) AS ref_freq,
+        CAST(curr_cnt AS DOUBLE) / GREATEST(ct, 1) AS curr_freq
+      FROM cells CROSS JOIN tot),
+    rare AS (
+      SELECT *, CASE WHEN ref_cnt > 0 THEN CAST(curr_cnt - ref_cnt AS DOUBLE) / ref_cnt
+                     WHEN curr_cnt > 0 THEN 1.0 ELSE 0.0 END AS rel_change
+      FROM enr
+      WHERE (ref_freq <= 0.01 AND ref_cnt >= 10) OR (curr_freq <= 0.01 AND curr_cnt >= 10))
+    SELECT 'l_partkey' AS "column", category,
+      CASE WHEN ref_cnt = 0 THEN 'new_rare_category'
+           WHEN curr_cnt = 0 THEN 'disappeared_rare_category'
+           WHEN rel_change > 0 THEN 'increased_rare_category'
+           ELSE 'decreased_rare_category' END AS change_type,
+      CAST(ref_cnt AS BIGINT) AS ref_count, CAST(curr_cnt AS BIGINT) AS curr_count,
+      ROUND(ref_freq, {ROUND}) AS ref_freq, ROUND(curr_freq, {ROUND}) AS curr_freq,
+      ROUND(rel_change, {ROUND}) AS rel_change,
+      CASE WHEN ref_cnt = 0 THEN 'high' WHEN curr_cnt = 0 THEN 'high'
+           WHEN rel_change > 0 THEN (CASE WHEN rel_change > 1.0 THEN 'high' ELSE 'medium' END)
+           ELSE (CASE WHEN ABS(rel_change) > 0.5 THEN 'high' ELSE 'medium' END) END AS severity
+    FROM rare
+    WHERE (ABS(rel_change) >= 0.3 OR ref_cnt = 0 OR curr_cnt = 0) AND category IS NOT NULL"""
+
+
+def _outlier_sql() -> str:
+    cols = ["l_extendedprice", "l_quantity"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT column_name, ref_n, curr_n, ref_z_outlier_count, curr_z_outlier_count,
+          ref_outlier_count, curr_outlier_count, ref_extreme_count, curr_extreme_count,
+          ROUND(CAST(ref_outlier_count AS DOUBLE)/GREATEST(ref_n,1), {ROUND}) AS ref_outlier_rate,
+          ROUND(CAST(curr_outlier_count AS DOUBLE)/GREATEST(curr_n,1), {ROUND}) AS curr_outlier_rate,
+          ROUND(ABS(CAST(curr_outlier_count AS DOUBLE)/GREATEST(curr_n,1)
+                  - CAST(ref_outlier_count AS DOUBLE)/GREATEST(ref_n,1)), {ROUND}) AS outlier_rate_diff,
+          ROUND(CASE WHEN rzr > 0 THEN (czr - rzr)/rzr WHEN czr > 0 THEN 1.0 ELSE 0.0 END, {ROUND}) AS z_rel_change,
+          (ABS(CASE WHEN rzr > 0 THEN (czr - rzr)/rzr WHEN czr > 0 THEN 1.0 ELSE 0.0 END) >= 0.3
+            OR ABS(czr - rzr) >= 0.01) AS z_significant
+        FROM (
+          SELECT '{c}' AS column_name,
+            (SELECT CAST(COUNT({c}) AS BIGINT) FROM lineitem WHERE {_REF_W}) AS ref_n,
+            (SELECT CAST(COUNT({c}) AS BIGINT) FROM lineitem WHERE {_CURR_W}) AS curr_n,
+            (SELECT CAST(SUM(CASE WHEN ABS(({c}-st.mean)/st.std) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_REF_W}) AS ref_z_outlier_count,
+            (SELECT CAST(SUM(CASE WHEN ABS(({c}-st.mean)/st.std) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_CURR_W}) AS curr_z_outlier_count,
+            (SELECT CAST(SUM(CASE WHEN {c} < st.q1 - 1.5*(st.q3-st.q1) OR {c} > st.q3 + 1.5*(st.q3-st.q1) THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_REF_W}) AS ref_outlier_count,
+            (SELECT CAST(SUM(CASE WHEN {c} < st.q1 - 1.5*(st.q3-st.q1) OR {c} > st.q3 + 1.5*(st.q3-st.q1) THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_CURR_W}) AS curr_outlier_count,
+            (SELECT CAST(SUM(CASE WHEN {c} < st.q1 - 3*(st.q3-st.q1) OR {c} > st.q3 + 3*(st.q3-st.q1) THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_REF_W}) AS ref_extreme_count,
+            (SELECT CAST(SUM(CASE WHEN {c} < st.q1 - 3*(st.q3-st.q1) OR {c} > st.q3 + 3*(st.q3-st.q1) THEN 1 ELSE 0 END) AS BIGINT)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_CURR_W}) AS curr_extreme_count,
+            (SELECT CAST(SUM(CASE WHEN ABS(({c}-st.mean)/st.std) > 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / GREATEST(COUNT({c}), 1)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_REF_W}) AS rzr,
+            (SELECT CAST(SUM(CASE WHEN ABS(({c}-st.mean)/st.std) > 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / GREATEST(COUNT({c}), 1)
+             FROM lineitem CROSS JOIN st_{c} st WHERE {_CURR_W}) AS czr
+        )""")
+    ctes = ", ".join(
+        f"""st_{c} AS (SELECT AVG({c}) AS mean, STDDEV_SAMP({c}) AS std,
+            CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS q1,
+            CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS q3
+            FROM lineitem WHERE {_REF_W})"""
+        for c in cols
+    )
+    return f"WITH {ctes} " + " UNION ALL ".join(parts)
+
+
+_PCT = (
+    "CASE WHEN {r} = 0 THEN (CASE WHEN {c} = 0 THEN 0.0 ELSE 1.0 END) "
+    "ELSE ({c} - {r}) / ABS({r}) END"
+)
+
+
+def _group_numeric_sql() -> str:
+    stats = """SELECT o_orderpriority AS dimension_value,
+        CAST(COUNT(*) AS BIGINT) AS rows_,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_,
+        COALESCE(AVG(o_totalprice), 0) AS mean_,
+        COALESCE(STDDEV_SAMP(o_totalprice), 0) AS std_,
+        COALESCE(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 0) AS med_,
+        COALESCE(MIN(o_totalprice), 0) AS mn_, COALESCE(MAX(o_totalprice), 0) AS mx_
+      FROM orders WHERE {w} GROUP BY 1"""
+    pct = lambda r, c: _PCT.format(r=r, c=c)  # noqa: E731
+    return f"""
+    WITH r AS ({stats.format(w='o_orderkey % 2 = 0')}),
+         c AS ({stats.format(w='o_orderkey % 2 = 1')})
+    SELECT r.dimension_value, 'o_totalprice' AS column_name,
+      r.rows_ AS ref_rows, c.rows_ AS curr_rows,
+      ROUND(r.mean_, {ROUND}) AS ref_mean, ROUND(c.mean_, {ROUND}) AS curr_mean,
+      ROUND(r.med_, {ROUND}) AS ref_median, ROUND(c.med_, {ROUND}) AS curr_median,
+      ROUND({pct('r.mean_', 'c.mean_')}, {ROUND}) AS mean_pct_change,
+      ROUND({pct('r.std_', 'c.std_')}, {ROUND}) AS stddev_pct_change,
+      ROUND({pct('r.med_', 'c.med_')}, {ROUND}) AS median_pct_change,
+      ROUND({pct('(r.mx_ - r.mn_)', '(c.mx_ - c.mn_)')}, {ROUND}) AS range_pct_change,
+      ROUND(ABS(CAST(c.nulls_ AS DOUBLE)/GREATEST(c.rows_,1)
+              - CAST(r.nulls_ AS DOUBLE)/GREATEST(r.rows_,1)), {ROUND}) AS null_drift
+    FROM r JOIN c USING (dimension_value)"""
+
+
+def _group_drift_sql() -> str:
+    pct = lambda r, c: _PCT.format(r=r, c=c)  # noqa: E731
+    num_stats = """SELECT o_orderpriority AS dv,
+        COUNT(*) AS rows_, SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_,
+        COALESCE(AVG(o_totalprice),0) AS mean_, COALESCE(STDDEV_SAMP(o_totalprice),0) AS std_,
+        COALESCE(CAST(quantile_cont(o_totalprice,0.5) AS DOUBLE),0) AS med_
+      FROM orders WHERE {w} GROUP BY 1"""
+    return f"""
+    WITH nr AS ({num_stats.format(w='o_orderkey % 2 = 0')}),
+         nc AS ({num_stats.format(w='o_orderkey % 2 = 1')}),
+         num AS (
+           SELECT nr.dv,
+             ABS(CAST(nc.nulls_ AS DOUBLE)/GREATEST(nc.rows_,1) - CAST(nr.nulls_ AS DOUBLE)/GREATEST(nr.rows_,1)) AS null_drift,
+             {pct('nr.mean_','nc.mean_')} AS mean_pct, {pct('nr.std_','nc.std_')} AS std_pct,
+             {pct('nr.med_','nc.med_')} AS med_pct,
+             (CAST(nr.nulls_ AS DOUBLE)/GREATEST(nr.rows_,1) > 0.9 OR CAST(nc.nulls_ AS DOUBLE)/GREATEST(nc.rows_,1) > 0.9) AS skipped
+           FROM nr JOIN nc USING (dv)),
+         numc AS (
+           SELECT dv,
+             null_drift + CASE WHEN NOT skipped THEN ABS(mean_pct)+ABS(std_pct)+ABS(med_pct) ELSE 0 END AS contrib_sum,
+             1 + CASE WHEN NOT skipped THEN 3 ELSE 0 END AS contrib_cnt,
+             CAST(null_drift > 0.05 AS INT) + CAST((NOT skipped AND ABS(mean_pct) > 0.1) AS INT)
+               + CAST((NOT skipped AND ABS(std_pct) > 0.2) AS INT) + CAST((NOT skipped AND ABS(med_pct) > 0.1) AS INT) AS n_drifted,
+             null_drift >= 0.1 AS any_null, (NOT skipped AND ABS(mean_pct) >= 0.2) AS any_mean,
+             (NOT skipped AND ABS(med_pct) >= 0.2) AS any_median, FALSE AS any_freq, FALSE AS any_distinct
+           FROM num),
+         cells AS (
+           SELECT o_orderpriority AS dv, CAST(o_orderstatus AS VARCHAR) AS v,
+             SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ref_cnt,
+             SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS curr_cnt
+           FROM orders GROUP BY 1, 2),
+         enr AS (
+           SELECT *, SUM(ref_cnt) OVER (PARTITION BY dv) AS ref_total,
+             SUM(curr_cnt) OVER (PARTITION BY dv) AS curr_total,
+             ROW_NUMBER() OVER (PARTITION BY dv ORDER BY ref_cnt DESC, v ASC) AS rn_ref,
+             ROW_NUMBER() OVER (PARTITION BY dv ORDER BY curr_cnt DESC, v ASC) AS rn_curr
+           FROM cells),
+         enr2 AS (
+           SELECT *, (ref_cnt > 0 AND rn_ref <= 10) AS member_ref,
+             (curr_cnt > 0 AND rn_curr <= 10) AS member_curr,
+             CAST(ref_cnt AS DOUBLE)/GREATEST(ref_total,1) AS ref_freq,
+             CAST(curr_cnt AS DOUBLE)/GREATEST(curr_total,1) AS curr_freq
+           FROM enr),
+         catagg AS (
+           SELECT dv,
+             CASE WHEN SUM(CAST(member_ref AND member_curr AS INT)) > 0
+               THEN SUM(CASE WHEN member_ref AND member_curr THEN ABS(curr_freq - ref_freq) ELSE 0 END)
+                    / SUM(CAST(member_ref AND member_curr AS INT))
+               ELSE 1.0 END AS avg_freq_drift,
+             ABS(CAST(SUM(CASE WHEN v IS NULL THEN curr_cnt ELSE 0 END) AS DOUBLE)/GREATEST(MAX(curr_total),1)
+               - CAST(SUM(CASE WHEN v IS NULL THEN ref_cnt ELSE 0 END) AS DOUBLE)/GREATEST(MAX(ref_total),1)) AS null_drift,
+             {pct('SUM(CAST(member_ref AS INT))', 'SUM(CAST(member_curr AS INT))')} AS distinct_pct
+           FROM enr2 GROUP BY dv),
+         catc AS (
+           SELECT dv, null_drift + avg_freq_drift AS contrib_sum, 2 AS contrib_cnt,
+             CAST(null_drift > 0.05 AS INT) + CAST(avg_freq_drift > 0.1 AS INT) AS n_drifted,
+             null_drift >= 0.1 AS any_null, FALSE AS any_mean, FALSE AS any_median,
+             avg_freq_drift >= 0.15 AS any_freq, ABS(distinct_pct) >= 0.25 AS any_distinct
+           FROM catagg),
+         contribs AS (SELECT * FROM numc UNION ALL SELECT * FROM catc),
+         rollup AS (
+           SELECT dv, SUM(contrib_sum)/GREATEST(SUM(contrib_cnt),1) AS raw_score,
+             CAST(SUM(n_drifted) AS BIGINT) AS metrics_with_drift,
+             BOOL_OR(any_null) AS any_null, BOOL_OR(any_mean) AS any_mean,
+             BOOL_OR(any_median) AS any_median, BOOL_OR(any_freq) AS any_freq,
+             BOOL_OR(any_distinct) AS any_distinct
+           FROM contribs GROUP BY dv),
+         grp AS (
+           SELECT o_orderpriority AS dv,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_rows,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS curr_rows
+           FROM orders GROUP BY 1)
+    SELECT grp.dv AS dimension_value, grp.ref_rows, grp.curr_rows,
+      ROUND({pct('grp.ref_rows', 'grp.curr_rows')}, {ROUND}) AS row_pct_change,
+      rollup.metrics_with_drift,
+      ROUND(LEAST(1.0, rollup.raw_score), {ROUND}) AS drift_score,
+      (LEAST(1.0, rollup.raw_score) >= 0.1 OR rollup.metrics_with_drift >= 3
+        OR ABS({pct('grp.ref_rows', 'grp.curr_rows')}) >= 0.25
+        OR rollup.any_null OR rollup.any_mean OR rollup.any_median
+        OR rollup.any_freq OR rollup.any_distinct) AS drift_detected
+    FROM grp JOIN rollup ON grp.dv = rollup.dv"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -377,6 +787,13 @@ def _oracle_queries() -> dict[str, str]:
         "entropy": entropy_sql,
         "group_profile": group_profile_sql,
         "top_categories": top_categories_sql,
+        "quantile_shift": _quantile_shift_sql(),
+        "dist_shape": _shape_sql(),
+        "histogram": _histogram_sql(),
+        "rare_categories": _rare_categories_sql(),
+        "outlier_drift": _outlier_sql(),
+        "group_numeric_drift": _group_numeric_sql(),
+        "group_drift": _group_drift_sql(),
     }
 
 
@@ -403,6 +820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "group_profile": q_group_profile,
         "top_categories": q_top_categories,
+        "quantile_shift": q_quantile_shift,
+        "dist_shape": q_dist_shape,
+        "histogram": q_histogram,
+        "rare_categories": q_rare_categories,
+        "outlier_drift": q_outlier_drift,
+        "group_numeric_drift": q_group_numeric_drift,
+        "group_drift": q_group_drift,
     }
 
 

@@ -38,9 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-from pyspark_data_drift_detector_spark.operators.frequency import frequency_table, top_k_filter
 from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
-from pyspark_data_drift_detector_spark.operators.profile import categorical_summary
 
 DEFAULT_CAT_THRESHOLDS: dict[str, float] = {
     "category_threshold": 0.03,
@@ -189,50 +187,113 @@ def categorical_drift(
     top_k: int = 20,
     p_value_mode: str = "ladder",
 ) -> DataFrame:
-    """Full categorical drift row per column (M6-M8, M18, M20 combined)."""
+    """Full categorical drift row per column (M6-M8, M18, M20 combined).
+
+    Execution shape: ONE scan of each side → side-tagged unpivot → one
+    ``groupBy(column_name, value)`` shuffle (``pair_frequency_cells``) →
+    window ranks + two tiny per-column aggregates over the O(categories)
+    cells table. No full-outer join, no second scan.
+    """
+    from pyspark_data_drift_detector_spark.operators.frequency import pair_frequency_cells
+
     th = dict(DEFAULT_CAT_THRESHOLDS)
     th.update(thresholds or {})
 
-    # full tables computed once; top-k derives from them so Spark reuses the
-    # unpivot+groupBy exchange instead of rescanning the source twice
-    ref_full = frequency_table(df_ref, columns)
-    curr_full = frequency_table(df_curr, columns)
-    ref_topk = top_k_filter(ref_full, top_k)
-    curr_topk = top_k_filter(curr_full, top_k)
+    cells = pair_frequency_cells(df_ref, df_curr, columns)
 
-    aligned_topk = align_frequencies(ref_topk, curr_topk)
-    aligned_full = align_frequencies(ref_full, curr_full)
+    # per-column summary (nulls, totals, distincts) from the same cells pass
+    is_null_val = F.col("value").isNull()
+    summary = cells.groupBy("column_name").agg(
+        F.sum("ref_cnt").alias("ref_n_rows"),
+        F.sum("curr_cnt").alias("curr_n_rows"),
+        F.sum(F.when(is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).alias("ref_null_count"),
+        F.sum(F.when(is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).alias("curr_null_count"),
+        F.sum((~is_null_val & (F.col("ref_cnt") > 0)).cast("long")).alias("ref_distinct_count"),
+        F.sum((~is_null_val & (F.col("curr_cnt") > 0)).cast("long")).alias("curr_distinct_count"),
+    ).select(
+        "column_name",
+        "ref_n_rows",
+        "curr_n_rows",
+        "ref_distinct_count",
+        "curr_distinct_count",
+        (F.col("ref_null_count") / F.col("ref_n_rows")).alias("ref_null_ratio"),
+        (F.col("curr_null_count") / F.col("curr_n_rows")).alias("curr_null_ratio"),
+    )
 
-    js = js_distance_by_column(aligned_topk)
-    chi = chi_square_by_column(aligned_full)
+    # non-null cells enriched with per-side totals, frequencies, top-k ranks
+    win = Window.partitionBy("column_name")
+    nn = (
+        cells.filter(F.col("value").isNotNull())
+        .withColumn("ref_total", F.sum("ref_cnt").over(win))
+        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        .withColumn(
+            "ref_freq",
+            F.when(F.col("ref_total") > 0, F.col("ref_cnt") / F.col("ref_total")).otherwise(0.0),
+        )
+        .withColumn(
+            "curr_freq",
+            F.when(F.col("curr_total") > 0, F.col("curr_cnt") / F.col("curr_total")).otherwise(0.0),
+        )
+        .withColumn(
+            "rn_ref",
+            F.row_number().over(win.orderBy(F.desc("ref_cnt"), F.asc("value"))),
+        )
+        .withColumn(
+            "rn_curr",
+            F.row_number().over(win.orderBy(F.desc("curr_cnt"), F.asc("value"))),
+        )
+        .withColumn("member_ref", (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k))
+        .withColumn("member_curr", (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k))
+    )
+
+    # JS over the union of the two per-side top-k supports: a category keeps
+    # probability 0 on a side whose top-k it didn't make (dict-union
+    # semantics of categorical_analyzer.py:284-303)
+    p = F.when(F.col("member_ref"), F.col("ref_freq")).otherwise(F.lit(0.0))
+    q = F.when(F.col("member_curr"), F.col("curr_freq")).otherwise(F.lit(0.0))
+    m = (p + q) / 2
+    in_js = F.col("member_ref") | F.col("member_curr")
+    kl_p = F.when(in_js & (p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(in_js & (q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
+
+    # chi² over the FULL support (categorical_analyzer.py:342-390)
+    total_sum = F.col("ref_total") + F.col("curr_total")
+    cat_sum = F.col("ref_cnt") + F.col("curr_cnt")
+    exp_ref = F.col("ref_total") * cat_sum / total_sum
+    exp_curr = F.col("curr_total") * cat_sum / total_sum
+    chi_contrib = F.when(
+        (exp_ref >= 5) & (exp_curr >= 5),
+        F.pow(F.col("ref_cnt") - exp_ref, 2) / exp_ref
+        + F.pow(F.col("curr_cnt") - exp_curr, 2) / exp_curr,
+    ).otherwise(F.lit(0.0))
+
+    is_new = (F.col("member_curr") & ~F.col("member_ref")).cast("long")
+    is_missing = (F.col("member_ref") & ~F.col("member_curr")).cast("long")
+    in_ref = F.col("member_ref").cast("long")
+
+    valid_chi = (F.count(F.lit(1)) >= 2) & (F.max(total_sum) >= 10)
+    stats = nn.groupBy("column_name").agg(
+        F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("js_distance"),
+        F.when(valid_chi, F.sum(chi_contrib)).alias("chi_square"),
+        F.when(valid_chi, F.count(F.lit(1)) - 1).cast("int").alias("degrees_of_freedom"),
+        F.sum(is_new).alias("new_categories"),
+        F.sum(is_missing).alias("missing_categories"),
+        F.sum(in_ref).alias("ref_categories"),
+        (F.sum(is_new) / F.greatest(F.sum(in_ref), F.lit(1))).alias("new_categories_ratio"),
+        (F.sum(is_missing) / F.greatest(F.sum(in_ref), F.lit(1))).alias(
+            "missing_categories_ratio"
+        ),
+    )
     if p_value_mode == "exact":
-        chi = _exact_p_value(chi)
+        stats = _exact_p_value(stats)
     else:
-        chi = chi.withColumn(
+        stats = stats.withColumn(
             "p_value",
             chi2_p_value_ladder_expr(F.col("chi_square"), F.col("degrees_of_freedom")),
         )
-    cats = category_changes_by_column(aligned_topk)
 
-    ref_sum = categorical_summary(df_ref, columns).select(
-        "column_name",
-        F.col("null_ratio").alias("ref_null_ratio"),
-        F.col("distinct_count").alias("ref_distinct_count"),
-        F.col("n_rows").alias("ref_n_rows"),
-    )
-    curr_sum = categorical_summary(df_curr, columns).select(
-        "column_name",
-        F.col("null_ratio").alias("curr_null_ratio"),
-        F.col("distinct_count").alias("curr_distinct_count"),
-        F.col("n_rows").alias("curr_n_rows"),
-    )
-
-    out = (
-        js.join(chi, "column_name", "full_outer")
-        .join(cats, "column_name", "full_outer")
-        .join(F.broadcast(ref_sum), "column_name", "left")
-        .join(F.broadcast(curr_sum), "column_name", "left")
-        .withColumn("null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio"))
+    out = stats.join(summary, "column_name", "full_outer").withColumn(
+        "null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio")
     )
 
     js_c = F.coalesce(F.col("js_distance"), F.lit(0.0))

@@ -1,0 +1,241 @@
+"""Distribution analysis: quantile shifts, shape change, rare values, histograms.
+
+SURVEY §2.9 M9-M11 + §2.4 A10, re-expressed distributed:
+- quantile shifts (``distribution_analyzer.py:83-151``) from one pair-profile
+  aggregate instead of 2 ``approxQuantile`` driver calls per column;
+- shape change (``distribution_analyzer.py:153-227``) from the same pass;
+- rare-value changes (``distribution_analyzer.py:321-417``) from the aligned
+  frequency cells (no per-column collect of full category domains — the
+  100 TB cliff called out in SURVEY §7.4 risk 5);
+- histograms: the reference drops to ``rdd.flatMap().histogram(10)``
+  (``distribution_analyzer.py:440-449``); here a DataFrame-native
+  equi-width bucketing — melt → broadcast-join per-column min/max →
+  ``groupBy(column, bucket)`` — one pass for ALL columns, no RDD.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.frequency import pair_frequency_cells
+from pyspark_data_drift_detector_spark.operators.profile import numeric_profile_pair
+
+QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def quantile_shift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    quantiles: tuple[float, ...] = QUANTILES,
+    exact_quantiles: bool = False,
+    quantile_accuracy: int = 100,
+) -> DataFrame:
+    """Per-(column, quantile) abs/rel shifts — long format.
+
+    Default approx quantiles with accuracy=100 ≈ the reference's
+    ``approxQuantile(..., 0.01)`` relative error. Rel-diff convention
+    (``distribution_analyzer.py:112-121``): ref==0 → |c-r|/max(|c|,1e-10)
+    if c != 0 else 0; always absolute.
+    """
+    pair = numeric_profile_pair(
+        df_ref,
+        df_curr,
+        columns=columns,
+        quantiles=quantiles,
+        exact_quantiles=exact_quantiles,
+        quantile_accuracy=quantile_accuracy,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import _qname
+
+    rows = []
+    for p in quantiles:
+        qn = _qname(p)
+        r, c = F.col(f"ref_{qn}"), F.col(f"curr_{qn}")
+        rel = (
+            F.when(r != 0, F.abs((c - r) / r))
+            .when(c != 0, F.abs(c - r) / F.greatest(F.abs(c), F.lit(1e-10)))
+            .otherwise(F.lit(0.0))
+        )
+        rows.append(
+            F.struct(
+                F.lit(str(p)).alias("quantile"),
+                r.alias("ref_value"),
+                c.alias("curr_value"),
+                F.abs(c - r).alias("abs_diff"),
+                rel.alias("rel_diff"),
+            )
+        )
+    return pair.select(
+        "column_name", F.explode(F.array(*rows)).alias("s")
+    ).select("column_name", "s.*")
+
+
+def max_quantile_shift(shifts: DataFrame) -> DataFrame:
+    """Most-shifted quantile per column (by abs and by rel), one row/column."""
+    w_abs = Window.partitionBy("column_name").orderBy(F.desc("abs_diff"), F.asc("quantile"))
+    w_rel = Window.partitionBy("column_name").orderBy(F.desc("rel_diff"), F.asc("quantile"))
+    ranked = shifts.withColumn("rn_abs", F.row_number().over(w_abs)).withColumn(
+        "rn_rel", F.row_number().over(w_rel)
+    )
+    abs_top = ranked.filter(F.col("rn_abs") == 1).select(
+        "column_name",
+        F.col("quantile").alias("max_abs_shift_quantile"),
+        F.col("abs_diff").alias("max_abs_shift"),
+    )
+    rel_top = ranked.filter(F.col("rn_rel") == 1).select(
+        "column_name",
+        F.col("quantile").alias("max_rel_shift_quantile"),
+        F.col("rel_diff").alias("max_rel_shift"),
+    )
+    return abs_top.join(rel_top, "column_name")
+
+
+def shape_change(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    skew_threshold: float = 0.5,
+    kurt_threshold: float = 1.0,
+) -> DataFrame:
+    """Skewness/kurtosis drift + classification, one pass for both sides.
+
+    Classification bands from ``distribution_analyzer.py:194-209``:
+    |skew diff| > 0.5 → more_left/right_skewed; |kurt diff| > 1.0 →
+    more/fewer_outliers. Null moments coalesce to 0 as in the reference.
+    """
+    pair = numeric_profile_pair(
+        df_ref, df_curr, columns=columns, quantiles=(), with_shape=True
+    )
+    rs = F.coalesce(F.col("ref_skewness"), F.lit(0.0))
+    cs = F.coalesce(F.col("curr_skewness"), F.lit(0.0))
+    rk = F.coalesce(F.col("ref_kurtosis"), F.lit(0.0))
+    ck = F.coalesce(F.col("curr_kurtosis"), F.lit(0.0))
+    return pair.select(
+        "column_name",
+        rs.alias("ref_skewness"),
+        cs.alias("curr_skewness"),
+        F.abs(cs - rs).alias("skew_diff"),
+        rk.alias("ref_kurtosis"),
+        ck.alias("curr_kurtosis"),
+        F.abs(ck - rk).alias("kurt_diff"),
+        F.when(F.abs(cs - rs) <= skew_threshold, "none")
+        .when(cs > rs, "more_right_skewed")
+        .otherwise("more_left_skewed")
+        .alias("skew_change"),
+        F.when(F.abs(ck - rk) <= kurt_threshold, "none")
+        .when(ck > rk, "more_outliers")
+        .otherwise("fewer_outliers")
+        .alias("kurt_change"),
+    )
+
+
+def rare_value_changes(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    rare_threshold: float = 0.01,
+) -> DataFrame:
+    """Per-value rare-state transitions (new-rare / disappeared-rare).
+
+    Reference semantics (``distribution_analyzer.py:366-383``): frequency
+    denominators include nulls (the null group is a category); 'new rare'
+    requires the value to exist in ref (became rare, not newly appeared);
+    'disappeared rare' requires it to exist in curr.
+    """
+    cells = pair_frequency_cells(df_ref, df_curr, columns)
+    win = Window.partitionBy("column_name")
+    enriched = (
+        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
+        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+        .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+        .withColumn("ref_rare", (F.col("ref_cnt") > 0) & (F.col("ref_freq") <= rare_threshold))
+        .withColumn("curr_rare", (F.col("curr_cnt") > 0) & (F.col("curr_freq") <= rare_threshold))
+    )
+    return enriched.select(
+        "column_name",
+        "value",
+        F.when(F.col("curr_rare") & ~F.col("ref_rare") & (F.col("ref_cnt") > 0), "new_rare")
+        .when(F.col("ref_rare") & ~F.col("curr_rare") & (F.col("curr_cnt") > 0), "disappeared_rare")
+        .alias("change_type"),
+        F.col("ref_freq").alias("prev_freq"),
+        F.col("curr_freq").alias("curr_freq"),
+        F.col("ref_cnt").alias("prev_count"),
+        F.col("curr_cnt").alias("curr_count"),
+        "ref_rare",
+        "curr_rare",
+    )
+
+
+def rare_value_summary(changes: DataFrame) -> DataFrame:
+    """Per-column rare-count rollup (``distribution_analyzer.py:382-390``)."""
+    return changes.groupBy("column_name").agg(
+        F.sum(F.col("ref_rare").cast("long")).alias("ref_rare_count"),
+        F.sum(F.col("curr_rare").cast("long")).alias("curr_rare_count"),
+        (
+            F.sum(F.col("curr_rare").cast("long")) - F.sum(F.col("ref_rare").cast("long"))
+        ).alias("rare_count_change"),
+        F.sum((F.col("change_type") == "new_rare").cast("long")).alias("new_rare_count"),
+        F.sum((F.col("change_type") == "disappeared_rare").cast("long")).alias(
+            "disappeared_rare_count"
+        ),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram for all columns in one pass, no RDD.
+
+    Matches ``rdd.histogram(bins)`` semantics: buckets span [min, max],
+    the last bucket is closed on both ends. Output:
+    ``column_name, bucket, lower, upper, cnt``.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*").filter(F.col("v").isNotNull())
+
+    bounds = melted.groupBy("column_name").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / bins
+    bucketed = (
+        melted.join(F.broadcast(bounds), "column_name")
+        .withColumn(
+            "bucket",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("v") - F.col("mn")) / width), F.lit(bins - 1)
+                )
+            ).cast("int"),
+        )
+    )
+    return (
+        bucketed.groupBy("column_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first(F.col("mn")).alias("col_min"),
+            F.first(F.col("mx")).alias("col_max"),
+        )
+        .select(
+            "column_name",
+            "bucket",
+            (F.col("col_min") + F.col("bucket") * (F.col("col_max") - F.col("col_min")) / bins).alias("lower"),
+            (F.col("col_min") + (F.col("bucket") + 1) * (F.col("col_max") - F.col("col_min")) / bins).alias("upper"),
+            "cnt",
+        )
+    )

@@ -90,6 +90,45 @@ def top_k_filter(freq: DataFrame, top_k: int, extra_keys: list[str] | None = Non
     )
 
 
+def pair_frequency_cells(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Aligned ref/curr category counts for all columns in ONE scan+shuffle.
+
+    Side-tagged union → unpivot → ``groupBy(column_name, value)`` with
+    conditional sums. This replaces the reference's per-side frequency
+    collection + driver-side dict merge (``categorical_analyzer.py:334-347``)
+    AND the full-outer alignment join — the groupBy aligns both sides for
+    free. NULL category values are kept as rows so null counts derive from
+    the same pass.
+
+    Output: ``column_name, value (nullable), ref_cnt, curr_cnt`` — one row
+    per distinct category, O(total distinct categories) after the shuffle's
+    map-side partial aggregation.
+    """
+    if not columns:
+        raise ValueError("no columns")
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]
+    )
+    melted = tagged.select("__side", F.explode(pairs).alias("kv")).select("__side", "kv.*")
+    return melted.groupBy("column_name", "value").agg(
+        F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
+        F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
+    )
+
+
 def entropy(freq: DataFrame, base2: bool = True) -> DataFrame:
     """Shannon entropy per column from a frequency table.
 

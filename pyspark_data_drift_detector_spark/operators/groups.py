@@ -1,0 +1,321 @@
+"""Group (dimension) drift analysis — SURVEY §2.9 M26 + M21.
+
+The reference runs a per-category ``filter()`` loop issuing O(categories ×
+columns) Spark jobs (``group_analyzer.py:64-102``, flagged in SURVEY §4 as
+the single worst scaling behavior). Here each metric family is ONE
+``groupBy(dimension_value, ...)`` aggregate over a side-tagged union —
+job count is constant in the number of groups.
+
+Semantics reproduced from ``group_analyzer.py``:
+- percent-change convention ``:516-532`` (0→0 = 0, 0→x = 1, else Δ/|ref|);
+- numeric stats mean/stddev/median/range with nulls coalesced to 0
+  (``:292-327``), skipped when null ratio > 0.9 on either side (``:287``);
+- categorical: top-10 per side, frequencies over group totals (nulls
+  included in the denominator), avg |freq diff| over the common top-10
+  categories, 1.0 when none are common (``:375-410``);
+- per-metric drift flags: null>0.05, mean>0.1, stddev>0.2, median>0.1,
+  freq>0.1 (``:351-369``, ``:433-434``);
+- overall score = mean of null drifts + |mean|,|stddev|,|median| changes +
+  freq drifts, capped at 1 (``:437-442``);
+- group drift decision (``:449-514``): score ≥ 0.1 ∨ ≥3 drifted metrics ∨
+  |rowΔ| ≥ 0.25 ∨ any nullΔ ≥ 0.1 ∨ any |meanΔ| ≥ 0.2 ∨ any |medianΔ| ≥ 0.2
+  ∨ any freq drift ≥ 0.15 ∨ any |distinctΔ| ≥ 0.25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def percent_change_expr(ref: Column, curr: Column) -> Column:
+    """group_analyzer.py:516-532 convention."""
+    return (
+        F.when(ref == 0, F.when(curr == 0, F.lit(0.0)).otherwise(F.lit(1.0)))
+        .otherwise((curr - ref) / F.abs(ref))
+    )
+
+
+def _tagged_union(df_ref: DataFrame, df_curr: DataFrame, cols: list[str]) -> DataFrame:
+    return df_ref.select(F.lit("r").alias("__side"), *cols).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *cols)
+    )
+
+
+def top_groups(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    dimension: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k dimension values by combined row count (T3 semantics,
+    ``group_analyzer.py:167-204``), with per-side counts and pct change."""
+    tagged = _tagged_union(df_ref, df_curr, [dimension])
+    counts = tagged.groupBy(
+        F.col(dimension).cast("string").alias("dimension_value")
+    ).agg(
+        F.sum((F.col("__side") == "r").cast("long")).alias("ref_rows"),
+        F.sum((F.col("__side") == "c").cast("long")).alias("curr_rows"),
+    )
+    win = Window.orderBy(
+        F.desc(F.col("ref_rows") + F.col("curr_rows")), F.asc("dimension_value")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+        .withColumn(
+            "row_pct_change", percent_change_expr(F.col("ref_rows"), F.col("curr_rows"))
+        )
+    )
+
+
+def group_numeric_stats(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    dimension: str,
+    columns: list[str],
+) -> DataFrame:
+    """Per-(group, numeric column) stats + changes, one shuffle total."""
+    tagged = _tagged_union(df_ref, df_curr, [dimension, *columns])
+    melted = tagged.select(
+        "__side",
+        F.col(dimension).cast("string").alias("dimension_value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("v"))
+                    for c in columns
+                ]
+            )
+        ).alias("kv"),
+    ).select("__side", "dimension_value", "kv.*")
+
+    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
+    aggs = []
+    for pre, cond in sides.items():
+        v = F.when(cond, F.col("v"))
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"{pre}_rows"),
+            F.sum((cond & F.col("v").isNull()).cast("long")).alias(f"{pre}_null_count"),
+            F.avg(v).alias(f"{pre}_mean"),
+            F.stddev(v).alias(f"{pre}_stddev"),
+            F.min(v).alias(f"{pre}_min"),
+            F.max(v).alias(f"{pre}_max"),
+            F.percentile(v, F.lit(0.5)).alias(f"{pre}_median"),
+        ]
+    stats = melted.groupBy("dimension_value", "column_name").agg(*aggs)
+
+    for pre in ("ref", "curr"):
+        stats = stats.withColumn(
+            f"{pre}_null_pct",
+            F.col(f"{pre}_null_count") / F.greatest(F.col(f"{pre}_rows"), F.lit(1)),
+        )
+    skipped = (F.col("ref_null_pct") > 0.9) | (F.col("curr_null_pct") > 0.9)
+
+    def z(pre: str, stat: str) -> Column:  # nulls → 0 per reference :305-318
+        return F.coalesce(F.col(f"{pre}_{stat}"), F.lit(0.0))
+
+    return (
+        stats.withColumn("null_drift", F.abs(F.col("curr_null_pct") - F.col("ref_null_pct")))
+        .withColumn("stats_skipped", skipped)
+        .withColumn("mean_pct_change", percent_change_expr(z("ref", "mean"), z("curr", "mean")))
+        .withColumn(
+            "stddev_pct_change", percent_change_expr(z("ref", "stddev"), z("curr", "stddev"))
+        )
+        .withColumn(
+            "median_pct_change", percent_change_expr(z("ref", "median"), z("curr", "median"))
+        )
+        .withColumn(
+            "range_pct_change",
+            percent_change_expr(
+                z("ref", "max") - z("ref", "min"), z("curr", "max") - z("curr", "min")
+            ),
+        )
+    )
+
+
+def group_categorical_stats(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    dimension: str,
+    columns: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-(group, categorical column) top-k frequency drift, one shuffle."""
+    tagged = _tagged_union(df_ref, df_curr, [dimension, *columns])
+    melted = tagged.select(
+        "__side",
+        F.col(dimension).cast("string").alias("dimension_value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("column_name"), F.col(c).cast("string").alias("value"))
+                    for c in columns
+                ]
+            )
+        ).alias("kv"),
+    ).select("__side", "dimension_value", "kv.*")
+
+    cells = melted.groupBy("dimension_value", "column_name", "value").agg(
+        F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
+        F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
+    )
+    win = Window.partitionBy("dimension_value", "column_name")
+    enr = (
+        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
+        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+        .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+        .withColumn(
+            "rn_ref", F.row_number().over(win.orderBy(F.desc("ref_cnt"), F.asc("value")))
+        )
+        .withColumn(
+            "rn_curr", F.row_number().over(win.orderBy(F.desc("curr_cnt"), F.asc("value")))
+        )
+        .withColumn("member_ref", (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k))
+        .withColumn("member_curr", (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k))
+    )
+    common = F.col("member_ref") & F.col("member_curr")
+    out = enr.groupBy("dimension_value", "column_name").agg(
+        F.max("ref_total").alias("ref_rows"),
+        F.max("curr_total").alias("curr_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("ref_cnt")).otherwise(F.lit(0))).alias(
+            "ref_null_count"
+        ),
+        F.sum(F.when(F.col("value").isNull(), F.col("curr_cnt")).otherwise(F.lit(0))).alias(
+            "curr_null_count"
+        ),
+        F.sum(common.cast("long")).alias("common_categories_count"),
+        F.sum(F.when(common, F.abs(F.col("curr_freq") - F.col("ref_freq")))).alias("__freq_drift_sum"),
+        F.sum((F.col("member_curr") & ~F.col("member_ref")).cast("long")).alias(
+            "new_categories_count"
+        ),
+        F.sum((F.col("member_ref") & ~F.col("member_curr")).cast("long")).alias(
+            "disappeared_categories_count"
+        ),
+        F.sum(F.col("member_ref").cast("long")).alias("ref_distinct_count"),
+        F.sum(F.col("member_curr").cast("long")).alias("curr_distinct_count"),
+    )
+    return (
+        out.withColumn(
+            "avg_frequency_drift",
+            F.when(
+                F.col("common_categories_count") > 0,
+                F.col("__freq_drift_sum") / F.col("common_categories_count"),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "distinct_pct_change",
+            percent_change_expr(F.col("ref_distinct_count"), F.col("curr_distinct_count")),
+        )
+        .withColumn(
+            "null_drift",
+            F.abs(
+                F.col("curr_null_count") / F.greatest(F.col("curr_rows"), F.lit(1))
+                - F.col("ref_null_count") / F.greatest(F.col("ref_rows"), F.lit(1))
+            ),
+        )
+        .drop("__freq_drift_sum")
+    )
+
+
+def group_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    dimension: str,
+    numeric_columns: list[str] | None = None,
+    categorical_columns: list[str] | None = None,
+    group_drift_threshold: float = 0.1,
+    top_k_groups: int = 20,
+    top_k_values: int = 10,
+) -> DataFrame:
+    """Per-group drift rollup: score, drifted flag, drifted-metric count."""
+    numeric_columns = numeric_columns or []
+    categorical_columns = categorical_columns or []
+    parts = []
+    if numeric_columns:
+        num = group_numeric_stats(df_ref, df_curr, dimension, numeric_columns)
+        not_skipped = ~F.col("stats_skipped")
+        parts.append(
+            num.select(
+                "dimension_value",
+                (
+                    F.col("null_drift")
+                    + F.when(
+                        not_skipped,
+                        F.abs(F.col("mean_pct_change"))
+                        + F.abs(F.col("stddev_pct_change"))
+                        + F.abs(F.col("median_pct_change")),
+                    ).otherwise(F.lit(0.0))
+                ).alias("contrib_sum"),
+                (F.lit(1) + F.when(not_skipped, F.lit(3)).otherwise(F.lit(0))).alias(
+                    "contrib_cnt"
+                ),
+                (
+                    (F.col("null_drift") > 0.05).cast("int")
+                    + (not_skipped & (F.abs(F.col("mean_pct_change")) > 0.1)).cast("int")
+                    + (not_skipped & (F.abs(F.col("stddev_pct_change")) > 0.2)).cast("int")
+                    + (not_skipped & (F.abs(F.col("median_pct_change")) > 0.1)).cast("int")
+                ).alias("n_drifted"),
+                (F.col("null_drift") >= 0.1).alias("any_null"),
+                (not_skipped & (F.abs(F.col("mean_pct_change")) >= 0.2)).alias("any_mean"),
+                (not_skipped & (F.abs(F.col("median_pct_change")) >= 0.2)).alias("any_median"),
+                F.lit(False).alias("any_freq"),
+                F.lit(False).alias("any_distinct"),
+            )
+        )
+    if categorical_columns:
+        cat = group_categorical_stats(
+            df_ref, df_curr, dimension, categorical_columns, top_k=top_k_values
+        )
+        parts.append(
+            cat.select(
+                "dimension_value",
+                (F.col("null_drift") + F.col("avg_frequency_drift")).alias("contrib_sum"),
+                F.lit(2).alias("contrib_cnt"),
+                (
+                    (F.col("null_drift") > 0.05).cast("int")
+                    + (F.col("avg_frequency_drift") > 0.1).cast("int")
+                ).alias("n_drifted"),
+                (F.col("null_drift") >= 0.1).alias("any_null"),
+                F.lit(False).alias("any_mean"),
+                F.lit(False).alias("any_median"),
+                (F.col("avg_frequency_drift") >= 0.15).alias("any_freq"),
+                (F.abs(F.col("distinct_pct_change")) >= 0.25).alias("any_distinct"),
+            )
+        )
+    if not parts:
+        raise ValueError("no metric columns")
+    contribs = parts[0]
+    for p in parts[1:]:
+        contribs = contribs.unionByName(p)
+    rollup = contribs.groupBy("dimension_value").agg(
+        (F.sum("contrib_sum") / F.greatest(F.sum("contrib_cnt"), F.lit(1))).alias("__raw_score"),
+        F.sum("n_drifted").alias("metrics_with_drift"),
+        F.max("any_null").alias("any_null"),
+        F.max("any_mean").alias("any_mean"),
+        F.max("any_median").alias("any_median"),
+        F.max("any_freq").alias("any_freq"),
+        F.max("any_distinct").alias("any_distinct"),
+    )
+    groups = top_groups(df_ref, df_curr, dimension, top_k=top_k_groups)
+    out = groups.join(rollup, "dimension_value", "left").withColumn(
+        "drift_score", F.least(F.lit(1.0), F.coalesce(F.col("__raw_score"), F.lit(0.0)))
+    )
+    drifted = (
+        (F.col("drift_score") >= group_drift_threshold)
+        | (F.col("metrics_with_drift") >= 3)
+        | (F.abs(F.col("row_pct_change")) >= 0.25)
+        | F.coalesce(F.col("any_null"), F.lit(False))
+        | F.coalesce(F.col("any_mean"), F.lit(False))
+        | F.coalesce(F.col("any_median"), F.lit(False))
+        | F.coalesce(F.col("any_freq"), F.lit(False))
+        | F.coalesce(F.col("any_distinct"), F.lit(False))
+    )
+    return (
+        out.withColumn("drift_detected", drifted)
+        .withColumn("dimension_column", F.lit(dimension))
+        .drop("__raw_score")
+    )

@@ -84,12 +84,38 @@ def numeric_drift(
     O(columns) rows, so this is a broadcast hash join regardless of the
     source table size.
     """
-    th = dict(DEFAULT_NUM_THRESHOLDS)
-    th.update(thresholds or {})
-
     joined = _prefixed(ref_profile, "ref_").join(
         F.broadcast(_prefixed(curr_profile, "curr_")), on="column_name", how="full_outer"
     )
+    return numeric_drift_from_joined(joined, thresholds)
+
+
+def numeric_drift_pair(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+    **profile_kwargs,
+) -> DataFrame:
+    """Numeric drift from raw snapshots: ONE scan+agg job for both sides.
+
+    Uses the side-tagged union profile (``numeric_profile_pair``), so no
+    join is needed at all — the preferred entry at scale.
+    """
+    from pyspark_data_drift_detector_spark.operators.profile import numeric_profile_pair
+
+    profile_kwargs.setdefault("quantiles", (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+    joined = numeric_profile_pair(df_ref, df_curr, columns=columns, **profile_kwargs)
+    return numeric_drift_from_joined(joined, thresholds)
+
+
+def numeric_drift_from_joined(
+    joined: DataFrame,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Drift expressions over a table with ``ref_*``/``curr_*`` stat columns."""
+    th = dict(DEFAULT_NUM_THRESHOLDS)
+    th.update(thresholds or {})
 
     # derived stats on each side
     for side in ("ref", "curr"):

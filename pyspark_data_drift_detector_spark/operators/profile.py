@@ -120,6 +120,86 @@ def numeric_profile(
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def numeric_profile_pair(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: tuple[float, ...] = DEFAULT_QUANTILES,
+    exact_quantiles: bool = True,
+    quantile_accuracy: int = 10000,
+    with_shape: bool = False,
+) -> DataFrame:
+    """Both sides' profiles in ONE scan+aggregate over a side-tagged union.
+
+    Returns the pre-joined shape ``column_name, ref_<stat>..., curr_<stat>...``
+    that drift scoring consumes directly. Compared to profiling each side
+    separately this halves job count and lets Spark schedule one job whose
+    partial aggregation is map-side for both sides (conditional aggregates:
+    ``F.percentile(when(side='r', col))`` ignores the other side's rows as
+    nulls). At 100 TB: exactly one pass over each snapshot, shuffling 1 row.
+    """
+    cols = columns if columns is not None else sorted(
+        set(numeric_columns(df_ref)) & set(numeric_columns(df_curr))
+    )
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    tagged = df_ref.select(F.lit("r").alias("__side"), *cols).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *cols)
+    )
+    qlist = list(quantiles)
+    shape_fields = ["skewness", "kurtosis"] if with_shape else []
+
+    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
+    aggs: list = []
+    for pre, cond in sides.items():
+        aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}_n_rows"))
+        for c in cols:
+            dc = F.when(cond, F.col(c).cast("double"))
+            aggs += [
+                F.count(dc).alias(f"{pre}__{c}__n"),
+                F.sum((cond & F.col(c).isNull()).cast("long")).alias(f"{pre}__{c}__null_count"),
+                F.min(dc).alias(f"{pre}__{c}__min"),
+                F.max(dc).alias(f"{pre}__{c}__max"),
+                F.avg(dc).alias(f"{pre}__{c}__mean"),
+                F.stddev(dc).alias(f"{pre}__{c}__stddev"),
+            ]
+            if with_shape:
+                aggs += [
+                    F.skewness(dc).alias(f"{pre}__{c}__skewness"),
+                    F.kurtosis(dc).alias(f"{pre}__{c}__kurtosis"),
+                ]
+            if qlist:
+                if exact_quantiles:
+                    qexpr = F.percentile(dc, F.array(*[F.lit(p) for p in qlist]))
+                else:
+                    qexpr = F.percentile_approx(
+                        dc, F.array(*[F.lit(p) for p in qlist]), F.lit(quantile_accuracy)
+                    )
+                aggs.append(qexpr.alias(f"{pre}__{c}__q"))
+
+    wide = tagged.agg(*aggs)
+    structs = []
+    for c in cols:
+        fields = [F.lit(c).alias("column_name")]
+        for pre in sides:
+            fields += [
+                F.col(f"__{pre}_n_rows").alias(f"{pre}_n_rows"),
+                F.col(f"{pre}__{c}__n").alias(f"{pre}_n"),
+                F.col(f"{pre}__{c}__null_count").alias(f"{pre}_null_count"),
+                (F.col(f"{pre}__{c}__null_count") / F.col(f"__{pre}_n_rows")).alias(
+                    f"{pre}_null_ratio"
+                ),
+                F.col(f"{pre}__{c}__min").alias(f"{pre}_min"),
+                F.col(f"{pre}__{c}__max").alias(f"{pre}_max"),
+                F.col(f"{pre}__{c}__mean").alias(f"{pre}_mean"),
+                F.col(f"{pre}__{c}__stddev").alias(f"{pre}_stddev"),
+            ]
+            fields += [F.col(f"{pre}__{c}__{s}").alias(f"{pre}_{s}") for s in shape_fields]
+            fields += [F.col(f"{pre}__{c}__q")[i].alias(f"{pre}_{_qname(p)}") for i, p in enumerate(qlist)]
+        structs.append(F.struct(*fields))
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def categorical_summary(
     df: DataFrame,
     columns: list[str],

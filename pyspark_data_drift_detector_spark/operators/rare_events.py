@@ -1,0 +1,230 @@
+"""Rare-category changes and outlier-rate drift (SURVEY §2.9 M12-M14).
+
+- ``rare_category_changes``: the reference's only truly Spark-shaped
+  analyzer (``rare_event_analyzer.py:13-113``) — kept distributed, but the
+  per-column join loop becomes ONE pass over all columns via the aligned
+  frequency cells.
+- ``outlier_drift``: z-score (``rare_event_analyzer.py:115-185``) and IQR
+  (``numerical_analyzer.py:415-496``) outlier-rate drift combined into one
+  conditional aggregate over a side-tagged union. Current-side outliers are
+  deliberately scored with REFERENCE statistics (the reference's semantics —
+  drift is measured against the reference's notion of 'normal').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.frequency import pair_frequency_cells
+from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+
+
+def rare_category_changes(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    min_count: int = 10,
+    max_frequency: float = 0.01,
+) -> DataFrame:
+    """Significant changes among rare categories, all columns in one pass.
+
+    Semantics from ``rare_event_analyzer.py:13-113``: frequency denominators
+    are full side row counts (nulls included); rare = freq ≤ max_frequency
+    AND count ≥ min_count on either side; significant = |rel_change| ≥ 0.3
+    or the category is new/disappeared; null categories are skipped in the
+    output. ``rel_change``: ref>0 → (curr-ref)/ref; ref=0,curr>0 → 1; else 0.
+    """
+    cells = pair_frequency_cells(df_ref, df_curr, columns)
+    win = Window.partitionBy("column_name")
+    enr = (
+        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
+        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+        .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+    )
+    rare = enr.filter(
+        ((F.col("ref_freq") <= max_frequency) & (F.col("ref_cnt") >= min_count))
+        | ((F.col("curr_freq") <= max_frequency) & (F.col("curr_cnt") >= min_count))
+    ).withColumn(
+        "rel_change",
+        F.when(
+            F.col("ref_cnt") > 0,
+            (F.col("curr_cnt") - F.col("ref_cnt")) / F.col("ref_cnt"),
+        ).otherwise(F.when(F.col("curr_cnt") > 0, F.lit(1.0)).otherwise(F.lit(0.0))),
+    )
+    significant = rare.filter(
+        (F.abs(F.col("rel_change")) >= 0.3)
+        | (F.col("ref_cnt") == 0)
+        | (F.col("curr_cnt") == 0)
+    ).filter(F.col("value").isNotNull())
+
+    change_type = (
+        F.when(F.col("ref_cnt") == 0, "new_rare_category")
+        .when(F.col("curr_cnt") == 0, "disappeared_rare_category")
+        .when(F.col("rel_change") > 0, "increased_rare_category")
+        .otherwise("decreased_rare_category")
+    )
+    severity = (
+        F.when(F.col("ref_cnt") == 0, "high")
+        .when(F.col("curr_cnt") == 0, "high")
+        .when(
+            F.col("rel_change") > 0,
+            F.when(F.col("rel_change") > 1.0, "high").otherwise("medium"),
+        )
+        .otherwise(F.when(F.abs(F.col("rel_change")) > 0.5, "high").otherwise("medium"))
+    )
+    return significant.select(
+        F.col("column_name").alias("column"),
+        F.col("value").alias("category"),
+        change_type.alias("change_type"),
+        F.col("ref_cnt").alias("ref_count"),
+        F.col("curr_cnt").alias("curr_count"),
+        "ref_freq",
+        "curr_freq",
+        "rel_change",
+        severity.alias("severity"),
+    ).orderBy(
+        F.when(F.col("severity") == "high", 0).otherwise(1),
+        F.abs(F.col("rel_change")).desc(),
+        F.col("column"),
+        F.col("category"),
+    )
+
+
+def outlier_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    z_threshold: float = 3.0,
+    ref_stats: dict[str, dict[str, float]] | None = None,
+) -> DataFrame:
+    """Z-score + IQR outlier-rate drift per column, one counting pass.
+
+    Two jobs total: (1) the ref profile aggregate (mean/stddev/q1/q3 per
+    column — O(columns) rows collected, the only driver data), (2) one
+    side-tagged wide aggregate counting z-outliers, IQR outliers (1.5·IQR)
+    and extremes (3·IQR) for every column on both sides.
+
+    ``ref_stats`` may be passed (column → {mean, stddev, p25, p75}) to reuse
+    an already-computed profile.
+    """
+    if ref_stats is None:
+        prof = numeric_profile(
+            df_ref, columns=columns, quantiles=(0.25, 0.75), with_shape=False
+        )
+        ref_stats = {
+            r["column_name"]: {
+                "mean": r["mean"],
+                "stddev": r["stddev"],
+                "p25": r["p25"],
+                "p75": r["p75"],
+            }
+            for r in prof.collect()
+        }
+
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
+    aggs: list = []
+    epsilon = 1e-10
+    active: list[str] = []
+    for c in columns:
+        st = ref_stats.get(c) or {}
+        mean, std = st.get("mean"), st.get("stddev")
+        q1, q3 = st.get("p25"), st.get("p75")
+        has_z = std is not None and std > 0 and mean is not None
+        iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
+        has_iqr = iqr is not None and iqr > epsilon
+        if not (has_z or has_iqr):
+            continue
+        active.append(c)
+        col = F.col(c).cast("double")
+        for pre, cond in sides.items():
+            aggs.append(F.sum((cond & col.isNotNull()).cast("long")).alias(f"{pre}__{c}__n"))
+            if has_z:
+                z_out = F.abs((col - F.lit(mean)) / F.lit(std)) > z_threshold
+                aggs.append(
+                    F.sum((cond & col.isNotNull() & z_out).cast("long")).alias(f"{pre}__{c}__z")
+                )
+            if has_iqr:
+                lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+                xlo, xhi = q1 - 3.0 * iqr, q3 + 3.0 * iqr
+                out = (col < F.lit(lo)) | (col > F.lit(hi))
+                ext = (col < F.lit(xlo)) | (col > F.lit(xhi))
+                aggs.append(
+                    F.sum((cond & col.isNotNull() & out).cast("long")).alias(f"{pre}__{c}__iqr")
+                )
+                aggs.append(
+                    F.sum((cond & col.isNotNull() & ext).cast("long")).alias(f"{pre}__{c}__ext")
+                )
+    if not active:
+        raise ValueError("no columns with usable reference statistics")
+
+    wide = tagged.agg(*aggs)
+    structs = []
+    for c in active:
+        st = ref_stats[c]
+        has_z = st.get("stddev") is not None and st["stddev"] > 0 and st.get("mean") is not None
+        iqr = (
+            (st["p75"] - st["p25"])
+            if (st.get("p25") is not None and st.get("p75") is not None)
+            else None
+        )
+        has_iqr = iqr is not None and iqr > epsilon
+        fields = [F.lit(c).alias("column_name")]
+        for pre in ("ref", "curr"):
+            n = F.col(f"{pre}__{c}__n")
+            fields.append(n.alias(f"{pre}_n"))
+            z = F.col(f"{pre}__{c}__z") if has_z else F.lit(None).cast("long")
+            fields.append(z.alias(f"{pre}_z_outlier_count"))
+            fields.append(
+                (z / F.greatest(n, F.lit(1))).alias(f"{pre}_z_outlier_ratio")
+                if has_z
+                else F.lit(None).cast("double").alias(f"{pre}_z_outlier_ratio")
+            )
+            o = F.col(f"{pre}__{c}__iqr") if has_iqr else F.lit(None).cast("long")
+            e = F.col(f"{pre}__{c}__ext") if has_iqr else F.lit(None).cast("long")
+            fields.append(o.alias(f"{pre}_outlier_count"))
+            fields.append(e.alias(f"{pre}_extreme_count"))
+            fields.append(
+                (o / F.greatest(n, F.lit(1))).alias(f"{pre}_outlier_rate")
+                if has_iqr
+                else F.lit(None).cast("double").alias(f"{pre}_outlier_rate")
+            )
+            fields.append(
+                (e / F.greatest(n, F.lit(1))).alias(f"{pre}_extreme_rate")
+                if has_iqr
+                else F.lit(None).cast("double").alias(f"{pre}_extreme_rate")
+            )
+        structs.append(F.struct(*fields))
+    out = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+    # z-score drift classification — rare_event_analyzer.py:160-177
+    rr, cr = F.col("ref_z_outlier_ratio"), F.col("curr_z_outlier_ratio")
+    rel = (
+        F.when(rr > 0, (cr - rr) / rr)
+        .when(cr > 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    out = (
+        out.withColumn("z_rel_change", rel)
+        .withColumn(
+            "z_significant",
+            (F.abs(rel) >= 0.3) | (F.abs(cr - rr) >= 0.01),
+        )
+        .withColumn(
+            "z_severity",
+            F.when(
+                (F.abs(rel) >= 1.0) | (F.abs(cr - rr) >= 0.05), "high"
+            ).otherwise("medium"),
+        )
+        .withColumn(
+            "outlier_rate_diff", F.abs(F.col("curr_outlier_rate") - F.col("ref_outlier_rate"))
+        )
+        .withColumn(
+            "extreme_rate_diff", F.abs(F.col("curr_extreme_rate") - F.col("ref_extreme_rate"))
+        )
+    )
+    return out

@@ -24,8 +24,7 @@ from pyspark.sql import functions as F
 from pyspark_data_drift_detector_spark.config import DriftConfig
 from pyspark_data_drift_detector_spark.functions.inference import columns_by_type, infer_column_types
 from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
-from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift
-from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
 
 RESULT_COLUMNS = [
     "run_timestamp",
@@ -87,18 +86,18 @@ def detect_drift(
 
     num_cols = by_type.get("numerical", [])
     if num_cols:
-        quantiles = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
-        kwargs = dict(
-            columns=num_cols,
-            quantiles=quantiles,
-            exact_quantiles=bool(cfg.get("exact_quantiles", True)),
-            quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
-        )
-        ref_prof = numeric_profile(df_ref, **kwargs)
-        curr_prof = numeric_profile(df_curr, **kwargs)
         results.append(
             _to_result_rows(
-                numeric_drift(ref_prof, curr_prof, cfg.numerical_thresholds), "numerical"
+                numeric_drift_pair(
+                    df_ref,
+                    df_curr,
+                    columns=num_cols,
+                    thresholds=cfg.numerical_thresholds,
+                    quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+                    exact_quantiles=bool(cfg.get("exact_quantiles", True)),
+                    quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
+                ),
+                "numerical",
             )
         )
 

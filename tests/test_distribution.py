@@ -1,0 +1,157 @@
+"""Distribution / rare-event / group operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.distribution import (
+    histogram,
+    max_quantile_shift,
+    quantile_shift,
+    rare_value_changes,
+    rare_value_summary,
+    shape_change,
+)
+from pyspark_data_drift_detector_spark.operators.groups import (
+    group_categorical_stats,
+    group_drift,
+    group_numeric_stats,
+    top_groups,
+)
+from pyspark_data_drift_detector_spark.operators.rare_events import (
+    outlier_drift,
+    rare_category_changes,
+)
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    """ref = uniform-ish, curr = shifted + new rare category."""
+    ref_rows = [(float(i % 100), "A" if i % 10 else "rare1", "g1" if i % 2 else "g2") for i in range(1000)]
+    curr_rows = [
+        (float(i % 100) * 1.5, "A" if i % 10 else "rare2", "g1" if i % 2 else "g2")
+        for i in range(1000)
+    ]
+    schema = "x double, cat string, dim string"
+    return spark.createDataFrame(ref_rows, schema).cache(), spark.createDataFrame(
+        curr_rows, schema
+    ).cache()
+
+
+def test_quantile_shift(pair):
+    ref, curr = pair
+    shifts = quantile_shift(ref, curr, ["x"], quantiles=(0.25, 0.5, 0.75), exact_quantiles=True)
+    rows = {r["quantile"]: r for r in shifts.collect()}
+    assert len(rows) == 3
+    # curr = 1.5×ref ⇒ rel diff ≈ 0.5 at every quantile
+    assert rows["0.5"]["rel_diff"] == pytest.approx(0.5, abs=0.05)
+    top = max_quantile_shift(shifts).collect()[0]
+    assert top["max_abs_shift_quantile"] == "0.75"
+
+
+def test_shape_change_identical(pair):
+    ref, _ = pair
+    row = shape_change(ref, ref, ["x"]).collect()[0]
+    assert row["skew_diff"] == pytest.approx(0.0)
+    assert row["skew_change"] == "none"
+    assert row["kurt_change"] == "none"
+
+
+def test_rare_values(pair):
+    ref, curr = pair
+    changes = rare_value_changes(ref, curr, ["cat"], rare_threshold=0.15)
+    rows = {r["value"]: r for r in changes.collect()}
+    # rare1 (10%) exists only in ref; rare2 only in curr → neither is a
+    # "transition" (reference requires presence on both sides)
+    assert rows["rare1"]["change_type"] is None
+    assert rows["rare2"]["change_type"] is None
+    assert rows["rare1"]["ref_rare"] and not rows["rare1"]["curr_rare"]
+    summ = rare_value_summary(changes).collect()[0]
+    assert summ["ref_rare_count"] == 1
+    assert summ["curr_rare_count"] == 1
+
+
+def test_rare_transition(spark):
+    # value 'v' common in ref (50%), rare in curr (1 of 1000)
+    ref = spark.createDataFrame([("v",)] * 500 + [("w",)] * 500, "c string")
+    curr = spark.createDataFrame([("v",)] * 1 + [("w",)] * 999, "c string")
+    rows = {r["value"]: r for r in rare_value_changes(ref, curr, ["c"], 0.01).collect()}
+    assert rows["v"]["change_type"] == "new_rare"
+
+
+def test_histogram(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    h = histogram(df, ["x"], bins=10).orderBy("bucket").collect()
+    assert len(h) == 10
+    assert all(r["cnt"] == 10 for r in h)
+    assert h[0]["lower"] == 0.0
+    assert h[9]["upper"] == pytest.approx(99.0)
+
+
+def test_rare_category_changes(spark):
+    # 'z' rare in ref (1%, count 20) and doubled in curr
+    ref = spark.createDataFrame([("a",)] * 1980 + [("z",)] * 20, "c string")
+    curr = spark.createDataFrame([("a",)] * 1960 + [("z",)] * 40, "c string")
+    rows = rare_category_changes(ref, curr, ["c"], min_count=10, max_frequency=0.011).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["category"] == "z"
+    assert r["change_type"] == "increased_rare_category"
+    assert r["rel_change"] == pytest.approx(1.0)
+    assert r["severity"] == "medium"  # rel_change not > 1.0
+
+
+def test_outlier_drift(spark):
+    import random
+
+    rng = random.Random(7)
+    ref = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(5000)], "x double")
+    # curr has 5% big outliers
+    curr_vals = [(rng.gauss(0, 1),) for _ in range(4750)] + [(rng.uniform(50, 60),) for _ in range(250)]
+    curr = spark.createDataFrame(curr_vals, "x double")
+    row = outlier_drift(ref, curr, ["x"]).collect()[0]
+    assert row["curr_z_outlier_ratio"] > row["ref_z_outlier_ratio"]
+    assert row["z_significant"]
+    assert row["z_severity"] == "high"
+    assert row["curr_outlier_rate"] > 0.04
+    assert row["extreme_rate_diff"] > 0.04
+
+
+def test_top_groups_and_numeric(pair):
+    ref, curr = pair
+    groups = top_groups(ref, curr, "dim")
+    assert groups.count() == 2
+    stats = group_numeric_stats(ref, curr, "dim", ["x"])
+    rows = {r["dimension_value"]: r for r in stats.collect()}
+    assert rows["g1"]["mean_pct_change"] == pytest.approx(0.5, abs=0.05)
+    assert not rows["g1"]["stats_skipped"]
+
+
+def test_group_categorical(pair):
+    ref, curr = pair
+    rows = {
+        r["dimension_value"]: r
+        for r in group_categorical_stats(ref, curr, "dim", ["cat"]).collect()
+    }
+    # i%10==0 rows (the rare values) are all even i → group g2
+    g = rows["g2"]
+    assert g["common_categories_count"] >= 1  # 'A' in both top-10
+    assert g["new_categories_count"] == 1  # rare2
+    assert g["disappeared_categories_count"] == 1  # rare1
+    assert rows["g1"]["new_categories_count"] == 0
+
+
+def test_group_drift_rollup(pair):
+    ref, curr = pair
+    rows = group_drift(ref, curr, "dim", numeric_columns=["x"], categorical_columns=["cat"]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["drift_detected"]  # 50% mean shift
+        assert 0.0 <= r["drift_score"] <= 1.0
+
+
+def test_group_drift_no_drift(pair):
+    ref, _ = pair
+    rows = group_drift(ref, ref, "dim", numeric_columns=["x"], categorical_columns=["cat"]).collect()
+    for r in rows:
+        assert not r["drift_detected"]
+        assert r["drift_score"] == pytest.approx(0.0)
