@@ -249,7 +249,7 @@ def q_group_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
     ref = df.filter(F.col("o_orderkey") % 2 == 0)
     curr = df.filter(F.col("o_orderkey") % 2 == 1)
-    out = group_numeric_stats(ref, curr, "o_orderpriority", ["o_totalprice"])
+    out = group_numeric_stats(ref, curr, "o_orderpriority", ["o_totalprice"], exact_median=True)
     rounded = [
         "ref_mean", "curr_mean", "ref_median", "curr_median",
         "mean_pct_change", "stddev_pct_change", "median_pct_change",
@@ -278,6 +278,7 @@ def q_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref, curr, "o_orderpriority",
         numeric_columns=["o_totalprice"],
         categorical_columns=["o_orderstatus"],
+        exact_median=True,
     )
     return _round_cols(
         out.select(
@@ -290,6 +291,50 @@ def q_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_detected",
         ),
         ["row_pct_change", "drift_score"],
+    )
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3: all-pair correlations both sides + shift classification."""
+    from pyspark_data_drift_detector_spark.operators.correlation import (
+        correlation_pairs,
+        correlation_shifts,
+    )
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = correlation_shifts(
+        correlation_pairs(ref, curr, CORR_COLS), change_threshold=0.05, strong_threshold=0.7
+    )
+    rounded = ["ref_correlation", "curr_correlation", "abs_change"]
+    return _round_cols(
+        out.select(
+            "col1", "col2", *rounded, "significant_shift", "change_type",
+            "new_strong_correlation", "disappeared_strong_correlation",
+        ),
+        rounded,
+    )
+
+
+def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: |corr(predictor, target)| importance drift + rank shifts."""
+    from pyspark_data_drift_detector_spark.operators.correlation import feature_importance_drift
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = feature_importance_drift(
+        ref, curr, "l_extendedprice", ["l_quantity", "l_discount", "l_tax"]
+    )
+    rounded = ["ref_importance", "curr_importance", "abs_change", "rel_change"]
+    return _round_cols(
+        out.select(
+            "column", *rounded, "change_type",
+            F.col("ref_rank").cast("int").alias("ref_rank"),
+            F.col("curr_rank").cast("int").alias("curr_rank"),
+            F.col("rank_shift").cast("int").alias("rank_shift"),
+        ),
+        rounded,
     )
 
 
@@ -749,6 +794,52 @@ def _group_drift_sql() -> str:
     FROM grp JOIN rollup ON grp.dv = rollup.dv"""
 
 
+def _corr_pairs_sql() -> str:
+    from itertools import combinations
+
+    parts = []
+    for a, b in combinations(CORR_COLS, 2):
+        parts.append(f"""
+        SELECT '{a}' AS col1, '{b}' AS col2,
+          ROUND(rc, {ROUND}) AS ref_correlation, ROUND(cc, {ROUND}) AS curr_correlation,
+          ROUND(ABS(cc - rc), {ROUND}) AS abs_change,
+          (ABS(cc - rc) >= 0.05) AS significant_shift,
+          CASE WHEN ABS(cc - rc) >= 0.05
+               THEN (CASE WHEN ABS(cc) < ABS(rc) THEN 'weaker' ELSE 'stronger' END) END AS change_type,
+          (ABS(rc) < 0.7 AND ABS(cc) >= 0.7) AS new_strong_correlation,
+          (ABS(rc) >= 0.7 AND ABS(cc) < 0.7) AS disappeared_strong_correlation
+        FROM (SELECT
+          COALESCE((SELECT corr({a}, {b}) FROM lineitem WHERE {_REF_W}), 0.0) AS rc,
+          COALESCE((SELECT corr({a}, {b}) FROM lineitem WHERE {_CURR_W}), 0.0) AS cc)""")
+    return " UNION ALL ".join(parts)
+
+
+def _feature_importance_sql() -> str:
+    target = "l_extendedprice"
+    preds = ["l_quantity", "l_discount", "l_tax"]
+    imps = " UNION ALL ".join(
+        f"""SELECT '{p}' AS "column",
+          ABS(COALESCE((SELECT corr({p}, {target}) FROM lineitem WHERE {_REF_W}), 0.0)) AS ref_importance,
+          ABS(COALESCE((SELECT corr({p}, {target}) FROM lineitem WHERE {_CURR_W}), 0.0)) AS curr_importance"""
+        for p in preds
+    )
+    return f"""
+    WITH imp AS ({imps}),
+    ranked AS (
+      SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY ref_importance DESC, "column" ASC) AS INT) AS ref_rank,
+        CAST(ROW_NUMBER() OVER (ORDER BY curr_importance DESC, "column" ASC) AS INT) AS curr_rank
+      FROM imp)
+    SELECT "column",
+      ROUND(ref_importance, {ROUND}) AS ref_importance,
+      ROUND(curr_importance, {ROUND}) AS curr_importance,
+      ROUND(ABS(curr_importance - ref_importance), {ROUND}) AS abs_change,
+      ROUND(ABS(curr_importance - ref_importance) / GREATEST(ref_importance, 0.01), {ROUND}) AS rel_change,
+      CASE WHEN curr_importance > ref_importance THEN 'increased' ELSE 'decreased' END AS change_type,
+      ref_rank, curr_rank, CAST(ref_rank - curr_rank AS INT) AS rank_shift
+    FROM ranked"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -794,6 +885,8 @@ def _oracle_queries() -> dict[str, str]:
         "outlier_drift": _outlier_sql(),
         "group_numeric_drift": _group_numeric_sql(),
         "group_drift": _group_drift_sql(),
+        "corr_pairs": _corr_pairs_sql(),
+        "feature_importance": _feature_importance_sql(),
     }
 
 
@@ -827,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_drift": q_outlier_drift,
         "group_numeric_drift": q_group_numeric_drift,
         "group_drift": q_group_drift,
+        "corr_pairs": q_corr_pairs,
+        "feature_importance": q_feature_importance,
     }
 
 

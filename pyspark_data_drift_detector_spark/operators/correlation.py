@@ -1,0 +1,271 @@
+"""Correlation family: pair correlations, shift detection, feature importance,
+correlation groups (SURVEY §2.9 M1-M5).
+
+The reference computes an n×n matrix per side via ``VectorAssembler`` +
+``Correlation.corr`` and collects it (``correlation_analyzer.py:336-370``),
+or falls back to one ``df.stat.corr`` driver call per pair per side
+(``:269-276`` — 2·C(n,2) Spark jobs). Here all pairs for BOTH sides are
+computed in ONE aggregate over a side-tagged union: ``F.corr`` is an
+algebraic aggregate, so map-side partial aggregation applies and the job
+shuffles a single row regardless of table size.
+
+Pair keys are (col1, col2) tuples, fixing the reference's
+``pair_key.split('_')`` bug on column names containing underscores
+(``correlation_analyzer.py:400``, SURVEY §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def correlation_pairs(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Pearson correlation for every unique column pair on both sides.
+
+    Output: ``col1, col2, ref_correlation, curr_correlation, abs_change``.
+    Null/NaN correlations (constant columns) coalesce to 0 — the reference's
+    ``.get(pair_key, 0)`` behavior (``correlation_analyzer.py:65-66``).
+    """
+    pairs = list(combinations(columns, 2))
+    if not pairs:
+        raise ValueError("need at least two columns")
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        for pre, tag in (("ref", "r"), ("curr", "c")):
+            cond = F.col("__side") == tag
+            aggs.append(
+                F.corr(
+                    F.when(cond, F.col(a).cast("double")),
+                    F.when(cond, F.col(b).cast("double")),
+                ).alias(f"{pre}__{i}")
+            )
+    wide = tagged.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col1"),
+            F.lit(b).alias("col2"),
+            F.coalesce(F.nanvl(F.col(f"ref__{i}"), F.lit(None)), F.lit(0.0)).alias(
+                "ref_correlation"
+            ),
+            F.coalesce(F.nanvl(F.col(f"curr__{i}"), F.lit(None)), F.lit(0.0)).alias(
+                "curr_correlation"
+            ),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn("abs_change", F.abs(F.col("curr_correlation") - F.col("ref_correlation")))
+    )
+
+
+def correlation_shifts(
+    pairs: DataFrame,
+    change_threshold: float = 0.2,
+    strong_threshold: float = 0.7,
+) -> DataFrame:
+    """Classify pair-level correlation changes (M3).
+
+    Semantics from ``correlation_analyzer.py:79-104``: significant shift at
+    |Δ| ≥ change_threshold with weaker/stronger label; new strong when
+    |ref| < τ ≤ |curr|; disappeared when |ref| ≥ τ > |curr|.
+    """
+    r, c = F.col("ref_correlation"), F.col("curr_correlation")
+    return (
+        pairs.withColumn("significant_shift", F.col("abs_change") >= change_threshold)
+        .withColumn(
+            "change_type",
+            F.when(
+                F.col("abs_change") >= change_threshold,
+                F.when(F.abs(c) < F.abs(r), "weaker").otherwise("stronger"),
+            ),
+        )
+        .withColumn(
+            "new_strong_correlation",
+            (F.abs(r) < strong_threshold) & (F.abs(c) >= strong_threshold),
+        )
+        .withColumn(
+            "disappeared_strong_correlation",
+            (F.abs(r) >= strong_threshold) & (F.abs(c) < strong_threshold),
+        )
+        .withColumn(
+            "correlation_type",
+            F.when(
+                (F.abs(r) < strong_threshold) & (F.abs(c) >= strong_threshold),
+                F.when(c < 0, "negative").otherwise("positive"),
+            ).when(
+                (F.abs(r) >= strong_threshold) & (F.abs(c) < strong_threshold),
+                F.when(r < 0, "negative").otherwise("positive"),
+            ),
+        )
+    )
+
+
+def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson") -> list[list[float]]:
+    """Full n×n matrix via pyspark.ml (M1) — for API parity with the
+    reference's matrix path (``correlation_analyzer.py:336-370``).
+    Returns a nested list; prefer ``correlation_pairs`` for drift math."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    assembled = VectorAssembler(
+        inputCols=columns, outputCol="__features", handleInvalid="skip"
+    ).transform(df.select(*columns))
+    matrix = Correlation.corr(assembled, "__features", method).collect()[0][0]
+    return matrix.toArray().tolist()
+
+
+def feature_importance_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    target_column: str,
+    predictor_columns: list[str],
+) -> DataFrame:
+    """Importance = |corr(predictor, target)| per side; shifts + rank moves.
+
+    One aggregate for all predictors on both sides. Semantics from
+    ``correlation_analyzer.py:237-334``: rel_change = abs_change /
+    max(ref_importance, 0.01); rank shift significant at |Δrank| ≥ 2
+    (ranks are 1-based, ties broken by column name for determinism).
+    """
+    tagged = df_ref.select(F.lit("r").alias("__side"), target_column, *predictor_columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), target_column, *predictor_columns)
+    )
+    aggs = []
+    for i, p in enumerate(predictor_columns):
+        for pre, tag in (("ref", "r"), ("curr", "c")):
+            cond = F.col("__side") == tag
+            aggs.append(
+                F.corr(
+                    F.when(cond, F.col(p).cast("double")),
+                    F.when(cond, F.col(target_column).cast("double")),
+                ).alias(f"{pre}__{i}")
+            )
+    wide = tagged.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(p).alias("column"),
+            F.abs(F.coalesce(F.nanvl(F.col(f"ref__{i}"), F.lit(None)), F.lit(0.0))).alias(
+                "ref_importance"
+            ),
+            F.abs(F.coalesce(F.nanvl(F.col(f"curr__{i}"), F.lit(None)), F.lit(0.0))).alias(
+                "curr_importance"
+            ),
+        )
+        for i, p in enumerate(predictor_columns)
+    ]
+    imp = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    ref_rank_w = Window.orderBy(F.desc("ref_importance"), F.asc("column"))
+    curr_rank_w = Window.orderBy(F.desc("curr_importance"), F.asc("column"))
+    out = (
+        imp.withColumn("abs_change", F.abs(F.col("curr_importance") - F.col("ref_importance")))
+        .withColumn(
+            "rel_change",
+            F.col("abs_change") / F.greatest(F.col("ref_importance"), F.lit(0.01)),
+        )
+        .withColumn(
+            "change_type",
+            F.when(F.col("curr_importance") > F.col("ref_importance"), "increased").otherwise(
+                "decreased"
+            ),
+        )
+        .withColumn("ref_rank", F.row_number().over(ref_rank_w))
+        .withColumn("curr_rank", F.row_number().over(curr_rank_w))
+        .withColumn("rank_shift", F.col("ref_rank") - F.col("curr_rank"))
+        .withColumn("significant_rank_shift", F.abs(F.col("rank_shift")) >= 2)
+        .withColumn(
+            "shift_type",
+            F.when(F.abs(F.col("rank_shift")) < 2, F.lit(None).cast("string"))
+            .when(F.col("rank_shift") > 0, "improved")
+            .otherwise("declined"),
+        )
+    )
+    return out
+
+
+def correlation_groups(
+    pair_rows: list,
+    threshold: float = 0.7,
+    side: str = "ref",
+) -> list[set[str]]:
+    """Connected components of the |corr| ≥ threshold graph (M4).
+
+    Driver-side BFS over the O(columns²) collected pair rows — correct at
+    any data scale because the input is column metadata, not data. The
+    reference's implementation is dead code (missing
+    ``_get_correlation_matrix``, ``correlation_analyzer.py:477`` — SURVEY
+    §2.9 M4); this implements the documented intent.
+    """
+    key = f"{side}_correlation"
+    adj: dict[str, set[str]] = {}
+    for row in pair_rows:
+        c1, c2, corr = row["col1"], row["col2"], row[key]
+        adj.setdefault(c1, set())
+        adj.setdefault(c2, set())
+        if corr is not None and abs(corr) >= threshold:
+            adj[c1].add(c2)
+            adj[c2].add(c1)
+    seen: set[str] = set()
+    groups: list[set[str]] = []
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp = {start}
+        queue = [start]
+        seen.add(start)
+        while queue:
+            node = queue.pop()
+            for nbr in adj[node]:
+                if nbr not in seen:
+                    seen.add(nbr)
+                    comp.add(nbr)
+                    queue.append(nbr)
+        if len(comp) > 1:
+            groups.append(comp)
+    return groups
+
+
+def correlation_group_changes(
+    pair_rows: list,
+    threshold: float = 0.7,
+) -> dict:
+    """Group-level change summary: matched/dissolved/new groups via best
+    Jaccard overlap (the reference's intended 'group change ratio')."""
+    ref_groups = correlation_groups(pair_rows, threshold, "ref")
+    curr_groups = correlation_groups(pair_rows, threshold, "curr")
+    changes = []
+    for rg in ref_groups:
+        best = 0.0
+        for cg in curr_groups:
+            jac = len(rg & cg) / len(rg | cg)
+            best = max(best, jac)
+        changes.append(
+            {
+                "group": sorted(rg),
+                "best_match_jaccard": best,
+                "change_ratio": 1.0 - best,
+                "dissolved": best == 0.0,
+            }
+        )
+    new_groups = [
+        sorted(cg)
+        for cg in curr_groups
+        if all(len(cg & rg) == 0 for rg in ref_groups)
+    ]
+    return {
+        "ref_group_count": len(ref_groups),
+        "curr_group_count": len(curr_groups),
+        "group_changes": changes,
+        "new_groups": new_groups,
+    }

@@ -43,22 +43,42 @@ def _tagged_union(df_ref: DataFrame, df_curr: DataFrame, cols: list[str]) -> Dat
     )
 
 
+def _as_dims(dimension) -> list[str]:
+    return [dimension] if isinstance(dimension, str) else list(dimension)
+
+
 def top_groups(
     df_ref: DataFrame,
     df_curr: DataFrame,
-    dimension: str,
+    dimension,
     top_k: int = 20,
 ) -> DataFrame:
     """Top-k dimension values by combined row count (T3 semantics,
-    ``group_analyzer.py:167-204``), with per-side counts and pct change."""
-    tagged = _tagged_union(df_ref, df_curr, [dimension])
-    counts = tagged.groupBy(
-        F.col(dimension).cast("string").alias("dimension_value")
-    ).agg(
+    ``group_analyzer.py:167-204``), with per-side counts and pct change.
+
+    ``dimension`` may be one column or a list — all dimensions rank in one
+    pass (within each ``dimension_column``)."""
+    dims = _as_dims(dimension)
+    tagged = _tagged_union(df_ref, df_curr, dims)
+    melted = tagged.select(
+        "__side",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dimension_column"),
+                        F.col(d).cast("string").alias("dimension_value"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("dim"),
+    ).select("__side", "dim.*")
+    counts = melted.groupBy("dimension_column", "dimension_value").agg(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_rows"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_rows"),
     )
-    win = Window.orderBy(
+    win = Window.partitionBy("dimension_column").orderBy(
         F.desc(F.col("ref_rows") + F.col("curr_rows")), F.asc("dimension_value")
     )
     return (
@@ -71,31 +91,74 @@ def top_groups(
     )
 
 
+def _dim_melt(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    dimensions: list[str],
+    columns: list[str],
+    value_cast: str,
+) -> DataFrame:
+    """Side-tagged double unpivot: one row per (side, dimension, column) per
+    source row. Lets ALL dimensions' group analyses share one scan+shuffle —
+    the dimension becomes data instead of three separate query plans."""
+    tagged = _tagged_union(df_ref, df_curr, list(dict.fromkeys([*dimensions, *columns])))
+    dims = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("dimension_column"),
+                    F.col(d).cast("string").alias("dimension_value"),
+                )
+                for d in dimensions
+            ]
+        )
+    ).alias("dim")
+    cols = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("column_name"), F.col(c).cast(value_cast).alias("v"))
+                for c in columns
+            ]
+        )
+    ).alias("kv")
+    return (
+        tagged.select("__side", dims, *columns)
+        .select("__side", "dim.*", cols)
+        .select("__side", "dimension_column", "dimension_value", "kv.*")
+    )
+
+
 def group_numeric_stats(
     df_ref: DataFrame,
     df_curr: DataFrame,
     dimension: str,
     columns: list[str],
+    exact_median: bool = False,
 ) -> DataFrame:
-    """Per-(group, numeric column) stats + changes, one shuffle total."""
-    tagged = _tagged_union(df_ref, df_curr, [dimension, *columns])
-    melted = tagged.select(
-        "__side",
-        F.col(dimension).cast("string").alias("dimension_value"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("v"))
-                    for c in columns
-                ]
-            )
-        ).alias("kv"),
-    ).select("__side", "dimension_value", "kv.*")
+    """Per-(group, numeric column) stats + changes, one shuffle total.
+
+    ``exact_median=False`` (default) uses ``percentile_approx`` — the exact
+    sort-based percentile buffers every group's values in the aggregation
+    buffer, which at high-cardinality dimensions (thousands of groups) is
+    the dominant cost and would not survive 100 TB. Exact mode exists for
+    oracle-checked fidelity (DuckDB ``quantile_cont``).
+
+    ``dimension`` may be a single column or a list — all dimensions share
+    ONE scan and ONE shuffle (the dimension is data, not plan).
+    """
+    melted = _dim_melt(df_ref, df_curr, _as_dims(dimension), columns, "double")
 
     sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
     aggs = []
     for pre, cond in sides.items():
         v = F.when(cond, F.col("v"))
+        # accuracy 1000 ≈ the reference's approxQuantile relative error 0.01
+        # (distribution_analyzer.py:106-109); keeps per-group sketch state small
+        median = (
+            F.percentile(v, F.lit(0.5))
+            if exact_median
+            else F.percentile_approx(v, F.lit(0.5), F.lit(1000))
+        )
         aggs += [
             F.sum(cond.cast("long")).alias(f"{pre}_rows"),
             F.sum((cond & F.col("v").isNull()).cast("long")).alias(f"{pre}_null_count"),
@@ -103,9 +166,9 @@ def group_numeric_stats(
             F.stddev(v).alias(f"{pre}_stddev"),
             F.min(v).alias(f"{pre}_min"),
             F.max(v).alias(f"{pre}_max"),
-            F.percentile(v, F.lit(0.5)).alias(f"{pre}_median"),
+            median.alias(f"{pre}_median"),
         ]
-    stats = melted.groupBy("dimension_value", "column_name").agg(*aggs)
+    stats = melted.groupBy("dimension_column", "dimension_value", "column_name").agg(*aggs)
 
     for pre in ("ref", "curr"):
         stats = stats.withColumn(
@@ -139,30 +202,24 @@ def group_numeric_stats(
 def group_categorical_stats(
     df_ref: DataFrame,
     df_curr: DataFrame,
-    dimension: str,
+    dimension,
     columns: list[str],
     top_k: int = 10,
 ) -> DataFrame:
-    """Per-(group, categorical column) top-k frequency drift, one shuffle."""
-    tagged = _tagged_union(df_ref, df_curr, [dimension, *columns])
-    melted = tagged.select(
-        "__side",
-        F.col(dimension).cast("string").alias("dimension_value"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("column_name"), F.col(c).cast("string").alias("value"))
-                    for c in columns
-                ]
-            )
-        ).alias("kv"),
-    ).select("__side", "dimension_value", "kv.*")
+    """Per-(group, categorical column) top-k frequency drift, one shuffle.
 
-    cells = melted.groupBy("dimension_value", "column_name", "value").agg(
+    ``dimension`` may be a single column or a list (shared scan+shuffle)."""
+    melted = (
+        _dim_melt(df_ref, df_curr, _as_dims(dimension), columns, "string")
+        .withColumnRenamed("v", "value")
+        # a dimension is never a metric column of itself
+        .filter(F.col("dimension_column") != F.col("column_name"))
+    )
+    cells = melted.groupBy("dimension_column", "dimension_value", "column_name", "value").agg(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
     )
-    win = Window.partitionBy("dimension_value", "column_name")
+    win = Window.partitionBy("dimension_column", "dimension_value", "column_name")
     enr = (
         cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
         .withColumn("curr_total", F.sum("curr_cnt").over(win))
@@ -178,7 +235,7 @@ def group_categorical_stats(
         .withColumn("member_curr", (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k))
     )
     common = F.col("member_ref") & F.col("member_curr")
-    out = enr.groupBy("dimension_value", "column_name").agg(
+    out = enr.groupBy("dimension_column", "dimension_value", "column_name").agg(
         F.max("ref_total").alias("ref_rows"),
         F.max("curr_total").alias("curr_rows"),
         F.sum(F.when(F.col("value").isNull(), F.col("ref_cnt")).otherwise(F.lit(0))).alias(
@@ -230,16 +287,20 @@ def group_drift(
     group_drift_threshold: float = 0.1,
     top_k_groups: int = 20,
     top_k_values: int = 10,
+    exact_median: bool = False,
 ) -> DataFrame:
     """Per-group drift rollup: score, drifted flag, drifted-metric count."""
     numeric_columns = numeric_columns or []
     categorical_columns = categorical_columns or []
     parts = []
     if numeric_columns:
-        num = group_numeric_stats(df_ref, df_curr, dimension, numeric_columns)
+        num = group_numeric_stats(
+            df_ref, df_curr, dimension, numeric_columns, exact_median=exact_median
+        )
         not_skipped = ~F.col("stats_skipped")
         parts.append(
             num.select(
+                "dimension_column",
                 "dimension_value",
                 (
                     F.col("null_drift")
@@ -272,6 +333,7 @@ def group_drift(
         )
         parts.append(
             cat.select(
+                "dimension_column",
                 "dimension_value",
                 (F.col("null_drift") + F.col("avg_frequency_drift")).alias("contrib_sum"),
                 F.lit(2).alias("contrib_cnt"),
@@ -291,7 +353,7 @@ def group_drift(
     contribs = parts[0]
     for p in parts[1:]:
         contribs = contribs.unionByName(p)
-    rollup = contribs.groupBy("dimension_value").agg(
+    rollup = contribs.groupBy("dimension_column", "dimension_value").agg(
         (F.sum("contrib_sum") / F.greatest(F.sum("contrib_cnt"), F.lit(1))).alias("__raw_score"),
         F.sum("n_drifted").alias("metrics_with_drift"),
         F.max("any_null").alias("any_null"),
@@ -301,7 +363,7 @@ def group_drift(
         F.max("any_distinct").alias("any_distinct"),
     )
     groups = top_groups(df_ref, df_curr, dimension, top_k=top_k_groups)
-    out = groups.join(rollup, "dimension_value", "left").withColumn(
+    out = groups.join(rollup, ["dimension_column", "dimension_value"], "left").withColumn(
         "drift_score", F.least(F.lit(1.0), F.coalesce(F.col("__raw_score"), F.lit(0.0)))
     )
     drifted = (
@@ -314,8 +376,4 @@ def group_drift(
         | F.coalesce(F.col("any_freq"), F.lit(False))
         | F.coalesce(F.col("any_distinct"), F.lit(False))
     )
-    return (
-        out.withColumn("drift_detected", drifted)
-        .withColumn("dimension_column", F.lit(dimension))
-        .drop("__raw_score")
-    )
+    return out.withColumn("drift_detected", drifted).drop("__raw_score")

@@ -116,8 +116,102 @@ def detect_drift(
             )
         )
 
+    if cfg.get("analyze_correlations", True) and len(num_cols) >= 2:
+        from pyspark_data_drift_detector_spark.operators.correlation import (
+            correlation_pairs,
+            correlation_shifts,
+        )
+
+        shifts = correlation_shifts(
+            correlation_pairs(df_ref, df_curr, num_cols),
+            change_threshold=float(cfg.thresholds.get("correlation_change_threshold", 0.2)),
+            strong_threshold=float(cfg.thresholds.get("correlation_threshold", 0.7)),
+        )
+        corr_rows = shifts.select(
+            F.concat_ws("~", F.col("col1"), F.col("col2")).alias("column_name"),
+            F.least(F.lit(1.0), F.col("abs_change")).alias("drift_score"),
+            (
+                F.col("significant_shift")
+                | F.col("new_strong_correlation")
+                | F.col("disappeared_strong_correlation")
+            ).alias("drift_detected"),
+            F.array_compact(
+                F.array(
+                    F.when(F.col("significant_shift"), F.lit("correlation_shift")),
+                    F.when(F.col("new_strong_correlation"), F.lit("new_strong_correlation")),
+                    F.when(
+                        F.col("disappeared_strong_correlation"),
+                        F.lit("disappeared_strong_correlation"),
+                    ),
+                )
+            ).alias("drift_causes"),
+            "ref_correlation",
+            "curr_correlation",
+            "abs_change",
+        )
+        from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
+
+        corr_rows = corr_rows.withColumn("drift_severity", severity_expr(F.col("drift_score")))
+        results.append(_to_result_rows(corr_rows, "correlation"))
+
+    if cfg.get("analyze_groups", True):
+        from pyspark_data_drift_detector_spark.operators.groups import group_drift
+
+        group_columns = cfg.get("group_columns") or by_type.get("categorical", [])[:3]
+        if group_columns:
+            # ALL dimensions analyzed in one shared scan+shuffle (the
+            # dimension is data, not three separate plans)
+            gd = group_drift(
+                df_ref,
+                df_curr,
+                group_columns,
+                numeric_columns=num_cols,
+                categorical_columns=cat_cols,
+                top_k_groups=int(cfg.get("group_top_k", 20)),
+                top_k_values=int(cfg.get("group_value_top_k", 10)),
+                exact_median=bool(cfg.get("exact_group_median", False)),
+            )
+            gd_rows = gd.select(
+                F.col("dimension_column").alias("column_name"),
+                F.concat_ws("=", F.col("dimension_column"), F.col("dimension_value")).alias(
+                    "__dimension_id"
+                ),
+                "drift_score",
+                "drift_detected",
+                F.array().cast("array<string>").alias("drift_causes"),
+                "ref_rows",
+                "curr_rows",
+                "row_pct_change",
+                "metrics_with_drift",
+            )
+            from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
+
+            gd_rows = gd_rows.withColumn("drift_severity", severity_expr(F.col("drift_score")))
+            metric_cols = ["ref_rows", "curr_rows", "row_pct_change", "metrics_with_drift"]
+            results.append(
+                gd_rows.select(
+                    F.current_timestamp().alias("run_timestamp"),
+                    F.col("column_name"),
+                    F.lit("group").alias("column_type"),
+                    F.col("__dimension_id").alias("dimension_id"),
+                    F.col("drift_score").cast("double").alias("drift_score"),
+                    F.col("drift_severity"),
+                    F.col("drift_detected"),
+                    F.col("drift_causes"),
+                    F.to_json(F.struct(*[F.col(c) for c in metric_cols])).alias("metrics"),
+                )
+            )
+
     if not results:
         raise ValueError("no analyzable columns in common between ref and curr")
+
+    # Each analyzer family's result is O(columns) rows. Materialize families
+    # individually (localCheckpoint) so each compiles and executes as its own
+    # bounded plan — a single union of 6+ families produces a plan whose
+    # whole-stage-codegen output measurably degrades the JVM (code-cache
+    # pressure) and whose compile time dominates on wide tables.
+    if cfg.get("materialize_families", True):
+        results = [r.localCheckpoint(eager=True) for r in results]
 
     out = results[0]
     for r in results[1:]:
