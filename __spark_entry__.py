@@ -338,6 +338,129 @@ def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: tokens, BPE-ish tokens, punct/stopword ratios."""
+    from pyspark_data_drift_detector_spark.operators.text import text_stats
+
+    out = text_stats(_documents(spark, sf_dir))
+    rounded = ["avg_word_len", "punct_ratio", "stopword_ratio", "quality_score"]
+    return _round_cols(out, rounded)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification per document."""
+    from pyspark_data_drift_detector_spark.operators.text import language_id
+
+    out = language_id(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in ("en", "de", "es", "fr")],
+        "detected_lang",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 of lowercased collapsed text)."""
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups with deterministic survivors."""
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_documents(spark, sf_dir)).select(
+        "doc_id", "content_key", "group_size", "survivor_id", "is_duplicate"
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard near-dup pairs (threshold 0.3)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(_documents(spark, sf_dir), threshold=0.3)
+    return _round_cols(out, ["jaccard"])
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check —
+    LSH banding has no SQL oracle; recall is validated in tests against
+    the exact jaccard_pairs baseline)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.3)
+    return _round_cols(out.select("id1", "id2", "jaccard"), ["jaccard"])
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance (rows-only check)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir), max_distance=8).select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from pyspark_data_drift_detector_spark.operators.similarity import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return _round_cols(out, ["cosine"])
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (rows-only; recall tested vs exact)."""
+    from pyspark_data_drift_detector_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=16, bands=8)
+    return _round_cols(out, ["cosine"])
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.9)
+    return _round_cols(out, ["cosine"])
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windowed profile over events (batch twin of the
+    Structured Streaming path — same transformation function)."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import windowed_profile
+
+    # window boundaries + formatting must agree with the oracle's naive
+    # (UTC-written) timestamps regardless of the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = windowed_profile(load_events(spark, sf_dir), window_duration="1 day")
+    return _round_cols(
+        out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("null_count").cast("long").alias("null_count"),
+            "mean",
+            "stddev",
+            "min",
+            "max",
+        ),
+        ["mean", "stddev", "min", "max"],
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -840,6 +963,137 @@ def _feature_importance_sql() -> str:
     FROM ranked"""
 
 
+_EN_STOPS = "'the','a','and','of','to','is','in'"
+_LANG_STOPS = {
+    "en": _EN_STOPS,
+    "de": "'der','die','das','und','ist','nicht'",
+    "es": "'el','los','las','una','es','y'",
+    "fr": "'le','les','des','est','et','dans'",
+}
+
+
+def _text_stats_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+        LENGTH(text) AS n_chars,
+        LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS non_space,
+        LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS punct,
+        len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ({_EN_STOPS}))) AS stop_hits
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(non_space AS DOUBLE) / GREATEST(n_tokens, 1) AS avg_word_len,
+        CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+        CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) AS stopword_ratio
+      FROM base)
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+      ROUND(avg_word_len, {ROUND}) AS avg_word_len,
+      ROUND(punct_ratio, {ROUND}) AS punct_ratio,
+      ROUND(stopword_ratio, {ROUND}) AS stopword_ratio,
+      ROUND(
+        0.4 * LEAST(1.0, n_tokens / 50.0)
+        + 0.3 * (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 8 THEN 1.0 ELSE 0.5 END)
+        + 0.3 * LEAST(1.0, stopword_ratio * 5), {ROUND}) AS quality_score
+    FROM m"""
+
+
+def _lang_id_sql() -> str:
+    hits = ", ".join(
+        f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ({words}))) AS BIGINT) AS hits_{lang}"
+        for lang, words in _LANG_STOPS.items()
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {hits} FROM documents),
+    b AS (SELECT *, GREATEST(hits_en, hits_de, hits_es, hits_fr) AS best FROM h)
+    SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+      CASE WHEN best > 0 AND hits_de = best THEN 'de'
+           WHEN best > 0 AND hits_en = best THEN 'en'
+           WHEN best > 0 AND hits_es = best THEN 'es'
+           WHEN best > 0 AND hits_fr = best THEN 'fr'
+           ELSE 'unknown' END AS detected_lang
+    FROM b"""
+
+
+def _fingerprint_sql() -> str:
+    return """
+    SELECT doc_id,
+      md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents"""
+
+
+def _dedup_exact_sql() -> str:
+    return """
+    SELECT doc_id, content_key, group_size, survivor_id,
+      (doc_id <> survivor_id) AS is_duplicate
+    FROM (
+      SELECT doc_id, md5(text) AS content_key,
+        CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS survivor_id
+      FROM documents)"""
+
+
+def _jaccard_sql(threshold: float = 0.3) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+      ROUND(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), {ROUND}) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = pairs.id1
+    JOIN sizes s2 ON s2.doc_id = pairs.id2
+    WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= {threshold}"""
+
+
+def _knn_sql() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT q.qid AS query_id, c.cid AS neighbor_id,
+        list_cosine_similarity(q.e, c.e) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY q.qid
+          ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.cid ASC) AS rnk
+      FROM q JOIN c ON c.cid <> q.qid)
+    SELECT query_id, neighbor_id, ROUND(sim, {ROUND}) AS cosine, CAST(rnk AS INT) AS "rank"
+    FROM s WHERE rnk <= 5"""
+
+
+def _embedding_neardup_sql(threshold: float = 0.9) -> str:
+    return f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"""
+
+
+def _events_windowed_sql() -> str:
+    return f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+      ROUND(AVG(value), {ROUND}) AS mean,
+      ROUND(STDDEV_SAMP(value), {ROUND}) AS stddev,
+      ROUND(MIN(value), {ROUND}) AS min,
+      ROUND(MAX(value), {ROUND}) AS max
+    FROM events GROUP BY 1, 2"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -887,6 +1141,17 @@ def _oracle_queries() -> dict[str, str]:
         "group_drift": _group_drift_sql(),
         "corr_pairs": _corr_pairs_sql(),
         "feature_importance": _feature_importance_sql(),
+        "text_stats": _text_stats_sql(),
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "dedup_exact": _dedup_exact_sql(),
+        "dedup_jaccard": _jaccard_sql(),
+        "knn_cosine": _knn_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
+        "events_windowed": _events_windowed_sql(),
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh are rows-only:
+        # banding/hash internals have no SQL oracle; their recall is
+        # test-verified against the exact baselines above.
     }
 
 
@@ -922,6 +1187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_drift": q_group_drift,
         "corr_pairs": q_corr_pairs,
         "feature_importance": q_feature_importance,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "events_windowed": q_events_windowed,
     }
 
 

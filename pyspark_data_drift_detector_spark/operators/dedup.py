@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, ordered by cost/recall tradeoff:
+
+1. ``dedup_exact`` — hash-groupBy on a content key. One shuffle keyed on the
+   md5, so identical documents co-locate no matter the corpus size.
+2. ``jaccard_pairs`` — exact n-gram (shingle) Jaccard via a shingle-inverted
+   index self-join. Quadratic in the worst case; the shingle join key IS the
+   blocking key, so only documents sharing a shingle ever meet. The exact
+   baseline that oracle-checks the approximate paths.
+3. ``minhash_lsh_pairs`` — MinHash signatures (xxhash64 with per-function
+   salt) banded into LSH buckets; candidate pairs verified with exact
+   Jaccard. The 100 TB path: cost is O(corpus) + O(candidates).
+4. ``simhash`` / ``simhash_pairs`` — 64-bit SimHash with banded blocking for
+   Hamming-distance near-dup detection.
+5. ``embedding_neardup_pairs`` — cosine similarity over an embedding column
+   (exact all-pairs here; ANN variants live in ``similarity.py``).
+
+All hot paths are built-in expressions (xxhash64, explode, groupBy) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.text import tokens_expr
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) of a text column."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup: md5 content key → per-group survivor (min id) + flag.
+
+    Output: ``id, content_key, group_size, survivor_id, is_duplicate``.
+    One shuffle on the content hash; survivors chosen deterministically.
+    """
+    keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_key"))
+    win = Window.partitionBy("content_key")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(win).cast("long"))
+        .withColumn("survivor_id", F.min(id_col).over(win))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+    )
+
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    ``|A∩B| / (|A| + |B| − |A∩B|)`` computed from a shingle-inverted-index
+    self-join (shared-shingle counts) plus per-doc shingle counts. Returns
+    pairs with ``jaccard ≥ threshold`` (id1 < id2).
+    """
+    index = _shingle_index(df, text_col, id_col, k)
+    sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = index.select(F.col("id").alias("id1"), "shingle")
+    b = index.select(F.col("id").alias("id2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(F.broadcast(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1")), "id1")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", F.col("shared").cast("long").alias("shared"), "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: ``min(xxhash64(shingle, salt_i))``.
+
+    One explode + one groupBy computing all ``num_hashes`` mins as aggregate
+    expressions — a single shuffle of O(docs × shingles) rows.
+    """
+    index = _shingle_index(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return index.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, optionally Jaccard-verified.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of
+    ``num_hashes // bands`` rows; documents colliding in ANY band become
+    candidates (join on (band, band_hash) — the classic S-curve with
+    collision probability ≈ 1−(1−j^r)^b). With verify=True candidates are
+    confirmed with exact Jaccard ≥ threshold, so LSH only affects recall,
+    never precision.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.band_hash"
+    )
+    a = banded.select(F.col("id").alias("id1"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id2"), "band", "band_hash")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    # verify ONLY candidate pairs: restrict the shingle index to documents
+    # that appear in any candidate (semi-join) before the pairwise join —
+    # at scale candidates ≪ corpus, so verification cost tracks candidate
+    # volume, not corpus volume
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias("id")
+    ).distinct()
+    index = _shingle_index(df, text_col, id_col, k).join(cand_ids, "id", "left_semi")
+    sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = index.select(F.col("id").alias("id1"), "shingle")
+    b = index.select(F.col("id").alias("id2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(candidates, ["id1", "id2"], "left_semi")
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n_shingles", "n1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n_shingles", "n2"), "id2")
+        .withColumn("jaccard", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bit votes.
+
+    bit_i(sig) = 1 iff Σ_tokens (bit_i(hash(token)) ? +1 : −1) > 0.
+    Explode + one groupBy with 64 conditional-sum aggregates — JVM-only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    ).withColumn("h", F.xxhash64(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def hamming_distance_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with banded blocking.
+
+    Signatures split into ``bands`` 16-bit bands; by pigeonhole, any pair
+    within Hamming distance < bands must agree on ≥1 band — candidates come
+    from band-equality joins, then exact Hamming ≤ max_distance verifies.
+    """
+    sig = simhash(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "simhash", "bb.band", "bb.key"
+    )
+    a = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"), "band", "key")
+    b = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming_distance_expr(F.col("sig1"), F.col("sig2")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns, pure expressions."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: exact all-pairs ≥ threshold.
+
+    Exact baseline (O(n²) — fine for verification / small partitions). The
+    scale path is LSH/IVF bucketing in ``similarity.py`` feeding the same
+    verification expression.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(embedding_col).cast("array<double>").alias("e1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(embedding_col).cast("array<double>").alias("e2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_expr(F.col("e1"), F.col("e2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

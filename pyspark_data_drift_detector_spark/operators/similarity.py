@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk`` — exact brute-force top-k by cosine: the correctness
+  baseline, a broadcast-join of queries against the corpus with
+  expression-only math (``zip_with`` dot products, window rank).
+- ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures from
+  deterministic seeded hyperplanes, candidates from Hamming-band buckets,
+  exact cosine re-rank. The 100 TB path: each query touches only its
+  bucket's partitions.
+- ``ivf_topk`` — IVF-style: deterministic centroids (first-k vectors by
+  id — a stand-in for k-means; swap in ``pyspark.ml.clustering.KMeans``
+  offline), assign each vector to its nearest centroid once, probe the
+  ``nprobe`` nearest cells per query.
+
+No Python UDFs; everything is Catalyst expressions over arrays.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.dedup import cosine_expr
+
+
+def _as_double_array(df: DataFrame, col: str, alias: str) -> DataFrame:
+    return df.withColumn(alias, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: ``query_id, neighbor_id, cosine, rank`` (self-matches excluded,
+    deterministic tie-break on neighbor id). Queries are broadcast — the
+    corpus is scanned once regardless of query count.
+    """
+    q = _as_double_array(
+        queries.select(F.col(id_col).alias("query_id"), embedding_col), embedding_col, "qe"
+    ).select("query_id", "qe")
+    c = _as_double_array(
+        corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce"
+    ).select("neighbor_id", "ce")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qe"), F.col("ce")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components, seeded)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _signature_expr(vec_col, planes: list[list[float]]):
+    """Sign-bit LSH signature as a long: bit_i = (v · plane_i) > 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, parr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        sig = sig + F.when(dot > 0, F.lit(int(2**i)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket candidates + exact re-rank.
+
+    Signatures are banded (``bands`` bands of ``n_planes/bands`` bits);
+    query and corpus vectors colliding in any band become candidates. Recall
+    is tunable via planes/bands; precision is exact (true cosine re-rank).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, idalias: str, earr: str) -> DataFrame:
+        sig = _signature_expr(F.col(earr), planes)
+        withsig = df.withColumn("__sig", sig)
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("__sig"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return withsig.select(idalias, earr, F.explode(bandarr).alias("bb")).select(
+            idalias, earr, "bb.band", "bb.key"
+        )
+
+    q = banded(
+        _as_double_array(queries.select(F.col(id_col).alias("query_id"), embedding_col), embedding_col, "qe"),
+        "query_id",
+        "qe",
+    )
+    c = banded(
+        _as_double_array(corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce"),
+        "neighbor_id",
+        "ce",
+    )
+    candidates = (
+        c.join(q, ["band", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qe", "neighbor_id", "ce")
+        .distinct()
+        .withColumn("cosine", cosine_expr(F.col("qe"), F.col("ce")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus, probe ``nprobe`` cells.
+
+    Centroids are the first ``n_centroids`` vectors by id (deterministic;
+    substitute a KMeans fit offline for production). Corpus vectors are
+    assigned to their nearest centroid ONCE (the inverted file); each query
+    probes its ``nprobe`` nearest centroids and exact-scores only those
+    cells.
+    """
+    cent = (
+        _as_double_array(corpus, embedding_col, "cent_e")
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), "cent_e")
+    )
+
+    def assign(df: DataFrame, ida: str, earr: str, n: int) -> DataFrame:
+        joined = df.crossJoin(F.broadcast(cent)).withColumn(
+            "cent_sim", cosine_expr(F.col(earr), F.col("cent_e"))
+        )
+        win = Window.partitionBy(ida).orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+        return (
+            joined.withColumn("__r", F.row_number().over(win))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "cent_e", "cent_sim")
+        )
+
+    c = assign(
+        _as_double_array(corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce").select("neighbor_id", "ce"),
+        "neighbor_id",
+        "ce",
+        1,
+    )
+    q = assign(
+        _as_double_array(queries.select(F.col(id_col).alias("query_id"), embedding_col), embedding_col, "qe").select("query_id", "qe"),
+        "query_id",
+        "qe",
+        nprobe,
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("qe"), F.col("ce")))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

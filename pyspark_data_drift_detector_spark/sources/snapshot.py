@@ -60,6 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the harness ``events`` table, handling its TIMESTAMP(NANOS) column.
+
+    Spark's parquet reader rejects INT64 nanosecond timestamps
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
+    they read as long nanos, converted here to a microsecond timestamp via
+    integer division (no float rounding).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def latest_version(spark: SparkSession, table_path: str) -> int:
     """Most recent Delta version of a table (``DESCRIBE HISTORY`` → max).
 

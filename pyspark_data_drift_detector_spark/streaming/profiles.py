@@ -1,0 +1,110 @@
+"""Structured Streaming profiles: windowed per-key statistics with late data.
+
+Beyond the reference's surface (it has NO streaming — SURVEY §2.10); this
+feeds the same profile schema from an unbounded source. The transformation
+is a pure function of a DataFrame, so the SAME code path serves batch
+(oracle-checkable) and streaming (``readStream`` + watermark) inputs —
+the recommended Spark pattern for testable streaming logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window stats per key: count, nulls, mean, stddev, min, max.
+
+    Works unchanged on batch or streaming input. Window starts are
+    epoch-aligned (Spark ``window()`` semantics), matching
+    ``date_trunc('hour', ts)`` for 1-hour windows in the DuckDB oracle.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    v = F.col(value_col)
+    grouped = df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *keys)
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.isNull().cast("long")).alias("null_count"),
+        F.avg(v).alias("mean"),
+        F.stddev(v).alias("stddev"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        "n",
+        "null_count",
+        "mean",
+        "stddev",
+        "min",
+        "max",
+    )
+
+
+def stream_windowed_profile(
+    spark: SparkSession,
+    source_path: str,
+    schema: str | None = None,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming variant: parquet file source → watermark → windowed agg.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted, so state size is O(active windows
+    × keys) regardless of stream length. Returns the streaming DataFrame —
+    callers attach a sink, e.g.::
+
+        q = (stream_windowed_profile(spark, path)
+             .writeStream.format("memory").queryName("profiles")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+    """
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_path)
+    ts_type = dict(stream.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        # harness events carry nanosecond-epoch longs (see sources.load_events)
+        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    stream = stream.withWatermark(ts_col, watermark)
+    return windowed_profile(stream, ts_col, window_duration, keys, value_col)
+
+
+def streaming_drift_alerts(
+    profile_stream: DataFrame,
+    baseline: DataFrame,
+    keys: list[str] | None = None,
+    mean_threshold: float = 0.1,
+) -> DataFrame:
+    """Join a live windowed profile stream against a static baseline profile
+    and flag windows whose mean drifts beyond the threshold.
+
+    ``baseline`` is a small static DataFrame (key → ref_mean, ref_stddev) —
+    a stream-static broadcast join, the standard low-latency drift pattern.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    ref = baseline.select(
+        *keys,
+        F.col("mean").alias("ref_mean"),
+        F.col("stddev").alias("ref_stddev"),
+    )
+    joined = profile_stream.join(F.broadcast(ref), keys, "left")
+    rel = F.when(
+        F.col("ref_mean") != 0, F.abs((F.col("mean") - F.col("ref_mean")) / F.col("ref_mean"))
+    ).otherwise(F.when(F.col("mean") != 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    return joined.withColumn("mean_rel_diff", rel).withColumn(
+        "drift_alert", F.coalesce(rel > mean_threshold, F.lit(False))
+    )

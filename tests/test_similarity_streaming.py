@@ -1,0 +1,172 @@
+"""Similarity search, multimodal plumbing, and streaming profile tests."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_images,
+    sample_frames,
+)
+from pyspark_data_drift_detector_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from pyspark_data_drift_detector_spark.streaming.profiles import (
+    streaming_drift_alerts,
+    stream_windowed_profile,
+    windowed_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = cosine_topk(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["cosine"] == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-9)
+
+
+def test_lsh_recall(vectors):
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(vectors, queries, k=3, embedding_col="embedding")
+    approx = lsh_topk(
+        vectors, queries, k=3, embedding_col="embedding", dim=16, n_planes=16, bands=8
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 8 bands of 2 bits → high collision probability
+
+
+def test_ivf_returns_ranked(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    out = ivf_topk(vectors, queries, k=3, n_centroids=8, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_stub_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark multimodal payload test")], "doc_id long, text string"
+    )
+    with_payload = attach_fake_payload(docs)
+    assert dict(with_payload.dtypes)["payload"] == "binary"
+    feats = {r["doc_id"]: r for r in decode_images(with_payload).collect()}
+    assert feats[1]["n_bytes"] == len(b"hello world")
+    assert len(feats[1]["features"]) == 8
+    assert abs(sum(feats[1]["features"]) - 1.0) < 1e-9
+    # determinism
+    feats2 = {r["doc_id"]: r for r in decode_images(with_payload).collect()}
+    assert feats[1]["head_hash"] == feats2[1]["head_hash"]
+    # real codec is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_images(with_payload, codec="jpeg")
+    frames = sample_frames(with_payload, n_frames=3).collect()
+    assert len(frames) == 6
+    assert sorted({r["frame_idx"] for r in frames}) == [0, 1, 2]
+
+
+def test_windowed_profile_batch(spark):
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:45:00", "click", 3.0),
+        ("2024-01-01 11:10:00", "click", 5.0),
+        ("2024-01-01 10:30:00", "view", None),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    out = windowed_profile(df).collect()
+    by_key = {(str(r["window_start"]), r["event_type"]): r for r in out}
+    clicks10 = by_key[("2024-01-01 10:00:00", "click")]
+    assert clicks10["n"] == 2
+    assert clicks10["mean"] == pytest.approx(2.0)
+    assert by_key[("2024-01-01 10:00:00", "view")]["null_count"] == 1
+
+
+def test_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """Real Structured Streaming run: file source → watermark → windowed agg
+    → memory sink, with availableNow trigger (bounded)."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    # the file-stream source requires a directory
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream_df = stream_windowed_profile(
+        spark, str(stream_dir), schema=schema, window_duration="1 day"
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("profiles_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.sql("SELECT * FROM profiles_test")
+    assert result.count() > 0
+    # streaming result matches the batch path for every FINALIZED window —
+    # append mode holds back windows newer than (max event time − watermark),
+    # so the last open window per key is legitimately absent
+    batch = windowed_profile(load_events(spark, sf_dir), window_duration="1 day")
+    stream_rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["null_count"])
+        for r in result.collect()
+    }
+    batch_rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["null_count"])
+        for r in batch.collect()
+    }
+    assert set(stream_rows).issubset(set(batch_rows))
+    n_keys = batch.select("event_type").distinct().count()
+    assert len(batch_rows) - len(stream_rows) <= n_keys
+    for key, vals in stream_rows.items():
+        assert batch_rows[key] == vals
+
+
+def test_streaming_drift_alerts(spark):
+    baseline = spark.createDataFrame(
+        [("click", 2.0, 1.0)], "event_type string, mean double, stddev double"
+    )
+    live = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 11:00:00", "click", 10, 0, 3.0, 1.0, 1.0, 5.0)],
+        "window_start string, window_end string, event_type string, n long, null_count long,"
+        " mean double, stddev double, min double, max double",
+    )
+    out = streaming_drift_alerts(live, baseline).collect()[0]
+    assert out["mean_rel_diff"] == pytest.approx(0.5)
+    assert out["drift_alert"]

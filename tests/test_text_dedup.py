@@ -1,0 +1,100 @@
+"""Text analysis + dedup operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from pyspark_data_drift_detector_spark.operators.text import (
+    fingerprint,
+    language_id,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines and data"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund ist nicht der beste und die katze"),  # German
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_text_stats(docs):
+    rows = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 9
+    assert r1["n_chars"] == 43
+    assert r1["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert 0.0 <= r1["quality_score"] <= 1.0
+    assert r1["avg_word_len"] == pytest.approx((43 - 8) / 9)
+
+
+def test_language_id(docs):
+    rows = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert rows[1]["detected_lang"] == "en"
+    assert rows[5]["detected_lang"] == "de"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello   world ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_dedup_exact(docs):
+    rows = {r["doc_id"]: r for r in dedup_exact(docs).collect()}
+    assert rows[4]["is_duplicate"]
+    assert rows[4]["survivor_id"] == 1
+    assert not rows[1]["is_duplicate"]
+    assert rows[1]["group_size"] == 2
+    assert not rows[3]["is_duplicate"]
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == pytest.approx(1.0)  # exact dup
+    assert (1, 2) in pairs  # near-dup: 6 of 7 shingles shared → 6/8
+    assert pairs[(1, 2)] == pytest.approx(6 / 8)
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id1"], r["id2"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[4]  # identical docs → identical signature
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in simhash_pairs(docs, max_distance=10).collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs  # one word differs → small hamming distance
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id1"], r["id2"]): r["cosine"] for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
