@@ -21,4 +21,18 @@ __all__ = [
     "generate_config",
     "load_config",
     "detect_drift",
+    "run_data_drift_detection",
+    "build_report",
 ]
+
+
+def run_data_drift_detection(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.runner import run_data_drift_detection as _run
+
+    return _run(*args, **kwargs)
+
+
+def build_report(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.report import build_report as _build
+
+    return _build(*args, **kwargs)

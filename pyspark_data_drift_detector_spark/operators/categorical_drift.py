@@ -201,49 +201,52 @@ def categorical_drift(
 
     cells = pair_frequency_cells(df_ref, df_curr, columns)
 
-    # per-column summary (nulls, totals, distincts) from the same cells pass
+    # Everything derives from this ONE cells aggregation. Null-category rows
+    # are NOT filtered out (a filter on the group key would push below the
+    # aggregate, split the plan into two scans per side, and defeat exchange
+    # reuse — verified via plans.inspect); instead the rank windows sort null
+    # values last, so non-null rows hold ranks 1..m undisturbed, and every
+    # null-sensitive expression guards on value IS NOT NULL.
     is_null_val = F.col("value").isNull()
-    summary = cells.groupBy("column_name").agg(
-        F.sum("ref_cnt").alias("ref_n_rows"),
-        F.sum("curr_cnt").alias("curr_n_rows"),
-        F.sum(F.when(is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).alias("ref_null_count"),
-        F.sum(F.when(is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).alias("curr_null_count"),
-        F.sum((~is_null_val & (F.col("ref_cnt") > 0)).cast("long")).alias("ref_distinct_count"),
-        F.sum((~is_null_val & (F.col("curr_cnt") > 0)).cast("long")).alias("curr_distinct_count"),
-    ).select(
-        "column_name",
-        "ref_n_rows",
-        "curr_n_rows",
-        "ref_distinct_count",
-        "curr_distinct_count",
-        (F.col("ref_null_count") / F.col("ref_n_rows")).alias("ref_null_ratio"),
-        (F.col("curr_null_count") / F.col("curr_n_rows")).alias("curr_null_ratio"),
-    )
-
-    # non-null cells enriched with per-side totals, frequencies, top-k ranks
     win = Window.partitionBy("column_name")
     nn = (
-        cells.filter(F.col("value").isNotNull())
-        .withColumn("ref_total", F.sum("ref_cnt").over(win))
-        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        cells
+        .withColumn("ref_n_rows", F.sum("ref_cnt").over(win))
+        .withColumn("curr_n_rows", F.sum("curr_cnt").over(win))
+        .withColumn(
+            "ref_total",
+            F.sum(F.when(~is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).over(win),
+        )
+        .withColumn(
+            "curr_total",
+            F.sum(F.when(~is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).over(win),
+        )
         .withColumn(
             "ref_freq",
-            F.when(F.col("ref_total") > 0, F.col("ref_cnt") / F.col("ref_total")).otherwise(0.0),
+            F.when(~is_null_val & (F.col("ref_total") > 0), F.col("ref_cnt") / F.col("ref_total")).otherwise(0.0),
         )
         .withColumn(
             "curr_freq",
-            F.when(F.col("curr_total") > 0, F.col("curr_cnt") / F.col("curr_total")).otherwise(0.0),
+            F.when(~is_null_val & (F.col("curr_total") > 0), F.col("curr_cnt") / F.col("curr_total")).otherwise(0.0),
         )
         .withColumn(
             "rn_ref",
-            F.row_number().over(win.orderBy(F.desc("ref_cnt"), F.asc("value"))),
+            F.row_number().over(
+                win.orderBy(is_null_val.cast("int").asc(), F.desc("ref_cnt"), F.asc("value"))
+            ),
         )
         .withColumn(
             "rn_curr",
-            F.row_number().over(win.orderBy(F.desc("curr_cnt"), F.asc("value"))),
+            F.row_number().over(
+                win.orderBy(is_null_val.cast("int").asc(), F.desc("curr_cnt"), F.asc("value"))
+            ),
         )
-        .withColumn("member_ref", (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k))
-        .withColumn("member_curr", (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k))
+        .withColumn(
+            "member_ref", ~is_null_val & (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k)
+        )
+        .withColumn(
+            "member_curr", ~is_null_val & (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k)
+        )
     )
 
     # JS over the union of the two per-side top-k supports: a category keeps
@@ -256,13 +259,13 @@ def categorical_drift(
     kl_p = F.when(in_js & (p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
     kl_q = F.when(in_js & (q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
 
-    # chi² over the FULL support (categorical_analyzer.py:342-390)
+    # chi² over the FULL non-null support (categorical_analyzer.py:342-390)
     total_sum = F.col("ref_total") + F.col("curr_total")
     cat_sum = F.col("ref_cnt") + F.col("curr_cnt")
     exp_ref = F.col("ref_total") * cat_sum / total_sum
     exp_curr = F.col("curr_total") * cat_sum / total_sum
     chi_contrib = F.when(
-        (exp_ref >= 5) & (exp_curr >= 5),
+        ~is_null_val & (exp_ref >= 5) & (exp_curr >= 5),
         F.pow(F.col("ref_cnt") - exp_ref, 2) / exp_ref
         + F.pow(F.col("curr_cnt") - exp_curr, 2) / exp_curr,
     ).otherwise(F.lit(0.0))
@@ -270,12 +273,13 @@ def categorical_drift(
     is_new = (F.col("member_curr") & ~F.col("member_ref")).cast("long")
     is_missing = (F.col("member_ref") & ~F.col("member_curr")).cast("long")
     in_ref = F.col("member_ref").cast("long")
+    nn_cats = F.sum((~is_null_val).cast("long"))
 
-    valid_chi = (F.count(F.lit(1)) >= 2) & (F.max(total_sum) >= 10)
+    valid_chi = (nn_cats >= 2) & (F.max(total_sum) >= 10)
     stats = nn.groupBy("column_name").agg(
         F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("js_distance"),
         F.when(valid_chi, F.sum(chi_contrib)).alias("chi_square"),
-        F.when(valid_chi, F.count(F.lit(1)) - 1).cast("int").alias("degrees_of_freedom"),
+        F.when(valid_chi, nn_cats - 1).cast("int").alias("degrees_of_freedom"),
         F.sum(is_new).alias("new_categories"),
         F.sum(is_missing).alias("missing_categories"),
         F.sum(in_ref).alias("ref_categories"),
@@ -283,6 +287,13 @@ def categorical_drift(
         (F.sum(is_missing) / F.greatest(F.sum(in_ref), F.lit(1))).alias(
             "missing_categories_ratio"
         ),
+        # per-column summary folded into the SAME aggregation — no extra pass
+        F.max("ref_n_rows").alias("ref_n_rows"),
+        F.max("curr_n_rows").alias("curr_n_rows"),
+        F.sum(F.when(is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).alias("__ref_nulls"),
+        F.sum(F.when(is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).alias("__curr_nulls"),
+        F.sum((~is_null_val & (F.col("ref_cnt") > 0)).cast("long")).alias("ref_distinct_count"),
+        F.sum((~is_null_val & (F.col("curr_cnt") > 0)).cast("long")).alias("curr_distinct_count"),
     )
     if p_value_mode == "exact":
         stats = _exact_p_value(stats)
@@ -292,8 +303,11 @@ def categorical_drift(
             chi2_p_value_ladder_expr(F.col("chi_square"), F.col("degrees_of_freedom")),
         )
 
-    out = stats.join(summary, "column_name", "full_outer").withColumn(
-        "null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio")
+    out = (
+        stats.withColumn("ref_null_ratio", F.col("__ref_nulls") / F.col("ref_n_rows"))
+        .withColumn("curr_null_ratio", F.col("__curr_nulls") / F.col("curr_n_rows"))
+        .withColumn("null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio"))
+        .drop("__ref_nulls", "__curr_nulls")
     )
 
     js_c = F.coalesce(F.col("js_distance"), F.lit(0.0))

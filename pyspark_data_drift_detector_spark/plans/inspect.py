@@ -1,0 +1,86 @@
+"""Physical-plan inspection helpers.
+
+Used by tests (and operators' authors) to assert the plans we designed for
+are the plans we get: filters pushed to the parquet scan, column pruning in
+``ReadSchema``, whole-stage codegen coverage, and shuffle counts. At 100 TB
+these properties ARE the performance model — a scan that reads all columns
+for a 2-column projection, or an extra shuffle, is a regression even when
+small-scale tests stay green (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every file scan — the columns actually read."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the optimized physical plan."""
+    plan = simple_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def count_scans(df: DataFrame) -> int:
+    return len(re.findall(r"Scan parquet|FileScan parquet|BatchScan", simple_plan(df)))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans — wider is better (fewer breaks).
+
+    The simple plan marks codegen'd operators with ``*(N)``; the formatted
+    plan uses ``WholeStageCodegen (N)`` — count either. NOTE: under AQE the
+    markers only appear in the FINAL plan — run an action on the DataFrame
+    first, then call this.
+    """
+    plan = simple_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df)))
+    return len(ids)
+
+
+def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
+    filters = pushed_filters(df)
+    assert any(fragment.lower() in f.lower() for f in filters), (
+        f"expected a pushed filter containing {fragment!r}; got {filters}"
+    )
+
+
+def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
+    schemas = read_schemas(df)
+    assert schemas, "no file scans found in plan"
+    assert all(absent_column not in s for s in schemas), (
+        f"column {absent_column!r} should be pruned from scans; ReadSchemas: {schemas}"
+    )
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    actual = count_shuffles(df)
+    assert actual <= n, f"expected ≤{n} shuffles, plan has {actual}:\n{simple_plan(df)[:2000]}"

