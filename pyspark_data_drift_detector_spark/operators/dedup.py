@@ -64,6 +64,18 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     )
 
 
+def _hashed_shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Shingle index with shingles collapsed to xxhash64 keys.
+
+    Intersection/union COUNTS are hash-invariant (shingles are distinct per
+    doc; a same-doc-pair 64-bit collision is ~n²/2⁶⁴), so Jaccard math on the
+    hashed index is exact while the self-join shuffles 8-byte longs instead
+    of ~30-byte shingle strings.
+    """
+    idx = _shingle_index(df, text_col, id_col, k)
+    return idx.select("id", F.xxhash64("shingle").alias("shingle"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -77,7 +89,7 @@ def jaccard_pairs(
     self-join (shared-shingle counts) plus per-doc shingle counts. Returns
     pairs with ``jaccard ≥ threshold`` (id1 < id2).
     """
-    index = _shingle_index(df, text_col, id_col, k)
+    index = _hashed_shingle_index(df, text_col, id_col, k)
     sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = index.select(F.col("id").alias("id1"), "shingle")
     b = index.select(F.col("id").alias("id2"), "shingle")
@@ -169,7 +181,7 @@ def minhash_lsh_pairs(
     cand_ids = candidates.select(
         F.explode(F.array(F.col("id1"), F.col("id2"))).alias("id")
     ).distinct()
-    index = _shingle_index(df, text_col, id_col, k).join(cand_ids, "id", "left_semi")
+    index = _hashed_shingle_index(df, text_col, id_col, k).join(cand_ids, "id", "left_semi")
     sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = index.select(F.col("id").alias("id1"), "shingle")
     b = index.select(F.col("id").alias("id2"), "shingle")
@@ -271,19 +283,90 @@ def embedding_neardup_pairs(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    block_size: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: exact all-pairs ≥ threshold.
 
-    Exact baseline (O(n²) — fine for verification / small partitions). The
-    scale path is LSH/IVF bucketing in ``similarity.py`` feeding the same
-    verification expression.
+    Exact all-pairs is inherently O(n²·d); the cheap way to spend those
+    FLOPs is matrix multiply, not one codegen'd lambda per pair. Vectors are
+    hashed into ⌈n/block_size⌉ blocks; each unordered block pair (i ≤ j)
+    becomes one ``applyInPandas`` group that GEMMs the two blocks with numpy
+    (Arrow-batched, BLAS-backed) and emits pairs ≥ threshold. Fully
+    distributed — no driver collect, no broadcast of the corpus; parallelism
+    = number of block pairs, replication factor ≈ ⌈n/block_size⌉/2. The
+    100 TB path is LSH/IVF bucketing in ``similarity.py`` feeding the same
+    verification math.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(embedding_col).cast("array<double>").alias("e1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(embedding_col).cast("array<double>").alias("e2"))
+    n = df.count()
+    nb = max(1, -(-n // block_size))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(embedding_col).cast("array<double>").alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("b"),
+    )
+    # row in block b joins block-pairs (b, j≥b) on the left and (i≤b, b) on
+    # the right — every unordered block pair sees both blocks exactly once
+    left = src.select(
+        "id",
+        "e",
+        F.lit(0).alias("side"),
+        F.explode(
+            F.transform(
+                F.sequence(F.col("b"), F.lit(nb - 1)),
+                lambda j: F.struct(F.col("b").alias("bi"), j.cast("int").alias("bj")),
+            )
+        ).alias("bp"),
+    )
+    right = src.select(
+        "id",
+        "e",
+        F.lit(1).alias("side"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("b")),
+                lambda i: F.struct(i.cast("int").alias("bi"), F.col("b").alias("bj")),
+            )
+        ).alias("bp"),
+    )
+    both = left.unionByName(right).select("bp.bi", "bp.bj", "side", "id", "e")
+
+    import pandas as pd
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = key
+        lmask = pdf["side"].to_numpy() == 0
+        lids = pdf.loc[lmask, "id"].to_numpy()
+        rids = pdf.loc[~lmask, "id"].to_numpy()
+        if len(lids) == 0 or len(rids) == 0:
+            return pd.DataFrame(
+                {
+                    "id1": pd.Series([], dtype="int64"),
+                    "id2": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        lm = np.stack(pdf.loc[lmask, "e"].to_numpy())
+        rm = np.stack(pdf.loc[~lmask, "e"].to_numpy())
+        lm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-300)
+        rm = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-300)
+        sim = lm @ rm.T
+        if bi == bj:
+            # diagonal: both sides are the same block — every unordered pair
+            # appears in both orders, keep the ascending one
+            ii, jj = np.nonzero((sim >= threshold) & (lids[:, None] < rids[None, :]))
+            id1, id2 = lids[ii], rids[jj]
+        else:
+            # cross pair: seen exactly once — normalize the order, never filter
+            ii, jj = np.nonzero(sim >= threshold)
+            a, b = lids[ii], rids[jj]
+            id1, id2 = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id1": id1, "id2": id2, "cosine": sim[ii, jj]})
+
+    out_schema = "id1 long, id2 long, cosine double"
     return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine_expr(F.col("e1"), F.col("e2")))
-        .filter(F.col("cosine") >= threshold)
+        both.groupBy("bi", "bj")
+        .applyInPandas(gemm, schema=out_schema)
         .select("id1", "id2", "cosine")
     )

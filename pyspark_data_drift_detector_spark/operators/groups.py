@@ -97,10 +97,20 @@ def _dim_melt(
     dimensions: list[str],
     columns: list[str],
     value_cast: str,
+    keep_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Side-tagged double unpivot: one row per (side, dimension, column) per
     source row. Lets ALL dimensions' group analyses share one scan+shuffle —
-    the dimension becomes data instead of three separate query plans."""
+    the dimension becomes data instead of three separate query plans.
+
+    ``keep_groups`` (columns ``dimension_column, dimension_value``) restricts
+    the melt to those groups via a broadcast inner join BEFORE the column
+    explode. With a high-cardinality dimension (e.g. a 5%-rule supplier key)
+    this is the difference between aggregating percentile sketches for every
+    group and only for the top-k that survive the final join anyway — the
+    only design that holds at 100 TB. Rows with a NULL dimension value drop
+    out, matching the final per-key equi-join, which never matches NULLs.
+    """
     tagged = _tagged_union(df_ref, df_curr, list(dict.fromkeys([*dimensions, *columns])))
     dims = F.explode(
         F.array(
@@ -121,10 +131,15 @@ def _dim_melt(
             ]
         )
     ).alias("kv")
-    return (
-        tagged.select("__side", dims, *columns)
-        .select("__side", "dim.*", cols)
-        .select("__side", "dimension_column", "dimension_value", "kv.*")
+    melted = tagged.select("__side", dims, *columns).select("__side", "dim.*", *columns)
+    if keep_groups is not None:
+        melted = melted.join(
+            F.broadcast(keep_groups.select("dimension_column", "dimension_value")),
+            on=["dimension_column", "dimension_value"],
+            how="inner",
+        )
+    return melted.select("__side", "dimension_column", "dimension_value", cols).select(
+        "__side", "dimension_column", "dimension_value", "kv.*"
     )
 
 
@@ -134,6 +149,7 @@ def group_numeric_stats(
     dimension: str,
     columns: list[str],
     exact_median: bool = False,
+    keep_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(group, numeric column) stats + changes, one shuffle total.
 
@@ -146,7 +162,9 @@ def group_numeric_stats(
     ``dimension`` may be a single column or a list — all dimensions share
     ONE scan and ONE shuffle (the dimension is data, not plan).
     """
-    melted = _dim_melt(df_ref, df_curr, _as_dims(dimension), columns, "double")
+    melted = _dim_melt(
+        df_ref, df_curr, _as_dims(dimension), columns, "double", keep_groups=keep_groups
+    )
 
     sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
     aggs = []
@@ -205,12 +223,13 @@ def group_categorical_stats(
     dimension,
     columns: list[str],
     top_k: int = 10,
+    keep_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(group, categorical column) top-k frequency drift, one shuffle.
 
     ``dimension`` may be a single column or a list (shared scan+shuffle)."""
     melted = (
-        _dim_melt(df_ref, df_curr, _as_dims(dimension), columns, "string")
+        _dim_melt(df_ref, df_curr, _as_dims(dimension), columns, "string", keep_groups=keep_groups)
         .withColumnRenamed("v", "value")
         # a dimension is never a metric column of itself
         .filter(F.col("dimension_column") != F.col("column_name"))
@@ -289,13 +308,29 @@ def group_drift(
     top_k_values: int = 10,
     exact_median: bool = False,
 ) -> DataFrame:
-    """Per-group drift rollup: score, drifted flag, drifted-metric count."""
+    """Per-group drift rollup: score, drifted flag, drifted-metric count.
+
+    Top-k groups are computed FIRST (a cheap count aggregate, materialized —
+    it is O(dims × k) rows) and pushed into the stats passes as a broadcast
+    semi-filter, so the heavy per-group aggregations only ever see rows of
+    groups that survive the final top-k join (SURVEY §7.4 risk 5: cap the
+    category fan-out inside Spark, before the expensive work).
+    """
     numeric_columns = numeric_columns or []
     categorical_columns = categorical_columns or []
+    groups = top_groups(df_ref, df_curr, dimension, top_k=top_k_groups).localCheckpoint(
+        eager=True
+    )
+    keys = groups.select("dimension_column", "dimension_value")
     parts = []
     if numeric_columns:
         num = group_numeric_stats(
-            df_ref, df_curr, dimension, numeric_columns, exact_median=exact_median
+            df_ref,
+            df_curr,
+            dimension,
+            numeric_columns,
+            exact_median=exact_median,
+            keep_groups=keys,
         )
         not_skipped = ~F.col("stats_skipped")
         parts.append(
@@ -329,7 +364,12 @@ def group_drift(
         )
     if categorical_columns:
         cat = group_categorical_stats(
-            df_ref, df_curr, dimension, categorical_columns, top_k=top_k_values
+            df_ref,
+            df_curr,
+            dimension,
+            categorical_columns,
+            top_k=top_k_values,
+            keep_groups=keys,
         )
         parts.append(
             cat.select(
@@ -362,7 +402,6 @@ def group_drift(
         F.max("any_freq").alias("any_freq"),
         F.max("any_distinct").alias("any_distinct"),
     )
-    groups = top_groups(df_ref, df_curr, dimension, top_k=top_k_groups)
     out = groups.join(rollup, ["dimension_column", "dimension_value"], "left").withColumn(
         "drift_score", F.least(F.lit(1.0), F.coalesce(F.col("__raw_score"), F.lit(0.0)))
     )

@@ -209,9 +209,15 @@ def detect_drift(
     # individually (localCheckpoint) so each compiles and executes as its own
     # bounded plan — a single union of 6+ families produces a plan whose
     # whole-stage-codegen output measurably degrades the JVM (code-cache
-    # pressure) and whose compile time dominates on wide tables.
+    # pressure) and whose compile time dominates on wide tables. Families are
+    # materialized from concurrent threads: Spark's scheduler interleaves
+    # their jobs, so small stages of one family fill cores another family's
+    # shuffle barrier leaves idle (jobs are independent — no shared state).
     if cfg.get("materialize_families", True):
-        results = [r.localCheckpoint(eager=True) for r in results]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(results)) as pool:
+            results = list(pool.map(lambda r: r.localCheckpoint(eager=True), results))
 
     out = results[0]
     for r in results[1:]:
