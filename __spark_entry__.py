@@ -461,6 +461,180 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2: semantic column-type inference (the union of the reference's
+    four divergent implementations) over lineitem; exact cardinality so the
+    DuckDB oracle can replay the 5% distinct-ratio rule."""
+    from pyspark_data_drift_detector_spark.functions.inference import infer_column_types
+
+    types = infer_column_types(_lineitem(spark, sf_dir), exact_distinct=True)
+    return spark.createDataFrame(
+        sorted(types.items()), "column_name string, semantic_type string"
+    )
+
+
+def q_adaptive_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M22: per-column adaptive thresholds as ONE distributed aggregate."""
+    from pyspark_data_drift_detector_spark.operators.adaptive import adaptive_threshold_table
+
+    out = adaptive_threshold_table(_lineitem(spark, sf_dir), LINEITEM_NUMERIC)
+    rounded = [
+        "cv", "size_factor", "complexity_factor", "volatility_factor",
+        "cardinality_factor", "null_factor", "composed_threshold", "adaptive_threshold",
+    ]
+    return _round_cols(out, rounded)
+
+
+def q_drift_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M23+T4: severity bands over numeric drift scores + top-drifted rank.
+
+    Severity and rank are computed from the UNROUNDED score (band edges and
+    orderings must not depend on display rounding); only the emitted score
+    is rounded."""
+    from pyspark.sql import Window
+
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    drift = numeric_drift_pair(ref, curr, columns=LINEITEM_NUMERIC, quantiles=(0.25, 0.5, 0.75))
+    score = F.col("drift_score")
+    severity = (
+        F.when(score < 0.1, "None")
+        .when(score < 0.25, "Low")
+        .when(score < 0.5, "Medium")
+        .when(score < 0.75, "High")
+        .otherwise("Critical")
+    )
+    w = Window.orderBy(F.desc("drift_score"), F.asc("column_name"))
+    return drift.select(
+        "column_name",
+        F.round(score, ROUND).alias("drift_score"),
+        severity.alias("severity"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M25: schema diff rows for a synthetic evolution of lineitem
+    (drop l_tax, add l_flag, widen l_linenumber, narrow l_quantity)."""
+    from pyspark_data_drift_detector_spark.operators.schema_drift import (
+        schema_diff,
+        schema_drift_rows,
+    )
+
+    df = _lineitem(spark, sf_dir)
+    curr = (
+        df.drop("l_tax")
+        .withColumn("l_flag", F.lit("x"))
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn("l_quantity", F.col("l_quantity").cast("string"))
+    )
+    return schema_drift_rows(spark, schema_diff(df.schema, curr.schema))
+
+
+CORR_GROUP_COLS = ["l_quantity", "l_extendedprice", "l_total", "l_taxamt"]
+CORR_GROUP_THRESHOLD = 0.5
+
+
+def _with_derived(df: DataFrame) -> DataFrame:
+    """Derived value columns with real correlation structure (the raw
+    synthetic columns are mutually independent)."""
+    return df.withColumn(
+        "l_total", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).withColumn("l_taxamt", F.col("l_extendedprice") * F.col("l_tax"))
+
+
+def q_corr_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: connected components of the |corr| ≥ τ graph per side
+    (driver BFS over the O(columns²) pair rows; group_id = min member)."""
+    from pyspark_data_drift_detector_spark.operators.correlation import (
+        correlation_groups,
+        correlation_pairs,
+    )
+
+    ref, curr = _split(_with_derived(_lineitem(spark, sf_dir)))
+    pairs = correlation_pairs(ref, curr, CORR_GROUP_COLS).collect()
+    rows = []
+    for side in ("ref", "curr"):
+        for comp in correlation_groups(pairs, threshold=CORR_GROUP_THRESHOLD, side=side):
+            gid = min(comp)
+            rows.extend((side, gid, c) for c in sorted(comp))
+    return spark.createDataFrame(rows, "side string, group_id string, column_name string")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion plumbing: opaque binary payload + typed metadata
+    (payload derived deterministically from text so DuckDB can verify)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import attach_fake_payload
+
+    out = attach_fake_payload(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub image decode via mapInPandas (rows-only: byte-level feature
+    math has no SQL oracle; values are unit-tested)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_images,
+    )
+
+    feats = decode_images(attach_fake_payload(_documents(spark, sf_dir)))
+    return _round_cols(
+        feats.select("doc_id", "n_bytes", "byte_mean", "byte_std", "head_hash"),
+        ["byte_mean", "byte_std"],
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub video frame sampling: 1→N row fan-out via mapInPandas
+    (rows-only)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_fake_payload,
+        sample_frames,
+    )
+
+    frames = sample_frames(attach_fake_payload(_documents(spark, sf_dir)), n_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("frame_bytes_len"),
+    )
+
+
+def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: PCA reconstruction-error anomaly drift (rows-only: iterative
+    ML fit has no SQL oracle; the rates are checked in unit tests)."""
+    from pyspark_data_drift_detector_spark.operators.anomaly import pca_anomaly_drift
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    res = pca_anomaly_drift(
+        ref, curr, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], k=3
+    )
+    row = (
+        res["status"],
+        bool(res.get("is_significant", False)),
+        int(res.get("ref_anomaly_count", 0)),
+        int(res.get("curr_anomaly_count", 0)),
+        round(float(res.get("ref_anomaly_ratio", 0.0)), ROUND),
+        round(float(res.get("curr_anomaly_ratio", 0.0)), ROUND),
+        round(float(res.get("error_change", 0.0)), ROUND),
+        res.get("severity", ""),
+    )
+    return spark.createDataFrame(
+        [row],
+        "status string, is_significant boolean, ref_anomaly_count long, "
+        "curr_anomaly_count long, ref_anomaly_ratio double, curr_anomaly_ratio double, "
+        "error_change double, severity string",
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -1094,6 +1268,171 @@ def _events_windowed_sql() -> str:
     FROM events GROUP BY 1, 2"""
 
 
+def _type_inference_sql() -> str:
+    # physical types are static facts of the parquet schema; the 5%
+    # distinct-ratio rule and the timestamp probe are replayed on the data.
+    # (probe over ALL rows: none of these string columns is timestamp-like,
+    # so the 100-row-sample vs full-column distinction cannot change the
+    # outcome here)
+    parts = []
+    for c in LINEITEM_NUMERIC:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+          CASE WHEN COUNT({c}) > 0
+                 AND CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT({c}) < 0.05
+               THEN 'categorical' ELSE 'numerical' END AS semantic_type
+        FROM lineitem""")
+    for c in LINEITEM_CATEGORICAL:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+          CASE WHEN AVG(CASE WHEN TRY_CAST({c} AS TIMESTAMP) IS NOT NULL
+                             THEN 1.0 ELSE 0.0 END) > 0.9
+               THEN 'temporal' ELSE 'categorical' END AS semantic_type
+        FROM lineitem""")
+    parts.append("SELECT 'l_shipdate' AS column_name, 'temporal' AS semantic_type")
+    return " UNION ALL ".join(parts)
+
+
+def _adaptive_thresholds_sql(
+    base: float = 0.2, min_t: float = 0.05, max_t: float = 0.5, n_table_cols: int = 11
+) -> str:
+    cplx = 0.9 if n_table_cols < 10 else (1.0 if n_table_cols < 50 else (1.1 if n_table_cols < 100 else 1.2))
+    size_f = (
+        "CASE WHEN n_rows < 100 THEN 2.0 WHEN n_rows < 1000 THEN 1.5 "
+        "WHEN n_rows < 10000 THEN 1.2 WHEN n_rows < 100000 THEN 1.0 "
+        "WHEN n_rows < 1000000 THEN 0.8 ELSE 0.6 END"
+    )
+    vol_f = (
+        "CASE WHEN cv IS NULL THEN 1.5 WHEN cv < 0.1 THEN 0.8 "
+        "WHEN cv < 0.5 THEN 1.0 WHEN cv < 1.0 THEN 1.2 ELSE 1.5 END"
+    )
+    card_f = (
+        "CASE WHEN n_rows = 0 THEN 1.0 "
+        "WHEN CAST(distinct_count AS DOUBLE)/n_rows < 0.01 THEN 0.8 "
+        "WHEN CAST(distinct_count AS DOUBLE)/n_rows < 0.1 THEN 0.9 "
+        "WHEN CAST(distinct_count AS DOUBLE)/n_rows < 0.5 THEN 1.0 "
+        "WHEN CAST(distinct_count AS DOUBLE)/n_rows < 0.9 THEN 1.2 ELSE 1.5 END"
+    )
+    null_f = (
+        "CASE WHEN n_rows = 0 THEN 1.0 "
+        "WHEN CAST(null_count AS DOUBLE)/n_rows < 0.01 THEN 0.9 "
+        "WHEN CAST(null_count AS DOUBLE)/n_rows < 0.1 THEN 1.0 "
+        "WHEN CAST(null_count AS DOUBLE)/n_rows < 0.3 THEN 1.1 "
+        "WHEN CAST(null_count AS DOUBLE)/n_rows < 0.5 THEN 1.3 ELSE 1.5 END"
+    )
+    interp = (
+        f"CASE WHEN cv IS NULL THEN {base} WHEN cv < 0.1 THEN {min_t} "
+        f"WHEN cv > 1.0 THEN {max_t} "
+        f"ELSE {min_t} + ({max_t} - {min_t}) * (cv - 0.1) / 0.9 END"
+    )
+    stats = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_count,
+          CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,
+          CASE WHEN AVG({c}) IS NULL OR AVG({c}) = 0 OR STDDEV_SAMP({c}) IS NULL
+               THEN NULL ELSE ABS(STDDEV_SAMP({c}) / AVG({c})) END AS cv
+        FROM lineitem"""
+        for c in LINEITEM_NUMERIC
+    )
+    return f"""
+    WITH s AS ({stats})
+    SELECT column_name, n_rows, distinct_count,
+      ROUND(cv, {ROUND}) AS cv,
+      ROUND(CAST({size_f} AS DOUBLE), {ROUND}) AS size_factor,
+      CAST({cplx} AS DOUBLE) AS complexity_factor,
+      ROUND(CAST({vol_f} AS DOUBLE), {ROUND}) AS volatility_factor,
+      ROUND(CAST({card_f} AS DOUBLE), {ROUND}) AS cardinality_factor,
+      ROUND(CAST({null_f} AS DOUBLE), {ROUND}) AS null_factor,
+      ROUND(CAST({base} * ({size_f}) * {cplx} * ({vol_f}) * ({card_f}) * ({null_f}) AS DOUBLE), {ROUND}) AS composed_threshold,
+      ROUND({interp}, {ROUND}) AS adaptive_threshold
+    FROM s"""
+
+
+def _severity_sql() -> str:
+    rel_mean = _REL.format(rv="mean", cv="mean")
+    rel_med = _REL.format(rv="p50", cv="p50")
+    rel_std = _REL.format(rv="stddev", cv="stddev")
+    rel_iqr = (
+        "CASE WHEN (r.p75 - r.p25) = 0 THEN (CASE WHEN (c.p75 - c.p25) <> 0 THEN 1.0 ELSE 0.0 END) "
+        "ELSE ((c.p75 - c.p25) - (r.p75 - r.p25)) / ABS(r.p75 - r.p25) END"
+    )
+    rel_range = (
+        "CASE WHEN (r.mx - r.mn) = 0 THEN (CASE WHEN (c.mx - c.mn) <> 0 THEN 1.0 ELSE 0.0 END) "
+        "ELSE ((c.mx - c.mn) - (r.mx - r.mn)) / ABS(r.mx - r.mn) END"
+    )
+    null_diff = "(CAST(c.null_count AS DOUBLE)/c.n_rows - CAST(r.null_count AS DOUBLE)/r.n_rows)"
+    score = (
+        f"LEAST(1.0, 0.25*ABS({rel_mean}) + 0.2*ABS({rel_med}) + 0.15*ABS({rel_std})"
+        f" + 0.15*ABS({rel_iqr}) + 0.1*ABS({null_diff}) + 0.15*ABS({rel_range}))"
+    )
+    return f"""
+    WITH {_profile_cte('ref', _REF_W)},
+         {_profile_cte('curr', _CURR_W)},
+         scored AS (
+           SELECT r.column_name, {score} AS score
+           FROM ref r JOIN curr c USING (column_name))
+    SELECT column_name,
+      ROUND(score, {ROUND}) AS drift_score,
+      CASE WHEN score < 0.1 THEN 'None' WHEN score < 0.25 THEN 'Low'
+           WHEN score < 0.5 THEN 'Medium' WHEN score < 0.75 THEN 'High'
+           ELSE 'Critical' END AS severity,
+      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, column_name ASC) AS INT) AS rank
+    FROM scored"""
+
+
+def _schema_drift_sql() -> str:
+    # golden expected output: the schema evolution in q_schema_drift is
+    # fixed, so the diff rows are a deterministic constant
+    return """
+    SELECT 'l_flag' AS column_name, 'column_added' AS change_type, '' AS details, 'low' AS severity
+    UNION ALL SELECT 'l_tax', 'column_removed', '', 'high'
+    UNION ALL SELECT 'l_linenumber', 'type_change', 'IntegerType() -> LongType()', 'medium'
+    UNION ALL SELECT 'l_quantity', 'type_change', 'DoubleType() -> StringType()', 'high'"""
+
+
+def _corr_groups_sql(threshold: float = CORR_GROUP_THRESHOLD) -> str:
+    from itertools import combinations
+
+    pair_selects = []
+    for side, w in (("ref", _REF_W), ("curr", _CURR_W)):
+        for a, b in combinations(CORR_GROUP_COLS, 2):
+            pair_selects.append(
+                f"SELECT '{side}' AS side, '{a}' AS c1, '{b}' AS c2, "
+                f"corr({a}, {b}) AS r FROM base WHERE {w}"
+            )
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice,
+        l_extendedprice * (1 - l_discount) AS l_total,
+        l_extendedprice * l_tax AS l_taxamt
+      FROM lineitem),
+    pairs AS ({' UNION ALL '.join(pair_selects)}),
+    edges AS (
+      SELECT side, c1 AS a, c2 AS b FROM pairs WHERE ABS(r) >= {threshold}
+      UNION ALL
+      SELECT side, c2 AS a, c1 AS b FROM pairs WHERE ABS(r) >= {threshold}),
+    nodes AS (SELECT DISTINCT side, a AS col FROM edges),
+    reach AS (
+      WITH RECURSIVE walk(side, src, dst) AS (
+        SELECT side, col, col FROM nodes
+        UNION
+        SELECT w.side, w.src, e.b FROM walk w JOIN edges e
+          ON e.side = w.side AND e.a = w.dst)
+      SELECT * FROM walk)
+    SELECT side, MIN(dst) AS group_id, src AS column_name
+    FROM reach GROUP BY side, src"""
+
+
+def _multimodal_meta_sql() -> str:
+    return """
+    SELECT doc_id, 'image/fake' AS mime,
+      CAST(octet_length(encode(text)) AS INT) AS width,
+      1 AS height,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -1149,9 +1488,18 @@ def _oracle_queries() -> dict[str, str]:
         "knn_cosine": _knn_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "events_windowed": _events_windowed_sql(),
+        "type_inference": _type_inference_sql(),
+        "adaptive_thresholds": _adaptive_thresholds_sql(),
+        "drift_severity": _severity_sql(),
+        "schema_drift": _schema_drift_sql(),
+        "corr_groups": _corr_groups_sql(),
+        "multimodal_meta": _multimodal_meta_sql(),
         # dedup_minhash_lsh / dedup_simhash / ann_lsh are rows-only:
         # banding/hash internals have no SQL oracle; their recall is
         # test-verified against the exact baselines above.
+        # image_features / frame_sample / pca_anomaly are rows-only:
+        # byte-level UDF math and iterative PCA fits have no SQL oracle;
+        # values are unit-tested.
     }
 
 
@@ -1198,6 +1546,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
+        "type_inference": q_type_inference,
+        "adaptive_thresholds": q_adaptive_thresholds,
+        "drift_severity": q_drift_severity,
+        "schema_drift": q_schema_drift,
+        "corr_groups": q_corr_groups,
+        "multimodal_meta": q_multimodal_meta,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "pca_anomaly": q_pca_anomaly,
     }
 
 
