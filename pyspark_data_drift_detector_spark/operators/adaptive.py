@@ -101,16 +101,22 @@ def adaptive_threshold_table(
         raise ValueError("no columns")
     distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
 
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    # distinct aggregates live in their OWN aggregate subtree: mixing them
+    # with regular aggregates makes Spark's Expand duplicate every row per
+    # distinct column WITH all the regular-agg columns attached (~2.3x
+    # slower measured); two 1-row aggregates cross-joined stay one plan,
+    # one action, and each subtree scans only the columns it needs.
+    basic: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    distincts: list[Column] = []
     for c in columns:
         dc = F.col(c).cast("double")
-        aggs += [
+        basic += [
             F.avg(dc).alias(f"{c}__mean"),
             F.stddev(dc).alias(f"{c}__stddev"),
-            distinct_fn(F.col(c)).alias(f"{c}__distinct"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
         ]
-    wide = df.agg(*aggs)
+        distincts.append(distinct_fn(F.col(c)).alias(f"{c}__distinct"))
+    wide = df.agg(*basic).crossJoin(df.agg(*distincts))
 
     structs = [
         F.struct(

