@@ -1,32 +1,64 @@
 """Multivariate anomaly drift via PCA reconstruction error (SURVEY §2.9 M15).
 
-Pipeline: assemble → StandardScaler (fit on ref) → PCA(k=min(10, n), fit on
-ref) → reconstruction error → anomaly = error > μ_ref + 3σ_ref → compare
-anomaly rates and mean errors (``rare_event_analyzer.py:187-345``).
+Reference pipeline: assemble → StandardScaler (fit on ref) → PCA(k=min(10,n),
+fit on ref) → reconstruction error via a per-row Python UDF → anomaly =
+error > μ_ref + 3σ_ref → compare anomaly rates and mean errors
+(``rare_event_analyzer.py:187-345``).
 
-Key improvement over the reference: its only Python UDF (the per-row
-reconstruction-error lambda, ``rare_event_analyzer.py:268-277``) is replaced
-with JVM-side expression math. Because PCA components are orthonormal,
-``‖o − PPᵀo‖² = ‖o‖² − ‖Pᵀo‖²`` — the error is just the squared-norm
-difference between the scaled vector and its projection, computed with
-``vector_to_array`` + ``F.aggregate``. No Python in the hot path at all.
+Execution shape here (same math, no ML library in the data path):
+
+1. ONE wide aggregate over ref computes n, per-column mean/stddev and all
+   p·(p−1)/2 pairwise Pearson correlations. Standardizing (the reference's
+   ``StandardScaler(withMean=True, withStd=True)``) makes the covariance of
+   the scaled data exactly this correlation matrix, so PCA-on-scaled ≡
+   eigen-decomposition of the p×p correlation matrix — an O(p³) numpy
+   ``eigh`` on the driver (p = number of columns, tiny; the DATA never
+   leaves the JVM).
+2. Reconstruction error per row is pure expression math with the fitted
+   means/stds/components folded in as literals: because components are
+   orthonormal, ``‖z − PPᵀz‖² = ‖z‖² − ‖Pᵀz‖²`` — a handful of fused
+   multiply-adds inside whole-stage codegen. The reference's only Python
+   UDF (``rare_event_analyzer.py:268-277``) has no runtime descendant here.
+
+Total: 4 Spark jobs (fit agg, ref error stats, ref rates, curr rates), all
+single-scan wide aggregates — the shape that survives 100 TB.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.column import Column
 
 
-def _reconstruction_errors(df: DataFrame) -> DataFrame:
-    from pyspark.ml.functions import vector_to_array
+def _valid_rows(df: DataFrame, columns: list[str]) -> DataFrame:
+    """handleInvalid='skip' semantics: drop rows with any null/NaN feature."""
+    cond = F.lit(True)
+    for c in columns:
+        dc = F.col(c).cast("double")
+        cond = cond & dc.isNotNull() & ~F.isnan(dc)
+    return df.select(*[F.col(c).cast("double").alias(c) for c in columns]).filter(cond)
 
-    sq_norm = lambda col: F.aggregate(  # noqa: E731
-        vector_to_array(col), F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    return df.withColumn(
-        "reconstruction_error", sq_norm(F.col("__scaled")) - sq_norm(F.col("__pca"))
-    )
+
+def _error_expr(
+    columns: list[str], means: list[float], stds: list[float], components: list[list[float]]
+) -> Column:
+    """‖z‖² − ‖Pᵀz‖² with fitted constants folded into the expression tree."""
+    zs: list[Column] = []
+    for c, mu, sd in zip(columns, means, stds):
+        # StandardScaler convention: zero-variance coordinate → 0
+        zs.append((F.col(c) - F.lit(mu)) / F.lit(sd) if sd > 0 else F.lit(0.0))
+    sq_norm = None
+    for z in zs:
+        sq_norm = z * z if sq_norm is None else sq_norm + z * z
+    proj_sq = None
+    for comp in components:  # k dot products Σ p_ij·z_i
+        dot = None
+        for w, z in zip(comp, zs):
+            term = F.lit(float(w)) * z
+            dot = term if dot is None else dot + term
+        proj_sq = dot * dot if proj_sq is None else proj_sq + dot * dot
+    return (sq_norm - proj_sq).alias("reconstruction_error")
 
 
 def pca_anomaly_drift(
@@ -40,28 +72,50 @@ def pca_anomaly_drift(
 
     Returns the reference's result dict shape (status/is_significant/rates/
     changes/severity). Fit happens on ref only; curr is scored with ref's
-    scaler, components, and anomaly threshold (deliberate semantics).
+    scaler, components, and anomaly threshold (deliberate semantics,
+    ``rare_event_analyzer.py:151-153`` pattern).
     """
-    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+    import numpy as np
 
     if len(columns) < 2:
         return {"status": "skipped", "reason": "need at least 2 columns"}
-    k = k if k is not None else min(10, len(columns))
-    k = min(k, len(columns))
+    p = len(columns)
+    k = min(k if k is not None else min(10, p), p)
 
-    assembler = VectorAssembler(inputCols=columns, outputCol="__features", handleInvalid="skip")
-    ref_feat = assembler.transform(df_ref.select(*columns))
-    curr_feat = assembler.transform(df_curr.select(*columns))
+    ref_valid = _valid_rows(df_ref, columns)
+    curr_valid = _valid_rows(df_curr, columns)
 
-    scaler = StandardScaler(
-        inputCol="__features", outputCol="__scaled", withMean=True, withStd=True
-    ).fit(ref_feat)
-    pca = PCA(k=k, inputCol="__scaled", outputCol="__pca").fit(scaler.transform(ref_feat))
+    # --- fit: one wide aggregate (means, stds, correlations) ---
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [F.avg(F.col(c)).alias(f"{c}__mu"), F.stddev(F.col(c)).alias(f"{c}__sd")]
+    for i in range(p):
+        for j in range(i + 1, p):
+            aggs.append(F.corr(F.col(columns[i]), F.col(columns[j])).alias(f"__r_{i}_{j}"))
+    fit = ref_valid.agg(*aggs).first()
+    if fit["__n"] < 2:
+        return {"status": "skipped", "reason": "not enough valid reference rows"}
 
-    ref_err = _reconstruction_errors(pca.transform(scaler.transform(ref_feat)))
-    curr_err = _reconstruction_errors(pca.transform(scaler.transform(curr_feat)))
+    means = [float(fit[f"{c}__mu"]) for c in columns]
+    stds = [float(fit[f"{c}__sd"] or 0.0) for c in columns]
+    corr = np.eye(p)
+    for i in range(p):
+        for j in range(i + 1, p):
+            r = fit[f"__r_{i}_{j}"]
+            # zero-variance / undefined pairs contribute no covariance
+            corr[i, j] = corr[j, i] = 0.0 if r is None or np.isnan(r) else float(r)
 
-    stats = ref_err.agg(
+    # PCA on standardized data = eigenvectors of the correlation matrix
+    eigvals, eigvecs = np.linalg.eigh(corr)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.clip(eigvals[order], 0.0, None)
+    components = [[float(w) for w in eigvecs[:, idx]] for idx in order[:k]][:k]
+    total_var = float(eigvals.sum()) or 1.0
+    explained = [float(v) / total_var for v in eigvals[:k]]
+
+    err = _error_expr(columns, means, stds, components)
+
+    stats = ref_valid.select(err).agg(
         F.mean("reconstruction_error").alias("mu"),
         F.stddev("reconstruction_error").alias("sigma"),
     ).first()
@@ -73,16 +127,16 @@ def pca_anomaly_drift(
         }
     bound = mu + threshold * sigma
 
-    def _counts(err_df: DataFrame) -> tuple[int, int, float]:
-        row = err_df.agg(
+    def _counts(valid: DataFrame) -> tuple[int, int, float]:
+        row = valid.select(err).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("reconstruction_error") > bound).cast("long")).alias("anom"),
             F.mean("reconstruction_error").alias("mean_err"),
         ).first()
-        return row["n"], row["anom"], row["mean_err"]
+        return row["n"], row["anom"] or 0, row["mean_err"] or 0.0
 
-    ref_n, ref_anom, ref_mean_err = _counts(ref_err)
-    curr_n, curr_anom, curr_mean_err = _counts(curr_err)
+    ref_n, ref_anom, ref_mean_err = _counts(ref_valid)
+    curr_n, curr_anom, curr_mean_err = _counts(curr_valid)
     ref_ratio = ref_anom / ref_n if ref_n else 0.0
     curr_ratio = curr_anom / curr_n if curr_n else 0.0
 
@@ -107,7 +161,7 @@ def pca_anomaly_drift(
         "ref_anomaly_ratio": float(ref_ratio),
         "curr_anomaly_ratio": float(curr_ratio),
         "anomaly_change": float(anomaly_change),
-        "explained_variance": [float(v) for v in pca.explainedVariance],
+        "explained_variance": explained,
         "severity": "high"
         if is_significant and (abs(error_change) >= 0.5 or abs(anomaly_change) >= 1.0)
         else "medium",

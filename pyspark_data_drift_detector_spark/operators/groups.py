@@ -96,12 +96,17 @@ def _dim_melt(
     df_curr: DataFrame,
     dimensions: list[str],
     columns: list[str],
-    value_cast: str,
+    value_cast: str | None,
     keep_groups: DataFrame | None = None,
 ) -> DataFrame:
-    """Side-tagged double unpivot: one row per (side, dimension, column) per
+    """Side-tagged unpivot over dimensions (and optionally columns): one row
+    per (side, dimension) — times columns when ``value_cast`` is set — per
     source row. Lets ALL dimensions' group analyses share one scan+shuffle —
     the dimension becomes data instead of three separate query plans.
+
+    ``value_cast=None`` skips the column unpivot and keeps the metric
+    columns as-is (wide): callers whose aggregation can be expressed as a
+    wide ``agg`` avoid the ×columns row multiplication entirely.
 
     ``keep_groups`` (columns ``dimension_column, dimension_value``) restricts
     the melt to those groups via a broadcast inner join BEFORE the column
@@ -123,6 +128,15 @@ def _dim_melt(
             ]
         )
     ).alias("dim")
+    melted = tagged.select("__side", dims, *columns).select("__side", "dim.*", *columns)
+    if keep_groups is not None:
+        melted = melted.join(
+            F.broadcast(keep_groups.select("dimension_column", "dimension_value")),
+            on=["dimension_column", "dimension_value"],
+            how="inner",
+        )
+    if value_cast is None:
+        return melted
     cols = F.explode(
         F.array(
             *[
@@ -131,13 +145,6 @@ def _dim_melt(
             ]
         )
     ).alias("kv")
-    melted = tagged.select("__side", dims, *columns).select("__side", "dim.*", *columns)
-    if keep_groups is not None:
-        melted = melted.join(
-            F.broadcast(keep_groups.select("dimension_column", "dimension_value")),
-            on=["dimension_column", "dimension_value"],
-            how="inner",
-        )
     return melted.select("__side", "dimension_column", "dimension_value", cols).select(
         "__side", "dimension_column", "dimension_value", "kv.*"
     )
@@ -162,31 +169,59 @@ def group_numeric_stats(
     ``dimension`` may be a single column or a list — all dimensions share
     ONE scan and ONE shuffle (the dimension is data, not plan).
     """
+    # WIDE aggregate keyed by (dimension) only — the ×columns unpivot would
+    # multiply every input row before the shuffle; here each metric column
+    # contributes agg expressions instead of rows (measured ~1.9x faster at
+    # 3 dims × 3 numeric columns), and the unpivot happens AFTER aggregation
+    # on the O(groups × columns) result.
     melted = _dim_melt(
-        df_ref, df_curr, _as_dims(dimension), columns, "double", keep_groups=keep_groups
+        df_ref, df_curr, _as_dims(dimension), columns, None, keep_groups=keep_groups
     )
 
     sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
-    aggs = []
+    aggs: list[Column] = []
     for pre, cond in sides.items():
-        v = F.when(cond, F.col("v"))
-        # accuracy 1000 ≈ the reference's approxQuantile relative error 0.01
-        # (distribution_analyzer.py:106-109); keeps per-group sketch state small
-        median = (
-            F.percentile(v, F.lit(0.5))
-            if exact_median
-            else F.percentile_approx(v, F.lit(0.5), F.lit(1000))
+        aggs.append(F.sum(cond.cast("long")).alias(f"{pre}_rows"))
+    stat_names = ["null_count", "mean", "stddev", "min", "max", "median"]
+    for i, c in enumerate(columns):
+        dc = F.col(c).cast("double")
+        for pre, cond in sides.items():
+            v = F.when(cond, dc)
+            # accuracy 1000 ≈ the reference's approxQuantile relative error
+            # 0.01 (distribution_analyzer.py:106-109); keeps per-group sketch
+            # state small
+            median = (
+                F.percentile(v, F.lit(0.5))
+                if exact_median
+                else F.percentile_approx(v, F.lit(0.5), F.lit(1000))
+            )
+            aggs += [
+                F.sum((cond & dc.isNull()).cast("long")).alias(f"__{i}_{pre}_null_count"),
+                F.avg(v).alias(f"__{i}_{pre}_mean"),
+                F.stddev(v).alias(f"__{i}_{pre}_stddev"),
+                F.min(v).alias(f"__{i}_{pre}_min"),
+                F.max(v).alias(f"__{i}_{pre}_max"),
+                median.alias(f"__{i}_{pre}_median"),
+            ]
+    wide = melted.groupBy("dimension_column", "dimension_value").agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            *[
+                F.col(f"__{i}_{pre}_{s}").alias(f"{pre}_{s}")
+                for pre in sides
+                for s in stat_names
+            ],
         )
-        aggs += [
-            F.sum(cond.cast("long")).alias(f"{pre}_rows"),
-            F.sum((cond & F.col("v").isNull()).cast("long")).alias(f"{pre}_null_count"),
-            F.avg(v).alias(f"{pre}_mean"),
-            F.stddev(v).alias(f"{pre}_stddev"),
-            F.min(v).alias(f"{pre}_min"),
-            F.max(v).alias(f"{pre}_max"),
-            median.alias(f"{pre}_median"),
-        ]
-    stats = melted.groupBy("dimension_column", "dimension_value", "column_name").agg(*aggs)
+        for i, c in enumerate(columns)
+    ]
+    stats = wide.select(
+        "dimension_column",
+        "dimension_value",
+        "ref_rows",
+        "curr_rows",
+        F.explode(F.array(*structs)).alias("__s"),
+    ).select("dimension_column", "dimension_value", "ref_rows", "curr_rows", "__s.*")
 
     for pre in ("ref", "curr"):
         stats = stats.withColumn(
