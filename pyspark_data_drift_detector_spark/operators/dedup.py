@@ -236,10 +236,9 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode(tokens_expr(F.col(text_col))).alias("token"),
     ).withColumn("h", F.xxhash64(F.col("token")))
+    # branch-free ±1 vote: (bit<<1) − 1 — keeps the 64-aggregate codegen small
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy("id").agg(*votes)

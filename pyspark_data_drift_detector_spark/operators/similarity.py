@@ -128,12 +128,17 @@ def lsh_topk(
         "neighbor_id",
         "ce",
     )
+    # score BEFORE deduping across bands: the duplicate-collapse then shuffles
+    # only (query_id, neighbor_id, cosine) scalars instead of a distinct over
+    # the full embedding arrays (cosine is identical across a pair's bands,
+    # so max == any; re-scoring a ≤bands-duplicated candidate is cheap CPU
+    # next to shuffling 64-double arrays)
     candidates = (
         c.join(q, ["band", "key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qe", "neighbor_id", "ce")
-        .distinct()
         .withColumn("cosine", cosine_expr(F.col("qe"), F.col("ce")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
