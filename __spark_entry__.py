@@ -428,6 +428,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["cosine"])
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5 (deterministic centroids + nprobe=2 cell probing)
+    — fully oracle-checked: every step (coarse quantization, inverted-file
+    assignment, probe, re-rank) is replayed in SQL."""
+    from pyspark_data_drift_detector_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2)
+    return _round_cols(out, ["cosine"])
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
     from pyspark_data_drift_detector_spark.operators.dedup import embedding_neardup_pairs
@@ -1247,6 +1258,39 @@ def _knn_sql() -> str:
     FROM s WHERE rnk <= 5"""
 
 
+def _ann_ivf_sql() -> str:
+    """SQL replay of ivf_topk(n_centroids=16, nprobe=2, k=5): centroids are
+    the first 16 corpus vectors by id; corpus vectors join their single
+    nearest cell, queries probe their 2 nearest cells."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+      FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+    c_assign AS (
+      SELECT neighbor_id, e, centroid_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.embedding::DOUBLE[] AS e, cent.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], cent.ce) DESC,
+                     cent.centroid_id ASC) AS r
+        FROM embeddings v CROSS JOIN cent) WHERE r = 1),
+    q_assign AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qe, cent.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], cent.ce) DESC,
+                     cent.centroid_id ASC) AS r
+        FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 10) WHERE r <= 2),
+    s AS (
+      SELECT qa.query_id, ca.neighbor_id,
+        list_cosine_similarity(qa.qe, ca.e) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY qa.query_id
+          ORDER BY list_cosine_similarity(qa.qe, ca.e) DESC, ca.neighbor_id ASC) AS rnk
+      FROM q_assign qa JOIN c_assign ca
+        ON qa.centroid_id = ca.centroid_id AND ca.neighbor_id <> qa.query_id)
+    SELECT query_id, neighbor_id, ROUND(sim, {ROUND}) AS cosine, CAST(rnk AS INT) AS "rank"
+    FROM s WHERE rnk <= 5"""
+
+
 def _embedding_neardup_sql(threshold: float = 0.9) -> str:
     return f"""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1486,6 +1530,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_exact": _dedup_exact_sql(),
         "dedup_jaccard": _jaccard_sql(),
         "knn_cosine": _knn_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "events_windowed": _events_windowed_sql(),
         "type_inference": _type_inference_sql(),
@@ -1544,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
         "type_inference": q_type_inference,
