@@ -83,6 +83,87 @@ def stream_windowed_profile(
     return windowed_profile(stream, ts_col, window_duration, keys, value_col)
 
 
+RUNNING_PROFILE_OUTPUT_SCHEMA = (
+    "event_type string, n long, null_count long, mean double, stddev double, "
+    "min double, max double, batches long"
+)
+_RUNNING_PROFILE_STATE_SCHEMA = (
+    "n long, null_count long, mean double, m2 double, min double, max double, batches long"
+)
+
+
+def _running_profile_update(key, pdfs, state):
+    """applyInPandasWithState update function: merge each micro-batch into the
+    per-key running profile with Chan's parallel variance formula (exact —
+    the merged (n, mean, M2) equals a single-pass computation over all rows
+    ever seen, so the streaming answer converges to the batch answer)."""
+    import pandas as pd
+
+    (event_type,) = key
+    n, null_count, mean, m2, vmin, vmax, batches = (
+        state.get if state.exists else (0, 0, 0.0, 0.0, None, None, 0)
+    )
+    for pdf in pdfs:
+        null_count += int(pdf["value"].isna().sum())
+        vals = pdf["value"].dropna().to_numpy(dtype="float64")
+        bn = len(vals)
+        if bn:
+            bmean = float(vals.mean())
+            bm2 = float(((vals - bmean) ** 2).sum())
+            delta = bmean - mean
+            tot = n + bn
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            mean = mean + delta * bn / tot
+            n = tot
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+    batches += 1
+    state.update((n, null_count, mean, m2, vmin, vmax, batches))
+    stddev = (m2 / (n - 1)) ** 0.5 if n > 1 else None
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": event_type,
+                "n": n,
+                "null_count": null_count,
+                "mean": mean if n else None,
+                "stddev": stddev,
+                "min": vmin,
+                "max": vmax,
+                "batches": batches,
+            }
+        ]
+    )
+
+
+def stateful_running_profile(
+    df: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-key running profile across micro-batches.
+
+    ``applyInPandasWithState`` keeps (n, null_count, mean, M2, min, max) per
+    key in the state store; each micro-batch Arrow-merges its rows into the
+    state (Welford/Chan — numerically stable, exact) and emits the updated
+    cumulative profile. This is the unbounded-baseline counterpart to
+    ``windowed_profile``: no window boundary ever evicts the baseline, yet
+    state stays O(keys) — the shape ``groupBy().agg()`` cannot express on a
+    stream without unbounded buffering.
+
+    Beyond the reference's surface (SURVEY §2.10: it has no streaming at
+    all). Works on a streaming DataFrame; per-key output after each batch.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    return df.groupBy(*keys).applyInPandasWithState(
+        _running_profile_update,
+        outputStructType=RUNNING_PROFILE_OUTPUT_SCHEMA,
+        stateStructType=_RUNNING_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_drift_alerts(
     profile_stream: DataFrame,
     baseline: DataFrame,

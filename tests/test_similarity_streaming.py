@@ -158,6 +158,58 @@ def test_streaming_end_to_end(spark, sf_dir, tmp_path):
         assert batch_rows[key] == vals
 
 
+def test_stateful_running_profile(spark, tmp_path):
+    """applyInPandasWithState across TWO micro-batches: per-key Welford state
+    must accumulate (batch 2's cumulative profile covers both files) and the
+    final numbers must match a plain batch aggregate over all rows."""
+    import pandas as pd
+
+    from pyspark_data_drift_detector_spark.streaming.profiles import stateful_running_profile
+
+    stream_dir = tmp_path / "running_stream"
+    stream_dir.mkdir()
+    pd.DataFrame(
+        {"event_type": ["click", "click", "view"], "value": [1.0, 3.0, 10.0]}
+    ).to_parquet(stream_dir / "f0.parquet")
+    pd.DataFrame(
+        {"event_type": ["click", "view"], "value": [5.0, None]}
+    ).to_parquet(stream_dir / "f1.parquet")
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(stream_dir))
+    )
+    out = stateful_running_profile(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_profile_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_profile_test").collect()
+
+    # the final (max-batches) row per key is the cumulative profile
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["batches"] > cur["batches"]:
+            final[r["event_type"]] = r
+    clicks = final["click"]
+    assert clicks["batches"] == 2  # state survived across micro-batches
+    assert clicks["n"] == 3
+    assert clicks["mean"] == pytest.approx(3.0)
+    assert clicks["stddev"] == pytest.approx(2.0)  # sample stddev of 1,3,5
+    assert (clicks["min"], clicks["max"]) == (1.0, 5.0)
+    views = final["view"]
+    assert views["n"] == 1 and views["null_count"] == 1
+    assert views["mean"] == pytest.approx(10.0)
+    assert views["stddev"] is None
+
+
 def test_streaming_drift_alerts(spark):
     baseline = spark.createDataFrame(
         [("click", 2.0, 1.0)], "event_type string, mean double, stddev double"
