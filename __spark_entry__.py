@@ -420,7 +420,9 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (rows-only; recall tested vs exact)."""
+    """Hyperplane-LSH approximate top-5; the seeded hyperplanes are
+    deterministic constants, so the full pipeline (sign bits, band keys,
+    collisions, re-rank) is value-checked against a SQL replay."""
     from pyspark_data_drift_detector_spark.operators.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -1258,6 +1260,49 @@ def _knn_sql() -> str:
     FROM s WHERE rnk <= 5"""
 
 
+def _ann_lsh_sql() -> str:
+    """SQL replay of lsh_topk(dim=64, n_planes=16, bands=8): the seeded
+    hyperplanes are deterministic Python constants, so they inline as list
+    literals; sign-bit signatures, 2-bit band keys, band-collision
+    candidates, and the exact cosine re-rank are all plain SQL. Both engines
+    compute the plane dot product as a sequential double fold, so the sign
+    bits agree bit-for-bit."""
+    from pyspark_data_drift_detector_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 16, seed=42)
+    bit_exprs = ",\n        ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) > 0 THEN 1 ELSE 0 END"
+        for plane in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sigs AS (
+      SELECT vec_id, e, [
+        {bit_exprs}
+      ] AS bits FROM v),
+    banded AS (
+      SELECT vec_id, e, b.band,
+        bits[2 * b.band + 1] + 2 * bits[2 * b.band + 2] AS key
+      FROM sigs, (SELECT unnest(range(8)) AS band) b),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q JOIN banded c
+        ON q.band = c.band AND q.key = c.key AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        list_cosine_similarity(qv.e, cv.e) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY cand.query_id
+          ORDER BY list_cosine_similarity(qv.e, cv.e) DESC, cand.neighbor_id ASC) AS rnk
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(sim, {ROUND}) AS cosine, CAST(rnk AS INT) AS "rank"
+    FROM s WHERE rnk <= 5"""
+
+
 def _ann_ivf_sql() -> str:
     """SQL replay of ivf_topk(n_centroids=16, nprobe=2, k=5): centroids are
     the first 16 corpus vectors by id; corpus vectors join their single
@@ -1530,6 +1575,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_exact": _dedup_exact_sql(),
         "dedup_jaccard": _jaccard_sql(),
         "knn_cosine": _knn_sql(),
+        "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "events_windowed": _events_windowed_sql(),
