@@ -61,16 +61,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the harness ``events`` table, handling its TIMESTAMP(NANOS) column.
+    """Load the harness ``events`` table with ``ts`` normalized to a timestamp.
 
-    Spark's parquet reader rejects INT64 nanosecond timestamps
-    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
-    they read as long nanos, converted here to a microsecond timestamp via
-    integer division (no float rounding).
+    The driver's testdata has shipped ``ts`` as three different physical
+    types across rounds, so dispatch on the read schema:
+
+    - ``timestamp``/``timestamp_ntz`` (current testdata): already usable;
+      cast NTZ to session-zone timestamp for uniform downstream semantics.
+    - INT64 nanos (older testdata): Spark rejects TIMESTAMP(NANOS) parquet
+      unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case
+      it reads as long nanos — converted via integer division (no float
+      rounding) to a microsecond timestamp.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def latest_version(spark: SparkSession, table_path: str) -> int:

@@ -77,8 +77,10 @@ def stream_windowed_profile(
     stream = reader.parquet(source_path)
     ts_type = dict(stream.dtypes).get(ts_col)
     if ts_type == "bigint":
-        # harness events carry nanosecond-epoch longs (see sources.load_events)
+        # older harness events carry nanosecond-epoch longs (see sources.load_events)
         stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif ts_type is not None and ts_type != "timestamp":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     stream = stream.withWatermark(ts_col, watermark)
     return windowed_profile(stream, ts_col, window_duration, keys, value_col)
 

@@ -124,7 +124,9 @@ def test_streaming_end_to_end(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
 
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # file streams need an explicit schema; take it from a batch read so the
+    # test tracks whatever physical ts type the harness parquet ships
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_df = stream_windowed_profile(
         spark, str(stream_dir), schema=schema, window_duration="1 day"
     )
