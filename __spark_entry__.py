@@ -392,20 +392,22 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check —
-    LSH banding has no SQL oracle; recall is validated in tests against
-    the exact jaccard_pairs baseline)."""
+    """MinHash+LSH near-dup pairs, Jaccard-verified. Runs the md5 affine
+    hash family so the full banding algebra (signature → band → candidate →
+    verify) replays value-for-value in the DuckDB oracle; production default
+    stays xxhash64 (same plan, cheaper hash)."""
     from pyspark_data_drift_detector_spark.operators.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.3)
+    out = minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.3, hash_family="md5")
     return _round_cols(out.select("id1", "id2", "jaccard"), ["jaccard"])
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance (rows-only check)."""
+    """SimHash near-dup pairs by Hamming distance, md5 60-bit family for
+    full SQL replay (bit votes, band keys, XOR popcount)."""
     from pyspark_data_drift_detector_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_documents(spark, sf_dir), max_distance=8).select(
+    return simhash_pairs(_documents(spark, sf_dir), max_distance=8, hash_family="md5").select(
         "id1", "id2", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -1252,6 +1254,70 @@ def _jaccard_sql(threshold: float = 0.3) -> str:
     WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= {threshold}"""
 
 
+def _minhash_lsh_sql(threshold: float = 0.3) -> str:
+    """Full SQL replay of minhash_lsh_pairs(hash_family='md5'): the same
+    md5-derived 60-bit shingle hash, the same seeded affine (a,b) constants
+    (inlined as a VALUES list), band keys as ordered row-value lists, and
+    exact-Jaccard verification restricted to band-collision candidates."""
+    from pyspark_data_drift_detector_spark.operators.dedup import MERSENNE31, affine_params
+
+    params = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(affine_params(64))
+    )
+    p = MERSENNE31
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks)),
+    u AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS u FROM sh),
+    params AS (SELECT * FROM (VALUES {params}) p(i, a, b)),
+    sigs AS (SELECT doc_id, i, MIN((a * u + b) % {p}) AS h
+             FROM u CROSS JOIN params GROUP BY 1, 2),
+    bands AS (SELECT doc_id, i // 4 AS band, list(h ORDER BY i) AS key
+              FROM sigs GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id1, id2,
+      ROUND(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), {ROUND}) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = shared.id1
+    JOIN sizes s2 ON s2.doc_id = shared.id2
+    WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= {threshold}"""
+
+
+def _simhash_sql(max_distance: int = 8) -> str:
+    """SQL replay of simhash_pairs(hash_family='md5'): 60-bit md5 token
+    hashes, per-bit ±1 votes, signature reconstruction, 15-bit band keys,
+    and XOR-popcount Hamming verification."""
+    return f"""
+    WITH toks AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+    u AS (SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS u FROM toks),
+    votes AS (SELECT doc_id, i, SUM(((u >> i) & 1) * 2 - 1) AS v
+              FROM u CROSS JOIN range(60) r(i) GROUP BY 1, 2),
+    sigs AS (SELECT doc_id,
+        SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sig
+      FROM votes GROUP BY 1),
+    bands AS (SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS key
+              FROM sigs CROSS JOIN range(4) rb(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                    a.sig AS sig1, b.sig AS sig2
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig1, sig2)) <= {max_distance}"""
+
+
 def _knn_sql() -> str:
     return f"""
     WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
@@ -1580,6 +1646,8 @@ def _oracle_queries() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "dedup_jaccard": _jaccard_sql(),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
         "knn_cosine": _knn_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),

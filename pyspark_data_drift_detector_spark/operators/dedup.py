@@ -43,6 +43,37 @@ def _reuse(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+#: modulus of the oracle-replayable affine hash family (Mersenne prime 2^31-1:
+#: products a*u stay < 2^62, so the math never overflows int64 in either engine)
+MERSENNE31 = 2_147_483_647
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from the md5 hex digest.
+
+    Both Spark (``conv(substring(md5(s),1,15),16,10)``) and DuckDB
+    (``('0x'||substring(md5(s),1,15))::BIGINT``) compute the identical value,
+    which makes every hash-derived structure (MinHash signatures, LSH bands,
+    SimHash bit votes) replayable in the SQL oracle. Production paths keep
+    xxhash64 (one JVM-codegen'd instruction vs an md5 digest per row); this
+    family exists so the banding algebra itself is value-verified.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def affine_params(num_hashes: int, seed: int = 61) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficients for the universal affine family
+    ``h_i(u) = (a_i*u + b_i) mod MERSENNE31`` — deterministic, so the same
+    constants inline into both the Spark plan and the oracle SQL text."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (space-joined) of a text column."""
     toks = tokens_expr(text)
@@ -132,6 +163,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """MinHash signature per document: ``min(xxhash64(xxhash64(shingle), i))``.
 
@@ -141,14 +173,26 @@ def minhash_signatures(
     8-byte long (re-keyed xxhash64), so per-row cost is num_hashes fixed-width
     hashes instead of num_hashes variable-length string hashes (~2x measured;
     the derived family has the same min-wise uniformity).
+
+    ``hash_family="md5"`` switches to the oracle-replayable affine family:
+    ``u = md5_hash60(shingle) mod p``, ``h_i = (a_i*u + b_i) mod p`` with
+    seeded ``affine_params`` constants — identical values computable in
+    DuckDB SQL, used by the correctness harness to value-verify the banding
+    algebra. Same algorithm, same plan shape; only the hash function differs.
     """
-    index = _shingle_index(df, text_col, id_col, k).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    index = _shingle_index(df, text_col, id_col, k)
+    if hash_family == "md5":
+        index = index.withColumn("h", md5_hash60(F.col("shingle")) % MERSENNE31)
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+            for i, (a, b) in enumerate(affine_params(num_hashes))
+        ]
+    else:
+        index = index.withColumn("h", F.xxhash64(F.col("shingle")))
+        aggs = [
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return index.groupBy("id").agg(*aggs)
 
 
@@ -161,6 +205,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally Jaccard-verified.
 
@@ -170,18 +215,33 @@ def minhash_lsh_pairs(
     collision probability ≈ 1−(1−j^r)^b). With verify=True candidates are
     confirmed with exact Jaccard ≥ threshold, so LSH only affects recall,
     never precision.
+
+    ``hash_family="md5"`` uses the oracle-replayable signatures AND joins
+    bands on the raw row-value array instead of an opaque band hash, so the
+    SQL oracle reproduces candidate generation exactly.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "band_hash"
-            ),
-        )
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_family)
+    if hash_family == "md5":
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     banded = _reuse(
         sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
             "id", "bb.band", "bb.band_hash"
@@ -232,16 +292,25 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """64-bit SimHash per document from token xxhash64 bit votes.
 
     bit_i(sig) = 1 iff Σ_tokens (bit_i(hash(token)) ? +1 : −1) > 0.
     Explode + one groupBy with 64 conditional-sum aggregates — JVM-only.
+
+    ``hash_family="md5"`` votes on the 60 bits of ``md5_hash60(token)``
+    (DuckDB-replayable; callers should pass ``bits=60`` so the signature has
+    no dead bits). Default stays the full-width xxhash64.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_expr(F.col(text_col))).alias("token"),
-    ).withColumn("h", F.xxhash64(F.col("token")))
+    )
+    if hash_family == "md5":
+        toks = toks.withColumn("h", md5_hash60(F.col("token")))
+    else:
+        toks = toks.withColumn("h", F.xxhash64(F.col("token")))
     # branch-free ±1 vote: (bit<<1) − 1 — keeps the 64-aggregate codegen small
     votes = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
@@ -264,15 +333,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     bands: int = 4,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded blocking.
 
     Signatures split into ``bands`` 16-bit bands; by pigeonhole, any pair
     within Hamming distance < bands must agree on ≥1 band — candidates come
     from band-equality joins, then exact Hamming ≤ max_distance verifies.
+
+    ``hash_family="md5"`` uses 60-bit md5-derived signatures (15-bit bands)
+    so the whole pipeline — bit votes, band keys, XOR popcount — replays in
+    the DuckDB oracle.
     """
-    sig = simhash(df, text_col, id_col)
-    width = 64 // bands
+    bits = 60 if hash_family == "md5" else 64
+    sig = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family)
+    width = bits // bands
     mask = (1 << width) - 1
     band_structs = [
         F.struct(
