@@ -84,6 +84,39 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_js_full_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: JS distance over the FULL category support
+    (``distribution_analyzer.py:481-513``), distinct from the top-20 variant —
+    exercised on part columns whose cardinality (p_type ≈ 150) exceeds 20 so
+    the two supports genuinely differ."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
+
+    part = spark.read.parquet(f"{sf_dir.rstrip('/')}/part.parquet")
+    ref = part.filter(F.col("p_partkey") % 2 == 0)
+    curr = part.filter(F.col("p_partkey") % 2 == 1)
+    drift = categorical_drift(ref, curr, ["p_type", "p_brand"], top_k=None)
+    return _round_cols(drift.select("column_name", "js_distance"), ["js_distance"])
+
+
+def q_numeric_drift_rowpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: row-path drift score — mean of σ-normalized components
+    (null-frac diff, mean/median shifts, log₂ σ/range/IQR ratios, p95/p99
+    tail shifts; reference ``numerical_analyzer.py:278-558``)."""
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    drift = numeric_drift_pair(
+        ref,
+        curr,
+        columns=LINEITEM_NUMERIC,
+        quantiles=(0.25, 0.5, 0.75, 0.95, 0.99),
+        score_mode="row_path",
+    )
+    return _round_cols(
+        drift.select("column_name", "drift_score", "drift_severity"), ["drift_score"]
+    )
+
+
 def q_freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+W1: per-column category counts and normalized frequencies."""
     from pyspark_data_drift_detector_spark.operators.frequency import frequency_table
@@ -215,6 +248,30 @@ def q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             "severity",
         ),
         ["ref_freq", "curr_freq", "rel_change"],
+    )
+
+
+def q_rare_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: per-value rare-state transitions (``distribution_analyzer.py:366-383``)
+    on l_suppkey — at sf0.01 the even/odd split flips ~50 values across the
+    1% rare threshold, so change_type is exercised with real transitions."""
+    from pyspark_data_drift_detector_spark.operators.distribution import rare_value_changes
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = rare_value_changes(ref, curr, ["l_suppkey"], rare_threshold=0.01)
+    return _round_cols(
+        out.select(
+            "column_name",
+            "value",
+            "change_type",
+            "prev_freq",
+            "curr_freq",
+            F.col("prev_count").cast("long").alias("prev_count"),
+            F.col("curr_count").cast("long").alias("curr_count"),
+            "ref_rare",
+            "curr_rare",
+        ),
+        ["prev_freq", "curr_freq"],
     )
 
 
@@ -701,6 +758,87 @@ _REL = (
 )
 
 
+def _js_full_support_sql() -> str:
+    cols = ["p_type", "p_brand"]
+    return f"""
+    WITH refc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 0')}),
+         currc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 1')}),
+         aligned AS (
+           SELECT COALESCE(r.column_name, c.column_name) AS column_name,
+                  COALESCE(r.freq, 0.0) AS p, COALESCE(c.freq, 0.0) AS q
+           FROM refc r FULL OUTER JOIN currc c
+             ON r.column_name = c.column_name AND r.value = c.value)
+    SELECT column_name,
+      ROUND(SQRT(GREATEST(0.0, (
+        SUM(CASE WHEN p > 0 AND (p+q)/2 > 0 THEN p * LOG2(p / ((p+q)/2)) ELSE 0 END) +
+        SUM(CASE WHEN q > 0 AND (p+q)/2 > 0 THEN q * LOG2(q / ((p+q)/2)) ELSE 0 END)
+      ) / 2)), {ROUND}) AS js_distance
+    FROM aligned GROUP BY column_name"""
+
+
+def _numeric_drift_rowpath_sql() -> str:
+    """SQL replay of the M17 row-path score: each component NULL when the
+    reference's imperative code would not append it, mean over present ones."""
+    eps = "1e-10"
+    profile = lambda name, where: f"""{name} AS ({' UNION ALL '.join(
+        f'''SELECT '{c}' AS column_name,
+          CAST(COUNT({c}) AS BIGINT) AS n,
+          CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,
+          CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx,
+          COALESCE(CAST(AVG({c}) AS DOUBLE), 0.0) AS mean,
+          COALESCE(CAST(STDDEV_SAMP({c}) AS DOUBLE), 0.0) AS sd,
+          CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS p25,
+          COALESCE(CAST(quantile_cont({c}, 0.50) AS DOUBLE), 0.0) AS p50,
+          CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS p75,
+          CAST(quantile_cont({c}, 0.95) AS DOUBLE) AS p95,
+          CAST(quantile_cont({c}, 0.99) AS DOUBLE) AS p99
+        FROM lineitem WHERE {where}''' for c in LINEITEM_NUMERIC)})"""
+    tail = lambda p: (
+        f"CASE WHEN r.{p} IS NOT NULL AND c.{p} IS NOT NULL AND r.sd > {eps} "
+        f"THEN LEAST(ABS(c.{p} - r.{p}) / r.sd, 1.0) END"
+    )
+    comps = f"""comps AS (
+      SELECT r.column_name,
+        ABS(CASE WHEN c.n > 0 THEN CAST(c.null_count AS DOUBLE)/c.n ELSE 0.0 END
+          - CASE WHEN r.n > 0 THEN CAST(r.null_count AS DOUBLE)/r.n ELSE 0.0 END) AS c_null,
+        LEAST(ABS(c.mean - r.mean) / GREATEST(r.sd, {eps}), 1.0) AS c_mean,
+        CASE WHEN c.sd > {eps}
+          THEN LEAST(ABS(LN(c.sd / GREATEST(r.sd, {eps}))) / LN(2), 1.0) END AS c_std,
+        LEAST(ABS(c.p50 - r.p50) / GREATEST(r.sd, {eps}), 1.0) AS c_med,
+        CASE WHEN r.mn IS NOT NULL AND r.mx IS NOT NULL
+              AND c.mn IS NOT NULL AND c.mx IS NOT NULL THEN
+          CASE WHEN ABS(r.mx - r.mn) > {eps} AND (c.mx - c.mn) > {eps}
+            THEN LEAST(ABS(LN(((c.mx - c.mn) + {eps}) / ((r.mx - r.mn) + {eps}))) / LN(2), 1.0)
+          WHEN ABS(r.mx - r.mn) <= {eps} AND ABS(c.mx - c.mn) > {eps} THEN 1.0 END
+        END AS c_rng,
+        CASE WHEN r.p25 IS NOT NULL AND r.p75 IS NOT NULL AND c.p25 IS NOT NULL
+              AND c.p75 IS NOT NULL AND ABS(r.p75 - r.p25) > {eps} THEN
+          CASE WHEN (c.p75 - c.p25) > {eps}
+            THEN LEAST(ABS(LN(((c.p75 - c.p25) + {eps}) / ((r.p75 - r.p25) + {eps}))) / LN(2), 1.0)
+          ELSE 1.0 END
+        END AS c_iqr,
+        {tail('p95')} AS c_p95,
+        {tail('p99')} AS c_p99
+      FROM ref r JOIN curr c USING (column_name))"""
+    names = ["c_null", "c_mean", "c_std", "c_med", "c_rng", "c_iqr", "c_p95", "c_p99"]
+    total = " + ".join(f"COALESCE({n}, 0.0)" for n in names)
+    cnt = " + ".join(f"(CASE WHEN {n} IS NOT NULL THEN 1 ELSE 0 END)" for n in names)
+    return f"""
+    WITH {profile('ref', 'l_orderkey % 2 = 0')},
+         {profile('curr', 'l_orderkey % 2 = 1')},
+         {comps},
+         scored AS (
+           SELECT column_name,
+             GREATEST(0.0, LEAST(1.0,
+               COALESCE(({total}) / NULLIF({cnt}, 0), 0.0))) AS s
+           FROM comps)
+    SELECT column_name, ROUND(s, {ROUND}) AS drift_score,
+      CASE WHEN s < 0.1 THEN 'None' WHEN s < 0.25 THEN 'Low'
+           WHEN s < 0.5 THEN 'Medium' WHEN s < 0.75 THEN 'High'
+           ELSE 'Critical' END AS drift_severity
+    FROM scored"""
+
+
 def _numeric_drift_sql() -> str:
     rel = {
         "mean": _REL.format(rv="mean", cv="mean"),
@@ -948,6 +1086,30 @@ def _rare_categories_sql() -> str:
            ELSE (CASE WHEN ABS(rel_change) > 0.5 THEN 'high' ELSE 'medium' END) END AS severity
     FROM rare
     WHERE (ABS(rel_change) >= 0.3 OR ref_cnt = 0 OR curr_cnt = 0) AND category IS NOT NULL"""
+
+
+def _rare_values_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS value,
+        SUM(CASE WHEN {_REF_W} THEN 1 ELSE 0 END) AS rc,
+        SUM(CASE WHEN {_CURR_W} THEN 1 ELSE 0 END) AS cc
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(rc) AS rt, SUM(cc) AS ct FROM cells),
+    e AS (
+      SELECT value, rc, cc,
+        CAST(rc AS DOUBLE) / GREATEST(rt, 1) AS rf,
+        CAST(cc AS DOUBLE) / GREATEST(ct, 1) AS cf,
+        (rc > 0 AND CAST(rc AS DOUBLE) / GREATEST(rt, 1) <= 0.01) AS rr,
+        (cc > 0 AND CAST(cc AS DOUBLE) / GREATEST(ct, 1) <= 0.01) AS cr
+      FROM cells CROSS JOIN tot)
+    SELECT 'l_suppkey' AS column_name, value,
+      CASE WHEN cr AND NOT rr AND rc > 0 THEN 'new_rare'
+           WHEN rr AND NOT cr AND cc > 0 THEN 'disappeared_rare' END AS change_type,
+      ROUND(rf, {ROUND}) AS prev_freq, ROUND(cf, {ROUND}) AS curr_freq,
+      CAST(rc AS BIGINT) AS prev_count, CAST(cc AS BIGINT) AS curr_count,
+      rr AS ref_rare, cr AS curr_rare
+    FROM e"""
 
 
 def _outlier_sql() -> str:
@@ -1627,6 +1789,8 @@ def _oracle_queries() -> dict[str, str]:
     return {
         "numeric_profile": numeric_profile_sql,
         "numeric_drift": _numeric_drift_sql(),
+        "numeric_drift_rowpath": _numeric_drift_rowpath_sql(),
+        "js_full_support": _js_full_support_sql(),
         "freq_table": freq_sql,
         "categorical_drift": _categorical_drift_sql(),
         "entropy": entropy_sql,
@@ -1636,6 +1800,7 @@ def _oracle_queries() -> dict[str, str]:
         "dist_shape": _shape_sql(),
         "histogram": _histogram_sql(),
         "rare_categories": _rare_categories_sql(),
+        "rare_values": _rare_values_sql(),
         "outlier_drift": _outlier_sql(),
         "group_numeric_drift": _group_numeric_sql(),
         "group_drift": _group_drift_sql(),
@@ -1686,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "numeric_profile": q_numeric_profile,
         "numeric_drift": q_numeric_drift,
+        "numeric_drift_rowpath": q_numeric_drift_rowpath,
+        "js_full_support": q_js_full_support,
         "freq_table": q_freq_table,
         "categorical_drift": q_categorical_drift,
         "entropy": q_entropy,
@@ -1695,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_shape": q_dist_shape,
         "histogram": q_histogram,
         "rare_categories": q_rare_categories,
+        "rare_values": q_rare_values,
         "outlier_drift": q_outlier_drift,
         "group_numeric_drift": q_group_numeric_drift,
         "group_drift": q_group_drift,

@@ -184,10 +184,17 @@ def categorical_drift(
     df_curr: DataFrame,
     columns: list[str],
     thresholds: dict[str, float] | None = None,
-    top_k: int = 20,
+    top_k: int | None = 20,
     p_value_mode: str = "ladder",
 ) -> DataFrame:
     """Full categorical drift row per column (M6-M8, M18, M20 combined).
+
+    ``top_k``: the reference keeps TWO JS supports — the categorical analyzer
+    restricts each side to its top-20 categories
+    (``categorical_analyzer.py:148-161``) while the distribution analyzer
+    runs the full support (``distribution_analyzer.py:481-513``, M8).
+    ``top_k=None`` selects the full-support semantics; same plan, the rank
+    cap simply folds to TRUE.
 
     Execution shape: ONE scan of each side → side-tagged unpivot → one
     ``groupBy(column_name, value)`` shuffle (``pair_frequency_cells``) →
@@ -242,10 +249,16 @@ def categorical_drift(
             ),
         )
         .withColumn(
-            "member_ref", ~is_null_val & (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k)
+            "member_ref",
+            ~is_null_val
+            & (F.col("ref_cnt") > 0)
+            & (F.lit(True) if top_k is None else (F.col("rn_ref") <= top_k)),
         )
         .withColumn(
-            "member_curr", ~is_null_val & (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k)
+            "member_curr",
+            ~is_null_val
+            & (F.col("curr_cnt") > 0)
+            & (F.lit(True) if top_k is None else (F.col("rn_curr") <= top_k)),
         )
     )
 

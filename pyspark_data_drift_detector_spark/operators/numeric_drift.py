@@ -16,14 +16,27 @@ Semantics reproduced from the reference:
   (it emits ``std_dev_relative_diff``), so its std check is dead code; we
   implement the intent and compare the actual std_dev relative diff
   (SURVEY §7.4 risk 3).
-- severity bands ``result_handler.py:55-73``.
+- severity bands ``result_handler.py:55-73``;
+- M17 row-path score ``numerical_analyzer.py:278-558`` (components at
+  :331-413: null-fraction diff, σ-normalized mean/median shifts capped at 1,
+  log₂-ratio σ/range/IQR terms, σ-normalized p95/p99 tail shifts; score =
+  mean of the components that were actually appended) via
+  ``score_mode="row_path"``. The reference computes it with two collect()s
+  per column; here it is the same single profile aggregate plus expression
+  math — the components become an array, absent ones compact away, and the
+  mean is an ``aggregate`` lambda.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
+
+#: epsilon guarding the row-path divisions (numerical_analyzer.py:343)
+ROW_PATH_EPS = 1e-10
 
 # (metric, weight) — numerical_analyzer.py:253-260
 SCORE_WEIGHTS: dict[str, float] = {
@@ -65,6 +78,89 @@ def severity_expr(score: Column) -> Column:
     )
 
 
+def row_path_score_expr() -> Column:
+    """M17 drift score over ``ref_*``/``curr_*`` profile columns.
+
+    Reproduces ``numerical_analyzer.py:331-413,499-502`` exactly, including
+    its conditional component inclusion: a component that the reference's
+    imperative code never appends (e.g. the σ log-ratio when curr σ ≤ ε)
+    becomes NULL here and is compacted out before the mean, so the divisor
+    matches the reference's ``len(drift_components)``.
+
+    Notes pinned to the reference:
+    - null fractions divide by the NON-null count (``F.count(col)`` at
+      :303 is Spark's non-null count) — a quirk, reproduced as-is;
+    - mean/σ/median are ``na.fill(0.0)``-ed (:309-313) so those components
+      are always present;
+    - tail shifts divide by the *unfloored* ref σ and require σ_ref > ε.
+    """
+    eps = F.lit(ROW_PATH_EPS)
+    one = F.lit(1.0)
+    ln2 = F.lit(math.log(2.0))
+
+    mean_r = F.coalesce(F.col("ref_mean"), F.lit(0.0))
+    mean_c = F.coalesce(F.col("curr_mean"), F.lit(0.0))
+    std_r = F.coalesce(F.col("ref_stddev"), F.lit(0.0))
+    std_c = F.coalesce(F.col("curr_stddev"), F.lit(0.0))
+    med_r = F.coalesce(F.col("ref_p50"), F.lit(0.0))
+    med_c = F.coalesce(F.col("curr_p50"), F.lit(0.0))
+    std_safe = F.greatest(std_r, eps)
+
+    def null_frac(side: str) -> Column:
+        n = F.col(f"{side}_n")
+        return F.when(n > 0, F.col(f"{side}_null_count") / n).otherwise(F.lit(0.0))
+
+    c_null = F.abs(null_frac("curr") - null_frac("ref"))
+    c_mean = F.least(F.abs(mean_c - mean_r) / std_safe, one)
+    # appended only when curr σ > ε (:355-360)
+    c_std = F.when(std_c > eps, F.least(F.abs(F.log(std_c / std_safe)) / ln2, one))
+    c_med = F.least(F.abs(med_c - med_r) / std_safe, one)
+
+    have_rng = (
+        F.col("ref_min").isNotNull()
+        & F.col("ref_max").isNotNull()
+        & F.col("curr_min").isNotNull()
+        & F.col("curr_max").isNotNull()
+    )
+    rng_r = F.col("ref_max") - F.col("ref_min")
+    rng_c = F.col("curr_max") - F.col("curr_min")
+    # :370-382 — NB when |ref_range| > ε but curr_range ≤ ε nothing is appended
+    c_rng = F.when(
+        have_rng & (F.abs(rng_r) > eps) & (rng_c > eps),
+        F.least(F.abs(F.log((rng_c + eps) / (rng_r + eps))) / ln2, one),
+    ).when(have_rng & (F.abs(rng_r) <= eps) & (F.abs(rng_c) > eps), one)
+
+    have_iqr = (
+        F.col("ref_p25").isNotNull()
+        & F.col("ref_p75").isNotNull()
+        & F.col("curr_p25").isNotNull()
+        & F.col("curr_p75").isNotNull()
+    )
+    iqr_r = F.col("ref_p75") - F.col("ref_p25")
+    iqr_c = F.col("curr_p75") - F.col("curr_p25")
+    # :389-399 — when |ref_iqr| > ε the component is always appended
+    # (log ratio, or 1.0 for a collapsed curr IQR)
+    c_iqr = F.when(
+        have_iqr & (F.abs(iqr_r) > eps),
+        F.when(
+            iqr_c > eps, F.least(F.abs(F.log((iqr_c + eps) / (iqr_r + eps))) / ln2, one)
+        ).otherwise(one),
+    )
+
+    tails = [
+        F.when(
+            F.col(f"ref_{p}").isNotNull() & F.col(f"curr_{p}").isNotNull() & (std_r > eps),
+            F.least(F.abs(F.col(f"curr_{p}") - F.col(f"ref_{p}")) / std_r, one),
+        )
+        for p in ("p95", "p99")
+    ]
+
+    comps = F.array_compact(F.array(c_null, c_mean, c_std, c_med, c_rng, c_iqr, *tails))
+    mean_of = F.aggregate(comps, F.lit(0.0), lambda a, x: a + x) / F.size(comps)
+    score = F.when(F.size(comps) > 0, mean_of).otherwise(F.lit(0.0))
+    return F.greatest(F.lit(0.0), F.least(one, score))
+
+
 def _prefixed(profile: DataFrame, prefix: str) -> DataFrame:
     return profile.select(
         "column_name",
@@ -76,6 +172,7 @@ def numeric_drift(
     ref_profile: DataFrame,
     curr_profile: DataFrame,
     thresholds: dict[str, float] | None = None,
+    score_mode: str = "weighted",
 ) -> DataFrame:
     """Join ref/curr numeric profiles and compute the full drift row per column.
 
@@ -87,7 +184,7 @@ def numeric_drift(
     joined = _prefixed(ref_profile, "ref_").join(
         F.broadcast(_prefixed(curr_profile, "curr_")), on="column_name", how="full_outer"
     )
-    return numeric_drift_from_joined(joined, thresholds)
+    return numeric_drift_from_joined(joined, thresholds, score_mode=score_mode)
 
 
 def numeric_drift_pair(
@@ -95,6 +192,7 @@ def numeric_drift_pair(
     df_curr: DataFrame,
     columns: list[str] | None = None,
     thresholds: dict[str, float] | None = None,
+    score_mode: str = "weighted",
     **profile_kwargs,
 ) -> DataFrame:
     """Numeric drift from raw snapshots: ONE scan+agg job for both sides.
@@ -106,14 +204,21 @@ def numeric_drift_pair(
 
     profile_kwargs.setdefault("quantiles", (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
     joined = numeric_profile_pair(df_ref, df_curr, columns=columns, **profile_kwargs)
-    return numeric_drift_from_joined(joined, thresholds)
+    return numeric_drift_from_joined(joined, thresholds, score_mode=score_mode)
 
 
 def numeric_drift_from_joined(
     joined: DataFrame,
     thresholds: dict[str, float] | None = None,
+    score_mode: str = "weighted",
 ) -> DataFrame:
-    """Drift expressions over a table with ``ref_*``/``curr_*`` stat columns."""
+    """Drift expressions over a table with ``ref_*``/``curr_*`` stat columns.
+
+    ``score_mode``: ``"weighted"`` (dict-path, ``numerical_analyzer.py:253-272``,
+    the default) or ``"row_path"`` (M17, mean-of-components — requires
+    p95/p99 in the joined profile). Both reference scorers coexist; only
+    ``drift_score`` (and the severity derived from it) changes.
+    """
     th = dict(DEFAULT_NUM_THRESHOLDS)
     th.update(thresholds or {})
 
@@ -148,10 +253,15 @@ def numeric_drift_from_joined(
         m = F.col(metric)
         contrib = contrib + F.when(m.isNotNull(), F.abs(m) * F.lit(w)).otherwise(F.lit(0.0))
         weight_mass = weight_mass + F.when(m.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
-    joined = joined.withColumn(
-        "drift_score",
-        F.when(weight_mass > 0, F.least(F.lit(1.0), contrib / weight_mass)).otherwise(F.lit(0.0)),
-    )
+    if score_mode == "row_path":
+        joined = joined.withColumn("drift_score", row_path_score_expr())
+    else:
+        joined = joined.withColumn(
+            "drift_score",
+            F.when(weight_mass > 0, F.least(F.lit(1.0), contrib / weight_mass)).otherwise(
+                F.lit(0.0)
+            ),
+        )
 
     # drift decision + causes (numerical_analyzer.py:68-91)
     cause_checks = [
