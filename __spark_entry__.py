@@ -84,6 +84,67 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_categorical_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 exact-p path: the true chi² survival function
+    (``p_value_mode='exact'``, the engine's incomplete-gamma implementation)
+    value-verified on orders columns whose supports give EVEN dof (2 and 4),
+    where sf(χ², 2k) = exp(−χ²/2)·Σ_{i<k}(χ²/2)^i/i! is closed-form in SQL."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0)
+    curr = orders.filter(F.col("o_orderkey") % 2 == 1)
+    drift = categorical_drift(
+        ref, curr, ["o_orderstatus", "o_orderpriority"], p_value_mode="exact"
+    )
+    return _round_cols(
+        drift.select(
+            "column_name",
+            "chi_square",
+            F.col("degrees_of_freedom").cast("int").alias("degrees_of_freedom"),
+            "p_value",
+        ),
+        ["chi_square", "p_value"],
+    )
+
+
+def q_complex_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/P7: null/empty/avg-size drift for struct/array/map columns
+    (``schema_analyzer.py:157-345``). The testdata has no native complex
+    columns, so deterministic ones are derived from documents — an array
+    (tokens, with seeded nulls and empties), a struct and a map (with seeded
+    nulls) — and the oracle replays the construction rules in SQL."""
+    from pyspark_data_drift_detector_spark.operators.schema_drift import complex_column_profile
+
+    docs = _documents(spark, sf_dir)
+    mod = F.col("n_chars") % 7, F.col("n_chars") % 5, F.col("n_chars") % 3, F.col("n_chars") % 4
+    derived = docs.select(
+        "doc_id",
+        F.when(mod[0] == 0, F.array().cast("array<string>"))
+        .when(mod[1] == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("tok_arr"),
+        F.when(mod[2] != 0, F.struct(F.col("lang"), F.col("source"))).alias("meta_struct"),
+        F.when(
+            mod[3] != 0,
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+            ),
+        ).alias("attr_map"),
+    )
+    ref = derived.filter(F.col("doc_id") % 2 == 0)
+    curr = derived.filter(F.col("doc_id") % 2 == 1)
+    out = complex_column_profile(ref, curr, ["tok_arr", "meta_struct", "attr_map"])
+    rounded = [
+        "ref_null_ratio", "ref_empty_ratio", "ref_avg_size",
+        "curr_null_ratio", "curr_empty_ratio", "curr_avg_size",
+        "null_ratio_change", "empty_ratio_change", "avg_size_rel_change",
+    ]
+    return _round_cols(
+        out.select("column_name", "complex_kind", *rounded, "drift_detected"), rounded
+    )
+
+
 def q_js_full_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8: JS distance over the FULL category support
     (``distribution_analyzer.py:481-513``), distinct from the top-20 variant —
@@ -656,18 +717,24 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub image decode via mapInPandas (rows-only: byte-level feature
-    math has no SQL oracle; values are unit-tested)."""
+    """Stub image decode via mapInPandas — numpy byte math (count, mean,
+    population std, 8-bucket histogram) value-verified against a DuckDB
+    replay over the payload bytes (ASCII text ⇒ bytes are code points).
+    The FNV head hash stays unit-test-only (no overflow-safe SQL replay)."""
     from pyspark_data_drift_detector_spark.operators.multimodal import (
         attach_fake_payload,
         decode_images,
     )
 
     feats = decode_images(attach_fake_payload(_documents(spark, sf_dir)))
-    return _round_cols(
-        feats.select("doc_id", "n_bytes", "byte_mean", "byte_std", "head_hash"),
-        ["byte_mean", "byte_std"],
-    )
+    out = feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_mean",
+        "byte_std",
+        F.posexplode("features").alias("bucket", "ratio"),
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+    return _round_cols(out, ["byte_mean", "byte_std", "ratio"])
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +823,101 @@ _REL = (
     "CASE WHEN r.{rv} = 0 THEN (CASE WHEN c.{cv} <> 0 THEN 1.0 ELSE 0.0 END) "
     "ELSE (c.{cv} - r.{rv}) / ABS(r.{rv}) END"
 )
+
+
+def _categorical_exact_p_sql() -> str:
+    import math as _math
+
+    cols = ["o_orderstatus", "o_orderpriority"]
+    sf_terms = " ".join(
+        f"WHEN dof = {2 * k} THEN EXP(-chi/2) * "
+        f"({' + '.join(f'POW(chi/2, {i})/{_math.factorial(i)}' for i in range(k))})"
+        for k in range(1, 7)
+    )
+    sf = f"GREATEST(0.0, LEAST(1.0, CASE WHEN chi <= 0 THEN 1.0 {sf_terms} END))"
+    return f"""
+    WITH refc AS ({_freq_sql(cols, 'orders', 'o_orderkey % 2 = 0')}),
+         currc AS ({_freq_sql(cols, 'orders', 'o_orderkey % 2 = 1')}),
+         aligned AS (
+           SELECT COALESCE(r.column_name, c.column_name) AS column_name,
+                  COALESCE(r.cnt, 0) AS ref_cnt, COALESCE(c.cnt, 0) AS curr_cnt
+           FROM refc r FULL OUTER JOIN currc c
+             ON r.column_name = c.column_name AND r.value = c.value),
+         chi2 AS (
+           SELECT column_name, SUM(contrib) AS chi, CAST(COUNT(*) - 1 AS INT) AS dof
+           FROM (
+             SELECT column_name,
+               CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN
+                 POW(ref_cnt - exp_ref, 2)/exp_ref + POW(curr_cnt - exp_curr, 2)/exp_curr
+               ELSE 0 END AS contrib
+             FROM (
+               SELECT column_name, ref_cnt, curr_cnt,
+                 SUM(ref_cnt) OVER (PARTITION BY column_name) * (ref_cnt + curr_cnt)
+                   / (SUM(ref_cnt) OVER (PARTITION BY column_name) + SUM(curr_cnt) OVER (PARTITION BY column_name)) AS exp_ref,
+                 SUM(curr_cnt) OVER (PARTITION BY column_name) * (ref_cnt + curr_cnt)
+                   / (SUM(ref_cnt) OVER (PARTITION BY column_name) + SUM(curr_cnt) OVER (PARTITION BY column_name)) AS exp_curr
+               FROM aligned
+             )
+           ) GROUP BY column_name)
+    SELECT column_name, ROUND(chi, {ROUND}) AS chi_square,
+      dof AS degrees_of_freedom,
+      ROUND({sf}, {ROUND}) AS p_value
+    FROM chi2"""
+
+
+def _complex_profile_sql() -> str:
+    """Replays q_complex_profile's derived-column construction rules: each
+    metric reduces to a conditional aggregate over the defining conditions."""
+    specs = [
+        (
+            "tok_arr",
+            "array",
+            "(d.n_chars % 7 <> 0 AND d.n_chars % 5 = 0)",
+            "CASE WHEN d.n_chars % 7 = 0 THEN 0 WHEN d.n_chars % 5 = 0 THEN NULL "
+            "ELSE len(string_split_regex(trim(d.text), '\\s+')) END",
+        ),
+        ("meta_struct", "struct", "(d.n_chars % 3 = 0)", None),
+        ("attr_map", "map", "(d.n_chars % 4 = 0)", "CASE WHEN d.n_chars % 4 = 0 THEN NULL ELSE 2 END"),
+    ]
+    parts = []
+    for name, kind, null_cond, size_expr in specs:
+        sized_aggs = (
+            f"""CAST(COUNT(*) FILTER (d.doc_id % 2 = 0 AND ({size_expr}) = 0) AS DOUBLE)
+                  / GREATEST(COUNT(*) FILTER (d.doc_id % 2 = 0), 1) AS r_empty,
+                CAST(COUNT(*) FILTER (d.doc_id % 2 = 1 AND ({size_expr}) = 0) AS DOUBLE)
+                  / GREATEST(COUNT(*) FILTER (d.doc_id % 2 = 1), 1) AS c_empty,
+                AVG(CASE WHEN d.doc_id % 2 = 0 THEN {size_expr} END) AS r_size,
+                AVG(CASE WHEN d.doc_id % 2 = 1 THEN {size_expr} END) AS c_size"""
+            if size_expr
+            else "NULL::DOUBLE AS r_empty, NULL::DOUBLE AS c_empty, "
+            "NULL::DOUBLE AS r_size, NULL::DOUBLE AS c_size"
+        )
+        parts.append(f"""
+        SELECT '{name}' AS column_name, '{kind}' AS complex_kind,
+          CAST(COUNT(*) FILTER (d.doc_id % 2 = 0 AND {null_cond}) AS DOUBLE)
+            / GREATEST(COUNT(*) FILTER (d.doc_id % 2 = 0), 1) AS r_null,
+          CAST(COUNT(*) FILTER (d.doc_id % 2 = 1 AND {null_cond}) AS DOUBLE)
+            / GREATEST(COUNT(*) FILTER (d.doc_id % 2 = 1), 1) AS c_null,
+          {sized_aggs}
+        FROM documents d""")
+    return f"""
+    WITH m AS ({' UNION ALL '.join(parts)})
+    SELECT column_name, complex_kind,
+      ROUND(r_null, {ROUND}) AS ref_null_ratio,
+      ROUND(r_empty, {ROUND}) AS ref_empty_ratio,
+      ROUND(r_size, {ROUND}) AS ref_avg_size,
+      ROUND(c_null, {ROUND}) AS curr_null_ratio,
+      ROUND(c_empty, {ROUND}) AS curr_empty_ratio,
+      ROUND(c_size, {ROUND}) AS curr_avg_size,
+      ROUND(ABS(c_null - r_null), {ROUND}) AS null_ratio_change,
+      ROUND(ABS(c_empty - r_empty), {ROUND}) AS empty_ratio_change,
+      ROUND(CASE WHEN r_size IS NOT NULL AND r_size <> 0
+            THEN ABS(c_size - r_size) / ABS(r_size) END, {ROUND}) AS avg_size_rel_change,
+      (ABS(c_null - r_null) >= 0.1
+        OR COALESCE(ABS(c_empty - r_empty) >= 0.1, FALSE)
+        OR COALESCE(CASE WHEN r_size IS NOT NULL AND r_size <> 0
+             THEN ABS(c_size - r_size) / ABS(r_size) END >= 0.2, FALSE)) AS drift_detected
+    FROM m"""
 
 
 def _js_full_support_sql() -> str:
@@ -1747,6 +1909,36 @@ def _corr_groups_sql(threshold: float = CORR_GROUP_THRESHOLD) -> str:
     FROM reach GROUP BY side, src"""
 
 
+def _image_features_sql(n_features: int = 8) -> str:
+    """Byte-level replay of the stub decoder: documents text is pure ASCII
+    (checked), so payload bytes equal character code points."""
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, unicode(c) AS b
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+      WHERE c <> ''),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n, AVG(b) AS mean, STDDEV_POP(b) AS sd
+      FROM chars GROUP BY 1),
+    cnt AS (
+      SELECT doc_id, (b * {n_features}) // 256 AS bucket, COUNT(*) AS c
+      FROM chars GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, r.bucket
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range({n_features}) r(bucket))
+    SELECT g.doc_id,
+      CAST(octet_length(encode(doc.text)) AS BIGINT) AS n_bytes,
+      ROUND(COALESCE(s.mean, 0.0), {ROUND}) AS byte_mean,
+      ROUND(COALESCE(s.sd, 0.0), {ROUND}) AS byte_std,
+      CAST(g.bucket AS INT) AS bucket,
+      ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / GREATEST(COALESCE(s.n, 0), 1), {ROUND}) AS ratio
+    FROM grid g
+    JOIN documents doc ON doc.doc_id = g.doc_id
+    LEFT JOIN stats s ON s.doc_id = g.doc_id
+    LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bucket = g.bucket"""
+
+
 def _multimodal_meta_sql() -> str:
     return """
     SELECT doc_id, 'image/fake' AS mime,
@@ -1791,6 +1983,8 @@ def _oracle_queries() -> dict[str, str]:
         "numeric_drift": _numeric_drift_sql(),
         "numeric_drift_rowpath": _numeric_drift_rowpath_sql(),
         "js_full_support": _js_full_support_sql(),
+        "complex_profile": _complex_profile_sql(),
+        "categorical_drift_exact": _categorical_exact_p_sql(),
         "freq_table": freq_sql,
         "categorical_drift": _categorical_drift_sql(),
         "entropy": entropy_sql,
@@ -1824,6 +2018,7 @@ def _oracle_queries() -> dict[str, str]:
         "schema_drift": _schema_drift_sql(),
         "corr_groups": _corr_groups_sql(),
         "multimodal_meta": _multimodal_meta_sql(),
+        "image_features": _image_features_sql(),
         # dedup_minhash_lsh / dedup_simhash / ann_lsh are rows-only:
         # banding/hash internals have no SQL oracle; their recall is
         # test-verified against the exact baselines above.
@@ -1853,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift": q_numeric_drift,
         "numeric_drift_rowpath": q_numeric_drift_rowpath,
         "js_full_support": q_js_full_support,
+        "complex_profile": q_complex_profile,
+        "categorical_drift_exact": q_categorical_drift_exact,
         "freq_table": q_freq_table,
         "categorical_drift": q_categorical_drift,
         "entropy": q_entropy,

@@ -5,6 +5,7 @@ pyspark can resolve the pandas type hints. These run over O(columns)-sized
 summary tables, never over raw data.
 """
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
@@ -20,3 +21,46 @@ def chi2_sf_udf(chi: pd.Series, dof: pd.Series) -> pd.Series:
         else:
             out.append(chi2_sf(float(c), int(d)))
     return pd.Series(out, dtype="float64")
+
+
+@pandas_udf("double")
+def cosine_gemm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over Arrow batches — the wide-vector scoring path.
+
+    At production dims (≳256) the expression-tree cosine
+    (``operators.dedup.cosine_expr``: ``zip_with``/``aggregate`` lambdas)
+    bloats whole-stage codegen; here each batch is two numpy GEMV-style
+    reductions. Same math: dot / (‖a‖·‖b‖).
+    """
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    return pd.Series(num / den)
+
+
+def make_signature_udf(planes):
+    """Pandas-UDF LSH signature: one (batch × dim) @ (dim × planes) GEMM.
+
+    Bit-compatible with ``operators.similarity._signature_expr`` (bit_i =
+    (v · plane_i) > 0, packed little-endian into a long); requires
+    ``len(planes) <= 63`` so the packed value fits a signed long — the
+    expression path has the same bound (it builds the signature by adding
+    ``2**i`` literals).
+    """
+    P = np.asarray(planes, dtype=np.float64)
+    if P.shape[0] > 63:
+        raise ValueError("signature UDF supports at most 63 planes")
+    weights = np.left_shift(np.int64(1), np.arange(P.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def sig_udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(vec.to_numpy())
+        bits = (X @ P.T) > 0
+        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+
+    return sig_udf

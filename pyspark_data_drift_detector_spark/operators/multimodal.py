@@ -93,31 +93,27 @@ def decode_images(
         )
 
     def _decode(iterator):
+        import numpy as np
         import pandas as pd
 
         for batch in iterator:
             ids, n_bytes, means, stds, hashes, feats = [], [], [], [], [], []
             for doc_id, payload in zip(batch[id_col], batch[payload_col]):
                 data = bytes(payload) if payload is not None else b""
+                # vectorized byte math — payload-length work never runs in
+                # the Python interpreter, only the ≤256-byte FNV head loop
+                arr = np.frombuffer(data, dtype=np.uint8)
                 ids.append(doc_id)
-                n_bytes.append(len(data))
-                if data:
-                    mean = sum(data) / len(data)
-                    var = sum((x - mean) ** 2 for x in data) / len(data)
-                    means.append(mean)
-                    stds.append(var**0.5)
-                else:
-                    means.append(0.0)
-                    stds.append(0.0)
+                n_bytes.append(arr.size)
+                means.append(float(arr.mean()) if arr.size else 0.0)
+                stds.append(float(arr.std()) if arr.size else 0.0)
                 h = 0xCBF29CE484222325
                 for byte in data[:256]:
                     h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
                 hashes.append(h - 2**64 if h >= 2**63 else h)
-                hist = [0] * n_features
-                for byte in data:
-                    hist[byte * n_features // 256] += 1
-                total = max(len(data), 1)
-                feats.append([c / total for c in hist])
+                idx = (arr.astype(np.int64) * n_features) // 256
+                hist = np.bincount(idx, minlength=n_features)
+                feats.append((hist / max(arr.size, 1)).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -60,6 +60,45 @@ def test_lsh_recall(vectors):
     assert recall >= 0.5  # 8 bands of 2 bits → high collision probability
 
 
+def test_lsh_gemm_matches_expr(spark):
+    """The numpy GEMM scoring path is bit-identical to the expression path
+    at a production-ish width (768 = 16-dim base tiled 48×)."""
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    wide = base.withColumn("embedding", F.flatten(F.array_repeat(F.col("embedding"), 48)))
+    queries = wide.filter(F.col("vec_id") < 8)
+    kw = dict(k=3, dim=768, n_planes=16, bands=8)
+    expr_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in lsh_topk(wide, queries, scoring="expr", **kw).collect()
+    )
+    gemm_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in lsh_topk(wide, queries, scoring="gemm", **kw).collect()
+    )
+    assert expr_rows == gemm_rows
+    # auto resolves to gemm at dim >= 256
+    from pyspark_data_drift_detector_spark.operators.similarity import _resolve_scoring
+
+    assert _resolve_scoring("auto", 768) == "gemm"
+    assert _resolve_scoring("auto", 64) == "expr"
+
+
+def test_ivf_gemm_matches_expr(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, n_centroids=8, nprobe=2)
+    expr_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk(vectors, queries, scoring="expr", **kw).collect()
+    )
+    gemm_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ivf_topk(vectors, queries, scoring="gemm", **kw).collect()
+    )
+    assert expr_rows == gemm_rows
+
+
 def test_ivf_returns_ranked(vectors):
     queries = vectors.filter(F.col("vec_id") < 5)
     out = ivf_topk(vectors, queries, k=3, n_centroids=8, nprobe=2).collect()
