@@ -738,8 +738,10 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub video frame sampling: 1→N row fan-out via mapInPandas
-    (rows-only)."""
+    """Stub video frame sampling: 1→N row fan-out via mapInPandas. The
+    chunk arithmetic (step = max(len//n, 1), python-slice tail truncation)
+    and the frame CONTENT are value-verified — payloads are ASCII text, so
+    the oracle replays the slicing with substring."""
     from pyspark_data_drift_detector_spark.operators.multimodal import (
         attach_fake_payload,
         sample_frames,
@@ -750,6 +752,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.length("frame_bytes").cast("long").alias("frame_bytes_len"),
+        F.col("frame_bytes").cast("string").alias("frame_text"),
     )
 
 
@@ -1939,6 +1942,23 @@ def _image_features_sql(n_features: int = 8) -> str:
     LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bucket = g.bucket"""
 
 
+def _frame_sample_sql(n_frames: int = 4) -> str:
+    return f"""
+    WITH g AS (
+      SELECT doc_id, text,
+        GREATEST(octet_length(encode(text)) // {n_frames}, 1) AS step,
+        octet_length(encode(text)) AS n
+      FROM documents),
+    f AS (SELECT doc_id, text, step, n, r.i AS frame_idx
+          FROM g CROSS JOIN range({n_frames}) r(i))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      CAST(GREATEST(LEAST(n, (frame_idx + 1) * step) - frame_idx * step, 0) AS BIGINT)
+        AS frame_bytes_len,
+      substring(text, frame_idx * step + 1,
+        GREATEST(LEAST(n, (frame_idx + 1) * step) - frame_idx * step, 0)) AS frame_text
+    FROM f"""
+
+
 def _multimodal_meta_sql() -> str:
     return """
     SELECT doc_id, 'image/fake' AS mime,
@@ -2019,6 +2039,7 @@ def _oracle_queries() -> dict[str, str]:
         "corr_groups": _corr_groups_sql(),
         "multimodal_meta": _multimodal_meta_sql(),
         "image_features": _image_features_sql(),
+        "frame_sample": _frame_sample_sql(),
         # dedup_minhash_lsh / dedup_simhash / ann_lsh are rows-only:
         # banding/hash internals have no SQL oracle; their recall is
         # test-verified against the exact baselines above.
