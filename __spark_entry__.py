@@ -84,6 +84,31 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_running_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-key running profile in event-time order — the batch
+    twin of the ``applyInPandasWithState`` stateful operator (the state it
+    would hold after each day's micro-batch), in closed form with one
+    groupBy + cumulative window sums."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import running_profile_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = running_profile_batch(load_events(spark, sf_dir), bucket="day")
+    return _round_cols(
+        out.select(
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("null_count").cast("long").alias("null_count"),
+            "mean",
+            "stddev",
+            "min",
+            "max",
+        ),
+        ["mean", "stddev", "min", "max"],
+    )
+
+
 def q_categorical_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 exact-p path: the true chi² survival function
     (``p_value_mode='exact'``, the engine's incomplete-gamma implementation)
@@ -1756,6 +1781,29 @@ def _events_windowed_sql() -> str:
     FROM events GROUP BY 1, 2"""
 
 
+def _running_profile_sql() -> str:
+    n = "SUM(nv) OVER w"
+    mean = f"SUM(s) OVER w / NULLIF({n}, 0)"
+    var = f"(SUM(ss) OVER w - ({n}) * POW({mean}, 2)) / (({n}) - 1)"
+    return f"""
+    WITH per AS (
+      SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+        COUNT(*) AS rows_,
+        SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls,
+        COUNT(value) AS nv, SUM(value) AS s, SUM(value * value) AS ss,
+        MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts, event_type,
+      CAST(SUM(rows_) OVER w AS BIGINT) AS n,
+      CAST(SUM(nulls) OVER w AS BIGINT) AS null_count,
+      ROUND({mean}, {ROUND}) AS mean,
+      ROUND(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, 0.0)) END, {ROUND}) AS stddev,
+      ROUND(MIN(mn) OVER w, {ROUND}) AS min,
+      ROUND(MAX(mx) OVER w, {ROUND}) AS max
+    FROM per
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING)"""
+
+
 def _type_inference_sql() -> str:
     # physical types are static facts of the parquet schema; the 5%
     # distinct-ratio rule and the timestamp probe are replayed on the data.
@@ -2032,6 +2080,7 @@ def _oracle_queries() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "events_windowed": _events_windowed_sql(),
+        "running_profile": _running_profile_sql(),
         "type_inference": _type_inference_sql(),
         "adaptive_thresholds": _adaptive_thresholds_sql(),
         "drift_severity": _severity_sql(),
@@ -2098,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
+        "running_profile": q_running_profile,
         "type_inference": q_type_inference,
         "adaptive_thresholds": q_adaptive_thresholds,
         "drift_severity": q_drift_severity,

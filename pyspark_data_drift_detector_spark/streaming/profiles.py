@@ -9,7 +9,7 @@ the recommended Spark pattern for testable streaming logic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -163,6 +163,58 @@ def stateful_running_profile(
         stateStructType=_RUNNING_PROFILE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def running_profile_batch(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """Batch twin of ``stateful_running_profile``: the cumulative per-key
+    profile after each event-time bucket, in closed form.
+
+    One row per (key, bucket) holding the stats over ALL rows up to and
+    including that bucket — exactly the state the streaming operator would
+    emit after a micro-batch covering the bucket. Shape: one groupBy to
+    per-bucket partials (n, Σv, Σv², min, max), then cumulative window sums;
+    the full history is never re-scanned, so the plan is one shuffle on the
+    keys plus an O(buckets·keys) window — scale-safe.
+
+    This is the oracle-checkable face of the stateful family (the
+    streaming/batch equivalence of the merge itself is unit-tested in
+    ``tests/test_similarity_streaming.py::test_stateful_running_profile``).
+    """
+    keys = keys if keys is not None else ["event_type"]
+    v = F.col(value_col)
+    per = df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"), *keys).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(v.isNull().cast("long")).alias("nulls"),
+        F.count(v).alias("nv"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_n = F.sum("nv").over(w)
+    mean = F.when(cum_n > 0, F.sum("s").over(w) / cum_n)
+    var = (F.sum("ss").over(w) - cum_n * mean * mean) / (cum_n - 1)
+    return per.select(
+        "bucket_ts",
+        *keys,
+        F.sum("rows").over(w).alias("n"),
+        F.sum("nulls").over(w).alias("null_count"),
+        mean.alias("mean"),
+        F.when(cum_n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("stddev"),
+        F.min("mn").over(w).alias("min"),
+        F.max("mx").over(w).alias("max"),
     )
 
 

@@ -4,6 +4,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pyspark_data_drift_detector_spark.operators.multimodal import (
@@ -249,6 +250,47 @@ def test_stateful_running_profile(spark, tmp_path):
     assert views["n"] == 1 and views["null_count"] == 1
     assert views["mean"] == pytest.approx(10.0)
     assert views["stddev"] is None
+
+
+def test_running_profile_batch_converges(spark, sf_dir):
+    """The last bucket's cumulative row per key equals the plain full-data
+    aggregate — the same invariant the stateful streaming operator converges
+    to after its final micro-batch."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import running_profile_batch
+
+    events = load_events(spark, sf_dir)
+    cum = running_profile_batch(events, bucket="day")
+    last = {
+        r["event_type"]: r
+        for r in cum.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    full = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev("value").alias("stddev"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .collect()
+    }
+    assert set(last) == set(full)
+    for k in full:
+        assert last[k]["n"] == full[k]["n"]
+        assert last[k]["mean"] == pytest.approx(full[k]["mean"], rel=1e-9)
+        assert last[k]["stddev"] == pytest.approx(full[k]["stddev"], rel=1e-6)
+        assert last[k]["min"] == full[k]["min"]
+        assert last[k]["max"] == full[k]["max"]
 
 
 def test_streaming_drift_alerts(spark):
