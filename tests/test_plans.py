@@ -89,3 +89,44 @@ def test_categorical_drift_bounded_shuffles(li):
     assert count_scans(cd) == 2
     cd.collect()  # AQE: codegen markers appear in the final plan only
     assert codegen_stage_count(cd) >= 1
+
+
+def test_rowpath_score_same_plan_shape(li):
+    """M17 scoring is pure expression math over the joined profile — it must
+    not add scans or shuffles versus the weighted scorer."""
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    curr = li.filter(F.col("l_orderkey") % 2 == 1)
+    drift = numeric_drift_pair(
+        ref, curr, columns=["l_quantity"],
+        quantiles=(0.25, 0.5, 0.75, 0.95, 0.99), score_mode="row_path",
+    )
+    assert count_scans(drift) == 4
+    assert_max_shuffles(drift, 2)
+
+
+def test_running_profile_batch_plan(spark, sf_dir):
+    """Cumulative profile: one scan, one groupBy shuffle + one window
+    shuffle — history is never rescanned."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import running_profile_batch
+
+    cum = running_profile_batch(load_events(spark, sf_dir))
+    assert count_scans(cum) == 1
+    assert count_shuffles(cum) <= 2
+
+
+def test_complex_profile_single_pass(spark, sf_dir):
+    """Complex-type profiling: side-tagged union -> ONE wide aggregate
+    (2 scans of the source, a single agg exchange)."""
+    from pyspark_data_drift_detector_spark.operators.schema_drift import complex_column_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    prof = complex_column_profile(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["toks"],
+    )
+    assert count_scans(prof) == 2
+    assert_max_shuffles(prof, 1)
