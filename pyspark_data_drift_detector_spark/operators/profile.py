@@ -17,7 +17,7 @@ Covers SURVEY.md §2.4 A1-A5, A7, §2.2 P2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -41,6 +41,92 @@ def numeric_columns(df: DataFrame) -> list[str]:
     ]
 
 
+def quantiles_by_counts(
+    tagged: DataFrame,
+    cols: list[str],
+    qlist: list[float],
+    sides: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Exact quantiles from a value histogram — O(distinct) shuffle, not
+    O(rows) buffering.
+
+    ``F.percentile`` (sort-based exact) is a TypedImperativeAggregate that
+    buffers EVERY value in the final reducer — at 100 TB that is the single
+    worst operator in the suite. But the exact quantile is a pure function
+    of the (value → count) histogram: with ``cum`` the cumulative count in
+    value order and ``t = p·(n−1)``, the order statistics are
+    ``x_i = min(value where cum ≥ i+1)`` and the answer is
+    ``x_⌊t⌋ + (t−⌊t⌋)·(x_⌊t⌋₊₁ − x_⌊t⌋)`` — identical to Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``. Plan: melt (one scan) →
+    ``groupBy(column, value)`` with map-side combine → per-column window →
+    tiny per-column aggregate. Shuffle volume is O(distinct values), and no
+    single task ever materializes a column's full value list.
+
+    Honest measurement: at sf0.1 on local[32] this is ~5% SLOWER than the
+    sort-based path (the melt explodes rows×columns before the combine) —
+    the point is the memory wall, not local wall-clock. ``F.percentile``
+    holds every value of a column in ONE reducer's aggregation buffer;
+    at 100 TB that is an OOM, while this path's state is bounded by
+    distinct values per shuffle partition. Use it when exact quantiles are
+    required at scale; prefer ``percentile_approx`` when sketches suffice
+    (the ``detect_drift`` default).
+
+    ``sides``: optional {prefix: boolean condition on the melted rows} for
+    side-tagged pair input. Returns one row per column:
+    ``column_name, [<pre>_]q array<double>``.
+    """
+    sides = sides if sides is not None else {"": F.lit(True)}
+    extra = [c for c in ("__side",) if c in tagged.columns]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"), F.col(c).cast("double").alias("value")
+            )
+            for c in cols
+        ]
+    )
+    melted = (
+        tagged.select(*extra, F.explode(pairs).alias("kv"))
+        .select(*extra, "kv.*")
+        .where(F.col("value").isNotNull())
+    )
+    cells = melted.groupBy("column_name", "value").agg(
+        *[
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__{pre}cnt")
+            for pre, cond in sides.items()
+        ]
+    )
+    wv = Window.partitionBy("column_name").orderBy("value")
+    wall = Window.partitionBy("column_name")
+    for pre in sides:
+        cells = cells.withColumn(f"__{pre}cum", F.sum(f"__{pre}cnt").over(wv)).withColumn(
+            f"__{pre}n", F.sum(f"__{pre}cnt").over(wall)
+        )
+    aggs = []
+    for pre in sides:
+        n = F.col(f"__{pre}n")
+        cum = F.col(f"__{pre}cum")
+        for j, p in enumerate(qlist):
+            t = F.lit(float(p)) * (n - 1)
+            i = F.floor(t)
+            aggs.append(F.min(F.when(cum >= i + 1, F.col("value"))).alias(f"__{pre}lo{j}"))
+            aggs.append(F.min(F.when(cum >= i + 2, F.col("value"))).alias(f"__{pre}hi{j}"))
+        aggs.append(F.max(n).alias(f"__{pre}ntot"))
+    percol = cells.groupBy("column_name").agg(*aggs)
+    outs = []
+    for pre in sides:
+        n = F.col(f"__{pre}ntot")
+        qvals = []
+        for j, p in enumerate(qlist):
+            t = F.lit(float(p)) * (n - 1)
+            frac = t - F.floor(t)
+            lo = F.col(f"__{pre}lo{j}")
+            hi = F.coalesce(F.col(f"__{pre}hi{j}"), lo)
+            qvals.append(F.when(n > 0, lo + frac * (hi - lo)))
+        outs.append(F.array(*qvals).alias(f"{pre}q" if pre else "q"))
+    return percol.select("column_name", *outs)
+
+
 def numeric_profile(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -48,8 +134,14 @@ def numeric_profile(
     exact_quantiles: bool = True,
     quantile_accuracy: int = 10000,
     with_shape: bool = True,
+    quantile_mode: str = "auto",
 ) -> DataFrame:
     """Long-format numeric profile: one row per column, one Spark job total.
+
+    ``quantile_mode``: ``"auto"`` (sort-based exact when ``exact_quantiles``
+    else approx sketch), or ``"counts"`` — exact via the value-histogram
+    reconstruction (``quantiles_by_counts``), the preferred exact path at
+    scale for bounded-cardinality columns.
 
     Output schema::
 
@@ -89,7 +181,7 @@ def numeric_profile(
                 F.skewness(dc).alias(f"{c}__skewness"),
                 F.kurtosis(dc).alias(f"{c}__kurtosis"),
             ]
-        if qlist:
+        if qlist and quantile_mode != "counts":
             if exact_quantiles:
                 qexpr = F.percentile(dc, F.array(*[F.lit(p) for p in qlist]))
             else:
@@ -109,6 +201,7 @@ def numeric_profile(
     if qaggs:
         wide = wide.crossJoin(df.agg(*qaggs))
 
+    counts_mode = bool(qlist) and quantile_mode == "counts"
     shape_fields = ["skewness", "kurtosis"] if with_shape else []
     structs = []
     for c in cols:
@@ -124,10 +217,17 @@ def numeric_profile(
             F.col(f"{c}__stddev").alias("stddev"),
         ]
         fields += [F.col(f"{c}__{s}").alias(s) for s in shape_fields]
-        fields += [F.col(f"{c}__q")[i].alias(_qname(p)) for i, p in enumerate(qlist)]
+        if not counts_mode:
+            fields += [F.col(f"{c}__q")[i].alias(_qname(p)) for i, p in enumerate(qlist)]
         structs.append(F.struct(*fields))
 
-    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    if counts_mode:
+        qtable = quantiles_by_counts(df, cols, qlist)
+        long = long.join(F.broadcast(qtable), "column_name", "left").select(
+            *long.columns, *[F.col("q")[i].alias(_qname(p)) for i, p in enumerate(qlist)]
+        )
+    return long
 
 
 def numeric_profile_pair(
@@ -138,8 +238,13 @@ def numeric_profile_pair(
     exact_quantiles: bool = True,
     quantile_accuracy: int = 10000,
     with_shape: bool = False,
+    quantile_mode: str = "auto",
 ) -> DataFrame:
     """Both sides' profiles in ONE scan+aggregate over a side-tagged union.
+
+    ``quantile_mode="counts"`` swaps the sort-based exact percentile for the
+    value-histogram reconstruction (see ``quantiles_by_counts``) — both
+    sides' histograms come from the same single melt+groupBy pass.
 
     Returns the pre-joined shape ``column_name, ref_<stat>..., curr_<stat>...``
     that drift scoring consumes directly. Compared to profiling each side
@@ -179,7 +284,7 @@ def numeric_profile_pair(
                     F.skewness(dc).alias(f"{pre}__{c}__skewness"),
                     F.kurtosis(dc).alias(f"{pre}__{c}__kurtosis"),
                 ]
-            if qlist:
+            if qlist and quantile_mode != "counts":
                 if exact_quantiles:
                     qexpr = F.percentile(dc, F.array(*[F.lit(p) for p in qlist]))
                 else:
@@ -192,6 +297,7 @@ def numeric_profile_pair(
     wide = tagged.agg(*aggs)
     if qaggs:
         wide = wide.crossJoin(tagged.agg(*qaggs))
+    counts_mode = bool(qlist) and quantile_mode == "counts"
     structs = []
     for c in cols:
         fields = [F.lit(c).alias("column_name")]
@@ -209,9 +315,26 @@ def numeric_profile_pair(
                 F.col(f"{pre}__{c}__stddev").alias(f"{pre}_stddev"),
             ]
             fields += [F.col(f"{pre}__{c}__{s}").alias(f"{pre}_{s}") for s in shape_fields]
-            fields += [F.col(f"{pre}__{c}__q")[i].alias(f"{pre}_{_qname(p)}") for i, p in enumerate(qlist)]
+            if not counts_mode:
+                fields += [
+                    F.col(f"{pre}__{c}__q")[i].alias(f"{pre}_{_qname(p)}")
+                    for i, p in enumerate(qlist)
+                ]
         structs.append(F.struct(*fields))
-    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    if counts_mode:
+        qtable = quantiles_by_counts(
+            tagged, cols, qlist, sides={"ref_": sides["ref"], "curr_": sides["curr"]}
+        )
+        long = long.join(F.broadcast(qtable), "column_name", "left").select(
+            *long.columns,
+            *[
+                F.col(f"{pre}q")[i].alias(f"{pre}{_qname(p)}")
+                for pre in ("ref_", "curr_")
+                for i, p in enumerate(qlist)
+            ],
+        )
+    return long
 
 
 def categorical_summary(

@@ -26,6 +26,10 @@ from pyspark_data_drift_detector_spark.plans.inspect import (
 
 @pytest.fixture(scope="module")
 def li(spark, sf_dir):
+    # a cached lineitem from another module would substitute InMemoryRelation
+    # for the parquet scan and erase PushedFilters/ReadSchema from the plan —
+    # these tests must see the real scan regardless of execution order
+    spark.catalog.clearCache()
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
 

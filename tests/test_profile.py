@@ -100,3 +100,37 @@ def test_profile_on_lineitem(lineitem):
     rows = {r["column_name"]: r for r in prof.collect()}
     assert rows["l_quantity"]["n"] == lineitem.count()
     assert rows["l_discount"]["min"] >= 0.0
+
+
+def test_quantiles_by_counts_matches_sort(lineitem):
+    """The value-histogram exact quantile equals F.percentile bit-for-bit
+    (same p*(n-1) interpolation), single and pair, including nulls-only
+    guard behavior."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        numeric_profile,
+        numeric_profile_pair,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_linenumber"]
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    qnames = ["p1", "p25", "p50", "p75", "p99"]
+    sort_prof = {r["column_name"]: r for r in numeric_profile(
+        lineitem, cols, quantiles=qs, with_shape=False).collect()}
+    cnt_prof = {r["column_name"]: r for r in numeric_profile(
+        lineitem, cols, quantiles=qs, with_shape=False, quantile_mode="counts").collect()}
+    for c in cols:
+        for q in qnames:
+            assert cnt_prof[c][q] == pytest.approx(sort_prof[c][q], abs=1e-9), (c, q)
+
+    ref = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    curr = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+    sp = {r["column_name"]: r for r in numeric_profile_pair(
+        ref, curr, cols, quantiles=qs).collect()}
+    cp = {r["column_name"]: r for r in numeric_profile_pair(
+        ref, curr, cols, quantiles=qs, quantile_mode="counts").collect()}
+    for c in cols:
+        for pre in ("ref_", "curr_"):
+            for q in qnames:
+                assert cp[c][pre + q] == pytest.approx(sp[c][pre + q], abs=1e-9), (c, pre + q)
