@@ -112,6 +112,14 @@ _DEFAULTS: dict[str, Any] = {
     # knob; the oracle-checked standalone queries pass exact explicitly.
     "exact_quantiles": False,
     "quantile_accuracy": 10000,
+    # "counts" switches exact quantiles to the value-histogram path
+    # (profile.quantiles_by_counts) — bounded state at any scale
+    "quantile_mode": "auto",
+    # Numeric drift scorer: "weighted" (dict-path, numerical_analyzer.py:253-272)
+    # or "row_path" (M17 mean-of-components, numerical_analyzer.py:278-558).
+    # Both reference scorers are preserved; default matches the reference's
+    # dict-path (the one its pipeline actually reports).
+    "numeric_score_mode": "weighted",
 }
 
 

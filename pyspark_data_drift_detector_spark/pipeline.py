@@ -96,6 +96,8 @@ def detect_drift(
                     quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
                     exact_quantiles=bool(cfg.get("exact_quantiles", True)),
                     quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
+                    quantile_mode=str(cfg.get("quantile_mode", "auto")),
+                    score_mode=str(cfg.get("numeric_score_mode", "weighted")),
                 ),
                 "numerical",
             )

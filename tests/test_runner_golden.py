@@ -152,3 +152,24 @@ def test_runner_writes_output(spark, versions, tmp_path):
     assert blob_df.count() == 1
     assert "results_json" in blob_df.columns
     assert report["execution_time_sec"] > 0
+
+
+def test_detect_drift_row_path_scorer(spark, versions):
+    """numeric_score_mode='row_path' runs end-to-end and produces the M17
+    scorer's scores (generally different from the weighted dict-path)."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    base_cfg = {"analyze_groups": False, "analyze_correlations": False}
+    weighted = detect_drift(versions[1], versions[3], base_cfg)
+    rowpath = detect_drift(
+        versions[1], versions[3], {**base_cfg, "numeric_score_mode": "row_path"}
+    )
+    w = {r["column_name"]: r["drift_score"] for r in weighted.filter(
+        "column_type = 'numerical' and dimension_id = 'all'").collect()}
+    rp = {r["column_name"]: r["drift_score"] for r in rowpath.filter(
+        "column_type = 'numerical' and dimension_id = 'all'").collect()}
+    assert set(w) == set(rp) and w
+    assert all(0.0 <= s <= 1.0 for s in rp.values())
+    # the two scorers agree on columns only by coincidence; at least one
+    # column must differ on this drifting fixture
+    assert any(abs(w[c] - rp[c]) > 1e-9 for c in w)
