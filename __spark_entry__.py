@@ -84,6 +84,32 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window profile (1-day windows every 12 hours) — each event
+    contributes to 2 overlapping windows; the oracle replays the epoch-
+    aligned window replication."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import windowed_profile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = windowed_profile(
+        load_events(spark, sf_dir), window_duration="1 day", slide_duration="12 hours"
+    )
+    return _round_cols(
+        out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("null_count").cast("long").alias("null_count"),
+            "mean",
+            "stddev",
+            "min",
+            "max",
+        ),
+        ["mean", "stddev", "min", "max"],
+    )
+
+
 def q_running_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-key running profile in event-time order — the batch
     twin of the ``applyInPandasWithState`` stateful operator (the state it
@@ -1781,6 +1807,29 @@ def _events_windowed_sql() -> str:
     FROM events GROUP BY 1, 2"""
 
 
+def _events_sliding_sql() -> str:
+    # 1-day window sliding every 12h: event ts belongs to the 2 windows whose
+    # epoch-aligned starts are floor(ts to 12h grid) and that minus 12h,
+    # filtered to start > ts - 1 day (Spark window() replication semantics)
+    return f"""
+    WITH repl AS (
+      SELECT to_timestamp((epoch(ts)::BIGINT // 43200) * 43200 - i * 43200)
+               AS window_start,
+             event_type, value, ts
+      FROM events CROSS JOIN range(2) r(i)),
+    valid AS (
+      SELECT * FROM repl
+      WHERE epoch(ts) - epoch(window_start) < 86400 AND epoch(ts) >= epoch(window_start))
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+      ROUND(AVG(value), {ROUND}) AS mean,
+      ROUND(STDDEV_SAMP(value), {ROUND}) AS stddev,
+      ROUND(MIN(value), {ROUND}) AS min,
+      ROUND(MAX(value), {ROUND}) AS max
+    FROM valid GROUP BY 1, 2"""
+
+
 def _running_profile_sql() -> str:
     n = "SUM(nv) OVER w"
     mean = f"SUM(s) OVER w / NULLIF({n}, 0)"
@@ -2081,6 +2130,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "events_windowed": _events_windowed_sql(),
         "running_profile": _running_profile_sql(),
+        "events_sliding": _events_sliding_sql(),
         "type_inference": _type_inference_sql(),
         "adaptive_thresholds": _adaptive_thresholds_sql(),
         "drift_severity": _severity_sql(),
@@ -2148,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_windowed": q_events_windowed,
         "running_profile": q_running_profile,
+        "events_sliding": q_events_sliding,
         "type_inference": q_type_inference,
         "adaptive_thresholds": q_adaptive_thresholds,
         "drift_severity": q_drift_severity,

@@ -206,6 +206,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     hash_family: str = "xxhash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally Jaccard-verified.
 
@@ -219,6 +220,15 @@ def minhash_lsh_pairs(
     ``hash_family="md5"`` uses the oracle-replayable signatures AND joins
     bands on the raw row-value array instead of an opaque band hash, so the
     SQL oracle reproduces candidate generation exactly.
+
+    ``max_bucket_size``: the 100 TB skew guard. Boilerplate-heavy corpora
+    put millions of near-identical documents into ONE (band, band_hash)
+    bucket, and candidate generation is quadratic per bucket — a single hot
+    bucket can dominate the whole job. When set, buckets larger than the
+    cap are excluded from candidate generation for that band (a pair inside
+    a dropped bucket usually still collides in another, less degenerate
+    band; truly boilerplate clusters are better handled by exact dedup
+    first). Standard practice in large-scale MinHash dedup pipelines.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_family)
@@ -242,11 +252,19 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ]
-    banded = _reuse(
-        sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-            "id", "bb.band", "bb.band_hash"
-        )
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "bb.band", "bb.band_hash"
     )
+    if max_bucket_size is not None:
+        # one extra aggregation over the banded table (already O(docs×bands))
+        # buys freedom from quadratic blowup in hot buckets
+        bucket_n = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash")
+        )
+        banded = banded.withColumn("__bn", bucket_n).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+    banded = _reuse(banded)
     a = banded.select(F.col("id").alias("id1"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id2"), "band", "band_hash")
     candidates = (

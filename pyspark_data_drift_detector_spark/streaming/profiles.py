@@ -19,16 +19,25 @@ def windowed_profile(
     window_duration: str = "1 hour",
     keys: list[str] | None = None,
     value_col: str = "value",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window stats per key: count, nulls, mean, stddev, min, max.
+    """Tumbling- or sliding-window stats per key: count, nulls, mean,
+    stddev, min, max.
 
     Works unchanged on batch or streaming input. Window starts are
     epoch-aligned (Spark ``window()`` semantics), matching
     ``date_trunc('hour', ts)`` for 1-hour windows in the DuckDB oracle.
+    ``slide_duration`` < ``window_duration`` gives overlapping windows —
+    each event lands in ``window/slide`` of them (Spark replicates rows
+    before the aggregate; state is O(active windows × keys) either way).
     """
     keys = keys if keys is not None else ["event_type"]
     v = F.col(value_col)
-    grouped = df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *keys)
+    if slide_duration is not None:
+        w = F.window(F.col(ts_col), window_duration, slide_duration)
+    else:
+        w = F.window(F.col(ts_col), window_duration)
+    grouped = df.groupBy(w.alias("w"), *keys)
     return grouped.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v.isNull().cast("long")).alias("null_count"),

@@ -98,3 +98,31 @@ def test_embedding_neardup(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_bucket_cap_drops_hot_bucket(spark):
+    """max_bucket_size excludes degenerate mega-buckets from candidate
+    generation (the quadratic-hot-bucket skew guard) while leaving normal
+    near-dup pairs untouched."""
+    from pyspark_data_drift_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    rows = [(i, boiler) for i in range(30)]  # one hot cluster: identical docs
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.3)
+    pairs = {(r["id1"], r["id2"]) for r in uncapped.collect()}
+    assert (100, 101) in pairs
+    assert sum(1 for a, b in pairs if a < 100 and b < 100) == 30 * 29 // 2
+
+    capped = minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=10)
+    cpairs = {(r["id1"], r["id2"]) for r in capped.collect()}
+    # identical docs collide in EVERY band, so every one of their buckets
+    # exceeds the cap and the quadratic cluster disappears...
+    assert not any(a < 100 and b < 100 for a, b in cpairs)
+    # ...while the ordinary near-dup pair (bucket size 2) survives
+    assert (100, 101) in cpairs
