@@ -404,6 +404,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_size: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: exact all-pairs ≥ threshold.
 
@@ -416,8 +417,12 @@ def embedding_neardup_pairs(
     = number of block pairs, replication factor ≈ ⌈n/block_size⌉/2. The
     100 TB path is LSH/IVF bucketing in ``similarity.py`` feeding the same
     verification math.
+
+    Pass ``n_rows`` when the caller already knows the corpus size — it only
+    sizes the block grid, so an estimate is fine, and supplying it removes
+    the one extra count job this operator otherwise runs.
     """
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     nb = max(1, -(-n // block_size))
     src = df.select(
         F.col(id_col).alias("id"),

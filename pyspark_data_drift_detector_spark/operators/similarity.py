@@ -96,15 +96,26 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 
 def _signature_expr(vec_col, planes: list[list[float]]):
-    """Sign-bit LSH signature as a long: bit_i = (v · plane_i) > 0."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        parr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, parr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        sig = sig + F.when(dot > 0, F.lit(int(2**i)).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    """Sign-bit LSH signature as a long: bit_i = (v · plane_i) > 0.
+
+    The plane matrix is ONE nested-array literal and the per-plane dot
+    products are a ``transform`` lambda — the naive unrolled form (one
+    ``zip_with``/``aggregate`` subtree per plane, ~n_planes·dim literal
+    nodes) made Catalyst plan analysis itself the bottleneck: measured
+    3.3s → 0.95s for build+run of the 16×64 signature at sf0.01, identical
+    values.
+    """
+    weights = [float(2**i) for i in range(len(planes))]
+    dots = F.transform(
+        F.lit([[float(x) for x in p] for p in planes]),
+        lambda p: F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        ),
+    )
+    terms = F.zip_with(
+        dots, F.lit(weights), lambda d, w: F.when(d > 0, w).otherwise(F.lit(0.0))
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda s, x: s + x).cast("long")
 
 
 def lsh_topk(
@@ -118,6 +129,7 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 42,
     scoring: str = "auto",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket candidates + exact re-rank.
 
@@ -128,6 +140,12 @@ def lsh_topk(
     ``scoring``: ``"expr"`` (Catalyst expression math), ``"gemm"``
     (Arrow/numpy batch UDFs for signatures AND re-rank), or ``"auto"``
     (gemm iff ``dim >= GEMM_DIM_THRESHOLD``). Identical results either way.
+
+    ``broadcast_queries`` (default True): ANN serving is usually a small
+    query batch against a huge corpus — broadcasting the banded queries
+    turns the band join into a map-side hash join, so the corpus bands are
+    NEVER shuffled. Disable for offline all-vs-all jobs where the query
+    set itself is large.
     """
     mode = _resolve_scoring(scoring, dim)
     cosine = _cosine_fn(mode)
@@ -173,7 +191,7 @@ def lsh_topk(
     # so max == any; re-scoring a ≤bands-duplicated candidate is cheap CPU
     # next to shuffling 64-double arrays)
     candidates = (
-        c.join(q, ["band", "key"])
+        c.join(F.broadcast(q) if broadcast_queries else q, ["band", "key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine(F.col("qe"), F.col("ce")))
         .groupBy("query_id", "neighbor_id")
@@ -197,6 +215,7 @@ def ivf_topk(
     nprobe: int = 2,
     scoring: str = "auto",
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus, probe ``nprobe`` cells.
 
@@ -242,7 +261,7 @@ def ivf_topk(
         nprobe,
     )
     scored = (
-        c.join(q, "centroid_id")
+        c.join(F.broadcast(q) if broadcast_queries else q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine(F.col("qe"), F.col("ce")))
     )
