@@ -81,3 +81,12 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "drift_score" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_not_vacuous(name, spark, sf_dir):
+    """A hash-match over zero rows proves nothing (the round-1
+    embedding_neardup lesson): every harness query must produce rows at
+    test scale so the oracle comparison has teeth."""
+    rows = entry_mod.queries()[name](spark, sf_dir).limit(1).count()
+    assert rows > 0, f"{name} returns 0 rows at {sf_dir} — its oracle check is vacuous"
