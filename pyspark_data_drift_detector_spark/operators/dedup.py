@@ -128,15 +128,30 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     ``|A∩B| / (|A| + |B| − |A∩B|)`` computed from a shingle-inverted-index
     self-join (shared-shingle counts) plus per-doc shingle counts. Returns
     pairs with ``jaccard ≥ threshold`` (id1 < id2).
+
+    ``max_shingle_df``: skew guard for the self-join — a shingle present in
+    K documents generates K² join rows, so one boilerplate shingle shared
+    by millions of documents dominates the whole job. When set, shingles
+    with document frequency above the cap are excluded from the JOIN only;
+    per-doc sizes still count them, so for a true near-dup pair (which
+    shares many discriminative shingles too) the computed Jaccard drops
+    only by the dropped-shingle mass — a documented, bounded
+    underestimate, the standard inverted-index stopword treatment.
     """
     index = _reuse(_hashed_shingle_index(df, text_col, id_col, k))
     sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_shingle_df is not None:
+        rare = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_shingle_df
+        )
+        index = index.join(rare.select("shingle"), "shingle", "left_semi")
     a = index.select(F.col("id").alias("id1"), "shingle")
     b = index.select(F.col("id").alias("id2"), "shingle")
     shared = (

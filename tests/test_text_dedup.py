@@ -126,3 +126,28 @@ def test_minhash_lsh_bucket_cap_drops_hot_bucket(spark):
     assert not any(a < 100 and b < 100 for a, b in cpairs)
     # ...while the ordinary near-dup pair (bucket size 2) survives
     assert (100, 101) in cpairs
+
+
+def test_jaccard_shingle_df_cap(spark):
+    """max_shingle_df drops non-discriminative boilerplate shingles from the
+    self-join: pairs related ONLY through boilerplate vanish, genuinely
+    similar pairs survive (with the documented bounded underestimate)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import jaccard_pairs
+
+    tail = "all rights reserved contact us terms of service"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {tail}"),
+        (2, f"alpha beta gamma delta epsilon eta {tail}"),   # near-dup of 1
+        (3, f"one two three four five six {tail}"),          # only boilerplate in common
+        (4, f"seven eight nine ten eleven twelve {tail}"),   # only boilerplate in common
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["id1"], r["id2"]) for r in jaccard_pairs(docs, threshold=0.1).collect()}
+    assert (1, 2) in uncapped
+    assert (3, 4) in uncapped  # boilerplate shingles alone push these over
+
+    capped = {(r["id1"], r["id2"]) for r in
+              jaccard_pairs(docs, threshold=0.1, max_shingle_df=2).collect()}
+    assert (1, 2) in capped
+    assert (3, 4) not in capped
