@@ -118,6 +118,59 @@ def detect_drift(
             )
         )
 
+    if cfg.get("analyze_distributions", True) and (num_cols or cat_cols):
+        # DistributionAnalyzer family (data_drift_detector.py:117-144):
+        # numeric significance = shape change (skew/kurt band crossing);
+        # categorical significance = FULL-support JS > js_distance_threshold
+        # (distribution_analyzer.py:302 — note the distribution analyzer's JS
+        # runs over ALL categories, unlike the top-k categorical analyzer).
+        # The reference reports distribution drift as BINARY (it feeds
+        # drift_summary counts, never a scalar score), so drift_score is 0
+        # and ranking is unaffected — only drift_detected/causes carry signal.
+        dist_rows: list[DataFrame] = []
+        if num_cols:
+            from pyspark_data_drift_detector_spark.operators.distribution import shape_change
+
+            sc_df = shape_change(df_ref, df_curr, num_cols)
+            detected = (F.col("skew_change") != "none") | (F.col("kurt_change") != "none")
+            dist_rows.append(
+                sc_df.select(
+                    "column_name",
+                    F.lit(0.0).alias("drift_score"),
+                    F.lit("None").alias("drift_severity"),
+                    detected.alias("drift_detected"),
+                    F.array_compact(
+                        F.array(
+                            F.when(F.col("skew_change") != "none", F.col("skew_change")),
+                            F.when(F.col("kurt_change") != "none", F.col("kurt_change")),
+                        )
+                    ).alias("drift_causes"),
+                    "skew_diff",
+                    "kurt_diff",
+                    "skew_change",
+                    "kurt_change",
+                )
+            )
+        if cat_cols:
+            js_th = float(cfg.thresholds.get("js_distance_threshold", 0.1))
+            full_js = categorical_drift(df_ref, df_curr, cat_cols, top_k=None).select(
+                "column_name", "js_distance"
+            )
+            dist_rows.append(
+                full_js.select(
+                    "column_name",
+                    F.lit(0.0).alias("drift_score"),
+                    F.lit("None").alias("drift_severity"),
+                    (F.col("js_distance") > js_th).alias("drift_detected"),
+                    F.array_compact(
+                        F.array(F.when(F.col("js_distance") > js_th, F.lit("js_distribution_shift")))
+                    ).alias("drift_causes"),
+                    "js_distance",
+                )
+            )
+        for dr in dist_rows:
+            results.append(_to_result_rows(dr, "distribution"))
+
     if cfg.get("analyze_correlations", True) and len(num_cols) >= 2:
         from pyspark_data_drift_detector_spark.operators.correlation import (
             correlation_pairs,

@@ -95,7 +95,10 @@ def test_significant_drift_v1_v3(spark, versions):
     rows = {
         (r["column_name"], r["dimension_id"]): r
         for r in report["results"]
-        if r["dimension_id"] == "all"
+        # the distribution family adds a second "all" row per column
+        # (binary significance, score 0) — the scored analyzer rows are
+        # the ones these assertions pin
+        if r["dimension_id"] == "all" and r["column_type"] != "distribution"
     }
     cb = rows[("category_balanced", "all")]
     assert "new_categories" in cb["drift_causes"]
@@ -173,3 +176,30 @@ def test_detect_drift_row_path_scorer(spark, versions):
     # the two scorers agree on columns only by coincidence; at least one
     # column must differ on this drifting fixture
     assert any(abs(w[c] - rp[c]) > 1e-9 for c in w)
+
+
+def test_detect_drift_distribution_family(spark, versions):
+    """analyze_distributions adds the DistributionAnalyzer family: binary
+    shape-change significance for numerics, full-support JS for
+    categoricals (data_drift_detector.py:117-144)."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    results = detect_drift(
+        versions[1], versions[3], {"analyze_groups": False, "analyze_correlations": False}
+    )
+    dist = results.filter("column_type = 'distribution'").collect()
+    assert dist, "distribution family missing"
+    # binary significance only: scores are 0, detection carried by causes
+    assert all(r["drift_score"] == 0.0 for r in dist)
+    assert any(r["drift_detected"] for r in dist)
+    causes = {c for r in dist if r["drift_detected"] for c in r["drift_causes"]}
+    assert causes <= {
+        "more_left_skewed", "more_right_skewed", "more_outliers",
+        "fewer_outliers", "js_distribution_shift",
+    } and causes
+
+    off = detect_drift(
+        versions[1], versions[3],
+        {"analyze_groups": False, "analyze_correlations": False, "analyze_distributions": False},
+    )
+    assert off.filter("column_type = 'distribution'").count() == 0
