@@ -209,6 +209,36 @@ def detect_drift(
         corr_rows = corr_rows.withColumn("drift_severity", severity_expr(F.col("drift_score")))
         results.append(_to_result_rows(corr_rows, "correlation"))
 
+    target = cfg.get("target_column")
+    if target and cfg.get("analyze_feature_importance", False) and target in num_cols:
+        # data_drift_detector.py:193-215 — importance drift per predictor;
+        # significant at abs_change >= 0.1 (binary, like the distribution
+        # family: the reference reports counts, not a scalar score)
+        predictors = [c for c in num_cols if c != target]
+        if predictors:
+            from pyspark_data_drift_detector_spark.operators.correlation import (
+                feature_importance_drift,
+            )
+
+            fi = feature_importance_drift(df_ref, df_curr, target, predictors)
+            fi_rows = fi.select(
+                F.col("column").alias("column_name"),
+                F.lit(0.0).alias("drift_score"),
+                F.lit("None").alias("drift_severity"),
+                (F.col("abs_change") >= 0.1).alias("drift_detected"),
+                F.array_compact(
+                    F.array(
+                        F.when(F.col("abs_change") >= 0.1, F.lit("importance_shift")),
+                        F.when(F.col("significant_rank_shift"), F.col("shift_type")),
+                    )
+                ).alias("drift_causes"),
+                "ref_importance",
+                "curr_importance",
+                "abs_change",
+                "rank_shift",
+            )
+            results.append(_to_result_rows(fi_rows, "feature_importance"))
+
     if cfg.get("analyze_groups", True):
         from pyspark_data_drift_detector_spark.operators.groups import group_drift
 

@@ -203,3 +203,25 @@ def test_detect_drift_distribution_family(spark, versions):
         {"analyze_groups": False, "analyze_correlations": False, "analyze_distributions": False},
     )
     assert off.filter("column_type = 'distribution'").count() == 0
+
+
+def test_detect_drift_feature_importance_family(spark, versions):
+    """target_column + analyze_feature_importance adds per-predictor
+    importance-drift rows (data_drift_detector.py:193-215)."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    results = detect_drift(
+        versions[1],
+        versions[3],
+        {
+            "analyze_groups": False,
+            "analyze_correlations": False,
+            "analyze_distributions": False,
+            "analyze_feature_importance": True,
+            "target_column": "numeric_normal",
+        },
+    )
+    fi = results.filter("column_type = 'feature_importance'").collect()
+    assert fi
+    assert all(r["drift_score"] == 0.0 for r in fi)
+    assert {r["column_name"] for r in fi}.isdisjoint({"numeric_normal"})
