@@ -170,17 +170,22 @@ def rare_value_changes(
 
 
 def rare_value_summary(changes: DataFrame) -> DataFrame:
-    """Per-column rare-count rollup (``distribution_analyzer.py:382-390``)."""
+    """Per-column rare-count rollup (``distribution_analyzer.py:382-390``).
+
+    Counts coalesce to 0: ``change_type`` is NULL for untransitioned values,
+    and a sum over all-NULL flags would otherwise report "unknown" instead
+    of "zero transitions".
+    """
+
+    def zsum(c):
+        return F.coalesce(F.sum(c.cast("long")), F.lit(0))
+
     return changes.groupBy("column_name").agg(
-        F.sum(F.col("ref_rare").cast("long")).alias("ref_rare_count"),
-        F.sum(F.col("curr_rare").cast("long")).alias("curr_rare_count"),
-        (
-            F.sum(F.col("curr_rare").cast("long")) - F.sum(F.col("ref_rare").cast("long"))
-        ).alias("rare_count_change"),
-        F.sum((F.col("change_type") == "new_rare").cast("long")).alias("new_rare_count"),
-        F.sum((F.col("change_type") == "disappeared_rare").cast("long")).alias(
-            "disappeared_rare_count"
-        ),
+        zsum(F.col("ref_rare")).alias("ref_rare_count"),
+        zsum(F.col("curr_rare")).alias("curr_rare_count"),
+        (zsum(F.col("curr_rare")) - zsum(F.col("ref_rare"))).alias("rare_count_change"),
+        zsum(F.col("change_type") == "new_rare").alias("new_rare_count"),
+        zsum(F.col("change_type") == "disappeared_rare").alias("disappeared_rare_count"),
     )
 
 

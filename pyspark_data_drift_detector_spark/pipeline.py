@@ -168,6 +168,37 @@ def detect_drift(
                     "js_distance",
                 )
             )
+        if cat_cols and cfg.thresholds.get("detect_rare_values", False):
+            # distribution_analyzer.py:74-80 — per-column rare-state rollup,
+            # reported (no drift flag: the reference stores it without
+            # feeding drift_detected)
+            from pyspark_data_drift_detector_spark.operators.distribution import (
+                rare_value_changes,
+                rare_value_summary,
+            )
+
+            rs = rare_value_summary(
+                rare_value_changes(
+                    df_ref,
+                    df_curr,
+                    cat_cols,
+                    rare_threshold=float(cfg.thresholds.get("rare_value_threshold", 0.01)),
+                )
+            )
+            dist_rows.append(
+                rs.select(
+                    "column_name",
+                    F.lit(0.0).alias("drift_score"),
+                    F.lit("None").alias("drift_severity"),
+                    F.lit(False).alias("drift_detected"),
+                    F.array().cast("array<string>").alias("drift_causes"),
+                    "ref_rare_count",
+                    "curr_rare_count",
+                    "rare_count_change",
+                    "new_rare_count",
+                    "disappeared_rare_count",
+                )
+            )
         for dr in dist_rows:
             results.append(_to_result_rows(dr, "distribution"))
 

@@ -225,3 +225,24 @@ def test_detect_drift_feature_importance_family(spark, versions):
     assert fi
     assert all(r["drift_score"] == 0.0 for r in fi)
     assert {r["column_name"] for r in fi}.isdisjoint({"numeric_normal"})
+
+
+def test_detect_drift_rare_values_in_distribution_family(spark, versions):
+    """Profiles with detect_rare_values=True add per-column rare-state
+    rollups to the distribution family (distribution_analyzer.py:74-80);
+    the summary profile (detect_rare_values=False) does not."""
+    import json
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    base = {"analyze_groups": False, "analyze_correlations": False}
+    std = detect_drift(versions[1], versions[3], {**base, "profile": "standard"})
+    dist = std.filter("column_type = 'distribution'").collect()
+    rare_rows = [r for r in dist if "ref_rare_count" in (r["metrics"] or "")]
+    assert rare_rows
+    m = json.loads(rare_rows[0]["metrics"])
+    assert {"ref_rare_count", "curr_rare_count", "new_rare_count"} <= set(m)
+
+    summary = detect_drift(versions[1], versions[3], {**base, "profile": "summary"})
+    sdist = summary.filter("column_type = 'distribution'").collect()
+    assert not [r for r in sdist if "ref_rare_count" in (r["metrics"] or "")]
