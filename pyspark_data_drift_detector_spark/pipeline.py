@@ -84,6 +84,20 @@ def detect_drift(
 
     results: list[DataFrame] = []
 
+    num_th = dict(cfg.numerical_thresholds)
+    cat_th = dict(cfg.categorical_thresholds)
+    if cfg.get("adaptive_thresholds", False):
+        # main.py:74-91 — size-banded threshold scaling: lenient under 1k
+        # rows (×1.5 on mean/std and the categorical distribution check),
+        # strict over 10M (×0.7). Two count jobs, exactly the reference's
+        # cost; off by default.
+        max_count = max(df_ref.count(), df_curr.count())
+        scale = 1.5 if max_count < 1_000 else (0.7 if max_count > 10_000_000 else None)
+        if scale is not None:
+            num_th["mean_threshold"] = num_th.get("mean_threshold", 0.05) * scale
+            num_th["std_threshold"] = num_th.get("std_threshold", 0.1) * scale
+            cat_th["category_threshold"] = cat_th.get("category_threshold", 0.03) * scale
+
     num_cols = by_type.get("numerical", [])
     if num_cols:
         results.append(
@@ -92,7 +106,7 @@ def detect_drift(
                     df_ref,
                     df_curr,
                     columns=num_cols,
-                    thresholds=cfg.numerical_thresholds,
+                    thresholds=num_th,
                     quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
                     exact_quantiles=bool(cfg.get("exact_quantiles", True)),
                     quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
@@ -111,7 +125,7 @@ def detect_drift(
                     df_ref,
                     df_curr,
                     cat_cols,
-                    thresholds=cfg.categorical_thresholds,
+                    thresholds=cat_th,
                     top_k=int(cfg.get("categorical_top_k", 20)),
                 ),
                 "categorical",

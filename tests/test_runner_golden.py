@@ -246,3 +246,26 @@ def test_detect_drift_rare_values_in_distribution_family(spark, versions):
     summary = detect_drift(versions[1], versions[3], {**base, "profile": "summary"})
     sdist = summary.filter("column_type = 'distribution'").collect()
     assert not [r for r in sdist if "ref_rare_count" in (r["metrics"] or "")]
+
+
+def test_adaptive_thresholds_small_data(spark):
+    """adaptive_thresholds=True loosens thresholds x1.5 under 1k rows
+    (main.py:74-91): borderline drift flagged with fixed thresholds is
+    forgiven on small data."""
+    import random
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    rng = random.Random(11)
+    # mean shift engineered between the fixed (5%) and scaled (7.5%) bands
+    ref = spark.createDataFrame([(i, 100.0 + rng.gauss(0, 1)) for i in range(400)], "id long, x double")
+    curr = spark.createDataFrame([(i, 106.2 + rng.gauss(0, 1)) for i in range(400)], "id long, x double")
+    base = {"analyze_groups": False, "analyze_correlations": False,
+            "analyze_distributions": False}
+
+    fixed = detect_drift(ref, curr, base).filter(
+        "column_name = 'x' and column_type = 'numerical'").first()
+    adaptive = detect_drift(ref, curr, {**base, "adaptive_thresholds": True}).filter(
+        "column_name = 'x' and column_type = 'numerical'").first()
+    assert "mean" in fixed["drift_causes"]
+    assert "mean" not in adaptive["drift_causes"]
