@@ -120,6 +120,9 @@ _DEFAULTS: dict[str, Any] = {
     # Both reference scorers are preserved; default matches the reference's
     # dict-path (the one its pipeline actually reports).
     "numeric_score_mode": "weighted",
+    # columns per profile aggregate (keeps plans inside codegen maxFields;
+    # the reference batches at 100 for driver memory, main.py:96-120)
+    "column_batch_size": 100,
 }
 
 

@@ -98,14 +98,25 @@ def detect_drift(
             num_th["std_threshold"] = num_th.get("std_threshold", 0.1) * scale
             cat_th["category_threshold"] = cat_th.get("category_threshold", 0.03) * scale
 
+    # Very wide tables must not produce one pathological aggregate: each
+    # profiled column contributes ~13 aggregation buffer fields, and past
+    # spark.sql.codegen.maxFields the whole aggregate silently leaves
+    # whole-stage codegen. Batches of 100 keep every plan in the fast path
+    # (the reference batches for driver-memory reasons, main.py:96-120 —
+    # same knob, different failure mode).
+    batch_size = max(1, int(cfg.get("column_batch_size", 100)))
+
+    def _batched(cols: list[str]):
+        return [cols[i : i + batch_size] for i in range(0, len(cols), batch_size)]
+
     num_cols = by_type.get("numerical", [])
-    if num_cols:
+    for batch in _batched(num_cols):
         results.append(
             _to_result_rows(
                 numeric_drift_pair(
                     df_ref,
                     df_curr,
-                    columns=num_cols,
+                    columns=batch,
                     thresholds=num_th,
                     quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
                     exact_quantiles=bool(cfg.get("exact_quantiles", True)),
@@ -118,13 +129,13 @@ def detect_drift(
         )
 
     cat_cols = by_type.get("categorical", [])
-    if cat_cols:
+    for batch in _batched(cat_cols):
         results.append(
             _to_result_rows(
                 categorical_drift(
                     df_ref,
                     df_curr,
-                    cat_cols,
+                    batch,
                     thresholds=cat_th,
                     top_k=int(cfg.get("categorical_top_k", 20)),
                 ),
