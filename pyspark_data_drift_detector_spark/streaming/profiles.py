@@ -67,6 +67,7 @@ def stream_windowed_profile(
     watermark: str = "2 hours",
     keys: list[str] | None = None,
     value_col: str = "value",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """Streaming variant: parquet file source → watermark → windowed agg.
 
@@ -91,7 +92,7 @@ def stream_windowed_profile(
     elif ts_type is not None and ts_type != "timestamp":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     stream = stream.withWatermark(ts_col, watermark)
-    return windowed_profile(stream, ts_col, window_duration, keys, value_col)
+    return windowed_profile(stream, ts_col, window_duration, keys, value_col, slide_duration)
 
 
 RUNNING_PROFILE_OUTPUT_SCHEMA = (

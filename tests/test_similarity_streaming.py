@@ -305,3 +305,42 @@ def test_streaming_drift_alerts(spark):
     out = streaming_drift_alerts(live, baseline).collect()[0]
     assert out["mean_rel_diff"] == pytest.approx(0.5)
     assert out["drift_alert"]
+
+
+def test_streaming_sliding_windows(spark, sf_dir, tmp_path):
+    """Sliding windows work on a real stream and agree with the batch path
+    for finalized windows."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    stream_dir = tmp_path / "events_sliding_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_df = stream_windowed_profile(
+        spark, str(stream_dir), schema=schema,
+        window_duration="1 day", slide_duration="12 hours",
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.sql("SELECT * FROM sliding_test")
+    batch = windowed_profile(
+        load_events(spark, sf_dir), window_duration="1 day", slide_duration="12 hours"
+    )
+    stream_rows = {
+        (str(r["window_start"]), r["event_type"]): r["n"] for r in result.collect()
+    }
+    batch_rows = {
+        (str(r["window_start"]), r["event_type"]): r["n"] for r in batch.collect()
+    }
+    assert stream_rows
+    assert set(stream_rows).issubset(set(batch_rows))
+    for key, n in stream_rows.items():
+        assert batch_rows[key] == n
