@@ -84,6 +84,34 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per categorical column (industry-standard
+    drift metric; epsilon-clamped zero bins) over the part split."""
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        population_stability_index,
+    )
+
+    part = spark.read.parquet(f"{sf_dir.rstrip('/')}/part.parquet")
+    ref = part.filter(F.col("p_partkey") % 2 == 0)
+    curr = part.filter(F.col("p_partkey") % 2 == 1)
+    out = population_stability_index(ref, curr, ["p_brand", "p_type"])
+    return _round_cols(out.select("column_name", "psi", "stability"), ["psi"])
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH blocking — the 100 TB path
+    (candidates from band collisions, exact-cosine verify). The seeded
+    hyperplanes replay in SQL, so candidate generation AND verification are
+    value-checked; recall vs the exact variant is a banding property, not a
+    correctness one (both engines compute the identical banding)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import embedding_neardup_lsh
+
+    out = embedding_neardup_lsh(
+        _embeddings(spark, sf_dir), threshold=0.4, dim=64, n_planes=16, bands=4
+    )
+    return _round_cols(out.select("id1", "id2", "cosine"), ["cosine"])
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window profile (1-day windows every 12 hours) — each event
     contributes to 2 overlapping windows; the oracle replays the epoch-
@@ -1794,6 +1822,60 @@ def _embedding_neardup_sql(threshold: float = 0.4) -> str:
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"""
 
 
+def _psi_sql(epsilon: float = 1e-4) -> str:
+    cols = ["p_brand", "p_type"]
+    return f"""
+    WITH refc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 0')}),
+         currc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 1')}),
+         aligned AS (
+           SELECT COALESCE(r.column_name, c.column_name) AS column_name,
+                  GREATEST(COALESCE(r.freq, 0.0), {epsilon}) AS p,
+                  GREATEST(COALESCE(c.freq, 0.0), {epsilon}) AS q
+           FROM refc r FULL OUTER JOIN currc c
+             ON r.column_name = c.column_name AND r.value = c.value),
+         s AS (SELECT column_name, SUM((q - p) * LN(q / p)) AS psi
+               FROM aligned GROUP BY 1)
+    SELECT column_name, ROUND(psi, {ROUND}) AS psi,
+      CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate_shift'
+           ELSE 'significant_shift' END AS stability
+    FROM s"""
+
+
+def _embedding_neardup_lsh_sql(threshold: float = 0.4) -> str:
+    """Replay of embedding_neardup_lsh(dim=64, n_planes=16, bands=4): same
+    seeded hyperplanes as _ann_lsh_sql, 4-bit band keys, pair collisions,
+    exact-cosine filter."""
+    from pyspark_data_drift_detector_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 16, seed=42)
+    bit_exprs = ",\n        ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) > 0 THEN 1 ELSE 0 END"
+        for plane in planes
+    )
+    key = " + ".join(f"{2**i} * bits[4 * b.band + {i + 1}]" for i in range(4))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sigs AS (
+      SELECT vec_id, e, [
+        {bit_exprs}
+      ] AS bits FROM v),
+    banded AS (
+      SELECT vec_id, e, b.band, {key} AS key
+      FROM sigs, (SELECT unnest(range(4)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    SELECT id1, id2,
+      ROUND(list_cosine_similarity(av.e, bv.e), {ROUND}) AS cosine
+    FROM cand
+    JOIN v av ON av.vec_id = cand.id1
+    JOIN v bv ON bv.vec_id = cand.id2
+    WHERE list_cosine_similarity(av.e, bv.e) >= {threshold}"""
+
+
 def _events_windowed_sql() -> str:
     return f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2105,6 +2187,7 @@ def _oracle_queries() -> dict[str, str]:
         "freq_table": freq_sql,
         "categorical_drift": _categorical_drift_sql(),
         "entropy": entropy_sql,
+        "psi": _psi_sql(),
         "group_profile": group_profile_sql,
         "top_categories": top_categories_sql,
         "quantile_shift": _quantile_shift_sql(),
@@ -2128,6 +2211,7 @@ def _oracle_queries() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
+        "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "events_windowed": _events_windowed_sql(),
         "running_profile": _running_profile_sql(),
         "events_sliding": _events_sliding_sql(),
@@ -2173,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_table": q_freq_table,
         "categorical_drift": q_categorical_drift,
         "entropy": q_entropy,
+        "psi": q_psi,
         "group_profile": q_group_profile,
         "top_categories": q_top_categories,
         "quantile_shift": q_quantile_shift,
@@ -2196,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_windowed": q_events_windowed,
         "running_profile": q_running_profile,
         "events_sliding": q_events_sliding,

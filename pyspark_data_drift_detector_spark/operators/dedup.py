@@ -320,6 +320,78 @@ def minhash_lsh_pairs(
     return out.select("id1", "id2", "jaccard")
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates via hyperplane-LSH blocking — the 100 TB path.
+
+    The exact variant (``embedding_neardup_pairs``) is O(n²·d) however well
+    it is blocked; this one generates candidates only from LSH band
+    collisions (cosine-similar vectors agree on most sign bits, so a pair
+    above a high threshold almost surely collides in ≥1 of the ``bands``
+    bands) and verifies with exact cosine, so precision is exact and only
+    recall depends on the banding. Work scales with Σ bucket², not n².
+
+    Deterministic seeded hyperplanes (shared with ``similarity.lsh_topk``)
+    make the whole pipeline — sign bits, band keys, collisions, cosine —
+    replayable in the SQL oracle. ``max_bucket_size`` is the same hot-bucket
+    skew guard as MinHash-LSH (degenerate all-identical clusters).
+    """
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        _signature_expr,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(embedding_col).cast("array<double>").alias("e"),
+    ).withColumn("__sig", _signature_expr(F.col("e"), planes))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("__sig"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = src.select("id", "e", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", "e", "bb.band", "bb.key"
+    )
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    banded = _reuse(banded)
+    a = banded.select(F.col("id").alias("id1"), F.col("e").alias("e1"), "band", "key")
+    b = banded.select(F.col("id").alias("id2"), F.col("e").alias("e2"), "band", "key")
+    # score then collapse across bands (same rationale as minhash_lsh_pairs:
+    # shuffle scalar cosines, not embedding arrays)
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_expr(F.col("e1"), F.col("e2")))
+        .groupBy("id1", "id2")
+        .agg(F.max("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

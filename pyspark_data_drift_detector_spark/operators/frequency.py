@@ -142,6 +142,53 @@ def entropy(freq: DataFrame, base2: bool = True) -> DataFrame:
     )
 
 
+def population_stability_index(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """PSI per column: ``Σ (q−p)·ln(q/p)`` over the aligned category support.
+
+    The industry-standard drift metric (banking/model-monitoring
+    convention: <0.1 stable, 0.1–0.25 moderate, >0.25 significant) —
+    beyond the reference's surface (it has JS/chi² only), added because a
+    drift engine without PSI is incomplete for most monitoring users.
+    Zero-frequency categories clamp to ``epsilon`` (the standard zero-bin
+    treatment, keeping the sum finite). One ``pair_frequency_cells`` pass;
+    frequencies are over each side's non-null total.
+    """
+    cells = pair_frequency_cells(df_ref, df_curr, columns)
+    win = Window.partitionBy("column_name")
+    nn = ~F.col("value").isNull()
+    enr = (
+        cells.withColumn(
+            "ref_total", F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))).over(win)
+        )
+        .withColumn(
+            "curr_total", F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))).over(win)
+        )
+        .filter(nn)
+        .withColumn(
+            "p",
+            F.greatest(F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)), F.lit(epsilon)),
+        )
+        .withColumn(
+            "q",
+            F.greatest(F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)), F.lit(epsilon)),
+        )
+    )
+    psi = F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")))
+    return enr.groupBy("column_name").agg(psi.alias("psi")).select(
+        "column_name",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate_shift")
+        .otherwise("significant_shift")
+        .alias("stability"),
+    )
+
+
 def grouped_frequency_table(
     df: DataFrame,
     dimension: str,
