@@ -98,6 +98,16 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out.select("column_name", "psi", "stability"), ["psi"])
 
 
+def q_psi_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric PSI over reference-decile bins — the standard
+    model-monitoring recipe, value-checked bin-for-bin."""
+    from pyspark_data_drift_detector_spark.operators.distribution import psi_numeric
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = psi_numeric(ref, curr, ["l_quantity", "l_extendedprice", "l_discount"])
+    return _round_cols(out.select("column_name", "psi", "stability"), ["psi"])
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH blocking — the 100 TB path
     (candidates from band collisions, exact-cosine verify). The seeded
@@ -1841,6 +1851,40 @@ def _psi_sql(epsilon: float = 1e-4) -> str:
     FROM s"""
 
 
+def _psi_numeric_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    probs = ", ".join(str(i / bins) for i in range(1, bins))
+    parts = []
+    for c in cols:
+        bin_expr = " + ".join(
+            f"(CASE WHEN {c} > e.q[{i}] THEN 1 ELSE 0 END)" for i in range(1, bins)
+        )
+        parts.append(f"""
+        SELECT '{c}' AS column_name, {bin_expr} AS bin,
+          SUM(CASE WHEN {_REF_W} THEN 1 ELSE 0 END) AS rc,
+          SUM(CASE WHEN {_CURR_W} THEN 1 ELSE 0 END) AS cc
+        FROM lineitem CROSS JOIN
+          (SELECT quantile_cont({c}, [{probs}]) AS q FROM lineitem WHERE {_REF_W}) e
+        WHERE {c} IS NOT NULL GROUP BY 1, 2""")
+    return f"""
+    WITH counts AS ({' UNION ALL '.join(parts)}),
+    tot AS (SELECT column_name, SUM(rc) AS rt, SUM(cc) AS ct
+            FROM counts GROUP BY 1),
+    grid AS (SELECT c.column_name, r.bin FROM tot c CROSS JOIN range({bins}) r(bin)),
+    freqs AS (
+      SELECT g.column_name,
+        GREATEST(CAST(COALESCE(c.rc, 0) AS DOUBLE) / GREATEST(t.rt, 1), {epsilon}) AS p,
+        GREATEST(CAST(COALESCE(c.cc, 0) AS DOUBLE) / GREATEST(t.ct, 1), {epsilon}) AS q
+      FROM grid g
+      JOIN tot t ON t.column_name = g.column_name
+      LEFT JOIN counts c ON c.column_name = g.column_name AND c.bin = g.bin),
+    s AS (SELECT column_name, SUM((q - p) * LN(q / p)) AS psi FROM freqs GROUP BY 1)
+    SELECT column_name, ROUND(psi, {ROUND}) AS psi,
+      CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate_shift'
+           ELSE 'significant_shift' END AS stability
+    FROM s"""
+
+
 def _embedding_neardup_lsh_sql(threshold: float = 0.4) -> str:
     """Replay of embedding_neardup_lsh(dim=64, n_planes=16, bands=4): same
     seeded hyperplanes as _ann_lsh_sql, 4-bit band keys, pair collisions,
@@ -2188,6 +2232,7 @@ def _oracle_queries() -> dict[str, str]:
         "categorical_drift": _categorical_drift_sql(),
         "entropy": entropy_sql,
         "psi": _psi_sql(),
+        "psi_numeric": _psi_numeric_sql(),
         "group_profile": group_profile_sql,
         "top_categories": top_categories_sql,
         "quantile_shift": _quantile_shift_sql(),
@@ -2258,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "entropy": q_entropy,
         "psi": q_psi,
+        "psi_numeric": q_psi_numeric,
         "group_profile": q_group_profile,
         "top_categories": q_top_categories,
         "quantile_shift": q_quantile_shift,

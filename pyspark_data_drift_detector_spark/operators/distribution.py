@@ -189,6 +189,84 @@ def rare_value_summary(changes: DataFrame) -> DataFrame:
     )
 
 
+def psi_numeric(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+    epsilon: float = 1e-4,
+    exact_quantiles: bool = True,
+) -> DataFrame:
+    """PSI for numeric columns over reference-quantile bins.
+
+    The standard model-monitoring recipe: bin edges are the REFERENCE
+    side's ``1/bins … (bins−1)/bins`` quantiles (so ref mass is ~uniform
+    per bin), both sides are counted into those fixed bins, and
+    ``PSI = Σ (q−p)·ln(q/p)`` with ε-clamped empty bins. Two jobs: one
+    aggregate for the O(columns×bins) edge table (collected — same driver
+    O(columns) pattern as the outlier operators), one side-tagged pass for
+    all bin counts of all columns. Bin membership is ``Σ (v > edge)`` —
+    identical arithmetic in the SQL oracle.
+    """
+    from pyspark_data_drift_detector_spark.operators.profile import _qname, numeric_profile
+
+    probs = [i / bins for i in range(1, bins)]
+    prof = numeric_profile(
+        df_ref,
+        columns,
+        quantiles=tuple(probs),
+        with_shape=False,
+        exact_quantiles=exact_quantiles,
+    )
+    edge_rows = {r["column_name"]: r for r in prof.collect()}
+    edges = {
+        c: [edge_rows[c][_qname(p)] for p in probs] for c in columns if c in edge_rows
+    }
+
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    aggs = []
+    for c, es in edges.items():
+        v = F.col(c).cast("double")
+        bin_expr = sum(
+            (v > F.lit(float(e))).cast("int") for e in es if e is not None
+        )
+        for pre, tag in (("ref", "r"), ("curr", "c")):
+            cond = (F.col("__side") == tag) & v.isNotNull()
+            aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}__{c}__n"))
+            for b in range(bins):
+                aggs.append(
+                    F.sum((cond & (bin_expr == b)).cast("long")).alias(f"__{pre}__{c}__b{b}")
+                )
+    wide = tagged.agg(*aggs)
+    structs = []
+    for c in edges:
+        terms = []
+        for b in range(bins):
+            p = F.greatest(
+                F.col(f"__ref__{c}__b{b}") / F.greatest(F.col(f"__ref__{c}__n"), F.lit(1)),
+                F.lit(epsilon),
+            )
+            q = F.greatest(
+                F.col(f"__curr__{c}__b{b}") / F.greatest(F.col(f"__curr__{c}__n"), F.lit(1)),
+                F.lit(epsilon),
+            )
+            terms.append((q - p) * F.log(q / p))
+        psi = sum(terms[1:], terms[0])
+        structs.append(F.struct(F.lit(c).alias("column_name"), psi.alias("psi")))
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "stability",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate_shift")
+            .otherwise("significant_shift"),
+        )
+    )
+
+
 def histogram(
     df: DataFrame,
     columns: list[str],
