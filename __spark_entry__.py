@@ -98,6 +98,20 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out.select("column_name", "psi", "stability"), ["psi"])
 
 
+def q_ks_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS + Wasserstein-1 from the per-value EDF —
+    distributed, no sampling; asymptotic KS p-value with a fixed-term
+    series both engines replay identically."""
+    from pyspark_data_drift_detector_spark.operators.distribution import edf_distances
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = edf_distances(ref, curr, ["l_quantity", "l_extendedprice", "l_discount"])
+    return _round_cols(
+        out.select("column_name", "ks", "ks_pvalue", "wasserstein", "n_ref", "n_curr"),
+        ["ks", "ks_pvalue", "wasserstein"],
+    )
+
+
 def q_psi_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric PSI over reference-decile bins — the standard
     model-monitoring recipe, value-checked bin-for-bin."""
@@ -1851,6 +1865,54 @@ def _psi_sql(epsilon: float = 1e-4) -> str:
     FROM s"""
 
 
+def _ks_wasserstein_sql(terms: int = 20) -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS value, "
+        f"CASE WHEN {_REF_W} THEN 1 ELSE 0 END AS is_ref "
+        f"FROM lineitem WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    series = " + ".join(
+        f"({float((-1) ** (k - 1))} * EXP({-2.0 * k * k} * lam * lam))"
+        for k in range(1, terms + 1)
+    )
+    return f"""
+    WITH m AS ({melt}),
+    cells AS (
+      SELECT column_name, value, SUM(is_ref) AS rc, SUM(1 - is_ref) AS cc
+      FROM m GROUP BY 1, 2),
+    enr AS (
+      SELECT column_name, value, rc, cc,
+        SUM(rc) OVER (PARTITION BY column_name ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum_r,
+        SUM(cc) OVER (PARTITION BY column_name ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum_c,
+        SUM(rc) OVER (PARTITION BY column_name) AS n_r,
+        SUM(cc) OVER (PARTITION BY column_name) AS n_c,
+        LEAD(value) OVER (PARTITION BY column_name ORDER BY value) - value AS gap
+      FROM cells),
+    d AS (
+      SELECT column_name,
+        ABS(CAST(cum_r AS DOUBLE) / GREATEST(n_r, 1)
+          - CAST(cum_c AS DOUBLE) / GREATEST(n_c, 1)) AS diff,
+        gap, n_r, n_c
+      FROM enr),
+    agg AS (
+      SELECT column_name, MAX(diff) AS ks,
+        COALESCE(SUM(diff * gap), 0.0) AS wasserstein,
+        MAX(n_r) AS n_ref, MAX(n_c) AS n_curr
+      FROM d GROUP BY 1),
+    lamt AS (
+      SELECT *, ks * SQRT(CAST(n_ref AS DOUBLE) * n_curr / (n_ref + n_curr)) AS lam
+      FROM agg)
+    SELECT column_name, ROUND(ks, {ROUND}) AS ks,
+      ROUND(GREATEST(0.0, LEAST(1.0, 2 * ({series}))), {ROUND}) AS ks_pvalue,
+      ROUND(wasserstein, {ROUND}) AS wasserstein,
+      CAST(n_ref AS BIGINT) AS n_ref, CAST(n_curr AS BIGINT) AS n_curr
+    FROM lamt"""
+
+
 def _psi_numeric_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     probs = ", ".join(str(i / bins) for i in range(1, bins))
@@ -2233,6 +2295,7 @@ def _oracle_queries() -> dict[str, str]:
         "entropy": entropy_sql,
         "psi": _psi_sql(),
         "psi_numeric": _psi_numeric_sql(),
+        "ks_wasserstein": _ks_wasserstein_sql(),
         "group_profile": group_profile_sql,
         "top_categories": top_categories_sql,
         "quantile_shift": _quantile_shift_sql(),
@@ -2304,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "psi": q_psi,
         "psi_numeric": q_psi_numeric,
+        "ks_wasserstein": q_ks_wasserstein,
         "group_profile": q_group_profile,
         "top_categories": q_top_categories,
         "quantile_shift": q_quantile_shift,

@@ -189,6 +189,90 @@ def rare_value_summary(changes: DataFrame) -> DataFrame:
     )
 
 
+def edf_distances(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    ks_pvalue_terms: int = 20,
+) -> DataFrame:
+    """EXACT two-sample KS and Wasserstein-1 distances per numeric column.
+
+    Both are functionals of the empirical CDFs, which come exactly from the
+    per-value count histogram — no sampling, no sketches, no driver data:
+
+    - ``ks = max |F_ref(v) − F_curr(v)|`` over distinct values;
+    - ``wasserstein = ∫|F_ref − F_curr| = Σ |F_ref(v)−F_curr(v)|·gap(v)``
+      over consecutive distinct values (exact for empirical measures);
+    - ``ks_pvalue``: the asymptotic two-sample tail
+      ``2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`` with
+      ``λ = ks·√(n_r·n_c/(n_r+n_c))``, truncated at a FIXED term count so
+      the SQL oracle replays the identical partial sum.
+
+    Plan: one side-tagged melt → ``groupBy(column, value)`` (map-side
+    combine, shuffle O(distinct)) → per-column cumulative window → tiny
+    aggregate. The usual KS implementations either collect one side or
+    sort-merge both per column; this is a single bounded-memory pass for
+    ALL columns. Beyond the reference's surface (it has no two-sample
+    tests) — standard drift-detection capability.
+    """
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("value"))
+            for c in columns
+        ]
+    )
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    melted = (
+        tagged.select("__side", F.explode(pairs).alias("kv"))
+        .select("__side", "kv.*")
+        .where(F.col("value").isNotNull())
+    )
+    cells = melted.groupBy("column_name", "value").agg(
+        F.sum((F.col("__side") == "r").cast("long")).alias("rc"),
+        F.sum((F.col("__side") == "c").cast("long")).alias("cc"),
+    )
+    wv = Window.partitionBy("column_name").orderBy("value")
+    wall = Window.partitionBy("column_name")
+    enr = (
+        cells.withColumn("cum_r", F.sum("rc").over(wv))
+        .withColumn("cum_c", F.sum("cc").over(wv))
+        .withColumn("n_r", F.sum("rc").over(wall))
+        .withColumn("n_c", F.sum("cc").over(wall))
+        .withColumn("gap", F.lead("value").over(wv) - F.col("value"))
+        .withColumn(
+            "diff",
+            F.abs(
+                F.col("cum_r") / F.greatest(F.col("n_r"), F.lit(1))
+                - F.col("cum_c") / F.greatest(F.col("n_c"), F.lit(1))
+            ),
+        )
+    )
+    agg = enr.groupBy("column_name").agg(
+        F.max("diff").alias("ks"),
+        F.coalesce(F.sum(F.col("diff") * F.col("gap")), F.lit(0.0)).alias("wasserstein"),
+        F.max("n_r").alias("n_ref"),
+        F.max("n_c").alias("n_curr"),
+    )
+    lam = F.col("ks") * F.sqrt(
+        F.col("n_ref") * F.col("n_curr") / (F.col("n_ref") + F.col("n_curr"))
+    )
+    series = None
+    for k in range(1, ks_pvalue_terms + 1):
+        term = F.lit(float((-1) ** (k - 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        series = term if series is None else series + term
+    pval = F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2 * series))
+    return agg.select(
+        "column_name",
+        "ks",
+        pval.alias("ks_pvalue"),
+        "wasserstein",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_curr").cast("long").alias("n_curr"),
+    )
+
+
 def psi_numeric(
     df_ref: DataFrame,
     df_curr: DataFrame,

@@ -155,3 +155,30 @@ def test_group_drift_no_drift(pair):
     for r in rows:
         assert not r["drift_detected"]
         assert r["drift_score"] == pytest.approx(0.0)
+
+
+def test_edf_distances_ground_truth(spark):
+    """KS and W1 match a brute-force Python EDF computation."""
+    import bisect
+
+    from pyspark_data_drift_detector_spark.operators.distribution import edf_distances
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0]
+    b = [2.0, 3.0, 3.0, 4.0, 9.0]
+    df_a = spark.createDataFrame([(x,) for x in a], "x double")
+    df_b = spark.createDataFrame([(x,) for x in b], "x double")
+    row = edf_distances(df_a, df_b, ["x"]).first()
+
+    sa, sb = sorted(a), sorted(b)
+    values = sorted(set(a) | set(b))
+    def cdf(s, v):
+        return bisect.bisect_right(s, v) / len(s)
+    diffs = [abs(cdf(sa, v) - cdf(sb, v)) for v in values]
+    ks = max(diffs)
+    w1 = sum(
+        abs(cdf(sa, values[i]) - cdf(sb, values[i])) * (values[i + 1] - values[i])
+        for i in range(len(values) - 1)
+    )
+    assert row["ks"] == pytest.approx(ks, abs=1e-12)
+    assert row["wasserstein"] == pytest.approx(w1, abs=1e-12)
+    assert 0.0 <= row["ks_pvalue"] <= 1.0
