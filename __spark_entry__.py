@@ -1907,7 +1907,8 @@ def _ks_wasserstein_sql(terms: int = 20) -> str:
       SELECT *, ks * SQRT(CAST(n_ref AS DOUBLE) * n_curr / (n_ref + n_curr)) AS lam
       FROM agg)
     SELECT column_name, ROUND(ks, {ROUND}) AS ks,
-      ROUND(GREATEST(0.0, LEAST(1.0, 2 * ({series}))), {ROUND}) AS ks_pvalue,
+      ROUND(CASE WHEN lam < 0.4 THEN 1.0
+            ELSE GREATEST(0.0, LEAST(1.0, 2 * ({series}))) END, {ROUND}) AS ks_pvalue,
       ROUND(wasserstein, {ROUND}) AS wasserstein,
       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_curr AS BIGINT) AS n_curr
     FROM lamt"""

@@ -206,7 +206,9 @@ def edf_distances(
     - ``ks_pvalue``: the asymptotic two-sample tail
       ``2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`` with
       ``λ = ks·√(n_r·n_c/(n_r+n_c))``, truncated at a FIXED term count so
-      the SQL oracle replays the identical partial sum.
+      the SQL oracle replays the identical partial sum. For ``λ < 0.4``
+      the alternating partial sums oscillate while the true limit is 1,
+      so the standard small-λ guard returns 1.0 (Q(0.4) ≈ 0.9972).
 
     Plan: one side-tagged melt → ``groupBy(column, value)`` (map-side
     combine, shuffle O(distinct)) → per-column cumulative window → tiny
@@ -262,7 +264,9 @@ def edf_distances(
     for k in range(1, ks_pvalue_terms + 1):
         term = F.lit(float((-1) ** (k - 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
         series = term if series is None else series + term
-    pval = F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2 * series))
+    pval = F.when(
+        lam < 0.4, F.lit(1.0)
+    ).otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2 * series)))
     return agg.select(
         "column_name",
         "ks",

@@ -182,3 +182,28 @@ def test_edf_distances_ground_truth(spark):
     assert row["ks"] == pytest.approx(ks, abs=1e-12)
     assert row["wasserstein"] == pytest.approx(w1, abs=1e-12)
     assert 0.0 <= row["ks_pvalue"] <= 1.0
+
+
+def test_edf_and_psi_invariants(spark):
+    """Identical inputs give zero distance; disjoint supports give KS=1 and
+    wasserstein = gap between the supports."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        edf_distances,
+        psi_numeric,
+    )
+
+    same = spark.createDataFrame([(float(i % 7),) for i in range(100)], "x double")
+    row = edf_distances(same, same, ["x"]).first()
+    assert row["ks"] == 0.0
+    assert row["wasserstein"] == 0.0
+    assert row["ks_pvalue"] == pytest.approx(1.0)
+    psi_row = psi_numeric(same, same, ["x"]).first()
+    assert psi_row["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert psi_row["stability"] == "stable"
+
+    lo = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    hi = spark.createDataFrame([(10.0,), (11.0,)], "x double")
+    row = edf_distances(lo, hi, ["x"]).first()
+    assert row["ks"] == 1.0
+    # |F_lo - F_hi| is 1 exactly on [1, 10): 0.5 on [0,1) and [10,11) tails
+    assert row["wasserstein"] == pytest.approx(0.5 * 1 + 1.0 * 9 + 0.5 * 1)
