@@ -84,6 +84,21 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(drift.select("column_name", *rounded, "drift_detected"), rounded)
 
 
+def q_categorical_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full categorical distance panel (JS/PSI/TVD/Hellinger) from ONE
+    frequency-cells pass, over the part split."""
+    from pyspark_data_drift_detector_spark.operators.frequency import categorical_distances
+
+    part = spark.read.parquet(f"{sf_dir.rstrip('/')}/part.parquet")
+    ref = part.filter(F.col("p_partkey") % 2 == 0)
+    curr = part.filter(F.col("p_partkey") % 2 == 1)
+    out = categorical_distances(ref, curr, ["p_brand", "p_type"])
+    return _round_cols(
+        out.select("column_name", "js", "psi", "tvd", "hellinger"),
+        ["js", "psi", "tvd", "hellinger"],
+    )
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index per categorical column (industry-standard
     drift metric; epsilon-clamped zero bins) over the part split."""
@@ -1846,6 +1861,28 @@ def _embedding_neardup_sql(threshold: float = 0.4) -> str:
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"""
 
 
+def _categorical_distances_sql(epsilon: float = 1e-4) -> str:
+    cols = ["p_brand", "p_type"]
+    return f"""
+    WITH refc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 0')}),
+         currc AS ({_freq_sql(cols, 'part', 'p_partkey % 2 = 1')}),
+         aligned AS (
+           SELECT COALESCE(r.column_name, c.column_name) AS column_name,
+                  COALESCE(r.freq, 0.0) AS p, COALESCE(c.freq, 0.0) AS q
+           FROM refc r FULL OUTER JOIN currc c
+             ON r.column_name = c.column_name AND r.value = c.value)
+    SELECT column_name,
+      ROUND(SQRT(GREATEST(0.0, (
+        SUM(CASE WHEN p > 0 AND (p+q)/2 > 0 THEN p * LOG2(p / ((p+q)/2)) ELSE 0 END) +
+        SUM(CASE WHEN q > 0 AND (p+q)/2 > 0 THEN q * LOG2(q / ((p+q)/2)) ELSE 0 END)
+      ) / 2)), {ROUND}) AS js,
+      ROUND(SUM((GREATEST(q, {epsilon}) - GREATEST(p, {epsilon}))
+        * LN(GREATEST(q, {epsilon}) / GREATEST(p, {epsilon}))), {ROUND}) AS psi,
+      ROUND(SUM(ABS(p - q)) / 2, {ROUND}) AS tvd,
+      ROUND(SQRT(GREATEST(0.0, SUM(POW(SQRT(p) - SQRT(q), 2)) / 2)), {ROUND}) AS hellinger
+    FROM aligned GROUP BY column_name"""
+
+
 def _psi_sql(epsilon: float = 1e-4) -> str:
     cols = ["p_brand", "p_type"]
     return f"""
@@ -2295,6 +2332,7 @@ def _oracle_queries() -> dict[str, str]:
         "categorical_drift": _categorical_drift_sql(),
         "entropy": entropy_sql,
         "psi": _psi_sql(),
+        "categorical_distances": _categorical_distances_sql(),
         "psi_numeric": _psi_numeric_sql(),
         "ks_wasserstein": _ks_wasserstein_sql(),
         "group_profile": group_profile_sql,
@@ -2367,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "entropy": q_entropy,
         "psi": q_psi,
+        "categorical_distances": q_categorical_distances,
         "psi_numeric": q_psi_numeric,
         "ks_wasserstein": q_ks_wasserstein,
         "group_profile": q_group_profile,

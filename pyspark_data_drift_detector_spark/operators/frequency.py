@@ -189,6 +189,55 @@ def population_stability_index(
     )
 
 
+def categorical_distances(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """JS, PSI, total-variation and Hellinger distances per column — one pass.
+
+    All four are sums over the aligned category frequencies, so they share
+    ONE ``pair_frequency_cells`` aggregation (the reference computes its one
+    metric per analyzer with separate collections; a monitoring user wants
+    the full panel at the cost of one):
+
+    - ``js``: sqrt of midpoint-KL divergence, log2 (same math as
+      ``categorical_drift``'s full-support variant);
+    - ``psi``: ε-clamped ``Σ (q−p)·ln(q/p)``;
+    - ``tvd``: ``½·Σ|p−q|`` ∈ [0,1];
+    - ``hellinger``: ``√(½·Σ(√p−√q)²)`` ∈ [0,1].
+    """
+    cells = pair_frequency_cells(df_ref, df_curr, columns)
+    win = Window.partitionBy("column_name")
+    nn = ~F.col("value").isNull()
+    enr = (
+        cells.withColumn(
+            "ref_total", F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))).over(win)
+        )
+        .withColumn(
+            "curr_total", F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))).over(win)
+        )
+        .filter(nn)
+        .withColumn("p", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+        .withColumn("q", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2
+    kl_p = F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
+    pc = F.greatest(p, F.lit(epsilon))
+    qc = F.greatest(q, F.lit(epsilon))
+    return enr.groupBy("column_name").agg(
+        F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("js"),
+        F.sum((qc - pc) * F.log(qc / pc)).alias("psi"),
+        (F.sum(F.abs(p - q)) / 2).alias("tvd"),
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.sum(F.pow(F.sqrt(p) - F.sqrt(q), 2)) / 2)
+        ).alias("hellinger"),
+    )
+
+
 def grouped_frequency_table(
     df: DataFrame,
     dimension: str,
