@@ -627,6 +627,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["jaccard"])
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs (min-label
+    propagation; what survivor selection consumes). The md5 hash family
+    makes the pair set — and therefore the clustering — SQL-replayable via
+    a recursive-CTE transitive closure."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    pairs = minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.3, hash_family="md5")
+    out = neardup_clusters(pairs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified. Runs the md5 affine
     hash family so the full banding algebra (signature → band → candidate →
@@ -1740,6 +1758,24 @@ def _minhash_lsh_sql(threshold: float = 0.3) -> str:
     WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= {threshold}"""
 
 
+def _dedup_clusters_sql(threshold: float = 0.3) -> str:
+    """Transitive closure (recursive CTE) over the md5-family MinHash pairs:
+    cluster_id = min reachable doc id — identical to min-label propagation's
+    fixpoint."""
+    return f"""
+    WITH p AS ({_minhash_lsh_sql(threshold)}),
+    edges AS (SELECT id1 AS a, id2 AS b FROM p
+              UNION ALL SELECT id2 AS a, id1 AS b FROM p),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    walk AS (
+      WITH RECURSIVE w(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT w.src, e.b FROM w JOIN edges e ON e.a = w.dst)
+      SELECT * FROM w)
+    SELECT src AS id, MIN(dst) AS cluster_id FROM walk GROUP BY 1"""
+
+
 def _simhash_sql(max_distance: int = 8) -> str:
     """SQL replay of simhash_pairs(hash_family='md5'): 60-bit md5 token
     hashes, per-bit ±1 votes, signature reconstruction, 15-bit band keys,
@@ -2353,6 +2389,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_exact": _dedup_exact_sql(),
         "dedup_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "knn_cosine": _knn_sql(),
         "ann_lsh": _ann_lsh_sql(),
@@ -2426,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,

@@ -74,6 +74,7 @@ def main() -> None:
     # row). The bench measures the production path.
     from pyspark_data_drift_detector_spark.operators.dedup import (
         minhash_lsh_pairs,
+        neardup_clusters,
         simhash_pairs,
     )
 
@@ -83,6 +84,9 @@ def main() -> None:
     )
     bench_queries["dedup_simhash"] = lambda s, d: simhash_pairs(
         entry_mod._documents(s, d), max_distance=8
+    )
+    bench_queries["dedup_clusters"] = lambda s, d: neardup_clusters(
+        minhash_lsh_pairs(entry_mod._documents(s, d), threshold=0.3)
     )
 
     warm_dir = "/root/testdata/sf0.001"

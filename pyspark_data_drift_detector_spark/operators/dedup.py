@@ -320,6 +320,80 @@ def minhash_lsh_pairs(
     return out.select("id1", "id2", "jaccard")
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``cluster_id`` = smallest
+    id reachable from each document.
+
+    Min-label propagation: every iteration each node takes the minimum of
+    its own label and its neighbors' labels; converges in O(graph diameter)
+    iterations (near-dup clusters are dense — diameter is tiny). Each
+    iteration is one join + one aggregate, with ``localCheckpoint`` to
+    truncate lineage (an iterative plan otherwise grows exponentially and
+    kills the optimizer LONG before data size matters). Convergence is
+    detected by an exact changed-label count, so ``max_iter`` is a
+    safety bound, not a knob to tune.
+
+    Input: any near-dup pairs frame with ``id1``/``id2`` (exact, MinHash,
+    SimHash, embedding). Output: ``id, cluster_id`` for every document that
+    appears in at least one pair (singletons are their own cluster by
+    definition and need no row).
+    """
+    edges = pairs.select("id1", "id2")
+    sym = edges.unionByName(
+        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    sym = _reuse(sym)
+    labels = (
+        sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(F.col("id").alias("id2"), F.col("label").alias("nl")),
+                "id2",
+            )
+            .groupBy("id1")
+            .agg(F.min("nl").alias("ml"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["id1"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("ml"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the smallest id — which IS
+    the cluster_id) plus every unclustered document. One broadcast-friendly
+    join against the O(clustered-docs) label table."""
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     embedding_col: str = "embedding",

@@ -151,3 +151,27 @@ def test_jaccard_shingle_df_cap(spark):
               jaccard_pairs(docs, threshold=0.1, max_shingle_df=2).collect()}
     assert (1, 2) in capped
     assert (3, 4) not in capped
+
+
+def test_neardup_clusters_and_survivors(spark):
+    """A chain of pairs collapses into one cluster (min-id label), disjoint
+    pairs stay separate, survivors = one per cluster + all unclustered."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_survivors,
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "id1 long, id2 long"
+    )
+    clusters = {r["id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, neardup_clusters(pairs)).collect()
+    )
+    assert kept == [1, 10, 20, 99]
