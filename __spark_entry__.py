@@ -146,7 +146,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_data_drift_detector_spark.operators.dedup import embedding_neardup_lsh
 
     out = embedding_neardup_lsh(
-        _embeddings(spark, sf_dir), threshold=0.4, dim=64, n_planes=16, bands=4
+        _embeddings(spark, sf_dir), threshold=0.4, dim=64, n_planes=28, bands=4
     )
     return _round_cols(out.select("id1", "id2", "cosine"), ["cosine"])
 
@@ -2022,19 +2022,22 @@ def _psi_numeric_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
 
 
 def _embedding_neardup_lsh_sql(threshold: float = 0.4) -> str:
-    """Replay of embedding_neardup_lsh(dim=64, n_planes=16, bands=4): same
-    seeded hyperplanes as _ann_lsh_sql, 4-bit band keys, pair collisions,
-    exact-cosine filter."""
+    """Replay of embedding_neardup_lsh(dim=64, n_planes=28, bands=4): same
+    seeded hyperplane family, 7-bit band keys (128 buckets per band — at a
+    FIXED key width LSH collision work is still Θ(n²/buckets), so key width
+    must grow with the corpus; 7 bits keeps the fixture non-vacuous at 8×
+    less collision volume than 4 bits), pair collisions, exact-cosine
+    filter."""
     from pyspark_data_drift_detector_spark.operators.similarity import hyperplanes
 
-    planes = hyperplanes(64, 16, seed=42)
+    planes = hyperplanes(64, 28, seed=42)
     bit_exprs = ",\n        ".join(
         "CASE WHEN list_dot_product(e, ["
         + ", ".join(repr(x) for x in plane)
         + "]) > 0 THEN 1 ELSE 0 END"
         for plane in planes
     )
-    key = " + ".join(f"{2**i} * bits[4 * b.band + {i + 1}]" for i in range(4))
+    key = " + ".join(f"{2**i} * bits[7 * b.band + {i + 1}]" for i in range(7))
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     sigs AS (
