@@ -1993,7 +1993,7 @@ def _psi_numeric_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
     parts = []
     for c in cols:
         bin_expr = " + ".join(
-            f"(CASE WHEN {c} > e.q[{i}] THEN 1 ELSE 0 END)" for i in range(1, bins)
+            f"(CASE WHEN {c} > ROUND(e.q[{i}], 9) THEN 1 ELSE 0 END)" for i in range(1, bins)
         )
         parts.append(f"""
         SELECT '{c}' AS column_name, {bin_expr} AS bin,

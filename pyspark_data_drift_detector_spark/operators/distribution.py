@@ -307,8 +307,16 @@ def psi_numeric(
         exact_quantiles=exact_quantiles,
     )
     edge_rows = {r["column_name"]: r for r in prof.collect()}
+    # edges round to 9 decimals: interpolated quantiles can differ by an ulp
+    # between engines, and an edge that lands exactly ON a data value must
+    # compare identically everywhere or boundary rows flip bins
     edges = {
-        c: [edge_rows[c][_qname(p)] for p in probs] for c in columns if c in edge_rows
+        c: [
+            None if edge_rows[c][_qname(p)] is None else round(edge_rows[c][_qname(p)], 9)
+            for p in probs
+        ]
+        for c in columns
+        if c in edge_rows
     }
 
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
