@@ -265,6 +265,41 @@ def detect_drift(
         corr_rows = corr_rows.withColumn("drift_severity", severity_expr(F.col("drift_score")))
         results.append(_to_result_rows(corr_rows, "correlation"))
 
+    if cfg.get("statistical_tests", False) and num_cols:
+        # Beyond the reference's families (opt-in): exact two-sample KS +
+        # Wasserstein-1 and reference-decile PSI per numeric column —
+        # detection = KS test at alpha=0.05 or PSI ≥ 0.25 (the standard
+        # monitoring bands). Scored by PSI severity so these rows rank.
+        from pyspark_data_drift_detector_spark.operators.distribution import (
+            edf_distances,
+            psi_numeric,
+        )
+        from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
+
+        stats = edf_distances(df_ref, df_curr, num_cols).join(
+            psi_numeric(df_ref, df_curr, num_cols).select("column_name", "psi", "stability"),
+            "column_name",
+        )
+        detected = (F.col("ks_pvalue") < 0.05) | (F.col("psi") >= 0.25)
+        st_rows = stats.select(
+            "column_name",
+            F.least(F.lit(1.0), F.col("psi")).alias("drift_score"),
+            severity_expr(F.least(F.lit(1.0), F.col("psi"))).alias("drift_severity"),
+            detected.alias("drift_detected"),
+            F.array_compact(
+                F.array(
+                    F.when(F.col("ks_pvalue") < 0.05, F.lit("ks_test")),
+                    F.when(F.col("psi") >= 0.25, F.lit("psi_significant")),
+                )
+            ).alias("drift_causes"),
+            "ks",
+            "ks_pvalue",
+            "wasserstein",
+            "psi",
+            "stability",
+        )
+        results.append(_to_result_rows(st_rows, "statistical_test"))
+
     target = cfg.get("target_column")
     if target and cfg.get("analyze_feature_importance", False) and target in num_cols:
         # data_drift_detector.py:193-215 — importance drift per predictor;

@@ -289,3 +289,26 @@ def test_column_batching_same_results(spark, versions):
         }
 
     assert key(one) == key(batched)
+
+
+def test_statistical_tests_family(spark, versions):
+    """statistical_tests=True adds KS/PSI/Wasserstein rows per numeric
+    column; the seeded v1->v3 mean shift must be caught by the KS test."""
+    import json
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    base = {"analyze_groups": False, "analyze_correlations": False,
+            "analyze_distributions": False}
+    assert detect_drift(versions[1], versions[3], base).filter(
+        "column_type = 'statistical_test'").count() == 0
+
+    st = detect_drift(
+        versions[1], versions[3], {**base, "statistical_tests": True}
+    ).filter("column_type = 'statistical_test'").collect()
+    assert st
+    by_col = {r["column_name"]: r for r in st}
+    nn = by_col["numeric_normal"]
+    assert nn["drift_detected"] and "ks_test" in nn["drift_causes"]
+    m = json.loads(nn["metrics"])
+    assert {"ks", "ks_pvalue", "wasserstein", "psi", "stability"} <= set(m)
