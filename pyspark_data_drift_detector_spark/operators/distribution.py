@@ -145,10 +145,14 @@ def rare_value_changes(
     'disappeared rare' requires it to exist in curr.
     """
     cells = pair_frequency_cells(df_ref, df_curr, columns)
-    win = Window.partitionBy("column_name")
+    # per-column totals via groupBy + broadcast-join, NOT an unpartitioned
+    # window: Window.partitionBy(column) buffers every category cell of a
+    # column in one task — a cliff for high-cardinality categoricals
+    totals = cells.groupBy("column_name").agg(
+        F.sum("ref_cnt").alias("ref_total"), F.sum("curr_cnt").alias("curr_total")
+    )
     enriched = (
-        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
-        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        cells.join(F.broadcast(totals), "column_name")
         .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
         .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
         .withColumn("ref_rare", (F.col("ref_cnt") > 0) & (F.col("ref_freq") <= rare_threshold))
@@ -211,12 +215,16 @@ def edf_distances(
       so the standard small-λ guard returns 1.0 (Q(0.4) ≈ 0.9972).
 
     Plan: one side-tagged melt → ``groupBy(column, value)`` (map-side
-    combine, shuffle O(distinct)) → per-column cumulative window → tiny
-    aggregate. The usual KS implementations either collect one side or
-    sort-merge both per column; this is a single bounded-memory pass for
-    ALL columns. Beyond the reference's surface (it has no two-sample
-    tests) — standard drift-detection capability.
+    combine, shuffle O(distinct)) → **distributed two-phase prefix sum**
+    (``bucketed_cumsum``: equi-depth range buckets + broadcast offsets +
+    within-bucket windows) → tiny aggregate. The usual KS implementations
+    either collect one side, sort-merge both per column, or run a
+    per-column single-task window; here no task ever holds more than
+    ~1/B of one column's distinct values, so the exact path survives
+    continuous doubles at 100 TB. Beyond the reference's surface (it has
+    no two-sample tests) — standard drift-detection capability.
     """
+    from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
     pairs = F.array(
         *[
             F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("value"))
@@ -235,27 +243,20 @@ def edf_distances(
         F.sum((F.col("__side") == "r").cast("long")).alias("rc"),
         F.sum((F.col("__side") == "c").cast("long")).alias("cc"),
     )
-    wv = Window.partitionBy("column_name").orderBy("value")
-    wall = Window.partitionBy("column_name")
-    enr = (
-        cells.withColumn("cum_r", F.sum("rc").over(wv))
-        .withColumn("cum_c", F.sum("cc").over(wv))
-        .withColumn("n_r", F.sum("rc").over(wall))
-        .withColumn("n_c", F.sum("cc").over(wall))
-        .withColumn("gap", F.lead("value").over(wv) - F.col("value"))
-        .withColumn(
-            "diff",
-            F.abs(
-                F.col("cum_r") / F.greatest(F.col("n_r"), F.lit(1))
-                - F.col("cum_c") / F.greatest(F.col("n_c"), F.lit(1))
-            ),
-        )
+    enr = bucketed_cumsum(
+        cells, "column_name", "value", ["rc", "cc"], lead_col="__next_value"
+    ).withColumn("gap", F.col("__next_value") - F.col("value")).withColumn(
+        "diff",
+        F.abs(
+            F.col("cum_rc") / F.greatest(F.col("tot_rc"), F.lit(1))
+            - F.col("cum_cc") / F.greatest(F.col("tot_cc"), F.lit(1))
+        ),
     )
     agg = enr.groupBy("column_name").agg(
         F.max("diff").alias("ks"),
         F.coalesce(F.sum(F.col("diff") * F.col("gap")), F.lit(0.0)).alias("wasserstein"),
-        F.max("n_r").alias("n_ref"),
-        F.max("n_c").alias("n_curr"),
+        F.max("tot_rc").alias("n_ref"),
+        F.max("tot_cc").alias("n_curr"),
     )
     lam = F.col("ks") * F.sqrt(
         F.col("n_ref") * F.col("n_curr") / (F.col("n_ref") + F.col("n_curr"))
@@ -277,6 +278,17 @@ def edf_distances(
     )
 
 
+def _round_half_away(x: float, decimals: int = 9) -> float:
+    """Round half away from zero — matching SQL ``ROUND`` (DuckDB, Spark),
+    NOT Python's banker's ``round``. An edge exactly on a 5-at-last-digit
+    boundary must round identically in both engines or boundary rows flip
+    bins."""
+    import math
+
+    scale = 10.0**decimals
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
 def psi_numeric(
     df_ref: DataFrame,
     df_curr: DataFrame,
@@ -284,6 +296,7 @@ def psi_numeric(
     bins: int = 10,
     epsilon: float = 1e-4,
     exact_quantiles: bool = True,
+    quantile_mode: str = "auto",
 ) -> DataFrame:
     """PSI for numeric columns over reference-quantile bins.
 
@@ -305,14 +318,18 @@ def psi_numeric(
         quantiles=tuple(probs),
         with_shape=False,
         exact_quantiles=exact_quantiles,
+        quantile_mode=quantile_mode,
     )
     edge_rows = {r["column_name"]: r for r in prof.collect()}
-    # edges round to 9 decimals: interpolated quantiles can differ by an ulp
-    # between engines, and an edge that lands exactly ON a data value must
-    # compare identically everywhere or boundary rows flip bins
+    # edges round to 9 decimals (half away from zero, matching SQL ROUND):
+    # interpolated quantiles can differ by an ulp between engines, and an
+    # edge that lands exactly ON a data value must compare identically
+    # everywhere or boundary rows flip bins
     edges = {
         c: [
-            None if edge_rows[c][_qname(p)] is None else round(edge_rows[c][_qname(p)], 9)
+            None
+            if edge_rows[c][_qname(p)] is None
+            else _round_half_away(edge_rows[c][_qname(p)], 9)
             for p in probs
         ]
         for c in columns

@@ -17,7 +17,7 @@ Covers SURVEY.md §2.4 A1-A5, A7, §2.2 P2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -58,9 +58,12 @@ def quantiles_by_counts(
     ``x_i = min(value where cum ≥ i+1)`` and the answer is
     ``x_⌊t⌋ + (t−⌊t⌋)·(x_⌊t⌋₊₁ − x_⌊t⌋)`` — identical to Spark's
     ``percentile`` and DuckDB's ``quantile_cont``. Plan: melt (one scan) →
-    ``groupBy(column, value)`` with map-side combine → per-column window →
-    tiny per-column aggregate. Shuffle volume is O(distinct values), and no
-    single task ever materializes a column's full value list.
+    ``groupBy(column, value)`` with map-side combine → **distributed
+    two-phase prefix sum** (``bucketed_cumsum``: equi-depth buckets +
+    broadcast offsets + within-bucket windows) → tiny per-column
+    aggregate. Shuffle volume is O(distinct values), and no single task
+    ever materializes a column's full value list — parallelism is
+    columns × buckets, not columns.
 
     Honest measurement: at sf0.1 on local[32] this is ~5% SLOWER than the
     sort-based path (the melt explodes rows×columns before the combine) —
@@ -96,16 +99,15 @@ def quantiles_by_counts(
             for pre, cond in sides.items()
         ]
     )
-    wv = Window.partitionBy("column_name").orderBy("value")
-    wall = Window.partitionBy("column_name")
-    for pre in sides:
-        cells = cells.withColumn(f"__{pre}cum", F.sum(f"__{pre}cnt").over(wv)).withColumn(
-            f"__{pre}n", F.sum(f"__{pre}cnt").over(wall)
-        )
+    from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
+
+    cells = bucketed_cumsum(
+        cells, "column_name", "value", [f"__{pre}cnt" for pre in sides]
+    )
     aggs = []
     for pre in sides:
-        n = F.col(f"__{pre}n")
-        cum = F.col(f"__{pre}cum")
+        n = F.col(f"tot___{pre}cnt")
+        cum = F.col(f"cum___{pre}cnt")
         for j, p in enumerate(qlist):
             t = F.lit(float(p)) * (n - 1)
             i = F.floor(t)

@@ -277,7 +277,13 @@ def detect_drift(
         from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
 
         stats = edf_distances(df_ref, df_curr, num_cols).join(
-            psi_numeric(df_ref, df_curr, num_cols).select("column_name", "psi", "stability"),
+            psi_numeric(
+                df_ref,
+                df_curr,
+                num_cols,
+                exact_quantiles=bool(cfg.get("exact_quantiles", True)),
+                quantile_mode=str(cfg.get("quantile_mode", "auto")),
+            ).select("column_name", "psi", "stability"),
             "column_name",
         )
         detected = (F.col("ks_pvalue") < 0.05) | (F.col("psi") >= 0.25)

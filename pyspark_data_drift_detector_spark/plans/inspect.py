@@ -81,6 +81,33 @@ def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
     )
 
 
+def sorted_window_partition_arities(df: DataFrame) -> list[int]:
+    """For every Window operator with a non-empty ORDER BY, the number of
+    PARTITION BY expressions.
+
+    A sorted window partitioned on a single low-cardinality key (e.g.
+    ``column_name``) funnels every row of that key through ONE task — the
+    100 TB cumulative-sum cliff. The distributed prefix-sum paths must show
+    arity ≥ 2 (key + range bucket) on any window that sees per-value cells.
+
+    Window nodes print as ``Window [fns...], [partition exprs], [sort
+    exprs]``; partition exprs here are plain attributes, so a comma count
+    is a safe arity measure.
+    """
+    return [a for a, _ in sorted_windows(df)]
+
+
+def sorted_windows(df: DataFrame) -> list[tuple[int, str]]:
+    """(partition arity, sort-expression text) for each sorted Window."""
+    out: list[tuple[int, str]] = []
+    for line in simple_plan(df).splitlines():
+        m = re.search(r"Window (.*), \[([^\]]*)\], \[([^\]]*)\]\s*$", line)
+        if m and m.group(3).strip():
+            parts = [p for p in m.group(2).split(",") if p.strip()]
+            out.append((len(parts), m.group(3)))
+    return out
+
+
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     actual = count_shuffles(df)
     assert actual <= n, f"expected ≤{n} shuffles, plan has {actual}:\n{simple_plan(df)[:2000]}"

