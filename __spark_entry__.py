@@ -892,15 +892,29 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
+# query and the DuckDB oracle: with the eigen-fit factored out (it is
+# deterministic numpy math, unit-tested in test_drift.py), every remaining
+# step — standardize with data-derived means/stds, error = ‖z‖²−‖Pᵀz‖²,
+# ref-side μ+3σ bound, anomaly rates and the decision ladder — is plain
+# SQL arithmetic both engines replay identically.
+PCA_COLUMNS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+PCA_COMPONENTS = [
+    [0.5, 0.5, 0.5, 0.5],
+    [0.5, -0.5, 0.5, -0.5],
+    [0.5, 0.5, -0.5, -0.5],
+]
+
+
 def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M15: PCA reconstruction-error anomaly drift (rows-only: iterative
-    ML fit has no SQL oracle; the rates are checked in unit tests)."""
+    """M15: PCA reconstruction-error anomaly drift. The scoring path
+    (scaler fit on ref, projection, μ+3σ threshold, rate comparison) runs
+    with literal orthonormal components so the DuckDB oracle can replay it
+    end-to-end; the eigen-fit itself is unit-verified."""
     from pyspark_data_drift_detector_spark.operators.anomaly import pca_anomaly_drift
 
     ref, curr = _split(_lineitem(spark, sf_dir))
-    res = pca_anomaly_drift(
-        ref, curr, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], k=3
-    )
+    res = pca_anomaly_drift(ref, curr, PCA_COLUMNS, k=3, components=PCA_COMPONENTS)
     row = (
         res["status"],
         bool(res.get("is_significant", False)),
@@ -2330,6 +2344,77 @@ def _multimodal_meta_sql() -> str:
     FROM documents"""
 
 
+def _pca_anomaly_sql() -> str:
+    """Replays the pca_anomaly scoring path with the SAME literal
+    orthonormal components as the Spark query (PCA_COMPONENTS): scaler fit
+    on ref, reconstruction error ‖z‖²−‖Pᵀz‖², μ+3σ bound from ref errors,
+    anomaly rates, change ratios, and the significance/severity ladder."""
+    p = len(PCA_COLUMNS)
+    k = len(PCA_COMPONENTS)
+    valid = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE))" for c in PCA_COLUMNS
+    )
+    sel = ", ".join(f"CAST({c} AS DOUBLE) AS c{i}" for i, c in enumerate(PCA_COLUMNS))
+    fit = ", ".join(
+        f"AVG(c{i}) AS mu{i}, STDDEV_SAMP(c{i}) AS sd{i}" for i in range(p)
+    )
+    zs = ", ".join(
+        f"CASE WHEN sd{i} > 0 THEN (c{i} - mu{i}) / sd{i} ELSE 0.0 END AS z{i}"
+        for i in range(p)
+    )
+    dots = ", ".join(
+        " + ".join(f"({float(w)!r}) * z{i}" for i, w in enumerate(comp)) + f" AS d{j}"
+        for j, comp in enumerate(PCA_COMPONENTS)
+    )
+    zlist = ", ".join(f"z{i}" for i in range(p))
+    sq = " + ".join(f"z{i}*z{i}" for i in range(p))
+    psq = " + ".join(f"d{j}*d{j}" for j in range(k))
+
+    def err_cte(name: str, parity: int) -> str:
+        return f"""{name} AS (
+      SELECT ({sq}) - ({psq}) AS err FROM (
+        SELECT {dots}, {zlist} FROM (
+          SELECT {zs} FROM (
+            SELECT {sel} FROM lineitem WHERE l_orderkey % 2 = {parity} AND {valid}
+          ) CROSS JOIN fit)))"""
+
+    return f"""
+    WITH fit AS (
+      SELECT {fit} FROM (
+        SELECT {sel} FROM lineitem WHERE l_orderkey % 2 = 0 AND {valid})),
+    {err_cte("referr", 0)},
+    {err_cte("currerr", 1)},
+    stats AS (SELECT AVG(err) AS mu_e, STDDEV_SAMP(err) AS sd_e FROM referr),
+    ragg AS (SELECT COUNT(*) AS n, AVG(err) AS mean_err,
+      SUM(CASE WHEN err > mu_e + 3.0 * sd_e THEN 1 ELSE 0 END) AS anom
+      FROM referr CROSS JOIN stats),
+    cagg AS (SELECT COUNT(*) AS n, AVG(err) AS mean_err,
+      SUM(CASE WHEN err > mu_e + 3.0 * sd_e THEN 1 ELSE 0 END) AS anom
+      FROM currerr CROSS JOIN stats),
+    calc AS (SELECT
+        r.anom AS ranom, c.anom AS canom,
+        CASE WHEN r.n > 0 THEN CAST(r.anom AS DOUBLE) / r.n ELSE 0.0 END AS rratio,
+        CASE WHEN c.n > 0 THEN CAST(c.anom AS DOUBLE) / c.n ELSE 0.0 END AS cratio,
+        CASE WHEN r.mean_err > 0 THEN (c.mean_err - r.mean_err) / r.mean_err
+             ELSE 0.0 END AS ec
+      FROM ragg r CROSS JOIN cagg c),
+    calc2 AS (SELECT *,
+        CASE WHEN rratio > 0 THEN (cratio - rratio) / rratio
+             WHEN cratio > 0 THEN 1.0 ELSE 0.0 END AS ac
+      FROM calc)
+    SELECT 'success' AS status,
+      (ABS(ec) >= 0.3 OR ABS(ac) >= 0.5) AS is_significant,
+      CAST(ranom AS BIGINT) AS ref_anomaly_count,
+      CAST(canom AS BIGINT) AS curr_anomaly_count,
+      ROUND(rratio, {ROUND}) AS ref_anomaly_ratio,
+      ROUND(cratio, {ROUND}) AS curr_anomaly_ratio,
+      ROUND(ec, {ROUND}) AS error_change,
+      CASE WHEN (ABS(ec) >= 0.3 OR ABS(ac) >= 0.5)
+                AND (ABS(ec) >= 0.5 OR ABS(ac) >= 1.0)
+           THEN 'high' ELSE 'medium' END AS severity
+    FROM calc2"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -2410,12 +2495,7 @@ def _oracle_queries() -> dict[str, str]:
         "multimodal_meta": _multimodal_meta_sql(),
         "image_features": _image_features_sql(),
         "frame_sample": _frame_sample_sql(),
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh are rows-only:
-        # banding/hash internals have no SQL oracle; their recall is
-        # test-verified against the exact baselines above.
-        # image_features / frame_sample / pca_anomaly are rows-only:
-        # byte-level UDF math and iterative PCA fits have no SQL oracle;
-        # values are unit-tested.
+        "pca_anomaly": _pca_anomaly_sql(),
     }
 
 

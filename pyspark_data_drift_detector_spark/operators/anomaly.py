@@ -67,6 +67,7 @@ def pca_anomaly_drift(
     columns: list[str],
     k: int | None = None,
     threshold: float = 3.0,
+    components: list[list[float]] | None = None,
 ) -> dict:
     """Compare multivariate anomaly rates between snapshots.
 
@@ -74,6 +75,12 @@ def pca_anomaly_drift(
     changes/severity). Fit happens on ref only; curr is scored with ref's
     scaler, components, and anomaly threshold (deliberate semantics,
     ``rare_event_analyzer.py:151-153`` pattern).
+
+    ``components``: optional pre-fitted orthonormal rows (k × p). When
+    given, the eigen-fit is skipped and ONLY data-derived aggregates
+    (means/stds/error stats/rates) are computed — every remaining step is
+    plain SQL math, which is what makes the ``pca_anomaly`` driver query
+    oracle-replayable in DuckDB with the same literal components.
     """
     import numpy as np
 
@@ -89,29 +96,35 @@ def pca_anomaly_drift(
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         aggs += [F.avg(F.col(c)).alias(f"{c}__mu"), F.stddev(F.col(c)).alias(f"{c}__sd")]
-    for i in range(p):
-        for j in range(i + 1, p):
-            aggs.append(F.corr(F.col(columns[i]), F.col(columns[j])).alias(f"__r_{i}_{j}"))
+    fit_corr = components is None
+    if fit_corr:
+        for i in range(p):
+            for j in range(i + 1, p):
+                aggs.append(F.corr(F.col(columns[i]), F.col(columns[j])).alias(f"__r_{i}_{j}"))
     fit = ref_valid.agg(*aggs).first()
     if fit["__n"] < 2:
         return {"status": "skipped", "reason": "not enough valid reference rows"}
 
     means = [float(fit[f"{c}__mu"]) for c in columns]
     stds = [float(fit[f"{c}__sd"] or 0.0) for c in columns]
-    corr = np.eye(p)
-    for i in range(p):
-        for j in range(i + 1, p):
-            r = fit[f"__r_{i}_{j}"]
-            # zero-variance / undefined pairs contribute no covariance
-            corr[i, j] = corr[j, i] = 0.0 if r is None or np.isnan(r) else float(r)
+    if fit_corr:
+        corr = np.eye(p)
+        for i in range(p):
+            for j in range(i + 1, p):
+                r = fit[f"__r_{i}_{j}"]
+                # zero-variance / undefined pairs contribute no covariance
+                corr[i, j] = corr[j, i] = 0.0 if r is None or np.isnan(r) else float(r)
 
-    # PCA on standardized data = eigenvectors of the correlation matrix
-    eigvals, eigvecs = np.linalg.eigh(corr)
-    order = np.argsort(eigvals)[::-1]
-    eigvals = np.clip(eigvals[order], 0.0, None)
-    components = [[float(w) for w in eigvecs[:, idx]] for idx in order[:k]][:k]
-    total_var = float(eigvals.sum()) or 1.0
-    explained = [float(v) / total_var for v in eigvals[:k]]
+        # PCA on standardized data = eigenvectors of the correlation matrix
+        eigvals, eigvecs = np.linalg.eigh(corr)
+        order = np.argsort(eigvals)[::-1]
+        eigvals = np.clip(eigvals[order], 0.0, None)
+        components = [[float(w) for w in eigvecs[:, idx]] for idx in order[:k]][:k]
+        total_var = float(eigvals.sum()) or 1.0
+        explained = [float(v) / total_var for v in eigvals[:k]]
+    else:
+        components = [list(map(float, row)) for row in components[:k]]
+        explained = []
 
     err = _error_expr(columns, means, stds, components)
 
