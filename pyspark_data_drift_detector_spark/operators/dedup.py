@@ -323,18 +323,26 @@ def minhash_lsh_pairs(
 def neardup_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over near-dup pairs: ``cluster_id`` = smallest
     id reachable from each document.
 
-    Min-label propagation: every iteration each node takes the minimum of
-    its own label and its neighbors' labels; converges in O(graph diameter)
-    iterations (near-dup clusters are dense — diameter is tiny). Each
-    iteration is one join + one aggregate, with ``localCheckpoint`` to
-    truncate lineage (an iterative plan otherwise grows exponentially and
-    kills the optimizer LONG before data size matters). Convergence is
-    detected by an exact changed-label count, so ``max_iter`` is a
-    safety bound, not a knob to tune.
+    Min-label propagation **with pointer jumping**: every iteration each
+    node takes ``min(own label, neighbors' labels)`` and then hops
+    ``label := label(label)``. The hop doubles the propagation distance per
+    round, so convergence is O(log diameter) instead of O(diameter) — a
+    chain of n near-dups needs ~log₂ n rounds, not n. Each iteration is a
+    join + aggregate + self-join, with ``localCheckpoint`` to truncate
+    lineage (an iterative plan otherwise grows exponentially and kills the
+    optimizer LONG before data size matters).
+
+    Convergence is an exact changed-label count, run every ``check_every``
+    iterations (each check is its own Spark job — checking every round
+    doubled the job count for deep clusters; at worst one extra cheap
+    iteration runs). ``max_iter`` is a safety bound; if it is exhausted
+    with labels still moving, a warning is raised because the output would
+    silently split one component into several.
 
     Input: any near-dup pairs frame with ``id1``/``id2`` (exact, MinHash,
     SimHash, embedding). Output: ``id, cluster_id`` for every document that
@@ -349,7 +357,8 @@ def neardup_clusters(
     labels = (
         sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(
                 labels.select(F.col("id").alias("id2"), F.col("label").alias("nl")),
@@ -358,25 +367,48 @@ def neardup_clusters(
             .groupBy("id1")
             .agg(F.min("nl").alias("ml"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["id1"], "left"
+        ).select(
+            F.col("id"),
+            F.least(F.col("label"), F.coalesce(F.col("ml"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: labels only ever decrease and every label is itself
+        # a node id, so label(label) ≤ label and the self-join is total
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["id1"], "left")
-            .select(
-                F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("ml"), F.col("label"))).alias(
-                    "label"
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("label2")
                 ),
+                "label",
             )
+            .select(F.col("id"), F.least(F.col("label"), F.col("label2")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"neardup_clusters: labels still changing after max_iter={max_iter} "
+            "iterations — components wider than the propagation horizon are "
+            "reported as multiple clusters; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -542,12 +574,15 @@ def simhash_pairs(
     )
     a = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"), "band", "key")
     b = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"), "band", "key")
+    # hamming is a pure function of the pair, so filtering BEFORE the
+    # distinct is equivalent — and the dedup shuffle then carries only the
+    # surviving near pairs instead of every band collision (VERDICT r3 #3)
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", hamming_distance_expr(F.col("sig1"), F.col("sig2")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 

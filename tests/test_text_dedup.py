@@ -175,3 +175,25 @@ def test_neardup_clusters_and_survivors(spark):
         r["doc_id"] for r in dedup_survivors(docs, neardup_clusters(pairs)).collect()
     )
     assert kept == [1, 10, 20, 99]
+
+
+def test_neardup_clusters_pointer_jumping_log_convergence(spark):
+    """A 64-node chain needs 63 rounds of plain min-propagation but only
+    ~log₂ 64 with pointer jumping — max_iter=10 must fully collapse it.
+    Exhausting max_iter with labels still moving raises RuntimeWarning
+    instead of silently splitting the component."""
+    import warnings
+
+    from pyspark_data_drift_detector_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = {r["id"]: r["cluster_id"] for r in
+                  neardup_clusters(chain, max_iter=10).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 64
+
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        neardup_clusters(chain, max_iter=1).collect()
