@@ -933,6 +933,53 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: one doc per near-dup cluster (min id) plus all
+    unclustered docs — a single anti-join against the green dedup_clusters
+    labels (md5 MinHash family so the oracle replays the whole chain)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, hash_family="md5")
+    kept = dedup_survivors(docs, neardup_clusters(pairs))
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_streaming_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static drift alerts, batch twin: the SAME windowed_profile +
+    streaming_drift_alerts functions the streaming path runs (pure
+    DataFrame transforms), with the baseline = per-event_type global
+    profile. Alert = |mean − ref_mean|/|ref_mean| > 0.1."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import (
+        streaming_drift_alerts,
+        windowed_profile,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_events(spark, sf_dir)
+    prof = windowed_profile(events, window_duration="1 day")
+    baseline = events.groupBy("event_type").agg(
+        F.avg("value").alias("mean"), F.stddev("value").alias("stddev")
+    )
+    alerts = streaming_drift_alerts(prof, baseline)
+    return _round_cols(
+        alerts.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "mean",
+            "ref_mean",
+            "mean_rel_diff",
+            "drift_alert",
+        ),
+        ["mean", "ref_mean", "mean_rel_diff"],
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -2344,6 +2391,36 @@ def _multimodal_meta_sql() -> str:
     FROM documents"""
 
 
+def _dedup_survivors_sql(threshold: float = 0.3) -> str:
+    """Anti-join twin over the recursive-CTE transitive closure: drop every
+    clustered doc whose id is not its cluster's minimum."""
+    return f"""
+    WITH c AS ({_dedup_clusters_sql(threshold)}),
+    losers AS (SELECT id FROM c WHERE id <> cluster_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL"""
+
+
+def _streaming_drift_alerts_sql(mean_threshold: float = 0.1) -> str:
+    return f"""
+    WITH prof AS (
+      SELECT date_trunc('day', ts) AS w, event_type, AVG(value) AS mean
+      FROM events GROUP BY 1, 2),
+    base AS (SELECT event_type, AVG(value) AS ref_mean FROM events GROUP BY 1),
+    j AS (
+      SELECT prof.w, prof.event_type, prof.mean, base.ref_mean,
+        CASE WHEN base.ref_mean <> 0 THEN ABS((prof.mean - base.ref_mean) / base.ref_mean)
+             WHEN prof.mean <> 0 THEN 1.0 ELSE 0.0 END AS rel
+      FROM prof LEFT JOIN base USING (event_type))
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      ROUND(mean, {ROUND}) AS mean,
+      ROUND(ref_mean, {ROUND}) AS ref_mean,
+      ROUND(rel, {ROUND}) AS mean_rel_diff,
+      COALESCE(rel > {mean_threshold}, FALSE) AS drift_alert
+    FROM j"""
+
+
 def _pca_anomaly_sql() -> str:
     """Replays the pca_anomaly scoring path with the SAME literal
     orthonormal components as the Spark query (PCA_COMPONENTS): scaler fit
@@ -2478,6 +2555,8 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_survivors": _dedup_survivors_sql(),
+        "streaming_drift_alerts": _streaming_drift_alerts_sql(),
         "dedup_simhash": _simhash_sql(),
         "knn_cosine": _knn_sql(),
         "ann_lsh": _ann_lsh_sql(),
@@ -2547,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "streaming_drift_alerts": q_streaming_drift_alerts,
         "dedup_simhash": q_dedup_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,

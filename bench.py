@@ -73,6 +73,7 @@ def main() -> None:
     # (identical plan, one codegen'd instruction instead of an md5 digest per
     # row). The bench measures the production path.
     from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_survivors,
         minhash_lsh_pairs,
         neardup_clusters,
         simhash_pairs,
@@ -88,6 +89,17 @@ def main() -> None:
     bench_queries["dedup_clusters"] = lambda s, d: neardup_clusters(
         minhash_lsh_pairs(entry_mod._documents(s, d), threshold=0.3)
     )
+    bench_queries["dedup_survivors"] = lambda s, d: dedup_survivors(
+        entry_mod._documents(s, d),
+        neardup_clusters(minhash_lsh_pairs(entry_mod._documents(s, d), threshold=0.3)),
+    )
+    # recorded in the output JSON so the artifact itself documents that
+    # these four timings measure the production hash family, while the
+    # same-named CORRECTNESS entries run the md5 oracle-replayable family
+    variants = {
+        name: "xxhash64 (production) — CORRECTNESS runs md5 family"
+        for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_clusters", "dedup_survivors")
+    }
 
     warm_dir = "/root/testdata/sf0.001"
     for _name, _fn in bench_queries.items():
@@ -98,15 +110,16 @@ def main() -> None:
 
     # The host shows intermittent multi-second freezes unrelated to the
     # workload (observed ±2x run-to-run on identical plans); any query whose
-    # first run exceeds 5s gets one retry and reports the min — the cheap
-    # queries (the majority) still run once, so total overhead stays small.
+    # first run exceeds 2s gets one retry and reports the min — the jitter
+    # band that polluted the r1↔r3 comparison sat at 0.5-5s, so the retry
+    # threshold now covers it while sub-2s queries still run once.
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in bench_queries.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         best = time.perf_counter() - t0
-        if best > 5.0:
+        if best > 2.0:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
@@ -130,6 +143,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "variants": variants,
                 "sf": sf,
             }
         )

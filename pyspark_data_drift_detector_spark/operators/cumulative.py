@@ -53,6 +53,14 @@ def bucketed_cumsum(
     ``cells`` must have one row per (key, order) — i.e. already grouped —
     with non-null ``order``.
     """
+    from pyspark import StorageLevel
+
+    # cells is referenced three times (edge fit, bucket totals, final
+    # windows); without persistence the upstream melt+groupBy runs once per
+    # reference (measured ~4x on the EDF suite queries). MEMORY_AND_DISK so
+    # a 100 TB histogram spills instead of OOMing; the ContextCleaner drops
+    # the entry when the plan is collected.
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     edges = cells.groupBy(key).agg(
         F.percentile_approx(
