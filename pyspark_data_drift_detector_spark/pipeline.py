@@ -143,8 +143,19 @@ def detect_drift(
             )
         )
 
-    if cfg.get("analyze_distributions", True) and (num_cols or cat_cols):
-        # DistributionAnalyzer family (data_drift_detector.py:117-144):
+    # DistributionAnalyzer family is DOUBLE-gated exactly like the reference:
+    # the top-level config flag turns the family on/off
+    # (data_drift_detector.py:117), and the PROFILE's thresholds flag gates
+    # the sub-analyses (distribution_analyzer.py:42,65 reads
+    # thresholds[profile].analyze_distributions) — so profile="summary"
+    # (analyze_distributions=False, config_generator.py:59) produces NO
+    # distribution rows even with the top-level flag on.
+    profile_distributions = bool(cfg.thresholds.get("analyze_distributions", True))
+    if (
+        cfg.get("analyze_distributions", True)
+        and profile_distributions
+        and (num_cols or cat_cols)
+    ):
         # numeric significance = shape change (skew/kurt band crossing);
         # categorical significance = FULL-support JS > js_distance_threshold
         # (distribution_analyzer.py:302 — note the distribution analyzer's JS
@@ -154,7 +165,35 @@ def detect_drift(
         # and ranking is unaffected — only drift_detected/causes carry signal.
         dist_rows: list[DataFrame] = []
         if num_cols:
-            from pyspark_data_drift_detector_spark.operators.distribution import shape_change
+            from pyspark_data_drift_detector_spark.operators.distribution import (
+                max_quantile_shift,
+                quantile_shift,
+                shape_change,
+            )
+
+            # quantile shifts (distribution_analyzer.py:83-151): metrics-only
+            # rows — the reference computes them without a significance flag
+            qs = max_quantile_shift(
+                quantile_shift(
+                    df_ref,
+                    df_curr,
+                    num_cols,
+                    exact_quantiles=bool(cfg.get("exact_quantiles", True)),
+                )
+            )
+            dist_rows.append(
+                qs.select(
+                    "column_name",
+                    F.lit(0.0).alias("drift_score"),
+                    F.lit("None").alias("drift_severity"),
+                    F.lit(False).alias("drift_detected"),
+                    F.array().cast("array<string>").alias("drift_causes"),
+                    "max_abs_shift_quantile",
+                    "max_abs_shift",
+                    "max_rel_shift_quantile",
+                    "max_rel_shift",
+                )
+            )
 
             sc_df = shape_change(df_ref, df_curr, num_cols)
             detected = (F.col("skew_change") != "none") | (F.col("kurt_change") != "none")
@@ -176,6 +215,43 @@ def detect_drift(
                     "kurt_change",
                 )
             )
+            if cfg.thresholds.get("gen_distribution_summaries", False):
+                # deep_dive only (config_generator.py:101): 10-bin histogram
+                # summaries per side. The reference drops to
+                # rdd.histogram(10) per column per side
+                # (distribution_analyzer.py:440-449); here ONE DataFrame-
+                # native bucketing pass per side covers all columns.
+                from pyspark_data_drift_detector_spark.operators.distribution import (
+                    histogram,
+                )
+
+                def _hist_summary(df: DataFrame, side: str) -> DataFrame:
+                    return (
+                        histogram(df, num_cols, bins=10)
+                        .groupBy("column_name")
+                        .agg(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct("bucket", "lower", "upper", "cnt")
+                                )
+                            ).alias(f"{side}_histogram")
+                        )
+                    )
+
+                hsum = _hist_summary(df_ref, "ref").join(
+                    _hist_summary(df_curr, "curr"), "column_name", "full"
+                )
+                dist_rows.append(
+                    hsum.select(
+                        "column_name",
+                        F.lit(0.0).alias("drift_score"),
+                        F.lit("None").alias("drift_severity"),
+                        F.lit(False).alias("drift_detected"),
+                        F.array().cast("array<string>").alias("drift_causes"),
+                        "ref_histogram",
+                        "curr_histogram",
+                    )
+                )
         if cat_cols:
             js_th = float(cfg.thresholds.get("js_distance_threshold", 0.1))
             full_js = categorical_drift(df_ref, df_curr, cat_cols, top_k=None).select(

@@ -248,6 +248,70 @@ def test_detect_drift_rare_values_in_distribution_family(spark, versions):
     assert not [r for r in sdist if "ref_rare_count" in (r["metrics"] or "")]
 
 
+def _distribution_metric_keys(results) -> set:
+    import json
+
+    keys: set = set()
+    for r in results.filter("column_type = 'distribution'").collect():
+        keys |= set(json.loads(r["metrics"] or "{}"))
+    return keys
+
+
+_PROFILE_BASE = {"analyze_groups": False, "analyze_correlations": False}
+
+
+def test_profile_golden_summary(spark, versions):
+    """summary profile (config_generator.py:41-59): the DistributionAnalyzer
+    sub-analyses are OFF (thresholds.analyze_distributions=False,
+    detect_rare_values=False) even though the top-level family flag is on —
+    the reference double-gates (data_drift_detector.py:117 +
+    distribution_analyzer.py:42,65). Scored families still run."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    res = detect_drift(versions[1], versions[3], {**_PROFILE_BASE, "profile": "summary"})
+    assert res.filter("column_type = 'distribution'").count() == 0
+    assert res.filter("column_type = 'numerical'").count() > 0
+    assert res.filter("column_type = 'categorical'").count() > 0
+
+
+def test_profile_golden_standard(spark, versions):
+    """standard profile (config_generator.py:60-80): quantile shifts, shape
+    changes, full-support JS, and rare-value rollups — but NO distribution
+    summaries (gen_distribution_summaries=False)."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    res = detect_drift(versions[1], versions[3], {**_PROFILE_BASE, "profile": "standard"})
+    keys = _distribution_metric_keys(res)
+    assert {"max_abs_shift", "max_rel_shift"} <= keys  # quantile shifts
+    assert {"skew_diff", "kurt_diff"} <= keys  # shape changes
+    assert "js_distance" in keys  # full-support categorical JS
+    assert "ref_rare_count" in keys  # rare-value rollups
+    assert "ref_histogram" not in keys
+
+
+def test_profile_golden_deep_dive(spark, versions):
+    """deep_dive profile (config_generator.py:81-101): everything standard
+    runs PLUS 10-bin histogram summaries per side
+    (gen_distribution_summaries=True, distribution_analyzer.py:58)."""
+    import json
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    res = detect_drift(versions[1], versions[3], {**_PROFILE_BASE, "profile": "deep_dive"})
+    keys = _distribution_metric_keys(res)
+    assert {
+        "max_abs_shift", "skew_diff", "js_distance", "ref_rare_count",
+        "ref_histogram", "curr_histogram",
+    } <= keys
+    hist_rows = [
+        r for r in res.filter("column_type = 'distribution'").collect()
+        if "ref_histogram" in (r["metrics"] or "")
+    ]
+    m = json.loads(hist_rows[0]["metrics"])
+    assert len(m["ref_histogram"]) == 10
+    assert {"bucket", "lower", "upper", "cnt"} <= set(m["ref_histogram"][0])
+
+
 def test_adaptive_thresholds_small_data(spark):
     """adaptive_thresholds=True loosens thresholds x1.5 under 1k rows
     (main.py:74-91): borderline drift flagged with fixed thresholds is

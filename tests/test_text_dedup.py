@@ -197,3 +197,42 @@ def test_neardup_clusters_pointer_jumping_log_convergence(spark):
 
     with pytest.warns(RuntimeWarning, match="max_iter"):
         neardup_clusters(chain, max_iter=1).collect()
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Banding recall guard (VERDICT r3 #5, the d13b026 band-width rule):
+    on planted near-duplicates (cosine ≥ 0.95) the harness LSH knobs
+    (n_planes=28, bands=4 → 7-bit band keys) must recover ≥70% of the
+    exact ground truth at the same threshold. If a future knob change
+    widens bands without scaling plane count (or vice versa), collision
+    probability — and this recall — collapses."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, base))
+        if i < 30:  # plant a near-duplicate: tiny perturbation, cosine ≈ 0.99
+            rows.append((1000 + i, [x + rng.gauss(0, 0.05) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    exact = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(df, threshold=0.95, block_size=64).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_lsh(
+            df, threshold=0.95, dim=64, n_planes=28, bands=4
+        ).collect()
+    }
+    assert len(exact) >= 25  # the planted pairs are actually above threshold
+    assert approx <= exact  # verification is exact → precision is 1.0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"banding recall collapsed: {recall:.2f} over {len(exact)} pairs"
