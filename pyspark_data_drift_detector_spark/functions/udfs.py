@@ -30,7 +30,9 @@ def cosine_gemm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     At production dims (≳256) the expression-tree cosine
     (``operators.dedup.cosine_expr``: ``zip_with``/``aggregate`` lambdas)
     bloats whole-stage codegen; here each batch is two numpy GEMV-style
-    reductions. Same math: dot / (‖a‖·‖b‖).
+    reductions. Same math — dot / (‖a‖·‖b‖) — up to float summation
+    order: numpy reassociates the reductions, so results can differ from
+    the expression path in the last ulp (scores are compared rounded).
     """
     if len(a) == 0:
         return pd.Series([], dtype="float64")
@@ -44,11 +46,15 @@ def cosine_gemm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 def make_signature_udf(planes):
     """Pandas-UDF LSH signature: one (batch × dim) @ (dim × planes) GEMM.
 
-    Bit-compatible with ``operators.similarity._signature_expr`` (bit_i =
-    (v · plane_i) > 0, packed little-endian into a long); requires
-    ``len(planes) <= 63`` so the packed value fits a signed long — the
-    expression path has the same bound (it builds the signature by adding
-    ``2**i`` literals).
+    Same construction as ``operators.similarity._signature_expr`` (bit_i =
+    (v · plane_i) > 0, packed little-endian into a long). Float caveat:
+    numpy's GEMM reassociates the dot-product summation, so a projection
+    within an ulp of zero could flip a sign bit versus the expression
+    path's sequential fold — parity holds for generic (non-degenerate)
+    inputs, as the test demonstrates, but is not a bit-level guarantee.
+    Requires ``len(planes) <= 63`` so the packed value fits a signed
+    long — the expression path has the same bound (it builds the signature
+    by adding ``2**i`` literals).
     """
     P = np.asarray(planes, dtype=np.float64)
     if P.shape[0] > 63:

@@ -460,6 +460,24 @@ def detect_drift(
                 )
             )
 
+    # Custom analyzers (the engine's counterpart to the reference's
+    # create_analyzer_template.py scaffold): each entry is a callable — or a
+    # "package.module:function" dotted path, importable from a JSON config —
+    # with signature fn(df_ref, df_curr, by_type, cfg) -> DataFrame carrying
+    # column_name/drift_score/drift_severity/drift_detected/drift_causes
+    # plus any metric columns (folded into the metrics JSON). Generate a
+    # working starting point with scaffold.create_operator_template().
+    for spec in cfg.get("custom_analyzers") or []:
+        if callable(spec):
+            fn = spec
+        else:
+            import importlib
+
+            mod_name, _, attr = str(spec).replace(":", ".").rpartition(".")
+            fn = getattr(importlib.import_module(mod_name), attr)
+        family = getattr(fn, "analyzer_name", None) or getattr(fn, "__name__", "custom")
+        results.append(_to_result_rows(fn(df_ref, df_curr, by_type, cfg), family))
+
     if not results:
         raise ValueError("no analyzable columns in common between ref and curr")
 

@@ -312,6 +312,54 @@ def test_profile_golden_deep_dive(spark, versions):
     assert {"bucket", "lower", "upper", "cnt"} <= set(m["ref_histogram"][0])
 
 
+def test_scaffold_custom_analyzer_end_to_end(spark, versions, tmp_path, monkeypatch):
+    """The scaffold generator (counterpart to the reference's
+    create_analyzer_template.py) emits a WORKING operator: generate it,
+    import it via the custom_analyzers dotted-path hook, and its rows show
+    up as a first-class family in detect_drift output."""
+    import json
+    import sys
+
+    from pyspark_data_drift_detector_spark import detect_drift
+    from pyspark_data_drift_detector_spark.scaffold import create_operator_template
+
+    path = create_operator_template("freshness", str(tmp_path))
+    assert path.endswith("freshness_operator.py")
+    monkeypatch.syspath_prepend(str(tmp_path))
+
+    res = detect_drift(
+        versions[1],
+        versions[3],
+        {
+            "analyze_groups": False,
+            "analyze_correlations": False,
+            "analyze_distributions": False,
+            "custom_analyzers": ["freshness_operator:freshness_drift"],
+        },
+    )
+    rows = res.filter("column_type = 'freshness'").collect()
+    assert {r["column_name"] for r in rows} >= {"numeric_normal", "numeric_uniform"}
+    nn = {r["column_name"]: r for r in rows}["numeric_normal"]
+    # v1→v3 mean 100→120: 20% relative change > the 10% default threshold
+    assert nn["drift_detected"] and "freshness_shift" in nn["drift_causes"]
+    m = json.loads(nn["metrics"])
+    assert {"ref_value", "curr_value", "relative_change"} <= set(m)
+
+    # the callable form works too and names the family identically
+    mod = sys.modules["freshness_operator"]
+    res2 = detect_drift(
+        versions[1],
+        versions[2],
+        {
+            "analyze_groups": False,
+            "analyze_correlations": False,
+            "analyze_distributions": False,
+            "custom_analyzers": [mod.freshness_drift],
+        },
+    )
+    assert res2.filter("column_type = 'freshness'").count() > 0
+
+
 def test_adaptive_thresholds_small_data(spark):
     """adaptive_thresholds=True loosens thresholds x1.5 under 1k rows
     (main.py:74-91): borderline drift flagged with fixed thresholds is

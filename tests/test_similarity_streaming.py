@@ -62,8 +62,11 @@ def test_lsh_recall(vectors):
 
 
 def test_lsh_gemm_matches_expr(spark):
-    """The numpy GEMM scoring path is bit-identical to the expression path
-    at a production-ish width (768 = 16-dim base tiled 48×)."""
+    """The numpy GEMM scoring path matches the expression path on generic
+    (non-degenerate) inputs at a production-ish width (768 = 16-dim base
+    tiled 48×). Not a bit-level guarantee: GEMM reassociates float sums,
+    so a projection within an ulp of zero could flip an LSH sign bit —
+    hence the rounded comparison and the generic fixture."""
     rng = random.Random(7)
     rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
     base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
