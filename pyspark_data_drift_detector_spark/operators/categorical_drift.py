@@ -123,10 +123,13 @@ def chi_square_by_column(aligned_full: DataFrame) -> DataFrame:
     Output: ``column_name, chi_square, degrees_of_freedom`` (nulls when the
     test is invalid: <2 categories or total count <10).
     """
-    win = Window.partitionBy("column_name")
+    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+
     cells = (
-        aligned_full.withColumn("ref_total", F.sum("ref_cnt").over(win))
-        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        with_key_totals(
+            aligned_full,
+            {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")},
+        )
         .withColumn("total_sum", F.col("ref_total") + F.col("curr_total"))
         .withColumn("cat_sum", F.col("ref_cnt") + F.col("curr_cnt"))
         .withColumn("exp_ref", F.col("ref_total") * F.col("cat_sum") / F.col("total_sum"))
@@ -216,17 +219,20 @@ def categorical_drift(
     # null-sensitive expression guards on value IS NOT NULL.
     is_null_val = F.col("value").isNull()
     win = Window.partitionBy("column_name")
+    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+
+    # totals via groupBy + broadcast join (see with_key_totals) — only the
+    # top-k RANK windows below still partition by column alone, and their
+    # output is consumed as `rn <= k`, bounded state per task after sort
     nn = (
-        cells
-        .withColumn("ref_n_rows", F.sum("ref_cnt").over(win))
-        .withColumn("curr_n_rows", F.sum("curr_cnt").over(win))
-        .withColumn(
-            "ref_total",
-            F.sum(F.when(~is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).over(win),
-        )
-        .withColumn(
-            "curr_total",
-            F.sum(F.when(~is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).over(win),
+        with_key_totals(
+            cells,
+            {
+                "ref_n_rows": F.sum("ref_cnt"),
+                "curr_n_rows": F.sum("curr_cnt"),
+                "ref_total": F.sum(F.when(~is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))),
+                "curr_total": F.sum(F.when(~is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))),
+            },
         )
         .withColumn(
             "ref_freq",

@@ -92,14 +92,24 @@ def dedup_exact(
     """Exact dedup: md5 content key → per-group survivor (min id) + flag.
 
     Output: ``id, content_key, group_size, survivor_id, is_duplicate``.
-    One shuffle on the content hash; survivors chosen deterministically.
+    Group stats come from ``groupBy(content_key)`` (map-side combine)
+    joined back on the same key — NOT a ``Window.partitionBy(content_key)``,
+    which buffers an entire duplicate group in one task: web corpora have
+    hot content keys (empty docs, boilerplate) with millions of copies,
+    and the groupBy+join shape keeps per-task state at one aggregated row
+    per key instead of the whole group.
     """
     keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_key"))
-    win = Window.partitionBy("content_key")
-    return (
-        keyed.withColumn("group_size", F.count(F.lit(1)).over(win).cast("long"))
-        .withColumn("survivor_id", F.min(id_col).over(win))
-        .withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+    groups = keyed.groupBy("content_key").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min(id_col).alias("survivor_id"),
+    )
+    return keyed.join(groups, "content_key").select(
+        id_col,
+        "content_key",
+        "group_size",
+        "survivor_id",
+        (F.col(id_col) != F.col("survivor_id")).alias("is_duplicate"),
     )
 
 

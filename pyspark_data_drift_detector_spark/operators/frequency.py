@@ -42,6 +42,28 @@ def unpivot_values(df: DataFrame, columns: list[str], keep_nulls: bool = False) 
     return out
 
 
+def with_key_totals(
+    cells: DataFrame,
+    sums: dict[str, "F.Column"],
+    keys: tuple[str, ...] = ("column_name",),
+) -> DataFrame:
+    """Attach per-key totals via ``groupBy`` + broadcast join.
+
+    NOT an unpartitioned window: ``Window.partitionBy(key)`` buffers every
+    cell of a key in ONE task, which for a high-cardinality categorical
+    column at 100 TB is the same single-task cliff as the cumulative-sum
+    windows (``operators.cumulative``). The totals table is O(keys) rows —
+    always broadcastable — and the groupBy's partial aggregation is
+    map-side, so the fix costs one tiny extra shuffle and removes the
+    per-key buffering entirely. Results are bit-identical (integer sums).
+    """
+    key_list = list(keys)
+    totals = cells.groupBy(*key_list).agg(
+        *[expr.alias(name) for name, expr in sums.items()]
+    )
+    return cells.join(F.broadcast(totals), key_list)
+
+
 def frequency_table(
     df: DataFrame,
     columns: list[str],
@@ -65,8 +87,7 @@ def frequency_table(
         .groupBy("column_name", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    col_win = Window.partitionBy("column_name")
-    counts = counts.withColumn("n_nonnull", F.sum("cnt").over(col_win)).withColumn(
+    counts = with_key_totals(counts, {"n_nonnull": F.sum("cnt")}).withColumn(
         "freq", F.col("cnt") / F.col("n_nonnull")
     )
     if top_k is not None:
@@ -159,14 +180,14 @@ def population_stability_index(
     frequencies are over each side's non-null total.
     """
     cells = pair_frequency_cells(df_ref, df_curr, columns)
-    win = Window.partitionBy("column_name")
     nn = ~F.col("value").isNull()
     enr = (
-        cells.withColumn(
-            "ref_total", F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))).over(win)
-        )
-        .withColumn(
-            "curr_total", F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))).over(win)
+        with_key_totals(
+            cells,
+            {
+                "ref_total": F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))),
+                "curr_total": F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))),
+            },
         )
         .filter(nn)
         .withColumn(
@@ -209,14 +230,14 @@ def categorical_distances(
     - ``hellinger``: ``√(½·Σ(√p−√q)²)`` ∈ [0,1].
     """
     cells = pair_frequency_cells(df_ref, df_curr, columns)
-    win = Window.partitionBy("column_name")
     nn = ~F.col("value").isNull()
     enr = (
-        cells.withColumn(
-            "ref_total", F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))).over(win)
-        )
-        .withColumn(
-            "curr_total", F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))).over(win)
+        with_key_totals(
+            cells,
+            {
+                "ref_total": F.sum(F.when(nn, F.col("ref_cnt")).otherwise(F.lit(0))),
+                "curr_total": F.sum(F.when(nn, F.col("curr_cnt")).otherwise(F.lit(0))),
+            },
         )
         .filter(nn)
         .withColumn("p", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
@@ -270,10 +291,9 @@ def grouped_frequency_table(
         .groupBy("dimension_value", "column_name", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    win = Window.partitionBy("dimension_value", "column_name")
-    counts = counts.withColumn("n_nonnull", F.sum("cnt").over(win)).withColumn(
-        "freq", F.col("cnt") / F.col("n_nonnull")
-    )
+    counts = with_key_totals(
+        counts, {"n_nonnull": F.sum("cnt")}, keys=("dimension_value", "column_name")
+    ).withColumn("freq", F.col("cnt") / F.col("n_nonnull"))
     if top_k is not None:
         rank_win = Window.partitionBy("dimension_value", "column_name").orderBy(
             F.desc("cnt"), F.asc("value")

@@ -284,10 +284,15 @@ def group_categorical_stats(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
     )
+    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+
     win = Window.partitionBy("dimension_column", "dimension_value", "column_name")
     enr = (
-        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
-        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        with_key_totals(
+            cells,
+            {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")},
+            keys=("dimension_column", "dimension_value", "column_name"),
+        )
         .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
         .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
         .withColumn(

