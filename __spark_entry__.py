@@ -933,6 +933,38 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift (the analyzer the reference's architecture doc
+    promises but never implements): mean-time shift, range change,
+    day-of-week JS, null drift over the lineitem ship-date split — one
+    side-tagged wide aggregate, fully SQL-replayable."""
+    from pyspark_data_drift_detector_spark.operators.temporal import temporal_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = temporal_drift(ref, curr, ["l_shipdate"])
+    return _round_cols(
+        out.select(
+            "column_name",
+            "ref_n",
+            "curr_n",
+            "ref_min",
+            "ref_max",
+            "curr_min",
+            "curr_max",
+            "mean_shift_days",
+            "range_change",
+            "null_ratio_change",
+            "dow_js",
+            "drift_detected",
+        ),
+        [
+            "ref_min", "ref_max", "curr_min", "curr_max",
+            "mean_shift_days", "range_change", "null_ratio_change", "dow_js",
+        ],
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection: one doc per near-dup cluster (min id) plus all
     unclustered docs — a single anti-join against the green dedup_clusters
@@ -2391,6 +2423,58 @@ def _multimodal_meta_sql() -> str:
     FROM documents"""
 
 
+def _temporal_drift_sql(col: str = "l_shipdate") -> str:
+    """Replays temporal_drift: epoch stats per side, 7-bucket day-of-week
+    distributions (DuckDB dayofweek is 0=Sunday = Spark dayofweek − 1),
+    JS over them, and the detection ladder (7-day mean shift / JS 0.1 /
+    null 0.01 defaults)."""
+    dow_sums = ",\n      ".join(
+        f"SUM(CASE WHEN dw = {d} THEN 1 ELSE 0 END) AS dow{d}" for d in range(7)
+    )
+
+    def side(name: str, parity: int) -> str:
+        return f"""{name} AS (
+      SELECT COUNT(ep) AS n, COUNT(*) AS n_rows,
+        SUM(CASE WHEN ep IS NULL THEN 1 ELSE 0 END) AS nulls,
+        MIN(ep) AS mn, MAX(ep) AS mx, AVG(ep) AS mean,
+      {dow_sums}
+      FROM (SELECT epoch({col}) AS ep, dayofweek({col}) AS dw
+            FROM lineitem WHERE l_orderkey % 2 = {parity}))"""
+
+    js_terms = []
+    for d in range(7):
+        p = f"(CAST(r.dow{d} AS DOUBLE) / GREATEST(r.n, 1))"
+        q = f"(CAST(c.dow{d} AS DOUBLE) / GREATEST(c.n, 1))"
+        m = f"(({p} + {q}) / 2)"
+        js_terms.append(f"CASE WHEN {p} > 0 AND {m} > 0 THEN {p} * log2({p} / {m}) ELSE 0 END")
+        js_terms.append(f"CASE WHEN {q} > 0 AND {m} > 0 THEN {q} * log2({q} / {m}) ELSE 0 END")
+    js = f"sqrt(GREATEST(0.0, ({' + '.join(js_terms)}) / 2))"
+
+    mean_shift = "((c.mean - r.mean) / 86400.0)"
+    range_change = (
+        "(CASE WHEN (r.mx - r.mn) > 0 THEN ((c.mx - c.mn) - (r.mx - r.mn)) / (r.mx - r.mn) "
+        "WHEN (c.mx - c.mn) > 0 THEN 1.0 ELSE 0.0 END)"
+    )
+    null_change = (
+        "ABS(CAST(c.nulls AS DOUBLE) / GREATEST(c.n_rows, 1) "
+        "- CAST(r.nulls AS DOUBLE) / GREATEST(r.n_rows, 1))"
+    )
+    return f"""
+    WITH {side("r", 0)},
+    {side("c", 1)}
+    SELECT '{col}' AS column_name,
+      CAST(r.n AS BIGINT) AS ref_n, CAST(c.n AS BIGINT) AS curr_n,
+      ROUND(r.mn, {ROUND}) AS ref_min, ROUND(r.mx, {ROUND}) AS ref_max,
+      ROUND(c.mn, {ROUND}) AS curr_min, ROUND(c.mx, {ROUND}) AS curr_max,
+      ROUND({mean_shift}, {ROUND}) AS mean_shift_days,
+      ROUND({range_change}, {ROUND}) AS range_change,
+      ROUND({null_change}, {ROUND}) AS null_ratio_change,
+      ROUND({js}, {ROUND}) AS dow_js,
+      (ABS({mean_shift}) > 7.0 OR {js} > 0.1 OR {null_change} > 0.01)
+        AS drift_detected
+    FROM r CROSS JOIN c"""
+
+
 def _dedup_survivors_sql(threshold: float = 0.3) -> str:
     """Anti-join twin over the recursive-CTE transitive closure: drop every
     clustered doc whose id is not its cluster's minimum."""
@@ -2555,6 +2639,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_jaccard": _jaccard_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "temporal_drift": _temporal_drift_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "streaming_drift_alerts": _streaming_drift_alerts_sql(),
         "dedup_simhash": _simhash_sql(),
@@ -2626,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "temporal_drift": q_temporal_drift,
         "dedup_survivors": q_dedup_survivors,
         "streaming_drift_alerts": q_streaming_drift_alerts,
         "dedup_simhash": q_dedup_simhash,

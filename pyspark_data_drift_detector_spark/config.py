@@ -91,6 +91,11 @@ _DEFAULTS: dict[str, Any] = {
     "analyze_groups": True,
     "analyze_feature_importance": False,
     "analyze_outliers": True,
+    # the Temporal analyzer the reference's architecture doc promises but
+    # never implements (SURVEY §1.1) — mean-time shift / range change /
+    # day-of-week JS per temporal column
+    "analyze_temporal": True,
+    "temporal_mean_shift_days": 7.0,
     "target_column": None,
     "include_columns": [],
     "exclude_columns": [],

@@ -1,0 +1,138 @@
+"""Temporal drift: the analyzer the reference promises but never ships.
+
+The reference classifies columns as ``temporal`` (``column_analyzer.py:
+92-93,121-131``) and its architecture document advertises a "Temporal"
+analyzer cell (``data_drift_detector_architecture.md:716-718``), but no
+temporal analysis exists anywhere in its code — temporal columns are
+inferred and then silently dropped from every family. This module fills
+that gap with the analysis such a cell implies, engine-style:
+
+ONE side-tagged wide aggregate computes, for every temporal column and
+both sides at once: row/null counts, min/max/mean event time, and the
+7-bucket day-of-week histogram (conditional sums — no extra shuffle).
+Everything downstream is expression math over the exploded long table:
+
+- ``mean_shift_days`` — how far the center of time mass moved;
+- ``range_change`` — relative change of the covered time span;
+- ``dow_js`` — Jensen-Shannon distance (log2) between day-of-week
+  distributions, catching weekday/weekend mix shifts;
+- ``null_ratio_change``.
+
+Detection: |mean shift| > ``mean_shift_days_threshold`` OR dow JS >
+``js_threshold`` OR null-ratio change > ``null_threshold``. All math is
+plain SQL arithmetic, so the driver query replays in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SECONDS_PER_DAY = 86400.0
+
+
+def temporal_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    mean_shift_days_threshold: float = 7.0,
+    js_threshold: float = 0.1,
+    null_threshold: float = 0.01,
+) -> DataFrame:
+    """Per-column temporal drift between two snapshots, one job.
+
+    ``columns`` must cast to timestamp. Output (one row per column):
+    ``column_name, ref_n, curr_n, ref_min, ref_max, curr_min, curr_max``
+    (epoch seconds, double), ``mean_shift_days, range_change,
+    null_ratio_change, dow_js, drift_detected, drift_causes``.
+    """
+    if not columns:
+        raise ValueError("no temporal columns to analyze")
+    sides = {"ref": "r", "curr": "c"}
+    tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
+        df_curr.select(F.lit("c").alias("__side"), *columns)
+    )
+    aggs: list = []
+    for pre, tag in sides.items():
+        cond = F.col("__side") == tag
+        aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}_rows"))
+        for c in columns:
+            ts = F.col(c).cast("timestamp")
+            ep = F.when(cond, ts.cast("double"))
+            aggs += [
+                F.count(ep).alias(f"{pre}__{c}__n"),
+                F.sum((cond & F.col(c).isNull()).cast("long")).alias(f"{pre}__{c}__nulls"),
+                F.min(ep).alias(f"{pre}__{c}__min"),
+                F.max(ep).alias(f"{pre}__{c}__max"),
+                F.avg(ep).alias(f"{pre}__{c}__mean"),
+            ]
+            # Spark dayofweek is 1=Sunday; −1 aligns with DuckDB's 0-based dow
+            dow = F.dayofweek(ts) - 1
+            for d in range(7):
+                aggs.append(
+                    F.sum((cond & (dow == d)).cast("long")).alias(f"{pre}__{c}__dow{d}")
+                )
+    wide = tagged.agg(*aggs)
+
+    structs = []
+    for c in columns:
+        fields = [F.lit(c).alias("column_name")]
+        for pre in sides:
+            fields += [
+                F.col(f"{pre}__{c}__n").alias(f"{pre}_n"),
+                (F.col(f"{pre}__{c}__nulls") / F.greatest(F.col(f"__{pre}_rows"), F.lit(1))).alias(
+                    f"{pre}_null_ratio"
+                ),
+                F.col(f"{pre}__{c}__min").alias(f"{pre}_min"),
+                F.col(f"{pre}__{c}__max").alias(f"{pre}_max"),
+                F.col(f"{pre}__{c}__mean").alias(f"{pre}_mean"),
+            ]
+            fields += [
+                (
+                    F.col(f"{pre}__{c}__dow{d}") / F.greatest(F.col(f"{pre}__{c}__n"), F.lit(1))
+                ).alias(f"{pre}_dow{d}")
+                for d in range(7)
+            ]
+        structs.append(F.struct(*fields))
+    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+    mean_shift = (F.col("curr_mean") - F.col("ref_mean")) / F.lit(SECONDS_PER_DAY)
+    ref_range = F.col("ref_max") - F.col("ref_min")
+    curr_range = F.col("curr_max") - F.col("curr_min")
+    range_change = F.when(
+        ref_range > 0, (curr_range - ref_range) / ref_range
+    ).otherwise(F.when(curr_range > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    null_change = F.abs(F.col("curr_null_ratio") - F.col("ref_null_ratio"))
+
+    js_terms = []
+    for d in range(7):
+        p, q = F.col(f"ref_dow{d}"), F.col(f"curr_dow{d}")
+        m = (p + q) / 2
+        js_terms.append(F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0)))
+        js_terms.append(F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0)))
+    dow_js = F.sqrt(F.greatest(F.lit(0.0), sum(js_terms[1:], js_terms[0]) / 2))
+
+    mean_flag = F.abs(mean_shift) > mean_shift_days_threshold
+    js_flag = dow_js > js_threshold
+    null_flag = null_change > null_threshold
+    return long.select(
+        "column_name",
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("curr_n").cast("long").alias("curr_n"),
+        "ref_min",
+        "ref_max",
+        "curr_min",
+        "curr_max",
+        mean_shift.alias("mean_shift_days"),
+        range_change.alias("range_change"),
+        null_change.alias("null_ratio_change"),
+        dow_js.alias("dow_js"),
+        (mean_flag | js_flag | null_flag).alias("drift_detected"),
+        F.array_compact(
+            F.array(
+                F.when(mean_flag, F.lit("mean_time_shift")),
+                F.when(js_flag, F.lit("day_of_week_shift")),
+                F.when(null_flag, F.lit("null_ratio")),
+            )
+        ).alias("drift_causes"),
+    )

@@ -143,6 +143,32 @@ def detect_drift(
             )
         )
 
+    tmp_cols = by_type.get("temporal", [])
+    if cfg.get("analyze_temporal", True) and tmp_cols:
+        # The reference classifies temporal columns and then silently drops
+        # them from every family (its architecture doc promises a Temporal
+        # analyzer that does not exist — SURVEY §1.1). This is that cell:
+        # mean-time shift, range change, day-of-week JS, null drift.
+        from pyspark_data_drift_detector_spark.operators.temporal import temporal_drift
+
+        td = temporal_drift(
+            df_ref,
+            df_curr,
+            tmp_cols,
+            mean_shift_days_threshold=float(cfg.get("temporal_mean_shift_days", 7.0)),
+            js_threshold=float(cfg.thresholds.get("js_distance_threshold", 0.1)),
+            null_threshold=float(num_th.get("null_threshold", 0.01)),
+        )
+        # binary-significance family (like distribution/feature_importance):
+        # score 0, detection carried by causes
+        td = td.select(
+            "column_name",
+            F.lit(0.0).alias("drift_score"),
+            F.lit("None").alias("drift_severity"),
+            *[c for c in td.columns if c != "column_name"],
+        )
+        results.append(_to_result_rows(td, "temporal"))
+
     # DistributionAnalyzer family is DOUBLE-gated exactly like the reference:
     # the top-level config flag turns the family on/off
     # (data_drift_detector.py:117), and the PROFILE's thresholds flag gates

@@ -312,6 +312,31 @@ def test_profile_golden_deep_dive(spark, versions):
     assert {"bucket", "lower", "upper", "cnt"} <= set(m["ref_histogram"][0])
 
 
+def test_detect_drift_temporal_family(spark, versions):
+    """Temporal columns get the analyzer the reference only promises
+    (architecture doc "Temporal" cell; inference classifies date_col via
+    the string→timestamp probe). v1→v3 shrinks the date range 365→180
+    days back from a fixed anchor, so the mean event time shifts ~90 days
+    → mean_time_shift must fire."""
+    import json
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    base = {"analyze_groups": False, "analyze_correlations": False,
+            "analyze_distributions": False}
+    res = detect_drift(versions[1], versions[3], base)
+    rows = res.filter("column_type = 'temporal'").collect()
+    assert [r["column_name"] for r in rows] == ["date_col"]
+    r = rows[0]
+    assert r["drift_detected"] and "mean_time_shift" in r["drift_causes"]
+    m = json.loads(r["metrics"])
+    assert 60 < m["mean_shift_days"] < 130
+    assert {"ref_min", "curr_max", "dow_js", "range_change"} <= set(m)
+
+    off = detect_drift(versions[1], versions[3], {**base, "analyze_temporal": False})
+    assert off.filter("column_type = 'temporal'").count() == 0
+
+
 def test_scaffold_custom_analyzer_end_to_end(spark, versions, tmp_path, monkeypatch):
     """The scaffold generator (counterpart to the reference's
     create_analyzer_template.py) emits a WORKING operator: generate it,
