@@ -207,3 +207,45 @@ def test_edf_and_psi_invariants(spark):
     assert row["ks"] == 1.0
     # |F_lo - F_hi| is 1 exactly on [1, 10): 0.5 on [0,1) and [10,11) tails
     assert row["wasserstein"] == pytest.approx(0.5 * 1 + 1.0 * 9 + 0.5 * 1)
+
+
+def test_bucketed_cumsum_matches_naive_window(spark):
+    """Property check for the distributed two-phase prefix sum: on random
+    multi-column cells (ties, duplicates, skew, sub-bucket cardinality) the
+    bucketed cumsum, totals, and cross-bucket lead are identical to the
+    naive single-task computation."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
+
+    rng = random.Random(5)
+    rows = []
+    for key, n, vals in (
+        ("skewed", 500, lambda: float(rng.choice([1] * 50 + list(range(200))))),
+        ("uniform", 300, lambda: round(rng.uniform(0, 100), 3)),
+        ("tiny", 3, lambda: float(rng.randint(0, 2))),
+        ("constant", 40, lambda: 7.0),
+    ):
+        seen = {}
+        for _ in range(n):
+            v = vals()
+            seen[v] = seen.get(v, 0) + rng.randint(1, 5)
+        rows += [(key, float(v), c) for v, c in seen.items()]
+    cells = spark.createDataFrame(rows, "column_name string, value double, cnt long")
+
+    out = bucketed_cumsum(
+        cells, "column_name", "value", ["cnt"], num_buckets=8, lead_col="nxt"
+    ).collect()
+
+    by_key: dict = {}
+    for key, v, c in rows:
+        by_key.setdefault(key, {})[v] = c
+    for r in out:
+        vals = sorted(by_key[r["column_name"]])
+        expect_cum = sum(by_key[r["column_name"]][v] for v in vals if v <= r["value"])
+        assert r["cum_cnt"] == expect_cum, r
+        assert r["tot_cnt"] == sum(by_key[r["column_name"]].values())
+        i = vals.index(r["value"])
+        expect_next = vals[i + 1] if i + 1 < len(vals) else None
+        assert r["nxt"] == expect_next, r
+    assert len(out) == len(rows)
