@@ -933,6 +933,32 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift over the even/odd vec_id split:
+    centroid cosine, mean-norm shift, max per-dimension shift — one
+    posexplode + two tiny aggregates, SQL-replayable."""
+    from pyspark_data_drift_detector_spark.operators.similarity import embedding_drift
+
+    emb = _embeddings(spark, sf_dir)
+    out = embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
+    return _round_cols(
+        out.select(
+            "n_dims",
+            "ref_n",
+            "curr_n",
+            "centroid_cosine",
+            "ref_mean_norm",
+            "curr_mean_norm",
+            "norm_shift",
+            "max_dim_shift",
+            "drift_detected",
+        ),
+        ["centroid_cosine", "ref_mean_norm", "curr_mean_norm", "norm_shift", "max_dim_shift"],
+    )
+
+
 def q_temporal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal drift (the analyzer the reference's architecture doc
     promises but never implements): mean-time shift, range change,
@@ -2423,6 +2449,48 @@ def _multimodal_meta_sql() -> str:
     FROM documents"""
 
 
+def _embedding_drift_sql(
+    cosine_threshold: float = 0.99, norm_threshold: float = 0.1
+) -> str:
+    """Replays embedding_drift: per-dimension means via parallel
+    unnest + generate_subscripts, centroid cosine algebra, per-row norm
+    averages (list_dot_product is a sequential fold like Spark's
+    F.aggregate, so values agree to well under the 5-dp rounding)."""
+    return f"""
+    WITH t AS (SELECT vec_id % 2 AS par, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    norms AS (SELECT
+        SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ref_n,
+        SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS curr_n,
+        AVG(CASE WHEN par = 0 THEN sqrt(list_dot_product(e, e)) END) AS ref_mean_norm,
+        AVG(CASE WHEN par = 1 THEN sqrt(list_dot_product(e, e)) END) AS curr_mean_norm
+      FROM t),
+    exploded AS (SELECT par, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM t),
+    d AS (SELECT pos,
+        AVG(CASE WHEN par = 0 THEN v END) AS mr,
+        AVG(CASE WHEN par = 1 THEN v END) AS mc
+      FROM exploded GROUP BY pos),
+    cent AS (SELECT COUNT(*) AS n_dims, SUM(mr * mc) AS dot,
+        SUM(mr * mr) AS nr2, SUM(mc * mc) AS nc2,
+        MAX(ABS(mr - mc)) AS max_dim_shift
+      FROM d),
+    j AS (SELECT *,
+        dot / (sqrt(nr2) * sqrt(nc2)) AS cosv,
+        CASE WHEN ref_mean_norm <> 0
+             THEN ABS((curr_mean_norm - ref_mean_norm) / ref_mean_norm)
+             WHEN curr_mean_norm <> 0 THEN 1.0 ELSE 0.0 END AS nshift
+      FROM cent CROSS JOIN norms)
+    SELECT CAST(n_dims AS INT) AS n_dims,
+      CAST(ref_n AS BIGINT) AS ref_n, CAST(curr_n AS BIGINT) AS curr_n,
+      ROUND(cosv, {ROUND}) AS centroid_cosine,
+      ROUND(ref_mean_norm, {ROUND}) AS ref_mean_norm,
+      ROUND(curr_mean_norm, {ROUND}) AS curr_mean_norm,
+      ROUND(nshift, {ROUND}) AS norm_shift,
+      ROUND(max_dim_shift, {ROUND}) AS max_dim_shift,
+      (cosv < {cosine_threshold} OR nshift > {norm_threshold}) AS drift_detected
+    FROM j"""
+
+
 def _temporal_drift_sql(col: str = "l_shipdate") -> str:
     """Replays temporal_drift: epoch stats per side, 7-bucket day-of-week
     distributions (DuckDB dayofweek is 0=Sunday = Spark dayofweek − 1),
@@ -2640,6 +2708,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "temporal_drift": _temporal_drift_sql(),
+        "embedding_drift": _embedding_drift_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "streaming_drift_alerts": _streaming_drift_alerts_sql(),
         "dedup_simhash": _simhash_sql(),
@@ -2712,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "temporal_drift": q_temporal_drift,
+        "embedding_drift": q_embedding_drift,
         "dedup_survivors": q_dedup_survivors,
         "streaming_drift_alerts": q_streaming_drift_alerts,
         "dedup_simhash": q_dedup_simhash,

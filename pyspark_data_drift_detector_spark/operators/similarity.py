@@ -271,3 +271,90 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def embedding_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    embedding_col: str = "embedding",
+    cosine_threshold: float = 0.99,
+    norm_threshold: float = 0.1,
+) -> DataFrame:
+    """Distribution drift of an embedding column between two snapshots —
+    the ML-monitoring face of the engine (embedding spaces drift when the
+    upstream encoder, preprocessing, or data mix changes).
+
+    Metrics (all exact, all SQL-replayable):
+
+    - ``centroid_cosine`` — cosine between the two mean vectors: 1.0 means
+      the centers coincide; dips when the population shifts direction;
+    - ``ref_mean_norm`` / ``curr_mean_norm`` / ``norm_shift`` — relative
+      change of the average vector L2 norm (scale drift: un-normalized
+      encoders drifting in magnitude);
+    - ``max_dim_shift`` — largest absolute per-dimension mean change
+      (localizes the drift to coordinates);
+    - ``n_dims``, ``ref_n``, ``curr_n``.
+
+    Plan: one side-tagged ``posexplode`` → ``groupBy(pos)`` (shuffle is
+    O(dims), map-side combined) → one O(dims) aggregate for the centroid
+    algebra, cross-joined with a one-row aggregate of per-row norms. No
+    driver math, no collect; scales with rows × dims scanned once.
+    """
+    tagged = df_ref.select(
+        F.lit("r").alias("__side"), F.col(embedding_col).cast("array<double>").alias("e")
+    ).unionByName(
+        df_curr.select(
+            F.lit("c").alias("__side"), F.col(embedding_col).cast("array<double>").alias("e")
+        )
+    ).where(F.col("e").isNotNull())
+
+    r = F.col("__side") == "r"
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda s, x: s + x * x))
+    norms = tagged.agg(
+        F.sum(r.cast("long")).alias("ref_n"),
+        F.sum((~r).cast("long")).alias("curr_n"),
+        F.avg(F.when(r, norm)).alias("ref_mean_norm"),
+        F.avg(F.when(~r, norm)).alias("curr_mean_norm"),
+    )
+
+    dims = (
+        tagged.select("__side", F.posexplode("e").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.avg(F.when(r, F.col("v"))).alias("mr"),
+            F.avg(F.when(~r, F.col("v"))).alias("mc"),
+        )
+    )
+    cent = dims.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.col("mr") * F.col("mc")).alias("dot"),
+        F.sum(F.col("mr") * F.col("mr")).alias("nr2"),
+        F.sum(F.col("mc") * F.col("mc")).alias("nc2"),
+        F.max(F.abs(F.col("mr") - F.col("mc"))).alias("max_dim_shift"),
+    )
+
+    out = cent.crossJoin(norms)
+    cos = F.col("dot") / (F.sqrt(F.col("nr2")) * F.sqrt(F.col("nc2")))
+    norm_shift = F.when(
+        F.col("ref_mean_norm") != 0,
+        F.abs((F.col("curr_mean_norm") - F.col("ref_mean_norm")) / F.col("ref_mean_norm")),
+    ).otherwise(F.when(F.col("curr_mean_norm") != 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    cos_flag = cos < cosine_threshold
+    norm_flag = norm_shift > norm_threshold
+    return out.select(
+        F.col("n_dims").cast("int").alias("n_dims"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("curr_n").cast("long").alias("curr_n"),
+        cos.alias("centroid_cosine"),
+        "ref_mean_norm",
+        "curr_mean_norm",
+        norm_shift.alias("norm_shift"),
+        "max_dim_shift",
+        (cos_flag | norm_flag).alias("drift_detected"),
+        F.array_compact(
+            F.array(
+                F.when(cos_flag, F.lit("centroid_rotation")),
+                F.when(norm_flag, F.lit("norm_scale_shift")),
+            )
+        ).alias("drift_causes"),
+    )
