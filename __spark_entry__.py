@@ -933,6 +933,36 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level text-quality drift over the even/odd doc split: mean
+    token-count/quality shifts + language-mix JS, composed from the
+    text_stats/language_id expressions — fully SQL-replayable."""
+    from pyspark_data_drift_detector_spark.operators.text import text_quality_drift
+
+    docs = _documents(spark, sf_dir)
+    out = text_quality_drift(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    return _round_cols(
+        out.select(
+            "ref_n",
+            "curr_n",
+            "ref_mean_tokens",
+            "curr_mean_tokens",
+            "token_shift",
+            "ref_mean_quality",
+            "curr_mean_quality",
+            "quality_shift",
+            "lang_js",
+            "drift_detected",
+        ),
+        [
+            "ref_mean_tokens", "curr_mean_tokens", "token_shift",
+            "ref_mean_quality", "curr_mean_quality", "quality_shift", "lang_js",
+        ],
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift over the even/odd vec_id split:
     centroid cosine, mean-norm shift, max per-dimension shift — one
@@ -2449,6 +2479,89 @@ def _multimodal_meta_sql() -> str:
     FROM documents"""
 
 
+def _text_quality_drift_sql(rel_threshold: float = 0.1, js_threshold: float = 0.1) -> str:
+    """Replays text_quality_drift: per-doc token counts + quality scores
+    (same unrounded expressions as _text_stats_sql), per-side means with
+    relative shifts, and language-mix JS from the _lang_id_sql decision
+    ladder, over the even/odd doc_id split."""
+    lang_hits = ", ".join(
+        f"len(list_filter(toks, t -> t IN ({words}))) AS hits_{lang}"
+        for lang, words in _LANG_STOPS.items()
+    )
+    langs = sorted(_LANG_STOPS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'unknown' END"
+
+    def rel(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} <> 0 THEN ABS(({b} - {a}) / {a}) "
+            f"WHEN {b} <> 0 THEN 1.0 ELSE 0.0 END)"
+        )
+
+    tok_shift = rel("ref_mean_tokens", "curr_mean_tokens")
+    q_shift = rel("ref_mean_quality", "curr_mean_quality")
+    return f"""
+    WITH base AS (
+      SELECT doc_id % 2 AS par,
+        string_split_regex(trim(text), '\\s+') AS toks,
+        LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS non_space,
+        LENGTH(text) AS n_chars,
+        text
+      FROM documents),
+    perdoc AS (
+      SELECT par,
+        len(toks) AS n_tokens,
+        0.4 * LEAST(1.0, len(toks) / 50.0)
+        + 0.3 * (CASE WHEN (CAST(non_space AS DOUBLE) / GREATEST(len(toks), 1))
+                          BETWEEN 3 AND 8 THEN 1.0 ELSE 0.5 END)
+        + 0.3 * LEAST(1.0,
+            (CAST(len(list_filter(toks, t -> t IN ({_EN_STOPS}))) AS DOUBLE)
+             / GREATEST(len(toks), 1)) * 5) AS quality,
+        {lang_hits}
+      FROM base),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ref_n,
+        SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS curr_n,
+        AVG(CASE WHEN par = 0 THEN n_tokens END) AS ref_mean_tokens,
+        AVG(CASE WHEN par = 1 THEN n_tokens END) AS curr_mean_tokens,
+        AVG(CASE WHEN par = 0 THEN quality END) AS ref_mean_quality,
+        AVG(CASE WHEN par = 1 THEN quality END) AS curr_mean_quality
+      FROM perdoc),
+    cells AS (
+      SELECT {lang_case} AS detected_lang,
+        SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS rc,
+        SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS cc
+      FROM perdoc GROUP BY 1),
+    tot AS (SELECT SUM(rc) AS tr, SUM(cc) AS tc FROM cells),
+    jsc AS (
+      SELECT
+        CAST(rc AS DOUBLE) / GREATEST(tr, 1) AS pp,
+        CAST(cc AS DOUBLE) / GREATEST(tc, 1) AS qq
+      FROM cells CROSS JOIN tot),
+    js AS (
+      SELECT sqrt(GREATEST(0.0, (
+        SUM(CASE WHEN pp > 0 AND (pp + qq) / 2 > 0
+                 THEN pp * log2(pp / ((pp + qq) / 2)) ELSE 0 END)
+        + SUM(CASE WHEN qq > 0 AND (pp + qq) / 2 > 0
+                   THEN qq * log2(qq / ((pp + qq) / 2)) ELSE 0 END)) / 2))
+        AS lang_js
+      FROM jsc)
+    SELECT CAST(ref_n AS BIGINT) AS ref_n, CAST(curr_n AS BIGINT) AS curr_n,
+      ROUND(ref_mean_tokens, {ROUND}) AS ref_mean_tokens,
+      ROUND(curr_mean_tokens, {ROUND}) AS curr_mean_tokens,
+      ROUND({tok_shift}, {ROUND}) AS token_shift,
+      ROUND(ref_mean_quality, {ROUND}) AS ref_mean_quality,
+      ROUND(curr_mean_quality, {ROUND}) AS curr_mean_quality,
+      ROUND({q_shift}, {ROUND}) AS quality_shift,
+      ROUND(lang_js, {ROUND}) AS lang_js,
+      ({tok_shift} > {rel_threshold} OR {q_shift} > {rel_threshold}
+       OR lang_js > {js_threshold}) AS drift_detected
+    FROM agg CROSS JOIN js"""
+
+
 def _embedding_drift_sql(
     cosine_threshold: float = 0.99, norm_threshold: float = 0.1
 ) -> str:
@@ -2709,6 +2822,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "temporal_drift": _temporal_drift_sql(),
         "embedding_drift": _embedding_drift_sql(),
+        "text_quality_drift": _text_quality_drift_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "streaming_drift_alerts": _streaming_drift_alerts_sql(),
         "dedup_simhash": _simhash_sql(),
@@ -2782,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "temporal_drift": q_temporal_drift,
         "embedding_drift": q_embedding_drift,
+        "text_quality_drift": q_text_quality_drift,
         "dedup_survivors": q_dedup_survivors,
         "streaming_drift_alerts": q_streaming_drift_alerts,
         "dedup_simhash": q_dedup_simhash,

@@ -118,3 +118,94 @@ def fingerprint(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+def text_quality_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_threshold: float = 0.1,
+    js_threshold: float = 0.1,
+) -> DataFrame:
+    """Corpus-level text-quality drift between two document snapshots —
+    the training-data-pipeline face of the drift engine (a crawler or
+    filter change shows up as shifted token counts, quality scores, or
+    language mix long before model metrics move).
+
+    One row out: mean token-count / quality-score relative shifts and the
+    Jensen-Shannon distance between detected-language distributions. The
+    per-document stats come from ``text_stats``/``language_id`` (pure
+    expressions, narrow maps), so the whole thing is two scans and two
+    O(1)/O(languages) aggregates — and the math replays in SQL.
+    """
+    sides = []
+    for tag, df in (("r", df_ref), ("c", df_curr)):
+        stats = text_stats(df, text_col, id_col).select("n_tokens", "quality_score")
+        lang = language_id(df, text_col, id_col).select("detected_lang")
+        sides.append(
+            (
+                stats.select(F.lit(tag).alias("__side"), "n_tokens", "quality_score"),
+                lang.select(F.lit(tag).alias("__side"), "detected_lang"),
+            )
+        )
+    tagged_stats = sides[0][0].unionByName(sides[1][0])
+    tagged_lang = sides[0][1].unionByName(sides[1][1])
+
+    r = F.col("__side") == "r"
+    agg = tagged_stats.agg(
+        F.sum(r.cast("long")).alias("ref_n"),
+        F.sum((~r).cast("long")).alias("curr_n"),
+        F.avg(F.when(r, F.col("n_tokens"))).alias("ref_mean_tokens"),
+        F.avg(F.when(~r, F.col("n_tokens"))).alias("curr_mean_tokens"),
+        F.avg(F.when(r, F.col("quality_score"))).alias("ref_mean_quality"),
+        F.avg(F.when(~r, F.col("quality_score"))).alias("curr_mean_quality"),
+    )
+
+    lang_cells = tagged_lang.groupBy("detected_lang").agg(
+        F.sum(r.cast("long")).alias("rc"), F.sum((~r).cast("long")).alias("cc")
+    )
+    # O(languages) rows — totals via the same groupBy+broadcast discipline
+    # as everywhere else
+    totals = lang_cells.agg(F.sum("rc").alias("tr"), F.sum("cc").alias("tc"))
+    cells = lang_cells.crossJoin(F.broadcast(totals))
+    pp = F.col("rc") / F.greatest(F.col("tr"), F.lit(1))
+    qq = F.col("cc") / F.greatest(F.col("tc"), F.lit(1))
+    m = (pp + qq) / 2
+    kl_p = F.when((pp > 0) & (m > 0), pp * F.log2(pp / m)).otherwise(F.lit(0.0))
+    kl_q = F.when((qq > 0) & (m > 0), qq * F.log2(qq / m)).otherwise(F.lit(0.0))
+    lang_js = cells.agg(
+        F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("lang_js")
+    )
+
+    out = agg.crossJoin(lang_js)
+
+    def rel(a, b):
+        return F.when(a != 0, F.abs((b - a) / a)).otherwise(
+            F.when(b != 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+
+    tok_shift = rel(F.col("ref_mean_tokens"), F.col("curr_mean_tokens"))
+    q_shift = rel(F.col("ref_mean_quality"), F.col("curr_mean_quality"))
+    tok_flag = tok_shift > rel_threshold
+    q_flag = q_shift > rel_threshold
+    js_flag = F.col("lang_js") > js_threshold
+    return out.select(
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("curr_n").cast("long").alias("curr_n"),
+        "ref_mean_tokens",
+        "curr_mean_tokens",
+        tok_shift.alias("token_shift"),
+        "ref_mean_quality",
+        "curr_mean_quality",
+        q_shift.alias("quality_shift"),
+        "lang_js",
+        (tok_flag | q_flag | js_flag).alias("drift_detected"),
+        F.array_compact(
+            F.array(
+                F.when(tok_flag, F.lit("token_count_shift")),
+                F.when(q_flag, F.lit("quality_score_shift")),
+                F.when(js_flag, F.lit("language_mix_shift")),
+            )
+        ).alias("drift_causes"),
+    )
