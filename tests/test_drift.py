@@ -89,3 +89,31 @@ def test_exact_p_value_mode(spark, v1, v3):
     drift = categorical_drift(v1, v3, ["category"], p_value_mode="exact").collect()[0]
     assert drift["p_value"] is not None
     assert 0.0 <= drift["p_value"] <= 1.0
+
+
+def test_temporal_drift_nulls_and_dow_shift(spark):
+    """Temporal analyzer unit semantics: a weekday→weekend mix change fires
+    day_of_week_shift; added nulls fire null_ratio; identical snapshots are
+    clean. 2024-01-01 is a Monday; both engines bucket Sunday-based."""
+    from datetime import datetime, timedelta
+
+    from pyspark_data_drift_detector_spark.operators.temporal import temporal_drift
+
+    base = datetime(2024, 1, 1)  # Monday
+    # ref: all events on Mondays; curr: all on Saturdays, 10% nulls
+    ref_rows = [(base + timedelta(weeks=i),) for i in range(60)]
+    curr_rows = [(base + timedelta(weeks=i, days=5),) for i in range(54)] + [(None,)] * 6
+    ref = spark.createDataFrame(ref_rows, "ts timestamp")
+    curr = spark.createDataFrame(curr_rows, "ts timestamp")
+
+    r = temporal_drift(ref, curr, ["ts"]).collect()[0]
+    assert r["ref_n"] == 60 and r["curr_n"] == 54
+    assert r["drift_detected"]
+    assert "day_of_week_shift" in r["drift_causes"]
+    assert "null_ratio" in r["drift_causes"]
+    assert r["dow_js"] == pytest.approx(1.0)  # disjoint dow supports
+    assert r["null_ratio_change"] == pytest.approx(0.1)
+
+    same = temporal_drift(ref, ref, ["ts"]).collect()[0]
+    assert not same["drift_detected"] and same["drift_causes"] == []
+    assert same["mean_shift_days"] == 0.0 and same["dow_js"] == 0.0

@@ -347,3 +347,34 @@ def test_streaming_sliding_windows(spark, sf_dir, tmp_path):
     assert set(stream_rows).issubset(set(batch_rows))
     for key, n in stream_rows.items():
         assert batch_rows[key] == n
+
+
+def test_embedding_drift_semantics(spark):
+    """Planted drift modes: identity → clean; uniform 1.5× scaling →
+    norm_scale_shift with cosine 1; negated half-space → centroid rotation."""
+    from pyspark_data_drift_detector_spark.operators.similarity import embedding_drift
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) + 0.5 for _ in range(8)]) for i in range(300)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    same = embedding_drift(base, base).collect()[0]
+    assert not same["drift_detected"]
+    assert same["centroid_cosine"] == pytest.approx(1.0)
+    assert same["norm_shift"] == 0.0 and same["max_dim_shift"] == 0.0
+    assert same["n_dims"] == 8 and same["ref_n"] == 300
+
+    scaled = base.select(
+        "vec_id", F.transform("embedding", lambda x: x * 1.5).alias("embedding")
+    )
+    s = embedding_drift(base, scaled).collect()[0]
+    assert s["drift_detected"] and s["drift_causes"] == ["norm_scale_shift"]
+    assert s["centroid_cosine"] == pytest.approx(1.0)
+    assert s["norm_shift"] == pytest.approx(0.5)
+
+    rotated = base.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    rot = embedding_drift(base, rotated).collect()[0]
+    assert rot["drift_detected"] and "centroid_rotation" in rot["drift_causes"]
+    assert rot["centroid_cosine"] == pytest.approx(-1.0)
