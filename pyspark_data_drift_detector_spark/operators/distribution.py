@@ -47,6 +47,16 @@ def quantile_shift(
         exact_quantiles=exact_quantiles,
         quantile_accuracy=quantile_accuracy,
     )
+    return quantile_shift_from_pair(pair, quantiles)
+
+
+def quantile_shift_from_pair(
+    pair: DataFrame, quantiles: tuple[float, ...] = QUANTILES
+) -> DataFrame:
+    """Quantile shifts from a prebuilt pair profile (``ref_p*``/``curr_p*``
+    columns) — lets the pipeline derive this family from the SAME profile
+    aggregate the numeric-drift family already ran instead of re-scanning
+    both snapshots."""
     from pyspark_data_drift_detector_spark.operators.profile import _qname
 
     rows = []
@@ -108,6 +118,17 @@ def shape_change(
     pair = numeric_profile_pair(
         df_ref, df_curr, columns=columns, quantiles=(), with_shape=True
     )
+    return shape_change_from_pair(pair, skew_threshold, kurt_threshold)
+
+
+def shape_change_from_pair(
+    pair: DataFrame,
+    skew_threshold: float = 0.5,
+    kurt_threshold: float = 1.0,
+) -> DataFrame:
+    """Shape change from a prebuilt pair profile carrying
+    ``ref_/curr_skewness``/``kurtosis`` — same profile-reuse rationale as
+    ``quantile_shift_from_pair``."""
     rs = F.coalesce(F.col("ref_skewness"), F.lit(0.0))
     cs = F.coalesce(F.col("curr_skewness"), F.lit(0.0))
     rk = F.coalesce(F.col("ref_kurtosis"), F.lit(0.0))

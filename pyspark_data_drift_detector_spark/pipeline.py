@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark_data_drift_detector_spark.config import DriftConfig
 from pyspark_data_drift_detector_spark.functions.inference import columns_by_type, infer_column_types
 from pyspark_data_drift_detector_spark.operators.categorical_drift import categorical_drift
-from pyspark_data_drift_detector_spark.operators.numeric_drift import numeric_drift_pair
 
 RESULT_COLUMNS = [
     "run_timestamp",
@@ -110,23 +109,47 @@ def detect_drift(
         return [cols[i : i + batch_size] for i in range(0, len(cols), batch_size)]
 
     num_cols = by_type.get("numerical", [])
+    # One profile aggregate serves THREE families: the scored numeric-drift
+    # rows here, and (when the distribution family runs) the quantile-shift
+    # and shape-change rows — with_shape rides along in the same aggregate
+    # and the O(columns) pair table is persisted, so the second and third
+    # consumers read the cached rows instead of re-scanning both snapshots.
+    # (The reference re-runs approxQuantile/agg per family.)
+    run_distributions = bool(cfg.get("analyze_distributions", True)) and bool(
+        cfg.thresholds.get("analyze_distributions", True)
+    )
+    shared_pairs: list[DataFrame] = []
+    num_quantiles = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
     for batch in _batched(num_cols):
-        results.append(
-            _to_result_rows(
-                numeric_drift_pair(
-                    df_ref,
-                    df_curr,
-                    columns=batch,
-                    thresholds=num_th,
-                    quantiles=(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
-                    exact_quantiles=bool(cfg.get("exact_quantiles", True)),
-                    quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
-                    quantile_mode=str(cfg.get("quantile_mode", "auto")),
-                    score_mode=str(cfg.get("numeric_score_mode", "weighted")),
-                ),
-                "numerical",
-            )
+        from pyspark import StorageLevel
+
+        from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+            numeric_drift_from_joined,
         )
+        from pyspark_data_drift_detector_spark.operators.profile import (
+            numeric_profile_pair,
+        )
+
+        pair = numeric_profile_pair(
+            df_ref,
+            df_curr,
+            columns=batch,
+            quantiles=num_quantiles,
+            exact_quantiles=bool(cfg.get("exact_quantiles", True)),
+            quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
+            quantile_mode=str(cfg.get("quantile_mode", "auto")),
+            with_shape=run_distributions,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        shared_pairs.append(pair)
+        nd = numeric_drift_from_joined(
+            pair,
+            thresholds=num_th,
+            score_mode=str(cfg.get("numeric_score_mode", "weighted")),
+        )
+        # shape moments ride along for the distribution family but are not
+        # part of the reference's numerical metrics dict
+        nd = nd.drop(*[c for c in nd.columns if c.endswith(("skewness", "kurtosis"))])
+        results.append(_to_result_rows(nd, "numerical"))
 
     cat_cols = by_type.get("categorical", [])
     for batch in _batched(cat_cols):
@@ -193,20 +216,20 @@ def detect_drift(
         if num_cols:
             from pyspark_data_drift_detector_spark.operators.distribution import (
                 max_quantile_shift,
-                quantile_shift,
-                shape_change,
+                quantile_shift_from_pair,
+                shape_change_from_pair,
             )
+
+            # both numeric sub-analyses derive from the SAME persisted pair
+            # profiles the numerical family already materialized — zero
+            # additional snapshot scans (see the shared_pairs note above)
+            pair_all = shared_pairs[0]
+            for extra in shared_pairs[1:]:
+                pair_all = pair_all.unionByName(extra)
 
             # quantile shifts (distribution_analyzer.py:83-151): metrics-only
             # rows — the reference computes them without a significance flag
-            qs = max_quantile_shift(
-                quantile_shift(
-                    df_ref,
-                    df_curr,
-                    num_cols,
-                    exact_quantiles=bool(cfg.get("exact_quantiles", True)),
-                )
-            )
+            qs = max_quantile_shift(quantile_shift_from_pair(pair_all, num_quantiles))
             dist_rows.append(
                 qs.select(
                     "column_name",
@@ -221,7 +244,7 @@ def detect_drift(
                 )
             )
 
-            sc_df = shape_change(df_ref, df_curr, num_cols)
+            sc_df = shape_change_from_pair(pair_all)
             detected = (F.col("skew_change") != "none") | (F.col("kurt_change") != "none")
             dist_rows.append(
                 sc_df.select(
