@@ -410,18 +410,21 @@ def test_adaptive_thresholds_small_data(spark):
 
 def test_column_batching_same_results(spark, versions):
     """column_batch_size splits wide profiles into multiple aggregates;
-    results are identical to the unbatched run."""
+    results are identical to the unbatched run — including the
+    distribution family, which reuses the per-batch shared pair profiles
+    via a union."""
     from pyspark_data_drift_detector_spark import detect_drift
 
-    base = {"analyze_groups": False, "analyze_correlations": False,
-            "analyze_distributions": False}
+    base = {"analyze_groups": False, "analyze_correlations": False}
     one = detect_drift(versions[1], versions[3], base)
     batched = detect_drift(versions[1], versions[3], {**base, "column_batch_size": 2})
 
     def key(df):
         return {
-            (r["column_name"], r["column_type"]): (round(r["drift_score"], 9),
-                                                   r["drift_detected"])
+            (r["column_name"], r["column_type"], r["metrics"]): (
+                round(r["drift_score"], 9),
+                r["drift_detected"],
+            )
             for r in df.collect()
         }
 
