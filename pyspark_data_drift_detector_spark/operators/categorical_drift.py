@@ -34,7 +34,7 @@ Semantics reproduced (with citations):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -209,21 +209,24 @@ def categorical_drift(
     th = dict(DEFAULT_CAT_THRESHOLDS)
     th.update(thresholds or {})
 
-    cells = pair_frequency_cells(df_ref, df_curr, columns)
+    from pyspark import StorageLevel
 
-    # Everything derives from this ONE cells aggregation. Null-category rows
-    # are NOT filtered out (a filter on the group key would push below the
-    # aggregate, split the plan into two scans per side, and defeat exchange
-    # reuse — verified via plans.inspect); instead the rank windows sort null
-    # values last, so non-null rows hold ranks 1..m undisturbed, and every
+    # Everything derives from this ONE cells aggregation, which is PERSISTED
+    # (O(distinct categories)) because totals, both top-k cutoffs, and the
+    # probe side all reference it — unpersisted, each reference re-runs the
+    # melt+groupBy over both snapshots. Null-category rows are NOT filtered
+    # out of the probe (null counts derive from the same pass); every
     # null-sensitive expression guards on value IS NOT NULL.
+    cells = pair_frequency_cells(df_ref, df_curr, columns).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     is_null_val = F.col("value").isNull()
-    win = Window.partitionBy("column_name")
-    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        pair_top_k_cutoffs,
+        with_key_totals,
+    )
 
-    # totals via groupBy + broadcast join (see with_key_totals) — only the
-    # top-k RANK windows below still partition by column alone, and their
-    # output is consumed as `rn <= k`, bounded state per task after sort
+    # totals via groupBy + broadcast join (see with_key_totals)
     nn = (
         with_key_totals(
             cells,
@@ -242,31 +245,39 @@ def categorical_drift(
             "curr_freq",
             F.when(~is_null_val & (F.col("curr_total") > 0), F.col("curr_cnt") / F.col("curr_total")).otherwise(0.0),
         )
-        .withColumn(
-            "rn_ref",
-            F.row_number().over(
-                win.orderBy(is_null_val.cast("int").asc(), F.desc("ref_cnt"), F.asc("value"))
-            ),
-        )
-        .withColumn(
-            "rn_curr",
-            F.row_number().over(
-                win.orderBy(is_null_val.cast("int").asc(), F.desc("curr_cnt"), F.asc("value"))
-            ),
-        )
-        .withColumn(
-            "member_ref",
-            ~is_null_val
-            & (F.col("ref_cnt") > 0)
-            & (F.lit(True) if top_k is None else (F.col("rn_ref") <= top_k)),
-        )
-        .withColumn(
-            "member_curr",
-            ~is_null_val
-            & (F.col("curr_cnt") > 0)
-            & (F.lit(True) if top_k is None else (F.col("rn_curr") <= top_k)),
-        )
     )
+    # top-k membership via per-column cutoffs (top_k_cutoffs) instead of a
+    # row_number window over whole-column partitions: the cutoff replays
+    # `rank <= k` exactly (the (cnt DESC, value ASC) order is total because
+    # values are unique per column, and null rows — which the old window
+    # sorted last — never reach a top-k membership anyway), while no task
+    # sorts more than ~1/salt of one column's category set.
+    if top_k is None:
+        nn = nn.withColumn(
+            "member_ref", ~is_null_val & (F.col("ref_cnt") > 0)
+        ).withColumn("member_curr", ~is_null_val & (F.col("curr_cnt") > 0))
+    else:
+        # top-k membership via ONE pair-cutoff pass (both sides share the
+        # salted/global shuffles) broadcast back — replaces the row_number
+        # windows that sorted a whole column's category set in one task.
+        # Ranks run over the NON-null cells (the old windows sorted nulls
+        # last, so non-null ranks are identical); the null guard preserves
+        # the rest of the semantics.
+        cuts = pair_top_k_cutoffs(cells.filter(~is_null_val), top_k)
+        nn = nn.join(F.broadcast(cuts), "column_name", "left")
+        for pre in ("ref", "curr"):
+            cnt = F.col(f"{pre}_cnt")
+            in_top = (cnt > F.col(f"{pre}_cnt_cut_cnt")) | (
+                (cnt == F.col(f"{pre}_cnt_cut_cnt"))
+                & (F.col("value") <= F.col(f"{pre}_cnt_cut_value"))
+            )
+            nn = nn.withColumn(
+                f"member_{pre}",
+                ~is_null_val & (cnt > 0) & F.coalesce(in_top, F.lit(False)),
+            )
+        nn = nn.drop(
+            *[f"{p}_cnt_cut_{s}" for p in ("ref", "curr") for s in ("cnt", "value")]
+        )
 
     # JS over the union of the two per-side top-k supports: a category keeps
     # probability 0 on a side whose top-k it didn't make (dict-union

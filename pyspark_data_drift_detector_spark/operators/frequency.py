@@ -95,19 +95,171 @@ def frequency_table(
     return counts
 
 
-def top_k_filter(freq: DataFrame, top_k: int, extra_keys: list[str] | None = None) -> DataFrame:
+def top_k_cutoffs(
+    cells: DataFrame,
+    k: int,
+    keys: tuple[str, ...] = ("column_name",),
+    count_col: str = "cnt",
+    value_col: str = "value",
+    salt_partitions: int = 32,
+) -> DataFrame:
+    """Per-key k-th cutoff in ``(count DESC, value ASC)`` order, with
+    BOUNDED per-task state.
+
+    A plain ``row_number`` over ``Window.partitionBy(key)`` sorts every
+    cell of a key in one task — the same 100 TB cliff as the cumulative
+    windows. Here each task handles one ``(key, salt)`` slice (≈1/S of a
+    key's cells): any global top-k row is necessarily in its slice's local
+    top-k, so the exact ranking runs on the ≤ k·S survivors per key — a
+    tiny table. Returns one row per key: ``keys..., cut_cnt, cut_value``
+    where the cutoff is the k-th row (or the last row when the key has
+    fewer than k cells). Membership test replaying ``row_number() <= k``
+    exactly (cell values are unique per key, so the order is total)::
+
+        cnt > cut_cnt OR (cnt = cut_cnt AND value <= cut_value)
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_partitions))
+    order = [F.desc(count_col), F.asc(value_col)]
+    wlocal = Window.partitionBy(*keys, salt).orderBy(*order)
+    local = (
+        cells.select(*keys, count_col, value_col)
+        .withColumn("__lrn", F.row_number().over(wlocal))
+        .filter(F.col("__lrn") <= k)
+    )
+    wglobal = Window.partitionBy(*keys).orderBy(*order)
+    ranked = local.withColumn("__rn", F.row_number().over(wglobal)).filter(
+        F.col("__rn") <= k
+    )
+    return ranked.groupBy(*keys).agg(
+        F.max_by(F.col(count_col), F.col("__rn")).alias("cut_cnt"),
+        F.max_by(F.col(value_col), F.col("__rn")).alias("cut_value"),
+    )
+
+
+def pair_top_k_cutoffs(
+    cells: DataFrame,
+    k: int,
+    keys: tuple[str, ...] = ("column_name",),
+    count_cols: tuple[str, str] = ("ref_cnt", "curr_cnt"),
+    value_col: str = "value",
+    salt_partitions: int = 32,
+) -> DataFrame:
+    """Both sides' top-k cutoffs in ONE pass.
+
+    The ref- and curr-ordered windows share the same ``(keys, salt)`` and
+    ``(keys)`` partitionings, so Spark plans consecutive Window operators
+    over a single exchange each (two sorts, one shuffle) instead of two
+    full pipelines. Output: ``keys..., <c>_cut_cnt, <c>_cut_value`` per
+    count column. See ``top_k_cutoffs`` for the bounded-state rationale.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_partitions))
+    slim = cells.select(*keys, *count_cols, value_col).withColumn("__salt", salt)
+    for c in count_cols:
+        w = Window.partitionBy(*keys, "__salt").orderBy(F.desc(c), F.asc(value_col))
+        slim = slim.withColumn(f"__lrn_{c}", F.row_number().over(w))
+    local = slim.filter(
+        " OR ".join(f"__lrn_{c} <= {k}" for c in count_cols)
+    )
+    # the survivor set contains every side's TRUE top-k (each such row is
+    # in its salt slice's local top-k), and any non-top-k survivor ranks
+    # after all k of them, so rank-k within the survivors IS the true
+    # cutoff for each side
+    for c in count_cols:
+        w = Window.partitionBy(*keys).orderBy(F.desc(c), F.asc(value_col))
+        local = local.withColumn(f"__rn_{c}", F.row_number().over(w))
+    aggs = [
+        F.max(
+            F.when(
+                F.col(f"__rn_{c}") <= k,
+                F.struct(
+                    F.col(f"__rn_{c}").alias("rn"),
+                    F.col(c).alias("cnt"),
+                    F.col(value_col).alias("val"),
+                ),
+            )
+        ).alias(f"__cut_{c}")
+        for c in count_cols
+    ]
+    cuts = local.groupBy(*keys).agg(*aggs)
+    return cuts.select(
+        *keys,
+        *[
+            col
+            for c in count_cols
+            for col in (
+                F.col(f"__cut_{c}.cnt").alias(f"{c}_cut_cnt"),
+                F.col(f"__cut_{c}.val").alias(f"{c}_cut_value"),
+            )
+        ],
+    )
+
+
+def cutoff_member_expr(count_col: "F.Column", value_col: "F.Column") -> "F.Column":
+    """The membership predicate matching ``top_k_cutoffs``'s contract.
+
+    Null-aware to replay Spark's ``asc`` null placement exactly: in the
+    ``(cnt DESC, value ASC)`` window order a NULL value sorts FIRST within
+    its count level, so a null row is a member whenever the cutoff sits at
+    its count level, and a non-null row never beats a null cutoff at the
+    same level (``value <= NULL`` → NULL → false via the coalesce)."""
+    return (count_col > F.col("cut_cnt")) | (
+        (count_col == F.col("cut_cnt"))
+        & (
+            value_col.isNull()
+            | F.coalesce(value_col <= F.col("cut_value"), F.lit(False))
+        )
+    )
+
+
+def join_top_k_membership(
+    enr: DataFrame,
+    cells: DataFrame,
+    k: int,
+    keys: tuple[str, ...],
+    count_col: str,
+    member_name: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Attach a boolean ``member_name`` = "this row is in its key's top-k
+    by ``(count DESC, value ASC)`` and has a positive count" — via a
+    broadcast cutoff join instead of a per-key ``row_number`` window.
+    ``cells`` is the frame the ranks are computed over (usually ``enr``
+    itself, or a filtered view when some rows are excluded from ranking).
+    """
+    cuts = top_k_cutoffs(cells, k, keys=keys, count_col=count_col, value_col=value_col)
+    joined = enr.join(F.broadcast(cuts), list(keys), "left")
+    member = (F.col(count_col) > 0) & F.coalesce(
+        cutoff_member_expr(F.col(count_col), F.col(value_col)), F.lit(False)
+    )
+    return joined.withColumn(member_name, member).drop("cut_cnt", "cut_value")
+
+
+def top_k_filter(
+    freq: DataFrame,
+    top_k: int,
+    extra_keys: list[str] | None = None,
+    salt_partitions: int = 32,
+) -> DataFrame:
     """Keep the k most frequent categories per column (tie-break on value).
 
     Separate from ``frequency_table`` so a full table can be computed once
-    and truncated as a second consumer — Spark reuses the shuffle exchange
-    instead of rescanning the source.
+    and truncated as a second consumer. Implemented as a broadcast join
+    against ``top_k_cutoffs`` — no task ever sorts a whole column's
+    category set (see that docstring).
     """
+    from pyspark import StorageLevel
+
     keys = ["column_name", *(extra_keys or [])]
-    rank_win = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("value"))
+    # both the cutoff pass and the probe read freq — persist so the
+    # upstream melt+groupBy runs once
+    freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+    cuts = top_k_cutoffs(
+        freq, top_k, keys=tuple(keys), salt_partitions=salt_partitions
+    )
     return (
-        freq.withColumn("__rn", F.row_number().over(rank_win))
-        .filter(F.col("__rn") <= top_k)
-        .drop("__rn")
+        freq.join(F.broadcast(cuts), keys)
+        .filter(cutoff_member_expr(F.col("cnt"), F.col("value")))
+        .drop("cut_cnt", "cut_value")
     )
 
 
@@ -295,12 +447,5 @@ def grouped_frequency_table(
         counts, {"n_nonnull": F.sum("cnt")}, keys=("dimension_value", "column_name")
     ).withColumn("freq", F.col("cnt") / F.col("n_nonnull"))
     if top_k is not None:
-        rank_win = Window.partitionBy("dimension_value", "column_name").orderBy(
-            F.desc("cnt"), F.asc("value")
-        )
-        counts = (
-            counts.withColumn("__rn", F.row_number().over(rank_win))
-            .filter(F.col("__rn") <= top_k)
-            .drop("__rn")
-        )
+        counts = top_k_filter(counts, top_k, extra_keys=["dimension_value"])
     return counts

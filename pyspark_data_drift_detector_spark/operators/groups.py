@@ -24,7 +24,7 @@ Semantics reproduced from ``group_analyzer.py``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -78,13 +78,30 @@ def top_groups(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_rows"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_rows"),
     )
-    win = Window.partitionBy("dimension_column").orderBy(
-        F.desc(F.col("ref_rows") + F.col("curr_rows")), F.asc("dimension_value")
+    # top-N groups via cutoff join (no per-dimension row_number sort task);
+    # persisted: the cutoff pass and the probe both read counts, which is
+    # tiny but derives from a full melt of both snapshots
+    from pyspark import StorageLevel
+
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        join_top_k_membership,
+    )
+
+    counts = counts.withColumn(
+        "__tot", F.col("ref_rows") + F.col("curr_rows")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kept = join_top_k_membership(
+        counts,
+        counts,
+        top_k,
+        ("dimension_column",),
+        "__tot",
+        "__keep",
+        value_col="dimension_value",
     )
     return (
-        counts.withColumn("__rn", F.row_number().over(win))
-        .filter(F.col("__rn") <= top_k)
-        .drop("__rn")
+        kept.filter(F.col("__keep"))
+        .drop("__keep", "__tot")
         .withColumn(
             "row_pct_change", percent_change_expr(F.col("ref_rows"), F.col("curr_rows"))
         )
@@ -284,25 +301,46 @@ def group_categorical_stats(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
     )
-    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+    from pyspark import StorageLevel
 
-    win = Window.partitionBy("dimension_column", "dimension_value", "column_name")
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        pair_top_k_cutoffs,
+        with_key_totals,
+    )
+
+    keys3 = ("dimension_column", "dimension_value", "column_name")
+    # persisted: totals, the pair cutoffs, and the probe all read cells
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     enr = (
         with_key_totals(
             cells,
             {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")},
-            keys=("dimension_column", "dimension_value", "column_name"),
+            keys=keys3,
         )
         .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
         .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
-        .withColumn(
-            "rn_ref", F.row_number().over(win.orderBy(F.desc("ref_cnt"), F.asc("value")))
+    )
+    # top-k membership via ONE pair-cutoff pass broadcast back (no
+    # per-group-cell row_number sort task). Null category values sort FIRST
+    # under asc(value) — replayed by the null-aware membership predicate.
+    cuts = pair_top_k_cutoffs(cells, top_k, keys=keys3)
+    enr = enr.join(F.broadcast(cuts), list(keys3), "left")
+    for pre in ("ref", "curr"):
+        cnt = F.col(f"{pre}_cnt")
+        in_top = (cnt > F.col(f"{pre}_cnt_cut_cnt")) | (
+            (cnt == F.col(f"{pre}_cnt_cut_cnt"))
+            & (
+                F.col("value").isNull()
+                | F.coalesce(
+                    F.col("value") <= F.col(f"{pre}_cnt_cut_value"), F.lit(False)
+                )
+            )
         )
-        .withColumn(
-            "rn_curr", F.row_number().over(win.orderBy(F.desc("curr_cnt"), F.asc("value")))
+        enr = enr.withColumn(
+            f"member_{pre}", (cnt > 0) & F.coalesce(in_top, F.lit(False))
         )
-        .withColumn("member_ref", (F.col("ref_cnt") > 0) & (F.col("rn_ref") <= top_k))
-        .withColumn("member_curr", (F.col("curr_cnt") > 0) & (F.col("rn_curr") <= top_k))
+    enr = enr.drop(
+        *[f"{p}_cnt_cut_{s}" for p in ("ref", "curr") for s in ("cnt", "value")]
     )
     common = F.col("member_ref") & F.col("member_curr")
     out = enr.groupBy("dimension_column", "dimension_value", "column_name").agg(

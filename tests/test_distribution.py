@@ -249,3 +249,41 @@ def test_bucketed_cumsum_matches_naive_window(spark):
         expect_next = vals[i + 1] if i + 1 < len(vals) else None
         assert r["nxt"] == expect_next, r
     assert len(out) == len(rows)
+
+
+def test_top_k_cutoffs_match_row_number(spark):
+    """The cutoff-join membership must replay row_number() <= k EXACTLY on
+    adversarial cells: count ties, null category values (which sort FIRST
+    under asc), keys with fewer than k cells, and zero counts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        join_top_k_membership,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for key in ("a", "b", "tiny", "nullish"):
+        n = {"a": 40, "b": 25, "tiny": 2, "nullish": 12}[key]
+        for i in range(n):
+            # cells are grouped: exactly one row per (key, value), with at
+            # most one NULL-valued row per key
+            val = None if key == "nullish" and i == 0 else f"v{i:03d}"
+            rows.append((key, val, rng.choice([0, 1, 1, 2, 5, 5, 5, 9])))
+    cells = spark.createDataFrame(rows, "k string, value string, cnt long")
+
+    for top_k in (1, 3, 7, 50):
+        got = {
+            (r["k"], r["value"]): r["m"]
+            for r in join_top_k_membership(
+                cells, cells, top_k, ("k",), "cnt", "m"
+            ).collect()
+        }
+        win = Window.partitionBy("k").orderBy(F.desc("cnt"), F.asc("value"))
+        want = {
+            (r["k"], r["value"]): (r["cnt"] > 0) and (r["rn"] <= top_k)
+            for r in cells.withColumn("rn", F.row_number().over(win)).collect()
+        }
+        assert got == want, f"top_k={top_k}: {[(x, got[x], want[x]) for x in got if got[x] != want[x]]}"

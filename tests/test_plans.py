@@ -93,12 +93,23 @@ def test_categorical_drift_bounded_shuffles(li):
         li.filter(F.col("l_orderkey") % 2 == 1),
         ["l_returnflag", "l_linestatus"],
     )
-    # ONE cells aggregation feeds everything: the cells shuffle, the tiny
-    # per-column totals aggregate (broadcast back — no more unsorted
-    # per-column window), the rank-window shuffle, and the final rollup.
-    # The duplicated cells subtree in the textual plan collapses to a
-    # ReusedExchange at runtime.
-    assert count_shuffles(cd) <= 6
+    # ONE cells aggregation feeds everything — PERSISTED, because totals,
+    # the pair top-k cutoffs, and the probe all reference it. Shuffle
+    # census: cells agg, totals agg, the salted + global cutoff windows
+    # (shared by both sides), and the final rollup; cutoffs broadcast back.
+    assert count_shuffles(cd) <= 8
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    plan = simple_plan(cd)
+    assert "InMemoryTableScan" in plan  # cells materialized once
+    # the only remaining sorted windows are the bounded cutoff ones: the
+    # salted local ranks (arity ≥ 2) and the global rank over the ≤ k·S
+    # survivors per column
+    from pyspark_data_drift_detector_spark.plans.inspect import sorted_windows
+
+    assert all(
+        a >= 2 or "__lrn" in plan for a, _ in sorted_windows(cd)
+    )
     cd.collect()  # AQE: codegen markers appear in the final plan only
     assert codegen_stage_count(cd) >= 1
 
