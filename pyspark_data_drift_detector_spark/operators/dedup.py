@@ -282,13 +282,20 @@ def minhash_lsh_pairs(
     )
     if max_bucket_size is not None:
         # one extra aggregation over the banded table (already O(docs×bands))
-        # buys freedom from quadratic blowup in hot buckets
-        bucket_n = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "band_hash")
+        # buys freedom from quadratic blowup in hot buckets. Bucket sizes
+        # come from groupBy + broadcast join — a count WINDOW over
+        # (band, hash) would buffer the hot bucket it exists to drop.
+        # NO broadcast hint: the sizes table is O(#buckets) ≈ O(docs) — AQE
+        # broadcasts when it is actually small, else this is a co-partitioned
+        # shuffle join whose per-task state is one count per bucket
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
         )
-        banded = banded.withColumn("__bn", bucket_n).filter(
-            F.col("__bn") <= max_bucket_size
-        ).drop("__bn")
+        banded = (
+            banded.join(sizes, ["band", "band_hash"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     banded = _reuse(banded)
     a = banded.select(F.col("id").alias("id1"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id2"), "band", "band_hash")
@@ -486,10 +493,11 @@ def embedding_neardup_lsh(
         "id", "e", "bb.band", "bb.key"
     )
     if max_bucket_size is not None:
+        # groupBy + join (AQE picks broadcast when small), not a count
+        # window — see minhash_lsh_pairs
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
         banded = (
-            banded.withColumn(
-                "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-            )
+            banded.join(sizes, ["band", "key"])
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
