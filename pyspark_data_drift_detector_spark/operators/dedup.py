@@ -22,7 +22,7 @@ Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_data_drift_detector_spark.operators.text import tokens_expr
