@@ -2757,6 +2757,144 @@ def _pca_anomaly_sql() -> str:
     FROM calc2"""
 
 
+# --------------------------------------------------------------------------
+# Corpus-hygiene + sampling family (operators/quality.py, operators/sampling.py)
+# --------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition diagnostics: duplicate-word
+    fraction and top-2/3-gram char coverage with a combined flag."""
+    from pyspark_data_drift_detector_spark.operators.quality import repetition_stats
+
+    return _round_cols(
+        repetition_stats(_documents(spark, sf_dir)),
+        ["distinct_ratio", "dup_word_frac", "top_2gram_char_frac", "top_3gram_char_frac"],
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate: 4-grams occurring in ≥3 distinct docs
+    with document frequency and total occurrences."""
+    from pyspark_data_drift_detector_spark.operators.quality import boilerplate_ngrams
+
+    return boilerplate_ngrams(_documents(spark, sf_dir), n=4, min_doc_count=3)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 4-gram with the
+    benchmark slice (doc_id % 50 == 0), via a broadcast n-gram semi-join."""
+    from pyspark_data_drift_detector_spark.operators.quality import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), n=4)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (≈30 docs/stratum) from
+    an md5-derived uniform variate — reproducible on any partitioning."""
+    from pyspark_data_drift_detector_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(_documents(spark, sf_dir), ["lang"], 30)
+    return _round_cols(
+        out.select("doc_id", "lang", "stratum_count", "sample_rate"), ["sample_rate"]
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash cut-points — rows
+    never migrate between splits when the corpus grows."""
+    from pyspark_data_drift_detector_spark.operators.sampling import hash_split
+
+    out = hash_split(_documents(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+_NGRAM_TOKS_SQL = "SELECT doc_id, string_split(text,' ') t, LENGTH(text) nc FROM documents"
+
+
+def _ngram_sql(n: int, where: str = "") -> str:
+    """DuckDB twin of quality.ngrams_expr: all word n-grams, repeats kept."""
+    return f"""SELECT doc_id, array_to_string(t[i:i+{n - 1}],' ') AS gram
+      FROM ({_NGRAM_TOKS_SQL}) toks,
+           unnest(range(1, GREATEST(len(t)-{n - 1},1)+1)) u(i) {where}"""
+
+
+def _repetition_stats_sql() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, len(t) AS n_tokens,
+                    len(list_distinct(t))*1.0/len(t) AS distinct_ratio, nc
+                  FROM ({_NGRAM_TOKS_SQL}) toks),
+    ng AS (SELECT doc_id, 2 AS n, gram FROM ({_ngram_sql(2)})
+           UNION ALL SELECT doc_id, 3 AS n, gram FROM ({_ngram_sql(3)})),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM ng GROUP BY 1,2,3),
+    p AS (SELECT doc_id, n, MAX(cnt*1000000 + cnt*LENGTH(gram)) AS packed
+          FROM c GROUP BY 1,2),
+    w AS (SELECT b.doc_id, b.n_tokens, b.distinct_ratio, b.nc,
+            MAX(CASE WHEN n=2 THEN packed END) AS p2,
+            MAX(CASE WHEN n=3 THEN packed END) AS p3
+          FROM base b JOIN p USING (doc_id) GROUP BY 1,2,3,4)
+    SELECT doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      ROUND(distinct_ratio,{ROUND}) AS distinct_ratio,
+      ROUND(1.0-distinct_ratio,{ROUND}) AS dup_word_frac,
+      CAST(p2//1000000 AS BIGINT) AS top_2gram_count,
+      ROUND((p2%1000000)*1.0/nc,{ROUND}) AS top_2gram_char_frac,
+      CAST(p3//1000000 AS BIGINT) AS top_3gram_count,
+      ROUND((p3%1000000)*1.0/nc,{ROUND}) AS top_3gram_char_frac,
+      (distinct_ratio < 0.35
+       OR (p2//1000000 >= 2 AND (p2%1000000)*1.0/nc > 0.12)
+       OR (p3//1000000 >= 2 AND (p3%1000000)*1.0/nc > 0.18)) AS repetitive
+    FROM w"""
+
+
+def _boilerplate_ngrams_sql() -> str:
+    return f"""
+    WITH per_doc AS (SELECT doc_id, gram, COUNT(*) AS occ
+                     FROM ({_ngram_sql(4)}) GROUP BY 1,2)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(SUM(occ) AS BIGINT) AS total_count
+    FROM per_doc GROUP BY gram HAVING COUNT(*) >= 3"""
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+    WITH ng AS (SELECT DISTINCT doc_id, gram FROM ({_ngram_sql(4)})),
+    bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 50 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_ngrams,
+           TRUE AS contaminated
+    FROM ng JOIN bench USING (gram) GROUP BY doc_id"""
+
+
+def _md5_u_sql(salt: str) -> str:
+    """DuckDB twin of sampling.uniform_variate (md5₆₀(id‖salt) mod 10⁶)."""
+    return (
+        "('0x'||substring(md5(CAST(doc_id AS VARCHAR)||'|"
+        + salt
+        + "'),1,15))::BIGINT % 1000000"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS stratum_count FROM documents GROUP BY 1),
+    r AS (SELECT lang, stratum_count, LEAST(1.0, 30.0/stratum_count) AS rate FROM c),
+    u AS (SELECT doc_id, lang, {_md5_u_sql("strat")} AS uu FROM documents)
+    SELECT u.doc_id, u.lang, CAST(r.stratum_count AS BIGINT) AS stratum_count,
+           ROUND(r.rate,{ROUND}) AS sample_rate
+    FROM u JOIN r USING (lang) WHERE u.uu < FLOOR(r.rate*1000000)"""
+
+
+def _hash_split_sql() -> str:
+    cut_train = int(0.8 * 1_000_000)
+    cut_val = int((0.8 + 0.1) * 1_000_000)
+    return f"""
+    WITH u AS (SELECT doc_id, {_md5_u_sql("split")} AS uu FROM documents)
+    SELECT doc_id, CASE WHEN uu < {cut_train} THEN 'train'
+                        WHEN uu < {cut_val} THEN 'val'
+                        ELSE 'test' END AS split
+    FROM u"""
+
+
 def _oracle_queries() -> dict[str, str]:
     numeric_profile_sql = " UNION ALL ".join(
         _profile_sql_one(c, "lineitem") for c in LINEITEM_NUMERIC
@@ -2843,6 +2981,11 @@ def _oracle_queries() -> dict[str, str]:
         "image_features": _image_features_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
+        "repetition_stats": _repetition_stats_sql(),
+        "boilerplate_ngrams": _boilerplate_ngrams_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "hash_split": _hash_split_sql(),
     }
 
 
@@ -2917,6 +3060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "pca_anomaly": q_pca_anomaly,
+        "repetition_stats": q_repetition_stats,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
     }
 
 

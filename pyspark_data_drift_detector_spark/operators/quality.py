@@ -1,0 +1,225 @@
+"""Corpus-hygiene operators for training-data pipelines.
+
+Three n-gram families a large-scale LLM data pipeline runs between raw
+ingest and training (beyond the per-document quality score in
+``operators/text.py``):
+
+- ``repetition_stats`` — per-document repetition diagnostics in the
+  style of the Gopher quality rules (Rae et al. 2021 §A1.1): fraction of
+  characters covered by the most frequent word n-gram, duplicate-word
+  fraction, and a combined ``repetitive`` flag. Degenerate, loop-generated
+  or boilerplate-stuffed documents score high and get filtered before
+  tokenization.
+- ``boilerplate_ngrams`` — corpus-level inversion of the same signal
+  (C4-style, Raffel et al. 2020 §2.2): n-grams occurring in many distinct
+  documents are navigation chrome / license headers / templates, and the
+  resulting list drives line- or span-level stripping.
+- ``decontaminate`` — benchmark decontamination: flag documents sharing
+  any word n-gram with an evaluation set (the standard n-gram-overlap
+  test-set leak check, e.g. GPT-3 appendix C).
+
+All three are pure DataFrame algebra: one n-gram explode, hash-keyed
+shuffles, broadcast joins for the small side. No Python UDFs.
+
+Scale notes (100 TB corpus):
+- The explode produces ~tokens-per-doc rows per document; the follow-up
+  ``groupBy`` keys are (doc_id, gram) or (gram) — both high-cardinality,
+  well-distributed, and partially aggregated map-side.
+- ``decontaminate`` joins against the benchmark's DISTINCT n-gram set,
+  which is tiny relative to the corpus (benchmarks are MBs, corpora TBs)
+  — always broadcast; the corpus side never shuffles.
+- ``boilerplate_ngrams`` pre-aggregates per document (array_distinct
+  inside the row) before the global count, so a document repeating one
+  n-gram a million times still contributes 1 to its document frequency
+  without a skewed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# cov = occurrences × chars fits well under this for any real document
+# chunk (docs are pre-split upstream); packing (count, cov) into one long
+# makes "max by count, tie-break by coverage" a single MAX in any engine.
+_COV_PACK = 1_000_000
+
+
+def _space_tokens(text: Column) -> Column:
+    """Plain single-space tokenization (DuckDB ``string_split`` parity)."""
+    return F.split(text, " ")
+
+
+def ngrams_expr(text: Column, n: int) -> Column:
+    """All word n-grams of ``text`` in order, repeats kept (unlike
+    ``dedup.shingles_expr`` which deduplicates for set semantics)."""
+    toks = _space_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _gram_tagger(n: int):
+    return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+    top_frac_thresholds: dict[int, float] | None = None,
+    min_distinct_ratio: float = 0.35,
+) -> DataFrame:
+    """Per-document repetition diagnostics (Gopher-style quality rules).
+
+    Output per document: ``n_tokens``, ``distinct_ratio`` (distinct words /
+    words), ``dup_word_frac`` (1 − distinct_ratio), and per requested n a
+    ``top_{n}gram_count`` / ``top_{n}gram_char_frac`` pair — the occurrence
+    count of the document's most frequent n-gram and the fraction of the
+    document's characters covered by its repetitions (count × n-gram chars
+    / doc chars). Ties on count break toward larger coverage, so the
+    result is deterministic. ``repetitive`` flags documents whose top
+    n-gram coverage exceeds the per-n threshold (default 0.12 for n=2,
+    0.18 for n=3 — between the corpus p90 and p99 on the fixtures) or
+    whose distinct-word ratio falls below ``min_distinct_ratio``.
+
+    Plan: one explode of all requested n-gram sizes together (tagged
+    structs) → one ``groupBy(doc, n, gram)`` count → one conditional-agg
+    ``groupBy(doc)``. Two shuffles total, both on high-cardinality keys.
+    """
+    thresholds = {2: 0.12, 3: 0.18}
+    if top_frac_thresholds:
+        thresholds.update(top_frac_thresholds)
+
+    text = F.col(text_col)
+    toks = _space_tokens(text)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+        F.length(text).alias("__n_chars"),
+        F.flatten(
+            F.array(
+                # NB: the tag lambda must stay single-argument — F.transform
+                # binds a second parameter to the element INDEX, so a
+                # `lambda g, n=n` default would be silently overwritten
+                *[
+                    F.transform(ngrams_expr(text, n), _gram_tagger(n))
+                    for n in ngram_sizes
+                ]
+            )
+        ).alias("__grams"),
+    )
+    counts = (
+        base.select(
+            id_col, "n_tokens", "distinct_ratio", "__n_chars", F.explode("__grams").alias("g")
+        )
+        .groupBy(id_col, F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("distinct_ratio").alias("distinct_ratio"),
+            F.first("__n_chars").alias("__n_chars"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    # pack (count, coverage) into one long so max() picks highest count,
+    # ties broken by coverage — replayable as the same MAX in SQL
+    packed = F.col("__cnt") * _COV_PACK + F.col("__cnt") * F.length("__gram")
+    aggs = [
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("distinct_ratio").alias("distinct_ratio"),
+        F.first("__n_chars").alias("__n_chars"),
+    ]
+    for n in ngram_sizes:
+        aggs.append(
+            F.max(F.when(F.col("__n") == n, packed)).alias(f"__top{n}")
+        )
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+
+    cols = [
+        F.col(id_col),
+        "n_tokens",
+        "distinct_ratio",
+        (F.lit(1.0) - F.col("distinct_ratio")).alias("dup_word_frac"),
+    ]
+    flag = F.col("distinct_ratio") < F.lit(min_distinct_ratio)
+    for n in ngram_sizes:
+        count_n = (F.col(f"__top{n}") / _COV_PACK).cast("long")
+        frac_n = (F.col(f"__top{n}") % _COV_PACK) / F.col("__n_chars")
+        cols += [
+            count_n.alias(f"top_{n}gram_count"),
+            frac_n.alias(f"top_{n}gram_char_frac"),
+        ]
+        # a gram must actually repeat to count as repetition — otherwise
+        # short documents trip the char-frac rule on a single occurrence
+        flag = flag | ((count_n >= 2) & (frac_n > F.lit(thresholds.get(n, 0.2))))
+    return per_doc.select(*cols, flag.alias("repetitive"))
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate detector: n-grams in ≥ ``min_doc_count``
+    distinct documents, with document frequency and total occurrences.
+
+    Two-level aggregation: ``groupBy(doc, gram)`` collapses a document's
+    repeats first (keys stay high-cardinality and map-side combined), so
+    the global ``groupBy(gram)`` receives at most one row per (doc, gram)
+    — a document repeating boilerplate a million times contributes one
+    row, not a million, to the hot gram's shuffle partition.
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngrams_expr(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("occ").cast("long").alias("total_count"),
+        )
+        .filter(F.col("doc_count") >= min_doc_count)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many distinct word
+    n-grams it shares with ``benchmark`` (any overlap ⇒ ``contaminated``).
+
+    ``benchmark`` is a DataFrame with the same ``text_col`` (an eval set's
+    prompts/answers). Its distinct n-gram set is small — always broadcast —
+    so the corpus side aggregates without shuffling against it. Returns
+    only contaminated documents: ``(doc_id, matched_ngrams, contaminated)``.
+
+    Joins on the raw gram string: exact, engine-portable, and the
+    broadcast side is bounded by the benchmark size. At extreme benchmark
+    sizes swap the key for ``xxhash64(gram)`` (8-byte network cost; the
+    plan is unchanged).
+    """
+    corpus = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram"),
+    )
+    bench = benchmark.select(
+        F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_ngrams"))
+        .withColumn("contaminated", F.lit(True))
+    )

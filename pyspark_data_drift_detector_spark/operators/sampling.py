@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Cluster-scale sampling must be (a) reproducible across reruns and
+executors — no ``rand()``, whose per-task seeding changes with the
+partition layout — and (b) shuffle-free. Both operators here derive a
+uniform variate from a cryptographic hash of the row's stable id
+(``u = md5₆₀(id ‖ salt) mod 10⁶``), so membership is a pure projection:
+the same row lands in the same sample/split on any cluster, any
+partitioning, any day. The md5-derived variate also replays exactly in
+the DuckDB oracle (same trick as ``dedup.md5_hash60``); swap in
+``xxhash64`` for production throughput — the plan is unchanged.
+
+- ``stratified_sample`` — per-stratum target counts: a tiny
+  ``groupBy(strata)`` count (one narrow aggregate over the strata columns
+  only) is broadcast back as per-stratum acceptance rates; the corpus
+  side filters without shuffling. The standard way to rebalance a
+  source/language mixture before training.
+- ``hash_split`` — train/validation/test assignment from cumulative
+  fraction cut-points over the same variate. A projection; zero jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.dedup import md5_hash60
+
+_U_MOD = 1_000_000
+
+
+def uniform_variate(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform integer in [0, 10⁶) from a stable id."""
+    return md5_hash60(F.concat_ws("|", id_col.cast("string"), F.lit(salt))) % _U_MOD
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    target_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic ≈``target_per_stratum``-row sample from every stratum.
+
+    Acceptance rate per stratum = min(1, target / stratum_count); a row is
+    kept iff ``u < floor(rate·10⁶)``. Expected sample size per stratum is
+    the target (exact for strata at or under target — rate 1 keeps all).
+    The stratum-count table is O(#strata) — broadcast; the data side is
+    scan → join(broadcast) → filter, no shuffle of the corpus.
+
+    Output: the sampled rows plus ``stratum_count`` and ``sample_rate``.
+    """
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("stratum_count"))
+    rates = counts.withColumn(
+        "sample_rate",
+        F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("stratum_count")),
+    )
+    u = uniform_variate(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), strata)
+        .filter(u < F.floor(F.col("sample_rate") * _U_MOD))
+        .withColumn("stratum_count", F.col("stratum_count").cast("long"))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative hash cut-points.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the last split). Pure projection — stable under
+    repartitioning, appends of new rows never move old rows between
+    splits (the property ``randomSplit`` lacks).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    u = uniform_variate(F.col(id_col), salt)
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    cuts: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cuts.append((name, int(cum * _U_MOD)))
+    for name, cut in reversed(cuts):
+        expr = F.when(u < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

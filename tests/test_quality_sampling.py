@@ -1,0 +1,118 @@
+"""Semantic invariants for the corpus-hygiene and sampling operators
+(operators/quality.py, operators/sampling.py) beyond the DuckDB parity
+checks in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.quality import (
+    boilerplate_ngrams,
+    decontaminate,
+    ngrams_expr,
+    repetition_stats,
+)
+from pyspark_data_drift_detector_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # degenerate repetition
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "one two three one two three one two three one two"),  # loop
+            (5, "unique words only here nothing repeats at all ever"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_ngrams_keep_repeats(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    grams = df.select(ngrams_expr(F.col("text"), 2).alias("g")).first()["g"]
+    assert grams == ["a b", "b a", "a b", "b a"]
+    # shorter than n → one truncated gram, never an empty array
+    short = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert short.select(ngrams_expr(F.col("text"), 3).alias("g")).first()["g"] == ["solo"]
+
+
+def test_repetition_flags_degenerate_docs(docs):
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["repetitive"] and rows[4]["repetitive"]
+    assert not rows[2]["repetitive"] and not rows[5]["repetitive"]
+    # doc 1: "spam spam" occurs 5x and covers most of the text
+    assert rows[1]["top_2gram_count"] == 5
+    assert rows[1]["top_2gram_char_frac"] > 0.5
+    # a top gram occurring once must never flag, whatever its coverage
+    assert rows[3]["top_2gram_count"] == 1 and not rows[3]["repetitive"]
+
+
+def test_boilerplate_doc_count_is_skew_safe(spark):
+    # one doc repeating a 4-gram 5x still counts as ONE document
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["a b c d"] * 5)),
+            (2, "a b c d x y z w"),
+            (3, "a b c d p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r for r in boilerplate_ngrams(df, n=4, min_doc_count=3).collect()}
+    assert out["a b c d"]["doc_count"] == 3
+    assert out["a b c d"]["total_count"] == 7  # 5 + 1 + 1
+
+
+def test_decontaminate_disjoint_is_empty(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "completely different benchmark prompt text here now")],
+        "doc_id long, text string",
+    )
+    assert decontaminate(docs, bench, n=4).count() == 0
+    # overlap with itself: every doc matches at least its own grams
+    self_hits = decontaminate(docs, docs, n=4)
+    assert self_hits.count() == docs.count()
+    assert self_hits.filter(~F.col("contaminated")).count() == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(df, ["lang"], 10)
+    per = {r["lang"]: r for r in out.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n"), F.first("sample_rate").alias("rate"),
+                F.first("stratum_count").alias("total")).collect()}
+    for lang, r in per.items():
+        assert r["n"] <= r["total"]
+        assert 0 < r["rate"] <= 1.0
+    # identical membership under a different partitioning — no rand()
+    again = set(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), ["lang"], 10).select("doc_id").collect()
+    )
+    assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
+
+
+def test_hash_split_is_append_stable(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in hash_split(df, fractions).collect()}
+    # splitting any subset assigns exactly the same labels (randomSplit can't)
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.filter(F.col("doc_id") % 2 == 0), fractions).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    sizes = {k: list(full.values()).count(k) for k in fractions}
+    n = len(full)
+    assert abs(sizes["train"] / n - 0.8) < 0.1
+
+
+def test_hash_split_rejects_empty(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        hash_split(df, {})
