@@ -113,13 +113,28 @@ def main() -> None:
     # first run exceeds 2s gets one retry and reports the min — the jitter
     # band that polluted the r1↔r3 comparison sat at 0.5-5s, so the retry
     # threshold now covers it while sub-2s queries still run once.
+    import gc
+
+    def _drop_dead_caches() -> None:
+        # the dedup/ANN queries persist(MEMORY_AND_DISK) their shared
+        # subtrees; once a query's DataFrames go out of scope those cache
+        # entries are garbage, but the ContextCleaner only reclaims them
+        # after a driver GC — left alone they pile up across the 60-query
+        # suite and squeeze later queries' execution memory. Collect the
+        # dead references OUTSIDE the timed window so every query starts
+        # from the same clean-storage state.
+        gc.collect()
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in bench_queries.items():
+        _drop_dead_caches()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         best = time.perf_counter() - t0
         if best > 2.0:
+            _drop_dead_caches()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
@@ -144,6 +159,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "variants": variants,
+                # every query starts from clean storage (gc + clearCache
+                # outside the timed window): timings are standalone costs,
+                # with no cross-query CacheManager plan-cache reuse — r3 and
+                # earlier did not isolate, so the dedup family (which
+                # re-pays its shingle/signature index per query) reads
+                # higher here at identical plans
+                "isolated_caches": True,
                 "sf": sf,
             }
         )

@@ -184,3 +184,61 @@ def test_complex_profile_single_pass(spark, sf_dir):
     )
     assert count_scans(prof) == 2
     assert_max_shuffles(prof, 1)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_decontaminate_broadcasts_benchmark(docs):
+    """The benchmark n-gram set must broadcast: the corpus side may shuffle
+    only for its own final per-doc aggregate, never against the benchmark."""
+    from pyspark_data_drift_detector_spark.operators.quality import decontaminate
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    out = decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), n=4)
+    # assert on the pre-execution plan: the broadcast is hint-forced so it
+    # already appears there, and after collect() AQE's toString carries BOTH
+    # final and initial plans, double-counting every Exchange
+    plan = simple_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the per-doc matched-ngram aggregate; none to co-locate
+    # the corpus with the benchmark
+    assert_max_shuffles(out, 2)
+
+
+def test_stratified_sample_no_corpus_shuffle(docs):
+    """Membership is a projection: the only exchange computes the tiny
+    per-stratum count table; the corpus side broadcast-joins and filters."""
+    from pyspark_data_drift_detector_spark.operators.sampling import stratified_sample
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    out = stratified_sample(docs, ["lang"], 10)
+    assert "BroadcastHashJoin" in simple_plan(out)
+    assert_max_shuffles(out, 1)
+
+
+def test_hash_split_is_pure_projection(docs):
+    """Split assignment must add zero exchanges and zero extra scans."""
+    from pyspark_data_drift_detector_spark.operators.sampling import hash_split
+
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert count_shuffles(out) == 0
+    assert count_scans(out) == 1
+
+
+def test_repetition_and_boilerplate_two_shuffles(docs):
+    """Both n-gram aggregations are two-level: (doc, gram) then doc/gram —
+    exactly two exchanges, with map-side partial aggregation on each."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        boilerplate_ngrams,
+        repetition_stats,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    for out in (repetition_stats(docs), boilerplate_ngrams(docs)):
+        assert_max_shuffles(out, 2)
+        # partial_ markers prove map-side combine before each exchange
+        assert "partial_" in simple_plan(out)

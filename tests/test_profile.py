@@ -134,3 +134,38 @@ def test_quantiles_by_counts_matches_sort(lineitem):
         for pre in ("ref_", "curr_"):
             for q in qnames:
                 assert cp[c][pre + q] == pytest.approx(sp[c][pre + q], abs=1e-9), (c, pre + q)
+
+
+def test_kll_quantiles_rank_accuracy(lineitem):
+    """quantile_mode="kll" (Datasketches KllDoublesSketch): every returned
+    quantile's true rank must sit within the k=800 sketch's error bound
+    (±~0.5% rank) of the requested probability, single and pair paths."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        numeric_profile,
+        numeric_profile_pair,
+    )
+
+    cols = ["l_extendedprice", "l_quantity"]
+    qs = (0.1, 0.5, 0.9)
+    qnames = ["p10", "p50", "p90"]
+    prof = {r["column_name"]: r for r in numeric_profile(
+        lineitem, cols, quantiles=qs, with_shape=False, quantile_mode="kll").collect()}
+    n = lineitem.count()
+    for c in cols:
+        for p, q in zip(qs, qnames):
+            v = prof[c][q]
+            rank = lineitem.filter(F.col(c) <= v).count() / n
+            assert abs(rank - p) < 0.02, (c, q, rank)
+
+    ref = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    curr = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+    pair = {r["column_name"]: r for r in numeric_profile_pair(
+        ref, curr, cols, quantiles=qs, quantile_mode="kll").collect()}
+    nr = ref.count()
+    for c in cols:
+        for p, q in zip(qs, qnames):
+            v = pair[c]["ref_" + q]
+            rank = ref.filter(F.col(c) <= v).count() / nr
+            assert abs(rank - p) < 0.02, (c, q, rank)
