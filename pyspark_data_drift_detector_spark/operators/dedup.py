@@ -114,7 +114,14 @@ def dedup_exact(
 
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # the tokenize→shingle explode multiplies rows ~tokens-per-doc ×; its
+    # parallelism is the INPUT split count, so fan a small input out first
+    # (no-op on an already-parallel scan)
+    return ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
     )
@@ -532,7 +539,11 @@ def simhash(
     (DuckDB-replayable; callers should pass ``bits=60`` so the signature has
     no dead bits). Default stays the full-width xxhash64.
     """
-    toks = df.select(
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    toks = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_expr(F.col(text_col))).alias("token"),
     )

@@ -125,7 +125,13 @@ def decode_images(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # per-payload decode work runs inside the Python workers; parallelism
+    # is the input split count — fan a small input out first (no-op at scale)
+    return ensure_min_partitions(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         _decode, schema=IMAGE_FEATURE_SCHEMA
     )
 
@@ -156,4 +162,12 @@ def sample_frames(
                     chunks.append(data[i * step : (i + 1) * step])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": chunks})
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(_frames, schema=FRAME_SCHEMA)
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # the 1→N fan-out runs inside the Python workers; parallelism is the
+    # input split count — fan a small input out first (no-op at scale)
+    return ensure_min_partitions(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )

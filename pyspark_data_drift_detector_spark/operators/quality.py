@@ -18,13 +18,15 @@ ingest and training (beyond the per-document quality score in
   any word n-gram with an evaluation set (the standard n-gram-overlap
   test-set leak check, e.g. GPT-3 appendix C).
 
-All three are pure DataFrame algebra: one n-gram explode, hash-keyed
-shuffles, broadcast joins for the small side. No Python UDFs.
+All three are pure DataFrame algebra — no Python UDFs.
 
 Scale notes (100 TB corpus):
-- The explode produces ~tokens-per-doc rows per document; the follow-up
-  ``groupBy`` keys are (doc_id, gram) or (gram) — both high-cardinality,
-  well-distributed, and partially aggregated map-side.
+- ``repetition_stats`` is a pure narrow map: even the per-doc top n-gram
+  is computed inside the row (sort + run-length fold), so it shuffles
+  nothing and scales exactly like the scan.
+- The corpus-level operators explode ~tokens-per-doc rows per document;
+  the follow-up ``groupBy`` keys are (doc_id, gram) or (gram) — both
+  high-cardinality, well-distributed, and partially aggregated map-side.
 - ``decontaminate`` joins against the benchmark's DISTINCT n-gram set,
   which is tiny relative to the corpus (benchmarks are MBs, corpora TBs)
   — always broadcast; the corpus side never shuffles.
@@ -38,6 +40,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.parallelism import (
+    ensure_min_partitions,
+)
 
 # cov = occurrences × chars fits well under this for any real document
 # chunk (docs are pre-split upstream); packing (count, cov) into one long
@@ -58,8 +64,33 @@ def ngrams_expr(text: Column, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
-def _gram_tagger(n: int):
-    return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+def _top_gram_packed(grams: Column) -> Column:
+    """``max(count·10⁶ + count·chars)`` over a document's gram multiset,
+    computed INSIDE the row: sort the gram array, then a run-length fold
+    (``F.aggregate`` — a Tungsten-codegen'd loop) tracks the current run
+    and the best packed (count, coverage) seen. Identical algebra to a
+    groupBy(doc, gram) count + max, with zero shuffles — the whole
+    statistic is a narrow map, so it parallelizes with the scan and ships
+    nothing. O(m log m) per row for the sort, m = grams per document."""
+    sorted_g = F.array_sort(grams)
+    init = F.struct(
+        # prev's init value is irrelevant: run=0 makes the first element
+        # start a fresh run even on a false match
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        packed = run * _COV_PACK + run * F.length(x)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], packed).alias("best"),
+        )
+
+    return F.aggregate(sorted_g, init, merge, lambda acc: acc["best"])
 
 
 def repetition_stats(
@@ -83,9 +114,10 @@ def repetition_stats(
     0.18 for n=3 — between the corpus p90 and p99 on the fixtures) or
     whose distinct-word ratio falls below ``min_distinct_ratio``.
 
-    Plan: one explode of all requested n-gram sizes together (tagged
-    structs) → one ``groupBy(doc, n, gram)`` count → one conditional-agg
-    ``groupBy(doc)``. Two shuffles total, both on high-cardinality keys.
+    Plan: a pure narrow map — every statistic, including the per-n top
+    gram, is computed inside the row (``_top_gram_packed``: sort + run-
+    length fold over the gram array). Zero shuffles, zero joins; the
+    operator scales exactly like the scan that feeds it.
     """
     thresholds = {2: 0.12, 3: 0.18}
     if top_frac_thresholds:
@@ -93,48 +125,18 @@ def repetition_stats(
 
     text = F.col(text_col)
     toks = _space_tokens(text)
-    base = df.select(
+    # the run-length folds do ~n·tokens-per-doc work per row; parallelism is
+    # the input split count — fan a small input out first (no-op at scale)
+    base = ensure_min_partitions(df).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
         F.length(text).alias("__n_chars"),
-        F.flatten(
-            F.array(
-                # NB: the tag lambda must stay single-argument — F.transform
-                # binds a second parameter to the element INDEX, so a
-                # `lambda g, n=n` default would be silently overwritten
-                *[
-                    F.transform(ngrams_expr(text, n), _gram_tagger(n))
-                    for n in ngram_sizes
-                ]
-            )
-        ).alias("__grams"),
+        *[
+            _top_gram_packed(ngrams_expr(text, n)).alias(f"__top{n}")
+            for n in ngram_sizes
+        ],
     )
-    counts = (
-        base.select(
-            id_col, "n_tokens", "distinct_ratio", "__n_chars", F.explode("__grams").alias("g")
-        )
-        .groupBy(id_col, F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
-        .agg(
-            F.first("n_tokens").alias("n_tokens"),
-            F.first("distinct_ratio").alias("distinct_ratio"),
-            F.first("__n_chars").alias("__n_chars"),
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-    )
-    # pack (count, coverage) into one long so max() picks highest count,
-    # ties broken by coverage — replayable as the same MAX in SQL
-    packed = F.col("__cnt") * _COV_PACK + F.col("__cnt") * F.length("__gram")
-    aggs = [
-        F.first("n_tokens").alias("n_tokens"),
-        F.first("distinct_ratio").alias("distinct_ratio"),
-        F.first("__n_chars").alias("__n_chars"),
-    ]
-    for n in ngram_sizes:
-        aggs.append(
-            F.max(F.when(F.col("__n") == n, packed)).alias(f"__top{n}")
-        )
-    per_doc = counts.groupBy(id_col).agg(*aggs)
 
     cols = [
         F.col(id_col),
@@ -144,6 +146,8 @@ def repetition_stats(
     ]
     flag = F.col("distinct_ratio") < F.lit(min_distinct_ratio)
     for n in ngram_sizes:
+        # unpack (count, coverage): max() picked highest count, ties broken
+        # by coverage — replayable as the same MAX in SQL
         count_n = (F.col(f"__top{n}") / _COV_PACK).cast("long")
         frac_n = (F.col(f"__top{n}") % _COV_PACK) / F.col("__n_chars")
         cols += [
@@ -153,7 +157,7 @@ def repetition_stats(
         # a gram must actually repeat to count as repetition — otherwise
         # short documents trip the char-frac rule on a single occurrence
         flag = flag | ((count_n >= 2) & (frac_n > F.lit(thresholds.get(n, 0.2))))
-    return per_doc.select(*cols, flag.alias("repetitive"))
+    return base.select(*cols, flag.alias("repetitive"))
 
 
 def boilerplate_ngrams(
@@ -173,7 +177,8 @@ def boilerplate_ngrams(
     row, not a million, to the hot gram's shuffle partition.
     """
     per_doc = (
-        df.select(
+        ensure_min_partitions(df)
+        .select(
             F.col(id_col),
             F.explode(ngrams_expr(F.col(text_col), n)).alias("gram"),
         )
@@ -210,7 +215,7 @@ def decontaminate(
     sizes swap the key for ``xxhash64(gram)`` (8-byte network cost; the
     plan is unchanged).
     """
-    corpus = df.select(
+    corpus = ensure_min_partitions(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram"),
     )

@@ -229,16 +229,21 @@ def test_hash_split_is_pure_projection(docs):
     assert count_scans(out) == 1
 
 
-def test_repetition_and_boilerplate_two_shuffles(docs):
-    """Both n-gram aggregations are two-level: (doc, gram) then doc/gram —
-    exactly two exchanges, with map-side partial aggregation on each."""
-    from pyspark_data_drift_detector_spark.operators.quality import (
-        boilerplate_ngrams,
-        repetition_stats,
-    )
+def test_repetition_is_shuffle_free(docs):
+    """Per-doc repetition stats are computed inside the row (sort +
+    run-length fold) — a narrow map with zero hash exchanges."""
+    from pyspark_data_drift_detector_spark.operators.quality import repetition_stats
+
+    assert count_shuffles(repetition_stats(docs)) == 0
+
+
+def test_boilerplate_two_level_aggregation(docs):
+    """Corpus boilerplate is a two-level aggregation — (doc, gram) then
+    gram — bounded exchanges with map-side partial aggregation."""
+    from pyspark_data_drift_detector_spark.operators.quality import boilerplate_ngrams
     from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
 
-    for out in (repetition_stats(docs), boilerplate_ngrams(docs)):
-        assert_max_shuffles(out, 2)
-        # partial_ markers prove map-side combine before each exchange
-        assert "partial_" in simple_plan(out)
+    out = boilerplate_ngrams(docs)
+    assert_max_shuffles(out, 2)
+    # partial_ markers prove map-side combine before each exchange
+    assert "partial_" in simple_plan(out)
