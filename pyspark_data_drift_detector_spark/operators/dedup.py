@@ -475,6 +475,9 @@ def embedding_neardup_lsh(
     replayable in the SQL oracle. ``max_bucket_size`` is the same hot-bucket
     skew guard as MinHash-LSH (degenerate all-identical clusters).
     """
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
     from pyspark_data_drift_detector_spark.operators.similarity import (
         _signature_expr,
         hyperplanes,
@@ -483,10 +486,14 @@ def embedding_neardup_lsh(
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
     mask = (1 << width) - 1
-    src = df.select(
-        F.col(id_col).alias("id"),
-        F.col(embedding_col).cast("array<double>").alias("e"),
-    ).withColumn("__sig", _signature_expr(F.col("e"), planes))
+    src = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(embedding_col).cast("array<double>").alias("e"),
+        )
+        .withColumn("__sig", _signature_expr(F.col("e"), planes))
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -73,9 +73,17 @@ def cosine_topk(
     q = _as_double_array(
         queries.select(F.col(id_col).alias("query_id"), embedding_col), embedding_col, "qe"
     ).select("query_id", "qe")
-    c = _as_double_array(
-        corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce"
-    ).select("neighbor_id", "ce")
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # per-corpus-row scoring work scales with query count x dim; fan a
+    # small corpus input out first (no-op on an already-parallel scan)
+    c = ensure_min_partitions(
+        _as_double_array(
+            corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce"
+        ).select("neighbor_id", "ce")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -180,8 +188,20 @@ def lsh_topk(
         "query_id",
         "qe",
     )
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # signature math is n_planes x dim mults per corpus row, inside the map
+    # stage — fan a small corpus input out first (no-op at scale)
     c = banded(
-        _as_double_array(corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce"),
+        ensure_min_partitions(
+            _as_double_array(
+                corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col),
+                embedding_col,
+                "ce",
+            )
+        ),
         "neighbor_id",
         "ce",
     )
@@ -248,8 +268,20 @@ def ivf_topk(
             .drop("__r", "cent_e", "cent_sim")
         )
 
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    # centroid assignment is n_centroids x dim mults per corpus row — fan a
+    # small corpus input out first (no-op at scale)
     c = assign(
-        _as_double_array(corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col), embedding_col, "ce").select("neighbor_id", "ce"),
+        ensure_min_partitions(
+            _as_double_array(
+                corpus.select(F.col(id_col).alias("neighbor_id"), embedding_col),
+                embedding_col,
+                "ce",
+            ).select("neighbor_id", "ce")
+        ),
         "neighbor_id",
         "ce",
         1,
