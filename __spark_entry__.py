@@ -2809,6 +2809,51 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-window drift: each 1-day window's profile vs the
+    previous window's, per event_type — mean/volume shifts + flag."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import windowed_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = windowed_drift(load_events(spark, sf_dir), window_duration="1 day")
+    return _round_cols(
+        out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "prev_n",
+            "mean",
+            "prev_mean",
+            "mean_shift",
+            "volume_shift",
+            "drift_detected",
+        ),
+        ["mean", "prev_mean", "mean_shift", "volume_shift"],
+    )
+
+
+def _windowed_drift_sql() -> str:
+    return f"""
+    WITH prof AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+        COUNT(*) AS n, AVG(value) AS mean
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT window_start, event_type, n, mean,
+        LAG(n) OVER (PARTITION BY event_type ORDER BY window_start) AS prev_n,
+        LAG(mean) OVER (PARTITION BY event_type ORDER BY window_start) AS prev_mean
+      FROM prof)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+      ROUND(mean, {ROUND}) AS mean, ROUND(prev_mean, {ROUND}) AS prev_mean,
+      ROUND(ABS(mean - prev_mean) / GREATEST(ABS(prev_mean), 1e-9), {ROUND}) AS mean_shift,
+      ROUND(ABS(n - prev_n) / prev_n, {ROUND}) AS volume_shift,
+      (ABS(mean - prev_mean) / GREATEST(ABS(prev_mean), 1e-9) > 0.1
+       OR ABS(n - prev_n) / prev_n > 0.5) AS drift_detected
+    FROM lagged WHERE prev_n IS NOT NULL"""
+
+
 _NGRAM_TOKS_SQL = "SELECT doc_id, string_split(text,' ') t, LENGTH(text) nc FROM documents"
 
 
@@ -2986,6 +3031,7 @@ def _oracle_queries() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
+        "windowed_drift": _windowed_drift_sql(),
     }
 
 
@@ -3065,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "windowed_drift": q_windowed_drift,
     }
 
 

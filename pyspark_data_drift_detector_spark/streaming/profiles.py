@@ -253,3 +253,59 @@ def streaming_drift_alerts(
     return joined.withColumn("mean_rel_diff", rel).withColumn(
         "drift_alert", F.coalesce(rel > mean_threshold, F.lit(False))
     )
+
+
+def windowed_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    mean_threshold: float = 0.1,
+    volume_threshold: float = 0.5,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Drift between CONSECUTIVE time windows, per key: each window's
+    profile versus the immediately preceding window's (``lag`` over the
+    per-window aggregates).
+
+    The windowed aggregation does the 100 TB work (one shuffle, map-side
+    combined); the lag comparison runs over the O(windows × keys) profile
+    table — each key's partition holds time-range/window rows, never raw
+    events. A key's first window has no predecessor and is omitted.
+
+    Output per (window, key): current + previous mean/n, ``mean_shift``
+    (relative), ``volume_shift`` (relative row-count change),
+    ``drift_detected``. The standard "did this hour look like last hour"
+    monitor a streaming pipeline runs behind its alerting.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    prof = windowed_profile(
+        df, ts_col=ts_col, window_duration=window_duration, keys=keys, value_col=value_col
+    )
+    w = Window.partitionBy(*keys).orderBy("window_start")
+    lagged = prof.select(
+        "window_start",
+        *keys,
+        "n",
+        "mean",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("mean").over(w).alias("prev_mean"),
+    ).where(F.col("prev_n").isNotNull())
+    mean_shift = F.abs(F.col("mean") - F.col("prev_mean")) / F.greatest(
+        F.abs(F.col("prev_mean")), F.lit(eps)
+    )
+    volume_shift = F.abs(F.col("n") - F.col("prev_n")) / F.col("prev_n")
+    return lagged.select(
+        "window_start",
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("prev_n").cast("long").alias("prev_n"),
+        "mean",
+        "prev_mean",
+        mean_shift.alias("mean_shift"),
+        volume_shift.alias("volume_shift"),
+        ((mean_shift > mean_threshold) | (volume_shift > volume_threshold)).alias(
+            "drift_detected"
+        ),
+    )
