@@ -2854,6 +2854,122 @@ def _windowed_drift_sql() -> str:
     FROM lagged WHERE prev_n IS NOT NULL"""
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream via F.session_window
+    (one shuffle, streaming-compatible). Strict-> gap rule: events exactly
+    `gap` apart merge (pinned by tests/test_temporal_sessions.py)."""
+    from pyspark_data_drift_detector_spark.operators.temporal import sessionize
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = sessionize(load_events(spark, sf_dir), gap="4 hours")
+    return _round_cols(
+        out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+            # duration_sec is NOT rounded: µs-quantized durations sit exactly
+            # on the 5-decimal rounding boundary, where Spark (decimal
+            # half-up) and DuckDB (binary half-away) disagree; unrounded,
+            # both engines derive the identical double from the same integer
+            # microsecond subtraction.
+            "duration_sec",
+        ),
+        ["total_value"],
+    )
+
+
+def _sessionize_sql() -> str:
+    return f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+    SELECT user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), {ROUND}) AS total_value,
+      (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+    FROM s GROUP BY user_id, sid"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite keep/drop gate with per-rule reasons."""
+    from pyspark_data_drift_detector_spark.operators.quality import quality_filter
+
+    out = quality_filter(_documents(spark, sf_dir))
+    return _round_cols(out, ["avg_word_len", "distinct_ratio", "stopword_ratio"])
+
+
+def _quality_filter_sql() -> str:
+    stop = "['the','a','and','of','to','is','in']"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      LENGTH(REPLACE(text, ' ', '')) AS ns FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+      ns / GREATEST(len(toks), 1) AS awl,
+      len(list_distinct(toks)) / GREATEST(len(toks), 1) AS dr,
+      len(list_filter(toks, x -> list_contains({stop}, x)))
+        / GREATEST(len(toks), 1) AS sr
+    FROM t),
+    r AS (SELECT *, list_filter([
+        CASE WHEN n_tokens < 5 THEN 'too_short' END,
+        CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+        CASE WHEN awl < 2.0 OR awl > 12.0 THEN 'word_length' END,
+        CASE WHEN dr < 0.2 THEN 'low_diversity' END,
+        CASE WHEN sr < 0.01 THEN 'low_stopword' END], x -> x IS NOT NULL) AS reasons
+      FROM s)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      ROUND(awl, {ROUND}) AS avg_word_len,
+      ROUND(dr, {ROUND}) AS distinct_ratio,
+      ROUND(sr, {ROUND}) AS stopword_ratio,
+      reasons AS fail_reasons, len(reasons) = 0 AS passes
+    FROM r"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token chunks, stride 24) — narrow fan-out."""
+    from pyspark_data_drift_detector_spark.operators.text import chunk_documents
+
+    return chunk_documents(_documents(spark, sf_dir), chunk_size=32, stride=24)
+
+
+def _chunk_documents_sql() -> str:
+    return """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks, CASE WHEN n <= 32 THEN 1
+            ELSE CAST(FLOOR((n - 32 + 23) / 24.0) AS BIGINT) + 1 END AS nc FROM n)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+    FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis deterministic weighted sample (k=50, weight =
+    n_chars) — TakeOrderedAndProject top-k, no global sort."""
+    from pyspark_data_drift_detector_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(_documents(spark, sf_dir), 50, "n_chars")
+    return _round_cols(out.select("doc_id", "n_chars", "sample_key"), ["sample_key"])
+
+
+def _weighted_sample_sql() -> str:
+    return f"""
+    WITH u AS (SELECT doc_id, n_chars,
+        (({_md5_u_sql("wsample")}) + 0.5) / 1000000.0 AS uu FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(LN(uu) / n_chars, {ROUND}) AS sample_key
+    FROM u ORDER BY LN(uu) / n_chars DESC, doc_id LIMIT 50"""
+
+
 _NGRAM_TOKS_SQL = "SELECT doc_id, string_split(text,' ') t, LENGTH(text) nc FROM documents"
 
 
@@ -3032,6 +3148,10 @@ def _oracle_queries() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
+        "sessionize": _sessionize_sql(),
+        "quality_filter": _quality_filter_sql(),
+        "chunk_documents": _chunk_documents_sql(),
+        "weighted_sample": _weighted_sample_sql(),
     }
 
 
@@ -3112,6 +3232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,
+        "sessionize": q_sessionize,
+        "quality_filter": q_quality_filter,
+        "chunk_documents": q_chunk_documents,
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -160,6 +160,72 @@ def repetition_stats(
     return base.select(*cols, flag.alias("repetitive"))
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    min_distinct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """C4/Gopher-style composite quality gate: the actual keep/drop
+    decision a pipeline applies before tokenization (Raffel et al. 2020
+    §2.2; Rae et al. 2021 §A1.1), as opposed to the diagnostics in
+    ``repetition_stats``/``text.text_stats``.
+
+    Rules (each failure appends a reason): token count within
+    ``[min_tokens, max_tokens]``; mean word length within
+    ``[min_avg_word_len, max_avg_word_len]``; distinct-word ratio ≥
+    ``min_distinct_ratio``; English stopword ratio ≥
+    ``min_stopword_ratio`` (the C4 "has real prose" proxy). Output per
+    document: the four statistics, ``passes``, and ``fail_reasons``.
+
+    Plan: a pure narrow map — every statistic is computed inside the row
+    from the token array; zero shuffles, scales exactly like the scan.
+    All expressions replay 1:1 in the DuckDB oracle.
+    """
+    from pyspark_data_drift_detector_spark.operators.text import LANG_STOPWORDS
+
+    text = F.col(text_col)
+    toks = _space_tokens(text)
+    n_tokens = F.size(toks)
+    non_space = F.length(F.regexp_replace(text, " ", ""))
+    avg_word_len = non_space / F.greatest(n_tokens, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+
+    base = df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+            F.when(
+                (F.col("avg_word_len") < min_avg_word_len)
+                | (F.col("avg_word_len") > max_avg_word_len),
+                F.lit("word_length"),
+            ),
+            F.when(F.col("distinct_ratio") < min_distinct_ratio, F.lit("low_diversity")),
+            F.when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword")),
+        )
+    )
+    return base.select(
+        "*",
+        reasons.alias("fail_reasons"),
+        (F.size(reasons) == 0).alias("passes"),
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",

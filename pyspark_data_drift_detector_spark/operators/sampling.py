@@ -64,6 +64,37 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis (2006) A-Res scheme: each row gets key
+    ``ln(u) / w`` with ``u`` the hash-derived uniform and ``w`` its
+    (positive) weight; the k largest keys ARE a weighted sample without
+    replacement. The standard way to oversample long/high-quality
+    documents reproducibly (same rows win on any cluster layout).
+
+    The top-k is ``orderBy(key).limit(k)`` — Spark plans it as
+    TakeOrderedAndProject: each partition keeps a k-row heap and only
+    those k·partitions rows merge, never a global sort. Driver state is
+    O(k); the corpus never shuffles. Output: the sampled rows plus
+    ``sample_key``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (uniform_variate(F.col(id_col), salt) + 0.5) / _U_MOD
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     fractions: dict[str, float],

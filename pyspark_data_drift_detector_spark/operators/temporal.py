@@ -31,6 +31,46 @@ from pyspark.sql import functions as F
 SECONDS_PER_DAY = 86400.0
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "4 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization of an event stream: consecutive events of
+    one key belong to the same session while each inter-event gap is
+    strictly under ``gap``; a gap ≥ ``gap`` starts a new session (the
+    merge rule of Spark's ``session_window`` — windows ``[t, t+gap)``
+    merge only when they genuinely overlap).
+
+    Built on ``F.session_window`` so the identical expression runs in a
+    ``readStream`` groupBy for the streaming twin (watermark + session
+    windows), and in batch plans as ONE shuffle on the session key with
+    map-side partial merging — no per-key sort window, no lag/cumsum
+    two-pass. Output per session: ``key, session_start, session_end``
+    (min/max event time), ``n_events, total_value, duration_sec``.
+    """
+    sess = df.groupBy(key_col, F.session_window(F.col(ts_col), gap)).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(value_col).alias("total_value"),
+    )
+    return sess.select(
+        key_col,
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
+        # integer microsecond subtraction before the one float division —
+        # exact, and replays bit-identically in SQL (epoch_us twin)
+        (
+            (F.unix_micros("session_end") - F.unix_micros("session_start")) / F.lit(1e6)
+        ).alias("duration_sec"),
+    )
+
+
 def temporal_drift(
     df_ref: DataFrame,
     df_curr: DataFrame,

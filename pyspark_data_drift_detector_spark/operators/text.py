@@ -120,6 +120,58 @@ def fingerprint(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap — the
+    standard pre-tokenization step that turns variable-length documents
+    into training-sequence-sized pieces (stride < chunk_size gives
+    ``chunk_size − stride`` tokens of overlap between consecutive chunks).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_size)`` of the
+    single-space token array; the last chunk may be short, and a document
+    shorter than ``chunk_size`` yields exactly one chunk. Output:
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Plan: a narrow fan-out map (sequence + posexplode inside the row) —
+    no shuffle; output rows ≈ input tokens / stride. Small inputs are
+    round-robin fanned out first so the explosion parallelizes
+    (``ensure_min_partitions`` is a no-op at scale). Integer-only chunk
+    arithmetic replays exactly in the SQL oracle.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - chunk_size) / stride) + 1, in integer arithmetic
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / F.lit(stride)).cast("int") + 1
+    )
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def text_quality_drift(
     df_ref: DataFrame,
     df_curr: DataFrame,

@@ -1,0 +1,119 @@
+"""Semantic invariants for round-4 pipeline operators: quality_filter,
+chunk_documents, weighted_sample, sessionize (beyond the DuckDB parity
+checks in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.quality import quality_filter
+from pyspark_data_drift_detector_spark.operators.sampling import weighted_sample
+from pyspark_data_drift_detector_spark.operators.temporal import sessionize
+from pyspark_data_drift_detector_spark.operators.text import chunk_documents
+
+
+# ---------------------------------------------------------------- quality
+
+
+def test_quality_filter_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),  # < 5 tokens
+            (2, "the spark engine is running in the cluster today fine"),
+            (3, "spam spam spam spam spam spam spam spam spam spam"),  # low diversity
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["fail_reasons"] == ["too_short", "low_stopword"]
+    assert not rows[1]["passes"]
+    assert rows[2]["fail_reasons"] == [] and rows[2]["passes"]
+    assert "low_diversity" in rows[3]["fail_reasons"]
+    assert "low_stopword" in rows[4]["fail_reasons"]
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_size=32, stride=24).orderBy("chunk_id").collect()
+    # ceil((100-32)/24)+1 = 4 chunks
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2, 3]
+    # chunk i starts at token i*stride; consecutive chunks overlap by 8
+    for c in chunks:
+        toks = c["chunk_text"].split(" ")
+        assert toks[0] == f"t{c['chunk_id'] * 24}"
+        assert len(toks) == c["n_chunk_tokens"]
+    covered = {t for c in chunks for t in c["chunk_text"].split(" ")}
+    assert covered == {f"t{i}" for i in range(100)}
+    # last chunk is the short tail
+    assert chunks[-1]["n_chunk_tokens"] == 100 - 3 * 24
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_size=32, stride=24).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "a b c"
+    assert chunks[0]["n_chunk_tokens"] == 3
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    # weights 1 vs 1000: the heavy half must dominate any fixed-size sample
+    rows = [(i, 1000 if i < 200 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = {r["doc_id"] for r in weighted_sample(df, 100, "w").collect()}
+    s2 = {r["doc_id"] for r in weighted_sample(df, 100, "w").collect()}
+    assert s1 == s2  # hash-derived, layout-independent
+    heavy = sum(1 for d in s1 if d < 200)
+    assert heavy >= 90  # P[heavy item beats light item] = 1000/1001
+    assert len(s1) == 100
+    # different salt → different (but still deterministic) sample
+    s3 = {r["doc_id"] for r in weighted_sample(df, 100, "w", salt="other").collect()}
+    assert s3 != s1
+
+
+# ---------------------------------------------------------------- sessions
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """Pins Spark session_window's merge rule: events EXACTLY gap apart
+    merge (windows [t, t+gap) must strictly overlap to merge ⇔ a new
+    session starts only when the gap is strictly greater). The DuckDB
+    oracle in __spark_entry__ replays this with `> INTERVAL`."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(hours=1), 1.0),  # exactly gap → merges
+        (1, t0 + datetime.timedelta(hours=2, seconds=1), 1.0),  # > gap → new
+    ]
+    out = sessionize(_ev(spark, rows), gap="1 hour").orderBy("session_start").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert out[0]["duration_sec"] == 3600.0
+
+
+def test_sessionize_per_user_isolation(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 2.0),
+        (2, t0 + datetime.timedelta(minutes=5), 3.0),  # other user, same time region
+        (1, t0 + datetime.timedelta(minutes=10), 4.0),
+    ]
+    out = sessionize(_ev(spark, rows), gap="1 hour").collect()
+    by_user = {r["user_id"]: r for r in out}
+    assert len(out) == 2
+    assert by_user[1]["n_events"] == 2 and by_user[1]["total_value"] == 6.0
+    assert by_user[2]["n_events"] == 1 and by_user[2]["total_value"] == 3.0
