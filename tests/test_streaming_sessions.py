@@ -1,0 +1,78 @@
+"""Streaming sessionization + ingest-dedup end-to-end tests (memory sink,
+availableNow trigger), mirroring test_similarity_streaming's pattern:
+every finalized streaming row must match the batch twin."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.temporal import sessionize
+from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+from pyspark_data_drift_detector_spark.streaming.sessions import (
+    stream_dedup,
+    stream_sessionize,
+)
+
+
+def _stage_stream_dir(sf_dir, tmp_path, copies=1):
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", stream_dir / f"part-{i}.parquet")
+    return str(stream_dir)
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    path = _stage_stream_dir(sf_dir, tmp_path)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_sessionize(spark, path, schema=schema, gap="4 hours")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["duration_sec"])
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    assert len(stream_rows) > 0
+    batch_rows = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["duration_sec"])
+        for r in sessionize(load_events(spark, sf_dir), gap="4 hours").collect()
+    }
+    # append mode holds back sessions the watermark hasn't closed — the
+    # final (still-open) sessions are legitimately absent; everything
+    # emitted must match the batch twin exactly
+    assert set(stream_rows).issubset(set(batch_rows))
+    assert len(stream_rows) >= len(batch_rows) * 0.5
+    for key, vals in stream_rows.items():
+        assert batch_rows[key] == vals
+
+
+def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    # the same file staged twice = an at-least-once source re-delivering
+    # every event; the 30-day watermark covers the full event range, so
+    # nothing is evicted or late-dropped mid-run
+    path = _stage_stream_dir(sf_dir, tmp_path, copies=2)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = stream_dedup(spark, path, schema=schema, watermark="30 days")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_test")
+    n_distinct_out = out.distinct().count()
+    n_out = out.count()
+    n_src = load_events(spark, sf_dir).select("event_id").distinct().count()
+    assert n_out == n_distinct_out  # no duplicate survived
+    assert n_out == n_src  # every unique event survived
