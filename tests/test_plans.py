@@ -247,3 +247,44 @@ def test_boilerplate_two_level_aggregation(docs):
     assert_max_shuffles(out, 2)
     # partial_ markers prove map-side combine before each exchange
     assert "partial_" in simple_plan(out)
+
+
+def test_quality_filter_shuffle_free(docs):
+    """The composite quality gate is a pure narrow map — every statistic
+    comes from the row's own token array; zero exchanges."""
+    from pyspark_data_drift_detector_spark.operators.quality import quality_filter
+
+    assert count_shuffles(quality_filter(docs)) == 0
+
+
+def test_chunk_documents_narrow_fanout(docs):
+    """Chunking is explode-inside-the-row: no hash/range exchange (the
+    small-input fan-out is round-robin only), one scan."""
+    from pyspark_data_drift_detector_spark.operators.text import chunk_documents
+
+    out = chunk_documents(docs)
+    assert count_shuffles(out) == 0
+    assert count_scans(out) == 1
+
+
+def test_weighted_sample_uses_takeordered(docs):
+    """Top-k must plan as TakeOrderedAndProject (per-partition k-row heaps,
+    O(k) driver merge) — never a global range-partitioned sort."""
+    from pyspark_data_drift_detector_spark.operators.sampling import weighted_sample
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    out = weighted_sample(docs, 50, "n_chars")
+    plan = simple_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Session-window aggregation: ONE hash exchange on the session key
+    with map-side partial merging — no per-key sort window, no second
+    pass."""
+    from pyspark_data_drift_detector_spark.operators.temporal import sessionize
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    out = sessionize(load_events(spark, sf_dir))
+    assert_max_shuffles(out, 1)
