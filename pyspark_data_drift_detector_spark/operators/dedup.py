@@ -372,12 +372,31 @@ def neardup_clusters(
     SimHash, embedding). Output: ``id, cluster_id`` for every document that
     appears in at least one pair (singletons are their own cluster by
     definition and need no row).
+
+    The edge index is re-partitioned to match its ACTUAL size before the
+    loop: the pair table is orders of magnitude smaller than the corpus
+    that produced it (near-dups are the exception, not the rule), but it
+    inherits the corpus pipeline's partitioning — so without this every
+    iteration's joins schedule corpus-sized task counts over a near-empty
+    cache (measured 3.5s for a 2-iteration converge on 256 edges at 64
+    partitions). One count sizes it (and materializes the persist the
+    first iteration needs anyway); ~1M edges per partition keeps
+    partitions ≈16 MB at cluster scale.
     """
     edges = pairs.select("id1", "id2")
-    sym = edges.unionByName(
-        edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    sym_raw = _reuse(
+        edges.unionByName(
+            edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+        )
     )
-    sym = _reuse(sym)
+    n_edges = sym_raw.count()
+    parts = max(1, min(int(n_edges // 1_000_000) + 1, sym_raw.rdd.getNumPartitions()))
+    if parts < sym_raw.rdd.getNumPartitions():
+        sym = _reuse(sym_raw.repartition(parts))
+        sym.count()  # materialize the compact copy before dropping the raw one
+        sym_raw.unpersist()
+    else:
+        sym = sym_raw
     labels = (
         sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
