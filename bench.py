@@ -141,13 +141,20 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    # full pipeline (all analyzer families end-to-end)
-    t0 = time.perf_counter()
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
-    ref = df.filter(F.col("l_orderkey") % 2 == 0)
-    curr = df.filter(F.col("l_orderkey") % 2 == 1)
-    detect_drift(ref, curr).collect()
-    dt = time.perf_counter() - t0
+    # full pipeline (all analyzer families end-to-end) — the headline
+    # number; it gets the same one-retry jitter policy as the suite
+    # queries (r4: a clean rerun measured 12.1s against a 16.6s first run
+    # purely from host freezes)
+    def _run_pipeline() -> float:
+        _drop_dead_caches()
+        t0 = time.perf_counter()
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        ref = df.filter(F.col("l_orderkey") % 2 == 0)
+        curr = df.filter(F.col("l_orderkey") % 2 == 1)
+        detect_drift(ref, curr).collect()
+        return time.perf_counter() - t0
+
+    dt = min(_run_pipeline(), _run_pipeline())
     timings["full_pipeline"] = round(dt, 3)
     total += dt
 

@@ -39,34 +39,25 @@ def correlation_pairs(
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
+    # SQL-string assembly: O(pairs) corr aggregates cross the py4j bridge in
+    # ONE selectExpr call instead of ~10 round-trips per expression (see
+    # profile._quantile_agg_sql for the measurement)
     aggs = []
     for i, (a, b) in enumerate(pairs):
-        for pre, tag in (("ref", "r"), ("curr", "c")):
-            cond = F.col("__side") == tag
-            aggs.append(
-                F.corr(
-                    F.when(cond, F.col(a).cast("double")),
-                    F.when(cond, F.col(b).cast("double")),
-                ).alias(f"{pre}__{i}")
-            )
-    wide = tagged.agg(*aggs)
+        for pre, tag in (("ref", "'r'"), ("curr", "'c'")):
+            da = f"CASE WHEN __side = {tag} THEN CAST(`{a}` AS DOUBLE) END"
+            db = f"CASE WHEN __side = {tag} THEN CAST(`{b}` AS DOUBLE) END"
+            aggs.append(f"corr({da}, {db}) AS `{pre}__{i}`")
+    wide = tagged.selectExpr(*aggs)
     structs = [
-        F.struct(
-            F.lit(a).alias("col1"),
-            F.lit(b).alias("col2"),
-            F.coalesce(F.nanvl(F.col(f"ref__{i}"), F.lit(None)), F.lit(0.0)).alias(
-                "ref_correlation"
-            ),
-            F.coalesce(F.nanvl(F.col(f"curr__{i}"), F.lit(None)), F.lit(0.0)).alias(
-                "curr_correlation"
-            ),
-        )
+        "named_struct("
+        f"'col1', '{a}', 'col2', '{b}', "
+        f"'ref_correlation', coalesce(nanvl(`ref__{i}`, CAST(NULL AS DOUBLE)), 0.0D), "
+        f"'curr_correlation', coalesce(nanvl(`curr__{i}`, CAST(NULL AS DOUBLE)), 0.0D))"
         for i, (a, b) in enumerate(pairs)
     ]
-    return (
-        wide.select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.*")
-        .withColumn("abs_change", F.abs(F.col("curr_correlation") - F.col("ref_correlation")))
+    return wide.selectExpr("inline(array(" + ", ".join(structs) + "))").withColumn(
+        "abs_change", F.abs(F.col("curr_correlation") - F.col("ref_correlation"))
     )
 
 
@@ -81,34 +72,20 @@ def correlation_shifts(
     |Δ| ≥ change_threshold with weaker/stronger label; new strong when
     |ref| < τ ≤ |curr|; disappeared when |ref| ≥ τ > |curr|.
     """
-    r, c = F.col("ref_correlation"), F.col("curr_correlation")
-    return (
-        pairs.withColumn("significant_shift", F.col("abs_change") >= change_threshold)
-        .withColumn(
-            "change_type",
-            F.when(
-                F.col("abs_change") >= change_threshold,
-                F.when(F.abs(c) < F.abs(r), "weaker").otherwise("stronger"),
-            ),
-        )
-        .withColumn(
-            "new_strong_correlation",
-            (F.abs(r) < strong_threshold) & (F.abs(c) >= strong_threshold),
-        )
-        .withColumn(
-            "disappeared_strong_correlation",
-            (F.abs(r) >= strong_threshold) & (F.abs(c) < strong_threshold),
-        )
-        .withColumn(
-            "correlation_type",
-            F.when(
-                (F.abs(r) < strong_threshold) & (F.abs(c) >= strong_threshold),
-                F.when(c < 0, "negative").otherwise("positive"),
-            ).when(
-                (F.abs(r) >= strong_threshold) & (F.abs(c) < strong_threshold),
-                F.when(r < 0, "negative").otherwise("positive"),
-            ),
-        )
+    ct, st = repr(float(change_threshold)), repr(float(strong_threshold))
+    r, c = "abs(ref_correlation)", "abs(curr_correlation)"
+    return pairs.selectExpr(
+        "*",
+        f"abs_change >= {ct} AS significant_shift",
+        f"CASE WHEN abs_change >= {ct} THEN "
+        f"CASE WHEN {c} < {r} THEN 'weaker' ELSE 'stronger' END END AS change_type",
+        f"({r} < {st}) AND ({c} >= {st}) AS new_strong_correlation",
+        f"({r} >= {st}) AND ({c} < {st}) AS disappeared_strong_correlation",
+        f"CASE WHEN ({r} < {st}) AND ({c} >= {st}) THEN "
+        f"  CASE WHEN curr_correlation < 0 THEN 'negative' ELSE 'positive' END "
+        f"WHEN ({r} >= {st}) AND ({c} < {st}) THEN "
+        f"  CASE WHEN ref_correlation < 0 THEN 'negative' ELSE 'positive' END "
+        f"END AS correlation_type",
     )
 
 

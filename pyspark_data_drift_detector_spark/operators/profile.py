@@ -129,14 +129,15 @@ def quantiles_by_counts(
     return percol.select("column_name", *outs)
 
 
-def _quantile_agg_expr(
-    dc: "F.Column",
+def _quantile_agg_sql(
+    dc: str,
     qlist: list[float],
     quantile_mode: str,
     exact_quantiles: bool,
     quantile_accuracy: int,
-) -> "F.Column":
-    """The quantile aggregate for one column under the selected mode.
+) -> str:
+    """The quantile aggregate (as a SQL fragment) for one column under the
+    selected mode.
 
     ``"kll"`` uses Spark 4.1's Datasketches KllDoublesSketch
     (``kll_sketch_agg_double`` → ``kll_sketch_get_quantile_double``): a
@@ -146,15 +147,21 @@ def _quantile_agg_expr(
     list ever materializes). Returned quantiles are stream values (no
     interpolation), so it is an approximate mode, not an oracle mode.
     k=800 ≈ 0.4% rank error at 99% confidence.
+
+    SQL-string assembly (here and throughout this module): the profile
+    aggregate is O(columns × stats) expressions, and building each via the
+    Column API costs several synchronous py4j round-trips — measured
+    13,600 bridge calls ≈ 1.8 s of DRIVER time for an 8-column pair
+    profile, pure plan construction. One ``selectExpr`` ships the whole
+    expression list across the bridge in a single call and parses it
+    JVM-side into the identical Catalyst expressions.
     """
-    probs = F.array(*[F.lit(p) for p in qlist])
+    probs = "array(" + ",".join(repr(float(p)) for p in qlist) + ")"
     if quantile_mode == "kll":
-        return F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double(dc, F.lit(800)), probs
-        )
+        return f"kll_sketch_get_quantile_double(kll_sketch_agg_double({dc}, 800), {probs})"
     if exact_quantiles:
-        return F.percentile(dc, probs)
-    return F.percentile_approx(dc, probs, F.lit(quantile_accuracy))
+        return f"percentile({dc}, {probs})"
+    return f"percentile_approx({dc}, {probs}, {int(quantile_accuracy)})"
 
 
 def numeric_profile(
@@ -196,29 +203,28 @@ def numeric_profile(
         raise ValueError("no numeric columns to profile")
 
     qlist = list(quantiles)
-    aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
-    qaggs: list = []
+    aggs: list[str] = ["count(1) AS `__n_rows`"]
+    qaggs: list[str] = []
     for c in cols:
-        dc = F.col(c).cast("double")
+        dc = f"CAST(`{c}` AS DOUBLE)"
         aggs += [
-            F.count(dc).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_count"),
-            F.min(dc).alias(f"{c}__min"),
-            F.max(dc).alias(f"{c}__max"),
-            F.avg(dc).alias(f"{c}__mean"),
-            F.stddev(dc).alias(f"{c}__stddev"),
+            f"count({dc}) AS `{c}__n`",
+            f"sum(CAST(`{c}` IS NULL AS BIGINT)) AS `{c}__null_count`",
+            f"min({dc}) AS `{c}__min`",
+            f"max({dc}) AS `{c}__max`",
+            f"avg({dc}) AS `{c}__mean`",
+            f"stddev({dc}) AS `{c}__stddev`",
         ]
         if with_shape:
             aggs += [
-                F.skewness(dc).alias(f"{c}__skewness"),
-                F.kurtosis(dc).alias(f"{c}__kurtosis"),
+                f"skewness({dc}) AS `{c}__skewness`",
+                f"kurtosis({dc}) AS `{c}__kurtosis`",
             ]
         if qlist and quantile_mode != "counts":
-            qaggs.append(
-                _quantile_agg_expr(
-                    dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
-                ).alias(f"{c}__q")
+            qsql = _quantile_agg_sql(
+                dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
             )
+            qaggs.append(f"{qsql} AS `{c}__q`")
 
     # Quantiles live in their OWN aggregate subtree (cross-joined 1-row
     # aggregates — one plan, independent stages the scheduler overlaps):
@@ -227,31 +233,33 @@ def numeric_profile(
     # ObjectHashAggregate path — dragging the ~100 simple stats out of
     # whole-stage codegen (measured 3.2s → 2.5s exact, 1.9s → 1.4s approx
     # for the pair profile at sf0.1).
-    wide = df.agg(*aggs)
+    wide = df.selectExpr(*aggs)
     if qaggs:
-        wide = wide.crossJoin(df.agg(*qaggs))
+        wide = wide.crossJoin(df.selectExpr(*qaggs))
 
     counts_mode = bool(qlist) and quantile_mode == "counts"
     shape_fields = ["skewness", "kurtosis"] if with_shape else []
     structs = []
     for c in cols:
         fields = [
-            F.lit(c).alias("column_name"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__null_count").alias("null_count"),
-            (F.col(f"{c}__null_count") / F.col("__n_rows")).alias("null_ratio"),
-            F.col(f"{c}__min").alias("min"),
-            F.col(f"{c}__max").alias("max"),
-            F.col(f"{c}__mean").alias("mean"),
-            F.col(f"{c}__stddev").alias("stddev"),
+            f"'column_name', '{c}'",
+            f"'n_rows', `__n_rows`",
+            f"'n', `{c}__n`",
+            f"'null_count', `{c}__null_count`",
+            f"'null_ratio', `{c}__null_count` / `__n_rows`",
+            f"'min', `{c}__min`",
+            f"'max', `{c}__max`",
+            f"'mean', `{c}__mean`",
+            f"'stddev', `{c}__stddev`",
         ]
-        fields += [F.col(f"{c}__{s}").alias(s) for s in shape_fields]
+        fields += [f"'{s}', `{c}__{s}`" for s in shape_fields]
         if not counts_mode:
-            fields += [F.col(f"{c}__q")[i].alias(_qname(p)) for i, p in enumerate(qlist)]
-        structs.append(F.struct(*fields))
+            fields += [
+                f"'{_qname(p)}', `{c}__q`[{i}]" for i, p in enumerate(qlist)
+            ]
+        structs.append("named_struct(" + ", ".join(fields) + ")")
 
-    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    long = wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
     if counts_mode:
         qtable = quantiles_by_counts(df, cols, qlist)
         long = long.join(F.broadcast(qtable), "column_name", "left").select(
@@ -296,65 +304,67 @@ def numeric_profile_pair(
     qlist = list(quantiles)
     shape_fields = ["skewness", "kurtosis"] if with_shape else []
 
-    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
-    aggs: list = []
-    qaggs: list = []
+    # SQL-string assembly — see _quantile_agg_sql for why (py4j round-trips
+    # dominated driver-side plan construction for these wide aggregates)
+    sides = {"ref": "__side = 'r'", "curr": "__side = 'c'"}
+    aggs: list[str] = []
+    qaggs: list[str] = []
     for pre, cond in sides.items():
-        aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}_n_rows"))
+        aggs.append(f"sum(CAST({cond} AS BIGINT)) AS `__{pre}_n_rows`")
         for c in cols:
-            dc = F.when(cond, F.col(c).cast("double"))
+            dc = f"CASE WHEN {cond} THEN CAST(`{c}` AS DOUBLE) END"
             aggs += [
-                F.count(dc).alias(f"{pre}__{c}__n"),
-                F.sum((cond & F.col(c).isNull()).cast("long")).alias(f"{pre}__{c}__null_count"),
-                F.min(dc).alias(f"{pre}__{c}__min"),
-                F.max(dc).alias(f"{pre}__{c}__max"),
-                F.avg(dc).alias(f"{pre}__{c}__mean"),
-                F.stddev(dc).alias(f"{pre}__{c}__stddev"),
+                f"count({dc}) AS `{pre}__{c}__n`",
+                f"sum(CAST(({cond} AND `{c}` IS NULL) AS BIGINT)) AS `{pre}__{c}__null_count`",
+                f"min({dc}) AS `{pre}__{c}__min`",
+                f"max({dc}) AS `{pre}__{c}__max`",
+                f"avg({dc}) AS `{pre}__{c}__mean`",
+                f"stddev({dc}) AS `{pre}__{c}__stddev`",
             ]
             if with_shape:
                 aggs += [
-                    F.skewness(dc).alias(f"{pre}__{c}__skewness"),
-                    F.kurtosis(dc).alias(f"{pre}__{c}__kurtosis"),
+                    f"skewness({dc}) AS `{pre}__{c}__skewness`",
+                    f"kurtosis({dc}) AS `{pre}__{c}__kurtosis`",
                 ]
             if qlist and quantile_mode != "counts":
-                qaggs.append(
-                    _quantile_agg_expr(
-                        dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
-                    ).alias(f"{pre}__{c}__q")
+                qsql = _quantile_agg_sql(
+                    dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
                 )
+                qaggs.append(f"{qsql} AS `{pre}__{c}__q`")
 
     # quantile subtree split from the codegen-able stats — see numeric_profile
-    wide = tagged.agg(*aggs)
+    wide = tagged.selectExpr(*aggs)
     if qaggs:
-        wide = wide.crossJoin(tagged.agg(*qaggs))
+        wide = wide.crossJoin(tagged.selectExpr(*qaggs))
     counts_mode = bool(qlist) and quantile_mode == "counts"
     structs = []
     for c in cols:
-        fields = [F.lit(c).alias("column_name")]
+        fields = [f"'column_name', '{c}'"]
         for pre in sides:
             fields += [
-                F.col(f"__{pre}_n_rows").alias(f"{pre}_n_rows"),
-                F.col(f"{pre}__{c}__n").alias(f"{pre}_n"),
-                F.col(f"{pre}__{c}__null_count").alias(f"{pre}_null_count"),
-                (F.col(f"{pre}__{c}__null_count") / F.col(f"__{pre}_n_rows")).alias(
-                    f"{pre}_null_ratio"
-                ),
-                F.col(f"{pre}__{c}__min").alias(f"{pre}_min"),
-                F.col(f"{pre}__{c}__max").alias(f"{pre}_max"),
-                F.col(f"{pre}__{c}__mean").alias(f"{pre}_mean"),
-                F.col(f"{pre}__{c}__stddev").alias(f"{pre}_stddev"),
+                f"'{pre}_n_rows', `__{pre}_n_rows`",
+                f"'{pre}_n', `{pre}__{c}__n`",
+                f"'{pre}_null_count', `{pre}__{c}__null_count`",
+                f"'{pre}_null_ratio', `{pre}__{c}__null_count` / `__{pre}_n_rows`",
+                f"'{pre}_min', `{pre}__{c}__min`",
+                f"'{pre}_max', `{pre}__{c}__max`",
+                f"'{pre}_mean', `{pre}__{c}__mean`",
+                f"'{pre}_stddev', `{pre}__{c}__stddev`",
             ]
-            fields += [F.col(f"{pre}__{c}__{s}").alias(f"{pre}_{s}") for s in shape_fields]
+            fields += [f"'{pre}_{s}', `{pre}__{c}__{s}`" for s in shape_fields]
             if not counts_mode:
                 fields += [
-                    F.col(f"{pre}__{c}__q")[i].alias(f"{pre}_{_qname(p)}")
+                    f"'{pre}_{_qname(p)}', `{pre}__{c}__q`[{i}]"
                     for i, p in enumerate(qlist)
                 ]
-        structs.append(F.struct(*fields))
-    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+        structs.append("named_struct(" + ", ".join(fields) + ")")
+    long = wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
     if counts_mode:
         qtable = quantiles_by_counts(
-            tagged, cols, qlist, sides={"ref_": sides["ref"], "curr_": sides["curr"]}
+            tagged,
+            cols,
+            qlist,
+            sides={"ref_": F.expr(sides["ref"]), "curr_": F.expr(sides["curr"])},
         )
         long = long.join(F.broadcast(qtable), "column_name", "left").select(
             *long.columns,
@@ -380,22 +390,21 @@ def categorical_summary(
     """
     if not columns:
         raise ValueError("no categorical columns to summarize")
-    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
-    aggs: list = [F.count(F.lit(1)).alias("__n_rows")]
+    distinct_fn = "count(DISTINCT {0})" if exact_distinct else "approx_count_distinct({0})"
+    aggs: list[str] = ["count(1) AS `__n_rows`"]
     for c in columns:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_count"),
-            distinct_fn(F.col(c)).alias(f"{c}__distinct"),
+            f"sum(CAST(`{c}` IS NULL AS BIGINT)) AS `{c}__null_count`",
+            distinct_fn.format(f"`{c}`") + f" AS `{c}__distinct`",
         ]
-    wide = df.agg(*aggs)
+    wide = df.selectExpr(*aggs)
     structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(f"{c}__null_count").alias("null_count"),
-            (F.col(f"{c}__null_count") / F.col("__n_rows")).alias("null_ratio"),
-            F.col(f"{c}__distinct").cast("long").alias("distinct_count"),
-        )
+        "named_struct("
+        f"'column_name', '{c}', "
+        f"'n_rows', `__n_rows`, "
+        f"'null_count', `{c}__null_count`, "
+        f"'null_ratio', `{c}__null_count` / `__n_rows`, "
+        f"'distinct_count', CAST(`{c}__distinct` AS BIGINT))"
         for c in columns
     ]
-    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    return wide.selectExpr("inline(array(" + ", ".join(structs) + "))")

@@ -92,49 +92,47 @@ def temporal_drift(
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
-    aggs: list = []
+    # SQL-string assembly: one selectExpr call per aggregate list instead of
+    # ~10 py4j round-trips per expression (see profile._quantile_agg_sql)
+    aggs: list[str] = []
     for pre, tag in sides.items():
-        cond = F.col("__side") == tag
-        aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}_rows"))
+        cond = f"__side = '{tag}'"
+        aggs.append(f"sum(CAST({cond} AS BIGINT)) AS `__{pre}_rows`")
         for c in columns:
-            ts = F.col(c).cast("timestamp")
-            ep = F.when(cond, ts.cast("double"))
+            ts = f"CAST(`{c}` AS TIMESTAMP)"
+            ep = f"CASE WHEN {cond} THEN CAST({ts} AS DOUBLE) END"
             aggs += [
-                F.count(ep).alias(f"{pre}__{c}__n"),
-                F.sum((cond & F.col(c).isNull()).cast("long")).alias(f"{pre}__{c}__nulls"),
-                F.min(ep).alias(f"{pre}__{c}__min"),
-                F.max(ep).alias(f"{pre}__{c}__max"),
-                F.avg(ep).alias(f"{pre}__{c}__mean"),
+                f"count({ep}) AS `{pre}__{c}__n`",
+                f"sum(CAST(({cond} AND `{c}` IS NULL) AS BIGINT)) AS `{pre}__{c}__nulls`",
+                f"min({ep}) AS `{pre}__{c}__min`",
+                f"max({ep}) AS `{pre}__{c}__max`",
+                f"avg({ep}) AS `{pre}__{c}__mean`",
             ]
             # Spark dayofweek is 1=Sunday; −1 aligns with DuckDB's 0-based dow
-            dow = F.dayofweek(ts) - 1
             for d in range(7):
                 aggs.append(
-                    F.sum((cond & (dow == d)).cast("long")).alias(f"{pre}__{c}__dow{d}")
+                    f"sum(CAST(({cond} AND dayofweek({ts}) - 1 = {d}) AS BIGINT))"
+                    f" AS `{pre}__{c}__dow{d}`"
                 )
-    wide = tagged.agg(*aggs)
+    wide = tagged.selectExpr(*aggs)
 
     structs = []
     for c in columns:
-        fields = [F.lit(c).alias("column_name")]
+        fields = [f"'column_name', '{c}'"]
         for pre in sides:
             fields += [
-                F.col(f"{pre}__{c}__n").alias(f"{pre}_n"),
-                (F.col(f"{pre}__{c}__nulls") / F.greatest(F.col(f"__{pre}_rows"), F.lit(1))).alias(
-                    f"{pre}_null_ratio"
-                ),
-                F.col(f"{pre}__{c}__min").alias(f"{pre}_min"),
-                F.col(f"{pre}__{c}__max").alias(f"{pre}_max"),
-                F.col(f"{pre}__{c}__mean").alias(f"{pre}_mean"),
+                f"'{pre}_n', `{pre}__{c}__n`",
+                f"'{pre}_null_ratio', `{pre}__{c}__nulls` / greatest(`__{pre}_rows`, 1)",
+                f"'{pre}_min', `{pre}__{c}__min`",
+                f"'{pre}_max', `{pre}__{c}__max`",
+                f"'{pre}_mean', `{pre}__{c}__mean`",
             ]
             fields += [
-                (
-                    F.col(f"{pre}__{c}__dow{d}") / F.greatest(F.col(f"{pre}__{c}__n"), F.lit(1))
-                ).alias(f"{pre}_dow{d}")
+                f"'{pre}_dow{d}', `{pre}__{c}__dow{d}` / greatest(`{pre}__{c}__n`, 1)"
                 for d in range(7)
             ]
-        structs.append(F.struct(*fields))
-    long = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+        structs.append("named_struct(" + ", ".join(fields) + ")")
+    long = wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
 
     mean_shift = (F.col("curr_mean") - F.col("ref_mean")) / F.lit(SECONDS_PER_DAY)
     ref_range = F.col("ref_max") - F.col("ref_min")
