@@ -226,25 +226,23 @@ def categorical_drift(
         with_key_totals,
     )
 
-    # totals via groupBy + broadcast join (see with_key_totals)
-    nn = (
-        with_key_totals(
-            cells,
-            {
-                "ref_n_rows": F.sum("ref_cnt"),
-                "curr_n_rows": F.sum("curr_cnt"),
-                "ref_total": F.sum(F.when(~is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))),
-                "curr_total": F.sum(F.when(~is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))),
-            },
-        )
-        .withColumn(
-            "ref_freq",
-            F.when(~is_null_val & (F.col("ref_total") > 0), F.col("ref_cnt") / F.col("ref_total")).otherwise(0.0),
-        )
-        .withColumn(
-            "curr_freq",
-            F.when(~is_null_val & (F.col("curr_total") > 0), F.col("curr_cnt") / F.col("curr_total")).otherwise(0.0),
-        )
+    # totals via groupBy + broadcast join (see with_key_totals); derived
+    # expressions assembled as SQL strings — see profile._quantile_agg_sql
+    # for why (py4j round-trips dominated driver-side plan construction)
+    nn = with_key_totals(
+        cells,
+        {
+            "ref_n_rows": F.sum("ref_cnt"),
+            "curr_n_rows": F.sum("curr_cnt"),
+            "ref_total": F.sum(F.when(~is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))),
+            "curr_total": F.sum(F.when(~is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))),
+        },
+    ).selectExpr(
+        "*",
+        "CASE WHEN value IS NOT NULL AND ref_total > 0"
+        " THEN ref_cnt / ref_total ELSE 0.0D END AS ref_freq",
+        "CASE WHEN value IS NOT NULL AND curr_total > 0"
+        " THEN curr_cnt / curr_total ELSE 0.0D END AS curr_freq",
     )
     # top-k membership via per-column cutoffs (top_k_cutoffs) instead of a
     # row_number window over whole-column partitions: the cutoff replays
@@ -253,9 +251,11 @@ def categorical_drift(
     # sorted last — never reach a top-k membership anyway), while no task
     # sorts more than ~1/salt of one column's category set.
     if top_k is None:
-        nn = nn.withColumn(
-            "member_ref", ~is_null_val & (F.col("ref_cnt") > 0)
-        ).withColumn("member_curr", ~is_null_val & (F.col("curr_cnt") > 0))
+        nn = nn.selectExpr(
+            "*",
+            "value IS NOT NULL AND ref_cnt > 0 AS member_ref",
+            "value IS NOT NULL AND curr_cnt > 0 AS member_curr",
+        )
     else:
         # top-k membership via ONE pair-cutoff pass (both sides share the
         # salted/global shuffles) broadcast back — replaces the row_number
@@ -264,66 +264,74 @@ def categorical_drift(
         # last, so non-null ranks are identical); the null guard preserves
         # the rest of the semantics.
         cuts = pair_top_k_cutoffs(cells.filter(~is_null_val), top_k)
-        nn = nn.join(F.broadcast(cuts), "column_name", "left")
-        for pre in ("ref", "curr"):
-            cnt = F.col(f"{pre}_cnt")
-            in_top = (cnt > F.col(f"{pre}_cnt_cut_cnt")) | (
-                (cnt == F.col(f"{pre}_cnt_cut_cnt"))
-                & (F.col("value") <= F.col(f"{pre}_cnt_cut_value"))
-            )
-            nn = nn.withColumn(
-                f"member_{pre}",
-                ~is_null_val & (cnt > 0) & F.coalesce(in_top, F.lit(False)),
-            )
-        nn = nn.drop(
-            *[f"{p}_cnt_cut_{s}" for p in ("ref", "curr") for s in ("cnt", "value")]
+        nn = nn.join(F.broadcast(cuts), "column_name", "left").selectExpr(
+            "* EXCEPT (ref_cnt_cut_cnt, ref_cnt_cut_value,"
+            " curr_cnt_cut_cnt, curr_cnt_cut_value)",
+            *[
+                f"value IS NOT NULL AND {pre}_cnt > 0 AND coalesce("
+                f"({pre}_cnt > {pre}_cnt_cut_cnt) OR"
+                f" ({pre}_cnt = {pre}_cnt_cut_cnt AND value <= {pre}_cnt_cut_value),"
+                f" false) AS member_{pre}"
+                for pre in ("ref", "curr")
+            ],
         )
 
     # JS over the union of the two per-side top-k supports: a category keeps
     # probability 0 on a side whose top-k it didn't make (dict-union
     # semantics of categorical_analyzer.py:284-303)
-    p = F.when(F.col("member_ref"), F.col("ref_freq")).otherwise(F.lit(0.0))
-    q = F.when(F.col("member_curr"), F.col("curr_freq")).otherwise(F.lit(0.0))
-    m = (p + q) / 2
-    in_js = F.col("member_ref") | F.col("member_curr")
-    kl_p = F.when(in_js & (p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
-    kl_q = F.when(in_js & (q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
+    p = "CASE WHEN member_ref THEN ref_freq ELSE 0.0D END"
+    q = "CASE WHEN member_curr THEN curr_freq ELSE 0.0D END"
+    m = f"(({p}) + ({q})) / 2"
+    in_js = "(member_ref OR member_curr)"
+    kl_p = (
+        f"CASE WHEN {in_js} AND ({p}) > 0 AND ({m}) > 0"
+        f" THEN ({p}) * log2(({p}) / ({m})) ELSE 0.0D END"
+    )
+    kl_q = (
+        f"CASE WHEN {in_js} AND ({q}) > 0 AND ({m}) > 0"
+        f" THEN ({q}) * log2(({q}) / ({m})) ELSE 0.0D END"
+    )
 
     # chi² over the FULL non-null support (categorical_analyzer.py:342-390)
-    total_sum = F.col("ref_total") + F.col("curr_total")
-    cat_sum = F.col("ref_cnt") + F.col("curr_cnt")
-    exp_ref = F.col("ref_total") * cat_sum / total_sum
-    exp_curr = F.col("curr_total") * cat_sum / total_sum
-    chi_contrib = F.when(
-        ~is_null_val & (exp_ref >= 5) & (exp_curr >= 5),
-        F.pow(F.col("ref_cnt") - exp_ref, 2) / exp_ref
-        + F.pow(F.col("curr_cnt") - exp_curr, 2) / exp_curr,
-    ).otherwise(F.lit(0.0))
+    exp_ref = "(ref_total * (ref_cnt + curr_cnt) / (ref_total + curr_total))"
+    exp_curr = "(curr_total * (ref_cnt + curr_cnt) / (ref_total + curr_total))"
+    chi_contrib = (
+        f"CASE WHEN value IS NOT NULL AND {exp_ref} >= 5 AND {exp_curr} >= 5"
+        f" THEN power(ref_cnt - {exp_ref}, 2) / {exp_ref}"
+        f" + power(curr_cnt - {exp_curr}, 2) / {exp_curr} ELSE 0.0D END"
+    )
 
-    is_new = (F.col("member_curr") & ~F.col("member_ref")).cast("long")
-    is_missing = (F.col("member_ref") & ~F.col("member_curr")).cast("long")
-    in_ref = F.col("member_ref").cast("long")
-    nn_cats = F.sum((~is_null_val).cast("long"))
+    is_new = "CAST((member_curr AND NOT member_ref) AS BIGINT)"
+    is_missing = "CAST((member_ref AND NOT member_curr) AS BIGINT)"
+    in_ref = "CAST(member_ref AS BIGINT)"
+    nn_cats = "sum(CAST(value IS NOT NULL AS BIGINT))"
 
-    valid_chi = (nn_cats >= 2) & (F.max(total_sum) >= 10)
+    valid_chi = f"({nn_cats} >= 2) AND (max(ref_total + curr_total) >= 10)"
     stats = nn.groupBy("column_name").agg(
-        F.sqrt(F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)).alias("js_distance"),
-        F.when(valid_chi, F.sum(chi_contrib)).alias("chi_square"),
-        F.when(valid_chi, nn_cats - 1).cast("int").alias("degrees_of_freedom"),
-        F.sum(is_new).alias("new_categories"),
-        F.sum(is_missing).alias("missing_categories"),
-        F.sum(in_ref).alias("ref_categories"),
-        (F.sum(is_new) / F.greatest(F.sum(in_ref), F.lit(1))).alias("new_categories_ratio"),
-        (F.sum(is_missing) / F.greatest(F.sum(in_ref), F.lit(1))).alias(
-            "missing_categories_ratio"
-        ),
-        # per-column summary folded into the SAME aggregation — no extra pass
-        F.max("ref_n_rows").alias("ref_n_rows"),
-        F.max("curr_n_rows").alias("curr_n_rows"),
-        F.sum(F.when(is_null_val, F.col("ref_cnt")).otherwise(F.lit(0))).alias("__ref_nulls"),
-        F.sum(F.when(is_null_val, F.col("curr_cnt")).otherwise(F.lit(0))).alias("__curr_nulls"),
-        F.sum((~is_null_val & (F.col("ref_cnt") > 0)).cast("long")).alias("ref_distinct_count"),
-        F.sum((~is_null_val & (F.col("curr_cnt") > 0)).cast("long")).alias("curr_distinct_count"),
+        *[
+            F.expr(e)
+            for e in (
+                f"sqrt(greatest(0.0D, (sum({kl_p}) + sum({kl_q})) / 2)) AS js_distance",
+                f"CASE WHEN {valid_chi} THEN sum({chi_contrib}) END AS chi_square",
+                f"CAST(CASE WHEN {valid_chi} THEN {nn_cats} - 1 END AS INT)"
+                " AS degrees_of_freedom",
+                f"sum({is_new}) AS new_categories",
+                f"sum({is_missing}) AS missing_categories",
+                f"sum({in_ref}) AS ref_categories",
+                f"sum({is_new}) / greatest(sum({in_ref}), 1) AS new_categories_ratio",
+                f"sum({is_missing}) / greatest(sum({in_ref}), 1)"
+                " AS missing_categories_ratio",
+                # per-column summary folded into the SAME aggregation — no extra pass
+                "max(ref_n_rows) AS ref_n_rows",
+                "max(curr_n_rows) AS curr_n_rows",
+                "sum(CASE WHEN value IS NULL THEN ref_cnt ELSE 0 END) AS __ref_nulls",
+                "sum(CASE WHEN value IS NULL THEN curr_cnt ELSE 0 END) AS __curr_nulls",
+                "sum(CAST((value IS NOT NULL AND ref_cnt > 0) AS BIGINT))"
+                " AS ref_distinct_count",
+                "sum(CAST((value IS NOT NULL AND curr_cnt > 0) AS BIGINT))"
+                " AS curr_distinct_count",
+            )
+        ]
     )
     if p_value_mode == "exact":
         stats = _exact_p_value(stats)
@@ -333,11 +341,11 @@ def categorical_drift(
             chi2_p_value_ladder_expr(F.col("chi_square"), F.col("degrees_of_freedom")),
         )
 
-    out = (
-        stats.withColumn("ref_null_ratio", F.col("__ref_nulls") / F.col("ref_n_rows"))
-        .withColumn("curr_null_ratio", F.col("__curr_nulls") / F.col("curr_n_rows"))
-        .withColumn("null_diff", F.col("curr_null_ratio") - F.col("ref_null_ratio"))
-        .drop("__ref_nulls", "__curr_nulls")
+    out = stats.selectExpr(
+        "* EXCEPT (__ref_nulls, __curr_nulls)",
+        "__ref_nulls / ref_n_rows AS ref_null_ratio",
+        "__curr_nulls / curr_n_rows AS curr_null_ratio",
+        "__curr_nulls / curr_n_rows - __ref_nulls / ref_n_rows AS null_diff",
     )
 
     js_c = F.coalesce(F.col("js_distance"), F.lit(0.0))

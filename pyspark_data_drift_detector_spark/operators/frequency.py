@@ -152,43 +152,48 @@ def pair_top_k_cutoffs(
     full pipelines. Output: ``keys..., <c>_cut_cnt, <c>_cut_value`` per
     count column. See ``top_k_cutoffs`` for the bounded-state rationale.
     """
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_partitions))
-    slim = cells.select(*keys, *count_cols, value_col).withColumn("__salt", salt)
-    for c in count_cols:
-        w = Window.partitionBy(*keys, "__salt").orderBy(F.desc(c), F.asc(value_col))
-        slim = slim.withColumn(f"__lrn_{c}", F.row_number().over(w))
-    local = slim.filter(
-        " OR ".join(f"__lrn_{c} <= {k}" for c in count_cols)
+    # SQL-string assembly — see profile._quantile_agg_sql for why
+    keylist = ", ".join(f"`{x}`" for x in keys)
+    slim = cells.select(*keys, *count_cols, value_col).selectExpr(
+        "*",
+        f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)}) AS __salt",
+        *[
+            f"row_number() OVER (PARTITION BY {keylist}, "
+            f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)})"
+            f" ORDER BY `{c}` DESC, `{value_col}` ASC) AS `__lrn_{c}`"
+            for c in count_cols
+        ],
     )
+    local = slim.filter(" OR ".join(f"__lrn_{c} <= {k}" for c in count_cols))
     # the survivor set contains every side's TRUE top-k (each such row is
     # in its salt slice's local top-k), and any non-top-k survivor ranks
     # after all k of them, so rank-k within the survivors IS the true
     # cutoff for each side
-    for c in count_cols:
-        w = Window.partitionBy(*keys).orderBy(F.desc(c), F.asc(value_col))
-        local = local.withColumn(f"__rn_{c}", F.row_number().over(w))
+    local = local.selectExpr(
+        "*",
+        *[
+            f"row_number() OVER (PARTITION BY {keylist}"
+            f" ORDER BY `{c}` DESC, `{value_col}` ASC) AS `__rn_{c}`"
+            for c in count_cols
+        ],
+    )
     aggs = [
-        F.max(
-            F.when(
-                F.col(f"__rn_{c}") <= k,
-                F.struct(
-                    F.col(f"__rn_{c}").alias("rn"),
-                    F.col(c).alias("cnt"),
-                    F.col(value_col).alias("val"),
-                ),
-            )
-        ).alias(f"__cut_{c}")
+        F.expr(
+            f"max(CASE WHEN `__rn_{c}` <= {k} THEN named_struct("
+            f"'rn', `__rn_{c}`, 'cnt', `{c}`, 'val', `{value_col}`) END)"
+            f" AS `__cut_{c}`"
+        )
         for c in count_cols
     ]
     cuts = local.groupBy(*keys).agg(*aggs)
-    return cuts.select(
-        *keys,
+    return cuts.selectExpr(
+        *[f"`{x}`" for x in keys],
         *[
-            col
+            e
             for c in count_cols
-            for col in (
-                F.col(f"__cut_{c}.cnt").alias(f"{c}_cut_cnt"),
-                F.col(f"__cut_{c}.val").alias(f"{c}_cut_value"),
+            for e in (
+                f"`__cut_{c}`.cnt AS `{c}_cut_cnt`",
+                f"`__cut_{c}`.val AS `{c}_cut_value`",
             )
         ],
     )
@@ -286,19 +291,15 @@ def pair_frequency_cells(
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(c).cast("string").alias("value"),
-            )
-            for c in columns
-        ]
+    # SQL-string melt — one bridge call (see profile._quantile_agg_sql)
+    structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+        for c in columns
     )
-    melted = tagged.select("__side", F.explode(pairs).alias("kv")).select("__side", "kv.*")
+    melted = tagged.selectExpr("__side", f"inline(array({structs}))")
     return melted.groupBy("column_name", "value").agg(
-        F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
-        F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
+        F.expr("sum(CAST(__side = 'r' AS BIGINT)) AS ref_cnt"),
+        F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS curr_cnt"),
     )
 
 

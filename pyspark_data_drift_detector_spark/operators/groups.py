@@ -195,88 +195,90 @@ def group_numeric_stats(
         df_ref, df_curr, _as_dims(dimension), columns, None, keep_groups=keep_groups
     )
 
-    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
-    aggs: list[Column] = []
-    qaggs: list[Column] = []
+    # SQL-string assembly — see profile._quantile_agg_sql for why (py4j
+    # round-trips dominated driver-side plan construction)
+    sides = {"ref": "__side = 'r'", "curr": "__side = 'c'"}
+    aggs: list[str] = []
+    qaggs: list[str] = []
     for pre, cond in sides.items():
-        aggs.append(F.sum(cond.cast("long")).alias(f"{pre}_rows"))
+        aggs.append(f"sum(CAST({cond} AS BIGINT)) AS `{pre}_rows`")
     stat_names = ["null_count", "mean", "stddev", "min", "max", "median"]
     for i, c in enumerate(columns):
-        dc = F.col(c).cast("double")
+        dc = f"CAST(`{c}` AS DOUBLE)"
         for pre, cond in sides.items():
-            v = F.when(cond, dc)
+            v = f"CASE WHEN {cond} THEN {dc} END"
             # accuracy 1000 ≈ the reference's approxQuantile relative error
             # 0.01 (distribution_analyzer.py:106-109); keeps per-group sketch
             # state small
             median = (
-                F.percentile(v, F.lit(0.5))
+                f"percentile({v}, 0.5D)"
                 if exact_median
-                else F.percentile_approx(v, F.lit(0.5), F.lit(1000))
+                else f"percentile_approx({v}, 0.5D, 1000)"
             )
             aggs += [
-                F.sum((cond & dc.isNull()).cast("long")).alias(f"__{i}_{pre}_null_count"),
-                F.avg(v).alias(f"__{i}_{pre}_mean"),
-                F.stddev(v).alias(f"__{i}_{pre}_stddev"),
-                F.min(v).alias(f"__{i}_{pre}_min"),
-                F.max(v).alias(f"__{i}_{pre}_max"),
+                f"sum(CAST(({cond} AND {dc} IS NULL) AS BIGINT)) AS `__{i}_{pre}_null_count`",
+                f"avg({v}) AS `__{i}_{pre}_mean`",
+                f"stddev({v}) AS `__{i}_{pre}_stddev`",
+                f"min({v}) AS `__{i}_{pre}_min`",
+                f"max({v}) AS `__{i}_{pre}_max`",
             ]
-            qaggs.append(median.alias(f"__{i}_{pre}_median"))
+            qaggs.append(f"{median} AS `__{i}_{pre}_median`")
+
+    def _gagg(exprs: list[str]) -> DataFrame:
+        return melted.groupBy("dimension_column", "dimension_value").agg(
+            *[F.expr(e) for e in exprs]
+        )
+
     # Medians (TypedImperativeAggregates) aggregate in their OWN groupBy and
     # join back on the group key: one percentile in an Aggregate node forces
     # the whole node onto interpreted ObjectHashAggregate, dragging the ~80
     # simple stats out of whole-stage codegen (measured 3.7s → 2.3s at
     # sf0.1). Both outputs are O(groups) rows — the join is broadcast-sized.
     keys = ["dimension_column", "dimension_value"]
-    wide = (
-        melted.groupBy(*keys)
-        .agg(*aggs)
-        .join(melted.groupBy(*keys).agg(*qaggs), on=keys, how="left")
-    )
+    wide = _gagg(aggs).join(_gagg(qaggs), on=keys, how="left")
     structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            *[
-                F.col(f"__{i}_{pre}_{s}").alias(f"{pre}_{s}")
-                for pre in sides
-                for s in stat_names
-            ],
+        "named_struct('column_name', '{c}', {fields})".format(
+            c=c,
+            fields=", ".join(
+                f"'{pre}_{s}', `__{i}_{pre}_{s}`" for pre in sides for s in stat_names
+            ),
         )
         for i, c in enumerate(columns)
     ]
-    stats = wide.select(
+    stats = wide.selectExpr(
         "dimension_column",
         "dimension_value",
         "ref_rows",
         "curr_rows",
-        F.explode(F.array(*structs)).alias("__s"),
-    ).select("dimension_column", "dimension_value", "ref_rows", "curr_rows", "__s.*")
+        "inline(array(" + ", ".join(structs) + "))",
+    )
 
-    for pre in ("ref", "curr"):
-        stats = stats.withColumn(
-            f"{pre}_null_pct",
-            F.col(f"{pre}_null_count") / F.greatest(F.col(f"{pre}_rows"), F.lit(1)),
+    def _pct(ref: str, curr: str) -> str:  # percent_change_expr as SQL
+        return (
+            f"CASE WHEN {ref} = 0 THEN CASE WHEN {curr} = 0 THEN 0.0D ELSE 1.0D END "
+            f"ELSE ({curr} - {ref}) / abs({ref}) END"
         )
-    skipped = (F.col("ref_null_pct") > 0.9) | (F.col("curr_null_pct") > 0.9)
 
-    def z(pre: str, stat: str) -> Column:  # nulls → 0 per reference :305-318
-        return F.coalesce(F.col(f"{pre}_{stat}"), F.lit(0.0))
+    def z(pre: str, stat: str) -> str:  # nulls → 0 per reference :305-318
+        return f"coalesce({pre}_{stat}, 0.0D)"
 
-    return (
-        stats.withColumn("null_drift", F.abs(F.col("curr_null_pct") - F.col("ref_null_pct")))
-        .withColumn("stats_skipped", skipped)
-        .withColumn("mean_pct_change", percent_change_expr(z("ref", "mean"), z("curr", "mean")))
-        .withColumn(
-            "stddev_pct_change", percent_change_expr(z("ref", "stddev"), z("curr", "stddev"))
+    null_pcts = [
+        f"{pre}_null_count / greatest({pre}_rows, 1) AS {pre}_null_pct"
+        for pre in ("ref", "curr")
+    ]
+    stats = stats.selectExpr("*", *null_pcts)
+    return stats.selectExpr(
+        "*",
+        "abs(curr_null_pct - ref_null_pct) AS null_drift",
+        "(ref_null_pct > 0.9) OR (curr_null_pct > 0.9) AS stats_skipped",
+        _pct(z("ref", "mean"), z("curr", "mean")) + " AS mean_pct_change",
+        _pct(z("ref", "stddev"), z("curr", "stddev")) + " AS stddev_pct_change",
+        _pct(z("ref", "median"), z("curr", "median")) + " AS median_pct_change",
+        _pct(
+            f"({z('ref', 'max')} - {z('ref', 'min')})",
+            f"({z('curr', 'max')} - {z('curr', 'min')})",
         )
-        .withColumn(
-            "median_pct_change", percent_change_expr(z("ref", "median"), z("curr", "median"))
-        )
-        .withColumn(
-            "range_pct_change",
-            percent_change_expr(
-                z("ref", "max") - z("ref", "min"), z("curr", "max") - z("curr", "min")
-            ),
-        )
+        + " AS range_pct_change",
     )
 
 
@@ -342,47 +344,37 @@ def group_categorical_stats(
     enr = enr.drop(
         *[f"{p}_cnt_cut_{s}" for p in ("ref", "curr") for s in ("cnt", "value")]
     )
-    common = F.col("member_ref") & F.col("member_curr")
+    common = "member_ref AND member_curr"
     out = enr.groupBy("dimension_column", "dimension_value", "column_name").agg(
-        F.max("ref_total").alias("ref_rows"),
-        F.max("curr_total").alias("curr_rows"),
-        F.sum(F.when(F.col("value").isNull(), F.col("ref_cnt")).otherwise(F.lit(0))).alias(
-            "ref_null_count"
-        ),
-        F.sum(F.when(F.col("value").isNull(), F.col("curr_cnt")).otherwise(F.lit(0))).alias(
-            "curr_null_count"
-        ),
-        F.sum(common.cast("long")).alias("common_categories_count"),
-        F.sum(F.when(common, F.abs(F.col("curr_freq") - F.col("ref_freq")))).alias("__freq_drift_sum"),
-        F.sum((F.col("member_curr") & ~F.col("member_ref")).cast("long")).alias(
-            "new_categories_count"
-        ),
-        F.sum((F.col("member_ref") & ~F.col("member_curr")).cast("long")).alias(
-            "disappeared_categories_count"
-        ),
-        F.sum(F.col("member_ref").cast("long")).alias("ref_distinct_count"),
-        F.sum(F.col("member_curr").cast("long")).alias("curr_distinct_count"),
+        *[
+            F.expr(e)
+            for e in (
+                "max(ref_total) AS ref_rows",
+                "max(curr_total) AS curr_rows",
+                "sum(CASE WHEN value IS NULL THEN ref_cnt ELSE 0 END) AS ref_null_count",
+                "sum(CASE WHEN value IS NULL THEN curr_cnt ELSE 0 END) AS curr_null_count",
+                f"sum(CAST(({common}) AS BIGINT)) AS common_categories_count",
+                f"sum(CASE WHEN {common} THEN abs(curr_freq - ref_freq) END)"
+                " AS __freq_drift_sum",
+                "sum(CAST((member_curr AND NOT member_ref) AS BIGINT)) AS new_categories_count",
+                "sum(CAST((member_ref AND NOT member_curr) AS BIGINT))"
+                " AS disappeared_categories_count",
+                "sum(CAST(member_ref AS BIGINT)) AS ref_distinct_count",
+                "sum(CAST(member_curr AS BIGINT)) AS curr_distinct_count",
+            )
+        ]
     )
-    return (
-        out.withColumn(
-            "avg_frequency_drift",
-            F.when(
-                F.col("common_categories_count") > 0,
-                F.col("__freq_drift_sum") / F.col("common_categories_count"),
-            ).otherwise(F.lit(1.0)),
-        )
-        .withColumn(
-            "distinct_pct_change",
-            percent_change_expr(F.col("ref_distinct_count"), F.col("curr_distinct_count")),
-        )
-        .withColumn(
-            "null_drift",
-            F.abs(
-                F.col("curr_null_count") / F.greatest(F.col("curr_rows"), F.lit(1))
-                - F.col("ref_null_count") / F.greatest(F.col("ref_rows"), F.lit(1))
-            ),
-        )
-        .drop("__freq_drift_sum")
+    return out.selectExpr(
+        "* EXCEPT (__freq_drift_sum)",
+        "CASE WHEN common_categories_count > 0 "
+        "THEN __freq_drift_sum / common_categories_count ELSE 1.0D END"
+        " AS avg_frequency_drift",
+        "CASE WHEN ref_distinct_count = 0 THEN "
+        "CASE WHEN curr_distinct_count = 0 THEN 0.0D ELSE 1.0D END "
+        "ELSE (curr_distinct_count - ref_distinct_count) / abs(ref_distinct_count) END"
+        " AS distinct_pct_change",
+        "abs(curr_null_count / greatest(curr_rows, 1)"
+        " - ref_null_count / greatest(ref_rows, 1)) AS null_drift",
     )
 
 
@@ -421,34 +413,24 @@ def group_drift(
             exact_median=exact_median,
             keep_groups=keys,
         )
-        not_skipped = ~F.col("stats_skipped")
+        ns = "(NOT stats_skipped)"
         parts.append(
-            num.select(
+            num.selectExpr(
                 "dimension_column",
                 "dimension_value",
-                (
-                    F.col("null_drift")
-                    + F.when(
-                        not_skipped,
-                        F.abs(F.col("mean_pct_change"))
-                        + F.abs(F.col("stddev_pct_change"))
-                        + F.abs(F.col("median_pct_change")),
-                    ).otherwise(F.lit(0.0))
-                ).alias("contrib_sum"),
-                (F.lit(1) + F.when(not_skipped, F.lit(3)).otherwise(F.lit(0))).alias(
-                    "contrib_cnt"
-                ),
-                (
-                    (F.col("null_drift") > 0.05).cast("int")
-                    + (not_skipped & (F.abs(F.col("mean_pct_change")) > 0.1)).cast("int")
-                    + (not_skipped & (F.abs(F.col("stddev_pct_change")) > 0.2)).cast("int")
-                    + (not_skipped & (F.abs(F.col("median_pct_change")) > 0.1)).cast("int")
-                ).alias("n_drifted"),
-                (F.col("null_drift") >= 0.1).alias("any_null"),
-                (not_skipped & (F.abs(F.col("mean_pct_change")) >= 0.2)).alias("any_mean"),
-                (not_skipped & (F.abs(F.col("median_pct_change")) >= 0.2)).alias("any_median"),
-                F.lit(False).alias("any_freq"),
-                F.lit(False).alias("any_distinct"),
+                f"null_drift + CASE WHEN {ns} THEN abs(mean_pct_change)"
+                " + abs(stddev_pct_change) + abs(median_pct_change)"
+                " ELSE 0.0D END AS contrib_sum",
+                f"1 + CASE WHEN {ns} THEN 3 ELSE 0 END AS contrib_cnt",
+                "CAST(null_drift > 0.05 AS INT)"
+                f" + CAST({ns} AND abs(mean_pct_change) > 0.1 AS INT)"
+                f" + CAST({ns} AND abs(stddev_pct_change) > 0.2 AS INT)"
+                f" + CAST({ns} AND abs(median_pct_change) > 0.1 AS INT) AS n_drifted",
+                "null_drift >= 0.1 AS any_null",
+                f"{ns} AND abs(mean_pct_change) >= 0.2 AS any_mean",
+                f"{ns} AND abs(median_pct_change) >= 0.2 AS any_median",
+                "false AS any_freq",
+                "false AS any_distinct",
             )
         )
     if categorical_columns:
@@ -461,20 +443,18 @@ def group_drift(
             keep_groups=keys,
         )
         parts.append(
-            cat.select(
+            cat.selectExpr(
                 "dimension_column",
                 "dimension_value",
-                (F.col("null_drift") + F.col("avg_frequency_drift")).alias("contrib_sum"),
-                F.lit(2).alias("contrib_cnt"),
-                (
-                    (F.col("null_drift") > 0.05).cast("int")
-                    + (F.col("avg_frequency_drift") > 0.1).cast("int")
-                ).alias("n_drifted"),
-                (F.col("null_drift") >= 0.1).alias("any_null"),
-                F.lit(False).alias("any_mean"),
-                F.lit(False).alias("any_median"),
-                (F.col("avg_frequency_drift") >= 0.15).alias("any_freq"),
-                (F.abs(F.col("distinct_pct_change")) >= 0.25).alias("any_distinct"),
+                "null_drift + avg_frequency_drift AS contrib_sum",
+                "2 AS contrib_cnt",
+                "CAST(null_drift > 0.05 AS INT)"
+                " + CAST(avg_frequency_drift > 0.1 AS INT) AS n_drifted",
+                "null_drift >= 0.1 AS any_null",
+                "false AS any_mean",
+                "false AS any_median",
+                "avg_frequency_drift >= 0.15 AS any_freq",
+                "abs(distinct_pct_change) >= 0.25 AS any_distinct",
             )
         )
     if not parts:

@@ -222,64 +222,80 @@ def numeric_drift_from_joined(
     th = dict(DEFAULT_NUM_THRESHOLDS)
     th.update(thresholds or {})
 
-    # derived stats on each side
+    # SQL-string assembly — see profile._quantile_agg_sql for why (py4j
+    # round-trips dominated driver-side plan construction)
+    derived = []
     for side in ("ref", "curr"):
-        joined = (
-            joined.withColumn(f"{side}_iqr", F.col(f"{side}_p75") - F.col(f"{side}_p25"))
-            .withColumn(f"{side}_range", F.col(f"{side}_max") - F.col(f"{side}_min"))
-            .withColumn(f"{side}_median", F.col(f"{side}_p50"))
+        derived += [
+            f"{side}_p75 - {side}_p25 AS {side}_iqr",
+            f"{side}_max - {side}_min AS {side}_range",
+            f"{side}_p50 AS {side}_median",
+        ]
+    joined = joined.selectExpr("*", *derived)
+
+    def _rel(ref: str, curr: str) -> str:  # relative_diff_expr as SQL
+        return (
+            f"CASE WHEN {ref} IS NULL OR {curr} IS NULL THEN CAST(NULL AS DOUBLE)"
+            f" WHEN {ref} = 0 THEN CASE WHEN {curr} != 0 THEN 1.0D ELSE 0.0D END"
+            f" ELSE ({curr} - {ref}) / abs({ref}) END"
         )
 
     stats = ["mean", "median", "stddev", "min", "max", "iqr", "range"]
     # the metrics dict uses "std_dev" as the stat key (numerical_analyzer.py:222)
     key_of = {s: ("std_dev" if s == "stddev" else s) for s in stats}
+    diffs = []
     for s in stats:
         k = key_of[s]
-        joined = joined.withColumn(
-            f"{k}_abs_diff", F.col(f"curr_{s}") - F.col(f"ref_{s}")
-        ).withColumn(
-            f"{k}_relative_diff", relative_diff_expr(F.col(f"ref_{s}"), F.col(f"curr_{s}"))
-        )
-    joined = joined.withColumn(
-        "null_diff",
-        F.coalesce(F.col("curr_null_ratio"), F.lit(0.0))
-        - F.coalesce(F.col("ref_null_ratio"), F.lit(0.0)),
+        diffs.append(f"curr_{s} - ref_{s} AS {k}_abs_diff")
+        diffs.append(_rel(f"ref_{s}", f"curr_{s}") + f" AS {k}_relative_diff")
+    diffs.append(
+        "coalesce(curr_null_ratio, 0.0D) - coalesce(ref_null_ratio, 0.0D) AS null_diff"
     )
+    joined = joined.selectExpr("*", *diffs)
 
     # weighted drift score, normalized by the weight mass of present metrics
-    contrib = F.lit(0.0)
-    weight_mass = F.lit(0.0)
+    # (0.0D leading term keeps the float-addition order of the original
+    # Column fold — bit-identical scores)
+    contrib = "0.0D"
+    weight_mass = "0.0D"
     for metric, w in SCORE_WEIGHTS.items():
-        m = F.col(metric)
-        contrib = contrib + F.when(m.isNotNull(), F.abs(m) * F.lit(w)).otherwise(F.lit(0.0))
-        weight_mass = weight_mass + F.when(m.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+        contrib += (
+            f" + CASE WHEN {metric} IS NOT NULL THEN abs({metric}) * {w!r}D"
+            " ELSE 0.0D END"
+        )
+        weight_mass += f" + CASE WHEN {metric} IS NOT NULL THEN {w!r}D ELSE 0.0D END"
     if score_mode == "row_path":
         joined = joined.withColumn("drift_score", row_path_score_expr())
     else:
-        joined = joined.withColumn(
-            "drift_score",
-            F.when(weight_mass > 0, F.least(F.lit(1.0), contrib / weight_mass)).otherwise(
-                F.lit(0.0)
-            ),
+        joined = joined.selectExpr(
+            "*",
+            f"CASE WHEN ({weight_mass}) > 0"
+            f" THEN least(1.0D, ({contrib}) / ({weight_mass}))"
+            " ELSE 0.0D END AS drift_score",
         )
 
     # drift decision + causes (numerical_analyzer.py:68-91)
     cause_checks = [
-        ("mean", F.abs(F.coalesce(F.col("mean_relative_diff"), F.lit(0.0))) > th["mean_threshold"]),
-        ("median", F.abs(F.coalesce(F.col("median_relative_diff"), F.lit(0.0))) > th["median_threshold"]),
-        ("std_dev", F.abs(F.coalesce(F.col("std_dev_relative_diff"), F.lit(0.0))) > th["std_threshold"]),
-        ("iqr", F.abs(F.coalesce(F.col("iqr_relative_diff"), F.lit(0.0))) > th["iqr_threshold"]),
-        ("null_proportion", F.abs(F.coalesce(F.col("null_diff"), F.lit(0.0))) > th["null_threshold"]),
-        ("range", F.abs(F.coalesce(F.col("range_relative_diff"), F.lit(0.0))) > th["range_threshold"]),
+        ("mean", f"abs(coalesce(mean_relative_diff, 0.0D)) > {th['mean_threshold']!r}D"),
+        ("median", f"abs(coalesce(median_relative_diff, 0.0D)) > {th['median_threshold']!r}D"),
+        ("std_dev", f"abs(coalesce(std_dev_relative_diff, 0.0D)) > {th['std_threshold']!r}D"),
+        ("iqr", f"abs(coalesce(iqr_relative_diff, 0.0D)) > {th['iqr_threshold']!r}D"),
+        ("null_proportion", f"abs(coalesce(null_diff, 0.0D)) > {th['null_threshold']!r}D"),
+        ("range", f"abs(coalesce(range_relative_diff, 0.0D)) > {th['range_threshold']!r}D"),
     ]
-    drift_detected = F.lit(False)
-    for _, cond in cause_checks:
-        drift_detected = drift_detected | cond
-    causes = F.array_compact(
-        F.array(*[F.when(cond, F.lit(name)) for name, cond in cause_checks])
+    detected = " OR ".join(c for _, c in cause_checks)
+    causes = (
+        "array_compact(array("
+        + ", ".join(f"CASE WHEN {c} THEN '{name}' END" for name, c in cause_checks)
+        + "))"
     )
-    return (
-        joined.withColumn("drift_detected", drift_detected)
-        .withColumn("drift_causes", causes)
-        .withColumn("drift_severity", severity_expr(F.col("drift_score")))
+    return joined.selectExpr(
+        "*",
+        f"({detected}) AS drift_detected",
+        f"{causes} AS drift_causes",
+        "CASE WHEN drift_score < 0.1D THEN 'None'"
+        " WHEN drift_score < 0.25D THEN 'Low'"
+        " WHEN drift_score < 0.5D THEN 'Medium'"
+        " WHEN drift_score < 0.75D THEN 'High'"
+        " ELSE 'Critical' END AS drift_severity",
     )

@@ -44,16 +44,17 @@ def _to_result_rows(drift_df: DataFrame, column_type: str, dimension_id: str = "
         for c in drift_df.columns
         if c not in {"column_name", "drift_score", "drift_severity", "drift_detected", "drift_causes"}
     ]
-    return drift_df.select(
-        F.current_timestamp().alias("run_timestamp"),
-        F.col("column_name"),
-        F.lit(column_type).alias("column_type"),
-        F.lit(dimension_id).alias("dimension_id"),
-        F.col("drift_score").cast("double").alias("drift_score"),
-        F.col("drift_severity"),
-        F.col("drift_detected"),
-        F.col("drift_causes"),
-        F.to_json(F.struct(*[F.col(c) for c in metric_cols])).alias("metrics"),
+    struct = ", ".join(f"`{c}`" for c in metric_cols)
+    return drift_df.selectExpr(
+        "current_timestamp() AS run_timestamp",
+        "column_name",
+        f"'{column_type}' AS column_type",
+        f"'{dimension_id}' AS dimension_id",
+        "CAST(drift_score AS DOUBLE) AS drift_score",
+        "drift_severity",
+        "drift_detected",
+        "drift_causes",
+        f"to_json(struct({struct})) AS metrics",
     )
 
 
