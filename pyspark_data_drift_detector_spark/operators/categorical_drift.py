@@ -336,9 +336,28 @@ def categorical_drift(
     if p_value_mode == "exact":
         stats = _exact_p_value(stats)
     else:
-        stats = stats.withColumn(
-            "p_value",
-            chi2_p_value_ladder_expr(F.col("chi_square"), F.col("degrees_of_freedom")),
+        # ladder p-value as SQL — categorical_analyzer.py:423-437. cv is
+        # the :410-421 critical-value table (CASE preserves the when-order)
+        cv = (
+            "CASE WHEN degrees_of_freedom > 10"
+            " THEN degrees_of_freedom + sqrt(2.0D * degrees_of_freedom) "
+            + " ".join(
+                f"WHEN degrees_of_freedom = {k} THEN {v}D"
+                for k, v in {
+                    1: 3.84, 2: 5.99, 3: 7.81, 4: 9.49, 5: 11.07,
+                    6: 12.59, 7: 14.07, 8: 15.51, 9: 16.92, 10: 18.31,
+                }.items()
+            )
+            + " ELSE 3.84D END"
+        )
+        stats = stats.selectExpr(
+            "*",
+            "CASE WHEN chi_square < 0.001D THEN 1.0D"
+            f" WHEN chi_square > 3 * ({cv}) THEN 0.001D"
+            f" WHEN chi_square > 2 * ({cv}) THEN 0.01D"
+            f" WHEN chi_square > ({cv}) THEN 0.05D"
+            f" ELSE least(1.0D, greatest(0.05D, 1.0D - (chi_square / ({cv})) * 0.95D))"
+            " END AS p_value",
         )
 
     out = stats.selectExpr(
@@ -348,38 +367,47 @@ def categorical_drift(
         "__curr_nulls / curr_n_rows - __ref_nulls / ref_n_rows AS null_diff",
     )
 
-    js_c = F.coalesce(F.col("js_distance"), F.lit(0.0))
-    p_c = F.coalesce(F.col("p_value"), F.lit(1.0))
-    null_c = F.coalesce(F.col("null_diff"), F.lit(0.0))
-    new_r = F.coalesce(F.col("new_categories_ratio"), F.lit(0.0))
-    miss_r = F.coalesce(F.col("missing_categories_ratio"), F.lit(0.0))
+    js_c = "coalesce(js_distance, 0.0D)"
+    p_c = "coalesce(p_value, 1.0D)"
+    null_c = "coalesce(null_diff, 0.0D)"
+    new_r = "coalesce(new_categories_ratio, 0.0D)"
+    miss_r = "coalesce(missing_categories_ratio, 0.0D)"
 
-    js_drift = js_c > th["category_threshold"]
-    chi_drift = p_c < th["chi_square_pvalue"]
-    null_drift = F.abs(null_c) > th["null_threshold"]
-    new_drift = new_r > th["category_threshold"]
-    miss_drift = miss_r > th["category_threshold"]
+    cat_t = f"{th['category_threshold']!r}D"
+    checks = [
+        (f"{js_c} > {cat_t}", "distribution_change"),
+        (f"{p_c} < {th['chi_square_pvalue']!r}D", "statistical_significance"),
+        (f"abs({null_c}) > {th['null_threshold']!r}D", "null_proportion"),
+        (f"{new_r} > {cat_t}", "new_categories"),
+        (f"{miss_r} > {cat_t}", "missing_categories"),
+    ]
 
-    # weighted score — categorical_analyzer.py:473-491
+    # weighted score — categorical_analyzer.py:473-491; the chi term is the
+    # :461-470 significance ladder
+    chi_sig = (
+        f"CASE WHEN {p_c} <= 0.001D THEN 1.0D WHEN {p_c} <= 0.01D THEN 0.8D"
+        f" WHEN {p_c} <= 0.05D THEN 0.6D WHEN {p_c} <= 0.1D THEN 0.3D"
+        " ELSE 0.0D END"
+    )
     score = (
-        0.4 * F.least(F.lit(1.0), js_c * 4)
-        + 0.3 * chi_significance_score_expr(p_c)
-        + 0.1 * F.least(F.lit(1.0), F.abs(null_c) * 10)
-        + 0.2 * F.least(F.lit(1.0), F.greatest(new_r, miss_r) * 2)
+        f"0.4D * least(1.0D, {js_c} * 4) + 0.3D * ({chi_sig})"
+        f" + 0.1D * least(1.0D, abs({null_c}) * 10)"
+        f" + 0.2D * least(1.0D, greatest({new_r}, {miss_r}) * 2)"
     )
 
-    causes = F.array_compact(
-        F.array(
-            F.when(js_drift, F.lit("distribution_change")),
-            F.when(chi_drift, F.lit("statistical_significance")),
-            F.when(null_drift, F.lit("null_proportion")),
-            F.when(new_drift, F.lit("new_categories")),
-            F.when(miss_drift, F.lit("missing_categories")),
-        )
+    causes = (
+        "array_compact(array("
+        + ", ".join(f"CASE WHEN {c} THEN '{name}' END" for c, name in checks)
+        + "))"
     )
-    return (
-        out.withColumn("drift_detected", js_drift | chi_drift | null_drift | new_drift | miss_drift)
-        .withColumn("drift_causes", causes)
-        .withColumn("drift_score", F.least(F.lit(1.0), score))
-        .withColumn("drift_severity", severity_expr(F.col("drift_score")))
+    return out.selectExpr(
+        "*",
+        "(" + " OR ".join(c for c, _ in checks) + ") AS drift_detected",
+        f"{causes} AS drift_causes",
+        f"least(1.0D, {score}) AS drift_score",
+        f"CASE WHEN least(1.0D, {score}) < 0.1D THEN 'None'"
+        f" WHEN least(1.0D, {score}) < 0.25D THEN 'Low'"
+        f" WHEN least(1.0D, {score}) < 0.5D THEN 'Medium'"
+        f" WHEN least(1.0D, {score}) < 0.75D THEN 'High'"
+        " ELSE 'Critical' END AS drift_severity",
     )

@@ -59,27 +59,20 @@ def quantile_shift_from_pair(
     both snapshots."""
     from pyspark_data_drift_detector_spark.operators.profile import _qname
 
+    # SQL-string assembly — see profile._quantile_agg_sql for why
     rows = []
     for p in quantiles:
-        qn = _qname(p)
-        r, c = F.col(f"ref_{qn}"), F.col(f"curr_{qn}")
+        r, c = f"ref_{_qname(p)}", f"curr_{_qname(p)}"
         rel = (
-            F.when(r != 0, F.abs((c - r) / r))
-            .when(c != 0, F.abs(c - r) / F.greatest(F.abs(c), F.lit(1e-10)))
-            .otherwise(F.lit(0.0))
+            f"CASE WHEN {r} != 0 THEN abs(({c} - {r}) / {r})"
+            f" WHEN {c} != 0 THEN abs({c} - {r}) / greatest(abs({c}), 1e-10D)"
+            " ELSE 0.0D END"
         )
         rows.append(
-            F.struct(
-                F.lit(str(p)).alias("quantile"),
-                r.alias("ref_value"),
-                c.alias("curr_value"),
-                F.abs(c - r).alias("abs_diff"),
-                rel.alias("rel_diff"),
-            )
+            f"named_struct('quantile', '{p}', 'ref_value', {r}, 'curr_value', {c},"
+            f" 'abs_diff', abs({c} - {r}), 'rel_diff', {rel})"
         )
-    return pair.select(
-        "column_name", F.explode(F.array(*rows)).alias("s")
-    ).select("column_name", "s.*")
+    return pair.selectExpr("column_name", "inline(array(" + ", ".join(rows) + "))")
 
 
 def max_quantile_shift(shifts: DataFrame) -> DataFrame:
@@ -172,23 +165,24 @@ def rare_value_changes(
     totals = cells.groupBy("column_name").agg(
         F.sum("ref_cnt").alias("ref_total"), F.sum("curr_cnt").alias("curr_total")
     )
-    enriched = (
-        cells.join(F.broadcast(totals), "column_name")
-        .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
-        .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
-        .withColumn("ref_rare", (F.col("ref_cnt") > 0) & (F.col("ref_freq") <= rare_threshold))
-        .withColumn("curr_rare", (F.col("curr_cnt") > 0) & (F.col("curr_freq") <= rare_threshold))
+    rt = f"{float(rare_threshold)!r}D"
+    enriched = cells.join(F.broadcast(totals), "column_name").selectExpr(
+        "*",
+        "ref_cnt / greatest(ref_total, 1) AS ref_freq",
+        "curr_cnt / greatest(curr_total, 1) AS curr_freq",
+        f"ref_cnt > 0 AND ref_cnt / greatest(ref_total, 1) <= {rt} AS ref_rare",
+        f"curr_cnt > 0 AND curr_cnt / greatest(curr_total, 1) <= {rt} AS curr_rare",
     )
-    return enriched.select(
+    return enriched.selectExpr(
         "column_name",
         "value",
-        F.when(F.col("curr_rare") & ~F.col("ref_rare") & (F.col("ref_cnt") > 0), "new_rare")
-        .when(F.col("ref_rare") & ~F.col("curr_rare") & (F.col("curr_cnt") > 0), "disappeared_rare")
-        .alias("change_type"),
-        F.col("ref_freq").alias("prev_freq"),
-        F.col("curr_freq").alias("curr_freq"),
-        F.col("ref_cnt").alias("prev_count"),
-        F.col("curr_cnt").alias("curr_count"),
+        "CASE WHEN curr_rare AND NOT ref_rare AND ref_cnt > 0 THEN 'new_rare'"
+        " WHEN ref_rare AND NOT curr_rare AND curr_cnt > 0 THEN 'disappeared_rare'"
+        " END AS change_type",
+        "ref_freq AS prev_freq",
+        "curr_freq",
+        "ref_cnt AS prev_count",
+        "curr_cnt AS curr_count",
         "ref_rare",
         "curr_rare",
     )

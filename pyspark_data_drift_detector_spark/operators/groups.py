@@ -60,23 +60,15 @@ def top_groups(
     pass (within each ``dimension_column``)."""
     dims = _as_dims(dimension)
     tagged = _tagged_union(df_ref, df_curr, dims)
-    melted = tagged.select(
-        "__side",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("dimension_column"),
-                        F.col(d).cast("string").alias("dimension_value"),
-                    )
-                    for d in dims
-                ]
-            )
-        ).alias("dim"),
-    ).select("__side", "dim.*")
+    dim_structs = ", ".join(
+        f"named_struct('dimension_column', '{d}',"
+        f" 'dimension_value', CAST(`{d}` AS STRING))"
+        for d in dims
+    )
+    melted = tagged.selectExpr("__side", f"inline(array({dim_structs}))")
     counts = melted.groupBy("dimension_column", "dimension_value").agg(
-        F.sum((F.col("__side") == "r").cast("long")).alias("ref_rows"),
-        F.sum((F.col("__side") == "c").cast("long")).alias("curr_rows"),
+        F.expr("sum(CAST(__side = 'r' AS BIGINT)) AS ref_rows"),
+        F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS curr_rows"),
     )
     # top-N groups via cutoff join (no per-dimension row_number sort task);
     # persisted: the cutoff pass and the probe both read counts, which is
@@ -134,18 +126,16 @@ def _dim_melt(
     out, matching the final per-key equi-join, which never matches NULLs.
     """
     tagged = _tagged_union(df_ref, df_curr, list(dict.fromkeys([*dimensions, *columns])))
-    dims = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("dimension_column"),
-                    F.col(d).cast("string").alias("dimension_value"),
-                )
-                for d in dimensions
-            ]
-        )
-    ).alias("dim")
-    melted = tagged.select("__side", dims, *columns).select("__side", "dim.*", *columns)
+    dim_structs = ", ".join(
+        f"named_struct('dimension_column', '{d}',"
+        f" 'dimension_value', CAST(`{d}` AS STRING))"
+        for d in dimensions
+    )
+    melted = tagged.selectExpr(
+        "__side",
+        f"inline(array({dim_structs}))",
+        *[f"`{c}`" for c in columns],
+    )
     if keep_groups is not None:
         melted = melted.join(
             F.broadcast(keep_groups.select("dimension_column", "dimension_value")),
@@ -154,16 +144,15 @@ def _dim_melt(
         )
     if value_cast is None:
         return melted
-    cols = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(c).alias("column_name"), F.col(c).cast(value_cast).alias("v"))
-                for c in columns
-            ]
-        )
-    ).alias("kv")
-    return melted.select("__side", "dimension_column", "dimension_value", cols).select(
-        "__side", "dimension_column", "dimension_value", "kv.*"
+    col_structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'v', CAST(`{c}` AS {value_cast}))"
+        for c in columns
+    )
+    return melted.selectExpr(
+        "__side",
+        "dimension_column",
+        "dimension_value",
+        f"inline(array({col_structs}))",
     )
 
 
@@ -326,23 +315,16 @@ def group_categorical_stats(
     # per-group-cell row_number sort task). Null category values sort FIRST
     # under asc(value) — replayed by the null-aware membership predicate.
     cuts = pair_top_k_cutoffs(cells, top_k, keys=keys3)
-    enr = enr.join(F.broadcast(cuts), list(keys3), "left")
-    for pre in ("ref", "curr"):
-        cnt = F.col(f"{pre}_cnt")
-        in_top = (cnt > F.col(f"{pre}_cnt_cut_cnt")) | (
-            (cnt == F.col(f"{pre}_cnt_cut_cnt"))
-            & (
-                F.col("value").isNull()
-                | F.coalesce(
-                    F.col("value") <= F.col(f"{pre}_cnt_cut_value"), F.lit(False)
-                )
-            )
-        )
-        enr = enr.withColumn(
-            f"member_{pre}", (cnt > 0) & F.coalesce(in_top, F.lit(False))
-        )
-    enr = enr.drop(
-        *[f"{p}_cnt_cut_{s}" for p in ("ref", "curr") for s in ("cnt", "value")]
+    enr = enr.join(F.broadcast(cuts), list(keys3), "left").selectExpr(
+        "* EXCEPT (ref_cnt_cut_cnt, ref_cnt_cut_value,"
+        " curr_cnt_cut_cnt, curr_cnt_cut_value)",
+        *[
+            f"{pre}_cnt > 0 AND coalesce(({pre}_cnt > {pre}_cnt_cut_cnt) OR"
+            f" ({pre}_cnt = {pre}_cnt_cut_cnt AND (value IS NULL OR"
+            f" coalesce(value <= {pre}_cnt_cut_value, false))), false)"
+            f" AS member_{pre}"
+            for pre in ("ref", "curr")
+        ],
     )
     common = "member_ref AND member_curr"
     out = enr.groupBy("dimension_column", "dimension_value", "column_name").agg(

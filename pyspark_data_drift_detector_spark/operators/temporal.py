@@ -134,43 +134,49 @@ def temporal_drift(
         structs.append("named_struct(" + ", ".join(fields) + ")")
     long = wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
 
-    mean_shift = (F.col("curr_mean") - F.col("ref_mean")) / F.lit(SECONDS_PER_DAY)
-    ref_range = F.col("ref_max") - F.col("ref_min")
-    curr_range = F.col("curr_max") - F.col("curr_min")
-    range_change = F.when(
-        ref_range > 0, (curr_range - ref_range) / ref_range
-    ).otherwise(F.when(curr_range > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
-    null_change = F.abs(F.col("curr_null_ratio") - F.col("ref_null_ratio"))
+    mean_shift = f"((curr_mean - ref_mean) / {SECONDS_PER_DAY!r}D)"
+    range_change = (
+        "(CASE WHEN ref_max - ref_min > 0"
+        " THEN ((curr_max - curr_min) - (ref_max - ref_min)) / (ref_max - ref_min)"
+        " ELSE CASE WHEN curr_max - curr_min > 0 THEN 1.0D ELSE 0.0D END END)"
+    )
+    null_change = "abs(curr_null_ratio - ref_null_ratio)"
 
     js_terms = []
     for d in range(7):
-        p, q = F.col(f"ref_dow{d}"), F.col(f"curr_dow{d}")
-        m = (p + q) / 2
-        js_terms.append(F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0)))
-        js_terms.append(F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0)))
-    dow_js = F.sqrt(F.greatest(F.lit(0.0), sum(js_terms[1:], js_terms[0]) / 2))
+        p, q = f"ref_dow{d}", f"curr_dow{d}"
+        m = f"(({p} + {q}) / 2)"
+        js_terms.append(
+            f"CASE WHEN {p} > 0 AND {m} > 0 THEN {p} * log2({p} / {m}) ELSE 0.0D END"
+        )
+        js_terms.append(
+            f"CASE WHEN {q} > 0 AND {m} > 0 THEN {q} * log2({q} / {m}) ELSE 0.0D END"
+        )
+    dow_js = f"sqrt(greatest(0.0D, ({' + '.join(js_terms)}) / 2))"
 
-    mean_flag = F.abs(mean_shift) > mean_shift_days_threshold
-    js_flag = dow_js > js_threshold
-    null_flag = null_change > null_threshold
-    return long.select(
+    mean_flag = f"abs({mean_shift}) > {float(mean_shift_days_threshold)!r}D"
+    js_flag = f"{dow_js} > {float(js_threshold)!r}D"
+    null_flag = f"{null_change} > {float(null_threshold)!r}D"
+    causes = ", ".join(
+        f"CASE WHEN {flag} THEN '{name}' END"
+        for flag, name in (
+            (mean_flag, "mean_time_shift"),
+            (js_flag, "day_of_week_shift"),
+            (null_flag, "null_ratio"),
+        )
+    )
+    return long.selectExpr(
         "column_name",
-        F.col("ref_n").cast("long").alias("ref_n"),
-        F.col("curr_n").cast("long").alias("curr_n"),
+        "CAST(ref_n AS BIGINT) AS ref_n",
+        "CAST(curr_n AS BIGINT) AS curr_n",
         "ref_min",
         "ref_max",
         "curr_min",
         "curr_max",
-        mean_shift.alias("mean_shift_days"),
-        range_change.alias("range_change"),
-        null_change.alias("null_ratio_change"),
-        dow_js.alias("dow_js"),
-        (mean_flag | js_flag | null_flag).alias("drift_detected"),
-        F.array_compact(
-            F.array(
-                F.when(mean_flag, F.lit("mean_time_shift")),
-                F.when(js_flag, F.lit("day_of_week_shift")),
-                F.when(null_flag, F.lit("null_ratio")),
-            )
-        ).alias("drift_causes"),
+        f"{mean_shift} AS mean_shift_days",
+        f"{range_change} AS range_change",
+        f"{null_change} AS null_ratio_change",
+        f"{dow_js} AS dow_js",
+        f"({mean_flag}) OR ({js_flag}) OR ({null_flag}) AS drift_detected",
+        f"array_compact(array({causes})) AS drift_causes",
     )
