@@ -87,10 +87,10 @@ def infer_column_types(
             aggs = []
             for c in numeric_cols:
                 aggs += [
-                    F.count(F.col(c)).alias(f"{c}__n"),
-                    F.approx_count_distinct(F.col(c)).alias(f"{c}__d"),
+                    f"count(`{c}`) AS `{c}__n`",
+                    f"approx_count_distinct(`{c}`) AS `{c}__d`",
                 ]
-            row = df.agg(*aggs).first()
+            row = df.selectExpr(*aggs).first()
         for c in numeric_cols:
             n = row[f"{c}__n"]
             try:
@@ -104,11 +104,14 @@ def infer_column_types(
     if string_cols:
         # try_cast: malformed strings probe to NULL instead of throwing under
         # ANSI mode (the reference predates ANSI-default Spark)
-        probe = df.select(
-            *[F.col(c).try_cast("timestamp").isNotNull().cast("int").alias(c) for c in string_cols],
+        probe = df.selectExpr(
+            *[
+                f"CAST(try_cast(`{c}` AS TIMESTAMP) IS NOT NULL AS INT) AS `{c}`"
+                for c in string_cols
+            ],
         ).limit(TIMESTAMP_PROBE_ROWS)
-        agg_row = probe.agg(
-            *[F.avg(F.col(c)).alias(c) for c in string_cols], F.count(F.lit(1)).alias("__n")
+        agg_row = probe.selectExpr(
+            *[f"avg(`{c}`) AS `{c}`" for c in string_cols], "count(1) AS `__n`"
         ).first()
         for c in string_cols:
             ratio = agg_row[c] if agg_row["__n"] else None
