@@ -2854,6 +2854,92 @@ def _windowed_drift_sql() -> str:
     FROM lagged WHERE prev_n IS NOT NULL"""
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg log-prob + perplexity under the corpus unigram LM."""
+    from pyspark_data_drift_detector_spark.operators.corpus import unigram_logprob
+
+    out = unigram_logprob(_documents(spark, sf_dir))
+    return _round_cols(out, ["avg_logprob", "perplexity"])
+
+
+def _unigram_logprob_sql() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM v)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+      ROUND(AVG(LN(cnt / total)), {ROUND}) AS avg_logprob,
+      ROUND(EXP(-AVG(LN(cnt / total))), {ROUND}) AS perplexity
+    FROM t JOIN v USING (token) CROSS JOIN tot
+    GROUP BY doc_id"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (rounded-score
+    rank so the ordering is libm-portable)."""
+    from pyspark_data_drift_detector_spark.operators.corpus import tfidf_keywords
+
+    out = tfidf_keywords(_documents(spark, sf_dir), k=3)
+    return _round_cols(out, ["tfidf"])
+
+
+def _tfidf_keywords_sql() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    s AS (SELECT doc_id, token, tf, df, tf * LN(n_docs / df) AS tfidf
+          FROM tf JOIN dfq USING (token) CROSS JOIN n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY ROUND(tfidf, 9) DESC, token ASC) AS rank FROM s)
+    SELECT doc_id, CAST(rank AS INT) AS rank, token,
+      CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      ROUND(tfidf, {ROUND}) AS tfidf
+    FROM r WHERE rank <= 3"""
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary drift over the even/odd doc split: type counts,
+    new/lost types, token-level OOV rate."""
+    from pyspark_data_drift_detector_spark.operators.corpus import vocab_drift
+
+    docs = _documents(spark, sf_dir)
+    out = vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    return _round_cols(out, ["oov_token_rate"])
+
+
+def _vocab_drift_sql() -> str:
+    return f"""
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    cells AS (SELECT token,
+        SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS ref_cnt,
+        SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS curr_cnt
+      FROM t GROUP BY 1),
+    agg AS (SELECT
+        SUM(CASE WHEN ref_cnt > 0 THEN 1 ELSE 0 END) AS ref_types,
+        SUM(CASE WHEN curr_cnt > 0 THEN 1 ELSE 0 END) AS curr_types,
+        SUM(ref_cnt) AS ref_tokens, SUM(curr_cnt) AS curr_tokens,
+        SUM(CASE WHEN curr_cnt > 0 AND ref_cnt = 0 THEN 1 ELSE 0 END) AS new_types,
+        SUM(CASE WHEN ref_cnt > 0 AND curr_cnt = 0 THEN 1 ELSE 0 END) AS lost_types,
+        SUM(CASE WHEN ref_cnt = 0 THEN curr_cnt ELSE 0 END) AS oov
+      FROM cells)
+    SELECT CAST(ref_types AS BIGINT) AS ref_types,
+      CAST(curr_types AS BIGINT) AS curr_types,
+      CAST(ref_tokens AS BIGINT) AS ref_tokens,
+      CAST(curr_tokens AS BIGINT) AS curr_tokens,
+      CAST(new_types AS BIGINT) AS new_types,
+      CAST(lost_types AS BIGINT) AS lost_types,
+      ROUND(oov / GREATEST(curr_tokens, 1), {ROUND}) AS oov_token_rate,
+      oov / GREATEST(curr_tokens, 1) > 0.05 AS drift_detected
+    FROM agg"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream via F.session_window
     (one shuffle, streaming-compatible). Strict-> gap rule: events exactly
@@ -3152,6 +3238,9 @@ def _oracle_queries() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "unigram_logprob": _unigram_logprob_sql(),
+        "tfidf_keywords": _tfidf_keywords_sql(),
+        "vocab_drift": _vocab_drift_sql(),
     }
 
 
@@ -3236,6 +3325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
+        "vocab_drift": q_vocab_drift,
     }
 
 

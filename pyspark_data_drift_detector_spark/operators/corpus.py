@@ -1,0 +1,179 @@
+"""Corpus-statistics operators: unigram LM scoring, TF-IDF keywords,
+vocabulary drift.
+
+The statistical-quality layer of a training-data pipeline, above the
+per-document heuristics in ``operators/text.py``/``quality.py``:
+
+- ``unigram_logprob`` — score every document under the corpus's own
+  unigram language model (avg token log-probability + perplexity). The
+  cheap LM-based quality signal (CCNet-style, Wenzek et al. 2020 use a
+  5-gram LM; the unigram variant is the shuffle-friendly first cut):
+  gibberish and boilerplate-stuffed documents sit far from the corpus
+  mean.
+- ``tfidf_keywords`` — top-k characteristic terms per document by
+  TF-IDF; the standard topical fingerprint for clustering/labeling.
+- ``vocab_drift`` — corpus-level vocabulary comparison between two
+  snapshots: type counts, new/lost types, token-level OOV rate. A
+  crawler or filter change shows up as OOV mass long before model
+  metrics move.
+
+Scale notes (100 TB corpus):
+- everything is explode → ``groupBy(token)``-family aggregation: keys are
+  high-cardinality and map-side combined; no driver-side state.
+- ``unigram_logprob`` joins tokens against the vocabulary ON the token
+  key — a plain shuffle join that Spark co-partitions; the vocabulary is
+  O(distinct tokens), never collected.
+- ``tfidf_keywords``'s per-document rank window partitions by ``doc_id``
+  — per-task state is ONE document's distinct tokens (documents are
+  bounded; the corpus is not), so the window is safe where a per-column
+  or per-corpus window would not be.
+- ``vocab_drift`` is one side-tagged union + one ``groupBy(token)`` +
+  one O(1)-row aggregate — the alignment join is free (conditional sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.parallelism import (
+    ensure_min_partitions,
+)
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return ensure_min_partitions(df).selectExpr(
+        f"`{id_col}`", f"explode(split(`{text_col}`, ' ')) AS token"
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average log-probability (natural log) and perplexity
+    under the corpus's maximum-likelihood unigram model.
+
+    ``p(t) = count(t) / total_tokens`` over the whole corpus; a document's
+    score is the mean ``ln p(t)`` of its tokens (every token is in-vocab
+    by construction, so no smoothing is needed). Low ``avg_logprob`` /
+    high ``perplexity`` = rare-token-heavy documents.
+
+    Plan: one explode + ``groupBy(token)`` builds the vocabulary; token
+    totals ride the same aggregate (a second tiny agg + broadcast); the
+    corpus tokens then shuffle-join the vocabulary on ``token`` and one
+    ``groupBy(doc)`` produces the scores. No collect anywhere.
+    """
+    toks = _tokens(df, text_col, id_col)
+    vocab = toks.groupBy("token").agg(F.expr("count(1) AS cnt"))
+    total = vocab.agg(F.expr("sum(cnt) AS total"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("count(1) AS n_tokens"),
+            F.expr("avg(ln(cnt / total)) AS avg_logprob"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "avg_logprob",
+            "exp(-avg_logprob) AS perplexity",
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``score = tf(doc, t) · ln(N / df(t))`` with raw counts; ties break on
+    the term string, so the ranking is total and engine-portable (equal
+    ``(tf, df)`` pairs produce bit-identical scores in any IEEE engine).
+    Output: ``(doc_id, rank, token, tf, df, tfidf)``.
+
+    The rank window partitions by document — bounded state (one
+    document's distinct terms), unlike per-corpus windows.
+    """
+    toks = _tokens(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.expr("count(1) AS tf"))
+    dfreq = tf.groupBy("token").agg(F.expr("count(1) AS df"))
+    n_docs = df.select(id_col).distinct().agg(F.expr("count(1) AS n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs)).selectExpr(
+        f"`{id_col}`",
+        "token",
+        "tf",
+        "df",
+        "tf * ln(n_docs / df) AS tfidf",
+    )
+    # rank over the 9-decimal-rounded score: mathematically-equal scores
+    # from different (tf, df) pairs (e.g. 2·ln10 vs ln100) evaluate to
+    # doubles that differ in the last ulp ACROSS libm implementations —
+    # rounding collapses them to a tie, which the token tie-break resolves
+    # identically on every platform (and in the SQL oracle)
+    ranked = scored.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY `{id_col}`"
+        " ORDER BY round(tfidf, 9) DESC, token ASC) AS rank",
+    )
+    return ranked.filter(F.col("rank") <= k).selectExpr(
+        f"`{id_col}`",
+        "CAST(rank AS INT) AS rank",
+        "token",
+        "CAST(tf AS BIGINT) AS tf",
+        "CAST(df AS BIGINT) AS df",
+        "tfidf",
+    )
+
+
+def vocab_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_threshold: float = 0.05,
+) -> DataFrame:
+    """Corpus-level vocabulary drift between two document snapshots.
+
+    One row out: per-side type (distinct token) and token (occurrence)
+    counts, ``new_types``/``lost_types`` (types present on exactly one
+    side), ``oov_token_rate`` (fraction of CURRENT token occurrences
+    whose type is absent from the reference vocabulary — the mass a
+    ref-trained tokenizer/LM would see as unknown), and a drift flag.
+
+    Plan: side-tagged union → explode → ONE ``groupBy(token)`` with
+    conditional sums (the vocabulary alignment is free) → one O(1)-row
+    aggregate.
+    """
+    tagged = df_ref.selectExpr(f"'r' AS __side", f"`{text_col}`").unionByName(
+        df_curr.selectExpr(f"'c' AS __side", f"`{text_col}`")
+    )
+    cells = (
+        ensure_min_partitions(tagged)
+        .selectExpr("__side", f"explode(split(`{text_col}`, ' ')) AS token")
+        .groupBy("token")
+        .agg(
+            F.expr("sum(CAST(__side = 'r' AS BIGINT)) AS ref_cnt"),
+            F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS curr_cnt"),
+        )
+    )
+    agg = cells.agg(
+        F.expr("sum(CAST(ref_cnt > 0 AS BIGINT)) AS ref_types"),
+        F.expr("sum(CAST(curr_cnt > 0 AS BIGINT)) AS curr_types"),
+        F.expr("sum(ref_cnt) AS ref_tokens"),
+        F.expr("sum(curr_cnt) AS curr_tokens"),
+        F.expr("sum(CAST(curr_cnt > 0 AND ref_cnt = 0 AS BIGINT)) AS new_types"),
+        F.expr("sum(CAST(ref_cnt > 0 AND curr_cnt = 0 AS BIGINT)) AS lost_types"),
+        F.expr("sum(CASE WHEN ref_cnt = 0 THEN curr_cnt ELSE 0 END) AS __oov_tokens"),
+    )
+    return agg.selectExpr(
+        "* EXCEPT (__oov_tokens)",
+        "__oov_tokens / greatest(curr_tokens, 1) AS oov_token_rate",
+        f"__oov_tokens / greatest(curr_tokens, 1) > {float(oov_threshold)!r}D"
+        " AS drift_detected",
+    )

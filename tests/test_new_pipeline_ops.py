@@ -117,3 +117,54 @@ def test_sessionize_per_user_isolation(spark):
     assert len(out) == 2
     assert by_user[1]["n_events"] == 2 and by_user[1]["total_value"] == 6.0
     assert by_user[2]["n_events"] == 1 and by_user[2]["total_value"] == 3.0
+
+
+# ---------------------------------------------------------------- corpus
+
+
+def test_vocab_drift_oov_accounting(spark):
+    from pyspark_data_drift_detector_spark.operators.corpus import vocab_drift
+
+    ref = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    curr = spark.createDataFrame([(2, "a b x x y")], "doc_id long, text string")
+    row = vocab_drift(ref, curr).collect()[0]
+    assert row["ref_types"] == 3 and row["curr_types"] == 4
+    assert row["new_types"] == 2  # x, y
+    assert row["lost_types"] == 1  # c
+    assert row["ref_tokens"] == 4 and row["curr_tokens"] == 5
+    assert abs(row["oov_token_rate"] - 3 / 5) < 1e-12  # x,x,y of 5
+    assert row["drift_detected"]
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from pyspark_data_drift_detector_spark.operators.corpus import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common apple apple apple"),
+            (2, "common common banana"),
+            (3, "common cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r["token"]
+        for r in tfidf_keywords(df, k=1).collect()
+    }
+    # the corpus-wide term never wins; each doc's distinctive term does
+    assert out[(1, 1)] == "apple"
+    assert out[(2, 1)] == "banana"
+    assert out[(3, 1)] == "cherry"
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from pyspark_data_drift_detector_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the the the"), (2, "zyzzyva qwerty xylyl")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+    assert rows[2]["perplexity"] > rows[1]["perplexity"]
+    assert rows[1]["n_tokens"] == 5
