@@ -383,20 +383,23 @@ def neardup_clusters(
     first iteration needs anyway); ~1M edges per partition keeps
     partitions ≈16 MB at cluster scale.
     """
-    edges = pairs.select("id1", "id2")
-    sym_raw = _reuse(
+    # Persist the DIRECTED edges and count them first: the symmetrized
+    # union references the (expensive) pair pipeline in BOTH branches, so
+    # materializing the union uncached would run that pipeline twice. The
+    # count also sizes the compact index.
+    edges = _reuse(pairs.select("id1", "id2"))
+    n_edges = edges.count()
+    parts = max(
+        1, min(int(2 * n_edges // 1_000_000) + 1, edges.rdd.getNumPartitions())
+    )
+    sym = (
         edges.unionByName(
             edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
         )
+        .repartition(parts)
+        .localCheckpoint(eager=True)  # reads the edge cache; cuts lineage
     )
-    n_edges = sym_raw.count()
-    parts = max(1, min(int(n_edges // 1_000_000) + 1, sym_raw.rdd.getNumPartitions()))
-    if parts < sym_raw.rdd.getNumPartitions():
-        sym = _reuse(sym_raw.repartition(parts))
-        sym.count()  # materialize the compact copy before dropping the raw one
-        sym_raw.unpersist()
-    else:
-        sym = sym_raw
+    edges.unpersist()
     labels = (
         sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
