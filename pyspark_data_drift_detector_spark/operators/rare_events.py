@@ -128,105 +128,94 @@ def outlier_drift(
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
-    sides = {"ref": F.col("__side") == "r", "curr": F.col("__side") == "c"}
-    aggs: list = []
+    # SQL-string assembly — see profile._quantile_agg_sql for why
+    sides = {"ref": "__side = 'r'", "curr": "__side = 'c'"}
+    aggs: list[str] = []
     epsilon = 1e-10
     active: list[str] = []
-    for c in columns:
-        st = ref_stats.get(c) or {}
+
+    def _flags(st: dict) -> tuple[bool, bool, float | None]:
         mean, std = st.get("mean"), st.get("stddev")
         q1, q3 = st.get("p25"), st.get("p75")
         has_z = std is not None and std > 0 and mean is not None
         iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
-        has_iqr = iqr is not None and iqr > epsilon
+        return has_z, (iqr is not None and iqr > epsilon), iqr
+
+    for c in columns:
+        st = ref_stats.get(c) or {}
+        has_z, has_iqr, iqr = _flags(st)
         if not (has_z or has_iqr):
             continue
         active.append(c)
-        col = F.col(c).cast("double")
+        col = f"CAST(`{c}` AS DOUBLE)"
         for pre, cond in sides.items():
-            aggs.append(F.sum((cond & col.isNotNull()).cast("long")).alias(f"{pre}__{c}__n"))
+            nn = f"{cond} AND `{c}` IS NOT NULL"
+            aggs.append(f"sum(CAST(({nn}) AS BIGINT)) AS `{pre}__{c}__n`")
             if has_z:
-                z_out = F.abs((col - F.lit(mean)) / F.lit(std)) > z_threshold
+                z_out = (
+                    f"abs(({col} - {st['mean']!r}D) / {st['stddev']!r}D)"
+                    f" > {float(z_threshold)!r}D"
+                )
                 aggs.append(
-                    F.sum((cond & col.isNotNull() & z_out).cast("long")).alias(f"{pre}__{c}__z")
+                    f"sum(CAST(({nn} AND {z_out}) AS BIGINT)) AS `{pre}__{c}__z`"
                 )
             if has_iqr:
+                q1, q3 = st["p25"], st["p75"]
                 lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
                 xlo, xhi = q1 - 3.0 * iqr, q3 + 3.0 * iqr
-                out = (col < F.lit(lo)) | (col > F.lit(hi))
-                ext = (col < F.lit(xlo)) | (col > F.lit(xhi))
+                out_c = f"({col} < {lo!r}D OR {col} > {hi!r}D)"
+                ext_c = f"({col} < {xlo!r}D OR {col} > {xhi!r}D)"
                 aggs.append(
-                    F.sum((cond & col.isNotNull() & out).cast("long")).alias(f"{pre}__{c}__iqr")
+                    f"sum(CAST(({nn} AND {out_c}) AS BIGINT)) AS `{pre}__{c}__iqr`"
                 )
                 aggs.append(
-                    F.sum((cond & col.isNotNull() & ext).cast("long")).alias(f"{pre}__{c}__ext")
+                    f"sum(CAST(({nn} AND {ext_c}) AS BIGINT)) AS `{pre}__{c}__ext`"
                 )
     if not active:
         raise ValueError("no columns with usable reference statistics")
 
-    wide = tagged.agg(*aggs)
+    wide = tagged.selectExpr(*aggs)
     structs = []
     for c in active:
-        st = ref_stats[c]
-        has_z = st.get("stddev") is not None and st["stddev"] > 0 and st.get("mean") is not None
-        iqr = (
-            (st["p75"] - st["p25"])
-            if (st.get("p25") is not None and st.get("p75") is not None)
-            else None
-        )
-        has_iqr = iqr is not None and iqr > epsilon
-        fields = [F.lit(c).alias("column_name")]
+        has_z, has_iqr, _ = _flags(ref_stats[c])
+        fields = [f"'column_name', '{c}'"]
         for pre in ("ref", "curr"):
-            n = F.col(f"{pre}__{c}__n")
-            fields.append(n.alias(f"{pre}_n"))
-            z = F.col(f"{pre}__{c}__z") if has_z else F.lit(None).cast("long")
-            fields.append(z.alias(f"{pre}_z_outlier_count"))
+            n = f"`{pre}__{c}__n`"
+            fields.append(f"'{pre}_n', {n}")
+            z = f"`{pre}__{c}__z`" if has_z else "CAST(NULL AS BIGINT)"
+            fields.append(f"'{pre}_z_outlier_count', {z}")
             fields.append(
-                (z / F.greatest(n, F.lit(1))).alias(f"{pre}_z_outlier_ratio")
-                if has_z
-                else F.lit(None).cast("double").alias(f"{pre}_z_outlier_ratio")
+                f"'{pre}_z_outlier_ratio', "
+                + (f"{z} / greatest({n}, 1)" if has_z else "CAST(NULL AS DOUBLE)")
             )
-            o = F.col(f"{pre}__{c}__iqr") if has_iqr else F.lit(None).cast("long")
-            e = F.col(f"{pre}__{c}__ext") if has_iqr else F.lit(None).cast("long")
-            fields.append(o.alias(f"{pre}_outlier_count"))
-            fields.append(e.alias(f"{pre}_extreme_count"))
+            o = f"`{pre}__{c}__iqr`" if has_iqr else "CAST(NULL AS BIGINT)"
+            e = f"`{pre}__{c}__ext`" if has_iqr else "CAST(NULL AS BIGINT)"
+            fields.append(f"'{pre}_outlier_count', {o}")
+            fields.append(f"'{pre}_extreme_count', {e}")
             fields.append(
-                (o / F.greatest(n, F.lit(1))).alias(f"{pre}_outlier_rate")
-                if has_iqr
-                else F.lit(None).cast("double").alias(f"{pre}_outlier_rate")
+                f"'{pre}_outlier_rate', "
+                + (f"{o} / greatest({n}, 1)" if has_iqr else "CAST(NULL AS DOUBLE)")
             )
             fields.append(
-                (e / F.greatest(n, F.lit(1))).alias(f"{pre}_extreme_rate")
-                if has_iqr
-                else F.lit(None).cast("double").alias(f"{pre}_extreme_rate")
+                f"'{pre}_extreme_rate', "
+                + (f"{e} / greatest({n}, 1)" if has_iqr else "CAST(NULL AS DOUBLE)")
             )
-        structs.append(F.struct(*fields))
-    out = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+        structs.append("named_struct(" + ", ".join(fields) + ")")
+    out = wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
 
     # z-score drift classification — rare_event_analyzer.py:160-177
-    rr, cr = F.col("ref_z_outlier_ratio"), F.col("curr_z_outlier_ratio")
     rel = (
-        F.when(rr > 0, (cr - rr) / rr)
-        .when(cr > 0, F.lit(1.0))
-        .otherwise(F.lit(0.0))
+        "CASE WHEN ref_z_outlier_ratio > 0 THEN"
+        " (curr_z_outlier_ratio - ref_z_outlier_ratio) / ref_z_outlier_ratio"
+        " WHEN curr_z_outlier_ratio > 0 THEN 1.0D ELSE 0.0D END"
     )
-    out = (
-        out.withColumn("z_rel_change", rel)
-        .withColumn(
-            "z_significant",
-            (F.abs(rel) >= 0.3) | (F.abs(cr - rr) >= 0.01),
-        )
-        .withColumn(
-            "z_severity",
-            F.when(
-                (F.abs(rel) >= 1.0) | (F.abs(cr - rr) >= 0.05), "high"
-            ).otherwise("medium"),
-        )
-        .withColumn(
-            "outlier_rate_diff", F.abs(F.col("curr_outlier_rate") - F.col("ref_outlier_rate"))
-        )
-        .withColumn(
-            "extreme_rate_diff", F.abs(F.col("curr_extreme_rate") - F.col("ref_extreme_rate"))
-        )
+    adiff = "abs(curr_z_outlier_ratio - ref_z_outlier_ratio)"
+    return out.selectExpr(
+        "*",
+        f"{rel} AS z_rel_change",
+        f"(abs({rel}) >= 0.3D) OR ({adiff} >= 0.01D) AS z_significant",
+        f"CASE WHEN (abs({rel}) >= 1.0D) OR ({adiff} >= 0.05D)"
+        " THEN 'high' ELSE 'medium' END AS z_severity",
+        "abs(curr_outlier_rate - ref_outlier_rate) AS outlier_rate_diff",
+        "abs(curr_extreme_rate - ref_extreme_rate) AS extreme_rate_diff",
     )
-    return out
