@@ -38,8 +38,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
-from pyspark_data_drift_detector_spark.operators.numeric_drift import severity_expr
-
 DEFAULT_CAT_THRESHOLDS: dict[str, float] = {
     "category_threshold": 0.03,
     "chi_square_pvalue": 0.05,
