@@ -288,3 +288,36 @@ def test_sessionize_single_shuffle(spark, sf_dir):
 
     out = sessionize(load_events(spark, sf_dir))
     assert_max_shuffles(out, 1)
+
+
+def test_detect_drift_plan_construction_budget(spark, sf_dir):
+    """Driver-side plan construction must stay SQL-string-assembled: the
+    Column-API version of these builders cost ~48k synchronous py4j
+    round-trips (~9s of driver time vs 0.1s of execution — the r4
+    finding). Budget leaves ~3x headroom over the converted ~11k."""
+    import py4j.clientserver as cs
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = df.filter(F.col("l_orderkey") % 2 == 0)
+    curr = df.filter(F.col("l_orderkey") % 2 == 1)
+    detect_drift(ref, curr).collect()  # warm every lazy import/JIT path
+
+    counter = {"n": 0}
+    orig = cs.ClientServerConnection.send_command
+
+    def patched(self, command):
+        counter["n"] += 1
+        return orig(self, command)
+
+    cs.ClientServerConnection.send_command = patched
+    try:
+        detect_drift(ref, curr)
+    finally:
+        cs.ClientServerConnection.send_command = orig
+    assert counter["n"] < 30_000, (
+        f"detect_drift made {counter['n']} py4j round-trips building its plan "
+        "— a builder has regressed from SQL-string assembly to per-expression "
+        "Column construction (see README 'Scale design rules')"
+    )
