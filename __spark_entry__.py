@@ -2854,6 +2854,117 @@ def _windowed_drift_sql() -> str:
     FROM lagged WHERE prev_n IS NOT NULL"""
 
 
+def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-field profile of the events.props JSON payload column."""
+    from pyspark_data_drift_detector_spark.operators.semistructured import (
+        json_field_stats,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    out = json_field_stats(load_events(spark, sf_dir), "props", {"k": "bigint"})
+    return _round_cols(out, ["null_ratio", "min", "max", "mean"])
+
+
+def _json_profile_sql() -> str:
+    return f"""
+    WITH x AS (SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
+    SELECT 'k' AS field, 'bigint' AS type,
+      COUNT(*) AS n_rows, COUNT(k) AS n,
+      SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS null_count,
+      ROUND(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) / COUNT(*), {ROUND})
+        AS null_ratio,
+      ROUND(MIN(CAST(k AS DOUBLE)), {ROUND}) AS min,
+      ROUND(MAX(CAST(k AS DOUBLE)), {ROUND}) AS max,
+      ROUND(AVG(CAST(k AS DOUBLE)), {ROUND}) AS mean,
+      COUNT(DISTINCT k) AS distinct_count
+    FROM x"""
+
+
+def q_json_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift over the JSON payload field k, even/odd event split —
+    the full M16 scoring pipeline applied to an extracted field."""
+    from pyspark_data_drift_detector_spark.operators.semistructured import (
+        json_field_drift,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = json_field_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "props",
+        {"k": "bigint"},
+    )
+    keep = [
+        "column_name",
+        "ref_n",
+        "curr_n",
+        "ref_mean",
+        "curr_mean",
+        "mean_relative_diff",
+        "median_relative_diff",
+        "std_dev_relative_diff",
+        "drift_score",
+        "drift_severity",
+        "drift_detected",
+    ]
+    return _round_cols(
+        out.select(*keep),
+        ["ref_mean", "curr_mean", "mean_relative_diff", "median_relative_diff",
+         "std_dev_relative_diff", "drift_score"],
+    )
+
+
+def _json_drift_sql() -> str:
+    # replay: extract k per side, compute the M16 metrics the kept columns
+    # expose (same weighted-score math as _numeric_drift_sql, restricted to
+    # one column)
+    return f"""
+    WITH x AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+                      TRY_CAST(props->>'k' AS BIGINT) AS k FROM events),
+    prof AS (SELECT side, COUNT(*) AS n_rows, COUNT(k) AS n,
+        SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS nulls,
+        AVG(CAST(k AS DOUBLE)) AS mean, STDDEV_SAMP(CAST(k AS DOUBLE)) AS sd,
+        quantile_cont(CAST(k AS DOUBLE), 0.5) AS med,
+        quantile_cont(CAST(k AS DOUBLE), 0.25) AS p25,
+        quantile_cont(CAST(k AS DOUBLE), 0.75) AS p75,
+        MIN(CAST(k AS DOUBLE)) AS mn, MAX(CAST(k AS DOUBLE)) AS mx
+      FROM x GROUP BY side),
+    j AS (SELECT
+        r.n AS ref_n, c.n AS curr_n, r.mean AS ref_mean, c.mean AS curr_mean,
+        r.nulls / r.n_rows AS ref_nr, c.nulls / c.n_rows AS curr_nr,
+        CASE WHEN r.mean = 0 THEN CASE WHEN c.mean != 0 THEN 1.0 ELSE 0.0 END
+             ELSE (c.mean - r.mean) / ABS(r.mean) END AS mean_rd,
+        CASE WHEN r.med = 0 THEN CASE WHEN c.med != 0 THEN 1.0 ELSE 0.0 END
+             ELSE (c.med - r.med) / ABS(r.med) END AS med_rd,
+        CASE WHEN r.sd = 0 THEN CASE WHEN c.sd != 0 THEN 1.0 ELSE 0.0 END
+             ELSE (c.sd - r.sd) / ABS(r.sd) END AS sd_rd,
+        CASE WHEN r.p75 - r.p25 = 0 THEN CASE WHEN c.p75 - c.p25 != 0 THEN 1.0 ELSE 0.0 END
+             ELSE ((c.p75 - c.p25) - (r.p75 - r.p25)) / ABS(r.p75 - r.p25) END AS iqr_rd,
+        CASE WHEN r.mx - r.mn = 0 THEN CASE WHEN c.mx - c.mn != 0 THEN 1.0 ELSE 0.0 END
+             ELSE ((c.mx - c.mn) - (r.mx - r.mn)) / ABS(r.mx - r.mn) END AS rng_rd
+      FROM (SELECT * FROM prof WHERE side='r') r, (SELECT * FROM prof WHERE side='c') c),
+    s AS (SELECT *,
+        curr_nr - ref_nr AS null_diff,
+        LEAST(1.0, (0.0 + ABS(mean_rd)*0.25 + ABS(med_rd)*0.2 + ABS(sd_rd)*0.15
+          + ABS(iqr_rd)*0.15 + ABS(null_diff)*0.1 + ABS(rng_rd)*0.15)
+          / (0.25+0.2+0.15+0.15+0.1+0.15)) AS score
+      FROM j)
+    SELECT 'k' AS column_name, ref_n, curr_n,
+      ROUND(ref_mean, {ROUND}) AS ref_mean, ROUND(curr_mean, {ROUND}) AS curr_mean,
+      ROUND(mean_rd, {ROUND}) AS mean_relative_diff,
+      ROUND(med_rd, {ROUND}) AS median_relative_diff,
+      ROUND(sd_rd, {ROUND}) AS std_dev_relative_diff,
+      ROUND(score, {ROUND}) AS drift_score,
+      CASE WHEN score < 0.1 THEN 'None' WHEN score < 0.25 THEN 'Low'
+           WHEN score < 0.5 THEN 'Medium' WHEN score < 0.75 THEN 'High'
+           ELSE 'Critical' END AS drift_severity,
+      (ABS(mean_rd) > 0.05 OR ABS(med_rd) > 0.05 OR ABS(sd_rd) > 0.1
+       OR ABS(iqr_rd) > 0.1 OR ABS(null_diff) > 0.005 OR ABS(rng_rd) > 0.1)
+        AS drift_detected
+    FROM s"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc avg log-prob + perplexity under the corpus unigram LM."""
     from pyspark_data_drift_detector_spark.operators.corpus import unigram_logprob
@@ -3238,6 +3349,8 @@ def _oracle_queries() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "json_profile": _json_profile_sql(),
+        "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "vocab_drift": _vocab_drift_sql(),
@@ -3325,6 +3438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
+        "json_profile": q_json_profile,
+        "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "vocab_drift": q_vocab_drift,

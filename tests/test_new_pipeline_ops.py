@@ -168,3 +168,35 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
     assert rows[2]["perplexity"] > rows[1]["perplexity"]
     assert rows[1]["n_tokens"] == 5
+
+
+# ------------------------------------------------------------ semi-structured
+
+
+def test_json_fields_null_safety_and_inference(spark):
+    from pyspark_data_drift_detector_spark.operators.semistructured import (
+        infer_json_fields,
+        json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "a"}'),
+            (2, '{"k": "not-a-number"}'),  # wrong type -> NULL via try_cast
+            (3, "not json at all"),  # malformed -> NULL
+            (4, None),  # null payload -> NULL
+        ],
+        "id long, props string",
+    )
+    out = {
+        r["id"]: (r["k"], r["tag"])
+        for r in json_fields(df, "props", {"k": "bigint", "tag": "string"}).collect()
+    }
+    assert out[1] == (5, "a")
+    assert out[2][0] is None
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+    inferred = infer_json_fields(df.filter(F.col("id") == 1), "props")
+    assert inferred.get("k", "").upper() == "BIGINT"
+    assert inferred.get("tag", "").upper() == "STRING"
