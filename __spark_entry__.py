@@ -2854,6 +2854,49 @@ def _windowed_drift_sql() -> str:
     FROM lagged WHERE prev_n IS NOT NULL"""
 
 
+def q_merged_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profile: lineitem is profiled in 4 hash partitions whose
+    additive states (sum/sumsq/min/max/counts) are then MERGED — no second
+    scan. The oracle computes the same stats directly over the union, so
+    the check proves the merge algebra is exact (ROUND-level for the float
+    sums)."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        incremental_profile,
+    )
+
+    out = incremental_profile(
+        _lineitem(spark, sf_dir),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "pmod(l_orderkey, 4)",
+    )
+    return _round_cols(
+        out.select(
+            "column_name", "n_rows", "n", "null_count", "null_ratio",
+            "min", "max", "mean", "stddev",
+        ),
+        ["null_ratio", "min", "max", "mean", "stddev"],
+    )
+
+
+def _merged_profile_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+          COUNT({c}) AS n,
+          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+          ROUND(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*), {ROUND})
+            AS null_ratio,
+          ROUND(MIN(CAST({c} AS DOUBLE)), {ROUND}) AS min,
+          ROUND(MAX(CAST({c} AS DOUBLE)), {ROUND}) AS max,
+          ROUND(AVG(CAST({c} AS DOUBLE)), {ROUND}) AS mean,
+          ROUND(STDDEV_SAMP(CAST({c} AS DOUBLE)), {ROUND}) AS stddev
+        FROM lineitem"""
+        for c in cols
+    )
+    return parts
+
+
 def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-field profile of the events.props JSON payload column."""
     from pyspark_data_drift_detector_spark.operators.semistructured import (
@@ -3349,6 +3392,7 @@ def _oracle_queries() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "merged_profile": _merged_profile_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -3438,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
+        "merged_profile": q_merged_profile,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

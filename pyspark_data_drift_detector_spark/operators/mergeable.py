@@ -1,0 +1,122 @@
+"""Mergeable (incremental) numeric profiles.
+
+At 100 TB the corpus arrives partition by partition (daily loads, kafka
+windows); re-scanning the union for every drift check is the cost the
+reference pays (it re-profiles both full snapshots every run). The sketch
+here: profile each partition ONCE into an additive summary, persist the
+O(partitions × columns) summary table, and MERGE summaries for any window
+— merging is a tiny aggregate over the summary table, no data scan.
+
+Additive state per (partition, column): ``n_rows, n, null_count, sum,
+sumsq, min, max`` — all of which merge by +/min/max, so the merge is
+exact algebra (the same partial-aggregate shapes Spark's own
+``avg``/``stddev`` merge internally; sum-of-squares keeps the state
+additive where Welford's M2 would need pairwise combination). Mean and
+sample stddev are derived AFTER merging. Quantiles are deliberately not
+carried — exact quantiles are not finitely mergeable; use the KLL sketch
+mode (``profile.numeric_profile(quantile_mode="kll")``) when mergeable
+quantiles are required.
+
+``incremental_profile`` = ``partitioned_profile`` → filter to a window →
+``merge_profiles``: the batch-incremental pattern a daily pipeline runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partitioned_profile(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+) -> DataFrame:
+    """Additive per-partition profile state, one wide pass.
+
+    ``partition_by``: a column or expression labeling each row's partition
+    (a date, an ingest batch id, a bucket). Output: one row per
+    ``(partition_id, column_name)`` with the additive state.
+    """
+    if not columns:
+        raise ValueError("no columns to profile")
+    part = F.expr(partition_by) if isinstance(partition_by, str) else partition_by
+    aggs: list[str] = ["count(1) AS `__n_rows`"]
+    for c in columns:
+        dc = f"CAST(`{c}` AS DOUBLE)"
+        aggs += [
+            f"count({dc}) AS `{c}__n`",
+            f"sum(CAST(`{c}` IS NULL AS BIGINT)) AS `{c}__nulls`",
+            f"sum({dc}) AS `{c}__sum`",
+            f"sum({dc} * {dc}) AS `{c}__sumsq`",
+            f"min({dc}) AS `{c}__min`",
+            f"max({dc}) AS `{c}__max`",
+        ]
+    wide = df.withColumn("__pid", part.cast("string")).groupBy("__pid").agg(
+        *[F.expr(a) for a in aggs]
+    )
+    structs = ", ".join(
+        "named_struct("
+        f"'column_name', '{c}', 'n_rows', `__n_rows`, 'n', `{c}__n`, "
+        f"'null_count', `{c}__nulls`, 'sum', `{c}__sum`, 'sumsq', `{c}__sumsq`, "
+        f"'min', `{c}__min`, 'max', `{c}__max`)"
+        for c in columns
+    )
+    return wide.selectExpr(
+        "__pid AS partition_id", f"inline(array({structs}))"
+    )
+
+
+def merge_profiles(parts: DataFrame) -> DataFrame:
+    """Merge additive profile states into one profile per column.
+
+    Input: any subset of ``partitioned_profile`` rows (e.g. filtered to a
+    date window). The merge is a tiny aggregate over O(partitions ×
+    columns) rows — no data re-scan. Output per column: ``n_rows, n,
+    null_count, null_ratio, min, max, mean, stddev`` (sample stddev,
+    guarded to NULL for n < 2 and clamped at 0 against float
+    cancellation).
+    """
+    merged = parts.groupBy("column_name").agg(
+        *[
+            F.expr(e)
+            for e in (
+                "sum(n_rows) AS n_rows",
+                "sum(n) AS n",
+                "sum(null_count) AS null_count",
+                "sum(sum) AS s",
+                "sum(sumsq) AS ss",
+                "min(min) AS min",
+                "max(max) AS max",
+            )
+        ]
+    )
+    return merged.selectExpr(
+        "column_name",
+        "n_rows",
+        "n",
+        "null_count",
+        "null_count / n_rows AS null_ratio",
+        "min",
+        "max",
+        "CASE WHEN n > 0 THEN s / n END AS mean",
+        "CASE WHEN n > 1 THEN sqrt(greatest(0.0D, (ss - s * s / n) / (n - 1))) END"
+        " AS stddev",
+    )
+
+
+def incremental_profile(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+    partitions: list[str] | None = None,
+) -> DataFrame:
+    """Profile-by-partition then merge — optionally restricted to a window.
+
+    ``partitions``: keep only these partition ids before merging (the
+    "any date window without re-scanning" path when the summary table is
+    persisted)."""
+    parts = partitioned_profile(df, columns, partition_by)
+    if partitions is not None:
+        parts = parts.where(F.col("partition_id").isin(partitions))
+    return merge_profiles(parts)

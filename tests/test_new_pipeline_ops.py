@@ -200,3 +200,45 @@ def test_json_fields_null_safety_and_inference(spark):
     inferred = infer_json_fields(df.filter(F.col("id") == 1), "props")
     assert inferred.get("k", "").upper() == "BIGINT"
     assert inferred.get("tag", "").upper() == "STRING"
+
+
+# ------------------------------------------------------------ mergeable
+
+
+def test_incremental_profile_window_matches_direct(spark, sf_dir):
+    """Merging a SUBSET of partition summaries equals profiling that
+    subset directly — the no-rescan window query the summary table
+    exists for."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        incremental_profile,
+        merge_profiles,
+        partitioned_profile,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_discount"]
+    parts = partitioned_profile(li, cols, "pmod(l_orderkey, 4)")
+    assert parts.count() == 4 * len(cols)
+
+    window = merge_profiles(parts.where(F.col("partition_id").isin(["0", "1"])))
+    direct = merge_profiles(
+        partitioned_profile(
+            li.filter(F.expr("pmod(l_orderkey, 4)") <= 1), cols, F.lit("all")
+        )
+    )
+    w = {r["column_name"]: r for r in window.collect()}
+    d = {r["column_name"]: r for r in direct.collect()}
+    for c in cols:
+        assert w[c]["n"] == d[c]["n"]
+        assert w[c]["min"] == d[c]["min"] and w[c]["max"] == d[c]["max"]
+        assert abs(w[c]["mean"] - d[c]["mean"]) < 1e-9
+        assert abs(w[c]["stddev"] - d[c]["stddev"]) < 1e-9
+    # convenience wrapper = the same thing
+    inc = {
+        r["column_name"]: r
+        for r in incremental_profile(
+            li, cols, "pmod(l_orderkey, 4)", partitions=["0", "1"]
+        ).collect()
+    }
+    for c in cols:
+        assert inc[c]["n"] == w[c]["n"]
