@@ -2897,6 +2897,91 @@ def _merged_profile_sql() -> str:
     return parts
 
 
+def q_merged_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-vs-window drift straight from the partition summary table
+    (hash partitions {0,1} vs {2,3}) — zero data re-scan; the weighted
+    score renormalizes over the quantile-free metric set."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_drift,
+        partitioned_profile,
+    )
+
+    parts = partitioned_profile(
+        _lineitem(spark, sf_dir),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "pmod(l_orderkey, 4)",
+    )
+    out = merged_drift(parts, ["0", "1"], ["2", "3"])
+    keep = [
+        "column_name", "ref_n", "curr_n", "ref_mean", "curr_mean",
+        "mean_relative_diff", "std_dev_relative_diff", "range_relative_diff",
+        "null_diff", "drift_score", "drift_severity", "drift_detected",
+    ]
+    return _round_cols(
+        out.select(*keep),
+        ["ref_mean", "curr_mean", "mean_relative_diff", "std_dev_relative_diff",
+         "range_relative_diff", "null_diff", "drift_score"],
+    )
+
+
+def _merged_drift_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # metric weights present without quantiles: mean .25, std .15, null .1,
+    # range .15 — mass 0.65, same accumulation order as the Spark scorer
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+          COUNT(CASE WHEN side='r' THEN {c} END) AS ref_n,
+          COUNT(CASE WHEN side='c' THEN {c} END) AS curr_n,
+          AVG(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mean,
+          AVG(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mean,
+          STDDEV_SAMP(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_sd,
+          STDDEV_SAMP(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_sd,
+          MIN(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mn,
+          MAX(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mx,
+          MIN(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mn,
+          MAX(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mx,
+          SUM(CASE WHEN side='r' AND {c} IS NULL THEN 1 ELSE 0 END)
+            / SUM(CASE WHEN side='r' THEN 1 ELSE 0 END) AS ref_nr,
+          SUM(CASE WHEN side='c' AND {c} IS NULL THEN 1 ELSE 0 END)
+            / SUM(CASE WHEN side='c' THEN 1 ELSE 0 END) AS curr_nr
+        FROM (SELECT CASE WHEN l_orderkey % 4 <= 1 THEN 'r' ELSE 'c' END AS side, *
+              FROM lineitem)
+        """
+        for c in cols
+    )
+    rel = (
+        lambda r, c: f"CASE WHEN {r} IS NULL OR {c} IS NULL THEN NULL"
+        f" WHEN {r} = 0 THEN CASE WHEN {c} != 0 THEN 1.0 ELSE 0.0 END"
+        f" ELSE ({c} - {r}) / ABS({r}) END"
+    )
+    mean_rd = rel("ref_mean", "curr_mean")
+    sd_rd = rel("ref_sd", "curr_sd")
+    rng_rd = rel("(ref_mx - ref_mn)", "(curr_mx - curr_mn)")
+    return f"""
+    WITH p AS ({per_col}),
+    m AS (SELECT *, {mean_rd} AS mean_rd, {sd_rd} AS sd_rd, {rng_rd} AS rng_rd,
+            COALESCE(curr_nr, 0) - COALESCE(ref_nr, 0) AS null_diff FROM p),
+    s AS (SELECT *,
+        LEAST(1.0, (0.0 + ABS(mean_rd)*0.25 + ABS(sd_rd)*0.15
+          + ABS(null_diff)*0.1 + ABS(rng_rd)*0.15) / (0.25+0.15+0.1+0.15)) AS score
+      FROM m)
+    SELECT column_name, ref_n, curr_n,
+      ROUND(ref_mean, {ROUND}) AS ref_mean, ROUND(curr_mean, {ROUND}) AS curr_mean,
+      ROUND(mean_rd, {ROUND}) AS mean_relative_diff,
+      ROUND(sd_rd, {ROUND}) AS std_dev_relative_diff,
+      ROUND(rng_rd, {ROUND}) AS range_relative_diff,
+      ROUND(null_diff, {ROUND}) AS null_diff,
+      ROUND(score, {ROUND}) AS drift_score,
+      CASE WHEN score < 0.1 THEN 'None' WHEN score < 0.25 THEN 'Low'
+           WHEN score < 0.5 THEN 'Medium' WHEN score < 0.75 THEN 'High'
+           ELSE 'Critical' END AS drift_severity,
+      (ABS(COALESCE(mean_rd, 0)) > 0.05 OR ABS(COALESCE(sd_rd, 0)) > 0.1
+       OR ABS(COALESCE(null_diff, 0)) > 0.005 OR ABS(COALESCE(rng_rd, 0)) > 0.1)
+        AS drift_detected
+    FROM s"""
+
+
 def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-field profile of the events.props JSON payload column."""
     from pyspark_data_drift_detector_spark.operators.semistructured import (
@@ -3393,6 +3478,7 @@ def _oracle_queries() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "merged_profile": _merged_profile_sql(),
+        "merged_drift": _merged_drift_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -3483,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
         "merged_profile": q_merged_profile,
+        "merged_drift": q_merged_drift,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

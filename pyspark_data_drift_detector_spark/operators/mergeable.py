@@ -105,6 +105,48 @@ def merge_profiles(parts: DataFrame) -> DataFrame:
     )
 
 
+def merged_drift(
+    parts: DataFrame,
+    ref_partitions: list[str],
+    curr_partitions: list[str],
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Numeric drift between two PARTITION WINDOWS of one summary table —
+    no data re-scan at all: both sides' profiles come from
+    ``merge_profiles`` over the persisted additive states, then the
+    standard M16 expression scoring runs on the O(columns) join.
+
+    Quantile-based metrics (median/IQR) are NULL — additive state carries
+    no quantiles — and the weighted score renormalizes over the metrics
+    that ARE present (the same weight-mass rule the reference applies to
+    missing metrics). This is the "did yesterday drift from last week"
+    check a daily pipeline runs for the cost of a metadata query.
+    """
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_from_joined,
+    )
+
+    sides = {
+        "ref_": merge_profiles(parts.where(F.col("partition_id").isin(ref_partitions))),
+        "curr_": merge_profiles(
+            parts.where(F.col("partition_id").isin(curr_partitions))
+        ),
+    }
+    prefixed = []
+    for pre, prof in sides.items():
+        prefixed.append(
+            prof.selectExpr(
+                "column_name",
+                *[f"`{c}` AS `{pre}{c}`" for c in prof.columns if c != "column_name"],
+                # additive state carries no quantiles: NULL placeholders let
+                # the scorer's weight-mass normalization drop those metrics
+                *[f"CAST(NULL AS DOUBLE) AS `{pre}{q}`" for q in ("p25", "p50", "p75")],
+            )
+        )
+    joined = prefixed[0].join(F.broadcast(prefixed[1]), "column_name", "full_outer")
+    return numeric_drift_from_joined(joined, thresholds)
+
+
 def incremental_profile(
     df: DataFrame,
     columns: list[str],
