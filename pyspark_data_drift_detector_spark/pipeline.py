@@ -70,11 +70,33 @@ def detect_drift(
     """
     cfg = config if isinstance(config, DriftConfig) else DriftConfig(config or {})
 
+    # JSON payload columns analyze like physical columns: extract the typed
+    # fields up front on BOTH sides (cfg["json_fields"] = {json_col:
+    # {field: spark_type}} — or {json_col: None} to infer from a ref
+    # sample). The extracted columns flow through inference and every
+    # analyzer family; the raw JSON string column is excluded.
+    json_cfg = cfg.get("json_fields") or {}
+    json_extracted: list[str] = []
+    if json_cfg:
+        from pyspark_data_drift_detector_spark.operators.semistructured import (
+            infer_json_fields,
+            json_fields,
+        )
+
+        for jcol, fields in json_cfg.items():
+            if fields is None:
+                fields = infer_json_fields(df_ref, jcol)
+            if not fields:
+                continue
+            df_ref = json_fields(df_ref, jcol, fields)
+            df_curr = json_fields(df_curr, jcol, fields)
+            json_extracted += [n.replace(".", "_") for n in fields]
+
     include = set(cfg.get("include_columns") or [])
-    exclude = set(cfg.get("exclude_columns") or [])
+    exclude = set(cfg.get("exclude_columns") or []) | set(json_cfg)
     common = [c for c in df_ref.columns if c in set(df_curr.columns)]
     if include:
-        common = [c for c in common if c in include]
+        common = [c for c in common if c in include or c in json_extracted]
     common = [c for c in common if c not in exclude]
 
     types = infer_column_types(
