@@ -354,44 +354,38 @@ def psi_numeric(
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
-    aggs = []
+    # SQL-string assembly — see profile._quantile_agg_sql for why (12.9k
+    # bridge calls ≈ 5.6s of driver time for 4 columns before)
+    aggs: list[str] = []
     for c, es in edges.items():
-        v = F.col(c).cast("double")
-        bin_expr = sum(
-            (v > F.lit(float(e))).cast("int") for e in es if e is not None
+        v = f"CAST(`{c}` AS DOUBLE)"
+        bin_expr = " + ".join(
+            f"CAST({v} > {float(e)!r}D AS INT)" for e in es if e is not None
         )
-        for pre, tag in (("ref", "r"), ("curr", "c")):
-            cond = (F.col("__side") == tag) & v.isNotNull()
-            aggs.append(F.sum(cond.cast("long")).alias(f"__{pre}__{c}__n"))
+        for pre, tag in (("ref", "'r'"), ("curr", "'c'")):
+            cond = f"__side = {tag} AND {v} IS NOT NULL"
+            aggs.append(f"sum(CAST(({cond}) AS BIGINT)) AS `__{pre}__{c}__n`")
             for b in range(bins):
                 aggs.append(
-                    F.sum((cond & (bin_expr == b)).cast("long")).alias(f"__{pre}__{c}__b{b}")
+                    f"sum(CAST(({cond} AND ({bin_expr}) = {b}) AS BIGINT))"
+                    f" AS `__{pre}__{c}__b{b}`"
                 )
-    wide = tagged.agg(*aggs)
+    wide = tagged.selectExpr(*aggs)
+    eps = f"{float(epsilon)!r}D"
     structs = []
     for c in edges:
         terms = []
         for b in range(bins):
-            p = F.greatest(
-                F.col(f"__ref__{c}__b{b}") / F.greatest(F.col(f"__ref__{c}__n"), F.lit(1)),
-                F.lit(epsilon),
-            )
-            q = F.greatest(
-                F.col(f"__curr__{c}__b{b}") / F.greatest(F.col(f"__curr__{c}__n"), F.lit(1)),
-                F.lit(epsilon),
-            )
-            terms.append((q - p) * F.log(q / p))
-        psi = sum(terms[1:], terms[0])
-        structs.append(F.struct(F.lit(c).alias("column_name"), psi.alias("psi")))
-    return (
-        wide.select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.*")
-        .withColumn(
-            "stability",
-            F.when(F.col("psi") < 0.1, "stable")
-            .when(F.col("psi") < 0.25, "moderate_shift")
-            .otherwise("significant_shift"),
+            p = f"greatest(`__ref__{c}__b{b}` / greatest(`__ref__{c}__n`, 1), {eps})"
+            q = f"greatest(`__curr__{c}__b{b}` / greatest(`__curr__{c}__n`, 1), {eps})"
+            terms.append(f"(({q}) - ({p})) * ln(({q}) / ({p}))")
+        structs.append(
+            f"named_struct('column_name', '{c}', 'psi', {' + '.join(terms)})"
         )
+    return wide.selectExpr("inline(array(" + ", ".join(structs) + "))").selectExpr(
+        "*",
+        "CASE WHEN psi < 0.1D THEN 'stable' WHEN psi < 0.25D THEN 'moderate_shift'"
+        " ELSE 'significant_shift' END AS stability",
     )
 
 
