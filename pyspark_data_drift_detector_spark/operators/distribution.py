@@ -240,23 +240,20 @@ def edf_distances(
     no two-sample tests) — standard drift-detection capability.
     """
     from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
-    pairs = F.array(
-        *[
-            F.struct(F.lit(c).alias("column_name"), F.col(c).cast("double").alias("value"))
-            for c in columns
-        ]
-    )
+
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )
-    melted = (
-        tagged.select("__side", F.explode(pairs).alias("kv"))
-        .select("__side", "kv.*")
-        .where(F.col("value").isNotNull())
+    structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS DOUBLE))"
+        for c in columns
+    )
+    melted = tagged.selectExpr("__side", f"inline(array({structs}))").where(
+        F.col("value").isNotNull()
     )
     cells = melted.groupBy("column_name", "value").agg(
-        F.sum((F.col("__side") == "r").cast("long")).alias("rc"),
-        F.sum((F.col("__side") == "c").cast("long")).alias("cc"),
+        F.expr("sum(CAST(__side = 'r' AS BIGINT)) AS rc"),
+        F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS cc"),
     )
     enr = bucketed_cumsum(
         cells, "column_name", "value", ["rc", "cc"], lead_col="__next_value"
@@ -273,23 +270,19 @@ def edf_distances(
         F.max("tot_rc").alias("n_ref"),
         F.max("tot_cc").alias("n_curr"),
     )
-    lam = F.col("ks") * F.sqrt(
-        F.col("n_ref") * F.col("n_curr") / (F.col("n_ref") + F.col("n_curr"))
+    lam = "(ks * sqrt(n_ref * n_curr / (n_ref + n_curr)))"
+    series = " + ".join(
+        f"{float((-1) ** (k - 1))!r}D * exp({-2.0 * k * k!r}D * {lam} * {lam})"
+        for k in range(1, ks_pvalue_terms + 1)
     )
-    series = None
-    for k in range(1, ks_pvalue_terms + 1):
-        term = F.lit(float((-1) ** (k - 1))) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
-        series = term if series is None else series + term
-    pval = F.when(
-        lam < 0.4, F.lit(1.0)
-    ).otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2 * series)))
-    return agg.select(
+    return agg.selectExpr(
         "column_name",
         "ks",
-        pval.alias("ks_pvalue"),
+        f"CASE WHEN {lam} < 0.4D THEN 1.0D"
+        f" ELSE greatest(0.0D, least(1.0D, 2 * ({series}))) END AS ks_pvalue",
         "wasserstein",
-        F.col("n_ref").cast("long").alias("n_ref"),
-        F.col("n_curr").cast("long").alias("n_curr"),
+        "CAST(n_ref AS BIGINT) AS n_ref",
+        "CAST(n_curr AS BIGINT) AS n_curr",
     )
 
 
