@@ -212,20 +212,19 @@ def minhash_signatures(
     DuckDB SQL, used by the correctness harness to value-verify the banding
     algebra. Same algorithm, same plan shape; only the hash function differs.
     """
+    # SQL-string assembly for the num_hashes aggregate list — see
+    # profile._quantile_agg_sql for why
     index = _shingle_index(df, text_col, id_col, k)
     if hash_family == "md5":
         index = index.withColumn("h", md5_hash60(F.col("shingle")) % MERSENNE31)
         aggs = [
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+            f"min(({a} * h + {b}) % {MERSENNE31}) AS h{i}"
             for i, (a, b) in enumerate(affine_params(num_hashes))
         ]
     else:
         index = index.withColumn("h", F.xxhash64(F.col("shingle")))
-        aggs = [
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    return index.groupBy("id").agg(*aggs)
+        aggs = [f"min(xxhash64(h, {i})) AS h{i}" for i in range(num_hashes)]
+    return index.groupBy("id").agg(*[F.expr(a) for a in aggs])
 
 
 def minhash_lsh_pairs(
@@ -266,27 +265,21 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_family)
     if hash_family == "md5":
         band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.array(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+            "named_struct('band', {b}, 'band_hash', array({hs}))".format(
+                b=b,
+                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
             )
             for b in range(bands)
         ]
     else:
         band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+            "named_struct('band', {b}, 'band_hash', xxhash64({hs}))".format(
+                b=b,
+                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
             )
             for b in range(bands)
         ]
-    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "bb.band", "bb.band_hash"
-    )
+    banded = sig.selectExpr("id", "inline(array(" + ", ".join(band_structs) + "))")
     if max_bucket_size is not None:
         # one extra aggregation over the banded table (already O(docs×bands))
         # buys freedom from quadratic blowup in hot buckets. Bucket sizes
@@ -580,16 +573,21 @@ def simhash(
         toks = toks.withColumn("h", md5_hash60(F.col("token")))
     else:
         toks = toks.withColumn("h", F.xxhash64(F.col("token")))
-    # branch-free ±1 vote: (bit<<1) − 1 — keeps the 64-aggregate codegen small
+    # branch-free ±1 vote: (bit<<1) − 1 — keeps the 64-aggregate codegen
+    # small. SQL-string assembly — see profile._quantile_agg_sql for why.
     votes = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-        for i in range(bits)
+        f"sum((shiftright(h, {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
     ]
-    agg = toks.groupBy("id").agg(*votes)
-    sig = F.lit(0).cast("long")
+    agg = toks.groupBy("id").agg(*[F.expr(v) for v in votes])
+    terms = []
     for i in range(bits):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return agg.select("id", sig.alias("simhash"))
+        # bit 63 is the sign bit: its set value IS long-min (written as the
+        # overflow-free two-literal form)
+        val = f"{2**i}L" if i < 63 else "(-9223372036854775807L - 1L)"
+        terms.append(f"CASE WHEN v{i} > 0 THEN {val} ELSE 0L END")
+    return agg.selectExpr(
+        "id", "CAST(0 AS BIGINT) + " + " + ".join(terms) + " AS simhash"
+    )
 
 
 def hamming_distance_expr(a: Column, b: Column) -> Column:
@@ -618,17 +616,13 @@ def simhash_pairs(
     sig = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family)
     width = bits // bands
     mask = (1 << width) - 1
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band', {b},"
+        f" 'key', shiftrightunsigned(simhash, {b * width}) & {mask})"
         for b in range(bands)
-    ]
+    )
     banded = _reuse(
-        sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb")).select(
-            "id", "simhash", "bb.band", "bb.key"
-        )
+        sig.selectExpr("id", "simhash", f"inline(array({band_structs}))")
     )
     a = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"), "band", "key")
     b = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"), "band", "key")
