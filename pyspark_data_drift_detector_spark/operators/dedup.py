@@ -507,20 +507,14 @@ def embedding_neardup_lsh(
             F.col(id_col).alias("id"),
             F.col(embedding_col).cast("array<double>").alias("e"),
         )
-        .withColumn("__sig", _signature_expr(F.col("e"), planes))
+        .withColumn("__sig", _signature_expr("e", planes))
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("__sig"), b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band', {b},"
+        f" 'key', shiftrightunsigned(__sig, {b * width}) & {mask})"
         for b in range(bands)
-    ]
-    banded = src.select("id", "e", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", "e", "bb.band", "bb.key"
     )
+    banded = src.selectExpr("id", "e", f"inline(array({band_structs}))")
     if max_bucket_size is not None:
         # groupBy + join (AQE picks broadcast when small), not a count
         # window — see minhash_lsh_pairs

@@ -103,27 +103,36 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _signature_expr(vec_col, planes: list[list[float]]):
+def _signature_expr(vec_name: str, planes: list[list[float]]):
     """Sign-bit LSH signature as a long: bit_i = (v · plane_i) > 0.
 
-    The plane matrix is ONE nested-array literal and the per-plane dot
-    products are a ``transform`` lambda — the naive unrolled form (one
-    ``zip_with``/``aggregate`` subtree per plane, ~n_planes·dim literal
-    nodes) made Catalyst plan analysis itself the bottleneck: measured
-    3.3s → 0.95s for build+run of the 16×64 signature at sf0.01, identical
-    values.
+    ``vec_name`` is the (backtick-safe) COLUMN NAME of the double-array
+    vector. The plane matrix is ONE nested-array literal inside ONE parsed
+    SQL expression and the per-plane dot products are ``transform``
+    lambdas — the naive unrolled form (one ``zip_with``/``aggregate``
+    subtree per plane) made Catalyst analysis the bottleneck, and even the
+    single-literal Column form paid ~0.66s of py4j traffic building the
+    16×64 nested ``F.lit`` element by element; the SQL text ships in one
+    bridge call (identical values, measured).
     """
-    weights = [float(2**i) for i in range(len(planes))]
-    dots = F.transform(
-        F.lit([[float(x) for x in p] for p in planes]),
-        lambda p: F.aggregate(
-            F.zip_with(vec_col, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        ),
+    vec = f"`{vec_name}`"
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")" for p in planes
+    ) + ")"
+    weights = "array(" + ", ".join(
+        f"{float(2 ** i)!r}D" for i in range(len(planes))
+    ) + ")"
+    dots = (
+        f"transform({mat}, p -> aggregate(zip_with({vec}, p, (x, y) -> x * y),"
+        " 0.0D, (s, x) -> s + x))"
     )
-    terms = F.zip_with(
-        dots, F.lit(weights), lambda d, w: F.when(d > 0, w).otherwise(F.lit(0.0))
+    terms = (
+        f"zip_with({dots}, {weights},"
+        " (d, w) -> CASE WHEN d > 0 THEN w ELSE 0.0D END)"
     )
-    return F.aggregate(terms, F.lit(0.0), lambda s, x: s + x).cast("long")
+    return F.expr(
+        f"CAST(aggregate({terms}, 0.0D, (s, x) -> s + x) AS BIGINT)"
+    )
 
 
 def lsh_topk(
@@ -166,21 +175,15 @@ def lsh_topk(
         sig_udf = make_signature_udf(planes)
 
     def banded(df: DataFrame, idalias: str, earr: str) -> DataFrame:
-        sig = sig_udf(F.col(earr)) if mode == "gemm" else _signature_expr(F.col(earr), planes)
+        sig = sig_udf(F.col(earr)) if mode == "gemm" else _signature_expr(earr, planes)
         withsig = df.withColumn("__sig", sig)
-        bandarr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("__sig"), b * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for b in range(bands)
-            ]
+        band_structs = ", ".join(
+            f"named_struct('band', {b},"
+            f" 'key', shiftrightunsigned(__sig, {b * width}) & {mask})"
+            for b in range(bands)
         )
-        return withsig.select(idalias, earr, F.explode(bandarr).alias("bb")).select(
-            idalias, earr, "bb.band", "bb.key"
+        return withsig.selectExpr(
+            idalias, earr, f"inline(array({band_structs}))"
         )
 
     q = banded(
