@@ -125,13 +125,13 @@ def decode_images(
                 }
             )
 
-    from pyspark_data_drift_detector_spark.operators.parallelism import (
-        ensure_min_partitions,
-    )
-
-    # per-payload decode work runs inside the Python workers; parallelism
-    # is the input split count — fan a small input out first (no-op at scale)
-    return ensure_min_partitions(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+    # Parallelism of the decode stage is the input's split count. Payloads
+    # are deliberately NOT round-robin repartitioned here: shuffling the
+    # widest column in the table to manufacture parallelism costs more than
+    # the decode saves (locally and at 100 TB alike). Payload-heavy scans
+    # should arrive pre-split — lower spark.sql.files.maxPartitionBytes at
+    # read time; AQE splits oversized partitions after any prior shuffle.
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _decode, schema=IMAGE_FEATURE_SCHEMA
     )
 
@@ -162,12 +162,8 @@ def sample_frames(
                     chunks.append(data[i * step : (i + 1) * step])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": chunks})
 
-    from pyspark_data_drift_detector_spark.operators.parallelism import (
-        ensure_min_partitions,
-    )
-
-    # the 1→N fan-out runs inside the Python workers; parallelism is the
-    # input split count — fan a small input out first (no-op at scale)
-    return ensure_min_partitions(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+    # As in decode_images: never shuffle payload bytes to win parallelism —
+    # pre-split the scan (spark.sql.files.maxPartitionBytes) instead.
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _frames, schema=FRAME_SCHEMA
     )

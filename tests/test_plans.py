@@ -321,3 +321,37 @@ def test_detect_drift_plan_construction_budget(spark, sf_dir):
         "— a builder has regressed from SQL-string assembly to per-expression "
         "Column construction (see README 'Scale design rules')"
     )
+
+
+def test_multimodal_never_shuffles_payload_bytes(docs):
+    """Payload-carrying frames must reach mapInPandas as a narrow map: a
+    round-robin repartition would move every payload byte (the widest
+    column in the table) across the wire — r4's image_features/frame_sample
+    regression. Parallelism comes from the scan's split count instead."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        decode_images,
+        sample_frames,
+    )
+
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    assert count_shuffles(decode_images(with_payload)) == 0
+    assert count_shuffles(sample_frames(with_payload)) == 0
+
+
+def test_ensure_min_partitions_refuses_binary(docs):
+    """The fan-out helper must pass binary-typed frames through unchanged
+    (no repartition, no .rdd probe side effects) unless explicitly allowed."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    one_split = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).coalesce(1)
+    assert ensure_min_partitions(one_split) is one_split
+    # text frames still fan out
+    narrow = docs.select("doc_id", "text").coalesce(1)
+    fanned = ensure_min_partitions(narrow, target=8)
+    assert fanned.rdd.getNumPartitions() == 8
