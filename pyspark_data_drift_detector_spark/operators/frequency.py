@@ -56,8 +56,19 @@ def with_key_totals(
     always broadcastable — and the groupBy's partial aggregation is
     map-side, so the fix costs one tiny extra shuffle and removes the
     per-key buffering entirely. Results are bit-identical (integer sums).
+
+    Small frames (per the ``top_k_cutoffs`` size gate) take the per-key
+    window directly: identical sums, and the plan drops the totals
+    aggregate + broadcast-build job — downstream windows on the same keys
+    then share one exchange.
     """
     key_list = list(keys)
+    if not _should_salt(cells):
+        w = Window.partitionBy(*key_list)
+        out = cells
+        for name, expr in sums.items():
+            out = out.withColumn(name, expr.over(w))
+        return out
     totals = cells.groupBy(*key_list).agg(
         *[expr.alias(name) for name, expr in sums.items()]
     )
@@ -95,13 +106,28 @@ def frequency_table(
     return counts
 
 
+#: Above this plan-time size estimate for the cells frame, the top-k
+#: builders run their salted two-phase shape (bounded per-task state); at
+#: or below it, a single per-key window is safe — the whole frame fits in
+#: one task with room to spare — and skips one exchange + one sort. The
+#: estimate comes from Catalyst statistics (file sizes), costs no job, and
+#: fails toward the salted path.
+SALT_SIZE_THRESHOLD_BYTES = 1 << 30
+
+
+def _should_salt(cells: DataFrame) -> bool:
+    from pyspark_data_drift_detector_spark.plans.inspect import estimated_size_bytes
+
+    return estimated_size_bytes(cells) > SALT_SIZE_THRESHOLD_BYTES
+
+
 def top_k_cutoffs(
     cells: DataFrame,
     k: int,
     keys: tuple[str, ...] = ("column_name",),
     count_col: str = "cnt",
     value_col: str = "value",
-    salt_partitions: int = 32,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key k-th cutoff in ``(count DESC, value ASC)`` order, with
     BOUNDED per-task state.
@@ -117,15 +143,22 @@ def top_k_cutoffs(
     exactly (cell values are unique per key, so the order is total)::
 
         cnt > cut_cnt OR (cnt = cut_cnt AND value <= cut_value)
+
+    ``salt_partitions=None`` (default) gates the local phase on Catalyst's
+    plan-time size estimate: small frames (≤ ``SALT_SIZE_THRESHOLD_BYTES``)
+    skip straight to the per-key window — results are identical, the plan
+    loses one exchange and one sort. Pass an int to force either shape.
     """
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_partitions))
+    if salt_partitions is None:
+        salt_partitions = 32 if _should_salt(cells) else 1
     order = [F.desc(count_col), F.asc(value_col)]
-    wlocal = Window.partitionBy(*keys, salt).orderBy(*order)
-    local = (
-        cells.select(*keys, count_col, value_col)
-        .withColumn("__lrn", F.row_number().over(wlocal))
-        .filter(F.col("__lrn") <= k)
-    )
+    local = cells.select(*keys, count_col, value_col)
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_partitions))
+        wlocal = Window.partitionBy(*keys, salt).orderBy(*order)
+        local = local.withColumn("__lrn", F.row_number().over(wlocal)).filter(
+            F.col("__lrn") <= k
+        )
     wglobal = Window.partitionBy(*keys).orderBy(*order)
     ranked = local.withColumn("__rn", F.row_number().over(wglobal)).filter(
         F.col("__rn") <= k
@@ -142,7 +175,7 @@ def pair_top_k_cutoffs(
     keys: tuple[str, ...] = ("column_name",),
     count_cols: tuple[str, str] = ("ref_cnt", "curr_cnt"),
     value_col: str = "value",
-    salt_partitions: int = 32,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Both sides' top-k cutoffs in ONE pass.
 
@@ -150,21 +183,26 @@ def pair_top_k_cutoffs(
     ``(keys)`` partitionings, so Spark plans consecutive Window operators
     over a single exchange each (two sorts, one shuffle) instead of two
     full pipelines. Output: ``keys..., <c>_cut_cnt, <c>_cut_value`` per
-    count column. See ``top_k_cutoffs`` for the bounded-state rationale.
+    count column. See ``top_k_cutoffs`` for the bounded-state rationale
+    and the ``salt_partitions=None`` size-estimate gate.
     """
+    if salt_partitions is None:
+        salt_partitions = 32 if _should_salt(cells) else 1
     # SQL-string assembly — see profile._quantile_agg_sql for why
     keylist = ", ".join(f"`{x}`" for x in keys)
-    slim = cells.select(*keys, *count_cols, value_col).selectExpr(
-        "*",
-        f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)}) AS __salt",
-        *[
-            f"row_number() OVER (PARTITION BY {keylist}, "
-            f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)})"
-            f" ORDER BY `{c}` DESC, `{value_col}` ASC) AS `__lrn_{c}`"
-            for c in count_cols
-        ],
-    )
-    local = slim.filter(" OR ".join(f"__lrn_{c} <= {k}" for c in count_cols))
+    local = cells.select(*keys, *count_cols, value_col)
+    if salt_partitions > 1:
+        slim = local.selectExpr(
+            "*",
+            f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)}) AS __salt",
+            *[
+                f"row_number() OVER (PARTITION BY {keylist}, "
+                f"pmod(xxhash64(`{value_col}`), {int(salt_partitions)})"
+                f" ORDER BY `{c}` DESC, `{value_col}` ASC) AS `__lrn_{c}`"
+                for c in count_cols
+            ],
+        )
+        local = slim.filter(" OR ".join(f"__lrn_{c} <= {k}" for c in count_cols))
     # the survivor set contains every side's TRUE top-k (each such row is
     # in its salt slice's local top-k), and any non-top-k survivor ranks
     # after all k of them, so rank-k within the survivors IS the true
@@ -243,18 +281,27 @@ def top_k_filter(
     freq: DataFrame,
     top_k: int,
     extra_keys: list[str] | None = None,
-    salt_partitions: int = 32,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Keep the k most frequent categories per column (tie-break on value).
 
     Separate from ``frequency_table`` so a full table can be computed once
     and truncated as a second consumer. Implemented as a broadcast join
     against ``top_k_cutoffs`` — no task ever sorts a whole column's
-    category set (see that docstring).
+    category set (see that docstring). Small frames (per the same size
+    gate) take one direct ``row_number`` window instead: identical rows,
+    and the plan drops the persist + cutoff join + probe pass.
     """
+    keys = ["column_name", *(extra_keys or [])]
+    if salt_partitions is None and not _should_salt(freq):
+        w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("value"))
+        return (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
     from pyspark import StorageLevel
 
-    keys = ["column_name", *(extra_keys or [])]
     # both the cutoff pass and the probe read freq — persist so the
     # upstream melt+groupBy runs once
     freq = freq.persist(StorageLevel.MEMORY_AND_DISK)

@@ -111,3 +111,19 @@ def sorted_windows(df: DataFrame) -> list[tuple[int, str]]:
 def assert_max_shuffles(df: DataFrame, n: int) -> None:
     actual = count_shuffles(df)
     assert actual <= n, f"expected ≤{n} shuffles, plan has {actual}:\n{simple_plan(df)[:2000]}"
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate for ``df`` (bytes).
+
+    Driver-side only — reads the optimized plan's statistics (propagated
+    from file-scan sizes), runs no job. Estimates after joins/aggregates
+    are conservative (they tend to over-estimate), which is the safe
+    direction for callers gating a skew-safety stage on "could this be
+    big?". Returns a large sentinel on any failure so callers fail toward
+    the scale-safe path.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j/internal API drift
+        return 1 << 60

@@ -59,15 +59,23 @@ def test_filter_pushdown_on_split(li):
 
 def test_frequency_table_one_shuffle_per_stage(li):
     freq = frequency_table(li, ["l_returnflag", "l_linestatus"])
-    # cells groupBy shuffle + the O(columns) totals aggregate (broadcast
-    # back — replaces the per-column window that buffered every category
-    # cell of a column in one task; the cells exchange is reused at
-    # runtime, so the totals shuffle carries one row per column)
-    assert_max_shuffles(freq, 3)
-    # no window over bare column_name partitions may remain
+    # small shape (size gate): cells groupBy shuffle + ONE window exchange
+    # shared by the totals window — no totals aggregate, no broadcast job
+    assert_max_shuffles(freq, 2)
+
+
+def test_key_totals_large_shape_has_no_window(li, monkeypatch):
+    """Above the size gate, per-key totals must come from a groupBy +
+    broadcast join — never a window that buffers every category cell of a
+    column in one task (the 100 TB cliff)."""
+    from pyspark_data_drift_detector_spark.operators import frequency as freq_mod
     from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
 
-    assert "Window" not in simple_plan(freq)
+    monkeypatch.setattr(freq_mod, "SALT_SIZE_THRESHOLD_BYTES", 0)
+    freq = frequency_table(li, ["l_returnflag", "l_linestatus"])
+    plan = simple_plan(freq)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
 
 
 def test_pair_profile_single_scan_each_side(li):
@@ -102,14 +110,10 @@ def test_categorical_drift_bounded_shuffles(li):
 
     plan = simple_plan(cd)
     assert "InMemoryTableScan" in plan  # cells materialized once
-    # the only remaining sorted windows are the bounded cutoff ones: the
-    # salted local ranks (arity ≥ 2) and the global rank over the ≤ k·S
-    # survivors per column
-    from pyspark_data_drift_detector_spark.plans.inspect import sorted_windows
-
-    assert all(
-        a >= 2 or "__lrn" in plan for a, _ in sorted_windows(cd)
-    )
+    # at test scale the size gate picks the unsalted cutoff shape: no
+    # local-rank (__lrn) stage, windows partition by column_name only —
+    # the salted shape is pinned separately by test_top_k_salt_gate
+    assert "__lrn" not in plan
     cd.collect()  # AQE: codegen markers appear in the final plan only
     assert codegen_stage_count(cd) >= 1
 
@@ -355,3 +359,32 @@ def test_ensure_min_partitions_refuses_binary(docs):
     narrow = docs.select("doc_id", "text").coalesce(1)
     fanned = ensure_min_partitions(narrow, target=8)
     assert fanned.rdd.getNumPartitions() == 8
+
+
+def test_top_k_salt_gate(li):
+    """salt_partitions=None gates on Catalyst's size estimate: small frames
+    take a single per-key window; forcing the salted shape adds the local
+    __lrn rank stage with (key, salt) partitions — and both shapes return
+    identical cutoffs."""
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        pair_frequency_cells,
+        pair_top_k_cutoffs,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        simple_plan,
+        sorted_windows,
+    )
+
+    cells = pair_frequency_cells(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        ["l_returnflag", "l_linestatus"],
+    ).filter(F.col("value").isNotNull())
+    auto = pair_top_k_cutoffs(cells, 3)
+    assert "__lrn" not in simple_plan(auto)  # tiny estimate → unsalted
+    forced = pair_top_k_cutoffs(cells, 3, salt_partitions=32)
+    fplan = simple_plan(forced)
+    assert "__lrn" in fplan
+    assert any(a >= 2 for a, _ in sorted_windows(forced))
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(auto) == rows(forced)
