@@ -2982,6 +2982,147 @@ def _merged_drift_sql() -> str:
     FROM s"""
 
 
+def q_merged_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18/M20 from the additive category-count state table: orders is
+    counted per hash partition ONCE (``partitioned_categories``), then
+    windows {0,1} vs {2,3} are merged and scored with zero data re-scan.
+    The oracle replays the state-table merge with GROUP BY, proving the
+    category merge algebra is exact."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_categorical_drift,
+        partitioned_categories,
+    )
+
+    parts = partitioned_categories(
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet"),
+        ["o_orderstatus", "o_orderpriority"],
+        "pmod(o_orderkey, 4)",
+    )
+    out = merged_categorical_drift(parts, ["0", "1"], ["2", "3"])
+    rounded = ["js_distance", "chi_square", "p_value", "null_diff", "drift_score"]
+    return _round_cols(
+        out.select(
+            "column_name",
+            *rounded,
+            F.col("degrees_of_freedom").cast("int").alias("degrees_of_freedom"),
+            F.col("new_categories").cast("long").alias("new_categories"),
+            F.col("missing_categories").cast("long").alias("missing_categories"),
+            "drift_detected",
+        ),
+        rounded,
+    )
+
+
+def _merged_categorical_drift_sql() -> str:
+    cols = ["o_orderstatus", "o_orderpriority"]
+    # the additive state table the Spark side builds, replayed with GROUP BY
+    state = " UNION ALL ".join(
+        f"""SELECT o_orderkey % 4 AS pid, '{c}' AS column_name,
+              CAST({c} AS VARCHAR) AS value, COUNT(*) AS cnt
+            FROM orders GROUP BY 1, 2, 3"""
+        for c in cols
+    )
+    cv = (
+        "CASE WHEN dof > 10 THEN dof + SQRT(2.0*dof) "
+        "WHEN dof = 1 THEN 3.84 WHEN dof = 2 THEN 5.99 WHEN dof = 3 THEN 7.81 "
+        "WHEN dof = 4 THEN 9.49 WHEN dof = 5 THEN 11.07 WHEN dof = 6 THEN 12.59 "
+        "WHEN dof = 7 THEN 14.07 WHEN dof = 8 THEN 15.51 WHEN dof = 9 THEN 16.92 "
+        "WHEN dof = 10 THEN 18.31 ELSE 3.84 END"
+    )
+    p_ladder = (
+        f"CASE WHEN chi < 0.001 THEN 1.0 WHEN chi > 3*({cv}) THEN 0.001 "
+        f"WHEN chi > 2*({cv}) THEN 0.01 WHEN chi > ({cv}) THEN 0.05 "
+        f"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi / ({cv})) * 0.95)) END"
+    )
+    chi_score = (
+        "CASE WHEN pv.p <= 0.001 THEN 1.0 WHEN pv.p <= 0.01 THEN 0.8 "
+        "WHEN pv.p <= 0.05 THEN 0.6 WHEN pv.p <= 0.1 THEN 0.3 ELSE 0.0 END"
+    )
+    return f"""
+    WITH state AS ({state}),
+         cells AS (
+           SELECT column_name, value,
+             SUM(CASE WHEN pid IN (0, 1) THEN cnt ELSE 0 END) AS ref_cnt,
+             SUM(CASE WHEN pid IN (2, 3) THEN cnt ELSE 0 END) AS curr_cnt
+           FROM state GROUP BY 1, 2
+         ),
+         tot AS (
+           SELECT column_name,
+             SUM(ref_cnt) AS ref_n_rows, SUM(curr_cnt) AS curr_n_rows,
+             SUM(CASE WHEN value IS NOT NULL THEN ref_cnt ELSE 0 END) AS ref_total,
+             SUM(CASE WHEN value IS NOT NULL THEN curr_cnt ELSE 0 END) AS curr_total
+           FROM cells GROUP BY 1
+         ),
+         enr AS (
+           SELECT c.*, t.ref_n_rows, t.curr_n_rows, t.ref_total, t.curr_total,
+             CASE WHEN c.value IS NOT NULL AND t.ref_total > 0
+                  THEN CAST(c.ref_cnt AS DOUBLE) / t.ref_total ELSE 0.0 END AS p,
+             CASE WHEN c.value IS NOT NULL AND t.curr_total > 0
+                  THEN CAST(c.curr_cnt AS DOUBLE) / t.curr_total ELSE 0.0 END AS q
+           FROM cells c JOIN tot t USING (column_name)
+         ),
+         js AS (
+           SELECT column_name,
+             SQRT(GREATEST(0.0, (
+               SUM(CASE WHEN value IS NOT NULL AND p > 0 AND (p+q)/2 > 0
+                        THEN p * LOG2(p / ((p+q)/2)) ELSE 0 END) +
+               SUM(CASE WHEN value IS NOT NULL AND q > 0 AND (p+q)/2 > 0
+                        THEN q * LOG2(q / ((p+q)/2)) ELSE 0 END)
+             ) / 2)) AS js_distance,
+             CAST(SUM(CASE WHEN value IS NOT NULL AND ref_cnt = 0 AND curr_cnt > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_categories,
+             CAST(SUM(CASE WHEN value IS NOT NULL AND curr_cnt = 0 AND ref_cnt > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS missing_categories,
+             CAST(SUM(CASE WHEN value IS NOT NULL AND ref_cnt > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ref_categories,
+             CAST(SUM(CASE WHEN value IS NULL THEN ref_cnt ELSE 0 END) AS DOUBLE)
+               / MAX(ref_n_rows) AS ref_null_part,
+             CAST(SUM(CASE WHEN value IS NULL THEN curr_cnt ELSE 0 END) AS DOUBLE)
+               / MAX(curr_n_rows) AS curr_null_part
+           FROM enr GROUP BY column_name
+         ),
+         chi2 AS (
+           SELECT column_name, SUM(contrib) AS chi,
+             CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) - 1 AS INT) AS dof
+           FROM (
+             SELECT column_name, value,
+               CASE WHEN value IS NOT NULL AND exp_ref >= 5 AND exp_curr >= 5 THEN
+                 POW(ref_cnt - exp_ref, 2)/exp_ref + POW(curr_cnt - exp_curr, 2)/exp_curr
+               ELSE 0 END AS contrib
+             FROM (
+               SELECT column_name, value, ref_cnt, curr_cnt,
+                 CAST(ref_total AS DOUBLE) * (ref_cnt + curr_cnt)
+                   / (ref_total + curr_total) AS exp_ref,
+                 CAST(curr_total AS DOUBLE) * (ref_cnt + curr_cnt)
+                   / (ref_total + curr_total) AS exp_curr
+               FROM enr
+             )
+           ) GROUP BY column_name
+         ),
+         pv AS (SELECT column_name, chi, dof, {p_ladder} AS p FROM chi2)
+    SELECT js.column_name,
+      ROUND(js.js_distance, {ROUND}) AS js_distance,
+      ROUND(pv.chi, {ROUND}) AS chi_square,
+      ROUND(pv.p, {ROUND}) AS p_value,
+      ROUND(js.curr_null_part - js.ref_null_part, {ROUND}) AS null_diff,
+      ROUND(LEAST(1.0,
+        0.4 * LEAST(1.0, js.js_distance * 4)
+        + 0.3 * ({chi_score})
+        + 0.1 * LEAST(1.0, ABS(js.curr_null_part - js.ref_null_part) * 10)
+        + 0.2 * LEAST(1.0, GREATEST(
+            CAST(js.new_categories AS DOUBLE)/GREATEST(js.ref_categories, 1),
+            CAST(js.missing_categories AS DOUBLE)/GREATEST(js.ref_categories, 1)) * 2)
+      ), {ROUND}) AS drift_score,
+      pv.dof AS degrees_of_freedom,
+      js.new_categories, js.missing_categories,
+      (js.js_distance > 0.03 OR pv.p < 0.05
+       OR ABS(js.curr_null_part - js.ref_null_part) > 0.005
+       OR CAST(js.new_categories AS DOUBLE)/GREATEST(js.ref_categories,1) > 0.03
+       OR CAST(js.missing_categories AS DOUBLE)/GREATEST(js.ref_categories,1) > 0.03)
+        AS drift_detected
+    FROM js JOIN pv USING (column_name)"""
+
+
 def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-field profile of the events.props JSON payload column."""
     from pyspark_data_drift_detector_spark.operators.semistructured import (
@@ -3479,6 +3620,7 @@ def _oracle_queries() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "merged_profile": _merged_profile_sql(),
         "merged_drift": _merged_drift_sql(),
+        "merged_categorical_drift": _merged_categorical_drift_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -3525,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "merged_profile": q_merged_profile,
         "merged_drift": q_merged_drift,
+        "merged_categorical_drift": q_merged_categorical_drift,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

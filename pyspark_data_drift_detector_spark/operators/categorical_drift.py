@@ -45,37 +45,11 @@ DEFAULT_CAT_THRESHOLDS: dict[str, float] = {
 }
 
 
-def chi2_critical_value_expr(dof: Column) -> Column:
-    """p=0.05 critical values — categorical_analyzer.py:410-421."""
-    table = {1: 3.84, 2: 5.99, 3: 7.81, 4: 9.49, 5: 11.07,
-             6: 12.59, 7: 14.07, 8: 15.51, 9: 16.92, 10: 18.31}
-    expr = F.when(dof > 10, dof + F.sqrt(2.0 * dof))
-    for k, v in table.items():
-        expr = expr.when(dof == k, F.lit(v))
-    return expr.otherwise(F.lit(3.84))
-
-
-def chi2_p_value_ladder_expr(chi: Column, dof: Column) -> Column:
-    """The reference's step-ladder p-value — categorical_analyzer.py:423-437."""
-    cv = chi2_critical_value_expr(dof)
-    return (
-        F.when(chi < 0.001, F.lit(1.0))
-        .when(chi > 3 * cv, F.lit(0.001))
-        .when(chi > 2 * cv, F.lit(0.01))
-        .when(chi > cv, F.lit(0.05))
-        .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(0.05), 1.0 - (chi / cv) * 0.95)))
-    )
-
-
-def chi_significance_score_expr(p: Column) -> Column:
-    """p-value → significance score ladder — categorical_analyzer.py:461-470."""
-    return (
-        F.when(p <= 0.001, F.lit(1.0))
-        .when(p <= 0.01, F.lit(0.8))
-        .when(p <= 0.05, F.lit(0.6))
-        .when(p <= 0.1, F.lit(0.3))
-        .otherwise(F.lit(0.0))
-    )
+# The chi² p-value ladder / significance ladder / critical-value table
+# (categorical_analyzer.py:410-470) live ONLY in the SQL-string assembly
+# inside categorical_drift below — the former Column-API twins were
+# removed after the inline-SQL conversion so there is a single canonical
+# encoding.
 
 
 def align_frequencies(ref_freq: DataFrame, curr_freq: DataFrame) -> DataFrame:
@@ -204,9 +178,6 @@ def categorical_drift(
     """
     from pyspark_data_drift_detector_spark.operators.frequency import pair_frequency_cells
 
-    th = dict(DEFAULT_CAT_THRESHOLDS)
-    th.update(thresholds or {})
-
     from pyspark import StorageLevel
 
     # Everything derives from this ONE cells aggregation, which is PERSISTED
@@ -218,6 +189,26 @@ def categorical_drift(
     cells = pair_frequency_cells(df_ref, df_curr, columns).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return categorical_drift_from_cells(cells, thresholds, top_k, p_value_mode)
+
+
+def categorical_drift_from_cells(
+    cells: DataFrame,
+    thresholds: dict[str, float] | None = None,
+    top_k: int | None = 20,
+    p_value_mode: str = "ladder",
+) -> DataFrame:
+    """M6-M8/M18/M20 scoring over a pre-computed aligned cells table.
+
+    ``cells``: one row per distinct category — ``column_name, value
+    (nullable = the null-count row), ref_cnt, curr_cnt`` — as produced by
+    ``pair_frequency_cells``, or re-derived from any additive category
+    state (``mergeable.merged_category_cells``: the incremental path whose
+    windows merge WITHOUT re-scanning data). Callers that reference the
+    cells more than once should persist before calling.
+    """
+    th = dict(DEFAULT_CAT_THRESHOLDS)
+    th.update(thresholds or {})
     is_null_val = F.col("value").isNull()
     from pyspark_data_drift_detector_spark.operators.frequency import (
         pair_top_k_cutoffs,

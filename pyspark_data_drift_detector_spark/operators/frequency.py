@@ -27,6 +27,9 @@ def unpivot_values(df: DataFrame, columns: list[str], keep_nulls: bool = False) 
     """Melt selected columns to ``(column_name, value:string)`` rows."""
     if not columns:
         raise ValueError("no columns to unpivot")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
     pairs = F.array(
         *[
             F.struct(
@@ -335,6 +338,9 @@ def pair_frequency_cells(
     """
     if not columns:
         raise ValueError("no columns")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
     )

@@ -162,3 +162,128 @@ def incremental_profile(
     if partitions is not None:
         parts = parts.where(F.col("partition_id").isin(partitions))
     return merge_profiles(parts)
+
+
+def partitioned_categories(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+) -> DataFrame:
+    """Additive per-partition category-count state.
+
+    The categorical twin of ``partitioned_profile``: one row per
+    ``(partition_id, column_name, value)`` with ``cnt`` — the long-format
+    equivalent of a map-typed count-by-value state, chosen because it
+    merges with a plain ``groupBy().sum()`` (map merges need a UDF) and
+    the shuffle key includes the category value, so a hot category never
+    concentrates in one task. NULL category values are kept as rows (the
+    null-count state rides in the same table). State size is
+    O(partitions × columns × distinct) — for high-cardinality columns cap
+    the domain upstream or profile them as numeric/text instead.
+
+    ONE melt+groupBy pass over the partition's data; the summary table is
+    meant to be persisted and appended to per ingest batch.
+    """
+    if not columns:
+        raise ValueError("no columns")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
+    part = F.expr(partition_by) if isinstance(partition_by, str) else partition_by
+    tagged = df.withColumn("__pid", part.cast("string"))
+    # SQL-string melt with the pid riding along — one bridge call
+    melted = tagged.selectExpr(
+        "__pid",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+            for c in columns
+        )
+        + "))",
+    )
+    return (
+        melted.groupBy("__pid", "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
+def merge_categories(parts: DataFrame) -> DataFrame:
+    """Merge category-count states into one frequency table per column.
+
+    Input: any subset of ``partitioned_categories`` rows. Output matches
+    ``frequency.frequency_table``: ``column_name, value, cnt, n_nonnull,
+    freq`` (null-value rows carry freq NULL). A tiny aggregate over the
+    summary table — no data re-scan.
+    """
+    from pyspark_data_drift_detector_spark.operators.frequency import with_key_totals
+
+    merged = parts.groupBy("column_name", "value").agg(F.sum("cnt").alias("cnt"))
+    merged = with_key_totals(
+        merged,
+        {
+            "n_nonnull": F.sum(
+                F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+            )
+        },
+    )
+    return merged.selectExpr(
+        "column_name",
+        "value",
+        "cnt",
+        "n_nonnull",
+        "CASE WHEN value IS NOT NULL AND n_nonnull > 0"
+        " THEN cnt / n_nonnull END AS freq",
+    )
+
+
+def merged_category_cells(
+    parts: DataFrame,
+    ref_partitions: list[str],
+    curr_partitions: list[str],
+) -> DataFrame:
+    """Aligned ref/curr cells from two windows of ONE category-state table.
+
+    Output matches ``frequency.pair_frequency_cells`` — ``column_name,
+    value, ref_cnt, curr_cnt`` — via a single conditional aggregate over
+    the state rows of both windows (the groupBy aligns the sides for
+    free, exactly like the scan-time path).
+    """
+    ref_set = ", ".join(f"'{p}'" for p in ref_partitions) or "''"
+    curr_set = ", ".join(f"'{p}'" for p in curr_partitions) or "''"
+    return (
+        parts.where(
+            F.col("partition_id").isin(list(ref_partitions) + list(curr_partitions))
+        )
+        .groupBy("column_name", "value")
+        .agg(
+            F.expr(f"sum(CASE WHEN partition_id IN ({ref_set}) THEN cnt ELSE 0 END)").alias("ref_cnt"),
+            F.expr(f"sum(CASE WHEN partition_id IN ({curr_set}) THEN cnt ELSE 0 END)").alias("curr_cnt"),
+        )
+    )
+
+
+def merged_categorical_drift(
+    parts: DataFrame,
+    ref_partitions: list[str],
+    curr_partitions: list[str],
+    thresholds: dict[str, float] | None = None,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """M18/M20 categorical drift between two PARTITION WINDOWS of one
+    category-state table — the categorical twin of ``merged_drift``: both
+    sides' aligned cells come from ``merged_category_cells`` (a tiny
+    aggregate over the persisted additive state, no data re-scan), then
+    the standard scoring (``categorical_drift_from_cells``) runs on the
+    O(categories) table.
+    """
+    from pyspark import StorageLevel
+
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        categorical_drift_from_cells,
+    )
+
+    cells = merged_category_cells(parts, ref_partitions, curr_partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return categorical_drift_from_cells(cells, thresholds, top_k)

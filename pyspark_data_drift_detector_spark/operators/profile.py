@@ -201,6 +201,9 @@ def numeric_profile(
     cols = columns if columns is not None else numeric_columns(df)
     if not cols:
         raise ValueError("no numeric columns to profile")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(cols)
 
     qlist = list(quantiles)
     aggs: list[str] = ["count(1) AS `__n_rows`"]
@@ -298,6 +301,9 @@ def numeric_profile_pair(
     )
     if not cols:
         raise ValueError("no numeric columns to profile")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(cols)
     tagged = df_ref.select(F.lit("r").alias("__side"), *cols).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *cols)
     )

@@ -110,6 +110,14 @@ def hash_split(
     """
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"negative split fraction in {fractions!r}")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split fractions sum to {total}, which exceeds 1 — later splits "
+            "would silently receive no rows"
+        )
     u = uniform_variate(F.col(id_col), salt)
     names = list(fractions)
     cum = 0.0

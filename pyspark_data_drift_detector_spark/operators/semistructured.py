@@ -44,10 +44,17 @@ def json_fields(
     """
     if not fields:
         raise ValueError("no fields requested")
-    exprs = [f"`{c}`" for c in (keep if keep is not None else df.columns)]
+    kept = keep if keep is not None else df.columns
+    exprs = [f"`{c}`" for c in kept]
     for name, typ in fields.items():
         path = "$." + name
         alias = name.replace(".", "_")
+        if alias in kept:
+            raise ValueError(
+                f"json field {name!r} would extract to column {alias!r}, "
+                f"which already exists in the frame — rename the physical "
+                f"column or exclude it via keep="
+            )
         exprs.append(
             f"try_cast(get_json_object(`{json_col}`, '{path}') AS {typ}) AS `{alias}`"
         )

@@ -99,6 +99,12 @@ def detect_drift(
         common = [c for c in common if c in include or c in json_extracted]
     common = [c for c in common if c not in exclude]
 
+    # the analyzer families interpolate these names into SQL-string plans —
+    # reject names that could escape a quoting context (functions.quoting)
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(common, where="analyzed column names")
+
     types = infer_column_types(
         df_ref.select(*common), custom_column_types=cfg.get("custom_column_types")
     )

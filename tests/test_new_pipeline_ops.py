@@ -279,3 +279,92 @@ def test_detect_drift_json_fields_config(spark, sf_dir):
     assert metrics["ref_n"] > 0 and metrics["curr_n"] > 0
     # the raw JSON string column itself is not analyzed
     assert not [r for r in out if r["column_name"] == "props"]
+
+
+def test_json_fields_alias_collision_raises(spark):
+    from pyspark_data_drift_detector_spark.operators.semistructured import json_fields
+
+    df = spark.createDataFrame([(1, '{"k": 2}', 9)], "id long, props string, k long")
+    with pytest.raises(ValueError, match="already exists"):
+        json_fields(df, "props", {"k": "bigint"})
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from pyspark_data_drift_detector_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="exceeds 1"):
+        hash_split(df, {"a": 0.8, "b": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        hash_split(df, {"a": -0.1, "b": 0.5})
+
+
+def test_unsafe_column_names_rejected(spark):
+    """SQL-string plan assembly interpolates column names; hostile names
+    must be rejected with a clear error at the funnels, not misparse."""
+    from pyspark_data_drift_detector_spark import detect_drift
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+        qi,
+        qs,
+    )
+    from pyspark_data_drift_detector_spark.operators.frequency import unpivot_values
+    from pyspark_data_drift_detector_spark.operators.profile import numeric_profile
+
+    assert qi("a`b") == "`a``b`"
+    assert qs("it's") == r"'it\'s'"
+    ensure_safe_columns(["plain", "with space", "ünïcode"])  # fine
+
+    bad = spark.range(3).withColumnRenamed("id", "x'--")
+    with pytest.raises(ValueError, match="unsupported"):
+        numeric_profile(bad, columns=["x'--"], quantiles=())
+    with pytest.raises(ValueError, match="unsupported"):
+        unpivot_values(bad, ["x'--"])
+    with pytest.raises(ValueError, match="unsupported"):
+        detect_drift(bad, bad).collect()
+
+
+def test_categorical_merge_algebra(spark, sf_dir):
+    """The categorical twin of the numeric merge property: merging a
+    subset of category-count states equals counting that subset directly,
+    and merged_categorical_drift equals categorical_drift over the same
+    two windows of raw data."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        categorical_drift,
+    )
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_categories,
+        merged_categorical_drift,
+        partitioned_categories,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    parts = partitioned_categories(orders, cols, "pmod(o_orderkey, 4)")
+
+    # window merge == direct frequency table over the window's rows
+    window = merge_categories(parts.where(F.col("partition_id").isin(["0", "1"])))
+    from pyspark_data_drift_detector_spark.operators.frequency import frequency_table
+
+    direct = frequency_table(
+        orders.filter(F.expr("pmod(o_orderkey, 4)") <= 1), cols
+    )
+    w = {(r["column_name"], r["value"]): r["cnt"] for r in window.collect()}
+    d = {(r["column_name"], r["value"]): r["cnt"] for r in direct.collect()}
+    assert w == d
+
+    # state-table drift == scan-time drift over the same windows
+    merged = merged_categorical_drift(parts, ["0", "1"], ["2", "3"])
+    scan = categorical_drift(
+        orders.filter(F.expr("pmod(o_orderkey, 4)") <= 1),
+        orders.filter(F.expr("pmod(o_orderkey, 4)") >= 2),
+        cols,
+    )
+    m = {r["column_name"]: r for r in merged.collect()}
+    s = {r["column_name"]: r for r in scan.collect()}
+    assert set(m) == set(s)
+    for c in cols:
+        for field in ("js_distance", "chi_square", "p_value", "drift_score"):
+            assert abs((m[c][field] or 0) - (s[c][field] or 0)) < 1e-9, (c, field)
+        assert m[c]["drift_detected"] == s[c]["drift_detected"]
+        assert m[c]["new_categories"] == s[c]["new_categories"]
