@@ -378,3 +378,30 @@ def test_embedding_drift_semantics(spark):
     rot = embedding_drift(base, rotated).collect()[0]
     assert rot["drift_detected"] and "centroid_rotation" in rot["drift_causes"]
     assert rot["centroid_cosine"] == pytest.approx(-1.0)
+
+
+def test_ivf_recall(vectors):
+    """IVF recall guard (r4 verdict #5): recall@3 vs exact cosine ground
+    truth at fixed centroids/nprobe, so an nprobe or centroid-count
+    regression fails loudly instead of silently degrading. nprobe must
+    scale with n_centroids: probing 4/16 cells on gaussian vectors keeps
+    the true neighbors' cells in range for well over half the queries."""
+    from pyspark_data_drift_detector_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(vectors, queries, k=3, embedding_col="embedding")
+    approx = ivf_topk(
+        vectors, queries, k=3, embedding_col="embedding", n_centroids=16, nprobe=4
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5
+    # shrinking the probe fraction must never RAISE recall above probing
+    # every cell (sanity on the nprobe-scales-with-centroids rule)
+    full = ivf_topk(
+        vectors, queries, k=3, embedding_col="embedding", n_centroids=16, nprobe=16
+    )
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == exact_set  # probing all cells IS exact
+    assert len(approx_set & exact_set) <= len(full_set & exact_set)
