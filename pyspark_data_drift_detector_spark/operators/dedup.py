@@ -396,6 +396,17 @@ def neardup_clusters(
     labels = (
         sym.select(F.col("id1").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+
+    # Exact convergence signal without a labels-vs-labels join: labels only
+    # ever DECREASE, so the label sum is strictly monotone and "sum
+    # unchanged ⟺ no label changed". decimal(38,0) keeps the sum exact for
+    # hash-range (±2^63) ids at any node count ANSI mode would overflow on.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for it in range(max_iter):
         neighbor_min = (
@@ -423,21 +434,20 @@ def neardup_clusters(
                 "label",
             )
             .select(F.col("id"), F.least(F.col("label"), F.col("label2")).alias("label"))
-            .localCheckpoint(eager=True)
         )
+        labels = new_labels
         if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            # ONE job materializes the whole since-last-check lineage into
+            # the checkpoint; the convergence agg then reads the checkpoint.
+            # (Checkpointing every iteration doubled the job count — the
+            # in-between iterations' lineage is bounded at 3 joins ×
+            # check_every, well inside optimizer headroom.)
+            labels = labels.localCheckpoint(eager=True)
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
                 converged = True
                 break
-        else:
-            labels = new_labels
+            prev_sum = new_sum
     if not converged:
         import warnings
 
