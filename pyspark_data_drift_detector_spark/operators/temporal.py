@@ -30,12 +30,20 @@ from pyspark.sql import functions as F
 
 SECONDS_PER_DAY = 86400.0
 
+#: The one session-gap default, shared by the batch operator and the
+#: streaming twin (streaming/sessions.py) so a gap-rule change can never
+#: split batch and streaming semantics. The RULE itself has a single
+#: definition too: both paths run the same ``sessionize`` expression
+#: (``F.session_window`` strict-greater merge), pinned by
+#: test_streaming_sessions' batch-parity check.
+DEFAULT_SESSION_GAP = "4 hours"
+
 
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
-    gap: str = "4 hours",
+    gap: str = DEFAULT_SESSION_GAP,
     value_col: str = "value",
 ) -> DataFrame:
     """Gap-based sessionization of an event stream: consecutive events of

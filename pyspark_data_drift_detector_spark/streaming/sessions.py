@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_data_drift_detector_spark.operators.temporal import sessionize
+from pyspark_data_drift_detector_spark.operators.temporal import (
+    DEFAULT_SESSION_GAP,
+    sessionize,
+)
 
 
 def _read_stream(
@@ -49,7 +52,7 @@ def stream_sessionize(
     schema: str | None = None,
     ts_col: str = "ts",
     key_col: str = "user_id",
-    gap: str = "4 hours",
+    gap: str = DEFAULT_SESSION_GAP,
     watermark: str = "8 hours",
     value_col: str = "value",
 ) -> DataFrame:
