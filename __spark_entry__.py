@@ -3365,6 +3365,64 @@ def _sessionize_sql() -> str:
     FROM s GROUP BY user_id, sid"""
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators.temporal.asof_join): every
+    non-error event picks up the latest prior error event's value per
+    user — union + running last(ignorenulls) window, ONE shuffle, no
+    range-join row explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyspark_data_drift_detector_spark.operators.temporal import asof_join
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # (user_id, ts) must uniquely identify right rows: max_by event keeps
+    # the highest-id error at a duplicated timestamp deterministically
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_event_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    out = asof_join(left, right, ts_col="ts", by="user_id")
+    return _round_cols(
+        out.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_asof"),
+            F.col("err_event_id_asof").cast("long").alias("err_event_id_asof"),
+            "err_value_asof",
+        ),
+        ["value", "err_value_asof"],
+    )
+
+
+def _asof_join_sql() -> str:
+    return f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'error'
+    ),
+    r AS (
+      SELECT user_id, ts, MAX(event_id) AS err_event_id,
+             MAX_BY(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      ROUND(l.value, {ROUND}) AS value,
+      strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof,
+      r.err_event_id AS err_event_id_asof,
+      ROUND(r.err_value, {ROUND}) AS err_value_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style composite keep/drop gate with per-rule reasons."""
     from pyspark_data_drift_detector_spark.operators.quality import quality_filter
@@ -3615,6 +3673,7 @@ def _oracle_queries() -> dict[str, str]:
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
         "sessionize": _sessionize_sql(),
+        "asof_join": _asof_join_sql(),
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
@@ -3662,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,

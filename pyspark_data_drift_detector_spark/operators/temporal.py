@@ -25,7 +25,7 @@ plain SQL arithmetic, so the driver query replays in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SECONDS_PER_DAY = 86400.0
@@ -188,3 +188,96 @@ def temporal_drift(
         f"({mean_flag}) OR ({js_flag}) OR ({null_flag}) AS drift_detected",
         f"array_compact(array({causes})) AS drift_causes",
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Distributed as-of join: attach to every left row the latest right
+    row at-or-before its timestamp (``direction="backward"``, inclusive —
+    DuckDB/pandas ``merge_asof`` semantics), or the earliest at-or-after
+    (``"forward"``), per ``by`` key.
+
+    Spark has no native as-of join; the classic workaround — a range
+    join ``l.ts >= r.ts`` + per-left-row max — explodes O(|right per
+    key|) rows per left row. Here instead both sides are UNIONED and a
+    single running ``last(value, ignorenulls=True)`` window over
+    ``(key, ts)`` carries each right row's values forward to the left
+    rows that follow it: ONE shuffle on the key, no row explosion, and
+    the window frame is running (Spark evaluates it streamingly within
+    the sorted partition — state is O(1) per value column, though the
+    sort itself is per-key; keys are the series identity, so per-key
+    volume is the series length, the same shape ``sessionize`` carries).
+
+    Requirements: ``(by, ts_col)`` must uniquely identify right rows
+    (pre-aggregate duplicates upstream — with ties the winning row would
+    be nondeterministic in ANY as-of engine). Left rows with no match get
+    NULLs (left-join semantics). ``tolerance_sec`` nulls matches further
+    than the tolerance from the left timestamp.
+
+    Output: every left column, plus ``<value_col><suffix>`` for each
+    right value column and ``<ts_col><suffix>`` (the matched right
+    timestamp).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (ts_col, by)]
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([ts_col, by, *value_cols])
+
+    matched_ts = f"{ts_col}{suffix}"
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.col(ts_col).alias(matched_ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(0).alias("__src"),
+    )
+    l = left.withColumn("__src", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # backward: ascending time, right rows (src 0) before left at equal ts
+    # → inclusive; forward: descending time, same tiebreak → earliest
+    # at-or-after. The frame is running (unbounded preceding → current).
+    order = (
+        [F.col(ts_col).asc(), F.col("__src").asc()]
+        if direction == "backward"
+        else [F.col(ts_col).desc(), F.col("__src").asc()]
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [matched_ts] + [f"{c}{suffix}" for c in value_cols]
+    out = u.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}") for c in carried]
+    ).filter(F.col("__src") == 1)
+    out = out.select(
+        *[c for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in carried],
+    )
+    if tolerance_sec is not None:
+        delta = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(matched_ts))
+            if direction == "backward"
+            else F.unix_micros(F.col(matched_ts)) - F.unix_micros(F.col(ts_col))
+        ) / F.lit(1e6)
+        keep = delta <= F.lit(float(tolerance_sec))
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(keep, F.col(c)).alias(c)
+                for c in carried
+            ],
+        )
+    return out

@@ -368,3 +368,62 @@ def test_categorical_merge_algebra(spark, sf_dir):
             assert abs((m[c][field] or 0) - (s[c][field] or 0)) < 1e-9, (c, field)
         assert m[c]["drift_detected"] == s[c]["drift_detected"]
         assert m[c]["new_categories"] == s[c]["new_categories"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive, forward, tolerance, and left-join-null rules of
+    the union+running-window as-of join."""
+    from pyspark_data_drift_detector_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (1, t(2)), (2, t(7))],
+        "lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(10), 100.0), (3, t(1), 1.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    left = left.withColumnRenamed("lid", "user_id")
+
+    back = {
+        (r["user_id"], r["ts"].second): r["price_asof"]
+        for r in asof_join(left, right, by="user_id").collect()
+    }
+    assert back[(1, 5)] == 30.0       # latest at-or-before
+    assert back[(1, 10)] == 100.0     # inclusive: equal ts matches
+    assert back[(1, 2)] is None       # nothing before → NULL
+    assert back[(2, 7)] is None       # key with no right rows → NULL
+
+    fwd = {
+        (r["user_id"], r["ts"].second): r["price_asof"]
+        for r in asof_join(left, right, by="user_id", direction="forward").collect()
+    }
+    assert fwd[(1, 5)] == 100.0       # earliest at-or-after
+    assert fwd[(1, 2)] == 30.0
+    assert fwd[(1, 10)] == 100.0      # inclusive
+
+    tol = {
+        (r["user_id"], r["ts"].second): r["price_asof"]
+        for r in asof_join(left, right, by="user_id", tolerance_sec=1.5).collect()
+    }
+    assert tol[(1, 5)] is None        # 2s gap > 1.5s tolerance
+    assert tol[(1, 10)] == 100.0      # 0s gap
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """Plan contract: union + one running window — exactly one exchange,
+    no join operator, no row explosion."""
+    from pyspark_data_drift_detector_spark.operators.temporal import asof_join
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+        simple_plan,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(left, right, by="user_id")
+    assert count_shuffles(out) == 1
+    assert "Join" not in simple_plan(out)
