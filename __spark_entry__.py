@@ -3423,6 +3423,53 @@ def _asof_join_sql() -> str:
       ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def q_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeable distinct state: orders is sketched per hash partition
+    once (fixed-size Datasketches HLL per (partition, column)), the four
+    partition sketches are UNIONED — no re-scan — and the merged estimate
+    is checked against the exact distinct count. The oracle pins the exact
+    count and the within-1.6%-relative-error contract (lg_k=12's standard
+    error band, 3σ ≈ 5%): an estimator or merge regression flips
+    within_tolerance to false and hash-mismatches."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_distinct,
+        partitioned_distinct,
+    )
+
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    parts = partitioned_distinct(orders, cols, "pmod(o_orderkey, 4)")
+    est = merged_distinct(parts)
+    exact = orders.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+            for c in cols
+        )
+        + "))"
+    ).where(F.col("value").isNotNull()).groupBy("column_name").agg(
+        F.countDistinct("value").alias("exact_distinct")
+    )
+    return est.join(exact, "column_name").selectExpr(
+        "column_name",
+        "CAST(exact_distinct AS BIGINT) AS exact_distinct",
+        "abs(CAST(distinct_estimate AS DOUBLE) - exact_distinct)"
+        " / exact_distinct <= 0.05 AS within_tolerance",
+    )
+
+
+def _merged_distinct_sql() -> str:
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    per = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+              COUNT(DISTINCT CAST({c} AS VARCHAR)) AS exact_distinct
+            FROM orders WHERE {c} IS NOT NULL"""
+        for c in cols
+    )
+    return f"""SELECT column_name, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      TRUE AS within_tolerance FROM ({per})"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style composite keep/drop gate with per-rule reasons."""
     from pyspark_data_drift_detector_spark.operators.quality import quality_filter
@@ -3674,6 +3721,7 @@ def _oracle_queries() -> dict[str, str]:
         "windowed_drift": _windowed_drift_sql(),
         "sessionize": _sessionize_sql(),
         "asof_join": _asof_join_sql(),
+        "merged_distinct": _merged_distinct_sql(),
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
@@ -3728,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_profile": q_merged_profile,
         "merged_drift": q_merged_drift,
         "merged_categorical_drift": q_merged_categorical_drift,
+        "merged_distinct": q_merged_distinct,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

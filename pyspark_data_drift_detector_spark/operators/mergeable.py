@@ -287,3 +287,62 @@ def merged_categorical_drift(
         StorageLevel.MEMORY_AND_DISK
     )
     return categorical_drift_from_cells(cells, thresholds, top_k)
+
+
+def partitioned_distinct(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Additive distinct-count state: one Datasketches HLL sketch per
+    ``(partition_id, column_name)``.
+
+    The missing piece between the numeric state (sums — exactly additive)
+    and the category state (counts — additive but O(distinct) rows): a
+    distinct COUNT is not additive, but the HLL sketch is a fixed-size
+    (≈``2^lg_k`` bytes) mergeable summary with ~1.04/√(2^lg_k) relative
+    standard error (~1.6% at the default lg_k=12). Spark's built-in
+    ``hll_sketch_agg``/``hll_union_agg`` (Apache Datasketches, JVM-side,
+    codegen-friendly) do the heavy lifting; NULLs are excluded (they are
+    counted by the numeric/category state already).
+
+    Output: ``partition_id, column_name, hll (binary)`` — persist next to
+    the other state tables and union per ingest batch.
+    """
+    if not columns:
+        raise ValueError("no columns")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
+    part = F.expr(partition_by) if isinstance(partition_by, str) else partition_by
+    melted = df.withColumn("__pid", part.cast("string")).selectExpr(
+        "__pid",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+            for c in columns
+        )
+        + "))",
+    )
+    return (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("__pid", "column_name")
+        .agg(F.expr(f"hll_sketch_agg(value, {int(lg_k)})").alias("hll"))
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
+def merged_distinct(parts: DataFrame) -> DataFrame:
+    """Merge HLL distinct states into one estimate per column.
+
+    Input: any subset of ``partitioned_distinct`` rows (e.g. a date
+    window). A tiny ``hll_union_agg`` over O(partitions × columns) fixed
+    -size sketches — no data re-scan. Output: ``column_name,
+    distinct_estimate (long)``.
+    """
+    return parts.groupBy("column_name").agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(hll, true)) AS BIGINT)").alias(
+            "distinct_estimate"
+        )
+    )

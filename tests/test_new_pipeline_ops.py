@@ -427,3 +427,35 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     out = asof_join(left, right, by="user_id")
     assert count_shuffles(out) == 1
     assert "Join" not in simple_plan(out)
+
+
+def test_hll_distinct_merge_property(spark, sf_dir):
+    """Unioning a window's HLL sketches gives the SAME estimate as
+    sketching the window's rows directly (sketch merge is lossless for
+    the estimator), and the estimate lands within the lg_k=12 error band
+    of the exact count."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_distinct,
+        partitioned_distinct,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_orderpriority"]
+    parts = partitioned_distinct(orders, cols, "pmod(o_orderkey, 4)")
+    window = merged_distinct(parts.where(F.col("partition_id").isin(["0", "1"])))
+    direct = merged_distinct(
+        partitioned_distinct(
+            orders.filter(F.expr("pmod(o_orderkey, 4)") <= 1), cols, F.lit("all")
+        )
+    )
+    w = {r["column_name"]: r["distinct_estimate"] for r in window.collect()}
+    d = {r["column_name"]: r["distinct_estimate"] for r in direct.collect()}
+    assert w == d
+    exact = {
+        c: orders.filter(F.expr("pmod(o_orderkey, 4) <= 1"))
+        .select(F.countDistinct(F.col(c).cast("string")))
+        .collect()[0][0]
+        for c in cols
+    }
+    for c in cols:
+        assert abs(w[c] - exact[c]) / max(exact[c], 1) <= 0.05, (c, w[c], exact[c])
