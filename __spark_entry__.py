@@ -3423,6 +3423,164 @@ def _asof_join_sql() -> str:
       ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM change-point scan over the event value
+    series (operators.temporal.cusum_changepoint). The max(0,·) recursion
+    runs as running-sum − running-min window algebra, so the DuckDB
+    oracle replays the detector exactly."""
+    from pyspark_data_drift_detector_spark.operators.temporal import cusum_changepoint
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = cusum_changepoint(ev, tiebreak_col="event_id", k=0.5, h=5.0)
+    return _round_cols(
+        out.select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            "std",
+            "max_cusum_pos",
+            "max_cusum_neg",
+            "alarm",
+            F.date_format("first_alarm_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_alarm_ts"
+            ),
+        ),
+        ["mean", "std", "max_cusum_pos", "max_cusum_neg"],
+    )
+
+
+def _cusum_changepoint_sql() -> str:
+    return f"""
+    WITH b AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    st AS (SELECT *, AVG(v) OVER (PARTITION BY user_id) AS mu,
+                  STDDEV_POP(v) OVER (PARTITION BY user_id) AS sigma FROM b),
+    z AS (SELECT *, CASE WHEN sigma > 0 THEN (v - mu) / sigma ELSE 0.0 END AS z
+          FROM st),
+    c AS (SELECT *, SUM(z - 0.5) OVER w AS cp, SUM(-z - 0.5) OVER w AS cn
+          FROM z WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT *, cp - LEAST(MIN(cp) OVER w, 0.0) AS sp,
+                 cn - LEAST(MIN(cn) OVER w, 0.0) AS sn
+          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, COUNT(*) AS n,
+      ROUND(MAX(mu), {ROUND}) AS mean,
+      ROUND(MAX(sigma), {ROUND}) AS std,
+      ROUND(MAX(sp), {ROUND}) AS max_cusum_pos,
+      ROUND(MAX(sn), {ROUND}) AS max_cusum_neg,
+      MAX(sp > 5.0 OR sn > 5.0) AS alarm,
+      strftime(MIN(CASE WHEN sp > 5.0 OR sn > 5.0 THEN ts END),
+               '%Y-%m-%d %H:%M:%S') AS first_alarm_ts
+    FROM s GROUP BY user_id"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-class counts (operators.text.pii_scrub): every
+    5th document gets a deterministic synthetic email/IP/SSN/phone
+    appended, then the scrubber replaces spans class by class. The oracle
+    replays the same injection and sequential regexp replacement in
+    DuckDB (RE2) — pattern-dialect parity is part of what's verified."""
+    from pyspark_data_drift_detector_spark.operators.text import pii_scrub
+
+    docs = _documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN concat(text,"
+        " ' reach user', CAST(doc_id AS STRING), '@mail.org',"
+        " ' ip 10.1.', CAST(doc_id % 256 AS STRING), '.7',"
+        " ' ssn 123-45-6789 tel +1 555-000-1234') ELSE text END AS text",
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "n_pii_total",
+        "scrubbed",
+    )
+
+
+def _pii_scrub_sql() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    phone = r"\+?[0-9][0-9()\- ]{7,14}[0-9]"
+    return f"""
+    WITH injected AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN text
+          || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.org'
+          || ' ip 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+          || ' ssn 123-45-6789 tel +1 555-000-1234' ELSE text END AS text
+      FROM documents),
+    s1 AS (SELECT doc_id, LEN(regexp_extract_all(text, '{email}')) AS n_email,
+                  regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t FROM injected),
+    s2 AS (SELECT doc_id, n_email, LEN(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+                  regexp_replace(t, '{ipv4}', '[IPV4]', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4, LEN(regexp_extract_all(t, '{ssn}')) AS n_ssn,
+                  regexp_replace(t, '{ssn}', '[SSN]', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ipv4, n_ssn,
+                  LEN(regexp_extract_all(t, '{phone}')) AS n_phone,
+                  regexp_replace(t, '{phone}', '[PHONE]', 'g') AS t FROM s3)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+      CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_ssn AS BIGINT) AS n_ssn,
+      CAST(n_phone AS BIGINT) AS n_phone,
+      CAST(n_email + n_ipv4 + n_ssn + n_phone AS BIGINT) AS n_pii_total,
+      t AS scrubbed
+    FROM s4"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators.temporal.interval_join): every
+    event rejoined to its containing session — intervals explode into
+    1-hour buckets, events equi-join on (user, bucket), range as a
+    residual filter. Oracle: a plain SQL range join over the session CTE."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        interval_join,
+        sessionize,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    sessions = sessionize(load_events(spark, sf_dir), gap="4 hours").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    out = interval_join(ev, sessions, bucket="1 hour")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("session_n_events"),
+    )
+
+
+def _interval_join_sql() -> str:
+    return """
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+    SELECT e.event_id, e.user_id,
+      strftime(x.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+      x.n_events AS session_n_events
+    FROM events e JOIN sessions x
+      ON e.user_id = x.user_id
+     AND e.ts >= x.session_start AND e.ts <= x.session_end"""
+
+
 def q_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeable distinct state: orders is sketched per hash partition
     once (fixed-size Datasketches HLL per (partition, column)), the four
@@ -3722,6 +3880,9 @@ def _oracle_queries() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "asof_join": _asof_join_sql(),
         "merged_distinct": _merged_distinct_sql(),
+        "interval_join": _interval_join_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "cusum_changepoint": _cusum_changepoint_sql(),
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
@@ -3770,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "pii_scrub": q_pii_scrub,
+        "cusum_changepoint": q_cusum_changepoint,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,

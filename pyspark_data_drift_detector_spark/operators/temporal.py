@@ -281,3 +281,119 @@ def asof_join(
             ],
         )
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Join point events to containing intervals (``start ≤ ts ≤ end``)
+    per key — the "which session does this event belong to" join.
+
+    Spark plans a raw ``l.key = r.key AND l.ts BETWEEN r.start AND r.end``
+    as an equi-join on the key with the range as a post-filter — fine
+    until one hot key makes a task compare every event × every interval
+    of that key. The classic scale shape used here: intervals EXPLODE
+    into the fixed-width time buckets they overlap, events map to their
+    single bucket, and the join runs on ``(key, bucket)`` — each task
+    compares an event only against the intervals overlapping its bucket
+    (O(intervals per bucket), not O(intervals per key)). ``bucket``
+    should be on the order of the typical interval length: wider wastes
+    comparisons, narrower multiplies the interval-side fan-out (a
+    ``bucket``-length interval explodes into ≤ 2 rows).
+
+    Unmatched events are dropped (inner join); an event inside two
+    overlapping intervals of one key matches both — dedupe upstream if
+    intervals are meant to partition time.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([ts_col, by, start_col, end_col])
+    bucket_us = f"(unix_micros(CAST('1970-01-01' AS TIMESTAMP) + INTERVAL {bucket}))"
+    ev = events.selectExpr(
+        "*", f"unix_micros(`{ts_col}`) div {bucket_us} AS __bucket"
+    )
+    iv = intervals.selectExpr(
+        "*",
+        f"explode(sequence(unix_micros(`{start_col}`) div {bucket_us},"
+        f" unix_micros(`{end_col}`) div {bucket_us})) AS __bucket",
+    )
+    joined = ev.join(iv, [by, "__bucket"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    by: str = "user_id",
+    tiebreak_col: str | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection over a time-ordered series.
+
+    Two-sided CUSUM on the z-normalized series (per-key mean/stddev_pop):
+    ``S⁺_t = max(0, S⁺_{t-1} + z_t − k)`` and the mirrored ``S⁻``. The
+    nonlinear max(0,·) recursion has a closed window form — with
+    ``C_t = Σ_{j≤t}(z_j − k)``, ``S⁺_t = C_t − min_{j≤t} C_j`` (and S⁻
+    from the mirrored series) — so the whole detector is running-sum +
+    running-min windows: pure expression algebra, no UDF, no iteration,
+    and the DuckDB oracle replays it bit-for-bit. An alarm fires when
+    either side exceeds ``h`` (in σ units; ``k`` is the slack per step,
+    conventionally ½ the shift to detect).
+
+    One shuffle on the key; each key's series sorts in one task (the
+    series-per-key shape of ``sessionize``/``asof_join`` — a key IS the
+    unit of sequential time here). ``tiebreak_col`` makes the order total
+    when timestamps can repeat. Output per key: ``n, mean, std,
+    max_cusum_pos, max_cusum_neg, alarm, first_alarm_ts``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([value_col, ts_col, by] + ([tiebreak_col] if tiebreak_col else []))
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    wkey = Window.partitionBy(by)
+    wrun = wkey.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        by, ts_col, *( [tiebreak_col] if tiebreak_col else [] ),
+        v.alias("__v"),
+    ).where(v.isNotNull())
+    stats = base.select(
+        "*",
+        F.mean("__v").over(wkey).alias("__mu"),
+        F.stddev_pop("__v").over(wkey).alias("__sigma"),
+    )
+    z = F.when(F.col("__sigma") > 0, (F.col("__v") - F.col("__mu")) / F.col("__sigma")).otherwise(F.lit(0.0))
+    kf = float(k)
+    stepped = stats.select(
+        "*",
+        F.sum(z - F.lit(kf)).over(wrun).alias("__cp"),
+        F.sum(-z - F.lit(kf)).over(wrun).alias("__cn"),
+    ).select(
+        "*",
+        (F.col("__cp") - F.least(F.min("__cp").over(wrun), F.lit(0.0))).alias("__sp"),
+        (F.col("__cn") - F.least(F.min("__cn").over(wrun), F.lit(0.0))).alias("__sn"),
+    )
+    hf = float(h)
+    alarm_row = (F.col("__sp") > hf) | (F.col("__sn") > hf)
+    return stepped.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__mu").alias("mean"),
+        F.max("__sigma").alias("std"),
+        F.max("__sp").alias("max_cusum_pos"),
+        F.max("__sn").alias("max_cusum_neg"),
+        F.max(alarm_row).alias("alarm"),
+        F.min(F.when(alarm_row, F.col(ts_col))).alias("first_alarm_ts"),
+    )

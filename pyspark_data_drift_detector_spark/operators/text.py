@@ -261,3 +261,55 @@ def text_quality_drift(
             )
         ).alias("drift_causes"),
     )
+
+
+#: PII patterns shared by the scrubber and its tests. Kept to syntax both
+#: Java regex (Spark executors) and RE2 (the DuckDB oracle) interpret
+#: identically: character classes, bounded repetition, \b word boundaries —
+#: no lookarounds, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    # order is semantic: specific before general — an SSN or IPv4 would
+    # otherwise be consumed by the broader phone pattern
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{7,14}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans and count them, one narrow map — no shuffle.
+
+    Each pattern class is counted (``n_<class>``) with
+    ``regexp_count`` and then replaced by ``[<CLASS>]`` in order of
+    ``patterns`` (email before phone by default, so a digit-bearing email
+    local-part is consumed as an email, not a phone). Counting happens on
+    the PRE-redaction text per class applied sequentially — the count of
+    class k is measured after classes 1..k-1 were already redacted, so a
+    span never double-counts across classes.
+
+    Training-pipeline shape: a pure projection over the corpus — the plan
+    stays a single whole-stage-codegen map over the scan, pushdown and
+    pruning intact. Output: ``id_col``, ``scrubbed`` (redacted text),
+    ``n_<class>`` per pattern, ``n_pii_total``.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    if not pats:
+        raise ValueError("no patterns")
+    cur = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    counts = []
+    for name, rex in pats.items():
+        counts.append(F.regexp_count(cur, F.lit(rex)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, rex, f"[{name.upper()}]")
+    total = None
+    for c in [F.col(f"n_{n}") for n in pats]:
+        total = c if total is None else total + c
+    return df.select(
+        *out_cols, *counts, cur.alias("scrubbed")
+    ).withColumn("n_pii_total", total.cast("long"))

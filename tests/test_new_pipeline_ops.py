@@ -459,3 +459,80 @@ def test_hll_distinct_merge_property(spark, sf_dir):
     }
     for c in cols:
         assert abs(w[c] - exact[c]) / max(exact[c], 1) <= 0.05, (c, w[c], exact[c])
+
+
+def test_interval_join_semantics(spark):
+    """Containment is inclusive on both ends, per-key, and bucket
+    boundaries don't drop matches (events near bucket edges)."""
+    from pyspark_data_drift_detector_spark.operators.temporal import interval_join
+
+    t = lambda h, m=0, s=0: datetime.datetime(2024, 1, 1, h, m, s)
+    ev = spark.createDataFrame(
+        [
+            (1, t(1), "start_edge"),     # == session_start
+            (1, t(2), "end_edge"),       # == session_end
+            (1, t(2, 0, 1), "outside"),  # 1s past end
+            (2, t(1, 30), "other_key"),  # key with no interval
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    iv = spark.createDataFrame(
+        [(1, t(1), t(2), 7)],
+        "user_id long, session_start timestamp, session_end timestamp, sid long",
+    )
+    got = {r["tag"] for r in interval_join(ev, iv, bucket="15 minutes").collect()}
+    assert got == {"start_edge", "end_edge"}
+    # an interval spanning many buckets still matches an event mid-way
+    iv2 = spark.createDataFrame(
+        [(1, t(1), t(23), 8)],
+        "user_id long, session_start timestamp, session_end timestamp, sid long",
+    )
+    mid = spark.createDataFrame(
+        [(1, t(12, 34), "mid")], "user_id long, ts timestamp, tag string"
+    )
+    assert [r["sid"] for r in interval_join(mid, iv2, bucket="1 hour").collect()] == [8]
+
+
+def test_pii_scrub_classes_and_order(spark):
+    """Each class redacts with its own token; specific classes (ssn, ipv4)
+    are never consumed by the broader phone pattern; clean text is
+    untouched with zero counts."""
+    from pyspark_data_drift_detector_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "bob@x.co +1 555-123-4567 10.0.0.1 123-45-6789"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["scrubbed"] == "[EMAIL] [PHONE] [IPV4] [SSN]"
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"], rows[1]["n_ssn"]) == (1, 1, 1, 1)
+    assert rows[1]["n_pii_total"] == 4
+    assert rows[2]["scrubbed"] == "no pii here at all"
+    assert rows[2]["n_pii_total"] == 0
+
+
+def test_pii_scrub_is_narrow_map(spark, sf_dir):
+    from pyspark_data_drift_detector_spark.operators.text import pii_scrub
+    from pyspark_data_drift_detector_spark.plans.inspect import count_shuffles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert count_shuffles(pii_scrub(docs)) == 0
+
+
+def test_cusum_detects_mean_shift_not_noise(spark):
+    from pyspark_data_drift_detector_spark.operators.temporal import cusum_changepoint
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(80):
+        ts = base + datetime.timedelta(minutes=i)
+        rows.append((1, ts, 10.0 + (0.2 if i % 2 else -0.2)))          # stable
+        rows.append((2, ts, (10.0 if i < 40 else 14.0) + (0.2 if i % 2 else -0.2)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in cusum_changepoint(df).collect()}
+    assert out[1]["alarm"] is False and out[1]["first_alarm_ts"] is None
+    assert out[2]["alarm"] is True and out[2]["first_alarm_ts"] is not None
+    assert out[2]["max_cusum_pos"] > 5.0
