@@ -3423,6 +3423,62 @@ def _asof_join_sql() -> str:
       ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-Fourier-feature MMD between the even/odd embedding halves
+    (operators.similarity.mmd_drift). The seeded weights/phases inline as
+    literals in BOTH engines, so the full estimator — features, per-side
+    means, squared-difference sum — replays in DuckDB."""
+    from pyspark_data_drift_detector_spark.operators.similarity import mmd_drift
+
+    emb = _embeddings(spark, sf_dir)
+    out = mmd_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=64,
+        n_features=48,
+    )
+    return _round_cols(
+        out.select("mmd2", "mmd", "ref_n", "curr_n", "n_features", "drift_detected"),
+        ["mmd2", "mmd"],
+    )
+
+
+def _mmd_drift_sql() -> str:
+    import math as _math
+
+    from pyspark_data_drift_detector_spark.operators.similarity import rff_params
+
+    w, b = rff_params(64, 48, seed=7)
+    sigma = _math.sqrt(64.0)
+    feats = []
+    for i, (p, bb) in enumerate(zip(w, b)):
+        vec = "[" + ", ".join(f"{float(x)!r}" for x in p) + "]"
+        feats.append(
+            f"COS(list_dot_product(embedding::DOUBLE[], {vec}) / {sigma!r}"
+            f" + {float(bb)!r}) AS f{i}"
+        )
+    means = ", ".join(
+        f"AVG(CASE WHEN side = 'r' THEN f{i} END) AS mr{i},"
+        f" AVG(CASE WHEN side = 'c' THEN f{i} END) AS mc{i}"
+        for i in range(48)
+    )
+    sq = " + ".join(f"POW(mr{i} - mc{i}, 2)" for i in range(48))
+    return f"""
+    WITH t AS (
+      SELECT CASE WHEN vec_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+             {', '.join(feats)}
+      FROM embeddings WHERE embedding IS NOT NULL),
+    m AS (SELECT {means},
+            SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS ref_n,
+            SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS curr_n
+          FROM t),
+    s AS (SELECT ({sq}) * (2.0 / 48) AS mmd2, ref_n, curr_n FROM m)
+    SELECT ROUND(mmd2, {ROUND}) AS mmd2,
+      ROUND(SQRT(GREATEST(mmd2, 0.0)), {ROUND}) AS mmd,
+      ref_n, curr_n, 48 AS n_features, mmd2 > 0.01 AS drift_detected
+    FROM s"""
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user two-sided CUSUM change-point scan over the event value
     series (operators.temporal.cusum_changepoint). The max(0,·) recursion
@@ -3883,6 +3939,7 @@ def _oracle_queries() -> dict[str, str]:
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "cusum_changepoint": _cusum_changepoint_sql(),
+        "mmd_drift": _mmd_drift_sql(),
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
@@ -3934,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "pii_scrub": q_pii_scrub,
         "cusum_changepoint": q_cusum_changepoint,
+        "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,

@@ -24,6 +24,7 @@ at dim=768, 500×500 LSH on local[8]: expr 17.3s vs gemm 2.0s warm, ~9×;
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -392,4 +393,97 @@ def embedding_drift(
                 F.when(norm_flag, F.lit("norm_scale_shift")),
             )
         ).alias("drift_causes"),
+    )
+
+
+def rff_params(
+    dim: int, n_features: int = 48, seed: int = 7
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic random-Fourier-feature parameters: Gaussian weight
+    rows and U[0, 2π) phase offsets, seeded — the same reproducibility
+    contract as ``hyperplanes`` (the oracle inlines the identical
+    literals)."""
+    rng = random.Random(seed)
+    w = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_features)]
+    b = [rng.uniform(0.0, 2.0 * math.pi) for _ in range(n_features)]
+    return w, b
+
+
+def mmd_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    sigma: float | None = None,
+    seed: int = 7,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Maximum Mean Discrepancy drift between two embedding populations,
+    RBF kernel approximated with random Fourier features.
+
+    ``MMD²(P, Q) = ||E_P φ(x) − E_Q φ(x)||²`` with
+    ``φ_i(x) = √(2/D)·cos(w_i·x / σ + b_i)``, ``w_i ~ N(0, I)``,
+    ``b_i ~ U[0, 2π)`` — Rahimi & Recht's kernel approximation turns the
+    quadratic-in-rows kernel statistic into TWO passes of linear algebra:
+    per-row features (a narrow map over one nested-array literal, exactly
+    the ``_signature_expr`` plan shape), a ``groupBy(feature)`` of
+    conditional means (O(D) shuffle rows), and one O(D) aggregate. The
+    exact MMD² is O(n²) pairwise kernels — unusable at 100 TB; this
+    estimator is O(rows·D·dim) scanned once, and unlike centroid cosine
+    (``embedding_drift``) it detects HIGHER-MOMENT drift (variance/shape
+    changes that keep the mean fixed).
+
+    ``sigma`` defaults to √dim (the natural scale when coordinates are
+    O(1)); pass the median pairwise distance for the textbook heuristic.
+    Output (one row): ``mmd2, mmd, ref_n, curr_n, n_features,
+    drift_detected``.
+    """
+    if sigma is None:
+        sigma = math.sqrt(float(dim))
+    w, b = rff_params(dim, n_features, seed)
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")" for p in w
+    ) + ")"
+    barr = "array(" + ", ".join(f"{float(x)!r}D" for x in b) + ")"
+    feats = (
+        f"zip_with(transform({mat}, p -> aggregate(zip_with(e, p,"
+        f" (x, y) -> x * y), 0.0D, (s, x) -> s + x)), {barr},"
+        f" (d, bb) -> cos(d / {float(sigma)!r}D + bb))"
+    )
+    tagged = (
+        df_ref.select(
+            F.lit("r").alias("__side"),
+            F.col(embedding_col).cast("array<double>").alias("e"),
+        )
+        .unionByName(
+            df_curr.select(
+                F.lit("c").alias("__side"),
+                F.col(embedding_col).cast("array<double>").alias("e"),
+            )
+        )
+        .where(F.col("e").isNotNull())
+    )
+    per_feature = (
+        tagged.selectExpr("__side", f"posexplode({feats}) AS (pos, f)")
+        .groupBy("pos")
+        .agg(
+            F.expr("avg(CASE WHEN __side = 'r' THEN f END) AS mr"),
+            F.expr("avg(CASE WHEN __side = 'c' THEN f END) AS mc"),
+            F.expr("sum(CAST(__side = 'r' AS BIGINT)) AS nr"),
+            F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS nc"),
+        )
+    )
+    scale = 2.0 / float(n_features)
+    return per_feature.agg(
+        F.expr(f"sum(power(mr - mc, 2)) * {scale!r}D AS mmd2"),
+        F.expr("max(nr) AS ref_n"),
+        F.expr("max(nc) AS curr_n"),
+    ).selectExpr(
+        "mmd2",
+        "sqrt(greatest(mmd2, 0.0D)) AS mmd",
+        "ref_n",
+        "curr_n",
+        f"{int(n_features)} AS n_features",
+        f"mmd2 > {float(threshold)!r}D AS drift_detected",
     )

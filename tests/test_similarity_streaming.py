@@ -405,3 +405,27 @@ def test_ivf_recall(vectors):
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert full_set == exact_set  # probing all cells IS exact
     assert len(approx_set & exact_set) <= len(full_set & exact_set)
+
+
+def test_mmd_detects_variance_drift(spark):
+    """MMD catches a variance change that keeps the mean fixed — the
+    higher-moment blind spot of centroid-based embedding_drift — and
+    reads ≈0 on two samples of the same distribution."""
+    import random as _random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import mmd_drift
+
+    rng = _random.Random(11)
+    dim = 16
+    mk = lambda n, scale: [
+        (i, [rng.gauss(0.0, scale) for _ in range(dim)]) for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(300, 1.0), "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(mk(300, 1.0), "vec_id long, embedding array<double>")
+    wide = spark.createDataFrame(mk(300, 3.0), "vec_id long, embedding array<double>")
+
+    kw = dict(dim=dim, n_features=48, sigma=2.0)
+    same = mmd_drift(a, b, **kw).collect()[0]["mmd2"]
+    diff = mmd_drift(a, wide, **kw).collect()[0]["mmd2"]
+    assert diff > 5 * max(same, 1e-6)
+    assert same < 0.01
