@@ -1037,6 +1037,43 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy survivor selection: keep the LONGEST document per
+    near-dup cluster (n_chars score, min-id tiebreak) plus all
+    unclustered docs — max_by over the cluster-score join, no
+    per-cluster sort window (md5 MinHash family for oracle replay)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_survivors_by,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.3, hash_family="md5")
+    kept = dedup_survivors_by(docs, neardup_clusters(pairs), score_col="n_chars")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _dedup_survivors_best_sql(threshold: float = 0.3) -> str:
+    """Winner per cluster = rank 1 by (n_chars DESC, doc_id ASC) over the
+    recursive-CTE transitive closure, plus every unclustered doc."""
+    return f"""
+    WITH c AS ({_dedup_clusters_sql(threshold)}),
+    scored AS (
+      SELECT c.id, c.cluster_id, d.n_chars
+      FROM c JOIN documents d ON c.id = d.doc_id),
+    winners AS (
+      SELECT id FROM (
+        SELECT id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    clustered AS (SELECT id FROM c)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+    FROM documents d
+    WHERE d.doc_id IN (SELECT id FROM winners)
+       OR d.doc_id NOT IN (SELECT id FROM clustered)"""
+
+
 def q_streaming_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static drift alerts, batch twin: the SAME windowed_profile +
     streaming_drift_alerts functions the streaming path runs (pure
@@ -3940,6 +3977,7 @@ def _oracle_queries() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "cusum_changepoint": _cusum_changepoint_sql(),
         "mmd_drift": _mmd_drift_sql(),
+        "dedup_survivors_best": _dedup_survivors_best_sql(),
         "quality_filter": _quality_filter_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "weighted_sample": _weighted_sample_sql(),
@@ -4010,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_numeric_drift": q_group_numeric_drift,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_best": q_dedup_survivors_best,
         "numeric_profile": q_numeric_profile,
         "numeric_drift": q_numeric_drift,
         "numeric_drift_rowpath": q_numeric_drift_rowpath,

@@ -747,3 +747,39 @@ def embedding_neardup_pairs(
         .applyInPandas(gemm, schema=out_schema)
         .select("id1", "id2", "cosine")
     )
+
+
+def dedup_survivors_by(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST document per near-dup cluster by ``score_col``
+    (highest score wins, smallest id breaks ties) plus every unclustered
+    document.
+
+    The policy real pipelines want over min-id ``dedup_survivors``: when a
+    cluster holds a full article and its truncated scrape, keep the one
+    with more content / higher quality score. One aggregate over the
+    O(clustered-docs) cluster-score join picks each cluster's winner
+    (``max_by`` with a (score, −id) struct — no per-cluster sort window),
+    then a semi-join keeps winners and an anti-join keeps singletons;
+    both joins broadcast the small side at corpus scale.
+    """
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")), "id"
+    )
+    winners = scored.groupBy("cluster_id").agg(
+        F.expr("max_by(id, named_struct('s', __s, 'i', -id))").alias("id")
+    )
+    clustered_ids = clusters.select("id")
+    keep_clustered = df.join(
+        F.broadcast(winners.select(F.col("id").alias(id_col))), id_col, "left_semi"
+    )
+    unclustered = df.join(
+        F.broadcast(clustered_ids.select(F.col("id").alias(id_col))),
+        id_col,
+        "left_anti",
+    )
+    return keep_clustered.unionByName(unclustered)

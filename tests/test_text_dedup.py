@@ -236,3 +236,24 @@ def test_embedding_neardup_lsh_recall(spark):
     assert approx <= exact  # verification is exact → precision is 1.0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"banding recall collapsed: {recall:.2f} over {len(exact)} pairs"
+
+
+def test_dedup_survivors_by_policy(spark):
+    """Highest score wins within a cluster, smallest id breaks ties,
+    unclustered docs always survive."""
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],  # {1,2,3} one cluster, {4} alone
+        "id long, cluster_id long",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors_by(docs, clusters, "score").collect()
+    )
+    # cluster {1,2,3}: 2 and 3 tie on score 50 → min id 2; singleton
+    # cluster {4} keeps itself; 9 is unclustered → kept
+    assert kept == [2, 4, 9]
