@@ -388,3 +388,64 @@ def test_top_k_salt_gate(li):
     assert any(a >= 2 for a, _ in sorted_windows(forced))
     rows = lambda df: sorted(tuple(r) for r in df.collect())
     assert rows(auto) == rows(forced)
+
+
+def test_mergeable_state_plan_shapes(li, docs):
+    """Round-5 mergeable families: the state builders are one melt+groupBy
+    pass; window merges are single aggregates over the state — no data
+    re-scan shape anywhere."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_categories,
+        merged_category_cells,
+        merged_distinct,
+        partitioned_categories,
+        partitioned_distinct,
+    )
+
+    cat_state = partitioned_categories(li, ["l_returnflag"], "pmod(l_orderkey, 4)")
+    assert count_scans(cat_state) == 1
+    assert count_shuffles(cat_state) == 1  # the state groupBy
+    cells = merged_category_cells(cat_state, ["0"], ["1"])
+    assert count_scans(cells) == 1  # still ONE scan end-to-end
+    hll_state = partitioned_distinct(li, ["l_returnflag"], "pmod(l_orderkey, 4)")
+    assert count_scans(hll_state) == 1
+    assert count_shuffles(merged_distinct(hll_state)) <= 2
+    assert count_shuffles(merge_categories(cat_state)) <= 3
+
+
+def test_mmd_drift_plan(spark, sf_dir):
+    """MMD: narrow feature map over the scans, one O(D)-row groupBy, one
+    final aggregate — no join, no window, no per-row Python."""
+    from pyspark_data_drift_detector_spark.operators.similarity import mmd_drift
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mmd_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=64,
+        n_features=8,
+    )
+    plan = simple_plan(out)
+    assert "Join" not in plan.replace("CrossJoin", "")  # allow none at all
+    assert "Window" not in plan
+    assert count_shuffles(out) <= 2
+
+
+def test_interval_join_plan(spark, sf_dir):
+    """Interval join: equi-join on (key, bucket) — never a broadcast
+    nested loop / cartesian over the range predicate."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        interval_join,
+        sessionize,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    sessions = sessionize(load_events(spark, sf_dir)).select(
+        "user_id", "session_start", "session_end"
+    )
+    plan = simple_plan(interval_join(ev, sessions))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
