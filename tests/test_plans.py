@@ -449,3 +449,39 @@ def test_interval_join_plan(spark, sf_dir):
     plan = simple_plan(interval_join(ev, sessions))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Storage-level bucketing: two tables bucketed on the join key join
+    with ZERO exchanges — the pre-shuffled-at-write-time contract a
+    recurring 100 TB fact-to-fact join relies on."""
+    from pyspark_data_drift_detector_spark.sources.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS l_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], 4, path=str(tmp_path / "li_b"))
+    write_bucketed(orders, "ord_b", ["l_orderkey"], 4, path=str(tmp_path / "ord_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must pick SortMergeJoin — the shape
+        # whose Exchange the bucketing removes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "li_b", "ord_b", ["l_orderkey"])
+        assert count_shuffles(joined) == 0
+        from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+        assert "SortMergeJoin" in simple_plan(joined)
+        # and it actually computes the right thing
+        n = joined.count()
+        assert n == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
