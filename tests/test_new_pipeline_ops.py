@@ -536,3 +536,81 @@ def test_cusum_detects_mean_shift_not_noise(spark):
     assert out[1]["alarm"] is False and out[1]["first_alarm_ts"] is None
     assert out[2]["alarm"] is True and out[2]["first_alarm_ts"] is not None
     assert out[2]["max_cusum_pos"] > 5.0
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: the union+running-window as-of join equals
+    pandas.merge_asof (backward, inclusive) on every row."""
+    import random as _random
+
+    import pandas as pd
+
+    from pyspark_data_drift_detector_spark.operators.temporal import asof_join
+
+    rng = _random.Random(3)
+    base = datetime.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for key in (1, 2, 3):
+        used = set()
+        for _ in range(40):
+            lrows.append((key, base + datetime.timedelta(seconds=rng.randrange(0, 5000))))
+        for _ in range(12):
+            s = rng.randrange(0, 5000)
+            if (key, s) in used:          # right side must be unique per (key, ts)
+                continue
+            used.add((key, s))
+            rrows.append((key, base + datetime.timedelta(seconds=s), float(s)))
+    left = spark.createDataFrame(lrows, "k long, ts timestamp")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, px double")
+
+    got = {
+        (r["k"], r["ts"]): r["px_asof"]
+        for r in asof_join(left, right, ts_col="ts", by="k").collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "px"]).sort_values("ts").reset_index(drop=True)
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["px"]) else float(row["px"])
+        assert got[(row["k"], row["ts"].to_pydatetime())] == want
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The running-sum − running-min closed form equals the textbook
+    S_t = max(0, S_{t-1} + z_t − k) recursion on random series."""
+    import random as _random
+
+    from pyspark_data_drift_detector_spark.operators.temporal import cusum_changepoint
+
+    rng = _random.Random(5)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for key in (1, 2):
+        vals = [rng.gauss(0, 1) + (2.0 if key == 2 and i > 50 else 0.0) for i in range(90)]
+        series[key] = vals
+        rows += [
+            (key, base + datetime.timedelta(minutes=i), v) for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in cusum_changepoint(df, k=0.5, h=4.0).collect()}
+
+    import statistics
+
+    for key, vals in series.items():
+        mu = statistics.fmean(vals)
+        sigma = statistics.pstdev(vals)
+        sp = sn = mx_p = mx_n = 0.0
+        alarm_i = None
+        for i, v in enumerate(vals):
+            z = (v - mu) / sigma if sigma > 0 else 0.0
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            mx_p, mx_n = max(mx_p, sp), max(mx_n, sn)
+            if alarm_i is None and (sp > 4.0 or sn > 4.0):
+                alarm_i = i
+        assert abs(out[key]["max_cusum_pos"] - mx_p) < 1e-9, key
+        assert abs(out[key]["max_cusum_neg"] - mx_n) < 1e-9, key
+        assert out[key]["alarm"] == (alarm_i is not None)
+        if alarm_i is not None:
+            assert out[key]["first_alarm_ts"] == base + datetime.timedelta(minutes=alarm_i)
