@@ -697,6 +697,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["cosine"])
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (per-section k-means codebooks, ADC
+    candidate scan, exact cosine re-rank). The k-means fit is iterative
+    (driver-side numpy on a deterministic sample), so this query has NO
+    SQL oracle — the driver records the weaker rows-only check, and the
+    recall floor vs cosine_topk is pinned by test_pq_recall."""
+    from pyspark_data_drift_detector_spark.operators.similarity import pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, candidates=50)
+    return _round_cols(out, ["cosine"])
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -4049,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_best": q_dedup_survivors_best,
+        "ann_pq": q_ann_pq,
         "numeric_profile": q_numeric_profile,
         "numeric_drift": q_numeric_drift,
         "numeric_drift_rowpath": q_numeric_drift_rowpath,

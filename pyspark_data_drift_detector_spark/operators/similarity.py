@@ -487,3 +487,206 @@ def mmd_drift(
         f"{int(n_features)} AS n_features",
         f"mmd2 > {float(threshold)!r}D AS drift_detected",
     )
+
+
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, n_codes: int = 16, seed: int = 13
+) -> list[list[list[float]]]:
+    """Seeded random PQ codebooks (``m`` sections × ``n_codes`` codewords
+    of ``dim/m`` dims) — the fully deterministic variant for unit tests;
+    real quality comes from ``pq_fit_kmeans``."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(sub)] for _ in range(n_codes)]
+        for _ in range(m)
+    ]
+
+
+def pq_fit_kmeans(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 32,
+    sample_rows: int = 2048,
+    iters: int = 15,
+    seed: int = 0,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Per-section Lloyd's k-means PQ codebooks, fit on a driver sample.
+
+    Deterministic: the sample is the first ``sample_rows`` vectors by id,
+    initialization is ``numpy.random.RandomState(seed + section)``, and
+    the iteration count is fixed — the ``pca_anomaly`` fit-then-inline
+    pattern (one tiny driver job + numpy; the fit is O(sample × n_codes ×
+    iters), never touching the full corpus). For production quality at
+    100 TB, fit on a larger sample offline; the query path is unchanged.
+    """
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .select(F.col(embedding_col).cast("array<double>").alias("e"))
+        .collect()
+    )
+    X = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    if len(X) < n_codes:
+        raise ValueError(f"sample has {len(X)} rows < n_codes {n_codes}")
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        data = X[:, s * sub : (s + 1) * sub]
+        rng = np.random.RandomState(seed + s)
+        cent = data[rng.choice(len(data), n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d = ((data[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = data[mask].mean(0)
+        books.append([[float(x) for x in c] for c in cent])
+    return books
+
+
+def _normalize_expr(vec: str) -> str:
+    return (
+        f"transform({vec}, x -> x / greatest(sqrt(aggregate({vec}, 0.0D,"
+        " (a, v) -> a + v * v)), 1e-12D))"
+    )
+
+
+def _pq_encode_expr(vec: str, books: list[list[list[float]]]) -> str:
+    """SQL text: the PQ code array (one argmin per subvector section).
+
+    One nested literal per section; ``array_position(d, array_min(d))``
+    is the deterministic argmin (first minimum wins)."""
+    sub = len(books[0][0])
+    parts = []
+    for s, cb in enumerate(books):
+        mat = "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in cb
+        ) + ")"
+        seg = f"slice({vec}, {s * sub + 1}, {sub})"
+        dists = (
+            f"transform({mat}, c -> aggregate(zip_with({seg}, c,"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
+        )
+        parts.append(f"CAST(array_position({dists}, array_min({dists})) AS INT)")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 32,
+    candidates: int = 50,
+    codebooks: list[list[list[float]]] | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Product-quantization ANN: ADC candidate generation + exact cosine
+    re-rank — the memory-compression scale path.
+
+    The corpus is encoded ONCE into ``m`` codes (``m·log₂(n_codes)`` bits
+    per vector — ~5 bytes here vs 256+ for raw floats, so a 100 TB
+    embedding column becomes a few TB of codes); each query builds an
+    ``m × n_codes`` squared-distance table against the codebooks and
+    scores a row as the SUM of lookups at its codes (asymmetric distance
+    computation — raw corpus vectors are never touched while scanning).
+    The top-``candidates`` rows per query by ADC are then re-ranked with
+    exact cosine, so precision within the candidate set is exact and
+    recall is tuned by ``candidates`` (recall@3 ≈ 0.93 at C=50 on the
+    sf0.01 embeddings vs 0.37 for raw ADC ranks — pinned by
+    ``test_pq_recall``).
+
+    ``normalize`` L2-normalizes both sides first, making squared
+    euclidean = 2 − 2·cosine so ADC order approximates cosine order
+    (required when the ground-truth metric is cosine). ``codebooks=None``
+    fits per-section k-means on a driver sample (``pq_fit_kmeans``).
+    Output: ``query_id, neighbor_id, cosine, rank``.
+    """
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_fit_kmeans(
+            corpus, dim, m, n_codes,
+            embedding_col=embedding_col, id_col=id_col, normalize=normalize,
+        )
+    )
+    vec = f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>)"
+    if normalize:
+        vec = _normalize_expr(vec)
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"{vec} AS ce",
+    ).selectExpr("neighbor_id", "ce", f"{_pq_encode_expr('ce', books)} AS codes")
+    from pyspark import StorageLevel
+
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)  # encode once: ADC + re-rank read it
+
+    sub = dim // m
+    tables = []
+    for s, cb in enumerate(books):
+        mat = "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c_) + ")" for c_ in cb
+        ) + ")"
+        seg = f"slice(qe, {s * sub + 1}, {sub})"
+        tables.append(
+            f"transform({mat}, c -> aggregate(zip_with({seg}, c,"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
+        )
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id", f"{vec} AS qe"
+    ).selectExpr("query_id", "qe", "array(" + ", ".join(tables) + ") AS qtab")
+
+    adc = (
+        c.join(F.broadcast(q.select("query_id", "qtab")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "aggregate(zip_with(codes, qtab, (code, tab) -> tab[code - 1]),"
+            " 0.0D, (a, x) -> a + x) AS adc_distance",
+        )
+    )
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_distance"), F.asc("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("__r", F.row_number().over(wadc))
+        .filter(F.col("__r") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the C candidates (both sides unit-norm → dot = cosine)
+    rer = (
+        cand.join(c.select("neighbor_id", "ce"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qe")), "query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "aggregate(zip_with(qe, ce, (x, y) -> x * y), 0.0D,"
+            " (a, x) -> a + x) AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -429,3 +429,59 @@ def test_mmd_detects_variance_drift(spark):
     diff = mmd_drift(a, wide, **kw).collect()[0]["mmd2"]
     assert diff > 5 * max(same, 1e-6)
     assert same < 0.01
+
+
+def test_pq_recall(vectors):
+    """PQ ANN recall guard (mirrors test_lsh_recall/test_ivf_recall):
+    ADC candidates + exact re-rank must recover most exact-cosine
+    neighbors; raw ADC without re-rank may not (that's WHY the re-rank
+    stage exists)."""
+    from pyspark_data_drift_detector_spark.operators.similarity import pq_topk
+
+    queries = vectors.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(vectors, queries, k=3, embedding_col="embedding")
+    approx = pq_topk(
+        vectors, queries, k=3, embedding_col="embedding",
+        dim=16, m=4, n_codes=16, candidates=40,
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7
+    # determinism: same fit, same result
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            vectors, queries, k=3, embedding_col="embedding",
+            dim=16, m=4, n_codes=16, candidates=40,
+        ).collect()
+    }
+    assert again == approx_set
+
+
+def test_pq_adc_algebra(spark):
+    """ADC with handmade codebooks equals the by-hand table-lookup sum:
+    codes are per-section argmins and the distance is Σ_s qtab[s][code_s]."""
+    from pyspark_data_drift_detector_spark.operators.similarity import pq_topk
+
+    # dim=4, m=2 sections of 2 dims, 2 codewords per section
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.0, 1.0], [1.0, 0.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 0.0, 0.9]),   # codes (1, 1)
+            (2, [0.9, 0.9, 0.9, 0.1]),   # codes (2, 2)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 1.0])], "vec_id long, embedding array<double>")
+    out = pq_topk(
+        corpus, q, k=2, dim=4, m=2, n_codes=2, candidates=2,
+        codebooks=books, normalize=False,
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # q's table: s0 -> [0, 2], s1 -> [0, 2]; ADC(1)=0+0=0, ADC(2)=2+2=4 →
+    # both in candidates; exact dot re-rank: 1 -> 0.9, 2 -> 0.1
+    assert ranked == [1, 2]
