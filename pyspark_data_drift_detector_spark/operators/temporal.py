@@ -337,6 +337,7 @@ def cusum_changepoint(
     tiebreak_col: str | None = None,
     k: float = 0.5,
     h: float = 5.0,
+    baseline: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key CUSUM change-point detection over a time-ordered series.
 
@@ -355,6 +356,13 @@ def cusum_changepoint(
     unit of sequential time here). ``tiebreak_col`` makes the order total
     when timestamps can repeat. Output per key: ``n, mean, std,
     max_cusum_pos, max_cusum_neg, alarm, first_alarm_ts``.
+
+    ``baseline``: optional ``(by, mu, sigma)`` frame to normalize against
+    fixed reference statistics instead of the series' own — the
+    monitoring setup (baseline from a trusted window, scan the live
+    series), and the exact semantics the streaming twin
+    (``streaming.profiles.stateful_cusum``) runs, so batch and streaming
+    alarms compare one-to-one.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
 
@@ -370,11 +378,27 @@ def cusum_changepoint(
         by, ts_col, *( [tiebreak_col] if tiebreak_col else [] ),
         v.alias("__v"),
     ).where(v.isNotNull())
+    if baseline is not None:
+        stats = base.join(
+            F.broadcast(
+                baseline.select(
+                    by, F.col("mu").alias("__mu"), F.col("sigma").alias("__sigma")
+                )
+            ),
+            by,
+        )
+        return _cusum_windows(stats, ts_col, by, order, wrun, k, h)
     stats = base.select(
         "*",
         F.mean("__v").over(wkey).alias("__mu"),
         F.stddev_pop("__v").over(wkey).alias("__sigma"),
     )
+    return _cusum_windows(stats, ts_col, by, order, wrun, k, h)
+
+
+def _cusum_windows(stats, ts_col, by, order, wrun, k, h) -> DataFrame:
+    """Shared CUSUM window algebra over a frame carrying ``__v``, ``__mu``,
+    ``__sigma`` — used by both baseline modes of ``cusum_changepoint``."""
     z = F.when(F.col("__sigma") > 0, (F.col("__v") - F.col("__mu")) / F.col("__sigma")).otherwise(F.lit(0.0))
     kf = float(k)
     stepped = stats.select(

@@ -309,3 +309,97 @@ def windowed_drift(
             "drift_detected"
         ),
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id long, n long, sp double, sn double, max_cusum_pos double,"
+    " max_cusum_neg double, alarm boolean, first_alarm_ts timestamp"
+)
+_CUSUM_STATE_SCHEMA = (
+    "n long, sp double, sn double, mx_p double, mx_n double,"
+    " first_alarm_us long"
+)
+
+
+def make_cusum_update(k: float = 0.5, h: float = 5.0):
+    """Build the applyInPandasWithState update function for the streaming
+    CUSUM. Parameters are captured by closure so the function ships to the
+    workers as a plain pickled callable."""
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, sp, sn, mx_p, mx_n, first_us = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, None)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+            for _, row in pdf.iterrows():
+                if pd.isna(row["value"]) or pd.isna(row["sigma"]):
+                    continue
+                z = (
+                    (float(row["value"]) - float(row["mu"])) / float(row["sigma"])
+                    if float(row["sigma"]) > 0
+                    else 0.0
+                )
+                sp = max(0.0, sp + z - k)
+                sn = max(0.0, sn - z - k)
+                mx_p, mx_n = max(mx_p, sp), max(mx_n, sn)
+                n += 1
+                if first_us is None and (sp > h or sn > h):
+                    first_us = int(row["ts"].value // 1000)  # ns → µs
+        state.update((n, sp, sn, mx_p, mx_n, first_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n": n,
+                    "sp": sp,
+                    "sn": sn,
+                    "max_cusum_pos": mx_p,
+                    "max_cusum_neg": mx_n,
+                    "alarm": first_us is not None,
+                    "first_alarm_ts": (
+                        pd.Timestamp(first_us, unit="us") if first_us is not None else pd.NaT
+                    ),
+                }
+            ]
+        )
+
+    return _update
+
+
+def stateful_cusum(
+    df: DataFrame,
+    baseline: DataFrame,
+    by: str = "user_id",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift alarm — the second custom stateful
+    operator (after ``stateful_running_profile``) and the streaming twin
+    of ``operators.temporal.cusum_changepoint(baseline=...)``.
+
+    ``baseline`` is a STATIC ``(by, mu, sigma)`` frame (the trusted
+    reference window's statistics); the stream joins it (stream-static
+    broadcast join), and ``applyInPandasWithState`` carries ``(S⁺, S⁻,
+    maxima, first alarm)`` per key — O(keys) state, each micro-batch
+    folds its rows in event-time order. Output after every batch: the
+    key's cumulative CUSUM summary (same columns as the batch operator,
+    so finalized streams compare row-for-row — pinned by
+    ``test_streaming_cusum_matches_batch``).
+
+    Ordering caveat shared by every stateful streaming fold: rows are
+    ordered within a micro-batch, not across batches — feed the stream
+    through a watermark + sorted source (or accept per-batch granularity
+    of the alarm position) when batches can interleave event time.
+    """
+    joined = df.join(F.broadcast(baseline), by)
+    return joined.groupBy(by).applyInPandasWithState(
+        make_cusum_update(k, h),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -76,3 +76,56 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     n_src = load_events(spark, sf_dir).select("event_id").distinct().count()
     assert n_out == n_distinct_out  # no duplicate survived
     assert n_out == n_src  # every unique event survived
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CUSUM over the events file (availableNow, one batch)
+    equals the batch cusum_changepoint scan with the SAME baseline —
+    per-key maxima, alarm flags, and first-alarm timestamps."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.temporal import cusum_changepoint
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import stateful_cusum
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    baseline = ev.groupBy("user_id").agg(
+        F.mean("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    batch = {
+        r["user_id"]: r
+        for r in cusum_changepoint(
+            ev, tiebreak_col="event_id", k=0.5, h=3.0, baseline=baseline
+        ).collect()
+    }
+
+    stream_dir = tmp_path / "cusum_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(stream_dir))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = stateful_cusum(stream, baseline, k=0.5, h=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.sql("SELECT * FROM cusum_test").collect()}
+
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        s = got[uid]
+        assert s["n"] == b["n"], uid
+        assert abs(s["max_cusum_pos"] - b["max_cusum_pos"]) < 1e-9, uid
+        assert abs(s["max_cusum_neg"] - b["max_cusum_neg"]) < 1e-9, uid
+        assert s["alarm"] == b["alarm"], uid
+        assert s["first_alarm_ts"] == b["first_alarm_ts"], uid
