@@ -2974,8 +2974,9 @@ def q_merged_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merged_drift_sql() -> str:
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+def _merged_drift_sql(
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+) -> str:
     # metric weights present without quantiles: mean .25, std .15, null .1,
     # range .15 — mass 0.65, same accumulation order as the Spark scorer
     per_col = " UNION ALL ".join(
@@ -3063,13 +3064,16 @@ def q_merged_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merged_categorical_drift_sql() -> str:
-    cols = ["o_orderstatus", "o_orderpriority"]
+def _merged_categorical_drift_sql(
+    table: str = "orders",
+    cols: tuple[str, ...] = ("o_orderstatus", "o_orderpriority"),
+    pid: str = "o_orderkey % 4",
+) -> str:
     # the additive state table the Spark side builds, replayed with GROUP BY
     state = " UNION ALL ".join(
-        f"""SELECT o_orderkey % 4 AS pid, '{c}' AS column_name,
+        f"""SELECT {pid} AS pid, '{c}' AS column_name,
               CAST({c} AS VARCHAR) AS value, COUNT(*) AS cnt
-            FROM orders GROUP BY 1, 2, 3"""
+            FROM {table} GROUP BY 1, 2, 3"""
         for c in cols
     )
     cv = (
@@ -3171,6 +3175,50 @@ def _merged_categorical_drift_sql() -> str:
        OR CAST(js.missing_categories AS DOUBLE)/GREATEST(js.ref_categories,1) > 0.03)
         AS drift_detected
     FROM js JOIN pv USING (column_name)"""
+
+
+def q_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental drift: numeric + categorical state tables
+    built once per hash partition of lineitem, windows {0,1} vs {2,3}
+    scored with ZERO data re-scan (pipeline.detect_drift_incremental).
+    Oracle: the two state-replay SQL builders composed into the same slim
+    result projection."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        partitioned_categories,
+        partitioned_profile,
+    )
+    from pyspark_data_drift_detector_spark.pipeline import detect_drift_incremental
+
+    li = _lineitem(spark, sf_dir)
+    prof_state = partitioned_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "pmod(l_orderkey, 4)",
+    )
+    cat_state = partitioned_categories(
+        li, ["l_returnflag", "l_linestatus"], "pmod(l_orderkey, 4)"
+    )
+    out = detect_drift_incremental(prof_state, cat_state, ["0", "1"], ["2", "3"])
+    return _round_cols(out, ["drift_score"])
+
+
+def _incremental_pipeline_sql() -> str:
+    sev = (
+        "CASE WHEN drift_score < 0.1 THEN 'None' WHEN drift_score < 0.25 THEN 'Low'"
+        " WHEN drift_score < 0.5 THEN 'Medium' WHEN drift_score < 0.75 THEN 'High'"
+        " ELSE 'Critical' END"
+    )
+    return f"""
+    SELECT column_name, 'numerical' AS column_type,
+           drift_score, drift_severity, drift_detected
+    FROM ({_merged_drift_sql()})
+    UNION ALL
+    SELECT column_name, 'categorical' AS column_type,
+           drift_score, {sev} AS drift_severity, drift_detected
+    FROM ({_merged_categorical_drift_sql(
+        table="lineitem",
+        cols=("l_returnflag", "l_linestatus"),
+        pid="l_orderkey % 4",
+    )})"""
 
 
 def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3997,6 +4045,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_profile": _merged_profile_sql(),
         "merged_drift": _merged_drift_sql(),
         "merged_categorical_drift": _merged_categorical_drift_sql(),
+        "incremental_pipeline": _incremental_pipeline_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -4050,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_drift": q_merged_drift,
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
+        "incremental_pipeline": q_incremental_pipeline,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

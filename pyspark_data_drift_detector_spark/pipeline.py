@@ -577,3 +577,48 @@ def detect_drift(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def detect_drift_incremental(
+    profile_state: DataFrame,
+    category_state: DataFrame,
+    ref_partitions: list[str],
+    curr_partitions: list[str],
+    num_thresholds: dict[str, float] | None = None,
+    cat_thresholds: dict[str, float] | None = None,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """Window-vs-window drift detection from STATE TABLES only — no data
+    re-scan.
+
+    The incremental pipeline a daily ingest runs: each batch appends its
+    additive summaries once (``mergeable.partitioned_profile`` +
+    ``mergeable.partitioned_categories``), and any two partition windows
+    compare for the cost of two metadata-table aggregates — the
+    re-profile-both-full-snapshots cost the reference pays on every run
+    (SURVEY §3) drops out entirely. Numeric columns get the M16 weighted
+    score (quantile metrics absent from additive state, weight mass
+    renormalized), categorical columns the full M18/M20 score.
+
+    Output: one slim row per column — ``column_name, column_type,
+    drift_score, drift_severity, drift_detected`` — the summary
+    projection of the long result table.
+    """
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_categorical_drift,
+        merged_drift,
+    )
+
+    slim = [
+        "column_name",
+        "CAST(drift_score AS DOUBLE) AS drift_score",
+        "drift_severity",
+        "drift_detected",
+    ]
+    num = merged_drift(
+        profile_state, ref_partitions, curr_partitions, num_thresholds
+    ).selectExpr("column_name", "'numerical' AS column_type", *slim[1:])
+    cat = merged_categorical_drift(
+        category_state, ref_partitions, curr_partitions, cat_thresholds, top_k
+    ).selectExpr("column_name", "'categorical' AS column_type", *slim[1:])
+    return num.unionByName(cat)
