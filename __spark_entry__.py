@@ -454,6 +454,69 @@ def q_rare_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outlier_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based (modified z-score) outlier-rate drift over the lineitem
+    split — the robust sibling of outlier_drift; medians/MAD are exact
+    percentiles so the oracle replays with quantile_cont."""
+    from pyspark_data_drift_detector_spark.operators.rare_events import (
+        robust_outlier_drift,
+    )
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = robust_outlier_drift(ref, curr, ["l_extendedprice", "l_quantity"])
+    ints = ["ref_n", "curr_n", "ref_outliers", "curr_outliers"]
+    rounded = ["ref_median", "ref_mad", "ref_outlier_rate", "curr_outlier_rate", "rate_change"]
+    return _round_cols(
+        out.select(
+            "column_name",
+            *[F.col(c).cast("long").alias(c) for c in ints],
+            *rounded,
+            "drift_detected",
+        ),
+        rounded,
+    )
+
+
+def _robust_outlier_drift_sql() -> str:
+    cols = ["l_extendedprice", "l_quantity"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+          CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+          CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS curr_n,
+          CAST(SUM(CASE WHEN side = 'r' AND is_out THEN 1 ELSE 0 END) AS BIGINT) AS ref_outliers,
+          CAST(SUM(CASE WHEN side = 'c' AND is_out THEN 1 ELSE 0 END) AS BIGINT) AS curr_outliers,
+          ROUND(MAX(med), {ROUND}) AS ref_median,
+          ROUND(MAX(mad), {ROUND}) AS ref_mad,
+          ROUND(CAST(SUM(CASE WHEN side = 'r' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END), 1), {ROUND}) AS ref_outlier_rate,
+          ROUND(CAST(SUM(CASE WHEN side = 'c' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END), 1), {ROUND}) AS curr_outlier_rate,
+          ROUND(CAST(SUM(CASE WHEN side = 'c' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END), 1)
+            - CAST(SUM(CASE WHEN side = 'r' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END), 1), {ROUND}) AS rate_change,
+          ABS(CAST(SUM(CASE WHEN side = 'c' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END), 1)
+            - CAST(SUM(CASE WHEN side = 'r' AND is_out THEN 1 ELSE 0 END) AS DOUBLE)
+            / GREATEST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END), 1)) > 0.01 AS drift_detected
+        FROM (
+          SELECT side, v, med, mad,
+            (mad > 0 AND ABS(0.6745 * (v - med) / mad) > 3.5) AS is_out
+          FROM (
+            SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+                   CAST({c} AS DOUBLE) AS v
+            FROM lineitem WHERE {c} IS NOT NULL)
+          CROSS JOIN (
+            SELECT med, (SELECT CAST(quantile_cont(ABS(CAST({c} AS DOUBLE) - med), 0.5) AS DOUBLE)
+                         FROM lineitem WHERE l_orderkey % 2 = 0 AND {c} IS NOT NULL) AS mad
+            FROM (SELECT CAST(quantile_cont(CAST({c} AS DOUBLE), 0.5) AS DOUBLE) AS med
+                  FROM lineitem WHERE l_orderkey % 2 = 0 AND {c} IS NOT NULL))
+        )""")
+    return " UNION ALL ".join(parts)
+
+
 def q_outlier_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13+M14: z-score and IQR outlier-rate drift over the lineitem split."""
     from pyspark_data_drift_detector_spark.operators.rare_events import outlier_drift
@@ -4046,6 +4109,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_drift": _merged_drift_sql(),
         "merged_categorical_drift": _merged_categorical_drift_sql(),
         "incremental_pipeline": _incremental_pipeline_sql(),
+        "robust_outlier_drift": _robust_outlier_drift_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -4100,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
         "incremental_pipeline": q_incremental_pipeline,
+        "robust_outlier_drift": q_robust_outlier_drift,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

@@ -219,3 +219,91 @@ def outlier_drift(
         "abs(curr_outlier_rate - ref_outlier_rate) AS outlier_rate_diff",
         "abs(curr_extreme_rate - ref_extreme_rate) AS extreme_rate_diff",
     )
+
+
+def robust_outlier_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    z_threshold: float = 3.5,
+    rate_change_threshold: float = 0.01,
+) -> DataFrame:
+    """MAD-based (robust) outlier-rate drift — the M13/M14 family's
+    outlier-resistant sibling.
+
+    The z-score path's own mean/std are corrupted by the outliers it
+    hunts; the classic fix scores against median and MAD:
+    ``robust_z = 0.6745·(x − median) / MAD`` with the |z| > 3.5 rule
+    (Iglewicz & Hoaglin's modified z-score). Reference statistics come
+    from the REF side only (drift is measured against the reference's
+    notion of normal, like ``outlier_drift``).
+
+    Execution: melt both sides once → two tiny median aggregates over the
+    ref cells (median, then median absolute deviation — exact
+    percentiles, oracle-replayable) broadcast back → ONE conditional
+    aggregate counts each side's outliers. ``MAD = 0`` (over half the
+    ref values identical) disables the rule for that column (no finite
+    z), matching the z-score path's σ=0 guard. Output per column:
+    ``column_name, ref_median, ref_mad, ref_n, curr_n, ref_outliers,
+    curr_outliers, ref_outlier_rate, curr_outlier_rate, rate_change,
+    drift_detected``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    if not columns:
+        raise ValueError("no columns")
+    ensure_safe_columns(columns)
+    structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS DOUBLE))"
+        for c in columns
+    )
+    melted = (
+        df_ref.selectExpr("'r' AS __side", f"inline(array({structs}))")
+        .unionByName(df_curr.selectExpr("'c' AS __side", f"inline(array({structs}))"))
+        .where(F.col("value").isNotNull())
+    )
+    from pyspark import StorageLevel
+
+    melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
+    ref_med = (
+        melted.where("__side = 'r'")
+        .groupBy("column_name")
+        .agg(F.expr("percentile(value, 0.5D)").alias("ref_median"))
+    )
+    mad = (
+        melted.where("__side = 'r'")
+        .join(F.broadcast(ref_med), "column_name")
+        .groupBy("column_name")
+        .agg(
+            F.expr("percentile(abs(value - ref_median), 0.5D)").alias("ref_mad"),
+            F.expr("max(ref_median) AS ref_median_out"),
+        )
+        .selectExpr("column_name", "ref_median_out AS ref_median", "ref_mad")
+    )
+    zt, rt = float(z_threshold), float(rate_change_threshold)
+    enr = melted.join(F.broadcast(mad), "column_name")
+    is_out = (
+        f"ref_mad > 0 AND abs(0.6745D * (value - ref_median) / ref_mad) > {zt!r}D"
+    )
+    out = enr.groupBy("column_name").agg(
+        *[
+            F.expr(e)
+            for e in (
+                "max(ref_median) AS ref_median",
+                "max(ref_mad) AS ref_mad",
+                "sum(CAST(__side = 'r' AS BIGINT)) AS ref_n",
+                "sum(CAST(__side = 'c' AS BIGINT)) AS curr_n",
+                f"sum(CAST((__side = 'r' AND {is_out}) AS BIGINT)) AS ref_outliers",
+                f"sum(CAST((__side = 'c' AND {is_out}) AS BIGINT)) AS curr_outliers",
+            )
+        ]
+    )
+    return out.selectExpr(
+        "*",
+        "ref_outliers / greatest(ref_n, 1) AS ref_outlier_rate",
+        "curr_outliers / greatest(curr_n, 1) AS curr_outlier_rate",
+    ).selectExpr(
+        "*",
+        "curr_outlier_rate - ref_outlier_rate AS rate_change",
+        f"abs(curr_outlier_rate - ref_outlier_rate) > {rt!r}D AS drift_detected",
+    )

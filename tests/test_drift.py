@@ -117,3 +117,27 @@ def test_temporal_drift_nulls_and_dow_shift(spark):
     same = temporal_drift(ref, ref, ["ts"]).collect()[0]
     assert not same["drift_detected"] and same["drift_causes"] == []
     assert same["mean_shift_days"] == 0.0 and same["dow_js"] == 0.0
+
+
+def test_robust_outlier_drift_resists_contamination(spark):
+    """The property that motivates MAD over z-score: planting extreme
+    outliers in the CURRENT side must raise the robust outlier rate —
+    while the plain z-score rate computed from contaminated stats would
+    shrink (the outliers inflate sigma). Also: MAD=0 disables the rule."""
+    from pyspark_data_drift_detector_spark.operators.rare_events import (
+        robust_outlier_drift,
+    )
+
+    base = [(i, 100.0 + (i % 7) - 3.0) for i in range(200)]
+    spikes = [(1000 + i, 10000.0) for i in range(10)]
+    ref = spark.createDataFrame(base, "id long, x double")
+    curr = spark.createDataFrame(base[:100] + spikes, "id long, x double")
+    row = robust_outlier_drift(ref, curr, ["x"]).collect()[0]
+    assert row["ref_outliers"] == 0
+    assert row["curr_outliers"] == 10
+    assert row["drift_detected"]
+    assert abs(row["ref_median"] - 100.0) < 1.0
+
+    const = spark.createDataFrame([(i, 5.0) for i in range(50)], "id long, x double")
+    row0 = robust_outlier_drift(const, const, ["x"]).collect()[0]
+    assert row0["ref_mad"] == 0.0 and row0["ref_outliers"] == 0
