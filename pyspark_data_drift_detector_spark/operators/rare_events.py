@@ -282,8 +282,12 @@ def robust_outlier_drift(
     )
     zt, rt = float(z_threshold), float(rate_change_threshold)
     enr = melted.join(F.broadcast(mad), "column_name")
+    # CASE, not AND: ANSI mode evaluates both AND operands, so the division
+    # would throw DIVIDE_BY_ZERO on a MAD=0 column before the guard applies
     is_out = (
-        f"ref_mad > 0 AND abs(0.6745D * (value - ref_median) / ref_mad) > {zt!r}D"
+        f"CASE WHEN ref_mad > 0"
+        f" THEN abs(0.6745D * (value - ref_median) / ref_mad) > {zt!r}D"
+        f" ELSE false END"
     )
     out = enr.groupBy("column_name").agg(
         *[
