@@ -3981,6 +3981,56 @@ def _md5_u_sql(salt: str) -> str:
     )
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group corpus cap: at most 3 docs per (lang, source), selected
+    by the deterministic md5 variate so any layout keeps the same rows.
+    Oracle: ROW_NUMBER over the replayed variate."""
+    from pyspark_data_drift_detector_spark.operators.sampling import cap_per_group
+
+    out = cap_per_group(_documents(spark, sf_dir), ["lang", "source"], 3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+
+
+def _cap_per_group_sql() -> str:
+    return f"""
+    WITH u AS (SELECT doc_id, lang, source, {_md5_u_sql("cap")} AS uu FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+             ORDER BY uu ASC, doc_id ASC) AS rn FROM u)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source FROM r WHERE rn <= 3"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf's-law fit: OLS of log(freq) ~ log(rank) over the
+    top token types — slope far from −1 / poor r² flags synthetic or
+    templated corpora (the harness documents fit badly by construction)."""
+    from pyspark_data_drift_detector_spark.operators.corpus import zipf_fit
+
+    out = zipf_fit(_documents(spark, sf_dir))
+    return _round_cols(out, ["zipf_slope", "zipf_intercept", "zipf_r2"])
+
+
+def _zipf_fit_sql() -> str:
+    return f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM v),
+    top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+            FROM v ORDER BY cnt DESC, token ASC LIMIT 1000),
+    fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS fitted_types,
+              regr_slope(LN(cnt), LN(rank)) AS zipf_slope,
+              regr_intercept(LN(cnt), LN(rank)) AS zipf_intercept,
+              regr_r2(LN(cnt), LN(rank)) AS zipf_r2
+            FROM top)
+    SELECT n_types, n_tokens, fitted_types,
+      ROUND(zipf_slope, {ROUND}) AS zipf_slope,
+      ROUND(zipf_intercept, {ROUND}) AS zipf_intercept,
+      ROUND(zipf_r2, {ROUND}) AS zipf_r2
+    FROM tot CROSS JOIN fit"""
+
+
 def _stratified_sample_sql() -> str:
     return f"""
     WITH c AS (SELECT lang, COUNT(*) AS stratum_count FROM documents GROUP BY 1),
@@ -4110,6 +4160,8 @@ def _oracle_queries() -> dict[str, str]:
         "merged_categorical_drift": _merged_categorical_drift_sql(),
         "incremental_pipeline": _incremental_pipeline_sql(),
         "robust_outlier_drift": _robust_outlier_drift_sql(),
+        "cap_per_group": _cap_per_group_sql(),
+        "zipf_fit": _zipf_fit_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
@@ -4165,6 +4217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_distinct": q_merged_distinct,
         "incremental_pipeline": q_incremental_pipeline,
         "robust_outlier_drift": q_robust_outlier_drift,
+        "cap_per_group": q_cap_per_group,
+        "zipf_fit": q_zipf_fit,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,
         "unigram_logprob": q_unigram_logprob,

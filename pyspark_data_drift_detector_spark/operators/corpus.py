@@ -177,3 +177,57 @@ def vocab_drift(
         f"__oov_tokens / greatest(curr_tokens, 1) > {float(oov_threshold)!r}D"
         " AS drift_detected",
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_r: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency spectrum.
+
+    Natural corpora follow ``freq(rank) ∝ rank^(−s)`` with s ≈ 1; a slope
+    far from −1 (or a poor fit) flags synthetic/templated/degenerate text
+    — a corpus-level quality check the per-document gates can't see.
+
+    ONE explode → ``groupBy(token)`` builds the spectrum; the top
+    ``top_r`` types come from ``orderBy().limit()`` (TakeOrderedAndProject
+    — per-partition heaps, never a global sort, so the full vocabulary is
+    never ranked or collected); the OLS fit of ``log(freq) ~ log(rank)``
+    is ``regr_slope``/``regr_intercept``/``regr_r2`` over those ≤ top_r
+    rows. Deterministic rank ties on ``(cnt DESC, token ASC)``. Output
+    (one row): ``n_types, n_tokens, fitted_types, zipf_slope,
+    zipf_intercept, zipf_r2``.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(df, text_col, id_col)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark import StorageLevel
+
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = counts.agg(
+        F.expr("count(1) AS n_types"), F.expr("sum(cnt) AS n_tokens")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_r)
+    # the ranked frame is ≤ top_r rows — the single-partition window is a
+    # deliberate tiny-data step, not a scale risk
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    )
+    fit = ranked.agg(
+        F.expr("count(1) AS fitted_types"),
+        F.expr("regr_slope(ln(cnt), ln(rank)) AS zipf_slope"),
+        F.expr("regr_intercept(ln(cnt), ln(rank)) AS zipf_intercept"),
+        F.expr("regr_r2(ln(cnt), ln(rank)) AS zipf_r2"),
+    )
+    return totals.crossJoin(fit).selectExpr(
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(fitted_types AS BIGINT) AS fitted_types",
+        "zipf_slope",
+        "zipf_intercept",
+        "zipf_r2",
+    )

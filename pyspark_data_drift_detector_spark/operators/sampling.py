@@ -129,3 +129,55 @@ def hash_split(
     for name, cut in reversed(cuts):
         expr = F.when(u < cut, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by deterministic hash
+    order — the "at most N documents per domain" cap that balances a
+    training corpus.
+
+    Selection order is ``(uniform_variate(id), id)``: layout-independent
+    (the same rows win on any partitioning or append order) and unbiased
+    within the group. The rank runs the size-gated two-phase shape of
+    ``frequency.top_k_cutoffs``: large frames first rank per
+    ``(group, salt-slice)`` and keep each slice's top ``n`` (any global
+    top-``n`` row is in its slice's local top-``n``), so no task ever
+    sorts a whole hot group; the exact rank then runs over the ≤ n·S
+    survivors. Small frames (per the same Catalyst size estimate) take
+    one direct window.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+    from pyspark_data_drift_detector_spark.operators.frequency import _should_salt
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ensure_safe_columns(group_cols + [id_col])
+    if salt_partitions is None:
+        salt_partitions = 32 if _should_salt(df) else 1
+    u = uniform_variate(F.col(id_col), salt)
+    ranked = df.withColumn("__u", u)
+    order = [F.asc("__u"), F.asc(id_col)]
+    from pyspark.sql import Window
+
+    if salt_partitions > 1:
+        wlocal = Window.partitionBy(
+            *group_cols, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_partitions))
+        ).orderBy(*order)
+        ranked = ranked.withColumn("__lrn", F.row_number().over(wlocal)).filter(
+            F.col("__lrn") <= n
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__u", "__rn", "__lrn")
+    )

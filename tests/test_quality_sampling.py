@@ -116,3 +116,31 @@ def test_hash_split_rejects_empty(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         hash_split(df, {})
+
+
+def test_cap_per_group_semantics(spark):
+    """No group exceeds the cap, small groups keep everything, selection is
+    layout-independent, and the forced salted shape picks the same rows."""
+    from pyspark_data_drift_detector_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 80 else ("tiny" if i < 83 else "mid")) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = cap_per_group(df, ["grp"], 5).collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert len(by_grp["big"]) == 5     # capped
+    assert len(by_grp["tiny"]) == 3    # under cap: everything survives
+    assert len(by_grp["mid"]) == 5     # 7 rows capped to 5
+    # layout independence: a different partitioning keeps the same rows
+    again = {
+        (r["grp"], r["doc_id"])
+        for r in cap_per_group(df.repartition(7), ["grp"], 5).collect()
+    }
+    assert again == {(r["grp"], r["doc_id"]) for r in kept}
+    # forced salted (scale) shape selects the identical rows
+    salted = {
+        (r["grp"], r["doc_id"])
+        for r in cap_per_group(df, ["grp"], 5, salt_partitions=8).collect()
+    }
+    assert salted == again
