@@ -340,7 +340,6 @@ def minhash_lsh_pairs(
 def neardup_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
-    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over near-dup pairs: ``cluster_id`` = smallest
     id reachable from each document.
@@ -354,12 +353,13 @@ def neardup_clusters(
     lineage (an iterative plan otherwise grows exponentially and kills the
     optimizer LONG before data size matters).
 
-    Convergence is an exact changed-label count, run every ``check_every``
-    iterations (each check is its own Spark job — checking every round
-    doubled the job count for deep clusters; at worst one extra cheap
-    iteration runs). ``max_iter`` is a safety bound; if it is exhausted
-    with labels still moving, a warning is raised because the output would
-    silently split one component into several.
+    Convergence is exact and checked EVERY iteration via the monotone
+    label sum (labels only decrease, so an unchanged decimal-exact sum ⟺
+    no label changed) — a ~ms aggregate over the iteration's own
+    checkpoint, replacing the former labels-vs-labels join+count.
+    ``max_iter`` is a safety bound; if it is exhausted with labels still
+    moving, a warning is raised because the output would silently split
+    one component into several.
 
     Input: any near-dup pairs frame with ``id1``/``id2`` (exact, MinHash,
     SimHash, embedding). Output: ``id, cluster_id`` for every document that
@@ -434,20 +434,25 @@ def neardup_clusters(
                 "label",
             )
             .select(F.col("id"), F.least(F.col("label"), F.col("label2")).alias("label"))
+            # materialize EVERY iteration: the next iteration references
+            # this frame three times (neighbor-min join, stepped join,
+            # pointer self-join) — unmaterialized, those branches
+            # re-evaluate the whole subtree per reference (measured +60%
+            # when checkpointing was deferred to check rounds)
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            # ONE job materializes the whole since-last-check lineage into
-            # the checkpoint; the convergence agg then reads the checkpoint.
-            # (Checkpointing every iteration doubled the job count — the
-            # in-between iterations' lineage is bounded at 3 joins ×
-            # check_every, well inside optimizer headroom.)
-            labels = labels.localCheckpoint(eager=True)
-            new_sum = _label_sum(labels)
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
+        # exact convergence EVERY iteration from the monotone label sum —
+        # a ~ms aggregate over the fresh checkpoint. Strictly better than
+        # the r4 every-2nd-round join+count: adjacent-iteration
+        # sensitivity (sums compare t vs t−1, so a converged iteration is
+        # detected immediately instead of after up to 2 wasted extra
+        # iterations) at a fraction of the per-check cost.
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
     if not converged:
         import warnings
 
