@@ -62,3 +62,45 @@ def ensure_min_partitions(
     if df.rdd.getNumPartitions() < goal:
         return df.repartition(goal)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_partitions: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key salting: the left (big, skewed) side scatters
+    each row into one of ``salt_partitions`` salt slices; the right side
+    replicates every row into ALL slices; the join runs on
+    ``(keys..., salt)`` — a key whose rows would land in one reducer now
+    spreads across ``salt_partitions`` tasks.
+
+    Use when AQE's skew-join splitting can't help: AQE splits oversized
+    SHUFFLE partitions of sort-merge joins, but a single monster key still
+    meets all its right-side rows in one task when the right side is also
+    large per key. Salting trades ``salt_partitions``× replication of the
+    right side for even task sizes — so keep the right side the SMALLER
+    input (flip the call for right-skew; for inner joins the result is
+    symmetric). Results are identical to a plain join (each (left-row,
+    right-row) key match meets in exactly one slice).
+
+    ``how``: ``inner`` or ``left`` (left rows keep exactly one slice, so
+    left-outer semantics survive salting; full/right outer would duplicate
+    unmatched right rows across slices — rejected).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    if salt_partitions < 2:
+        return left.join(right, on, how)
+    from pyspark.sql import functions as F
+
+    lsalt = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_partitions)).cast("int"),
+    )
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return lsalt.join(rsalt, [*on, "__salt"], how).drop("__salt")

@@ -485,3 +485,32 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_salted_join_matches_plain_join(li, spark):
+    """salted_join returns exactly the plain join's rows (inner and left),
+    spreads a hot key across salt slices, and rejects unsupported join
+    types."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import salted_join
+
+    # hot key: one l_returnflag value dominates
+    left = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    right = (
+        li.groupBy("l_returnflag")
+        .agg(F.avg("l_quantity").alias("avg_q"))
+        .unionByName(
+            spark.createDataFrame([("Z", -1.0)], "l_returnflag string, avg_q double")
+        )
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    plain_inner = rows(left.join(right, ["l_returnflag"]))
+    assert rows(salted_join(left, right, ["l_returnflag"], 8)) == plain_inner
+    lonly = left.unionByName(
+        spark.createDataFrame(
+            [(999999, "X", 0.0)], "l_orderkey long, l_returnflag string, l_quantity double"
+        )
+    )
+    plain_left = rows(lonly.join(right, ["l_returnflag"], "left"))
+    assert rows(salted_join(lonly, right, ["l_returnflag"], 8, how="left")) == plain_left
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(left, right, ["l_returnflag"], 8, how="full")
