@@ -3798,6 +3798,59 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL mergeable quantile state: lineitem sketched per hash partition,
+    all four sketches merged, estimates checked against EXACT rank-band
+    bounds (quantile_cont at p±0.015 — k=800's error band with margin).
+    An estimator/merge regression pushes an estimate outside its band and
+    flips within_tolerance."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_quantiles,
+        partitioned_quantiles,
+    )
+
+    cols = ["l_quantity", "l_extendedprice"]
+    li = _lineitem(spark, sf_dir)
+    parts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
+    est = merged_quantiles(parts, probs=(0.25, 0.5, 0.75))
+    bound_aggs = []
+    for c in cols:
+        for p in (0.25, 0.5, 0.75):
+            bound_aggs.append(
+                f"named_struct('column_name', '{c}', 'p', {p}D,"
+                f" 'lo', percentile(CAST(`{c}` AS DOUBLE), {max(p - 0.015, 0.0)}D),"
+                f" 'hi', percentile(CAST(`{c}` AS DOUBLE), {min(p + 0.015, 1.0)}D))"
+            )
+    # ONE exact-percentile aggregate emits every (column, p) bound row
+    bounds = li.agg(
+        F.expr(f"array({', '.join(bound_aggs)}) AS __b")
+    ).selectExpr("inline(__b)")
+    return (
+        est.join(bounds, ["column_name", "p"])
+        .selectExpr(
+            "column_name",
+            "p",
+            f"round(lo, {ROUND}) AS lo",
+            f"round(hi, {ROUND}) AS hi",
+            "value >= lo AND value <= hi AS within_tolerance",
+        )
+    )
+
+
+def _merged_quantiles_sql() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice"):
+        for p in (0.25, 0.5, 0.75):
+            parts.append(f"""
+            SELECT '{c}' AS column_name, {p} AS p,
+              ROUND((SELECT CAST(quantile_cont(CAST({c} AS DOUBLE), {max(p - 0.015, 0.0)}) AS DOUBLE)
+                     FROM lineitem), {ROUND}) AS lo,
+              ROUND((SELECT CAST(quantile_cont(CAST({c} AS DOUBLE), {min(p + 0.015, 1.0)}) AS DOUBLE)
+                     FROM lineitem), {ROUND}) AS hi,
+              TRUE AS within_tolerance""")
+    return " UNION ALL ".join(parts)
+
+
 def q_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeable distinct state: orders is sketched per hash partition
     once (fixed-size Datasketches HLL per (partition, column)), the four
@@ -4147,6 +4200,7 @@ def _oracle_queries() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "asof_join": _asof_join_sql(),
         "merged_distinct": _merged_distinct_sql(),
+        "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "cusum_changepoint": _cusum_changepoint_sql(),
@@ -4215,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_drift": q_merged_drift,
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
+        "merged_quantiles": q_merged_quantiles,
         "incremental_pipeline": q_incremental_pipeline,
         "robust_outlier_drift": q_robust_outlier_drift,
         "cap_per_group": q_cap_per_group,

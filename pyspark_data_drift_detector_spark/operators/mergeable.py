@@ -346,3 +346,62 @@ def merged_distinct(parts: DataFrame) -> DataFrame:
             "distinct_estimate"
         )
     )
+
+
+def partitioned_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+    k: int = 800,
+) -> DataFrame:
+    """Mergeable quantile state: one Datasketches KLL doubles sketch per
+    ``(partition_id, column_name)`` (Spark's built-in
+    ``kll_sketch_agg_double``; ``k=800`` ≈ 0.4% rank error at 99%
+    confidence, O(k log n) bytes per sketch).
+
+    The final piece of the mergeable family: exact quantiles are not
+    finitely mergeable (``merged_drift`` carries NULL quantile metrics),
+    but KLL sketches merge associatively with a provable rank-error
+    bound — so windowed merges can report medians/IQRs too.
+    """
+    if not columns:
+        raise ValueError("no columns")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
+    part = F.expr(partition_by) if isinstance(partition_by, str) else partition_by
+    melted = df.withColumn("__pid", part.cast("string")).selectExpr(
+        "__pid",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS DOUBLE))"
+            for c in columns
+        )
+        + "))",
+    )
+    return (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("__pid", "column_name")
+        .agg(F.expr(f"kll_sketch_agg_double(value, {int(k)})").alias("kll"))
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
+def merged_quantiles(
+    parts: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile estimates from any window of KLL states — a tiny
+    ``kll_merge_agg_double`` over O(partitions × columns) sketches, no
+    data re-scan. Output: one row per ``(column_name, p)`` with the
+    estimate (a stream value — no interpolation; approximate by design,
+    rank error bounded by the sketch's k)."""
+    plist = ", ".join(f"{float(p)!r}D" for p in probs)
+    merged = parts.groupBy("column_name").agg(
+        F.expr("kll_merge_agg_double(kll)").alias("__m")
+    )
+    return merged.selectExpr(
+        "column_name",
+        f"explode(arrays_zip(array({plist}), "
+        f"kll_sketch_get_quantile_double(__m, array({plist})))) AS z",
+    ).selectExpr("column_name", "z.`0` AS p", "z.`1` AS value")

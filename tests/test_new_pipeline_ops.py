@@ -614,3 +614,36 @@ def test_cusum_closed_form_matches_recursion(spark):
         assert out[key]["alarm"] == (alarm_i is not None)
         if alarm_i is not None:
             assert out[key]["first_alarm_ts"] == base + datetime.timedelta(minutes=alarm_i)
+
+
+def test_kll_quantile_merge_property(spark, sf_dir):
+    """Merged-sketch estimates stay inside the exact rank band. NOTE:
+    unlike HLL (where union == direct sketch), KLL merge compacts
+    differently than single-stream updates, so window-merge and
+    direct-sketch estimates legitimately differ — the CONTRACT is the
+    rank-error bound, which both paths must honor."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_quantiles,
+        partitioned_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    parts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
+    window = merged_quantiles(parts.where(F.col("partition_id").isin(["0", "1"])))
+    direct = merged_quantiles(
+        partitioned_quantiles(
+            li.filter(F.expr("pmod(l_orderkey, 4)") <= 1), cols, F.lit("all")
+        )
+    )
+    w = {(r["column_name"], r["p"]): r["value"] for r in window.collect()}
+    d = {(r["column_name"], r["p"]): r["value"] for r in direct.collect()}
+    assert set(w) == set(d)
+    win_rows = li.filter(F.expr("pmod(l_orderkey, 4)") <= 1)
+    for (c, p) in w:
+        lo, hi = win_rows.selectExpr(
+            f"percentile(CAST(`{c}` AS DOUBLE), {max(p - 0.02, 0.0)}D) AS lo",
+            f"percentile(CAST(`{c}` AS DOUBLE), {min(p + 0.02, 1.0)}D) AS hi",
+        ).collect()[0]
+        assert lo <= w[(c, p)] <= hi, ("merged", c, p, w[(c, p)], lo, hi)
+        assert lo <= d[(c, p)] <= hi, ("direct", c, p, d[(c, p)], lo, hi)
