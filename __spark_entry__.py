@@ -122,8 +122,10 @@ def q_ks_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, curr = _split(_lineitem(spark, sf_dir))
     out = edf_distances(ref, curr, ["l_quantity", "l_extendedprice", "l_discount"])
     return _round_cols(
-        out.select("column_name", "ks", "ks_pvalue", "wasserstein", "n_ref", "n_curr"),
-        ["ks", "ks_pvalue", "wasserstein"],
+        out.select(
+            "column_name", "ks", "ks_pvalue", "wasserstein", "cvm", "n_ref", "n_curr"
+        ),
+        ["ks", "ks_pvalue", "wasserstein", "cvm"],
     )
 
 
@@ -2231,11 +2233,13 @@ def _ks_wasserstein_sql(terms: int = 20) -> str:
       SELECT column_name,
         ABS(CAST(cum_r AS DOUBLE) / GREATEST(n_r, 1)
           - CAST(cum_c AS DOUBLE) / GREATEST(n_c, 1)) AS diff,
-        gap, n_r, n_c
+        gap, rc + cc AS pooled, n_r, n_c
       FROM enr),
     agg AS (
       SELECT column_name, MAX(diff) AS ks,
         COALESCE(SUM(diff * gap), 0.0) AS wasserstein,
+        COALESCE(SUM(pooled * diff * diff), 0.0)
+          * MAX(n_r) * MAX(n_c) / POW(MAX(n_r) + MAX(n_c), 2) AS cvm,
         MAX(n_r) AS n_ref, MAX(n_c) AS n_curr
       FROM d GROUP BY 1),
     lamt AS (
@@ -2245,6 +2249,7 @@ def _ks_wasserstein_sql(terms: int = 20) -> str:
       ROUND(CASE WHEN lam < 0.4 THEN 1.0
             ELSE GREATEST(0.0, LEAST(1.0, 2 * ({series}))) END, {ROUND}) AS ks_pvalue,
       ROUND(wasserstein, {ROUND}) AS wasserstein,
+      ROUND(cvm, {ROUND}) AS cvm,
       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_curr AS BIGINT) AS n_curr
     FROM lamt"""
 
@@ -4034,6 +4039,45 @@ def _md5_u_sql(salt: str) -> str:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.3 temperature rebalancing of the documents language mixture
+    (mT5-style tail upsampling) — deterministic hash membership, oracle
+    replays the α-power weights and the md5 variate."""
+    from pyspark_data_drift_detector_spark.operators.sampling import temperature_sample
+
+    out = temperature_sample(
+        _documents(spark, sf_dir), ["lang"], total_target=120, alpha=0.3
+    )
+    return _round_cols(
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "stratum_count",
+            "mix_weight",
+            "sample_rate",
+        ),
+        ["mix_weight", "sample_rate"],
+    )
+
+
+def _temperature_sample_sql() -> str:
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS stratum_count FROM documents GROUP BY 1),
+    z AS (SELECT SUM(POW(CAST(stratum_count AS DOUBLE), 0.3)) AS zz FROM c),
+    r AS (SELECT lang, stratum_count,
+            POW(CAST(stratum_count AS DOUBLE), 0.3) / zz AS mix_weight,
+            LEAST(1.0, POW(CAST(stratum_count AS DOUBLE), 0.3) / zz
+                       * 120.0 / stratum_count) AS sample_rate
+          FROM c CROSS JOIN z),
+    u AS (SELECT doc_id, lang, {_md5_u_sql("temp")} AS uu FROM documents)
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang,
+      CAST(r.stratum_count AS BIGINT) AS stratum_count,
+      ROUND(r.mix_weight, {ROUND}) AS mix_weight,
+      ROUND(r.sample_rate, {ROUND}) AS sample_rate
+    FROM u JOIN r USING (lang)
+    WHERE u.uu < FLOOR(r.sample_rate * 1000000)"""
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group corpus cap: at most 3 docs per (lang, source), selected
     by the deterministic md5 variate so any layout keeps the same rows.
@@ -4215,6 +4259,7 @@ def _oracle_queries() -> dict[str, str]:
         "incremental_pipeline": _incremental_pipeline_sql(),
         "robust_outlier_drift": _robust_outlier_drift_sql(),
         "cap_per_group": _cap_per_group_sql(),
+        "temperature_sample": _temperature_sample_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "json_profile": _json_profile_sql(),
         "json_drift": _json_drift_sql(),
@@ -4273,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pipeline": q_incremental_pipeline,
         "robust_outlier_drift": q_robust_outlier_drift,
         "cap_per_group": q_cap_per_group,
+        "temperature_sample": q_temperature_sample,
         "zipf_fit": q_zipf_fit,
         "json_profile": q_json_profile,
         "json_drift": q_json_drift,

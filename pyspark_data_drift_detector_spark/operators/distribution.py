@@ -267,6 +267,13 @@ def edf_distances(
     agg = enr.groupBy("column_name").agg(
         F.max("diff").alias("ks"),
         F.coalesce(F.sum(F.col("diff") * F.col("gap")), F.lit(0.0)).alias("wasserstein"),
+        # Cramér–von Mises: T = nm/(n+m)² · Σ_pooled (F_r − F_c)² — the
+        # EDF-difference sum weighted by the pooled count at each distinct
+        # value; rides the same pass for free
+        F.coalesce(
+            F.sum((F.col("rc") + F.col("cc")) * F.col("diff") * F.col("diff")),
+            F.lit(0.0),
+        ).alias("__cvm_sum"),
         F.max("tot_rc").alias("n_ref"),
         F.max("tot_cc").alias("n_curr"),
     )
@@ -281,6 +288,7 @@ def edf_distances(
         f"CASE WHEN {lam} < 0.4D THEN 1.0D"
         f" ELSE greatest(0.0D, least(1.0D, 2 * ({series}))) END AS ks_pvalue",
         "wasserstein",
+        "__cvm_sum * n_ref * n_curr / power(n_ref + n_curr, 2) AS cvm",
         "CAST(n_ref AS BIGINT) AS n_ref",
         "CAST(n_curr AS BIGINT) AS n_curr",
     )

@@ -181,3 +181,51 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__u", "__rn", "__lrn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata: list[str],
+    total_target: int,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the multilingual-corpus
+    sampler (mT5/XLM-R style): stratum ``i`` with share ``p_i`` is
+    sampled toward ``q_i ∝ p_i^α`` (``α < 1`` upsamples the tail
+    relative to the head; ``α = 1`` keeps proportions; ``α = 0`` targets
+    uniform), scaled so the expected total is ``total_target``.
+
+    Per-stratum acceptance rate ``min(1, q_i·total / n_i)`` over the
+    deterministic hash variate — the ``stratified_sample`` shape: one
+    tiny ``groupBy(strata)`` count broadcast back, corpus never shuffled,
+    membership layout/append independent. Strata at rate 1 keep all
+    rows, so the realized total can undershoot when the tail saturates
+    (the standard behavior; raise α or the target).
+
+    Output: sampled rows + ``stratum_count, mix_weight, sample_rate``.
+    """
+    if total_target <= 0:
+        raise ValueError("total_target must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("stratum_count"))
+    # q_i = n_i^alpha / sum_j n_j^alpha — computed over the O(#strata)
+    # counts table; the cross-joined total is one row
+    tot = counts.agg(
+        F.sum(F.pow(F.col("stratum_count").cast("double"), F.lit(float(alpha)))).alias(
+            "__z"
+        )
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        *strata,
+        "CAST(stratum_count AS BIGINT) AS stratum_count",
+        f"power(CAST(stratum_count AS DOUBLE), {float(alpha)!r}D) / __z AS mix_weight",
+        f"least(1.0D, power(CAST(stratum_count AS DOUBLE), {float(alpha)!r}D) / __z"
+        f" * {float(total_target)!r}D / stratum_count) AS sample_rate",
+    )
+    u = uniform_variate(F.col(id_col), salt)
+    return df.join(F.broadcast(rates), strata).filter(
+        u < F.floor(F.col("sample_rate") * _U_MOD)
+    )

@@ -144,3 +144,32 @@ def test_cap_per_group_semantics(spark):
         for r in cap_per_group(df, ["grp"], 5, salt_partitions=8).collect()
     }
     assert salted == again
+
+
+def test_temperature_sample_rebalances_tail(spark):
+    """α<1 upsamples tail strata relative to head: with a 900/100 split and
+    α=0.3, the tail's sampling RATE must exceed the head's, expected
+    totals track q_i·target, and α=1 reproduces proportional rates."""
+    from pyspark_data_drift_detector_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, ["lang"], total_target=200, alpha=0.3)
+    rates = {
+        r["lang"]: r["sample_rate"]
+        for r in out.select("lang", "sample_rate").distinct().collect()
+    }
+    assert rates["tail"] > rates["head"]
+    # expected counts ≈ q_i * target (within binomial noise)
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    z = 900**0.3 + 100**0.3
+    for lang, n in (("head", 900), ("tail", 100)):
+        expect = min(1.0, (n**0.3) / z * 200 / n) * n
+        assert abs(got.get(lang, 0) - expect) < 4 * (expect ** 0.5) + 5, (lang, got, expect)
+    # alpha=1 → proportional: both rates equal target/total
+    prop = temperature_sample(df, ["lang"], total_target=200, alpha=1.0)
+    prates = {
+        r["lang"]: round(r["sample_rate"], 9)
+        for r in prop.select("lang", "sample_rate").distinct().collect()
+    }
+    assert len(set(prates.values())) == 1
