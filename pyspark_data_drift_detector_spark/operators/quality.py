@@ -294,3 +294,48 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("long").alias("matched_ngrams"))
         .withColumn("contaminated", F.lit(True))
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    terminal_punct: str = ".!?\"'",
+    drop_markers: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that (a) have at least ``min_words_per_line`` words, (b) end in
+    terminal punctuation, and (c) contain no drop-marker substring
+    (boilerplate/code tells), then reassemble the document.
+
+    Pure narrow map over higher-order functions — ``split`` on newlines,
+    one ``filter`` lambda, ``array_join`` back — so the corpus is never
+    shuffled and the plan is one whole-stage-codegen projection. Output:
+    ``id_col, cleaned (kept lines re-joined), n_lines, n_kept,
+    kept_ratio``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([text_col, id_col])
+    if min_words_per_line < 1:
+        raise ValueError("min_words_per_line must be >= 1")
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        words_ok = F.size(F.split(F.trim(line), r"\s+")) >= min_words_per_line
+        punct_ok = F.substring(F.rtrim(line), -1, 1).isin(*list(terminal_punct))
+        marker_hit = None
+        for m in drop_markers:
+            hit = F.contains(F.lower(line), F.lit(m.lower()))
+            marker_hit = hit if marker_hit is None else (marker_hit | hit)
+        return words_ok & punct_ok & ~marker_hit
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("cleaned"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) / F.greatest(F.size(lines), F.lit(1))).alias("kept_ratio"),
+    )
