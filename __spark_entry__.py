@@ -765,14 +765,111 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-3 (per-section k-means codebooks, ADC
     candidate scan, exact cosine re-rank). The k-means fit is iterative
-    (driver-side numpy on a deterministic sample), so this query has NO
-    SQL oracle — the driver records the weaker rows-only check, and the
-    recall floor vs cosine_topk is pinned by test_pq_recall."""
+    driver-side numpy on a deterministic sample, so the oracle uses the
+    fit-then-inline pattern (the ``_mmd_drift_sql`` precedent):
+    ``_ann_pq_sql`` refits the identical codebooks from the same parquet
+    sample without Spark (``pq_kmeans_numpy``) and replays
+    encode → ADC → top-C → exact re-rank in DuckDB with the same
+    left-fold accumulation order, so every float is bit-comparable."""
     from pyspark_data_drift_detector_spark.operators.similarity import pq_topk
 
     emb = _embeddings(spark, sf_dir)
     out = pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, candidates=50)
     return _round_cols(out, ["cosine"])
+
+
+def _fold_sql(terms: list[str]) -> str:
+    """Left-associated sum with 0.0 init — bit-matches Spark's
+    ``aggregate(..., 0.0D, (a, x) -> a + x)`` fold."""
+    acc = "0.0"
+    for t in terms:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+def _ann_pq_sql(dim: int = 64, m: int = 8, n_codes: int = 32) -> str:
+    """DuckDB replay of q_ann_pq with codebooks fitted from the same
+    deterministic parquet sample (first 2048 rows by vec_id) the Spark
+    side uses, via the shared ``pq_kmeans_numpy`` core."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        pq_kmeans_numpy,
+    )
+
+    # the driver compares at sf0.01 (neither var set); pytest's conftest
+    # pins SPARK_GRAFT_SF_DIR_TEST so the refit sees the test scale
+    sfd = _os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST",
+        _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    sample = [
+        r[0]
+        for r in _duckdb.connect()
+        .execute(
+            "SELECT CAST(embedding AS DOUBLE[]) FROM "
+            f"read_parquet('{sfd}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 2048"
+        )
+        .fetchall()
+    ]
+    books = pq_kmeans_numpy(sample, m, n_codes)
+    sub = dim // m
+
+    # squared L2 norm fold over all dims, then per-element normalize
+    norm_fold = _fold_sql([f"e[{i}] * e[{i}]" for i in range(1, dim + 1)])
+
+    def section_dists(vec: str, s: int) -> str:
+        """List of n_codes squared distances, codeword terms left-folded."""
+        exprs = []
+        for code in books[s]:
+            terms = [
+                f"({vec}[{s * sub + j + 1}] - {float(code[j])!r})"
+                f" * ({vec}[{s * sub + j + 1}] - {float(code[j])!r})"
+                for j in range(sub)
+            ]
+            exprs.append(_fold_sql(terms))
+        return "[" + ", ".join(exprs) + "]"
+
+    enc_cols = ", ".join(
+        f"list_position({section_dists('ce', s)},"
+        f" list_min({section_dists('ce', s)})) AS code{s}"
+        for s in range(m)
+    )
+    qtab_cols = ", ".join(
+        f"{section_dists('qe', s)} AS qd{s}" for s in range(m)
+    )
+    adc = _fold_sql([f"qd{s}[code{s}]" for s in range(m)])
+    cosine = _fold_sql([f"qe[{i}] * ce[{i}]" for i in range(1, dim + 1)])
+    return f"""
+    WITH raw AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE embedding IS NOT NULL),
+    nrm AS (
+      SELECT vec_id, list_transform(e, x -> x /
+               greatest(sqrt({norm_fold}), 1e-12)) AS v
+      FROM raw),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, v AS ce, {enc_cols}
+      FROM (SELECT vec_id, v, v AS ce FROM nrm)),
+    q AS (
+      SELECT vec_id AS query_id, v AS qe, {qtab_cols}
+      FROM (SELECT vec_id, v, v AS qe FROM nrm) WHERE vec_id < 10),
+    adc AS (
+      SELECT query_id, neighbor_id, ce, qe, {adc} AS adc_distance
+      FROM corpus CROSS JOIN q WHERE query_id != neighbor_id),
+    cand AS (
+      SELECT query_id, neighbor_id, ce, qe FROM adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_distance ASC, neighbor_id ASC) <= 50),
+    rer AS (SELECT query_id, neighbor_id, {cosine} AS cosine FROM cand)
+    SELECT query_id, neighbor_id, ROUND(cosine, {ROUND}) AS cosine,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM rer
+    QUALIFY rank <= 3"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,7 +3099,8 @@ def _merged_profile_sql() -> str:
         f"""
         SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
           COUNT({c}) AS n,
-          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_count,
           ROUND(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*), {ROUND})
             AS null_ratio,
           ROUND(MIN(CAST({c} AS DOUBLE)), {ROUND}) AS min,
@@ -3040,6 +3138,112 @@ def q_merged_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ref_mean", "curr_mean", "mean_relative_diff", "std_dev_relative_diff",
          "range_relative_diff", "null_diff", "drift_score"],
     )
+
+
+def q_merged_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift from state tables WITH mergeable KLL quantile state:
+    the additive profile states carry the deterministic metrics
+    (value-matched against the oracle) and the per-window KLL sketch
+    merges supply p25/p50/p75, so the score covers the full M16 metric
+    set. The sketch estimates are checked against EXACT per-window
+    rank bands (±0.015 — the ``merged_quantiles`` pattern), so the
+    oracle pins both the algebra and the sketch wiring."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_drift,
+        partitioned_profile,
+        partitioned_quantiles,
+    )
+
+    cols = ["l_quantity", "l_extendedprice"]
+    li = _lineitem(spark, sf_dir)
+    prof_parts = partitioned_profile(li, cols, "pmod(l_orderkey, 4)")
+    q_parts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
+    out = merged_drift(prof_parts, ["0", "1"], ["2", "3"], quantile_parts=q_parts)
+
+    # exact per-window rank bands for all six (side, col, p) estimates in
+    # ONE aggregate: a conditional array-percentile per (side, column)
+    probs = (0.25, 0.5, 0.75)
+    pcts = ", ".join(
+        f"{x!r}D"
+        for p in probs
+        for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    )
+    side_pred = {"r": "pmod(l_orderkey, 4) < 2", "c": "pmod(l_orderkey, 4) >= 2"}
+    band_aggs = [
+        f"percentile(CASE WHEN {pred} THEN CAST(`{c}` AS DOUBLE) END,"
+        f" array({pcts})) AS __b_{s}_{ci}"
+        for ci, c in enumerate(cols)
+        for s, pred in side_pred.items()
+    ]
+    band_structs = ", ".join(
+        f"named_struct('column_name', '{c}',"
+        + ", ".join(
+            f" '{s}{int(p * 100)}_lo', __b_{s}_{ci}[{2 * pi}],"
+            f" '{s}{int(p * 100)}_hi', __b_{s}_{ci}[{2 * pi + 1}]"
+            for s in ("r", "c")
+            for pi, p in enumerate(probs)
+        )
+        + ")"
+        for ci, c in enumerate(cols)
+    )
+    bands = li.agg(*[F.expr(a) for a in band_aggs]).selectExpr(
+        f"inline(array({band_structs}))"
+    )
+    in_band = " AND ".join(
+        f"{pre}_p{int(p * 100)} >= {s}{int(p * 100)}_lo"
+        f" AND {pre}_p{int(p * 100)} <= {s}{int(p * 100)}_hi"
+        for pre, s in (("ref", "r"), ("curr", "c"))
+        for p in probs
+    )
+    return _round_cols(
+        out.join(F.broadcast(bands), "column_name").selectExpr(
+            "column_name",
+            "ref_n",
+            "curr_n",
+            "ref_mean",
+            "curr_mean",
+            "mean_relative_diff",
+            "null_diff",
+            "median_relative_diff IS NOT NULL"
+            " AND iqr_relative_diff IS NOT NULL AS quantiles_present",
+            f"{in_band} AS within_tolerance",
+        ),
+        ["ref_mean", "curr_mean", "mean_relative_diff", "null_diff"],
+    )
+
+
+def _merged_drift_quantiles_sql() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+          COUNT(CASE WHEN (l_orderkey % 4) < 2 THEN {c} END) AS ref_n,
+          COUNT(CASE WHEN (l_orderkey % 4) >= 2 THEN {c} END) AS curr_n,
+          AVG(CASE WHEN (l_orderkey % 4) < 2
+              THEN CAST({c} AS DOUBLE) END) AS ref_mean,
+          AVG(CASE WHEN (l_orderkey % 4) >= 2
+              THEN CAST({c} AS DOUBLE) END) AS curr_mean,
+          CAST(SUM(CASE WHEN (l_orderkey % 4) < 2 AND {c} IS NULL
+              THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(CASE WHEN (l_orderkey % 4) < 2 THEN 1 END) AS ref_nr,
+          CAST(SUM(CASE WHEN (l_orderkey % 4) >= 2 AND {c} IS NULL
+              THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(CASE WHEN (l_orderkey % 4) >= 2 THEN 1 END) AS curr_nr
+        FROM lineitem"""
+        for c in ("l_quantity", "l_extendedprice")
+    )
+    return f"""
+    WITH s AS ({per_col})
+    SELECT column_name, ref_n, curr_n,
+      ROUND(ref_mean, {ROUND}) AS ref_mean,
+      ROUND(curr_mean, {ROUND}) AS curr_mean,
+      ROUND(CASE WHEN ref_mean = 0
+              THEN CASE WHEN curr_mean != 0 THEN 1.0 ELSE 0.0 END
+            ELSE (curr_mean - ref_mean) / ABS(ref_mean) END, {ROUND})
+        AS mean_relative_diff,
+      ROUND(COALESCE(curr_nr, 0.0) - COALESCE(ref_nr, 0.0), {ROUND}) AS null_diff,
+      TRUE AS quantiles_present,
+      TRUE AS within_tolerance
+    FROM s"""
 
 
 def _merged_drift_sql(
@@ -3305,7 +3509,7 @@ def _json_profile_sql() -> str:
     WITH x AS (SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
     SELECT 'k' AS field, 'bigint' AS type,
       COUNT(*) AS n_rows, COUNT(k) AS n,
-      SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS null_count,
+      CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
       ROUND(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) / COUNT(*), {ROUND})
         AS null_ratio,
       ROUND(MIN(CAST(k AS DOUBLE)), {ROUND}) AS min,
@@ -3635,8 +3839,8 @@ def _mmd_drift_sql() -> str:
              {', '.join(feats)}
       FROM embeddings WHERE embedding IS NOT NULL),
     m AS (SELECT {means},
-            SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS ref_n,
-            SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS curr_n
+            CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+            CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS curr_n
           FROM t),
     s AS (SELECT ({sq}) * (2.0 / 48) AS mmd2, ref_n, curr_n FROM m)
     SELECT ROUND(mmd2, {ROUND}) AS mmd2,
@@ -3815,21 +4019,32 @@ def q_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cols = ["l_quantity", "l_extendedprice"]
+    probs = (0.25, 0.5, 0.75)
     li = _lineitem(spark, sf_dir)
     parts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
-    est = merged_quantiles(parts, probs=(0.25, 0.5, 0.75))
-    bound_aggs = []
-    for c in cols:
-        for p in (0.25, 0.5, 0.75):
-            bound_aggs.append(
-                f"named_struct('column_name', '{c}', 'p', {p}D,"
-                f" 'lo', percentile(CAST(`{c}` AS DOUBLE), {max(p - 0.015, 0.0)}D),"
-                f" 'hi', percentile(CAST(`{c}` AS DOUBLE), {min(p + 0.015, 1.0)}D))"
-            )
-    # ONE exact-percentile aggregate emits every (column, p) bound row
+    est = merged_quantiles(parts, probs=probs)
+    # ONE array-percentile per column (each percentile expression buffers
+    # the column once — 12 scalar exprs cost ~10s at sf0.1, 2 array exprs
+    # ~2s), unpacked into (column_name, p, lo, hi) band rows
+    pcts = ", ".join(
+        f"{x!r}D"
+        for p in probs
+        for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    )
+    band_structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'p', {p}D,"
+        f" 'lo', __q{ci}[{2 * pi}], 'hi', __q{ci}[{2 * pi + 1}])"
+        for ci, c in enumerate(cols)
+        for pi, p in enumerate(probs)
+    )
     bounds = li.agg(
-        F.expr(f"array({', '.join(bound_aggs)}) AS __b")
-    ).selectExpr("inline(__b)")
+        *[
+            F.expr(
+                f"percentile(CAST(`{c}` AS DOUBLE), array({pcts})) AS __q{ci}"
+            )
+            for ci, c in enumerate(cols)
+        ]
+    ).selectExpr(f"inline(array({band_structs}))")
     return (
         est.join(bounds, ["column_name", "p"])
         .selectExpr(
@@ -3847,7 +4062,7 @@ def _merged_quantiles_sql() -> str:
     for c in ("l_quantity", "l_extendedprice"):
         for p in (0.25, 0.5, 0.75):
             parts.append(f"""
-            SELECT '{c}' AS column_name, {p} AS p,
+            SELECT '{c}' AS column_name, CAST({p} AS DOUBLE) AS p,
               ROUND((SELECT CAST(quantile_cont(CAST({c} AS DOUBLE), {max(p - 0.015, 0.0)}) AS DOUBLE)
                      FROM lineitem), {ROUND}) AS lo,
               ROUND((SELECT CAST(quantile_cont(CAST({c} AS DOUBLE), {min(p + 0.015, 1.0)}) AS DOUBLE)
@@ -3904,10 +4119,17 @@ def _merged_distinct_sql() -> str:
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher-style composite keep/drop gate with per-rule reasons."""
+    """C4/Gopher-style composite keep/drop gate with per-rule reasons.
+
+    The operator returns ``fail_reasons`` as array<string> for API users;
+    the driver's pandas canonicalizer cannot hash list cells, so this
+    entry projection serializes it to a comma-joined string (both
+    engines)."""
     from pyspark_data_drift_detector_spark.operators.quality import quality_filter
 
-    out = quality_filter(_documents(spark, sf_dir))
+    out = quality_filter(_documents(spark, sf_dir)).withColumn(
+        "fail_reasons", F.array_join("fail_reasons", ",")
+    )
     return _round_cols(out, ["avg_word_len", "distinct_ratio", "stopword_ratio"])
 
 
@@ -3933,7 +4155,8 @@ def _quality_filter_sql() -> str:
       ROUND(awl, {ROUND}) AS avg_word_len,
       ROUND(dr, {ROUND}) AS distinct_ratio,
       ROUND(sr, {ROUND}) AS stopword_ratio,
-      reasons AS fail_reasons, len(reasons) = 0 AS passes
+      COALESCE(array_to_string(reasons, ','), '') AS fail_reasons,
+      len(reasons) = 0 AS passes
     FROM r"""
 
 
@@ -4255,6 +4478,7 @@ def _oracle_queries() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "merged_profile": _merged_profile_sql(),
         "merged_drift": _merged_drift_sql(),
+        "merged_drift_quantiles": _merged_drift_quantiles_sql(),
         "merged_categorical_drift": _merged_categorical_drift_sql(),
         "incremental_pipeline": _incremental_pipeline_sql(),
         "robust_outlier_drift": _robust_outlier_drift_sql(),
@@ -4266,6 +4490,7 @@ def _oracle_queries() -> dict[str, str]:
         "unigram_logprob": _unigram_logprob_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "vocab_drift": _vocab_drift_sql(),
+        "ann_pq": _ann_pq_sql(),
     }
 
 
@@ -4312,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "merged_profile": q_merged_profile,
         "merged_drift": q_merged_drift,
+        "merged_drift_quantiles": q_merged_drift_quantiles,
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
         "merged_quantiles": q_merged_quantiles,

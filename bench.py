@@ -159,25 +159,39 @@ def main() -> None:
     timings["full_pipeline"] = round(dt, 3)
     total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "drift_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "variants": variants,
-                # every query starts from clean storage (gc + clearCache
-                # outside the timed window): timings are standalone costs,
-                # with no cross-query CacheManager plan-cache reuse — r3 and
-                # earlier did not isolate, so the dedup family (which
-                # re-pays its shingle/signature index per query) reads
-                # higher here at identical plans
-                "isolated_caches": True,
-                "sf": sf,
-            }
-        )
-    )
+    # Full-precision record (variants + cache-isolation metadata included):
+    # every query starts from clean storage (gc + clearCache outside the
+    # timed window), so timings are standalone costs with no cross-query
+    # CacheManager plan-cache reuse.
+    full = {
+        "metric": "drift_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "variants": variants,
+        "isolated_caches": True,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # The recorded artifact is a 2000-char stdout TAIL whose last line is
+    # parsed as JSON (BENCH_r05 lost its head because the line overflowed
+    # the window) — print ONE compact line, coarsening float precision
+    # until every query's timing fits.
+    for nd in (2, 1):
+        compact = {
+            "metric": "drift_suite_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {k: round(v, nd) for k, v in timings.items()},
+            "sf": sf,
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1990:
+            break
+    print(line, flush=True)
     spark.stop()
 
 

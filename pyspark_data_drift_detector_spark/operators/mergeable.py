@@ -110,37 +110,59 @@ def merged_drift(
     ref_partitions: list[str],
     curr_partitions: list[str],
     thresholds: dict[str, float] | None = None,
+    quantile_parts: DataFrame | None = None,
 ) -> DataFrame:
     """Numeric drift between two PARTITION WINDOWS of one summary table —
     no data re-scan at all: both sides' profiles come from
     ``merge_profiles`` over the persisted additive states, then the
     standard M16 expression scoring runs on the O(columns) join.
 
-    Quantile-based metrics (median/IQR) are NULL — additive state carries
-    no quantiles — and the weighted score renormalizes over the metrics
-    that ARE present (the same weight-mass rule the reference applies to
-    missing metrics). This is the "did yesterday drift from last week"
-    check a daily pipeline runs for the cost of a metadata query.
+    ``quantile_parts``: the matching ``partitioned_quantiles`` KLL state
+    table, if the pipeline persists one. When given, each side's
+    p25/p50/p75 come from a ``merged_quantiles`` sketch-merge over the
+    same window (still no data re-scan — the sketches are O(partitions ×
+    columns) fixed-size blobs), so the drift score carries the full M16
+    metric set (median/IQR) the scan-time path reports. Without it the
+    quantile metrics are NULL and the weighted score renormalizes over
+    the metrics that ARE present (the same weight-mass rule the
+    reference applies to missing metrics). This is the "did yesterday
+    drift from last week" check a daily pipeline runs for the cost of a
+    metadata query.
     """
     from pyspark_data_drift_detector_spark.operators.numeric_drift import (
         numeric_drift_from_joined,
     )
 
-    sides = {
-        "ref_": merge_profiles(parts.where(F.col("partition_id").isin(ref_partitions))),
-        "curr_": merge_profiles(
-            parts.where(F.col("partition_id").isin(curr_partitions))
-        ),
-    }
+    windows = {"ref_": list(ref_partitions), "curr_": list(curr_partitions)}
     prefixed = []
-    for pre, prof in sides.items():
+    for pre, pids in windows.items():
+        prof = merge_profiles(parts.where(F.col("partition_id").isin(pids)))
+        if quantile_parts is None:
+            # additive state carries no quantiles: NULL placeholders let
+            # the scorer's weight-mass normalization drop those metrics
+            prof = prof.selectExpr(
+                "*",
+                *[f"CAST(NULL AS DOUBLE) AS `{q}`" for q in ("p25", "p50", "p75")],
+            )
+        else:
+            est = merged_quantiles(
+                quantile_parts.where(F.col("partition_id").isin(pids)),
+                probs=(0.25, 0.5, 0.75),
+            )
+            # pivot the (column_name, p, value) rows into one row per column
+            qwide = est.groupBy("column_name").agg(
+                *[
+                    F.expr(
+                        f"max(CASE WHEN p = {p}D THEN value END) AS p{int(p * 100)}"
+                    )
+                    for p in (0.25, 0.5, 0.75)
+                ]
+            )
+            prof = prof.join(F.broadcast(qwide), "column_name", "left")
         prefixed.append(
             prof.selectExpr(
                 "column_name",
                 *[f"`{c}` AS `{pre}{c}`" for c in prof.columns if c != "column_name"],
-                # additive state carries no quantiles: NULL placeholders let
-                # the scorer's weight-mass normalization drop those metrics
-                *[f"CAST(NULL AS DOUBLE) AS `{pre}{q}`" for q in ("p25", "p50", "p75")],
             )
         )
     joined = prefixed[0].join(F.broadcast(prefixed[1]), "column_name", "full_outer")
@@ -249,8 +271,12 @@ def merged_category_cells(
     the state rows of both windows (the groupBy aligns the sides for
     free, exactly like the scan-time path).
     """
-    ref_set = ", ".join(f"'{p}'" for p in ref_partitions) or "''"
-    curr_set = ", ".join(f"'{p}'" for p in curr_partitions) or "''"
+    from pyspark_data_drift_detector_spark.functions.quoting import qs
+
+    # qs() quotes each caller-supplied id — a quote/backslash in a
+    # partition id must not be able to misparse the plan
+    ref_set = ", ".join(qs(str(p)) for p in ref_partitions) or "''"
+    curr_set = ", ".join(qs(str(p)) for p in curr_partitions) or "''"
     return (
         parts.where(
             F.col("partition_id").isin(list(ref_partitions) + list(curr_partitions))

@@ -528,8 +528,6 @@ def pq_fit_kmeans(
     iters), never touching the full corpus). For production quality at
     100 TB, fit on a larger sample offline; the query path is unchanged.
     """
-    import numpy as np
-
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     rows = (
@@ -538,12 +536,31 @@ def pq_fit_kmeans(
         .select(F.col(embedding_col).cast("array<double>").alias("e"))
         .collect()
     )
-    X = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    return pq_kmeans_numpy(
+        [r["e"] for r in rows], m, n_codes, iters=iters, seed=seed,
+        normalize=normalize,
+    )
+
+
+def pq_kmeans_numpy(
+    sample: list[list[float]],
+    m: int,
+    n_codes: int,
+    iters: int = 15,
+    seed: int = 0,
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """The deterministic numpy core of ``pq_fit_kmeans``, shared with the
+    DuckDB oracle replay (the harness fits from the same parquet sample
+    without Spark, so codebooks are bit-identical across engines)."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
     if len(X) < n_codes:
         raise ValueError(f"sample has {len(X)} rows < n_codes {n_codes}")
     if normalize:
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    sub = dim // m
+    sub = X.shape[1] // m
     books: list[list[list[float]]] = []
     for s in range(m):
         data = X[:, s * sub : (s + 1) * sub]
@@ -632,10 +649,15 @@ def pq_topk(
     vec = f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>)"
     if normalize:
         vec = _normalize_expr(vec)
+    # NULL embeddings would yield NULL codes/adc_distance and sort NULLS
+    # FIRST in the ascending candidate window, crowding out real rows —
+    # drop them before encoding (mmd_drift does the same).
     c = corpus.selectExpr(
         f"`{id_col}` AS neighbor_id",
         f"{vec} AS ce",
-    ).selectExpr("neighbor_id", "ce", f"{_pq_encode_expr('ce', books)} AS codes")
+    ).filter("ce IS NOT NULL").selectExpr(
+        "neighbor_id", "ce", f"{_pq_encode_expr('ce', books)} AS codes"
+    )
     from pyspark import StorageLevel
 
     c = c.persist(StorageLevel.MEMORY_AND_DISK)  # encode once: ADC + re-rank read it
@@ -653,7 +675,9 @@ def pq_topk(
         )
     q = queries.selectExpr(
         f"`{id_col}` AS query_id", f"{vec} AS qe"
-    ).selectExpr("query_id", "qe", "array(" + ", ".join(tables) + ") AS qtab")
+    ).filter("qe IS NOT NULL").selectExpr(
+        "query_id", "qe", "array(" + ", ".join(tables) + ") AS qtab"
+    )
 
     adc = (
         c.join(F.broadcast(q.select("query_id", "qtab")))

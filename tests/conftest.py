@@ -6,6 +6,9 @@ import pytest
 from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+# data-dependent oracle builders (e.g. _ann_pq_sql's codebook refit) must
+# read the same scale factor the tests compare at
+os.environ.setdefault("SPARK_GRAFT_SF_DIR_TEST", SF_DIR)
 
 
 @pytest.fixture(scope="session")

@@ -647,3 +647,53 @@ def test_kll_quantile_merge_property(spark, sf_dir):
         ).collect()[0]
         assert lo <= w[(c, p)] <= hi, ("merged", c, p, w[(c, p)], lo, hi)
         assert lo <= d[(c, p)] <= hi, ("direct", c, p, d[(c, p)], lo, hi)
+
+
+def test_merged_drift_quantile_state_wiring(spark, sf_dir):
+    """merged_drift with a KLL state table reports the quantile metrics;
+    without it they are NULL and the weighted score renormalizes over the
+    remaining weight mass (deterministic metrics identical either way)."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_drift,
+        partitioned_profile,
+        partitioned_quantiles,
+    )
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        SCORE_WEIGHTS,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    prof = partitioned_profile(li, cols, "pmod(l_orderkey, 4)")
+    qparts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
+
+    with_q = {
+        r["column_name"]: r
+        for r in merged_drift(prof, ["0", "1"], ["2", "3"], quantile_parts=qparts)
+        .collect()
+    }
+    without_q = {
+        r["column_name"]: r
+        for r in merged_drift(prof, ["0", "1"], ["2", "3"]).collect()
+    }
+    assert set(with_q) == set(without_q) == set(cols)
+    quantile_metrics = ["median_relative_diff", "iqr_relative_diff"]
+    other_metrics = [m for m in SCORE_WEIGHTS if m not in quantile_metrics]
+    for c in cols:
+        for m in quantile_metrics:
+            assert with_q[c][m] is not None, (c, m)
+            assert without_q[c][m] is None, (c, m)
+        # deterministic metrics identical across modes
+        for m in other_metrics:
+            assert with_q[c][m] == without_q[c][m], (c, m)
+        # weight-mass renormalization: reconstruct each score from its
+        # non-null metrics and the published weights
+        for row in (with_q[c], without_q[c]):
+            contrib = sum(
+                abs(row[m]) * w
+                for m, w in SCORE_WEIGHTS.items()
+                if row[m] is not None
+            )
+            mass = sum(w for m, w in SCORE_WEIGHTS.items() if row[m] is not None)
+            expected = min(contrib / mass, 1.0) if mass > 0 else 0.0
+            assert row["drift_score"] == pytest.approx(expected, abs=1e-9), c

@@ -1,10 +1,24 @@
 """Standalone driver-contract verification at sf0.01.
 
-Simulates the driver's correctness gate: runs every ``queries()`` entry from
-``__spark_entry__.py`` on Spark and its ``oracle_sql()`` twin in DuckDB over
-the same parquet tables, then compares sorted column names, row count, and
-order-insensitive values (floats rounded to 5 decimals — both sides already
-ROUND(x, 5) where it matters).
+Simulates the driver's correctness gate FAITHFULLY: runs every ``queries()``
+entry from ``__spark_entry__.py`` on Spark and its ``oracle_sql()`` twin in
+DuckDB over the same parquet tables, converts BOTH sides to pandas the way
+the driver does (``toPandas()`` / ``.df()``), canonicalizes (columns sorted
+by name, rows sorted by all columns), and compares values EXACTLY —
+dtype-kind-sensitively, with no float re-rounding.
+
+This is deliberately stricter than value equality, because the driver's
+hash is computed over the canonicalized pandas frame:
+
+* DuckDB ``SUM(<integer>)`` returns HUGEINT, which ``.df()`` converts to
+  **float64** — against Spark's int64 that is a driver hash mismatch even
+  when every value is equal.  (Root cause of the three r5 "knife-edge"
+  reds: their oracles emitted bare ``SUM(CASE...)`` columns; green queries
+  used ``COUNT``.)  Fix pattern: ``CAST(SUM(...) AS BIGINT)`` in the SQL.
+* List-typed result columns crash the driver's ``sort_values``
+  canonicalizer (unhashable) — they crash here too, on purpose.
+* Floats must be bit-comparable: both sides ROUND(x, 5) inside the query;
+  this tool does NOT re-round.
 
 Usage::
 
@@ -30,28 +44,52 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 5)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    return v
+# dtype kinds that may hash differently in the driver's canonicalizer
+_KIND_GROUPS = {"i": "int", "u": "int", "f": "float", "b": "bool", "O": "obj", "M": "ts"}
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+def _canon(pdf):
+    """Driver-style canonicalization: sorted columns, rows sorted by all
+    columns (raises TypeError on unhashable cells, like the driver)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _cell_eq(a, b) -> bool:
+    try:
+        a_na = a is None or (isinstance(a, float) and math.isnan(a))
+        b_na = b is None or (isinstance(b, float) and math.isnan(b))
+    except Exception:
+        a_na = b_na = False
+    if a_na or b_na:
+        return a_na and b_na
+    if isinstance(a, float) and isinstance(b, float):
+        import struct
+
+        return struct.pack("d", a) == struct.pack("d", b)
+    return bool(a == b)
+
+
+def _compare(a, b) -> str | None:
+    """Return None if frames match driver-hash-exactly, else a reason."""
+    import pandas as pd
+
+    for c in a.columns:
+        ka = _KIND_GROUPS.get(a[c].dtype.kind, a[c].dtype.kind)
+        kb = _KIND_GROUPS.get(b[c].dtype.kind, b[c].dtype.kind)
+        if ka != kb:
+            return f"dtype kind differs for {c!r}: spark={a[c].dtype} oracle={b[c].dtype}"
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, pd.Timestamp) or isinstance(y, pd.Timestamp):
+                if pd.Timestamp(x) != pd.Timestamp(y):
+                    return f"value differs at {c}[{i}]: {x!r} != {y!r}"
+            elif not _cell_eq(x, y):
+                return f"value differs at {c}[{i}]: spark={x!r} oracle={y!r}"
+    return None
 
 
 def main(argv):
@@ -84,26 +122,28 @@ def main(argv):
         rec = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
         try:
             sdf = queries[name](spark, SF_DIR)
-            s_cols = sorted(sdf.columns)
-            s_rows = _norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+            a = _canon(sdf.toPandas())
             if name not in oracles:
-                rec.update(rows_match=True, note="rows-only (no oracle)")
+                rec.update(rows_match=True, note="rows-only (no oracle)",
+                           spark_rows=len(a))
             else:
-                cur = con.execute(oracles[name])
-                o_cols = sorted(d[0] for d in cur.description)
-                o_rows = _norm_rows([d[0] for d in cur.description], cur.fetchall())
-                rec["schema_match"] = s_cols == o_cols
-                rec["rows_match"] = len(s_rows) == len(o_rows)
-                rec["hash_match"] = s_rows == o_rows
-                rec["spark_rows"] = len(s_rows)
-                rec["oracle_rows"] = len(o_rows)
+                b = _canon(con.execute(oracles[name]).df())
+                rec["schema_match"] = list(a.columns) == list(b.columns)
+                rec["rows_match"] = len(a) == len(b)
+                rec["spark_rows"] = len(a)
+                rec["oracle_rows"] = len(b)
                 if not rec["schema_match"]:
-                    rec["err"] = f"schema: spark={s_cols} oracle={o_cols}"
-                elif not rec["hash_match"]:
-                    diff = [
-                        (a, b) for a, b in zip(s_rows, o_rows) if a != b
-                    ][:3]
-                    rec["err"] = f"values differ, e.g. {diff}"
+                    rec["err"] = (
+                        f"schema: spark={list(a.columns)} oracle={list(b.columns)}"
+                    )
+                    rec["hash_match"] = False
+                elif not rec["rows_match"]:
+                    rec["hash_match"] = False
+                else:
+                    reason = _compare(a, b)
+                    rec["hash_match"] = reason is None
+                    if reason:
+                        rec["err"] = reason
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
         rec["sec"] = round(time.time() - t0, 2)
