@@ -46,20 +46,55 @@ def _has_binary_column(df: DataFrame) -> bool:
     return False
 
 
+def _parse_bytes(v: str) -> int:
+    """Lenient Spark byte-string parse ("134217728", "134217728b", "128MB")."""
+    s = str(v).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    return int(float(s)) * mult
+
+
 def ensure_min_partitions(
     df: DataFrame, target: int | None = None, allow_binary: bool = False
 ) -> DataFrame:
     """Round-robin repartition to ``target`` (default: defaultParallelism)
-    iff the plan currently has fewer partitions; otherwise return ``df``
+    iff the input is plausibly under-split; otherwise return ``df``
     unchanged. Streaming frames and frames carrying binary columns are
-    returned unchanged (see module docstring)."""
+    returned unchanged (see module docstring).
+
+    The under-split check is PLAN-TIME: Catalyst's optimized-plan size
+    estimate divided by ``spark.sql.files.maxPartitionBytes`` bounds how
+    many splits the scan can have produced. The previous
+    ``df.rdd.getNumPartitions()`` probe forced DataFrame→RDD conversion
+    and full physical planning on the driver PER CALL — several
+    round-trips per dedup/similarity query (the r4/r5 ADVICE carry-over);
+    the estimate is one py4j call and runs no job. Trade-off: a small
+    already-shuffled frame may be repartitioned once more (a few-KB
+    exchange), while the old probe skipped it; a failed estimate returns
+    a huge sentinel, which fails toward NOT reshuffling — the scale-safe
+    direction.
+    """
     if df.isStreaming:
         return df
     if not allow_binary and _has_binary_column(df):
         return df
-    sc = df.sparkSession.sparkContext
-    goal = target if target is not None else sc.defaultParallelism
-    if df.rdd.getNumPartitions() < goal:
+    from pyspark_data_drift_detector_spark.plans.inspect import estimated_size_bytes
+
+    sess = df.sparkSession
+    goal = target if target is not None else sess.sparkContext.defaultParallelism
+    try:
+        max_pb = _parse_bytes(
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except ValueError:
+        max_pb = 128 << 20
+    est_splits = estimated_size_bytes(df) // max(max_pb, 1) + 1
+    if est_splits < goal:
         return df.repartition(goal)
     return df
 

@@ -235,11 +235,20 @@ def asof_join(
     ensure_safe_columns([ts_col, by, *value_cols])
 
     matched_ts = f"{ts_col}{suffix}"
+    # ONE struct per right row carries the matched timestamp and every
+    # value column together: a per-column last(ignorenulls) would fill a
+    # NULL-valued column from an OLDER right row while ts_asof reports
+    # the newer match — torn rows diverging from pandas/DuckDB merge_asof
+    # (which keeps the matched row's NULLs). The struct itself is never
+    # NULL for a right row, so one last(ignorenulls) carries the whole
+    # row atomically (and runs one window expression instead of N+1).
     r = right.select(
         F.col(by),
         F.col(ts_col),
-        F.col(ts_col).alias(matched_ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias(matched_ts),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        ).alias("__rrow"),
         F.lit(0).alias("__src"),
     )
     l = left.withColumn("__src", F.lit(1))
@@ -260,11 +269,11 @@ def asof_join(
     )
     carried = [matched_ts] + [f"{c}{suffix}" for c in value_cols]
     out = u.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}") for c in carried]
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__c")
     ).filter(F.col("__src") == 1)
     out = out.select(
         *[c for c in left.columns],
-        *[F.col(f"__c_{c}").alias(c) for c in carried],
+        *[F.col(f"__c.{c}").alias(c) for c in carried],
     )
     if tolerance_sec is not None:
         delta = (

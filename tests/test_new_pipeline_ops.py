@@ -697,3 +697,37 @@ def test_merged_drift_quantile_state_wiring(spark, sf_dir):
             mass = sum(w for m, w in SCORE_WEIGHTS.items() if row[m] is not None)
             expected = min(contrib / mass, 1.0) if mass > 0 else 0.0
             assert row["drift_score"] == pytest.approx(expected, abs=1e-9), c
+
+
+def test_asof_join_null_values_stay_null(spark):
+    """A matched right row's NULL value column must stay NULL (pandas/
+    DuckDB merge_asof semantics) — not be back-filled from an older right
+    row (the torn-row hazard of carrying columns independently)."""
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    right = spark.createDataFrame(
+        [("u", ts(0), 1.0, "a"), ("u", ts(10), None, "b")],
+        "user_id string, ts timestamp, px double, tag string",
+    )
+    left = spark.createDataFrame(
+        [("u", ts(5)), ("u", ts(15))], "user_id string, ts timestamp"
+    )
+    rows = {
+        r["ts"]: r
+        for r in asof_join(left, right, value_cols=["px", "tag"]).collect()
+    }
+    first, second = rows[ts(5)], rows[ts(15)]
+    # ts(5) matches the ts(0) row: px=1.0, tag='a'
+    assert first["ts_asof"] == ts(0)
+    assert first["px_asof"] == 1.0 and first["tag_asof"] == "a"
+    # ts(15) matches the ts(10) row whose px is NULL — it must STAY null
+    assert second["ts_asof"] == ts(10)
+    assert second["px_asof"] is None, "NULL back-filled from an older right row"
+    assert second["tag_asof"] == "b"

@@ -514,3 +514,37 @@ def test_salted_join_matches_plain_join(li, spark):
     assert rows(salted_join(lonly, right, ["l_returnflag"], 8, how="left")) == plain_left
     with pytest.raises(ValueError, match="inner|left"):
         salted_join(left, right, ["l_returnflag"], 8, how="full")
+
+
+def test_dedup_plan_construction_no_rdd_probe(spark, sf_dir):
+    """ensure_min_partitions must size-gate on plan statistics, not
+    df.rdd.getNumPartitions(): the RDD probe forces DataFrame->RDD
+    conversion + full physical planning on the driver per call (several
+    calls per dedup/similarity query). Building a dedup query's plan
+    end-to-end must therefore never touch DataFrame.rdd."""
+    from pyspark.sql import DataFrame as _DF
+
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    calls = {"n": 0}
+    orig = _DF.rdd
+
+    def counting_rdd(self):
+        calls["n"] += 1
+        return orig.fget(self)
+
+    _DF.rdd = property(counting_rdd)
+    try:
+        out = minhash_lsh_pairs(docs, threshold=0.3)
+        out.queryExecution if hasattr(out, "queryExecution") else None
+        plan = out._jdf.queryExecution().simpleString()  # force planning path
+    finally:
+        _DF.rdd = orig
+    assert calls["n"] == 0, (
+        f"dedup plan construction touched DataFrame.rdd {calls['n']}x — "
+        "ensure_min_partitions has regressed to the physical-planning probe"
+    )
+    assert plan
