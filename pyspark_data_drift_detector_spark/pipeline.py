@@ -587,18 +587,22 @@ def detect_drift_incremental(
     num_thresholds: dict[str, float] | None = None,
     cat_thresholds: dict[str, float] | None = None,
     top_k: int | None = 20,
+    quantile_state: DataFrame | None = None,
 ) -> DataFrame:
     """Window-vs-window drift detection from STATE TABLES only — no data
     re-scan.
 
     The incremental pipeline a daily ingest runs: each batch appends its
     additive summaries once (``mergeable.partitioned_profile`` +
-    ``mergeable.partitioned_categories``), and any two partition windows
+    ``mergeable.partitioned_categories``, optionally
+    ``mergeable.partitioned_quantiles``), and any two partition windows
     compare for the cost of two metadata-table aggregates — the
     re-profile-both-full-snapshots cost the reference pays on every run
     (SURVEY §3) drops out entirely. Numeric columns get the M16 weighted
-    score (quantile metrics absent from additive state, weight mass
-    renormalized), categorical columns the full M18/M20 score.
+    score; with ``quantile_state`` (a KLL sketch table) the score carries
+    median/IQR like the scan-time path, otherwise those metrics are
+    absent and the weight mass renormalizes. Categorical columns get the
+    full M18/M20 score.
 
     Output: one slim row per column — ``column_name, column_type,
     drift_score, drift_severity, drift_detected`` — the summary
@@ -616,7 +620,8 @@ def detect_drift_incremental(
         "drift_detected",
     ]
     num = merged_drift(
-        profile_state, ref_partitions, curr_partitions, num_thresholds
+        profile_state, ref_partitions, curr_partitions, num_thresholds,
+        quantile_parts=quantile_state,
     ).selectExpr("column_name", "'numerical' AS column_type", *slim[1:])
     cat = merged_categorical_drift(
         category_state, ref_partitions, curr_partitions, cat_thresholds, top_k

@@ -731,3 +731,91 @@ def test_asof_join_null_values_stay_null(spark):
     assert second["ts_asof"] == ts(10)
     assert second["px_asof"] is None, "NULL back-filled from an older right row"
     assert second["tag_asof"] == "b"
+
+
+def test_incremental_pipeline_matches_scan_time_detect_drift(spark, sf_dir):
+    """E2E state-table parity: detect_drift_incremental over numeric +
+    categorical + KLL quantile + HLL distinct state must agree with
+    scan-time detect_drift on the same window — decisions and severities
+    exactly, scores within the sketch tolerance, distinct estimates
+    within the HLL error band."""
+    from pyspark_data_drift_detector_spark import detect_drift
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_distinct,
+        partitioned_categories,
+        partitioned_distinct,
+        partitioned_profile,
+        partitioned_quantiles,
+    )
+    from pyspark_data_drift_detector_spark.pipeline import detect_drift_incremental
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # (l_discount is excluded: scan-time inference classifies its tiny
+    # value domain as a 'group' column, which the numeric state table
+    # deliberately does not model)
+    num_cols = ["l_quantity", "l_extendedprice"]
+    cat_cols = ["l_returnflag", "l_linestatus"]
+    pid = "pmod(l_orderkey, 4)"
+
+    inc = {
+        r["column_name"]: r
+        for r in detect_drift_incremental(
+            partitioned_profile(li, num_cols, pid),
+            partitioned_categories(li, cat_cols, pid),
+            ["0", "1"],
+            ["2", "3"],
+            quantile_state=partitioned_quantiles(li, num_cols, pid),
+        ).collect()
+    }
+
+    ref = li.filter(F.expr(pid) <= 1)
+    curr = li.filter(F.expr(pid) >= 2)
+    # keep the core numerical/categorical rows (other analyzer families —
+    # group/dimension — emit extra rows per column)
+    scan = {
+        r["column_name"]: r
+        for r in detect_drift(
+            ref,
+            curr,
+            {
+                "include_columns": num_cols + cat_cols,
+                # pin the semantic types the state tables model (inference
+                # would route l_extendedprice to the distribution analyzer)
+                "custom_column_types": {
+                    **{c: "numerical" for c in num_cols},
+                    **{c: "categorical" for c in cat_cols},
+                },
+                # the state tables model the core numeric/categorical rows;
+                # distribution-family rows have no incremental counterpart
+                "analyze_distributions": False,
+            },
+        ).collect()
+        if r["column_type"] in ("numerical", "categorical")
+    }
+
+    assert set(inc) == set(num_cols + cat_cols)
+    for c in inc:
+        assert c in scan, c
+        assert inc[c]["column_type"] == scan[c]["column_type"], c
+        assert inc[c]["drift_detected"] == scan[c]["drift_detected"], c
+        assert inc[c]["drift_severity"] == scan[c]["drift_severity"], c
+        # categorical counts are exact state — scores match to float noise;
+        # numeric scores carry KLL-estimated median/IQR (0.35 weight mass)
+        # against the scan path's percentiles — allow the sketch band
+        tol = 1e-6 if inc[c]["column_type"] == "categorical" else 0.02
+        assert inc[c]["drift_score"] == pytest.approx(
+            scan[c]["drift_score"], abs=tol
+        ), c
+
+    # distinct state: merged HLL window estimate vs exact window distinct
+    dist = {
+        r["column_name"]: r["distinct_estimate"]
+        for r in merged_distinct(
+            partitioned_distinct(li, cat_cols + ["l_quantity"], pid).where(
+                F.col("partition_id").isin(["0", "1"])
+            )
+        ).collect()
+    }
+    for c in cat_cols + ["l_quantity"]:
+        exact = ref.select(c).where(F.col(c).isNotNull()).distinct().count()
+        assert abs(dist[c] - exact) / max(exact, 1) <= 0.05, (c, dist[c], exact)
