@@ -3004,6 +3004,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), n=4)
 
 
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional n-gram contamination (GPT-3-style): every document's
+    share of distinct 4-grams appearing in the benchmark slice
+    (doc_id % 25 == 0) — graded overlap, not just the binary hit of
+    q_decontaminate."""
+    from pyspark_data_drift_detector_spark.operators.quality import ngram_overlap
+
+    docs = _documents(spark, sf_dir)
+    out = ngram_overlap(docs, docs.filter(F.col("doc_id") % 25 == 0), n=4)
+    return _round_cols(out, ["overlap_ratio"])
+
+
+def _ngram_overlap_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 3, 1) + 1),
+        i -> array_to_string(t[i : i + 3], ' ')))) AS gram
+      FROM toks),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+    per AS (
+      SELECT g.doc_id, COUNT(*) AS n_ngrams,
+        CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_matched
+      FROM g LEFT JOIN bench b USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, n_ngrams, n_matched,
+      ROUND(n_matched / n_ngrams, {ROUND}) AS overlap_ratio,
+      n_matched / n_ngrams >= 0.1 AS contaminated
+    FROM per"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sample (≈30 docs/stratum) from
     an md5-derived uniform variate — reproducible on any partitioning."""
@@ -4007,6 +4039,63 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hour buckets aggregate raw
+    events once, day buckets re-aggregate the hour states (additive
+    algebra — no second scan). Oracle: direct per-granularity
+    aggregation, proving the cascade re-association is exact."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_timeseries,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = rollup_timeseries(
+        load_events(spark, sf_dir),
+        dims=("event_type",),
+        granularities=("hour", "day"),
+    )
+    return _round_cols(
+        out.select(
+            "granularity",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "n_rows",
+            "n",
+            "mean",
+            "stddev",
+            "min",
+            "max",
+        ),
+        ["mean", "stddev", "min", "max"],
+    )
+
+
+def _rollup_timeseries_sql() -> str:
+    # the same sum/sumsq stddev algebra as the Spark cascade (not
+    # STDDEV_SAMP) so the float cancellation path is identical
+    per = " UNION ALL ".join(
+        f"""
+        SELECT '{g}' AS granularity,
+          strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+          event_type,
+          COUNT(*) AS n_rows, COUNT(value) AS n,
+          SUM(value) AS s, SUM(value * value) AS ss,
+          MIN(value) AS mn, MAX(value) AS mx
+        FROM events GROUP BY 2, 3"""
+        for g in ("hour", "day")
+    )
+    return f"""
+    SELECT granularity, bucket_start, event_type, n_rows, n,
+      ROUND(CASE WHEN n > 0 THEN s / n END, {ROUND}) AS mean,
+      ROUND(CASE WHEN n > 1 THEN sqrt(greatest(0.0, (ss - s * s / n) / (n - 1)))
+            END, {ROUND}) AS stddev,
+      ROUND(mn, {ROUND}) AS min, ROUND(mx, {ROUND}) AS max
+    FROM ({per})"""
+
+
 def q_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL mergeable quantile state: lineitem sketched per hash partition,
     all four sketches merged, estimates checked against EXACT rank-band
@@ -4461,6 +4550,8 @@ def _oracle_queries() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "boilerplate_ngrams": _boilerplate_ngrams_sql(),
         "decontaminate": _decontaminate_sql(),
+        "ngram_overlap": _ngram_overlap_sql(),
+        "rollup_timeseries": _rollup_timeseries_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
@@ -4523,6 +4614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "decontaminate": q_decontaminate,
+        "ngram_overlap": q_ngram_overlap,
+        "rollup_timeseries": q_rollup_timeseries,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,

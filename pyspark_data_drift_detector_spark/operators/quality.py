@@ -296,6 +296,65 @@ def decontaminate(
     )
 
 
+def ngram_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Fractional benchmark-overlap decontamination (the GPT-3-style
+    n-gram contamination measure): per document, the share of its
+    DISTINCT word n-grams that appear anywhere in ``benchmark``.
+
+    ``decontaminate`` answers "does the doc share ANY n-gram" (binary,
+    inner semi-join, returns only hits); this returns EVERY document with
+    its graded ``overlap_ratio`` so a pipeline can rank partial overlaps
+    (paraphrased eval items, quoted snippets) instead of dropping on a
+    single collision. ``contaminated`` flags ratio ≥ ``threshold``.
+
+    Same scale shape as ``decontaminate``: the benchmark's distinct
+    n-gram set broadcasts (eval sets are tiny next to a 100 TB corpus);
+    the corpus side is a narrow explode + LEFT broadcast join + one
+    groupBy on the doc id — no shuffle carries text, only
+    ``(id, gram-hit)`` pairs. At extreme benchmark sizes swap the join
+    key for ``xxhash64(gram)`` exactly as documented on
+    ``decontaminate``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([text_col, id_col])
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    corpus = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_matched"),
+        )
+        .selectExpr(
+            id_col,
+            "n_ngrams",
+            "n_matched",
+            "n_matched / n_ngrams AS overlap_ratio",
+            f"n_matched / n_ngrams >= {float(threshold)!r}D AS contaminated",
+        )
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -430,3 +430,103 @@ def _cusum_windows(stats, ts_col, by, order, wrun, k, h) -> DataFrame:
         F.max(alarm_row).alias("alarm"),
         F.min(F.when(alarm_row, F.col(ts_col))).alias("first_alarm_ts"),
     )
+
+
+_TRUNC_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+
+def rollup_timeseries(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Hierarchical time-bucket rollup (the hypertable continuous-
+    aggregate pattern): per ``(granularity, bucket_start, dims...)``
+    aggregate stats, where each coarser level re-aggregates the FINER
+    level's additive states instead of re-scanning the raw events.
+
+    The raw table is read ONCE (the finest granularity); a day level
+    then aggregates ~24x fewer rows than raw, a month level ~30x fewer
+    than day — at 100 TB the cascade turns a multi-scan rollup job into
+    one scan plus metadata-sized re-aggregations. The carried state is
+    the same additive (n, sum, sumsq, min, max) algebra as
+    ``mergeable.partitioned_profile``, so every level's mean/stddev is
+    exactly what a direct scan at that granularity would produce (sum
+    re-association only).
+
+    ``granularities``: increasing-coarseness ``date_trunc`` units
+    (calendar buckets nest: minute ⊂ hour ⊂ day ⊂ month — week is NOT
+    nested under month and must not precede it). Output: one row per
+    ``(granularity, bucket_start, dims...)`` with ``n_rows, n, mean,
+    stddev, min, max``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, value_col, *dims])
+    units = [g.lower() for g in granularities]
+    if not units:
+        raise ValueError("need at least one granularity")
+    unknown = [g for g in units if g not in _TRUNC_ORDER]
+    if unknown:
+        raise ValueError(f"unknown date_trunc units: {unknown}")
+    ranks = [_TRUNC_ORDER.index(g) for g in units]
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(f"granularities must be strictly coarsening: {units}")
+    if "week" in units and any(
+        _TRUNC_ORDER.index(g) > _TRUNC_ORDER.index("week") for g in units
+    ):
+        raise ValueError("week buckets do not nest under month/quarter/year")
+
+    dim_cols = list(dims)
+    dc = f"CAST(`{value_col}` AS DOUBLE)"
+    state = events.selectExpr(
+        f"date_trunc('{units[0]}', `{ts_col}`) AS bucket_start",
+        *[f"`{d}`" for d in dim_cols],
+        f"{dc} AS __v",
+    ).groupBy("bucket_start", *dim_cols).agg(
+        F.expr("count(1)").alias("n_rows"),
+        F.expr("count(__v)").alias("n"),
+        F.expr("sum(__v)").alias("s"),
+        F.expr("sum(__v * __v)").alias("ss"),
+        F.expr("min(__v)").alias("mn"),
+        F.expr("max(__v)").alias("mx"),
+    )
+    levels = [state.selectExpr(f"'{units[0]}' AS granularity", "*")]
+    for g in units[1:]:
+        prev = levels[-1]
+        levels.append(
+            prev.selectExpr(
+                f"date_trunc('{g}', bucket_start) AS bucket_start",
+                *[f"`{d}`" for d in dim_cols],
+                "n_rows", "n", "s", "ss", "mn", "mx",
+            )
+            .groupBy("bucket_start", *dim_cols)
+            .agg(
+                F.expr("sum(n_rows)").alias("n_rows"),
+                F.expr("sum(n)").alias("n"),
+                F.expr("sum(s)").alias("s"),
+                F.expr("sum(ss)").alias("ss"),
+                F.expr("min(mn)").alias("mn"),
+                F.expr("max(mx)").alias("mx"),
+            )
+            .selectExpr(f"'{g}' AS granularity", "*")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.selectExpr(
+        "granularity",
+        "bucket_start",
+        *[f"`{d}`" for d in dim_cols],
+        "n_rows",
+        "n",
+        "CASE WHEN n > 0 THEN s / n END AS mean",
+        "CASE WHEN n > 1 THEN sqrt(greatest(0.0D, (ss - s * s / n) / (n - 1)))"
+        " END AS stddev",
+        "mn AS min",
+        "mx AS max",
+    )

@@ -819,3 +819,52 @@ def test_incremental_pipeline_matches_scan_time_detect_drift(spark, sf_dir):
     for c in cat_cols + ["l_quantity"]:
         exact = ref.select(c).where(F.col(c).isNotNull()).distinct().count()
         assert abs(dist[c] - exact) / max(exact, 1) <= 0.05, (c, dist[c], exact)
+
+
+def test_rollup_cascade_matches_direct(spark, sf_dir):
+    """Day-level rollup derived FROM hour states equals aggregating raw
+    events at day granularity directly (additive re-association), and at
+    runtime the day branch reuses the hour shuffle — raw scanned once."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_timeseries,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rollup_timeseries(ev, granularities=("hour", "day"))
+    rows = out.collect()
+    day = {
+        (r["bucket_start"], r["event_type"]): r
+        for r in rows
+        if r["granularity"] == "day"
+    }
+    direct = {
+        (r["bucket_start"], r["event_type"]): r
+        for r in ev.selectExpr(
+            "date_trunc('day', ts) AS bucket_start", "event_type", "value"
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.expr("count(1) AS n_rows"),
+            F.expr("avg(value) AS mean"),
+            F.expr("min(value) AS min"),
+            F.expr("max(value) AS max"),
+        )
+        .collect()
+    }
+    assert set(day) == set(direct)
+    for k in day:
+        assert day[k]["n_rows"] == direct[k]["n_rows"], k
+        assert day[k]["min"] == direct[k]["min"], k
+        assert day[k]["max"] == direct[k]["max"], k
+        assert day[k]["mean"] == pytest.approx(direct[k]["mean"], rel=1e-12), k
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "day level must reuse the hour-level shuffle, not rescan raw events"
+    )
+
+    with pytest.raises(ValueError, match="coarsening"):
+        rollup_timeseries(ev, granularities=("day", "hour"))
+    with pytest.raises(ValueError, match="nest"):
+        rollup_timeseries(ev, granularities=("week", "month"))

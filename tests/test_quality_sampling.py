@@ -173,3 +173,28 @@ def test_temperature_sample_rebalances_tail(spark):
         for r in prop.select("lang", "sample_rate").distinct().collect()
     }
     assert len(set(prates.values())) == 1
+
+
+def test_ngram_overlap_graded_ratios(spark):
+    """Exact fractional overlap: a doc sharing half its distinct n-grams
+    with the benchmark scores 0.5; disjoint docs 0.0; benchmark members
+    1.0 — and the benchmark side must broadcast."""
+    from pyspark_data_drift_detector_spark.operators.quality import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # grams: "a b","b c","c d","d e"
+            (2, "a b c x y"),            # shares "a b","b c" of 4 -> 0.5
+            (3, "p q r s t"),            # disjoint -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    out = ngram_overlap(corpus, bench, n=2, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["overlap_ratio"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["overlap_ratio"] == 0.5 and rows[2]["contaminated"]
+    assert rows[3]["overlap_ratio"] == 0.0 and not rows[3]["contaminated"]
+    assert rows[2]["n_ngrams"] == 4 and rows[2]["n_matched"] == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "benchmark gram set must broadcast"
