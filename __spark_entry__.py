@@ -4039,6 +4039,89 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency histogram (8 bins) over a heavy-tied and a
+    continuous lineitem column — exact percentile edges, ties-go-left
+    binning."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+
+    out = equidepth_histogram(
+        _lineitem(spark, sf_dir), ["l_quantity", "l_extendedprice"], bins=8
+    )
+    return _round_cols(out, ["lo", "hi"])
+
+
+def _equidepth_histogram_sql(bins: int = 8) -> str:
+    pcts = ", ".join(f"{i / bins!r}" for i in range(bins + 1))
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS x,
+          (SELECT quantile_cont(CAST({c} AS DOUBLE), [{pcts}]) FROM lineitem)
+            AS edges
+        FROM lineitem WHERE {c} IS NOT NULL"""
+        for c in ("l_quantity", "l_extendedprice")
+    )
+    return f"""
+    WITH b AS (
+      SELECT column_name,
+        CAST(len(list_filter(edges[2 : {bins}], e -> x > e)) AS INT) AS bin,
+        edges
+      FROM ({per_col}))
+    SELECT column_name, bin,
+      ROUND(edges[bin + 1], {ROUND}) AS lo,
+      ROUND(edges[bin + 2], {ROUND}) AS hi,
+      COUNT(*) AS cnt
+    FROM b GROUP BY column_name, bin, edges[bin + 1], edges[bin + 2]"""
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over orders: per candidate key column, the
+    hottest-key share, top-10 share, Herfindahl concentration and
+    effective key count — the pre-join numbers that decide whether
+    ``salted_join`` is needed."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        key_skew_profile,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    out = key_skew_profile(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"], top_k=10
+    )
+    return _round_cols(
+        out,
+        ["max_share", "topk_share", "hhi", "effective_keys", "skew_factor"],
+    )
+
+
+def _key_skew_profile_sql() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in ("o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    counts AS (SELECT column_name, value, COUNT(*) AS cnt
+               FROM cells GROUP BY 1, 2),
+    m AS (SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_keys,
+            CAST(SUM(cnt) AS BIGINT) AS n_rows,
+            CAST(MAX(cnt) AS BIGINT) AS max_count,
+            SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS sumsq
+          FROM counts GROUP BY 1),
+    t AS (SELECT column_name, CAST(SUM(cnt) AS BIGINT) AS topk_count
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name
+                  ORDER BY cnt DESC, value ASC NULLS FIRST) AS rn FROM counts)
+          WHERE rn <= 10 GROUP BY 1)
+    SELECT m.column_name, n_rows, n_keys, max_count,
+      ROUND(max_count / n_rows, {ROUND}) AS max_share,
+      ROUND(topk_count / n_rows, {ROUND}) AS topk_share,
+      ROUND(sumsq / (CAST(n_rows AS DOUBLE) * n_rows), {ROUND}) AS hhi,
+      ROUND((CAST(n_rows AS DOUBLE) * n_rows) / sumsq, {ROUND}) AS effective_keys,
+      ROUND(max_count / (n_rows / CAST(n_keys AS DOUBLE)), {ROUND}) AS skew_factor
+    FROM m JOIN t ON m.column_name = t.column_name"""
+
+
 def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup: hour buckets aggregate raw
     events once, day buckets re-aggregate the hour states (additive
@@ -4552,6 +4635,8 @@ def _oracle_queries() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "ngram_overlap": _ngram_overlap_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
+        "key_skew_profile": _key_skew_profile_sql(),
+        "equidepth_histogram": _equidepth_histogram_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
@@ -4616,6 +4701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ngram_overlap": q_ngram_overlap,
         "rollup_timeseries": q_rollup_timeseries,
+        "key_skew_profile": q_key_skew_profile,
+        "equidepth_histogram": q_equidepth_histogram,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,

@@ -445,3 +445,77 @@ def histogram(
             "cnt",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram for all columns in one
+    logical plan: bin edges are the exact ``i/bins`` percentiles, so each
+    bin holds ≈``1/bins`` of the rows regardless of the value
+    distribution — the binning that stays informative on heavy-tailed
+    columns where equi-width ``histogram`` collapses into one hot bucket.
+
+    Assignment: a value lands in the count of INTERIOR boundaries it
+    strictly exceeds (ties go left), so massive tie groups — the reason
+    equi-depth bins are unequal in practice — land deterministically in
+    one bin. Empty bins (possible when a tie group spans several
+    percentile edges) emit no row.
+
+    Shape: one exact-percentile aggregate per column (each buffers its
+    own column once — the array form, not per-percentile scalars), the
+    1-row edge table broadcast back over a melt, then a
+    ``groupBy(column, bin)`` count whose key includes the bin — no
+    single-task sort of a column. Output: ``column_name, bin, lo, hi,
+    cnt`` with ``lo/hi`` the bin's percentile edges.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not columns:
+        raise ValueError("no columns")
+    ensure_safe_columns(columns)
+    pcts = ", ".join(f"{i / bins!r}D" for i in range(bins + 1))
+    edges = df.agg(
+        *[
+            F.expr(
+                f"percentile(CAST(`{c}` AS DOUBLE), array({pcts})) AS __e{i}"
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    melt = ", ".join(
+        f"named_struct('column_name', '{c}', 'x', CAST(`{c}` AS DOUBLE),"
+        f" 'edges', __e{i})"
+        for i, c in enumerate(columns)
+    )
+    binned = (
+        df.join(F.broadcast(edges))
+        .selectExpr(f"inline(array({melt}))")
+        .where("x IS NOT NULL")
+        .selectExpr(
+            "column_name",
+            "edges",
+            f"CAST(size(filter(slice(edges, 2, {bins - 1}), b -> x > b)) AS INT)"
+            " AS bin",
+        )
+    )
+    return (
+        binned.groupBy("column_name", "bin")
+        .agg(
+            F.expr("count(1) AS cnt"),
+            F.expr("first(edges) AS edges"),
+        )
+        .selectExpr(
+            "column_name",
+            "bin",
+            "edges[bin] AS lo",
+            "edges[bin + 1] AS hi",
+            "cnt",
+        )
+    )

@@ -139,3 +139,81 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return lsalt.join(rsalt, [*on, "__salt"], how).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Per-key-column skew diagnosis — the "should this join be salted?"
+    numbers, computed BEFORE a join melts down: for each candidate key
+    column, how concentrated its row counts are.
+
+    Output (one row per column): ``n_rows, n_keys, max_count, max_share``
+    (hottest key's row share — the fraction of the join that lands in
+    one task), ``topk_share`` (share of the ``top_k`` hottest keys),
+    ``hhi`` (Herfindahl index Σ share² — ``1/hhi`` is the effective
+    number of keys a hash partitioner actually sees), ``skew_factor``
+    (hottest key vs the mean key). NULL keys count as a real key — they
+    hash to one reducer like any other hot value.
+
+    Scale shape: the count table groups by ``(column, value)`` so no
+    reducer sees more than one key's rows; the scalar moments (max, Σ,
+    Σ²) partial-aggregate map-side; the top-k sum uses the same
+    size-gated salted two-phase as ``frequency.top_k_cutoffs`` — a
+    column's counts are never sorted in a single task unless the frame
+    is plan-time small.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+    from pyspark_data_drift_detector_spark.operators.frequency import _should_salt
+
+    if not key_cols:
+        raise ValueError("no key columns")
+    ensure_safe_columns(key_cols)
+    cells = df.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+            for c in key_cols
+        )
+        + "))"
+    )
+    counts = cells.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    moments = counts.groupBy("column_name").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_keys"),
+        F.expr("CAST(sum(cnt) AS BIGINT) AS n_rows"),
+        F.expr("CAST(max(cnt) AS BIGINT) AS max_count"),
+        F.expr("sum(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS sumsq"),
+    )
+    order = [F.desc("cnt"), F.asc_nulls_first("value")]
+    local = counts
+    if _should_salt(counts):
+        salt = F.pmod(F.xxhash64(F.col("value")), F.lit(32))
+        wlocal = Window.partitionBy("column_name", salt).orderBy(*order)
+        local = counts.withColumn("__lrn", F.row_number().over(wlocal)).filter(
+            F.col("__lrn") <= top_k
+        )
+    wglobal = Window.partitionBy("column_name").orderBy(*order)
+    topk = (
+        local.withColumn("__rn", F.row_number().over(wglobal))
+        .filter(F.col("__rn") <= top_k)
+        .groupBy("column_name")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS topk_count"))
+    )
+    return moments.join(topk, "column_name").selectExpr(
+        "column_name",
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "max_count / n_rows AS max_share",
+        "topk_count / n_rows AS topk_share",
+        "sumsq / (CAST(n_rows AS DOUBLE) * n_rows) AS hhi",
+        "(CAST(n_rows AS DOUBLE) * n_rows) / sumsq AS effective_keys",
+        "max_count / (n_rows / CAST(n_keys AS DOUBLE)) AS skew_factor",
+    )

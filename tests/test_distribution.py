@@ -287,3 +287,30 @@ def test_top_k_cutoffs_match_row_number(spark):
             for r in cells.withColumn("rn", F.row_number().over(win)).collect()
         }
         assert got == want, f"top_k={top_k}: {[(x, got[x], want[x]) for x in got if got[x] != want[x]]}"
+
+
+def test_equidepth_histogram_balanced_and_tied(spark):
+    """Continuous data: every bin holds exactly n/bins rows with ordered
+    edges. Massive ties: the tie group lands in ONE bin (ties go left),
+    other bins stay proportionally small or empty."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+
+    cont = spark.range(1000).select((F.col("id") * 1.0).alias("v"))
+    out = equidepth_histogram(cont, ["v"], bins=4).orderBy("bin").collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert all(r["cnt"] == 250 for r in out)
+    for r in out:
+        assert r["lo"] < r["hi"]
+    # adjacent edges chain
+    assert out[0]["hi"] == out[1]["lo"]
+
+    tied = spark.createDataFrame(
+        [(5.0,)] * 90 + [(float(i),) for i in range(10)], "v double"
+    )
+    rows = {r["bin"]: r["cnt"] for r in equidepth_histogram(tied, ["v"], bins=4).collect()}
+    assert max(rows.values()) >= 90  # the tie group stays together
+    assert sum(rows.values()) == 100

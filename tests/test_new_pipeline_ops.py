@@ -868,3 +868,31 @@ def test_rollup_cascade_matches_direct(spark, sf_dir):
         rollup_timeseries(ev, granularities=("day", "hour"))
     with pytest.raises(ValueError, match="nest"):
         rollup_timeseries(ev, granularities=("week", "month"))
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    """A 90%-hot key must dominate every concentration stat; NULL keys
+    count as a real (hot) key; a uniform key column stays flat."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        key_skew_profile,
+    )
+
+    rows = [("hot" if i < 90 else f"k{i}", str(i % 10), None if i < 50 else "x")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "skewed string, uniform string, nullkey string")
+    out = {r["column_name"]: r for r in
+           key_skew_profile(df, ["skewed", "uniform", "nullkey"], top_k=2).collect()}
+
+    s = out["skewed"]
+    assert s["n_rows"] == 100 and s["n_keys"] == 11
+    assert s["max_count"] == 90 and s["max_share"] == pytest.approx(0.9)
+    assert s["hhi"] == pytest.approx((90 / 100) ** 2 + 10 * (1 / 100) ** 2)
+    assert s["effective_keys"] == pytest.approx(1 / s["hhi"])
+    assert s["skew_factor"] == pytest.approx(90 / (100 / 11))
+
+    u = out["uniform"]
+    assert u["n_keys"] == 10 and u["max_share"] == pytest.approx(0.1)
+    assert u["skew_factor"] == pytest.approx(1.0)
+
+    n = out["nullkey"]  # NULL is a 50-row hot key
+    assert n["n_keys"] == 2 and n["max_count"] == 50
