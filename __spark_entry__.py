@@ -4243,6 +4243,37 @@ def _merged_quantiles_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_merged_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items state: orders enum columns sketched per
+    hash partition (Datasketches frequent-items via
+    ``approx_top_k_accumulate``), the four partition sketches COMBINED —
+    no re-scan. With the 10k-item budget far above the enum domains the
+    sketch never purges, so the merged counts are EXACT and the oracle
+    pins them value-for-value against a direct GROUP BY."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_heavy_hitters,
+        partitioned_heavy_hitters,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    parts = partitioned_heavy_hitters(
+        orders, ["o_orderstatus", "o_orderpriority"], "pmod(o_orderkey, 4)"
+    )
+    return merged_heavy_hitters(parts, k=10)
+
+
+def _merged_heavy_hitters_sql() -> str:
+    per = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS item,
+          COUNT(*) AS count_estimate
+        FROM orders WHERE {c} IS NOT NULL GROUP BY 2"""
+        for c in ("o_orderstatus", "o_orderpriority")
+    )
+    return f"""SELECT column_name, item,
+      CAST(count_estimate AS BIGINT) AS count_estimate FROM ({per})"""
+
+
 def q_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeable distinct state: orders is sketched per hash partition
     once (fixed-size Datasketches HLL per (partition, column)), the four
@@ -4643,6 +4674,7 @@ def _oracle_queries() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "asof_join": _asof_join_sql(),
         "merged_distinct": _merged_distinct_sql(),
+        "merged_heavy_hitters": _merged_heavy_hitters_sql(),
         "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -4720,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
+        "merged_heavy_hitters": q_merged_heavy_hitters,
         "merged_quantiles": q_merged_quantiles,
         "incremental_pipeline": q_incremental_pipeline,
         "robust_outlier_drift": q_robust_outlier_drift,

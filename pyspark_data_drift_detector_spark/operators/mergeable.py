@@ -431,3 +431,75 @@ def merged_quantiles(
         f"explode(arrays_zip(array({plist}), "
         f"kll_sketch_get_quantile_double(__m, array({plist})))) AS z",
     ).selectExpr("column_name", "z.`0` AS p", "z.`1` AS value")
+
+
+def partitioned_heavy_hitters(
+    df: DataFrame,
+    columns: list[str],
+    partition_by: Column | str,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Additive heavy-hitters state: one Datasketches frequent-items
+    sketch per ``(partition_id, column_name)`` (Spark's built-in
+    ``approx_top_k_accumulate``).
+
+    The approximate sibling of ``partitioned_categories``: the exact
+    count state is O(distinct) rows per partition — fine for enum-like
+    columns, unbounded for ids/tokens. The sketch is a FIXED-SIZE
+    summary tracking ``max_items_tracked`` candidates; any item with
+    frequency above ~N/max_items_tracked is guaranteed present
+    (no false negatives among true heavy hitters), and when a column's
+    distinct count stays under the budget the counts are exact.
+    NULLs are excluded (the numeric/category state counts them).
+
+    Output: ``partition_id, column_name, state`` — persist and append
+    per ingest batch like the other state tables.
+    """
+    if not columns:
+        raise ValueError("no columns")
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns(columns)
+    part = F.expr(partition_by) if isinstance(partition_by, str) else partition_by
+    melted = df.withColumn("__pid", part.cast("string")).selectExpr(
+        "__pid",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'value', CAST(`{c}` AS STRING))"
+            for c in columns
+        )
+        + "))",
+    )
+    return (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("__pid", "column_name")
+        .agg(
+            F.expr(
+                f"approx_top_k_accumulate(value, {int(max_items_tracked)})"
+            ).alias("state")
+        )
+        .withColumnRenamed("__pid", "partition_id")
+    )
+
+
+def merged_heavy_hitters(
+    parts: DataFrame,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Top-k items from any window of heavy-hitters states — a tiny
+    ``approx_top_k_combine`` over O(partitions × columns) fixed-size
+    sketches, no data re-scan (``merged_distinct``'s pattern for
+    frequencies). Output: one row per ``(column_name, item)`` with the
+    estimated count, up to ``k`` rows per column, count-descending."""
+    merged = parts.groupBy("column_name").agg(
+        F.expr(f"approx_top_k_combine(state, {int(max_items_tracked)})").alias("__m")
+    )
+    return merged.selectExpr(
+        "column_name",
+        f"explode(approx_top_k_estimate(__m, {int(k)})) AS z",
+    ).selectExpr(
+        "column_name",
+        "z.item AS item",
+        "CAST(z.count AS BIGINT) AS count_estimate",
+    )

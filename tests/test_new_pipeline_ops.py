@@ -896,3 +896,43 @@ def test_key_skew_profile_detects_hot_key(spark):
 
     n = out["nullkey"]  # NULL is a 50-row hot key
     assert n["n_keys"] == 2 and n["max_count"] == 50
+
+
+def test_heavy_hitters_merge_property(spark, sf_dir):
+    """Window-merged sketches equal a direct sketch of the window's rows
+    in the exact regime (budget > distinct), and under a tight budget the
+    true hot key survives with its count never under-estimated."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_heavy_hitters,
+        partitioned_heavy_hitters,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    parts = partitioned_heavy_hitters(orders, cols, "pmod(o_orderkey, 4)")
+    window = merged_heavy_hitters(
+        parts.where(F.col("partition_id").isin(["0", "1"])), k=10
+    )
+    got = {(r["column_name"], r["item"]): r["count_estimate"] for r in window.collect()}
+    exact = {
+        (c, r["v"]): r["cnt"]
+        for c in cols
+        for r in orders.filter(F.expr("pmod(o_orderkey, 4)") <= 1)
+        .selectExpr(f"CAST({c} AS STRING) AS v")
+        .where("v IS NOT NULL")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == exact  # no purge -> merged counts exact
+
+    # tight budget on a skewed synthetic: hot key present, not undercounted
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    hh = merged_heavy_hitters(
+        partitioned_heavy_hitters(df, ["v"], "length(v) % 2", max_items_tracked=8),
+        k=3,
+        max_items_tracked=8,
+    ).collect()
+    top = {r["item"]: r["count_estimate"] for r in hh}
+    assert "hot" in top and top["hot"] >= 500
