@@ -4039,6 +4039,115 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_mutual_information_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-structure drift: normalized mutual information between
+    categorical pairs, even/odd split — lineitem's returnflag×linestatus
+    and orders' status×priority."""
+    from pyspark_data_drift_detector_spark.operators.correlation import (
+        mutual_information_drift,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    li_out = mutual_information_drift(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        [("l_returnflag", "l_linestatus")],
+    )
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    o_out = mutual_information_drift(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        [("o_orderstatus", "o_orderpriority")],
+    )
+    return _round_cols(
+        li_out.unionByName(o_out),
+        ["ref_mi", "curr_mi", "ref_nmi", "curr_nmi", "nmi_abs_diff"],
+    )
+
+
+def _mi_pair_sql(table: str, key: str, x: str, y: str) -> str:
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN {key} % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+             CAST({x} AS VARCHAR) AS x, CAST({y} AS VARCHAR) AS y
+      FROM {table}),
+    joint AS (SELECT side, x, y, COUNT(*) AS nxy FROM tagged GROUP BY 1, 2, 3),
+    margx AS (SELECT side, x, SUM(nxy) AS nx FROM joint GROUP BY 1, 2),
+    margy AS (SELECT side, y, SUM(nxy) AS ny FROM joint GROUP BY 1, 2),
+    tot AS (SELECT side, SUM(nxy) AS n FROM joint GROUP BY 1),
+    mi AS (
+      SELECT j.side,
+        SUM((nxy / n) * log2((nxy / n) / ((nx / n) * (ny / n)))) AS mi
+      FROM joint j JOIN margx USING (side, x) JOIN margy USING (side, y)
+        JOIN tot USING (side)
+      GROUP BY 1),
+    hx AS (SELECT side, -SUM((nx / n) * log2(nx / n)) AS hx
+           FROM margx JOIN tot USING (side) GROUP BY 1),
+    hy AS (SELECT side, -SUM((ny / n) * log2(ny / n)) AS hy
+           FROM margy JOIN tot USING (side) GROUP BY 1),
+    s AS (
+      SELECT side, GREATEST(mi, 0.0) AS mi,
+        CASE WHEN LEAST(hx, hy) > 0 THEN GREATEST(mi, 0.0) / LEAST(hx, hy)
+             ELSE 0.0 END AS nmi
+      FROM mi JOIN hx USING (side) JOIN hy USING (side))
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+      ROUND(MAX(CASE WHEN side = 'r' THEN mi END), {ROUND}) AS ref_mi,
+      ROUND(MAX(CASE WHEN side = 'c' THEN mi END), {ROUND}) AS curr_mi,
+      ROUND(MAX(CASE WHEN side = 'r' THEN nmi END), {ROUND}) AS ref_nmi,
+      ROUND(MAX(CASE WHEN side = 'c' THEN nmi END), {ROUND}) AS curr_nmi,
+      ROUND(ABS(MAX(CASE WHEN side = 'c' THEN nmi END)
+              - MAX(CASE WHEN side = 'r' THEN nmi END)), {ROUND}) AS nmi_abs_diff,
+      ABS(MAX(CASE WHEN side = 'c' THEN nmi END)
+        - MAX(CASE WHEN side = 'r' THEN nmi END)) > 0.05 AS drift_detected
+    FROM s"""
+
+
+def _mutual_information_drift_sql() -> str:
+    li = _mi_pair_sql("lineitem", "l_orderkey", "l_returnflag", "l_linestatus")
+    o = _mi_pair_sql("orders", "o_orderkey", "o_orderstatus", "o_orderpriority")
+    return f"SELECT * FROM ({li}) UNION ALL SELECT * FROM ({o})"
+
+
+def q_robust_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant profile panel (5% trimmed/winsorized means,
+    median, MAD) over lineitem numeric columns."""
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+
+    out = robust_profile(
+        _lineitem(spark, sf_dir), ["l_quantity", "l_extendedprice", "l_tax"]
+    )
+    return _round_cols(
+        out,
+        ["lo", "median", "hi", "mad", "trimmed_mean", "winsorized_mean"],
+    )
+
+
+def _robust_profile_sql(trim: float = 0.05) -> str:
+    lo_p, hi_p = trim, 1.0 - trim
+    per = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS x,
+          (SELECT quantile_cont(CAST({c} AS DOUBLE), {lo_p!r}) FROM lineitem) AS lo,
+          (SELECT quantile_cont(CAST({c} AS DOUBLE), 0.5) FROM lineitem) AS med,
+          (SELECT quantile_cont(CAST({c} AS DOUBLE), {hi_p!r}) FROM lineitem) AS hi
+        FROM lineitem WHERE {c} IS NOT NULL"""
+        for c in ("l_quantity", "l_extendedprice", "l_tax")
+    )
+    return f"""
+    SELECT column_name, COUNT(*) AS n,
+      ROUND(MAX(lo), {ROUND}) AS lo,
+      ROUND(MAX(med), {ROUND}) AS median,
+      ROUND(MAX(hi), {ROUND}) AS hi,
+      ROUND(quantile_cont(ABS(x - med), 0.5), {ROUND}) AS mad,
+      ROUND(AVG(CASE WHEN x >= lo AND x <= hi THEN x END), {ROUND})
+        AS trimmed_mean,
+      ROUND(AVG(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END),
+            {ROUND}) AS winsorized_mean,
+      CAST(SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_trimmed
+    FROM ({per}) GROUP BY column_name"""
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency histogram (8 bins) over a heavy-tied and a
     continuous lineitem column — exact percentile edges, ties-go-left
@@ -4668,6 +4777,8 @@ def _oracle_queries() -> dict[str, str]:
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
+        "robust_profile": _robust_profile_sql(),
+        "mutual_information_drift": _mutual_information_drift_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
@@ -4735,6 +4846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timeseries": q_rollup_timeseries,
         "key_skew_profile": q_key_skew_profile,
         "equidepth_histogram": q_equidepth_histogram,
+        "robust_profile": q_robust_profile,
+        "mutual_information_drift": q_mutual_information_drift,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,

@@ -246,3 +246,101 @@ def correlation_group_changes(
         "group_changes": changes,
         "new_groups": new_groups,
     }
+
+
+def mutual_information_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    pairs: list[tuple[str, str]],
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Dependency-structure drift: mutual information between categorical
+    column PAIRS, per side, and its shift — catching the drift class the
+    marginal families cannot see (each column's distribution unchanged,
+    but the columns' RELATIONSHIP rotated: a payments feed where status
+    and priority decouple after an upstream bug).
+
+    Per pair and side: ``MI(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y)))``
+    plus marginal entropies and the normalized ``NMI = MI/min(H_X, H_Y)``
+    (0 when either marginal is constant). NULL values count as a real
+    category. Drift flags when ``|ref_nmi − curr_nmi| > threshold``.
+
+    Shape: per pair, ONE side-tagged joint count (shuffle keyed by the
+    joint value — no hot reducer), marginals re-aggregated FROM the
+    joint table (O(joint distinct), no second data scan) and joined
+    back; every log/sum is expression math.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not pairs:
+        raise ValueError("no pairs")
+    ensure_safe_columns([c for p in pairs for c in p])
+    out = None
+    for x, y in pairs:
+        tagged = df_ref.selectExpr(
+            "'r' AS side", f"CAST(`{x}` AS STRING) AS x", f"CAST(`{y}` AS STRING) AS y"
+        ).unionByName(
+            df_curr.selectExpr(
+                "'c' AS side",
+                f"CAST(`{x}` AS STRING) AS x",
+                f"CAST(`{y}` AS STRING) AS y",
+            )
+        )
+        joint = tagged.groupBy("side", "x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        margx = joint.groupBy("side", "x").agg(F.sum("nxy").alias("nx"))
+        margy = joint.groupBy("side", "y").agg(F.sum("nxy").alias("ny"))
+        tot = joint.groupBy("side").agg(F.sum("nxy").alias("n"))
+        enr = (
+            joint.join(margx, ["side", "x"])
+            .join(margy, ["side", "y"])
+            .join(F.broadcast(tot), "side")
+        )
+        per_side = enr.groupBy("side").agg(
+            F.expr(
+                "sum((nxy / n) * log2((nxy / n) / ((nx / n) * (ny / n)))) AS mi"
+            ),
+            F.expr("first(n) AS n"),
+        )
+        hx = margx.join(F.broadcast(tot), "side").groupBy("side").agg(
+            F.expr("-sum((nx / n) * log2(nx / n)) AS hx")
+        )
+        hy = margy.join(F.broadcast(tot), "side").groupBy("side").agg(
+            F.expr("-sum((ny / n) * log2(ny / n)) AS hy")
+        )
+        sides = (
+            per_side.select("side", "mi", "n")
+            .join(hx, "side")
+            .join(hy, "side")
+            .selectExpr(
+                "side",
+                "greatest(mi, 0.0D) AS mi",
+                "hx",
+                "hy",
+                "CASE WHEN least(hx, hy) > 0 THEN greatest(mi, 0.0D) / least(hx, hy)"
+                " ELSE 0.0D END AS nmi",
+            )
+        )
+        row = (
+            sides.groupBy()
+            .pivot("side", ["r", "c"])
+            .agg(
+                F.first("mi").alias("mi"),
+                F.first("nmi").alias("nmi"),
+                F.first("hx").alias("hx"),
+                F.first("hy").alias("hy"),
+            )
+            .selectExpr(
+                f"'{x}' AS col_x",
+                f"'{y}' AS col_y",
+                "r_mi AS ref_mi",
+                "c_mi AS curr_mi",
+                "r_nmi AS ref_nmi",
+                "c_nmi AS curr_nmi",
+                "abs(c_nmi - r_nmi) AS nmi_abs_diff",
+                f"abs(c_nmi - r_nmi) > {float(threshold)!r}D AS drift_detected",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -414,3 +414,79 @@ def categorical_summary(
         for c in columns
     ]
     return wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
+
+
+def robust_profile(
+    df: DataFrame,
+    columns: list[str],
+    trim: float = 0.05,
+) -> DataFrame:
+    """Outlier-resistant location/scale profile per column: trimmed mean
+    (drop the outer ``trim`` mass on each side), winsorized mean (clamp
+    to the trim bounds instead of dropping), median, and MAD — the
+    panel that stays stable when a feed starts emitting sentinel values
+    (-9999, overflow garbage) that wreck mean/stddev profiles.
+
+    Two passes by necessity (rank statistics precede the conditional
+    means): pass 1 is ONE wide aggregate computing each column's
+    [trim, 0.5, 1-trim] percentiles; pass 2 re-aggregates with the
+    bounds inlined — trimmed/winsorized means as conditional/clamped
+    averages, MAD as the median absolute deviation from the median.
+    Values exactly AT a bound are kept (closed interval), so heavy tie
+    groups at the bound behave deterministically.
+
+    Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
+    winsorized_mean, n_trimmed``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not 0.0 < trim < 0.5:
+        raise ValueError(f"trim must be in (0, 0.5), got {trim}")
+    if not columns:
+        raise ValueError("no columns")
+    ensure_safe_columns(columns)
+    lo_p, hi_p = float(trim), float(1.0 - trim)
+    bounds = df.agg(
+        *[
+            F.expr(
+                f"percentile(CAST(`{c}` AS DOUBLE),"
+                f" array({lo_p!r}D, 0.5D, {hi_p!r}D)) AS __b{i}"
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    melt = ", ".join(
+        f"named_struct('column_name', '{c}', 'x', CAST(`{c}` AS DOUBLE),"
+        f" 'lo', __b{i}[0], 'med', __b{i}[1], 'hi', __b{i}[2])"
+        for i, c in enumerate(columns)
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .selectExpr(f"inline(array({melt}))")
+        .where("x IS NOT NULL")
+        .groupBy("column_name")
+        .agg(
+            F.expr("count(1) AS n"),
+            F.expr("first(lo) AS lo"),
+            F.expr("first(med) AS median"),
+            F.expr("first(hi) AS hi"),
+            F.expr("percentile(abs(x - med), 0.5D) AS mad"),
+            F.expr(
+                "avg(CASE WHEN x >= lo AND x <= hi THEN x END) AS trimmed_mean"
+            ),
+            F.expr(
+                "avg(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END)"
+                " AS winsorized_mean"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_trimmed"
+            ),
+        )
+        .select(
+            "column_name", "n", "lo", "median", "hi", "mad",
+            "trimmed_mean", "winsorized_mean", "n_trimmed",
+        )
+    )

@@ -190,3 +190,32 @@ def test_pca_anomaly(spark):
     assert res["curr_anomaly_ratio"] > res["ref_anomaly_ratio"]
     assert res["is_significant"]
     assert res["severity"] == "high"
+
+
+def test_mutual_information_dependency_extremes(spark):
+    """NMI is 1 for a deterministic pair, ~0 for an independent pair; a
+    ref→curr decoupling is flagged."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.correlation import (
+        mutual_information_drift,
+    )
+
+    base = spark.range(400)
+    # ref: y fully determined by x; curr: y independent of x
+    ref = base.select((F.col("id") % 4).cast("string").alias("x")).withColumn(
+        "y", F.col("x")
+    )
+    curr = base.select(
+        (F.col("id") % 4).cast("string").alias("x"),
+        (F.col("id") % 5).cast("string").alias("y"),
+    )
+    row = mutual_information_drift(ref, curr, [("x", "y")]).collect()[0]
+    assert row["ref_nmi"] == pytest.approx(1.0, abs=1e-9)
+    assert row["curr_nmi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["drift_detected"]
+
+    # identical sides -> no drift
+    same = mutual_information_drift(ref, ref, [("x", "y")]).collect()[0]
+    assert same["nmi_abs_diff"] == pytest.approx(0.0, abs=1e-12)
+    assert not same["drift_detected"]

@@ -169,3 +169,24 @@ def test_kll_quantiles_rank_accuracy(lineitem):
             v = pair[c]["ref_" + q]
             rank = ref.filter(F.col(c) <= v).count() / nr
             assert abs(rank - p) < 0.02, (c, q, rank)
+
+
+def test_robust_profile_resists_sentinels(spark):
+    """A 2% sentinel contamination (-9999) wrecks the mean but must leave
+    the 5%-trimmed and winsorized means near the clean center."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+
+    clean = spark.range(980).select((50.0 + F.col("id") % 11).alias("v"))
+    dirty = clean.unionByName(
+        spark.range(20).select(F.lit(-9999.0).alias("v"))
+    )
+    row = robust_profile(dirty, ["v"], trim=0.05).collect()[0]
+    raw_mean = dirty.agg(F.avg("v")).collect()[0][0]
+    assert raw_mean < -100  # sentinel-dominated
+    assert 50.0 <= row["trimmed_mean"] <= 61.0
+    assert 45.0 <= row["winsorized_mean"] <= 61.0
+    assert 50.0 <= row["median"] <= 61.0
+    assert row["n_trimmed"] >= 20  # every sentinel fell outside the bounds
+    assert row["mad"] <= 5.5
