@@ -4039,6 +4039,77 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-model fluency score (add-0.5 smoothing) over
+    the documents corpus."""
+    from pyspark_data_drift_detector_spark.operators.corpus import bigram_logprob
+
+    out = bigram_logprob(_documents(spark, sf_dir))
+    return _round_cols(out, ["avg_logprob", "perplexity"])
+
+
+def _bigram_logprob_sql(k: float = 0.5) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] AS t1, t[i + 1] AS t2
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2),
+    bc AS (SELECT t1, t2, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+    uc AS (SELECT t1, COUNT(*) AS c_t1 FROM bi GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+      SELECT t1 AS tok FROM bi UNION ALL SELECT t2 FROM bi)),
+    s AS (
+      SELECT bi.doc_id, ln((c_bi + {k!r}) / (c_t1 + {k!r} * v)) AS lp
+      FROM bi JOIN bc USING (t1, t2) JOIN uc USING (t1) CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      ROUND(AVG(lp), {ROUND}) AS avg_logprob,
+      ROUND(EXP(-AVG(lp)), {ROUND}) AS perplexity
+    FROM s GROUP BY doc_id"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: every 10th doc is replaced
+    by an UPPERCASED, extra-punctuated variant of its successor's text
+    (deterministic injection, replayed in the oracle); after
+    normalize_text_expr canonicalization those variants collapse onto
+    their source docs while raw-byte md5 would see them as distinct."""
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_exact
+    from pyspark_data_drift_detector_spark.operators.text import normalize_text_expr
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    nxt = docs.selectExpr("doc_id - 1 AS doc_id", "text AS next_text")
+    variant = docs.join(nxt, "doc_id", "left").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 10 = 0 AND next_text IS NOT NULL"
+        " THEN concat(upper(next_text), ' !!') ELSE text END AS text",
+    )
+    normed = variant.withColumn("text", normalize_text_expr(F.col("text")))
+    return dedup_exact(normed)
+
+
+def _dedup_normalized_sql() -> str:
+    return """
+    WITH v AS (
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+             THEN upper(n.text) || ' !!' ELSE d.text END AS text
+      FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+    norm AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                            '\\s+', ' ', 'g')) AS text
+      FROM v),
+    keyed AS (SELECT doc_id, md5(text) AS content_key FROM norm),
+    groups AS (
+      SELECT content_key, CAST(COUNT(*) AS BIGINT) AS group_size,
+             MIN(doc_id) AS survivor_id
+      FROM keyed GROUP BY 1)
+    SELECT k.doc_id, k.content_key, g.group_size, g.survivor_id,
+      k.doc_id != g.survivor_id AS is_duplicate
+    FROM keyed k JOIN groups g USING (content_key)"""
+
+
 def q_mutual_information_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-structure drift: normalized mutual information between
     categorical pairs, even/odd split — lineitem's returnflag×linestatus
@@ -4779,6 +4850,8 @@ def _oracle_queries() -> dict[str, str]:
         "equidepth_histogram": _equidepth_histogram_sql(),
         "robust_profile": _robust_profile_sql(),
         "mutual_information_drift": _mutual_information_drift_sql(),
+        "dedup_normalized": _dedup_normalized_sql(),
+        "bigram_logprob": _bigram_logprob_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
@@ -4848,6 +4921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram": q_equidepth_histogram,
         "robust_profile": q_robust_profile,
         "mutual_information_drift": q_mutual_information_drift,
+        "dedup_normalized": q_dedup_normalized,
+        "bigram_logprob": q_bigram_logprob,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,

@@ -231,3 +231,78 @@ def zipf_fit(
         "zipf_intercept",
         "zipf_r2",
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document average bigram log-probability and perplexity under
+    the corpus's add-k-smoothed bigram model — the sequence-aware
+    fluency score that ``unigram_logprob`` cannot give (scrambled text
+    has normal unigram stats but improbable transitions).
+
+    ``p(t₂|t₁) = (count(t₁,t₂) + k) / (count(t₁·) + k·V)``, ``V`` the
+    corpus vocabulary size. Documents with fewer than two tokens emit no
+    row (they have no transitions).
+
+    Plan: bigrams are built INSIDE the row (a ``transform`` over the
+    token array — narrow map, no positional self-join), then one
+    ``groupBy(t1, t2)`` fits the model, the corpus bigrams shuffle-join
+    it on the bigram key, and one ``groupBy(doc)`` scores. The model
+    tables are data-sized aggregates — nothing is collected.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([text_col, id_col])
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    bi = (
+        ensure_min_partitions(df)
+        .selectExpr(
+            # single-space split: the module's tokenization convention
+            # (string_split parity with the DuckDB oracle)
+            f"`{id_col}`",
+            f"split(`{text_col}`, ' ') AS __t",
+        )
+        .where("size(__t) >= 2")
+        .selectExpr(
+            f"`{id_col}`",
+            "explode(transform(sequence(1, size(__t) - 1),"
+            " i -> named_struct('t1', element_at(__t, i),"
+            " 't2', element_at(__t, i + 1)))) AS z",
+        )
+        .selectExpr(f"`{id_col}`", "z.t1 AS t1", "z.t2 AS t2")
+    )
+    bi_counts = bi.groupBy("t1", "t2").agg(F.expr("count(1) AS c_bi"))
+    uni_counts = bi.groupBy("t1").agg(F.expr("count(1) AS c_t1"))
+    vocab = (
+        bi.selectExpr("t1 AS tok")
+        .unionByName(bi.selectExpr("t2 AS tok"))
+        .agg(F.expr("count(DISTINCT tok) AS v"))
+    )
+    scored = (
+        bi.join(bi_counts, ["t1", "t2"])
+        .join(uni_counts, "t1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("count(1) AS n_bigrams"),
+            F.expr(
+                f"avg(ln((c_bi + {float(k)!r}D) / (c_t1 + {float(k)!r}D * v)))"
+                " AS avg_logprob"
+            ),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "avg_logprob",
+            "exp(-avg_logprob) AS perplexity",
+        )
+    )

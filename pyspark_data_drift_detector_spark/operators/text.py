@@ -33,6 +33,24 @@ def tokens_expr(text: Column) -> Column:
     return F.split(F.trim(text), "\\s+")
 
 
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical text form for normalization-insensitive matching:
+    lowercase, punctuation/symbols → space, whitespace runs collapsed,
+    trimmed. The standard pre-step before exact dedup so that
+    case/punctuation/spacing variants of one document collapse to one
+    content key (raw-byte md5 treats them as distinct). ASCII character
+    classes only — the patterns replay identically in RE2 (the DuckDB
+    oracle) and Java regex.
+
+    Pure narrow map (three regexp_replace + lower + trim): parallelizes
+    with the scan, ships nothing.
+    """
+    lowered = F.lower(text)
+    no_punct = F.regexp_replace(lowered, "[^a-z0-9\\s]", " ")
+    collapsed = F.regexp_replace(no_punct, "\\s+", " ")
+    return F.trim(collapsed)
+
+
 def text_stats(
     df: DataFrame,
     text_col: str = "text",

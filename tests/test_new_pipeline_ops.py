@@ -936,3 +936,20 @@ def test_heavy_hitters_merge_property(spark, sf_dir):
     ).collect()
     top = {r["item"]: r["count_estimate"] for r in hh}
     assert "hot" in top and top["hot"] >= 500
+
+
+def test_bigram_logprob_sequence_sensitivity(spark):
+    """Scrambled word order must score worse than fluent text even when
+    unigram stats are identical — the signal bigrams exist for."""
+    from pyspark_data_drift_detector_spark.operators.corpus import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(20)] + [(100, "mat the on cat sat the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert out[100]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[100]["perplexity"] > out[0]["perplexity"]
+    # single-token docs emit no row
+    one = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
+    assert {r["doc_id"] for r in bigram_logprob(one).collect()} == {2}

@@ -257,3 +257,34 @@ def test_dedup_survivors_by_policy(spark):
     # cluster {1,2,3}: 2 and 3 tie on score 50 → min id 2; singleton
     # cluster {4} keeps itself; 9 is unclustered → kept
     assert kept == [2, 4, 9]
+
+
+def test_normalize_text_collapses_variants(spark):
+    """Case/punctuation/whitespace variants of one document share one
+    normalized content key; raw-byte dedup sees them as distinct."""
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_exact
+    from pyspark_data_drift_detector_spark.operators.text import normalize_text_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick Brown Fox."),
+            (2, "the  quick brown--fox!!"),
+            (3, "THE QUICK\tBROWN FOX"),
+            (4, "a genuinely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = dedup_exact(df)
+    assert raw.filter(F.col("is_duplicate")).count() == 0
+
+    normed = df.withColumn("text", normalize_text_expr(F.col("text")))
+    assert set(
+        r["text"] for r in normed.filter(F.col("doc_id") <= 3).collect()
+    ) == {"the quick brown fox"}
+    out = {r["doc_id"]: r for r in dedup_exact(normed).collect()}
+    assert out[1]["group_size"] == 3 and out[1]["survivor_id"] == 1
+    assert not out[1]["is_duplicate"]
+    assert out[2]["is_duplicate"] and out[3]["is_duplicate"]
+    assert out[4]["group_size"] == 1 and not out[4]["is_duplicate"]
