@@ -4039,6 +4039,56 @@ def _interval_join_sql() -> str:
      AND e.ts >= x.session_start AND e.ts <= x.session_end"""
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning over synthetically re-lined documents: the
+    flat text is split into 5-token lines whose ending alternates by line
+    index — terminal '.', no punctuation, or a 'javascript' marker — so
+    every drop rule (short line, missing terminal punct, boilerplate
+    marker) fires deterministically and replays in the oracle."""
+    from pyspark_data_drift_detector_spark.operators.quality import c4_line_filter
+
+    lined = _documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "array_join(transform("
+        " sequence(0, CAST(ceil(size(split(text, ' ')) / 5.0) AS INT) - 1),"
+        " i -> concat(concat_ws(' ', slice(split(text, ' '), i * 5 + 1, 5)),"
+        "   CASE pmod(i, 3) WHEN 0 THEN '.' WHEN 1 THEN '' "
+        "   ELSE ' javascript.' END)), '\n') AS text",
+    )
+    out = c4_line_filter(lined)
+    return _round_cols(out, ["kept_ratio"])
+
+
+def _c4_line_filter_sql() -> str:
+    # replay: re-line exactly as the Spark query does, then the three
+    # C4 keep-rules per line
+    keep = (
+        "len(regexp_split_to_array(trim(line), '\\s+')) >= 3"
+        " AND right(rtrim(line), 1) IN ('.', '!', '?', '\"', '''')"
+        " AND NOT (contains(lower(line), 'lorem ipsum')"
+        "   OR contains(lower(line), 'javascript')"
+        "   OR contains(lower(line), '{'))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lined AS (
+      SELECT doc_id, list_transform(
+        range(0, CAST(ceil(len(w) / 5.0) AS INT)),
+        i -> array_to_string(w[i * 5 + 1 : i * 5 + 5], ' ') ||
+          CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE ' javascript.' END
+      ) AS lines FROM t),
+    f AS (
+      SELECT doc_id, lines,
+        list_filter(lines, line -> {keep}) AS kept
+      FROM lined)
+    SELECT doc_id,
+      COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      ROUND(len(kept) / greatest(len(lines), 1), {ROUND}) AS kept_ratio
+    FROM f"""
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-model fluency score (add-0.5 smoothing) over
     the documents corpus."""
@@ -4852,6 +4902,7 @@ def _oracle_queries() -> dict[str, str]:
         "mutual_information_drift": _mutual_information_drift_sql(),
         "dedup_normalized": _dedup_normalized_sql(),
         "bigram_logprob": _bigram_logprob_sql(),
+        "c4_line_filter": _c4_line_filter_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "hash_split": _hash_split_sql(),
         "windowed_drift": _windowed_drift_sql(),
@@ -4923,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information_drift": q_mutual_information_drift,
         "dedup_normalized": q_dedup_normalized,
         "bigram_logprob": q_bigram_logprob,
+        "c4_line_filter": q_c4_line_filter,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,

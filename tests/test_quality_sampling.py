@@ -198,3 +198,28 @@ def test_ngram_overlap_graded_ratios(spark):
     assert rows[2]["n_ngrams"] == 4 and rows[2]["n_matched"] == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "benchmark gram set must broadcast"
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 drop rule fires independently: short line, missing
+    terminal punctuation, drop-marker substring; survivors reassemble in
+    order."""
+    from pyspark_data_drift_detector_spark.operators.quality import c4_line_filter
+
+    text = "\n".join(
+        [
+            "this line is kept properly.",
+            "too short.",                      # < 3 words
+            "no terminal punctuation here",     # bad ending
+            "this has javascript inside it.",   # marker
+            "another good line survives!",
+        ]
+    )
+    row = c4_line_filter(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert row["n_lines"] == 5 and row["n_kept"] == 2
+    assert row["cleaned"] == (
+        "this line is kept properly.\nanother good line survives!"
+    )
+    assert row["kept_ratio"] == pytest.approx(0.4)
