@@ -4952,20 +4952,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness harness records only the first
-    # 50 entries, so the queries least-recently covered by a driver run (the
-    # round-4 additions + pca_anomaly, judge-verified only in r4) lead the
-    # dict; long-stable queries ride at the tail and stay covered by
-    # tests/test_oracle_parity.py locally.
+    # Order matters: the driver's correctness harness records only the
+    # first 50 entries. The window holds every query added or whose
+    # operator changed this round (new operators, the r5-red fixes,
+    # asof_join's struct carry, the ensure_min_partitions consumers);
+    # multi-round-stable queries ride at the tail and stay covered by
+    # tests/test_oracle_parity.py and tools/verify_oracle.py locally.
     return {
-        "corr_groups": q_corr_groups,
-        "multimodal_meta": q_multimodal_meta,
-        "image_features": q_image_features,
-        "frame_sample": q_frame_sample,
-        "pca_anomaly": q_pca_anomaly,
-        "repetition_stats": q_repetition_stats,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "decontaminate": q_decontaminate,
         "ngram_overlap": q_ngram_overlap,
         "rollup_timeseries": q_rollup_timeseries,
         "key_skew_profile": q_key_skew_profile,
@@ -4975,43 +4968,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "bigram_logprob": q_bigram_logprob,
         "c4_line_filter": q_c4_line_filter,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "windowed_drift": q_windowed_drift,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "pii_scrub": q_pii_scrub,
-        "cusum_changepoint": q_cusum_changepoint,
+        "merged_heavy_hitters": q_merged_heavy_hitters,
+        "merged_drift_quantiles": q_merged_drift_quantiles,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,
-        "chunk_documents": q_chunk_documents,
-        "weighted_sample": q_weighted_sample,
         "merged_profile": q_merged_profile,
+        "json_profile": q_json_profile,
+        "ann_pq": q_ann_pq,
+        "merged_quantiles": q_merged_quantiles,
+        "asof_join": q_asof_join,
         "merged_drift": q_merged_drift,
-        "merged_drift_quantiles": q_merged_drift_quantiles,
+        "incremental_pipeline": q_incremental_pipeline,
         "merged_categorical_drift": q_merged_categorical_drift,
         "merged_distinct": q_merged_distinct,
-        "merged_heavy_hitters": q_merged_heavy_hitters,
-        "merged_quantiles": q_merged_quantiles,
-        "incremental_pipeline": q_incremental_pipeline,
-        "robust_outlier_drift": q_robust_outlier_drift,
-        "cap_per_group": q_cap_per_group,
-        "temperature_sample": q_temperature_sample,
-        "zipf_fit": q_zipf_fit,
-        "json_profile": q_json_profile,
-        "json_drift": q_json_drift,
-        "unigram_logprob": q_unigram_logprob,
-        "tfidf_keywords": q_tfidf_keywords,
-        "vocab_drift": q_vocab_drift,
-        # Queries whose operators are touched in round 5 — keep them inside
-        # the driver's window so any regression is driver-visible.
-        "top_categories": q_top_categories,
-        "group_numeric_drift": q_group_numeric_drift,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_best": q_dedup_survivors_best,
-        "ann_pq": q_ann_pq,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "chunk_documents": q_chunk_documents,
+        "repetition_stats": q_repetition_stats,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "decontaminate": q_decontaminate,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
+        "vocab_drift": q_vocab_drift,
+        "zipf_fit": q_zipf_fit,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "cap_per_group": q_cap_per_group,
+        "temperature_sample": q_temperature_sample,
+        "corr_groups": q_corr_groups,
+        "multimodal_meta": q_multimodal_meta,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "pca_anomaly": q_pca_anomaly,
+        "hash_split": q_hash_split,
+        "windowed_drift": q_windowed_drift,
+        "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
+        "cusum_changepoint": q_cusum_changepoint,
+        "robust_outlier_drift": q_robust_outlier_drift,
+        "json_drift": q_json_drift,
+        "top_categories": q_top_categories,
+        "group_numeric_drift": q_group_numeric_drift,
         "numeric_profile": q_numeric_profile,
         "numeric_drift": q_numeric_drift,
         "numeric_drift_rowpath": q_numeric_drift_rowpath,
@@ -5035,22 +5046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_drift": q_group_drift,
         "corr_pairs": q_corr_pairs,
         "feature_importance": q_feature_importance,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "temporal_drift": q_temporal_drift,
         "embedding_drift": q_embedding_drift,
         "text_quality_drift": q_text_quality_drift,
         "streaming_drift_alerts": q_streaming_drift_alerts,
-        "dedup_simhash": q_dedup_simhash,
-        "knn_cosine": q_knn_cosine,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_windowed": q_events_windowed,
         "running_profile": q_running_profile,
         "events_sliding": q_events_sliding,

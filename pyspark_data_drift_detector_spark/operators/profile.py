@@ -429,11 +429,15 @@ def robust_profile(
 
     Two passes by necessity (rank statistics precede the conditional
     means): pass 1 is ONE wide aggregate computing each column's
-    [trim, 0.5, 1-trim] percentiles; pass 2 re-aggregates with the
-    bounds inlined — trimmed/winsorized means as conditional/clamped
-    averages, MAD as the median absolute deviation from the median.
-    Values exactly AT a bound are kept (closed interval), so heavy tie
-    groups at the bound behave deterministically.
+    [trim, 0.5, 1-trim] percentiles; pass 2 broadcasts that 1-row bound
+    table back and re-aggregates the base table in a SECOND wide
+    ungrouped aggregate — trimmed/winsorized means as
+    conditional/clamped averages, MAD as the median absolute deviation
+    from the median. No melt + groupBy(column): a per-column-key shuffle
+    would sort each column's full deviation vector in ONE reducer task;
+    the wide-aggregate shape keeps every percentile buffer map-side
+    partial. Values exactly AT a bound are kept (closed interval), so
+    heavy tie groups at the bound behave deterministically.
 
     Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
     winsorized_mean, n_trimmed``.
@@ -457,36 +461,30 @@ def robust_profile(
             for i, c in enumerate(columns)
         ]
     )
-    melt = ", ".join(
-        f"named_struct('column_name', '{c}', 'x', CAST(`{c}` AS DOUBLE),"
-        f" 'lo', __b{i}[0], 'med', __b{i}[1], 'hi', __b{i}[2])"
+    aggs = []
+    for i, c in enumerate(columns):
+        x = f"CAST(`{c}` AS DOUBLE)"
+        lo, med, hi = f"__b{i}[0]", f"__b{i}[1]", f"__b{i}[2]"
+        aggs += [
+            f"count({x}) AS __n{i}",
+            f"percentile(abs({x} - {med}), 0.5D) AS __mad{i}",
+            f"avg(CASE WHEN {x} >= {lo} AND {x} <= {hi} THEN {x} END)"
+            f" AS __tm{i}",
+            f"avg(CASE WHEN {x} < {lo} THEN {lo} WHEN {x} > {hi} THEN {hi}"
+            f" ELSE {x} END) AS __wm{i}",
+            f"sum(CASE WHEN {x} < {lo} OR {x} > {hi} THEN 1 ELSE 0 END)"
+            f" AS __nt{i}",
+        ]
+    aggs += [f"first(__b{i}) AS __bb{i}" for i in range(len(columns))]
+    wide = df.join(F.broadcast(bounds)).groupBy().agg(
+        *[F.expr(a) for a in aggs]
+    )
+    structs = ", ".join(
+        f"named_struct('column_name', '{c}', 'n', CAST(__n{i} AS BIGINT),"
+        f" 'lo', __bb{i}[0], 'median', __bb{i}[1],"
+        f" 'hi', __bb{i}[2], 'mad', __mad{i},"
+        f" 'trimmed_mean', __tm{i}, 'winsorized_mean', __wm{i},"
+        f" 'n_trimmed', CAST(__nt{i} AS BIGINT))"
         for i, c in enumerate(columns)
     )
-    return (
-        df.join(F.broadcast(bounds))
-        .selectExpr(f"inline(array({melt}))")
-        .where("x IS NOT NULL")
-        .groupBy("column_name")
-        .agg(
-            F.expr("count(1) AS n"),
-            F.expr("first(lo) AS lo"),
-            F.expr("first(med) AS median"),
-            F.expr("first(hi) AS hi"),
-            F.expr("percentile(abs(x - med), 0.5D) AS mad"),
-            F.expr(
-                "avg(CASE WHEN x >= lo AND x <= hi THEN x END) AS trimmed_mean"
-            ),
-            F.expr(
-                "avg(CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END)"
-                " AS winsorized_mean"
-            ),
-            F.expr(
-                "CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)"
-                " AS BIGINT) AS n_trimmed"
-            ),
-        )
-        .select(
-            "column_name", "n", "lo", "median", "hi", "mad",
-            "trimmed_mean", "winsorized_mean", "n_trimmed",
-        )
-    )
+    return wide.selectExpr(f"inline(array({structs}))")
