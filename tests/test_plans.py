@@ -548,3 +548,40 @@ def test_dedup_plan_construction_no_rdd_probe(spark, sf_dir):
         "ensure_min_partitions has regressed to the physical-planning probe"
     )
     assert plan
+
+
+def test_round6_operators_prune_scans(spark, sf_dir):
+    """The new operators' scans must read only the columns they use —
+    a scan shipping the full row width for a 2-3 column computation is
+    wrong at any scale."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        key_skew_profile,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        assert_column_pruned,
+        count_shuffles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    ed = equidepth_histogram(li, ["l_quantity", "l_extendedprice"], bins=4)
+    assert_column_pruned(ed, "l_comment")
+    assert_column_pruned(ed, "l_shipdate")
+
+    rp = robust_profile(li, ["l_quantity", "l_tax"])
+    assert_column_pruned(rp, "l_extendedprice")
+    # both passes are wide ungrouped aggregates: partial-buffer
+    # SinglePartition exchanges only — never a per-column-key
+    # hash shuffle of raw deviation vectors
+    from pyspark_data_drift_detector_spark.plans.inspect import formatted_plan
+
+    assert "Exchange hashpartitioning" not in formatted_plan(rp)
+
+    ks = key_skew_profile(orders, ["o_orderstatus", "o_orderpriority"])
+    assert_column_pruned(ks, "o_totalprice")
+    assert_column_pruned(ks, "o_comment")
