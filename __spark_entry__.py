@@ -4504,6 +4504,33 @@ def _merged_heavy_hitters_sql() -> str:
       CAST(count_estimate AS BIGINT) AS count_estimate FROM ({per})"""
 
 
+def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top event types via the frequent-items sketch (batch twin
+    of the streaming path; exact in the untruncated regime, which the
+    oracle pins with a plain per-window GROUP BY)."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import (
+        windowed_heavy_hitters,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = windowed_heavy_hitters(load_events(spark, sf_dir), k=10)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "item",
+        "count_estimate",
+    )
+
+
+def _windowed_heavy_hitters_sql() -> str:
+    return """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      CAST(event_type AS VARCHAR) AS item,
+      COUNT(*) AS count_estimate
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2"""
+
+
 def q_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL mergeable distinct state: orders is sketched per hash partition
     once (fixed-size Datasketches HLL per (partition, column)), the four
@@ -4910,6 +4937,7 @@ def _oracle_queries() -> dict[str, str]:
         "asof_join": _asof_join_sql(),
         "merged_distinct": _merged_distinct_sql(),
         "merged_heavy_hitters": _merged_heavy_hitters_sql(),
+        "windowed_heavy_hitters": _windowed_heavy_hitters_sql(),
         "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -4969,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "c4_line_filter": q_c4_line_filter,
         "merged_heavy_hitters": q_merged_heavy_hitters,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,

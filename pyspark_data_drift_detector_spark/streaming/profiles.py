@@ -403,3 +403,48 @@ def stateful_cusum(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    item_col: str = "event_type",
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Per-window top-k items via the mergeable frequent-items sketch
+    (``approx_top_k``) — "what dominated each window" over an unbounded
+    item domain with FIXED per-window state, where an exact
+    ``groupBy(window, item)`` count table grows with the domain.
+
+    Works unchanged on batch or streaming input (the sketch is a
+    mergeable aggregate, so micro-batches combine partial states like
+    any windowed agg). When ``max_items_tracked`` exceeds the window's
+    distinct items the counts are exact (the ``merged_heavy_hitters``
+    contract). Output: one row per ``(window_start, item)`` with
+    ``count_estimate``, at most ``k`` rows per window.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, item_col])
+    w = F.window(F.col(ts_col), window_duration)
+    out = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(w.alias("w"))
+        .agg(
+            F.expr(
+                f"approx_top_k(CAST(`{item_col}` AS STRING), {int(k)},"
+                f" {int(max_items_tracked)})"
+            ).alias("__top")
+        )
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), F.explode("__top").alias("z")
+    ).selectExpr(
+        "window_start",
+        "z.item AS item",
+        "CAST(z.count AS BIGINT) AS count_estimate",
+    )

@@ -129,3 +129,41 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
         assert abs(s["max_cusum_neg"] - b["max_cusum_neg"]) < 1e-9, uid
         assert s["alarm"] == b["alarm"], uid
         assert s["first_alarm_ts"] == b["first_alarm_ts"], uid
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """windowed_heavy_hitters over a readStream (availableNow) equals the
+    batch run on the same events — the sketch aggregate merges across
+    micro-batch partials like any windowed agg."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import (
+        windowed_heavy_hitters,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = {
+        (r["window_start"], r["item"]): r["count_estimate"]
+        for r in windowed_heavy_hitters(load_events(spark, sf_dir), k=10).collect()
+    }
+
+    stream_dir = tmp_path / "hh_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    out = windowed_heavy_hitters(stream, k=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["item"]): r["count_estimate"]
+        for r in spark.sql("SELECT * FROM hh_test").collect()
+    }
+    assert got == batch and len(got) > 0
