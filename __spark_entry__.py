@@ -4504,6 +4504,70 @@ def _merged_heavy_hitters_sql() -> str:
       CAST(count_estimate AS BIGINT) AS count_estimate FROM ({per})"""
 
 
+def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style acceptance gate over orders + lineitem: completeness,
+    uniqueness, accepted domain, value range, minimum batch size, and
+    lineitem→orders referential integrity — single-table checks in one
+    wide aggregate, the FK check as an anti-join count."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_constraints,
+        check_referential_integrity,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    suite = check_constraints(
+        orders,
+        [
+            {"type": "completeness", "column": "o_custkey", "min_ratio": 0.99},
+            {"type": "unique", "column": "o_orderkey"},
+            {"type": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"type": "range", "column": "o_totalprice", "min": 0.0},
+            {"type": "min_rows", "count": 100},
+        ],
+    )
+    fk = check_referential_integrity(li, orders, "l_orderkey", "o_orderkey")
+    return _round_cols(suite.unionByName(fk), ["metric", "threshold"])
+
+
+def _constraint_suite_sql() -> str:
+    return f"""
+    WITH o AS (
+      SELECT COUNT(*) AS total, COUNT(o_custkey) AS n_cust,
+        COUNT(o_orderkey) AS n_ok, COUNT(DISTINCT o_orderkey) AS d_ok,
+        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+          CAST(o_orderstatus AS VARCHAR) NOT IN ('O', 'F', 'P')
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND
+          CAST(o_totalprice AS DOUBLE) < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_rng
+      FROM orders),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM orders p WHERE p.o_orderkey = l.l_orderkey))
+    SELECT 'completeness' AS constraint, 'o_custkey' AS "column",
+      ROUND(CAST(n_cust AS DOUBLE) / greatest(total, 1), {ROUND}) AS metric,
+      0.99 AS threshold, CAST(total - n_cust AS BIGINT) AS violations,
+      CAST(n_cust AS DOUBLE) / greatest(total, 1) >= 0.99 AS passed FROM o
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', ROUND(CAST(n_ok - d_ok AS DOUBLE), {ROUND}),
+      0.0, CAST(n_ok - d_ok AS BIGINT), n_ok = d_ok FROM o
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus', ROUND(CAST(v_dom AS DOUBLE), {ROUND}),
+      0.0, v_dom, v_dom = 0 FROM o
+    UNION ALL
+    SELECT 'range', 'o_totalprice', ROUND(CAST(v_rng AS DOUBLE), {ROUND}),
+      0.0, v_rng, v_rng = 0 FROM o
+    UNION ALL
+    SELECT 'min_rows', '*', ROUND(CAST(total AS DOUBLE), {ROUND}),
+      100.0, CAST(CASE WHEN total < 100 THEN 1 ELSE 0 END AS BIGINT),
+      total >= 100 FROM o
+    UNION ALL
+    SELECT 'foreign_key', 'l_orderkey', ROUND(CAST(v AS DOUBLE), {ROUND}),
+      0.0, v, v = 0 FROM fk"""
+
+
 def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day top event types via the frequent-items sketch (batch twin
     of the streaming path; exact in the untruncated regime, which the
@@ -4938,6 +5002,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_distinct": _merged_distinct_sql(),
         "merged_heavy_hitters": _merged_heavy_hitters_sql(),
         "windowed_heavy_hitters": _windowed_heavy_hitters_sql(),
+        "constraint_suite": _constraint_suite_sql(),
         "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -4998,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "merged_heavy_hitters": q_merged_heavy_hitters,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "constraint_suite": q_constraint_suite,
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,

@@ -1,0 +1,154 @@
+"""Declarative data-quality constraint checks (Deequ-style).
+
+A drift engine answers "did the data change"; a constraint suite answers
+"is the data ACCEPTABLE" — the gate a 100 TB ingest runs before anything
+downstream trusts a batch. All single-table constraints compile into ONE
+wide aggregate over the frame (the engine's standard profile shape: one
+scan, map-side partials, O(constraints) result cells), and referential
+integrity is a broadcast-able anti-join count.
+
+Supported single-table constraint specs (dicts):
+
+- ``{"type": "completeness", "column": c, "min_ratio": r}`` — non-null
+  share of rows ≥ r.
+- ``{"type": "unique", "column": c}`` — no value occurs twice (distinct
+  count equals non-null count).
+- ``{"type": "in_set", "column": c, "values": [...]}`` — every non-null
+  value belongs to the accepted domain.
+- ``{"type": "range", "column": c, "min": x, "max": y}`` — every
+  non-null value inside [x, y] (either bound optional).
+- ``{"type": "min_rows", "count": n}`` — the batch is not suspiciously
+  small.
+
+Output: one row per constraint — ``constraint, column, metric,
+threshold, violations, passed``. ``metric`` is the measured quantity
+(ratio / distinct gap / violation count / row count), ``violations``
+the offending-row count where meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.functions.quoting import (
+    ensure_safe_columns,
+    qs,
+)
+
+
+def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
+    """Evaluate single-table constraints in ONE wide aggregate."""
+    if not constraints:
+        raise ValueError("no constraints")
+    cols = [c["column"] for c in constraints if "column" in c]
+    ensure_safe_columns(cols)
+
+    aggs: list[str] = ["count(1) AS __total"]
+    rows: list[str] = []
+    for i, spec in enumerate(constraints):
+        kind = spec.get("type")
+        c = spec.get("column")
+        if kind == "completeness":
+            r = float(spec["min_ratio"])
+            aggs.append(f"count(`{c}`) AS __n{i}")
+            rows.append(
+                f"named_struct('constraint', 'completeness', 'column', '{c}',"
+                f" 'metric', CAST(__n{i} AS DOUBLE) / greatest(__total, 1),"
+                f" 'threshold', CAST({r!r} AS DOUBLE),"
+                f" 'violations', CAST(__total - __n{i} AS BIGINT),"
+                f" 'passed', CAST(__n{i} AS DOUBLE) / greatest(__total, 1)"
+                f" >= {r!r}D)"
+            )
+        elif kind == "unique":
+            aggs.append(f"count(`{c}`) AS __n{i}")
+            aggs.append(f"count(DISTINCT `{c}`) AS __d{i}")
+            rows.append(
+                f"named_struct('constraint', 'unique', 'column', '{c}',"
+                f" 'metric', CAST(__n{i} - __d{i} AS DOUBLE),"
+                f" 'threshold', CAST(0.0 AS DOUBLE),"
+                f" 'violations', CAST(__n{i} - __d{i} AS BIGINT),"
+                f" 'passed', __n{i} = __d{i})"
+            )
+        elif kind == "in_set":
+            vals = ", ".join(qs(str(v)) for v in spec["values"])
+            bad = (
+                f"sum(CASE WHEN `{c}` IS NOT NULL AND"
+                f" CAST(`{c}` AS STRING) NOT IN ({vals}) THEN 1 ELSE 0 END)"
+            )
+            aggs.append(f"{bad} AS __v{i}")
+            rows.append(
+                f"named_struct('constraint', 'in_set', 'column', '{c}',"
+                f" 'metric', CAST(__v{i} AS DOUBLE),"
+                f" 'threshold', CAST(0.0 AS DOUBLE),"
+                f" 'violations', CAST(__v{i} AS BIGINT),"
+                f" 'passed', __v{i} = 0)"
+            )
+        elif kind == "range":
+            conds = []
+            if spec.get("min") is not None:
+                conds.append(f"CAST(`{c}` AS DOUBLE) < {float(spec['min'])!r}D")
+            if spec.get("max") is not None:
+                conds.append(f"CAST(`{c}` AS DOUBLE) > {float(spec['max'])!r}D")
+            if not conds:
+                raise ValueError(f"range constraint needs min and/or max: {spec}")
+            bad = (
+                f"sum(CASE WHEN `{c}` IS NOT NULL AND ({' OR '.join(conds)})"
+                " THEN 1 ELSE 0 END)"
+            )
+            aggs.append(f"{bad} AS __v{i}")
+            rows.append(
+                f"named_struct('constraint', 'range', 'column', '{c}',"
+                f" 'metric', CAST(__v{i} AS DOUBLE),"
+                f" 'threshold', CAST(0.0 AS DOUBLE),"
+                f" 'violations', CAST(__v{i} AS BIGINT),"
+                f" 'passed', __v{i} = 0)"
+            )
+        elif kind == "min_rows":
+            n = int(spec["count"])
+            rows.append(
+                f"named_struct('constraint', 'min_rows', 'column', '*',"
+                f" 'metric', CAST(__total AS DOUBLE),"
+                f" 'threshold', CAST({float(n)!r} AS DOUBLE),"
+                f" 'violations', CAST(CASE WHEN __total < {n} THEN 1 ELSE 0 END"
+                f" AS BIGINT),"
+                f" 'passed', __total >= {n})"
+            )
+        else:
+            raise ValueError(f"unknown constraint type: {spec!r}")
+    wide = df.groupBy().agg(*[F.expr(a) for a in aggs])
+    return wide.selectExpr(f"inline(array({', '.join(rows)}))")
+
+
+def check_referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str,
+) -> DataFrame:
+    """Foreign-key check: count child rows whose non-null key has no
+    parent — a LEFT ANTI join against the parent's distinct keys (the
+    distinct side is usually broadcast-able; at scale both sides shuffle
+    on the key, never wider than (key) columns).
+
+    Output (one row): ``constraint, column, metric, threshold,
+    violations, passed`` — the ``check_constraints`` row shape, so suite
+    results union cleanly.
+    """
+    ensure_safe_columns([child_col, parent_col])
+    keys = parent.select(F.col(parent_col).alias(child_col)).where(
+        F.col(child_col).isNotNull()
+    ).distinct()
+    orphans = (
+        child.select(child_col)
+        .where(F.col(child_col).isNotNull())
+        .join(keys, child_col, "left_anti")
+        .groupBy()
+        .agg(F.expr("count(1) AS __v"))
+    )
+    return orphans.selectExpr(
+        "inline(array(named_struct("
+        f"'constraint', 'foreign_key', 'column', '{child_col}',"
+        " 'metric', CAST(__v AS DOUBLE), 'threshold', CAST(0.0 AS DOUBLE),"
+        " 'violations', CAST(__v AS BIGINT), 'passed', __v = 0)))"
+    )

@@ -953,3 +953,51 @@ def test_bigram_logprob_sequence_sensitivity(spark):
     # single-token docs emit no row
     one = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
     assert {r["doc_id"] for r in bigram_logprob(one).collect()} == {2}
+
+
+def test_constraint_checks_each_rule(spark):
+    """Each constraint type passes and fails on constructed data, with
+    correct violation counts; FK orphans are counted exactly."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_constraints,
+        check_referential_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", -5.0),      # range violation
+            (2, "Z", 20.0),      # duplicate id + domain violation
+            (4, None, 30.0),     # null cat
+        ],
+        "id long, cat string, v double",
+    )
+    out = {r["constraint"]: r for r in check_constraints(
+        df,
+        [
+            {"type": "completeness", "column": "cat", "min_ratio": 0.9},
+            {"type": "unique", "column": "id"},
+            {"type": "in_set", "column": "cat", "values": ["A", "B"]},
+            {"type": "range", "column": "v", "min": 0.0, "max": 25.0},
+            {"type": "min_rows", "count": 3},
+        ],
+    ).collect()}
+    assert not out["completeness"]["passed"]  # 3/4 = 0.75 < 0.9
+    assert out["completeness"]["violations"] == 1
+    assert not out["unique"]["passed"] and out["unique"]["violations"] == 1
+    assert not out["in_set"]["passed"] and out["in_set"]["violations"] == 1
+    assert not out["range"]["passed"] and out["range"]["violations"] == 2
+    assert out["min_rows"]["passed"] and out["min_rows"]["metric"] == 4.0
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (1,), (3,), (None,)], "k long")
+    fk = check_referential_integrity(child, parent, "k", "k").collect()[0]
+    assert fk["violations"] == 1 and not fk["passed"]  # only the 3; NULL exempt
+
+    ok = check_referential_integrity(
+        child.where("k = 1"), parent, "k", "k"
+    ).collect()[0]
+    assert ok["passed"] and ok["violations"] == 0
+
+    with pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(df, [{"type": "nope"}])
