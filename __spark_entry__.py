@@ -4504,6 +4504,39 @@ def _merged_heavy_hitters_sql() -> str:
       CAST(count_estimate AS BIGINT) AS count_estimate FROM ({per})"""
 
 
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day approximate distinct users (HLL++, rsd=0.01) checked
+    against each window's exact distinct count — the merged_distinct
+    tolerance pattern (5% band ≈ 5σ at this rsd)."""
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import (
+        windowed_distinct,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    est = windowed_distinct(ev, rsd=0.01)
+    exact = ev.selectExpr("date_trunc('day', ts) AS window_start", "user_id").groupBy(
+        "window_start"
+    ).agg(F.expr("CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct"))
+    return est.join(exact, "window_start").selectExpr(
+        "date_format(window_start, 'yyyy-MM-dd HH:mm:ss') AS window_start",
+        "n_events",
+        "exact_distinct",
+        "abs(CAST(distinct_estimate AS DOUBLE) - exact_distinct)"
+        " / greatest(exact_distinct, 1) <= 0.05 AS within_tolerance",
+    )
+
+
+def _windowed_distinct_sql() -> str:
+    return """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+      TRUE AS within_tolerance
+    FROM events GROUP BY 1"""
+
+
 def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style acceptance gate over orders + lineitem: completeness,
     uniqueness, accepted domain, value range, minimum batch size, and
@@ -5003,6 +5036,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_heavy_hitters": _merged_heavy_hitters_sql(),
         "windowed_heavy_hitters": _windowed_heavy_hitters_sql(),
         "constraint_suite": _constraint_suite_sql(),
+        "windowed_distinct": _windowed_distinct_sql(),
         "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -5064,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_heavy_hitters": q_merged_heavy_hitters,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "constraint_suite": q_constraint_suite,
+        "windowed_distinct": q_windowed_distinct,
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,

@@ -448,3 +448,40 @@ def windowed_heavy_hitters(
         "z.item AS item",
         "CAST(z.count AS BIGINT) AS count_estimate",
     )
+
+
+def windowed_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    value_col: str = "user_id",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-window approximate distinct count (``approx_count_distinct``,
+    HyperLogLog++) — "how many unique users per day" with fixed
+    per-window state, streaming-legal where an exact windowed
+    ``COUNT(DISTINCT)`` is not (the exact form needs the full value set
+    per window; the sketch merges across micro-batches like any agg).
+
+    ``rsd``: target relative standard deviation (state grows as
+    1/rsd²; 0.01 ≈ 1% typical error). Output: ``window_start,
+    n_events, distinct_estimate``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, value_col])
+    w = F.window(F.col(ts_col), window_duration)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(value_col, rsd).alias("distinct_estimate"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("distinct_estimate").cast("long").alias("distinct_estimate"),
+        )
+    )

@@ -167,3 +167,37 @@ def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM hh_test").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_windowed_distinct_matches_batch(spark, sf_dir, tmp_path):
+    """windowed_distinct on a readStream equals the batch run — HLL++
+    registers merge order-independently across micro-batches."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+    from pyspark_data_drift_detector_spark.streaming.profiles import windowed_distinct
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = {
+        r["window_start"]: (r["n_events"], r["distinct_estimate"])
+        for r in windowed_distinct(load_events(spark, sf_dir)).collect()
+    }
+    stream_dir = tmp_path / "wd_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    q = (
+        windowed_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("wd_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_events"], r["distinct_estimate"])
+        for r in spark.sql("SELECT * FROM wd_test").collect()
+    }
+    assert got == batch and len(got) > 0
