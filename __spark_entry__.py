@@ -4504,6 +4504,23 @@ def _merged_heavy_hitters_sql() -> str:
       CAST(count_estimate AS BIGINT) AS count_estimate FROM ({per})"""
 
 
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic uniform sample (k=80) of the documents
+    corpus — the distributed reservoir-sampling equivalent (k smallest
+    hash variates)."""
+    from pyspark_data_drift_detector_spark.operators.sampling import uniform_sample_k
+
+    out = uniform_sample_k(_documents(spark, sf_dir), 80)
+    return out.selectExpr("doc_id", "CAST(sample_u AS BIGINT) AS sample_u")
+
+
+def _uniform_sample_sql() -> str:
+    return f"""
+    SELECT doc_id, CAST(({_md5_u_sql("usample")}) AS BIGINT) AS sample_u
+    FROM documents
+    ORDER BY sample_u ASC, doc_id ASC LIMIT 80"""
+
+
 def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day approximate distinct users (HLL++, rsd=0.01) checked
     against each window's exact distinct count — the merged_distinct
@@ -5037,6 +5054,7 @@ def _oracle_queries() -> dict[str, str]:
         "windowed_heavy_hitters": _windowed_heavy_hitters_sql(),
         "constraint_suite": _constraint_suite_sql(),
         "windowed_distinct": _windowed_distinct_sql(),
+        "uniform_sample": _uniform_sample_sql(),
         "merged_quantiles": _merged_quantiles_sql(),
         "interval_join": _interval_join_sql(),
         "pii_scrub": _pii_scrub_sql(),
@@ -5099,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "constraint_suite": q_constraint_suite,
         "windowed_distinct": q_windowed_distinct,
+        "uniform_sample": q_uniform_sample,
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,

@@ -229,3 +229,40 @@ def temperature_sample(
     return df.join(F.broadcast(rates), strata).filter(
         u < F.floor(F.col("sample_rate") * _U_MOD)
     )
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "usample",
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample without replacement — the
+    distributed equivalent of reservoir sampling: every row gets a
+    hash-derived uniform variate and the ``k`` smallest variates ARE a
+    uniform k-sample (each row equally likely at every corpus size).
+
+    Unlike ``df.sample(fraction)`` the size is EXACTLY ``k``, and unlike
+    a reservoir the membership is layout-independent and reproducible:
+    re-running on a re-partitioned, re-ordered, or appended corpus keeps
+    every surviving row that still ranks in the top k. The plan is
+    TakeOrderedAndProject (per-partition k-row heaps, O(k·partitions)
+    merge) — the corpus never shuffles and driver state is O(k).
+
+    Ties (hash collisions in the 10⁶-bucket variate) break on the id, so
+    the sample is total-ordered and engine-portable. Output: the sampled
+    rows plus ``sample_u`` (the variate, for stratification audits).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([id_col])
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = uniform_variate(F.col(id_col), salt)
+    return (
+        df.withColumn("sample_u", u)
+        .orderBy(F.col("sample_u").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

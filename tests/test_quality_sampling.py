@@ -223,3 +223,31 @@ def test_c4_line_filter_rules(spark):
         "this line is kept properly.\nanother good line survives!"
     )
     assert row["kept_ratio"] == pytest.approx(0.4)
+
+
+def test_uniform_sample_k_exact_size_and_stability(spark, sf_dir):
+    """Exactly k rows; membership survives repartition/reorder; growing
+    the corpus only evicts rows that rank out — never reshuffles the
+    survivors; the plan is TakeOrderedAndProject (no global sort)."""
+    from pyspark_data_drift_detector_spark.operators.sampling import uniform_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r["doc_id"] for r in uniform_sample_k(docs, 50).collect()}
+    assert len(s1) == 50
+    s2 = {
+        r["doc_id"]
+        for r in uniform_sample_k(docs.repartition(13), 50).collect()
+    }
+    assert s1 == s2
+    # append-stability: sampling half the corpus keeps only rows that the
+    # full-corpus sample also rates in its own top ranks (monotone)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sh = {r["doc_id"] for r in uniform_sample_k(half, 50).collect()}
+    full_ranks = {
+        r["doc_id"]
+        for r in uniform_sample_k(docs, docs.count()).collect()
+    }
+    assert sh <= full_ranks
+    plan = uniform_sample_k(docs, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
