@@ -288,7 +288,15 @@ def mutual_information_drift(
                 f"CAST(`{y}` AS STRING) AS y",
             )
         )
-        joint = tagged.groupBy("side", "x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        from pyspark import StorageLevel
+
+        # the joint table (O(|X|·|Y|) rows) feeds four aggregates and the
+        # scoring join — persist it or every branch re-scans the raw data
+        joint = (
+            tagged.groupBy("side", "x", "y")
+            .agg(F.count(F.lit(1)).alias("nxy"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         margx = joint.groupBy("side", "x").agg(F.sum("nxy").alias("nx"))
         margy = joint.groupBy("side", "y").agg(F.sum("nxy").alias("ny"))
         tot = joint.groupBy("side").agg(F.sum("nxy").alias("n"))
