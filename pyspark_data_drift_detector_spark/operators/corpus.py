@@ -278,11 +278,21 @@ def bigram_logprob(
         )
         .selectExpr(f"`{id_col}`", "z.t1 AS t1", "z.t2 AS t2")
     )
-    bi_counts = bi.groupBy("t1", "t2").agg(F.expr("count(1) AS c_bi"))
-    uni_counts = bi.groupBy("t1").agg(F.expr("count(1) AS c_t1"))
+    from pyspark import StorageLevel
+
+    # ONE aggregation of the bigram stream; the unigram counts and the
+    # vocabulary size derive from the aggregated table (identical values,
+    # no second pass over the exploded stream), and the aggregate is
+    # persisted because it feeds both derivations and the scoring join.
+    bi_counts = (
+        bi.groupBy("t1", "t2")
+        .agg(F.expr("count(1) AS c_bi"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni_counts = bi_counts.groupBy("t1").agg(F.expr("sum(c_bi) AS c_t1"))
     vocab = (
-        bi.selectExpr("t1 AS tok")
-        .unionByName(bi.selectExpr("t2 AS tok"))
+        bi_counts.selectExpr("t1 AS tok")
+        .unionByName(bi_counts.selectExpr("t2 AS tok"))
         .agg(F.expr("count(DISTINCT tok) AS v"))
     )
     scored = (

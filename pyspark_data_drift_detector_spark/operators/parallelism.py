@@ -182,8 +182,13 @@ def key_skew_profile(
         )
         + "))"
     )
-    counts = cells.groupBy("column_name", "value").agg(
-        F.count(F.lit(1)).alias("cnt")
+    from pyspark import StorageLevel
+
+    # the count table feeds both the moment aggregate and the top-k pass
+    counts = (
+        cells.groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     moments = counts.groupBy("column_name").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_keys"),
