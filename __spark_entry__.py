@@ -4598,24 +4598,24 @@ def _constraint_suite_sql() -> str:
         SELECT 1 FROM orders p WHERE p.o_orderkey = l.l_orderkey))
     SELECT 'completeness' AS constraint, 'o_custkey' AS "column",
       ROUND(CAST(n_cust AS DOUBLE) / greatest(total, 1), {ROUND}) AS metric,
-      0.99 AS threshold, CAST(total - n_cust AS BIGINT) AS violations,
+      CAST(0.99 AS DOUBLE) AS threshold, CAST(total - n_cust AS BIGINT) AS violations,
       CAST(n_cust AS DOUBLE) / greatest(total, 1) >= 0.99 AS passed FROM o
     UNION ALL
     SELECT 'unique', 'o_orderkey', ROUND(CAST(n_ok - d_ok AS DOUBLE), {ROUND}),
-      0.0, CAST(n_ok - d_ok AS BIGINT), n_ok = d_ok FROM o
+      CAST(0.0 AS DOUBLE), CAST(n_ok - d_ok AS BIGINT), n_ok = d_ok FROM o
     UNION ALL
     SELECT 'in_set', 'o_orderstatus', ROUND(CAST(v_dom AS DOUBLE), {ROUND}),
-      0.0, v_dom, v_dom = 0 FROM o
+      CAST(0.0 AS DOUBLE), v_dom, v_dom = 0 FROM o
     UNION ALL
     SELECT 'range', 'o_totalprice', ROUND(CAST(v_rng AS DOUBLE), {ROUND}),
-      0.0, v_rng, v_rng = 0 FROM o
+      CAST(0.0 AS DOUBLE), v_rng, v_rng = 0 FROM o
     UNION ALL
     SELECT 'min_rows', '*', ROUND(CAST(total AS DOUBLE), {ROUND}),
-      100.0, CAST(CASE WHEN total < 100 THEN 1 ELSE 0 END AS BIGINT),
+      CAST(100.0 AS DOUBLE), CAST(CASE WHEN total < 100 THEN 1 ELSE 0 END AS BIGINT),
       total >= 100 FROM o
     UNION ALL
     SELECT 'foreign_key', 'l_orderkey', ROUND(CAST(v AS DOUBLE), {ROUND}),
-      0.0, v, v = 0 FROM fk"""
+      CAST(0.0 AS DOUBLE), v, v = 0 FROM fk"""
 
 
 def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
