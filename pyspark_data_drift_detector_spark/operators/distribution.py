@@ -470,6 +470,12 @@ def equidepth_histogram(
     ``groupBy(column, bin)`` count whose key includes the bin — no
     single-task sort of a column. Output: ``column_name, bin, lo, hi,
     cnt`` with ``lo/hi`` the bin's percentile edges.
+
+    Exact rank edges are the oracle contract here; at extreme scale swap
+    the edge pass for the KLL sketch state
+    (``mergeable.partitioned_quantiles`` → ``merged_quantiles``) — the
+    binning pass is unchanged, the edges carry the sketch's bounded rank
+    error.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,

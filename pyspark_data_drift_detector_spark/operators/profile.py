@@ -441,6 +441,11 @@ def robust_profile(
 
     Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
     winsorized_mean, n_trimmed``.
+
+    Exact rank bounds are the oracle contract; at extreme scale the two
+    rank passes can run on KLL sketches
+    (``mergeable.partitioned_quantiles``) with bounded rank error — the
+    conditional-mean pass is unchanged.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
