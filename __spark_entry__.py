@@ -4827,6 +4827,20 @@ def _decontaminate_sql() -> str:
     FROM ng JOIN bench USING (gram) GROUP BY doc_id"""
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (filter built from the benchmark
+    grams via bit_or, candidates confirmed in an equi-join) — the scale
+    path when the benchmark gram set is too big to broadcast as
+    strings. The output is provably EXACT, so the oracle is the plain
+    decontaminate replay."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        bloom_decontaminate,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return bloom_decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), n=4)
+
+
 def _md5_u_sql(salt: str) -> str:
     """DuckDB twin of sampling.uniform_variate (md5₆₀(id‖salt) mod 10⁶)."""
     return (
@@ -5035,6 +5049,7 @@ def _oracle_queries() -> dict[str, str]:
         "repetition_stats": _repetition_stats_sql(),
         "boilerplate_ngrams": _boilerplate_ngrams_sql(),
         "decontaminate": _decontaminate_sql(),
+        "bloom_decontaminate": _decontaminate_sql(),
         "ngram_overlap": _ngram_overlap_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
@@ -5149,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "vocab_drift": q_vocab_drift,

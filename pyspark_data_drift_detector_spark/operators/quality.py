@@ -296,6 +296,96 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination for benchmark sets too large to
+    broadcast as strings: a Bloom filter built FROM the benchmark's
+    n-grams prefilters the corpus, and only the surviving candidate
+    grams meet the real benchmark set in an equi-join — the result is
+    EXACT (false positives die in the confirm join), the win is that the
+    expensive corpus-vs-benchmark comparison shrinks to the candidates.
+
+    Stages (all DataFrame ops, nothing collected):
+
+    1. benchmark grams → ``k_hashes`` probe positions each →
+       ``groupBy(word) bit_or(mask)`` — the filter is ≤ ``m_bits/64``
+       rows (1 MiB of longs for the default 2²⁰ bits) and BROADCASTS
+       even when the gram strings would not;
+    2. corpus grams probe the broadcast filter (a gram is a candidate
+       only if ALL its probe bits are set);
+    3. candidates ⋈ benchmark grams (shuffle equi-join, both sides now
+       small-to-tiny) → per-document matched counts.
+
+    Probe hashes derive from ``dedup.md5_hash60`` with per-probe salts —
+    deterministic on any layout. Output matches ``decontaminate``:
+    ``(doc_id, matched_ngrams, contaminated)``, only matched docs.
+    """
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+
+    def probes_sql() -> str:
+        """SQL array of (word, mask) probe structs over the `gram` column
+        (md5_hash60-derived positions, per-probe salts)."""
+        structs = []
+        for i in range(k_hashes):
+            h = (
+                "(CAST(conv(substring(md5(concat_ws('|', gram, 'bloom"
+                f"{i}')), 1, 15), 16, 10) AS BIGINT) % {int(m_bits)})"
+            )
+            structs.append(
+                f"named_struct('word', CAST({h} DIV 64 AS BIGINT),"
+                f" 'mask', shiftleft(CAST(1 AS BIGINT), CAST({h} % 64 AS INT)))"
+            )
+        return "array(" + ", ".join(structs) + ")"
+
+    bench = benchmark.select(
+        F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram")
+    ).distinct()
+    bloom = (
+        bench.selectExpr(f"explode({probes_sql()}) AS p")
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.expr("bit_or(p.mask) AS mask"))
+    )
+
+    corpus = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(F.col(text_col), n))).alias("gram"),
+    )
+    probed = corpus.selectExpr(
+        f"`{id_col}`", "gram", f"explode({probes_sql()}) AS p"
+    ).join(
+        F.broadcast(bloom),
+        F.col("p.word") == F.col("word"),
+        "left",
+    )
+    candidates = (
+        probed.groupBy(id_col, "gram")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("mask"), F.lit(0)).bitwiseAND(F.col("p.mask"))
+                 != 0).cast("int")
+            ).alias("__all_hit")
+        )
+        .filter(F.col("__all_hit") == 1)
+        .select(id_col, "gram")
+    )
+    return (
+        candidates.join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_ngrams"))
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
 def ngram_overlap(
     df: DataFrame,
     benchmark: DataFrame,

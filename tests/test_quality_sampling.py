@@ -251,3 +251,32 @@ def test_uniform_sample_k_exact_size_and_stability(spark, sf_dir):
     plan = uniform_sample_k(docs, 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    """The Bloom-prefiltered path returns EXACTLY the broadcast
+    semi-join's results (false positives die in the confirm join), and
+    the broadcast filter is bounded by m_bits/64 rows."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    bloomed = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in bloom_decontaminate(docs, bench, n=4).collect()
+    }
+    assert bloomed == exact and len(exact) > 0
+
+    # tiny filter stress: heavy FP pressure must still yield exact results
+    small = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in bloom_decontaminate(docs, bench, n=4, m_bits=256, k_hashes=2).collect()
+    }
+    assert small == exact
