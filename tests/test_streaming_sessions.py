@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyspark_data_drift_detector_spark.operators.temporal import sessionize
@@ -201,3 +203,72 @@ def test_streaming_windowed_distinct_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM wd_test").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_state_table_sink_end_to_end(spark, sf_dir, tmp_path):
+    """Streaming ingest -> appended state tables -> windowed drift with
+    no re-scan: the streamed states must equal batch-built states, and
+    detect_drift_incremental over them must run green, including the
+    multi-append-per-partition case."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_profiles,
+        partitioned_profile,
+    )
+    from pyspark_data_drift_detector_spark.pipeline import detect_drift_incremental
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        read_state_tables,
+        state_table_sink,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_dir = tmp_path / "ingest"
+    stream_dir.mkdir()
+    # two files -> (with maxFilesPerTrigger=1) two micro-batches, so one
+    # partition_id accumulates MULTIPLE appended state rows
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    sink = state_table_sink(
+        ["value"],
+        ["event_type"],
+        "pmod(dayofmonth(ts), 2)",
+        str(tmp_path / "prof"),
+        str(tmp_path / "cats"),
+        quantile_path=str(tmp_path / "quants"),
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    prof, cats, quants = read_state_tables(
+        spark, str(tmp_path / "prof"), str(tmp_path / "cats"),
+        str(tmp_path / "quants"),
+    )
+    # doubled ingest == batch states over the doubled frame
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doubled = ev.unionByName(ev)
+    want = {
+        r["column_name"]: r
+        for r in merge_profiles(
+            partitioned_profile(doubled, ["value"], "pmod(dayofmonth(ts), 2)")
+        ).collect()
+    }
+    got = {r["column_name"]: r for r in merge_profiles(prof).collect()}
+    assert got.keys() == want.keys()
+    for c in got:
+        assert got[c]["n"] == want[c]["n"]
+        assert got[c]["mean"] == pytest.approx(want[c]["mean"], rel=1e-12)
+        assert got[c]["stddev"] == pytest.approx(want[c]["stddev"], rel=1e-9)
+
+    out = detect_drift_incremental(
+        prof, cats, ["0"], ["1"], quantile_state=quants
+    ).collect()
+    assert {r["column_name"] for r in out} == {"value", "event_type"}
+    for r in out:
+        assert r["drift_score"] is not None
