@@ -1001,3 +1001,31 @@ def test_constraint_checks_each_rule(spark):
 
     with pytest.raises(ValueError, match="unknown constraint"):
         check_constraints(df, [{"type": "nope"}])
+
+
+def test_round6_operators_degenerate_inputs(spark):
+    """All-NULL columns, empty benchmarks, and empty frames must degrade
+    gracefully (no crashes, sensible empty/zero outputs)."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        key_skew_profile,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+    from pyspark_data_drift_detector_spark.operators.quality import ngram_overlap
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, v double"
+    )
+    assert equidepth_histogram(nulls, ["v"], bins=4).count() == 0
+    rp = robust_profile(nulls, ["v"]).collect()
+    assert len(rp) == 1 and rp[0]["n"] == 0 and rp[0]["median"] is None
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = ngram_overlap(docs, empty, n=2).collect()
+    assert len(out) == 1 and out[0]["n_matched"] == 0 and not out[0]["contaminated"]
+
+    ks = key_skew_profile(empty.selectExpr("CAST(doc_id AS STRING) AS k"), ["k"])
+    assert ks.count() == 0
