@@ -3337,6 +3337,94 @@ def _merged_drift_sql(
     FROM s"""
 
 
+def q_merged_group_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension windowed drift from the group-sliced state table:
+    lineitem profiled once per (hash partition, l_returnflag), windows
+    {0,1} vs {2,3} scored per (group, column) with zero re-scan."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merged_group_drift,
+        partitioned_group_profile,
+    )
+
+    parts = partitioned_group_profile(
+        _lineitem(spark, sf_dir),
+        ["l_quantity", "l_extendedprice"],
+        "pmod(l_orderkey, 4)",
+        "l_returnflag",
+    )
+    out = merged_group_drift(parts, ["0", "1"], ["2", "3"])
+    keep = [
+        "group_value", "column_name", "ref_n", "curr_n", "ref_mean",
+        "curr_mean", "mean_relative_diff", "std_dev_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score", "drift_severity",
+        "drift_detected",
+    ]
+    return _round_cols(
+        out.select(*keep),
+        ["ref_mean", "curr_mean", "mean_relative_diff", "std_dev_relative_diff",
+         "range_relative_diff", "null_diff", "drift_score"],
+    )
+
+
+def _merged_group_drift_sql(
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice"),
+) -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT CAST(l_returnflag AS VARCHAR) AS group_value,
+          '{c}' AS column_name,
+          COUNT(CASE WHEN side='r' THEN {c} END) AS ref_n,
+          COUNT(CASE WHEN side='c' THEN {c} END) AS curr_n,
+          AVG(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mean,
+          AVG(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mean,
+          STDDEV_SAMP(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_sd,
+          STDDEV_SAMP(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_sd,
+          MIN(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mn,
+          MAX(CASE WHEN side='r' THEN CAST({c} AS DOUBLE) END) AS ref_mx,
+          MIN(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mn,
+          MAX(CASE WHEN side='c' THEN CAST({c} AS DOUBLE) END) AS curr_mx,
+          SUM(CASE WHEN side='r' AND {c} IS NULL THEN 1 ELSE 0 END)
+            / SUM(CASE WHEN side='r' THEN 1 ELSE 0 END) AS ref_nr,
+          SUM(CASE WHEN side='c' AND {c} IS NULL THEN 1 ELSE 0 END)
+            / SUM(CASE WHEN side='c' THEN 1 ELSE 0 END) AS curr_nr
+        FROM (SELECT CASE WHEN l_orderkey % 4 <= 1 THEN 'r' ELSE 'c' END AS side, *
+              FROM lineitem)
+        GROUP BY 1
+        """
+        for c in cols
+    )
+    rel = (
+        lambda r, c: f"CASE WHEN {r} IS NULL OR {c} IS NULL THEN NULL"
+        f" WHEN {r} = 0 THEN CASE WHEN {c} != 0 THEN 1.0 ELSE 0.0 END"
+        f" ELSE ({c} - {r}) / ABS({r}) END"
+    )
+    mean_rd = rel("ref_mean", "curr_mean")
+    sd_rd = rel("ref_sd", "curr_sd")
+    rng_rd = rel("(ref_mx - ref_mn)", "(curr_mx - curr_mn)")
+    return f"""
+    WITH p AS ({per_col}),
+    m AS (SELECT *, {mean_rd} AS mean_rd, {sd_rd} AS sd_rd, {rng_rd} AS rng_rd,
+            COALESCE(curr_nr, 0) - COALESCE(ref_nr, 0) AS null_diff FROM p),
+    s AS (SELECT *,
+        LEAST(1.0, (0.0 + ABS(mean_rd)*0.25 + ABS(sd_rd)*0.15
+          + ABS(null_diff)*0.1 + ABS(rng_rd)*0.15) / (0.25+0.15+0.1+0.15)) AS score
+      FROM m)
+    SELECT group_value, column_name, ref_n, curr_n,
+      ROUND(ref_mean, {ROUND}) AS ref_mean, ROUND(curr_mean, {ROUND}) AS curr_mean,
+      ROUND(mean_rd, {ROUND}) AS mean_relative_diff,
+      ROUND(sd_rd, {ROUND}) AS std_dev_relative_diff,
+      ROUND(rng_rd, {ROUND}) AS range_relative_diff,
+      ROUND(null_diff, {ROUND}) AS null_diff,
+      ROUND(score, {ROUND}) AS drift_score,
+      CASE WHEN score < 0.1 THEN 'None' WHEN score < 0.25 THEN 'Low'
+           WHEN score < 0.5 THEN 'Medium' WHEN score < 0.75 THEN 'High'
+           ELSE 'Critical' END AS drift_severity,
+      (ABS(COALESCE(mean_rd, 0)) > 0.05 OR ABS(COALESCE(sd_rd, 0)) > 0.1
+       OR ABS(COALESCE(null_diff, 0)) > 0.005 OR ABS(COALESCE(rng_rd, 0)) > 0.1)
+        AS drift_detected
+    FROM s"""
+
+
 def q_merged_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M18/M20 from the additive category-count state table: orders is
     counted per hash partition ONCE (``partitioned_categories``), then
@@ -5082,6 +5170,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_profile": _merged_profile_sql(),
         "merged_drift": _merged_drift_sql(),
         "merged_drift_quantiles": _merged_drift_quantiles_sql(),
+        "merged_group_drift": _merged_group_drift_sql(),
         "merged_categorical_drift": _merged_categorical_drift_sql(),
         "incremental_pipeline": _incremental_pipeline_sql(),
         "robust_outlier_drift": _robust_outlier_drift_sql(),
@@ -5134,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": q_windowed_distinct,
         "uniform_sample": q_uniform_sample,
         "merged_drift_quantiles": q_merged_drift_quantiles,
+        "merged_group_drift": q_merged_group_drift,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,
         "merged_profile": q_merged_profile,

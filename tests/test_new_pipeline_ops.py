@@ -1029,3 +1029,44 @@ def test_round6_operators_degenerate_inputs(spark):
 
     ks = key_skew_profile(empty.selectExpr("CAST(doc_id AS STRING) AS k"), ["k"])
     assert ks.count() == 0
+
+
+def test_merged_group_drift_window_matches_direct(spark, sf_dir):
+    """Group-sliced state merged over a window equals profiling that
+    window's group slices directly, and identical windows score zero."""
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_profiles,
+        merged_group_drift,
+        partitioned_group_profile,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = partitioned_group_profile(
+        li, ["l_quantity"], "pmod(l_orderkey, 4)", "l_returnflag"
+    )
+    window = {
+        (r["group_value"], r["column_name"]): r
+        for r in merge_profiles(
+            parts.where(F.col("partition_id").isin(["0", "1"])),
+            keys=("group_value", "column_name"),
+        ).collect()
+    }
+    direct = {
+        (r["group_value"], r["column_name"]): r
+        for r in merge_profiles(
+            partitioned_group_profile(
+                li.filter(F.expr("pmod(l_orderkey, 4)") <= 1),
+                ["l_quantity"],
+                F.lit("all"),
+                "l_returnflag",
+            ),
+            keys=("group_value", "column_name"),
+        ).collect()
+    }
+    assert set(window) == set(direct) and len(window) >= 3
+    for k in window:
+        assert window[k]["n"] == direct[k]["n"], k
+        assert window[k]["mean"] == pytest.approx(direct[k]["mean"], rel=1e-12), k
+
+    same = merged_group_drift(parts, ["0", "1"], ["0", "1"]).collect()
+    assert all(r["drift_score"] == 0.0 and not r["drift_detected"] for r in same)
