@@ -3855,6 +3855,121 @@ def _sessionize_sql() -> str:
     FROM s GROUP BY user_id, sid"""
 
 
+def q_session_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain behavioral drift: events split BY USER (sessions
+    never straddle the split), each side sessionized, M16 scoring over
+    n_events / total_value / duration_sec."""
+    from pyspark_data_drift_detector_spark.operators.temporal import session_drift
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    out = session_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+    keep = [
+        "column_name", "ref_n", "curr_n", "ref_mean", "curr_mean",
+        "mean_relative_diff", "median_relative_diff", "std_dev_relative_diff",
+        "iqr_relative_diff", "range_relative_diff", "null_diff",
+        "drift_score", "drift_severity", "drift_detected",
+    ]
+    return _round_cols(
+        out.select(*keep),
+        ["ref_mean", "curr_mean", "mean_relative_diff", "median_relative_diff",
+         "std_dev_relative_diff", "iqr_relative_diff", "range_relative_diff",
+         "null_diff", "drift_score"],
+    )
+
+
+def _session_drift_sql() -> str:
+    def sessions(side_pred: str) -> str:
+        return f"""
+        SELECT CAST(n_events AS DOUBLE) AS n_events,
+               CAST(total_value AS DOUBLE) AS total_value, duration_sec
+        FROM (
+          SELECT user_id, sid, COUNT(*) AS n_events, SUM(value) AS total_value,
+            (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+          FROM (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+              SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0
+                END AS new_s
+              FROM events WHERE {side_pred}
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)))
+          GROUP BY user_id, sid)"""
+
+    def prof(name: str, src: str) -> str:
+        cols = ["n_events", "total_value", "duration_sec"]
+        parts = [
+            f"""SELECT '{c}' AS column_name,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,
+              CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx,
+              CAST(AVG({c}) AS DOUBLE) AS mean,
+              CAST(STDDEV_SAMP({c}) AS DOUBLE) AS stddev,
+              CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS p25,
+              CAST(quantile_cont({c}, 0.50) AS DOUBLE) AS p50,
+              CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS p75
+            FROM {src}"""
+            for c in cols
+        ]
+        return f"{name} AS ({' UNION ALL '.join(parts)})"
+
+    rel = {
+        "mean": _REL.format(rv="mean", cv="mean"),
+        "median": _REL.format(rv="p50", cv="p50"),
+        "std": _REL.format(rv="stddev", cv="stddev"),
+        "iqr": (
+            "CASE WHEN (r.p75 - r.p25) = 0 THEN (CASE WHEN (c.p75 - c.p25) <> 0"
+            " THEN 1.0 ELSE 0.0 END) ELSE ((c.p75 - c.p25) - (r.p75 - r.p25))"
+            " / ABS(r.p75 - r.p25) END"
+        ),
+        "range": (
+            "CASE WHEN (r.mx - r.mn) = 0 THEN (CASE WHEN (c.mx - c.mn) <> 0"
+            " THEN 1.0 ELSE 0.0 END) ELSE ((c.mx - c.mn) - (r.mx - r.mn))"
+            " / ABS(r.mx - r.mn) END"
+        ),
+    }
+    null_diff = (
+        "(CAST(c.null_count AS DOUBLE)/c.n_rows"
+        " - CAST(r.null_count AS DOUBLE)/r.n_rows)"
+    )
+    score = (
+        f"LEAST(1.0, 0.25*ABS({rel['mean']}) + 0.2*ABS({rel['median']})"
+        f" + 0.15*ABS({rel['std']}) + 0.15*ABS({rel['iqr']})"
+        f" + 0.1*ABS({null_diff}) + 0.15*ABS({rel['range']}))"
+    )
+    detected = (
+        f"(ABS({rel['mean']}) > 0.05 OR ABS({rel['median']}) > 0.05"
+        f" OR ABS({rel['std']}) > 0.1 OR ABS({rel['iqr']}) > 0.1"
+        f" OR ABS({null_diff}) > 0.005 OR ABS({rel['range']}) > 0.1)"
+    )
+    return f"""
+    WITH rsess AS ({sessions('user_id % 2 = 0')}),
+         csess AS ({sessions('user_id % 2 = 1')}),
+         {prof('r0', 'rsess')}, {prof('c0', 'csess')}
+    SELECT r.column_name,
+      CAST(r.n_rows - r.null_count AS BIGINT) AS ref_n,
+      CAST(c.n_rows - c.null_count AS BIGINT) AS curr_n,
+      ROUND(r.mean, {ROUND}) AS ref_mean, ROUND(c.mean, {ROUND}) AS curr_mean,
+      ROUND({rel['mean']}, {ROUND}) AS mean_relative_diff,
+      ROUND({rel['median']}, {ROUND}) AS median_relative_diff,
+      ROUND({rel['std']}, {ROUND}) AS std_dev_relative_diff,
+      ROUND({rel['iqr']}, {ROUND}) AS iqr_relative_diff,
+      ROUND({rel['range']}, {ROUND}) AS range_relative_diff,
+      ROUND({null_diff}, {ROUND}) AS null_diff,
+      ROUND({score}, {ROUND}) AS drift_score,
+      CASE WHEN {score} < 0.1 THEN 'None' WHEN {score} < 0.25 THEN 'Low'
+           WHEN {score} < 0.5 THEN 'Medium' WHEN {score} < 0.75 THEN 'High'
+           ELSE 'Critical' END AS drift_severity,
+      {detected} AS drift_detected
+    FROM r0 r JOIN c0 c ON r.column_name = c.column_name"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed as-of join (operators.temporal.asof_join): every
     non-error event picks up the latest prior error event's value per
@@ -5171,6 +5286,7 @@ def _oracle_queries() -> dict[str, str]:
         "merged_drift": _merged_drift_sql(),
         "merged_drift_quantiles": _merged_drift_quantiles_sql(),
         "merged_group_drift": _merged_group_drift_sql(),
+        "session_drift": _session_drift_sql(),
         "merged_categorical_drift": _merged_categorical_drift_sql(),
         "incremental_pipeline": _incremental_pipeline_sql(),
         "robust_outlier_drift": _robust_outlier_drift_sql(),
@@ -5224,6 +5340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_sample": q_uniform_sample,
         "merged_drift_quantiles": q_merged_drift_quantiles,
         "merged_group_drift": q_merged_group_drift,
+        "session_drift": q_session_drift,
         "mmd_drift": q_mmd_drift,
         "quality_filter": q_quality_filter,
         "merged_profile": q_merged_profile,

@@ -530,3 +530,46 @@ def rollup_timeseries(
         "mn AS min",
         "mx AS max",
     )
+
+
+def session_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = DEFAULT_SESSION_GAP,
+    value_col: str = "value",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Behavioral drift at the SESSION grain: sessionize each snapshot,
+    then run the full M16 numeric scorer over the session metrics
+    (``n_events``, ``total_value``, ``duration_sec``) — catching
+    engagement shifts (shorter sessions, fewer events per visit) that
+    event-level column drift cannot see because every event-level
+    distribution is unchanged.
+
+    The split must be BY KEY (a key's events entirely on one side) or
+    sessions themselves would be cut at the split boundary. Each side is
+    one sessionize (single shuffle) plus the shared side-tagged profile
+    aggregate; exact percentiles keep the metrics oracle-replayable.
+    """
+    metrics = ["n_events", "total_value", "duration_sec"]
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    def prep(df: DataFrame) -> DataFrame:
+        return sessionize(df, ts_col, key_col, gap, value_col).selectExpr(
+            "CAST(n_events AS DOUBLE) AS n_events",
+            "CAST(total_value AS DOUBLE) AS total_value",
+            "duration_sec",
+        )
+
+    return numeric_drift_pair(
+        prep(df_ref),
+        prep(df_curr),
+        columns=metrics,
+        thresholds=thresholds,
+        quantiles=(0.25, 0.5, 0.75),
+        exact_quantiles=True,
+    )

@@ -1070,3 +1070,33 @@ def test_merged_group_drift_window_matches_direct(spark, sf_dir):
 
     same = merged_group_drift(parts, ["0", "1"], ["0", "1"]).collect()
     assert all(r["drift_score"] == 0.0 and not r["drift_detected"] for r in same)
+
+
+def test_session_drift_detects_engagement_shift(spark):
+    """Session-grain drift fires when sessions get shorter/smaller even
+    though each event looks normal; identical sides score zero."""
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import session_drift
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def burst(uid, start_min, n, step_min=10):
+        return [
+            (uid, t0 + datetime.timedelta(minutes=start_min + i * step_min), 1.0)
+            for i in range(n)
+        ]
+
+    # ref: 6-event sessions; curr: 2-event sessions (same event values)
+    ref_rows = [r for u in range(20) for r in burst(u, 0, 6)]
+    curr_rows = [r for u in range(20, 40) for r in burst(u, 0, 2)]
+    schema = "user_id long, ts timestamp, value double"
+    ref = spark.createDataFrame(ref_rows, schema)
+    curr = spark.createDataFrame(curr_rows, schema)
+    out = {r["column_name"]: r for r in session_drift(ref, curr).collect()}
+    assert out["n_events"]["drift_detected"]
+    assert out["duration_sec"]["drift_detected"]
+    assert out["n_events"]["curr_mean"] < out["n_events"]["ref_mean"]
+
+    same = session_drift(ref, ref).collect()
+    assert all(r["drift_score"] == 0.0 for r in same)
