@@ -4569,7 +4569,7 @@ def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rollup_timeseries(
         load_events(spark, sf_dir),
         dims=("event_type",),
-        granularities=("hour", "day"),
+        granularities=("hour", "day", "month"),
     )
     return _round_cols(
         out.select(
@@ -4590,24 +4590,28 @@ def q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rollup_timeseries_sql() -> str:
-    # the same sum/sumsq stddev algebra as the Spark cascade (not
-    # STDDEV_SAMP) so the float cancellation path is identical
+    # DECIMAL(38,10) sums exactly as the Spark cascade carries them —
+    # exact/associative, so the direct per-granularity scan here equals
+    # the hour->day->month re-aggregation cascade bit-for-bit (float
+    # sums flipped a ROUND(x,5) boundary under local[32] in round 6)
     per = " UNION ALL ".join(
         f"""
         SELECT '{g}' AS granularity,
           strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
           event_type,
           COUNT(*) AS n_rows, COUNT(value) AS n,
-          SUM(value) AS s, SUM(value * value) AS ss,
+          SUM(CAST(value AS DECIMAL(38, 10))) AS s,
+          SUM(CAST(value * value AS DECIMAL(38, 10))) AS ss,
           MIN(value) AS mn, MAX(value) AS mx
         FROM events GROUP BY 2, 3"""
-        for g in ("hour", "day")
+        for g in ("hour", "day", "month")
     )
     return f"""
     SELECT granularity, bucket_start, event_type, n_rows, n,
-      ROUND(CASE WHEN n > 0 THEN s / n END, {ROUND}) AS mean,
-      ROUND(CASE WHEN n > 1 THEN sqrt(greatest(0.0, (ss - s * s / n) / (n - 1)))
-            END, {ROUND}) AS stddev,
+      ROUND(CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END, {ROUND}) AS mean,
+      ROUND(CASE WHEN n > 1 THEN sqrt(greatest(0.0,
+            (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+            / (n - 1))) END, {ROUND}) AS stddev,
       ROUND(mn, {ROUND}) AS min, ROUND(mx, {ROUND}) AS max
     FROM ({per})"""
 

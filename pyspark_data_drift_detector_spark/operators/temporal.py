@@ -452,9 +452,13 @@ def rollup_timeseries(
     than day — at 100 TB the cascade turns a multi-scan rollup job into
     one scan plus metadata-sized re-aggregations. The carried state is
     the same additive (n, sum, sumsq, min, max) algebra as
-    ``mergeable.partitioned_profile``, so every level's mean/stddev is
-    exactly what a direct scan at that granularity would produce (sum
-    re-association only).
+    ``mergeable.partitioned_profile``. The running sums are carried as
+    ``DECIMAL(38,10)`` (exact, associative) rather than DOUBLE, so every
+    level's mean/stddev is BIT-exact with a direct scan at that
+    granularity regardless of partition count or merge order — float
+    sum re-association under ``local[32]`` flipped a ``ROUND(x,5)``
+    boundary in round 6 (a double cast to decimal scale 10 can never
+    land exactly halfway, so the cast itself is deterministic too).
 
     ``granularities``: increasing-coarseness ``date_trunc`` units
     (calendar buckets nest: minute ⊂ hour ⊂ day ⊂ month — week is NOT
@@ -490,8 +494,8 @@ def rollup_timeseries(
     ).groupBy("bucket_start", *dim_cols).agg(
         F.expr("count(1)").alias("n_rows"),
         F.expr("count(__v)").alias("n"),
-        F.expr("sum(__v)").alias("s"),
-        F.expr("sum(__v * __v)").alias("ss"),
+        F.expr("sum(CAST(__v AS DECIMAL(38, 10)))").alias("s"),
+        F.expr("sum(CAST(__v * __v AS DECIMAL(38, 10)))").alias("ss"),
         F.expr("min(__v)").alias("mn"),
         F.expr("max(__v)").alias("mx"),
     )
@@ -524,9 +528,10 @@ def rollup_timeseries(
         *[f"`{d}`" for d in dim_cols],
         "n_rows",
         "n",
-        "CASE WHEN n > 0 THEN s / n END AS mean",
-        "CASE WHEN n > 1 THEN sqrt(greatest(0.0D, (ss - s * s / n) / (n - 1)))"
-        " END AS stddev",
+        "CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean",
+        "CASE WHEN n > 1 THEN sqrt(greatest(0.0D,"
+        " (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+        " / (n - 1))) END AS stddev",
         "mn AS min",
         "mx AS max",
     )

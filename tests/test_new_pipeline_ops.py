@@ -870,6 +870,37 @@ def test_rollup_cascade_matches_direct(spark, sf_dir):
         rollup_timeseries(ev, granularities=("week", "month"))
 
 
+def test_rollup_cascade_bit_exact_across_partitioning(spark, sf_dir):
+    """The r6 driver red: float partial sums flip ROUND(x,5) at 32 CPUs.
+    The DECIMAL(38,10) carry makes the cascade bit-exact regardless of
+    partition count — a hour->day->month cascade over a 32-way-shuffled
+    frame must equal the 1-partition cascade double-for-double (no
+    approx), including the deepest (month) re-aggregation level."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_timeseries,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def keyed(df):
+        return {
+            (r["granularity"], r["bucket_start"], r["event_type"]): (
+                r["n_rows"], r["n"], r["mean"], r["stddev"], r["min"], r["max"]
+            )
+            for r in rollup_timeseries(
+                df, granularities=("hour", "day", "month")
+            ).collect()
+        }
+
+    wide = keyed(ev.repartition(32))
+    narrow = keyed(ev.coalesce(1))
+    assert set(wide) == set(narrow)
+    assert any(k[0] == "month" for k in wide)
+    for k in wide:
+        assert wide[k] == narrow[k], (k, wide[k], narrow[k])
+
+
 def test_key_skew_profile_detects_hot_key(spark):
     """A 90%-hot key must dominate every concentration stat; NULL keys
     count as a real (hot) key; a uniform key column stays flat."""

@@ -38,7 +38,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+# Default matches the DRIVER's parallelism (local[32]) — round 6 shipped a
+# red (`rollup_timeseries`) that passed at 8 CPUs and failed at 32 because
+# float partial-sum order differs with partition count.  Local green must
+# imply driver green, so verify at the driver's CPU count.
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
