@@ -4393,7 +4393,8 @@ def _mi_pair_sql(table: str, key: str, x: str, y: str) -> str:
     return f"""
     WITH tagged AS (
       SELECT CASE WHEN {key} % 2 = 0 THEN 'r' ELSE 'c' END AS side,
-             CAST({x} AS VARCHAR) AS x, CAST({y} AS VARCHAR) AS y
+             COALESCE(CAST({x} AS VARCHAR), CHR(1) || '<null>') AS x,
+             COALESCE(CAST({y} AS VARCHAR), CHR(1) || '<null>') AS y
       FROM {table}),
     joint AS (SELECT side, x, y, COUNT(*) AS nxy FROM tagged GROUP BY 1, 2, 3),
     margx AS (SELECT side, x, SUM(nxy) AS nx FROM joint GROUP BY 1, 2),
@@ -5197,7 +5198,7 @@ def _oracle_queries() -> dict[str, str]:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY cnt DESC, value ASC) AS rn
       FROM freq
     ) WHERE rn <= 3"""
-    return {
+    out = {
         "numeric_profile": numeric_profile_sql,
         "numeric_drift": _numeric_drift_sql(),
         "numeric_drift_rowpath": _numeric_drift_rowpath_sql(),
@@ -5302,8 +5303,16 @@ def _oracle_queries() -> dict[str, str]:
         "unigram_logprob": _unigram_logprob_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "vocab_drift": _vocab_drift_sql(),
-        "ann_pq": _ann_pq_sql(),
     }
+    # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
+    # side effect of STRING construction — if the sample path is missing
+    # or unreadable that must degrade ann_pq to the rows-only check, not
+    # break oracle construction for every other query
+    try:
+        out["ann_pq"] = _ann_pq_sql()
+    except Exception:
+        pass
+    return out
 
 
 # --------------------------------------------------------------------------

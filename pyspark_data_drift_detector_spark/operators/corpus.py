@@ -203,10 +203,10 @@ def zipf_fit(
     from pyspark.sql import Window
 
     toks = _tokens(df, text_col, id_col)
+    # both consumers (totals, top) read the SAME groupBy(token) shuffle —
+    # Spark's exchange reuse computes it once, so no persist is needed
+    # (a persist here would leak a cache entry per call in long sessions)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark import StorageLevel
-
-    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
     totals = counts.agg(
         F.expr("count(1) AS n_types"), F.expr("sum(cnt) AS n_tokens")
     )
@@ -278,17 +278,14 @@ def bigram_logprob(
         )
         .selectExpr(f"`{id_col}`", "z.t1 AS t1", "z.t2 AS t2")
     )
-    from pyspark import StorageLevel
-
     # ONE aggregation of the bigram stream; the unigram counts and the
     # vocabulary size derive from the aggregated table (identical values,
-    # no second pass over the exploded stream), and the aggregate is
-    # persisted because it feeds both derivations and the scoring join.
-    bi_counts = (
-        bi.groupBy("t1", "t2")
-        .agg(F.expr("count(1) AS c_bi"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # no second pass over the exploded stream).  All consumers — the
+    # scoring join's (t1, t2) shuffle included — share the same exchange,
+    # which Spark computes once (exchange reuse), so no persist: a cached
+    # model table would leak one entry per call into long-lived sessions
+    # (measured at sf0.1: warm no-persist == warm persist).
+    bi_counts = bi.groupBy("t1", "t2").agg(F.expr("count(1) AS c_bi"))
     uni_counts = bi_counts.groupBy("t1").agg(F.expr("sum(c_bi) AS c_t1"))
     vocab = (
         bi_counts.selectExpr("t1 AS tok")

@@ -263,7 +263,12 @@ def mutual_information_drift(
     Per pair and side: ``MI(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y)))``
     plus marginal entropies and the normalized ``NMI = MI/min(H_X, H_Y)``
     (0 when either marginal is constant). NULL values count as a real
-    category. Drift flags when ``|ref_nmi − curr_nmi| > threshold``.
+    category: both columns are coalesced to a ``\\x01<null>`` sentinel
+    BEFORE the joint groupBy, because the marginal/total joins use
+    null-rejecting equality and would otherwise silently drop NULL joint
+    cells from the MI sum while still counting them in ``n`` and the
+    marginal entropies (understating MI/NMI on nullable columns).
+    Drift flags when ``|ref_nmi − curr_nmi| > threshold``.
 
     Shape: per pair, ONE side-tagged joint count (shuffle keyed by the
     joint value — no hot reducer), marginals re-aggregated FROM the
@@ -278,15 +283,12 @@ def mutual_information_drift(
         raise ValueError("no pairs")
     ensure_safe_columns([c for p in pairs for c in p])
     out = None
+    null_sentinel = "\x01<null>"
     for x, y in pairs:
-        tagged = df_ref.selectExpr(
-            "'r' AS side", f"CAST(`{x}` AS STRING) AS x", f"CAST(`{y}` AS STRING) AS y"
-        ).unionByName(
-            df_curr.selectExpr(
-                "'c' AS side",
-                f"CAST(`{x}` AS STRING) AS x",
-                f"CAST(`{y}` AS STRING) AS y",
-            )
+        xe = f"COALESCE(CAST(`{x}` AS STRING), '{null_sentinel}') AS x"
+        ye = f"COALESCE(CAST(`{y}` AS STRING), '{null_sentinel}') AS y"
+        tagged = df_ref.selectExpr("'r' AS side", xe, ye).unionByName(
+            df_curr.selectExpr("'c' AS side", xe, ye)
         )
         from pyspark import StorageLevel
 
@@ -350,5 +352,10 @@ def mutual_information_drift(
                 f"abs(c_nmi - r_nmi) > {float(threshold)!r}D AS drift_detected",
             )
         )
+        # one row per pair: materialize it (cutting lineage) so the joint
+        # cache can be released NOW instead of leaking one persisted table
+        # per pair into a long-lived session
+        row = row.localCheckpoint(eager=True)
+        joint.unpersist(blocking=False)
         out = row if out is None else out.unionByName(row)
     return out

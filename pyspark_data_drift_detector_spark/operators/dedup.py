@@ -382,9 +382,10 @@ def neardup_clusters(
     # count also sizes the compact index.
     edges = _reuse(pairs.select("id1", "id2"))
     n_edges = edges.count()
-    parts = max(
-        1, min(int(2 * n_edges // 1_000_000) + 1, edges.rdd.getNumPartitions())
-    )
+    # sized purely from the exact edge count the materializing count just
+    # produced — no .rdd.getNumPartitions() probe (it forces DataFrame→RDD
+    # conversion and a full physical-planning round-trip on the driver)
+    parts = max(1, int(2 * n_edges // 1_000_000) + 1)
     sym = (
         edges.unionByName(
             edges.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))

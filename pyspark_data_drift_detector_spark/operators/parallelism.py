@@ -75,15 +75,19 @@ def ensure_min_partitions(
     round-trips per dedup/similarity query (the r4/r5 ADVICE carry-over);
     the estimate is one py4j call and runs no job. Trade-off: a small
     already-shuffled frame may be repartitioned once more (a few-KB
-    exchange), while the old probe skipped it; a failed estimate returns
-    a huge sentinel, which fails toward NOT reshuffling — the scale-safe
-    direction.
+    exchange), while the old probe skipped it. A FAILED estimate fails
+    toward repartitioning: the inputs this guard protects are exactly the
+    plan-time-unknown small frames, and the worst case of a spurious
+    repartition (one small exchange) is far cheaper than the worst case
+    of skipping it (the explode stage running on one core).
     """
     if df.isStreaming:
         return df
     if not allow_binary and _has_binary_column(df):
         return df
-    from pyspark_data_drift_detector_spark.plans.inspect import estimated_size_bytes
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        try_estimated_size_bytes,
+    )
 
     sess = df.sparkSession
     goal = target if target is not None else sess.sparkContext.defaultParallelism
@@ -93,7 +97,10 @@ def ensure_min_partitions(
         )
     except ValueError:
         max_pb = 128 << 20
-    est_splits = estimated_size_bytes(df) // max(max_pb, 1) + 1
+    est = try_estimated_size_bytes(df)
+    if est is None:
+        return df.repartition(goal)
+    est_splits = est // max(max_pb, 1) + 1
     if est_splits < goal:
         return df.repartition(goal)
     return df
@@ -182,13 +189,12 @@ def key_skew_profile(
         )
         + "))"
     )
-    from pyspark import StorageLevel
-
-    # the count table feeds both the moment aggregate and the top-k pass
-    counts = (
-        cells.groupBy("column_name", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # the count table feeds both the moment aggregate and the top-k pass;
+    # both read the same groupBy exchange (computed once via exchange
+    # reuse) so it is NOT persisted — caching would leak one entry per
+    # call into long-lived sessions
+    counts = cells.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     moments = counts.groupBy("column_name").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_keys"),

@@ -123,7 +123,17 @@ def estimated_size_bytes(df: DataFrame) -> int:
     big?". Returns a large sentinel on any failure so callers fail toward
     the scale-safe path.
     """
+    size = try_estimated_size_bytes(df)
+    return size if size is not None else 1 << 60
+
+
+def try_estimated_size_bytes(df: DataFrame) -> int | None:
+    """Like :func:`estimated_size_bytes` but returns ``None`` when the
+    estimate is unavailable, letting callers pick their own failure
+    direction: skew gates fail toward "big" (stay safe), while the
+    under-split fan-out fails toward "small" (repartition — skipping it
+    would single-thread the explode stage it exists to protect)."""
     try:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # pragma: no cover - py4j/internal API drift
-        return 1 << 60
+        return None

@@ -541,6 +541,13 @@ def test_dedup_plan_construction_no_rdd_probe(spark, sf_dir):
         out = minhash_lsh_pairs(docs, threshold=0.3)
         out.queryExecution if hasattr(out, "queryExecution") else None
         plan = out._jdf.queryExecution().simpleString()  # force planning path
+        # neardup_clusters runs eagerly (count + iterate); its edge-index
+        # sizing must come from the materializing count, not an .rdd probe
+        from pyspark_data_drift_detector_spark.operators.dedup import (
+            neardup_clusters,
+        )
+
+        n_clustered = neardup_clusters(out).count()
     finally:
         _DF.rdd = orig
     assert calls["n"] == 0, (
@@ -548,6 +555,7 @@ def test_dedup_plan_construction_no_rdd_probe(spark, sf_dir):
         "ensure_min_partitions has regressed to the physical-planning probe"
     )
     assert plan
+    assert n_clustered >= 0
 
 
 def test_round6_operators_prune_scans(spark, sf_dir):
