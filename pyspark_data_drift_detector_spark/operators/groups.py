@@ -71,8 +71,12 @@ def top_groups(
         F.expr("sum(CAST(__side = 'c' AS BIGINT)) AS curr_rows"),
     )
     # top-N groups via cutoff join (no per-dimension row_number sort task);
-    # persisted: the cutoff pass and the probe both read counts, which is
-    # tiny but derives from a full melt of both snapshots
+    # persisted: the cutoff pass and the probe both read counts, and column
+    # pruning makes their subtrees non-identical so exchange reuse does NOT
+    # apply (verified: unpersisted, the executed plan re-scans the raw
+    # table 6x — fatal at scale even though it measures faster on sf0.1's
+    # tiny inputs). bench.py clearCache()s between queries; long-lived
+    # sessions should do the same.
     from pyspark import StorageLevel
 
     from pyspark_data_drift_detector_spark.operators.frequency import (
@@ -292,15 +296,19 @@ def group_categorical_stats(
         F.sum((F.col("__side") == "r").cast("long")).alias("ref_cnt"),
         F.sum((F.col("__side") == "c").cast("long")).alias("curr_cnt"),
     )
-    from pyspark import StorageLevel
-
     from pyspark_data_drift_detector_spark.operators.frequency import (
         pair_top_k_cutoffs,
         with_key_totals,
     )
 
+    from pyspark import StorageLevel
+
     keys3 = ("dimension_column", "dimension_value", "column_name")
-    # persisted: totals, the pair cutoffs, and the probe all read cells
+    # persisted: totals, the pair cutoffs, and the probe all read cells,
+    # and column pruning makes their subtrees non-identical so exchange
+    # reuse does NOT apply (verified: unpersisted, the executed plan
+    # re-scans the raw table 8x — fatal at scale even though it measures
+    # ~0.8s faster on sf0.1's tiny inputs)
     cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     enr = (
         with_key_totals(
