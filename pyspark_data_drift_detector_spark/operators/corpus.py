@@ -203,10 +203,17 @@ def zipf_fit(
     from pyspark.sql import Window
 
     toks = _tokens(df, text_col, id_col)
-    # both consumers (totals, top) read the SAME groupBy(token) shuffle —
-    # Spark's exchange reuse computes it once, so no persist is needed
-    # (a persist here would leak a cache entry per call in long sessions)
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark import StorageLevel
+
+    # persisted: the totals and top-r consumers' subtrees differ after
+    # column pruning, so exchange reuse does NOT dedupe them (verified:
+    # unpersisted, the executed plan tokenizes the corpus 2x) — and the
+    # cache is released below after the 1-row result is checkpointed
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = counts.agg(
         F.expr("count(1) AS n_types"), F.expr("sum(cnt) AS n_tokens")
     )
@@ -223,7 +230,7 @@ def zipf_fit(
         F.expr("regr_intercept(ln(cnt), ln(rank)) AS zipf_intercept"),
         F.expr("regr_r2(ln(cnt), ln(rank)) AS zipf_r2"),
     )
-    return totals.crossJoin(fit).selectExpr(
+    out = totals.crossJoin(fit).selectExpr(
         "CAST(n_types AS BIGINT) AS n_types",
         "CAST(n_tokens AS BIGINT) AS n_tokens",
         "CAST(fitted_types AS BIGINT) AS fitted_types",
@@ -231,6 +238,11 @@ def zipf_fit(
         "zipf_intercept",
         "zipf_r2",
     )
+    # ONE row: materialize it eagerly (cutting lineage) so the vocabulary
+    # cache can be released NOW instead of leaking into the session
+    out = out.localCheckpoint(eager=True)
+    counts.unpersist(blocking=False)
+    return out
 
 
 def bigram_logprob(
@@ -278,14 +290,23 @@ def bigram_logprob(
         )
         .selectExpr(f"`{id_col}`", "z.t1 AS t1", "z.t2 AS t2")
     )
+    from pyspark import StorageLevel
+
     # ONE aggregation of the bigram stream; the unigram counts and the
     # vocabulary size derive from the aggregated table (identical values,
-    # no second pass over the exploded stream).  All consumers — the
-    # scoring join's (t1, t2) shuffle included — share the same exchange,
-    # which Spark computes once (exchange reuse), so no persist: a cached
-    # model table would leak one entry per call into long-lived sessions
-    # (measured at sf0.1: warm no-persist == warm persist).
-    bi_counts = bi.groupBy("t1", "t2").agg(F.expr("count(1) AS c_bi"))
+    # no second pass over the exploded stream), and the aggregate is
+    # persisted because its consumers' subtrees differ after column
+    # pruning, so exchange reuse does NOT dedupe them (verified:
+    # unpersisted, the executed plan re-explodes the corpus bigram stream
+    # several times — fatal at scale).  The result here is O(documents)
+    # rows, too big for the checkpoint-and-release pattern, so the cache
+    # lives until the caller clears it (bench.py clearCache()s between
+    # queries; long-lived sessions should do the same).
+    bi_counts = (
+        bi.groupBy("t1", "t2")
+        .agg(F.expr("count(1) AS c_bi"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     uni_counts = bi_counts.groupBy("t1").agg(F.expr("sum(c_bi) AS c_t1"))
     vocab = (
         bi_counts.selectExpr("t1 AS tok")

@@ -189,12 +189,17 @@ def key_skew_profile(
         )
         + "))"
     )
+    from pyspark import StorageLevel
+
     # the count table feeds both the moment aggregate and the top-k pass;
-    # both read the same groupBy exchange (computed once via exchange
-    # reuse) so it is NOT persisted — caching would leak one entry per
-    # call into long-lived sessions
-    counts = cells.groupBy("column_name", "value").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # their subtrees differ after column pruning so exchange reuse does
+    # NOT dedupe them (verified: unpersisted, the executed plan re-scans
+    # the raw table) — persist, then release below once the O(columns)
+    # result is checkpointed
+    counts = (
+        cells.groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     moments = counts.groupBy("column_name").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_keys"),
@@ -217,7 +222,7 @@ def key_skew_profile(
         .groupBy("column_name")
         .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS topk_count"))
     )
-    return moments.join(topk, "column_name").selectExpr(
+    out = moments.join(topk, "column_name").selectExpr(
         "column_name",
         "n_rows",
         "n_keys",
@@ -228,3 +233,8 @@ def key_skew_profile(
         "(CAST(n_rows AS DOUBLE) * n_rows) / sumsq AS effective_keys",
         "max_count / (n_rows / CAST(n_keys AS DOUBLE)) AS skew_factor",
     )
+    # O(columns) rows: materialize eagerly (cutting lineage) so the count
+    # cache can be released NOW instead of leaking into the session
+    out = out.localCheckpoint(eager=True)
+    counts.unpersist(blocking=False)
+    return out
