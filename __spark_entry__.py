@@ -4473,6 +4473,41 @@ def _robust_profile_sql(trim: float = 0.05) -> str:
     FROM ({per}) GROUP BY column_name"""
 
 
+def q_robust_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robust_profile's 100TB path: the same panel with every rank
+    statistic (bounds AND the MAD median) computed from value histograms
+    (quantiles_by_counts — O(distinct) state, no per-column buffering).
+    Values are EXACT, so it shares the exact-mode DuckDB oracle."""
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+
+    out = robust_profile(
+        _lineitem(spark, sf_dir),
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        quantile_mode="counts",
+    )
+    return _round_cols(
+        out,
+        ["lo", "median", "hi", "mad", "trimmed_mean", "winsorized_mean"],
+    )
+
+
+def q_equidepth_histogram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equidepth_histogram's 100TB path: exact edges from the value
+    histogram instead of sort-based percentile buffering. Shares the
+    exact-mode oracle (identical values)."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+
+    out = equidepth_histogram(
+        _lineitem(spark, sf_dir),
+        ["l_quantity", "l_extendedprice"],
+        bins=8,
+        quantile_mode="counts",
+    )
+    return _round_cols(out, ["lo", "hi"])
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency histogram (8 bins) over a heavy-tied and a
     continuous lineitem column — exact percentile edges, ties-go-left
@@ -5263,6 +5298,10 @@ def _oracle_queries() -> dict[str, str]:
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
         "robust_profile": _robust_profile_sql(),
+        # counts mode computes the same exact values from value histograms
+        # — the scale path shares the exact oracle verbatim
+        "robust_profile_counts": _robust_profile_sql(),
+        "equidepth_histogram_counts": _equidepth_histogram_sql(),
         "mutual_information_drift": _mutual_information_drift_sql(),
         "dedup_normalized": _dedup_normalized_sql(),
         "bigram_logprob": _bigram_logprob_sql(),
@@ -5337,12 +5376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-round-stable queries ride at the tail and stay covered by
     # tests/test_oracle_parity.py and tools/verify_oracle.py locally.
     return {
-        "ngram_overlap": q_ngram_overlap,
         "rollup_timeseries": q_rollup_timeseries,
+        "robust_profile_counts": q_robust_profile_counts,
+        "equidepth_histogram_counts": q_equidepth_histogram_counts,
+        "mutual_information_drift": q_mutual_information_drift,
+        "ngram_overlap": q_ngram_overlap,
         "key_skew_profile": q_key_skew_profile,
         "equidepth_histogram": q_equidepth_histogram,
         "robust_profile": q_robust_profile,
-        "mutual_information_drift": q_mutual_information_drift,
         "dedup_normalized": q_dedup_normalized,
         "bigram_logprob": q_bigram_logprob,
         "c4_line_filter": q_c4_line_filter,

@@ -451,6 +451,7 @@ def equidepth_histogram(
     df: DataFrame,
     columns: list[str],
     bins: int = 10,
+    quantile_mode: str = "exact",
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram for all columns in one
     logical plan: bin edges are the exact ``i/bins`` percentiles, so each
@@ -471,14 +472,19 @@ def equidepth_histogram(
     single-task sort of a column. Output: ``column_name, bin, lo, hi,
     cnt`` with ``lo/hi`` the bin's percentile edges.
 
-    Exact rank edges are the oracle contract here; at extreme scale swap
-    the edge pass for the KLL sketch state
-    (``mergeable.partitioned_quantiles`` → ``merged_quantiles``) — the
-    binning pass is unchanged, the edges carry the sketch's bounded rank
-    error.
+    ``quantile_mode`` selects the edge-pass engine (the
+    ``numeric_profile(quantile_mode=)`` knob): ``"exact"`` (default, the
+    oracle contract — sort-based ``percentile`` buffers each column in
+    its aggregation buffer), ``"counts"`` (exact edges from the value
+    histogram, state bounded by distinct values — the 100 TB path), or
+    ``"kll"`` (mergeable sketch, bounded rank error). The binning pass
+    is identical in every mode.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        _wide_quantile_row,
     )
 
     if bins < 2:
@@ -486,14 +492,12 @@ def equidepth_histogram(
     if not columns:
         raise ValueError("no columns")
     ensure_safe_columns(columns)
-    pcts = ", ".join(f"{i / bins!r}D" for i in range(bins + 1))
-    edges = df.agg(
-        *[
-            F.expr(
-                f"percentile(CAST(`{c}` AS DOUBLE), array({pcts})) AS __e{i}"
-            )
-            for i, c in enumerate(columns)
-        ]
+    edges = _wide_quantile_row(
+        df,
+        columns,
+        [i / bins for i in range(bins + 1)],
+        quantile_mode,
+        prefix="__e",
     )
     melt = ", ".join(
         f"named_struct('column_name', '{c}', 'x', CAST(`{c}` AS DOUBLE),"

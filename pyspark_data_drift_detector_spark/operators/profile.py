@@ -416,10 +416,60 @@ def categorical_summary(
     return wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
 
 
+def _wide_quantile_row(
+    df: DataFrame,
+    columns: list[str],
+    qlist: list[float],
+    quantile_mode: str,
+    prefix: str = "__b",
+) -> DataFrame:
+    """ONE-row frame with ``{prefix}{i}`` = column i's quantile array,
+    computed under the selected mode:
+
+    * ``"exact"`` — sort-based ``percentile`` (buffers each column's
+      values in its aggregation buffer; the oracle contract, fine at
+      bench scale, the memory wall at 100 TB),
+    * ``"counts"`` — :func:`quantiles_by_counts`: exact values from the
+      (value → count) histogram, state bounded by distinct values (the
+      scale path for exact ranks),
+    * ``"kll"`` — Datasketches KLL sketch, mergeable bounded-rank-error
+      state (the scale path when approximate ranks suffice).
+    """
+    if quantile_mode in ("exact", "kll"):
+        probs = "array(" + ", ".join(f"{float(p)!r}D" for p in qlist) + ")"
+        if quantile_mode == "exact":
+            frag = "percentile(CAST(`{c}` AS DOUBLE), " + probs + ")"
+        else:
+            frag = (
+                "kll_sketch_get_quantile_double("
+                "kll_sketch_agg_double(CAST(`{c}` AS DOUBLE), 800), "
+                + probs
+                + ")"
+            )
+        return df.agg(
+            *[
+                F.expr(frag.format(c=c) + f" AS {prefix}{i}")
+                for i, c in enumerate(columns)
+            ]
+        )
+    if quantile_mode != "counts":
+        raise ValueError(f"unknown quantile_mode: {quantile_mode!r}")
+    rows = quantiles_by_counts(df, columns, [float(p) for p in qlist])
+    return rows.groupBy().agg(
+        *[
+            F.max(F.when(F.col("column_name") == c, F.col("q"))).alias(
+                f"{prefix}{i}"
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+
+
 def robust_profile(
     df: DataFrame,
     columns: list[str],
     trim: float = 0.05,
+    quantile_mode: str = "exact",
 ) -> DataFrame:
     """Outlier-resistant location/scale profile per column: trimmed mean
     (drop the outer ``trim`` mass on each side), winsorized mean (clamp
@@ -442,10 +492,14 @@ def robust_profile(
     Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
     winsorized_mean, n_trimmed``.
 
-    Exact rank bounds are the oracle contract; at extreme scale the two
-    rank passes can run on KLL sketches
-    (``mergeable.partitioned_quantiles``) with bounded rank error — the
-    conditional-mean pass is unchanged.
+    ``quantile_mode`` selects the rank-statistic engine (the
+    ``numeric_profile(quantile_mode=)`` knob): ``"exact"`` (default, the
+    oracle contract — sort-based ``percentile``, buffers each column in
+    its aggregation buffer), ``"counts"`` (exact values from the value
+    histogram, state bounded by distinct values — the 100 TB path for
+    exact ranks; bounds AND the MAD median both run on histograms), or
+    ``"kll"`` (mergeable Datasketches sketch, bounded rank error). The
+    conditional-mean pass is identical in every mode.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -457,22 +511,22 @@ def robust_profile(
         raise ValueError("no columns")
     ensure_safe_columns(columns)
     lo_p, hi_p = float(trim), float(1.0 - trim)
-    bounds = df.agg(
-        *[
-            F.expr(
-                f"percentile(CAST(`{c}` AS DOUBLE),"
-                f" array({lo_p!r}D, 0.5D, {hi_p!r}D)) AS __b{i}"
-            )
-            for i, c in enumerate(columns)
-        ]
+    bounds = _wide_quantile_row(
+        df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b"
     )
     aggs = []
     for i, c in enumerate(columns):
         x = f"CAST(`{c}` AS DOUBLE)"
         lo, med, hi = f"__b{i}[0]", f"__b{i}[1]", f"__b{i}[2]"
+        if quantile_mode == "exact":
+            aggs.append(f"percentile(abs({x} - {med}), 0.5D) AS __mad{i}")
+        elif quantile_mode == "kll":
+            aggs.append(
+                "kll_sketch_get_quantile_double(kll_sketch_agg_double("
+                f"abs({x} - {med}), 800), 0.5D) AS __mad{i}"
+            )
         aggs += [
             f"count({x}) AS __n{i}",
-            f"percentile(abs({x} - {med}), 0.5D) AS __mad{i}",
             f"avg(CASE WHEN {x} >= {lo} AND {x} <= {hi} THEN {x} END)"
             f" AS __tm{i}",
             f"avg(CASE WHEN {x} < {lo} THEN {lo} WHEN {x} > {hi} THEN {hi}"
@@ -484,6 +538,23 @@ def robust_profile(
     wide = df.join(F.broadcast(bounds)).groupBy().agg(
         *[F.expr(a) for a in aggs]
     )
+    if quantile_mode == "counts":
+        # the MAD median runs on the DEVIATION value histogram — exact,
+        # no per-column value buffering (same engine as the bounds pass)
+        dev = df.join(F.broadcast(bounds)).selectExpr(
+            *[
+                f"abs(CAST(`{c}` AS DOUBLE) - __b{i}[1]) AS `__dev{i}`"
+                for i, c in enumerate(columns)
+            ]
+        )
+        mad_row = _wide_quantile_row(
+            dev,
+            [f"__dev{i}" for i in range(len(columns))],
+            [0.5],
+            "counts",
+            prefix="__m",
+        ).selectExpr(*[f"__m{i}[0] AS __mad{i}" for i in range(len(columns))])
+        wide = wide.join(F.broadcast(mad_row))
     structs = ", ".join(
         f"named_struct('column_name', '{c}', 'n', CAST(__n{i} AS BIGINT),"
         f" 'lo', __bb{i}[0], 'median', __bb{i}[1],"

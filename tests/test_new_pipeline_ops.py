@@ -1062,6 +1062,64 @@ def test_round6_operators_degenerate_inputs(spark):
     assert ks.count() == 0
 
 
+def test_quantile_mode_knob_parity(spark, sf_dir):
+    """The 100TB scale path must agree with the oracle path: counts-mode
+    (value-histogram) rank statistics equal exact-mode values EXACTLY for
+    both robust_profile (bounds and MAD) and equidepth_histogram edges;
+    kll mode lands inside the sketch's rank-error band."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+
+    def rp_key(rows):
+        return {
+            r["column_name"]: (
+                r["n"], r["lo"], r["median"], r["hi"], r["mad"],
+                r["trimmed_mean"], r["winsorized_mean"], r["n_trimmed"],
+            )
+            for r in rows
+        }
+
+    exact = rp_key(robust_profile(li, cols).collect())
+    counts = rp_key(robust_profile(li, cols, quantile_mode="counts").collect())
+    assert exact == counts
+    kll = {
+        r["column_name"]: r
+        for r in robust_profile(li, cols, quantile_mode="kll").collect()
+    }
+    for c in cols:
+        # KLL returns stream values at bounded rank error — a loose value
+        # band (5% of the column's exact spread) catches estimator breaks
+        spread = exact[c][3] - exact[c][1]
+        assert abs(kll[c]["median"] - exact[c][2]) <= 0.05 * spread + 1e-9, c
+
+    def eh_key(rows):
+        # ROUND(x, 5) is the driver-oracle contract; the two engines'
+        # interpolation orders differ by 1 ulp on some edges
+        return {
+            (r["column_name"], r["bin"]): (round(r["lo"], 5), round(r["hi"], 5), r["cnt"])
+            for r in rows
+        }
+
+    eh_exact = eh_key(equidepth_histogram(li, cols, bins=8).collect())
+    eh_counts = eh_key(
+        equidepth_histogram(li, cols, bins=8, quantile_mode="counts").collect()
+    )
+    assert eh_exact == eh_counts
+    # kll edges: every bin still present-ish and counts sum to n
+    eh_kll = equidepth_histogram(li, cols, bins=8, quantile_mode="kll").collect()
+    n = li.where(F.col("l_quantity").isNotNull()).count()
+    got = sum(r["cnt"] for r in eh_kll if r["column_name"] == "l_quantity")
+    assert got == n
+
+    with pytest.raises(ValueError, match="quantile_mode"):
+        robust_profile(li, cols, quantile_mode="nope")
+
+
 def test_merged_group_drift_window_matches_direct(spark, sf_dir):
     """Group-sliced state merged over a window equals profiling that
     window's group slices directly, and identical windows score zero."""
