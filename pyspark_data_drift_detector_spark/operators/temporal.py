@@ -486,12 +486,29 @@ def rollup_timeseries(
         raise ValueError("week buckets do not nest under month/quarter/year")
 
     dim_cols = list(dims)
+    state = rollup_state(events, ts_col, dim_cols, value_col, units[0])
+    return rollup_from_state(state, dim_cols, tuple(units))
+
+
+def rollup_state(
+    events: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    value_col: str,
+    granularity: str,
+) -> DataFrame:
+    """The finest-level additive rollup state: one row per
+    ``(bucket_start, dims...)`` with ``n_rows, n, s, ss, mn, mx`` —
+    ``s``/``ss`` as exact ``DECIMAL(38,10)`` sums. Streaming micro-batch
+    states (``streaming.state_tables.rollup_state_sink``) append rows of
+    this shape and :func:`rollup_from_state` re-aggregates them, so batch
+    and streaming rollups are indistinguishable by construction."""
     dc = f"CAST(`{value_col}` AS DOUBLE)"
-    state = events.selectExpr(
-        f"date_trunc('{units[0]}', `{ts_col}`) AS bucket_start",
-        *[f"`{d}`" for d in dim_cols],
+    return events.selectExpr(
+        f"date_trunc('{granularity}', `{ts_col}`) AS bucket_start",
+        *[f"`{d}`" for d in dims],
         f"{dc} AS __v",
-    ).groupBy("bucket_start", *dim_cols).agg(
+    ).groupBy("bucket_start", *dims).agg(
         F.expr("count(1)").alias("n_rows"),
         F.expr("count(__v)").alias("n"),
         F.expr("sum(CAST(__v AS DECIMAL(38, 10)))").alias("s"),
@@ -499,7 +516,29 @@ def rollup_timeseries(
         F.expr("min(__v)").alias("mn"),
         F.expr("max(__v)").alias("mx"),
     )
-    levels = [state.selectExpr(f"'{units[0]}' AS granularity", "*")]
+
+
+def rollup_from_state(
+    state: DataFrame,
+    dims: list[str],
+    granularities: tuple[str, ...],
+) -> DataFrame:
+    """Cascade + final stats over :func:`rollup_state` rows.  The input
+    may contain SEVERAL state rows per bucket (one per appended
+    micro-batch) — the first level re-merges them with the same additive
+    algebra, so a streaming-maintained state table rolls up to exactly
+    the batch answer."""
+    dim_cols = list(dims)
+    units = list(granularities)
+    merged = state.groupBy("bucket_start", *dim_cols).agg(
+        F.expr("sum(n_rows)").alias("n_rows"),
+        F.expr("sum(n)").alias("n"),
+        F.expr("sum(s)").alias("s"),
+        F.expr("sum(ss)").alias("ss"),
+        F.expr("min(mn)").alias("mn"),
+        F.expr("max(mx)").alias("mx"),
+    )
+    levels = [merged.selectExpr(f"'{units[0]}' AS granularity", "*")]
     for g in units[1:]:
         prev = levels[-1]
         levels.append(

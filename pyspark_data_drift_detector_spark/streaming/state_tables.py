@@ -95,3 +95,61 @@ def read_state_tables(
     cats = spark.read.parquet(category_path)
     quants = spark.read.parquet(quantile_path) if quantile_path else None
     return prof, cats, quants
+
+
+def rollup_state_sink(
+    rollup_path: str,
+    ts_col: str = "ts",
+    dims: list[str] | None = None,
+    value_col: str = "value",
+    granularity: str = "hour",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the hierarchical rollup's
+    finest-level state (the continuous-aggregate pattern): each
+    micro-batch appends its per-``(bucket_start, dims...)`` additive
+    ``(n_rows, n, s, ss, mn, mx)`` rows — DECIMAL-exact sums, the same
+    algebra ``operators.temporal.rollup_state`` produces for batch — so
+    ``rollup_from_state`` over the appended table equals the batch
+    ``rollup_timeseries`` over the full event history ROW-FOR-ROW, with
+    no event replay.
+
+    A micro-batch spanning several buckets writes several state rows;
+    several batches landing in one bucket write several rows for it —
+    both merge exactly because the states are additive.  At 100 TB the
+    continuous aggregate reads only O(buckets × dims) state rows."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_state,
+    )
+
+    dim_cols = list(dims) if dims is not None else ["event_type"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_state(
+            batch_df, ts_col, dim_cols, value_col, granularity
+        ).write.mode("append").parquet(rollup_path)
+
+    return write_batch
+
+
+def read_rollup_state(
+    spark,
+    rollup_path: str,
+    dims: list[str] | None = None,
+    granularities: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Continuous-aggregate read path: merge the appended rollup state
+    rows and cascade them to the requested granularities (validated and
+    re-aggregated exactly like the batch ``rollup_timeseries``)."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        _TRUNC_ORDER,
+        rollup_from_state,
+    )
+
+    units = [g.lower() for g in granularities]
+    ranks = [_TRUNC_ORDER.index(g) for g in units]
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(f"granularities must be strictly coarsening: {units}")
+    dim_cols = list(dims) if dims is not None else ["event_type"]
+    return rollup_from_state(
+        spark.read.parquet(rollup_path), dim_cols, tuple(units)
+    )

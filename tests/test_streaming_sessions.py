@@ -272,3 +272,67 @@ def test_state_table_sink_end_to_end(spark, sf_dir, tmp_path):
     assert {r["column_name"] for r in out} == {"value", "event_type"}
     for r in out:
         assert r["drift_score"] is not None
+
+
+def test_rollup_state_sink_matches_batch_rollup(spark, sf_dir, tmp_path):
+    """Continuous-aggregate twin of rollup_timeseries: micro-batches
+    append hour-level additive state (DECIMAL-exact sums); merging the
+    appended table and cascading hour->day must equal the batch
+    rollup_timeseries over the full stream history ROW-FOR-ROW — means
+    and stddevs bit-equal, because the state algebra is identical and
+    decimal sums are associative."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_timeseries,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        read_rollup_state,
+        rollup_state_sink,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_dir = tmp_path / "rollup_ingest"
+    stream_dir.mkdir()
+    # two identical files -> two micro-batches, so every hour bucket
+    # accumulates TWO appended state rows that must merge exactly
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    sink = rollup_state_sink(str(tmp_path / "rollup_state"))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    def keyed(rows):
+        return {
+            (r["granularity"], r["bucket_start"], r["event_type"]): (
+                r["n_rows"], r["n"], r["mean"], r["stddev"], r["min"], r["max"]
+            )
+            for r in rows
+        }
+
+    streamed = keyed(
+        read_rollup_state(
+            spark, str(tmp_path / "rollup_state"),
+            granularities=("hour", "day"),
+        ).collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = keyed(
+        rollup_timeseries(
+            ev.unionByName(ev), granularities=("hour", "day")
+        ).collect()
+    )
+    assert streamed.keys() == batch.keys() and len(streamed) > 0
+    for k in streamed:
+        assert streamed[k] == batch[k], (k, streamed[k], batch[k])
+
+    with pytest.raises(ValueError, match="coarsening"):
+        read_rollup_state(
+            spark, str(tmp_path / "rollup_state"), granularities=("day", "hour")
+        )
