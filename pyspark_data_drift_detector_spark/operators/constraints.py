@@ -152,3 +152,76 @@ def check_referential_integrity(
         " 'metric', CAST(__v AS DOUBLE), 'threshold', CAST(0.0 AS DOUBLE),"
         " 'violations', CAST(__v AS BIGINT), 'passed', __v = 0)))"
     )
+
+
+def check_functional_dependencies(
+    df: DataFrame,
+    dependencies: list[tuple],
+) -> DataFrame:
+    """Functional-dependency checks: does ``X -> y`` hold — i.e. does every
+    distinct value (tuple) of the determinant column(s) ``X`` map to at
+    most ONE distinct non-null value of ``y``?  The constraint behind
+    "zip determines city" / "order determines customer" invariants that
+    silently break when an upstream join starts fanning out.
+
+    ``dependencies``: list of ``(determinant, dependent)`` where
+    ``determinant`` is a column name or list of column names.  NULL
+    determinant components participate as a real key (coalesced to a
+    sentinel so composite keys stay unambiguous); NULL dependents are
+    ignored (an unknown ``y`` violates nothing).
+
+    Scale shape: all dependencies share ONE scan — each row emits one
+    ``(dep_id, determinant-key, y)`` cell per dependency (``inline``), a
+    single ``groupBy(dep_id, key)`` counts distinct dependents per group
+    (the shuffle key includes the determinant, so no hot reducer), and a
+    tiny ``groupBy(dep_id)`` rolls groups up.  Output one row per
+    dependency: ``constraint, column, metric`` (violating-group share),
+    ``threshold, violations`` (rows in violating groups), ``passed`` —
+    the ``check_constraints`` row shape, so suite results union cleanly.
+    """
+    if not dependencies:
+        raise ValueError("no dependencies")
+    deps = [
+        ([x] if isinstance(x, str) else list(x), y) for x, y in dependencies
+    ]
+    ensure_safe_columns([c for x, y in deps for c in [*x, y]])
+    sep, nul = "\\u001f", "\\u0001<null>"
+    cells = []
+    for i, (xcols, y) in enumerate(deps):
+        key = ", ".join(
+            f"coalesce(CAST(`{c}` AS STRING), '{nul}')" for c in xcols
+        )
+        cells.append(
+            f"named_struct('dep_id', {i}, 'key', concat_ws('{sep}', {key}),"
+            f" 'y', CAST(`{y}` AS STRING))"
+        )
+    grouped = (
+        df.selectExpr(f"inline(array({', '.join(cells)}))")
+        .groupBy("dep_id", "key")
+        .agg(
+            F.expr("count(DISTINCT y) AS n_y"),
+            F.expr("count(y) AS n_rows"),
+        )
+    )
+    per_dep = grouped.groupBy("dep_id").agg(
+        F.expr("count(1) AS n_groups"),
+        F.expr("sum(CAST(n_y > 1 AS BIGINT)) AS violating_groups"),
+        F.expr("sum(CASE WHEN n_y > 1 THEN n_rows ELSE 0 END) AS violating_rows"),
+    )
+    labels = ", ".join(
+        f"named_struct('dep_id', {i}, 'column',"
+        + qs("(" + ", ".join(x) + ") -> " + y)
+        + ")"
+        for i, (x, y) in enumerate(deps)
+    )
+    lab = per_dep.sparkSession.range(1).selectExpr(
+        f"inline(array({labels}))"
+    )
+    return per_dep.join(F.broadcast(lab), "dep_id").selectExpr(
+        "'functional_dependency' AS constraint",
+        "column",
+        "CAST(violating_groups AS DOUBLE) / greatest(n_groups, 1) AS metric",
+        "CAST(0.0 AS DOUBLE) AS threshold",
+        "CAST(violating_rows AS BIGINT) AS violations",
+        "violating_groups = 0 AS passed",
+    )

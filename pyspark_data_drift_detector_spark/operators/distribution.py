@@ -529,3 +529,84 @@ def equidepth_histogram(
             "cnt",
         )
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """First-significant-digit (Benford's-law) deviation per column — the
+    classic fabricated-/corrupted-feed tripwire: naturally-occurring
+    multiplicative quantities (prices, populations, transaction sizes)
+    put digit d first with probability ``log10(1 + 1/d)``; truncation
+    bugs, unit mix-ups, and synthetic fills show up as a first-digit
+    distribution nowhere near that curve.
+
+    The first digit is extracted ARITHMETICALLY but without ``log10``
+    (whose last-ulp behavior differs across libm implementations):
+    ``floor(|x| * 1e5)`` is rendered as an integer string and its first
+    character taken — deterministic and engine-portable for ``|x| >=
+    1e-5`` (smaller magnitudes are excluded along with zeros and NULLs,
+    and reported in ``n_skipped``).
+
+    ONE scan (``inline`` melt) + one ``groupBy(column, digit)`` + a tiny
+    per-column rollup.  Output per column: ``n, n_skipped, tvd`` (total
+    variation distance from Benford), ``max_dev`` (the auditor's "MAD"
+    statistic is ``sum_dev/9``; max is stricter), ``chi2_stat``.
+    """
+    import math
+
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not columns:
+        raise ValueError("no columns")
+    ensure_safe_columns(columns)
+    cells = ", ".join(
+        f"named_struct('column_name', '{c}', 'v', abs(CAST(`{c}` AS DOUBLE)))"
+        for c in columns
+    )
+    digits = (
+        df.selectExpr(f"inline(array({cells}))")
+        .selectExpr(
+            "column_name",
+            "CASE WHEN v >= 1e-5 THEN CAST(substring(CAST(CAST(floor(v * 100000.0D)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT) END AS digit",
+            "CAST(v IS NOT NULL AND v < 1e-5 AS INT) AS skipped",
+        )
+        .groupBy("column_name", "digit")
+        .agg(
+            F.expr("count(digit) AS cnt"),
+            F.expr("CAST(sum(skipped) AS BIGINT) AS n_skipped"),
+        )
+    )
+    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    terms_tvd, terms_max, terms_chi2 = [], [], []
+    for d, p in expected.items():
+        obs = f"(CAST(__c{d} AS DOUBLE) / greatest(n, 1))"
+        terms_tvd.append(f"abs({obs} - {p!r}D)")
+        terms_max.append(f"abs({obs} - {p!r}D)")
+        terms_chi2.append(
+            f"(CASE WHEN n > 0 THEN n * ({obs} - {p!r}D) * ({obs} - {p!r}D)"
+            f" / {p!r}D ELSE 0.0D END)"
+        )
+    return (
+        digits.groupBy("column_name")
+        .agg(
+            F.expr("CAST(sum(cnt) AS BIGINT) AS n"),
+            F.expr("CAST(sum(n_skipped) AS BIGINT) AS n_skipped"),
+            *[
+                F.expr(f"sum(CASE WHEN digit = {d} THEN cnt ELSE 0 END) AS __c{d}")
+                for d in expected
+            ],
+        )
+        .selectExpr(
+            "column_name",
+            "n",
+            "n_skipped",
+            f"({' + '.join(terms_tvd)}) / 2 AS tvd",
+            f"greatest({', '.join(terms_max)}) AS max_dev",
+            f"{' + '.join(terms_chi2)} AS chi2_stat",
+        )
+    )

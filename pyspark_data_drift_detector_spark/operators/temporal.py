@@ -617,3 +617,53 @@ def session_drift(
         quantiles=(0.25, 0.5, 0.75),
         exact_quantiles=True,
     )
+
+
+def completeness_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    columns: list[str],
+    granularity: str = "day",
+) -> DataFrame:
+    """Per-time-bucket completeness monitor: for every ``(bucket,
+    column)``, row count, null count and null ratio — the freshness /
+    ingest-health panel that catches a feed that silently started
+    shipping NULLs at 3am, which whole-table profiles only see diluted.
+
+    ONE scan: each row emits one cell per column (``inline``), then a
+    single ``groupBy(bucket, column)`` whose key includes the column —
+    no per-column jobs, no hot reducer.  Output: ``bucket_start,
+    column_name, n_rows, n_null, null_ratio``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not columns:
+        raise ValueError("no columns")
+    ensure_safe_columns([ts_col, *columns])
+    if granularity.lower() not in _TRUNC_ORDER:
+        raise ValueError(f"unknown date_trunc unit: {granularity}")
+    cells = ", ".join(
+        f"named_struct('column_name', '{c}',"
+        f" 'is_null', CAST(`{c}` IS NULL AS INT))"
+        for c in columns
+    )
+    return (
+        df.selectExpr(
+            f"date_trunc('{granularity.lower()}', `{ts_col}`) AS bucket_start",
+            f"inline(array({cells}))",
+        )
+        .groupBy("bucket_start", "column_name")
+        .agg(
+            F.expr("count(1) AS n_rows"),
+            F.expr("CAST(sum(is_null) AS BIGINT) AS n_null"),
+        )
+        .selectExpr(
+            "bucket_start",
+            "column_name",
+            "n_rows",
+            "n_null",
+            "CAST(n_null AS DOUBLE) / greatest(n_rows, 1) AS null_ratio",
+        )
+    )
