@@ -184,6 +184,7 @@ def zipf_fit(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_r: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Zipf's-law fit over the corpus token-frequency spectrum.
 
@@ -199,6 +200,12 @@ def zipf_fit(
     rows. Deterministic rank ties on ``(cnt DESC, token ASC)``. Output
     (one row): ``n_types, n_tokens, fitted_types, zipf_slope,
     zipf_intercept, zipf_r2``.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the 1-row
+    result so the vocabulary cache is released at call time;
+    ``materialize=False`` returns the fully lazy plan (no persist, no
+    checkpoint) for composition and plan inspection — the token subtree
+    may then be scanned twice.
     """
     from pyspark.sql import Window
 
@@ -209,11 +216,9 @@ def zipf_fit(
     # column pruning, so exchange reuse does NOT dedupe them (verified:
     # unpersisted, the executed plan tokenizes the corpus 2x) — and the
     # cache is released below after the 1-row result is checkpointed
-    counts = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
     totals = counts.agg(
         F.expr("count(1) AS n_types"), F.expr("sum(cnt) AS n_tokens")
     )
@@ -238,10 +243,12 @@ def zipf_fit(
         "zipf_intercept",
         "zipf_r2",
     )
-    # ONE row: materialize it eagerly (cutting lineage) so the vocabulary
-    # cache can be released NOW instead of leaking into the session
-    out = out.localCheckpoint(eager=True)
-    counts.unpersist(blocking=False)
+    if materialize:
+        # ONE row: materialize it eagerly (cutting lineage) so the
+        # vocabulary cache can be released NOW instead of leaking into
+        # the session
+        out = out.localCheckpoint(eager=True)
+        counts.unpersist(blocking=False)
     return out
 
 

@@ -253,6 +253,7 @@ def mutual_information_drift(
     df_curr: DataFrame,
     pairs: list[tuple[str, str]],
     threshold: float = 0.05,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dependency-structure drift: mutual information between categorical
     column PAIRS, per side, and its shift — catching the drift class the
@@ -274,6 +275,12 @@ def mutual_information_drift(
     joint value — no hot reducer), marginals re-aggregated FROM the
     joint table (O(joint distinct), no second data scan) and joined
     back; every log/sum is expression math.
+
+    ``materialize=True`` (default) eagerly localCheckpoints each pair's
+    1-row result so the per-pair joint cache is released at call time;
+    ``materialize=False`` returns the fully lazy plan (no persist, no
+    checkpoint) for composition and plan inspection — the joint subtree
+    may then be scanned once per consuming branch.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -294,11 +301,11 @@ def mutual_information_drift(
 
         # the joint table (O(|X|·|Y|) rows) feeds four aggregates and the
         # scoring join — persist it or every branch re-scans the raw data
-        joint = (
-            tagged.groupBy("side", "x", "y")
-            .agg(F.count(F.lit(1)).alias("nxy"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        joint = tagged.groupBy("side", "x", "y").agg(
+            F.count(F.lit(1)).alias("nxy")
         )
+        if materialize:
+            joint = joint.persist(StorageLevel.MEMORY_AND_DISK)
         margx = joint.groupBy("side", "x").agg(F.sum("nxy").alias("nx"))
         margy = joint.groupBy("side", "y").agg(F.sum("nxy").alias("ny"))
         tot = joint.groupBy("side").agg(F.sum("nxy").alias("n"))
@@ -352,10 +359,11 @@ def mutual_information_drift(
                 f"abs(c_nmi - r_nmi) > {float(threshold)!r}D AS drift_detected",
             )
         )
-        # one row per pair: materialize it (cutting lineage) so the joint
-        # cache can be released NOW instead of leaking one persisted table
-        # per pair into a long-lived session
-        row = row.localCheckpoint(eager=True)
-        joint.unpersist(blocking=False)
+        if materialize:
+            # one row per pair: materialize it (cutting lineage) so the
+            # joint cache can be released NOW instead of leaking one
+            # persisted table per pair into a long-lived session
+            row = row.localCheckpoint(eager=True)
+            joint.unpersist(blocking=False)
         out = row if out is None else out.unionByName(row)
     return out

@@ -149,7 +149,10 @@ def salted_join(
 
 
 def key_skew_profile(
-    df: DataFrame, key_cols: list[str], top_k: int = 10
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-key-column skew diagnosis — the "should this join be salted?"
     numbers, computed BEFORE a join melts down: for each candidate key
@@ -169,6 +172,12 @@ def key_skew_profile(
     size-gated salted two-phase as ``frequency.top_k_cutoffs`` — a
     column's counts are never sorted in a single task unless the frame
     is plan-time small.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the
+    O(columns) result so the internal count cache is released at call
+    time; ``materialize=False`` returns the fully lazy plan (no persist,
+    no checkpoint) — the composition/plan-inspection path, where the
+    caller owns execution (the count subtree may then be scanned twice).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -196,11 +205,11 @@ def key_skew_profile(
     # NOT dedupe them (verified: unpersisted, the executed plan re-scans
     # the raw table) — persist, then release below once the O(columns)
     # result is checkpointed
-    counts = (
-        cells.groupBy("column_name", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts = cells.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    if materialize:
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
     moments = counts.groupBy("column_name").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_keys"),
         F.expr("CAST(sum(cnt) AS BIGINT) AS n_rows"),
@@ -233,8 +242,10 @@ def key_skew_profile(
         "(CAST(n_rows AS DOUBLE) * n_rows) / sumsq AS effective_keys",
         "max_count / (n_rows / CAST(n_keys AS DOUBLE)) AS skew_factor",
     )
-    # O(columns) rows: materialize eagerly (cutting lineage) so the count
-    # cache can be released NOW instead of leaking into the session
-    out = out.localCheckpoint(eager=True)
-    counts.unpersist(blocking=False)
+    if materialize:
+        # O(columns) rows: materialize eagerly (cutting lineage) so the
+        # count cache can be released NOW instead of leaking into the
+        # session
+        out = out.localCheckpoint(eager=True)
+        counts.unpersist(blocking=False)
     return out

@@ -590,6 +590,42 @@ def test_round6_operators_prune_scans(spark, sf_dir):
 
     assert "Exchange hashpartitioning" not in formatted_plan(rp)
 
-    ks = key_skew_profile(orders, ["o_orderstatus", "o_orderpriority"])
+    # materialize=False: the lazy plan (no localCheckpoint) is the one
+    # the inspector can see file scans in; the default eager path is
+    # covered by behavior tests
+    ks = key_skew_profile(
+        orders, ["o_orderstatus", "o_orderpriority"], materialize=False
+    )
     assert_column_pruned(ks, "o_totalprice")
     assert_column_pruned(ks, "o_comment")
+
+
+def test_checkpointed_operators_stay_plan_testable(spark, sf_dir):
+    """Every operator that defaults to eager checkpoint-and-release must
+    expose its lazy plan via ``materialize=False`` — otherwise pruning and
+    shuffle properties become uninspectable (the round-7 regression)."""
+    from pyspark_data_drift_detector_spark.operators.corpus import zipf_fit
+    from pyspark_data_drift_detector_spark.operators.correlation import (
+        mutual_information_drift,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        assert_column_pruned,
+        read_schemas,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    zf = zipf_fit(docs, materialize=False)
+    assert_column_pruned(zf, "quality_score")
+    assert_column_pruned(zf, "url")
+
+    mi = mutual_information_drift(
+        orders.filter("o_orderkey % 2 = 0"),
+        orders.filter("o_orderkey % 2 = 1"),
+        [("o_orderstatus", "o_orderpriority")],
+        materialize=False,
+    )
+    assert_column_pruned(mi, "o_totalprice")
+    assert_column_pruned(mi, "o_comment")
+    assert read_schemas(mi), "lazy MI plan must expose its file scans"
