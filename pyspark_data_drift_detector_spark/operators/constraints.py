@@ -19,6 +19,12 @@ Supported single-table constraint specs (dicts):
   non-null value inside [x, y] (either bound optional).
 - ``{"type": "min_rows", "count": n}`` — the batch is not suspiciously
   small.
+- ``{"type": "functional_dependency", "determinant": x_or_list,
+  "dependent": y}`` — every distinct determinant value maps to at most
+  one distinct non-null dependent (delegates to
+  ``check_functional_dependencies`` and unions its rows in; FD checks
+  need a keyed groupBy, so a suite containing one runs a second scan —
+  all FDs in the suite still share that one scan).
 
 Output: one row per constraint — ``constraint, column, metric,
 threshold, violations, passed``. ``metric`` is the measured quantity
@@ -38,9 +44,26 @@ from pyspark_data_drift_detector_spark.functions.quoting import (
 
 
 def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
-    """Evaluate single-table constraints in ONE wide aggregate."""
+    """Evaluate single-table constraints in ONE wide aggregate (plus one
+    shared keyed pass when the suite contains functional dependencies)."""
     if not constraints:
         raise ValueError("no constraints")
+    fd_specs = [
+        c for c in constraints if c.get("type") == "functional_dependency"
+    ]
+    constraints = [
+        c for c in constraints if c.get("type") != "functional_dependency"
+    ]
+    fd = (
+        check_functional_dependencies(
+            df, [(s["determinant"], s["dependent"]) for s in fd_specs]
+        )
+        if fd_specs
+        else None
+    )
+    if not constraints:
+        assert fd is not None
+        return fd
     cols = [c["column"] for c in constraints if "column" in c]
     ensure_safe_columns(cols)
 
@@ -117,7 +140,8 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
         else:
             raise ValueError(f"unknown constraint type: {spec!r}")
     wide = df.groupBy().agg(*[F.expr(a) for a in aggs])
-    return wide.selectExpr(f"inline(array({', '.join(rows)}))")
+    out = wide.selectExpr(f"inline(array({', '.join(rows)}))")
+    return out.unionByName(fd) if fd is not None else out
 
 
 def check_referential_integrity(

@@ -452,6 +452,7 @@ def equidepth_histogram(
     columns: list[str],
     bins: int = 10,
     quantile_mode: str = "exact",
+    kll_k: int = 800,
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram for all columns in one
     logical plan: bin edges are the exact ``i/bins`` percentiles, so each
@@ -477,8 +478,9 @@ def equidepth_histogram(
     oracle contract — sort-based ``percentile`` buffers each column in
     its aggregation buffer), ``"counts"`` (exact edges from the value
     histogram, state bounded by distinct values — the 100 TB path), or
-    ``"kll"`` (mergeable sketch, bounded rank error). The binning pass
-    is identical in every mode.
+    ``"kll"`` (mergeable sketch, bounded rank error; ``kll_k`` tunes its
+    accuracy/state tradeoff, default 800). The binning pass is identical
+    in every mode.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -497,6 +499,7 @@ def equidepth_histogram(
         columns,
         [i / bins for i in range(bins + 1)],
         quantile_mode,
+        kll_k=kll_k,
         prefix="__e",
     )
     melt = ", ".join(
@@ -542,12 +545,17 @@ def benford_deviation(
     bugs, unit mix-ups, and synthetic fills show up as a first-digit
     distribution nowhere near that curve.
 
-    The first digit is extracted ARITHMETICALLY but without ``log10``
-    (whose last-ulp behavior differs across libm implementations):
-    ``floor(|x| * 1e5)`` is rendered as an integer string and its first
-    character taken — deterministic and engine-portable for ``|x| >=
-    1e-5`` (smaller magnitudes are excluded along with zeros and NULLs,
-    and reported in ``n_skipped``).
+    The first digit is the first nonzero digit character of the value's
+    round-trip string form (``regexp_extract(CAST(v AS STRING),
+    '[1-9]')``). Any round-trip decimal representation of a double
+    shares its first significant digit — a representation that crossed a
+    decade boundary would be ≥ 1 ulp from the value and could not parse
+    back — so the extraction is deterministic and engine-portable for
+    ALL finite nonzero magnitudes, with no ``log10`` last-ulp hazards
+    and no integer-cast saturation (the previous ``floor(|x|·1e5) →
+    BIGINT`` path saturated at |x| ≈ 9.2e13 and reported digit 9 for
+    every larger value). Zeros, NaN, and ±Infinity have no first digit
+    and are counted in ``n_skipped``.
 
     ONE scan (``inline`` melt) + one ``groupBy(column, digit)`` + a tiny
     per-column rollup.  Output per column: ``n, n_skipped, tvd`` (total
@@ -571,9 +579,14 @@ def benford_deviation(
         df.selectExpr(f"inline(array({cells}))")
         .selectExpr(
             "column_name",
-            "CASE WHEN v >= 1e-5 THEN CAST(substring(CAST(CAST(floor(v * 100000.0D)"
-            " AS BIGINT) AS STRING), 1, 1) AS INT) END AS digit",
-            "CAST(v IS NOT NULL AND v < 1e-5 AS INT) AS skipped",
+            "v",
+            "try_cast(nullif(regexp_extract(CAST(v AS STRING), '[1-9]', 0), '')"
+            " AS INT) AS digit",
+        )
+        .selectExpr(
+            "column_name",
+            "digit",
+            "CAST(v IS NOT NULL AND digit IS NULL AS INT) AS skipped",
         )
         .groupBy("column_name", "digit")
         .agg(

@@ -135,6 +135,7 @@ def _quantile_agg_sql(
     quantile_mode: str,
     exact_quantiles: bool,
     quantile_accuracy: int,
+    kll_k: int = 800,
 ) -> str:
     """The quantile aggregate (as a SQL fragment) for one column under the
     selected mode.
@@ -146,7 +147,9 @@ def _quantile_agg_sql(
     aggregation (sketches merge associatively on the reducer; no value
     list ever materializes). Returned quantiles are stream values (no
     interpolation), so it is an approximate mode, not an oracle mode.
-    k=800 ≈ 0.4% rank error at 99% confidence.
+    ``kll_k`` is the sketch's accuracy/state knob (Datasketches K):
+    the default 800 ≈ 0.4% rank error at 99% confidence; a 100×-scale
+    user tightens or loosens it without editing the library.
 
     SQL-string assembly (here and throughout this module): the profile
     aggregate is O(columns × stats) expressions, and building each via the
@@ -158,7 +161,7 @@ def _quantile_agg_sql(
     """
     probs = "array(" + ",".join(repr(float(p)) for p in qlist) + ")"
     if quantile_mode == "kll":
-        return f"kll_sketch_get_quantile_double(kll_sketch_agg_double({dc}, 800), {probs})"
+        return f"kll_sketch_get_quantile_double(kll_sketch_agg_double({dc}, {int(kll_k)}), {probs})"
     if exact_quantiles:
         return f"percentile({dc}, {probs})"
     return f"percentile_approx({dc}, {probs}, {int(quantile_accuracy)})"
@@ -172,6 +175,7 @@ def numeric_profile(
     quantile_accuracy: int = 10000,
     with_shape: bool = True,
     quantile_mode: str = "auto",
+    kll_k: int = 800,
 ) -> DataFrame:
     """Long-format numeric profile: one row per column, one Spark job total.
 
@@ -225,7 +229,8 @@ def numeric_profile(
             ]
         if qlist and quantile_mode != "counts":
             qsql = _quantile_agg_sql(
-                dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
+                dc, qlist, quantile_mode, exact_quantiles,
+                quantile_accuracy, kll_k,
             )
             qaggs.append(f"{qsql} AS `{c}__q`")
 
@@ -422,6 +427,7 @@ def _wide_quantile_row(
     qlist: list[float],
     quantile_mode: str,
     prefix: str = "__b",
+    kll_k: int = 800,
 ) -> DataFrame:
     """ONE-row frame with ``{prefix}{i}`` = column i's quantile array,
     computed under the selected mode:
@@ -442,7 +448,7 @@ def _wide_quantile_row(
         else:
             frag = (
                 "kll_sketch_get_quantile_double("
-                "kll_sketch_agg_double(CAST(`{c}` AS DOUBLE), 800), "
+                f"kll_sketch_agg_double(CAST(`{{c}}` AS DOUBLE), {int(kll_k)}), "
                 + probs
                 + ")"
             )
@@ -470,6 +476,7 @@ def robust_profile(
     columns: list[str],
     trim: float = 0.05,
     quantile_mode: str = "exact",
+    kll_k: int = 800,
 ) -> DataFrame:
     """Outlier-resistant location/scale profile per column: trimmed mean
     (drop the outer ``trim`` mass on each side), winsorized mean (clamp
@@ -512,7 +519,8 @@ def robust_profile(
     ensure_safe_columns(columns)
     lo_p, hi_p = float(trim), float(1.0 - trim)
     bounds = _wide_quantile_row(
-        df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b"
+        df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b",
+        kll_k=kll_k,
     )
     aggs = []
     for i, c in enumerate(columns):
@@ -523,7 +531,7 @@ def robust_profile(
         elif quantile_mode == "kll":
             aggs.append(
                 "kll_sketch_get_quantile_double(kll_sketch_agg_double("
-                f"abs({x} - {med}), 800), 0.5D) AS __mad{i}"
+                f"abs({x} - {med}), {int(kll_k)}), 0.5D) AS __mad{i}"
             )
         aggs += [
             f"count({x}) AS __n{i}",
