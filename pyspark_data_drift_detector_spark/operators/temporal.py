@@ -502,19 +502,38 @@ def rollup_state(
     ``s``/``ss`` as exact ``DECIMAL(38,10)`` sums. Streaming micro-batch
     states (``streaming.state_tables.rollup_state_sink``) append rows of
     this shape and :func:`rollup_from_state` re-aggregates them, so batch
-    and streaming rollups are indistinguishable by construction."""
+    and streaming rollups are indistinguishable by construction.
+
+    Magnitude envelope: DECIMAL(38,10) holds 28 integer digits, so the
+    exactness claim requires ``|v| < 1e14`` (``v²`` must fit) — plenty
+    for metrics/prices/counts, NOT for raw nanosecond epochs. Values
+    outside the envelope (or NaN/±Inf) are NOT silently dropped: each
+    group carries ``n_overflow``, and :func:`rollup_from_state` raises
+    when any window it reads contains one. The state also records the
+    grain it was written at (``state_granularity``) so a reader can't
+    mislabel raw hour buckets as days (validated on read)."""
     dc = f"CAST(`{value_col}` AS DOUBLE)"
-    return events.selectExpr(
-        f"date_trunc('{granularity}', `{ts_col}`) AS bucket_start",
-        *[f"`{d}`" for d in dims],
-        f"{dc} AS __v",
-    ).groupBy("bucket_start", *dims).agg(
-        F.expr("count(1)").alias("n_rows"),
-        F.expr("count(__v)").alias("n"),
-        F.expr("sum(CAST(__v AS DECIMAL(38, 10)))").alias("s"),
-        F.expr("sum(CAST(__v * __v AS DECIMAL(38, 10)))").alias("ss"),
-        F.expr("min(__v)").alias("mn"),
-        F.expr("max(__v)").alias("mx"),
+    dec = "DECIMAL(38, 10)"
+    return (
+        events.selectExpr(
+            f"date_trunc('{granularity}', `{ts_col}`) AS bucket_start",
+            *[f"`{d}`" for d in dims],
+            f"{dc} AS __v",
+        )
+        .groupBy("bucket_start", *dims)
+        .agg(
+            F.expr("count(1)").alias("n_rows"),
+            F.expr("count(__v)").alias("n"),
+            F.expr(f"sum(try_cast(__v AS {dec}))").alias("s"),
+            F.expr(f"sum(try_cast(__v * __v AS {dec}))").alias("ss"),
+            F.expr("min(__v)").alias("mn"),
+            F.expr("max(__v)").alias("mx"),
+            F.expr(
+                f"sum(CAST(__v IS NOT NULL AND (try_cast(__v AS {dec}) IS NULL"
+                f" OR try_cast(__v * __v AS {dec}) IS NULL) AS BIGINT))"
+            ).alias("n_overflow"),
+        )
+        .selectExpr("*", f"'{granularity.lower()}' AS state_granularity")
     )
 
 
@@ -527,16 +546,54 @@ def rollup_from_state(
     may contain SEVERAL state rows per bucket (one per appended
     micro-batch) — the first level re-merges them with the same additive
     algebra, so a streaming-maintained state table rolls up to exactly
-    the batch answer."""
+    the batch answer.
+
+    When the state carries ``state_granularity`` (written by
+    :func:`rollup_state`), rows FINER than ``granularities[0]`` are
+    legal — the first merge re-truncates their buckets up to the
+    requested grain — and rows COARSER raise at execution (they cannot
+    be refined; silently relabeling them was the failure mode).  When
+    the state carries ``n_overflow``, any value that ever exceeded the
+    DECIMAL(38,10) envelope (or a whole-sum overflow nulling ``s``/
+    ``ss``) raises instead of yielding a silently wrong mean/stddev."""
+    from pyspark_data_drift_detector_spark.functions.quoting import qs
+
     dim_cols = list(dims)
     units = list(granularities)
-    merged = state.groupBy("bucket_start", *dim_cols).agg(
-        F.expr("sum(n_rows)").alias("n_rows"),
-        F.expr("sum(n)").alias("n"),
-        F.expr("sum(s)").alias("s"),
-        F.expr("sum(ss)").alias("ss"),
-        F.expr("min(mn)").alias("mn"),
-        F.expr("max(mx)").alias("mx"),
+    pre = state
+    if "state_granularity" not in pre.columns:
+        pre = pre.selectExpr("*", "CAST(NULL AS STRING) AS state_granularity")
+    if "n_overflow" not in pre.columns:
+        pre = pre.selectExpr("*", "CAST(0 AS BIGINT) AS n_overflow")
+    # grains at or finer than the requested first level can be merged up;
+    # anything else (coarser, or an unknown label) is flagged and raised
+    fine_enough = [
+        g for g in _TRUNC_ORDER
+        if _TRUNC_ORDER.index(g) <= _TRUNC_ORDER.index(units[0])
+    ]
+    if units[0] != "week":
+        fine_enough = [g for g in fine_enough if g != "week"]
+    ok_list = ", ".join(qs(g) for g in fine_enough)
+    merged = (
+        pre.selectExpr(
+            f"date_trunc('{units[0]}', bucket_start) AS bucket_start",
+            *[f"`{d}`" for d in dim_cols],
+            "n_rows", "n", "s", "ss", "mn", "mx", "n_overflow",
+            "CAST(state_granularity IS NOT NULL AND"
+            f" lower(state_granularity) NOT IN ({ok_list}) AS INT)"
+            " AS __bad_grain",
+        )
+        .groupBy("bucket_start", *dim_cols)
+        .agg(
+            F.expr("sum(n_rows)").alias("n_rows"),
+            F.expr("sum(n)").alias("n"),
+            F.expr("sum(s)").alias("s"),
+            F.expr("sum(ss)").alias("ss"),
+            F.expr("min(mn)").alias("mn"),
+            F.expr("max(mx)").alias("mx"),
+            F.expr("sum(n_overflow)").alias("n_overflow"),
+            F.expr("max(__bad_grain)").alias("__bad_grain"),
+        )
     )
     levels = [merged.selectExpr(f"'{units[0]}' AS granularity", "*")]
     for g in units[1:]:
@@ -546,6 +603,7 @@ def rollup_from_state(
                 f"date_trunc('{g}', bucket_start) AS bucket_start",
                 *[f"`{d}`" for d in dim_cols],
                 "n_rows", "n", "s", "ss", "mn", "mx",
+                "n_overflow", "__bad_grain",
             )
             .groupBy("bucket_start", *dim_cols)
             .agg(
@@ -555,20 +613,31 @@ def rollup_from_state(
                 F.expr("sum(ss)").alias("ss"),
                 F.expr("min(mn)").alias("mn"),
                 F.expr("max(mx)").alias("mx"),
+                F.expr("sum(n_overflow)").alias("n_overflow"),
+                F.expr("max(__bad_grain)").alias("__bad_grain"),
             )
             .selectExpr(f"'{g}' AS granularity", "*")
         )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
+    guard = (
+        "CASE WHEN __bad_grain > 0 THEN raise_error("
+        "'rollup_from_state: state rows are coarser than the requested"
+        f" first granularity \"{units[0]}\" and cannot be refined')"
+        " WHEN n_overflow > 0 OR (n > 0 AND (s IS NULL OR ss IS NULL))"
+        " THEN raise_error('rollup_state: a value exceeded the"
+        " DECIMAL(38,10) envelope (exactness requires abs(v) < 1e14) —"
+        " mean/stddev would be silently wrong')"
+    )
     return out.selectExpr(
         "granularity",
         "bucket_start",
         *[f"`{d}`" for d in dim_cols],
         "n_rows",
         "n",
-        "CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean",
-        "CASE WHEN n > 1 THEN sqrt(greatest(0.0D,"
+        f"{guard} WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean",
+        f"{guard} WHEN n > 1 THEN sqrt(greatest(0.0D,"
         " (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
         " / (n - 1))) END AS stddev",
         "mn AS min",

@@ -139,7 +139,13 @@ def read_rollup_state(
 ) -> DataFrame:
     """Continuous-aggregate read path: merge the appended rollup state
     rows and cascade them to the requested granularities (validated and
-    re-aggregated exactly like the batch ``rollup_timeseries``)."""
+    re-aggregated exactly like the batch ``rollup_timeseries``).
+
+    The state table records the grain it was written at
+    (``state_granularity``): reading state FINER than
+    ``granularities[0]`` re-truncates and merges it up to the requested
+    grain; reading state COARSER raises at execution instead of
+    silently relabeling raw buckets (e.g. hour rows as 'day')."""
     from pyspark_data_drift_detector_spark.operators.temporal import (
         _TRUNC_ORDER,
         rollup_from_state,
@@ -152,4 +158,60 @@ def read_rollup_state(
     dim_cols = list(dims) if dims is not None else ["event_type"]
     return rollup_from_state(
         spark.read.parquet(rollup_path), dim_cols, tuple(units)
+    )
+
+
+def completeness_state_sink(
+    state_path: str,
+    ts_col: str,
+    columns: list[str],
+    granularity: str = "day",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the ingest-health panel's state
+    (the ``completeness_timeseries`` streaming twin): each micro-batch
+    appends its per-``(bucket_start, column)`` additive ``(n_rows,
+    n_null)`` counts — the same cells the batch operator aggregates — so
+    :func:`read_completeness_state` over the appended table equals the
+    batch ``completeness_timeseries`` over the full event history
+    ROW-FOR-ROW, with no event replay.
+
+    A micro-batch spanning several buckets writes several state rows;
+    several batches landing in one bucket write several rows that merge
+    exactly (counts are additive). At 100 TB the panel reads only
+    O(buckets × columns) state rows."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        completeness_timeseries,
+    )
+
+    cols = list(columns)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        completeness_timeseries(batch_df, ts_col, cols, granularity).select(
+            "bucket_start", "column_name", "n_rows", "n_null"
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def read_completeness_state(spark, state_path: str) -> DataFrame:
+    """Merge appended completeness state rows back into the batch panel
+    shape (``bucket_start, column_name, n_rows, n_null, null_ratio``) —
+    one tiny groupBy over metadata-sized state, ratio recomputed from
+    the merged counts."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("bucket_start", "column_name")
+        .agg(
+            F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
+            F.expr("CAST(sum(n_null) AS BIGINT) AS n_null"),
+        )
+        .selectExpr(
+            "bucket_start",
+            "column_name",
+            "n_rows",
+            "n_null",
+            "CAST(n_null AS DOUBLE) / greatest(n_rows, 1) AS null_ratio",
+        )
     )

@@ -336,3 +336,122 @@ def test_rollup_state_sink_matches_batch_rollup(spark, sf_dir, tmp_path):
         read_rollup_state(
             spark, str(tmp_path / "rollup_state"), granularities=("day", "hour")
         )
+
+
+def test_completeness_state_sink_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of completeness_timeseries: micro-batches append
+    additive (n_rows, n_null) state; merging the appended table must
+    equal the batch panel over the full stream history ROW-FOR-ROW."""
+    import shutil
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        completeness_timeseries,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        completeness_state_sink,
+        read_completeness_state,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_dir = tmp_path / "completeness_ingest"
+    stream_dir.mkdir()
+    # two identical files -> two micro-batches: every day bucket gets TWO
+    # state rows that must merge to doubled counts
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    cols = ["user_id", "event_type", "value"]
+    sink = completeness_state_sink(
+        str(tmp_path / "completeness_state"), "ts", cols
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    def keyed(rows):
+        return {
+            (r["bucket_start"], r["column_name"]): (
+                r["n_rows"], r["n_null"], r["null_ratio"]
+            )
+            for r in rows
+        }
+
+    streamed = keyed(
+        read_completeness_state(
+            spark, str(tmp_path / "completeness_state")
+        ).collect()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = keyed(
+        completeness_timeseries(ev.unionByName(ev), "ts", cols).collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_rollup_state_overflow_and_grain_guards(spark, tmp_path):
+    """The DECIMAL(38,10) carry's magnitude envelope must fail LOUD:
+    a value with v*v outside the decimal range raises instead of being
+    silently dropped from the sums. Reading state coarser than the
+    requested first granularity raises; state finer than requested is
+    re-truncated and merges to the exact coarser answer."""
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_state,
+        rollup_timeseries,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        read_rollup_state,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    big = spark.createDataFrame(
+        [
+            (datetime(2024, 5, 1, 3), "a", 2.5e14),  # v*v = 6.25e28 > 1e28
+            (datetime(2024, 5, 1, 3), "a", 1.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    with pytest.raises(Exception, match="DECIMAL\\(38,10\\) envelope"):
+        rollup_timeseries(big, granularities=("hour",)).collect()
+    st = rollup_state(big, "ts", ["event_type"], "value", "hour").collect()
+    assert st[0]["n_overflow"] == 1 and st[0]["state_granularity"] == "hour"
+
+    ok = spark.createDataFrame(
+        [
+            (datetime(2024, 5, 1, 3), "a", 10.0),
+            (datetime(2024, 5, 1, 9), "a", 30.0),
+            (datetime(2024, 5, 2, 3), "b", 5.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    path = str(tmp_path / "grain_state")
+    rollup_state(ok, "ts", ["event_type"], "value", "hour").write.parquet(path)
+
+    # finer-than-requested state re-truncates: day panel from hour state
+    # equals the direct day rollup
+    def keyed(rows):
+        return {
+            (r["granularity"], r["bucket_start"], r["event_type"]): (
+                r["n_rows"], r["n"], r["mean"], r["stddev"], r["min"], r["max"]
+            )
+            for r in rows
+        }
+
+    from_hour_state = keyed(
+        read_rollup_state(spark, path, granularities=("day", "month")).collect()
+    )
+    direct = keyed(
+        rollup_timeseries(ok, granularities=("day", "month")).collect()
+    )
+    assert from_hour_state == direct and len(from_hour_state) > 0
+
+    # coarser-than-requested state raises instead of mislabeling
+    day_path = str(tmp_path / "day_state")
+    rollup_state(ok, "ts", ["event_type"], "value", "day").write.parquet(day_path)
+    with pytest.raises(Exception, match="coarser than the requested"):
+        read_rollup_state(spark, day_path, granularities=("hour", "day")).collect()
