@@ -485,3 +485,41 @@ def test_pq_adc_algebra(spark):
     # q's table: s0 -> [0, 2], s1 -> [0, 2]; ADC(1)=0+0=0, ADC(2)=2+2=4 →
     # both in candidates; exact dot re-rank: 1 -> 0.9, 2 -> 0.1
     assert ranked == [1, 2]
+
+
+def test_decode_images_vectorized_matches_reference(spark):
+    """The batch-vectorized decode must equal the definitional per-row
+    math exactly: FNV-1a per-byte loop, np.mean/np.std, bincount hist —
+    including empty and >256-byte payloads."""
+    import numpy as np
+
+    texts = [
+        (1, "hello world"),
+        (2, ""),                      # empty payload
+        (3, "x" * 300),               # head truncates at 256
+        (4, "spark éü multimodal"),  # multi-byte utf-8
+        (5, "a"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    feats = {
+        r["doc_id"]: r
+        for r in decode_images(attach_fake_payload(docs)).collect()
+    }
+    for doc_id, text in texts:
+        data = text.encode("utf-8")
+        arr = np.frombuffer(data, dtype=np.uint8)
+        r = feats[doc_id]
+        assert r["n_bytes"] == len(data)
+        assert r["byte_mean"] == pytest.approx(
+            float(arr.mean()) if arr.size else 0.0, abs=1e-9
+        )
+        assert r["byte_std"] == pytest.approx(
+            float(arr.std()) if arr.size else 0.0, abs=1e-9
+        )
+        h = 0xCBF29CE484222325
+        for byte in data[:256]:
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        assert r["head_hash"] == (h - 2**64 if h >= 2**63 else h)
+        idx = (arr.astype(np.int64) * 8) // 256
+        hist = np.bincount(idx, minlength=8) / max(arr.size, 1)
+        assert r["features"] == pytest.approx(hist.tolist(), abs=1e-12)
