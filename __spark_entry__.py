@@ -5149,6 +5149,31 @@ def _chunk_documents_sql() -> str:
     FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)"""
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token context windows by contiguous fill
+    in doc_id order — the distributed two-phase prefix sum assigns every
+    document a reproducible pack_id; the oracle replays the running sum
+    as a plain window (bit-identical integer math)."""
+    from pyspark_data_drift_detector_spark.operators.text import pack_documents
+
+    return pack_documents(_documents(spark, sf_dir), budget=512)
+
+
+def _pack_documents_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks)
+    SELECT doc_id, n_tokens,
+      CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id FROM cum"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis deterministic weighted sample (k=50, weight =
     n_chars) — TakeOrderedAndProject top-k, no global sort."""
@@ -5450,6 +5475,7 @@ def _oracle_queries() -> dict[str, str]:
         "functional_dependencies": _functional_dependencies_sql(),
         "benford_deviation": _benford_deviation_sql(),
         "completeness_timeseries": _completeness_timeseries_sql(),
+        "pack_documents": _pack_documents_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5542,6 +5568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_deviation": q_benford_deviation,
         "completeness_timeseries": q_completeness_timeseries,
         "zipf_fit": q_zipf_fit,
+        "image_features": q_image_features,
+        "pack_documents": q_pack_documents,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,
@@ -5602,7 +5630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "corr_groups": q_corr_groups,
         "multimodal_meta": q_multimodal_meta,
-        "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "pca_anomaly": q_pca_anomaly,
         "hash_split": q_hash_split,

@@ -285,6 +285,7 @@ def numeric_profile_pair(
     quantile_accuracy: int = 10000,
     with_shape: bool = False,
     quantile_mode: str = "auto",
+    kll_k: int = 800,
 ) -> DataFrame:
     """Both sides' profiles in ONE scan+aggregate over a side-tagged union.
 
@@ -339,7 +340,8 @@ def numeric_profile_pair(
                 ]
             if qlist and quantile_mode != "counts":
                 qsql = _quantile_agg_sql(
-                    dc, qlist, quantile_mode, exact_quantiles, quantile_accuracy
+                    dc, qlist, quantile_mode, exact_quantiles,
+                    quantile_accuracy, kll_k,
                 )
                 qaggs.append(f"{qsql} AS `{pre}__{c}__q`")
 

@@ -331,3 +331,87 @@ def pii_scrub(
     return df.select(
         *out_cols, *counts, cur.alias("scrubbed")
     ).withColumn("n_pii_total", total.cast("long"))
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic sequence packing for training-data prep: assign each
+    document to a fixed-token-budget pack (context window) by contiguous
+    fill in ``id_col`` order — ``pack_id = exclusive_prefix_tokens DIV
+    budget``. The assignment is a pure function of the data (stable
+    across partitioning, layout, and re-runs), so packs are reproducible
+    and append-only corpora extend their last pack instead of reshuffling
+    everything.
+
+    Semantics: a document whose tokens straddle a boundary stays WHOLE in
+    the pack where it starts (packs can overfill by at most one document;
+    ``packing_stats`` reports the fill ratios). Pass a precomputed
+    ``token_col`` to pack by a real tokenizer's counts; default is the
+    engine's whitespace token count (``text_stats`` convention). For a
+    shuffled or curriculum order, pre-compute the order into ``id_col``
+    (e.g. a hash for shuffled packing).
+
+    Scale shape: the global running sum is the distributed two-phase
+    prefix sum (``cumulative.bucketed_cumsum``): equi-depth id-range
+    buckets × broadcast offsets — parallelism ``num_buckets``, no task
+    ever sorts the whole corpus, and the integer sums are bit-exact (the
+    oracle replays a plain window cumsum). One scan, one groupBy-free
+    pass over O(docs) rows.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+    from pyspark_data_drift_detector_spark.operators.cumulative import (
+        bucketed_cumsum,
+    )
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ensure_safe_columns([id_col, token_col or text_col])
+    if token_col is not None:
+        toks = F.col(token_col).cast("long")
+    else:
+        toks = F.size(tokens_expr(F.col(text_col))).cast("long")
+    docs = df.select(
+        F.lit("all").alias("__corpus"),
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+    )
+    cum = bucketed_cumsum(
+        docs, key="__corpus", order="doc_id", counts=["n_tokens"],
+        num_buckets=num_buckets,
+    )
+    return cum.selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"(cum_n_tokens - n_tokens) DIV {int(budget)} AS pack_id",
+    )
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack fill panel over :func:`pack_documents` output: ``pack_id,
+    n_docs, pack_tokens, fill_ratio, overflowed`` — the padding-waste /
+    boundary-straddle report a packing run is judged by. One tiny keyed
+    groupBy (O(packs) rows)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.expr("count(1) AS n_docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT) AS pack_tokens"),
+        )
+        .selectExpr(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            f"CAST(pack_tokens AS DOUBLE) / {int(budget)} AS fill_ratio",
+            f"pack_tokens > {int(budget)} AS overflowed",
+        )
+    )

@@ -288,3 +288,58 @@ def test_normalize_text_collapses_variants(spark):
     assert not out[1]["is_duplicate"]
     assert out[2]["is_duplicate"] and out[3]["is_duplicate"]
     assert out[4]["group_size"] == 1 and not out[4]["is_duplicate"]
+
+
+def test_pack_documents_contiguous_fill(spark):
+    """Packing semantics: contiguous fill in id order, straddling docs
+    stay whole in the pack where they start, zero-token docs are
+    assigned, token_col overrides the whitespace count, and the
+    assignment is partitioning-independent."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        pack_documents,
+        packing_stats,
+    )
+
+    # token counts by id order: 4, 3, 5, 2, 6, 1  (budget 8)
+    # exclusive prefix: 0, 4, 7, 12, 14, 20 -> packs 0,0,0,1,1,2
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "e f g"),
+            (3, "h i j k l"),     # starts at 7 < 8: stays in pack 0 (overfills)
+            (4, "m n"),
+            (5, "o p q r s t"),
+            (6, "u"),
+        ],
+        "doc_id long, text string",
+    )
+    packed = pack_documents(docs, budget=8)
+    got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 2}
+
+    stats = {r["pack_id"]: r for r in packing_stats(packed, budget=8).collect()}
+    assert stats[0]["pack_tokens"] == 12 and stats[0]["overflowed"]
+    assert stats[0]["fill_ratio"] == pytest.approx(1.5)
+    assert stats[1]["pack_tokens"] == 8 and not stats[1]["overflowed"]
+    assert stats[2]["n_docs"] == 1 and stats[2]["pack_tokens"] == 1
+
+    # layout independence: same assignment from a different partitioning
+    got_re = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_documents(docs.repartition(7), budget=8).collect()
+    }
+    assert got_re == got
+
+    # token_col path + a doc longer than the budget owns its overflow
+    counted = spark.createDataFrame(
+        [(1, 20), (2, 3)], "doc_id long, n long"
+    )
+    got_tc = {
+        r["doc_id"]: r
+        for r in pack_documents(counted, budget=8, token_col="n").collect()
+    }
+    assert got_tc[1]["pack_id"] == 0 and got_tc[1]["n_tokens"] == 20
+    assert got_tc[2]["pack_id"] == 2  # next doc starts at floor(20/8)=2
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(docs, budget=0)
