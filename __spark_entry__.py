@@ -5149,6 +5149,37 @@ def _chunk_documents_sql() -> str:
     FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)"""
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination of the corpus against the eval
+    slice (vec_id % 50 == 0): max cosine per corpus vector against the
+    inlined benchmark matrix — a narrow map, no join or shuffle."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    out = semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), threshold=0.9
+    )
+    return _round_cols(out, ["max_cosine"])
+
+
+def _semantic_decontaminate_sql() -> str:
+    return f"""
+    WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT c.vec_id, b.bid,
+            list_cosine_similarity(c.e, b.e) AS sim,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY list_cosine_similarity(c.e, b.e) DESC, b.bid ASC) AS rnk
+          FROM c CROSS JOIN b)
+    SELECT vec_id, ROUND(sim, {ROUND}) AS max_cosine,
+      CAST(bid AS BIGINT) AS nearest_eval_id,
+      sim >= 0.9 AS contaminated
+    FROM s WHERE rnk = 1"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing into 512-token context windows by contiguous fill
     in doc_id order — the distributed two-phase prefix sum assigns every
@@ -5476,6 +5507,7 @@ def _oracle_queries() -> dict[str, str]:
         "benford_deviation": _benford_deviation_sql(),
         "completeness_timeseries": _completeness_timeseries_sql(),
         "pack_documents": _pack_documents_sql(),
+        "semantic_decontaminate": _semantic_decontaminate_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5570,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "image_features": q_image_features,
         "pack_documents": q_pack_documents,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

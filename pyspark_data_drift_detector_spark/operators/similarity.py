@@ -714,3 +714,78 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_benchmark_cells: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine similarity to ANY benchmark/eval vector reaches ``threshold``
+    — the semantic sibling of the n-gram ``quality.decontaminate`` trio,
+    catching paraphrased or reformatted eval leakage that shares no
+     4-gram with the benchmark.
+
+    Shape: the benchmark (eval sets are small by definition) is inlined
+    as ONE matrix literal in the plan — like the LSH hyperplanes — so
+    scoring is a NARROW MAP over the corpus scan: per row, one
+    ``transform`` computes all benchmark dot products, norms come from
+    the same literal, and max/argmax are array folds. No join, no
+    shuffle, no O(corpus × eval) intermediate — the corpus is read once
+    and the per-row cost is eval_n × dim multiply-adds inside
+    whole-stage codegen. ``max_benchmark_cells`` (rows × dim) bounds the
+    driver-side collect and the plan size; for eval sets beyond it,
+    prefilter with ``lsh_topk``/``ivf_topk`` instead of one literal.
+
+    Output per corpus row: ``vec_id, max_cosine, nearest_eval_id,
+    contaminated`` (ties on cosine resolve to the smallest eval id).
+    Benchmark members present in the corpus flag themselves (cosine 1) —
+    the first thing decontamination must remove.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    rows = (
+        benchmark.select(
+            F.col(id_col).alias("bid"),
+            F.col(embedding_col).cast("array<double>").alias("be"),
+        )
+        .orderBy("bid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("benchmark is empty")
+    dim = len(rows[0]["be"])
+    if len(rows) * dim > max_benchmark_cells:
+        raise ValueError(
+            f"benchmark too large to inline ({len(rows)} x {dim} cells >"
+            f" {max_benchmark_cells}); prefilter with lsh_topk/ivf_topk"
+        )
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in r["be"]) + ")"
+        for r in rows
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(r["bid"])) for r in rows) + ")"
+    c = corpus.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS ce",
+    )
+    return c.selectExpr(
+        "vec_id",
+        # cosines to every benchmark row, then max + first-argmax
+        f"""zip_with(
+          transform({mat}, p -> aggregate(zip_with(ce, p, (x, y) -> x * y),
+                                          0.0D, (s, x) -> s + x)),
+          transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
+          (d, nb) -> d / (sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nb)
+        ) AS __cos""",
+    ).selectExpr(
+        "vec_id",
+        "array_max(__cos) AS max_cosine",
+        f"CAST({ids}[array_position(__cos, array_max(__cos)) - 1]"
+        " AS BIGINT) AS nearest_eval_id",
+        f"array_max(__cos) >= {float(threshold)!r}D AS contaminated",
+    )

@@ -523,3 +523,46 @@ def test_decode_images_vectorized_matches_reference(spark):
         idx = (arr.astype(np.int64) * 8) // 256
         hist = np.bincount(idx, minlength=8) / max(arr.size, 1)
         assert r["features"] == pytest.approx(hist.tolist(), abs=1e-12)
+
+
+def test_semantic_decontaminate(spark):
+    """Cosine contamination against an inlined eval matrix: exact matches
+    and scaled copies flag (cosine 1), orthogonal vectors don't, ties
+    resolve to the smallest eval id, and the guards fire."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact eval member
+            (2, [2.0, 0.0, 0.0]),   # scaled copy -> cosine 1.0
+            (3, [0.0, 1.0, 0.0]),   # orthogonal to eval 10, equals eval 20
+            (4, [0.0, 0.0, 1.0]),   # orthogonal to both evals
+            (5, [1.0, 1.0, 0.0]),   # cos 0.707 to BOTH evals: tie -> id 10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_cosine"] == pytest.approx(1.0)
+    assert out[1]["nearest_eval_id"] == 10
+    assert out[2]["contaminated"] and out[2]["max_cosine"] == pytest.approx(1.0)
+    assert out[3]["contaminated"] and out[3]["nearest_eval_id"] == 20
+    assert not out[4]["contaminated"] and out[4]["max_cosine"] == pytest.approx(0.0)
+    assert not out[5]["contaminated"]
+    assert out[5]["max_cosine"] == pytest.approx(2 ** -0.5)
+    assert out[5]["nearest_eval_id"] == 10  # tie -> smallest eval id
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_decontaminate(corpus, bench, threshold=0.0)
+    with pytest.raises(ValueError, match="benchmark is empty"):
+        semantic_decontaminate(corpus, bench.filter("vec_id < 0"))
+    with pytest.raises(ValueError, match="too large to inline"):
+        semantic_decontaminate(corpus, bench, max_benchmark_cells=3)
