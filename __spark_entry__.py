@@ -5180,6 +5180,55 @@ def _semantic_decontaminate_sql() -> str:
     FROM s WHERE rnk = 1"""
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-mixture drift between the even/odd embedding snapshots:
+    shared deterministic centroids (first 8 ref vectors), narrow-map
+    argmax-cosine assignment, per-cluster share comparison."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    out = cluster_balance_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        n_clusters=8,
+        threshold=0.0215,
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _cluster_balance_sql() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+    v AS (
+      SELECT CASE WHEN vec_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+             vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    a AS (
+      SELECT side, vec_id, cid,
+        ROW_NUMBER() OVER (PARTITION BY side, vec_id
+          ORDER BY list_cosine_similarity(v.e, cents.e) DESC, cid ASC) AS rnk
+      FROM v CROSS JOIN cents),
+    cnt AS (
+      SELECT CAST(cid AS BIGINT) AS cluster_id,
+        CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS curr_n
+      FROM a WHERE rnk = 1 GROUP BY 1),
+    sh AS (
+      SELECT cluster_id, ref_n, curr_n,
+        CAST(ref_n AS DOUBLE) / greatest(SUM(ref_n) OVER (), 1) AS rs,
+        CAST(curr_n AS DOUBLE) / greatest(SUM(curr_n) OVER (), 1) AS cs
+      FROM cnt)
+    SELECT cluster_id, ref_n, curr_n,
+      ROUND(rs, {ROUND}) AS ref_share,
+      ROUND(cs, {ROUND}) AS curr_share,
+      ROUND(abs(cs - rs), {ROUND}) AS share_abs_diff,
+      abs(cs - rs) > 0.0215 AS drift_detected
+    FROM sh"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing into 512-token context windows by contiguous fill
     in doc_id order — the distributed two-phase prefix sum assigns every
@@ -5508,6 +5557,7 @@ def _oracle_queries() -> dict[str, str]:
         "completeness_timeseries": _completeness_timeseries_sql(),
         "pack_documents": _pack_documents_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
+        "cluster_balance": _cluster_balance_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5603,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "pack_documents": q_pack_documents,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "cluster_balance": q_cluster_balance,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

@@ -789,3 +789,87 @@ def semantic_decontaminate(
         " AS BIGINT) AS nearest_eval_id",
         f"array_max(__cos) >= {float(threshold)!r}D AS contaminated",
     )
+
+
+def cluster_balance_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.05,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Topic-mixture drift over embedding clusters: assign both snapshots'
+    vectors to shared centroids and compare each cluster's share — the
+    corpus-composition check the per-dimension ``embedding_drift`` stats
+    can't see (every marginal unchanged, but the MIX of topics rotated:
+    a crawl that quietly became 40% one domain).
+
+    Centroids are the first ``n_clusters`` REF vectors by id — the
+    deterministic, oracle-replayable choice (``ivf_topk`` convention;
+    substitute an offline KMeans fit in production). Assignment is the
+    ``semantic_decontaminate`` shape: the centroid matrix inlines as ONE
+    literal, so each side's assignment is a narrow map over its scan
+    (argmax cosine, smallest centroid id on ties), followed by ONE
+    side-tagged ``groupBy(cluster_id)`` — no crossJoin rows, no window
+    over data. Shares come from a window over the O(clusters) panel.
+
+    Output per cluster (clusters empty on BOTH sides are absent):
+    ``cluster_id, ref_n, curr_n, ref_share, curr_share, share_abs_diff,
+    drift_detected`` (``|curr_share − ref_share| > threshold``).
+    """
+    rows = (
+        df_ref.select(
+            F.col(id_col).alias("cid"),
+            F.col(embedding_col).cast("array<double>").alias("ce"),
+        )
+        .orderBy("cid")
+        .limit(n_clusters)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("reference snapshot is empty")
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
+        for r in rows
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
+
+    def tag(df: DataFrame, side: str) -> DataFrame:
+        return df.selectExpr(
+            f"'{side}' AS side",
+            f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e",
+        ).selectExpr(
+            "side",
+            f"""zip_with(
+              transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
+                                              0.0D, (s, x) -> s + x)),
+              transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
+              (d, nc) -> d / (sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc)
+            ) AS __cos""",
+        ).selectExpr(
+            "side",
+            f"CAST({ids}[array_position(__cos, array_max(__cos)) - 1]"
+            " AS BIGINT) AS cluster_id",
+        )
+    counts = (
+        tag(df_ref, "r")
+        .unionByName(tag(df_curr, "c"))
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("sum(CAST(side = 'r' AS BIGINT)) AS ref_n"),
+            F.expr("sum(CAST(side = 'c' AS BIGINT)) AS curr_n"),
+        )
+    )
+    # O(clusters) rows: the unpartitioned totals window is a bounded frame
+    return counts.selectExpr(
+        "cluster_id",
+        "ref_n",
+        "curr_n",
+        "CAST(ref_n AS DOUBLE) / greatest(sum(ref_n) OVER (), 1) AS ref_share",
+        "CAST(curr_n AS DOUBLE) / greatest(sum(curr_n) OVER (), 1) AS curr_share",
+    ).selectExpr(
+        "*",
+        "abs(curr_share - ref_share) AS share_abs_diff",
+        f"abs(curr_share - ref_share) > {float(threshold)!r}D AS drift_detected",
+    )

@@ -566,3 +566,56 @@ def test_semantic_decontaminate(spark):
         semantic_decontaminate(corpus, bench.filter("vec_id < 0"))
     with pytest.raises(ValueError, match="too large to inline"):
         semantic_decontaminate(corpus, bench, max_benchmark_cells=3)
+
+
+def test_cluster_balance_drift(spark):
+    """Per-cluster share comparison with constructed assignments: known
+    counts, shares, and the drift flag; smallest-centroid-id tie-break;
+    empty-ref guard."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+    )
+
+    # centroids = first 2 ref vectors by id: axis-aligned e1 / e2
+    ref = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),   # -> cluster 1
+            (4, [0.1, 0.9]),   # -> cluster 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    curr = spark.createDataFrame(
+        [
+            (10, [0.8, 0.2]),  # -> cluster 1
+            (11, [0.7, 0.3]),  # -> cluster 1
+            (12, [0.6, 0.4]),  # -> cluster 1
+            (13, [0.2, 0.8]),  # -> cluster 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_balance_drift(
+            ref, curr, n_clusters=2, threshold=0.2
+        ).collect()
+    }
+    assert out[1]["ref_n"] == 2 and out[1]["curr_n"] == 3
+    assert out[1]["ref_share"] == pytest.approx(0.5)
+    assert out[1]["curr_share"] == pytest.approx(0.75)
+    assert out[1]["share_abs_diff"] == pytest.approx(0.25)
+    assert out[1]["drift_detected"]
+    assert out[2]["ref_n"] == 2 and out[2]["curr_n"] == 1
+    assert out[2]["drift_detected"]
+
+    # tie on cosine (diagonal vector): smallest centroid id wins
+    diag = spark.createDataFrame(
+        [(30, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    tie = cluster_balance_drift(ref, diag, n_clusters=2, threshold=0.9).collect()
+    got = {r["cluster_id"]: r["curr_n"] for r in tie}
+    assert got.get(1, 0) == 1 and got.get(2, 0) == 0
+
+    with pytest.raises(ValueError, match="reference snapshot is empty"):
+        cluster_balance_drift(ref.filter("vec_id < 0"), curr)
