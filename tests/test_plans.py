@@ -629,3 +629,62 @@ def test_checkpointed_operators_stay_plan_testable(spark, sf_dir):
     assert_column_pruned(mi, "o_totalprice")
     assert_column_pruned(mi, "o_comment")
     assert read_schemas(mi), "lazy MI plan must expose its file scans"
+
+
+def test_round8_operators_plan_contracts(spark, sf_dir):
+    """Scale shapes of the round-8 operators: semantic_decontaminate is a
+    pure narrow map (zero shuffles, one scan); cluster_balance assigns
+    narrowly and aggregates once per side-union; pack_documents carries
+    no full-corpus single-task window (its windows are bucketed by the
+    prefix-sum infra); benford/completeness prune their scans."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        benford_deviation,
+    )
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+        semantic_decontaminate,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        completeness_timeseries,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import pack_documents
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        assert_column_pruned,
+        count_scans,
+        count_shuffles,
+        sorted_windows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    sd = semantic_decontaminate(emb, bench, threshold=0.9)
+    assert count_shuffles(sd) == 0, "decontamination must stay a narrow map"
+    assert count_scans(sd) == 1
+
+    cb = cluster_balance_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        n_clusters=4,
+    )
+    # one groupBy(cluster) exchange + the O(clusters) share window
+    assert count_shuffles(cb) <= 3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pk = pack_documents(docs, budget=512)
+    assert_column_pruned(pk, "lang")
+    assert_column_pruned(pk, "source")
+    for arity, sort in sorted_windows(pk):
+        # the only arity-1 sorted windows allowed are over the tiny
+        # per-bucket offsets table (sorted by __bucket), never the corpus
+        if arity < 2:
+            assert "__bucket" in sort, f"corpus-wide sorted window: {sort}"
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bf = benford_deviation(li, ["l_quantity", "l_tax"])
+    assert_column_pruned(bf, "l_extendedprice")
+    assert_column_pruned(bf, "l_comment")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ct = completeness_timeseries(ev, "ts", ["user_id", "value"])
+    assert_column_pruned(ct, "props")
+    assert count_shuffles(ct) <= 1
