@@ -5180,6 +5180,40 @@ def _semantic_decontaminate_sql() -> str:
     FROM s WHERE rnk = 1"""
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: even-id documents are the already-seen
+    state (fingerprints only), odd-id documents the new batch; per new
+    doc: dup-of-state / dup-in-batch / keep."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    docs = _documents(spark, sf_dir)
+    seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0))
+    return dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), seen)
+
+
+def _dedup_incremental_sql() -> str:
+    return """
+    WITH fp AS (
+      SELECT doc_id,
+        md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+    new AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+    r AS (
+      SELECT n.doc_id, n.fingerprint,
+        s.fingerprint IS NOT NULL AS dup_of_state,
+        ROW_NUMBER() OVER (PARTITION BY n.fingerprint
+          ORDER BY n.doc_id ASC) AS rnk
+      FROM new n LEFT JOIN seen s USING (fingerprint))
+    SELECT doc_id, fingerprint, dup_of_state,
+      rnk > 1 AS dup_in_batch,
+      (NOT dup_of_state) AND rnk = 1 AS keep
+    FROM r"""
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-mixture drift between the even/odd embedding snapshots:
     shared deterministic centroids (first 8 ref vectors), narrow-map
@@ -5558,6 +5592,7 @@ def _oracle_queries() -> dict[str, str]:
         "pack_documents": _pack_documents_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
         "cluster_balance": _cluster_balance_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5654,6 +5689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "semantic_decontaminate": q_semantic_decontaminate,
         "cluster_balance": q_cluster_balance,
+        "dedup_incremental": q_dedup_incremental,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

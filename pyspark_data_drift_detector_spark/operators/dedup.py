@@ -789,3 +789,53 @@ def dedup_survivors_by(
         "left_anti",
     )
     return keep_clustered.unionByName(unclustered)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: which NEW documents duplicate the
+    already-ingested corpus? ``seen`` is the compact fingerprint state
+    (a ``fingerprint`` column — maintain it by appending
+    :func:`text.fingerprint` output per ingest batch, or with
+    ``streaming.state_tables.fingerprint_state_sink``), so each batch is
+    checked against O(distinct fingerprints) state, never the raw
+    corpus.
+
+    Per new document: ``dup_of_state`` (its normalization fingerprint is
+    already in the state), ``dup_in_batch`` (an earlier-id document in
+    THIS batch shares the fingerprint), and the combined ``keep``
+    decision (first unseen occurrence). Batch-order-free: ties resolve
+    by smallest id, so the same batch always keeps the same rows.
+
+    Scale shape: one LEFT join + one window, both keyed by the
+    fingerprint (uniform md5 keys — no hot reducer); the state side is
+    pre-distinct, broadcast-able while small and a plain shuffled join
+    at 100 TB. The raw text is hashed once, then only 32-char keys move.
+    """
+    from pyspark.sql import Window
+
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    fp = fingerprint(new_docs, text_col=text_col, id_col=id_col)
+    seen_keys = (
+        seen.select(F.col("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    win = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        fp.join(seen_keys, "fingerprint", "left")
+        .withColumn("__rn", F.row_number().over(win))
+        .selectExpr(
+            f"`{id_col}`",
+            "fingerprint",
+            "__seen IS NOT NULL AS dup_of_state",
+            "__rn > 1 AS dup_in_batch",
+            "__seen IS NULL AND __rn = 1 AS keep",
+        )
+    )

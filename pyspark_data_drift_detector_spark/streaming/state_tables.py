@@ -215,3 +215,23 @@ def read_completeness_state(spark, state_path: str) -> DataFrame:
             "CAST(n_null AS DOUBLE) / greatest(n_rows, 1) AS null_ratio",
         )
     )
+
+
+def fingerprint_state_sink(
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the corpus fingerprint state that
+    :func:`operators.dedup.dedup_incremental` checks new batches against:
+    each micro-batch appends its documents' normalization fingerprints
+    (32-char md5 keys — O(batch rows) metadata, never the text).
+    Duplicate keys across appends are fine: the reader distincts."""
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fingerprint(batch_df, text_col=text_col, id_col=id_col).select(
+            "fingerprint"
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch

@@ -343,3 +343,55 @@ def test_pack_documents_contiguous_fill(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_documents(docs, budget=0)
+
+
+def test_dedup_incremental(spark, tmp_path):
+    """Incremental ingest dedup: state hits, within-batch dups (smallest
+    id kept), normalization-insensitive matching, and the streaming
+    fingerprint state sink feeding the same decision."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    seen_docs = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "old news")], "doc_id long, text string"
+    )
+    seen = fingerprint(seen_docs)
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),    # normalization dup of state doc 1
+            (11, "fresh content"),  # new
+            (12, "fresh content"),  # within-batch dup of 11
+            (13, "brand new"),      # new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(batch, seen).collect()}
+    assert out[10]["dup_of_state"] and not out[10]["keep"]
+    assert not out[11]["dup_of_state"] and not out[11]["dup_in_batch"]
+    assert out[11]["keep"]
+    assert out[12]["dup_in_batch"] and not out[12]["keep"]
+    assert out[13]["keep"]
+
+    # streaming state sink: appended fingerprints drive the same verdicts
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        fingerprint_state_sink,
+    )
+
+    stream_dir = tmp_path / "fp_ingest"
+    seen_docs.write.parquet(str(stream_dir))
+    stream = (
+        spark.readStream.schema(seen_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    sink = fingerprint_state_sink(str(tmp_path / "fp_state"))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    state = spark.read.parquet(str(tmp_path / "fp_state"))
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_incremental(batch, state).collect()
+    }
+    assert out2 == {k: v["keep"] for k, v in out.items()}
