@@ -79,6 +79,20 @@ def quantiles_by_counts(
     ``column_name, [<pre>_]q array<double>``.
     """
     sides = sides if sides is not None else {"": F.lit(True)}
+    return _quantiles_from_cells(_quantile_cells(tagged, cols, sides), qlist, sides)
+
+
+def _quantile_cells(
+    tagged: DataFrame,
+    cols: list[str],
+    sides: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """The (column_name, value → per-side count) histogram feeding
+    :func:`_quantiles_from_cells` — factored out so rank statistics over
+    TRANSFORMS of the values (e.g. the MAD's |x − median| deviations) can
+    be re-derived from this O(distinct) table instead of re-scanning the
+    raw data."""
+    sides = sides if sides is not None else {"": F.lit(True)}
     extra = [c for c in ("__side",) if c in tagged.columns]
     pairs = F.array(
         *[
@@ -93,12 +107,23 @@ def quantiles_by_counts(
         .select(*extra, "kv.*")
         .where(F.col("value").isNotNull())
     )
-    cells = melted.groupBy("column_name", "value").agg(
+    return melted.groupBy("column_name", "value").agg(
         *[
             F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"__{pre}cnt")
             for pre, cond in sides.items()
         ]
     )
+
+
+def _quantiles_from_cells(
+    cells: DataFrame,
+    qlist: list[float],
+    sides: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Exact quantiles from a pre-built value histogram (the second half
+    of :func:`quantiles_by_counts`): distributed prefix sum over the
+    cells, then the order-statistic reconstruction per column."""
+    sides = sides if sides is not None else {"": F.lit(True)}
     from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
 
     cells = bucketed_cumsum(
@@ -498,6 +523,15 @@ def robust_profile(
     partial. Values exactly AT a bound are kept (closed interval), so
     heavy tie groups at the bound behave deterministically.
 
+    Counts mode reads the raw table ONCE for all rank statistics: the
+    value histogram (``_quantile_cells``) yields the bounds, and the
+    MAD's deviation histogram is DERIVED from it (|value − median|
+    re-grouped over O(distinct) cells — multiplicities add when
+    ``v = med ± d`` collide), never a second raw scan. The two small
+    persisted frames (cells, per-column quantiles) follow the module's
+    callers-clear convention: they are reclaimed once the returned
+    frame's references drop.
+
     Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
     winsorized_mean, n_trimmed``.
 
@@ -520,10 +554,33 @@ def robust_profile(
         raise ValueError("no columns")
     ensure_safe_columns(columns)
     lo_p, hi_p = float(trim), float(1.0 - trim)
-    bounds = _wide_quantile_row(
-        df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b",
-        kll_k=kll_k,
-    )
+    cells = None
+    if quantile_mode == "counts":
+        # ONE melt + groupBy builds the value histogram; the bounds AND
+        # the MAD deviation quantiles both come from it — the deviation
+        # histogram is |value − median| re-grouped over O(distinct)
+        # cells, so the raw table is never re-scanned for the MAD pass
+        from pyspark import StorageLevel
+
+        cells = _quantile_cells(df, columns).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        qt = _quantiles_from_cells(cells, [lo_p, 0.5, hi_p]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        bounds = qt.groupBy().agg(
+            *[
+                F.max(F.when(F.col("column_name") == c, F.col("q"))).alias(
+                    f"__b{i}"
+                )
+                for i, c in enumerate(columns)
+            ]
+        )
+    else:
+        bounds = _wide_quantile_row(
+            df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b",
+            kll_k=kll_k,
+        )
     aggs = []
     for i, c in enumerate(columns):
         x = f"CAST(`{c}` AS DOUBLE)"
@@ -550,20 +607,28 @@ def robust_profile(
     )
     if quantile_mode == "counts":
         # the MAD median runs on the DEVIATION value histogram — exact,
-        # no per-column value buffering (same engine as the bounds pass)
-        dev = df.join(F.broadcast(bounds)).selectExpr(
-            *[
-                f"abs(CAST(`{c}` AS DOUBLE) - __b{i}[1]) AS `__dev{i}`"
-                for i, c in enumerate(columns)
-            ]
+        # no per-column value buffering, and DERIVED from the same cells
+        # as the bounds (|value − median| re-grouped: multiplicities add
+        # when v = med ± d collide), so no second raw scan
+        med = qt.selectExpr("column_name", "q[1] AS __med")
+        dev_cells = (
+            cells.join(F.broadcast(med), "column_name")
+            .selectExpr("column_name", "abs(value - __med) AS value", "__cnt")
+            .groupBy("column_name", "value")
+            .agg(F.sum("__cnt").alias("__cnt"))
         )
-        mad_row = _wide_quantile_row(
-            dev,
-            [f"__dev{i}" for i in range(len(columns))],
-            [0.5],
-            "counts",
-            prefix="__m",
-        ).selectExpr(*[f"__m{i}[0] AS __mad{i}" for i in range(len(columns))])
+        mad_row = (
+            _quantiles_from_cells(dev_cells, [0.5])
+            .groupBy()
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("column_name") == c, F.col("q")[0])
+                    ).alias(f"__mad{i}")
+                    for i, c in enumerate(columns)
+                ]
+            )
+        )
         wide = wide.join(F.broadcast(mad_row))
     structs = ", ".join(
         f"named_struct('column_name', '{c}', 'n', CAST(__n{i} AS BIGINT),"
