@@ -494,10 +494,52 @@ def equidepth_histogram(
     if not columns:
         raise ValueError("no columns")
     ensure_safe_columns(columns)
+    probs = [i / bins for i in range(bins + 1)]
+    if quantile_mode == "counts":
+        # ONE raw scan total: the value histogram yields the edges AND
+        # the bin counts (a bin's count is the sum of cell counts in its
+        # edge range) — the raw table is never re-scanned for binning
+        from pyspark import StorageLevel
+
+        from pyspark_data_drift_detector_spark.operators.profile import (
+            _quantile_cells,
+            _quantiles_from_cells,
+        )
+
+        cells = _quantile_cells(df, columns).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        per_col = _quantiles_from_cells(cells, probs).selectExpr(
+            "column_name", "q AS edges"
+        )
+        binned = (
+            cells.join(F.broadcast(per_col), "column_name")
+            .selectExpr(
+                "column_name",
+                "edges",
+                "__cnt",
+                f"CAST(size(filter(slice(edges, 2, {bins - 1}),"
+                " b -> value > b)) AS INT) AS bin",
+            )
+        )
+        return (
+            binned.groupBy("column_name", "bin")
+            .agg(
+                F.expr("CAST(sum(__cnt) AS BIGINT) AS cnt"),
+                F.expr("first(edges) AS edges"),
+            )
+            .selectExpr(
+                "column_name",
+                "bin",
+                "edges[bin] AS lo",
+                "edges[bin + 1] AS hi",
+                "cnt",
+            )
+        )
     edges = _wide_quantile_row(
         df,
         columns,
-        [i / bins for i in range(bins + 1)],
+        probs,
         quantile_mode,
         kll_k=kll_k,
         prefix="__e",
