@@ -171,6 +171,26 @@ def test_edf_and_counts_quantiles_use_distributed_cumsum(li):
             li, columns=["l_quantity"], quantiles=(0.25, 0.5, 0.75), quantile_mode="counts"
         )
     )
+    # the r8 single-scan counts rewrites keep the same bucketed shape AND
+    # read the raw table exactly once for their rank statistics
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+    from pyspark_data_drift_detector_spark.plans.inspect import count_scans
+
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    ed = equidepth_histogram(
+        li, ["l_quantity", "l_tax"], bins=4, quantile_mode="counts"
+    )
+    check(ed)
+    # every consumer (edge fit + binning) reads the PERSISTED value
+    # histogram — the raw table materializes it once
+    assert "InMemoryTableScan" in simple_plan(ed)
+    rp = robust_profile(li, ["l_quantity", "l_tax"], quantile_mode="counts")
+    check(rp)
+    assert "InMemoryTableScan" in simple_plan(rp)
 
 
 def test_complex_profile_single_pass(spark, sf_dir):
