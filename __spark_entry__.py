@@ -5180,6 +5180,47 @@ def _semantic_decontaminate_sql() -> str:
     FROM s WHERE rnk = 1"""
 
 
+_TOKEN_MIX = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix sampling toward a 12k-token budget: per-language
+    target shares, acceptance rate min(1, share*budget/lang_tokens) over
+    the deterministic md5 variate — corpus never shuffled."""
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(
+        _documents(spark, sf_dir), "lang", _TOKEN_MIX, token_budget=12000
+    )
+    return _round_cols(out, ["target_tokens", "sample_rate"])
+
+
+def _token_budget_sample_sql() -> str:
+    share = "CASE " + " ".join(
+        f"WHEN lang = '{g}' THEN {s!r}" for g, s in sorted(_TOKEN_MIX.items())
+    ) + " END"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    t AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS group_tokens
+          FROM d GROUP BY 1),
+    r AS (SELECT lang, group_tokens,
+            {share} * 12000.0 AS target_tokens,
+            LEAST(1.0, {share} * 12000.0 / GREATEST(group_tokens, 1))
+              AS sample_rate
+          FROM t WHERE {share} IS NOT NULL)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_tokens,
+      r.group_tokens,
+      ROUND(r.target_tokens, {ROUND}) AS target_tokens,
+      ROUND(r.sample_rate, {ROUND}) AS sample_rate
+    FROM d JOIN r USING (lang)
+    WHERE {_md5_u_sql("tokbudget")} < FLOOR(r.sample_rate * 1000000)"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: even-id documents are the already-seen
     state (fingerprints only), odd-id documents the new batch; per new
@@ -5593,6 +5634,7 @@ def _oracle_queries() -> dict[str, str]:
         "semantic_decontaminate": _semantic_decontaminate_sql(),
         "cluster_balance": _cluster_balance_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "token_budget_sample": _token_budget_sample_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5690,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "cluster_balance": q_cluster_balance,
         "dedup_incremental": q_dedup_incremental,
+        "token_budget_sample": q_token_budget_sample,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

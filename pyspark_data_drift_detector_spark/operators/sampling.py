@@ -266,3 +266,81 @@ def uniform_sample_k(
         .orderBy(F.col("sample_u").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    token_budget: int,
+    text_col: str = "text",
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Mixture sampling toward a TOKEN budget — the pretraining data-mix
+    step ("30% code, 70% web, by tokens"): each group ``g`` with target
+    share ``targets[g]`` is sampled at rate ``min(1, targets[g]·budget /
+    tokens_g)``, so the EXPECTED sampled token mass per group is
+    ``min(tokens_g, targets[g]·budget)`` (a group short of its
+    allocation keeps everything — the standard saturation behavior; the
+    realized total then undershoots the budget). Groups absent from
+    ``targets`` are dropped — the mixture spec is exhaustive by design.
+
+    Rows, not fractions of rows, are sampled: acceptance is independent
+    of document length given the group, so the expectation over TOKENS
+    equals rate·tokens_g exactly. Deterministic hash-variate acceptance
+    (the ``stratified_sample`` convention) keeps membership stable
+    across layouts, appends, and re-runs.
+
+    Scale shape: one ``groupBy(group)`` token-total aggregate
+    (O(groups), broadcast back) + a narrow filter over the corpus — the
+    corpus itself is never shuffled. ``token_col`` supplies a real
+    tokenizer's counts; default is the whitespace token count.
+
+    Output: sampled rows (``id_col, group_col, n_tokens``) plus
+    ``group_tokens, target_tokens, sample_rate``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+        qs,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import tokens_expr
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if not targets:
+        raise ValueError("no targets")
+    bad = [g for g, s in targets.items() if s < 0]
+    if bad:
+        raise ValueError(f"negative target shares: {bad}")
+    ensure_safe_columns([group_col, id_col, token_col or text_col])
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else F.size(tokens_expr(F.col(text_col))).cast("long")
+    )
+    docs = df.select(
+        F.col(id_col), F.col(group_col), toks.alias("n_tokens")
+    )
+    totals = docs.groupBy(group_col).agg(
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS group_tokens")
+    )
+    share = "CASE " + " ".join(
+        f"WHEN CAST(`{group_col}` AS STRING) = {qs(str(g))}"
+        f" THEN {float(s)!r}D"
+        for g, s in sorted(targets.items())
+    ) + " END"
+    # least() skips NULL operands, so the absent-group filter must test
+    # the share itself, not the computed rate
+    rates = totals.where(f"{share} IS NOT NULL").selectExpr(
+        f"`{group_col}`",
+        "group_tokens",
+        f"{share} * {float(token_budget)!r}D AS target_tokens",
+        f"least(1.0D, {share} * {float(token_budget)!r}D"
+        " / greatest(group_tokens, 1)) AS sample_rate",
+    )
+    u = uniform_variate(F.col(id_col), salt)
+    return docs.join(F.broadcast(rates), group_col).filter(
+        u < F.floor(F.col("sample_rate") * _U_MOD)
+    )

@@ -280,3 +280,57 @@ def test_bloom_decontaminate_equals_exact(spark, sf_dir):
         for r in bloom_decontaminate(docs, bench, n=4, m_bits=256, k_hashes=2).collect()
     }
     assert small == exact
+
+
+def test_token_budget_sample(spark):
+    """Token-mix sampling: rates hit min(1, share*budget/group_tokens),
+    expected token mass per group ≈ its allocation, groups outside the
+    mixture spec are dropped, saturation keeps everything, and membership
+    is layout-independent."""
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "web", "w " * 20))          # 20 tokens (trimmed)
+    for i in range(300, 320):
+        rows.append((i, "code", "c " * 40))         # 40 tokens (trimmed)
+    for i in range(320, 330):
+        rows.append((i, "junk", "x"))               # not in the mixture
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    web_tokens, code_tokens = 300 * 20, 20 * 40
+    budget = 2000
+    out = token_budget_sample(
+        df, "domain", {"web": 0.5, "code": 0.5}, token_budget=budget
+    )
+    got = out.collect()
+    assert {r["domain"] for r in got} <= {"web", "code"}  # junk dropped
+    by = {}
+    for r in got:
+        by.setdefault(r["domain"], []).append(r)
+    # code: 0.5*2000 = 1000 > 800 group tokens -> rate 1, all kept
+    assert len(by["code"]) == 20
+    assert by["code"][0]["sample_rate"] == pytest.approx(1.0)
+    assert by["code"][0]["group_tokens"] == code_tokens
+    # web: rate = 1000/6000 ~ 0.167; expected kept tokens ~ 1000
+    assert by["web"][0]["sample_rate"] == pytest.approx(
+        budget * 0.5 / web_tokens
+    )
+    kept_web_tokens = sum(r["n_tokens"] for r in by["web"])
+    assert 500 < kept_web_tokens < 1600  # ~1000 in expectation
+
+    # layout independence
+    again = {r["doc_id"] for r in token_budget_sample(
+        df.repartition(13), "domain", {"web": 0.5, "code": 0.5},
+        token_budget=budget,
+    ).collect()}
+    assert again == {r["doc_id"] for r in got}
+
+    with pytest.raises(ValueError, match="token_budget"):
+        token_budget_sample(df, "domain", {"web": 1.0}, token_budget=0)
+    with pytest.raises(ValueError, match="no targets"):
+        token_budget_sample(df, "domain", {}, token_budget=10)
+    with pytest.raises(ValueError, match="negative"):
+        token_budget_sample(df, "domain", {"web": -0.5}, token_budget=10)
