@@ -5149,6 +5149,39 @@ def _chunk_documents_sql() -> str:
     FROM c, UNNEST(generate_series(0, nc - 1)) AS g(i)"""
 
 
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack fill panel over the 512-token packing: doc counts, token
+    totals, fill ratio, boundary-straddle overflow flags."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        pack_documents,
+        packing_stats,
+    )
+
+    packed = pack_documents(_documents(spark, sf_dir), budget=512)
+    return _round_cols(packing_stats(packed, budget=512), ["fill_ratio"])
+
+
+def _packing_stats_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks),
+    packed AS (
+      SELECT CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id, n_tokens
+      FROM cum)
+    SELECT pack_id, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 512, {ROUND}) AS fill_ratio,
+      CAST(SUM(n_tokens) AS BIGINT) > 512 AS overflowed
+    FROM packed GROUP BY 1"""
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination of the corpus against the eval
     slice (vec_id % 50 == 0): max cosine per corpus vector against the
@@ -5631,6 +5664,7 @@ def _oracle_queries() -> dict[str, str]:
         "benford_deviation": _benford_deviation_sql(),
         "completeness_timeseries": _completeness_timeseries_sql(),
         "pack_documents": _pack_documents_sql(),
+        "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
         "cluster_balance": _cluster_balance_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
@@ -5729,6 +5763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "image_features": q_image_features,
         "pack_documents": q_pack_documents,
+        "packing_stats": q_packing_stats,
         "semantic_decontaminate": q_semantic_decontaminate,
         "cluster_balance": q_cluster_balance,
         "dedup_incremental": q_dedup_incremental,
