@@ -1373,3 +1373,33 @@ def test_completeness_timeseries(spark):
         completeness_timeseries(df, "ts", ["uid"], granularity="fortnight")
     with pytest.raises(ValueError, match="no columns"):
         completeness_timeseries(df, "ts", [])
+
+
+def test_benford_digit_matches_decimal_ground_truth(spark):
+    """The production digit expression equals the exact decimal
+    expansion's first significant digit (Decimal ground truth) on a
+    seeded sweep of random mantissas across 10^±200 — the regression
+    test for the repr-based extraction."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        FIRST_DIGIT_SQL,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = (
+        rng.uniform(1.0, 10.0, 400) * 10.0 ** rng.integers(-200, 201, 400)
+    ).tolist()
+    vals += [-v for v in vals[:100]]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {
+        r["v"]: r["d"]
+        for r in df.selectExpr(
+            "v", FIRST_DIGIT_SQL.format(v="abs(v)") + " AS d"
+        ).collect()
+    }
+    for v in vals:
+        true = next(ch for ch in str(Decimal(abs(v))) if ch in "123456789")
+        assert got[float(v)] == int(true), (v, got[float(v)], true)
