@@ -5242,9 +5242,9 @@ def _token_budget_sample_sql() -> str:
     t AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS group_tokens
           FROM d GROUP BY 1),
     r AS (SELECT lang, group_tokens,
-            {share} * 12000.0 AS target_tokens,
-            LEAST(1.0, {share} * 12000.0 / GREATEST(group_tokens, 1))
-              AS sample_rate
+            CAST({share} * 12000.0 AS DOUBLE) AS target_tokens,
+            CAST(LEAST(1.0, {share} * 12000.0 / GREATEST(group_tokens, 1))
+              AS DOUBLE) AS sample_rate
           FROM t WHERE {share} IS NOT NULL)
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_tokens,
       r.group_tokens,
