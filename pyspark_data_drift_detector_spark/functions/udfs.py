@@ -70,3 +70,40 @@ def make_signature_udf(planes):
         return pd.Series((bits * weights).sum(axis=1).astype("int64"))
 
     return sig_udf
+
+
+def make_matrix_topcos_udf(matrix, ids):
+    """Pandas-UDF max-cosine against a FIXED matrix (benchmark vectors /
+    cluster centroids): one ``(batch × dim) @ (dim × n)`` GEMM per Arrow
+    batch — the wide-vector scoring path for ``semantic_decontaminate``
+    and ``cluster_balance_drift`` (same rationale as ``cosine_gemm_udf``:
+    past a few hundred dims the per-row expression tree outgrows codegen
+    while BLAS amortizes). Returns ``struct<max_cosine, nearest_id>``
+    with ties resolved to the first (lowest-index) matrix row — pass ids
+    sorted ascending for the smallest-id tie-break, matching the
+    expression path. Float caveat: numpy reassociates the reductions, so
+    scores can differ from the expression path in the last ulp.
+    """
+    M = np.asarray(matrix, dtype=np.float64)
+    idarr = np.asarray(ids, dtype=np.int64)
+    if M.shape[0] != idarr.shape[0]:
+        raise ValueError("matrix and ids length mismatch")
+    norms = np.sqrt((M * M).sum(axis=1))
+
+    @pandas_udf("struct<max_cosine: double, nearest_id: bigint>")
+    def topcos_udf(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"max_cosine": [], "nearest_id": []})
+        X = np.stack(vec.to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ M.T) / (xn[:, None] * norms[None, :])
+        best = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {
+                "max_cosine": cos[np.arange(len(best)), best],
+                "nearest_id": idarr[best],
+            }
+        )
+
+    return topcos_udf

@@ -723,6 +723,7 @@ def semantic_decontaminate(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     max_benchmark_cells: int = 1_000_000,
+    scoring: str = "auto",
 ) -> DataFrame:
     """Embedding-space decontamination: flag every corpus vector whose
     cosine similarity to ANY benchmark/eval vector reaches ``threshold``
@@ -745,6 +746,11 @@ def semantic_decontaminate(
     contaminated`` (ties on cosine resolve to the smallest eval id).
     Benchmark members present in the corpus flag themselves (cosine 1) —
     the first thing decontamination must remove.
+
+    ``scoring``: ``"expr"`` (Catalyst expression folds — the oracle
+    path), ``"gemm"`` (one Arrow-batched numpy GEMM against the
+    benchmark matrix per batch), or ``"auto"`` (gemm iff the measured
+    dim ≥ ``GEMM_DIM_THRESHOLD`` — same convention as ``lsh_topk``).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -764,15 +770,30 @@ def semantic_decontaminate(
             f"benchmark too large to inline ({len(rows)} x {dim} cells >"
             f" {max_benchmark_cells}); prefilter with lsh_topk/ivf_topk"
         )
+    mode = _resolve_scoring(scoring, dim)
+    c = corpus.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS ce",
+    )
+    if mode == "gemm":
+        from pyspark_data_drift_detector_spark.functions.udfs import (
+            make_matrix_topcos_udf,
+        )
+
+        tc = make_matrix_topcos_udf(
+            [r["be"] for r in rows], [int(r["bid"]) for r in rows]
+        )
+        return c.withColumn("__t", tc(F.col("ce"))).selectExpr(
+            "vec_id",
+            "__t.max_cosine AS max_cosine",
+            "__t.nearest_id AS nearest_eval_id",
+            f"__t.max_cosine >= {float(threshold)!r}D AS contaminated",
+        )
     mat = "array(" + ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in r["be"]) + ")"
         for r in rows
     ) + ")"
     ids = "array(" + ", ".join(str(int(r["bid"])) for r in rows) + ")"
-    c = corpus.selectExpr(
-        f"`{id_col}` AS vec_id",
-        f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS ce",
-    )
     return c.selectExpr(
         "vec_id",
         # cosines to every benchmark row, then max + first-argmax
@@ -798,6 +819,7 @@ def cluster_balance_drift(
     threshold: float = 0.05,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    scoring: str = "auto",
 ) -> DataFrame:
     """Topic-mixture drift over embedding clusters: assign both snapshots'
     vectors to shared centroids and compare each cluster's share — the
@@ -817,6 +839,8 @@ def cluster_balance_drift(
     Output per cluster (clusters empty on BOTH sides are absent):
     ``cluster_id, ref_n, curr_n, ref_share, curr_share, share_abs_diff,
     drift_detected`` (``|curr_share − ref_share| > threshold``).
+    ``scoring``: expression folds, Arrow/numpy GEMM, or ``"auto"``
+    (gemm iff dim ≥ ``GEMM_DIM_THRESHOLD``) — ``lsh_topk`` convention.
     """
     rows = (
         df_ref.select(
@@ -829,6 +853,16 @@ def cluster_balance_drift(
     )
     if not rows:
         raise ValueError("reference snapshot is empty")
+    dim = len(rows[0]["ce"])
+    mode = _resolve_scoring(scoring, dim)
+    if mode == "gemm":
+        from pyspark_data_drift_detector_spark.functions.udfs import (
+            make_matrix_topcos_udf,
+        )
+
+        tc = make_matrix_topcos_udf(
+            [r["ce"] for r in rows], [int(r["cid"]) for r in rows]
+        )
     mat = "array(" + ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
         for r in rows
@@ -836,6 +870,13 @@ def cluster_balance_drift(
     ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
 
     def tag(df: DataFrame, side: str) -> DataFrame:
+        if mode == "gemm":
+            return df.selectExpr(
+                f"'{side}' AS side",
+                f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e",
+            ).select(
+                "side", tc(F.col("e"))["nearest_id"].alias("cluster_id")
+            )
         return df.selectExpr(
             f"'{side}' AS side",
             f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e",

@@ -619,3 +619,45 @@ def test_cluster_balance_drift(spark):
 
     with pytest.raises(ValueError, match="reference snapshot is empty"):
         cluster_balance_drift(ref.filter("vec_id < 0"), curr)
+
+
+def test_matrix_gemm_scoring_matches_expr(spark):
+    """The GEMM scoring path of semantic_decontaminate and
+    cluster_balance_drift must agree with the expression path (scores
+    rounded — numpy reassociates the folds)."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.normal(size=16).tolist()) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id < 5")
+
+    def sd_key(rows):
+        return {
+            r["vec_id"]: (
+                round(r["max_cosine"], 9),
+                r["nearest_eval_id"],
+                r["contaminated"],
+            )
+            for r in rows
+        }
+
+    expr = sd_key(semantic_decontaminate(df, bench, scoring="expr").collect())
+    gemm = sd_key(semantic_decontaminate(df, bench, scoring="gemm").collect())
+    assert expr == gemm
+
+    ref, curr = df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 = 1")
+
+    def cb_key(rows):
+        return {
+            r["cluster_id"]: (r["ref_n"], r["curr_n"]) for r in rows
+        }
+
+    e = cb_key(cluster_balance_drift(ref, curr, n_clusters=4, scoring="expr").collect())
+    g = cb_key(cluster_balance_drift(ref, curr, n_clusters=4, scoring="gemm").collect())
+    assert e == g
