@@ -120,6 +120,9 @@ _DEFAULTS: dict[str, Any] = {
     # "counts" switches exact quantiles to the value-histogram path
     # (profile.quantiles_by_counts) — bounded state at any scale
     "quantile_mode": "auto",
+    # KLL sketch accuracy/state knob (Datasketches K) for quantile_mode
+    # "kll" — tune rank error vs sketch size without editing the library
+    "kll_k": 800,
     # Numeric drift scorer: "weighted" (dict-path, numerical_analyzer.py:253-272)
     # or "row_path" (M17 mean-of-components, numerical_analyzer.py:278-558).
     # Both reference scorers are preserved; default matches the reference's

@@ -167,6 +167,7 @@ def detect_drift(
             exact_quantiles=bool(cfg.get("exact_quantiles", True)),
             quantile_accuracy=int(cfg.get("quantile_accuracy", 10000)),
             quantile_mode=str(cfg.get("quantile_mode", "auto")),
+            kll_k=int(cfg.get("kll_k", 800)),
             with_shape=run_distributions,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         shared_pairs.append(pair)
