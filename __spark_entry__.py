@@ -5288,6 +5288,60 @@ def _dedup_incremental_sql() -> str:
     FROM r"""
 
 
+def q_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention/churn between the even/odd orders snapshots over
+    customer and status keys — population rotation that frequency drift
+    can miss; one side-tagged groupBy per key, no join."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        key_overlap_drift,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    out = key_overlap_drift(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_custkey", "o_orderstatus"],
+        churn_threshold=0.25,
+    )
+    return _round_cols(out, ["jaccard", "churn_rate", "new_rate"])
+
+
+def _key_overlap_sql() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'r' ELSE 'c' END AS side,"
+        f" '{c}' AS column_name,"
+        f" coalesce(CAST({c} AS VARCHAR), chr(1) || '<null>') AS key"
+        " FROM orders"
+        for c in ["o_custkey", "o_orderstatus"]
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    flags AS (
+      SELECT column_name, key,
+        MAX(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS in_ref,
+        MAX(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS in_curr
+      FROM cells GROUP BY 1, 2),
+    agg AS (
+      SELECT column_name,
+        CAST(SUM(in_ref) AS BIGINT) AS ref_keys,
+        CAST(SUM(in_curr) AS BIGINT) AS curr_keys,
+        CAST(SUM(in_ref * in_curr) AS BIGINT) AS retained,
+        CAST(SUM(in_ref * (1 - in_curr)) AS BIGINT) AS churned,
+        CAST(SUM((1 - in_ref) * in_curr) AS BIGINT) AS new_keys,
+        COUNT(*) AS union_keys
+      FROM flags GROUP BY 1)
+    SELECT column_name, ref_keys, curr_keys, retained, churned, new_keys,
+      ROUND(CAST(retained AS DOUBLE) / GREATEST(union_keys, 1), {ROUND})
+        AS jaccard,
+      ROUND(CAST(churned AS DOUBLE) / GREATEST(ref_keys, 1), {ROUND})
+        AS churn_rate,
+      ROUND(CAST(new_keys AS DOUBLE) / GREATEST(curr_keys, 1), {ROUND})
+        AS new_rate,
+      CAST(churned AS DOUBLE) / GREATEST(ref_keys, 1) > 0.25
+        AS drift_detected
+    FROM agg"""
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-mixture drift between the even/odd embedding snapshots:
     shared deterministic centroids (first 8 ref vectors), narrow-map
@@ -5669,6 +5723,7 @@ def _oracle_queries() -> dict[str, str]:
         "cluster_balance": _cluster_balance_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "token_budget_sample": _token_budget_sample_sql(),
+        "key_overlap": _key_overlap_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5768,6 +5823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance": q_cluster_balance,
         "dedup_incremental": q_dedup_incremental,
         "token_budget_sample": q_token_budget_sample,
+        "key_overlap": q_key_overlap,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

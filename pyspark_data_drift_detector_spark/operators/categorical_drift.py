@@ -400,3 +400,86 @@ def categorical_drift_from_cells(
         f" WHEN least(1.0D, {score}) < 0.75D THEN 'High'"
         " ELSE 'Critical' END AS drift_severity",
     )
+
+
+def key_overlap_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    key_cols: list[str],
+    churn_threshold: float = 0.5,
+) -> DataFrame:
+    """Cohort overlap between snapshots per key column — the
+    retention/churn panel: how many of the reference's distinct keys
+    (users, accounts, devices) are still present, how many vanished,
+    how many are new. Frequency drift can be zero while the POPULATION
+    silently rotated; this is the check that catches it.
+
+    Per key column: ``ref_keys, curr_keys, retained, churned, new_keys,
+    jaccard`` (|∩| / |∪|), ``churn_rate`` (churned / ref_keys),
+    ``new_rate`` (new / curr_keys), ``drift_detected``
+    (``churn_rate > churn_threshold``). NULL keys count as a real key
+    (coalesced to a sentinel — a feed that starts NULLing its id column
+    should look like churn, not nothing).
+
+    Scale shape: ONE melt per side → side-tagged ``groupBy(column,
+    key)`` (the shuffle key includes the key value — no hot reducer,
+    map-side combine collapses duplicates) → O(distinct keys) flag rows
+    → one tiny ``groupBy(column)`` rollup. No join: presence flags come
+    from conditional sums in the same aggregate.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not key_cols:
+        raise ValueError("no key columns")
+    ensure_safe_columns(key_cols)
+    nul = "\\u0001<null>"
+
+    def melt(df: DataFrame, side: str) -> DataFrame:
+        cells = ", ".join(
+            f"named_struct('column_name', '{c}',"
+            f" 'key', coalesce(CAST(`{c}` AS STRING), '{nul}'))"
+            for c in key_cols
+        )
+        return df.selectExpr(f"'{side}' AS side", f"inline(array({cells}))")
+
+    flags = (
+        melt(df_ref, "r")
+        .unionByName(melt(df_curr, "c"))
+        .groupBy("column_name", "key")
+        .agg(
+            F.expr("max(CAST(side = 'r' AS INT)) AS in_ref"),
+            F.expr("max(CAST(side = 'c' AS INT)) AS in_curr"),
+        )
+    )
+    return (
+        flags.groupBy("column_name")
+        .agg(
+            F.expr("CAST(sum(in_ref) AS BIGINT) AS ref_keys"),
+            F.expr("CAST(sum(in_curr) AS BIGINT) AS curr_keys"),
+            F.expr(
+                "CAST(sum(in_ref * in_curr) AS BIGINT) AS retained"
+            ),
+            F.expr(
+                "CAST(sum(in_ref * (1 - in_curr)) AS BIGINT) AS churned"
+            ),
+            F.expr(
+                "CAST(sum((1 - in_ref) * in_curr) AS BIGINT) AS new_keys"
+            ),
+            F.expr("count(1) AS union_keys"),
+        )
+        .selectExpr(
+            "column_name",
+            "ref_keys",
+            "curr_keys",
+            "retained",
+            "churned",
+            "new_keys",
+            "CAST(retained AS DOUBLE) / greatest(union_keys, 1) AS jaccard",
+            "CAST(churned AS DOUBLE) / greatest(ref_keys, 1) AS churn_rate",
+            "CAST(new_keys AS DOUBLE) / greatest(curr_keys, 1) AS new_rate",
+            f"CAST(churned AS DOUBLE) / greatest(ref_keys, 1)"
+            f" > {float(churn_threshold)!r}D AS drift_detected",
+        )
+    )

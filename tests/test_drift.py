@@ -141,3 +141,37 @@ def test_robust_outlier_drift_resists_contamination(spark):
     const = spark.createDataFrame([(i, 5.0) for i in range(50)], "id long, x double")
     row0 = robust_outlier_drift(const, const, ["x"]).collect()[0]
     assert row0["ref_mad"] == 0.0 and row0["ref_outliers"] == 0
+
+
+def test_key_overlap_drift(spark):
+    """Retention/churn accounting with constructed cohorts: exact
+    retained/churned/new counts, jaccard, NULL keys as a real cohort
+    member, and the churn flag."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        key_overlap_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], "uid string"
+    )
+    curr = spark.createDataFrame(
+        [("a",), ("c",), ("d",), ("e",), ("e",)], "uid string"
+    )
+    r = key_overlap_drift(ref, curr, ["uid"], churn_threshold=0.4).collect()[0]
+    # ref keys: a, b, c, NULL (4); curr keys: a, c, d, e (4)
+    assert r["ref_keys"] == 4 and r["curr_keys"] == 4
+    assert r["retained"] == 2      # a, c
+    assert r["churned"] == 2       # b, NULL
+    assert r["new_keys"] == 2      # d, e
+    assert r["jaccard"] == pytest.approx(2 / 6)
+    assert r["churn_rate"] == pytest.approx(0.5)
+    assert r["new_rate"] == pytest.approx(0.5)
+    assert r["drift_detected"]
+
+    # identical populations: zero churn, jaccard 1
+    same = key_overlap_drift(ref, ref, ["uid"]).collect()[0]
+    assert same["jaccard"] == pytest.approx(1.0)
+    assert same["churned"] == 0 and not same["drift_detected"]
+
+    with pytest.raises(ValueError, match="no key columns"):
+        key_overlap_drift(ref, curr, [])
