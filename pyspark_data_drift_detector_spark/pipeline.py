@@ -461,6 +461,49 @@ def detect_drift(
         )
         results.append(_to_result_rows(st_rows, "statistical_test"))
 
+    overlap_cols = list(cfg.get("key_overlap_columns") or [])
+    if cfg.get("analyze_key_overlap", False) and overlap_cols:
+        # Beyond the reference's families (opt-in): cohort retention/churn
+        # per key column — population rotation the frequency families miss
+        # when every marginal stays flat. Scored by churn_rate.
+        from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+            key_overlap_drift,
+        )
+        from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+            severity_expr,
+        )
+
+        churn_th = float(cfg.get("churn_threshold", 0.5))
+        ov = key_overlap_drift(df_ref, df_curr, overlap_cols, churn_th)
+        ov_rows = ov.select(
+            "column_name",
+            F.least(F.lit(1.0), F.col("churn_rate")).alias("drift_score"),
+            severity_expr(
+                F.least(F.lit(1.0), F.col("churn_rate"))
+            ).alias("drift_severity"),
+            "drift_detected",
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("churn_rate") > churn_th,
+                        F.lit("population_churn"),
+                    ),
+                    F.when(
+                        F.col("new_rate") > churn_th, F.lit("new_key_influx")
+                    ),
+                )
+            ).alias("drift_causes"),
+            "ref_keys",
+            "curr_keys",
+            "retained",
+            "churned",
+            "new_keys",
+            "jaccard",
+            "churn_rate",
+            "new_rate",
+        )
+        results.append(_to_result_rows(ov_rows, "key_overlap"))
+
     target = cfg.get("target_column")
     if target and cfg.get("analyze_feature_importance", False) and target in num_cols:
         # data_drift_detector.py:193-215 — importance drift per predictor;

@@ -175,3 +175,41 @@ def test_key_overlap_drift(spark):
 
     with pytest.raises(ValueError, match="no key columns"):
         key_overlap_drift(ref, curr, [])
+
+
+def test_pipeline_key_overlap_family(spark):
+    """The opt-in key_overlap family emits standard result rows with
+    cohort metrics in the JSON payload."""
+    import json
+
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    ref = spark.createDataFrame(
+        [(i, float(i), "u" + str(i % 5)) for i in range(40)],
+        "id long, v double, uid string",
+    )
+    curr = spark.createDataFrame(
+        [(i, float(i), "w" + str(i % 5)) for i in range(40)],  # all-new uids
+        "id long, v double, uid string",
+    )
+    out = detect_drift(
+        ref,
+        curr,
+        {
+            "analyze_key_overlap": True,
+            "key_overlap_columns": ["uid"],
+            "churn_threshold": 0.5,
+        },
+    )
+    rows = [r for r in out.collect() if r["column_type"] == "key_overlap"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["column_name"] == "uid" and r["drift_detected"]
+    assert r["drift_score"] == pytest.approx(1.0)  # 100% churn
+    assert "population_churn" in r["drift_causes"]
+    m = json.loads(r["metrics"])
+    assert m["retained"] == 0 and m["churned"] == 5 and m["new_keys"] == 5
+
+    # default config: family absent
+    off = detect_drift(ref, curr)
+    assert not [r for r in off.collect() if r["column_type"] == "key_overlap"]
