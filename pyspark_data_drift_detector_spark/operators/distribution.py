@@ -617,9 +617,20 @@ def benford_deviation(
     per-column rollup.  Output per column: ``n, n_skipped, tvd`` (total
     variation distance from Benford), ``max_dev`` (the auditor's "MAD"
     statistic is ``sum_dev/9``; max is stricter), ``chi2_stat``.
-    """
-    import math
 
+    The per-``(column, digit)`` counts are ADDITIVE state:
+    :func:`benford_digit_state` / :func:`benford_from_state` split the
+    two halves so a streaming ingest can append micro-batch states
+    (``streaming.state_tables.benford_state_sink``) and roll the full
+    history up with no event replay — batch-identical by construction.
+    """
+    return benford_from_state(benford_digit_state(df, columns))
+
+
+def benford_digit_state(df: DataFrame, columns: list[str]) -> DataFrame:
+    """The additive half of :func:`benford_deviation`: one row per
+    ``(column_name, digit)`` with ``cnt`` and the digit-less row count
+    ``n_skipped`` — counts merge across appends by summation."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
@@ -631,7 +642,7 @@ def benford_deviation(
         f"named_struct('column_name', '{c}', 'v', abs(CAST(`{c}` AS DOUBLE)))"
         for c in columns
     )
-    digits = (
+    return (
         df.selectExpr(f"inline(array({cells}))")
         .selectExpr(
             "column_name",
@@ -649,6 +660,13 @@ def benford_deviation(
             F.expr("CAST(sum(skipped) AS BIGINT) AS n_skipped"),
         )
     )
+
+
+def benford_from_state(digits: DataFrame) -> DataFrame:
+    """Benford rollup over :func:`benford_digit_state` rows. Several
+    state rows per ``(column, digit)`` (one per appended micro-batch)
+    merge exactly — every aggregate below is a sum."""
+    import math
     expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
     terms_tvd, terms_max, terms_chi2 = [], [], []
     for d, p in expected.items():

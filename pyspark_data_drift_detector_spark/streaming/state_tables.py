@@ -235,3 +235,38 @@ def fingerprint_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def benford_state_sink(
+    state_path: str,
+    columns: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the Benford first-digit state
+    (the ``benford_deviation`` streaming twin): each micro-batch appends
+    its additive per-``(column, digit)`` counts, so
+    :func:`read_benford_state` over the appended table equals the batch
+    ``benford_deviation`` over the full stream history ROW-FOR-ROW —
+    the continuously-maintained fabricated-feed tripwire. O(columns × 9)
+    state rows per batch."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        benford_digit_state,
+    )
+
+    cols = list(columns)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        benford_digit_state(batch_df, cols).write.mode("append").parquet(
+            state_path
+        )
+
+    return write_batch
+
+
+def read_benford_state(spark, state_path: str) -> DataFrame:
+    """Roll the appended Benford digit state up into the batch panel
+    shape (``column_name, n, n_skipped, tvd, max_dev, chi2_stat``)."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        benford_from_state,
+    )
+
+    return benford_from_state(spark.read.parquet(state_path))

@@ -455,3 +455,44 @@ def test_rollup_state_overflow_and_grain_guards(spark, tmp_path):
     rollup_state(ok, "ts", ["event_type"], "value", "day").write.parquet(day_path)
     with pytest.raises(Exception, match="coarser than the requested"):
         read_rollup_state(spark, day_path, granularities=("hour", "day")).collect()
+
+
+def test_benford_state_sink_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of benford_deviation: micro-batch digit states
+    merge to the batch panel row-for-row."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        benford_deviation,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        benford_state_sink,
+        read_benford_state,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stream_dir = tmp_path / "benford_ingest"
+    src.repartition(3).write.parquet(str(stream_dir))  # several micro-batches
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    sink = benford_state_sink(str(tmp_path / "benford_state"), cols)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    def keyed(rows):
+        return {
+            r["column_name"]: (
+                r["n"], r["n_skipped"],
+                round(r["tvd"], 9), round(r["max_dev"], 9),
+                round(r["chi2_stat"], 6),
+            )
+            for r in rows
+        }
+
+    streamed = keyed(
+        read_benford_state(spark, str(tmp_path / "benford_state")).collect()
+    )
+    batch = keyed(benford_deviation(src, cols).collect())
+    assert streamed == batch and len(streamed) == 3
