@@ -1108,6 +1108,91 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column share of the PCA reconstruction residual per side —
+    which coordinate's relationship to the others broke. Same literal
+    components as pca_anomaly; scaler fit on ref replayed in SQL."""
+    from pyspark_data_drift_detector_spark.operators.anomaly import (
+        pca_error_contributions,
+    )
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = pca_error_contributions(
+        ref, curr, PCA_COLUMNS, k=3, components=PCA_COMPONENTS
+    )
+    return _round_cols(
+        out,
+        ["ref_contrib", "curr_contrib", "ref_share", "curr_share",
+         "share_abs_diff"],
+    )
+
+
+def _pca_contributions_sql() -> str:
+    p = len(PCA_COLUMNS)
+    comps = PCA_COMPONENTS[:3]
+    k = len(comps)
+    valid = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE))" for c in PCA_COLUMNS
+    )
+    sel = ", ".join(f"CAST({c} AS DOUBLE) AS c{i}" for i, c in enumerate(PCA_COLUMNS))
+    fit = ", ".join(
+        f"AVG(c{i}) AS mu{i}, STDDEV_SAMP(c{i}) AS sd{i}" for i in range(p)
+    )
+    zs = ", ".join(
+        f"CASE WHEN sd{i} > 0 THEN (c{i} - mu{i}) / sd{i} ELSE 0.0 END AS z{i}"
+        for i in range(p)
+    )
+    dots = ", ".join(
+        " + ".join(f"({float(w)!r}) * z{i}" for i, w in enumerate(comp)) + f" AS d{j}"
+        for j, comp in enumerate(comps)
+    )
+    zlist = ", ".join(f"z{i}" for i in range(p))
+    r2 = ", ".join(
+        "(z{i} - ({recon})) * (z{i} - ({recon})) AS r2_{i}".format(
+            i=i,
+            recon=" + ".join(
+                f"({float(comps[m][i])!r}) * d{m}" for m in range(k)
+            ),
+        )
+        for i in range(p)
+    )
+    means = ", ".join(f"AVG(r2_{i}) AS m{i}" for i in range(p))
+
+    def side_cte(name: str, parity: int) -> str:
+        return f"""{name} AS (
+      SELECT {means} FROM (
+        SELECT {r2} FROM (
+          SELECT {dots}, {zlist} FROM (
+            SELECT {zs} FROM (
+              SELECT {sel} FROM lineitem
+              WHERE l_orderkey % 2 = {parity} AND {valid}
+            ) CROSS JOIN fit))))"""
+
+    rows = " UNION ALL ".join(
+        """SELECT '{c}' AS column_name,
+          ROUND(r.m{i}, {ROUND}) AS ref_contrib,
+          ROUND(cu.m{i}, {ROUND}) AS curr_contrib,
+          ROUND(r.m{i} / greatest({tot_r}, 1e-300), {ROUND}) AS ref_share,
+          ROUND(cu.m{i} / greatest({tot_c}, 1e-300), {ROUND}) AS curr_share,
+          ROUND(abs(cu.m{i} / greatest({tot_c}, 1e-300)
+                    - r.m{i} / greatest({tot_r}, 1e-300)), {ROUND})
+            AS share_abs_diff
+        FROM rfit r CROSS JOIN cfit cu""".format(
+            c=c, i=i, ROUND=ROUND,
+            tot_r=" + ".join(f"coalesce(r.m{j}, 0.0)" for j in range(p)),
+            tot_c=" + ".join(f"coalesce(cu.m{j}, 0.0)" for j in range(p)),
+        )
+        for i, c in enumerate(PCA_COLUMNS)
+    )
+    return f"""
+    WITH fit AS (
+      SELECT {fit} FROM (
+        SELECT {sel} FROM lineitem WHERE l_orderkey % 2 = 0 AND {valid})),
+    {side_cte("rfit", 0)},
+    {side_cte("cfit", 1)}
+    {rows}"""
+
+
 def q_text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level text-quality drift over the even/odd doc split: mean
     token-count/quality shifts + language-mix JS, composed from the
@@ -5724,6 +5809,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_sql(),
         "token_budget_sample": _token_budget_sample_sql(),
         "key_overlap": _key_overlap_sql(),
+        "pca_contributions": _pca_contributions_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5824,6 +5910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "token_budget_sample": q_token_budget_sample,
         "key_overlap": q_key_overlap,
+        "pca_contributions": q_pca_contributions,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,

@@ -61,6 +61,145 @@ def _error_expr(
     return (sq_norm - proj_sq).alias("reconstruction_error")
 
 
+def _fit_scaler_components(
+    ref_valid: DataFrame,
+    columns: list[str],
+    k: int,
+    components: list[list[float]] | None,
+):
+    """Shared ref-side fit: one wide aggregate for means/stds (plus the
+    correlation matrix when ``components`` is not pre-supplied) and the
+    driver-side eigen-decomposition. Returns ``(n, means, stds,
+    components, explained)``; ``n < 2`` means not enough valid rows."""
+    import numpy as np
+
+    p = len(columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [F.avg(F.col(c)).alias(f"{c}__mu"), F.stddev(F.col(c)).alias(f"{c}__sd")]
+    fit_corr = components is None
+    if fit_corr:
+        for i in range(p):
+            for j in range(i + 1, p):
+                aggs.append(F.corr(F.col(columns[i]), F.col(columns[j])).alias(f"__r_{i}_{j}"))
+    fit = ref_valid.agg(*aggs).first()
+    if fit["__n"] < 2:
+        return fit["__n"], [], [], [], []
+    means = [float(fit[f"{c}__mu"]) for c in columns]
+    stds = [float(fit[f"{c}__sd"] or 0.0) for c in columns]
+    if fit_corr:
+        corr = np.eye(p)
+        for i in range(p):
+            for j in range(i + 1, p):
+                r = fit[f"__r_{i}_{j}"]
+                corr[i, j] = corr[j, i] = 0.0 if r is None or np.isnan(r) else float(r)
+        eigvals, eigvecs = np.linalg.eigh(corr)
+        order = np.argsort(eigvals)[::-1]
+        eigvals = np.clip(eigvals[order], 0.0, None)
+        components = [[float(w) for w in eigvecs[:, idx]] for idx in order[:k]][:k]
+        total_var = float(eigvals.sum()) or 1.0
+        explained = [float(v) / total_var for v in eigvals[:k]]
+    else:
+        components = [list(map(float, row)) for row in components[:k]]
+        explained = []
+    return int(fit["__n"]), means, stds, components, explained
+
+
+def pca_error_contributions(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    k: int | None = None,
+    components: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-column EXPLANATION of the PCA reconstruction error: how much
+    of the residual ``‖z − PPᵀz‖²`` each coordinate carries, per side,
+    and how that mix shifted — "the anomaly score went up; WHICH
+    column's relationship to the others broke?" (``pca_anomaly_drift``
+    reports that it happened; this reports where).
+
+    Per column and side: mean squared residual coordinate
+    ``E[(z_i − (PPᵀz)_i)²]`` over valid rows and its share of the total
+    residual. Scaler and components fit on ref only (the
+    ``pca_anomaly_drift`` convention); pass pre-fitted ``components``
+    to skip the eigen-fit and keep the whole path SQL-replayable.
+
+    Shape: the fit aggregate, then ONE side-tagged wide aggregate over
+    both snapshots (fitted constants folded in as literals — expression
+    math inside whole-stage codegen, no UDF, no shuffle beyond the
+    1-row aggregates). Output: ``column_name, ref_contrib,
+    curr_contrib, ref_share, curr_share, share_abs_diff``.
+    """
+    if len(columns) < 2:
+        raise ValueError("need at least 2 columns")
+    p = len(columns)
+    k = min(k if k is not None else min(10, p), p)
+    ref_valid = _valid_rows(df_ref, columns)
+    curr_valid = _valid_rows(df_curr, columns)
+    n, means, stds, components, _ = _fit_scaler_components(
+        ref_valid, columns, k, components
+    )
+    if n < 2:
+        raise ValueError("not enough valid reference rows")
+
+    def resid_sq(df: DataFrame, side: str) -> DataFrame:
+        zs: list[Column] = []
+        for c, mu, sd in zip(columns, means, stds):
+            zs.append((F.col(c) - F.lit(mu)) / F.lit(sd) if sd > 0 else F.lit(0.0))
+        dots = []
+        for comp in components:
+            dot = None
+            for w, z in zip(comp, zs):
+                term = F.lit(float(w)) * z
+                dot = term if dot is None else dot + term
+            dots.append(dot)
+        outs = [F.lit(side).alias("side")]
+        for i in range(p):
+            recon = None
+            for m, comp in enumerate(components):
+                term = F.lit(float(comp[i])) * dots[m]
+                recon = term if recon is None else recon + term
+            r = zs[i] - recon
+            outs.append((r * r).alias(f"__r2_{i}"))
+        return df.select(*outs)
+
+    wide = (
+        resid_sq(ref_valid, "r")
+        .unionByName(resid_sq(curr_valid, "c"))
+        .groupBy("side")
+        .agg(*[F.avg(f"__r2_{i}").alias(f"__m_{i}") for i in range(p)])
+    )
+    tot = " + ".join(f"coalesce(__m_{i}, 0.0D)" for i in range(p))
+    long = wide.selectExpr(
+        "side",
+        f"({tot}) AS __tot",
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'contrib', __m_{i})"
+            for i, c in enumerate(columns)
+        )
+        + "))",
+    ).selectExpr(
+        "side",
+        "column_name",
+        "contrib",
+        "contrib / greatest(__tot, 1e-300D) AS share",
+    )
+    return (
+        long.groupBy("column_name")
+        .pivot("side", ["r", "c"])
+        .agg(F.first("contrib").alias("contrib"), F.first("share").alias("share"))
+        .selectExpr(
+            "column_name",
+            "r_contrib AS ref_contrib",
+            "c_contrib AS curr_contrib",
+            "r_share AS ref_share",
+            "c_share AS curr_share",
+            "abs(c_share - r_share) AS share_abs_diff",
+        )
+    )
+
+
 def pca_anomaly_drift(
     df_ref: DataFrame,
     df_curr: DataFrame,
@@ -82,8 +221,6 @@ def pca_anomaly_drift(
     plain SQL math, which is what makes the ``pca_anomaly`` driver query
     oracle-replayable in DuckDB with the same literal components.
     """
-    import numpy as np
-
     if len(columns) < 2:
         return {"status": "skipped", "reason": "need at least 2 columns"}
     p = len(columns)
@@ -93,38 +230,11 @@ def pca_anomaly_drift(
     curr_valid = _valid_rows(df_curr, columns)
 
     # --- fit: one wide aggregate (means, stds, correlations) ---
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        aggs += [F.avg(F.col(c)).alias(f"{c}__mu"), F.stddev(F.col(c)).alias(f"{c}__sd")]
-    fit_corr = components is None
-    if fit_corr:
-        for i in range(p):
-            for j in range(i + 1, p):
-                aggs.append(F.corr(F.col(columns[i]), F.col(columns[j])).alias(f"__r_{i}_{j}"))
-    fit = ref_valid.agg(*aggs).first()
-    if fit["__n"] < 2:
+    n, means, stds, components, explained = _fit_scaler_components(
+        ref_valid, columns, k, components
+    )
+    if n < 2:
         return {"status": "skipped", "reason": "not enough valid reference rows"}
-
-    means = [float(fit[f"{c}__mu"]) for c in columns]
-    stds = [float(fit[f"{c}__sd"] or 0.0) for c in columns]
-    if fit_corr:
-        corr = np.eye(p)
-        for i in range(p):
-            for j in range(i + 1, p):
-                r = fit[f"__r_{i}_{j}"]
-                # zero-variance / undefined pairs contribute no covariance
-                corr[i, j] = corr[j, i] = 0.0 if r is None or np.isnan(r) else float(r)
-
-        # PCA on standardized data = eigenvectors of the correlation matrix
-        eigvals, eigvecs = np.linalg.eigh(corr)
-        order = np.argsort(eigvals)[::-1]
-        eigvals = np.clip(eigvals[order], 0.0, None)
-        components = [[float(w) for w in eigvecs[:, idx]] for idx in order[:k]][:k]
-        total_var = float(eigvals.sum()) or 1.0
-        explained = [float(v) / total_var for v in eigvals[:k]]
-    else:
-        components = [list(map(float, row)) for row in components[:k]]
-        explained = []
 
     err = _error_expr(columns, means, stds, components)
 

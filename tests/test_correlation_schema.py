@@ -219,3 +219,46 @@ def test_mutual_information_dependency_extremes(spark):
     same = mutual_information_drift(ref, ref, [("x", "y")]).collect()[0]
     assert same["nmi_abs_diff"] == pytest.approx(0.0, abs=1e-12)
     assert not same["drift_detected"]
+
+
+def test_pca_error_contributions_localizes_break(spark):
+    """When one column decouples from a previously tight 2D relationship,
+    the residual-share panel must point at it: shares sum to 1 per side,
+    and the decoupled coordinate's current share dominates."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.anomaly import (
+        pca_error_contributions,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x = rng.normal(size=n)
+    noise = rng.normal(scale=0.05, size=n)
+    # ref: y tracks x, z independent; k=1 captures the (x, y) line
+    ref_rows = [
+        (float(a), float(a + e), float(w))
+        for a, e, w in zip(x, noise, rng.normal(size=n))
+    ]
+    # curr: y decouples from x entirely
+    curr_rows = [
+        (float(a), float(b), float(w))
+        for a, b, w in zip(x, rng.normal(size=n), rng.normal(size=n))
+    ]
+    ref = spark.createDataFrame(ref_rows, "x double, y double, z double")
+    curr = spark.createDataFrame(curr_rows, "x double, y double, z double")
+    out = {
+        r["column_name"]: r
+        for r in pca_error_contributions(ref, curr, ["x", "y", "z"], k=1).collect()
+    }
+    for side in ("ref_share", "curr_share"):
+        assert sum(r[side] for r in out.values()) == pytest.approx(1.0)
+    # the first component is the x~y line; with y decoupled, x and y carry
+    # the residual while z's share (which dominated on ref) collapses
+    assert out["z"]["ref_share"] > 0.8
+    assert out["z"]["curr_share"] < out["z"]["ref_share"]
+    assert out["y"]["curr_share"] > out["y"]["ref_share"] + 0.2
+    assert out["y"]["share_abs_diff"] > 0.2
+
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_error_contributions(ref, curr, ["x"])
