@@ -4904,6 +4904,12 @@ def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"type": "range", "column": "o_totalprice", "min": 0.0},
             {"type": "min_rows", "count": 100},
             {
+                "type": "implication",
+                "if_column": "o_custkey",
+                "then_column": "o_orderstatus",
+            },
+            {"type": "unique", "column": ["o_custkey", "o_orderdate"]},
+            {
                 "type": "functional_dependency",
                 "determinant": "o_orderkey",
                 "dependent": "o_custkey",
@@ -4924,7 +4930,13 @@ def _constraint_suite_sql() -> str:
           THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND
           CAST(o_totalprice AS DOUBLE) < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
-          AS v_rng
+          AS v_rng,
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND o_orderstatus IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_imp,
+        COUNT(CASE WHEN o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          THEN 1 END) AS n_ck,
+        COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL AND
+          o_orderdate IS NOT NULL THEN (o_custkey, o_orderdate) END) AS d_ck
       FROM orders),
     fk AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
@@ -4954,6 +4966,14 @@ def _constraint_suite_sql() -> str:
     SELECT 'min_rows', '*', ROUND(CAST(total AS DOUBLE), {ROUND}),
       CAST(100.0 AS DOUBLE), CAST(CASE WHEN total < 100 THEN 1 ELSE 0 END AS BIGINT),
       total >= 100 FROM o
+    UNION ALL
+    SELECT 'implication', 'o_custkey -> o_orderstatus',
+      ROUND(CAST(v_imp AS DOUBLE), {ROUND}), CAST(0.0 AS DOUBLE),
+      v_imp, v_imp = 0 FROM o
+    UNION ALL
+    SELECT 'unique', '(o_custkey, o_orderdate)',
+      ROUND(CAST(n_ck - d_ck AS DOUBLE), {ROUND}), CAST(0.0 AS DOUBLE),
+      CAST(n_ck - d_ck AS BIGINT), n_ck = d_ck FROM o
     UNION ALL
     SELECT 'functional_dependency', '(o_orderkey) -> o_custkey',
       ROUND(CAST(vg AS DOUBLE) / greatest(ng, 1), {ROUND}),

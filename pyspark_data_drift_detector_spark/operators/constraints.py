@@ -11,12 +11,16 @@ Supported single-table constraint specs (dicts):
 
 - ``{"type": "completeness", "column": c, "min_ratio": r}`` — non-null
   share of rows ≥ r.
-- ``{"type": "unique", "column": c}`` — no value occurs twice (distinct
-  count equals non-null count).
+- ``{"type": "unique", "column": c_or_list}`` — no value (or composite
+  tuple, for a list) occurs twice; for composites, rows with any NULL
+  component are excluded, matching the single-column convention.
 - ``{"type": "in_set", "column": c, "values": [...]}`` — every non-null
   value belongs to the accepted domain.
 - ``{"type": "range", "column": c, "min": x, "max": y}`` — every
   non-null value inside [x, y] (either bound optional).
+- ``{"type": "implication", "if_column": a, "then_column": b}`` — rows
+  carrying ``a`` must also carry ``b`` (conditional completeness: "if
+  there's a shipping address there must be a country").
 - ``{"type": "min_rows", "count": n}`` — the batch is not suspiciously
   small.
 - ``{"type": "functional_dependency", "determinant": x_or_list,
@@ -64,7 +68,14 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
     if not constraints:
         assert fd is not None
         return fd
-    cols = [c["column"] for c in constraints if "column" in c]
+    cols = []
+    for c in constraints:
+        if "column" in c:
+            v = c["column"]
+            cols += [v] if isinstance(v, str) else list(v)
+        for key in ("if_column", "then_column"):
+            if key in c:
+                cols.append(c[key])
     ensure_safe_columns(cols)
 
     aggs: list[str] = ["count(1) AS __total"]
@@ -84,10 +95,19 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
                 f" >= {r!r}D)"
             )
         elif kind == "unique":
-            aggs.append(f"count(`{c}`) AS __n{i}")
-            aggs.append(f"count(DISTINCT `{c}`) AS __d{i}")
+            if isinstance(c, str):
+                label, cnt_of = c, f"`{c}`"
+            else:
+                label = "(" + ", ".join(c) + ")"
+                struct = "named_struct(" + ", ".join(
+                    f"'f{j}', `{cc}`" for j, cc in enumerate(c)
+                ) + ")"
+                non_null = " AND ".join(f"`{cc}` IS NOT NULL" for cc in c)
+                cnt_of = f"CASE WHEN {non_null} THEN {struct} END"
+            aggs.append(f"count({cnt_of}) AS __n{i}")
+            aggs.append(f"count(DISTINCT {cnt_of}) AS __d{i}")
             rows.append(
-                f"named_struct('constraint', 'unique', 'column', '{c}',"
+                f"named_struct('constraint', 'unique', 'column', '{label}',"
                 f" 'metric', CAST(__n{i} - __d{i} AS DOUBLE),"
                 f" 'threshold', CAST(0.0 AS DOUBLE),"
                 f" 'violations', CAST(__n{i} - __d{i} AS BIGINT),"
@@ -122,6 +142,21 @@ def check_constraints(df: DataFrame, constraints: list[dict]) -> DataFrame:
             aggs.append(f"{bad} AS __v{i}")
             rows.append(
                 f"named_struct('constraint', 'range', 'column', '{c}',"
+                f" 'metric', CAST(__v{i} AS DOUBLE),"
+                f" 'threshold', CAST(0.0 AS DOUBLE),"
+                f" 'violations', CAST(__v{i} AS BIGINT),"
+                f" 'passed', __v{i} = 0)"
+            )
+        elif kind == "implication":
+            a, b = spec["if_column"], spec["then_column"]
+            bad = (
+                f"sum(CASE WHEN `{a}` IS NOT NULL AND `{b}` IS NULL"
+                " THEN 1 ELSE 0 END)"
+            )
+            aggs.append(f"{bad} AS __v{i}")
+            rows.append(
+                f"named_struct('constraint', 'implication',"
+                f" 'column', '{a} -> {b}',"
                 f" 'metric', CAST(__v{i} AS DOUBLE),"
                 f" 'threshold', CAST(0.0 AS DOUBLE),"
                 f" 'violations', CAST(__v{i} AS BIGINT),"

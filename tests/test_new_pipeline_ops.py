@@ -1403,3 +1403,47 @@ def test_benford_digit_matches_decimal_ground_truth(spark):
     for v in vals:
         true = next(ch for ch in str(Decimal(abs(v))) if ch in "123456789")
         assert got[float(v)] == int(true), (v, got[float(v)], true)
+
+
+def test_constraint_implication_and_composite_unique(spark):
+    """Conditional completeness (A -> B present) and composite-key
+    uniqueness with exact violation counts; NULL components excluded
+    from the composite, matching the single-column convention."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "addr1", "US", "x"),
+            (2, "addr2", None, "x"),   # implication violation
+            (3, None, None, "y"),      # vacuous: no address
+            (1, "addr1", "US", "x"),   # composite (id, tag) duplicate
+            (4, None, "DE", None),     # NULL component: excluded from unique
+        ],
+        "id long, addr string, country string, tag string",
+    )
+    out = {
+        r["constraint"]: r
+        for r in check_constraints(
+            df,
+            [
+                {"type": "implication", "if_column": "addr",
+                 "then_column": "country"},
+                {"type": "unique", "column": ["id", "tag"]},
+            ],
+        ).collect()
+    }
+    imp = out["implication"]
+    assert imp["column"] == "addr -> country"
+    assert imp["violations"] == 1 and not imp["passed"]
+    uq = out["unique"]
+    assert uq["column"] == "(id, tag)"
+    # tuples: (1,x) x2, (2,x), (3,y) -> one duplicate; (4, NULL) excluded
+    assert uq["violations"] == 1 and not uq["passed"]
+
+    ok = check_constraints(
+        df.dropDuplicates(["id", "tag"]),
+        [{"type": "unique", "column": ["id", "tag"]}],
+    ).collect()[0]
+    assert ok["passed"]
