@@ -5931,6 +5931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "key_overlap": q_key_overlap,
         "pca_contributions": q_pca_contributions,
+        "pca_anomaly": q_pca_anomaly,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,
         "equidepth_histogram_counts": q_equidepth_histogram_counts,
@@ -5992,7 +5993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_groups": q_corr_groups,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
-        "pca_anomaly": q_pca_anomaly,
         "hash_split": q_hash_split,
         "windowed_drift": q_windowed_drift,
         "sessionize": q_sessionize,
