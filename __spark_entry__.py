@@ -4630,6 +4630,62 @@ def _equidepth_histogram_sql(bins: int = 8) -> str:
     FROM b GROUP BY column_name, bin, edges[bin + 1], edges[bin + 2]"""
 
 
+def q_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join blow-up check for lineitem ⋈ orders on o_custkey routed
+    through orders — many-to-many on purpose (customer appears in both
+    sides many times): exact output size, amplification, hottest key."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        join_explosion_profile,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    enriched = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(F.col("o_custkey").alias("custkey"))
+    out = join_explosion_profile(
+        enriched, orders.select(F.col("o_custkey").alias("custkey")),
+        ["custkey"],
+    )
+    return _round_cols(out, ["amplification", "max_key_share"])
+
+
+def _join_explosion_sql() -> str:
+    return f"""
+    WITH l AS (
+      SELECT o.o_custkey AS custkey FROM lineitem li
+      JOIN orders o ON li.l_orderkey = o.o_orderkey),
+    r AS (SELECT o_custkey AS custkey FROM orders),
+    lc AS (SELECT custkey, COUNT(*) AS nl FROM l
+           WHERE custkey IS NOT NULL GROUP BY 1),
+    rc AS (SELECT custkey, COUNT(*) AS nr FROM r
+           WHERE custkey IS NOT NULL GROUP BY 1),
+    pairs AS (SELECT CAST(nl AS BIGINT) AS nl, CAST(nr AS BIGINT) AS nr,
+                CAST(nl AS BIGINT) * nr AS out_k
+              FROM lc JOIN rc USING (custkey)),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l WHERE custkey IS NOT NULL)
+               AS left_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM r WHERE custkey IS NOT NULL)
+               AS right_rows),
+    agg AS (
+      SELECT COUNT(*) AS matched_keys,
+        CAST(COALESCE(SUM(out_k), 0) AS BIGINT) AS output_rows,
+        CAST(COALESCE(MAX(out_k), 0) AS BIGINT) AS max_key_output,
+        CAST(COALESCE(SUM(CASE WHEN nl > 1 AND nr > 1 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS many_to_many_keys
+      FROM pairs)
+    SELECT left_rows, right_rows, matched_keys, output_rows,
+      ROUND(CAST(output_rows AS DOUBLE)
+            / GREATEST(left_rows, right_rows, 1), {ROUND}) AS amplification,
+      max_key_output,
+      ROUND(CAST(max_key_output AS DOUBLE) / GREATEST(output_rows, 1),
+            {ROUND}) AS max_key_share,
+      many_to_many_keys
+    FROM tot CROSS JOIN agg"""
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis over orders: per candidate key column, the
     hottest-key share, top-10 share, Herfindahl concentration and
@@ -5830,6 +5886,7 @@ def _oracle_queries() -> dict[str, str]:
         "token_budget_sample": _token_budget_sample_sql(),
         "key_overlap": _key_overlap_sql(),
         "pca_contributions": _pca_contributions_sql(),
+        "join_explosion": _join_explosion_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5931,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "key_overlap": q_key_overlap,
         "pca_contributions": q_pca_contributions,
+        "join_explosion": q_join_explosion,
         "pca_anomaly": q_pca_anomaly,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,

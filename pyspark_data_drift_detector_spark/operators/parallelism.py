@@ -249,3 +249,81 @@ def key_skew_profile(
         out = out.localCheckpoint(eager=True)
         counts.unpersist(blocking=False)
     return out
+
+
+def join_explosion_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Pre-join blow-up diagnosis: the EXACT inner-join output size and
+    where it comes from, computed from the two sides' key-count tables
+    WITHOUT running the join — ``Σ_k n_left(k)·n_right(k)``. A
+    many-to-many key (two "fact" tables joined on a low-cardinality
+    column) multiplies instead of matching; this panel is the "will this
+    join emit 10^12 rows?" check that costs two groupBys instead of a
+    melted cluster.
+
+    Output (one row): ``left_rows, right_rows, matched_keys,
+    output_rows, amplification`` (output vs the larger input),
+    ``max_key_output`` (hottest key's contribution — the single-reducer
+    load), ``max_key_share``, ``many_to_many_keys`` (keys with > 1 row
+    on BOTH sides — each one a multiplier).
+
+    Scale shape: one ``groupBy(keys)`` count per side (map-side
+    combine), an inner join of the two O(distinct) count tables keyed by
+    the join key (no hot reducer — counts, not rows), one scalar
+    aggregate. NULL keys are excluded, matching inner-join semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not key_cols:
+        raise ValueError("no key columns")
+    ensure_safe_columns(key_cols)
+    non_null = " AND ".join(f"`{c}` IS NOT NULL" for c in key_cols)
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.where(non_null)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+    lc = counts(left, "nl")
+    rc = counts(right, "nr")
+    pairs = lc.join(rc, key_cols).selectExpr(
+        "CAST(nl AS BIGINT) AS nl",
+        "CAST(nr AS BIGINT) AS nr",
+        "CAST(nl AS BIGINT) * nr AS out_k",
+    )
+    totals = left.selectExpr(
+        f"CAST(count_if({non_null}) AS BIGINT) AS left_rows"
+    ).crossJoin(
+        right.selectExpr(
+            f"CAST(count_if({non_null}) AS BIGINT) AS right_rows"
+        )
+    )
+    agg = pairs.groupBy().agg(
+        F.expr("count(1) AS matched_keys"),
+        F.expr("CAST(coalesce(sum(out_k), 0) AS BIGINT) AS output_rows"),
+        F.expr("CAST(coalesce(max(out_k), 0) AS BIGINT) AS max_key_output"),
+        F.expr(
+            "CAST(coalesce(sum(CAST(nl > 1 AND nr > 1 AS BIGINT)), 0)"
+            " AS BIGINT) AS many_to_many_keys"
+        ),
+    )
+    return totals.crossJoin(agg).selectExpr(
+        "left_rows",
+        "right_rows",
+        "matched_keys",
+        "output_rows",
+        "CAST(output_rows AS DOUBLE) / greatest(left_rows, right_rows, 1)"
+        " AS amplification",
+        "max_key_output",
+        "CAST(max_key_output AS DOUBLE) / greatest(output_rows, 1)"
+        " AS max_key_share",
+        "many_to_many_keys",
+    )

@@ -1447,3 +1447,38 @@ def test_constraint_implication_and_composite_unique(spark):
         [{"type": "unique", "column": ["id", "tag"]}],
     ).collect()[0]
     assert ok["passed"]
+
+
+def test_join_explosion_profile(spark):
+    """Exact inner-join output accounting without running the join:
+    per-key products, amplification, hottest-key share, many-to-many
+    detection, NULL keys excluded."""
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        join_explosion_profile,
+    )
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), (None,)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("d",), (None,)], "k string"
+    )
+    r = join_explosion_profile(left, right, ["k"]).collect()[0]
+    assert r["left_rows"] == 5 and r["right_rows"] == 4  # NULLs excluded
+    assert r["matched_keys"] == 2                         # a, b
+    assert r["output_rows"] == 3 * 2 + 1 * 1              # 7
+    # ground truth: the actual inner join emits the same count
+    assert left.join(right, "k").count() == 7
+    assert r["max_key_output"] == 6
+    assert r["max_key_share"] == pytest.approx(6 / 7)
+    assert r["many_to_many_keys"] == 1                    # only 'a'
+    assert r["amplification"] == pytest.approx(7 / 5)
+
+    # disjoint keys: zero output, no crash
+    z = join_explosion_profile(
+        left, right.where("k = 'd'"), ["k"]
+    ).collect()[0]
+    assert z["output_rows"] == 0 and z["matched_keys"] == 0
+
+    with pytest.raises(ValueError, match="no key columns"):
+        join_explosion_profile(left, right, [])
