@@ -708,3 +708,53 @@ def test_round8_operators_plan_contracts(spark, sf_dir):
     ct = completeness_timeseries(ev, "ts", ["user_id", "value"])
     assert_column_pruned(ct, "props")
     assert count_shuffles(ct) <= 1
+
+
+def test_round8_diagnostics_plan_contracts(spark, sf_dir):
+    """join_explosion_profile joins count tables, never rows (its
+    exchanges carry aggregated counts); key_overlap_drift prunes to the
+    key columns; pca_error_contributions is pure expression math — no
+    per-row UDF, scans pruned to the analyzed columns."""
+    from pyspark_data_drift_detector_spark.operators.anomaly import (
+        pca_error_contributions,
+    )
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        key_overlap_drift,
+    )
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        join_explosion_profile,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        assert_column_pruned,
+        simple_plan,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    je = join_explosion_profile(
+        li.selectExpr("l_orderkey AS k"),
+        orders.selectExpr("o_orderkey AS k"),
+        ["k"],
+    )
+    assert_column_pruned(je, "l_comment")
+    assert_column_pruned(je, "o_totalprice")
+
+    ko = key_overlap_drift(
+        orders.filter("o_orderkey % 2 = 0"),
+        orders.filter("o_orderkey % 2 = 1"),
+        ["o_custkey"],
+    )
+    assert_column_pruned(ko, "o_totalprice")
+    assert_column_pruned(ko, "o_orderdate")
+
+    pc = pca_error_contributions(
+        li.limit(0).unionByName(li),  # keep the parquet scan visible
+        li,
+        ["l_quantity", "l_tax"],
+        k=1,
+        components=[[0.7071067811865476, 0.7071067811865476]],
+    )
+    plan = simple_plan(pc)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_column_pruned(pc, "l_extendedprice")
