@@ -461,6 +461,64 @@ def detect_drift(
         )
         results.append(_to_result_rows(st_rows, "statistical_test"))
 
+    if cfg.get("analyze_benford", False) and num_cols:
+        # Beyond the reference's families (opt-in): Benford first-digit
+        # conformance per side and its SHIFT — a feed that was always
+        # non-Benford isn't drift, so the score is the tvd shift, with a
+        # separate cause when curr is outright non-conforming.
+        from pyspark_data_drift_detector_spark.operators.distribution import (
+            benford_deviation,
+        )
+        from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+            severity_expr,
+        )
+
+        bref = benford_deviation(df_ref, num_cols).select(
+            "column_name",
+            F.col("n").alias("ref_n"),
+            F.col("tvd").alias("ref_tvd"),
+            F.col("chi2_stat").alias("ref_chi2"),
+        )
+        bcurr = benford_deviation(df_curr, num_cols).select(
+            "column_name",
+            F.col("n").alias("curr_n"),
+            F.col("tvd").alias("curr_tvd"),
+            F.col("chi2_stat").alias("curr_chi2"),
+        )
+        shift_th = float(cfg.get("benford_shift_threshold", 0.05))
+        conform_th = float(cfg.get("benford_conformance_threshold", 0.15))
+        score = F.least(
+            F.lit(1.0), F.abs(F.col("curr_tvd") - F.col("ref_tvd")) * 5
+        )
+        bf_rows = bref.join(bcurr, "column_name").select(
+            "column_name",
+            score.alias("drift_score"),
+            severity_expr(score).alias("drift_severity"),
+            (
+                (F.abs(F.col("curr_tvd") - F.col("ref_tvd")) > shift_th)
+                | (F.col("curr_tvd") > conform_th)
+            ).alias("drift_detected"),
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.abs(F.col("curr_tvd") - F.col("ref_tvd")) > shift_th,
+                        F.lit("benford_shift"),
+                    ),
+                    F.when(
+                        F.col("curr_tvd") > conform_th,
+                        F.lit("benford_nonconforming"),
+                    ),
+                )
+            ).alias("drift_causes"),
+            "ref_n",
+            "curr_n",
+            "ref_tvd",
+            "curr_tvd",
+            "ref_chi2",
+            "curr_chi2",
+        )
+        results.append(_to_result_rows(bf_rows, "benford"))
+
     overlap_cols = list(cfg.get("key_overlap_columns") or [])
     if cfg.get("analyze_key_overlap", False) and overlap_cols:
         # Beyond the reference's families (opt-in): cohort retention/churn

@@ -213,3 +213,38 @@ def test_pipeline_key_overlap_family(spark):
     # default config: family absent
     off = detect_drift(ref, curr)
     assert not [r for r in off.collect() if r["column_type"] == "key_overlap"]
+
+
+def test_pipeline_benford_family(spark):
+    """The opt-in Benford family flags a feed whose first-digit mix
+    shifted (uniform fill replacing Benford-ish values) and stays quiet
+    when both sides share the distribution."""
+    import math
+
+    rows_benford = []
+    for d in range(1, 10):
+        rows_benford += [float(d)] * round(200 * math.log10(1 + 1 / d))
+    rows_uniform = [float(d) for d in range(1, 10)] * 25
+    n = min(len(rows_benford), len(rows_uniform))
+    # jitter (first digit preserved) so the pipeline's type inference
+    # keeps `amount` numeric instead of low-cardinality categorical
+    rows_benford = [v * (1.0 + i * 1e-7) for i, v in enumerate(rows_benford)]
+    rows_uniform = [v * (1.0 + i * 1e-7) for i, v in enumerate(rows_uniform)]
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    ref = spark.createDataFrame(
+        [(i, rows_benford[i]) for i in range(n)], "id long, amount double"
+    )
+    curr = spark.createDataFrame(
+        [(i, rows_uniform[i]) for i in range(n)], "id long, amount double"
+    )
+    out = detect_drift(ref, curr, {"analyze_benford": True})
+    rows = [r for r in out.collect() if r["column_type"] == "benford"]
+    by = {r["column_name"]: r for r in rows}
+    assert by["amount"]["drift_detected"]
+    assert "benford_shift" in by["amount"]["drift_causes"]
+    # identical sides: no drift
+    quiet = detect_drift(ref, ref, {"analyze_benford": True})
+    q = [r for r in quiet.collect()
+         if r["column_type"] == "benford" and r["column_name"] == "amount"][0]
+    assert not q["drift_detected"] and q["drift_score"] == 0.0
