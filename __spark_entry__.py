@@ -5449,6 +5449,74 @@ def _dedup_incremental_sql() -> str:
     FROM r"""
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day-of-week baseline anomalies: even-user events build the
+    per-dow baseline, odd-user daily buckets are z-scored against it —
+    weekend dips compare to weekends, not the weekly mean."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonal_anomalies,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    out = seasonal_anomalies(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+    return _round_cols(
+        out.select(
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "dow",
+            "n_rows",
+            "bucket_mean",
+            "n_baseline_buckets",
+            "expected_mean",
+            "expected_std",
+            "z_score",
+            "anomaly",
+        ),
+        ["bucket_mean", "expected_mean", "expected_std", "z_score"],
+    )
+
+
+def _seasonal_anomalies_sql() -> str:
+    return f"""
+    WITH rb AS (
+      SELECT date_trunc('day', ts) AS b, COUNT(*) AS n_rows,
+        AVG(CAST(value AS DOUBLE)) AS bucket_mean
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+    base AS (
+      SELECT dayofweek(b) AS dow, COUNT(*) AS n_baseline_buckets,
+        AVG(bucket_mean) AS expected_mean,
+        STDDEV_SAMP(bucket_mean) AS expected_std
+      FROM rb GROUP BY 1),
+    cb AS (
+      SELECT date_trunc('day', ts) AS b, COUNT(*) AS n_rows,
+        AVG(CAST(value AS DOUBLE)) AS bucket_mean
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT cb.b, dayofweek(cb.b) AS dow, cb.n_rows, cb.bucket_mean,
+        CAST(COALESCE(base.n_baseline_buckets, 0) AS BIGINT)
+          AS n_baseline_buckets,
+        base.expected_mean, base.expected_std,
+        CASE WHEN base.n_baseline_buckets >= 2 AND base.expected_std > 0
+          THEN (cb.bucket_mean - base.expected_mean) / base.expected_std
+        END AS z_score
+      FROM cb LEFT JOIN base ON dayofweek(cb.b) = base.dow)
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      CAST(dow AS INT) AS dow, n_rows,
+      ROUND(bucket_mean, {ROUND}) AS bucket_mean,
+      n_baseline_buckets,
+      ROUND(expected_mean, {ROUND}) AS expected_mean,
+      ROUND(expected_std, {ROUND}) AS expected_std,
+      ROUND(z_score, {ROUND}) AS z_score,
+      CASE WHEN z_score IS NOT NULL THEN abs(z_score) > 3.0 END AS anomaly
+    FROM j"""
+
+
 def q_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention/churn between the even/odd orders snapshots over
     customer and status keys — population rotation that frequency drift
@@ -5887,6 +5955,7 @@ def _oracle_queries() -> dict[str, str]:
         "key_overlap": _key_overlap_sql(),
         "pca_contributions": _pca_contributions_sql(),
         "join_explosion": _join_explosion_sql(),
+        "seasonal_anomalies": _seasonal_anomalies_sql(),
         "rollup_timeseries": _rollup_timeseries_sql(),
         "key_skew_profile": _key_skew_profile_sql(),
         "equidepth_histogram": _equidepth_histogram_sql(),
@@ -5989,6 +6058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_overlap": q_key_overlap,
         "pca_contributions": q_pca_contributions,
         "join_explosion": q_join_explosion,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "pca_anomaly": q_pca_anomaly,
         "rollup_timeseries": q_rollup_timeseries,
         "robust_profile_counts": q_robust_profile_counts,

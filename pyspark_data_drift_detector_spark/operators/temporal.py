@@ -736,3 +736,91 @@ def completeness_timeseries(
             "CAST(n_null AS DOUBLE) / greatest(n_rows, 1) AS null_ratio",
         )
     )
+
+
+def seasonal_anomalies(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    granularity: str = "day",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware time-bucket anomalies: score each CURRENT bucket
+    against the reference period's baseline for the SAME day-of-week —
+    the monitor that doesn't page on every weekend dip (a Saturday is
+    compared to Saturdays, not to the weekly mean).
+
+    Per current bucket: ``bucket_start, dow`` (0=Sunday..6), ``n_rows,
+    bucket_mean``, the ref baseline for that dow (``expected_mean,
+    expected_std`` — mean/stddev ACROSS the ref period's same-dow bucket
+    means, plus ``n_baseline_buckets``), ``z_score`` and ``anomaly``
+    (``|z| > z_threshold``; NULL z when the baseline has < 2 buckets or
+    zero spread — flagged rather than fake-scored).
+
+    Shape: one ``groupBy(bucket)`` per side (map-side combine), the
+    O(7)-row dow baseline broadcast back — no window, no self-join.
+    Sub-day granularities still baseline by dow (hour buckets of a
+    Monday compare to Monday hours); extend the key to (dow, hour) by
+    pre-truncating if hour-of-day seasonality matters.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, value_col])
+    if granularity.lower() not in _TRUNC_ORDER:
+        raise ValueError(f"unknown date_trunc unit: {granularity}")
+
+    def buckets(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr(
+                f"date_trunc('{granularity.lower()}', `{ts_col}`)"
+                " AS bucket_start",
+                f"CAST(`{value_col}` AS DOUBLE) AS __v",
+            )
+            .groupBy("bucket_start")
+            .agg(
+                F.expr("count(1) AS n_rows"),
+                F.expr("avg(__v) AS bucket_mean"),
+            )
+            .selectExpr(
+                "bucket_start",
+                "dayofweek(bucket_start) - 1 AS dow",
+                "n_rows",
+                "bucket_mean",
+            )
+        )
+
+    baseline = (
+        buckets(df_ref)
+        .groupBy("dow")
+        .agg(
+            F.expr("count(1) AS n_baseline_buckets"),
+            F.expr("avg(bucket_mean) AS expected_mean"),
+            F.expr("stddev(bucket_mean) AS expected_std"),
+        )
+    )
+    zt = float(z_threshold)
+    return (
+        buckets(df_curr)
+        .join(F.broadcast(baseline), "dow", "left")
+        .selectExpr(
+            "bucket_start",
+            "dow",
+            "n_rows",
+            "bucket_mean",
+            "CAST(coalesce(n_baseline_buckets, 0) AS BIGINT)"
+            " AS n_baseline_buckets",
+            "expected_mean",
+            "expected_std",
+            "CASE WHEN n_baseline_buckets >= 2 AND expected_std > 0"
+            " THEN (bucket_mean - expected_mean) / expected_std END"
+            " AS z_score",
+        )
+        .selectExpr(
+            "*",
+            f"CASE WHEN z_score IS NOT NULL THEN abs(z_score) > {zt!r}D END"
+            " AS anomaly",
+        )
+    )

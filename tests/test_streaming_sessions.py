@@ -496,3 +496,56 @@ def test_benford_state_sink_matches_batch(spark, sf_dir, tmp_path):
     )
     batch = keyed(benford_deviation(src, cols).collect())
     assert streamed == batch and len(streamed) == 3
+
+
+def test_seasonal_anomalies_dow_baseline(spark):
+    """Same-dow scoring: a weekend-dip pattern present in both periods is
+    NOT an anomaly; a Monday that breaks its own Mondays' baseline is.
+    Degenerate baselines (one bucket / zero spread) yield NULL z."""
+    from datetime import datetime, timedelta
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonal_anomalies,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime(2024, 1, 1)  # a Monday
+    rows_ref, rows_curr = [], []
+    # 4 ref weeks + 2 curr weeks: weekdays ~100 (jittered), weekends ~20
+    for w in range(6):
+        for d in range(7):
+            day = base + timedelta(days=w * 7 + d)
+            level = 20.0 if d >= 5 else 100.0
+            jitter = 1.0 * ((w + d) % 3)  # spread so stddev > 0
+            target = rows_ref if w < 4 else rows_curr
+            for i in range(5):
+                target.append((day + timedelta(hours=i), level + jitter))
+    # week 6 Monday breaks its baseline hard
+    rows_curr = [
+        (ts, 500.0) if ts.date() == (base + timedelta(days=35)).date() else (ts, v)
+        for ts, v in rows_curr
+    ]
+    ref = spark.createDataFrame(rows_ref, "ts timestamp, value double")
+    curr = spark.createDataFrame(rows_curr, "ts timestamp, value double")
+    out = {
+        r["bucket_start"].date(): r
+        for r in seasonal_anomalies(ref, curr).collect()
+    }
+    broken_monday = (base + timedelta(days=35)).date()
+    normal_saturday = (base + timedelta(days=33)).date()
+    assert out[broken_monday]["anomaly"]
+    assert out[broken_monday]["dow"] == 1  # Monday, 0=Sunday
+    # the weekend dip matches its own baseline: no anomaly
+    assert not out[normal_saturday]["anomaly"]
+    assert abs(out[normal_saturday]["z_score"]) < 3.0
+    assert out[normal_saturday]["expected_mean"] < 25.0
+
+    # one-bucket baseline -> NULL z, NULL anomaly (flagged, not faked)
+    tiny_ref = spark.createDataFrame(rows_ref[:5], "ts timestamp, value double")
+    tiny = seasonal_anomalies(tiny_ref, curr).collect()
+    mondays = [r for r in tiny if r["dow"] == 1]
+    assert mondays and all(r["z_score"] is None and r["anomaly"] is None
+                           for r in mondays)
+
+    with pytest.raises(ValueError, match="unknown date_trunc"):
+        seasonal_anomalies(ref, curr, granularity="fortnight")
