@@ -792,18 +792,28 @@ def seasonal_anomalies(
             )
         )
 
-    baseline = (
-        buckets(df_ref)
-        .groupBy("dow")
-        .agg(
-            F.expr("count(1) AS n_baseline_buckets"),
-            F.expr("avg(bucket_mean) AS expected_mean"),
-            F.expr("stddev(bucket_mean) AS expected_std"),
-        )
+    return _score_seasonal_buckets(
+        buckets(df_ref), buckets(df_curr), z_threshold
+    )
+
+
+def _score_seasonal_buckets(
+    ref_buckets: DataFrame,
+    curr_buckets: DataFrame,
+    z_threshold: float,
+) -> DataFrame:
+    """Shared scoring half of the seasonal monitor: dow baselines from
+    the ref bucket panel (O(7) rows, broadcast), z-scores per curr
+    bucket. Both bucket frames carry ``bucket_start, dow, n_rows,
+    bucket_mean``."""
+    baseline = ref_buckets.groupBy("dow").agg(
+        F.expr("count(1) AS n_baseline_buckets"),
+        F.expr("avg(bucket_mean) AS expected_mean"),
+        F.expr("stddev(bucket_mean) AS expected_std"),
     )
     zt = float(z_threshold)
     return (
-        buckets(df_curr)
+        curr_buckets
         .join(F.broadcast(baseline), "dow", "left")
         .selectExpr(
             "bucket_start",
@@ -824,3 +834,46 @@ def seasonal_anomalies(
             " AS anomaly",
         )
     )
+
+
+def seasonal_anomalies_from_state(
+    state: DataFrame,
+    split_ts: str,
+    granularity: str = "day",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The seasonal monitor fed from the CONTINUOUS aggregate instead of
+    raw events: merge :func:`rollup_state` rows (any dims, any number of
+    micro-batch appends) to per-bucket means, use buckets strictly
+    before ``split_ts`` (an ISO timestamp string) as the same-dow
+    baseline, and score the rest — the production deployment where the
+    stream maintains the state and the monitor reads O(buckets) rows,
+    never the events. Decimal-exact sums make the bucket means (and so
+    the scores) identical to :func:`seasonal_anomalies` over the raw
+    split — pinned by the parity test.
+    """
+    if granularity.lower() not in _TRUNC_ORDER:
+        raise ValueError(f"unknown date_trunc unit: {granularity}")
+    merged = (
+        state.selectExpr(
+            f"date_trunc('{granularity.lower()}', bucket_start)"
+            " AS bucket_start",
+            "n_rows", "n", "s",
+        )
+        .groupBy("bucket_start")
+        .agg(
+            F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
+            F.expr("sum(n) AS __n"),
+            F.expr("sum(s) AS __s"),
+        )
+        .selectExpr(
+            "bucket_start",
+            "dayofweek(bucket_start) - 1 AS dow",
+            "n_rows",
+            "CASE WHEN __n > 0 THEN CAST(__s AS DOUBLE) / __n END"
+            " AS bucket_mean",
+        )
+    )
+    ref = merged.where(f"bucket_start < TIMESTAMP '{split_ts}'")
+    curr = merged.where(f"bucket_start >= TIMESTAMP '{split_ts}'")
+    return _score_seasonal_buckets(ref, curr, z_threshold)

@@ -549,3 +549,56 @@ def test_seasonal_anomalies_dow_baseline(spark):
 
     with pytest.raises(ValueError, match="unknown date_trunc"):
         seasonal_anomalies(ref, curr, granularity="fortnight")
+
+
+def test_seasonal_anomalies_from_state_parity(spark, sf_dir, tmp_path):
+    """The state-fed seasonal monitor equals the raw-event monitor
+    row-for-row when the state was maintained by micro-batch appends and
+    the split is a time boundary."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        rollup_state,
+        seasonal_anomalies,
+        seasonal_anomalies_from_state,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "value", "event_type"
+    )
+    split = ev.selectExpr(
+        "date_format(date_trunc('day', min(ts)) + INTERVAL 14 DAYS,"
+        " 'yyyy-MM-dd HH:mm:ss') AS s"
+    ).collect()[0]["s"]
+    # two appends (full table twice) -> duplicate state rows must merge
+    path = str(tmp_path / "seasonal_state")
+    st = rollup_state(ev, "ts", ["event_type"], "value", "hour")
+    st.write.parquet(path)
+    st.write.mode("append").parquet(path)
+
+    def keyed(rows):
+        return {
+            r["bucket_start"]: (
+                r["dow"], r["n_rows"],
+                None if r["bucket_mean"] is None else round(r["bucket_mean"], 9),
+                r["n_baseline_buckets"],
+                None if r["z_score"] is None else round(r["z_score"], 9),
+                r["anomaly"],
+            )
+            for r in rows
+        }
+
+    from_state = keyed(
+        seasonal_anomalies_from_state(
+            spark.read.parquet(path), split
+        ).collect()
+    )
+    # doubled ingest doubles n_rows but not the means: compare against the
+    # doubled raw events
+    ev2 = ev.unionByName(ev)
+    raw = keyed(
+        seasonal_anomalies(
+            ev2.where(f"ts < TIMESTAMP '{split}'"),
+            ev2.where(f"ts >= TIMESTAMP '{split}'"),
+        ).collect()
+    )
+    assert from_state == raw and len(from_state) > 0
