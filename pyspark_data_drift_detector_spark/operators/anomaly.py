@@ -130,8 +130,13 @@ def pca_error_contributions(
     1-row aggregates). Output: ``column_name, ref_contrib,
     curr_contrib, ref_share, curr_share, share_abs_diff``.
     """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
     if len(columns) < 2:
         raise ValueError("need at least 2 columns")
+    ensure_safe_columns(columns)
     p = len(columns)
     k = min(k if k is not None else min(10, p), p)
     ref_valid = _valid_rows(df_ref, columns)

@@ -810,6 +810,11 @@ def dedup_incremental(
     THIS batch shares the fingerprint), and the combined ``keep``
     decision (first unseen occurrence). Batch-order-free: ties resolve
     by smallest id, so the same batch always keeps the same rows.
+    NULL-text documents have NO fingerprint: their content is unknown,
+    so they are never duplicates of anything (``keep`` stays true) and
+    never collapse into each other — each gets its own window partition
+    via an id-derived sentinel, so a large NULL batch also can't melt
+    one reducer.
 
     Scale shape: one LEFT join + one window, both keyed by the
     fingerprint (uniform md5 keys — no hot reducer); the state side is
@@ -827,15 +832,19 @@ def dedup_incremental(
         .distinct()
         .withColumn("__seen", F.lit(1))
     )
-    win = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    part = F.coalesce(
+        F.col("fingerprint"),
+        F.concat(F.lit("\x01null:"), F.col(id_col).cast("string")),
+    )
+    win = Window.partitionBy(part).orderBy(F.col(id_col).asc())
     return (
         fp.join(seen_keys, "fingerprint", "left")
         .withColumn("__rn", F.row_number().over(win))
         .selectExpr(
             f"`{id_col}`",
             "fingerprint",
-            "__seen IS NOT NULL AS dup_of_state",
-            "__rn > 1 AS dup_in_batch",
-            "__seen IS NULL AND __rn = 1 AS keep",
+            "fingerprint IS NOT NULL AND __seen IS NOT NULL AS dup_of_state",
+            "fingerprint IS NOT NULL AND __rn > 1 AS dup_in_batch",
+            "fingerprint IS NULL OR (__seen IS NULL AND __rn = 1) AS keep",
         )
     )

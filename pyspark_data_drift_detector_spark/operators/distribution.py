@@ -627,34 +627,42 @@ def benford_deviation(
     return benford_from_state(benford_digit_state(df, columns))
 
 
-def benford_digit_state(df: DataFrame, columns: list[str]) -> DataFrame:
+def benford_digit_state(
+    df: DataFrame, columns: list[str], side_col: str | None = None
+) -> DataFrame:
     """The additive half of :func:`benford_deviation`: one row per
     ``(column_name, digit)`` with ``cnt`` and the digit-less row count
-    ``n_skipped`` — counts merge across appends by summation."""
+    ``n_skipped`` — counts merge across appends by summation.
+    ``side_col`` threads a tag column through the melt (for the
+    side-tagged pair shape — both snapshots' states from ONE scan)."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
 
     if not columns:
         raise ValueError("no columns")
-    ensure_safe_columns(columns)
+    ensure_safe_columns(columns + ([side_col] if side_col else []))
+    extra = [f"`{side_col}`"] if side_col else []
+    keys = ([side_col] if side_col else []) + ["column_name"]
     cells = ", ".join(
         f"named_struct('column_name', '{c}', 'v', abs(CAST(`{c}` AS DOUBLE)))"
         for c in columns
     )
     return (
-        df.selectExpr(f"inline(array({cells}))")
+        df.selectExpr(*extra, f"inline(array({cells}))")
         .selectExpr(
+            *extra,
             "column_name",
             "v",
             f"{FIRST_DIGIT_SQL.format(v='v')} AS digit",
         )
         .selectExpr(
+            *extra,
             "column_name",
             "digit",
             "CAST(v IS NOT NULL AND digit IS NULL AS INT) AS skipped",
         )
-        .groupBy("column_name", "digit")
+        .groupBy(*keys, "digit")
         .agg(
             F.expr("count(digit) AS cnt"),
             F.expr("CAST(sum(skipped) AS BIGINT) AS n_skipped"),
@@ -662,21 +670,83 @@ def benford_digit_state(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
+def _benford_metric_sqls(n: str, c_fmt: str) -> tuple[str, str, str]:
+    """(tvd, max_dev, chi2) SQL fragments over digit-count columns named
+    by ``c_fmt.format(d=d)`` with total ``n`` — shared by the single-
+    frame rollup and the side-tagged pair."""
+    import math
+
+    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    tvd, mx, chi2 = [], [], []
+    for d, p in expected.items():
+        obs = f"(CAST({c_fmt.format(d=d)} AS DOUBLE) / greatest({n}, 1))"
+        tvd.append(f"abs({obs} - {p!r}D)")
+        mx.append(f"abs({obs} - {p!r}D)")
+        chi2.append(
+            f"(CASE WHEN {n} > 0 THEN {n} * ({obs} - {p!r}D) * ({obs} - {p!r}D)"
+            f" / {p!r}D ELSE 0.0D END)"
+        )
+    return (
+        f"({' + '.join(tvd)}) / 2",
+        f"greatest({', '.join(mx)})",
+        " + ".join(chi2),
+    )
+
+
+def benford_deviation_pair(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Both sides' Benford panels from ONE side-tagged scan (the
+    engine's pair convention — no second melt of the raw data). Output
+    per column: ``ref_n, ref_n_skipped, ref_tvd, ref_max_dev,
+    ref_chi2`` and the ``curr_`` twins. A side with ZERO extractable
+    digits reports NULL tvd/max_dev/chi2 — "no first-digit data" must
+    not read as maximal deviation (with n = 0 the raw formula
+    degenerates to tvd = 0.5)."""
+    tagged = df_ref.selectExpr("'r' AS __side", *[f"`{c}`" for c in columns]).unionByName(
+        df_curr.selectExpr("'c' AS __side", *[f"`{c}`" for c in columns])
+    )
+    state = benford_digit_state(tagged, columns, side_col="__side")
+    aggs, outs = [], ["column_name"]
+    for pre, tag in (("ref", "r"), ("curr", "c")):
+        cond = f"__side = '{tag}'"
+        aggs.append(
+            f"CAST(sum(CASE WHEN {cond} THEN cnt ELSE 0 END) AS BIGINT)"
+            f" AS __{pre}_n"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {cond} THEN n_skipped ELSE 0 END) AS BIGINT)"
+            f" AS __{pre}_skip"
+        )
+        for d in range(1, 10):
+            aggs.append(
+                f"sum(CASE WHEN {cond} AND digit = {d} THEN cnt ELSE 0 END)"
+                f" AS __{pre}_c{d}"
+            )
+        tvd, mx, chi2 = _benford_metric_sqls(
+            f"__{pre}_n", f"__{pre}_c{{d}}"
+        )
+        outs += [
+            f"__{pre}_n AS {pre}_n",
+            f"__{pre}_skip AS {pre}_n_skipped",
+            f"CASE WHEN __{pre}_n > 0 THEN {tvd} END AS {pre}_tvd",
+            f"CASE WHEN __{pre}_n > 0 THEN {mx} END AS {pre}_max_dev",
+            f"CASE WHEN __{pre}_n > 0 THEN {chi2} END AS {pre}_chi2",
+        ]
+    return (
+        state.groupBy("column_name")
+        .agg(*[F.expr(a) for a in aggs])
+        .selectExpr(*outs)
+    )
+
+
 def benford_from_state(digits: DataFrame) -> DataFrame:
     """Benford rollup over :func:`benford_digit_state` rows. Several
     state rows per ``(column, digit)`` (one per appended micro-batch)
     merge exactly — every aggregate below is a sum."""
-    import math
-    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
-    terms_tvd, terms_max, terms_chi2 = [], [], []
-    for d, p in expected.items():
-        obs = f"(CAST(__c{d} AS DOUBLE) / greatest(n, 1))"
-        terms_tvd.append(f"abs({obs} - {p!r}D)")
-        terms_max.append(f"abs({obs} - {p!r}D)")
-        terms_chi2.append(
-            f"(CASE WHEN n > 0 THEN n * ({obs} - {p!r}D) * ({obs} - {p!r}D)"
-            f" / {p!r}D ELSE 0.0D END)"
-        )
+    tvd, mx, chi2 = _benford_metric_sqls("n", "__c{d}")
     return (
         digits.groupBy("column_name")
         .agg(
@@ -684,15 +754,15 @@ def benford_from_state(digits: DataFrame) -> DataFrame:
             F.expr("CAST(sum(n_skipped) AS BIGINT) AS n_skipped"),
             *[
                 F.expr(f"sum(CASE WHEN digit = {d} THEN cnt ELSE 0 END) AS __c{d}")
-                for d in expected
+                for d in range(1, 10)
             ],
         )
         .selectExpr(
             "column_name",
             "n",
             "n_skipped",
-            f"({' + '.join(terms_tvd)}) / 2 AS tvd",
-            f"greatest({', '.join(terms_max)}) AS max_dev",
-            f"{' + '.join(terms_chi2)} AS chi2_stat",
+            f"{tvd} AS tvd",
+            f"{mx} AS max_dev",
+            f"{chi2} AS chi2_stat",
         )
     )

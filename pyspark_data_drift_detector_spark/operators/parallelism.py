@@ -294,10 +294,14 @@ def join_explosion_profile(
         )
     lc = counts(left, "nl")
     rc = counts(right, "nr")
+    # per-key products and their sum carry as DECIMAL(38,0): two 4e9-row
+    # sides on one key give nl*nr = 1.6e19 > BIGINT max — exactly the
+    # catastrophic regime this profiler exists to detect; a wrapped
+    # negative sum would report "no explosion" for the worst inputs
     pairs = lc.join(rc, key_cols).selectExpr(
         "CAST(nl AS BIGINT) AS nl",
         "CAST(nr AS BIGINT) AS nr",
-        "CAST(nl AS BIGINT) * nr AS out_k",
+        "CAST(nl AS DECIMAL(38, 0)) * nr AS out_k",
     )
     totals = left.selectExpr(
         f"CAST(count_if({non_null}) AS BIGINT) AS left_rows"
@@ -308,8 +312,19 @@ def join_explosion_profile(
     )
     agg = pairs.groupBy().agg(
         F.expr("count(1) AS matched_keys"),
-        F.expr("CAST(coalesce(sum(out_k), 0) AS BIGINT) AS output_rows"),
-        F.expr("CAST(coalesce(max(out_k), 0) AS BIGINT) AS max_key_output"),
+        # try_cast: beyond ~9.2e18 the exact count no longer fits a long —
+        # emit NULL ("too big to count") while amplification/share below
+        # stay correct from the decimal
+        F.expr("try_cast(coalesce(sum(out_k), 0) AS BIGINT) AS output_rows"),
+        F.expr(
+            "try_cast(coalesce(max(out_k), 0) AS BIGINT) AS max_key_output"
+        ),
+        F.expr(
+            "CAST(coalesce(sum(out_k), 0) AS DOUBLE) AS __out_d"
+        ),
+        F.expr(
+            "CAST(coalesce(max(out_k), 0) AS DOUBLE) AS __max_d"
+        ),
         F.expr(
             "CAST(coalesce(sum(CAST(nl > 1 AND nr > 1 AS BIGINT)), 0)"
             " AS BIGINT) AS many_to_many_keys"
@@ -320,10 +335,8 @@ def join_explosion_profile(
         "right_rows",
         "matched_keys",
         "output_rows",
-        "CAST(output_rows AS DOUBLE) / greatest(left_rows, right_rows, 1)"
-        " AS amplification",
+        "__out_d / greatest(left_rows, right_rows, 1) AS amplification",
         "max_key_output",
-        "CAST(max_key_output AS DOUBLE) / greatest(output_rows, 1)"
-        " AS max_key_share",
+        "__max_d / greatest(__out_d, 1.0D) AS max_key_share",
         "many_to_many_keys",
     )

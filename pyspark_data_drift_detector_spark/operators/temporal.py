@@ -630,18 +630,21 @@ def rollup_from_state(
         " DECIMAL(38,10) envelope (exactness requires abs(v) < 1e14) —"
         " mean/stddev would be silently wrong')"
     )
+    # the guard rides EVERY metric column: a consumer that projects any
+    # subset (counts only, min/max only) still trips it — with the guard
+    # only on mean/stddev, column pruning silently disabled validation
     return out.selectExpr(
         "granularity",
         "bucket_start",
         *[f"`{d}`" for d in dim_cols],
-        "n_rows",
-        "n",
+        f"{guard} ELSE n_rows END AS n_rows",
+        f"{guard} ELSE n END AS n",
         f"{guard} WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean",
         f"{guard} WHEN n > 1 THEN sqrt(greatest(0.0D,"
         " (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
         " / (n - 1))) END AS stddev",
-        "mn AS min",
-        "mx AS max",
+        f"{guard} ELSE mn END AS min",
+        f"{guard} ELSE mx END AS max",
     )
 
 
@@ -852,27 +855,28 @@ def seasonal_anomalies_from_state(
     the scores) identical to :func:`seasonal_anomalies` over the raw
     split — pinned by the parity test.
     """
+    import re
+
     if granularity.lower() not in _TRUNC_ORDER:
         raise ValueError(f"unknown date_trunc unit: {granularity}")
-    merged = (
-        state.selectExpr(
-            f"date_trunc('{granularity.lower()}', bucket_start)"
-            " AS bucket_start",
-            "n_rows", "n", "s",
-        )
-        .groupBy("bucket_start")
-        .agg(
-            F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
-            F.expr("sum(n) AS __n"),
-            F.expr("sum(s) AS __s"),
-        )
-        .selectExpr(
-            "bucket_start",
-            "dayofweek(bucket_start) - 1 AS dow",
-            "n_rows",
-            "CASE WHEN __n > 0 THEN CAST(__s AS DOUBLE) / __n END"
-            " AS bucket_mean",
-        )
+    # split_ts is interpolated into a SQL literal: accept only a strict
+    # ISO timestamp shape (the module's quoting discipline)
+    if not re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,6})?)?)?",
+        str(split_ts),
+    ):
+        raise ValueError(f"split_ts must be an ISO timestamp: {split_ts!r}")
+    # route through rollup_from_state with EMPTY dims: it merges every
+    # state row of a bucket (all dims, all appends) with the exact
+    # decimal sums AND fires the overflow/state-grain guards here
+    # exactly as on every other state consumer — reading this path
+    # unguarded was the round-8 review's finding #2
+    rolled = rollup_from_state(state, [], (granularity.lower(),))
+    merged = rolled.selectExpr(
+        "bucket_start",
+        "dayofweek(bucket_start) - 1 AS dow",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "mean AS bucket_mean",
     )
     ref = merged.where(f"bucket_start < TIMESTAMP '{split_ts}'")
     curr = merged.where(f"bucket_start >= TIMESTAMP '{split_ts}'")

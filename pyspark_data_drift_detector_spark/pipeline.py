@@ -467,43 +467,31 @@ def detect_drift(
         # non-Benford isn't drift, so the score is the tvd shift, with a
         # separate cause when curr is outright non-conforming.
         from pyspark_data_drift_detector_spark.operators.distribution import (
-            benford_deviation,
+            benford_deviation_pair,
         )
         from pyspark_data_drift_detector_spark.operators.numeric_drift import (
             severity_expr,
         )
 
-        bref = benford_deviation(df_ref, num_cols).select(
-            "column_name",
-            F.col("n").alias("ref_n"),
-            F.col("tvd").alias("ref_tvd"),
-            F.col("chi2_stat").alias("ref_chi2"),
-        )
-        bcurr = benford_deviation(df_curr, num_cols).select(
-            "column_name",
-            F.col("n").alias("curr_n"),
-            F.col("tvd").alias("curr_tvd"),
-            F.col("chi2_stat").alias("curr_chi2"),
-        )
         shift_th = float(cfg.get("benford_shift_threshold", 0.05))
         conform_th = float(cfg.get("benford_conformance_threshold", 0.15))
-        score = F.least(
-            F.lit(1.0), F.abs(F.col("curr_tvd") - F.col("ref_tvd")) * 5
-        )
-        bf_rows = bref.join(bcurr, "column_name").select(
+        # ONE side-tagged scan for both sides' digit panels; digit-less
+        # sides carry NULL tvd, so a constant-zero/all-null column can
+        # never read as "maximally non-Benford"
+        pair = benford_deviation_pair(df_ref, df_curr, num_cols)
+        shift = F.abs(F.col("curr_tvd") - F.col("ref_tvd"))
+        score = F.coalesce(F.least(F.lit(1.0), shift * 5), F.lit(0.0))
+        bf_rows = pair.select(
             "column_name",
             score.alias("drift_score"),
             severity_expr(score).alias("drift_severity"),
-            (
-                (F.abs(F.col("curr_tvd") - F.col("ref_tvd")) > shift_th)
-                | (F.col("curr_tvd") > conform_th)
+            F.coalesce(
+                (shift > shift_th) | (F.col("curr_tvd") > conform_th),
+                F.lit(False),
             ).alias("drift_detected"),
             F.array_compact(
                 F.array(
-                    F.when(
-                        F.abs(F.col("curr_tvd") - F.col("ref_tvd")) > shift_th,
-                        F.lit("benford_shift"),
-                    ),
+                    F.when(shift > shift_th, F.lit("benford_shift")),
                     F.when(
                         F.col("curr_tvd") > conform_th,
                         F.lit("benford_nonconforming"),
@@ -514,8 +502,8 @@ def detect_drift(
             "curr_n",
             "ref_tvd",
             "curr_tvd",
-            "ref_chi2",
-            "curr_chi2",
+            F.col("ref_chi2"),
+            F.col("curr_chi2"),
         )
         results.append(_to_result_rows(bf_rows, "benford"))
 

@@ -1482,3 +1482,41 @@ def test_join_explosion_profile(spark):
 
     with pytest.raises(ValueError, match="no key columns"):
         join_explosion_profile(left, right, [])
+
+
+def test_benford_pair_null_on_digitless_side(spark):
+    """Review fix: a side with zero extractable digits (constant 0.0 /
+    all-NULL column) reports NULL tvd in the pair panel, and the
+    pipeline family must not flag it."""
+    from pyspark_data_drift_detector_spark import detect_drift
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        benford_deviation_pair,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 9 + 1) * (1 + i * 1e-7), 0.0) for i in range(60)],
+        "v double, dead double",
+    )
+    pair = {
+        r["column_name"]: r
+        for r in benford_deviation_pair(ref, ref, ["v", "dead"]).collect()
+    }
+    assert pair["dead"]["ref_n"] == 0 and pair["dead"]["ref_tvd"] is None
+    assert pair["dead"]["curr_tvd"] is None
+    assert pair["v"]["ref_tvd"] == pytest.approx(pair["v"]["curr_tvd"])
+
+    # in the pipeline the constant column never even reaches the family
+    # (type inference routes constants to categorical) — and the NULL-tvd
+    # gating above protects any numeric column that still lands digitless
+    ref2 = ref.selectExpr("monotonically_increasing_id() AS id", "v", "dead")
+    out = detect_drift(ref2, ref2, {"analyze_benford": True})
+    rows = {
+        r["column_name"]: r
+        for r in out.collect()
+        if r["column_type"] == "benford"
+    }
+    assert "dead" not in rows
+    # identical sides: zero shift (score 0) — but the uniform-digit
+    # column is genuinely non-conforming, which is its own cause
+    assert rows["v"]["drift_score"] == 0.0
+    assert rows["v"]["drift_causes"] == ["benford_nonconforming"]

@@ -395,3 +395,25 @@ def test_dedup_incremental(spark, tmp_path):
         for r in dedup_incremental(batch, state).collect()
     }
     assert out2 == {k: v["keep"] for k, v in out.items()}
+
+
+def test_dedup_incremental_null_text_passthrough(spark):
+    """Review fix: NULL-text documents have no fingerprint — they must
+    pass through (keep) rather than collapse into one 'duplicate' group."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    seen = fingerprint(
+        spark.createDataFrame([(1, "known doc")], "doc_id long, text string")
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, None), (13, "known doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(batch, seen).collect()}
+    for i in (10, 11, 12):
+        assert out[i]["keep"], i
+        assert not out[i]["dup_in_batch"] and not out[i]["dup_of_state"]
+    assert not out[13]["keep"] and out[13]["dup_of_state"]
