@@ -10,6 +10,33 @@ from __future__ import annotations
 
 import math
 
+
+def _valid_mask(arr, dim):
+    """Mask of rows that are non-NULL and exactly ``dim`` long.
+
+    ``np.stack`` raises on NULL or ragged rows, which would fail the whole
+    job on inputs the expression paths handle gracefully (NULL result for
+    NULL/malformed vectors) — so every GEMM UDF masks before stacking and
+    emits NULL for the masked-out rows. When ``dim`` is None it is taken
+    from the first non-NULL row, so uniform batches behave as before.
+
+    Lives HERE (a module with no ``pandas_udf`` decorators) and not in
+    ``udfs.py``: cloudpickle ships closure references to module globals
+    by reference, so the worker imports the defining module — importing
+    ``udfs.py`` on a worker trips its module-level ``@pandas_udf``
+    (needs an active SparkSession) and kills the task.
+    """
+    import numpy as np
+
+    if dim is None:
+        for v in arr:
+            if v is not None:
+                dim = len(v)
+                break
+    return np.array(
+        [v is not None and len(v) == dim for v in arr], dtype=bool
+    )
+
 # Critical values for p=0.05, df 1..10 — the reference's hardcoded table
 # (categorical_analyzer.py:410-414). Above df=10 it uses df + sqrt(2·df).
 _CHI2_CRITICAL_05 = {

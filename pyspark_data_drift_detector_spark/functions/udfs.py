@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-from pyspark_data_drift_detector_spark.functions.stats import chi2_sf
+from pyspark_data_drift_detector_spark.functions.stats import _valid_mask, chi2_sf
 
 
 @pandas_udf("double")
@@ -36,11 +36,21 @@ def cosine_gemm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
-    num = np.einsum("ij,ij->i", A, B)
-    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-    return pd.Series(num / den)
+    # NULL / ragged rows get NULL cosine (matching the expression path's
+    # NULL-propagating lambdas) instead of crashing np.stack.
+    arr_a, arr_b = a.to_numpy(), b.to_numpy()
+    ma = _valid_mask(arr_a, None)
+    dim = len(arr_a[np.argmax(ma)]) if ma.any() else None
+    mask = ma & _valid_mask(arr_b, dim)
+    out = np.full(len(a), np.nan)
+    if mask.any():
+        A = np.stack(arr_a[mask]).astype(np.float64, copy=False)
+        B = np.stack(arr_b[mask]).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[mask] = num / den
+    return pd.Series(out, dtype="float64")
 
 
 def make_signature_udf(planes):
@@ -65,9 +75,17 @@ def make_signature_udf(planes):
     def sig_udf(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int64")
-        X = np.stack(vec.to_numpy())
-        bits = (X @ P.T) > 0
-        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+        arr = vec.to_numpy()
+        mask = _valid_mask(arr, P.shape[1])
+        # nullable Int64 (never float64 — signatures use up to 63 bits)
+        # so NULL/ragged vectors yield NULL signatures (hash to no
+        # bucket) instead of crashing np.stack
+        out = pd.array([None] * len(arr), dtype="Int64")
+        if mask.any():
+            X = np.stack(arr[mask]).astype(np.float64, copy=False)
+            bits = (X @ P.T) > 0
+            out[mask] = (bits * weights).sum(axis=1).astype("int64")
+        return pd.Series(out)
 
     return sig_udf
 
@@ -94,16 +112,20 @@ def make_matrix_topcos_udf(matrix, ids):
     def topcos_udf(vec: pd.Series) -> pd.DataFrame:
         if len(vec) == 0:
             return pd.DataFrame({"max_cosine": [], "nearest_id": []})
-        X = np.stack(vec.to_numpy())
-        with np.errstate(invalid="ignore", divide="ignore"):
-            xn = np.sqrt((X * X).sum(axis=1))
-            cos = (X @ M.T) / (xn[:, None] * norms[None, :])
-        best = np.argmax(cos, axis=1)
-        return pd.DataFrame(
-            {
-                "max_cosine": cos[np.arange(len(best)), best],
-                "nearest_id": idarr[best],
-            }
-        )
+        arr = vec.to_numpy()
+        mask = _valid_mask(arr, M.shape[1])
+        # NULL / ragged rows → NULL max_cosine / nearest_id, matching the
+        # expression path's NULL propagation instead of crashing np.stack
+        max_cos = np.full(len(arr), np.nan)
+        near = pd.array([None] * len(arr), dtype="Int64")
+        if mask.any():
+            X = np.stack(arr[mask]).astype(np.float64, copy=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xn = np.sqrt((X * X).sum(axis=1))
+                cos = (X @ M.T) / (xn[:, None] * norms[None, :])
+            best = np.argmax(cos, axis=1)
+            max_cos[mask] = cos[np.arange(len(best)), best]
+            near[mask] = idarr[best]
+        return pd.DataFrame({"max_cosine": max_cos, "nearest_id": near})
 
     return topcos_udf

@@ -44,6 +44,7 @@ def bucketed_cumsum(
     num_buckets: int = 32,
     edge_accuracy: int = 1000,
     lead_col: str | None = None,
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Add ``cum_<c>`` (inclusive running sum in ``order`` within ``key``)
     and ``tot_<c>`` (per-key total) for each count column; optionally
@@ -52,6 +53,10 @@ def bucketed_cumsum(
 
     ``cells`` must have one row per (key, order) — i.e. already grouped —
     with non-null ``order``.
+
+    ``_persisted``: optional list the internally persisted cells frame is
+    appended to, so materializing callers can ``unpersist()`` it once the
+    result is checkpointed instead of leaking the cache until driver GC.
     """
     from pyspark import StorageLevel
 
@@ -61,6 +66,8 @@ def bucketed_cumsum(
     # a 100 TB histogram spills instead of OOMing; the ContextCleaner drops
     # the entry when the plan is collected.
     cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    if _persisted is not None:
+        _persisted.append(cells)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     edges = cells.groupBy(key).agg(
         F.percentile_approx(

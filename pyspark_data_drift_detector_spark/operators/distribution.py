@@ -453,6 +453,7 @@ def equidepth_histogram(
     bins: int = 10,
     quantile_mode: str = "exact",
     kll_k: int = 800,
+    materialize: bool = True,
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram for all columns in one
     logical plan: bin edges are the exact ``i/bins`` percentiles, so each
@@ -481,6 +482,13 @@ def equidepth_histogram(
     ``"kll"`` (mergeable sketch, bounded rank error; ``kll_k`` tunes its
     accuracy/state tradeoff, default 800). The binning pass is identical
     in every mode.
+
+    In counts mode the value-histogram cells are persisted (reused for
+    edges AND bin counts); ``materialize=True`` (default) eagerly
+    localCheckpoints the O(columns × bins)-row result and unpersists the
+    cells so nothing leaks into long-lived sessions; ``materialize=False``
+    returns the plan lazily and leaves cache lifetime to the caller (the
+    plan-inspection knob, matching ``key_skew_profile``/``zipf_fit``).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -506,12 +514,14 @@ def equidepth_histogram(
             _quantiles_from_cells,
         )
 
+        caches: list = []
         cells = _quantile_cells(df, columns).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        per_col = _quantiles_from_cells(cells, probs).selectExpr(
-            "column_name", "q AS edges"
-        )
+        caches.append(cells)
+        per_col = _quantiles_from_cells(
+            cells, probs, _persisted=caches
+        ).selectExpr("column_name", "q AS edges")
         binned = (
             cells.join(F.broadcast(per_col), "column_name")
             .selectExpr(
@@ -522,7 +532,7 @@ def equidepth_histogram(
                 " b -> value > b)) AS INT) AS bin",
             )
         )
-        return (
+        out = (
             binned.groupBy("column_name", "bin")
             .agg(
                 F.expr("CAST(sum(__cnt) AS BIGINT) AS cnt"),
@@ -536,6 +546,14 @@ def equidepth_histogram(
                 "cnt",
             )
         )
+        if materialize:
+            # O(columns × bins) rows: cut lineage eagerly and release
+            # every intermediate cache (cells + the prefix sum's internal
+            # persist) — otherwise they leak until driver GC
+            out = out.localCheckpoint(eager=True)
+            for c in caches:
+                c.unpersist(blocking=False)
+        return out
     edges = _wide_quantile_row(
         df,
         columns,

@@ -119,15 +119,20 @@ def _quantiles_from_cells(
     cells: DataFrame,
     qlist: list[float],
     sides: dict[str, "F.Column"] | None = None,
+    _persisted: list | None = None,
 ) -> DataFrame:
     """Exact quantiles from a pre-built value histogram (the second half
     of :func:`quantiles_by_counts`): distributed prefix sum over the
-    cells, then the order-statistic reconstruction per column."""
+    cells, then the order-statistic reconstruction per column.
+    ``_persisted`` collects the prefix sum's internal cache for callers
+    that release intermediates after materializing (see
+    ``bucketed_cumsum``)."""
     sides = sides if sides is not None else {"": F.lit(True)}
     from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
 
     cells = bucketed_cumsum(
-        cells, "column_name", "value", [f"__{pre}cnt" for pre in sides]
+        cells, "column_name", "value", [f"__{pre}cnt" for pre in sides],
+        _persisted=_persisted,
     )
     aggs = []
     for pre in sides:
@@ -504,6 +509,7 @@ def robust_profile(
     trim: float = 0.05,
     quantile_mode: str = "exact",
     kll_k: int = 800,
+    materialize: bool = True,
 ) -> DataFrame:
     """Outlier-resistant location/scale profile per column: trimmed mean
     (drop the outer ``trim`` mass on each side), winsorized mean (clamp
@@ -528,9 +534,12 @@ def robust_profile(
     MAD's deviation histogram is DERIVED from it (|value − median|
     re-grouped over O(distinct) cells — multiplicities add when
     ``v = med ± d`` collide), never a second raw scan. The two small
-    persisted frames (cells, per-column quantiles) follow the module's
-    callers-clear convention: they are reclaimed once the returned
-    frame's references drop.
+    persisted frames (cells, per-column quantiles) are released by
+    ``materialize=True`` (default): the O(columns)-row result is
+    localCheckpointed eagerly and both caches unpersisted, so nothing
+    leaks into long-lived sessions; ``materialize=False`` returns the
+    plan lazily and leaves cache lifetime to the caller (the
+    plan-inspection knob, matching ``key_skew_profile``/``zipf_fit``).
 
     Output: ``column_name, n, lo, hi, median, mad, trimmed_mean,
     winsorized_mean, n_trimmed``.
@@ -562,12 +571,15 @@ def robust_profile(
         # cells, so the raw table is never re-scanned for the MAD pass
         from pyspark import StorageLevel
 
+        caches: list = []
         cells = _quantile_cells(df, columns).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        qt = _quantiles_from_cells(cells, [lo_p, 0.5, hi_p]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        caches.append(cells)
+        qt = _quantiles_from_cells(
+            cells, [lo_p, 0.5, hi_p], _persisted=caches
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(qt)
         bounds = qt.groupBy().agg(
             *[
                 F.max(F.when(F.col("column_name") == c, F.col("q"))).alias(
@@ -618,7 +630,7 @@ def robust_profile(
             .agg(F.sum("__cnt").alias("__cnt"))
         )
         mad_row = (
-            _quantiles_from_cells(dev_cells, [0.5])
+            _quantiles_from_cells(dev_cells, [0.5], _persisted=caches)
             .groupBy()
             .agg(
                 *[
@@ -638,4 +650,12 @@ def robust_profile(
         f" 'n_trimmed', CAST(__nt{i} AS BIGINT))"
         for i, c in enumerate(columns)
     )
-    return wide.selectExpr(f"inline(array({structs}))")
+    out = wide.selectExpr(f"inline(array({structs}))")
+    if quantile_mode == "counts" and materialize:
+        # O(columns) rows: cut lineage eagerly and release every
+        # intermediate cache (cells, qt, AND the prefix sums' internal
+        # persists) — otherwise they leak until driver GC
+        out = out.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist(blocking=False)
+    return out

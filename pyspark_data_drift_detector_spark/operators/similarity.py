@@ -127,9 +127,15 @@ def _signature_expr(vec_name: str, planes: list[list[float]]):
         f"transform({mat}, p -> aggregate(zip_with({vec}, p, (x, y) -> x * y),"
         " 0.0D, (s, x) -> s + x))"
     )
+    # a NULL dot (NULL or ragged vector — zip_with pads with NULL and the
+    # aggregate sum goes NULL) must give a NULL SIGNATURE, not bucket 0:
+    # hashing every malformed vector into one real bucket both returns
+    # NULL-cosine candidates and builds a hot bucket; NULL keys simply
+    # never equi-join (matches the GEMM sig UDF's masked NULL output)
     terms = (
         f"zip_with({dots}, {weights},"
-        " (d, w) -> CASE WHEN d > 0 THEN w ELSE 0.0D END)"
+        " (d, w) -> CASE WHEN d > 0 THEN w"
+        " WHEN d IS NULL THEN CAST(NULL AS DOUBLE) ELSE 0.0D END)"
     )
     return F.expr(
         f"CAST(aggregate({terms}, 0.0D, (s, x) -> s + x) AS BIGINT)"
@@ -685,7 +691,12 @@ def pq_topk(
         .selectExpr(
             "query_id",
             "neighbor_id",
-            "aggregate(zip_with(codes, qtab, (code, tab) -> tab[code - 1]),"
+            # get() not [..]: a NULL/ragged corpus vector encodes to NULL
+            # (or, under fused codegen, position-0) codes — get() makes
+            # the lookup NULL so the row ranks nowhere instead of aborting
+            # the job with INVALID_ARRAY_INDEX (see semantic_decontaminate)
+            "aggregate(zip_with(codes, qtab,"
+            " (code, tab) -> get(tab, code - 1)),"
             " 0.0D, (a, x) -> a + x) AS adc_distance",
         )
     )
@@ -806,8 +817,13 @@ def semantic_decontaminate(
     ).selectExpr(
         "vec_id",
         "array_max(__cos) AS max_cosine",
-        f"CAST({ids}[array_position(__cos, array_max(__cos)) - 1]"
-        " AS BIGINT) AS nearest_eval_id",
+        # get() (not [..]): a NULL / ragged ce makes __cos all-NULL, and
+        # under fused whole-stage codegen array_position(all-NULL, NULL)
+        # evaluates to 0 rather than NULL — plain indexing then aborts the
+        # job with INVALID_ARRAY_INDEX -1; get() returns NULL instead,
+        # matching the GEMM path's masked NULL output
+        f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
+        " AS INT) - 1) AS BIGINT) AS nearest_eval_id",
         f"array_max(__cos) >= {float(threshold)!r}D AS contaminated",
     )
 
@@ -890,8 +906,11 @@ def cluster_balance_drift(
             ) AS __cos""",
         ).selectExpr(
             "side",
-            f"CAST({ids}[array_position(__cos, array_max(__cos)) - 1]"
-            " AS BIGINT) AS cluster_id",
+            # get() not [..]: NULL/ragged vectors yield all-NULL __cos and
+            # array_position can return 0 under fused codegen (see
+            # semantic_decontaminate) — NULL cluster_id, never a crash
+            f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
+            " AS INT) - 1) AS BIGINT) AS cluster_id",
         )
     counts = (
         tag(df_ref, "r")

@@ -480,7 +480,13 @@ def detect_drift(
         # never read as "maximally non-Benford"
         pair = benford_deviation_pair(df_ref, df_curr, num_cols)
         shift = F.abs(F.col("curr_tvd") - F.col("ref_tvd"))
-        score = F.coalesce(F.least(F.lit(1.0), shift * 5), F.lit(0.0))
+        # least() SKIPS null operands, so least(1.0, NULL*5) is 1.0 — a
+        # column with no extractable digits on either side (all-NULL /
+        # all-zero) would read "maximally non-Benford". Guard the NULL
+        # before least(), not after (coalesce after least never fires).
+        score = F.when(
+            shift.isNotNull(), F.least(F.lit(1.0), shift * 5)
+        ).otherwise(F.lit(0.0))
         bf_rows = pair.select(
             "column_name",
             score.alias("drift_score"),

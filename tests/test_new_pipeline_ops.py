@@ -1128,6 +1128,55 @@ def test_quantile_mode_knob_parity(spark, sf_dir):
         robust_profile(li, cols, quantile_mode="nope")
 
 
+def test_counts_mode_materialize_releases_caches(spark, sf_dir):
+    """ADVICE r8: counts-mode robust_profile / equidepth_histogram
+    persisted their value-histogram cells but never unpersisted them —
+    the cache leaked into long-lived sessions. With the default
+    ``materialize=True`` the result is checkpointed eagerly and every
+    intermediate cache is released; ``materialize=False`` (plan
+    inspection) leaves lifetime to the caller and must agree on values."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        equidepth_histogram,
+    )
+    from pyspark_data_drift_detector_spark.operators.profile import robust_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity"]
+    def lingering(before):
+        # fresh snapshot each call — getPersistentRDDs() is not a live
+        # view. The localCheckpoint RDD itself legitimately stays
+        # registered (it IS the result's data, released when the result
+        # is GC'd) — only non-checkpoint caches count as leaks.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return [
+            rid
+            for rid in set(jmap.keySet().toArray()) - before
+            if "localCheckpoint" not in jmap.get(rid).rdd().toDebugString()
+        ]
+
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    mat = robust_profile(li, cols, quantile_mode="counts").collect()
+    assert not lingering(before), "robust_profile leaked a cache"
+    eh = equidepth_histogram(li, cols, bins=4, quantile_mode="counts").collect()
+    assert not lingering(before), "equidepth leaked a cache"
+
+    lazy = robust_profile(
+        li, cols, quantile_mode="counts", materialize=False
+    ).collect()
+    assert {tuple(r) for r in lazy} == {tuple(r) for r in mat}
+    eh_lazy = equidepth_histogram(
+        li, cols, bins=4, quantile_mode="counts", materialize=False
+    ).collect()
+    assert {tuple(r) for r in eh_lazy} == {tuple(r) for r in eh}
+    # release only the caches the lazy calls created — other fixtures'
+    # caches in this shared session must survive
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet().toArray()) - before:
+        jmap.get(rid).unpersist()
+
+
 def test_merged_group_drift_window_matches_direct(spark, sf_dir):
     """Group-sliced state merged over a window equals profiling that
     window's group slices directly, and identical windows score zero."""
@@ -1520,3 +1569,28 @@ def test_benford_pair_null_on_digitless_side(spark):
     # column is genuinely non-conforming, which is its own cause
     assert rows["v"]["drift_score"] == 0.0
     assert rows["v"]["drift_causes"] == ["benford_nonconforming"]
+
+
+def test_benford_all_null_column_scores_zero(spark):
+    """ADVICE r8: ``least()`` SKIPS NULL operands, so an un-guarded
+    ``least(1.0, NULL_shift * 5)`` returned 1.0 — an all-NULL numeric
+    column (type inference keeps n=0 columns numerical) read as
+    'maximally non-Benford on no data' with severity Critical. The score
+    must guard the NULL shift BEFORE least() and report 0."""
+    from pyspark_data_drift_detector_spark import detect_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 9 + 1) * (1 + i * 1e-7), None) for i in range(60)],
+        "v double, all_null double",
+    )
+    out = detect_drift(ref, ref, {"analyze_benford": True})
+    rows = {
+        r["column_name"]: r
+        for r in out.collect()
+        if r["column_type"] == "benford"
+    }
+    dead = rows["all_null"]
+    assert dead["drift_score"] == 0.0
+    assert dead["drift_severity"] != "Critical"
+    assert dead["drift_detected"] is False
+    assert dead["drift_causes"] == []

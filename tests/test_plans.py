@@ -181,14 +181,19 @@ def test_edf_and_counts_quantiles_use_distributed_cumsum(li):
 
     from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
 
+    # materialize=False exposes the lazy plan — the default eagerly
+    # checkpoints (releasing the cells cache) which hides the windows
     ed = equidepth_histogram(
-        li, ["l_quantity", "l_tax"], bins=4, quantile_mode="counts"
+        li, ["l_quantity", "l_tax"], bins=4, quantile_mode="counts",
+        materialize=False,
     )
     check(ed)
     # every consumer (edge fit + binning) reads the PERSISTED value
     # histogram — the raw table materializes it once
     assert "InMemoryTableScan" in simple_plan(ed)
-    rp = robust_profile(li, ["l_quantity", "l_tax"], quantile_mode="counts")
+    rp = robust_profile(
+        li, ["l_quantity", "l_tax"], quantile_mode="counts", materialize=False
+    )
     check(rp)
     assert "InMemoryTableScan" in simple_plan(rp)
 

@@ -661,3 +661,64 @@ def test_matrix_gemm_scoring_matches_expr(spark):
     e = cb_key(cluster_balance_drift(ref, curr, n_clusters=4, scoring="expr").collect())
     g = cb_key(cluster_balance_drift(ref, curr, n_clusters=4, scoring="gemm").collect())
     assert e == g
+
+
+def test_matrix_gemm_null_and_ragged_rows(spark):
+    """ADVICE r8: ``np.stack`` raises on NULL or ragged embedding rows,
+    so the GEMM paths used to fail the whole job on inputs the expression
+    path handles gracefully. The masked UDFs must now emit NULL
+    max_cosine / nearest_eval_id / contaminated for those rows, matching
+    the expression path's NULL propagation."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = [(i, rng.normal(size=4).tolist()) for i in range(20)]
+    vecs.append((100, None))  # NULL embedding
+    vecs.append((101, [1.0, 2.0]))  # ragged (wrong dim)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id < 5")
+
+    def key(rows):
+        return {
+            r["vec_id"]: (
+                None if r["max_cosine"] is None else round(r["max_cosine"], 9),
+                r["nearest_eval_id"],
+                r["contaminated"],
+            )
+            for r in rows
+        }
+
+    expr = key(semantic_decontaminate(df, bench, scoring="expr").collect())
+    gemm = key(semantic_decontaminate(df, bench, scoring="gemm").collect())
+    assert expr == gemm
+    assert gemm[100] == (None, None, None)
+    assert gemm[101] == (None, None, None)
+
+
+def test_lsh_gemm_null_vector_rows(spark):
+    """NULL / ragged vectors must not crash the GEMM signature or cosine
+    UDFs: they get NULL signatures (hash to no band bucket) and so simply
+    produce no neighbors, same as the expression path."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(40)]
+    rows.append((200, None))
+    rows.append((201, [0.5] * 7))  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 4 OR vec_id >= 200")
+    kw = dict(k=3, dim=16, n_planes=16, bands=8)
+    expr_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in lsh_topk(df, queries, scoring="expr", **kw).collect()
+    )
+    gemm_rows = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in lsh_topk(df, queries, scoring="gemm", **kw).collect()
+    )
+    assert expr_rows == gemm_rows
+    assert not any(q in (200, 201) for q, *_ in gemm_rows)
