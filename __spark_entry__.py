@@ -6004,6 +6004,9 @@ def _oracle_queries() -> dict[str, str]:
         "unigram_logprob": _unigram_logprob_sql(),
         "tfidf_keywords": _tfidf_keywords_sql(),
         "vocab_drift": _vocab_drift_sql(),
+        "passage_dedup": _passage_dedup_sql(),
+        "passage_pairs": _passage_pairs_sql(),
+        "passage_excise": _passage_excise_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6019,6 +6022,164 @@ def _oracle_queries() -> dict[str, str]:
         print(f"WARNING: ann_pq oracle degraded to rows-only: {exc!r}",
               file=sys.stderr)
     return out
+
+
+_PASSAGE_W = 8
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-substring dedup: maximal spans of 8-token
+    windows shared with other documents (suffix-array-style contamination
+    finding, counts-on-hashes-first — VERDICT r8 gap #2)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import passage_duplicates
+
+    out = passage_duplicates(_documents(spark, sf_dir), window=_PASSAGE_W)
+    return out.selectExpr(
+        "doc_id",
+        "CAST(span_start AS BIGINT) AS span_start",
+        "CAST(span_end AS BIGINT) AS span_end",
+        "CAST(span_tokens AS BIGINT) AS span_tokens",
+        "n_windows",
+        "max_dup_docs",
+    )
+
+
+def _passage_idx_sql(w: int) -> str:
+    """Shared CTE text: the token-window fingerprint index (md5_hash60 of
+    the space-joined window, replaying operators/dedup.py:_window_index)."""
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents WHERE text IS NOT NULL),
+    starts AS (
+      SELECT doc_id, t,
+        unnest(range(1, greatest(len(t) - {w} + 1, 0) + 1)) AS start
+      FROM toks),
+    idx AS (
+      SELECT doc_id, start,
+        ('0x' || substring(md5(array_to_string(t[start : start + {w} - 1],
+          ' ')), 1, 15))::BIGINT AS whash
+      FROM starts)"""
+
+
+def _passage_dedup_sql() -> str:
+    w = _PASSAGE_W
+    return f"""
+    WITH {_passage_idx_sql(w)},
+    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs
+               FROM idx GROUP BY whash),
+    flagged AS (
+      SELECT i.doc_id, i.start, i.start + {w} - 1 AS e, c.n_docs
+      FROM idx i JOIN counts c USING (whash) WHERE c.n_docs >= 2),
+    prev AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    isl AS (
+      SELECT *, CAST(SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM prev)
+    SELECT doc_id,
+      CAST(MIN(start) AS BIGINT) AS span_start,
+      CAST(MAX(e) AS BIGINT) AS span_end,
+      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_windows,
+      CAST(MAX(n_docs) AS BIGINT) AS max_dup_docs
+    FROM isl GROUP BY doc_id, island"""
+
+
+def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing duplicated passages — pair expansion runs
+    ONLY for window hashes in 2..cap documents (the join-explosion guard);
+    wider boilerplate stays in passage_dedup's span report."""
+    from pyspark_data_drift_detector_spark.operators.dedup import passage_pairs
+
+    out = passage_pairs(
+        _documents(spark, sf_dir), window=_PASSAGE_W, max_docs_per_hash=64
+    )
+    return out.selectExpr(
+        "doc_a",
+        "doc_b",
+        "n_shared_windows",
+        "CAST(a_min_start AS BIGINT) AS a_min_start",
+        "CAST(b_min_start AS BIGINT) AS b_min_start",
+    )
+
+
+def _passage_pairs_sql() -> str:
+    w = _PASSAGE_W
+    return f"""
+    WITH {_passage_idx_sql(w)},
+    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs
+               FROM idx GROUP BY whash),
+    eligible AS (
+      SELECT i.doc_id, i.start, i.whash
+      FROM idx i JOIN counts c USING (whash)
+      WHERE c.n_docs >= 2 AND c.n_docs <= 64)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_windows,
+      CAST(MIN(a.start) AS BIGINT) AS a_min_start,
+      CAST(MIN(b.start) AS BIGINT) AS b_min_start
+    FROM eligible a JOIN eligible b
+      ON a.whash = b.whash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id"""
+
+
+def q_passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excision pass: rebuild each document with cross-document duplicated
+    passages removed (token-level surgery; whitespace canonicalized)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import passage_excise
+
+    return passage_excise(_documents(spark, sf_dir), window=_PASSAGE_W)
+
+
+def _passage_excise_sql() -> str:
+    w = _PASSAGE_W
+    return f"""
+    WITH {_passage_idx_sql(w)},
+    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs
+               FROM idx GROUP BY whash),
+    flagged AS (
+      SELECT i.doc_id, i.start, i.start + {w} - 1 AS e
+      FROM idx i JOIN counts c USING (whash) WHERE c.n_docs >= 2),
+    prev AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    isl AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS UNBOUNDED PRECEDING) AS island
+      FROM prev),
+    spans AS (
+      SELECT doc_id, MIN(start) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      FROM spans GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id,
+        CASE WHEN d.text IS NULL THEN NULL
+             ELSE string_split(d.text, ' ') END AS t, p.sp
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+    kept AS (
+      SELECT doc_id, t,
+        CASE WHEN t IS NULL THEN NULL
+             WHEN sp IS NULL THEN t
+             ELSE list_transform(
+               list_filter(range(1, len(t) + 1),
+                 i -> len(list_filter(sp,
+                        x -> i >= x.s AND i <= x.e)) = 0),
+               i -> t[i]) END AS k
+      FROM base)
+    SELECT doc_id,
+      COALESCE(CAST(len(t) AS BIGINT), 0) AS n_tokens,
+      COALESCE(CAST(len(t) - len(k) AS BIGINT), 0) AS excised_tokens,
+      COALESCE(CAST(len(k) AS BIGINT), 0) AS kept_tokens,
+      CASE WHEN k IS NULL THEN NULL
+           -- duckdb's array_to_string([]) is NULL; spark's concat_ws is ''
+           ELSE COALESCE(array_to_string(k, ' '), '') END AS clean_text
+    FROM kept"""
 
 
 # --------------------------------------------------------------------------
@@ -6044,6 +6205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multi-round-stable queries ride at the tail and stay covered by
     # tests/test_oracle_parity.py and tools/verify_oracle.py locally.
     return {
+        "passage_dedup": q_passage_dedup,
+        "passage_pairs": q_passage_pairs,
+        "passage_excise": q_passage_excise,
         "functional_dependencies": q_functional_dependencies,
         "benford_deviation": q_benford_deviation,
         "completeness_timeseries": q_completeness_timeseries,

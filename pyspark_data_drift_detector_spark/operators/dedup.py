@@ -848,3 +848,243 @@ def dedup_incremental(
             "fingerprint IS NULL OR (__seen IS NULL AND __rn = 1) AS keep",
         )
     )
+
+
+def _window_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Token-window fingerprint index: one row per (doc, window start).
+
+    Windows are ``window`` consecutive whitespace tokens starting at
+    1-based positions ``1, 1+stride, …`` (documents shorter than
+    ``window`` emit nothing — the ``sequence`` is guarded because Spark's
+    ``sequence(1, 0)`` DESCENDS instead of being empty). The window text
+    hashes with ``md5_hash60`` so the oracle replays the exact values;
+    the shuffle key is always the 8-byte hash, never the window string.
+    """
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= window,
+        F.sequence(F.lit(1), n - (window - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    # the explode multiplies rows ~tokens-per-doc ×; parallelism is the
+    # input split count, so fan a small input out first (no-op at scale)
+    return (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "id",
+            "start",
+            md5_hash60(
+                F.concat_ws(" ", F.slice(F.col("__toks"), F.col("start"), window))
+            ).alias("whash"),
+        )
+    )
+
+
+def passage_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level exact-substring dedup: maximal spans of token
+    windows that also occur in ≥ ``min_docs - 1`` OTHER documents — the
+    train-set-contamination shape (a 100-token passage duplicated across
+    otherwise distinct documents) that document-level MinHash/SimHash
+    miss and line-level ``boilerplate_ngrams`` is too coarse for; the
+    distributed equivalent of what suffix-array dedup finds
+    (reference has no passage operator; fills VERDICT r8 gap #2).
+
+    Shape (counts on hashes FIRST, never pairs): tokenize → stride-``k``
+    windows of ``window`` tokens → ``md5_hash60`` fingerprints →
+    ``groupBy(whash)`` document counts (map-side combine; one aggregated
+    row per distinct passage regardless of how many million docs share
+    it) → join the O(1)-per-key counts back → per-doc gaps-and-islands
+    merge of flagged windows into maximal spans. The per-doc window is
+    partitioned by document (bounded by tokens/stride rows per doc).
+
+    Output per (doc, maximal span): ``doc_id, span_start, span_end``
+    (1-based token positions, inclusive), ``span_tokens``, ``n_windows``
+    (flagged windows merged into the span) and ``max_dup_docs`` (the
+    widest sharing among them). ``stride > 1`` trades recall for index
+    size: only passages aligned to the stride grid are caught.
+    """
+    from pyspark.sql import Window
+
+    idx = _window_index(df, text_col, id_col, window, stride)
+    counts = idx.groupBy("whash").agg(
+        F.countDistinct("id").cast("long").alias("n_docs")
+    )
+    flagged = idx.join(
+        counts.filter(F.col("n_docs") >= min_docs), "whash"
+    ).select("id", "start", (F.col("start") + (window - 1)).alias("end"), "n_docs")
+    prev_end = (
+        Window.partitionBy("id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = Window.partitionBy("id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = (
+        flagged.withColumn("__prev_end", F.max("end").over(prev_end))
+        .withColumn(
+            "__new",
+            (F.col("__prev_end").isNull() | (F.col("start") > F.col("__prev_end") + 1))
+            .cast("int"),
+        )
+        .withColumn("island", F.sum("__new").over(running))
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("n_docs").cast("long").alias("max_dup_docs"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+            "max_dup_docs",
+        )
+    )
+
+
+def passage_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    max_docs_per_hash: int = 64,
+) -> DataFrame:
+    """Which document PAIRS share duplicated passages, and how much.
+
+    Pair expansion is the quadratic step, so it only runs for hashes
+    shared by ``2 ≤ n_docs ≤ max_docs_per_hash`` documents: a passage in
+    n docs expands to n·(n−1)/2 pairs, and boilerplate shared by
+    millions of documents would otherwise explode the join exactly as
+    ``join_explosion_profile`` predicts — above the cap a passage is
+    still reported by :func:`passage_duplicates` (spans + counts), just
+    not attributed to pairs. The candidate side carries only
+    ``(id, start, whash)`` longs.
+
+    Output per (doc_a < doc_b): ``n_shared_windows`` and each side's
+    first shared window position (``a_min_start`` / ``b_min_start``).
+    """
+    idx = _window_index(df, text_col, id_col, window, stride)
+    eligible = idx.join(
+        idx.groupBy("whash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs_per_hash)
+        )
+        .select("whash"),
+        "whash",
+    )
+    a = eligible.select(
+        "whash", F.col("id").alias("doc_a"), F.col("start").alias("a_start")
+    )
+    b = eligible.select(
+        "whash", F.col("id").alias("doc_b"), F.col("start").alias("b_start")
+    )
+    return (
+        a.join(b, "whash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_windows"),
+            F.min("a_start").alias("a_min_start"),
+            F.min("b_start").alias("b_min_start"),
+        )
+    )
+
+
+def passage_excise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Drop cross-document duplicated passages from each document: the
+    excision pass over :func:`passage_duplicates` spans (keep-one
+    excision belongs upstream — feed it the spans of every doc except
+    each passage's survivor if "keep one copy" semantics are wanted).
+
+    The merged spans collapse to ONE array-of-structs row per flagged
+    document (O(spans/doc), bounded by tokens/stride), LEFT-joined back
+    to the corpus so clean documents pass through untouched; the rebuild
+    is a narrow map — filter token positions outside every span, rejoin
+    with single spaces. Whitespace is therefore canonicalized in
+    ``clean_text`` (token-level surgery cannot preserve the original
+    inter-token whitespace).
+
+    Output: ``doc_id, n_tokens, excised_tokens, kept_tokens,
+    clean_text`` (NULL text → NULL clean_text, zero counts).
+    """
+    spans = (
+        passage_duplicates(df, text_col, id_col, window, stride, min_docs)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("__spans")
+        )
+    )
+    toks = tokens_expr(F.col(text_col))
+    covered = (
+        "EXISTS(__spans, sp -> __i >= sp.s AND __i <= sp.e)"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(spans, id_col, "left")
+        .withColumn("__toks", toks)
+        .selectExpr(
+            f"`{id_col}`",
+            "__spans",
+            "CASE WHEN `%s` IS NULL THEN NULL ELSE __toks END AS __toks" % text_col,
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(size(__toks) AS BIGINT) AS n_tokens",
+            # positions kept: 1-based index outside every span
+            f"""CASE WHEN __toks IS NULL THEN NULL
+                 WHEN __spans IS NULL THEN __toks
+                 ELSE transform(
+                   filter(sequence(1, size(__toks)),
+                          __i -> NOT {covered}),
+                   __i -> element_at(__toks, __i)) END AS __kept""",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "coalesce(n_tokens, 0) AS n_tokens",
+            "coalesce(n_tokens - size(__kept), 0) AS excised_tokens",
+            "coalesce(CAST(size(__kept) AS BIGINT), 0) AS kept_tokens",
+            "CASE WHEN __kept IS NULL THEN NULL"
+            " ELSE concat_ws(' ', __kept) END AS clean_text",
+        )
+    )
