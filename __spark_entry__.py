@@ -6005,6 +6005,7 @@ def _oracle_queries() -> dict[str, str]:
         "tfidf_keywords": _tfidf_keywords_sql(),
         "vocab_drift": _vocab_drift_sql(),
         "passage_dedup": _passage_dedup_sql(),
+        "semantic_decontaminate_lsh": _semantic_decontaminate_lsh_sql(),
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
     }
@@ -6022,6 +6023,73 @@ def _oracle_queries() -> dict[str, str]:
         print(f"WARNING: ann_pq oracle degraded to rows-only: {exc!r}",
               file=sys.stderr)
     return out
+
+
+def q_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered decontamination (scale path for eval sets beyond
+    max_benchmark_cells): banded sign-bit signatures on both sides, band
+    collisions exact-rescored, per-corpus-row max/argmax in one groupBy;
+    misses report contaminated=false with NULL cosine."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate_lsh,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    out = semantic_decontaminate_lsh(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        threshold=0.9,
+        dim=64,
+        n_planes=16,
+        bands=8,
+    )
+    return _round_cols(out, ["max_cosine"])
+
+
+def _semantic_decontaminate_lsh_sql() -> str:
+    """SQL replay of semantic_decontaminate_lsh(dim=64, n_planes=16,
+    bands=8, threshold=0.9): same seeded hyperplanes / 2-bit band keys as
+    _ann_lsh_sql, max/argmax per corpus row (ties → smallest eval id),
+    LEFT JOIN back so misses stay false and invalid vectors NULL."""
+    from pyspark_data_drift_detector_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 16, seed=42)
+    bit_exprs = ",\n        ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) > 0 THEN 1 ELSE 0 END"
+        for plane in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sigs AS (
+      SELECT vec_id, e, [
+        {bit_exprs}
+      ] AS bits FROM v),
+    banded AS (
+      SELECT vec_id, b.band,
+        bits[2 * b.band + 1] + 2 * bits[2 * b.band + 2] AS key
+      FROM sigs, (SELECT unnest(range(8)) AS band) b),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS cid, q.vec_id AS bid
+      FROM banded c JOIN banded q ON c.band = q.band AND c.key = q.key
+      WHERE q.vec_id % 50 = 0),
+    s AS (
+      SELECT cand.cid, cand.bid,
+        list_cosine_similarity(cv.e, qv.e) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY cand.cid
+          ORDER BY list_cosine_similarity(cv.e, qv.e) DESC,
+                   cand.bid ASC) AS rnk
+      FROM cand
+      JOIN v cv ON cv.vec_id = cand.cid
+      JOIN v qv ON qv.vec_id = cand.bid),
+    best AS (SELECT cid, bid, sim FROM s WHERE rnk = 1)
+    SELECT v.vec_id, ROUND(best.sim, {ROUND}) AS max_cosine,
+      CAST(best.bid AS BIGINT) AS nearest_eval_id,
+      CASE WHEN best.sim IS NOT NULL THEN best.sim >= 0.9
+           WHEN v.e IS NULL OR len(v.e) != 64 THEN NULL
+           ELSE false END AS contaminated
+    FROM v LEFT JOIN best ON best.cid = v.vec_id"""
 
 
 _PASSAGE_W = 8
@@ -6206,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py locally.
     return {
         "passage_dedup": q_passage_dedup,
+        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "passage_pairs": q_passage_pairs,
         "passage_excise": q_passage_excise,
         "functional_dependencies": q_functional_dependencies,

@@ -722,3 +722,112 @@ def test_lsh_gemm_null_vector_rows(spark):
     )
     assert expr_rows == gemm_rows
     assert not any(q in (200, 201) for q, *_ in gemm_rows)
+
+
+def test_semantic_decontaminate_lsh_matches_bruteforce(spark):
+    """The LSH-prefiltered decontamination must agree with brute force on
+    every row it RETRIEVES (same cosine, same nearest id, same flag) and
+    recover ≥90% of the truly-contaminated rows at the harness knobs
+    (planted contamination: benchmark members + tiny perturbations)."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_lsh,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((i, base))
+        if i < 20:  # plant near-copies of future benchmark rows
+            rows.append((1000 + i, [x + rng.gauss(0, 0.03) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    bench = df.filter("vec_id < 20")
+
+    brute = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(df, bench, threshold=0.95).collect()
+    }
+    kw = dict(threshold=0.95, dim=32, n_planes=24, bands=8)
+    approx = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate_lsh(df, bench, **kw).collect()
+    }
+    assert set(approx) == set(brute)  # one output row per corpus row
+    truly = {v for v, r in brute.items() if r["contaminated"]}
+    caught = {v for v, r in approx.items() if r["contaminated"]}
+    assert caught <= truly  # precision 1: exact re-score, same threshold
+    assert len(caught) / len(truly) >= 0.9
+    for v in caught:
+        assert approx[v]["nearest_eval_id"] == brute[v]["nearest_eval_id"]
+        assert abs(approx[v]["max_cosine"] - brute[v]["max_cosine"]) < 1e-12
+    # benchmark members flag THEMSELVES (no self-id exclusion)
+    for v in range(20):
+        assert approx[v]["contaminated"] is True
+        assert approx[v]["nearest_eval_id"] == v
+
+
+def test_semantic_decontaminate_lsh_null_and_miss_semantics(spark):
+    """NULL / wrong-dim corpus vectors → NULL contaminated (unknown
+    content, brute-force convention); a valid vector with no band
+    collision → contaminated=false with NULL cosine (LSH miss)."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate_lsh,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(30)]
+    rows.append((100, None))
+    rows.append((101, [1.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id < 3")
+    for scoring in ("expr", "gemm"):
+        out = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate_lsh(
+                df, bench, threshold=0.99, dim=16, scoring=scoring
+            ).collect()
+        }
+        assert len(out) == 32
+        for v in (100, 101):
+            assert out[v]["contaminated"] is None
+            assert out[v]["max_cosine"] is None
+            assert out[v]["nearest_eval_id"] is None
+        # every valid row is either scored or a clean miss, never NULL flag
+        for v, r in out.items():
+            if v < 100:
+                assert r["contaminated"] is not None
+                if r["max_cosine"] is None:
+                    assert r["contaminated"] is False
+
+
+def test_semantic_decontaminate_lsh_gemm_matches_expr(spark):
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate_lsh,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id % 10 = 0")
+
+    def key(rows):
+        return {
+            r["vec_id"]: (
+                None if r["max_cosine"] is None else round(r["max_cosine"], 9),
+                r["nearest_eval_id"],
+                r["contaminated"],
+            )
+            for r in rows
+        }
+
+    kw = dict(threshold=0.8, dim=16, n_planes=16, bands=8)
+    e = key(semantic_decontaminate_lsh(df, bench, scoring="expr", **kw).collect())
+    g = key(semantic_decontaminate_lsh(df, bench, scoring="gemm", **kw).collect())
+    assert e == g
