@@ -6266,137 +6266,138 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records only the
-    # first 50 entries. The window holds every query added or whose
-    # operator changed this round (the r8 trio fd/benford/completeness,
-    # the FD-extended constraint_suite, and the materialize-knob
-    # operators key_skew_profile / zipf_fit / mutual_information_drift);
-    # multi-round-stable queries ride at the tail and stay covered by
-    # tests/test_oracle_parity.py and tools/verify_oracle.py locally.
+    # first 50 entries. Round-9 rotation policy (VERDICT r8 task 3):
+    # queries sort by how long ago the driver last verified them —
+    # brand-new operators first (passage_* and semantic_decontaminate_lsh
+    # have never seen a driver gate), then the longest-unverified (the
+    # r4/r5 cohort); the r8-verified cohort rides at the tail. Every
+    # query stays covered locally by tests/test_oracle_parity.py and
+    # tools/verify_oracle.py regardless of window position.
     return {
         "passage_dedup": q_passage_dedup,
-        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
-        "passage_pairs": q_passage_pairs,
         "passage_excise": q_passage_excise,
-        "functional_dependencies": q_functional_dependencies,
-        "benford_deviation": q_benford_deviation,
-        "completeness_timeseries": q_completeness_timeseries,
-        "zipf_fit": q_zipf_fit,
-        "image_features": q_image_features,
-        "pack_documents": q_pack_documents,
-        "packing_stats": q_packing_stats,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "cluster_balance": q_cluster_balance,
-        "dedup_incremental": q_dedup_incremental,
-        "token_budget_sample": q_token_budget_sample,
-        "key_overlap": q_key_overlap,
-        "pca_contributions": q_pca_contributions,
-        "join_explosion": q_join_explosion,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "pca_anomaly": q_pca_anomaly,
-        "rollup_timeseries": q_rollup_timeseries,
-        "robust_profile_counts": q_robust_profile_counts,
-        "equidepth_histogram_counts": q_equidepth_histogram_counts,
-        "mutual_information_drift": q_mutual_information_drift,
-        "ngram_overlap": q_ngram_overlap,
-        "key_skew_profile": q_key_skew_profile,
-        "equidepth_histogram": q_equidepth_histogram,
-        "robust_profile": q_robust_profile,
-        "dedup_normalized": q_dedup_normalized,
-        "bigram_logprob": q_bigram_logprob,
-        "c4_line_filter": q_c4_line_filter,
-        "merged_heavy_hitters": q_merged_heavy_hitters,
-        "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "constraint_suite": q_constraint_suite,
-        "windowed_distinct": q_windowed_distinct,
-        "uniform_sample": q_uniform_sample,
-        "merged_drift_quantiles": q_merged_drift_quantiles,
-        "merged_group_drift": q_merged_group_drift,
-        "session_drift": q_session_drift,
-        "mmd_drift": q_mmd_drift,
-        "quality_filter": q_quality_filter,
-        "merged_profile": q_merged_profile,
-        "json_profile": q_json_profile,
-        "ann_pq": q_ann_pq,
-        "merged_quantiles": q_merged_quantiles,
-        "asof_join": q_asof_join,
-        "merged_drift": q_merged_drift,
-        "incremental_pipeline": q_incremental_pipeline,
-        "merged_categorical_drift": q_merged_categorical_drift,
-        "merged_distinct": q_merged_distinct,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "passage_pairs": q_passage_pairs,
+        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
+        "adaptive_thresholds": q_adaptive_thresholds,
+        "categorical_distances": q_categorical_distances,
+        "corr_pairs": q_corr_pairs,
+        "dist_shape": q_dist_shape,
+        "drift_severity": q_drift_severity,
+        "embedding_drift": q_embedding_drift,
+        "events_sliding": q_events_sliding,
+        "events_windowed": q_events_windowed,
+        "feature_importance": q_feature_importance,
+        "group_drift": q_group_drift,
+        "group_profile": q_group_profile,
+        "histogram": q_histogram,
+        "ks_wasserstein": q_ks_wasserstein,
+        "outlier_drift": q_outlier_drift,
+        "psi": q_psi,
+        "psi_numeric": q_psi_numeric,
+        "quantile_shift": q_quantile_shift,
+        "rare_categories": q_rare_categories,
+        "rare_values": q_rare_values,
+        "running_profile": q_running_profile,
+        "schema_drift": q_schema_drift,
+        "streaming_drift_alerts": q_streaming_drift_alerts,
+        "temporal_drift": q_temporal_drift,
+        "text_quality_drift": q_text_quality_drift,
+        "type_inference": q_type_inference,
+        "cap_per_group": q_cap_per_group,
+        "categorical_drift": q_categorical_drift,
+        "categorical_drift_exact": q_categorical_drift_exact,
+        "complex_profile": q_complex_profile,
+        "corr_groups": q_corr_groups,
+        "cusum_changepoint": q_cusum_changepoint,
+        "entropy": q_entropy,
+        "frame_sample": q_frame_sample,
+        "freq_table": q_freq_table,
+        "group_numeric_drift": q_group_numeric_drift,
+        "hash_split": q_hash_split,
+        "interval_join": q_interval_join,
+        "js_full_support": q_js_full_support,
+        "json_drift": q_json_drift,
+        "multimodal_meta": q_multimodal_meta,
+        "numeric_drift": q_numeric_drift,
+        "numeric_drift_rowpath": q_numeric_drift_rowpath,
+        "numeric_profile": q_numeric_profile,
+        "pii_scrub": q_pii_scrub,
+        "robust_outlier_drift": q_robust_outlier_drift,
+        "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample": q_temperature_sample,
+        "top_categories": q_top_categories,
+        "vocab_drift": q_vocab_drift,
+        "weighted_sample": q_weighted_sample,
+        "windowed_drift": q_windowed_drift,
+        "tfidf_keywords": q_tfidf_keywords,
+        "unigram_logprob": q_unigram_logprob,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "chunk_documents": q_chunk_documents,
+        "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_best": q_dedup_survivors_best,
+        "doc_fingerprint": q_doc_fingerprint,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_cosine": q_knn_cosine,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "chunk_documents": q_chunk_documents,
         "repetition_stats": q_repetition_stats,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "decontaminate": q_decontaminate,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "unigram_logprob": q_unigram_logprob,
-        "tfidf_keywords": q_tfidf_keywords,
-        "vocab_drift": q_vocab_drift,
-        "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
-        "cap_per_group": q_cap_per_group,
-        "temperature_sample": q_temperature_sample,
-        "corr_groups": q_corr_groups,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
-        "hash_split": q_hash_split,
-        "windowed_drift": q_windowed_drift,
-        "sessionize": q_sessionize,
-        "interval_join": q_interval_join,
-        "cusum_changepoint": q_cusum_changepoint,
-        "robust_outlier_drift": q_robust_outlier_drift,
-        "json_drift": q_json_drift,
-        "top_categories": q_top_categories,
-        "group_numeric_drift": q_group_numeric_drift,
-        "numeric_profile": q_numeric_profile,
-        "numeric_drift": q_numeric_drift,
-        "numeric_drift_rowpath": q_numeric_drift_rowpath,
-        "js_full_support": q_js_full_support,
-        "complex_profile": q_complex_profile,
-        "categorical_drift_exact": q_categorical_drift_exact,
-        "freq_table": q_freq_table,
-        "categorical_drift": q_categorical_drift,
-        "entropy": q_entropy,
-        "psi": q_psi,
-        "categorical_distances": q_categorical_distances,
-        "psi_numeric": q_psi_numeric,
-        "ks_wasserstein": q_ks_wasserstein,
-        "group_profile": q_group_profile,
-        "quantile_shift": q_quantile_shift,
-        "dist_shape": q_dist_shape,
-        "histogram": q_histogram,
-        "rare_categories": q_rare_categories,
-        "rare_values": q_rare_values,
-        "outlier_drift": q_outlier_drift,
-        "group_drift": q_group_drift,
-        "corr_pairs": q_corr_pairs,
-        "feature_importance": q_feature_importance,
-        "temporal_drift": q_temporal_drift,
-        "embedding_drift": q_embedding_drift,
-        "text_quality_drift": q_text_quality_drift,
-        "streaming_drift_alerts": q_streaming_drift_alerts,
-        "events_windowed": q_events_windowed,
-        "running_profile": q_running_profile,
-        "events_sliding": q_events_sliding,
-        "type_inference": q_type_inference,
-        "adaptive_thresholds": q_adaptive_thresholds,
-        "drift_severity": q_drift_severity,
-        "schema_drift": q_schema_drift,
+        "text_stats": q_text_stats,
+        "ann_pq": q_ann_pq,
+        "asof_join": q_asof_join,
+        "benford_deviation": q_benford_deviation,
+        "bigram_logprob": q_bigram_logprob,
+        "c4_line_filter": q_c4_line_filter,
+        "cluster_balance": q_cluster_balance,
+        "completeness_timeseries": q_completeness_timeseries,
+        "constraint_suite": q_constraint_suite,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_normalized": q_dedup_normalized,
+        "dedup_simhash": q_dedup_simhash,
+        "equidepth_histogram": q_equidepth_histogram,
+        "equidepth_histogram_counts": q_equidepth_histogram_counts,
+        "functional_dependencies": q_functional_dependencies,
+        "image_features": q_image_features,
+        "incremental_pipeline": q_incremental_pipeline,
+        "join_explosion": q_join_explosion,
+        "json_profile": q_json_profile,
+        "key_overlap": q_key_overlap,
+        "key_skew_profile": q_key_skew_profile,
+        "merged_categorical_drift": q_merged_categorical_drift,
+        "merged_distinct": q_merged_distinct,
+        "merged_drift": q_merged_drift,
+        "merged_drift_quantiles": q_merged_drift_quantiles,
+        "merged_group_drift": q_merged_group_drift,
+        "merged_heavy_hitters": q_merged_heavy_hitters,
+        "merged_profile": q_merged_profile,
+        "merged_quantiles": q_merged_quantiles,
+        "mmd_drift": q_mmd_drift,
+        "mutual_information_drift": q_mutual_information_drift,
+        "ngram_overlap": q_ngram_overlap,
+        "pack_documents": q_pack_documents,
+        "packing_stats": q_packing_stats,
+        "pca_anomaly": q_pca_anomaly,
+        "pca_contributions": q_pca_contributions,
+        "quality_filter": q_quality_filter,
+        "robust_profile": q_robust_profile,
+        "robust_profile_counts": q_robust_profile_counts,
+        "rollup_timeseries": q_rollup_timeseries,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "session_drift": q_session_drift,
+        "token_budget_sample": q_token_budget_sample,
+        "uniform_sample": q_uniform_sample,
+        "windowed_distinct": q_windowed_distinct,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "zipf_fit": q_zipf_fit,
     }
 
 
