@@ -172,8 +172,25 @@ def main() -> None:
         "isolated_caches": True,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    # ALSO write a round-stamped archive (VERDICT r8 task 5): the judge
+    # diffs full per-query timings round over round, and BENCH_FULL.json
+    # alone is overwritten in place. The round index is inferred as
+    # 1 + the newest driver-recorded BENCH_r0N.json (the driver writes
+    # that file AFTER running this script, so during round N the newest
+    # existing one is N-1); local re-runs just overwrite the same tag.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    tag = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(here, f"BENCH_FULL_r{tag:02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1)
 
     # The recorded artifact keeps the last 2000 chars of output and

@@ -952,6 +952,7 @@ def cluster_balance_drift(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     scoring: str = "auto",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Topic-mixture drift over embedding clusters: assign both snapshots'
     vectors to shared centroids and compare each cluster's share — the
@@ -959,14 +960,18 @@ def cluster_balance_drift(
     can't see (every marginal unchanged, but the MIX of topics rotated:
     a crawl that quietly became 40% one domain).
 
-    Centroids are the first ``n_clusters`` REF vectors by id — the
-    deterministic, oracle-replayable choice (``ivf_topk`` convention;
-    substitute an offline KMeans fit in production). Assignment is the
-    ``semantic_decontaminate`` shape: the centroid matrix inlines as ONE
-    literal, so each side's assignment is a narrow map over its scan
-    (argmax cosine, smallest centroid id on ties), followed by ONE
-    side-tagged ``groupBy(cluster_id)`` — no crossJoin rows, no window
-    over data. Shares come from a window over the O(clusters) panel.
+    Default centroids are the first ``n_clusters`` REF vectors by id —
+    the deterministic, oracle-replayable choice (``ivf_topk``
+    convention), a STAND-IN for fitted clusters; production feeds an
+    offline KMeans fit through ``centroids`` (a list of
+    ``(cluster_id, vector)`` pairs, the ``pca_error_contributions
+    (components=)`` convention — ``n_clusters`` is then ignored).
+    Assignment is the ``semantic_decontaminate`` shape: the centroid
+    matrix inlines as ONE literal, so each side's assignment is a narrow
+    map over its scan (argmax cosine, smallest centroid id on ties),
+    followed by ONE side-tagged ``groupBy(cluster_id)`` — no crossJoin
+    rows, no window over data. Shares come from a window over the
+    O(clusters) panel.
 
     Output per cluster (clusters empty on BOTH sides are absent):
     ``cluster_id, ref_n, curr_n, ref_share, curr_share, share_abs_diff,
@@ -974,17 +979,25 @@ def cluster_balance_drift(
     ``scoring``: expression folds, Arrow/numpy GEMM, or ``"auto"``
     (gemm iff dim ≥ ``GEMM_DIM_THRESHOLD``) — ``lsh_topk`` convention.
     """
-    rows = (
-        df_ref.select(
-            F.col(id_col).alias("cid"),
-            F.col(embedding_col).cast("array<double>").alias("ce"),
+    if centroids is not None:
+        rows = [{"cid": int(c), "ce": list(v)} for c, v in centroids]
+        if not rows:
+            raise ValueError("centroids is empty")
+        dims = {len(r["ce"]) for r in rows}
+        if len(dims) != 1:
+            raise ValueError(f"centroid dims differ: {sorted(dims)}")
+    else:
+        rows = (
+            df_ref.select(
+                F.col(id_col).alias("cid"),
+                F.col(embedding_col).cast("array<double>").alias("ce"),
+            )
+            .orderBy("cid")
+            .limit(n_clusters)
+            .collect()
         )
-        .orderBy("cid")
-        .limit(n_clusters)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("reference snapshot is empty")
+        if not rows:
+            raise ValueError("reference snapshot is empty")
     dim = len(rows[0]["ce"])
     mode = _resolve_scoring(scoring, dim)
     if mode == "gemm":

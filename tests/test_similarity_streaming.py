@@ -831,3 +831,40 @@ def test_semantic_decontaminate_lsh_gemm_matches_expr(spark):
     e = key(semantic_decontaminate_lsh(df, bench, scoring="expr", **kw).collect())
     g = key(semantic_decontaminate_lsh(df, bench, scoring="gemm", **kw).collect())
     assert e == g
+
+
+def test_cluster_balance_explicit_centroids(spark):
+    """VERDICT r8 task 6: a pre-fitted centroid set (production KMeans)
+    feeds through centroids=[(id, vector), ...]; passing the SAME
+    centroids the default derives must reproduce the default's output
+    exactly, and a bad set fails fast."""
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+    )
+
+    rng = random.Random(19)
+    mk = lambda n, off: [
+        (off + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(n)
+    ]
+    ref = spark.createDataFrame(mk(40, 0), "vec_id long, embedding array<double>")
+    curr = spark.createDataFrame(mk(40, 500), "vec_id long, embedding array<double>")
+
+    default = cluster_balance_drift(ref, curr, n_clusters=4).collect()
+    same = [
+        (int(r["vec_id"]), r["embedding"])
+        for r in ref.orderBy("vec_id").limit(4).collect()
+    ]
+    explicit = cluster_balance_drift(ref, curr, centroids=same).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(explicit) == key(default)
+
+    with _pytest.raises(ValueError, match="centroids is empty"):
+        cluster_balance_drift(ref, curr, centroids=[])
+    with _pytest.raises(ValueError, match="dims differ"):
+        cluster_balance_drift(
+            ref, curr, centroids=[(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])]
+        )
