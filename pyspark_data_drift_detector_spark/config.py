@@ -131,6 +131,25 @@ _DEFAULTS: dict[str, Any] = {
     # columns per profile aggregate (keeps plans inside codegen maxFields;
     # the reference batches at 100 for driver memory, main.py:96-120)
     "column_batch_size": 100,
+    # ---- opt-in families and knobs read by pipeline.detect_drift /
+    # runner.run (every key the engine reads is declared HERE so
+    # docs/CONFIG.md + its completeness test can't silently rot; the
+    # values mirror the call sites' inline .get() defaults) ----
+    "statistical_tests": False,  # KS + Wasserstein family (opt-in)
+    "analyze_benford": False,
+    "benford_shift_threshold": 0.05,
+    "benford_conformance_threshold": 0.15,
+    "analyze_key_overlap": False,
+    "key_overlap_columns": [],
+    "churn_threshold": 0.5,
+    "exact_group_median": False,
+    "custom_analyzers": [],
+    "materialize_families": True,
+    "json_fields": {},
+    "output_table": None,
+    "output_path": None,
+    "output_format": "parquet",
+    "results_blob_path": None,
 }
 
 
