@@ -6006,6 +6006,7 @@ def _oracle_queries() -> dict[str, str]:
         "vocab_drift": _vocab_drift_sql(),
         "passage_dedup": _passage_dedup_sql(),
         "semantic_decontaminate_lsh": _semantic_decontaminate_lsh_sql(),
+        "passage_incremental": _passage_incremental_sql(),
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
     }
@@ -6156,6 +6157,65 @@ def _passage_dedup_sql() -> str:
     FROM isl GROUP BY doc_id, island"""
 
 
+def q_passage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental passage dedup: the doc_id%3==0 ingest batch vetted
+    against the compact passage-fingerprint state of the rest of the
+    corpus — flagged spans + how many PRIOR docs share them (0 = only
+    duplicated within the batch); never re-scans the prior corpus."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_state,
+    )
+
+    docs = _documents(spark, sf_dir)
+    state = passage_state(docs.filter("doc_id % 3 != 0"), window=_PASSAGE_W)
+    out = passage_dedup_incremental(
+        docs.filter("doc_id % 3 = 0"), state, window=_PASSAGE_W
+    )
+    return out.selectExpr(
+        "doc_id",
+        "CAST(span_start AS BIGINT) AS span_start",
+        "CAST(span_end AS BIGINT) AS span_end",
+        "CAST(span_tokens AS BIGINT) AS span_tokens",
+        "n_windows",
+        "max_dup_docs",
+        "prior_docs",
+    )
+
+
+def _passage_incremental_sql() -> str:
+    w = _PASSAGE_W
+    return f"""
+    WITH {_passage_idx_sql(w)},
+    counts AS (
+      SELECT whash,
+        COUNT(DISTINCT doc_id) AS total_docs,
+        COUNT(DISTINCT doc_id) FILTER (doc_id % 3 != 0) AS prior_docs
+      FROM idx GROUP BY whash),
+    flagged AS (
+      SELECT i.doc_id, i.start, i.start + {w} - 1 AS e,
+        c.total_docs, c.prior_docs
+      FROM idx i JOIN counts c USING (whash)
+      WHERE i.doc_id % 3 = 0 AND c.total_docs >= 2),
+    prev AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    isl AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS UNBOUNDED PRECEDING) AS island
+      FROM prev)
+    SELECT doc_id,
+      CAST(MIN(start) AS BIGINT) AS span_start,
+      CAST(MAX(e) AS BIGINT) AS span_end,
+      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_windows,
+      CAST(MAX(total_docs) AS BIGINT) AS max_dup_docs,
+      CAST(MAX(prior_docs) AS BIGINT) AS prior_docs
+    FROM isl GROUP BY doc_id, island"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6275,6 +6335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/verify_oracle.py regardless of window position.
     return {
         "passage_dedup": q_passage_dedup,
+        "passage_incremental": q_passage_incremental,
         "passage_excise": q_passage_excise,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,

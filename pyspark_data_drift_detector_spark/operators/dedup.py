@@ -1088,3 +1088,124 @@ def passage_excise(
             " ELSE concat_ws(' ', __kept) END AS clean_text",
         )
     )
+
+
+def passage_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """Additive passage-fingerprint state for one ingest batch: per
+    window hash, how many documents and window occurrences this batch
+    contributed (``whash, n_docs, n_occ``). Append one of these per
+    batch (or via ``streaming.state_tables.passage_state_sink``) and the
+    SUM over appends equals the full-corpus counts — provided ingest is
+    APPEND-ONLY with each document in exactly one batch (re-ingesting a
+    document double-counts it, same contract as the fingerprint state).
+
+    O(distinct window hashes) rows per batch, 8-byte keys — the raw text
+    never lands in state.
+    """
+    return (
+        _window_index(df, text_col, id_col, window, stride)
+        .groupBy("whash")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+    )
+
+
+def passage_dedup_incremental(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Incremental passage dedup: which passages of the NEW batch are
+    duplicated against the already-ingested corpus (its compact
+    :func:`passage_state`) or within the batch itself — so a 100 TB
+    corpus is never re-scanned to vet an ingest increment (the
+    passage-level sibling of :func:`dedup_incremental`).
+
+    ``state`` is the appended ``passage_state`` table (raw appends are
+    fine — it is re-aggregated here, one row per hash). A batch window
+    is flagged when prior-corpus docs + batch docs sharing it reach
+    ``min_docs``; flagged windows merge into maximal spans exactly like
+    :func:`passage_duplicates`, so for an append-only corpus the output
+    for this batch EQUALS ``passage_duplicates`` over the full corpus
+    restricted to the batch's documents (pinned by test), with
+    ``prior_docs`` added (0 = duplicated only within the batch).
+
+    Scale shape: both the batch index and the rolled-up state shuffle on
+    the 8-byte hash; the state side is one aggregated row per key, so
+    the join cannot explode.
+    """
+    from pyspark.sql import Window
+
+    idx = _window_index(new_docs, text_col, id_col, window, stride)
+    batch_counts = idx.groupBy("whash").agg(
+        F.countDistinct("id").cast("long").alias("__batch_docs")
+    )
+    prior = state.groupBy("whash").agg(
+        F.sum("n_docs").cast("long").alias("__prior_docs")
+    )
+    totals = (
+        batch_counts.join(prior, "whash", "left")
+        .withColumn(
+            "__total_docs",
+            F.col("__batch_docs") + F.coalesce(F.col("__prior_docs"), F.lit(0)),
+        )
+        .filter(F.col("__total_docs") >= min_docs)
+        .select("whash", "__prior_docs", "__total_docs")
+    )
+    flagged = idx.join(totals, "whash").select(
+        "id",
+        "start",
+        (F.col("start") + (window - 1)).alias("end"),
+        "__prior_docs",
+        "__total_docs",
+    )
+    prev_end = (
+        Window.partitionBy("id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = Window.partitionBy("id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = (
+        flagged.withColumn("__prev_end", F.max("end").over(prev_end))
+        .withColumn(
+            "__new",
+            (F.col("__prev_end").isNull() | (F.col("start") > F.col("__prev_end") + 1))
+            .cast("int"),
+        )
+        .withColumn("island", F.sum("__new").over(running))
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("__total_docs").cast("long").alias("max_dup_docs"),
+            F.max(F.coalesce(F.col("__prior_docs"), F.lit(0)))
+            .cast("long")
+            .alias("prior_docs"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+            "max_dup_docs",
+            "prior_docs",
+        )
+    )

@@ -270,3 +270,31 @@ def read_benford_state(spark, state_path: str) -> DataFrame:
     )
 
     return benford_from_state(spark.read.parquet(state_path))
+
+
+def passage_state_sink(
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the passage-fingerprint state
+    that :func:`operators.dedup.passage_dedup_incremental` vets new
+    batches against: each micro-batch appends its additive per-window-
+    hash counts (``whash, n_docs, n_occ`` — O(distinct hashes) longs,
+    never the text). Same append-only / one-batch-per-document contract
+    as :func:`fingerprint_state_sink`; the reader re-aggregates, so raw
+    appends with repeated keys across batches are fine."""
+    from pyspark_data_drift_detector_spark.operators.dedup import passage_state
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        passage_state(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            window=window,
+            stride=stride,
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
