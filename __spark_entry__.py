@@ -6007,6 +6007,7 @@ def _oracle_queries() -> dict[str, str]:
         "passage_dedup": _passage_dedup_sql(),
         "semantic_decontaminate_lsh": _semantic_decontaminate_lsh_sql(),
         "passage_incremental": _passage_incremental_sql(),
+        "neardup_incremental": _neardup_incremental_sql(),
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
     }
@@ -6216,6 +6217,79 @@ def _passage_incremental_sql() -> str:
     FROM isl GROUP BY doc_id, island"""
 
 
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the doc_id%3==0 ingest batch vetted against
+    the prior corpus's MinHash-signature state (md5 family so the oracle
+    replays the banding + signature-estimated Jaccard exactly); prior
+    text never re-read."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_incremental,
+    )
+
+    docs = _documents(spark, sf_dir)
+    state = minhash_signatures(
+        docs.filter("doc_id % 3 != 0"), hash_family="md5"
+    )
+    out = neardup_incremental(
+        docs.filter("doc_id % 3 = 0"),
+        state,
+        threshold=0.3,
+        hash_family="md5",
+    )
+    return _round_cols(out, ["est_jaccard"])
+
+
+def _neardup_incremental_sql() -> str:
+    """SQL replay of neardup_incremental(hash_family='md5', threshold=0.3):
+    the _minhash_lsh_sql signature algebra, candidates = batch (doc%3==0)
+    band-colliding with state (doc%3!=0) or an earlier batch doc, verified
+    by the SIGNATURE-estimated Jaccard (fraction of agreeing components)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        MERSENNE31,
+        affine_params,
+    )
+
+    params = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(affine_params(64))
+    )
+    p = MERSENNE31
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks)),
+    u AS (SELECT doc_id,
+            ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS u
+          FROM sh),
+    params AS (SELECT * FROM (VALUES {params}) p(i, a, b)),
+    sigs AS (SELECT doc_id, i, MIN((a * u + b) % {p}) AS h
+             FROM u CROSS JOIN params GROUP BY 1, 2),
+    bands AS (SELECT doc_id, i // 4 AS band, list(h ORDER BY i) AS key
+              FROM sigs GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_id,
+        CASE WHEN o.doc_id % 3 != 0 THEN 'state' ELSE 'batch' END AS dup_source
+      FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+      WHERE n.doc_id % 3 = 0
+        AND (o.doc_id % 3 != 0
+             OR (o.doc_id % 3 = 0 AND o.doc_id < n.doc_id))),
+    est AS (
+      SELECT c.doc_id, c.dup_id, c.dup_source,
+        SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.doc_id
+      JOIN sigs b ON b.doc_id = c.dup_id AND b.i = a.i
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, dup_id, dup_source,
+      ROUND(est_jaccard, {ROUND}) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.3"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6336,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "passage_dedup": q_passage_dedup,
         "passage_incremental": q_passage_incremental,
+        "neardup_incremental": q_neardup_incremental,
         "passage_excise": q_passage_excise,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,

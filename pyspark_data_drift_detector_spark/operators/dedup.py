@@ -227,6 +227,33 @@ def minhash_signatures(
     return index.groupBy("id").agg(*[F.expr(a) for a in aggs])
 
 
+def _sig_bands(
+    sig: DataFrame, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """Band a signature table (``id, h0..h{n-1}``) into one row per
+    (id, band, band_hash). ``md5`` family keeps the raw row-value array
+    as the key (oracle-replayable); ``xxhash`` collapses each band to one
+    8-byte hash (the production shuffle key)."""
+    rows_per_band = num_hashes // bands
+    if hash_family == "md5":
+        band_structs = [
+            "named_struct('band', {b}, 'band_hash', array({hs}))".format(
+                b=b,
+                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_structs = [
+            "named_struct('band', {b}, 'band_hash', xxhash64({hs}))".format(
+                b=b,
+                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    return sig.selectExpr("id", "inline(array(" + ", ".join(band_structs) + "))")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -261,25 +288,8 @@ def minhash_lsh_pairs(
     band; truly boilerplate clusters are better handled by exact dedup
     first). Standard practice in large-scale MinHash dedup pipelines.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, hash_family)
-    if hash_family == "md5":
-        band_structs = [
-            "named_struct('band', {b}, 'band_hash', array({hs}))".format(
-                b=b,
-                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_structs = [
-            "named_struct('band', {b}, 'band_hash', xxhash64({hs}))".format(
-                b=b,
-                hs=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
-            )
-            for b in range(bands)
-        ]
-    banded = sig.selectExpr("id", "inline(array(" + ", ".join(band_structs) + "))")
+    banded = _sig_bands(sig, num_hashes, bands, hash_family)
     if max_bucket_size is not None:
         # one extra aggregation over the banded table (already O(docs×bands))
         # buys freedom from quadratic blowup in hot buckets. Bucket sizes
@@ -1208,4 +1218,110 @@ def passage_dedup_incremental(
             "max_dup_docs",
             "prior_docs",
         )
+    )
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-duplicate detection: which documents of a new
+    ingest batch near-duplicate the already-ingested corpus — vetted
+    against its compact MinHash-signature ``state``
+    (:func:`minhash_signatures` output appended per batch, or via
+    ``streaming.state_tables.minhash_state_sink``), so the prior corpus
+    text is NEVER re-read (the near-dup sibling of
+    :func:`dedup_incremental`; exact-passage sibling:
+    :func:`passage_dedup_incremental`).
+
+    Candidates come from the usual band collisions (new batch vs state,
+    plus earlier-id docs within the batch). Because state holds only
+    signatures, verification is the SIGNATURE-ESTIMATED Jaccard — the
+    fraction of agreeing components, an unbiased estimator with
+    ±1/√num_hashes resolution (~0.125 at 64) — so ``threshold`` acts on
+    the estimate, not exact Jaccard (the standard contract of
+    signature-only production dedup; run :func:`minhash_lsh_pairs` with
+    ``verify=True`` where the raw text of both sides is still at hand).
+
+    ``max_bucket_size``: same hot-bucket guard as ``minhash_lsh_pairs``,
+    applied to the COMBINED (state + batch) banded table — boilerplate
+    buckets are quadratic whichever side they come from.
+
+    Output per retained pair: ``doc_id`` (new), ``dup_id``,
+    ``dup_source`` (``'state'`` | ``'batch'``; batch pairs point to the
+    earlier id), ``est_jaccard``. Documents with no signature (NULL
+    text → no shingles) never match anything and are absent.
+    """
+    new_sig = minhash_signatures(
+        new_docs, text_col, id_col, k, num_hashes, hash_family
+    )
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    state_sig = state.select("id", *hcols)
+    new_banded = _sig_bands(new_sig, num_hashes, bands, hash_family)
+    state_banded = _sig_bands(state_sig, num_hashes, bands, hash_family)
+    combined = state_banded.selectExpr(
+        "id", "band", "band_hash", "'state' AS __side"
+    ).unionByName(
+        new_banded.selectExpr("id", "band", "band_hash", "'batch' AS __side")
+    )
+    if max_bucket_size is not None:
+        sizes = combined.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        combined = (
+            combined.join(sizes, ["band", "band_hash"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        new_banded = combined.filter("__side = 'batch'").drop("__side")
+    candidates = (
+        new_banded.select(F.col("id").alias("doc_id"), "band", "band_hash")
+        .join(
+            combined.selectExpr(
+                "id AS dup_id", "band", "band_hash", "__side"
+            ),
+            ["band", "band_hash"],
+        )
+        .filter(
+            (F.col("__side") == "state")
+            | (F.col("dup_id") < F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "dup_id",
+            F.when(F.col("__side") == "state", F.lit("state"))
+            .otherwise(F.lit("batch"))
+            .alias("dup_source"),
+        )
+        .distinct()
+    )
+    # signature-estimated Jaccard: fraction of agreeing components. The
+    # lookup side is state ∪ batch signatures — one aggregated row per
+    # id, so neither join can explode.
+    all_sig = state_sig.unionByName(new_sig)
+    a = new_sig.select(
+        F.col("id").alias("doc_id"), *[F.col(h).alias(f"a_{h}") for h in hcols]
+    )
+    b = all_sig.select(
+        F.col("id").alias("dup_id"), *[F.col(h).alias(f"b_{h}") for h in hcols]
+    )
+    est = " + ".join(f"CAST(a_{h} = b_{h} AS INT)" for h in hcols)
+    return (
+        candidates.join(a, "doc_id")
+        .join(b, "dup_id")
+        .selectExpr(
+            f"doc_id AS `{id_col}`",
+            "dup_id",
+            "dup_source",
+            f"({est}) / {num_hashes} AS est_jaccard",
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )

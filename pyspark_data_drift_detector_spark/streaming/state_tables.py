@@ -298,3 +298,32 @@ def passage_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def minhash_state_sink(
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    hash_family: str = "xxhash",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the MinHash-signature state that
+    :func:`operators.dedup.neardup_incremental` vets new batches against:
+    each micro-batch appends its documents' signatures (``id, h0..h{n-1}``
+    — num_hashes longs per doc, never the text). NULL-text documents
+    produce no shingles and hence no state row. Append-only,
+    one-batch-per-document contract as the other state sinks."""
+    from pyspark_data_drift_detector_spark.operators.dedup import minhash_signatures
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_signatures(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            hash_family=hash_family,
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch

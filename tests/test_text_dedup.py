@@ -417,3 +417,117 @@ def test_dedup_incremental_null_text_passthrough(spark):
         assert out[i]["keep"], i
         assert not out[i]["dup_in_batch"] and not out[i]["dup_of_state"]
     assert not out[13]["keep"] and out[13]["dup_of_state"]
+
+
+def test_neardup_incremental(spark, tmp_path):
+    """Incremental near-dup vs MinHash-signature state: state hits,
+    within-batch hits (earlier id), estimated-Jaccard threshold, exact
+    duplicates estimate 1.0, NULL text passes through, and the streaming
+    signature sink feeds the same decisions."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight").split()
+    prior = spark.createDataFrame(
+        [(1, " ".join(base)), (2, "completely different ancient text")],
+        "doc_id long, text string",
+    )
+    state = minhash_signatures(prior)
+    perturbed = " ".join(base[:-1] + ["today"])  # near-dup of doc 1
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(base)),   # exact dup of state doc 1
+            (11, perturbed),        # near-dup of state doc 1
+            (12, perturbed),        # exact dup of 11 within the batch
+            (13, "utterly unrelated fresh content nothing shared at all"),
+            (14, None),             # NULL text: no signature, no matches
+        ],
+        "doc_id long, text string",
+    )
+    out = neardup_incremental(batch, state, threshold=0.5).collect()
+    pairs = {(r["doc_id"], r["dup_id"]): r for r in out}
+    assert (10, 1) in pairs and pairs[(10, 1)]["dup_source"] == "state"
+    assert pairs[(10, 1)]["est_jaccard"] == 1.0
+    assert (11, 1) in pairs and pairs[(11, 1)]["est_jaccard"] >= 0.5
+    assert (12, 11) in pairs and pairs[(12, 11)]["dup_source"] == "batch"
+    assert pairs[(12, 11)]["est_jaccard"] == 1.0
+    assert not any(d in (13, 14) for d, _ in pairs)
+    # batch pairs only point to EARLIER ids; no self-pairs
+    assert all(dup < d for d, dup in pairs if pairs[(d, dup)]["dup_source"] == "batch")
+    assert all(d != dup for d, dup in pairs)
+
+    # streaming sink parity
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        minhash_state_sink,
+    )
+
+    ingest = tmp_path / "mh_ingest"
+    prior.repartition(2).write.parquet(str(ingest))
+    stream = (
+        spark.readStream.schema(prior.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    sink = minhash_state_sink(str(tmp_path / "mh_state"))
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "mh_state"))
+    key = lambda rows: sorted(
+        (r["doc_id"], r["dup_id"], r["dup_source"], round(r["est_jaccard"], 9))
+        for r in rows
+    )
+    assert key(neardup_incremental(batch, streamed, threshold=0.5).collect()) == key(out)
+
+
+def test_neardup_incremental_bucket_cap(spark):
+    """max_bucket_size drops boilerplate-hot buckets from candidate
+    generation on the COMBINED state+batch table: with every doc identical
+    a cap below the bucket size yields no candidates at all."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_incremental,
+    )
+
+    text = "same boilerplate words repeated across every single document here"
+    prior = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, text) for i in range(4)], "doc_id long, text string"
+    )
+    state = minhash_signatures(prior)
+    full = neardup_incremental(batch, state, threshold=0.5)
+    assert full.count() == 4 * 6 + 4 * 3 // 2  # all state + batch pairs
+    capped = neardup_incremental(
+        batch, state, threshold=0.5, max_bucket_size=5
+    )
+    assert capped.count() == 0
+
+
+def test_neardup_incremental_estimate_tracks_true_jaccard(spark):
+    """The signature estimate must sit within the ±1/sqrt(num_hashes)
+    resolution band of exact Jaccard on a mid-similarity pair."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_signatures,
+        neardup_incremental,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[:55] + [f"x{i}" for i in range(5)])  # jaccard ≈ 0.84
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    exact = jaccard_pairs(docs, threshold=0.0).collect()[0]["jaccard"]
+    # 4-row bands so a ~0.84 pair collides w.p. ≈1 (0.84⁴ per band × 64
+    # bands); all hashes are seeded, so this is deterministic once green
+    state = minhash_signatures(docs.filter("doc_id = 1"), num_hashes=256)
+    est = neardup_incremental(
+        docs.filter("doc_id = 2"), state, threshold=0.0,
+        num_hashes=256, bands=64,
+    ).collect()[0]["est_jaccard"]
+    assert abs(est - exact) <= 2 / (256 ** 0.5)  # 2 sigma
