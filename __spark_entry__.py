@@ -6008,6 +6008,7 @@ def _oracle_queries() -> dict[str, str]:
         "semantic_decontaminate_lsh": _semantic_decontaminate_lsh_sql(),
         "passage_incremental": _passage_incremental_sql(),
         "neardup_incremental": _neardup_incremental_sql(),
+        "logprob_incremental": _logprob_incremental_sql(),
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
     }
@@ -6290,6 +6291,52 @@ def _neardup_incremental_sql() -> str:
     FROM est WHERE est_jaccard >= 0.3"""
 
 
+def q_logprob_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM quality gate: score the doc_id%3==0 ingest batch
+    under the prior corpus's add-k-smoothed unigram model (its additive
+    token-count state) — OOV-aware, corpus never re-read."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        logprob_incremental,
+        unigram_state,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = logprob_incremental(
+        docs.filter("doc_id % 3 = 0"),
+        unigram_state(docs.filter("doc_id % 3 != 0")),
+        k=0.5,
+    )
+    return _round_cols(out, ["oov_rate", "avg_logprob", "perplexity"])
+
+
+def _logprob_incremental_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    model AS (
+      SELECT token, COUNT(*) AS cnt FROM toks
+      WHERE doc_id % 3 != 0 GROUP BY token),
+    consts AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS v FROM model),
+    scored AS (
+      SELECT t.doc_id, m.cnt IS NULL AS is_oov,
+        ln((COALESCE(m.cnt, 0) + 0.5) / (c.total + 0.5 * (c.v + 1))) AS lp
+      FROM toks t LEFT JOIN model m USING (token) CROSS JOIN consts c
+      WHERE t.doc_id % 3 = 0),
+    agg AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        AVG(lp) AS avg_logprob
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+      ROUND(n_oov / n_tokens, {ROUND}) AS oov_rate,
+      ROUND(avg_logprob, {ROUND}) AS avg_logprob,
+      ROUND(exp(-avg_logprob), {ROUND}) AS perplexity
+    FROM agg"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6411,6 +6458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "passage_incremental": q_passage_incremental,
         "neardup_incremental": q_neardup_incremental,
+        "logprob_incremental": q_logprob_incremental,
         "passage_excise": q_passage_excise,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,

@@ -341,3 +341,82 @@ def bigram_logprob(
             "exp(-avg_logprob) AS perplexity",
         )
     )
+
+
+def unigram_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Additive unigram-LM state for one ingest batch: ``(token, cnt)``
+    counts. Append one per batch (or via
+    ``streaming.state_tables.unigram_state_sink``) and the SUM over
+    appends is the full-corpus model — counts are additive, so unlike
+    the dedup states there is no one-batch-per-document caveat beyond
+    not double-ingesting data. O(batch vocabulary) rows per batch."""
+    return _tokens(df, text_col, id_col).groupBy("token").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS cnt")
+    )
+
+
+def logprob_incremental(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score a new ingest batch under the PRIOR corpus's unigram model
+    (its rolled-up :func:`unigram_state`) — the incremental quality gate:
+    vet each increment against the established corpus distribution
+    without re-reading the corpus (the LM sibling of
+    ``dedup_incremental``; CCNet-style filtering applies a pre-trained
+    LM to candidate data exactly like this).
+
+    Unlike :func:`unigram_logprob` (self-scoring, every token in-vocab)
+    new batches contain OUT-OF-VOCABULARY tokens, so the model is add-k
+    smoothed: ``p(t) = (cnt(t) + k) / (total + k·(V + 1))`` with ``V``
+    the state vocabulary size and OOV sharing one extra vocabulary slot
+    (the ``bigram_logprob`` convention). Output per document:
+    ``n_tokens, n_oov, oov_rate, avg_logprob, perplexity`` — gibberish
+    scores low via rare/unseen tokens, boilerplate scores
+    suspiciously high.
+
+    Plan: the state re-aggregates to one row per token (raw appends
+    fine), batch tokens LEFT-join it on ``token`` (OOV → NULL cnt → k),
+    one ``groupBy(doc)`` scores; the two scalar model constants ride a
+    broadcast. Nothing is collected.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    model = state.groupBy("token").agg(F.expr("sum(cnt) AS cnt"))
+    consts = model.agg(
+        F.expr("sum(cnt) AS total"), F.expr("count(1) AS v")
+    )
+    toks = _tokens(new_docs, text_col, id_col)
+    scored = (
+        toks.join(model, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .selectExpr(
+            f"`{id_col}`",
+            "cnt IS NULL AS is_oov",
+            f"ln((coalesce(cnt, 0) + {float(k)!r}D)"
+            f" / (total + {float(k)!r}D * (v + 1))) AS lp",
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_tokens"),
+            F.expr("CAST(sum(CAST(is_oov AS INT)) AS BIGINT) AS n_oov"),
+            F.expr("avg(lp) AS avg_logprob"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "n_oov",
+            "n_oov / n_tokens AS oov_rate",
+            "avg_logprob",
+            "exp(-avg_logprob) AS perplexity",
+        )
+    )

@@ -327,3 +327,23 @@ def minhash_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def unigram_state_sink(
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive unigram-LM state
+    (``token, cnt`` per micro-batch) that
+    :func:`operators.corpus.logprob_incremental` scores new ingest
+    against; the reader re-aggregates, so repeated tokens across appends
+    simply sum."""
+    from pyspark_data_drift_detector_spark.operators.corpus import unigram_state
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        unigram_state(
+            batch_df, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch

@@ -1594,3 +1594,81 @@ def test_benford_all_null_column_scores_zero(spark):
     assert dead["drift_severity"] != "Critical"
     assert dead["drift_detected"] is False
     assert dead["drift_causes"] == []
+
+
+def test_logprob_incremental_matches_manual_model(spark, tmp_path):
+    """Incremental LM scoring: add-k probabilities under the STATE model
+    verified against a hand-computed model; OOV counted and smoothed;
+    additive state across appends == one-shot state; streaming sink twin
+    feeds the same scores."""
+    import math
+
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        logprob_incremental,
+        unigram_state,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # model: a=2, b=2, c=1 ; total=5, V=3
+    batch = spark.createDataFrame(
+        [(10, "a b z"), (11, "c c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in logprob_incremental(batch, unigram_state(prior), k=0.5).collect()
+    }
+    denom = 5 + 0.5 * 4
+    lp = lambda c: math.log((c + 0.5) / denom)
+    exp10 = (lp(2) + lp(2) + lp(0)) / 3
+    assert abs(out[10]["avg_logprob"] - exp10) < 1e-12
+    assert out[10]["n_oov"] == 1 and out[10]["n_tokens"] == 3
+    assert abs(out[10]["oov_rate"] - 1 / 3) < 1e-12
+    assert abs(out[10]["perplexity"] - math.exp(-exp10)) < 1e-9
+    assert out[11]["n_oov"] == 0
+    assert abs(out[11]["avg_logprob"] - lp(1)) < 1e-12
+
+    # additive appends: state written in two pieces equals one-shot
+    unigram_state(prior.filter("doc_id = 1")).write.mode("append").parquet(
+        str(tmp_path / "lm_state")
+    )
+    unigram_state(prior.filter("doc_id = 2")).write.mode("append").parquet(
+        str(tmp_path / "lm_state")
+    )
+    appended = spark.read.parquet(str(tmp_path / "lm_state"))
+    out2 = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in logprob_incremental(batch, appended, k=0.5).collect()
+    }
+    assert out2 == {d: r["avg_logprob"] for d, r in out.items()}
+
+    # streaming sink twin
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        unigram_state_sink,
+    )
+
+    ingest = tmp_path / "lm_ingest"
+    prior.repartition(2).write.parquet(str(ingest))
+    stream = (
+        spark.readStream.schema(prior.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    q = (
+        stream.writeStream.foreachBatch(unigram_state_sink(str(tmp_path / "lm_s2")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "lm_s2"))
+    out3 = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in logprob_incremental(batch, streamed, k=0.5).collect()
+    }
+    assert out3 == out2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smoothing k"):
+        logprob_incremental(batch, appended, k=0.0)
