@@ -6011,6 +6011,7 @@ def _oracle_queries() -> dict[str, str]:
         "logprob_incremental": _logprob_incremental_sql(),
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
+        "passage_excise_keep_one": _passage_excise_sql(keep_one=True),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6359,11 +6360,12 @@ def _passage_pairs_sql() -> str:
     w = _PASSAGE_W
     return f"""
     WITH {_passage_idx_sql(w)},
-    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs
-               FROM idx GROUP BY whash),
+    dd AS (SELECT whash, doc_id, MIN(start) AS start
+           FROM idx GROUP BY 1, 2),
+    counts AS (SELECT whash, COUNT(*) AS n_docs FROM dd GROUP BY whash),
     eligible AS (
-      SELECT i.doc_id, i.start, i.whash
-      FROM idx i JOIN counts c USING (whash)
+      SELECT d.doc_id, d.start, d.whash
+      FROM dd d JOIN counts c USING (whash)
       WHERE c.n_docs >= 2 AND c.n_docs <= 64)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(COUNT(*) AS BIGINT) AS n_shared_windows,
@@ -6382,15 +6384,29 @@ def q_passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_excise(_documents(spark, sf_dir), window=_PASSAGE_W)
 
 
-def _passage_excise_sql() -> str:
+def q_passage_excise_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one excision: the smallest-id copy of each duplicated passage
+    survives, every other copy is removed — dedup without destroying the
+    passage corpus-wide."""
+    from pyspark_data_drift_detector_spark.operators.dedup import passage_excise
+
+    return passage_excise(
+        _documents(spark, sf_dir), window=_PASSAGE_W, keep_one=True
+    )
+
+
+def _passage_excise_sql(keep_one: bool = False) -> str:
     w = _PASSAGE_W
+    keeper = "AND i.doc_id != c.keeper" if keep_one else ""
     return f"""
     WITH {_passage_idx_sql(w)},
-    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs
+    counts AS (SELECT whash, COUNT(DISTINCT doc_id) AS n_docs,
+                      MIN(doc_id) AS keeper
                FROM idx GROUP BY whash),
     flagged AS (
       SELECT i.doc_id, i.start, i.start + {w} - 1 AS e
-      FROM idx i JOIN counts c USING (whash) WHERE c.n_docs >= 2),
+      FROM idx i JOIN counts c USING (whash)
+      WHERE c.n_docs >= 2 {keeper}),
     prev AS (
       SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -6460,6 +6476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": q_neardup_incremental,
         "logprob_incremental": q_logprob_incremental,
         "passage_excise": q_passage_excise,
+        "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

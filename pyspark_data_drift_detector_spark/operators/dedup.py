@@ -912,6 +912,7 @@ def passage_duplicates(
     window: int = 20,
     stride: int = 1,
     min_docs: int = 2,
+    keep_one: bool = False,
 ) -> DataFrame:
     """Passage-level exact-substring dedup: maximal spans of token
     windows that also occur in ≥ ``min_docs - 1`` OTHER documents — the
@@ -934,16 +935,26 @@ def passage_duplicates(
     (flagged windows merged into the span) and ``max_dup_docs`` (the
     widest sharing among them). ``stride > 1`` trades recall for index
     size: only passages aligned to the stride grid are caught.
+
+    ``keep_one``: exclude each window's survivor copy (the smallest doc
+    id sharing its fingerprint) from the flags — the span set for
+    keep-one-copy excision rather than contamination REPORTING (where
+    every copy should surface). Survivorship is per window, so a doc
+    can keep one passage and lose another.
     """
     from pyspark.sql import Window
 
     idx = _window_index(df, text_col, id_col, window, stride)
     counts = idx.groupBy("whash").agg(
-        F.countDistinct("id").cast("long").alias("n_docs")
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.min("id").alias("__keeper"),
     )
-    flagged = idx.join(
-        counts.filter(F.col("n_docs") >= min_docs), "whash"
-    ).select("id", "start", (F.col("start") + (window - 1)).alias("end"), "n_docs")
+    flagged = idx.join(counts.filter(F.col("n_docs") >= min_docs), "whash")
+    if keep_one:
+        flagged = flagged.filter(F.col("id") != F.col("__keeper"))
+    flagged = flagged.select(
+        "id", "start", (F.col("start") + (window - 1)).alias("end"), "n_docs"
+    )
     prev_end = (
         Window.partitionBy("id")
         .orderBy("start")
@@ -996,16 +1007,23 @@ def passage_pairs(
     millions of documents would otherwise explode the join exactly as
     ``join_explosion_profile`` predicts — above the cap a passage is
     still reported by :func:`passage_duplicates` (spans + counts), just
-    not attributed to pairs. The candidate side carries only
-    ``(id, start, whash)`` longs.
+    not attributed to pairs. The index also collapses to ONE row per
+    (hash, doc) BEFORE pairing — the doc cap alone does not bound a
+    degenerate document repeating one window text thousands of times
+    ("na na na …"), whose occurrence count would square in the join —
+    so per-hash join output is ≤ cap² rows whatever the texts.
 
-    Output per (doc_a < doc_b): ``n_shared_windows`` and each side's
-    first shared window position (``a_min_start`` / ``b_min_start``).
+    Output per (doc_a < doc_b): ``n_shared_windows`` (DISTINCT shared
+    window fingerprints — within-doc repeats of the same window count
+    once) and each side's first shared window position
+    (``a_min_start`` / ``b_min_start``).
     """
-    idx = _window_index(df, text_col, id_col, window, stride)
+    idx = _window_index(df, text_col, id_col, window, stride).groupBy(
+        "whash", "id"
+    ).agg(F.min("start").alias("start"))
     eligible = idx.join(
         idx.groupBy("whash")
-        .agg(F.countDistinct("id").alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(
             (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_docs_per_hash)
         )
@@ -1037,11 +1055,16 @@ def passage_excise(
     window: int = 20,
     stride: int = 1,
     min_docs: int = 2,
+    keep_one: bool = False,
 ) -> DataFrame:
     """Drop cross-document duplicated passages from each document: the
-    excision pass over :func:`passage_duplicates` spans (keep-one
-    excision belongs upstream — feed it the spans of every doc except
-    each passage's survivor if "keep one copy" semantics are wanted).
+    excision pass over :func:`passage_duplicates` spans.
+
+    ``keep_one=True`` preserves each passage's survivor copy (smallest
+    doc id sharing its window fingerprint) and excises the rest — the
+    corpus keeps exactly one copy of every duplicated passage instead of
+    losing it everywhere (the default destroys all copies, which is the
+    contamination-scrub semantics).
 
     The merged spans collapse to ONE array-of-structs row per flagged
     document (O(spans/doc), bounded by tokens/stride), LEFT-joined back
@@ -1055,7 +1078,9 @@ def passage_excise(
     clean_text`` (NULL text → NULL clean_text, zero counts).
     """
     spans = (
-        passage_duplicates(df, text_col, id_col, window, stride, min_docs)
+        passage_duplicates(
+            df, text_col, id_col, window, stride, min_docs, keep_one
+        )
         .groupBy(id_col)
         .agg(
             F.collect_list(

@@ -281,3 +281,57 @@ def test_passage_state_sink_streaming(spark, tmp_path):
             batch, passage_state(prior, window=5), window=5
         ).collect()
     )
+
+
+def test_passage_pairs_repeated_window_counts_once(spark):
+    """The doc cap alone does not bound within-doc REPEATS of one window
+    text (their occurrence count would square in the pair join): the
+    index collapses to one row per (hash, doc), so a degenerate 'na na
+    na …' doc contributes each fingerprint once and n_shared_windows
+    counts DISTINCT shared fingerprints."""
+    na = " ".join(["na"] * 30)  # 26 identical 5-token windows per doc
+    docs = spark.createDataFrame(
+        [(1, na), (2, na)], "doc_id long, text string"
+    )
+    rows = passage_pairs(docs, window=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_shared_windows"] == 1  # one distinct fingerprint, not 26²
+    assert (r["a_min_start"], r["b_min_start"]) == (1, 1)
+
+
+def test_passage_keep_one_excision(spark):
+    """keep_one=True: the smallest-id copy of each passage survives
+    excision, every other copy is removed; the default still removes all.
+    Survivorship is per WINDOW, so a doc can keep one shared passage and
+    lose another whose survivor lives elsewhere."""
+    p2 = "golf hotel india juliet kilo lima mike november"
+    docs = spark.createDataFrame(
+        [
+            (1, PASSAGE),                               # survivor of PASSAGE
+            (2, f"pre {PASSAGE} post"),
+            (3, f"{p2} and {PASSAGE}"),                 # survivor of p2, loses PASSAGE
+            (4, f"tail words only with {p2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in passage_excise(docs, window=5, keep_one=True).collect()
+    }
+    assert out[1]["clean_text"] == PASSAGE  # untouched survivor
+    assert out[1]["excised_tokens"] == 0
+    assert out[2]["clean_text"] == "pre post"
+    assert out[3]["clean_text"] == p2 + " and"
+    assert out[4]["clean_text"] == "tail words only with"
+    # default scrubs every copy including the survivors
+    scrub = {
+        r["doc_id"]: r for r in passage_excise(docs, window=5).collect()
+    }
+    assert scrub[1]["clean_text"] == ""
+    assert scrub[3]["clean_text"] == "and"
+
+    # span REPORTING with keep_one: survivor docs emit no span
+    spans = passage_duplicates(docs, window=5, keep_one=True)
+    assert sorted(r["doc_id"] for r in spans.select("doc_id").distinct().collect()) == [2, 3, 4]
