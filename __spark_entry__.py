@@ -6012,6 +6012,7 @@ def _oracle_queries() -> dict[str, str]:
         "passage_pairs": _passage_pairs_sql(),
         "passage_excise": _passage_excise_sql(),
         "passage_excise_keep_one": _passage_excise_sql(keep_one=True),
+        "passage_decontaminate": _passage_decontaminate_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6338,6 +6339,53 @@ def _logprob_incremental_sql() -> str:
     FROM agg"""
 
 
+def q_passage_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: corpus spans whose 8-token
+    windows appear anywhere in the doc_id%25==0 eval slice (the
+    ngram_overlap benchmark convention) — localizes WHICH tokens leaked
+    instead of flagging whole documents."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        passage_decontaminate,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = passage_decontaminate(
+        docs, docs.filter("doc_id % 25 = 0"), window=_PASSAGE_W
+    )
+    return out.selectExpr(
+        "doc_id",
+        "CAST(span_start AS BIGINT) AS span_start",
+        "CAST(span_end AS BIGINT) AS span_end",
+        "CAST(span_tokens AS BIGINT) AS span_tokens",
+        "n_windows",
+    )
+
+
+def _passage_decontaminate_sql() -> str:
+    w = _PASSAGE_W
+    return f"""
+    WITH {_passage_idx_sql(w)},
+    bench AS (SELECT DISTINCT whash FROM idx WHERE doc_id % 25 = 0),
+    flagged AS (
+      SELECT i.doc_id, i.start, i.start + {w} - 1 AS e
+      FROM idx i SEMI JOIN bench b ON i.whash = b.whash),
+    prev AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    isl AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS UNBOUNDED PRECEDING) AS island
+      FROM prev)
+    SELECT doc_id,
+      CAST(MIN(start) AS BIGINT) AS span_start,
+      CAST(MAX(e) AS BIGINT) AS span_end,
+      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6477,6 +6525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logprob_incremental": q_logprob_incremental,
         "passage_excise": q_passage_excise,
         "passage_excise_keep_one": q_passage_excise_keep_one,
+        "passage_decontaminate": q_passage_decontaminate,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -942,8 +942,6 @@ def passage_duplicates(
     every copy should surface). Survivorship is per window, so a doc
     can keep one passage and lose another.
     """
-    from pyspark.sql import Window
-
     idx = _window_index(df, text_col, id_col, window, stride)
     counts = idx.groupBy("whash").agg(
         F.countDistinct("id").cast("long").alias("n_docs"),
@@ -955,6 +953,27 @@ def passage_duplicates(
     flagged = flagged.select(
         "id", "start", (F.col("start") + (window - 1)).alias("end"), "n_docs"
     )
+    return _merge_flagged_spans(
+        flagged, [F.max("n_docs").cast("long").alias("max_dup_docs")]
+    ).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_windows",
+        "max_dup_docs",
+    )
+
+
+def _merge_flagged_spans(flagged: DataFrame, extra_aggs: list) -> DataFrame:
+    """Gaps-and-islands merge of flagged windows (``id, start, end, …``)
+    into maximal spans per doc: a window opens a new island when it
+    starts past the running max end + 1. The window functions partition
+    by document — bounded state (tokens/stride rows per doc), never a
+    corpus-wide sort. Output per (id, island): ``id, span_start,
+    span_end, span_tokens, n_windows`` plus ``extra_aggs``."""
+    from pyspark.sql import Window
+
     prev_end = (
         Window.partitionBy("id")
         .orderBy("start")
@@ -978,15 +997,10 @@ def passage_duplicates(
             F.min("start").alias("span_start"),
             F.max("end").alias("span_end"),
             F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.max("n_docs").cast("long").alias("max_dup_docs"),
+            *extra_aggs,
         )
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-            "n_windows",
-            "max_dup_docs",
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
         )
     )
 
@@ -1090,10 +1104,18 @@ def passage_excise(
             ).alias("__spans")
         )
     )
+    return _excise_with_spans(df, spans, text_col, id_col)
+
+
+def _excise_with_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild documents with the given spans removed. ``spans`` has one
+    ``__spans`` array-of-``(s, e)``-structs row per flagged doc (bounded
+    by tokens/stride per doc); the LEFT join passes clean docs through
+    and the rebuild is a narrow token-position filter."""
     toks = tokens_expr(F.col(text_col))
-    covered = (
-        "EXISTS(__spans, sp -> __i >= sp.s AND __i <= sp.e)"
-    )
+    covered = "EXISTS(__spans, sp -> __i >= sp.s AND __i <= sp.e)"
     return (
         df.select(F.col(id_col), F.col(text_col))
         .join(spans, id_col, "left")
@@ -1181,8 +1203,6 @@ def passage_dedup_incremental(
     the 8-byte hash; the state side is one aggregated row per key, so
     the join cannot explode.
     """
-    from pyspark.sql import Window
-
     idx = _window_index(new_docs, text_col, id_col, window, stride)
     batch_counts = idx.groupBy("whash").agg(
         F.countDistinct("id").cast("long").alias("__batch_docs")
@@ -1206,43 +1226,22 @@ def passage_dedup_incremental(
         "__prior_docs",
         "__total_docs",
     )
-    prev_end = (
-        Window.partitionBy("id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    running = Window.partitionBy("id").orderBy("start").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    islands = (
-        flagged.withColumn("__prev_end", F.max("end").over(prev_end))
-        .withColumn(
-            "__new",
-            (F.col("__prev_end").isNull() | (F.col("start") > F.col("__prev_end") + 1))
-            .cast("int"),
-        )
-        .withColumn("island", F.sum("__new").over(running))
-    )
-    return (
-        islands.groupBy("id", "island")
-        .agg(
-            F.min("start").alias("span_start"),
-            F.max("end").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
+    return _merge_flagged_spans(
+        flagged,
+        [
             F.max("__total_docs").cast("long").alias("max_dup_docs"),
             F.max(F.coalesce(F.col("__prior_docs"), F.lit(0)))
             .cast("long")
             .alias("prior_docs"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-            "n_windows",
-            "max_dup_docs",
-            "prior_docs",
-        )
+        ],
+    ).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_windows",
+        "max_dup_docs",
+        "prior_docs",
     )
 
 
@@ -1350,3 +1349,82 @@ def neardup_incremental(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def passage_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 13,
+    stride: int = 1,
+) -> DataFrame:
+    """Span-level exact-substring decontamination: maximal corpus spans
+    whose token windows appear ANYWHERE in the benchmark/eval set — the
+    GPT-3/PaLM-style N-gram leak scrub with SPAN precision: unlike the
+    document-level ``quality.decontaminate`` trio (which flags or drops
+    whole documents) this localizes exactly WHICH tokens leaked, so
+    :func:`passage_decontaminate_excise` can cut the leak and keep the
+    rest of the document. Default ``window=13`` follows the GPT-3
+    contamination appendix's 13-gram convention.
+
+    Shape: the benchmark's window fingerprints collapse to a DISTINCT
+    hash set (one row per leaked passage, however often the benchmark
+    repeats it — eval sets are tiny next to the corpus, so this side
+    broadcasts when small and shuffle-joins beyond); corpus windows
+    LEFT-SEMI join it (nothing widens) and merge into maximal spans.
+    The benchmark text itself never rides the join — only 8-byte
+    hashes.
+
+    Output per (corpus doc, maximal span): ``doc_id, span_start,
+    span_end, span_tokens, n_windows``.
+    """
+    bench_hashes = (
+        _window_index(benchmark, text_col, id_col, window, stride)
+        .select("whash")
+        .distinct()
+    )
+    idx = _window_index(corpus, text_col, id_col, window, stride)
+    flagged = idx.join(bench_hashes, "whash", "left_semi").select(
+        "id", "start", (F.col("start") + (window - 1)).alias("end")
+    )
+    return _merge_flagged_spans(flagged, []).select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_windows",
+    )
+
+
+def passage_decontaminate_excise(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 13,
+    stride: int = 1,
+) -> DataFrame:
+    """Rebuild each corpus document with benchmark-leaked spans removed
+    (:func:`passage_decontaminate` spans; clean documents pass through
+    untouched) — keep the document, cut the leak, instead of the
+    drop-the-whole-document policy of ``quality.decontaminate``.
+
+    Output: ``doc_id, n_tokens, excised_tokens, kept_tokens,
+    clean_text`` (whitespace canonicalized; NULL text → NULL
+    clean_text, zero counts) — the :func:`passage_excise` contract.
+    """
+    spans = (
+        passage_decontaminate(
+            corpus, benchmark, text_col, id_col, window, stride
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("__spans")
+        )
+    )
+    return _excise_with_spans(corpus, spans, text_col, id_col)

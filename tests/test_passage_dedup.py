@@ -335,3 +335,61 @@ def test_passage_keep_one_excision(spark):
     # span REPORTING with keep_one: survivor docs emit no span
     spans = passage_duplicates(docs, window=5, keep_one=True)
     assert sorted(r["doc_id"] for r in spans.select("doc_id").distinct().collect()) == [2, 3, 4]
+
+
+def test_passage_decontaminate_spans_and_excise(spark):
+    """Span-level benchmark decontamination: corpus spans matching any
+    benchmark window are localized and excised; the rest of the document
+    survives (vs whole-doc dropping). Benchmark-internal duplication is
+    irrelevant; corpus docs sharing windows only with EACH OTHER are
+    untouched."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        passage_decontaminate,
+        passage_decontaminate_excise,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, PASSAGE), (901, PASSAGE)],  # internal dup: no effect
+        "doc_id long, text string",
+    )
+    other = "golf hotel india juliet kilo lima mike november"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {PASSAGE} closing words"),  # leak mid-doc
+            (2, f"{other} again {other}"),                # corpus-only dup
+            (3, "free of any leak entirely clean text here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in passage_decontaminate(corpus, bench, window=5).collect()
+    }
+    assert set(spans) == {1}
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (3, 10)
+    assert spans[1]["n_windows"] == 4
+
+    out = {
+        r["doc_id"]: r
+        for r in passage_decontaminate_excise(corpus, bench, window=5).collect()
+    }
+    assert out[1]["clean_text"] == "intro words closing words"
+    assert out[1]["excised_tokens"] == 8
+    assert out[2]["excised_tokens"] == 0  # corpus-internal dup ≠ leak
+    assert out[3]["clean_text"] == corpus.filter("doc_id=3").first()["text"]
+    assert out[4]["clean_text"] is None and out[4]["n_tokens"] == 0
+    assert len(out) == 4
+
+
+def test_passage_decontaminate_benchmark_shorter_than_window(spark):
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        passage_decontaminate,
+    )
+
+    bench = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "too short but windows need five tokens minimum")],
+        "doc_id long, text string",
+    )
+    assert passage_decontaminate(corpus, bench, window=5).count() == 0
