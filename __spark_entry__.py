@@ -2277,10 +2277,14 @@ def _ann_lsh_sql() -> str:
     )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    -- valid vectors only: Spark's NULL-propagating signature never
+    -- buckets NULL / ragged / NULL-element vectors (r9 semantics)
     sigs AS (
       SELECT vec_id, e, [
         {bit_exprs}
-      ] AS bits FROM v),
+      ] AS bits FROM v
+      WHERE e IS NOT NULL AND len(e) = 64
+        AND len(list_filter(e, x -> x IS NULL)) = 0),
     banded AS (
       SELECT vec_id, e, b.band,
         bits[2 * b.band + 1] + 2 * bits[2 * b.band + 2] AS key
@@ -6065,12 +6069,20 @@ def _semantic_decontaminate_lsh_sql() -> str:
         + "]) > 0 THEN 1 ELSE 0 END"
         for plane in planes
     )
+    invalid = (
+        "(v.e IS NULL OR len(v.e) != 64"
+        " OR len(list_filter(v.e, x -> x IS NULL)) > 0)"
+    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    -- only VALID vectors get signatures: Spark's _signature_expr gives a
+    -- NULL signature (no band bucket) to NULL / ragged / NULL-element
+    -- vectors, and DuckDB's list_dot_product would error on ragged rows
     sigs AS (
       SELECT vec_id, e, [
         {bit_exprs}
-      ] AS bits FROM v),
+      ] AS bits FROM v
+      WHERE NOT {invalid}),
     banded AS (
       SELECT vec_id, b.band,
         bits[2 * b.band + 1] + 2 * bits[2 * b.band + 2] AS key
@@ -6089,10 +6101,13 @@ def _semantic_decontaminate_lsh_sql() -> str:
       JOIN v cv ON cv.vec_id = cand.cid
       JOIN v qv ON qv.vec_id = cand.bid),
     best AS (SELECT cid, bid, sim FROM s WHERE rnk = 1)
-    SELECT v.vec_id, ROUND(best.sim, {ROUND}) AS max_cosine,
-      CAST(best.bid AS BIGINT) AS nearest_eval_id,
-      CASE WHEN best.sim IS NOT NULL THEN best.sim >= 0.9
-           WHEN v.e IS NULL OR len(v.e) != 64 THEN NULL
+    SELECT v.vec_id,
+      CASE WHEN {invalid} THEN NULL
+           ELSE ROUND(best.sim, {ROUND}) END AS max_cosine,
+      CASE WHEN {invalid} THEN NULL
+           ELSE CAST(best.bid AS BIGINT) END AS nearest_eval_id,
+      CASE WHEN {invalid} THEN NULL
+           WHEN best.sim IS NOT NULL THEN best.sim >= 0.9
            ELSE false END AS contaminated
     FROM v LEFT JOIN best ON best.cid = v.vec_id"""
 
@@ -6119,9 +6134,13 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _passage_idx_sql(w: int) -> str:
     """Shared CTE text: the token-window fingerprint index (md5_hash60 of
-    the space-joined window, replaying operators/dedup.py:_window_index)."""
+    the space-joined window, replaying operators/dedup.py:_window_index).
+    Tokenization is the regex form (trim + split on whitespace RUNS) so it
+    matches Spark's tokens_expr on any spacing, not just single-spaced
+    testdata — the _neardup_incremental_sql / _minhash_lsh_sql
+    convention."""
     return f"""
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
              FROM documents WHERE text IS NOT NULL),
     starts AS (
       SELECT doc_id, t,
@@ -6134,6 +6153,28 @@ def _passage_idx_sql(w: int) -> str:
       FROM starts)"""
 
 
+#: shared gaps-and-islands CTE text (replays dedup._merge_flagged_spans):
+#: consumes a `flagged` CTE with (doc_id, start, e, …extras riding along)
+#: and yields `isl` with an island id per flagged window
+_PASSAGE_ISLANDS_SQL = """
+    prev AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    isl AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS UNBOUNDED PRECEDING) AS island
+      FROM prev)"""
+
+#: shared per-span aggregate column list (GROUP BY doc_id, island)
+_PASSAGE_SPAN_COLS = """
+      CAST(MIN(start) AS BIGINT) AS span_start,
+      CAST(MAX(e) AS BIGINT) AS span_end,
+      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_windows"""
+
+
 def _passage_dedup_sql() -> str:
     w = _PASSAGE_W
     return f"""
@@ -6143,20 +6184,8 @@ def _passage_dedup_sql() -> str:
     flagged AS (
       SELECT i.doc_id, i.start, i.start + {w} - 1 AS e, c.n_docs
       FROM idx i JOIN counts c USING (whash) WHERE c.n_docs >= 2),
-    prev AS (
-      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM flagged),
-    isl AS (
-      SELECT *, CAST(SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
-          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-      FROM prev)
-    SELECT doc_id,
-      CAST(MIN(start) AS BIGINT) AS span_start,
-      CAST(MAX(e) AS BIGINT) AS span_end,
-      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
-      CAST(COUNT(*) AS BIGINT) AS n_windows,
+    {_PASSAGE_ISLANDS_SQL}
+    SELECT doc_id, {_PASSAGE_SPAN_COLS},
       CAST(MAX(n_docs) AS BIGINT) AS max_dup_docs
     FROM isl GROUP BY doc_id, island"""
 
@@ -6201,20 +6230,8 @@ def _passage_incremental_sql() -> str:
         c.total_docs, c.prior_docs
       FROM idx i JOIN counts c USING (whash)
       WHERE i.doc_id % 3 = 0 AND c.total_docs >= 2),
-    prev AS (
-      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM flagged),
-    isl AS (
-      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
-          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
-          ROWS UNBOUNDED PRECEDING) AS island
-      FROM prev)
-    SELECT doc_id,
-      CAST(MIN(start) AS BIGINT) AS span_start,
-      CAST(MAX(e) AS BIGINT) AS span_end,
-      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
-      CAST(COUNT(*) AS BIGINT) AS n_windows,
+    {_PASSAGE_ISLANDS_SQL}
+    SELECT doc_id, {_PASSAGE_SPAN_COLS},
       CAST(MAX(total_docs) AS BIGINT) AS max_dup_docs,
       CAST(MAX(prior_docs) AS BIGINT) AS prior_docs
     FROM isl GROUP BY doc_id, island"""
@@ -6369,20 +6386,8 @@ def _passage_decontaminate_sql() -> str:
     flagged AS (
       SELECT i.doc_id, i.start, i.start + {w} - 1 AS e
       FROM idx i SEMI JOIN bench b ON i.whash = b.whash),
-    prev AS (
-      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM flagged),
-    isl AS (
-      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
-          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
-          ROWS UNBOUNDED PRECEDING) AS island
-      FROM prev)
-    SELECT doc_id,
-      CAST(MIN(start) AS BIGINT) AS span_start,
-      CAST(MAX(e) AS BIGINT) AS span_end,
-      CAST(MAX(e) - MIN(start) + 1 AS BIGINT) AS span_tokens,
-      CAST(COUNT(*) AS BIGINT) AS n_windows
+    {_PASSAGE_ISLANDS_SQL}
+    SELECT doc_id, {_PASSAGE_SPAN_COLS}
     FROM isl GROUP BY doc_id, island"""
 
 
@@ -6455,15 +6460,7 @@ def _passage_excise_sql(keep_one: bool = False) -> str:
       SELECT i.doc_id, i.start, i.start + {w} - 1 AS e
       FROM idx i JOIN counts c USING (whash)
       WHERE c.n_docs >= 2 {keeper}),
-    prev AS (
-      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY start
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-      FROM flagged),
-    isl AS (
-      SELECT *, SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
-          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start
-          ROWS UNBOUNDED PRECEDING) AS island
-      FROM prev),
+    {_PASSAGE_ISLANDS_SQL},
     spans AS (
       SELECT doc_id, MIN(start) AS s, MAX(e) AS e
       FROM isl GROUP BY doc_id, island),

@@ -36,14 +36,24 @@ def cosine_gemm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    # NULL / ragged rows get NULL cosine (matching the expression path's
-    # NULL-propagating lambdas) instead of crashing np.stack.
+    # NULL rows and unequal-length pairs get NULL cosine (matching the
+    # expression path's NULL-propagating zip_with) instead of crashing
+    # np.stack. One GEMM per distinct pair length — NOT a dim inferred
+    # from the first row, which would batch-order-dependently NULL every
+    # other length in a mixed batch (the expression path scores ANY
+    # equal-length pair, whatever other rows share the batch).
     arr_a, arr_b = a.to_numpy(), b.to_numpy()
-    ma = _valid_mask(arr_a, None)
-    dim = len(arr_a[np.argmax(ma)]) if ma.any() else None
-    mask = ma & _valid_mask(arr_b, dim)
+    lens = np.array(
+        [
+            len(x) if x is not None and y is not None and len(x) == len(y) else -1
+            for x, y in zip(arr_a, arr_b)
+        ]
+    )
     out = np.full(len(a), np.nan)
-    if mask.any():
+    for d in np.unique(lens):
+        if d < 0:
+            continue
+        mask = lens == d
         A = np.stack(arr_a[mask]).astype(np.float64, copy=False)
         B = np.stack(arr_b[mask]).astype(np.float64, copy=False)
         num = np.einsum("ij,ij->i", A, B)

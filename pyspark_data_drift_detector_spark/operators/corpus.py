@@ -390,6 +390,16 @@ def logprob_incremental(
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
     model = state.groupBy("token").agg(F.expr("sum(cnt) AS cnt"))
+    # fail fast on an empty model (first ingest, or a wrong/empty state
+    # path): the lazy plan would otherwise emit NULL avg_logprob for
+    # every document, and a downstream gate like `avg_logprob > cutoff`
+    # evaluates NULL and admits the whole batch unchecked
+    if model.isEmpty():
+        raise ValueError(
+            "unigram state is empty — score the first batch with"
+            " unigram_logprob (self-scoring) or append a batch of"
+            " unigram_state first"
+        )
     consts = model.agg(
         F.expr("sum(cnt) AS total"), F.expr("count(1) AS v")
     )

@@ -1376,11 +1376,16 @@ def passage_decontaminate(
     The benchmark text itself never rides the join — only 8-byte
     hashes.
 
+    ``stride`` applies to the CORPUS side only (its usual recall/index
+    tradeoff); the tiny benchmark side is always indexed at stride 1,
+    otherwise a verbatim leak not aligned to the benchmark's stride
+    grid would silently evade the scrub.
+
     Output per (corpus doc, maximal span): ``doc_id, span_start,
     span_end, span_tokens, n_windows``.
     """
     bench_hashes = (
-        _window_index(benchmark, text_col, id_col, window, stride)
+        _window_index(benchmark, text_col, id_col, window, stride=1)
         .select("whash")
         .distinct()
     )

@@ -927,18 +927,28 @@ def semantic_decontaminate_lsh(
         .groupBy("cid")
         .agg(F.max("__cand").alias("__best"))
     )
+    # unknown content = NULL vector, wrong length, or a NULL ELEMENT (a
+    # right-length vector with a NULL component also gets a NULL
+    # signature and can never collide — reporting it `false` would be a
+    # confident clean verdict on a vector whose cosine the brute-force
+    # operator reports as NULL)
+    invalid = (
+        f"ce IS NULL OR size(ce) != {dim}"
+        " OR exists(ce, __x -> __x IS NULL)"
+    )
     return (
         base.join(best, "cid", "left")
         .selectExpr(
             f"cid AS `{id_col}`",
-            "__best.c AS max_cosine",
-            "CAST(-__best.nb AS BIGINT) AS nearest_eval_id",
+            f"CASE WHEN {invalid} THEN NULL"
+            " ELSE __best.c END AS max_cosine",
+            f"CASE WHEN {invalid} THEN NULL"
+            " ELSE CAST(-__best.nb AS BIGINT) END AS nearest_eval_id",
             # no candidate ≥ threshold → false (LSH miss is "not
-            # contaminated"); unknown content (NULL / wrong-dim vector,
-            # which can never collide) → NULL like the brute-force path
+            # contaminated"); unknown content → NULL like brute force
             f"""CASE
+              WHEN {invalid} THEN CAST(NULL AS BOOLEAN)
               WHEN __best.c IS NOT NULL THEN __best.c >= {float(threshold)!r}D
-              WHEN ce IS NULL OR size(ce) != {dim} THEN CAST(NULL AS BOOLEAN)
               ELSE false END AS contaminated""",
         )
     )
@@ -980,9 +990,21 @@ def cluster_balance_drift(
     (gemm iff dim ≥ ``GEMM_DIM_THRESHOLD``) — ``lsh_topk`` convention.
     """
     if centroids is not None:
-        rows = [{"cid": int(c), "ce": list(v)} for c, v in centroids]
+        # sort by id so the literal matrix order realizes the documented
+        # "smallest centroid id wins ties" contract (argmax takes the
+        # FIRST maximum) whatever order the KMeans export arrived in
+        rows = sorted(
+            ({"cid": int(c), "ce": list(v)} for c, v in centroids),
+            key=lambda r: r["cid"],
+        )
         if not rows:
             raise ValueError("centroids is empty")
+        ids_seen = [r["cid"] for r in rows]
+        if len(set(ids_seen)) != len(ids_seen):
+            raise ValueError(
+                "duplicate centroid ids would split one cluster's counts"
+                f" across identical panel keys: {ids_seen}"
+            )
         dims = {len(r["ce"]) for r in rows}
         if len(dims) != 1:
             raise ValueError(f"centroid dims differ: {sorted(dims)}")

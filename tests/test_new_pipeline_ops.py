@@ -1672,3 +1672,18 @@ def test_logprob_incremental_matches_manual_model(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="smoothing k"):
         logprob_incremental(batch, appended, k=0.0)
+
+
+def test_logprob_incremental_empty_state_fails_fast(spark):
+    """Review r9: an empty/missing-path state must raise, not emit NULL
+    avg_logprob that a `> cutoff` gate silently admits."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        logprob_incremental,
+    )
+
+    batch = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "token string, cnt long")
+    with _pytest.raises(ValueError, match="unigram state is empty"):
+        logprob_incremental(batch, empty)

@@ -393,3 +393,24 @@ def test_passage_decontaminate_benchmark_shorter_than_window(spark):
         "doc_id long, text string",
     )
     assert passage_decontaminate(corpus, bench, window=5).count() == 0
+
+
+def test_passage_decontaminate_benchmark_ignores_stride(spark):
+    """Review r9: stride applies to the CORPUS side only — a leak not
+    aligned to the benchmark's stride grid must still be caught."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        passage_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(9, f"offset {PASSAGE} tail")],  # passage starts at token 2
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, PASSAGE)],  # corpus copy starts at token 1
+        "doc_id long, text string",
+    )
+    # corpus stride 1, benchmark indexed internally at stride 1: found
+    # even though the benchmark copy sits off the old stride-4 grid
+    spans = passage_decontaminate(corpus, bench, window=5, stride=4).collect()
+    assert len(spans) == 1 and spans[0]["span_start"] == 1

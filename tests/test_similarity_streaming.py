@@ -868,3 +868,107 @@ def test_cluster_balance_explicit_centroids(spark):
         cluster_balance_drift(
             ref, curr, centroids=[(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])]
         )
+
+
+def test_cosine_gemm_mixed_length_batch(spark):
+    """Review r9: the GEMM cosine must score EVERY equal-length pair in a
+    batch regardless of what other lengths share it — the old first-row
+    dim inference NULLed all dim-16 pairs whenever a ragged pair arrived
+    first in the Arrow batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.functions.udfs import cosine_gemm_udf
+    from pyspark_data_drift_detector_spark.operators.dedup import cosine_expr
+
+    rng = random.Random(23)
+    rows = [(0, [1.0, 2.0], [1.0, 2.0])]  # dim-2 pair FIRST in the batch
+    rows += [
+        (i, [rng.gauss(0, 1) for _ in range(16)],
+            [rng.gauss(0, 1) for _ in range(16)])
+        for i in range(1, 10)
+    ]
+    rows.append((100, None, [0.5] * 16))          # NULL side
+    rows.append((101, [0.5] * 16, [0.5] * 7))     # unequal lengths
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    ).repartition(1)  # ONE Arrow batch so the orders actually collide
+    out = df.select(
+        "i",
+        cosine_gemm_udf("a", "b").alias("g"),
+        cosine_expr(F.col("a"), F.col("b")).alias("e"),
+    ).collect()
+    for r in out:
+        if r["i"] in (100, 101):
+            assert r["g"] is None and r["e"] is None
+        else:
+            assert r["g"] is not None, f"row {r['i']} masked out"
+            assert abs(r["g"] - r["e"]) < 1e-9
+
+
+def test_semantic_decontaminate_lsh_null_element_vector(spark):
+    """Review r9: a RIGHT-length vector containing a NULL element is
+    unknown content (NULL signature, NULL brute-force cosine) — it must
+    report contaminated=NULL, never a confident false."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_lsh,
+    )
+
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(20)]
+    bad = [rng.gauss(0, 1) for _ in range(16)]
+    bad[7] = None
+    rows.append((200, bad))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id < 3")
+    brute = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontaminate(df, bench, threshold=0.99).collect()
+    }
+    assert brute[200] is None
+    for scoring in ("expr", "gemm"):
+        out = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate_lsh(
+                df, bench, threshold=0.99, dim=16, scoring=scoring
+            ).collect()
+        }
+        assert out[200]["contaminated"] is None, scoring
+        assert out[200]["max_cosine"] is None, scoring
+        assert out[200]["nearest_eval_id"] is None, scoring
+
+
+def test_cluster_balance_centroid_validation(spark):
+    """Review r9: unsorted KMeans exports must still honor the
+    smallest-id tie-break (centroids are sorted by id before inlining)
+    and duplicate ids fail fast."""
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+    )
+
+    rng = random.Random(31)
+    mk = lambda n, off: [
+        (off + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(n)
+    ]
+    ref = spark.createDataFrame(mk(30, 0), "vec_id long, embedding array<double>")
+    curr = spark.createDataFrame(mk(30, 500), "vec_id long, embedding array<double>")
+    cents = [
+        (int(r["vec_id"]), r["embedding"])
+        for r in ref.orderBy("vec_id").limit(4).collect()
+    ]
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    fwd = cluster_balance_drift(ref, curr, centroids=cents).collect()
+    rev = cluster_balance_drift(ref, curr, centroids=cents[::-1]).collect()
+    assert key(fwd) == key(rev)
+    with _pytest.raises(ValueError, match="duplicate centroid ids"):
+        cluster_balance_drift(
+            ref, curr, centroids=[(1, [1.0] * 8), (1, [2.0] * 8)]
+        )
