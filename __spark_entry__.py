@@ -6017,6 +6017,7 @@ def _oracle_queries() -> dict[str, str]:
         "passage_excise": _passage_excise_sql(),
         "passage_excise_keep_one": _passage_excise_sql(keep_one=True),
         "passage_decontaminate": _passage_decontaminate_sql(),
+        "token_share_drift": _token_share_drift_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6391,6 +6392,54 @@ def _passage_decontaminate_sql() -> str:
     FROM isl GROUP BY doc_id, island"""
 
 
+def q_token_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift by TOKEN share per source between the even/odd
+    doc_id snapshots — pretraining mixes are specified in token mass, so
+    this catches a source whose documents grew even when the document
+    mix looks stable."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_drift,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = token_share_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), "source"
+    )
+    return _round_cols(
+        out, ["ref_share", "curr_share", "share_abs_diff"]
+    )
+
+
+def _token_share_drift_sql() -> str:
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+        source AS group_key,
+        CASE WHEN text IS NULL THEN 0
+             ELSE len(string_split(text, ' ')) END AS tok
+      FROM documents),
+    counts AS (
+      SELECT group_key,
+        CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_docs,
+        CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS curr_docs,
+        CAST(SUM(CASE WHEN side = 'r' THEN tok ELSE 0 END) AS BIGINT) AS ref_tokens,
+        CAST(SUM(CASE WHEN side = 'c' THEN tok ELSE 0 END) AS BIGINT) AS curr_tokens
+      FROM tagged GROUP BY group_key),
+    shares AS (
+      SELECT *,
+        ref_tokens / SUM(ref_tokens) OVER () AS ref_share,
+        curr_tokens / SUM(curr_tokens) OVER () AS curr_share
+      FROM counts)
+    SELECT group_key, ref_docs, curr_docs, ref_tokens, curr_tokens,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) AS share_abs_diff,
+      abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)) > 0.05
+        AS drift_detected
+    FROM shares"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6523,6 +6572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_excise": q_passage_excise,
         "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_decontaminate": q_passage_decontaminate,
+        "token_share_drift": q_token_share_drift,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -430,3 +430,73 @@ def logprob_incremental(
             "exp(-avg_logprob) AS perplexity",
         )
     )
+
+
+def token_share_drift(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Corpus-mix drift by TOKEN share per group (source, language,
+    domain): pretraining mixes are specified in token mass, so a crawl
+    whose *document* mix looks stable can still drift hard in token
+    share when one source's documents get longer — the lexical sibling
+    of ``similarity.cluster_balance_drift`` (topic mix) and the panel
+    behind ``sampling.token_budget_sample``'s target shares.
+
+    One side-tagged ``groupBy(group_col)`` over both snapshots
+    (token counts are ``size(split(...))`` narrow maps — the corpus is
+    never shuffled, only O(groups) count rows); shares come from a
+    window over the O(groups) panel. NULL text counts zero tokens; a
+    group absent from one side reports zero docs/tokens/share there.
+
+    Output per group: ``group_key, ref_docs, curr_docs, ref_tokens,
+    curr_tokens, ref_share, curr_share, share_abs_diff,
+    drift_detected`` (``share_abs_diff > threshold``).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([group_col, text_col])
+
+    def tag(df: DataFrame, side: str) -> DataFrame:
+        return df.selectExpr(
+            f"'{side}' AS side",
+            f"`{group_col}` AS group_key",
+            f"CASE WHEN `{text_col}` IS NULL THEN 0"
+            f" ELSE size(split(`{text_col}`, ' ')) END AS __tok",
+        )
+
+    counts = (
+        tag(df_ref, "r")
+        .unionByName(tag(df_curr, "c"))
+        .groupBy("group_key")
+        .agg(
+            F.expr("CAST(sum(CAST(side = 'r' AS BIGINT)) AS BIGINT) AS ref_docs"),
+            F.expr("CAST(sum(CAST(side = 'c' AS BIGINT)) AS BIGINT) AS curr_docs"),
+            F.expr("CAST(sum(CASE WHEN side = 'r' THEN __tok ELSE 0 END)"
+                   " AS BIGINT) AS ref_tokens"),
+            F.expr("CAST(sum(CASE WHEN side = 'c' THEN __tok ELSE 0 END)"
+                   " AS BIGINT) AS curr_tokens"),
+        )
+    )
+    # O(groups) rows: the unpartitioned totals window is a bounded frame
+    return counts.selectExpr(
+        "group_key",
+        "ref_docs",
+        "curr_docs",
+        "ref_tokens",
+        "curr_tokens",
+        "ref_tokens / sum(ref_tokens) OVER () AS ref_share",
+        "curr_tokens / sum(curr_tokens) OVER () AS curr_share",
+    ).selectExpr(
+        "*",
+        "abs(coalesce(curr_share, 0.0D) - coalesce(ref_share, 0.0D))"
+        " AS share_abs_diff",
+    ).selectExpr(
+        "*",
+        f"share_abs_diff > {float(threshold)!r}D AS drift_detected",
+    )

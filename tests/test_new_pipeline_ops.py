@@ -1687,3 +1687,36 @@ def test_logprob_incremental_empty_state_fails_fast(spark):
     empty = spark.createDataFrame([], "token string, cnt long")
     with _pytest.raises(ValueError, match="unigram state is empty"):
         logprob_incremental(batch, empty)
+
+
+def test_token_share_drift(spark):
+    """Token-share mix drift: doc mix stable but one source's docs grew —
+    token share drifts; NULL text counts zero; one-sided groups appear
+    with NULL share on the missing side and full-share diff."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "x y z w", "books"), (3, None, "web")],
+        "doc_id long, text string, source string",
+    )
+    curr = spark.createDataFrame(
+        [(10, "a b c d e f g h i j k l", "web"), (11, "x y z w", "books"),
+         (12, "m n", "code")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group_key"]: r for r in token_share_drift(ref, curr, "source").collect()}
+    web, books, code = out["web"], out["books"], out["code"]
+    assert (web["ref_docs"], web["curr_docs"]) == (2, 1)
+    assert (web["ref_tokens"], web["curr_tokens"]) == (4, 12)
+    assert abs(web["ref_share"] - 0.5) < 1e-12
+    assert abs(web["curr_share"] - 12 / 18) < 1e-12
+    assert web["drift_detected"]
+    assert abs(books["share_abs_diff"] - (0.5 - 4 / 18)) < 1e-12
+    # one-sided group: zero ref share, diff = its full current share
+    assert code["ref_share"] == 0.0 and code["ref_docs"] == 0
+    assert abs(code["share_abs_diff"] - 2 / 18) < 1e-12
+    # identical snapshots → zero drift everywhere
+    same = token_share_drift(ref, ref, "source").collect()
+    assert all(not r["drift_detected"] and r["share_abs_diff"] == 0.0 for r in same)
