@@ -6018,6 +6018,7 @@ def _oracle_queries() -> dict[str, str]:
         "passage_excise_keep_one": _passage_excise_sql(keep_one=True),
         "passage_decontaminate": _passage_decontaminate_sql(),
         "token_share_drift": _token_share_drift_sql(),
+        "corpus_report": _corpus_report_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6440,6 +6441,69 @@ def _token_share_drift_sql() -> str:
     FROM shares"""
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-drift flagship: one long-format report (family, key,
+    metric, ref/curr value, diff, flag) composing text-quality,
+    vocabulary, and per-source token-share drift over the even/odd doc
+    split — the document-side sibling of detect_drift."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_drift_report,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return corpus_drift_report(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
+def _corpus_report_sql() -> str:
+    """UNION ALL over the member oracles (_text_quality_drift_sql /
+    _vocab_drift_sql / _token_share_drift_sql), melted to the composite's
+    long format; flags re-derived from the 5-dp-rounded diffs exactly as
+    corpus_pipeline does."""
+    relchange = (
+        "CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
+        " WHEN {b} != 0 THEN 1.0 ELSE 0.0 END"
+    )
+    types_rc = relchange.format(a="ref_types", b="curr_types")
+    tokens_rc = relchange.format(a="ref_tokens", b="curr_tokens")
+    return f"""
+    WITH tq AS ({_text_quality_drift_sql()}),
+    vd AS ({_vocab_drift_sql()}),
+    ts AS ({_token_share_drift_sql()})
+    SELECT 'text_quality' AS family, '' AS key, 'mean_tokens' AS metric,
+      ref_mean_tokens AS ref_value, curr_mean_tokens AS curr_value,
+      token_shift AS diff, token_shift > 0.1 AS drift_detected FROM tq
+    UNION ALL
+    SELECT 'text_quality', '', 'mean_quality',
+      ref_mean_quality, curr_mean_quality,
+      quality_shift, quality_shift > 0.1 FROM tq
+    UNION ALL
+    SELECT 'text_quality', '', 'language_mix_js', NULL, NULL,
+      lang_js, lang_js > 0.1 FROM tq
+    UNION ALL
+    SELECT 'vocabulary', '', 'types',
+      CAST(ref_types AS DOUBLE), CAST(curr_types AS DOUBLE),
+      ROUND({types_rc}, {ROUND}), ROUND({types_rc}, {ROUND}) > 0.1 FROM vd
+    UNION ALL
+    SELECT 'vocabulary', '', 'tokens',
+      CAST(ref_tokens AS DOUBLE), CAST(curr_tokens AS DOUBLE),
+      ROUND({tokens_rc}, {ROUND}), ROUND({tokens_rc}, {ROUND}) > 0.1 FROM vd
+    UNION ALL
+    SELECT 'vocabulary', '', 'new_types', NULL,
+      CAST(new_types AS DOUBLE), CAST(new_types AS DOUBLE), false FROM vd
+    UNION ALL
+    SELECT 'vocabulary', '', 'lost_types', NULL,
+      CAST(lost_types AS DOUBLE), CAST(lost_types AS DOUBLE), false FROM vd
+    UNION ALL
+    SELECT 'vocabulary', '', 'oov_token_rate', NULL, NULL,
+      oov_token_rate, oov_token_rate > 0.05 FROM vd
+    UNION ALL
+    SELECT 'token_share', COALESCE(CAST(group_key AS VARCHAR), ''),
+      'token_share', ref_share, curr_share,
+      share_abs_diff, share_abs_diff > 0.05 FROM ts"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6573,6 +6637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_decontaminate": q_passage_decontaminate,
         "token_share_drift": q_token_share_drift,
+        "corpus_report": q_corpus_report,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

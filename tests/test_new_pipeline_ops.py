@@ -1720,3 +1720,39 @@ def test_token_share_drift(spark):
     # identical snapshots → zero drift everywhere
     same = token_share_drift(ref, ref, "source").collect()
     assert all(not r["drift_detected"] and r["share_abs_diff"] == 0.0 for r in same)
+
+
+def test_corpus_drift_report(spark):
+    """The corpus flagship composes text-quality / vocabulary /
+    token-share families into one long-format frame; planted drift
+    (longer docs + novel vocabulary + source-mix rotation) flags the
+    right rows and identical snapshots flag nothing."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_drift_report,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "web"),
+         (2, "a dog ran in the park", "web"),
+         (3, "short text here", "books")],
+        "doc_id long, text string, source string",
+    )
+    curr = spark.createDataFrame(
+        [(10, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh", "books"),
+         (11, "zz xx cc vv bb nn mm ll kk jj", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_drift_report(ref, curr)
+    rows = {(r["family"], r["key"], r["metric"]): r for r in out.collect()}
+    assert rows[("text_quality", "", "mean_tokens")]["drift_detected"]
+    assert rows[("vocabulary", "", "oov_token_rate")]["diff"] == 1.0
+    assert rows[("vocabulary", "", "oov_token_rate")]["drift_detected"]
+    assert rows[("token_share", "web", "token_share")]["drift_detected"]
+    assert rows[("token_share", "web", "token_share")]["curr_value"] == 0.0
+    assert rows[("vocabulary", "", "new_types")]["drift_detected"] is False
+
+    same = corpus_drift_report(ref, ref).collect()
+    assert all(not r["drift_detected"] for r in same)
+    assert {r["family"] for r in same} == {
+        "text_quality", "vocabulary", "token_share",
+    }
