@@ -6416,8 +6416,9 @@ def _token_share_drift_sql() -> str:
     WITH tagged AS (
       SELECT CASE WHEN doc_id % 2 = 0 THEN 'r' ELSE 'c' END AS side,
         source AS group_key,
-        CASE WHEN text IS NULL THEN 0
-             ELSE len(string_split(text, ' ')) END AS tok
+        -- tokens_expr convention: trim + whitespace-run split, blank = 0
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
       FROM documents),
     counts AS (
       SELECT group_key,
@@ -6436,8 +6437,8 @@ def _token_share_drift_sql() -> str:
       ROUND(curr_share, {ROUND}) AS curr_share,
       ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
             {ROUND}) AS share_abs_diff,
-      abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)) > 0.05
-        AS drift_detected
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) > 0.05 AS drift_detected
     FROM shares"""
 
 
@@ -6499,7 +6500,9 @@ def _corpus_report_sql() -> str:
     SELECT 'vocabulary', '', 'oov_token_rate', NULL, NULL,
       oov_token_rate, oov_token_rate > 0.05 FROM vd
     UNION ALL
-    SELECT 'token_share', COALESCE(CAST(group_key AS VARCHAR), ''),
+    SELECT 'token_share',
+      CASE WHEN group_key IS NULL THEN '<null>'
+           ELSE CAST(group_key AS VARCHAR) END,
       'token_share', ref_share, curr_share,
       share_abs_diff, share_abs_diff > 0.05 FROM ts"""
 

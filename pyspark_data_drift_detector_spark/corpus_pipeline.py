@@ -28,11 +28,6 @@ from pyspark.sql import functions as F
 
 _ROUND = 5
 
-_SCHEMA = (
-    "family STRING, key STRING, metric STRING, ref_value DOUBLE,"
-    " curr_value DOUBLE, diff DOUBLE, drift_detected BOOLEAN"
-)
-
 
 def _melt(df: DataFrame, rows: list[tuple[str, str, str, str, str, str, str]]) -> DataFrame:
     """Explode one wide row (or many) into long-format report rows; each
@@ -132,7 +127,12 @@ def corpus_drift_report(
     ts = _melt(
         token_share_drift(df_ref, df_curr, group_col, text_col, share_threshold),
         [
-            ("'token_share'", "coalesce(CAST(group_key AS STRING), '')",
+            # '<null>' sentinel, NOT '': a NULL group and an
+            # empty-string group are different populations and must not
+            # collapse into one (family, key, metric) identity
+            ("'token_share'",
+             "CASE WHEN group_key IS NULL THEN '<null>'"
+             " ELSE CAST(group_key AS STRING) END",
              "'token_share'",
              f"round(ref_share, {r})", f"round(curr_share, {r})",
              f"round(share_abs_diff, {r})",

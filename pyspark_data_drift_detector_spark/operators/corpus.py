@@ -449,8 +449,12 @@ def token_share_drift(
     One side-tagged ``groupBy(group_col)`` over both snapshots
     (token counts are ``size(split(...))`` narrow maps — the corpus is
     never shuffled, only O(groups) count rows); shares come from a
-    window over the O(groups) panel. NULL text counts zero tokens; a
-    group absent from one side reports zero docs/tokens/share there.
+    window over the O(groups) panel. NULL/blank text counts zero
+    tokens; a group absent from one side reports zero docs/tokens/share
+    there. The drift flag compares the 5-decimal-ROUNDED diff against
+    ``threshold`` — the flag is a pure function of the numbers the panel
+    shows, and agrees with ``corpus_pipeline.corpus_drift_report``'s
+    re-derived flag at threshold boundaries.
 
     Output per group: ``group_key, ref_docs, curr_docs, ref_tokens,
     curr_tokens, ref_share, curr_share, share_abs_diff,
@@ -466,8 +470,14 @@ def token_share_drift(
         return df.selectExpr(
             f"'{side}' AS side",
             f"`{group_col}` AS group_key",
-            f"CASE WHEN `{text_col}` IS NULL THEN 0"
-            f" ELSE size(split(`{text_col}`, ' ')) END AS __tok",
+            # tokens_expr convention (trim + whitespace-RUN split) so the
+            # share is token MASS, not whitespace hygiene — double spaces
+            # must not inflate a source; empty/blank text counts ZERO
+            f"CASE WHEN `{text_col}` IS NULL OR trim(`{text_col}`) = ''"
+            " THEN 0"
+            # SQL-literal escaping: the parser consumes one backslash
+            # level, so the source needs \\\\ for the regex \s+
+            f" ELSE size(split(trim(`{text_col}`), '\\\\s+')) END AS __tok",
         )
 
     counts = (
@@ -498,5 +508,6 @@ def token_share_drift(
         " AS share_abs_diff",
     ).selectExpr(
         "*",
-        f"share_abs_diff > {float(threshold)!r}D AS drift_detected",
+        f"round(share_abs_diff, 5) > {float(threshold)!r}D"
+        " AS drift_detected",
     )

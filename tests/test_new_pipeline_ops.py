@@ -1691,8 +1691,9 @@ def test_logprob_incremental_empty_state_fails_fast(spark):
 
 def test_token_share_drift(spark):
     """Token-share mix drift: doc mix stable but one source's docs grew —
-    token share drifts; NULL text counts zero; one-sided groups appear
-    with NULL share on the missing side and full-share diff."""
+    token share drifts; NULL/blank text counts zero; a one-sided group
+    reports zero docs/tokens/share on its missing side and its full
+    current share as the diff."""
     from pyspark_data_drift_detector_spark.operators.corpus import (
         token_share_drift,
     )
