@@ -6019,6 +6019,7 @@ def _oracle_queries() -> dict[str, str]:
         "passage_decontaminate": _passage_decontaminate_sql(),
         "token_share_drift": _token_share_drift_sql(),
         "corpus_report": _corpus_report_sql(),
+        "token_share_incremental": _token_share_incremental_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6429,8 +6430,8 @@ def _token_share_drift_sql() -> str:
       FROM tagged GROUP BY group_key),
     shares AS (
       SELECT *,
-        ref_tokens / SUM(ref_tokens) OVER () AS ref_share,
-        curr_tokens / SUM(curr_tokens) OVER () AS curr_share
+        ref_tokens / NULLIF(SUM(ref_tokens) OVER (), 0) AS ref_share,
+        curr_tokens / NULLIF(SUM(curr_tokens) OVER (), 0) AS curr_share
       FROM counts)
     SELECT group_key, ref_docs, curr_docs, ref_tokens, curr_tokens,
       ROUND(ref_share, {ROUND}) AS ref_share,
@@ -6505,6 +6506,53 @@ def _corpus_report_sql() -> str:
            ELSE CAST(group_key AS VARCHAR) END,
       'token_share', ref_share, curr_share,
       share_abs_diff, share_abs_diff > 0.05 FROM ts"""
+
+
+def q_token_share_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus mix tripwire: the doc_id%3==0 ingest batch's token
+    mix per source vetted against the rolled-up mix state of the rest of
+    the corpus — the mix member of the vet-the-increment family."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_incremental,
+        token_share_state,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = token_share_incremental(
+        docs.filter("doc_id % 3 = 0"),
+        token_share_state(docs.filter("doc_id % 3 != 0")),
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _token_share_incremental_sql() -> str:
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'c' ELSE 'r' END AS side,
+        source AS group_key,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+      FROM documents),
+    counts AS (
+      SELECT group_key,
+        CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_docs,
+        CAST(SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS curr_docs,
+        CAST(SUM(CASE WHEN side = 'r' THEN tok ELSE 0 END) AS BIGINT) AS ref_tokens,
+        CAST(SUM(CASE WHEN side = 'c' THEN tok ELSE 0 END) AS BIGINT) AS curr_tokens
+      FROM tagged GROUP BY group_key),
+    shares AS (
+      SELECT *,
+        ref_tokens / NULLIF(SUM(ref_tokens) OVER (), 0) AS ref_share,
+        curr_tokens / NULLIF(SUM(curr_tokens) OVER (), 0) AS curr_share
+      FROM counts)
+    SELECT group_key, ref_docs, curr_docs, ref_tokens, curr_tokens,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) AS share_abs_diff,
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) > 0.05 AS drift_detected
+    FROM shares"""
 
 
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6641,6 +6689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_decontaminate": q_passage_decontaminate,
         "token_share_drift": q_token_share_drift,
         "corpus_report": q_corpus_report,
+        "token_share_incremental": q_token_share_incremental,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -500,8 +500,110 @@ def token_share_drift(
         "curr_docs",
         "ref_tokens",
         "curr_tokens",
-        "ref_tokens / sum(ref_tokens) OVER () AS ref_share",
-        "curr_tokens / sum(curr_tokens) OVER () AS curr_share",
+        # nullif: a side with ZERO total tokens (all-blank batch) must
+        # yield NULL shares, not an ANSI divide-by-zero job failure
+        "ref_tokens / nullif(sum(ref_tokens) OVER (), 0) AS ref_share",
+        "curr_tokens / nullif(sum(curr_tokens) OVER (), 0) AS curr_share",
+    ).selectExpr(
+        "*",
+        "abs(coalesce(curr_share, 0.0D) - coalesce(ref_share, 0.0D))"
+        " AS share_abs_diff",
+    ).selectExpr(
+        "*",
+        f"round(share_abs_diff, 5) > {float(threshold)!r}D"
+        " AS drift_detected",
+    )
+
+
+def token_share_state(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Additive mix state for one ingest batch: per group, document and
+    token counts (``group_key, n_docs, n_tokens`` — the
+    :func:`token_share_drift` tokenization: trim + whitespace-run split,
+    NULL/blank = 0). Append one per batch (or via
+    ``streaming.state_tables.token_share_state_sink``); counts are
+    additive, so the SUM over appends is the corpus-so-far mix.
+    O(groups) rows per batch."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([group_col, text_col])
+    return (
+        df.selectExpr(
+            f"`{group_col}` AS group_key",
+            f"CASE WHEN `{text_col}` IS NULL OR trim(`{text_col}`) = ''"
+            " THEN 0"
+            f" ELSE size(split(trim(`{text_col}`), '\\\\s+')) END AS __tok",
+        )
+        .groupBy("group_key")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+            F.expr("CAST(sum(__tok) AS BIGINT) AS n_tokens"),
+        )
+    )
+
+
+def token_share_incremental(
+    new_docs: DataFrame,
+    state: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Does THIS ingest batch's token mix match the corpus-so-far mix?
+    The mix tripwire for continuous ingestion (a crawler source going
+    down or a filter change rotates the batch mix immediately, long
+    before the cumulative corpus mix moves): batch shares compare
+    against the rolled-up :func:`token_share_state` — the corpus itself
+    is never re-read (the mix member of the vet-the-increment family:
+    ``dedup/neardup/passage_dedup/logprob _incremental``).
+
+    Same panel as :func:`token_share_drift` with the state as the
+    reference side: ``group_key, ref_docs, curr_docs, ref_tokens,
+    curr_tokens, ref_share, curr_share, share_abs_diff,
+    drift_detected`` (flag on the 5-decimal-rounded diff). Raises on an
+    empty state (a first batch has no mix to drift FROM).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([group_col, text_col])
+    prior = state.groupBy("group_key").agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS ref_docs"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS ref_tokens"),
+    )
+    if prior.isEmpty():
+        raise ValueError(
+            "token-share state is empty — append at least one batch of"
+            " token_share_state before vetting an increment against it"
+        )
+    batch = token_share_state(new_docs, group_col, text_col).selectExpr(
+        "group_key",
+        "n_docs AS curr_docs",
+        "n_tokens AS curr_tokens",
+    )
+    counts = (
+        prior.join(batch, "group_key", "full_outer")
+        .selectExpr(
+            "group_key",
+            "coalesce(ref_docs, 0) AS ref_docs",
+            "coalesce(curr_docs, 0) AS curr_docs",
+            "coalesce(ref_tokens, 0) AS ref_tokens",
+            "coalesce(curr_tokens, 0) AS curr_tokens",
+        )
+    )
+    # O(groups) rows: the unpartitioned totals window is a bounded frame
+    return counts.selectExpr(
+        "*",
+        # nullif: a side with ZERO total tokens (all-blank batch) must
+        # yield NULL shares, not an ANSI divide-by-zero job failure
+        "ref_tokens / nullif(sum(ref_tokens) OVER (), 0) AS ref_share",
+        "curr_tokens / nullif(sum(curr_tokens) OVER (), 0) AS curr_share",
     ).selectExpr(
         "*",
         "abs(coalesce(curr_share, 0.0D) - coalesce(ref_share, 0.0D))"

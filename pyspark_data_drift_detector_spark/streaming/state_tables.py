@@ -347,3 +347,25 @@ def unigram_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def token_share_state_sink(
+    state_path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive corpus-mix state
+    (``group_key, n_docs, n_tokens`` per micro-batch) that
+    :func:`operators.corpus.token_share_incremental` vets new ingest
+    against; the reader re-aggregates, so repeated groups across appends
+    simply sum."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        token_share_state(
+            batch_df, group_col=group_col, text_col=text_col
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch

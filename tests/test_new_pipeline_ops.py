@@ -1757,3 +1757,108 @@ def test_corpus_drift_report(spark):
     assert {r["family"] for r in same} == {
         "text_quality", "vocabulary", "token_share",
     }
+
+
+def test_token_share_incremental(spark, tmp_path):
+    """Batch-vs-corpus mix tripwire: a batch matching the state mix is
+    quiet; a rotated batch flags; additive appends == one-shot state;
+    the streaming sink twin agrees; empty state fails fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_incremental,
+        token_share_state,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "a b c d e f", "web"), (2, "g h i j k l", "books")],
+        "doc_id long, text string, source string",
+    )
+    state = token_share_state(prior)
+
+    balanced = spark.createDataFrame(
+        [(10, "m n o", "web"), (11, "p q r", "books")],
+        "doc_id long, text string, source string",
+    )
+    quiet = token_share_incremental(balanced, state)
+    assert all(not r["drift_detected"] for r in quiet.collect())
+
+    rotated = spark.createDataFrame(
+        [(20, "s t u v w x y z aa bb", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group_key"]: r for r in token_share_incremental(rotated, state).collect()}
+    assert out["web"]["drift_detected"] and out["books"]["drift_detected"]
+    assert out["web"]["curr_share"] == 1.0
+    assert out["books"]["curr_tokens"] == 0
+
+    # additive appends == one-shot
+    token_share_state(prior.filter("doc_id = 1")).write.mode("append").parquet(
+        str(tmp_path / "mix_state")
+    )
+    token_share_state(prior.filter("doc_id = 2")).write.mode("append").parquet(
+        str(tmp_path / "mix_state")
+    )
+    appended = spark.read.parquet(str(tmp_path / "mix_state"))
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(token_share_incremental(rotated, appended)) == key(
+        token_share_incremental(rotated, state)
+    )
+
+    # streaming sink twin
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        token_share_state_sink,
+    )
+
+    ingest = tmp_path / "mix_ingest"
+    prior.repartition(2).write.parquet(str(ingest))
+    stream = (
+        spark.readStream.schema(prior.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            token_share_state_sink(str(tmp_path / "mix_s2"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "mix_s2"))
+    assert key(token_share_incremental(rotated, streamed)) == key(
+        token_share_incremental(rotated, state)
+    )
+
+    with _pytest.raises(ValueError, match="token-share state is empty"):
+        token_share_incremental(
+            rotated, spark.createDataFrame([], "group_key string, n_docs long, n_tokens long")
+        )
+
+
+def test_token_share_zero_total_side(spark):
+    """A side with ZERO total tokens (all-blank batch) yields NULL shares
+    — never an ANSI divide-by-zero job failure; the diff coalesces to the
+    other side's full share."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_drift,
+        token_share_incremental,
+        token_share_state,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b c", "web")], "doc_id long, text string, source string"
+    )
+    blank = spark.createDataFrame(
+        [(10, "", "web"), (11, None, "books")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group_key"]: r for r in token_share_drift(ref, blank, "source").collect()}
+    assert out["web"]["curr_share"] is None
+    assert out["web"]["share_abs_diff"] == 1.0 and out["web"]["drift_detected"]
+    inc = {
+        r["group_key"]: r
+        for r in token_share_incremental(blank, token_share_state(ref)).collect()
+    }
+    assert inc["web"]["curr_share"] is None
+    assert inc["web"]["drift_detected"]
