@@ -6020,6 +6020,7 @@ def _oracle_queries() -> dict[str, str]:
         "token_share_drift": _token_share_drift_sql(),
         "corpus_report": _corpus_report_sql(),
         "token_share_incremental": _token_share_incremental_sql(),
+        "cluster_balance_incremental": _cluster_balance_incremental_sql(),
     }
     # _ann_pq_sql reads a parquet sample and runs a numpy k-means fit as a
     # side effect of STRING construction — if the sample path is missing
@@ -6555,6 +6556,61 @@ def _token_share_incremental_sql() -> str:
     FROM shares"""
 
 
+def q_cluster_balance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-mix tripwire: the vec_id%3==0 ingest batch's cluster mix
+    (assignment to the first-8-by-id fixed centroids) vetted against the
+    rolled-up mix state of the rest of the corpus — embeddings never
+    re-read."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_incremental,
+        cluster_share_state,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    state = cluster_share_state(emb.filter("vec_id % 3 != 0"), cents)
+    out = cluster_balance_incremental(
+        emb.filter("vec_id % 3 = 0"), state, cents
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _cluster_balance_incremental_sql() -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+    assign AS (
+      SELECT vec_id, par, cid FROM (
+        SELECT v.vec_id, v.vec_id % 3 = 0 AS par, cent.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], cent.ce)
+              DESC, cent.cid ASC) AS r
+        FROM embeddings v CROSS JOIN cent
+        WHERE v.embedding IS NOT NULL) WHERE r = 1),
+    counts AS (
+      SELECT cid AS cluster_id,
+        CAST(SUM(CASE WHEN NOT par THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        CAST(SUM(CASE WHEN par THEN 1 ELSE 0 END) AS BIGINT) AS curr_n
+      FROM assign GROUP BY cid),
+    shares AS (
+      SELECT *,
+        CAST(ref_n AS DOUBLE) / NULLIF(SUM(ref_n) OVER (), 0) AS ref_share,
+        CAST(curr_n AS DOUBLE) / NULLIF(SUM(curr_n) OVER (), 0) AS curr_share
+      FROM counts)
+    SELECT cluster_id, ref_n, curr_n,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) AS share_abs_diff,
+      ROUND(abs(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) > 0.05 AS drift_detected
+    FROM shares"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -6690,6 +6746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_share_drift": q_token_share_drift,
         "corpus_report": q_corpus_report,
         "token_share_incremental": q_token_share_incremental,
+        "cluster_balance_incremental": q_cluster_balance_incremental,
         "passage_pairs": q_passage_pairs,
         "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -990,24 +990,11 @@ def cluster_balance_drift(
     (gemm iff dim ≥ ``GEMM_DIM_THRESHOLD``) — ``lsh_topk`` convention.
     """
     if centroids is not None:
-        # sort by id so the literal matrix order realizes the documented
-        # "smallest centroid id wins ties" contract (argmax takes the
-        # FIRST maximum) whatever order the KMeans export arrived in
-        rows = sorted(
-            ({"cid": int(c), "ce": list(v)} for c, v in centroids),
-            key=lambda r: r["cid"],
-        )
-        if not rows:
-            raise ValueError("centroids is empty")
-        ids_seen = [r["cid"] for r in rows]
-        if len(set(ids_seen)) != len(ids_seen):
-            raise ValueError(
-                "duplicate centroid ids would split one cluster's counts"
-                f" across identical panel keys: {ids_seen}"
-            )
-        dims = {len(r["ce"]) for r in rows}
-        if len(dims) != 1:
-            raise ValueError(f"centroid dims differ: {sorted(dims)}")
+        # _centroid_rows sorts by id so the literal matrix order realizes
+        # the documented "smallest centroid id wins ties" contract (argmax
+        # takes the FIRST maximum) whatever order the KMeans export
+        # arrived in, and rejects duplicate ids / ragged dims
+        rows = _centroid_rows(centroids)
     else:
         rows = (
             df_ref.select(
@@ -1022,47 +1009,12 @@ def cluster_balance_drift(
             raise ValueError("reference snapshot is empty")
     dim = len(rows[0]["ce"])
     mode = _resolve_scoring(scoring, dim)
-    if mode == "gemm":
-        from pyspark_data_drift_detector_spark.functions.udfs import (
-            make_matrix_topcos_udf,
-        )
-
-        tc = make_matrix_topcos_udf(
-            [r["ce"] for r in rows], [int(r["cid"]) for r in rows]
-        )
-    mat = "array(" + ", ".join(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
-        for r in rows
-    ) + ")"
-    ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
 
     def tag(df: DataFrame, side: str) -> DataFrame:
-        if mode == "gemm":
-            return df.selectExpr(
-                f"'{side}' AS side",
-                f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e",
-            ).select(
-                "side", tc(F.col("e"))["nearest_id"].alias("cluster_id")
-            )
-        return df.selectExpr(
-            f"'{side}' AS side",
-            f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e",
-        ).selectExpr(
-            "side",
-            f"""zip_with(
-              transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
-                                              0.0D, (s, x) -> s + x)),
-              transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
-              (d, nc) -> d / (sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc)
-            ) AS __cos""",
-        ).selectExpr(
-            "side",
-            # get() not [..]: NULL/ragged vectors yield all-NULL __cos and
-            # array_position can return 0 under fused codegen (see
-            # semantic_decontaminate) — NULL cluster_id, never a crash
-            f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
-            " AS INT) - 1) AS BIGINT) AS cluster_id",
+        return _assign_cluster_ids(df, rows, mode, embedding_col).selectExpr(
+            f"'{side}' AS side", "cluster_id"
         )
+
     counts = (
         tag(df_ref, "r")
         .unionByName(tag(df_curr, "c"))
@@ -1083,4 +1035,146 @@ def cluster_balance_drift(
         "*",
         "abs(curr_share - ref_share) AS share_abs_diff",
         f"abs(curr_share - ref_share) > {float(threshold)!r}D AS drift_detected",
+    )
+
+def _assign_cluster_ids(
+    df: DataFrame,
+    rows: list[dict],
+    mode: str,
+    embedding_col: str,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (``rows`` = sorted
+    ``{cid, ce}`` dicts) — the ``semantic_decontaminate`` narrow-map
+    shape: the centroid matrix inlines as ONE plan literal (expr mode)
+    or one Arrow GEMM per batch (gemm mode); output is a single
+    ``cluster_id`` column (NULL for NULL/ragged vectors — get(), never
+    plain indexing, see semantic_decontaminate)."""
+    if mode == "gemm":
+        from pyspark_data_drift_detector_spark.functions.udfs import (
+            make_matrix_topcos_udf,
+        )
+
+        tc = make_matrix_topcos_udf(
+            [r["ce"] for r in rows], [int(r["cid"]) for r in rows]
+        )
+        return df.selectExpr(
+            f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
+        ).select(tc(F.col("e"))["nearest_id"].alias("cluster_id"))
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
+        for r in rows
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
+    return (
+        df.selectExpr(f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e")
+        .selectExpr(
+            f"""zip_with(
+              transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
+                                              0.0D, (s, x) -> s + x)),
+              transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
+              (d, nc) -> d / (sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc)
+            ) AS __cos""",
+        )
+        .selectExpr(
+            f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
+            " AS INT) - 1) AS BIGINT) AS cluster_id",
+        )
+    )
+
+
+def _centroid_rows(centroids: list) -> list[dict]:
+    rows = sorted(
+        ({"cid": int(c), "ce": list(v)} for c, v in centroids),
+        key=lambda r: r["cid"],
+    )
+    if not rows:
+        raise ValueError("centroids is empty")
+    ids_seen = [r["cid"] for r in rows]
+    if len(set(ids_seen)) != len(ids_seen):
+        raise ValueError(
+            "duplicate centroid ids would split one cluster's counts"
+            f" across identical panel keys: {ids_seen}"
+        )
+    dims = {len(r["ce"]) for r in rows}
+    if len(dims) != 1:
+        raise ValueError(f"centroid dims differ: {sorted(dims)}")
+    return rows
+
+
+def cluster_share_state(
+    df: DataFrame,
+    centroids: list,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Additive topic-mix state for one ingest batch: per FIXED centroid
+    (``centroids`` = ``[(cluster_id, vector), ...]`` — an offline KMeans
+    fit or any deterministic set; the SAME set must build every append
+    and the later vetting), how many batch vectors assign to it
+    (``cluster_id, n``; NULL/invalid vectors land under NULL
+    cluster_id). Append per batch (or via
+    ``streaming.state_tables.cluster_share_state_sink``); counts are
+    additive, so the SUM over appends is the corpus-so-far topic mix."""
+    rows = _centroid_rows(centroids)
+    mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
+    return (
+        _assign_cluster_ids(df, rows, mode, embedding_col)
+        .groupBy("cluster_id")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+    )
+
+
+def cluster_balance_incremental(
+    new_vecs: DataFrame,
+    state: DataFrame,
+    centroids: list,
+    threshold: float = 0.05,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Does THIS ingest batch's TOPIC mix match the corpus-so-far mix?
+    The embedding sibling of ``corpus.token_share_incremental``: batch
+    vectors assign to the same fixed ``centroids`` the state was built
+    with, and the per-cluster batch share compares against the rolled-up
+    :func:`cluster_share_state` — the corpus embeddings are never
+    re-read (the topic-mix member of the vet-the-increment family).
+
+    Output per cluster: ``cluster_id, ref_n, curr_n, ref_share,
+    curr_share, share_abs_diff, drift_detected`` (flag on the
+    5-decimal-rounded diff; the NULL cluster_id row carries invalid
+    vectors). Raises on an empty state.
+    """
+    rows = _centroid_rows(centroids)
+    mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
+    prior = state.groupBy("cluster_id").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS ref_n")
+    )
+    if prior.isEmpty():
+        raise ValueError(
+            "cluster-share state is empty — append at least one batch of"
+            " cluster_share_state before vetting an increment against it"
+        )
+    batch = (
+        _assign_cluster_ids(new_vecs, rows, mode, embedding_col)
+        .groupBy("cluster_id")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS curr_n"))
+    )
+    counts = prior.join(batch, "cluster_id", "full_outer").selectExpr(
+        "cluster_id",
+        "coalesce(ref_n, 0) AS ref_n",
+        "coalesce(curr_n, 0) AS curr_n",
+    )
+    # O(clusters) rows: the unpartitioned totals window is a bounded frame
+    return counts.selectExpr(
+        "*",
+        "CAST(ref_n AS DOUBLE) / nullif(sum(ref_n) OVER (), 0) AS ref_share",
+        "CAST(curr_n AS DOUBLE) / nullif(sum(curr_n) OVER (), 0) AS curr_share",
+    ).selectExpr(
+        "*",
+        "abs(coalesce(curr_share, 0.0D) - coalesce(ref_share, 0.0D))"
+        " AS share_abs_diff",
+    ).selectExpr(
+        "*",
+        f"round(share_abs_diff, 5) > {float(threshold)!r}D"
+        " AS drift_detected",
     )

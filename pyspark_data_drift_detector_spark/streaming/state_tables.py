@@ -369,3 +369,27 @@ def token_share_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def cluster_share_state_sink(
+    state_path: str,
+    centroids: list,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive topic-mix state
+    (``cluster_id, n`` per micro-batch against FIXED centroids) that
+    :func:`operators.similarity.cluster_balance_incremental` vets new
+    ingest against; the reader re-aggregates, so repeated cluster ids
+    across appends simply sum. The same centroid set must build every
+    append and the vetting call."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_share_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cluster_share_state(
+            batch_df, centroids, embedding_col=embedding_col, scoring=scoring
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch

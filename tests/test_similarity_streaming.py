@@ -972,3 +972,103 @@ def test_cluster_balance_centroid_validation(spark):
         cluster_balance_drift(
             ref, curr, centroids=[(1, [1.0] * 8), (1, [2.0] * 8)]
         )
+
+
+def test_cluster_balance_incremental(spark, tmp_path):
+    """Topic-mix tripwire: a batch drawn like the corpus is quiet, a
+    single-topic batch flags; additive appends == one-shot state; the
+    streaming sink twin agrees; empty state and bad centroids fail fast;
+    NULL vectors land under the NULL cluster_id row."""
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_drift,
+        cluster_balance_incremental,
+        cluster_share_state,
+    )
+
+    rng = random.Random(37)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    cents = [(i, anchors[i]) for i in range(3)]
+
+    def near(anchor):
+        return [x + rng.gauss(0, 0.05) for x in anchor]
+
+    prior = spark.createDataFrame(
+        [(i, near(anchors[i % 3])) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    state = cluster_share_state(prior, cents)
+    assert {r["cluster_id"]: r["n"] for r in state.collect()} == {0: 10, 1: 10, 2: 10}
+
+    balanced = spark.createDataFrame(
+        [(100 + i, near(anchors[i % 3])) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    quiet = cluster_balance_incremental(balanced, state, cents)
+    assert all(not r["drift_detected"] for r in quiet.collect())
+
+    skewed_rows = [(200 + i, near(anchors[0])) for i in range(9)]
+    skewed_rows.append((300, None))
+    skewed = spark.createDataFrame(
+        skewed_rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["cluster_id"]: r for r in cluster_balance_incremental(skewed, state, cents).collect()}
+    assert out[0]["drift_detected"] and out[1]["drift_detected"]
+    assert out[0]["curr_n"] == 9 and out[1]["curr_n"] == 0
+    assert out[None]["curr_n"] == 1  # invalid vectors surface, not vanish
+
+    # additive appends == one-shot
+    cluster_share_state(prior.filter("vec_id < 15"), cents).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "cs_state"))
+    cluster_share_state(prior.filter("vec_id >= 15"), cents).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "cs_state"))
+    appended = spark.read.parquet(str(tmp_path / "cs_state"))
+    # NULL cluster_id rows are expected — sort None-safely
+    key = lambda df: sorted(
+        (tuple(-1 if v is None else v for v in r) for r in df.collect())
+    )
+    assert key(cluster_balance_incremental(skewed, appended, cents)) == key(
+        cluster_balance_incremental(skewed, state, cents)
+    )
+
+    # streaming sink twin
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        cluster_share_state_sink,
+    )
+
+    ingest = tmp_path / "cs_ingest"
+    prior.repartition(2).write.parquet(str(ingest))
+    stream = (
+        spark.readStream.schema(prior.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cluster_share_state_sink(str(tmp_path / "cs_s2"), cents)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "cs_s2"))
+    assert key(cluster_balance_incremental(skewed, streamed, cents)) == key(
+        cluster_balance_incremental(skewed, state, cents)
+    )
+
+    with _pytest.raises(ValueError, match="cluster-share state is empty"):
+        cluster_balance_incremental(
+            skewed,
+            spark.createDataFrame([], "cluster_id long, n long"),
+            cents,
+        )
+    # refactored validation still guards the drift panel too
+    ref = prior
+    curr = prior
+    with _pytest.raises(ValueError, match="duplicate centroid ids"):
+        cluster_balance_drift(ref, curr, centroids=[(1, anchors[0]), (1, anchors[1])])
