@@ -40,19 +40,106 @@ def load_snapshot(
 ) -> DataFrame:
     """Load one table snapshot.
 
-    ``fmt=None`` auto-detects: ``.parquet`` paths (the test harness data) read
-    as parquet; otherwise Delta with ``versionAsOf`` time travel when a
-    version is requested (reference behavior, ``data_loader.py:24``).
+    ``fmt=None`` auto-detects: ``.parquet`` paths (the test harness data)
+    read as parquet; a ``{path}/v=N/`` layout reads as the engine-native
+    versioned parquet store (``fmt="vparquet"`` forces it); otherwise
+    Delta with ``versionAsOf`` time travel when a version is requested
+    (reference behavior, ``data_loader.py:24``). The vparquet fallback is
+    what keeps the version-pair entry point execution-verified in
+    environments without delta-spark — same config keys either way.
     """
     if fmt is None:
-        fmt = "parquet" if path.endswith(".parquet") else "delta"
-    reader = spark.read.format(fmt)
-    if version is not None and fmt == "delta":
-        reader = reader.option("versionAsOf", version)
-    df = reader.load(path)
+        if path.endswith(".parquet"):
+            fmt = "parquet"
+        elif _probe_versions(spark, path):
+            fmt = "vparquet"
+        else:
+            fmt = "delta"
+    if fmt == "vparquet":
+        if version is None:
+            versions = list_parquet_versions(spark, path)
+            if not versions:
+                raise ValueError(f"no versions under {path}")
+            version = versions[-1]
+        df = spark.read.parquet(f"{path.rstrip('/')}/{_VDIR}{int(version)}")
+    else:
+        reader = spark.read.format(fmt)
+        if version is not None and fmt == "delta":
+            reader = reader.option("versionAsOf", version)
+        df = reader.load(path)
     if cache:
         df = df.cache()
     return df
+
+
+#: subdirectory prefix of the engine-native versioned parquet store
+_VDIR = "v="
+
+
+def _fs_and_path(spark: SparkSession, table_path: str):
+    jvm = spark._jvm  # type: ignore[union-attr]
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    return fs, p, jvm
+
+
+def list_parquet_versions(spark: SparkSession, table_path: str) -> list[int]:
+    """Versions present in a versioned parquet store (``{path}/v=N/``
+    parquet directories). Listing goes through the Hadoop ``FileSystem``
+    abstraction, so it works on HDFS/S3/local alike and costs one
+    O(versions) driver-side listing — no data is read."""
+    fs, p, _ = _fs_and_path(spark, table_path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(_VDIR):
+            try:
+                out.append(int(name[len(_VDIR):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _probe_versions(spark: SparkSession, table_path: str) -> list[int]:
+    """Best-effort vparquet AUTO-DETECTION probe: any failure to reach a
+    Hadoop FileSystem (mocked sessions in unit tests, exotic schemes)
+    means "not a versioned store" and the caller falls through to the
+    Delta path, whose own error surfaces. Explicit ``fmt="vparquet"``
+    calls use :func:`list_parquet_versions` directly so real FS errors
+    are never swallowed."""
+    try:
+        return list_parquet_versions(spark, table_path)
+    except Exception:
+        return []
+
+
+def write_versioned_snapshot(
+    df: DataFrame, table_path: str, version: int | None = None
+) -> int:
+    """Write one snapshot into the engine-native VERSIONED PARQUET store:
+    ``{table_path}/v=N/`` (N = ``version``, or 1 + the latest present).
+
+    This is the Delta-less time-travel layout: each version is an
+    immutable plain-parquet directory, so ``load_snapshot`` /
+    ``runner.run`` get a fully execution-verified version-pair path in
+    environments without delta-spark (the sandbox), and the SAME config
+    (``table_path`` + ``reference_version``/``current_version``) moves
+    unchanged to a real Delta table where one is available. Unlike Delta
+    this store has no transaction log — concurrent writers of the SAME
+    auto-assigned version race (assign versions explicitly from your
+    orchestrator if batches can overlap), and there is no file-level
+    dedup/compaction. Returns the version written.
+    """
+    spark = df.sparkSession
+    if version is None:
+        existing = list_parquet_versions(spark, table_path)
+        version = (existing[-1] + 1) if existing else 0
+    df.write.mode("errorifexists").parquet(
+        f"{table_path.rstrip('/')}/{_VDIR}{int(version)}"
+    )
+    return int(version)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -84,11 +171,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def latest_version(spark: SparkSession, table_path: str) -> int:
-    """Most recent Delta version of a table (``DESCRIBE HISTORY`` → max).
-
-    Reference: ``data_loader.py:42-65`` (orderBy desc + first → here a
-    single ``max`` aggregate).
+    """Most recent version of a table: ``DESCRIBE HISTORY`` → max for
+    Delta (reference ``data_loader.py:42-65``; orderBy desc + first →
+    here a single ``max`` aggregate), or the newest ``v=N`` directory of
+    a versioned parquet store.
     """
+    versions = _probe_versions(spark, table_path)
+    if versions:
+        return versions[-1]
     history = spark.sql(f"DESCRIBE HISTORY delta.`{table_path}`")
     row = history.agg(F.max("version").alias("v")).first()
     if row is None or row["v"] is None:
