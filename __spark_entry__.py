@@ -6688,9 +6688,12 @@ def _passage_excise_sql(keep_one: bool = False) -> str:
       SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
       FROM spans GROUP BY doc_id),
     base AS (
+      -- rebuild tokenization MUST share the index CTE's token grid
+      -- (regex split on whitespace runs, trimmed) or span positions
+      -- misalign on text with tabs / multi-space runs (ADVICE r9)
       SELECT d.doc_id,
         CASE WHEN d.text IS NULL THEN NULL
-             ELSE string_split(d.text, ' ') END AS t, p.sp
+             ELSE string_split_regex(trim(d.text), '\\s+') END AS t, p.sp
       FROM documents d LEFT JOIN per_doc p USING (doc_id)),
     kept AS (
       SELECT doc_id, t,
@@ -6728,64 +6731,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records only the
-    # first 50 entries. Round-9 rotation policy (VERDICT r8 task 3):
-    # queries sort by how long ago the driver last verified them —
-    # brand-new operators first (passage_* and semantic_decontaminate_lsh
-    # have never seen a driver gate), then the longest-unverified (the
-    # r4/r5 cohort); the r8-verified cohort rides at the tail. Every
-    # query stays covered locally by tests/test_oracle_parity.py and
-    # tools/verify_oracle.py regardless of window position.
+    # first 50 entries. Round-10 rotation policy (VERDICT r9 task 1):
+    # queries are sorted strictly by the round of their most recent
+    # driver verdict, oldest first (ties alphabetical), so the 50-query
+    # window always gates the longest-unverified cohort. Brand-new
+    # operators (no driver verdict yet) sort to the FRONT (round 0).
+    # After each round, re-sort against the refreshed CORRECTNESS_r*.json
+    # set; the target invariant is "every query's latest driver verdict
+    # is <= 2 rounds old". Every query stays covered locally by
+    # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
+    # of window position.
     return {
-        "passage_dedup": q_passage_dedup,
-        "passage_incremental": q_passage_incremental,
-        "neardup_incremental": q_neardup_incremental,
-        "logprob_incremental": q_logprob_incremental,
-        "passage_excise": q_passage_excise,
-        "passage_excise_keep_one": q_passage_excise_keep_one,
-        "passage_decontaminate": q_passage_decontaminate,
-        "token_share_drift": q_token_share_drift,
-        "corpus_report": q_corpus_report,
-        "token_share_incremental": q_token_share_incremental,
-        "cluster_balance_incremental": q_cluster_balance_incremental,
-        "passage_pairs": q_passage_pairs,
-        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
-        "adaptive_thresholds": q_adaptive_thresholds,
-        "categorical_distances": q_categorical_distances,
-        "corr_pairs": q_corr_pairs,
-        "dist_shape": q_dist_shape,
-        "drift_severity": q_drift_severity,
-        "embedding_drift": q_embedding_drift,
-        "events_sliding": q_events_sliding,
-        "events_windowed": q_events_windowed,
-        "feature_importance": q_feature_importance,
-        "group_drift": q_group_drift,
-        "group_profile": q_group_profile,
-        "histogram": q_histogram,
-        "ks_wasserstein": q_ks_wasserstein,
-        "outlier_drift": q_outlier_drift,
-        "psi": q_psi,
-        "psi_numeric": q_psi_numeric,
-        "quantile_shift": q_quantile_shift,
-        "rare_categories": q_rare_categories,
-        "rare_values": q_rare_values,
-        "running_profile": q_running_profile,
-        "schema_drift": q_schema_drift,
-        "streaming_drift_alerts": q_streaming_drift_alerts,
-        "temporal_drift": q_temporal_drift,
-        "text_quality_drift": q_text_quality_drift,
-        "type_inference": q_type_inference,
-        "cap_per_group": q_cap_per_group,
-        "categorical_drift": q_categorical_drift,
-        "categorical_drift_exact": q_categorical_drift_exact,
-        "complex_profile": q_complex_profile,
-        "corr_groups": q_corr_groups,
-        "cusum_changepoint": q_cusum_changepoint,
-        "entropy": q_entropy,
-        "frame_sample": q_frame_sample,
-        "freq_table": q_freq_table,
-        "group_numeric_drift": q_group_numeric_drift,
-        "hash_split": q_hash_split,
-        "interval_join": q_interval_join,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,
@@ -6869,6 +6825,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": q_windowed_distinct,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "zipf_fit": q_zipf_fit,
+        "adaptive_thresholds": q_adaptive_thresholds,
+        "cap_per_group": q_cap_per_group,
+        "categorical_distances": q_categorical_distances,
+        "categorical_drift": q_categorical_drift,
+        "categorical_drift_exact": q_categorical_drift_exact,
+        "cluster_balance_incremental": q_cluster_balance_incremental,
+        "complex_profile": q_complex_profile,
+        "corpus_report": q_corpus_report,
+        "corr_groups": q_corr_groups,
+        "corr_pairs": q_corr_pairs,
+        "cusum_changepoint": q_cusum_changepoint,
+        "dist_shape": q_dist_shape,
+        "drift_severity": q_drift_severity,
+        "embedding_drift": q_embedding_drift,
+        "entropy": q_entropy,
+        "events_sliding": q_events_sliding,
+        "events_windowed": q_events_windowed,
+        "feature_importance": q_feature_importance,
+        "frame_sample": q_frame_sample,
+        "freq_table": q_freq_table,
+        "group_drift": q_group_drift,
+        "group_numeric_drift": q_group_numeric_drift,
+        "group_profile": q_group_profile,
+        "hash_split": q_hash_split,
+        "histogram": q_histogram,
+        "interval_join": q_interval_join,
+        "ks_wasserstein": q_ks_wasserstein,
+        "logprob_incremental": q_logprob_incremental,
+        "neardup_incremental": q_neardup_incremental,
+        "outlier_drift": q_outlier_drift,
+        "passage_decontaminate": q_passage_decontaminate,
+        "passage_dedup": q_passage_dedup,
+        "passage_excise": q_passage_excise,
+        "passage_excise_keep_one": q_passage_excise_keep_one,
+        "passage_incremental": q_passage_incremental,
+        "passage_pairs": q_passage_pairs,
+        "psi": q_psi,
+        "psi_numeric": q_psi_numeric,
+        "quantile_shift": q_quantile_shift,
+        "rare_categories": q_rare_categories,
+        "rare_values": q_rare_values,
+        "running_profile": q_running_profile,
+        "schema_drift": q_schema_drift,
+        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
+        "streaming_drift_alerts": q_streaming_drift_alerts,
+        "temporal_drift": q_temporal_drift,
+        "text_quality_drift": q_text_quality_drift,
+        "token_share_drift": q_token_share_drift,
+        "token_share_incremental": q_token_share_incremental,
+        "type_inference": q_type_inference,
     }
 
 

@@ -587,14 +587,21 @@ def token_share_incremental(
         "n_docs AS curr_docs",
         "n_tokens AS curr_tokens",
     )
+    # eqNullSafe: a NULL group (nullable source column) is a real
+    # population on BOTH sides — a plain equi-join would split it into
+    # two half-rows, each seeing the other side as zero, and fire a
+    # spurious drift flag (the batch-mode sibling's single groupBy
+    # collapses NULLs into one row; this join must match it).
     counts = (
-        prior.join(batch, "group_key", "full_outer")
-        .selectExpr(
-            "group_key",
-            "coalesce(ref_docs, 0) AS ref_docs",
-            "coalesce(curr_docs, 0) AS curr_docs",
-            "coalesce(ref_tokens, 0) AS ref_tokens",
-            "coalesce(curr_tokens, 0) AS curr_tokens",
+        prior.join(
+            batch, prior["group_key"].eqNullSafe(batch["group_key"]), "full_outer"
+        )
+        .select(
+            F.coalesce(prior["group_key"], batch["group_key"]).alias("group_key"),
+            F.expr("coalesce(ref_docs, 0L)").alias("ref_docs"),
+            F.expr("coalesce(curr_docs, 0L)").alias("curr_docs"),
+            F.expr("coalesce(ref_tokens, 0L)").alias("ref_tokens"),
+            F.expr("coalesce(curr_tokens, 0L)").alias("curr_tokens"),
         )
     )
     # O(groups) rows: the unpartitioned totals window is a bounded frame

@@ -855,8 +855,11 @@ def semantic_decontaminate_lsh(
     max/argmax in ONE ``groupBy`` (ties on cosine → smallest eval id,
     matching the brute-force operator). The benchmark is never
     collected: it flows as a DataFrame, broadcast while it fits
-    (``broadcast_benchmark``, default) and a plain shuffled band join
-    beyond that. Unlike ``lsh_topk`` there is no self-id exclusion —
+    (``broadcast_benchmark``, default — zero shuffles before the final
+    scalar groupBy); beyond that the shuffled path bands on scalars
+    only, dedups (cid, bid) pairs, and rejoins each side's embedding by
+    its own id, so an embedding array crosses the wire at most once.
+    Unlike ``lsh_topk`` there is no self-id exclusion —
     benchmark members present in the corpus must flag themselves.
 
     APPROXIMATE by design: a corpus row whose true nearest eval vector
@@ -901,24 +904,47 @@ def semantic_decontaminate_lsh(
         embedding_col,
         "ce",
     ).select("cid", "ce")
-    b = banded(
-        _as_double_array(
-            benchmark.select(F.col(id_col).alias("bid"), embedding_col),
-            embedding_col,
-            "be",
-        ).select("bid", "be"),
-        "bid",
+    bench_base = _as_double_array(
+        benchmark.select(F.col(id_col).alias("bid"), embedding_col),
+        embedding_col,
         "be",
-    )
-    c = banded(ensure_min_partitions(base), "cid", "ce")
-    # score per band collision, then collapse duplicates inside the SAME
-    # groupBy that takes the max — only (cid, cosine, bid) scalars shuffle,
-    # never the embedding arrays (lsh_topk convention); re-scoring a
-    # ≤bands-duplicated candidate is cheap CPU next to an array shuffle
+    ).select("bid", "be")
+    if broadcast_benchmark:
+        # Broadcast path: the band join is a broadcast-hash join, so
+        # NOTHING shuffles here — corpus embeddings stay in their scan
+        # partitions, the benchmark (embeddings included) rides the
+        # broadcast, and the only exchange in the whole plan is the
+        # final groupBy on (cid, cosine, bid) scalars. Scoring inline at
+        # the collision site is free of any array movement.
+        b = banded(bench_base, "bid", "be")
+        c = banded(ensure_min_partitions(base), "cid", "ce")
+        scored = c.join(F.broadcast(b), ["band", "key"]).withColumn(
+            "cosine", cosine(F.col("ce"), F.col("be"))
+        )
+    else:
+        # Shuffled path (benchmark too big to broadcast): band on
+        # SCALARS only — (id, band, key) — so the band-join shuffle
+        # never carries an embedding array and the corpus embedding is
+        # not duplicated across its `bands` inline rows. Distinct
+        # (cid, bid) candidate pairs then rejoin each side's embedding
+        # by id: each embedding table shuffles at most ONCE, keyed by
+        # its own id, regardless of how many bands collide (ADVICE r9).
+        slim = lambda df, ida: banded(df, ida, "be" if ida == "bid" else "ce").select(
+            ida, "band", "key"
+        )
+        pairs = (
+            slim(ensure_min_partitions(base), "cid")
+            .join(slim(bench_base, "bid"), ["band", "key"])
+            .select("cid", "bid")
+            .distinct()
+        )
+        scored = (
+            pairs.join(bench_base, "bid")
+            .join(base, "cid")
+            .withColumn("cosine", cosine(F.col("ce"), F.col("be")))
+        )
     best = (
-        c.join(F.broadcast(b) if broadcast_benchmark else b, ["band", "key"])
-        .withColumn("cosine", cosine(F.col("ce"), F.col("be")))
-        .select(
+        scored.select(
             "cid",
             F.struct(
                 F.col("cosine").alias("c"), (-F.col("bid")).alias("nb")
@@ -1159,10 +1185,16 @@ def cluster_balance_incremental(
         .groupBy("cluster_id")
         .agg(F.expr("CAST(count(1) AS BIGINT) AS curr_n"))
     )
-    counts = prior.join(batch, "cluster_id", "full_outer").selectExpr(
-        "cluster_id",
-        "coalesce(ref_n, 0) AS ref_n",
-        "coalesce(curr_n, 0) AS curr_n",
+    # eqNullSafe: the NULL cluster_id row (invalid vectors) is a real
+    # population on BOTH sides once any prior batch contained invalid
+    # vectors — a plain equi-join would split it into two half-rows,
+    # each with a spurious drift flag.
+    counts = prior.join(
+        batch, prior["cluster_id"].eqNullSafe(batch["cluster_id"]), "full_outer"
+    ).select(
+        F.coalesce(prior["cluster_id"], batch["cluster_id"]).alias("cluster_id"),
+        F.expr("coalesce(ref_n, 0L)").alias("ref_n"),
+        F.expr("coalesce(curr_n, 0L)").alias("curr_n"),
     )
     # O(clusters) rows: the unpartitioned totals window is a bounded frame
     return counts.selectExpr(

@@ -1836,6 +1836,35 @@ def test_token_share_incremental(spark, tmp_path):
         )
 
 
+def test_token_share_incremental_null_group_both_sides(spark):
+    """A NULL group present in BOTH the state and the batch must land in
+    ONE panel row (null-safe join), matching the batch-mode sibling's
+    single-groupBy collapse — not two half-rows each flagging drift."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_drift,
+        token_share_incremental,
+        token_share_state,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "a b c d e f", "web"), (2, "g h i j k l", None)],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "m n o", "web"), (11, "p q r", None)],
+        "doc_id long, text string, source string",
+    )
+    out = token_share_incremental(batch, token_share_state(prior)).collect()
+    assert len(out) == 2  # one row per group incl. the single NULL row
+    by_key = {r["group_key"]: r for r in out}
+    null_row = by_key[None]
+    assert null_row["ref_tokens"] == 6 and null_row["curr_tokens"] == 3
+    assert not null_row["drift_detected"]
+    # parity with the batch-mode sibling on the same populations
+    sib = {r["group_key"]: r for r in token_share_drift(prior, batch).collect()}
+    assert sib[None]["share_abs_diff"] == null_row["share_abs_diff"]
+
+
 def test_token_share_zero_total_side(spark):
     """A side with ZERO total tokens (all-blank batch) yields NULL shares
     — never an ANSI divide-by-zero job failure; the diff coalesces to the

@@ -833,7 +833,45 @@ def test_semantic_decontaminate_lsh_gemm_matches_expr(spark):
     assert e == g
 
 
-def test_cluster_balance_explicit_centroids(spark):
+def test_semantic_decontaminate_lsh_shuffled_path_parity(spark):
+    """broadcast_benchmark=False (the beyond-broadcast scale path: slim
+    band join + dedup'd pair rejoin) must return exactly what the
+    broadcast path returns, including NULL-vector semantics, and its
+    band-join exchanges must carry no embedding arrays."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate_lsh,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((500, None))
+    rows.append((501, [1.0] * 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = df.filter("vec_id % 7 = 0 AND vec_id < 100")
+
+    def key(out):
+        return {
+            r["vec_id"]: (
+                None if r["max_cosine"] is None else round(r["max_cosine"], 9),
+                r["nearest_eval_id"],
+                r["contaminated"],
+            )
+            for r in out.collect()
+        }
+
+    kw = dict(threshold=0.8, dim=16, n_planes=16, bands=8)
+    bcast = semantic_decontaminate_lsh(df, bench, broadcast_benchmark=True, **kw)
+    shuf = semantic_decontaminate_lsh(df, bench, broadcast_benchmark=False, **kw)
+    assert key(bcast) == key(shuf)
+    # the claimed shuffle shape: no Exchange output in the shuffled plan
+    # materializes ce/be before the pair rejoin — check the band-join
+    # exchanges are scalar-only by scanning hashpartitioning keys
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning(band" in line:
+            assert "ce#" not in line and "be#" not in line, line
     """VERDICT r8 task 6: a pre-fitted centroid set (production KMeans)
     feeds through centroids=[(id, vector), ...]; passing the SAME
     centroids the default derives must reproduce the default's output
@@ -1067,6 +1105,21 @@ def test_cluster_balance_incremental(spark, tmp_path):
             spark.createDataFrame([], "cluster_id long, n long"),
             cents,
         )
+
+    # NULL cluster_id on BOTH sides (prior batches also contained
+    # invalid vectors): the null-safe join must keep ONE NULL panel row
+    # carrying both counts, not two half-rows each flagging drift.
+    prior_with_null = prior.union(
+        spark.createDataFrame(
+            [(400, None), (401, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    state_with_null = cluster_share_state(prior_with_null, cents)
+    assert {r["cluster_id"]: r["n"] for r in state_with_null.collect()}[None] == 2
+    both = cluster_balance_incremental(skewed, state_with_null, cents).collect()
+    null_rows = [r for r in both if r["cluster_id"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["ref_n"] == 2 and null_rows[0]["curr_n"] == 1
     # refactored validation still guards the drift panel too
     ref = prior
     curr = prior
