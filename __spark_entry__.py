@@ -1067,6 +1067,81 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: a genuine binary P6 PPM payload is built per doc
+    (pixel bytes follow the closed form (doc_id*31 + i*7) % 256 — see
+    attach_synthetic_image) and parsed back by the real codec in
+    decode_images(codec='auto'): header grammar, dimension extraction, and
+    numpy pixel statistics all on the hot path. The oracle recomputes every
+    statistic from the pixel formula alone — if the encoder and parser
+    disagreed anywhere (byte order, header length, row layout), the stats
+    would diverge."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    payloads = attach_synthetic_image(
+        _documents(spark, sf_dir).select("doc_id"), width=8, height=4, fmt="ppm"
+    )
+    out = decode_images(payloads, codec="auto").selectExpr(
+        "doc_id",
+        "n_bytes",
+        "format AS fmt",
+        "CAST(width AS INT) AS width",
+        "CAST(height AS INT) AS height",
+        "CAST(channels AS INT) AS channels",
+        "channel_mean[0] AS r_mean",
+        "channel_mean[1] AS g_mean",
+        "channel_mean[2] AS b_mean",
+        "channel_std[0] AS r_std",
+        "luma_mean",
+        "luma_std",
+    )
+    return _round_cols(
+        out, ["r_mean", "g_mean", "b_mean", "r_std", "luma_mean", "luma_std"]
+    )
+
+
+def _image_decode_sql(w: int = 8, h: int = 4) -> str:
+    """Closed-form replay of the synthetic-PPM decode: pixel v(i) =
+    (doc_id*31 + i*7) % 256 over the row-major (h, w, 3) grid; channel =
+    i % 3, pixel index = i // 3, luma = Rec. 601 weights. n_bytes is the
+    fixed header ('P6\\n8 4\\n255\\n' = 11 bytes) plus w*h*3 samples."""
+    n = w * h * 3
+    header = 3 + len(f"{w} {h}") + 1 + 4  # 'P6\n' + dims + '\n' + '255\n'
+    return f"""
+    WITH px AS (
+      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+             r.i % 3 AS ch, r.i // 3 AS pix
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range({n}) r(i)),
+    chan AS (
+      SELECT doc_id, ch, AVG(v) AS m, STDDEV_POP(v) AS sd
+      FROM px GROUP BY 1, 2),
+    lpx AS (
+      SELECT doc_id, pix,
+        SUM(v * CASE ch WHEN 0 THEN 0.299 WHEN 1 THEN 0.587 ELSE 0.114 END) AS luma
+      FROM px GROUP BY 1, 2),
+    l AS (SELECT doc_id, AVG(luma) AS m, STDDEV_POP(luma) AS sd
+          FROM lpx GROUP BY 1)
+    SELECT c0.doc_id,
+      CAST({header + n} AS BIGINT) AS n_bytes,
+      'ppm' AS fmt,
+      CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      ROUND(c0.m, {ROUND}) AS r_mean,
+      ROUND(c1.m, {ROUND}) AS g_mean,
+      ROUND(c2.m, {ROUND}) AS b_mean,
+      ROUND(c0.sd, {ROUND}) AS r_std,
+      ROUND(l.m, {ROUND}) AS luma_mean,
+      ROUND(l.sd, {ROUND}) AS luma_std
+    FROM (SELECT * FROM chan WHERE ch = 0) c0
+    JOIN (SELECT * FROM chan WHERE ch = 1) c1 USING (doc_id)
+    JOIN (SELECT * FROM chan WHERE ch = 2) c2 USING (doc_id)
+    JOIN l USING (doc_id)"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -5940,6 +6015,7 @@ def _oracle_queries() -> dict[str, str]:
         "corr_groups": _corr_groups_sql(),
         "multimodal_meta": _multimodal_meta_sql(),
         "image_features": _image_features_sql(),
+        "image_decode": _image_decode_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -6742,6 +6818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "image_decode": q_image_decode,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

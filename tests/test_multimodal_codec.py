@@ -1,0 +1,122 @@
+"""Real-codec multimodal tests: PPM/BMP parse + decode end-to-end.
+
+The encode/parse helpers are pure functions (tested without Spark); the
+Spark path is ``attach_synthetic_image`` → ``decode_images(codec=...)``
+over real payload bytes, with stats cross-checked against direct numpy
+computation and the plan contract (payload never shuffled) re-pinned.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark_data_drift_detector_spark.operators.multimodal import (
+    _LUMA_WEIGHTS,
+    _parse_bmp,
+    _parse_ppm,
+    attach_synthetic_image,
+    decode_images,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _pixels(seed: int, h: int, w: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_and_grammar():
+    arr = _pixels(1, 5, 7)
+    data = encode_ppm(arr)
+    assert data.startswith(b"P6\n7 5\n255\n")
+    assert np.array_equal(_parse_ppm(data), arr)
+    # comments + arbitrary whitespace anywhere in the header are legal PPM
+    commented = b"P6 # a comment\n# another\n 7\t5 # dims\n255 " + arr.tobytes()
+    assert np.array_equal(_parse_ppm(commented), arr)
+    with pytest.raises(ValueError, match="bad magic"):
+        _parse_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated PPM body"):
+        _parse_ppm(data[:-3])
+    with pytest.raises(ValueError, match="maxval"):
+        _parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="dimensions"):
+        _parse_ppm(b"P6\n0 3\n255\n")
+
+
+@pytest.mark.parametrize("w", [3, 4, 5])  # exercises every row-padding case
+def test_bmp_roundtrip_padding(w):
+    arr = _pixels(2, 4, w)
+    data = encode_bmp(arr)
+    assert data[:2] == b"BM"
+    assert np.array_equal(_parse_bmp(data), arr)
+
+
+def test_bmp_topdown_and_rejects():
+    import struct
+
+    arr = _pixels(3, 2, 3)
+    data = bytearray(encode_bmp(arr))
+    # flip to top-down: negate height, reverse the row order in the body
+    struct.pack_into("<i", data, 22, -2)
+    stride = (3 * 3 + 3) & ~3
+    body = bytes(data[54:])
+    rows = [body[i * stride : (i + 1) * stride] for i in range(2)]
+    data[54:] = rows[1] + rows[0]
+    assert np.array_equal(_parse_bmp(bytes(data)), arr)
+    with pytest.raises(ValueError, match="bit depth"):
+        bad = bytearray(encode_bmp(arr))
+        struct.pack_into("<H", bad, 28, 8)
+        _parse_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="compression"):
+        bad = bytearray(encode_bmp(arr))
+        struct.pack_into("<I", bad, 30, 1)
+        _parse_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated BMP body"):
+        _parse_bmp(encode_bmp(arr)[:-2])
+
+
+def test_decode_images_real_end_to_end(spark):
+    """Spark decode of REAL payload bytes (both containers, auto-sniffed)
+    matches numpy ground truth; a corrupt payload yields a decode_error
+    row, never a job failure."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    for fmt in ("ppm", "bmp"):
+        payloads = attach_synthetic_image(docs, width=8, height=4, fmt=fmt)
+        out = {r["doc_id"]: r for r in decode_images(payloads, codec="auto").collect()}
+        assert len(out) == 6
+        for d in (0, 3, 5):
+            i = np.arange(8 * 4 * 3, dtype=np.int64)
+            flat = ((d * 31 + i * 7) % 256).astype(np.float64).reshape(-1, 3)
+            luma = flat @ np.array(_LUMA_WEIGHTS)
+            r = out[d]
+            assert r["format"] == fmt and r["width"] == 8 and r["height"] == 4
+            assert r["channels"] == 3 and r["decode_error"] is None
+            assert r["channel_mean"] == pytest.approx(flat.mean(axis=0).tolist())
+            assert r["channel_std"] == pytest.approx(flat.std(axis=0).tolist())
+            assert r["luma_mean"] == pytest.approx(luma.mean())
+            assert r["luma_std"] == pytest.approx(luma.std())
+            assert sum(r["features"]) == pytest.approx(1.0)
+            assert len(r["features"]) == 8
+        # explicit wrong-codec parse error surfaces per row
+        wrong = decode_images(payloads, codec="bmp" if fmt == "ppm" else "ppm")
+        assert all(r["decode_error"] is not None for r in wrong.collect())
+
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(b"P6\n8 4\n255\n\x00\x01")), (2, None), (3, bytearray(b"GIF89a"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(corrupt, codec="auto").collect()}
+    assert "truncated PPM body" in rows[1]["decode_error"]
+    assert rows[1]["luma_mean"] is None and rows[1]["n_bytes"] == 13
+    assert "unrecognized" in rows[2]["decode_error"]
+    assert "unrecognized" in rows[3]["decode_error"]
+
+
+def test_real_codec_never_shuffles_payload(spark):
+    """The real-codec path keeps the stub path's plan contract: payload
+    bytes are consumed in their scan partitions, zero exchanges."""
+    from tests.test_plans import count_shuffles
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    payloads = attach_synthetic_image(docs)
+    assert count_shuffles(decode_images(payloads, codec="ppm")) == 0
