@@ -1142,6 +1142,65 @@ def _image_decode_sql(w: int = 8, h: int = 4) -> str:
     JOIN l USING (doc_id)"""
 
 
+def _qc_weights(d: int = 256) -> list[float]:
+    """Deterministic stand-in for a trained fastText weight vector: every
+    weight is an exact multiple of 1/1024, so Spark's sequential aggregate
+    fold and DuckDB's SUM land on the SAME exact double (no float-assoc
+    divergence) — the stand-in for an offline fit, like the PCA literal
+    components above."""
+    return [((b * 2654435761) % 2048 - 1024) / 1024.0 for b in range(d)]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scoring (CCNet/LLaMA classifier step): hashed
+    uni+bigram features dotted with an inlined weight vector → sigmoid.
+    md5 hash family so DuckDB replays the bucketing; xxhash is the
+    production family (unit-tested)."""
+    from pyspark_data_drift_detector_spark.operators.quality import quality_classifier
+
+    out = quality_classifier(
+        _documents(spark, sf_dir),
+        weights=_qc_weights(),
+        bias=-0.25,
+        hash_family="md5",
+    )
+    return _round_cols(out, ["logit", "score"])
+
+
+def _quality_classifier_sql(d: int = 256) -> str:
+    w = _qc_weights(d)
+    warr = "[" + ", ".join(repr(x) for x in w) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, unnest(list_concat(tk,
+        list_transform(range(1, greatest(len(tk), 1)),
+          i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))) AS gram
+      FROM t),
+    s AS (
+      SELECT doc_id,
+        SUM(({warr})[
+          CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % {d} AS INT) + 1
+        ]) AS sw,
+        COUNT(*) AS ng
+      FROM g GROUP BY 1),
+    base AS (
+      SELECT d.doc_id,
+        CASE WHEN d.text IS NULL THEN NULL
+             ELSE CAST(-0.25 + COALESCE(s.sw, 0) AS DOUBLE) END AS logit,
+        CASE WHEN d.text IS NULL THEN NULL
+             ELSE CAST(COALESCE(s.ng, 0) AS INT) END AS n_grams
+      FROM documents d LEFT JOIN s USING (doc_id))
+    SELECT doc_id, n_grams, ROUND(logit, {ROUND}) AS logit,
+      ROUND(1.0 / (1.0 + exp(-logit)), {ROUND}) AS score,
+      (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
+    FROM base"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6016,6 +6075,7 @@ def _oracle_queries() -> dict[str, str]:
         "multimodal_meta": _multimodal_meta_sql(),
         "image_features": _image_features_sql(),
         "image_decode": _image_decode_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -6818,6 +6878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "quality_classifier": q_quality_classifier,
         "image_decode": q_image_decode,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,

@@ -488,3 +488,111 @@ def c4_line_filter(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(kept) / F.greatest(F.size(lines), F.lit(1))).alias("kept_ratio"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash",
+    max_weights_cells: int = 65_536,
+    inline_weights: bool = True,
+) -> DataFrame:
+    """fastText-style learned quality score: hashed word uni+bigram
+    features → dot product with a trained weight vector → sigmoid — the
+    CCNet/LLaMA "quality classifier" step (Wenzek et al. 2020 §4.3;
+    Joulin et al. 2017), complementing the rule-based
+    :func:`quality_filter` and the LM-perplexity scorers in
+    ``operators/corpus.py``. Training happens OFFLINE; this operator
+    applies the fitted ``(weights, bias)`` at corpus scale.
+
+    Features: lowercase whitespace tokens, word unigrams plus space-joined
+    bigrams (one shared hashing space, fastText convention), bucket =
+    hash(gram) mod ``len(weights)``. ``hash_family='xxhash'`` (default) is
+    the production hash (JVM codegen, no digest); ``'md5'`` is the
+    oracle-replayable family (``operators.dedup.md5_hash60`` convention).
+    Output per document: ``id_col, n_grams, logit, score, keep``
+    (``score >= threshold``); NULL text → NULL score/keep (unknown
+    content), empty text → ``sigmoid(bias)``.
+
+    Plan: with ``inline_weights=True`` the weight vector is a plan
+    literal (the ``semantic_decontaminate`` inlining pattern) and the
+    whole operator is ONE narrow projection — an ``aggregate`` fold over
+    the in-row gram array, zero shuffles, scaling exactly like the scan.
+    The literal is capped at ``max_weights_cells`` (plan size, codegen
+    limits); past the cap a ValueError steers to
+    ``inline_weights=False``, which ships the weights as a broadcast
+    DataFrame instead: explode grams → broadcast-join buckets →
+    re-aggregate per document. That path shuffles only
+    ``(doc_id, partial-sum)`` scalars with map-side combine — never the
+    corpus text — so it holds at 100 TB for million-bucket vocabularies.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([text_col, id_col])
+    if not weights:
+        raise ValueError("weights must be a non-empty list of floats")
+    if hash_family not in ("xxhash", "md5"):
+        raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
+    d = len(weights)
+    if inline_weights and d > max_weights_cells:
+        raise ValueError(
+            f"{d} weight cells exceed max_weights_cells={max_weights_cells} "
+            "as a plan literal; pass inline_weights=False to ship the "
+            "weights as a broadcast DataFrame instead"
+        )
+    if hash_family == "md5":
+        bucket = f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {d}"
+    else:
+        bucket = f"pmod(xxhash64(g), {d})"
+
+    grams = df.selectExpr(
+        f"`{id_col}`",
+        rf"filter(split(trim(lower(`{text_col}`)), '\\s+'), t -> t != '') AS __toks",
+    ).selectExpr(
+        f"`{id_col}`",
+        # slice lengths clamp at 0, so 0- and 1-token docs yield [] bigrams
+        "concat(__toks, zip_with("
+        "  slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        "  slice(__toks, 2, greatest(size(__toks) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b))) AS __grams",
+    )
+    score_cols = [
+        "1.0D / (1.0D + exp(-logit)) AS score",
+        f"(1.0D / (1.0D + exp(-logit))) >= {float(threshold)!r}D AS keep",
+    ]
+    if inline_weights:
+        warr = "array(" + ", ".join(f"{float(w)!r}D" for w in weights) + ")"
+        scored = grams.selectExpr(
+            f"`{id_col}`",
+            "CAST(size(__grams) AS INT) AS n_grams",
+            f"aggregate(__grams, {float(bias)!r}D, (acc, g) ->"
+            f" acc + element_at({warr}, CAST(({bucket}) AS INT) + 1)) AS logit",
+        )
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
+        )
+        partial = (
+            grams.selectExpr(f"`{id_col}`", "explode(__grams) AS g")
+            .selectExpr(f"`{id_col}`", f"CAST(({bucket}) AS INT) AS bucket")
+            .join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.expr("sum(w) AS __sw"))
+        )
+        scored = (
+            grams.selectExpr(f"`{id_col}`", "CAST(size(__grams) AS INT) AS n_grams")
+            .join(partial, id_col, "left")
+            .selectExpr(
+                f"`{id_col}`",
+                "n_grams",
+                # n_grams IS NULL ⇔ NULL text; gram-less docs get bias alone
+                "CASE WHEN n_grams IS NULL THEN CAST(NULL AS DOUBLE) ELSE"
+                f" {float(bias)!r}D + coalesce(__sw, 0.0D) END AS logit",
+            )
+        )
+    return scored.selectExpr(f"`{id_col}`", "n_grams", "logit", *score_cols)

@@ -334,3 +334,76 @@ def test_token_budget_sample(spark):
         token_budget_sample(df, "domain", {}, token_budget=10)
     with pytest.raises(ValueError, match="negative"):
         token_budget_sample(df, "domain", {"web": -0.5}, token_budget=10)
+
+
+def test_quality_classifier(spark):
+    """Learned scorer semantics: hand-computed logit on a 1-gram doc,
+    NULL text → NULL verdict, empty text → sigmoid(bias), hash families
+    both run, inline == broadcast paths, cap steers to broadcast."""
+    import math
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.dedup import md5_hash60
+    from pyspark_data_drift_detector_spark.operators.quality import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta gamma"), (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    w = [((b * 97) % 512 - 256) / 1024.0 for b in range(64)]
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(
+            docs, w, bias=0.125, hash_family="md5", threshold=0.5
+        ).collect()
+    }
+    # doc 4: one unigram, zero bigrams — replay the bucket by hand
+    bucket = (
+        docs.sparkSession.range(1)
+        .select(md5_hash60(F.lit("solo")).alias("h"))
+        .collect()[0]["h"]
+        % 64
+    )
+    expect = 0.125 + w[bucket]
+    assert out[4]["n_grams"] == 1
+    assert out[4]["logit"] == expect  # exact: weights are 1/1024 multiples
+    assert out[4]["score"] == _pytest.approx(1 / (1 + math.exp(-expect)))
+    assert out[4]["keep"] == (out[4]["score"] >= 0.5)
+    # doc 1: 3 unigrams + 2 bigrams
+    assert out[1]["n_grams"] == 5
+    # empty text: bias alone; NULL text: unknown
+    assert out[2]["n_grams"] == 0 and out[2]["logit"] == 0.125
+    assert out[3]["logit"] is None and out[3]["keep"] is None
+
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_grams"], r["logit"], r["keep"]) for r in rows
+    )
+    assert key(
+        quality_classifier(docs, w, bias=0.125, hash_family="md5", inline_weights=False).collect()
+    ) == key(out.values())
+    # xxhash family runs and scores every doc (different buckets, same shape)
+    xx = quality_classifier(docs, w, bias=0.125, hash_family="xxhash").collect()
+    assert {r["doc_id"] for r in xx} == {1, 2, 3, 4}
+
+    with _pytest.raises(ValueError, match="max_weights_cells"):
+        quality_classifier(docs, w, max_weights_cells=8)
+    with _pytest.raises(ValueError, match="non-empty"):
+        quality_classifier(docs, [])
+    with _pytest.raises(ValueError, match="hash_family"):
+        quality_classifier(docs, w, hash_family="sha1")
+    # the cap does not apply to the broadcast path
+    big = quality_classifier(docs, w, max_weights_cells=8, inline_weights=False)
+    assert big.count() == 4
+
+
+def test_quality_classifier_inline_is_shuffle_free(spark):
+    """The inline-weights path must be ONE narrow projection — the whole
+    classifier folds inside the row; zero exchanges."""
+    from tests.test_plans import count_shuffles
+
+    from pyspark_data_drift_detector_spark.operators.quality import quality_classifier
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    w = [0.5] * 32
+    assert count_shuffles(quality_classifier(docs, w)) == 0
