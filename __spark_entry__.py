@@ -5567,14 +5567,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(docs.filter(F.col("doc_id") % 2 == 1), seen)
 
 
-def _dedup_incremental_sql() -> str:
-    return """
+def _dedup_incremental_sql(
+    state_pred: str = "doc_id % 2 = 0", batch_pred: str = "doc_id % 2 = 1"
+) -> str:
+    return f"""
     WITH fp AS (
       SELECT doc_id,
         md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
       FROM documents),
-    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
-    new AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE {state_pred}),
+    new AS (SELECT doc_id, fingerprint FROM fp WHERE {batch_pred}),
     r AS (
       SELECT n.doc_id, n.fingerprint,
         s.fingerprint IS NOT NULL AS dup_of_state,
@@ -6076,6 +6078,7 @@ def _oracle_queries() -> dict[str, str]:
         "image_features": _image_features_sql(),
         "image_decode": _image_decode_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "corpus_report_incremental": _corpus_report_incremental_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -6468,8 +6471,10 @@ def q_logprob_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["oov_rate", "avg_logprob", "perplexity"])
 
 
-def _logprob_incremental_sql() -> str:
-    return f"""
+#: shared CTE text for the incremental LM replay (consumed by both the
+#: per-doc query below and the composed incremental report, which needs
+#: the UNROUNDED per-doc avg_logprob for its batch mean)
+_LOGPROB_INCR_CORE = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token
       FROM documents),
@@ -6488,7 +6493,12 @@ def _logprob_incremental_sql() -> str:
         CAST(COUNT(*) AS BIGINT) AS n_tokens,
         CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         AVG(lp) AS avg_logprob
-      FROM scored GROUP BY doc_id)
+      FROM scored GROUP BY doc_id)"""
+
+
+def _logprob_incremental_sql() -> str:
+    return f"""
+    {_LOGPROB_INCR_CORE}
     SELECT doc_id, n_tokens, n_oov,
       ROUND(n_oov / n_tokens, {ROUND}) AS oov_rate,
       ROUND(avg_logprob, {ROUND}) AS avg_logprob,
@@ -6692,6 +6702,115 @@ def _token_share_incremental_sql() -> str:
     FROM shares"""
 
 
+def q_corpus_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly ingest-vetting flagship: ONE long-format report for the
+    doc_id%3==0 ingest batch composing all five vet-the-increment members
+    (exact dedup, passage dedup, MinHash near-dup, LM quality, token-share
+    mix) against their compact states — the prior corpus is never
+    re-read. md5 hash families + _PASSAGE_W so every panel replays in
+    DuckDB."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_report_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_state,
+        unigram_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_signatures,
+        passage_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+
+    docs = _documents(spark, sf_dir)
+    prior = docs.filter("doc_id % 3 != 0")
+    return corpus_report_incremental(
+        docs.filter("doc_id % 3 = 0"),
+        fingerprint_state=fingerprint(prior),
+        passage_state=passage_state(prior, window=_PASSAGE_W),
+        minhash_state=minhash_signatures(prior, hash_family="md5"),
+        unigram_state=unigram_state(prior),
+        token_share_state=token_share_state(prior),
+        window=_PASSAGE_W,
+        est_threshold=0.3,
+        hash_family="md5",
+    )
+
+
+def _corpus_report_incremental_sql() -> str:
+    """UNION ALL over the five incremental member oracles (each embedded
+    as a nested-WITH subquery, %3 split), aggregated to the report's
+    batch-level panels; flags re-derived from the 5-dp-rounded rates
+    exactly as corpus_pipeline.corpus_report_incremental does."""
+    ded = _dedup_incremental_sql("doc_id % 3 != 0", "doc_id % 3 = 0")
+    return f"""
+    WITH agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+         WHERE doc_id % 3 = 0) AS n,
+        (SELECT AVG(CASE WHEN dup_of_state THEN 1.0 ELSE 0.0 END)
+         FROM ({ded}) d) AS dup_state_rate,
+        (SELECT AVG(CASE WHEN dup_in_batch THEN 1.0 ELSE 0.0 END)
+         FROM ({ded}) d) AS dup_batch_rate,
+        (SELECT AVG(CASE WHEN keep THEN 1.0 ELSE 0.0 END)
+         FROM ({ded}) d) AS keep_rate,
+        (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+         FROM ({_passage_incremental_sql()}) p) AS pas_docs,
+        (SELECT CAST(COALESCE(SUM(span_tokens), 0) AS DOUBLE)
+         FROM ({_passage_incremental_sql()}) p) AS pas_tokens,
+        (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+         FROM ({_neardup_incremental_sql()}) q) AS near_docs,
+        (SELECT CAST(COUNT(*) AS DOUBLE)
+         FROM ({_neardup_incremental_sql()}) q) AS near_pairs,
+        (SELECT CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens)
+         FROM ({_LOGPROB_INCR_CORE} SELECT * FROM agg) l) AS oov_rate,
+        (SELECT AVG(avg_logprob)
+         FROM ({_LOGPROB_INCR_CORE} SELECT * FROM agg) l) AS mean_lp),
+    ts AS ({_token_share_incremental_sql()})
+    SELECT 'exact_dedup' AS family, '' AS key,
+      'dup_of_state_rate' AS metric,
+      CAST(NULL AS DOUBLE) AS ref_value,
+      ROUND(dup_state_rate, {ROUND}) AS curr_value,
+      ROUND(dup_state_rate, {ROUND}) AS diff,
+      ROUND(dup_state_rate, {ROUND}) > 0.2 AS drift_detected FROM agg
+    UNION ALL
+    SELECT 'exact_dedup', '', 'dup_in_batch_rate', NULL,
+      ROUND(dup_batch_rate, {ROUND}), ROUND(dup_batch_rate, {ROUND}),
+      ROUND(dup_batch_rate, {ROUND}) > 0.2 FROM agg
+    UNION ALL
+    SELECT 'exact_dedup', '', 'keep_rate', NULL,
+      ROUND(keep_rate, {ROUND}), NULL, false FROM agg
+    UNION ALL
+    SELECT 'passage', '', 'dup_passage_doc_rate', NULL,
+      ROUND(pas_docs / NULLIF(n, 0), {ROUND}),
+      ROUND(pas_docs / NULLIF(n, 0), {ROUND}),
+      ROUND(pas_docs / NULLIF(n, 0), {ROUND}) > 0.2 FROM agg
+    UNION ALL
+    SELECT 'passage', '', 'dup_span_tokens', NULL,
+      pas_tokens, NULL, false FROM agg
+    UNION ALL
+    SELECT 'neardup', '', 'neardup_doc_rate', NULL,
+      ROUND(near_docs / NULLIF(n, 0), {ROUND}),
+      ROUND(near_docs / NULLIF(n, 0), {ROUND}),
+      ROUND(near_docs / NULLIF(n, 0), {ROUND}) > 0.2 FROM agg
+    UNION ALL
+    SELECT 'neardup', '', 'neardup_pairs', NULL,
+      near_pairs, NULL, false FROM agg
+    UNION ALL
+    SELECT 'lm_quality', '', 'oov_token_rate', NULL,
+      ROUND(oov_rate, {ROUND}), ROUND(oov_rate, {ROUND}),
+      ROUND(oov_rate, {ROUND}) > 0.3 FROM agg
+    UNION ALL
+    SELECT 'lm_quality', '', 'mean_doc_logprob', NULL,
+      ROUND(mean_lp, {ROUND}), NULL, false FROM agg
+    UNION ALL
+    SELECT 'token_share',
+      CASE WHEN group_key IS NULL THEN '<null>'
+           ELSE CAST(group_key AS VARCHAR) END,
+      'token_share', ref_share, curr_share, share_abs_diff,
+      drift_detected FROM ts"""
+
+
 def q_cluster_balance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-mix tripwire: the vec_id%3==0 ingest batch's cluster mix
     (assignment to the first-8-by-id fixed centroids) vetted against the
@@ -6880,6 +6999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_classifier": q_quality_classifier,
         "image_decode": q_image_decode,
+        "corpus_report_incremental": q_corpus_report_incremental,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -150,3 +150,173 @@ def corpus_drift_report(
         f"round(diff, {_ROUND}) AS diff",
         "drift_detected",
     )
+
+
+def corpus_report_incremental(
+    new_docs: DataFrame,
+    fingerprint_state: DataFrame,
+    passage_state: DataFrame,
+    minhash_state: DataFrame,
+    unigram_state: DataFrame,
+    token_share_state: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_threshold: float = 0.2,
+    passage_threshold: float = 0.2,
+    neardup_threshold: float = 0.2,
+    oov_threshold: float = 0.3,
+    share_threshold: float = 0.05,
+    window: int = 20,
+    stride: int = 1,
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    hash_family: str = "xxhash",
+    max_bucket_size: int | None = None,
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """The nightly ingest-vetting flagship: ONE long-format report per
+    ingest batch, composing all five vet-the-increment members against
+    their compact states — the increment-vs-corpus sibling of
+    :func:`corpus_drift_report`. The prior corpus is NEVER re-read; every
+    family consumes only ``new_docs`` plus its rolled-up state
+    (fingerprints, passage window hashes, MinHash signatures, unigram
+    counts, token-share counts — each appended per batch or via the
+    ``streaming.state_tables`` foreachBatch sinks).
+
+    Report rows (schema identical to ``corpus_drift_report``: ``family,
+    key, metric, ref_value, curr_value, diff, drift_detected``):
+
+    - ``exact_dedup``  — dup-of-state / dup-in-batch rates (flag when
+      above ``dup_threshold``), keep rate (informational).
+    - ``passage``      — fraction of batch docs containing a duplicated
+      passage span (flag > ``passage_threshold``), total duplicated span
+      tokens (informational).
+    - ``neardup``      — fraction of batch docs with a MinHash near-dup
+      in state or batch (flag > ``neardup_threshold``), pair count
+      (informational).
+    - ``lm_quality``   — token-weighted OOV rate under the prior corpus
+      LM (flag > ``oov_threshold``; an exact ratio of integer counts),
+      mean per-doc avg_logprob (informational).
+    - ``token_share``  — per-group batch-vs-corpus token-mix rows
+      ('<null>' key sentinel), flagged by the member itself.
+
+    Scale shape: each member family reduces to an O(1)- or O(groups)-row
+    aggregate before the expression-only melt, so the report adds no
+    pass over the batch beyond what the members already do, and the
+    members themselves never touch the prior corpus. An empty batch
+    yields NULL rates with NULL flags (0/0 — nothing to vet).
+    """
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        logprob_incremental,
+        token_share_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_incremental,
+        neardup_incremental,
+        passage_dedup_incremental,
+    )
+
+    r = _ROUND
+    ded = dedup_incremental(new_docs, fingerprint_state, text_col, id_col)
+    ded_agg = ded.agg(
+        F.expr("CAST(count(1) AS DOUBLE) AS __n"),
+        F.expr("avg(CAST(dup_of_state AS INT)) AS __dup_state_rate"),
+        F.expr("avg(CAST(dup_in_batch AS INT)) AS __dup_batch_rate"),
+        F.expr("avg(CAST(keep AS INT)) AS __keep_rate"),
+    )
+    pas = passage_dedup_incremental(
+        new_docs, passage_state, text_col, id_col, window, stride
+    )
+    pas_agg = pas.agg(
+        F.expr(f"CAST(count(DISTINCT `{id_col}`) AS DOUBLE) AS __pas_docs"),
+        F.expr("coalesce(sum(span_tokens), 0L) AS __pas_tokens"),
+    )
+    near = neardup_incremental(
+        new_docs,
+        minhash_state,
+        text_col,
+        id_col,
+        k_shingle,
+        num_hashes,
+        bands,
+        est_threshold,
+        hash_family,
+        max_bucket_size,
+    )
+    near_agg = near.agg(
+        F.expr(f"CAST(count(DISTINCT `{id_col}`) AS DOUBLE) AS __near_docs"),
+        F.expr("CAST(count(1) AS BIGINT) AS __near_pairs"),
+    )
+    lm = logprob_incremental(new_docs, unigram_state, text_col, id_col, smoothing_k)
+    lm_agg = lm.agg(
+        F.expr("CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens) AS __oov_rate"),
+        F.expr("avg(avg_logprob) AS __mean_lp"),
+    )
+    wide = ded_agg.crossJoin(pas_agg).crossJoin(near_agg).crossJoin(lm_agg)
+
+    dup, pth, nth, oth, sth = (
+        float(dup_threshold),
+        float(passage_threshold),
+        float(neardup_threshold),
+        float(oov_threshold),
+        float(share_threshold),
+    )
+    panels = _melt(
+        wide,
+        [
+            ("'exact_dedup'", "''", "'dup_of_state_rate'",
+             "NULL", f"round(__dup_state_rate, {r})",
+             f"round(__dup_state_rate, {r})",
+             f"round(__dup_state_rate, {r}) > {dup!r}D"),
+            ("'exact_dedup'", "''", "'dup_in_batch_rate'",
+             "NULL", f"round(__dup_batch_rate, {r})",
+             f"round(__dup_batch_rate, {r})",
+             f"round(__dup_batch_rate, {r}) > {dup!r}D"),
+            ("'exact_dedup'", "''", "'keep_rate'",
+             "NULL", f"round(__keep_rate, {r})", "NULL", "false"),
+            ("'passage'", "''", "'dup_passage_doc_rate'",
+             "NULL", f"round(__pas_docs / nullif(__n, 0), {r})",
+             f"round(__pas_docs / nullif(__n, 0), {r})",
+             f"round(__pas_docs / nullif(__n, 0), {r}) > {pth!r}D"),
+            ("'passage'", "''", "'dup_span_tokens'",
+             "NULL", "__pas_tokens", "NULL", "false"),
+            ("'neardup'", "''", "'neardup_doc_rate'",
+             "NULL", f"round(__near_docs / nullif(__n, 0), {r})",
+             f"round(__near_docs / nullif(__n, 0), {r})",
+             f"round(__near_docs / nullif(__n, 0), {r}) > {nth!r}D"),
+            ("'neardup'", "''", "'neardup_pairs'",
+             "NULL", "__near_pairs", "NULL", "false"),
+            ("'lm_quality'", "''", "'oov_token_rate'",
+             "NULL", f"round(__oov_rate, {r})",
+             f"round(__oov_rate, {r})",
+             f"round(__oov_rate, {r}) > {oth!r}D"),
+            ("'lm_quality'", "''", "'mean_doc_logprob'",
+             "NULL", f"round(__mean_lp, {r})", "NULL", "false"),
+        ],
+    )
+    ts = _melt(
+        token_share_incremental(
+            new_docs, token_share_state, group_col, text_col, sth
+        ),
+        [
+            ("'token_share'",
+             "CASE WHEN group_key IS NULL THEN '<null>'"
+             " ELSE CAST(group_key AS STRING) END",
+             "'token_share'",
+             f"round(ref_share, {r})", f"round(curr_share, {r})",
+             f"round(share_abs_diff, {r})", "drift_detected"),
+        ],
+    )
+    out = panels.unionByName(ts)
+    return out.selectExpr(
+        "family",
+        "key",
+        "metric",
+        f"round(ref_value, {r}) AS ref_value",
+        f"round(curr_value, {r}) AS curr_value",
+        f"round(diff, {r}) AS diff",
+        "drift_detected",
+    )

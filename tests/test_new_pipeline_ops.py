@@ -1891,3 +1891,118 @@ def test_token_share_zero_total_side(spark):
     }
     assert inc["web"]["curr_share"] is None
     assert inc["web"]["drift_detected"]
+
+
+def test_corpus_report_incremental_two_batches(spark, tmp_path):
+    """The composed ingest-vetting flagship, run as a real nightly would:
+    states built from batch1, report for batch2, states ADVANCED with
+    batch2 (fingerprints via a two-trigger foreachBatch stream), report
+    for batch3 — a doc duplicating a batch2 doc flags dup_of_state ONLY
+    after the state advanced."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_report_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_state,
+        unigram_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        minhash_signatures,
+        passage_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        fingerprint_state_sink,
+    )
+
+    schema = "doc_id long, text string, source string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "web"),
+            (2, "one two three four five six seven", "books"),
+            (3, "red orange yellow green blue indigo", "web"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta", "web"),  # dup of 1
+            (11, "completely fresh unseen text body here", "books"),
+            (12, "completely fresh unseen text body here", "books"),  # dup in batch
+        ],
+        schema,
+    )
+    batch3 = spark.createDataFrame(
+        [(20, "completely fresh unseen text body here", "web")],  # dup of 11
+        schema,
+    )
+
+    paths = {n: str(tmp_path / n) for n in ("fp", "pas", "mh", "ug", "ts")}
+
+    def states():
+        return dict(
+            fingerprint_state=spark.read.parquet(paths["fp"]),
+            passage_state=spark.read.parquet(paths["pas"]),
+            minhash_state=spark.read.parquet(paths["mh"]),
+            unigram_state=spark.read.parquet(paths["ug"]),
+            token_share_state=spark.read.parquet(paths["ts"]),
+        )
+
+    kw = dict(window=3, est_threshold=0.2, hash_family="md5")
+
+    def append_states(df):
+        fingerprint(df).write.mode("append").parquet(paths["fp"])
+        passage_state(df, window=3).write.mode("append").parquet(paths["pas"])
+        minhash_signatures(df, hash_family="md5").write.mode("append").parquet(paths["mh"])
+        unigram_state(df).write.mode("append").parquet(paths["ug"])
+        token_share_state(df).write.mode("append").parquet(paths["ts"])
+
+    append_states(batch1)
+    rep_a = {
+        (r["family"], r["key"], r["metric"]): r
+        for r in corpus_report_incremental(batch2, **states(), **kw).collect()
+    }
+    # report values are 5-dp-rounded by design (comparison artifact)
+    assert rep_a[("exact_dedup", "", "dup_of_state_rate")]["curr_value"] == 0.33333
+    assert rep_a[("exact_dedup", "", "dup_in_batch_rate")]["curr_value"] == 0.33333
+    assert rep_a[("exact_dedup", "", "keep_rate")]["curr_value"] == 0.33333
+    assert {k[0] for k in rep_a} == {
+        "exact_dedup", "passage", "neardup", "lm_quality", "token_share",
+    }
+    # batch2 is 2/3 books by docs — the books token share jumps vs state
+    assert rep_a[("token_share", "books", "token_share")]["drift_detected"]
+
+    # advance the fingerprint state through the STREAMING sink, one file
+    # per trigger (two micro-batches), as the nightly pipeline would
+    ingest = tmp_path / "ingest"
+    batch2.filter("doc_id < 12").coalesce(1).write.parquet(str(ingest / "a"))
+    batch2.filter("doc_id = 12").coalesce(1).write.parquet(str(ingest / "b"))
+    stream = (
+        spark.readStream.schema(batch2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fingerprint_state_sink(paths["fp"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the other four states advance by batch append (same additive tables)
+    passage_state(batch2, window=3).write.mode("append").parquet(paths["pas"])
+    minhash_signatures(batch2, hash_family="md5").write.mode("append").parquet(paths["mh"])
+    unigram_state(batch2).write.mode("append").parquet(paths["ug"])
+    token_share_state(batch2).write.mode("append").parquet(paths["ts"])
+
+    rep_b = {
+        (r["family"], r["key"], r["metric"]): r
+        for r in corpus_report_incremental(batch3, **states(), **kw).collect()
+    }
+    # doc 20 duplicates doc 11 — known ONLY because the state advanced
+    assert rep_b[("exact_dedup", "", "dup_of_state_rate")]["curr_value"] == 1.0
+    assert rep_b[("exact_dedup", "", "dup_of_state_rate")]["drift_detected"]
+    assert rep_b[("exact_dedup", "", "keep_rate")]["curr_value"] == 0.0
+    assert rep_b[("passage", "", "dup_passage_doc_rate")]["curr_value"] == 1.0
+    assert rep_b[("neardup", "", "neardup_doc_rate")]["curr_value"] == 1.0
+    # every batch3 token is in-vocab after the state advance
+    assert rep_b[("lm_quality", "", "oov_token_rate")]["curr_value"] == 0.0
