@@ -393,3 +393,106 @@ def cluster_share_state_sink(
         ).write.mode("append").parquet(state_path)
 
     return write_batch
+
+
+def ingest_vetting_sink(
+    fingerprint_path: str,
+    passage_path: str,
+    minhash_path: str,
+    unigram_path: str,
+    token_share_path: str,
+    report_path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 1,
+    k_shingle: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    hash_family: str = "xxhash",
+    max_bucket_size: int | None = None,
+    report_kwargs: dict | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The nightly ingest-vetting automation as ONE ``foreachBatch``
+    sink: each micro-batch is first VETTED against the corpus-so-far
+    states (``corpus_pipeline.corpus_report_incremental`` — one
+    long-format report row set, stamped with ``batch_id``, appended to
+    ``report_path``), and only then do all five states advance with the
+    batch's own increments (composing the individual ``*_state_sink``
+    writers). Vet-before-advance is the invariant: a batch must never be
+    compared against a state that already contains it, or every document
+    would flag as its own duplicate.
+
+    The FIRST batch (no state yet — the unigram state is missing or
+    empty) bootstraps: no report is written (there is no corpus to vet
+    against), states are seeded. Downstream reads
+    ``spark.read.parquet(report_path)`` and filters/alerts on
+    ``drift_detected`` — O(families + groups) rows per batch.
+
+    The member parameters (``window``/``k_shingle``/``num_hashes``/
+    ``bands``/``hash_family``) are baked into the sink closure so every
+    append and every vetting call share ONE configuration — the same
+    contract the individual state sinks document. ``report_kwargs``
+    forwards thresholds (``dup_threshold`` etc.) to the report."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_report_incremental,
+    )
+
+    advance = [
+        fingerprint_state_sink(fingerprint_path, text_col, id_col),
+        passage_state_sink(passage_path, text_col, id_col, window, stride),
+        minhash_state_sink(
+            minhash_path, text_col, id_col, k_shingle, num_hashes, hash_family
+        ),
+        unigram_state_sink(unigram_path, text_col, id_col),
+        token_share_state_sink(token_share_path, group_col, text_col),
+    ]
+    kwargs = dict(report_kwargs or {})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _read(path: str) -> DataFrame | None:
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:  # path absent — bootstrap batch
+                return None
+
+        states = [
+            _read(p)
+            for p in (
+                fingerprint_path,
+                passage_path,
+                minhash_path,
+                unigram_path,
+                token_share_path,
+            )
+        ]
+        if all(s is not None for s in states) and not states[3].isEmpty():
+            corpus_report_incremental(
+                batch_df,
+                *states,
+                group_col=group_col,
+                text_col=text_col,
+                id_col=id_col,
+                window=window,
+                stride=stride,
+                k_shingle=k_shingle,
+                num_hashes=num_hashes,
+                bands=bands,
+                est_threshold=est_threshold,
+                hash_family=hash_family,
+                max_bucket_size=max_bucket_size,
+                **kwargs,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+        for sink in advance:
+            sink(batch_df, batch_id)
+
+    return write_batch

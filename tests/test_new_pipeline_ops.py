@@ -2006,3 +2006,80 @@ def test_corpus_report_incremental_two_batches(spark, tmp_path):
     assert rep_b[("neardup", "", "neardup_doc_rate")]["curr_value"] == 1.0
     # every batch3 token is in-vocab after the state advance
     assert rep_b[("lm_quality", "", "oov_token_rate")]["curr_value"] == 0.0
+
+
+def test_ingest_vetting_sink(spark, tmp_path):
+    """The nightly automation as one foreachBatch sink: batch 0
+    bootstraps (states seeded, no report — nothing to vet against);
+    batch 1, arriving through a SECOND availableNow run sharing the
+    checkpoint, is vetted against batch 0's states BEFORE advancing
+    them; a direct third call sees the advanced state."""
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        ingest_vetting_sink,
+    )
+
+    schema = "doc_id long, text string, source string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "web"),
+            (2, "one two three four five six seven", "books"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta", "web"),  # dup of 1
+            (11, "completely fresh unseen text body here", "books"),
+        ],
+        schema,
+    )
+    p = {n: str(tmp_path / n) for n in ("fp", "pas", "mh", "ug", "ts", "rep")}
+    sink = ingest_vetting_sink(
+        p["fp"], p["pas"], p["mh"], p["ug"], p["ts"], p["rep"],
+        window=3, est_threshold=0.2, hash_family="md5",
+    )
+
+    ingest = tmp_path / "ingest"
+    ckpt = str(tmp_path / "ckpt")
+    batch1.coalesce(1).write.parquet(str(ingest / "a"))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(str(ingest / "*"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # bootstrap: states seeded, NO report
+    assert spark.read.parquet(p["ug"]).count() > 0
+    import os
+
+    assert not os.path.exists(p["rep"])
+
+    batch2.coalesce(1).write.parquet(str(ingest / "b"))
+    run_stream()  # second run, same checkpoint: only file b is new
+    rep = spark.read.parquet(p["rep"])
+    rows = {
+        (r["family"], r["key"], r["metric"]): r
+        for r in rep.collect()
+    }
+    assert rep.select("batch_id").distinct().count() == 1
+    # doc 10 duplicates state doc 1 — vetted BEFORE the state advanced
+    # (were states advanced first, every doc would flag itself: rate 1.0)
+    assert rows[("exact_dedup", "", "dup_of_state_rate")]["curr_value"] == 0.5
+    assert {k[0] for k in rows} == {
+        "exact_dedup", "passage", "neardup", "lm_quality", "token_share",
+    }
+
+    # direct call: the state now includes batch2, so a copy of doc 11 flags
+    batch3 = spark.createDataFrame(
+        [(20, "completely fresh unseen text body here", "web")], schema
+    )
+    sink(batch3, 99)
+    rep2 = spark.read.parquet(p["rep"]).filter("batch_id = 99").collect()
+    by_key = {(r["family"], r["metric"]): r for r in rep2}
+    assert by_key[("exact_dedup", "dup_of_state_rate")]["curr_value"] == 1.0
