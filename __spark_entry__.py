@@ -6079,6 +6079,7 @@ def _oracle_queries() -> dict[str, str]:
         "image_decode": _image_decode_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "corpus_report_incremental": _corpus_report_incremental_sql(),
+        "kmeans_fit": _kmeans_fit_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -6811,6 +6812,73 @@ def _corpus_report_incremental_sql() -> str:
       drift_detected FROM ts"""
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means fit (Lloyd, 2 iterations, k=4,
+    first-k-by-id init): the operator that produces the centroids the
+    whole topic-mix family consumes. Long-format output (cluster_id, pos,
+    centroid component, member count under the final centroids); the
+    oracle unrolls both Lloyd iterations in SQL."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        kmeans_fit_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_fit_report(emb, k=4, iters=2, scoring="expr")
+    return _round_cols(out, ["centroid"])
+
+
+def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
+    """Unrolled 2-iteration Lloyd replay: assignment = max cosine with
+    row_number tie-break to the smallest cluster id (Spark's
+    array_position-of-max convention), update = per-dimension AVG,
+    empty clusters keep the prior centroid, plus one final assignment
+    pass for member counts."""
+    assign = (
+        "SELECT vec_id, cid FROM ("
+        "  SELECT vec_id, cid,"
+        "    row_number() OVER (PARTITION BY vec_id"
+        "      ORDER BY cos DESC, cid ASC) AS rn"
+        "  FROM {d}) WHERE rn = 1"
+    )
+    cos = f"""
+    list_sum(list_transform(range(1, {dim + 1}), i -> v.e[i] * c.e[i]))
+      / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+         * sqrt(list_sum(list_transform(c.e, x -> x * x))))"""
+
+    def it(n: int, prev: str) -> str:
+        return f"""
+    d{n} AS (SELECT v.vec_id, c.cid, {cos} AS cos
+             FROM v CROSS JOIN {prev} c),
+    a{n} AS ({assign.format(d=f'd{n}')}),
+    m{n} AS (SELECT a.cid, i.i AS pos, AVG(list_extract(v.e, i.i)) AS m
+             FROM a{n} a JOIN v USING (vec_id)
+             CROSS JOIN range(1, {dim + 1}) i(i)
+             GROUP BY 1, 2),
+    c{n}m AS (SELECT cid, list(m ORDER BY pos) AS e FROM m{n} GROUP BY cid),
+    c{n} AS (SELECT p.cid, COALESCE(c{n}m.e, p.e) AS e
+             FROM {prev} p LEFT JOIN c{n}m USING (cid))"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),
+    {it(1, 'c0')},
+    {it(2, 'c1')},
+    df AS (SELECT v.vec_id, c.cid, {cos} AS cos
+           FROM v CROSS JOIN c2 c),
+    af AS ({assign.format(d='df')}),
+    cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM af GROUP BY cid)
+    SELECT c2.cid AS cluster_id, CAST(i.i - 1 AS INT) AS pos,
+      ROUND(list_extract(c2.e, i.i), {ROUND}) AS centroid,
+      cnt.n AS n_members
+    FROM c2 CROSS JOIN range(1, {dim + 1}) i(i)
+    JOIN cnt ON cnt.cid = c2.cid"""
+
+
 def q_cluster_balance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-mix tripwire: the vec_id%3==0 ingest batch's cluster mix
     (assignment to the first-8-by-id fixed centroids) vetted against the
@@ -7000,6 +7068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "image_decode": q_image_decode,
         "corpus_report_incremental": q_corpus_report_incremental,
+        "kmeans_fit": q_kmeans_fit,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -1068,13 +1068,18 @@ def _assign_cluster_ids(
     rows: list[dict],
     mode: str,
     embedding_col: str,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (``rows`` = sorted
     ``{cid, ce}`` dicts) — the ``semantic_decontaminate`` narrow-map
     shape: the centroid matrix inlines as ONE plan literal (expr mode)
     or one Arrow GEMM per batch (gemm mode); output is a single
     ``cluster_id`` column (NULL for NULL/ragged vectors — get(), never
-    plain indexing, see semantic_decontaminate)."""
+    plain indexing, see semantic_decontaminate) plus any ``keep``
+    passthrough columns (``fit_kmeans`` keeps the vector itself for the
+    update step)."""
+    keep = list(keep or [])
+    keep_quoted = [f"`{c}`" for c in keep]
     if mode == "gemm":
         from pyspark_data_drift_detector_spark.functions.udfs import (
             make_matrix_topcos_udf,
@@ -1084,16 +1089,19 @@ def _assign_cluster_ids(
             [r["ce"] for r in rows], [int(r["cid"]) for r in rows]
         )
         return df.selectExpr(
-            f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
-        ).select(tc(F.col("e"))["nearest_id"].alias("cluster_id"))
+            *keep_quoted, f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
+        ).select(*keep, tc(F.col("e"))["nearest_id"].alias("cluster_id"))
     mat = "array(" + ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
         for r in rows
     ) + ")"
     ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
     return (
-        df.selectExpr(f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e")
+        df.selectExpr(
+            *keep_quoted, f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
+        )
         .selectExpr(
+            *keep_quoted,
             f"""zip_with(
               transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
                                               0.0D, (s, x) -> s + x)),
@@ -1102,6 +1110,7 @@ def _assign_cluster_ids(
             ) AS __cos""",
         )
         .selectExpr(
+            *keep_quoted,
             f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
             " AS INT) - 1) AS BIGINT) AS cluster_id",
         )
@@ -1209,4 +1218,124 @@ def cluster_balance_incremental(
         "*",
         f"round(share_abs_diff, 5) > {float(threshold)!r}D"
         " AS drift_detected",
+    )
+
+
+def fit_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scoring: str = "auto",
+    max_fit_cells: int = 65_536,
+) -> list[tuple[int, list[float]]]:
+    """Fit the ``(cluster_id, vector)`` centroid set the topic-mix family
+    consumes (``cluster_balance_drift(centroids=)``,
+    ``cluster_share_state``, ``cluster_balance_incremental``) — spherical
+    k-means by Lloyd iteration, expressed as DataFrame ops:
+
+    - **init**: the first ``k`` VALID vectors by id (the deterministic,
+      oracle-replayable ``ivf_topk`` convention — production can pass any
+      sample through and re-fit);
+    - **assign**: max-cosine against the current centroids via the same
+      inlined-matrix narrow map every cluster operator uses
+      (``_assign_cluster_ids``) — no shuffle, ties to the smallest id;
+    - **update**: per-cluster per-dimension mean — ONE wide ``k``-row
+      aggregate per iteration (``dim`` conditional avgs, map-side
+      partial); empty clusters keep their previous centroid. Cosine
+      ignores magnitude, so the unnormalized mean assigns identically to
+      the normalized spherical-k-means centroid.
+
+    Per iteration: one groupBy shuffle of ``(cluster_id, dim partial
+    sums)`` and one O(k·dim) driver collect — the same driver traffic
+    Spark MLlib's KMeans pays, capped by ``max_fit_cells`` (the
+    ``semantic_decontaminate`` plan-literal cap: the centroid matrix must
+    inline). Lloyd is inherently iterative: O(iters) jobs by design, on a
+    SAMPLE at 100 TB (fit on ``uniform_sample`` output, apply the frozen
+    centroids corpus-wide — the CCNet/corpus-clustering recipe).
+
+    NULL, wrong-length, and NULL-element vectors are excluded from the
+    fit (they carry no geometry); downstream assignment surfaces them as
+    the NULL-cluster row. Raises if fewer than ``k`` valid vectors
+    exist. Returns the fitted ``[(cluster_id, [floats]), ...]`` sorted by
+    cluster id — exactly the shape ``centroids=`` parameters take.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = _as_double_array(
+        df.select(F.col(id_col).alias("__fid"), embedding_col),
+        embedding_col,
+        "ce",
+    ).select("__fid", "ce")
+    first = base.filter(
+        "ce IS NOT NULL AND NOT exists(ce, __x -> __x IS NULL)"
+    ).orderBy("__fid").limit(1).collect()
+    if not first:
+        raise ValueError("no valid vectors to fit on")
+    dim = len(first[0]["ce"])
+    if k * dim > max_fit_cells:
+        raise ValueError(
+            f"k*dim = {k * dim} exceeds max_fit_cells={max_fit_cells}: the "
+            "centroid matrix must inline as a plan literal — reduce k, or "
+            "fit on a lower-dimensional projection"
+        )
+    valid = base.filter(
+        f"ce IS NOT NULL AND size(ce) = {dim}"
+        " AND NOT exists(ce, __x -> __x IS NULL)"
+    )
+    seed = valid.orderBy("__fid").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"only {len(seed)} valid vectors for k={k}")
+    centroids = {i: list(r["ce"]) for i, r in enumerate(seed)}
+    mode = _resolve_scoring(scoring, dim)
+    mean_exprs = [
+        f"avg(ce[{i}]) AS m{i}" for i in range(dim)
+    ]
+    for _ in range(iters):
+        rows = _centroid_rows(sorted(centroids.items()))
+        assigned = _assign_cluster_ids(valid, rows, mode, "ce", keep=["ce"])
+        updated = (
+            assigned.groupBy("cluster_id").agg(
+                *[F.expr(e) for e in mean_exprs]
+            )
+        ).collect()
+        for r in updated:
+            centroids[int(r["cluster_id"])] = [
+                float(r[f"m{i}"]) for i in range(dim)
+            ]
+    return sorted((cid, vec) for cid, vec in centroids.items())
+
+
+def kmeans_fit_report(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Long-format view of a :func:`fit_kmeans` run for storage/oracle
+    comparison: one row per ``(cluster_id, pos)`` with the fitted
+    centroid component and the cluster's member count under the FINAL
+    centroids (one extra assignment pass via
+    :func:`cluster_share_state`, invalid vectors under NULL cluster_id
+    excluded — they carry no geometry)."""
+    centroids = fit_kmeans(df, k, iters, embedding_col, id_col, scoring)
+    spark = df.sparkSession
+    melted = spark.createDataFrame(
+        [
+            (int(cid), int(pos), float(x))
+            for cid, vec in centroids
+            for pos, x in enumerate(vec)
+        ],
+        "cluster_id long, pos int, centroid double",
+    )
+    counts = cluster_share_state(
+        df, centroids, embedding_col=embedding_col, scoring=scoring
+    ).filter("cluster_id IS NOT NULL")
+    return melted.join(F.broadcast(counts), "cluster_id").selectExpr(
+        "cluster_id", "pos", "centroid", "CAST(n AS BIGINT) AS n_members"
     )

@@ -1125,3 +1125,88 @@ def test_cluster_balance_incremental(spark, tmp_path):
     curr = prior
     with _pytest.raises(ValueError, match="duplicate centroid ids"):
         cluster_balance_drift(ref, curr, centroids=[(1, anchors[0]), (1, anchors[1])])
+
+
+def test_fit_kmeans(spark):
+    """Lloyd fit recovers planted anchors, is deterministic, excludes
+    invalid vectors, keeps empty clusters' prior centroids, matches
+    between expr and gemm scoring, and validates its inputs."""
+    import math
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_share_state,
+        fit_kmeans,
+        kmeans_fit_report,
+    )
+
+    rng = random.Random(17)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in anchors[i % 3]])
+        for i in range(45)
+    ]
+    rows += [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = fit_kmeans(df, k=3, iters=3)
+    assert [c for c, _ in cents] == [0, 1, 2]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    # every anchor recovered by exactly one fitted centroid
+    best = [max(range(3), key=lambda j: cos(v, anchors[j])) for _, v in cents]
+    assert sorted(best) == [0, 1, 2]
+    assert all(
+        cos(v, anchors[j]) > 0.99 for (_, v), j in zip(cents, best)
+    )
+    # deterministic: same inputs, same fit
+    assert fit_kmeans(df, k=3, iters=3) == cents
+    # the fitted centroids feed the existing topic-mix family directly
+    shares = {
+        r["cluster_id"]: r["n"]
+        for r in cluster_share_state(df, cents).collect()
+    }
+    assert shares[0] == shares[1] == shares[2] == 15
+    assert shares[None] == 2  # invalid vectors surface downstream, not in fit
+
+    rep = kmeans_fit_report(df, k=3, iters=3)
+    assert rep.count() == 24  # 3 clusters x 8 dims
+    assert {r["n_members"] for r in rep.collect()} == {15}
+
+    # gemm scoring path fits to the same centroids (rounded: GEMM sums
+    # in a different order)
+    gem = fit_kmeans(df, k=3, iters=3, scoring="gemm")
+    for (ca, va), (cb, vb) in zip(cents, gem):
+        assert ca == cb
+        assert all(abs(x - y) < 1e-9 for x, y in zip(va, vb))
+
+    # an unmatched cluster keeps its previous centroid: k=2 on two points
+    # pointing the SAME way — point 2 assigns to centroid 0 (higher
+    # cosine after update), centroid 1 must survive untouched
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001])],
+        "vec_id long, embedding array<double>",
+    )
+    tc = fit_kmeans(tiny, k=2, iters=2)
+    assert len(tc) == 2  # no crash, both clusters present
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only 2 valid"):
+        fit_kmeans(tiny, k=5)
+    with _pytest.raises(ValueError, match="max_fit_cells"):
+        fit_kmeans(df, k=3, max_fit_cells=10)
+    with _pytest.raises(ValueError, match="no valid vectors"):
+        fit_kmeans(
+            spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>"),
+            k=1,
+        )
+    with _pytest.raises(ValueError, match="k must be"):
+        fit_kmeans(df, k=0)
+    with _pytest.raises(ValueError, match="iters must be"):
+        fit_kmeans(df, k=2, iters=0)
