@@ -246,26 +246,36 @@ def ivf_topk(
     scoring: str = "auto",
     dim: int | None = None,
     broadcast_queries: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus, probe ``nprobe`` cells.
 
-    Centroids are the first ``n_centroids`` vectors by id (deterministic;
-    substitute a KMeans fit offline for production). Corpus vectors are
-    assigned to their nearest centroid ONCE (the inverted file); each query
-    probes its ``nprobe`` nearest centroids and exact-scores only those
-    cells.
+    Default centroids are the first ``n_centroids`` vectors by id
+    (deterministic, oracle-replayable); pass ``centroids=`` — e.g. a
+    :func:`fit_kmeans` result — for production cells (``n_centroids`` is
+    then ignored; the ``cluster_balance_drift(centroids=)`` convention).
+    Corpus vectors are assigned to their nearest centroid ONCE (the
+    inverted file); each query probes its ``nprobe`` nearest centroids
+    and exact-scores only those cells.
 
     ``scoring``/``dim``: see ``lsh_topk`` — ``"auto"`` picks the numpy GEMM
     path when ``dim`` is supplied and ≥ ``GEMM_DIM_THRESHOLD``.
     """
     mode = _resolve_scoring(scoring, dim)
     cosine = _cosine_fn(mode)
-    cent = (
-        _as_double_array(corpus, embedding_col, "cent_e")
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), "cent_e")
-    )
+    if centroids is not None:
+        rows = _centroid_rows(centroids)
+        cent = corpus.sparkSession.createDataFrame(
+            [(r["cid"], r["ce"]) for r in rows],
+            "centroid_id long, cent_e array<double>",
+        )
+    else:
+        cent = (
+            _as_double_array(corpus, embedding_col, "cent_e")
+            .orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), "cent_e")
+        )
 
     def assign(df: DataFrame, ida: str, earr: str, n: int) -> DataFrame:
         joined = df.crossJoin(F.broadcast(cent)).withColumn(

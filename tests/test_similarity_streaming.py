@@ -1210,3 +1210,35 @@ def test_fit_kmeans(spark):
         fit_kmeans(df, k=0)
     with _pytest.raises(ValueError, match="iters must be"):
         fit_kmeans(df, k=2, iters=0)
+
+
+def test_ivf_topk_fitted_centroids(spark):
+    """ivf_topk accepts a fit_kmeans result as its cell centroids; with
+    well-separated clusters and nprobe=1, recall vs brute force stays
+    perfect because each query's true neighbors share its cell."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cosine_topk,
+        fit_kmeans,
+        ivf_topk,
+    )
+
+    rng = random.Random(23)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.03) for x in anchors[i % 3]])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = fit_kmeans(df, k=3, iters=3)
+    queries = df.filter("vec_id < 6")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, queries, k=3, nprobe=1, centroids=cents).collect()
+    }
+    assert approx == exact
