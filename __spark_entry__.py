@@ -1201,6 +1201,89 @@ def _quality_classifier_sql(d: int = 256) -> str:
     FROM base"""
 
 
+def q_fit_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the learned quality scorer: full-batch logistic regression
+    over hashed uni+bigram counts (label: lang == 'en', the CCNet
+    seed-vs-crawl shape), 2 GD iterations from zero init — fully
+    deterministic, no seed. Output: one row per bucket with the fitted
+    weight, plus a bucket=-1 bias row; the oracle unrolls both gradient
+    steps in SQL."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    docs = _documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "text",
+        "CAST(lang = 'en' AS INT) AS is_en",
+    )
+    w, b = fit_quality_classifier(
+        docs,
+        "is_en",
+        weights_dim=64,
+        iters=2,
+        lr=0.5,
+        hash_family="md5",
+    )
+    rows = [(-1, float(b))] + [(i, float(x)) for i, x in enumerate(w)]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return _round_cols(out, ["weight"])
+
+
+def _fit_quality_classifier_sql(d: int = 64, lr: float = 0.5) -> str:
+    """Unrolled 2-step GD replay: zero init makes step 1's errors exactly
+    0.5 - y (all logits 0), so w1 is an exact sum; step 2 rescales through
+    the sigmoid. Gradient = SUM(cnt*err)/n over ALL labeled docs; the
+    bucket grid LEFT JOIN keeps untouched buckets at weight 0."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+        list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, unnest(list_concat(tk,
+        list_transform(range(1, greatest(len(tk), 1)),
+          i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1)))) AS gram
+      FROM t),
+    c AS (
+      SELECT doc_id,
+        CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % {d} AS INT)
+          AS bucket,
+        CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM g GROUP BY 1, 2),
+    lab AS (SELECT doc_id, y FROM t),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+    grid AS (SELECT CAST(r.i AS INT) AS bucket FROM range({d}) r(i)),
+    -- step 1: logits all zero, err = 0.5 - y
+    e1 AS (SELECT doc_id, 0.5 - y AS err FROM lab),
+    w1 AS (
+      SELECT grid.bucket,
+        -{lr!r} * COALESCE(gw.s, 0) / (SELECT n FROM n) AS w
+      FROM grid LEFT JOIN (
+        SELECT c.bucket, SUM(c.cnt * e1.err) AS s
+        FROM c JOIN e1 USING (doc_id) GROUP BY 1) gw USING (bucket)),
+    b1 AS (SELECT -{lr!r} * AVG(err) AS b FROM e1),
+    -- step 2
+    s2 AS (SELECT c.doc_id, SUM(c.cnt * w1.w) AS s
+           FROM c JOIN w1 USING (bucket) GROUP BY 1),
+    e2 AS (
+      SELECT lab.doc_id,
+        1.0 / (1.0 + exp(-((SELECT b FROM b1) + COALESCE(s2.s, 0)))) - lab.y
+          AS err
+      FROM lab LEFT JOIN s2 USING (doc_id)),
+    w2 AS (
+      SELECT w1.bucket,
+        w1.w - {lr!r} * COALESCE(gw.s, 0) / (SELECT n FROM n) AS w
+      FROM w1 LEFT JOIN (
+        SELECT c.bucket, SUM(c.cnt * e2.err) AS s
+        FROM c JOIN e2 USING (doc_id) GROUP BY 1) gw USING (bucket)),
+    b2 AS (SELECT (SELECT b FROM b1) - {lr!r} * AVG(err) AS b FROM e2)
+    SELECT CAST(-1 AS INT) AS bucket, ROUND((SELECT b FROM b2), {ROUND}) AS weight
+    UNION ALL
+    SELECT bucket, ROUND(w, {ROUND}) AS weight FROM w2"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6080,6 +6163,7 @@ def _oracle_queries() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "corpus_report_incremental": _corpus_report_incremental_sql(),
         "kmeans_fit": _kmeans_fit_sql(),
+        "fit_quality_classifier": _fit_quality_classifier_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7069,6 +7153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "corpus_report_incremental": q_corpus_report_incremental,
         "kmeans_fit": q_kmeans_fit,
+        "fit_quality_classifier": q_fit_quality_classifier,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

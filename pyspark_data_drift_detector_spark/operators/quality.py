@@ -596,3 +596,121 @@ def quality_classifier(
             )
         )
     return scored.selectExpr(f"`{id_col}`", "n_grams", "logit", *score_cols)
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    weights_dim: int = 256,
+    iters: int = 5,
+    lr: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash",
+    max_weights_cells: int = 65_536,
+) -> tuple[list[float], float]:
+    """TRAIN the fastText-style scorer :func:`quality_classifier`
+    applies: full-batch logistic regression by gradient descent over the
+    SAME hashed uni+bigram count features, expressed as DataFrame ops —
+    the CCNet recipe fits exactly this (high-quality seed corpus = label
+    1, e.g. wiki refs, vs crawl = 0; Wenzek et al. 2020 §4.3).
+
+    ``label_col``: 0/1 (or boolean) column on ``df``. Documents with
+    NULL text are excluded (no features, unknown content); gram-less
+    documents still train the bias. Weights init at zero, so the fit is
+    fully deterministic given the data — there is no seed.
+
+    Per iteration (Lloyd-style driver loop, the :func:`similarity.fit_kmeans`
+    contract): score every document under the current weights (ONE
+    broadcast join of the O(d) weight table + a groupBy(doc) sum),
+    compute per-document error, reduce to the O(d)-row mean gradient
+    (groupBy bucket, map-side combine), collect O(d) scalars, step.
+    Shuffles carry only (doc_id, partial-sum) / (bucket, partial-grad)
+    scalars — never text. The per-(doc, bucket) count table is built
+    once and cached across iterations. At 100 TB: fit on a labeled
+    SAMPLE (classifier training sets are thousands of docs), apply the
+    frozen weights corpus-wide with ``quality_classifier``.
+
+    Returns ``(weights, bias)`` — exactly what ``quality_classifier``
+    takes. ``weights_dim`` is capped at ``max_weights_cells`` so the
+    APPLY step can inline the vector as a plan literal.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import ensure_safe_columns
+
+    ensure_safe_columns([text_col, id_col, label_col])
+    if hash_family not in ("xxhash", "md5"):
+        raise ValueError(f"hash_family must be 'xxhash' or 'md5', got {hash_family!r}")
+    if weights_dim < 1 or weights_dim > max_weights_cells:
+        raise ValueError(
+            f"weights_dim must be in [1, {max_weights_cells}], got {weights_dim}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    d = weights_dim
+    if hash_family == "md5":
+        bucket = f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {d}"
+    else:
+        bucket = f"pmod(xxhash64(g), {d})"
+
+    grams = df.selectExpr(
+        f"`{id_col}`",
+        f"CAST(`{label_col}` AS DOUBLE) AS __y",
+        rf"filter(split(trim(lower(`{text_col}`)), '\\s+'), t -> t != '') AS __toks",
+    ).selectExpr(
+        f"`{id_col}`",
+        "__y",
+        "concat(__toks, zip_with("
+        "  slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        "  slice(__toks, 2, greatest(size(__toks) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b))) AS __grams",
+    ).filter("__grams IS NOT NULL AND __y IS NOT NULL")
+    labels = grams.select(F.col(id_col), "__y").persist()
+    counts = (
+        grams.select(F.col(id_col), F.expr("explode(__grams) AS g"))
+        .selectExpr(f"`{id_col}`", f"CAST(({bucket}) AS INT) AS bucket")
+        .groupBy(id_col, "bucket")
+        .agg(F.expr("CAST(count(1) AS DOUBLE) AS cnt"))
+        .persist()
+    )
+    n = labels.count()
+    if n == 0:
+        labels.unpersist()
+        counts.unpersist()
+        raise ValueError("no labeled documents with non-NULL text to fit on")
+    spark = df.sparkSession
+    w = [0.0] * d
+    b = 0.0
+    try:
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(i, w[i]) for i in range(d)], "bucket int, w double"
+            )
+            doc_sums = (
+                counts.join(F.broadcast(wdf), "bucket")
+                .groupBy(id_col)
+                .agg(F.expr("sum(cnt * w) AS __s"))
+            )
+            err = (
+                labels.join(doc_sums, id_col, "left")
+                .selectExpr(
+                    f"`{id_col}`",
+                    f"1.0D / (1.0D + exp(-({b!r}D + coalesce(__s, 0.0D))))"
+                    " - __y AS __err",
+                )
+                .persist()
+            )
+            grad_b = err.agg(F.expr("avg(__err)")).collect()[0][0]
+            grads = {
+                r["bucket"]: r["gw"]
+                for r in counts.join(err, id_col)
+                .groupBy("bucket")
+                .agg(F.expr("sum(cnt * __err) AS gw"))
+                .collect()
+            }
+            err.unpersist()
+            w = [w[i] - lr * grads.get(i, 0.0) / n for i in range(d)]
+            b -= lr * float(grad_b)
+    finally:
+        labels.unpersist()
+        counts.unpersist()
+    return w, b

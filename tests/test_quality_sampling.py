@@ -407,3 +407,86 @@ def test_quality_classifier_inline_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     w = [0.5] * 32
     assert count_shuffles(quality_classifier(docs, w)) == 0
+
+
+def test_fit_quality_classifier(spark):
+    """Distributed logistic-regression fit: exact match with a numpy
+    replay of full-batch GD on the same hashed count features, learned
+    separation on planted labels, fit→apply round trip, validation."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.dedup import md5_hash60
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        fit_quality_classifier,
+        quality_classifier,
+    )
+
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, "good clean prose with meaningful words", 1))
+        else:
+            rows.append((i, "spam spam buy now click here spam", 0))
+    rows.append((100, None, 1))  # excluded: no features
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    d, lr, iters = 32, 0.5, 3
+    w, b = fit_quality_classifier(
+        docs, "label", weights_dim=d, iters=iters, lr=lr, hash_family="md5"
+    )
+
+    # numpy replay on identical features (md5 buckets replayed via Spark
+    # so the hash convention is shared, then pure numpy GD)
+    texts = {r[0]: r[1] for r in rows if r[1] is not None}
+    labels = {r[0]: float(r[2]) for r in rows if r[1] is not None}
+
+    def grams(t):
+        toks = [x for x in t.lower().strip().split() if x]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    all_grams = sorted({g for t in texts.values() for g in grams(t)})
+    gmap = {
+        r["g"]: r["h"] % d
+        for r in spark.createDataFrame([(g,) for g in all_grams], "g string")
+        .select("g", md5_hash60(F.col("g")).alias("h"))
+        .collect()
+    }
+    X = np.zeros((len(texts), d))
+    y = np.zeros(len(texts))
+    for row_i, (did, t) in enumerate(sorted(texts.items())):
+        for g in grams(t):
+            X[row_i, gmap[g]] += 1.0
+        y[row_i] = labels[did]
+    wn, bn = np.zeros(d), 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(bn + X @ wn)))
+        err = p - y
+        wn = wn - lr * (X.T @ err) / len(y)
+        bn = bn - lr * err.mean()
+    assert b == _pytest.approx(bn, abs=1e-12)
+    assert np.allclose(w, wn, atol=1e-12)
+
+    # the fit separates the planted classes through the APPLY operator
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier(docs, w, bias=b, hash_family="md5").collect()
+    }
+    assert min(scored[i] for i in range(0, 30, 2)) > max(
+        scored[i] for i in range(1, 30, 2)
+    )
+    # deterministic (zero init, no seed)
+    assert fit_quality_classifier(
+        docs, "label", weights_dim=d, iters=iters, lr=lr, hash_family="md5"
+    ) == (w, b)
+
+    with _pytest.raises(ValueError, match="weights_dim"):
+        fit_quality_classifier(docs, "label", weights_dim=0)
+    with _pytest.raises(ValueError, match="iters"):
+        fit_quality_classifier(docs, "label", iters=0)
+    with _pytest.raises(ValueError, match="no labeled documents"):
+        fit_quality_classifier(
+            spark.createDataFrame([(1, None, 1)], "doc_id long, text string, label int"),
+            "label",
+        )
