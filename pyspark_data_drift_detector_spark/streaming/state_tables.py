@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def state_table_sink(
@@ -496,3 +497,75 @@ def ingest_vetting_sink(
             sink(batch_df, batch_id)
 
     return write_batch
+
+
+#: state-kind → its lossless re-aggregation (exactly what the matching
+#: incremental reader does on every load, materialized once)
+_STATE_COMPACTORS = {
+    "fingerprint": lambda df: df.where(
+        "fingerprint IS NOT NULL"
+    ).select("fingerprint").distinct(),
+    "passage": lambda df: df.groupBy("whash").agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_occ) AS BIGINT) AS n_occ"),
+    ),
+    "unigram": lambda df: df.groupBy("token").agg(
+        F.expr("CAST(sum(cnt) AS BIGINT) AS cnt")
+    ),
+    "token_share": lambda df: df.groupBy("group_key").agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS n_tokens"),
+    ),
+    "cluster_share": lambda df: df.groupBy("cluster_id").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS n")
+    ),
+}
+
+
+def compact_state(
+    spark,
+    state_path: str,
+    kind: str,
+    target_path: str | None = None,
+) -> dict:
+    """Compact an append-only state table to its canonical aggregated
+    form — every ``*_state_sink`` appends raw per-batch rows and every
+    incremental reader re-aggregates on load, so after thousands of
+    nightly batches the state is thousands of times larger than its
+    information content. Compaction materializes that re-aggregation
+    once; results are bit-identical before and after (pinned by test).
+
+    ``kind``: ``fingerprint`` (distinct keys), ``passage`` / ``unigram``
+    / ``token_share`` / ``cluster_share`` (summed additive counts).
+    ``minhash`` state is deliberately absent: it is one signature row per
+    document (the one-batch-per-document contract), so there is nothing
+    to fold.
+
+    With ``target_path`` the compacted table is written there (the
+    object-store pattern: write new, repoint the pipeline). Without it,
+    the table is swapped IN PLACE via a temp directory + atomic rename —
+    local/POSIX filesystems only; on object stores pass ``target_path``.
+    Returns ``{"rows_before", "rows_after"}``.
+    """
+    if kind not in _STATE_COMPACTORS:
+        raise ValueError(
+            f"unknown state kind {kind!r}; expected one of "
+            f"{sorted(_STATE_COMPACTORS)}"
+        )
+    df = spark.read.parquet(state_path)
+    before = df.count()
+    compacted = _STATE_COMPACTORS[kind](df)
+    if target_path is not None:
+        compacted.write.mode("overwrite").parquet(target_path)
+        after = spark.read.parquet(target_path).count()
+        return {"rows_before": before, "rows_after": after}
+    import os
+    import shutil
+
+    tmp = state_path.rstrip("/") + ".__compact_tmp"
+    # Spark cannot overwrite a path it is reading from; stage then swap
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+    after = spark.read.parquet(state_path).count()
+    return {"rows_before": before, "rows_after": after}

@@ -2083,3 +2083,79 @@ def test_ingest_vetting_sink(spark, tmp_path):
     rep2 = spark.read.parquet(p["rep"]).filter("batch_id = 99").collect()
     by_key = {(r["family"], r["metric"]): r for r in rep2}
     assert by_key[("exact_dedup", "dup_of_state_rate")]["curr_value"] == 1.0
+
+
+def test_compact_state(spark, tmp_path):
+    """State compaction is lossless: the incremental verdicts are
+    IDENTICAL against the raw multi-append state and its compacted form,
+    while the stored row count collapses; both in-place swap and
+    target_path modes work; unknown kinds fail fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        token_share_incremental,
+        token_share_state,
+        unigram_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_incremental,
+        passage_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import fingerprint
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        compact_state,
+    )
+
+    schema = "doc_id long, text string, source string"
+    prior = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, "alpha beta gamma delta", "web"),  # same fp as 1
+            (3, "one two three four five", "books"),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta", "web"), (11, "novel text here", "books")],
+        schema,
+    )
+    p = {n: str(tmp_path / n) for n in ("fp", "pas", "ts")}
+    # three appends each → duplicate raw rows
+    for f in ("doc_id = 1", "doc_id = 2", "doc_id = 3"):
+        part = prior.filter(f)
+        fingerprint(part).write.mode("append").parquet(p["fp"])
+        passage_state(part, window=3).write.mode("append").parquet(p["pas"])
+        token_share_state(part).write.mode("append").parquet(p["ts"])
+
+    key = lambda df: sorted(
+        tuple(-1 if v is None else v for v in r) for r in df.collect()
+    )
+    before_ded = key(dedup_incremental(batch, spark.read.parquet(p["fp"])))
+    before_ts = key(
+        token_share_incremental(batch, spark.read.parquet(p["ts"]))
+    )
+
+    r = compact_state(spark, p["fp"], "fingerprint")
+    assert r["rows_before"] == 3 and r["rows_after"] == 2  # docs 1+2 collide
+    r = compact_state(spark, p["ts"], "token_share")
+    assert r["rows_before"] == 3 and r["rows_after"] == 2  # one row per source
+    compact_state(spark, p["pas"], "passage")
+
+    assert key(dedup_incremental(batch, spark.read.parquet(p["fp"]))) == before_ded
+    assert (
+        key(token_share_incremental(batch, spark.read.parquet(p["ts"])))
+        == before_ts
+    )
+
+    # target_path mode (object-store pattern) for an additive kind
+    ug = str(tmp_path / "ug")
+    unigram_state(prior.filter("doc_id = 1")).write.mode("append").parquet(ug)
+    unigram_state(prior.filter("doc_id = 2")).write.mode("append").parquet(ug)
+    out = str(tmp_path / "ug_compact")
+    r = compact_state(spark, ug, "unigram", target_path=out)
+    assert r["rows_after"] == 4  # alpha beta gamma delta, counts summed
+    got = {x["token"]: x["cnt"] for x in spark.read.parquet(out).collect()}
+    assert got == {"alpha": 2, "beta": 2, "gamma": 2, "delta": 2}
+
+    with _pytest.raises(ValueError, match="unknown state kind"):
+        compact_state(spark, ug, "minhash")
