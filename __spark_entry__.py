@@ -1284,6 +1284,72 @@ def _fit_quality_classifier_sql(d: int = 64, lr: float = 0.5) -> str:
     SELECT bucket, ROUND(w, {ROUND}) AS weight FROM w2"""
 
 
+def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end cleaning run a training-data pipeline ships:
+    annotate every document with its first failing gate (empty → quality
+    → learned classifier → normalized dedup → benchmark decontamination)
+    and report the per-stage funnel. Members reuse the oracled gates
+    (md5 classifier family, 4-gram %50 benchmark, normalize_text_expr
+    canonical dedup)."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        clean_corpus,
+        corpus_funnel,
+    )
+
+    docs = _documents(spark, sf_dir)
+    ann = clean_corpus(
+        docs,
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        weights=_qc_weights(),
+        bias=-0.25,
+        decontaminate_n=4,
+        classifier_hash_family="md5",
+    )
+    return corpus_funnel(ann)
+
+
+def _corpus_clean_funnel_sql() -> str:
+    """Composed replay: per-doc quality + classifier verdicts (member
+    oracle bodies), canonical-text dedup among pre-stage survivors, the
+    4-gram benchmark semi-join, first-failing-stage attribution, stage
+    counts."""
+    return f"""
+    WITH q AS (SELECT doc_id, passes FROM ({_quality_filter_sql()}) s),
+    clf AS (SELECT doc_id, keep FROM ({_quality_classifier_sql()}) s),
+    pre AS (
+      SELECT d.doc_id, d.text,
+        CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 'empty'
+             WHEN NOT q.passes THEN 'quality'
+             WHEN NOT clf.keep THEN 'classifier' END AS pre_stage
+      FROM documents d
+      LEFT JOIN q USING (doc_id) LEFT JOIN clf USING (doc_id)),
+    surv AS (SELECT doc_id, text FROM pre WHERE pre_stage IS NULL),
+    norm AS (
+      SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS ck
+      FROM surv),
+    grp AS (SELECT ck, MIN(doc_id) AS survivor_id FROM norm GROUP BY ck),
+    dup AS (SELECT n.doc_id, n.doc_id != g.survivor_id AS is_dup
+            FROM norm n JOIN grp g USING (ck)),
+    ng AS (SELECT DISTINCT doc_id, gram FROM ({_ngram_sql(4)})),
+    bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 50 = 0),
+    con AS (SELECT DISTINCT s.doc_id
+            FROM surv s JOIN ng USING (doc_id)
+            JOIN bench USING (gram)),
+    ann AS (
+      SELECT pre.doc_id,
+        COALESCE(pre.pre_stage,
+          CASE WHEN d.is_dup THEN 'duplicate'
+               WHEN c.doc_id IS NOT NULL THEN 'contaminated' END) AS stage
+      FROM pre
+      LEFT JOIN dup d USING (doc_id)
+      LEFT JOIN con c ON c.doc_id = pre.doc_id)
+    SELECT COALESCE(stage, 'kept') AS stage,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ann GROUP BY 1"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6164,6 +6230,7 @@ def _oracle_queries() -> dict[str, str]:
         "corpus_report_incremental": _corpus_report_incremental_sql(),
         "kmeans_fit": _kmeans_fit_sql(),
         "fit_quality_classifier": _fit_quality_classifier_sql(),
+        "corpus_clean_funnel": _corpus_clean_funnel_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7154,6 +7221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_incremental": q_corpus_report_incremental,
         "kmeans_fit": q_kmeans_fit,
         "fit_quality_classifier": q_fit_quality_classifier,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -320,3 +320,115 @@ def corpus_report_incremental(
         f"round(diff, {r}) AS diff",
         "drift_detected",
     )
+
+
+#: funnel stage order (first failing stage wins attribution)
+CLEAN_STAGES = ("empty", "quality", "classifier", "duplicate", "contaminated")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    classifier_threshold: float = 0.5,
+    decontaminate_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_kwargs: dict | None = None,
+    classifier_hash_family: str = "xxhash",
+    normalize: bool = True,
+) -> DataFrame:
+    """The end-to-end training-data cleaning run, annotate-once: every
+    document gets a ``drop_stage`` column naming the FIRST gate it fails
+    (``empty`` → ``quality`` → ``classifier`` → ``duplicate`` →
+    ``contaminated``; NULL = kept). ``.where("drop_stage IS NULL")`` is
+    the clean corpus; :func:`corpus_funnel` is the per-stage loss report
+    — the two artifacts every pipeline run ships.
+
+    Members are the existing operators (``quality_filter``, optional
+    ``quality_classifier`` when ``weights`` is given,
+    ``dedup_exact`` over ``normalize_text_expr`` canonical forms,
+    ``decontaminate`` vs ``benchmark`` when given), so every gate keeps
+    its own scale shape. Dedup survivors are chosen AMONG the documents
+    that cleared the earlier narrow gates — a quality-dropped copy never
+    shadows a keepable one; contamination is per-document independent,
+    so its attribution order (after ``duplicate``) only decides the
+    label when both apply.
+
+    Annotation, not sequential filtering: the stages materialize as ONE
+    plan (joins of per-doc verdict frames keyed by id), so the funnel
+    and the clean corpus come from the same pass instead of one
+    count-action per stage.
+    """
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_exact
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        decontaminate,
+        quality_classifier,
+        quality_filter,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import (
+        normalize_text_expr,
+    )
+
+    qf = quality_filter(
+        docs, text_col, id_col, **(quality_kwargs or {})
+    ).select(F.col(id_col), F.col("passes").alias("__q_pass"))
+    verdicts = docs.join(qf, id_col, "left")
+    pre_cases = [
+        f"WHEN `{text_col}` IS NULL OR trim(`{text_col}`) = '' THEN 'empty'",
+        "WHEN NOT __q_pass THEN 'quality'",
+    ]
+    if weights is not None:
+        clf = quality_classifier(
+            docs,
+            weights,
+            bias=bias,
+            threshold=classifier_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            hash_family=classifier_hash_family,
+        ).select(F.col(id_col), F.col("keep").alias("__c_keep"))
+        verdicts = verdicts.join(clf, id_col, "left")
+        pre_cases.append("WHEN NOT __c_keep THEN 'classifier'")
+    verdicts = verdicts.selectExpr(
+        "*", f"CASE {' '.join(pre_cases)} END AS __pre_stage"
+    )
+
+    survivors = verdicts.filter("__pre_stage IS NULL").select(
+        F.col(id_col), F.col(text_col)
+    )
+    ded_in = (
+        survivors.withColumn(text_col, normalize_text_expr(F.col(text_col)))
+        if normalize
+        else survivors
+    )
+    dup = dedup_exact(ded_in, text_col, id_col).select(
+        F.col(id_col), F.col("is_duplicate").alias("__dup")
+    )
+    out = verdicts.join(dup, id_col, "left")
+    if benchmark is not None:
+        con = decontaminate(
+            survivors, benchmark, n=decontaminate_n, text_col=text_col, id_col=id_col
+        ).select(F.col(id_col), F.lit(True).alias("__con"))
+        out = out.join(con, id_col, "left")
+        con_case = "WHEN __con THEN 'contaminated'"
+    else:
+        con_case = ""
+    drop_cols = ["__q_pass", "__pre_stage", "__dup"] + (
+        ["__c_keep"] if weights is not None else []
+    ) + (["__con"] if benchmark is not None else [])
+    return out.selectExpr(
+        "*",
+        f"coalesce(__pre_stage, CASE WHEN __dup THEN 'duplicate'"
+        f" {con_case} END) AS drop_stage",
+    ).drop(*drop_cols)
+
+
+def corpus_funnel(annotated: DataFrame) -> DataFrame:
+    """Per-stage loss report over :func:`clean_corpus` output: one row
+    per drop stage plus ``kept`` — the numbers a pipeline run records
+    next to its output corpus. O(stages) rows."""
+    return annotated.selectExpr(
+        "coalesce(drop_stage, 'kept') AS stage"
+    ).groupBy("stage").agg(F.expr("CAST(count(1) AS BIGINT) AS n_docs"))

@@ -2159,3 +2159,63 @@ def test_compact_state(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown state kind"):
         compact_state(spark, ug, "minhash")
+
+
+def test_clean_corpus_funnel(spark):
+    """Annotate-once cleaning: first-failing-stage attribution across all
+    five gates, dedup survivors chosen among quality survivors, optional
+    members (no classifier / no benchmark) degrade gracefully."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        clean_corpus,
+        corpus_funnel,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs", "a"),
+        (2, "the quick brown fox jumps over the lazy dog and runs  ", "a"),
+        (3, "", "a"),
+        (4, None, "a"),
+        (5, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx", "a"),
+        (6, "this document is perfectly fine and long enough to pass the gate", "a"),
+        (7, "eval question text appears here in the benchmark set exactly", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = docs.filter("doc_id = 7")
+    ann = clean_corpus(docs, benchmark=bench, decontaminate_n=4)
+    got = {r["doc_id"]: r["drop_stage"] for r in ann.collect()}
+    assert got == {
+        1: None,            # kept; its trailing-space twin is the duplicate
+        2: "duplicate",     # normalized dedup, min-id survivor wins
+        3: "empty",
+        4: "empty",
+        5: "quality",       # one 38-char word: avg_word_len gate
+        6: None,
+        7: "contaminated",  # benchmark member flags itself
+    }
+    # original columns survive annotation
+    assert set(ann.columns) == {"doc_id", "text", "source", "drop_stage"}
+    funnel = {r["stage"]: r["n_docs"] for r in corpus_funnel(ann).collect()}
+    assert funnel == {
+        "kept": 2, "duplicate": 1, "empty": 2, "quality": 1, "contaminated": 1,
+    }
+
+    # a learned classifier gate slots between quality and dedup: weights
+    # that veto one specific kept doc (bucket-targeted negative weights)
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    labeled = docs.filter("doc_id IN (1, 6)").selectExpr(
+        "doc_id", "text", "CAST(doc_id = 1 AS INT) AS y"
+    )
+    w, b = fit_quality_classifier(labeled, "y", weights_dim=32, iters=8, lr=2.0)
+    ann2 = clean_corpus(
+        docs, benchmark=bench, weights=w, bias=b, decontaminate_n=4
+    )
+    got2 = {r["doc_id"]: r["drop_stage"] for r in ann2.collect()}
+    assert got2[6] == "classifier" and got2[1] is None
+
+    # no benchmark, no classifier: only the structural gates fire
+    ann3 = clean_corpus(docs)
+    got3 = {r["doc_id"]: r["drop_stage"] for r in ann3.collect()}
+    assert got3[7] is None and got3[2] == "duplicate"
