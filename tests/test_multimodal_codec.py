@@ -120,3 +120,63 @@ def test_real_codec_never_shuffles_payload(spark):
     docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
     payloads = attach_synthetic_image(docs)
     assert count_shuffles(decode_images(payloads, codec="ppm")) == 0
+
+
+def test_codec_fuzz_never_crashes():
+    """Property: arbitrary bytes fed to either parser raise ValueError (or
+    parse cleanly) — never IndexError/struct.error/segfault-shaped
+    failures; arbitrary images round-trip bit-exactly through both
+    containers. At 100 TB the decode stage WILL see garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_parsers(data):
+        for parse in (_parse_ppm, _parse_bmp):
+            try:
+                parse(data)
+            except ValueError:
+                pass
+
+    fuzz_parsers()
+
+    # corrupt a VALID payload at one position — same property holds
+    base_ppm = encode_ppm(_pixels(7, 3, 4))
+    base_bmp = encode_bmp(_pixels(8, 3, 4))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(base_ppm) - 1), st.integers(0, 255))
+    def fuzz_ppm_flip(pos, val):
+        data = bytearray(base_ppm)
+        data[pos] = val
+        try:
+            _parse_ppm(bytes(data))
+        except ValueError:
+            pass
+
+    fuzz_ppm_flip()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(base_bmp) - 1), st.integers(0, 255))
+    def fuzz_bmp_flip(pos, val):
+        data = bytearray(base_bmp)
+        data[pos] = val
+        try:
+            _parse_bmp(bytes(data))
+        except ValueError:
+            pass
+
+    fuzz_bmp_flip()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 6), st.integers(1, 6),
+        st.integers(0, 2**32 - 1),
+    )
+    def roundtrip(h, w, seed):
+        arr = _pixels(seed, h, w)
+        assert np.array_equal(_parse_ppm(encode_ppm(arr)), arr)
+        assert np.array_equal(_parse_bmp(encode_bmp(arr)), arr)
+
+    roundtrip()
