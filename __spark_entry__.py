@@ -1167,7 +1167,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["logit", "score"])
 
 
-def _quality_classifier_sql(d: int = 256) -> str:
+def _quality_classifier_core_sql(d: int = 256) -> str:
+    """Shared CTE text scoring every document under the _qc_weights
+    classifier (ends in `base`: doc_id, n_grams, UNROUNDED logit) —
+    consumed by the per-doc query below and the threshold sweep, which
+    must compare RAW scores against thresholds exactly like Spark."""
     w = _qc_weights(d)
     warr = "[" + ", ".join(repr(x) for x in w) + "]"
     return f"""
@@ -1194,7 +1198,12 @@ def _quality_classifier_sql(d: int = 256) -> str:
              ELSE CAST(-0.25 + COALESCE(s.sw, 0) AS DOUBLE) END AS logit,
         CASE WHEN d.text IS NULL THEN NULL
              ELSE CAST(COALESCE(s.ng, 0) AS INT) END AS n_grams
-      FROM documents d LEFT JOIN s USING (doc_id))
+      FROM documents d LEFT JOIN s USING (doc_id))"""
+
+
+def _quality_classifier_sql(d: int = 256) -> str:
+    return f"""
+    {_quality_classifier_core_sql(d)}
     SELECT doc_id, n_grams, ROUND(logit, {ROUND}) AS logit,
       ROUND(1.0 / (1.0 + exp(-logit)), {ROUND}) AS score,
       (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
@@ -1348,6 +1357,61 @@ def _corpus_clean_funnel_sql() -> str:
     SELECT COALESCE(stage, 'kept') AS stage,
       CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM ann GROUP BY 1"""
+
+
+def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the learned scorer: per threshold, the
+    corpus keep rate plus precision/recall/F1 against the lang=='en'
+    label — the deployment decision (which threshold hits the corpus
+    budget) as one single-pass aggregate."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        classifier_threshold_sweep,
+    )
+
+    docs = _documents(spark, sf_dir).selectExpr(
+        "doc_id", "text", "CAST(lang = 'en' AS INT) AS is_en"
+    )
+    out = classifier_threshold_sweep(
+        docs,
+        weights=_qc_weights(),
+        bias=-0.25,
+        label_col="is_en",
+        hash_family="md5",
+    )
+    return _round_cols(out, ["keep_rate", "precision", "recall", "f1"])
+
+
+def _classifier_sweep_sql() -> str:
+    ts = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    per_t = "\nUNION ALL\n".join(
+        f"""SELECT {t!r} AS threshold, n_scored, k{i} AS n_keep,
+      ROUND(k{i} / CAST(NULLIF(n_scored, 0) AS DOUBLE), {ROUND}) AS keep_rate,
+      tp{i} AS tp, k{i} - tp{i} AS fp, fn{i} AS fn,
+      ROUND(tp{i} / CAST(NULLIF(k{i}, 0) AS DOUBLE), {ROUND}) AS precision,
+      ROUND(tp{i} / CAST(NULLIF(tp{i} + fn{i}, 0) AS DOUBLE), {ROUND}) AS recall,
+      ROUND(2.0 * tp{i} / CAST(NULLIF(k{i} + tp{i} + fn{i}, 0) AS DOUBLE),
+            {ROUND}) AS f1
+    FROM agg"""
+        for i, t in enumerate(ts)
+    )
+    sums = ",\n".join(
+        f"""CAST(SUM(CASE WHEN score >= {t!r} THEN 1 ELSE 0 END) AS BIGINT) AS k{i},
+      CAST(SUM(CASE WHEN score >= {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp{i},
+      CAST(SUM(CASE WHEN score < {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn{i}"""
+        for i, t in enumerate(ts)
+    )
+    return f"""
+    {_quality_classifier_core_sql()},
+    sc AS (
+      SELECT b.doc_id, 1.0 / (1.0 + exp(-b.logit)) AS score,
+        CAST(d.lang = 'en' AS DOUBLE) AS y
+      FROM base b JOIN documents d USING (doc_id)
+      WHERE b.logit IS NOT NULL),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+      {sums}
+      FROM sc)
+    {per_t}"""
 
 
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
@@ -6231,6 +6295,7 @@ def _oracle_queries() -> dict[str, str]:
         "kmeans_fit": _kmeans_fit_sql(),
         "fit_quality_classifier": _fit_quality_classifier_sql(),
         "corpus_clean_funnel": _corpus_clean_funnel_sql(),
+        "classifier_sweep": _classifier_sweep_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7222,6 +7287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit": q_kmeans_fit,
         "fit_quality_classifier": q_fit_quality_classifier,
         "corpus_clean_funnel": q_corpus_clean_funnel,
+        "classifier_sweep": q_classifier_sweep,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -714,3 +714,78 @@ def fit_quality_classifier(
         labels.unpersist()
         counts.unpersist()
     return w, b
+
+
+def classifier_threshold_sweep(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    label_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash",
+    max_weights_cells: int = 65_536,
+) -> DataFrame:
+    """Operating-point sweep for a fitted :func:`quality_classifier`: the
+    deployment decision a pipeline actually makes is "which keep
+    threshold hits my corpus-size budget (and, on a labeled eval slice,
+    at what precision/recall)". One row per threshold: ``threshold,
+    n_scored, n_keep, keep_rate`` plus — when ``label_col`` (0/1) is
+    given — ``tp, fp, fn, precision, recall, f1``. NULL-text documents
+    are unscored and excluded from every count.
+
+    Plan: score once (the classifier's shuffle-free inline projection),
+    then EVERY threshold is a conditional sum inside ONE single-row
+    aggregate, melted to rows expression-only — the sweep costs exactly
+    one pass regardless of how many thresholds it evaluates (no
+    per-threshold action, no threshold×doc explode).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = [float(t) for t in thresholds]
+    scored = quality_classifier(
+        df,
+        weights,
+        bias=bias,
+        text_col=text_col,
+        id_col=id_col,
+        hash_family=hash_family,
+        max_weights_cells=max_weights_cells,
+    ).select(F.col(id_col), F.col("score"))
+    if label_col is not None:
+        lab = df.select(F.col(id_col), F.expr(f"CAST(`{label_col}` AS DOUBLE) AS __y"))
+        scored = scored.join(lab, id_col)
+    scored = scored.filter("score IS NOT NULL")
+
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS n_scored")]
+    for i, t in enumerate(ts):
+        aggs.append(F.expr(f"sum(CASE WHEN score >= {t!r}D THEN 1L ELSE 0L END) AS k{i}"))
+        if label_col is not None:
+            aggs.append(F.expr(
+                f"sum(CASE WHEN score >= {t!r}D AND __y = 1.0D THEN 1L ELSE 0L END) AS tp{i}"
+            ))
+            aggs.append(F.expr(
+                f"sum(CASE WHEN score < {t!r}D AND __y = 1.0D THEN 1L ELSE 0L END) AS fn{i}"
+            ))
+    wide = scored.agg(*aggs)
+
+    structs = []
+    for i, t in enumerate(ts):
+        fields = [
+            f"'threshold', {t!r}D",
+            "'n_scored', n_scored",
+            f"'n_keep', k{i}",
+            f"'keep_rate', k{i} / CAST(nullif(n_scored, 0) AS DOUBLE)",
+        ]
+        if label_col is not None:
+            fields += [
+                f"'tp', tp{i}",
+                f"'fp', k{i} - tp{i}",
+                f"'fn', fn{i}",
+                f"'precision', tp{i} / CAST(nullif(k{i}, 0) AS DOUBLE)",
+                f"'recall', tp{i} / CAST(nullif(tp{i} + fn{i}, 0) AS DOUBLE)",
+                f"'f1', 2.0D * tp{i} / CAST(nullif(k{i} + tp{i} + fn{i}, 0) AS DOUBLE)",
+            ]
+        structs.append("named_struct(" + ", ".join(fields) + ")")
+    return wide.selectExpr(f"inline(array({', '.join(structs)}))")

@@ -490,3 +490,59 @@ def test_fit_quality_classifier(spark):
             spark.createDataFrame([(1, None, 1)], "doc_id long, text string, label int"),
             "label",
         )
+
+
+def test_classifier_threshold_sweep(spark):
+    """Sweep metrics hand-verified against per-doc scores: keep counts
+    are monotone non-increasing in the threshold, tp+fn equals the
+    positive count at every threshold, and the unlabeled mode drops the
+    label metrics; NULL-text docs never enter the counts."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        classifier_threshold_sweep,
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 1),
+        (2, "one two three four five", 1),
+        (3, "zig zag zig zag zig", 0),
+        (4, "lorem ipsum dolor sit amet", 0),
+        (5, None, 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = [((b * 113) % 512 - 256) / 1024.0 for b in range(32)]
+    ths = (0.2, 0.5, 0.8)
+    out = {
+        r["threshold"]: r
+        for r in classifier_threshold_sweep(
+            docs, w, bias=0.0, thresholds=ths, label_col="label",
+            hash_family="md5",
+        ).collect()
+    }
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier(docs, w, hash_family="md5").collect()
+        if r["score"] is not None
+    }
+    assert all(out[t]["n_scored"] == 4 for t in ths)  # NULL text excluded
+    keeps = [out[t]["n_keep"] for t in sorted(ths)]
+    assert keeps == sorted(keeps, reverse=True)
+    for t in ths:
+        expect_keep = sum(1 for s in scores.values() if s >= t)
+        assert out[t]["n_keep"] == expect_keep
+        expect_tp = sum(
+            1 for d, s in scores.items() if s >= t and d in (1, 2)
+        )
+        assert out[t]["tp"] == expect_tp
+        assert out[t]["tp"] + out[t]["fn"] == 2  # doc 5 unscored
+        if out[t]["n_keep"]:
+            assert out[t]["precision"] == _pytest.approx(
+                out[t]["tp"] / out[t]["n_keep"]
+            )
+
+    un = classifier_threshold_sweep(docs, w, thresholds=ths, hash_family="md5")
+    assert un.columns == ["threshold", "n_scored", "n_keep", "keep_rate"]
+    with _pytest.raises(ValueError, match="thresholds"):
+        classifier_threshold_sweep(docs, w, thresholds=())
