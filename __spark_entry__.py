@@ -1414,6 +1414,61 @@ def _classifier_sweep_sql() -> str:
     {per_t}"""
 
 
+def q_embedding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side flagship: one long-format report (geometry /
+    MMD / topic-mix families) over the even/odd vec_id split — the
+    vector sibling of detect_drift and corpus_drift_report, composed
+    from the three oracled members with the same knobs as their
+    individual queries."""
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_drift_report,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_drift_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        n_clusters=8,
+        share_threshold=0.0215,
+        dim=64,
+        n_features=48,
+    )
+
+
+def _embedding_report_sql() -> str:
+    """UNION ALL over the three member oracles (their outputs are already
+    5-dp-rounded), melted to the shared report schema with flags
+    re-derived from the rounded statistics exactly as
+    embedding_pipeline does."""
+    return f"""
+    WITH ed AS (SELECT * FROM ({_embedding_drift_sql()}) s),
+    mm AS (SELECT * FROM ({_mmd_drift_sql()}) s),
+    cb AS (SELECT * FROM ({_cluster_balance_sql()}) s)
+    SELECT 'geometry' AS family, '' AS key, 'n_vectors' AS metric,
+      CAST(ref_n AS DOUBLE) AS ref_value,
+      CAST(curr_n AS DOUBLE) AS curr_value,
+      CAST(NULL AS DOUBLE) AS diff, false AS drift_detected FROM ed
+    UNION ALL
+    SELECT 'geometry', '', 'centroid_cosine', NULL, centroid_cosine,
+      ROUND(1.0 - centroid_cosine, {ROUND}), centroid_cosine < 0.99 FROM ed
+    UNION ALL
+    SELECT 'geometry', '', 'mean_norm', ref_mean_norm, curr_mean_norm,
+      norm_shift, norm_shift > 0.1 FROM ed
+    UNION ALL
+    SELECT 'geometry', '', 'max_dim_shift', NULL, NULL,
+      max_dim_shift, false FROM ed
+    UNION ALL
+    SELECT 'mmd', '', 'mmd2', NULL, NULL, mmd2, mmd2 > 0.01 FROM mm
+    UNION ALL
+    SELECT 'mmd', '', 'mmd', NULL, NULL, mmd, false FROM mm
+    UNION ALL
+    SELECT 'topic_mix',
+      CASE WHEN cluster_id IS NULL THEN '<null>'
+           ELSE CAST(cluster_id AS VARCHAR) END,
+      'cluster_share', ref_share, curr_share, share_abs_diff,
+      share_abs_diff > 0.0215 FROM cb"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6296,6 +6351,7 @@ def _oracle_queries() -> dict[str, str]:
         "fit_quality_classifier": _fit_quality_classifier_sql(),
         "corpus_clean_funnel": _corpus_clean_funnel_sql(),
         "classifier_sweep": _classifier_sweep_sql(),
+        "embedding_report": _embedding_report_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7288,6 +7344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_quality_classifier": q_fit_quality_classifier,
         "corpus_clean_funnel": q_corpus_clean_funnel,
         "classifier_sweep": q_classifier_sweep,
+        "embedding_report": q_embedding_report,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -1242,3 +1242,68 @@ def test_ivf_topk_fitted_centroids(spark):
         for r in ivf_topk(df, queries, k=3, nprobe=1, centroids=cents).collect()
     }
     assert approx == exact
+
+
+def test_embedding_drift_report(spark):
+    """The embedding flagship composes geometry/MMD/topic-mix into the
+    shared report schema: identical populations are quiet everywhere; a
+    shifted+rotated population flags geometry AND mmd; a mix rotation
+    with stable marginals flags topic_mix rows; fitted centroids feed
+    straight in."""
+    import random
+
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_drift_report,
+    )
+    from pyspark_data_drift_detector_spark.operators.similarity import fit_kmeans
+
+    rng = random.Random(29)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(2)]
+
+    def near(a, s=0.05):
+        return [x + rng.gauss(0, s) for x in a]
+
+    ref = spark.createDataFrame(
+        [(i, near(anchors[i % 2])) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    same = spark.createDataFrame(
+        [(1000 + i, near(anchors[i % 2])) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = fit_kmeans(ref, k=2, iters=3)
+    kw = dict(dim=8, centroids=cents, share_threshold=0.1)
+    quiet = embedding_drift_report(ref, same, **kw)
+    assert quiet.columns == [
+        "family", "key", "metric", "ref_value", "curr_value", "diff",
+        "drift_detected",
+    ]
+    rows = {(r["family"], r["key"], r["metric"]): r for r in quiet.collect()}
+    assert {k[0] for k in rows} == {"geometry", "mmd", "topic_mix"}
+    assert not any(r["drift_detected"] for r in rows.values())
+
+    # shift + scale the population: geometry and mmd both fire
+    shifted = same.selectExpr(
+        "vec_id", "transform(embedding, x -> x * 1.5D + 2.0D) AS embedding"
+    )
+    hot = {
+        (r["family"], r["metric"]): r
+        for r in embedding_drift_report(ref, shifted, **kw).collect()
+        if r["key"] == ""
+    }
+    assert hot[("geometry", "centroid_cosine")]["drift_detected"]
+    assert hot[("geometry", "mean_norm")]["drift_detected"]
+    assert hot[("mmd", "mmd2")]["drift_detected"]
+
+    # rotate the MIX (all vectors near anchor 0): topic_mix flags while
+    # each cluster's vectors individually look normal
+    rotated = spark.createDataFrame(
+        [(2000 + i, near(anchors[0])) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    mix = {
+        r["key"]: r
+        for r in embedding_drift_report(ref, rotated, **kw).collect()
+        if r["family"] == "topic_mix"
+    }
+    assert mix["0"]["drift_detected"] and mix["1"]["drift_detected"]
