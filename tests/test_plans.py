@@ -763,3 +763,64 @@ def test_round8_diagnostics_plan_contracts(spark, sf_dir):
     plan = simple_plan(pc)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert_column_pruned(pc, "l_extendedprice")
+
+
+def test_report_plan_construction_budgets(spark, sf_dir, docs):
+    """The r10 composed reports must also stay SQL-string-assembled
+    (the detect_drift budget's rationale): count py4j round-trips while
+    BUILDING each report's plan. Budgets leave ~3x headroom over
+    measured construction costs."""
+    import py4j.clientserver as cs
+
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        clean_corpus,
+        corpus_drift_report,
+    )
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_drift_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref_d = docs.filter("doc_id % 2 = 0")
+    curr_d = docs.filter("doc_id % 2 = 1")
+    ref_e = emb.filter("vec_id % 2 = 0")
+    curr_e = emb.filter("vec_id % 2 = 1")
+    # warm lazy imports so the count measures plan construction alone
+    corpus_drift_report(ref_d, curr_d)
+    embedding_drift_report(ref_e, curr_e, dim=64, n_clusters=4)
+    clean_corpus(docs)
+
+    def construction_calls(fn):
+        counter = {"n": 0}
+        orig = cs.ClientServerConnection.send_command
+
+        def patched(self, command):
+            counter["n"] += 1
+            return orig(self, command)
+
+        cs.ClientServerConnection.send_command = patched
+        try:
+            fn()
+        finally:
+            cs.ClientServerConnection.send_command = orig
+        return counter["n"]
+
+    # measured construction costs (local[4], sf0.001): corpus ~3.8k,
+    # embedding ~2.5k, clean ~0.9k — budgets give ~3x headroom
+    budgets = {
+        "corpus_drift_report": (
+            lambda: corpus_drift_report(ref_d, curr_d), 12_000
+        ),
+        "embedding_drift_report": (
+            lambda: embedding_drift_report(ref_e, curr_e, dim=64, n_clusters=4),
+            8_000,
+        ),
+        "clean_corpus": (lambda: clean_corpus(docs), 3_000),
+    }
+    for name, (fn, budget) in budgets.items():
+        n = construction_calls(fn)
+        assert n < budget, (
+            f"{name} made {n} py4j round-trips building its plan — a "
+            "builder has regressed from SQL-string assembly to "
+            "per-expression Column construction"
+        )
