@@ -1469,6 +1469,113 @@ def _embedding_report_sql() -> str:
       share_abs_diff > 0.0215 FROM cb"""
 
 
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric/shape increment vetting: the vec_id%3==0 embedding batch
+    against the additive embedding_state of the rest (centroid cosine,
+    mean-norm shift, additive-RFF MMD²) — prior embeddings never
+    re-read; the vector sibling of token_share_incremental."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        embedding_incremental,
+        embedding_state,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    state = embedding_state(emb.filter("vec_id % 3 != 0"), dim=64)
+    return embedding_incremental(
+        emb.filter("vec_id % 3 = 0"), state, dim=64, cosine_threshold=0.9999
+    )
+
+
+def _embedding_incremental_sql(dim: int = 64, n_features: int = 48) -> str:
+    """Replay of the additive-state vetting: per-side dim/norm/RFF sums
+    over the %3 split, centroid cosine from raw sums, relative norm
+    shift, MMD² = (2/D)·Σ(mean feature diffs)² — same rounded-flag
+    formulas as embedding_incremental's melt."""
+    import math as _math
+
+    from pyspark_data_drift_detector_spark.operators.similarity import rff_params
+
+    w, b = rff_params(dim, n_features, seed=7)
+    sigma = _math.sqrt(float(dim))
+    fexprs = ", ".join(
+        f"COS(list_dot_product(e, ["
+        + ", ".join(f"{float(x)!r}" for x in p)
+        + f"]) / {sigma!r} + {float(bb)!r}) AS f{i}"
+        for i, (p, bb) in enumerate(zip(w, b))
+    )
+    rsums = ", ".join(
+        f"SUM(CASE WHEN NOT is_b THEN f{i} ELSE 0 END) AS sr{i},"
+        f" SUM(CASE WHEN is_b THEN f{i} ELSE 0 END) AS sc{i}"
+        for i in range(n_features)
+    )
+    sq = " + ".join(
+        f"power(sr{i} / nr - sc{i} / nullif(nc, 0), 2)"
+        for i in range(n_features)
+    )
+    scale = 2.0 / float(n_features)
+    return f"""
+    WITH v AS (
+      SELECT vec_id % 3 = 0 AS is_b, embedding::DOUBLE[] AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+    inv AS (
+      SELECT
+        COALESCE(SUM(CASE WHEN vec_id % 3 != 0 THEN 1 ELSE 0 END), 0)
+          AS invr,
+        COALESCE(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END), 0)
+          AS invc
+      FROM embeddings
+      WHERE embedding IS NULL OR len(embedding) != {dim}
+        OR len(list_filter(embedding, x -> x IS NULL)) > 0),
+    sc AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+        CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+        SUM(CASE WHEN NOT is_b THEN sqrt(list_dot_product(e, e))
+                 ELSE 0 END) AS nsr,
+        SUM(CASE WHEN is_b THEN sqrt(list_dot_product(e, e))
+                 ELSE 0 END) AS nsc
+      FROM v),
+    d AS (
+      SELECT i.i AS pos,
+        SUM(CASE WHEN NOT is_b THEN list_extract(e, i.i) ELSE 0 END) AS dr,
+        SUM(CASE WHEN is_b THEN list_extract(e, i.i) ELSE 0 END) AS dc
+      FROM v CROSS JOIN range(1, {dim + 1}) i(i) GROUP BY 1),
+    cc AS (SELECT SUM(dr * dc) / (sqrt(SUM(dr * dr)) * sqrt(SUM(dc * dc)))
+             AS cosv FROM d),
+    feats AS (SELECT is_b, {fexprs} FROM v),
+    rf AS (SELECT {rsums} FROM feats),
+    stats AS (
+      SELECT sc.nr, sc.nc, inv.invr, inv.invc,
+        sc.nsr / NULLIF(sc.nr, 0) AS ref_mean_norm,
+        sc.nsc / NULLIF(sc.nc, 0) AS curr_mean_norm,
+        cc.cosv AS centroid_cosine,
+        {scale!r} * ({sq}) AS mmd2
+      FROM sc CROSS JOIN inv CROSS JOIN cc CROSS JOIN rf),
+    full_s AS (
+      SELECT *,
+        CASE WHEN ref_mean_norm != 0
+               THEN abs((curr_mean_norm - ref_mean_norm) / ref_mean_norm)
+             WHEN curr_mean_norm != 0 THEN 1.0 ELSE 0.0 END AS norm_shift
+      FROM stats)
+    SELECT 'geometry' AS family, '' AS key, 'n_vectors' AS metric,
+      nr AS ref_value, nc AS curr_value, CAST(invc AS DOUBLE) AS diff,
+      false AS drift_detected FROM full_s
+    UNION ALL
+    SELECT 'geometry', '', 'centroid_cosine', NULL,
+      ROUND(centroid_cosine, {ROUND}),
+      ROUND(1.0 - ROUND(centroid_cosine, {ROUND}), {ROUND}),
+      ROUND(centroid_cosine, {ROUND}) < 0.9999 FROM full_s
+    UNION ALL
+    SELECT 'geometry', '', 'mean_norm', ROUND(ref_mean_norm, {ROUND}),
+      ROUND(curr_mean_norm, {ROUND}), ROUND(norm_shift, {ROUND}),
+      ROUND(norm_shift, {ROUND}) > 0.1 FROM full_s
+    UNION ALL
+    SELECT 'mmd', '', 'mmd2', NULL, NULL, ROUND(mmd2, {ROUND}),
+      ROUND(mmd2, {ROUND}) > 0.01 FROM full_s"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6352,6 +6459,7 @@ def _oracle_queries() -> dict[str, str]:
         "corpus_clean_funnel": _corpus_clean_funnel_sql(),
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
+        "embedding_incremental": _embedding_incremental_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7345,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_funnel": q_corpus_clean_funnel,
         "classifier_sweep": q_classifier_sweep,
         "embedding_report": q_embedding_report,
+        "embedding_incremental": q_embedding_incremental,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

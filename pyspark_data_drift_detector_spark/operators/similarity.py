@@ -1349,3 +1349,206 @@ def kmeans_fit_report(
     return melted.join(F.broadcast(counts), "cluster_id").selectExpr(
         "cluster_id", "pos", "centroid", "CAST(n AS BIGINT) AS n_members"
     )
+
+
+def _rff_cos_expr(dim: int, n_features: int, seed: int, sigma: float | None) -> str:
+    """SQL text for the raw RFF cosine array over column ``e`` (no
+    √(2/D) scaling — sums of these are the additive MMD state)."""
+    if sigma is None:
+        sigma = math.sqrt(float(dim))
+    w, b = rff_params(dim, n_features, seed)
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")" for p in w
+    ) + ")"
+    barr = "array(" + ", ".join(f"{float(x)!r}D" for x in b) + ")"
+    return (
+        f"zip_with(transform({mat}, p -> aggregate(zip_with(e, p,"
+        f" (x, y) -> x * y), 0.0D, (s, x) -> s + x)), {barr},"
+        f" (d, bb) -> cos(d / {float(sigma)!r}D + bb))"
+    )
+
+
+def embedding_state(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    seed: int = 7,
+    sigma: float | None = None,
+) -> DataFrame:
+    """Additive geometric/shape state for one embedding ingest batch —
+    the vector-space member of the vet-the-increment state tables
+    (``token_share_state`` convention): long rows ``(kind, pos, val)``
+    that SUM across appends, so the corpus-so-far state never re-reads
+    prior embeddings.
+
+    - ``('n', 0, count)`` valid vectors (non-NULL, length ``dim``, no
+      NULL element) and ``('invalid', 0, count)`` for the rest;
+    - ``('dim_sum', i, Σ e[i])`` — the centroid numerators;
+    - ``('norm_sum', 0, Σ ‖e‖₂)`` — the mean-norm numerator;
+    - ``('rff_sum', j, Σ cos(w_j·e/σ + b_j))`` — unscaled random-Fourier
+      feature sums, the additive sufficient statistic for the MMD²
+      estimator (``mmd_drift``'s exact feature map; the SAME
+      ``dim/n_features/seed/sigma`` must build every append AND the
+      vetting call).
+
+    One scan: per-row norm + feature array, a posexplode → groupBy(pos)
+    for the array sums (shuffle O(dim + n_features) rows, map-side
+    combined), one scalar aggregate, union. O(dim + n_features) rows per
+    batch.
+    """
+    base = _as_double_array(
+        df.select(embedding_col), embedding_col, "e"
+    ).select("e")
+    invalid = (
+        f"e IS NULL OR size(e) != {dim} OR exists(e, __x -> __x IS NULL)"
+    )
+    valid = base.filter(f"NOT ({invalid})")
+    rff = _rff_cos_expr(dim, n_features, seed, sigma)
+    arrays = (
+        valid.selectExpr(f"concat(e, {rff}) AS __c")
+        .selectExpr("posexplode(__c) AS (pos, v)")
+        .groupBy("pos")
+        .agg(F.expr("sum(v) AS val"))
+        .selectExpr(
+            f"CASE WHEN pos < {dim} THEN 'dim_sum' ELSE 'rff_sum' END AS kind",
+            f"CAST(CASE WHEN pos < {dim} THEN pos ELSE pos - {dim} END AS INT)"
+            " AS pos",
+            "val",
+        )
+    )
+    scalars = base.agg(
+        F.expr(f"CAST(sum(CASE WHEN {invalid} THEN 0 ELSE 1 END) AS DOUBLE)"
+               " AS __n"),
+        F.expr(f"CAST(sum(CASE WHEN {invalid} THEN 1 ELSE 0 END) AS DOUBLE)"
+               " AS __inv"),
+        F.expr(f"sum(CASE WHEN {invalid} THEN 0.0D ELSE"
+               " sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) END)"
+               " AS __norm"),
+    ).selectExpr(
+        "inline(array("
+        "  named_struct('kind', 'n', 'pos', 0, 'val', __n),"
+        "  named_struct('kind', 'invalid', 'pos', 0, 'val', __inv),"
+        "  named_struct('kind', 'norm_sum', 'pos', 0,"
+        "               'val', coalesce(__norm, 0.0D))))"
+    )
+    return arrays.unionByName(scalars)
+
+
+def embedding_incremental(
+    new_vecs: DataFrame,
+    state: DataFrame,
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    seed: int = 7,
+    sigma: float | None = None,
+    cosine_threshold: float = 0.99,
+    norm_threshold: float = 0.1,
+    mmd_threshold: float = 0.01,
+) -> DataFrame:
+    """Does THIS embedding ingest batch match the corpus-so-far vector
+    distribution? The geometric/shape member of the vet-the-increment
+    family (topic-mix sibling: :func:`cluster_balance_incremental`):
+    batch statistics compare against the rolled-up
+    :func:`embedding_state` — prior embeddings are never re-read.
+
+    Output: the ``embedding_drift_report`` geometry + mmd panel rows
+    (``family, key, metric, ref_value, curr_value, diff,
+    drift_detected``, flags on 5-dp-rounded stats): centroid cosine,
+    mean-norm shift (``embedding_drift``'s relative-change convention),
+    MMD² from the additive RFF sums, plus informational vector counts
+    (invalid vectors ride the count row's diff). Raises on an empty or
+    vector-less state. The SAME ``dim/n_features/seed/sigma`` must have
+    built the state.
+    """
+    prior = state.groupBy("kind", "pos").agg(F.expr("sum(val) AS val"))
+    pn = prior.filter("kind = 'n'").agg(F.expr("sum(val)")).collect()[0][0]
+    if pn is None or pn == 0:
+        raise ValueError(
+            "embedding state is empty — append at least one batch of"
+            " embedding_state before vetting an increment against it"
+        )
+    batch = embedding_state(
+        new_vecs, embedding_col, dim, n_features, seed, sigma
+    ).groupBy("kind", "pos").agg(F.expr("sum(val) AS val"))
+    joined = (
+        prior.selectExpr("kind", "pos", "val AS rv")
+        .join(batch.selectExpr("kind", "pos", "val AS cv"), ["kind", "pos"], "full_outer")
+        .selectExpr(
+            "kind", "pos", "coalesce(rv, 0.0D) AS rv", "coalesce(cv, 0.0D) AS cv"
+        )
+    )
+    scale = 2.0 / float(n_features)
+    wide = joined.agg(
+        F.expr("sum(CASE WHEN kind = 'n' THEN rv END) AS nr"),
+        F.expr("sum(CASE WHEN kind = 'n' THEN cv END) AS nc"),
+        F.expr("sum(CASE WHEN kind = 'invalid' THEN rv END) AS invr"),
+        F.expr("sum(CASE WHEN kind = 'invalid' THEN cv END) AS invc"),
+        F.expr("sum(CASE WHEN kind = 'norm_sum' THEN rv END) AS nsr"),
+        F.expr("sum(CASE WHEN kind = 'norm_sum' THEN cv END) AS nsc"),
+    ).crossJoin(
+        joined.filter("kind = 'dim_sum'").agg(
+            F.expr("sum(rv * cv) AS dot"),
+            F.expr("sum(rv * rv) AS r2"),
+            F.expr("sum(cv * cv) AS c2"),
+        )
+    ).crossJoin(
+        # Σ_j (rff_r/n_r − rff_c/n_c)² needs the counts: join them onto
+        # every feature row via a broadcast of the one-row scalar frame
+        joined.filter("kind = 'rff_sum'")
+        .crossJoin(
+            F.broadcast(
+                joined.filter("kind = 'n'").selectExpr(
+                    "rv AS __nr", "cv AS __nc"
+                )
+            )
+        )
+        .agg(
+            F.expr(
+                "sum(power(rv / __nr - cv / nullif(__nc, 0.0D), 2)) AS __sq"
+            )
+        )
+    )
+    # centroid sums/n cancel: cos(Σr/nr, Σc/nc) == cos(Σr, Σc)
+    r = 5
+    cos_t, norm_t, mmd_t = (
+        float(cosine_threshold),
+        float(norm_threshold),
+        float(mmd_threshold),
+    )
+    return wide.selectExpr(
+        "CAST(nr AS DOUBLE) AS nr",
+        "CAST(nc AS DOUBLE) AS nc",
+        "invr", "invc",
+        "nsr / nullif(nr, 0.0D) AS ref_mean_norm",
+        "nsc / nullif(nc, 0.0D) AS curr_mean_norm",
+        "dot / (sqrt(r2) * sqrt(c2)) AS centroid_cosine",
+        f"{scale!r}D * __sq AS mmd2",
+    ).selectExpr(
+        "*",
+        """CASE WHEN ref_mean_norm != 0.0D
+             THEN abs((curr_mean_norm - ref_mean_norm) / ref_mean_norm)
+           WHEN curr_mean_norm != 0.0D THEN 1.0D ELSE 0.0D
+           END AS norm_shift""",
+    ).selectExpr(
+        "inline(array("
+        " named_struct('family', 'geometry', 'key', '',"
+        "  'metric', 'n_vectors', 'ref_value', nr, 'curr_value', nc,"
+        "  'diff', CAST(invc AS DOUBLE),"
+        "  'drift_detected', false),"
+        " named_struct('family', 'geometry', 'key', '',"
+        "  'metric', 'centroid_cosine', 'ref_value', CAST(NULL AS DOUBLE),"
+        f" 'curr_value', round(centroid_cosine, {r}),"
+        f" 'diff', round(1.0D - round(centroid_cosine, {r}), {r}),"
+        f" 'drift_detected', round(centroid_cosine, {r}) < {cos_t!r}D),"
+        " named_struct('family', 'geometry', 'key', '',"
+        f" 'metric', 'mean_norm', 'ref_value', round(ref_mean_norm, {r}),"
+        f" 'curr_value', round(curr_mean_norm, {r}),"
+        f" 'diff', round(norm_shift, {r}),"
+        f" 'drift_detected', round(norm_shift, {r}) > {norm_t!r}D),"
+        " named_struct('family', 'mmd', 'key', '', 'metric', 'mmd2',"
+        "  'ref_value', CAST(NULL AS DOUBLE), 'curr_value', CAST(NULL AS DOUBLE),"
+        f" 'diff', round(mmd2, {r}),"
+        f" 'drift_detected', round(mmd2, {r}) > {mmd_t!r}D)))"
+    )

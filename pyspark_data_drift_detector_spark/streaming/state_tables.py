@@ -499,6 +499,33 @@ def ingest_vetting_sink(
     return write_batch
 
 
+def embedding_state_sink(
+    state_path: str,
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    seed: int = 7,
+    sigma: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive geometric/shape
+    embedding state (``kind, pos, val`` long rows per micro-batch) that
+    :func:`operators.similarity.embedding_incremental` vets new vector
+    ingest against; the reader re-aggregates, so repeated (kind, pos)
+    keys across appends simply sum. The SAME
+    ``dim/n_features/seed/sigma`` must build every append and the
+    vetting call (the ``cluster_share_state_sink`` contract)."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        embedding_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_state(
+            batch_df, embedding_col, dim, n_features, seed, sigma
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
 #: state-kind → its lossless re-aggregation (exactly what the matching
 #: incremental reader does on every load, materialized once)
 _STATE_COMPACTORS = {
@@ -518,6 +545,9 @@ _STATE_COMPACTORS = {
     ),
     "cluster_share": lambda df: df.groupBy("cluster_id").agg(
         F.expr("CAST(sum(n) AS BIGINT) AS n")
+    ),
+    "embedding": lambda df: df.groupBy("kind", "pos").agg(
+        F.expr("sum(val) AS val")
     ),
 }
 

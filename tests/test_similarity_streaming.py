@@ -1307,3 +1307,116 @@ def test_embedding_drift_report(spark):
         if r["family"] == "topic_mix"
     }
     assert mix["0"]["drift_detected"] and mix["1"]["drift_detected"]
+
+
+def test_embedding_incremental(spark, tmp_path):
+    """Geometric/shape increment vetting: a same-distribution batch is
+    quiet, a shifted/scaled batch flags centroid+norm+mmd; additive
+    appends == one-shot state == streaming sink twin == compacted state;
+    the incremental MMD² equals the batch-mode estimator EXACTLY
+    (additive sufficient statistics); empty state fails fast; invalid
+    vectors ride the count row's diff."""
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        embedding_incremental,
+        embedding_state,
+        mmd_drift,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        compact_state,
+        embedding_state_sink,
+    )
+
+    rng = random.Random(41)
+    base = [2.0 + rng.gauss(0, 0.3) for _ in range(8)]  # off-center anchor
+
+    def mk(n, start, off=0.0, scale=1.0):
+        # off alternates sign per dimension so a hot batch ROTATES the
+        # centroid (a uniform shift would leave its direction unchanged)
+        return [
+            (
+                start + i,
+                [
+                    scale * (x + off * (1 if j % 2 else -1) + rng.gauss(0, 0.2))
+                    for j, x in enumerate(base)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    prior = spark.createDataFrame(
+        mk(150, 0), "vec_id long, embedding array<double>"
+    )
+    state = embedding_state(prior, dim=8)
+    kw = dict(dim=8)
+
+    same = spark.createDataFrame(mk(80, 1000), "vec_id long, embedding array<double>")
+    quiet = {
+        (r["family"], r["metric"]): r
+        for r in embedding_incremental(same, state, **kw).collect()
+    }
+    assert not any(r["drift_detected"] for r in quiet.values())
+    assert quiet[("geometry", "n_vectors")]["ref_value"] == 150.0
+    assert quiet[("geometry", "n_vectors")]["curr_value"] == 80.0
+
+    hot_rows = mk(80, 2000, off=1.2, scale=1.5)
+    hot_rows.append((3000, None))
+    hot_rows.append((3001, [1.0, 2.0]))
+    hot = spark.createDataFrame(hot_rows, "vec_id long, embedding array<double>")
+    flagged = {
+        (r["family"], r["metric"]): r
+        for r in embedding_incremental(hot, state, **kw).collect()
+    }
+    assert flagged[("geometry", "centroid_cosine")]["drift_detected"]
+    assert flagged[("geometry", "mean_norm")]["drift_detected"]
+    assert flagged[("mmd", "mmd2")]["drift_detected"]
+    assert flagged[("geometry", "n_vectors")]["diff"] == 2.0  # invalid count
+
+    # incremental MMD² == batch-mode estimator on the same populations
+    # (the RFF sums are exact sufficient statistics, not an approximation
+    # of the batch path)
+    m = mmd_drift(prior, hot.filter("vec_id < 3000"), dim=8).collect()[0]
+    assert flagged[("mmd", "mmd2")]["diff"] == round(m["mmd2"], 5)
+
+    # additive appends == one-shot; sink twin; compaction all agree
+    p1 = str(tmp_path / "es")
+    embedding_state(prior.filter("vec_id < 70"), dim=8).write.mode(
+        "append"
+    ).parquet(p1)
+    embedding_state(prior.filter("vec_id >= 70"), dim=8).write.mode(
+        "append"
+    ).parquet(p1)
+    key = lambda df: sorted(
+        (r["family"], r["metric"], r["ref_value"], r["curr_value"], r["diff"])
+        for r in df.collect()
+    )
+    want = key(embedding_incremental(hot, state, **kw))
+    assert key(embedding_incremental(hot, spark.read.parquet(p1), **kw)) == want
+
+    ingest = tmp_path / "es_ingest"
+    prior.repartition(2).write.parquet(str(ingest))
+    stream = (
+        spark.readStream.schema(prior.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    p2 = str(tmp_path / "es2")
+    q = (
+        stream.writeStream.foreachBatch(embedding_state_sink(p2, dim=8))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert key(embedding_incremental(hot, spark.read.parquet(p2), **kw)) == want
+
+    res = compact_state(spark, p2, "embedding")
+    assert res["rows_after"] < res["rows_before"]
+    assert key(embedding_incremental(hot, spark.read.parquet(p2), **kw)) == want
+
+    with _pytest.raises(ValueError, match="embedding state is empty"):
+        embedding_incremental(
+            hot, spark.createDataFrame([], "kind string, pos int, val double"), **kw
+        )
