@@ -599,3 +599,88 @@ def compact_state(
     os.rename(tmp, state_path)
     after = spark.read.parquet(state_path).count()
     return {"rows_before": before, "rows_after": after}
+
+
+def embedding_vetting_sink(
+    embedding_state_path: str,
+    cluster_state_path: str,
+    centroids: list,
+    report_path: str,
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    seed: int = 7,
+    sigma: float | None = None,
+    scoring: str = "auto",
+    report_kwargs: dict | None = None,
+    share_threshold: float = 0.05,
+) -> Callable[[DataFrame, int], None]:
+    """The embedding-side nightly vetting automation — the vector twin of
+    :func:`ingest_vetting_sink`: each micro-batch of vectors is VETTED
+    against the corpus-so-far states (geometry/shape via
+    ``embedding_incremental``, topic mix via
+    ``cluster_balance_incremental`` melted to the same report schema),
+    the stamped report appends to ``report_path``, and only then do both
+    states advance. First batch bootstraps (states seeded, no report).
+    ``centroids`` (e.g. a ``fit_kmeans`` result) is baked into the
+    closure so every append and vetting call shares one set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_incremental,
+        embedding_incremental,
+    )
+
+    adv_geo = embedding_state_sink(
+        embedding_state_path, embedding_col, dim, n_features, seed, sigma
+    )
+    adv_mix = cluster_share_state_sink(
+        cluster_state_path, centroids, embedding_col, scoring
+    )
+    kwargs = dict(report_kwargs or {})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            geo_state = spark.read.parquet(embedding_state_path)
+            mix_state = spark.read.parquet(cluster_state_path)
+            bootstrap = geo_state.filter("kind = 'n'").isEmpty()
+        except AnalysisException:
+            bootstrap = True
+        if not bootstrap:
+            geo = embedding_incremental(
+                batch_df,
+                geo_state,
+                embedding_col,
+                dim,
+                n_features,
+                seed,
+                sigma,
+                **kwargs,
+            )
+            r = 5
+            mix = cluster_balance_incremental(
+                batch_df,
+                mix_state,
+                centroids,
+                threshold=share_threshold,
+                embedding_col=embedding_col,
+                scoring=scoring,
+            ).selectExpr(
+                "'topic_mix' AS family",
+                "CASE WHEN cluster_id IS NULL THEN '<null>'"
+                " ELSE CAST(cluster_id AS STRING) END AS key",
+                "'cluster_share' AS metric",
+                f"round(ref_share, {r}) AS ref_value",
+                f"round(curr_share, {r}) AS curr_value",
+                f"round(share_abs_diff, {r}) AS diff",
+                "drift_detected",
+            )
+            geo.unionByName(mix).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(report_path)
+        adv_geo(batch_df, batch_id)
+        adv_mix(batch_df, batch_id)
+
+    return write_batch

@@ -1420,3 +1420,77 @@ def test_embedding_incremental(spark, tmp_path):
         embedding_incremental(
             hot, spark.createDataFrame([], "kind string, pos int, val double"), **kw
         )
+
+
+def test_embedding_vetting_sink(spark, tmp_path):
+    """The vector nightly: batch 0 bootstraps (both states seeded, no
+    report); batch 1 through a second checkpointed availableNow run is
+    vetted BEFORE the states advance; a direct hot call against the
+    advanced state flags geometry + mmd + mix rows in one report."""
+    import os
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import fit_kmeans
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        embedding_vetting_sink,
+    )
+
+    rng = random.Random(43)
+    anchors = [[2.0 + rng.gauss(0, 0.5) for _ in range(8)] for _ in range(2)]
+
+    def near(a, s=0.1):
+        return [x + rng.gauss(0, s) for x in a]
+
+    batch1 = spark.createDataFrame(
+        [(i, near(anchors[i % 2])) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    batch2 = spark.createDataFrame(
+        [(1000 + i, near(anchors[i % 2])) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = fit_kmeans(batch1, k=2, iters=3)
+    p = {n: str(tmp_path / n) for n in ("geo", "mix", "rep")}
+    sink = embedding_vetting_sink(
+        p["geo"], p["mix"], cents, p["rep"], dim=8, share_threshold=0.1
+    )
+
+    ingest = tmp_path / "ingest"
+    ckpt = str(tmp_path / "ckpt")
+    batch1.coalesce(1).write.parquet(str(ingest / "a"))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(batch1.schema)
+            .parquet(str(ingest / "*"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert spark.read.parquet(p["geo"]).count() > 0
+    assert not os.path.exists(p["rep"])  # nothing to vet against yet
+
+    batch2.coalesce(1).write.parquet(str(ingest / "b"))
+    run_stream()
+    rep = spark.read.parquet(p["rep"])
+    rows = {(r["family"], r["key"], r["metric"]): r for r in rep.collect()}
+    assert {k[0] for k in rows} == {"geometry", "mmd", "topic_mix"}
+    assert not any(r["drift_detected"] for r in rows.values())
+    assert rows[("geometry", "", "n_vectors")]["ref_value"] == 60.0
+
+    # a mix-rotated hot batch (all vectors on anchor 0): topic_mix flags
+    hot = spark.createDataFrame(
+        [(2000 + i, near(anchors[0])) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    sink(hot, 99)
+    hot_rows = {
+        (r["family"], r["key"]): r
+        for r in spark.read.parquet(p["rep"]).filter("batch_id = 99").collect()
+    }
+    assert hot_rows[("topic_mix", "0")]["drift_detected"]
+    assert hot_rows[("topic_mix", "1")]["drift_detected"]
