@@ -23,6 +23,10 @@ __all__ = [
     "detect_drift",
     "run_data_drift_detection",
     "build_report",
+    "corpus_drift_report",
+    "embedding_drift_report",
+    "clean_corpus",
+    "corpus_funnel",
 ]
 
 
@@ -36,3 +40,33 @@ def build_report(*args, **kwargs):
     from pyspark_data_drift_detector_spark.report import build_report as _build
 
     return _build(*args, **kwargs)
+
+
+# The per-modality flagship reports (lazy: corpus/embedding pipelines pull
+# heavy operator modules) — tabular is detect_drift above.
+def corpus_drift_report(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        corpus_drift_report as _r,
+    )
+
+    return _r(*args, **kwargs)
+
+
+def embedding_drift_report(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_drift_report as _r,
+    )
+
+    return _r(*args, **kwargs)
+
+
+def clean_corpus(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.corpus_pipeline import clean_corpus as _r
+
+    return _r(*args, **kwargs)
+
+
+def corpus_funnel(*args, **kwargs):
+    from pyspark_data_drift_detector_spark.corpus_pipeline import corpus_funnel as _r
+
+    return _r(*args, **kwargs)
