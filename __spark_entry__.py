@@ -1384,7 +1384,7 @@ def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _classifier_sweep_sql() -> str:
     ts = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
     per_t = "\nUNION ALL\n".join(
-        f"""SELECT {t!r} AS threshold, n_scored, k{i} AS n_keep,
+        f"""SELECT CAST({t!r} AS DOUBLE) AS threshold, n_scored, k{i} AS n_keep,
       ROUND(k{i} / CAST(NULLIF(n_scored, 0) AS DOUBLE), {ROUND}) AS keep_rate,
       tp{i} AS tp, k{i} - tp{i} AS fp, fn{i} AS fn,
       ROUND(tp{i} / CAST(NULLIF(k{i}, 0) AS DOUBLE), {ROUND}) AS precision,
