@@ -432,10 +432,14 @@ def clean_corpus(
     ).drop(*drop_cols)
 
 
-def corpus_funnel(annotated: DataFrame) -> DataFrame:
+def corpus_funnel(annotated: DataFrame, group_col: str | None = None) -> DataFrame:
     """Per-stage loss report over :func:`clean_corpus` output: one row
     per drop stage plus ``kept`` — the numbers a pipeline run records
-    next to its output corpus. O(stages) rows."""
+    next to its output corpus. With ``group_col`` the funnel breaks out
+    per group (per-source loss attribution: WHICH crawl is paying the
+    dedup tax). O(stages [× groups]) rows."""
+    keys = ["stage"] + ([group_col] if group_col else [])
     return annotated.selectExpr(
-        "coalesce(drop_stage, 'kept') AS stage"
-    ).groupBy("stage").agg(F.expr("CAST(count(1) AS BIGINT) AS n_docs"))
+        "coalesce(drop_stage, 'kept') AS stage",
+        *([f"`{group_col}`"] if group_col else []),
+    ).groupBy(*keys).agg(F.expr("CAST(count(1) AS BIGINT) AS n_docs"))

@@ -552,6 +552,19 @@ _STATE_COMPACTORS = {
 }
 
 
+#: minimum column set per kind — validated BEFORE any aggregation so a
+#: wrong kind/path fails with a clear message, not an AnalysisException
+#: halfway through the rewrite
+_STATE_COLUMNS = {
+    "fingerprint": {"fingerprint"},
+    "passage": {"whash", "n_docs", "n_occ"},
+    "unigram": {"token", "cnt"},
+    "token_share": {"group_key", "n_docs", "n_tokens"},
+    "cluster_share": {"cluster_id", "n"},
+    "embedding": {"kind", "pos", "val"},
+}
+
+
 def compact_state(
     spark,
     state_path: str,
@@ -583,6 +596,12 @@ def compact_state(
             f"{sorted(_STATE_COMPACTORS)}"
         )
     df = spark.read.parquet(state_path)
+    missing = _STATE_COLUMNS[kind] - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"state at {state_path!r} does not look like a {kind!r} table: "
+            f"missing column(s) {sorted(missing)} — wrong kind or wrong path"
+        )
     before = df.count()
     compacted = _STATE_COMPACTORS[kind](df)
     if target_path is not None:

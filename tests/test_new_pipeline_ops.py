@@ -2219,3 +2219,43 @@ def test_clean_corpus_funnel(spark):
     ann3 = clean_corpus(docs)
     got3 = {r["doc_id"]: r["drop_stage"] for r in ann3.collect()}
     assert got3[7] is None and got3[2] == "duplicate"
+
+
+def test_compact_state_wrong_kind_and_group_funnel(spark, tmp_path):
+    """compact_state fails fast with a clear message on a kind/path
+    mismatch; corpus_funnel(group_col=) attributes loss per group."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        clean_corpus,
+        corpus_funnel,
+    )
+    from pyspark_data_drift_detector_spark.operators.corpus import unigram_state
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        compact_state,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, "alpha beta gamma delta", "web"),
+            (3, "one two three four five", "books"),
+            (4, None, "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ug = str(tmp_path / "ug")
+    unigram_state(docs).write.parquet(ug)
+    with _pytest.raises(ValueError, match="does not look like a 'passage'"):
+        compact_state(spark, ug, "passage")
+
+    funnel = {
+        (r["stage"], r["source"]): r["n_docs"]
+        for r in corpus_funnel(clean_corpus(docs), "source").collect()
+    }
+    assert funnel == {
+        ("kept", "web"): 1,
+        ("duplicate", "web"): 1,
+        ("kept", "books"): 1,
+        ("empty", "books"): 1,
+    }
