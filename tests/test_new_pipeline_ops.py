@@ -2249,9 +2249,14 @@ def test_compact_state_wrong_kind_and_group_funnel(spark, tmp_path):
     with _pytest.raises(ValueError, match="does not look like a 'passage'"):
         compact_state(spark, ug, "passage")
 
+    # relax the stopword/length gates: these tiny texts have no English
+    # stopwords and the test targets the funnel shape, not the gate
+    ann = clean_corpus(
+        docs, quality_kwargs=dict(min_tokens=1, min_stopword_ratio=0.0)
+    )
     funnel = {
         (r["stage"], r["source"]): r["n_docs"]
-        for r in corpus_funnel(clean_corpus(docs), "source").collect()
+        for r in corpus_funnel(ann, "source").collect()
     }
     assert funnel == {
         ("kept", "web"): 1,
