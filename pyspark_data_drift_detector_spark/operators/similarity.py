@@ -1239,15 +1239,22 @@ def fit_kmeans(
     id_col: str = "vec_id",
     scoring: str = "auto",
     max_fit_cells: int = 65_536,
+    init: str = "first_k",
 ) -> list[tuple[int, list[float]]]:
     """Fit the ``(cluster_id, vector)`` centroid set the topic-mix family
     consumes (``cluster_balance_drift(centroids=)``,
     ``cluster_share_state``, ``cluster_balance_incremental``) — spherical
     k-means by Lloyd iteration, expressed as DataFrame ops:
 
-    - **init**: the first ``k`` VALID vectors by id (the deterministic,
-      oracle-replayable ``ivf_topk`` convention — production can pass any
-      sample through and re-fit);
+    - **init**: ``'first_k'`` (default) takes the first ``k`` VALID
+      vectors by id (the deterministic, oracle-replayable ``ivf_topk``
+      convention); ``'spread'`` is deterministic greedy farthest-point
+      seeding — seed 1 is the first valid vector, each next seed is the
+      vector with the LOWEST max-cosine to the chosen set (ties to the
+      smallest id), so seeds land in distinct regions even when ids
+      correlate with topics (crawl order, source blocks — where
+      ``first_k`` would seed one topic ``k`` times). Costs one extra
+      O(rows·seeds·dim) narrow pass + O(1) collect per seed;
     - **assign**: max-cosine against the current centroids via the same
       inlined-matrix narrow map every cluster operator uses
       (``_assign_cluster_ids``) — no shuffle, ties to the smallest id;
@@ -1296,10 +1303,38 @@ def fit_kmeans(
         f"ce IS NOT NULL AND size(ce) = {dim}"
         " AND NOT exists(ce, __x -> __x IS NULL)"
     )
-    seed = valid.orderBy("__fid").limit(k).collect()
-    if len(seed) < k:
-        raise ValueError(f"only {len(seed)} valid vectors for k={k}")
-    centroids = {i: list(r["ce"]) for i, r in enumerate(seed)}
+    if init not in ("first_k", "spread"):
+        raise ValueError(f"init must be 'first_k' or 'spread', got {init!r}")
+    if init == "spread":
+        seeds = [list(first[0]["ce"])]
+        for _ in range(k - 1):
+            mat = "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in s) + ")"
+                for s in seeds
+            ) + ")"
+            far = valid.selectExpr(
+                "__fid",
+                "ce",
+                f"""array_max(zip_with(
+                  transform({mat}, p -> aggregate(zip_with(ce, p, (x, y) -> x * y),
+                                                  0.0D, (s, x) -> s + x)),
+                  transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
+                  (d, nc) -> d / (sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nc)
+                )) AS __mc""",
+            ).orderBy(
+                # nulls LAST: a zero-norm vector has NULL cosine (no
+                # direction) and must never win the farthest-point pick
+                F.asc_nulls_last("__mc"), F.asc("__fid")
+            ).limit(1).collect()
+            seeds.append(list(far[0]["ce"]))
+        centroids = {i: s for i, s in enumerate(seeds)}
+        if valid.limit(k).count() < k:
+            raise ValueError(f"fewer than {k} valid vectors for k={k}")
+    else:
+        seed = valid.orderBy("__fid").limit(k).collect()
+        if len(seed) < k:
+            raise ValueError(f"only {len(seed)} valid vectors for k={k}")
+        centroids = {i: list(r["ce"]) for i, r in enumerate(seed)}
     mode = _resolve_scoring(scoring, dim)
     mean_exprs = [
         f"avg(ce[{i}]) AS m{i}" for i in range(dim)

@@ -1494,3 +1494,51 @@ def test_embedding_vetting_sink(spark, tmp_path):
     }
     assert hot_rows[("topic_mix", "0")]["drift_detected"]
     assert hot_rows[("topic_mix", "1")]["drift_detected"]
+
+
+def test_fit_kmeans_spread_init(spark):
+    """Greedy farthest-point seeding recovers all anchors when ids
+    correlate with topics — the regime where first_k seeds one topic k
+    times and Lloyd can't escape (two centroids split one anchor while
+    another anchor is absorbed)."""
+    import math
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import fit_kmeans
+
+    rng = random.Random(47)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    # ids BLOCKED by topic: 0-39 anchor0, 40-79 anchor1, 80-119 anchor2
+    rows = [
+        (i, [x + rng.gauss(0, 0.02) for x in anchors[i // 40]])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    def coverage(cents):
+        return sorted(
+            {max(range(3), key=lambda j: cos(v, anchors[j])) for _, v in cents}
+        )
+
+    spread = fit_kmeans(df, k=3, iters=3, init="spread")
+    assert coverage(spread) == [0, 1, 2]
+    for _, v in spread:
+        assert max(cos(v, a) for a in anchors) > 0.99
+    # determinism
+    assert fit_kmeans(df, k=3, iters=3, init="spread") == spread
+    # spread's seeds themselves already cover all anchors BEFORE Lloyd
+    # (first_k's seeds are three near-copies of anchor0 on this layout —
+    # recovery is then up to Lloyd's luck; spread makes it structural)
+    seeds_only = fit_kmeans(df, k=3, iters=1, init="spread")
+    assert coverage(seeds_only) == [0, 1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="init must be"):
+        fit_kmeans(df, k=2, init="random")
