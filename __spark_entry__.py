@@ -1576,6 +1576,49 @@ def _embedding_incremental_sql(dim: int = 64, n_features: int = 48) -> str:
       ROUND(mmd2, {ROUND}) > 0.01 FROM full_s"""
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk profile over the customer quasi-identifier
+    set (nation, market segment): power-of-two class-size histogram plus
+    the rows-below-k=5 at-risk summary row — one groupBy on the QI tuple,
+    O(classes) rows after."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        k_anonymity_profile,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = k_anonymity_profile(cust, ["c_nationkey", "c_mktsegment"], k=5)
+    return _round_cols(out, ["row_share"])
+
+
+def _k_anonymity_sql(k: int = 5, max_buckets: int = 30) -> str:
+    return f"""
+    WITH cl AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+        CAST(SUM(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+          AS risk_classes,
+        CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT)
+          AS risk_rows
+      FROM cl),
+    b AS (
+      SELECT LEAST(CAST(floor(log2(n)) AS INT), {max_buckets - 1}) AS b,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM cl GROUP BY 1)
+    SELECT CAST(pow(2, b) AS BIGINT) AS class_size_lo,
+      CAST(pow(2, b + 1) - 1 AS BIGINT) AS class_size_hi,
+      n_classes, n_rows,
+      ROUND(n_rows / CAST(total_rows AS DOUBLE), {ROUND}) AS row_share
+    FROM b CROSS JOIN tot
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST({k - 1} AS BIGINT),
+      risk_classes, risk_rows,
+      ROUND(risk_rows / CAST(total_rows AS DOUBLE), {ROUND})
+    FROM tot"""
+
+
 # Literal orthonormal components (k=3, p=4) shared VERBATIM by the Spark
 # query and the DuckDB oracle: with the eigen-fit factored out (it is
 # deterministic numpy math, unit-tested in test_drift.py), every remaining
@@ -6460,6 +6503,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "k_anonymity": _k_anonymity_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7454,6 +7498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_sweep": q_classifier_sweep,
         "embedding_report": q_embedding_report,
         "embedding_incremental": q_embedding_incremental,
+        "k_anonymity": q_k_anonymity,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -284,3 +284,75 @@ def check_functional_dependencies(
         "CAST(violating_rows AS BIGINT) AS violations",
         "violating_groups = 0 AS passed",
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    max_buckets: int = 30,
+) -> DataFrame:
+    """Re-identification risk profile over a quasi-identifier set
+    (Sweeney's k-anonymity): every row falls into the equivalence class
+    of rows sharing its ``quasi_cols`` values; rows in classes smaller
+    than ``k`` are re-identifiable to within ``class_size`` candidates —
+    the governance check a pipeline runs BEFORE releasing a dataset the
+    way it runs ``pii_scrub`` before training.
+
+    Output: one row per power-of-two class-size bucket (1, 2, 3-4, 5-8,
+    …, capped at ``max_buckets`` buckets) with ``class_size_lo/hi,
+    n_classes, n_rows, row_share``, plus an at-risk summary row
+    (``class_size_lo`` NULL, ``class_size_hi = k-1``) whose ``n_rows``
+    counts rows in classes below ``k`` (``row_share`` = the at-risk
+    fraction; ``n_classes`` = classes below ``k``). NULLs in
+    quasi-identifiers group together (NULL birthdate is itself a
+    disclosure class).
+
+    Plan: ONE groupBy on the quasi-identifier tuple (high-cardinality,
+    map-side combined — the whole point is that classes are small), then
+    O(classes) rows reduce into O(log n) buckets. Nothing wide survives
+    the first aggregate, so the profile holds at any scale.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    qcols = ", ".join(f"`{c}`" for c in quasi_cols)
+    classes = df.selectExpr(*[f"`{c}`" for c in quasi_cols]).groupBy(
+        *quasi_cols
+    ).agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+    # bucket = floor(log2(n)): 1, 2, 3-4, 5-8, ... (clamped)
+    bucketed = classes.selectExpr(
+        f"least(CAST(floor(log2(n)) AS INT), {int(max_buckets) - 1}) AS b",
+        "n",
+    ).groupBy("b").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_classes"),
+        F.expr("CAST(sum(n) AS BIGINT) AS n_rows"),
+    )
+    total = classes.agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS total_rows"),
+        F.expr(f"CAST(sum(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS risk_classes"),
+        F.expr(f"CAST(sum(CASE WHEN n < {int(k)} THEN n ELSE 0 END) AS BIGINT)"
+               " AS risk_rows"),
+    )
+    buckets = bucketed.crossJoin(F.broadcast(total)).selectExpr(
+        "CAST(pow(2, b) AS BIGINT) AS class_size_lo",
+        "CAST(pow(2, b + 1) - 1 AS BIGINT) AS class_size_hi",
+        "n_classes",
+        "n_rows",
+        "n_rows / CAST(total_rows AS DOUBLE) AS row_share",
+    )
+    summary = total.selectExpr(
+        "CAST(NULL AS BIGINT) AS class_size_lo",
+        f"CAST({int(k) - 1} AS BIGINT) AS class_size_hi",
+        "risk_classes AS n_classes",
+        "risk_rows AS n_rows",
+        "risk_rows / CAST(total_rows AS DOUBLE) AS row_share",
+    )
+    return buckets.unionByName(summary)

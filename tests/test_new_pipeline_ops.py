@@ -2264,3 +2264,39 @@ def test_compact_state_wrong_kind_and_group_funnel(spark, tmp_path):
         ("kept", "books"): 1,
         ("empty", "books"): 1,
     }
+
+
+def test_k_anonymity_profile(spark):
+    """Hand-checked class-size histogram + at-risk summary; NULL QI
+    values form their own disclosure class; validation fails fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        k_anonymity_profile,
+    )
+
+    rows = (
+        [(i, 30, "NY") for i in range(8)]        # class of 8
+        + [(100, 40, "LA"), (101, 40, "LA"), (102, 40, "LA")]  # class of 3
+        + [(200, 50, "SF")]                      # singleton
+        + [(300, None, "SF")]                    # NULL age: its own class
+    )
+    df = spark.createDataFrame(rows, "id long, age int, city string")
+    out = k_anonymity_profile(df, ["age", "city"], k=5).collect()
+    buckets = {
+        r["class_size_lo"]: r for r in out if r["class_size_lo"] is not None
+    }
+    assert buckets[1]["n_classes"] == 2 and buckets[1]["n_rows"] == 2
+    assert buckets[2]["n_classes"] == 1 and buckets[2]["n_rows"] == 3
+    assert buckets[2]["class_size_hi"] == 3
+    assert buckets[8]["n_rows"] == 8
+    assert buckets[8]["row_share"] == pytest.approx(8 / 13)
+    risk = [r for r in out if r["class_size_lo"] is None][0]
+    assert risk["class_size_hi"] == 4  # k - 1
+    assert risk["n_classes"] == 3 and risk["n_rows"] == 5
+    assert risk["row_share"] == pytest.approx(5 / 13)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        k_anonymity_profile(df, [])
+    with _pytest.raises(ValueError, match="k must be"):
+        k_anonymity_profile(df, ["age"], k=1)
