@@ -1590,6 +1590,48 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["row_share"])
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over customer nations (sensitive attribute:
+    market segment, l=3): classes per distinct-sensitive-count plus the
+    below-l homogeneity-risk summary row."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        l_diversity_profile,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = l_diversity_profile(cust, ["c_nationkey"], "c_mktsegment", l=3)
+    return _round_cols(out, ["row_share"])
+
+
+def _l_diversity_sql(l: int = 3) -> str:
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2),
+    cl AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS diversity,
+        CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        CAST(SUM(CASE WHEN diversity < {l} THEN 1 ELSE 0 END) AS BIGINT)
+          AS risk_classes,
+        CAST(SUM(CASE WHEN diversity < {l} THEN n_rows ELSE 0 END) AS BIGINT)
+          AS risk_rows
+      FROM cl),
+    d AS (
+      SELECT diversity, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(n_rows) AS BIGINT) AS n_rows
+      FROM cl GROUP BY 1)
+    SELECT diversity, n_classes, n_rows,
+      ROUND(n_rows / CAST(total_rows AS DOUBLE), {ROUND}) AS row_share
+    FROM d CROSS JOIN tot
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), risk_classes, risk_rows,
+      ROUND(risk_rows / CAST(total_rows AS DOUBLE), {ROUND})
+    FROM tot"""
+
+
 def _k_anonymity_sql(k: int = 5, max_buckets: int = 30) -> str:
     return f"""
     WITH cl AS (
@@ -6504,6 +6546,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
         "k_anonymity": _k_anonymity_sql(),
+        "l_diversity": _l_diversity_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7499,6 +7542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_report": q_embedding_report,
         "embedding_incremental": q_embedding_incremental,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

@@ -356,3 +356,70 @@ def k_anonymity_profile(
         "risk_rows / CAST(total_rows AS DOUBLE) AS row_share",
     )
     return buckets.unionByName(summary)
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct-l-diversity companion to :func:`k_anonymity_profile`
+    (Machanavajjhala et al.): a k-anonymous equivalence class still
+    discloses the sensitive attribute when every member SHARES it —
+    homogeneity attack. Per distinct-sensitive-count ``d``: how many
+    quasi-identifier classes carry exactly ``d`` distinct sensitive
+    values and how many rows they hold, plus the below-``l`` at-risk
+    summary row (``diversity`` NULL, ``n_classes``/``n_rows``/
+    ``row_share`` of rows whose class has fewer than ``l`` distinct
+    sensitive values). NULL sensitive values count as one disclosure
+    value; NULL quasi-identifiers group together.
+
+    Plan: one groupBy on ``(quasi..., sensitive)`` (map-side combined),
+    re-aggregated per class, then O(classes) rows reduce to O(distinct
+    diversities) — nothing wide survives the first aggregate.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns(quasi_cols + [sensitive_col])
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    # two-level aggregation: (QI, sensitive) cells first, so a class with
+    # millions of rows but few sensitive values never buffers its rows
+    cells = df.selectExpr(
+        *[f"`{c}`" for c in quasi_cols], f"`{sensitive_col}`"
+    ).groupBy(*quasi_cols, sensitive_col).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS diversity"),
+        F.expr("CAST(sum(n) AS BIGINT) AS n_rows"),
+    )
+    per_d = classes.groupBy("diversity").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_classes"),
+        F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
+    )
+    total = classes.agg(
+        F.expr("CAST(sum(n_rows) AS BIGINT) AS total_rows"),
+        F.expr(f"CAST(sum(CASE WHEN diversity < {int(l)} THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS risk_classes"),
+        F.expr(f"CAST(sum(CASE WHEN diversity < {int(l)} THEN n_rows ELSE 0 END)"
+               " AS BIGINT) AS risk_rows"),
+    )
+    rows = per_d.crossJoin(F.broadcast(total)).selectExpr(
+        "diversity",
+        "n_classes",
+        "n_rows",
+        "n_rows / CAST(total_rows AS DOUBLE) AS row_share",
+    )
+    summary = total.selectExpr(
+        "CAST(NULL AS BIGINT) AS diversity",
+        "risk_classes AS n_classes",
+        "risk_rows AS n_rows",
+        "risk_rows / CAST(total_rows AS DOUBLE) AS row_share",
+    )
+    return rows.unionByName(summary)

@@ -2300,3 +2300,34 @@ def test_k_anonymity_profile(spark):
         k_anonymity_profile(df, [])
     with _pytest.raises(ValueError, match="k must be"):
         k_anonymity_profile(df, ["age"], k=1)
+
+
+def test_l_diversity_profile(spark):
+    """Homogeneity risk: classes bucketed by distinct sensitive values;
+    a k-anonymous but single-diagnosis class lands below l; NULL
+    sensitive counts as one value."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        l_diversity_profile,
+    )
+
+    rows = (
+        [(i, "10001", "flu") for i in range(6)]          # 6 rows, 1 value
+        + [(10, "10002", "flu"), (11, "10002", "cold"),
+           (12, "10002", "covid")]                        # 3 values
+        + [(20, "10003", None), (21, "10003", "flu")]     # NULL + flu = 2
+    )
+    df = spark.createDataFrame(rows, "id long, zip string, diagnosis string")
+    out = l_diversity_profile(df, ["zip"], "diagnosis", l=2).collect()
+    by_d = {r["diversity"]: r for r in out if r["diversity"] is not None}
+    assert by_d[1]["n_classes"] == 1 and by_d[1]["n_rows"] == 6
+    assert by_d[3]["n_classes"] == 1 and by_d[3]["n_rows"] == 3
+    assert by_d[2]["n_classes"] == 1 and by_d[2]["n_rows"] == 2
+    risk = [r for r in out if r["diversity"] is None][0]
+    # only the homogeneous zip is at risk: 6 of 11 rows
+    assert risk["n_classes"] == 1 and risk["n_rows"] == 6
+    assert risk["row_share"] == pytest.approx(6 / 11)
+
+    with _pytest.raises(ValueError, match="l must be"):
+        l_diversity_profile(df, ["zip"], "diagnosis", l=1)
