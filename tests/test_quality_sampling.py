@@ -546,3 +546,39 @@ def test_classifier_threshold_sweep(spark):
     assert un.columns == ["threshold", "n_scored", "n_keep", "keep_rate"]
     with _pytest.raises(ValueError, match="thresholds"):
         classifier_threshold_sweep(docs, w, thresholds=())
+
+
+def test_quality_classifier_is_streaming_legal(spark, tmp_path):
+    """The inline-weights classifier is one narrow projection, so it
+    scores a STREAM unchanged — the shape a live ingest filter needs;
+    streamed scores equal the batch scores row-for-row."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, None)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "qc_stream"
+    docs.write.parquet(str(src))
+    w = [((b * 37) % 256 - 128) / 1024.0 for b in range(32)]
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    scored = quality_classifier(stream, w, bias=0.25, hash_family="md5")
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("qc_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_grams"], r["logit"], r["keep"])
+        for r in spark.sql("SELECT * FROM qc_stream_out").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["logit"], r["keep"])
+        for r in quality_classifier(docs, w, bias=0.25, hash_family="md5").collect()
+    }
+    assert streamed == batch
