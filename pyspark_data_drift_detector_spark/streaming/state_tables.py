@@ -612,10 +612,17 @@ def compact_state(
     import shutil
 
     tmp = state_path.rstrip("/") + ".__compact_tmp"
-    # Spark cannot overwrite a path it is reading from; stage then swap
+    bak = state_path.rstrip("/") + ".__compact_bak"
+    # Spark cannot overwrite a path it is reading from; stage, then swap
+    # via a backup rename so NO window exists where the state is gone —
+    # a crash mid-swap leaves either the old table (plus a stale tmp) or
+    # the new table (plus a stale bak), never nothing
     compacted.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(state_path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(state_path, bak)
     os.rename(tmp, state_path)
+    shutil.rmtree(bak)
     after = spark.read.parquet(state_path).count()
     return {"rows_before": before, "rows_after": after}
 
