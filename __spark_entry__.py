@@ -1632,6 +1632,53 @@ def _l_diversity_sql(l: int = 3) -> str:
     FROM tot"""
 
 
+def q_embedding_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector nightly as ONE frame: the vec_id%3==0 batch vetted
+    against both additive states (geometry/shape via embedding_state,
+    topic mix via cluster-share over the first-8 centroids) — the
+    increment sibling of embedding_report; prior embeddings never
+    re-read."""
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_report_incremental,
+    )
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_share_state,
+        embedding_state,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    prior = emb.filter("vec_id % 3 != 0")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    return embedding_report_incremental(
+        emb.filter("vec_id % 3 = 0"),
+        embedding_state(prior, dim=64),
+        cluster_share_state(prior, cents),
+        cents,
+        dim=64,
+        cosine_threshold=0.9999,
+    )
+
+
+def _embedding_report_incremental_sql() -> str:
+    """Union of the two vector increment-member oracles: the
+    geometry/mmd rows verbatim, the cluster panel melted to the report
+    schema. The cluster member's state side counts %3!=0 vectors, so its
+    replay IS the batch-vs-state panel."""
+    return f"""
+    {_embedding_incremental_sql()}
+    UNION ALL
+    SELECT 'topic_mix' AS family,
+      CASE WHEN cluster_id IS NULL THEN '<null>'
+           ELSE CAST(cluster_id AS VARCHAR) END AS key,
+      'cluster_share' AS metric,
+      ref_share AS ref_value, curr_share AS curr_value,
+      share_abs_diff AS diff, drift_detected
+    FROM ({_cluster_balance_incremental_sql()}) cbi"""
+
+
 def _k_anonymity_sql(k: int = 5, max_buckets: int = 30) -> str:
     return f"""
     WITH cl AS (
@@ -6547,6 +6594,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_incremental": _embedding_incremental_sql(),
         "k_anonymity": _k_anonymity_sql(),
         "l_diversity": _l_diversity_sql(),
+        "embedding_report_incremental": _embedding_report_incremental_sql(),
         "frame_sample": _frame_sample_sql(),
         "pca_anomaly": _pca_anomaly_sql(),
         "repetition_stats": _repetition_stats_sql(),
@@ -7543,6 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental": q_embedding_incremental,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "embedding_report_incremental": q_embedding_report_incremental,
         "js_full_support": q_js_full_support,
         "json_drift": q_json_drift,
         "multimodal_meta": q_multimodal_meta,

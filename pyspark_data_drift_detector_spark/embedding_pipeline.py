@@ -129,3 +129,78 @@ def embedding_drift_report(
         f"round(diff, {r}) AS diff",
         "drift_detected",
     )
+
+
+def embedding_report_incremental(
+    new_vecs: DataFrame,
+    embedding_state: DataFrame,
+    cluster_state: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    embedding_col: str = "embedding",
+    dim: int = 64,
+    n_features: int = 48,
+    seed: int = 7,
+    sigma: float | None = None,
+    cosine_threshold: float = 0.99,
+    norm_threshold: float = 0.1,
+    mmd_threshold: float = 0.01,
+    share_threshold: float = 0.05,
+    scoring: str = "auto",
+) -> DataFrame:
+    """Does THIS vector ingest batch match the corpus-so-far embedding
+    distribution? The increment-vs-state sibling of
+    :func:`embedding_drift_report`, composing both vector members of the
+    vet-the-increment family against their additive states — prior
+    embeddings are never re-read:
+
+    - ``geometry`` / ``mmd`` rows from
+      :func:`operators.similarity.embedding_incremental` (centroid
+      cosine, mean-norm shift, exact incremental MMD² vs the rolled-up
+      :func:`operators.similarity.embedding_state`);
+    - ``topic_mix`` rows from
+      :func:`operators.similarity.cluster_balance_incremental` (per
+      fixed-centroid share vs the rolled-up cluster-share state),
+      melted to the shared report schema ('<null>' key sentinel for the
+      invalid-vector cluster).
+
+    One long-format frame per batch — what
+    ``streaming.state_tables.embedding_vetting_sink`` appends nightly.
+    The SAME ``dim/n_features/seed/sigma`` and ``centroids`` must have
+    built the states.
+    """
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_balance_incremental,
+        embedding_incremental,
+    )
+
+    r = _ROUND
+    geo = embedding_incremental(
+        new_vecs,
+        embedding_state,
+        embedding_col,
+        dim,
+        n_features,
+        seed,
+        sigma,
+        cosine_threshold,
+        norm_threshold,
+        mmd_threshold,
+    )
+    mix = cluster_balance_incremental(
+        new_vecs,
+        cluster_state,
+        centroids,
+        threshold=share_threshold,
+        embedding_col=embedding_col,
+        scoring=scoring,
+    ).selectExpr(
+        "'topic_mix' AS family",
+        "CASE WHEN cluster_id IS NULL THEN '<null>'"
+        " ELSE CAST(cluster_id AS STRING) END AS key",
+        "'cluster_share' AS metric",
+        f"round(ref_share, {r}) AS ref_value",
+        f"round(curr_share, {r}) AS curr_value",
+        f"round(share_abs_diff, {r}) AS diff",
+        "drift_detected",
+    )
+    return geo.unionByName(mix)

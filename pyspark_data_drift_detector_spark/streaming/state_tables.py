@@ -653,9 +653,8 @@ def embedding_vetting_sink(
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    from pyspark_data_drift_detector_spark.operators.similarity import (
-        cluster_balance_incremental,
-        embedding_incremental,
+    from pyspark_data_drift_detector_spark.embedding_pipeline import (
+        embedding_report_incremental,
     )
 
     adv_geo = embedding_state_sink(
@@ -675,37 +674,22 @@ def embedding_vetting_sink(
         except AnalysisException:
             bootstrap = True
         if not bootstrap:
-            geo = embedding_incremental(
+            embedding_report_incremental(
                 batch_df,
                 geo_state,
-                embedding_col,
-                dim,
-                n_features,
-                seed,
-                sigma,
-                **kwargs,
-            )
-            r = 5
-            mix = cluster_balance_incremental(
-                batch_df,
                 mix_state,
                 centroids,
-                threshold=share_threshold,
                 embedding_col=embedding_col,
+                dim=dim,
+                n_features=n_features,
+                seed=seed,
+                sigma=sigma,
+                share_threshold=share_threshold,
                 scoring=scoring,
-            ).selectExpr(
-                "'topic_mix' AS family",
-                "CASE WHEN cluster_id IS NULL THEN '<null>'"
-                " ELSE CAST(cluster_id AS STRING) END AS key",
-                "'cluster_share' AS metric",
-                f"round(ref_share, {r}) AS ref_value",
-                f"round(curr_share, {r}) AS curr_value",
-                f"round(share_abs_diff, {r}) AS diff",
-                "drift_detected",
-            )
-            geo.unionByName(mix).withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(report_path)
+                **kwargs,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
         adv_geo(batch_df, batch_id)
         adv_mix(batch_df, batch_id)
 
