@@ -1603,6 +1603,77 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["row_share"])
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over customer nations (sensitive attribute: market
+    segment, t=0.1): per-class total-variation distance to the global
+    segment distribution, reduced to fixed-width tvd buckets plus the
+    tvd>=t at-risk summary row — exact integer EMD arithmetic, so the
+    bucket cut never depends on float summation order."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        t_closeness_profile,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = t_closeness_profile(cust, ["c_nationkey"], "c_mktsegment", t=0.1)
+    return _round_cols(out, ["row_share"])
+
+
+def _t_closeness_sql(units: int = 2, nb: int = 20) -> str:
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS a
+      FROM customer GROUP BY 1, 2),
+    gfreq AS (
+      SELECT s, CAST(SUM(a) AS BIGINT) AS g FROM cells GROUP BY 1),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS g_total FROM gfreq),
+    ct AS (
+      SELECT c_nationkey, CAST(SUM(a) AS BIGINT) AS class_n
+      FROM cells GROUP BY 1),
+    per_cell AS (
+      SELECT c.c_nationkey,
+        abs(CAST(c.a AS HUGEINT) * CAST(gt.g_total AS HUGEINT)
+            - CAST(gl.g AS HUGEINT) * CAST(tc.class_n AS HUGEINT)) AS term,
+        gl.g AS g, tc.class_n AS class_n, gt.g_total AS g_total
+      FROM cells c
+      JOIN gfreq gl ON c.s IS NOT DISTINCT FROM gl.s
+      CROSS JOIN gtot gt
+      JOIN ct tc ON c.c_nationkey IS NOT DISTINCT FROM tc.c_nationkey),
+    cls AS (
+      SELECT CAST(SUM(term) AS HUGEINT)
+          + (CAST(MAX(g_total) AS HUGEINT) - CAST(SUM(g) AS HUGEINT))
+            * CAST(MAX(class_n) AS HUGEINT) AS num,
+        CAST(MAX(class_n) AS HUGEINT) AS class_n,
+        CAST(MAX(g_total) AS HUGEINT) AS g_total
+      FROM per_cell GROUP BY c_nationkey),
+    b AS (
+      SELECT least(CAST((num * {nb})
+                        // (CAST(2 AS HUGEINT) * class_n * g_total)
+                        AS BIGINT), {nb - 1}) AS b,
+        class_n
+      FROM cls),
+    bucketed AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(class_n) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(class_n) AS BIGINT) AS total_rows,
+        CAST(SUM(CASE WHEN b >= {units} THEN 1 ELSE 0 END) AS BIGINT)
+          AS risk_classes,
+        CAST(SUM(CASE WHEN b >= {units} THEN class_n ELSE 0 END) AS BIGINT)
+          AS risk_rows
+      FROM b)
+    SELECT CAST(b AS DOUBLE) / {nb} AS tvd_lo,
+      CAST(b + 1 AS DOUBLE) / {nb} AS tvd_hi,
+      n_classes, n_rows,
+      ROUND(n_rows / CAST(total_rows AS DOUBLE), {ROUND}) AS row_share
+    FROM bucketed CROSS JOIN tot
+    UNION ALL
+    SELECT CAST(NULL AS DOUBLE), CAST({units} AS DOUBLE) / {nb},
+      risk_classes, risk_rows,
+      ROUND(risk_rows / CAST(total_rows AS DOUBLE), {ROUND})
+    FROM tot"""
+
+
 def _l_diversity_sql(l: int = 3) -> str:
     return f"""
     WITH cells AS (
@@ -6592,6 +6663,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "t_closeness": _t_closeness_sql(),
         "k_anonymity": _k_anonymity_sql(),
         "l_diversity": _l_diversity_sql(),
         "embedding_report_incremental": _embedding_report_incremental_sql(),
@@ -7580,6 +7652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "t_closeness": q_t_closeness,
         "quality_classifier": q_quality_classifier,
         "image_decode": q_image_decode,
         "corpus_report_incremental": q_corpus_report_incremental,

@@ -423,3 +423,133 @@ def l_diversity_profile(
         "risk_rows / CAST(total_rows AS DOUBLE) AS row_share",
     )
     return rows.unionByName(summary)
+
+
+def t_closeness_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.1,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Attribute-disclosure companion to :func:`k_anonymity_profile` and
+    :func:`l_diversity_profile` (Li, Li & Venkatasubramanian's
+    t-closeness): an l-diverse class still leaks when its sensitive
+    distribution is far from the table-wide one (skewness attack — a
+    class that is 90% one diagnosis discloses it even with 3 distinct
+    values present). Per class, the total-variation distance (the
+    equal-ground-distance earth-mover's distance for categorical
+    sensitive attributes) between the class's sensitive distribution and
+    the global distribution:
+
+        tvd = 0.5 * sum_v |p_class(v) - p_global(v)|
+
+    Output: one row per fixed-width tvd bucket (width ``1/n_buckets``)
+    with ``tvd_lo, tvd_hi, n_classes, n_rows, row_share``, plus an
+    at-risk summary row (``tvd_lo`` NULL, ``tvd_hi = t``) counting
+    classes/rows with ``tvd >= t``. ``t`` must be a multiple of the
+    bucket width so the at-risk cut is a bucket boundary. NULL sensitive
+    values are one disclosure value; NULL quasi-identifiers group
+    together.
+
+    Exactness: bucketing never touches floating point. With class total
+    ``A``, table total ``G``, cell count ``a`` and global count ``g``,
+
+        tvd = [ sum_cells |a*G - g*A| + (G - sum_cells g) * A ] / (2*A*G)
+
+    (absent sensitive values contribute their full global share, hence
+    the ``(G - sum g)`` completion term — the class never needs
+    densifying). The numerator and denominator are integers, carried as
+    DECIMAL(38,0) so products stay exact past BIGINT range (G, A up to
+    ~1e12 rows → products ≤ ~1e25 « 1e38), and the bucket index is an
+    exact integral division ``(num * n_buckets) div (2*A*G)`` — the same
+    rational arithmetic any SQL engine replays bit-for-bit.
+
+    Plan: groupBy (QI, sensitive) cells (map-side combined), re-agg per
+    class, one BROADCAST join of the O(distinct sensitive) global
+    frequency table onto the cells, then O(classes) rows reduce into
+    O(n_buckets). Nothing wide survives the first aggregate.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns(quasi_cols + [sensitive_col])
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0 < t <= 1:
+        raise ValueError(f"t must be in (0, 1], got {t}")
+    units = t * n_buckets
+    if abs(units - round(units)) > 1e-9:
+        raise ValueError(
+            f"t={t} must be a multiple of the bucket width 1/{n_buckets}"
+        )
+    units = int(round(units))
+    nb = int(n_buckets)
+    dec = "DECIMAL(38,0)"
+    qc = ", ".join(f"`{c}`" for c in quasi_cols)
+    qi_eq = " AND ".join(f"c.`{c}` <=> tc.`{c}`" for c in quasi_cols)
+    # One spark.sql CTE query rather than chained DataFrame joins: the
+    # plan self-joins `cells` twice (global frequencies, class totals)
+    # and Spark 4.1's DataFrame self-join dedup + resolution-through-
+    # Window makes later same-named references ambiguous
+    # (AMBIGUOUS_REFERENCE on the deduplicated branch's inner attrs).
+    # SQL-side CTE references carry no cross-branch attr ids, and the
+    # <=> joins keep NULL QI / NULL sensitive classes intact.
+    query = f"""
+    WITH cells AS (
+      SELECT {qc}, `{sensitive_col}` AS __tc_s, CAST(count(1) AS BIGINT) AS __tc_a
+      FROM {{src}} GROUP BY {qc}, `{sensitive_col}`),
+    glob AS (
+      SELECT __tc_s, CAST(sum(__tc_a) AS BIGINT) AS g FROM cells GROUP BY __tc_s),
+    gtot AS (SELECT CAST(sum(g) AS BIGINT) AS g_total FROM glob),
+    class_totals AS (
+      SELECT {qc}, CAST(sum(__tc_a) AS BIGINT) AS class_n
+      FROM cells GROUP BY {qc}),
+    per_cell AS (
+      SELECT /*+ BROADCAST(gl) */
+        {', '.join(f'c.`{q}`' for q in quasi_cols)},
+        abs(CAST(c.__tc_a AS {dec}) * CAST(gt.g_total AS {dec})
+            - CAST(gl.g AS {dec}) * CAST(tc.class_n AS {dec})) AS term,
+        gl.g AS g, tc.class_n AS class_n, gt.g_total AS g_total
+      FROM cells c
+      JOIN glob gl ON c.__tc_s <=> gl.__tc_s
+      CROSS JOIN gtot gt
+      JOIN class_totals tc ON {qi_eq}),
+    cls AS (
+      SELECT
+        CAST(sum(term) AS {dec})
+          + (CAST(max(g_total) AS {dec}) - CAST(sum(g) AS {dec}))
+            * CAST(max(class_n) AS {dec}) AS num,
+        CAST(max(class_n) AS {dec}) AS class_n,
+        CAST(max(g_total) AS {dec}) AS g_total
+      FROM per_cell GROUP BY {qc}),
+    b AS (
+      SELECT
+        least(CAST((num * {nb})
+                   div (CAST(2 AS {dec}) * class_n * g_total) AS BIGINT),
+              {nb - 1}) AS b,
+        class_n
+      FROM cls),
+    bucketed AS (
+      SELECT b, CAST(count(1) AS BIGINT) AS n_classes,
+        CAST(sum(class_n) AS BIGINT) AS n_rows
+      FROM b GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(class_n) AS BIGINT) AS total_rows,
+        CAST(sum(CASE WHEN b >= {units} THEN 1 ELSE 0 END) AS BIGINT)
+          AS risk_classes,
+        CAST(sum(CASE WHEN b >= {units} THEN class_n ELSE 0 END) AS BIGINT)
+          AS risk_rows
+      FROM b)
+    SELECT CAST(b AS DOUBLE) / {nb} AS tvd_lo,
+      CAST(b + 1 AS DOUBLE) / {nb} AS tvd_hi,
+      n_classes, n_rows,
+      n_rows / CAST(total_rows AS DOUBLE) AS row_share
+    FROM bucketed CROSS JOIN tot
+    UNION ALL
+    SELECT CAST(NULL AS DOUBLE), CAST({units} AS DOUBLE) / {nb},
+      risk_classes, risk_rows,
+      risk_rows / CAST(total_rows AS DOUBLE)
+    FROM tot"""
+    return df.sparkSession.sql(query, src=df)

@@ -2331,3 +2331,44 @@ def test_l_diversity_profile(spark):
 
     with _pytest.raises(ValueError, match="l must be"):
         l_diversity_profile(df, ["zip"], "diagnosis", l=1)
+
+
+def test_t_closeness_profile(spark):
+    """Hand-checked per-class TVD buckets + at-risk summary: NULL QI and
+    NULL sensitive values form real classes/values (the eqNullSafe panel
+    rule); exact integer bucketing; validation fails fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        t_closeness_profile,
+    )
+
+    # global: x:3, NULL:2, y:1 (G=6)
+    rows = [(None, "x"), (None, "x"), (None, None),
+            (1, "x"), (1, None), (2, "y")]
+    df = spark.createDataFrame(rows, "q int, s string")
+    out = t_closeness_profile(df, ["q"], "s", t=0.25, n_buckets=4).collect()
+    by_lo = {r["tvd_lo"]: r for r in out}
+    # q=NULL {x:2/3, NULL:1/3} and q=1 {x:1/2, NULL:1/2} both have
+    # tvd = 1/6 -> bucket [0, 0.25); q=2 {y:1} has tvd = 5/6 -> [0.75, 1)
+    assert by_lo[0.0]["n_classes"] == 2 and by_lo[0.0]["n_rows"] == 5
+    assert by_lo[0.75]["n_classes"] == 1 and by_lo[0.75]["n_rows"] == 1
+    assert by_lo[0.75]["row_share"] == pytest.approx(1 / 6)
+    risk = by_lo[None]
+    assert risk["tvd_hi"] == pytest.approx(0.25)
+    assert risk["n_classes"] == 1 and risk["n_rows"] == 1
+
+    # homogeneous table: every class matches the global distribution
+    uni = spark.createDataFrame(
+        [(i % 3, "a") for i in range(9)], "q int, s string"
+    )
+    uout = t_closeness_profile(uni, ["q"], "s", t=0.25, n_buckets=4).collect()
+    ubl = {r["tvd_lo"]: r for r in uout}
+    assert ubl[0.0]["n_classes"] == 3 and ubl[None]["n_classes"] == 0
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        t_closeness_profile(df, [], "s")
+    with _pytest.raises(ValueError, match="multiple of"):
+        t_closeness_profile(df, ["q"], "s", t=0.13, n_buckets=4)
+    with _pytest.raises(ValueError, match="t must be in"):
+        t_closeness_profile(df, ["q"], "s", t=0.0)
