@@ -6499,6 +6499,52 @@ def _temperature_sample_sql() -> str:
     WHERE u.uu < FLOOR(r.sample_rate * 1000000)"""
 
 
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-mix rebalancing of the documents language mixture
+    (en 40 / zh 20 / de 20 / fr 10 / es 10): downsample-only rates from
+    the scarcest-group cap, deterministic md5 membership; oracle replays
+    the rate table and the variate."""
+    from pyspark_data_drift_detector_spark.operators.sampling import mix_sample
+
+    out = mix_sample(
+        _documents(spark, sf_dir),
+        "lang",
+        {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1},
+    )
+    return _round_cols(
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "group_count",
+            "target_share",
+            "sample_rate",
+        ),
+        ["target_share", "sample_rate"],
+    )
+
+
+def _mix_sample_sql() -> str:
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS group_count FROM documents GROUP BY 1),
+    t(lang, target_share) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+      ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+      ('es', CAST(0.1 AS DOUBLE))),
+    j AS (SELECT c.lang, CAST(c.group_count AS DOUBLE) AS mass, t.target_share
+          FROM c JOIN t USING (lang)),
+    m AS (SELECT MIN(mass / target_share) AS nmax FROM j),
+    r AS (SELECT lang, CAST(mass AS BIGINT) AS group_count, target_share,
+            LEAST(CAST(1.0 AS DOUBLE), target_share * nmax / mass)
+              AS sample_rate
+          FROM j CROSS JOIN m),
+    u AS (SELECT doc_id, lang, {_md5_u_sql("mix")} AS uu FROM documents)
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang, r.group_count,
+      ROUND(r.target_share, {ROUND}) AS target_share,
+      ROUND(r.sample_rate, {ROUND}) AS sample_rate
+    FROM u JOIN r USING (lang)
+    WHERE u.uu < FLOOR(r.sample_rate * 1000000)"""
+
+
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group corpus cap: at most 3 docs per (lang, source), selected
     by the deterministic md5 variate so any layout keeps the same rows.
@@ -6663,6 +6709,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
         "k_anonymity": _k_anonymity_sql(),
         "l_diversity": _l_diversity_sql(),
@@ -7652,6 +7699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "mix_sample": q_mix_sample,
         "t_closeness": q_t_closeness,
         "quality_classifier": q_quality_classifier,
         "image_decode": q_image_decode,

@@ -231,6 +231,84 @@ def temperature_sample(
     )
 
 
+def mix_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to an EXPLICIT target group mixture by
+    downsampling only — the "data mixing" step of a training-data
+    pipeline (e.g. "train on 40% web, 30% code, 30% books" regardless of
+    what the crawl delivered). Where ``temperature_sample`` derives the
+    target mix from the observed one (``p^α``), this operator takes the
+    mix as a spec.
+
+    Downsampling-only means the achievable total is capped by the
+    scarcest group relative to its target: ``N_max = min_g n_g / t_g``,
+    and each group keeps ``rate_g = t_g · N_max / n_g ≤ 1`` of its rows
+    (the binding group keeps everything). Expected output mix is exactly
+    ``target_shares``; expected size is ``N_max``. With ``weight_col``
+    (e.g. token counts), group masses are weight sums instead of row
+    counts and the EXPECTED WEIGHT mix matches the target — the
+    token-budget variant every LM data recipe actually specifies.
+
+    Membership is the deterministic hash variate (``u < rate·10⁶``) —
+    reproducible on any cluster layout, appends never move old rows.
+    Plan: one tiny ``groupBy(group_col)`` aggregate joined with the
+    inlined target table, broadcast back; the corpus side is
+    scan → broadcast-join → filter, never shuffled.
+
+    Groups absent from ``target_shares`` (including NULL) are dropped —
+    a share-0 group. A target group absent from the data contributes no
+    rows (the realized mix then undershoots that group; the caller sees
+    it via the ``group_count`` column of the survivors).
+
+    Output: sampled rows + ``group_count`` (rows or weight sum),
+    ``target_share``, ``sample_rate``.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(v <= 0 for v in target_shares.values()):
+        raise ValueError(
+            "every target share must be > 0 — omit a group to drop it"
+        )
+    if None in target_shares:
+        raise ValueError("NULL group cannot carry a target share")
+    total = sum(target_shares.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares sum to {total}, expected 1")
+    mass = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
+    counts = df.groupBy(group_col).agg(mass.alias("__mass"))
+    targets = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        [group_col, "target_share"],
+    )
+    joined = counts.join(F.broadcast(targets), group_col, "inner")
+    nmax = joined.agg(
+        F.min(F.col("__mass") / F.col("target_share")).alias("__nmax")
+    )
+    rates = joined.crossJoin(F.broadcast(nmax)).select(
+        group_col,
+        F.col("__mass").cast("bigint").alias("group_count"),
+        "target_share",
+        F.least(
+            F.lit(1.0),
+            F.col("target_share") * F.col("__nmax") / F.col("__mass"),
+        ).alias("sample_rate"),
+    )
+    u = uniform_variate(F.col(id_col), salt)
+    return df.join(F.broadcast(rates), group_col, "inner").filter(
+        u < F.floor(F.col("sample_rate") * _U_MOD)
+    )
+
+
 def uniform_sample_k(
     df: DataFrame,
     k: int,

@@ -175,6 +175,67 @@ def test_temperature_sample_rebalances_tail(spark):
     assert len(set(prates.values())) == 1
 
 
+def test_mix_sample_targets_explicit_shares(spark):
+    """Downsample-only rebalancing: the binding group keeps rate 1, every
+    other group's rate makes the EXPECTED mix equal the spec; unlisted
+    and NULL groups are dropped; validation fails fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.sampling import mix_sample
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(50)]
+        + [(2000, "junk"), (2001, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_sample(df, "lang", {"a": 0.5, "b": 0.5})
+    rates = {
+        r["lang"]: (r["sample_rate"], r["group_count"])
+        for r in out.select("lang", "sample_rate", "group_count")
+        .distinct()
+        .collect()
+    }
+    # N_max = min(100/0.5, 50/0.5) = 100 -> a keeps 0.5, b keeps all
+    assert rates["b"] == (1.0, 50)
+    assert rates["a"][0] == pytest.approx(0.5) and rates["a"][1] == 100
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"a", "b"}  # junk and NULL dropped
+    got_b = out.filter("lang = 'b'").count()
+    assert got_b == 50  # rate-1 group keeps every row
+    got_a = out.filter("lang = 'a'").count()
+    assert 30 <= got_a <= 70  # ~50 expected, deterministic hash
+
+    # weighted mode: masses are weight sums, so the smaller-row group
+    # can be the binding one
+    wrows = [(i, "a", 100.0) for i in range(1, 10)] + [
+        (20, "b", 100.0),
+        (21, "b", 100.0),
+    ]
+    wdf = spark.createDataFrame(wrows, "doc_id long, lang string, tok double")
+    wout = mix_sample(wdf, "lang", {"a": 0.5, "b": 0.5}, weight_col="tok")
+    wrates = {
+        r["lang"]: (r["sample_rate"], r["group_count"])
+        for r in wout.select("lang", "sample_rate", "group_count")
+        .distinct()
+        .collect()
+    }
+    # masses a=900 (9x100), b=200 -> N_max = min(1800, 400) = 400; b binds
+    assert wrates["b"] == (1.0, 200)
+    assert wrates["a"][0] == pytest.approx(400 * 0.5 / 900)
+    assert wrates["a"][1] == 900
+    assert wout.filter("lang = 'b'").count() == 2
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        mix_sample(df, "lang", {})
+    with _pytest.raises(ValueError, match="sum to"):
+        mix_sample(df, "lang", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="> 0"):
+        mix_sample(df, "lang", {"a": 1.5, "b": -0.5})
+    with _pytest.raises(ValueError, match="NULL group"):
+        mix_sample(df, "lang", {"a": 0.5, None: 0.5})
+
+
 def test_ngram_overlap_graded_ratios(spark):
     """Exact fractional overlap: a doc sharing half its distinct n-grams
     with the benchmark scores 0.5; disjoint docs 0.0; benchmark members
