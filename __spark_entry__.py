@@ -6565,6 +6565,84 @@ def _cap_per_group_sql() -> str:
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source FROM r WHERE rn <= 3"""
 
 
+def q_fit_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the documents corpus (3 merges): the
+    learned merge table — most-frequent adjacent symbol pair per
+    iteration, canonical greedy merge application, count-desc /
+    left-asc / right-asc tie-break. Float-free, so the oracle replays
+    the fit exactly (recursive repeated-first-merge == the greedy
+    sweep; a fused symbol can never re-merge within a sweep)."""
+    from pyspark_data_drift_detector_spark.operators.corpus import fit_bpe
+
+    return fit_bpe(_documents(spark, sf_dir), n_merges=3)
+
+
+def _bpe_rec_sql(prev_w: str, b: str, r: str) -> str:
+    """One recursive merge-application CTE: repeatedly fuse the FIRST
+    remaining (l, r) adjacency per word — equivalent to the canonical
+    one-sweep greedy because a fused symbol would have to equal its own
+    left half to re-merge, and fusing never creates a new (l, r)
+    adjacency across the fused position."""
+    return f"""
+    {r} AS (
+      SELECT sym, wc FROM {prev_w}
+      UNION ALL
+      SELECT sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
+      FROM (SELECT {r}.sym AS sym, {r}.wc AS wc, {b}.l AS l, {b}.r AS r,
+              list_filter(range(1, len({r}.sym)),
+                          i -> {r}.sym[i] = {b}.l
+                               AND {r}.sym[i+1] = {b}.r)[1] AS pos
+            FROM {r}, {b}) q
+      WHERE pos IS NOT NULL)"""
+
+
+def _bpe_pairs_sql(name: str, src: str) -> str:
+    return f"""
+    {name} AS (SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wc) AS BIGINT) AS c
+      FROM (SELECT unnest(list_zip(sym[:-2], sym[2:])) AS pr, wc
+            FROM {src}) z
+      GROUP BY 1, 2)"""
+
+
+def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
+    """Terminal states only: recursion emits every intermediate step;
+    a word's final sequence is the one with no (l, r) adjacency left."""
+    return f"""
+    {name} AS (SELECT sym, wc
+      FROM (SELECT {src}.sym AS sym, {src}.wc AS wc,
+              list_filter(range(1, len({src}.sym)),
+                          i -> {src}.sym[i] = {b}.l
+                               AND {src}.sym[i+1] = {b}.r)[1] AS pos
+            FROM {src}, {b}) q
+      WHERE pos IS NULL)"""
+
+
+def _fit_bpe_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents) t
+          WHERE word <> '' GROUP BY 1),
+    w0 AS (SELECT string_split(word, '') AS sym, wc FROM w),
+    {_bpe_pairs_sql('p1', 'w0')},
+    b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    {_bpe_rec_sql('w0', 'b1', 'r1')},
+    {_bpe_fixed_sql('w1', 'r1', 'b1')},
+    {_bpe_pairs_sql('p2', 'w1')},
+    b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    {_bpe_rec_sql('w1', 'b2', 'r2')},
+    {_bpe_fixed_sql('w2', 'r2', 'b2')},
+    {_bpe_pairs_sql('p3', 'w2')},
+    b3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS merge_rank, l AS pair_left, r AS pair_right,
+      l||r AS merged, c AS pair_count FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), l, r, l||r, c FROM b2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), l, r, l||r, c FROM b3"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level Zipf's-law fit: OLS of log(freq) ~ log(rank) over the
     top token types — slope far from −1 / poor r² flags synthetic or
@@ -6709,6 +6787,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "fit_bpe": _fit_bpe_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
         "k_anonymity": _k_anonymity_sql(),
@@ -7699,6 +7778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "fit_bpe": q_fit_bpe,
         "mix_sample": q_mix_sample,
         "t_closeness": q_t_closeness,
         "quality_classifier": q_quality_classifier,

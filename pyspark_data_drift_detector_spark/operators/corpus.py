@@ -620,3 +620,102 @@ def token_share_incremental(
         f"round(share_abs_diff, 5) > {float(threshold)!r}D"
         " AS drift_detected",
     )
+
+
+def fit_bpe(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """TRAIN a byte-pair-encoding merge table over the corpus (Sennrich
+    et al. 2016) — the tokenizer-fitting step of a training-data
+    pipeline, joining the trainer family (``fit_kmeans``,
+    ``fit_quality_classifier``): each iteration finds the most frequent
+    adjacent symbol pair across the vocabulary and fuses it into a new
+    symbol.
+
+    Output: the learned merge table — one row per merge with
+    ``merge_rank, pair_left, pair_right, merged, pair_count`` (the
+    pair's corpus frequency at the time it was chosen). Ties break by
+    ``(count DESC, left ASC, right ASC)``; training stops early when
+    the best pair's count falls below ``min_pair_count``. All values
+    are strings/ints — the fit is float-free, hence exactly replayable
+    by any SQL engine.
+
+    Merge application is CANONICAL greedy (one left-to-right sweep,
+    matches never overlap), expressed as an ``aggregate`` fold over the
+    symbol array: the accumulator's last element merges with the
+    incoming symbol iff they equal the chosen pair. A fused symbol can
+    never re-merge within the same sweep (it would have to equal its
+    own left half), so the fold IS the canonical sweep — unlike
+    string-level ``replace``, whose rescan semantics differ between
+    engines on chained matches.
+
+    Scale shape: ONE corpus-wide shuffle (the word count) reduces 100 TB
+    of text to the distinct-word table (Heaps' law: ~millions of rows);
+    every iteration after that is a narrow map + one O(vocab) pair
+    aggregate, with exactly one 1-row ``limit(1).collect()`` per merge.
+    The word table is cached once and unpersisted on exit; lineage
+    grows by one fold per merge (fine for tokenizer-scale
+    ``n_merges``; checkpoint externally for thousands of merges).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import qs
+
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    spark = df.sparkSession
+    words = (
+        ensure_min_partitions(df)
+        .selectExpr(f"explode(split(trim(`{text_col}`), '\\\\s+')) AS word")
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS wc"))
+        .selectExpr("filter(split(word, ''), ch -> ch <> '') AS sym", "wc")
+        .cache()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    try:
+        for rank in range(1, int(n_merges) + 1):
+            best = (
+                cur.selectExpr(
+                    "wc",
+                    "explode(arrays_zip(slice(sym, 1, size(sym) - 1),"
+                    " slice(sym, 2, size(sym) - 1))) AS pr",
+                )
+                .selectExpr("pr.`0` AS l", "pr.`1` AS r", "wc")
+                .groupBy("l", "r")
+                .agg(F.expr("CAST(sum(wc) AS BIGINT) AS c"))
+                .orderBy(
+                    F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best or int(best[0]["c"]) < int(min_pair_count):
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, l + r, c))
+            cur = cur.withColumn(
+                "sym",
+                F.expr(
+                    "aggregate(sym, CAST(array() AS array<string>),"
+                    " (acc, x) -> CASE WHEN size(acc) > 0"
+                    f" AND element_at(acc, -1) = {qs(l)} AND x = {qs(r)}"
+                    " THEN concat(slice(acc, 1, size(acc) - 1),"
+                    f" array({qs(l + r)}))"
+                    " ELSE concat(acc, array(x)) END)"
+                ),
+            )
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, pair_left string, pair_right string,"
+        " merged string, pair_count long",
+    )

@@ -2372,3 +2372,43 @@ def test_t_closeness_profile(spark):
         t_closeness_profile(df, ["q"], "s", t=0.13, n_buckets=4)
     with _pytest.raises(ValueError, match="t must be in"):
         t_closeness_profile(df, ["q"], "s", t=0.0)
+
+
+def test_fit_bpe_canonical_merges(spark):
+    """The Sennrich walk-through: merges come out in count-desc /
+    left-asc / right-asc order and merge application is the canonical
+    greedy sweep (self-pair runs fuse left-to-right, fused symbols
+    never re-merge within a sweep)."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import fit_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = [tuple(r) for r in fit_bpe(df, n_merges=5).collect()]
+    assert out == [
+        (1, "e", "s", "es", 9),   # ties (e,s)/(s,t) at 9 -> left asc
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),   # ties (l,o)/(o,w) at 7 -> left asc
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+    ]
+
+    # self-pair run: 'aaaa' x3 -> (a,a) fuses greedily into aa aa,
+    # then (aa,aa) is the next-best pair
+    runs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    rout = [tuple(r) for r in fit_bpe(runs, n_merges=2).collect()]
+    assert rout == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
+
+    # early stop: all pairs below min_pair_count
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    assert fit_bpe(tiny, n_merges=4, min_pair_count=2).count() == 0
+    assert fit_bpe(tiny, n_merges=1, min_pair_count=1).count() == 1
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        fit_bpe(df, n_merges=0)
+    with _pytest.raises(ValueError, match="min_pair_count"):
+        fit_bpe(df, min_pair_count=0)
