@@ -6617,6 +6617,87 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply round trip: fit 2 BPE merges on the documents
+    corpus, segment every document with them, report per-doc token /
+    char / BPE-token counts and the chars-per-BPE-token compression
+    ratio. The oracle re-derives the same 2 merges and replays the
+    segmentation on the vocabulary."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        bpe_segment,
+        fit_bpe,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = bpe_segment(docs, fit_bpe(docs, n_merges=2))
+    return _round_cols(
+        out.withColumn("doc_id", F.col("doc_id").cast("long")),
+        ["compression"],
+    )
+
+
+def _bpe_segment_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents) t
+      WHERE word <> ''),
+    w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM toks GROUP BY 1),
+    w0 AS (SELECT word, string_split(word, '') AS sym, wc FROM w),
+    {_bpe_pairs_sql('p1', 'w0')},
+    b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    r1 AS (
+      SELECT word, sym, wc FROM w0
+      UNION ALL
+      SELECT word, sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
+      FROM (SELECT r1.word AS word, r1.sym AS sym, r1.wc AS wc,
+              b1.l AS l, b1.r AS r,
+              list_filter(range(1, len(r1.sym)),
+                          i -> r1.sym[i] = b1.l
+                               AND r1.sym[i+1] = b1.r)[1] AS pos
+            FROM r1, b1) q
+      WHERE pos IS NOT NULL),
+    w1 AS (SELECT word, sym, wc
+      FROM (SELECT r1.word AS word, r1.sym AS sym, r1.wc AS wc,
+              list_filter(range(1, len(r1.sym)),
+                          i -> r1.sym[i] = b1.l
+                               AND r1.sym[i+1] = b1.r)[1] AS pos
+            FROM r1, b1) q
+      WHERE pos IS NULL),
+    {_bpe_pairs_sql('p2', 'w1')},
+    b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    r2 AS (
+      SELECT word, sym, wc FROM w1
+      UNION ALL
+      SELECT word, sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
+      FROM (SELECT r2.word AS word, r2.sym AS sym, r2.wc AS wc,
+              b2.l AS l, b2.r AS r,
+              list_filter(range(1, len(r2.sym)),
+                          i -> r2.sym[i] = b2.l
+                               AND r2.sym[i+1] = b2.r)[1] AS pos
+            FROM r2, b2) q
+      WHERE pos IS NOT NULL),
+    w2 AS (SELECT word, sym, wc
+      FROM (SELECT r2.word AS word, r2.sym AS sym, r2.wc AS wc,
+              list_filter(range(1, len(r2.sym)),
+                          i -> r2.sym[i] = b2.l
+                               AND r2.sym[i+1] = b2.r)[1] AS pos
+            FROM r2, b2) q
+      WHERE pos IS NULL),
+    vocab AS (SELECT word, CAST(length(word) AS BIGINT) AS nc,
+                CAST(len(sym) AS BIGINT) AS nb
+              FROM w2)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(v.nc) AS BIGINT) AS n_chars,
+      CAST(SUM(v.nb) AS BIGINT) AS n_bpe_tokens,
+      ROUND(CAST(SUM(v.nc) AS DOUBLE) / SUM(v.nb), {ROUND}) AS compression
+    FROM toks t JOIN vocab v USING (word)
+    GROUP BY t.doc_id"""
+
+
 def _fit_bpe_sql() -> str:
     return f"""
     WITH RECURSIVE
@@ -6788,6 +6869,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
         "fit_bpe": _fit_bpe_sql(),
+        "bpe_segment": _bpe_segment_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
         "k_anonymity": _k_anonymity_sql(),
@@ -7779,6 +7861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     return {
         "fit_bpe": q_fit_bpe,
+        "bpe_segment": q_bpe_segment,
         "mix_sample": q_mix_sample,
         "t_closeness": q_t_closeness,
         "quality_classifier": q_quality_classifier,

@@ -701,21 +701,90 @@ def fit_bpe(
                 break
             l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
             merges.append((rank, l, r, l + r, c))
-            cur = cur.withColumn(
-                "sym",
-                F.expr(
-                    "aggregate(sym, CAST(array() AS array<string>),"
-                    " (acc, x) -> CASE WHEN size(acc) > 0"
-                    f" AND element_at(acc, -1) = {qs(l)} AND x = {qs(r)}"
-                    " THEN concat(slice(acc, 1, size(acc) - 1),"
-                    f" array({qs(l + r)}))"
-                    " ELSE concat(acc, array(x)) END)"
-                ),
-            )
+            cur = cur.withColumn("sym", F.expr(_bpe_merge_expr("sym", l, r)))
     finally:
         words.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank long, pair_left string, pair_right string,"
         " merged string, pair_count long",
+    )
+
+
+def _bpe_merge_expr(sym_col: str, left: str, right: str) -> str:
+    """Canonical one-sweep greedy application of one BPE merge as an
+    ``aggregate`` fold (see :func:`fit_bpe` for why this beats string
+    ``replace``)."""
+    from pyspark_data_drift_detector_spark.functions.quoting import qs
+
+    return (
+        f"aggregate({sym_col}, CAST(array() AS array<string>),"
+        " (acc, x) -> CASE WHEN size(acc) > 0"
+        f" AND element_at(acc, -1) = {qs(left)} AND x = {qs(right)}"
+        " THEN concat(slice(acc, 1, size(acc) - 1),"
+        f" array({qs(left + right)}))"
+        " ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge table (:func:`fit_bpe` output, or a
+    plain ``[(left, right), ...]`` list in rank order) to the corpus —
+    the trainer's apply half, like ``quality_classifier`` is to
+    ``fit_quality_classifier``. Per document: whitespace token count,
+    character count over those tokens, the BPE token count after
+    applying every merge in rank order, and the resulting compression
+    ratio (chars per BPE token — the fertility metric a tokenizer
+    ablation tracks).
+
+    Scale shape: each DISTINCT word is segmented once — the fold chain
+    runs on the vocabulary table (one shuffle), which then joins back
+    to the exploded tokens (AQE broadcasts it while it fits, and a
+    vocabulary too big to broadcast shuffle-joins on the same key the
+    vocab aggregate just produced). Documents with NULL/empty text have
+    no tokens and are absent from the output.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["pair_left"], r["pair_right"])
+            for r in merges.orderBy("merge_rank").collect()  # O(n_merges)
+        ]
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    toks = ensure_min_partitions(df).selectExpr(
+        f"`{id_col}`",
+        f"explode(split(trim(`{text_col}`), '\\\\s+')) AS word",
+    ).filter("word <> ''")
+    vocab = toks.select("word").distinct().selectExpr(
+        "word", "filter(split(word, ''), ch -> ch <> '') AS sym"
+    )
+    for left, right in merges:
+        vocab = vocab.withColumn(
+            "sym", F.expr(_bpe_merge_expr("sym", left, right))
+        )
+    vocab = vocab.selectExpr(
+        "word",
+        "CAST(length(word) AS BIGINT) AS __n_chars",
+        "CAST(size(sym) AS BIGINT) AS __n_bpe",
+    )
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_tokens"),
+            F.expr("CAST(sum(__n_chars) AS BIGINT) AS n_chars"),
+            F.expr("CAST(sum(__n_bpe) AS BIGINT) AS n_bpe_tokens"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "n_chars",
+            "n_bpe_tokens",
+            "CAST(n_chars AS DOUBLE) / n_bpe_tokens AS compression",
+        )
     )

@@ -2412,3 +2412,39 @@ def test_fit_bpe_canonical_merges(spark):
         fit_bpe(df, n_merges=0)
     with _pytest.raises(ValueError, match="min_pair_count"):
         fit_bpe(df, min_pair_count=0)
+
+
+def test_bpe_segment_counts(spark):
+    """Segmentation with an explicit merge list: per-doc char/BPE-token
+    counts and compression; merges apply in rank order (later merges
+    see earlier fusions); NULL/empty docs are absent."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "west"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_segment(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert set(out) == {1, 2}  # NULL and blank docs absent
+    # doc 1: low->[low] (1), low->[low], lower->[low,e,r] (3)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["n_chars"] == 3 + 3 + 5
+    assert out[1]["n_bpe_tokens"] == 1 + 1 + 3
+    assert out[1]["compression"] == pytest.approx(11 / 5)
+    # doc 2: west untouched -> 4 chars, 4 symbols
+    assert out[2]["n_bpe_tokens"] == 4 and out[2]["compression"] == 1.0
+
+    # fit output DataFrame is accepted directly
+    from pyspark_data_drift_detector_spark.operators.corpus import fit_bpe
+
+    fitted = fit_bpe(df.filter("text IS NOT NULL"), n_merges=2)
+    out2 = bpe_segment(df, fitted)
+    assert out2.count() == 2
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bpe_segment(df, [])
