@@ -6617,6 +6617,98 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level version reconciliation on a simulated re-crawl: ref =
+    doc_id%7!=0, curr = doc_id%5!=0 with text mutated on %3==0 and
+    source on %4==0 — added/removed/changed/unchanged counts plus the
+    per-column change attribution, all from ONE full-outer join and one
+    wide aggregate."""
+    from pyspark_data_drift_detector_spark.operators.schema_drift import (
+        snapshot_diff,
+    )
+
+    docs = _documents(spark, sf_dir)
+    ref = docs.filter("doc_id % 7 != 0")
+    curr = docs.filter("doc_id % 5 != 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text",
+        "lang",
+        "CASE WHEN doc_id % 4 = 0 THEN 'src_new' ELSE source END AS source",
+        "n_chars",
+    )
+    return _round_cols(snapshot_diff(ref, curr, ["doc_id"]), ["share"])
+
+
+def _snapshot_diff_sql() -> str:
+    return f"""
+    WITH ref AS (
+      SELECT doc_id, text, lang, source, n_chars, TRUE AS inr
+      FROM documents WHERE doc_id % 7 <> 0),
+    curr AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text,
+        lang,
+        CASE WHEN doc_id % 4 = 0 THEN 'src_new' ELSE source END AS source,
+        n_chars, TRUE AS inc
+      FROM documents WHERE doc_id % 5 <> 0),
+    j AS (
+      SELECT r.inr AS inr, c.inc AS inc,
+        r.text IS DISTINCT FROM c.text AS d_text,
+        r.lang IS DISTINCT FROM c.lang AS d_lang,
+        r.source IS DISTINCT FROM c.source AS d_source,
+        r.n_chars IS DISTINCT FROM c.n_chars AS d_n_chars
+      FROM ref r FULL OUTER JOIN curr c
+        ON r.doc_id IS NOT DISTINCT FROM c.doc_id),
+    f AS (
+      SELECT inr IS NOT NULL AS rp, inc IS NOT NULL AS cp,
+        d_text, d_lang, d_source, d_n_chars
+      FROM j),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN rp AND cp THEN 1 ELSE 0 END) AS BIGINT)
+          AS matched,
+        CAST(SUM(CASE WHEN NOT rp THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        CAST(SUM(CASE WHEN rp AND NOT cp THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(CASE WHEN rp AND cp AND (d_text OR d_lang OR d_source
+          OR d_n_chars) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN rp AND cp AND NOT (d_text OR d_lang OR d_source
+          OR d_n_chars) THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        CAST(SUM(CASE WHEN rp AND cp AND d_text THEN 1 ELSE 0 END)
+          AS BIGINT) AS nd_text,
+        CAST(SUM(CASE WHEN rp AND cp AND d_lang THEN 1 ELSE 0 END)
+          AS BIGINT) AS nd_lang,
+        CAST(SUM(CASE WHEN rp AND cp AND d_source THEN 1 ELSE 0 END)
+          AS BIGINT) AS nd_source,
+        CAST(SUM(CASE WHEN rp AND cp AND d_n_chars THEN 1 ELSE 0 END)
+          AS BIGINT) AS nd_n_chars
+      FROM f)
+    SELECT 'rows' AS scope, 'added' AS key, n_added AS n_rows,
+      ROUND(CASE WHEN total > 0 THEN n_added / CAST(total AS DOUBLE) END,
+            {ROUND}) AS share FROM agg
+    UNION ALL SELECT 'rows', 'removed', n_removed,
+      ROUND(CASE WHEN total > 0 THEN n_removed / CAST(total AS DOUBLE) END,
+            {ROUND}) FROM agg
+    UNION ALL SELECT 'rows', 'changed', n_changed,
+      ROUND(CASE WHEN total > 0 THEN n_changed / CAST(total AS DOUBLE) END,
+            {ROUND}) FROM agg
+    UNION ALL SELECT 'rows', 'unchanged', n_unchanged,
+      ROUND(CASE WHEN total > 0 THEN n_unchanged / CAST(total AS DOUBLE) END,
+            {ROUND}) FROM agg
+    UNION ALL SELECT 'column', 'text', nd_text,
+      ROUND(CASE WHEN matched > 0 THEN nd_text / CAST(matched AS DOUBLE) END,
+            {ROUND}) FROM agg
+    UNION ALL SELECT 'column', 'lang', nd_lang,
+      ROUND(CASE WHEN matched > 0 THEN nd_lang / CAST(matched AS DOUBLE) END,
+            {ROUND}) FROM agg
+    UNION ALL SELECT 'column', 'source', nd_source,
+      ROUND(CASE WHEN matched > 0
+            THEN nd_source / CAST(matched AS DOUBLE) END, {ROUND}) FROM agg
+    UNION ALL SELECT 'column', 'n_chars', nd_n_chars,
+      ROUND(CASE WHEN matched > 0
+            THEN nd_n_chars / CAST(matched AS DOUBLE) END, {ROUND}) FROM agg"""
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply round trip: fit 2 BPE merges on the documents
     corpus, segment every document with them, report per-doc token /
@@ -6868,6 +6960,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "mix_sample": _mix_sample_sql(),
@@ -7860,6 +7953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,
         "bpe_segment": q_bpe_segment,
         "mix_sample": q_mix_sample,

@@ -269,3 +269,126 @@ def complex_column_profile(
             | F.coalesce(size_change >= 0.2, F.lit(False)),
         )
     )
+
+
+def snapshot_diff(
+    ref: DataFrame,
+    curr: DataFrame,
+    id_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation between two snapshot versions — the
+    VALUE-level sibling of the schema diff above: which rows were
+    added, removed, or changed between the reference and current
+    version, and which columns drive the changes. This is the audit a
+    pipeline runs when a corpus re-crawl or a backfill lands ("version
+    N+1 touched 3% of rows, almost entirely the `text` column") before
+    any distributional drift check makes sense.
+
+    ``id_cols`` must uniquely key BOTH frames (enforce upstream with
+    the ``unique`` constraint in :mod:`constraints`; duplicate keys
+    would multiply join rows and overstate every count).
+    ``compare_cols`` defaults to the columns the frames share, minus
+    the key (in ``ref``'s column order). NULL ids are matched
+    null-safely (a NULL-keyed row is a real row, the eqNullSafe panel
+    rule); value changes use ``IS DISTINCT FROM``, so NULL -> value and
+    value -> NULL count as changes while NULL -> NULL does not.
+
+    Output (long format): ``scope='rows'`` — one row per change type
+    (``added, removed, changed, unchanged``) with ``n_rows`` and
+    ``share`` of all ids in either version; ``scope='column'`` — one
+    row per compared column counting matched pairs where that column
+    differs, with ``share`` of matched rows. Empty-input edge: shares
+    are NULL when the denominator is 0.
+
+    Plan: one hash shuffle of each side on the key, the full-outer
+    join, then ONE wide conditional aggregate reduced to
+    O(change types + columns) cells melted via ``stack`` — no second
+    scan, no per-column jobs.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in ref.columns if c in set(curr.columns)]
+        compare_cols = [c for c in shared if c not in set(id_cols)]
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+    ensure_safe_columns(list(id_cols) + list(compare_cols))
+    missing = [
+        c
+        for c in list(id_cols) + list(compare_cols)
+        if c not in ref.columns or c not in curr.columns
+    ]
+    if missing:
+        raise ValueError(f"columns missing from a snapshot: {missing}")
+
+    r = ref.selectExpr(
+        *[f"`{c}` AS `__r_{c}`" for c in id_cols],
+        *[f"`{c}` AS `__rv_{c}`" for c in compare_cols],
+        "true AS __in_ref",
+    )
+    c_ = curr.selectExpr(
+        *[f"`{c}` AS `__c_{c}`" for c in id_cols],
+        *[f"`{c}` AS `__cv_{c}`" for c in compare_cols],
+        "true AS __in_curr",
+    )
+    cond = None
+    for k in id_cols:
+        this = r[f"__r_{k}"].eqNullSafe(c_[f"__c_{k}"])
+        cond = this if cond is None else (cond & this)
+    joined = r.join(c_, cond, "full_outer")
+    diff_flags = [
+        f"(NOT (`__rv_{c}` <=> `__cv_{c}`)) AS `__d_{c}`"
+        for c in compare_cols
+    ]
+    tagged = joined.selectExpr(
+        "__in_ref IS NOT NULL AS __r_present",
+        "__in_curr IS NOT NULL AS __c_present",
+        *diff_flags,
+    )
+    any_diff = " OR ".join(f"`__d_{c}`" for c in compare_cols)
+    wide = tagged.selectExpr(
+        "CASE WHEN NOT __r_present THEN 'added'"
+        " WHEN NOT __c_present THEN 'removed'"
+        f" WHEN {any_diff} THEN 'changed'"
+        " ELSE 'unchanged' END AS __ct",
+        "__r_present AND __c_present AS __matched",
+        *[f"`__d_{c}`" for c in compare_cols],
+    ).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS __total"),
+        F.expr("CAST(coalesce(sum(CASE WHEN __matched THEN 1 ELSE 0 END), 0) AS BIGINT)"
+               " AS __n_matched"),
+        *[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN __ct = '{t}' THEN 1 ELSE 0 END), 0)"
+                f" AS BIGINT) AS __n_{t}"
+            )
+            for t in ("added", "removed", "changed", "unchanged")
+        ],
+        *[
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN __matched AND `__d_{c}` THEN 1 ELSE 0"
+                f" END), 0) AS BIGINT) AS `__nd_{c}`"
+            )
+            for c in compare_cols
+        ],
+    )
+    row_cells = ", ".join(
+        f"'rows', '{t}', __n_{t},"
+        f" CASE WHEN __total > 0 THEN __n_{t} / CAST(__total AS DOUBLE) END"
+        for t in ("added", "removed", "changed", "unchanged")
+    )
+    col_cells = ", ".join(
+        f"'column', '{c}', `__nd_{c}`,"
+        f" CASE WHEN __n_matched > 0"
+        f" THEN `__nd_{c}` / CAST(__n_matched AS DOUBLE) END"
+        for c in compare_cols
+    )
+    n = 4 + len(compare_cols)
+    return wide.selectExpr(
+        f"stack({n}, {row_cells}, {col_cells}) AS (scope, key, n_rows, share)"
+    )

@@ -2448,3 +2448,55 @@ def test_bpe_segment_counts(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         bpe_segment(df, [])
+
+
+def test_snapshot_diff_reconciliation(spark):
+    """Hand-checked added/removed/changed/unchanged split with NULL-key
+    matching and IS-DISTINCT-FROM value semantics; per-column
+    attribution counts only matched pairs; validation fails fast."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.schema_drift import (
+        snapshot_diff,
+    )
+
+    ref = spark.createDataFrame(
+        [(None, "x", 1), (1, "x", 1), (2, None, 2), (4, "k", 4)],
+        "id int, v string, w int",
+    )
+    curr = spark.createDataFrame(
+        [(None, "x", 1), (1, None, 9), (3, "y", 3), (4, "k", 4)],
+        "id int, v string, w int",
+    )
+    out = {(r["scope"], r["key"]): r for r in
+           snapshot_diff(ref, curr, ["id"]).collect()}
+    # ids: NULL matched-unchanged, 1 matched-changed (v and w), 2
+    # removed, 3 added, 4 matched-unchanged -> total 5 distinct ids
+    assert out[("rows", "added")]["n_rows"] == 1
+    assert out[("rows", "removed")]["n_rows"] == 1
+    assert out[("rows", "changed")]["n_rows"] == 1
+    assert out[("rows", "unchanged")]["n_rows"] == 2
+    assert out[("rows", "added")]["share"] == pytest.approx(1 / 5)
+    assert out[("column", "v")]["n_rows"] == 1   # x -> NULL counts
+    assert out[("column", "w")]["n_rows"] == 1
+    assert out[("column", "v")]["share"] == pytest.approx(1 / 3)
+
+    # compare_cols defaults to shared-minus-key; explicit subset works
+    sub = {(r["scope"], r["key"]): r for r in
+           snapshot_diff(ref, curr, ["id"], ["w"]).collect()}
+    assert ("column", "v") not in sub
+    assert sub[("rows", "changed")]["n_rows"] == 1  # w differs for id 1
+
+    # empty inputs -> counts 0, shares NULL (no division blowup)
+    empty = spark.createDataFrame([], "id int, v string, w int")
+    eout = {(r["scope"], r["key"]): r for r in
+            snapshot_diff(empty, empty, ["id"]).collect()}
+    assert eout[("rows", "added")]["n_rows"] == 0
+    assert eout[("rows", "added")]["share"] is None
+
+    with _pytest.raises(ValueError, match="id_cols"):
+        snapshot_diff(ref, curr, [])
+    with _pytest.raises(ValueError, match="missing"):
+        snapshot_diff(ref, curr, ["id"], ["nope"])
+    with _pytest.raises(ValueError, match="no columns"):
+        snapshot_diff(ref.select("id"), curr.select("id"), ["id"])
