@@ -6617,6 +6617,57 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> signup -> purchase
+    over the events stream: strictly-increasing completion times, first
+    qualifying event per step, per-step conversion vs the funnel entry
+    and vs the previous step."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_conversion(ev, ["view", "click", "signup", "purchase"])
+    return _round_cols(out, ["share_of_first", "share_of_prev"])
+
+
+def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "signup",
+                                          "purchase")) -> str:
+    ctes = [
+        "ev AS (SELECT user_id AS u, event_type AS et, ts FROM events)",
+        f"s0 AS (SELECT u, MIN(ts) AS t0 FROM ev"
+        f" WHERE et = '{steps[0]}' GROUP BY u)",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.u AS u, MIN(e.ts) AS t{i}"
+            f" FROM ev e JOIN s{i-1} p ON e.u IS NOT DISTINCT FROM p.u"
+            f" WHERE e.et = '{step}' AND e.ts > p.t{i-1}"
+            f" GROUP BY e.u)"
+        )
+    ctes.append(
+        "counts AS (SELECT "
+        + ", ".join(
+            f"(SELECT CAST(COUNT(1) AS BIGINT) FROM s{i}) AS n{i}"
+            for i in range(len(steps))
+        )
+        + ")"
+    )
+    selects = []
+    for i, step in enumerate(steps):
+        prev = f"n{i-1}" if i > 0 else "n0"
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_index,"
+            f" '{step}' AS step, n{i} AS n_users,"
+            f" ROUND(CASE WHEN n0 > 0 THEN n{i} / CAST(n0 AS DOUBLE) END,"
+            f" {ROUND}) AS share_of_first,"
+            f" ROUND(CASE WHEN {prev} > 0"
+            f" THEN n{i} / CAST({prev} AS DOUBLE) END,"
+            f" {ROUND}) AS share_of_prev FROM counts"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level version reconciliation on a simulated re-crawl: ref =
     doc_id%7!=0, curr = doc_id%5!=0 with text mutated on %3==0 and
@@ -6960,6 +7011,7 @@ def _oracle_queries() -> dict[str, str]:
         "classifier_sweep": _classifier_sweep_sql(),
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
+        "funnel": _funnel_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
@@ -7953,6 +8005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
     # of window position.
     return {
+        "funnel": q_funnel,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,
         "bpe_segment": q_bpe_segment,

@@ -881,3 +881,77 @@ def seasonal_anomalies_from_state(
     ref = merged.where(f"bucket_start < TIMESTAMP '{split_ts}'")
     curr = merged.where(f"bucket_start >= TIMESTAMP '{split_ts}'")
     return _score_seasonal_buckets(ref, curr, z_threshold)
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel over an event stream: a user completes
+    step ``k`` when an event of type ``steps[k]`` occurs STRICTLY after
+    their completion time of step ``k-1`` (first qualifying event
+    counts; equal timestamps do not advance the funnel). The classic
+    product-analytics question — "of the users who viewed, how many
+    clicked, then signed up, then purchased, in that order?" — which no
+    unordered groupBy can answer.
+
+    Output: one row per step — ``step_index, step, n_users,
+    share_of_first`` (conversion from the funnel's entry),
+    ``share_of_prev`` (step-over-step conversion). Shares are NULL when
+    the denominator is 0.
+
+    Plan: step 0 is one groupBy(user) min; each later step is one
+    hash join of the step's events against the previous step's O(users)
+    completion table (every join and groupBy hashes on the SAME user
+    key, so AQE reuses the exchange) followed by a min — no per-user
+    sort window, no event-list buffering. NULL users are matched
+    null-safely (one anonymous funnel row). Expressed as one spark.sql
+    CTE chain: the dependent self-joins trip Spark 4.1's DataFrame
+    resolution ambiguity (see t_closeness_profile), and SQL CTE
+    references don't.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+        qs,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col])
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    u, t, ts = f"`{user_col}`", f"`{type_col}`", f"`{ts_col}`"
+    ctes = [
+        f"ev AS (SELECT {u} AS u, {t} AS et, {ts} AS ts FROM {{src}})",
+        f"s0 AS (SELECT u, MIN(ts) AS t0 FROM ev"
+        f" WHERE et = {qs(steps[0])} GROUP BY u)",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.u AS u, MIN(e.ts) AS t{i}"
+            f" FROM ev e JOIN s{i-1} p ON e.u <=> p.u"
+            f" WHERE e.et = {qs(step)} AND e.ts > p.t{i-1}"
+            f" GROUP BY e.u)"
+        )
+    ctes.append(
+        "counts AS (SELECT "
+        + ", ".join(
+            f"(SELECT CAST(COUNT(1) AS BIGINT) FROM s{i}) AS n{i}"
+            for i in range(len(steps))
+        )
+        + ")"
+    )
+    selects = []
+    for i, step in enumerate(steps):
+        prev = f"n{i-1}" if i > 0 else "n0"
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_index,"
+            f" {qs(step)} AS step, n{i} AS n_users,"
+            f" CASE WHEN n0 > 0 THEN n{i} / CAST(n0 AS DOUBLE) END"
+            f" AS share_of_first,"
+            f" CASE WHEN {prev} > 0 THEN n{i} / CAST({prev} AS DOUBLE) END"
+            f" AS share_of_prev FROM counts"
+        )
+    query = "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return df.sparkSession.sql(query, src=df)

@@ -2500,3 +2500,46 @@ def test_snapshot_diff_reconciliation(spark):
         snapshot_diff(ref, curr, ["id"], ["nope"])
     with _pytest.raises(ValueError, match="no columns"):
         snapshot_diff(ref.select("id"), curr.select("id"), ["id"])
+
+
+def test_funnel_conversion_ordering(spark):
+    """Strict temporal ordering: only users whose step events occur in
+    funnel order (strictly increasing ts) advance; first qualifying
+    event counts; shares NULL on an empty entry step."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, "view", T(1)), (1, "click", T(2)), (1, "buy", T(3)),
+        (2, "view", T(1)), (2, "click", T(5)),        # no buy
+        (3, "click", T(1)), (3, "view", T(2)),        # wrong order
+        (4, "view", T(1)), (4, "click", T(1)),        # same ts: no advance
+        (5, "buy", T(1)),                             # never entered
+        (1, "click", T(9)),                           # later dup ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp"
+    )
+    out = {r["step_index"]: r for r in
+           funnel_conversion(df, ["view", "click", "buy"]).collect()}
+    assert out[0]["n_users"] == 4 and out[0]["share_of_first"] == 1.0
+    assert out[1]["n_users"] == 2           # users 1 and 2
+    assert out[1]["share_of_first"] == pytest.approx(0.5)
+    assert out[2]["n_users"] == 1           # user 1 only
+    assert out[2]["share_of_prev"] == pytest.approx(0.5)
+
+    # no entry events at all -> zero counts, NULL shares
+    none = funnel_conversion(
+        df.filter("event_type = 'buy'"), ["view", "click"]
+    ).collect()
+    by = {r["step_index"]: r for r in none}
+    assert by[0]["n_users"] == 0 and by[0]["share_of_first"] is None
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel_conversion(df, ["view"])
