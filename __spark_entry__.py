@@ -6617,6 +6617,62 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition-mix drift between the even/odd event-id halves
+    of the events stream: per-user lag pairs (ts order, event_id
+    tie-break), transition shares aligned full-outer, flag on share
+    moves > 0.02."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_drift,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = transition_drift(
+        ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _transition_drift_sql(thr: float = 0.02) -> str:
+    def side(name: str, parity: int) -> str:
+        return f"""
+    {name}_t AS (
+      SELECT prev_et AS prev_type, et AS next_type FROM (
+        SELECT event_type AS et,
+          LAG(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_et
+        FROM events WHERE event_id % 2 = {parity}) x
+      WHERE prev_et IS NOT NULL),
+    {name}_c AS (
+      SELECT prev_type, next_type, CAST(COUNT(1) AS BIGINT) AS n
+      FROM {name}_t GROUP BY 1, 2),
+    {name}_tot AS (
+      SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS tot FROM {name}_c)"""
+
+    return f"""
+    WITH {side('r', 0)},
+    {side('c', 1)},
+    panel AS (
+      SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
+        coalesce(r.next_type, c.next_type) AS next_type,
+        coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
+      FROM r_c r FULL OUTER JOIN c_c c
+        ON r.prev_type = c.prev_type AND r.next_type = c.next_type)
+    SELECT prev_type, next_type, ref_n, curr_n,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(abs(ref_share - curr_share), {ROUND}) AS share_abs_diff,
+      ROUND(abs(ref_share - curr_share), 5) > CAST({thr!r} AS DOUBLE)
+        AS drift_detected
+    FROM (
+      SELECT p.*,
+        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS ref_share,
+        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS curr_share
+      FROM panel p CROSS JOIN r_tot rt CROSS JOIN c_tot ct) s"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> signup -> purchase
     over the events stream: strictly-increasing completion times, first
@@ -7012,6 +7068,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
         "funnel": _funnel_sql(),
+        "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
@@ -8006,6 +8063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     return {
         "funnel": q_funnel,
+        "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,
         "bpe_segment": q_bpe_segment,

@@ -955,3 +955,83 @@ def funnel_conversion(
         )
     query = "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
     return df.sparkSession.sql(query, src=df)
+
+
+def transition_drift(
+    ref: DataFrame,
+    curr: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    threshold: float = 0.02,
+) -> DataFrame:
+    """BEHAVIORAL drift: compare the first-order Markov transition mix
+    of two event streams. Each side's per-user event sequence (ordered
+    by ``ts`` with ``order_col`` as the deterministic tie-break) yields
+    consecutive ``(prev_type, next_type)`` transitions; the panel
+    aligns both sides' transition SHARES and flags pairs whose share
+    moved more than ``threshold`` — "users suddenly go view->error
+    instead of view->click" is invisible to per-type frequency drift
+    but jumps out here.
+
+    Output per observed transition pair: ``prev_type, next_type, ref_n,
+    curr_n, ref_share, curr_share, share_abs_diff, drift_detected``
+    (flag on ``round(diff, 5) > threshold``, the token_share_drift
+    convention). A side with no transitions contributes share 0
+    (everything on the other side is drift).
+
+    Plan: one lag window per side partitioned by user (state bounded by
+    a user's events — the sessionize partition premise), one
+    groupBy(pair) count each, then an O(distinct pairs) full-outer
+    panel — the corpus of events is never joined row-to-row. Expressed
+    via one spark.sql CTE query (window + derived-frame self-joins trip
+    Spark 4.1's DataFrame resolution ambiguity; see
+    t_closeness_profile).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col, order_col])
+    thr = float(threshold)
+    if not 0 <= thr <= 1:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    u, t = f"`{user_col}`", f"`{type_col}`"
+    ts, o = f"`{ts_col}`", f"`{order_col}`"
+
+    def side(name: str, src: str) -> str:
+        return f"""
+    {name}_t AS (
+      SELECT prev_et AS prev_type, et AS next_type FROM (
+        SELECT {t} AS et,
+          LAG({t}) OVER (PARTITION BY {u} ORDER BY {ts}, {o}) AS prev_et
+        FROM {{{src}}}) x
+      WHERE prev_et IS NOT NULL),
+    {name}_c AS (
+      SELECT prev_type, next_type, CAST(COUNT(1) AS BIGINT) AS n
+      FROM {name}_t GROUP BY prev_type, next_type),
+    {name}_tot AS (
+      SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS tot FROM {name}_c)"""
+
+    query = f"""
+    WITH {side('r', 'ref')},
+    {side('c', 'curr')},
+    panel AS (
+      SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
+        coalesce(r.next_type, c.next_type) AS next_type,
+        coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
+      FROM r_c r FULL OUTER JOIN c_c c
+        ON r.prev_type = c.prev_type AND r.next_type = c.next_type)
+    SELECT prev_type, next_type, ref_n, curr_n,
+      ref_share, curr_share,
+      abs(ref_share - curr_share) AS share_abs_diff,
+      round(abs(ref_share - curr_share), 5) > {thr!r}D AS drift_detected
+    FROM (
+      SELECT p.*,
+        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS ref_share,
+        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS curr_share
+      FROM panel p CROSS JOIN r_tot rt CROSS JOIN c_tot ct) s"""
+    return ref.sparkSession.sql(query, ref=ref, curr=curr)

@@ -2543,3 +2543,58 @@ def test_funnel_conversion_ordering(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         funnel_conversion(df, ["view"])
+
+
+def test_transition_drift_panel(spark):
+    """Hand-checked transition shares: per-user lag pairs with
+    deterministic tie-break, full-outer pair alignment, share-0 for a
+    side missing the pair, empty-side handling, threshold validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_drift,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    # ref: u1 a->b->c (a:b 1, b:c 1); u2 a->b  => a->b 2/3, b->c 1/3
+    ref = spark.createDataFrame(
+        [(1, 1, "a", T(1)), (2, 1, "b", T(2)), (3, 1, "c", T(3)),
+         (4, 2, "a", T(1)), (5, 2, "b", T(2))],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    # curr: u1 a->b; u3 b->a  => a->b 1/2, b->a 1/2
+    curr = spark.createDataFrame(
+        [(6, 1, "a", T(1)), (7, 1, "b", T(2)),
+         (8, 3, "b", T(1)), (9, 3, "a", T(2))],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    out = {(r["prev_type"], r["next_type"]): r
+           for r in transition_drift(ref, curr, threshold=0.2).collect()}
+    assert out[("a", "b")]["ref_share"] == pytest.approx(2 / 3)
+    assert out[("a", "b")]["curr_share"] == pytest.approx(1 / 2)
+    assert out[("a", "b")]["drift_detected"] is False
+    assert out[("b", "c")]["curr_n"] == 0
+    assert out[("b", "c")]["curr_share"] == 0.0
+    assert out[("b", "c")]["drift_detected"] is True   # 1/3 > 0.2
+    assert out[("b", "a")]["ref_n"] == 0
+    assert out[("b", "a")]["drift_detected"] is True   # 1/2 > 0.2
+
+    # same-ts events: order_col breaks the tie deterministically
+    tie = spark.createDataFrame(
+        [(1, 1, "x", T(1)), (2, 1, "y", T(1))],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    t2 = {(r["prev_type"], r["next_type"]): r["ref_n"]
+          for r in transition_drift(tie, curr, threshold=0.9).collect()
+          if r["ref_n"] > 0}
+    assert t2 == {("x", "y"): 1}
+
+    # empty ref -> curr pairs appear with ref_share 0
+    empty = ref.filter("event_id < 0")
+    eout = transition_drift(empty, curr, threshold=0.2).collect()
+    assert all(r["ref_share"] == 0.0 for r in eout) and len(eout) == 2
+
+    with _pytest.raises(ValueError, match="threshold"):
+        transition_drift(ref, curr, threshold=1.5)
