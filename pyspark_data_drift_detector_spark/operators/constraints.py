@@ -496,10 +496,22 @@ def t_closeness_profile(
     # (AMBIGUOUS_REFERENCE on the deduplicated branch's inner attrs).
     # SQL-side CTE references carry no cross-branch attr ids, and the
     # <=> joins keep NULL QI / NULL sensitive classes intact.
+    #
+    # The (QI, sensitive) cell aggregate — the ONLY corpus-scale pass —
+    # is computed once and persisted; Spark re-instantiates a CTE per
+    # reference, so leaving it inline would re-scan and re-shuffle the
+    # corpus three times. The counts-mode convention (distribution.py):
+    # persist the intermediate, eagerly checkpoint the O(n_buckets)
+    # result, release the cache before returning.
+    cells_df = (
+        df.selectExpr(*[f"`{c}`" for c in quasi_cols],
+                      f"`{sensitive_col}` AS __tc_s")
+        .groupBy(*quasi_cols, "__tc_s")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS __tc_a"))
+        .persist()
+    )
     query = f"""
-    WITH cells AS (
-      SELECT {qc}, `{sensitive_col}` AS __tc_s, CAST(count(1) AS BIGINT) AS __tc_a
-      FROM {{src}} GROUP BY {qc}, `{sensitive_col}`),
+    WITH cells AS (SELECT * FROM {{src}}),
     glob AS (
       SELECT __tc_s, CAST(sum(__tc_a) AS BIGINT) AS g FROM cells GROUP BY __tc_s),
     gtot AS (SELECT CAST(sum(g) AS BIGINT) AS g_total FROM glob),
@@ -552,4 +564,8 @@ def t_closeness_profile(
       risk_classes, risk_rows,
       risk_rows / CAST(total_rows AS DOUBLE)
     FROM tot"""
-    return df.sparkSession.sql(query, src=df)
+    out = df.sparkSession.sql(query, src=cells_df).localCheckpoint(
+        eager=True
+    )
+    cells_df.unpersist(blocking=False)
+    return out

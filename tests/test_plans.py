@@ -824,3 +824,75 @@ def test_report_plan_construction_budgets(spark, sf_dir, docs):
             "builder has regressed from SQL-string assembly to "
             "per-expression Column construction"
         )
+
+
+def test_round10_session_operators_plan_contracts(spark, sf_dir):
+    """Scale shapes of the mix/BPE/diff/funnel/transition operators:
+    mix_sample broadcasts its O(groups) rate table and never shuffles
+    the corpus; bpe_segment folds the vocabulary, not the occurrences;
+    snapshot_diff is one exchange per side plus the final single-row
+    aggregate; funnel and transition_drift hash only on the user key
+    (bounded windows, no corpus-wide sort); t_closeness computes its
+    corpus-scale cell aggregate exactly once (persisted + checkpointed,
+    so the returned frame is already materialized O(n_buckets) rows)."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        t_closeness_profile,
+    )
+    from pyspark_data_drift_detector_spark.operators.corpus import bpe_segment
+    from pyspark_data_drift_detector_spark.operators.sampling import mix_sample
+    from pyspark_data_drift_detector_spark.operators.schema_drift import (
+        snapshot_diff,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+        transition_drift,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        simple_plan,
+        sorted_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    ms = mix_sample(
+        docs, "lang", {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+    )
+    assert "BroadcastHashJoin" in simple_plan(ms)
+    # the only exchanges aggregate the O(groups) counts table; the
+    # corpus side is scan -> broadcast-join -> filter
+    assert count_shuffles(ms) <= 3
+
+    bs = bpe_segment(docs, [("e", "r"), ("o", "r")])
+    # vocabulary distinct + the per-doc aggregate; folds are narrow
+    assert count_shuffles(bs) <= 4
+    assert count_scans(bs) <= 2
+
+    sd = snapshot_diff(
+        docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 5 != 0"),
+        ["doc_id"],
+    )
+    # one hash exchange per side + the single-row wide aggregate
+    assert count_shuffles(sd) <= 4
+    assert count_scans(sd) == 2
+
+    fc = funnel_conversion(ev, ["view", "click"])
+    for arity, sort in sorted_windows(fc):
+        raise AssertionError(f"funnel must not sort windows: {sort}")
+    assert count_shuffles(fc) <= 8  # per-step user-key joins + counts
+
+    td = transition_drift(
+        ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    )
+    # lag windows partition by user (bounded); no unpartitioned window
+    for arity, sort in sorted_windows(td):
+        assert arity >= 1, f"corpus-wide sorted window: {sort}"
+    assert count_shuffles(td) <= 10
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tc = t_closeness_profile(cust, ["c_nationkey"], "c_mktsegment", t=0.1)
+    # already checkpointed: the returned frame re-reads O(n_buckets)
+    # rows, never the corpus
+    assert count_scans(tc) == 0 and count_shuffles(tc) == 0
