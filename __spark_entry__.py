@@ -6835,7 +6835,10 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_segment_sql() -> str:
+def _bpe_two_merge_words_sql() -> str:
+    """Shared oracle prefix: word counts, the first two learned merges
+    (re-derived), and the merged word table ``w2`` (word, sym, wc) —
+    consumed by both the segmentation and the vocabulary oracle."""
     return f"""
     WITH RECURSIVE
     toks AS (
@@ -6884,7 +6887,12 @@ def _bpe_segment_sql() -> str:
                           i -> r2.sym[i] = b2.l
                                AND r2.sym[i+1] = b2.r)[1] AS pos
             FROM r2, b2) q
-      WHERE pos IS NULL),
+      WHERE pos IS NULL)"""
+
+
+def _bpe_segment_sql() -> str:
+    return f"""
+    {_bpe_two_merge_words_sql()},
     vocab AS (SELECT word, CAST(length(word) AS BIGINT) AS nc,
                 CAST(len(sym) AS BIGINT) AS nb
               FROM w2)
@@ -6895,6 +6903,32 @@ def _bpe_segment_sql() -> str:
       ROUND(CAST(SUM(v.nc) AS DOUBLE) / SUM(v.nb), {ROUND}) AS compression
     FROM toks t JOIN vocab v USING (word)
     GROUP BY t.doc_id"""
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer's vocabulary after 2 merges: top-30 symbols
+    by corpus occurrence (weighted by word frequency) with
+    distinct-word coverage and a merged-symbol flag; count-desc /
+    symbol-asc heap ordering, never a global sort."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        bpe_vocab,
+        fit_bpe,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return bpe_vocab(docs, fit_bpe(docs, n_merges=2), top_k=30)
+
+
+def _bpe_vocab_sql(top_k: int = 30) -> str:
+    return f"""
+    {_bpe_two_merge_words_sql()}
+    SELECT symbol, token_count, n_words, length(symbol) > 1 AS is_merged
+    FROM (
+      SELECT symbol, CAST(SUM(wc) AS BIGINT) AS token_count,
+        CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+      FROM (SELECT word, unnest(sym) AS symbol, wc FROM w2) u
+      GROUP BY symbol) g
+    ORDER BY token_count DESC, symbol ASC LIMIT {top_k}"""
 
 
 def _fit_bpe_sql() -> str:
@@ -7072,6 +7106,7 @@ def _oracle_queries() -> dict[str, str]:
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
+        "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
         "k_anonymity": _k_anonymity_sql(),
@@ -8067,6 +8102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,
         "bpe_segment": q_bpe_segment,
+        "bpe_vocab": q_bpe_vocab,
         "mix_sample": q_mix_sample,
         "t_closeness": q_t_closeness,
         "quality_classifier": q_quality_classifier,

@@ -788,3 +788,68 @@ def bpe_segment(
             "CAST(n_chars AS DOUBLE) / n_bpe_tokens AS compression",
         )
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """The learned tokenizer's VOCABULARY: apply a BPE merge table
+    (:func:`fit_bpe` output or a rank-ordered pair list) to the corpus
+    and count every resulting symbol's corpus frequency — the
+    sanity-check artifact a tokenizer ablation reads ("did the merges
+    produce morpheme-like units, and what covers the head of the
+    distribution?").
+
+    Output: the ``top_k`` symbols by ``token_count`` (ties broken by
+    symbol, ascending) with ``token_count`` (total occurrences across
+    the corpus, weighted by word frequency), ``n_words`` (distinct
+    words containing the symbol), ``is_merged`` (longer than one
+    character). Top-k is a heap (``TakeOrderedAndProject``), never a
+    global sort.
+
+    Scale shape mirrors :func:`bpe_segment`: ONE corpus shuffle (word
+    counts), folds over the O(vocab) word table, one O(symbols)
+    aggregate.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["pair_left"], r["pair_right"])
+            for r in merges.orderBy("merge_rank").collect()  # O(n_merges)
+        ]
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    words = (
+        ensure_min_partitions(df)
+        .selectExpr(f"explode(split(trim(`{text_col}`), '\\\\s+')) AS word")
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS wc"))
+        .selectExpr(
+            "word", "filter(split(word, ''), ch -> ch <> '') AS sym", "wc"
+        )
+    )
+    for left, right in merges:
+        words = words.withColumn(
+            "sym", F.expr(_bpe_merge_expr("sym", left, right))
+        )
+    return (
+        words.selectExpr("word", "explode(sym) AS symbol", "wc")
+        .groupBy("symbol")
+        .agg(
+            F.expr("CAST(sum(wc) AS BIGINT) AS token_count"),
+            F.expr("CAST(count(DISTINCT word) AS BIGINT) AS n_words"),
+        )
+        .selectExpr(
+            "symbol",
+            "token_count",
+            "n_words",
+            "length(symbol) > 1 AS is_merged",
+        )
+        .orderBy(F.col("token_count").desc(), F.col("symbol").asc())
+        .limit(int(top_k))
+    )

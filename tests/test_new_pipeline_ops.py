@@ -2598,3 +2598,34 @@ def test_transition_drift_panel(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         transition_drift(ref, curr, threshold=1.5)
+
+
+def test_bpe_vocab_coverage(spark):
+    """Vocabulary after merges: occurrence-weighted symbol counts,
+    distinct-word coverage (a symbol twice in one word counts that word
+    once), merged-symbol flag, tie-broken top-k."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "papa papa mama")], "doc_id long, text string"
+    )
+    out = {r["symbol"]: r for r in
+           bpe_vocab(df, [("p", "a")], top_k=10).collect()}
+    # papa -> [pa, pa] (wc 2), mama -> [m, a, m, a] (wc 1)
+    assert out["pa"]["token_count"] == 4  # 2 per word * wc 2
+    assert out["pa"]["n_words"] == 1      # distinct words, not slots
+    assert out["pa"]["is_merged"] is True
+    assert out["m"]["token_count"] == 2 and out["m"]["n_words"] == 1
+    assert out["a"]["token_count"] == 2   # only mama retains bare 'a'
+    assert out["a"]["is_merged"] is False
+
+    # top_k cuts deterministically (count desc, symbol asc)
+    top1 = bpe_vocab(df, [("p", "a")], top_k=1).collect()
+    assert [r["symbol"] for r in top1] == ["pa"]
+
+    with _pytest.raises(ValueError, match="top_k"):
+        bpe_vocab(df, [("p", "a")], top_k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        bpe_vocab(df, [])
