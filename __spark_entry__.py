@@ -6617,6 +6617,62 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette cluster quality under the first-8-by-id
+    centroid convention: per-cluster and overall mean of
+    (cos1-cos2)/(1-cos2) over every valid vector — the boundary-vector
+    score the topic-mix family lacks. Oracle replays the inlined
+    cosines with list_dot_product folds and the rnk-1/rnk-2 pair."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    return _round_cols(cluster_silhouette(emb, cents), ["mean_silhouette"])
+
+
+def _cluster_silhouette_sql(dim: int = 64) -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS e
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+    sc AS (
+      SELECT v.vec_id, cents.cid,
+        list_dot_product(v.e, cents.e)
+          / (sqrt(list_dot_product(v.e, v.e))
+             * sqrt(list_dot_product(cents.e, cents.e))) AS cos
+      FROM v CROSS JOIN cents),
+    rk AS (
+      SELECT vec_id, cid, cos,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, cid ASC) AS rnk
+      FROM sc),
+    pair AS (
+      SELECT a.vec_id, a.cid AS cluster_id, a.cos AS c1, b.cos AS c2
+      FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+      WHERE a.rnk = 1 AND b.rnk = 2),
+    s AS (
+      SELECT cluster_id,
+        CASE WHEN 1.0 - c2 > 0.0 THEN (c1 - c2) / (1.0 - c2)
+             ELSE CAST(0.0 AS DOUBLE) END AS sil
+      FROM pair)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      ROUND(AVG(sil), {ROUND}) AS mean_silhouette
+    FROM s GROUP BY cluster_id
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      ROUND(AVG(sil), {ROUND})
+    FROM s"""
+
+
 def q_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition-mix drift between the even/odd event-id halves
     of the events stream: per-user lag pairs (ts order, event_id
@@ -7102,6 +7158,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_report": _embedding_report_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
         "funnel": _funnel_sql(),
+        "cluster_silhouette": _cluster_silhouette_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8098,6 +8155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     return {
         "funnel": q_funnel,
+        "cluster_silhouette": q_cluster_silhouette,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,

@@ -1587,3 +1587,82 @@ def embedding_incremental(
         f" 'diff', round(mmd2, {r}),"
         f" 'drift_detected', round(mmd2, {r}) > {mmd_t!r}D)))"
     )
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    centroids: list,
+    embedding_col: str = "embedding",
+    max_cells: int = 65_536,
+) -> DataFrame:
+    """Cluster-quality report under FIXED centroids — the simplified
+    silhouette (Hruschka et al. 2004: centroid distances in place of
+    pairwise member distances, which would be O(n²)): per valid vector,
+    with ``cos1 >= cos2`` the two best centroid cosines,
+
+        s = (cos1 - cos2) / (1 - cos2)        (0 when cos2 = 1)
+
+    i.e. ``(b - a) / max(a, b)`` for cosine distances ``a = 1 - cos1``
+    (own cluster) and ``b = 1 - cos2`` (best alternative). Because the
+    own centroid is by definition the best one, ``s ∈ [0, 1]`` —
+    near 0 means the vector sits on a cluster boundary (the full
+    silhouette's negative range cannot occur under best-assignment).
+
+    Output: one row per cluster (``cluster_id, n_vectors,
+    mean_silhouette``) plus the overall row (``cluster_id`` NULL).
+    NULL/ragged vectors carry no geometry and are excluded.
+
+    Plan: the ``semantic_decontaminate`` narrow-map shape — the
+    centroid matrix inlines as one plan literal (capped by
+    ``max_cells``), every cosine/sort happens in a projection over
+    O(k) values, then ONE groupBy(cluster) aggregate. The corpus is
+    never shuffled beyond that aggregate; ties (equal cosines) resolve
+    to the smallest centroid id, and a tie in the top-2 cosines makes
+    ``s = 0`` on both engines identically.
+    """
+    rows = _centroid_rows(centroids)
+    if len(rows) < 2:
+        raise ValueError("silhouette needs at least 2 centroids")
+    dim = len(rows[0]["ce"])
+    cells = len(rows) * dim
+    if cells > max_cells:
+        raise ValueError(
+            f"centroid matrix has {cells} cells > max_cells={max_cells};"
+            " fit fewer/shorter centroids or raise the cap"
+        )
+    mat = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
+        for r in rows
+    ) + ")"
+    ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
+    valid = df.selectExpr(
+        f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
+    ).filter(f"e IS NOT NULL AND size(e) = {dim}")
+    scored = valid.selectExpr(
+        f"""zip_with(
+          transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
+                                          0.0D, (s, x) -> s + x)),
+          transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
+          (d, nc) -> d / (sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc)
+        ) AS __cos"""
+    ).selectExpr(
+        f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
+        " AS INT) - 1) AS BIGINT) AS cluster_id",
+        "element_at(sort_array(__cos, false), 1) AS __c1",
+        "element_at(sort_array(__cos, false), 2) AS __c2",
+    ).selectExpr(
+        "cluster_id",
+        "CASE WHEN 1.0D - __c2 > 0.0D"
+        " THEN (__c1 - __c2) / (1.0D - __c2) ELSE 0.0D END AS __sil",
+    )
+    per = scored.groupBy("cluster_id").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_vectors"),
+        F.expr("avg(__sil) AS mean_silhouette"),
+    )
+    overall = scored.agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_vectors"),
+        F.expr("avg(__sil) AS mean_silhouette"),
+    ).selectExpr(
+        "CAST(NULL AS BIGINT) AS cluster_id", "n_vectors", "mean_silhouette"
+    )
+    return per.unionByName(overall)

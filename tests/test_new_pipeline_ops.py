@@ -2629,3 +2629,41 @@ def test_bpe_vocab_coverage(spark):
         bpe_vocab(df, [("p", "a")], top_k=0)
     with _pytest.raises(ValueError, match="non-empty"):
         bpe_vocab(df, [])
+
+
+def test_cluster_silhouette_geometry(spark):
+    """Hand-checked simplified silhouette on orthogonal centroids:
+    on-centroid vectors score 1, boundary (equidistant) vectors score 0
+    and tie to the smaller centroid id; invalid vectors are excluded;
+    validation fails fast."""
+    import math
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+
+    r = 1 / math.sqrt(2)
+    rows = [
+        (1, [1.0, 0.0]),     # exactly c0 -> s = 1
+        (2, [0.6, 0.8]),     # cos: c0 .6, c1 .8 -> c1, s = .2/.4 = .5
+        (3, [r, r]),         # equidistant -> tie to c0, s = 0
+        (4, None),           # invalid: excluded
+        (5, [1.0, 0.0, 0.0]),  # ragged: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["cluster_id"]: r for r in
+           cluster_silhouette(df, cents).collect()}
+    assert out[0]["n_vectors"] == 2            # vec 1 and the tie vec 3
+    assert out[0]["mean_silhouette"] == pytest.approx(0.5)  # (1 + 0) / 2
+    assert out[1]["n_vectors"] == 1
+    assert out[1]["mean_silhouette"] == pytest.approx(0.5)
+    assert out[None]["n_vectors"] == 3
+    assert out[None]["mean_silhouette"] == pytest.approx(0.5)
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        cluster_silhouette(df, [(0, [1.0, 0.0])])
+    with _pytest.raises(ValueError, match="max_cells"):
+        cluster_silhouette(df, cents, max_cells=3)
