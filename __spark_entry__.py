@@ -6617,6 +6617,40 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream: users
+    bucketed by first-seen ISO week, distinct-activity counts per
+    (cohort, week offset), retention vs the cohort size."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round_cols(retention_cohorts(ev), ["retention"])
+
+
+def _retention_cohorts_sql() -> str:
+    return f"""
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+        CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    firsts AS (SELECT u, MIN(wk) AS cohort FROM act GROUP BY u),
+    j AS (
+      SELECT f.cohort AS cohort,
+        CAST(datediff('day', f.cohort, a.wk) // 7 AS BIGINT) AS "offset"
+      FROM act a JOIN firsts f ON a.u IS NOT DISTINCT FROM f.u),
+    m AS (
+      SELECT cohort, "offset", CAST(COUNT(1) AS BIGINT) AS n_active
+      FROM j GROUP BY 1, 2),
+    sz AS (SELECT cohort, n_active AS cohort_size FROM m WHERE "offset" = 0)
+    SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort,
+      m."offset" AS offset, m.n_active, s.cohort_size,
+      ROUND(m.n_active / CAST(s.cohort_size AS DOUBLE), {ROUND})
+        AS retention
+    FROM m JOIN sz s ON m.cohort = s.cohort"""
+
+
 def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified-silhouette cluster quality under the first-8-by-id
     centroid convention: per-cluster and overall mean of
@@ -7159,6 +7193,7 @@ def _oracle_queries() -> dict[str, str]:
         "embedding_incremental": _embedding_incremental_sql(),
         "funnel": _funnel_sql(),
         "cluster_silhouette": _cluster_silhouette_sql(),
+        "retention_cohorts": _retention_cohorts_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8156,6 +8191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "funnel": q_funnel,
         "cluster_silhouette": q_cluster_silhouette,
+        "retention_cohorts": q_retention_cohorts,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,

@@ -1035,3 +1035,67 @@ def transition_drift(
              ELSE CAST(0 AS DOUBLE) END AS curr_share
       FROM panel p CROSS JOIN r_tot rt CROSS JOIN c_tot ct) s"""
     return ref.sparkSession.sql(query, ref=ref, curr=curr)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the bucket of their
+    FIRST event (their cohort), tracked across subsequent buckets —
+    "of the users who arrived in week W, how many were still active
+    W+1, W+2, ...". The longitudinal engagement view that single-window
+    activity counts and the key-churn panel cannot give.
+
+    ``bucket`` is ``'week'`` (ISO Monday truncation, offsets in weeks)
+    or ``'day'``. Output: one row per (cohort, offset) —
+    ``cohort`` (the bucket start date as a string, engine-portable),
+    ``offset`` (whole buckets since the cohort bucket), ``n_active``
+    (distinct cohort users active in that bucket), ``cohort_size``
+    (= ``n_active`` at offset 0, every user's first bucket being active
+    by construction), ``retention = n_active / cohort_size``.
+
+    Plan: ONE corpus-scale pass builds the distinct (user, bucket)
+    activity table (persisted — Spark re-instantiates a CTE per
+    reference, and both the first-seen aggregate and the offset join
+    read it); everything after is O(users) / O(cohorts × offsets),
+    with the tiny result eagerly checkpointed and the cache released
+    (the t_closeness_profile convention). NULL users form one
+    anonymous cohort (null-safe join).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, ts_col])
+    if bucket not in ("week", "day"):
+        raise ValueError(f"bucket must be 'week' or 'day', got {bucket!r}")
+    days = 7 if bucket == "week" else 1
+    act = (
+        df.selectExpr(
+            f"`{user_col}` AS u",
+            f"CAST(date_trunc('{bucket}', `{ts_col}`) AS DATE) AS wk",
+        )
+        .distinct()
+        .persist()
+    )
+    query = f"""
+    WITH act AS (SELECT * FROM {{src}}),
+    firsts AS (SELECT u, MIN(wk) AS cohort FROM act GROUP BY u),
+    j AS (
+      SELECT f.cohort AS cohort,
+        CAST(datediff(a.wk, f.cohort) div {days} AS BIGINT) AS offset
+      FROM act a JOIN firsts f ON a.u <=> f.u),
+    m AS (
+      SELECT cohort, offset, CAST(count(1) AS BIGINT) AS n_active
+      FROM j GROUP BY cohort, offset),
+    sz AS (SELECT cohort, n_active AS cohort_size FROM m WHERE offset = 0)
+    SELECT date_format(m.cohort, 'yyyy-MM-dd') AS cohort,
+      m.offset, m.n_active, s.cohort_size,
+      m.n_active / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM m JOIN sz s ON m.cohort = s.cohort"""
+    out = df.sparkSession.sql(query, src=act).localCheckpoint(eager=True)
+    act.unpersist(blocking=False)
+    return out

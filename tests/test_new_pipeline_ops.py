@@ -2667,3 +2667,45 @@ def test_cluster_silhouette_geometry(spark):
         cluster_silhouette(df, [(0, [1.0, 0.0])])
     with _pytest.raises(ValueError, match="max_cells"):
         cluster_silhouette(df, cents, max_cells=3)
+
+
+def test_retention_cohorts_matrix(spark):
+    """Hand-checked weekly retention: cohorts by first-seen week,
+    offsets count whole buckets, cohort_size is the offset-0 count,
+    day-bucket mode and validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    # week of 2026-01-05 (Mon): users 1,2; week of 01-12: user 3
+    # user 1 active weeks 0 and 1; user 2 only week 0; user 3 week 0
+    rows = [
+        (1, dt.datetime(2026, 1, 5, 10)), (1, dt.datetime(2026, 1, 6, 9)),
+        (1, dt.datetime(2026, 1, 14, 9)),
+        (2, dt.datetime(2026, 1, 7, 8)),
+        (3, dt.datetime(2026, 1, 13, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {(r["cohort"], r["offset"]): r for r in
+           retention_cohorts(df).collect()}
+    assert out[("2026-01-05", 0)]["n_active"] == 2
+    assert out[("2026-01-05", 0)]["cohort_size"] == 2
+    assert out[("2026-01-05", 0)]["retention"] == 1.0
+    assert out[("2026-01-05", 1)]["n_active"] == 1
+    assert out[("2026-01-05", 1)]["retention"] == pytest.approx(0.5)
+    assert out[("2026-01-12", 0)]["n_active"] == 1
+    assert len(out) == 3
+
+    # day buckets: user 1 active Jan 5, 6, 14 -> offsets 0, 1, 9
+    dout = {(r["cohort"], r["offset"]) for r in
+            retention_cohorts(df, bucket="day").collect()
+            if r["cohort"] == "2026-01-05"}
+    assert dout == {("2026-01-05", 0), ("2026-01-05", 1),
+                    ("2026-01-05", 9)}
+
+    with _pytest.raises(ValueError, match="bucket"):
+        retention_cohorts(df, bucket="month")
