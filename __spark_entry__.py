@@ -4570,6 +4570,56 @@ def _tfidf_keywords_sql() -> str:
     FROM r WHERE rank <= 3"""
 
 
+def q_group_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic labels per source: top-3 characteristic tokens of
+    every source group under the BERTopic class-based formula (plain
+    per-group IDF zeroes out on this shared-vocabulary corpus);
+    rounded-score + token tie-break."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        group_keywords,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return _round_cols(
+        group_keywords(docs, "source", k=3), ["group_share", "score"]
+    )
+
+
+def _group_keywords_sql(k: int = 3) -> str:
+    return f"""
+    WITH tf AS (
+      SELECT source AS group_key, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      GROUP BY 1, 2),
+    ct AS (SELECT group_key, CAST(SUM(tf) AS BIGINT) AS class_total
+           FROM tf GROUP BY 1),
+    gt AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS global_tf
+           FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(class_total) AS BIGINT) AS total_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM ct),
+    s AS (
+      SELECT t.group_key, t.token, t.tf,
+        t.tf / CAST(c.class_total AS DOUBLE) AS group_share,
+        (t.tf / CAST(c.class_total AS DOUBLE))
+          * ln(CAST(1.0 AS DOUBLE)
+               + (tot.total_tokens / CAST(tot.n_groups AS DOUBLE))
+                 / gt.global_tf) AS score
+      FROM tf t
+      JOIN ct c ON t.group_key IS NOT DISTINCT FROM c.group_key
+      JOIN gt ON t.token = gt.token
+      CROSS JOIN tot),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY group_key
+        ORDER BY ROUND(score, 9) DESC, token ASC) AS rank
+      FROM s)
+    SELECT group_key, CAST(rank AS INT) AS rank, token, tf,
+      ROUND(group_share, {ROUND}) AS group_share,
+      ROUND(score, {ROUND}) AS score
+    FROM r WHERE rank <= {k}"""
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary drift over the even/odd doc split: type counts,
     new/lost types, token-level OOV rate."""
@@ -7194,6 +7244,7 @@ def _oracle_queries() -> dict[str, str]:
         "funnel": _funnel_sql(),
         "cluster_silhouette": _cluster_silhouette_sql(),
         "retention_cohorts": _retention_cohorts_sql(),
+        "group_keywords": _group_keywords_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8192,6 +8243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cluster_silhouette": q_cluster_silhouette,
         "retention_cohorts": q_retention_cohorts,
+        "group_keywords": q_group_keywords,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,

@@ -853,3 +853,81 @@ def bpe_vocab(
         .orderBy(F.col("token_count").desc(), F.col("symbol").asc())
         .limit(int(top_k))
     )
+
+
+def group_keywords(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms PER GROUP by class-based TF-IDF
+    (c-TF-IDF, the BERTopic topic-labeling formula, Grootendorst 2022:
+    treat each group — a source, language, or cluster assignment — as
+    one super-document):
+
+        score(t, g) = (tf(g,t) / class_total(g))
+                      · ln(1 + avg_class_total / global_tf(t))
+
+    Plain per-group IDF zeroes out whenever the vocabulary is shared by
+    every group (ln(G/G) = 0 — exactly the failure mode on a
+    homogeneous corpus); the c-TF-IDF smoothing keeps the ranking
+    informative there, favoring tokens that are frequent IN the group
+    relative to their corpus-wide rate. Rank ties break on the
+    9-decimal-rounded score then the token string (the tfidf_keywords
+    convention). NULL groups form one real group.
+
+    Plan: ONE corpus-scale explode + groupBy(group, token) builds the
+    tf table (persisted — it feeds the class-total, global-frequency,
+    and scoring passes, and Spark re-instantiates a CTE per reference);
+    everything after is O(groups × vocab), with the rank window
+    partitioned by group (vocabulary-bounded state). The O(k · groups)
+    result is eagerly checkpointed and the cache released. Output:
+    ``(group_key, rank, token, tf, group_share, score)``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([group_col, text_col])
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tf = (
+        ensure_min_partitions(df)
+        .selectExpr(
+            f"`{group_col}` AS group_key",
+            f"explode(split(`{text_col}`, ' ')) AS token",
+        )
+        .groupBy("group_key", "token")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS tf"))
+        .persist()
+    )
+    query = f"""
+    WITH tf AS (SELECT * FROM {{src}}),
+    ct AS (SELECT group_key, CAST(sum(tf) AS BIGINT) AS class_total
+           FROM tf GROUP BY group_key),
+    gt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS global_tf
+           FROM tf GROUP BY token),
+    tot AS (SELECT CAST(sum(class_total) AS BIGINT) AS total_tokens,
+              CAST(count(1) AS BIGINT) AS n_groups
+            FROM ct),
+    s AS (
+      SELECT t.group_key, t.token, t.tf,
+        t.tf / CAST(c.class_total AS DOUBLE) AS group_share,
+        (t.tf / CAST(c.class_total AS DOUBLE))
+          * ln(1.0D + (tot.total_tokens / CAST(tot.n_groups AS DOUBLE))
+                      / gt.global_tf) AS score
+      FROM tf t
+      JOIN ct c ON t.group_key <=> c.group_key
+      JOIN gt ON t.token = gt.token
+      CROSS JOIN tot),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY group_key
+        ORDER BY round(score, 9) DESC, token ASC) AS rank
+      FROM s)
+    SELECT group_key, CAST(rank AS INT) AS rank, token, tf,
+      group_share, score
+    FROM r WHERE rank <= {int(k)}"""
+    out = df.sparkSession.sql(query, src=tf).localCheckpoint(eager=True)
+    tf.unpersist(blocking=False)
+    return out

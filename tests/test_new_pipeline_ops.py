@@ -2709,3 +2709,40 @@ def test_retention_cohorts_matrix(spark):
 
     with _pytest.raises(ValueError, match="bucket"):
         retention_cohorts(df, bucket="month")
+
+
+def test_group_keywords_ctfidf(spark):
+    """c-TF-IDF hand-check: a token concentrated in one group outranks
+    uniformly-spread tokens there; shared-vocabulary corpora still get
+    informative rankings (the plain-IDF zero case); NULL group is a
+    real group; k validation."""
+    import math
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        group_keywords,
+    )
+
+    rows = [
+        (1, "g1", "common common special"),
+        (2, "g2", "common common common"),
+        (3, None, "common anon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = {(r["group_key"], r["rank"]): r for r in
+           group_keywords(df, "grp", k=2).collect()}
+    # g1: special tf=1 share 1/3, common tf=2 share 2/3; global common=6,
+    # special=1, anon=1; avg class tokens = 8/3
+    a = 8 / 3
+    s_special = (1 / 3) * math.log(1 + a / 1)
+    s_common_g1 = (2 / 3) * math.log(1 + a / 6)
+    assert s_special > s_common_g1
+    assert out[("g1", 1)]["token"] == "special"
+    assert out[("g1", 1)]["score"] == pytest.approx(s_special, rel=1e-6)
+    assert out[("g1", 2)]["token"] == "common"
+    assert out[("g2", 1)]["token"] == "common"
+    assert (None, 1) in out and out[(None, 1)]["token"] == "anon"
+
+    with _pytest.raises(ValueError, match="k must be"):
+        group_keywords(df, "grp", k=0)
