@@ -6573,6 +6573,52 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted twin of mix_sample: group masses are n_chars sums
+    (the EXPECTED WEIGHT mix matches the spec — what an LM data recipe
+    actually pins); same deterministic membership."""
+    from pyspark_data_drift_detector_spark.operators.sampling import mix_sample
+
+    out = mix_sample(
+        _documents(spark, sf_dir),
+        "lang",
+        {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1},
+        weight_col="n_chars",
+    )
+    return _round_cols(
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "group_count",
+            "target_share",
+            "sample_rate",
+        ),
+        ["target_share", "sample_rate"],
+    )
+
+
+def _mix_sample_tokens_sql() -> str:
+    return f"""
+    WITH c AS (SELECT lang, SUM(CAST(n_chars AS DOUBLE)) AS mass
+               FROM documents GROUP BY 1),
+    t(lang, target_share) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+      ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+      ('es', CAST(0.1 AS DOUBLE))),
+    j AS (SELECT c.lang, c.mass, t.target_share FROM c JOIN t USING (lang)),
+    m AS (SELECT MIN(mass / target_share) AS nmax FROM j),
+    r AS (SELECT lang, CAST(mass AS BIGINT) AS group_count, target_share,
+            LEAST(CAST(1.0 AS DOUBLE), target_share * nmax / mass)
+              AS sample_rate
+          FROM j CROSS JOIN m),
+    u AS (SELECT doc_id, lang, {_md5_u_sql("mix")} AS uu FROM documents)
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang, r.group_count,
+      ROUND(r.target_share, {ROUND}) AS target_share,
+      ROUND(r.sample_rate, {ROUND}) AS sample_rate
+    FROM u JOIN r USING (lang)
+    WHERE u.uu < FLOOR(r.sample_rate * 1000000)"""
+
+
 def _mix_sample_sql() -> str:
     return f"""
     WITH c AS (SELECT lang, COUNT(*) AS group_count FROM documents GROUP BY 1),
@@ -7245,6 +7291,7 @@ def _oracle_queries() -> dict[str, str]:
         "cluster_silhouette": _cluster_silhouette_sql(),
         "retention_cohorts": _retention_cohorts_sql(),
         "group_keywords": _group_keywords_sql(),
+        "mix_sample_tokens": _mix_sample_tokens_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8244,6 +8291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "retention_cohorts": q_retention_cohorts,
         "group_keywords": q_group_keywords,
+        "mix_sample_tokens": q_mix_sample_tokens,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,
