@@ -6713,6 +6713,45 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user paths over the events stream: one lag
+    window pass per user (ts order, event_id tie-break), path counts,
+    distinct-user support and window share; heap top-k with path
+    tie-break."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        event_paths,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round_cols(event_paths(ev, n=3, top_k=15), ["share"])
+
+
+def _event_paths_sql(n: int = 3, top_k: int = 15) -> str:
+    lags = ", ".join(
+        f"LAG(event_type, {i}) OVER (PARTITION BY user_id"
+        f" ORDER BY ts, event_id) AS p{i}"
+        for i in range(1, n)
+    )
+    steps = " || '>' || ".join(f"p{i}" for i in range(n - 1, 0, -1))
+    return f"""
+    WITH w AS (
+      SELECT user_id AS u, event_type AS et, {lags} FROM events),
+    paths AS (
+      SELECT u, {steps} || '>' || et AS path
+      FROM w WHERE p{n - 1} IS NOT NULL),
+    c AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+      FROM paths GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(SUM(n_occurrences), 0) AS BIGINT) AS total
+            FROM c)
+    SELECT path, n_occurrences, n_users,
+      ROUND(CASE WHEN total > 0 THEN n_occurrences / CAST(total AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END, {ROUND}) AS share
+    FROM c CROSS JOIN tot
+    ORDER BY n_occurrences DESC, path ASC LIMIT {top_k}"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-seen ISO week, distinct-activity counts per
@@ -7292,6 +7331,7 @@ def _oracle_queries() -> dict[str, str]:
         "retention_cohorts": _retention_cohorts_sql(),
         "group_keywords": _group_keywords_sql(),
         "mix_sample_tokens": _mix_sample_tokens_sql(),
+        "event_paths": _event_paths_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8292,6 +8332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "group_keywords": q_group_keywords,
         "mix_sample_tokens": q_mix_sample_tokens,
+        "event_paths": q_event_paths,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,

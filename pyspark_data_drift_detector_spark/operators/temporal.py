@@ -1099,3 +1099,66 @@ def retention_cohorts(
     out = df.sparkSession.sql(query, src=act).localCheckpoint(eager=True)
     act.unpersist(blocking=False)
     return out
+
+
+def event_paths(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Path mining: the ``top_k`` most common ``n``-step event sequences
+    across users — the DISCOVERY complement to :func:`funnel_conversion`
+    (which tests one hypothesized path) and :func:`transition_drift`
+    (order-1 only): "what do users actually do in 3 steps?".
+
+    Each user's event stream (ordered by ``ts`` with ``order_col`` as
+    the deterministic tie-break) yields one candidate path per event
+    window of ``n`` consecutive events; paths never span users. Output:
+    ``path`` (the '>'-joined step types), ``n_occurrences`` (total
+    windows), ``n_users`` (distinct users exhibiting the path),
+    ``share`` (of all n-windows). Top-k by occurrences with a path-name
+    tie-break — a heap (TakeOrderedAndProject), never a global sort.
+
+    Plan: ``n-1`` lag columns in ONE window pass partitioned by user
+    (bounded state), one groupBy(path) aggregate, one O(1) total. The
+    event stream shuffles once, on the user key.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col, order_col])
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    u, t = f"`{user_col}`", f"`{type_col}`"
+    ts, o = f"`{ts_col}`", f"`{order_col}`"
+    lags = ", ".join(
+        f"LAG({t}, {i}) OVER (PARTITION BY {u} ORDER BY {ts}, {o})"
+        f" AS p{i}"
+        for i in range(1, n)
+    )
+    steps = " || '>' || ".join(f"p{i}" for i in range(n - 1, 0, -1))
+    query = f"""
+    WITH w AS (
+      SELECT {u} AS u, {t} AS et, {lags} FROM {{src}}),
+    paths AS (
+      SELECT u, {steps} || '>' || et AS path
+      FROM w WHERE p{n - 1} IS NOT NULL),
+    c AS (
+      SELECT path, CAST(count(1) AS BIGINT) AS n_occurrences,
+        CAST(count(DISTINCT u) AS BIGINT) AS n_users
+      FROM paths GROUP BY path),
+    tot AS (SELECT CAST(coalesce(sum(n_occurrences), 0) AS BIGINT) AS total
+            FROM c)
+    SELECT path, n_occurrences, n_users,
+      CASE WHEN total > 0 THEN n_occurrences / CAST(total AS DOUBLE)
+           ELSE CAST(0 AS DOUBLE) END AS share
+    FROM c CROSS JOIN tot
+    ORDER BY n_occurrences DESC, path ASC LIMIT {int(top_k)}"""
+    return df.sparkSession.sql(query, src=df)

@@ -2746,3 +2746,46 @@ def test_group_keywords_ctfidf(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         group_keywords(df, "grp", k=0)
+
+
+def test_event_paths_mining(spark):
+    """Hand-checked n-gram paths: windows never span users, tie-break
+    order, distinct-user support, share denominator, validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        event_paths,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, 1, "a", T(1)), (2, 1, "b", T(2)), (3, 1, "c", T(3)),
+        (4, 1, "b", T(4)), (5, 1, "c", T(5)),
+        (6, 2, "a", T(1)), (7, 2, "b", T(2)), (8, 2, "c", T(3)),
+        (9, 3, "x", T(1)),  # too short for any window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, event_type string, ts timestamp"
+    )
+    out = {r["path"]: r for r in event_paths(df, n=3, top_k=10).collect()}
+    # u1 windows: a>b>c, b>c>b, c>b>c; u2: a>b>c; u3: none -> 4 total
+    assert out["a>b>c"]["n_occurrences"] == 2
+    assert out["a>b>c"]["n_users"] == 2
+    assert out["a>b>c"]["share"] == pytest.approx(2 / 4)
+    assert out["b>c>b"]["n_occurrences"] == 1
+    assert len(out) == 3
+
+    # top_k=1 picks the most common path
+    top = event_paths(df, n=3, top_k=1).collect()
+    assert [r["path"] for r in top] == ["a>b>c"]
+
+    # n=2 reduces to transitions
+    pairs = {r["path"] for r in event_paths(df, n=2, top_k=10).collect()}
+    assert pairs == {"a>b", "b>c", "c>b"}
+
+    with _pytest.raises(ValueError, match="n must be"):
+        event_paths(df, n=1)
+    with _pytest.raises(ValueError, match="top_k"):
+        event_paths(df, top_k=0)
