@@ -6713,6 +6713,80 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
       WHERE pos IS NULL)"""
 
 
+def q_transition_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-side vet-the-increment member: the last-10-days batch's
+    transition mix (within-batch lags + the cross-batch stitch from
+    each user's prior last event) vetted against the first-20-days pair
+    state — prior events never re-read."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_incremental,
+        transition_last_state,
+        transition_pair_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prior = ev.filter("ts < TIMESTAMP '2024-01-21'")
+    batch = ev.filter("ts >= TIMESTAMP '2024-01-21'")
+    out = transition_incremental(
+        batch, transition_pair_state(prior), transition_last_state(prior)
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _transition_incremental_sql(thr: float = 0.02) -> str:
+    return f"""
+    WITH pe AS (SELECT user_id AS u, event_type AS et, ts, event_id AS o
+                FROM events WHERE ts < TIMESTAMP '2024-01-21'),
+    be AS (SELECT user_id AS u, event_type AS et, ts, event_id AS o
+           FROM events WHERE ts >= TIMESTAMP '2024-01-21'),
+    pw AS (SELECT et, LAG(et) OVER (PARTITION BY u ORDER BY ts, o) AS p
+           FROM pe),
+    pc AS (SELECT p AS prev_type, et AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM pw WHERE p IS NOT NULL GROUP BY 1, 2),
+    pl AS (SELECT u AS user_key, et AS last_type FROM (
+             SELECT u, et, ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY ts DESC, o DESC) AS rn FROM pe) x
+           WHERE rn = 1),
+    bw AS (SELECT et, LAG(et) OVER (PARTITION BY u ORDER BY ts, o) AS p
+           FROM be),
+    within AS (SELECT p AS prev_type, et AS next_type
+               FROM bw WHERE p IS NOT NULL),
+    firsts AS (SELECT u, et FROM (
+                 SELECT u, et, ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY ts, o) AS rn FROM be) x
+               WHERE rn = 1),
+    stitched AS (
+      SELECT l.last_type AS prev_type, f.et AS next_type
+      FROM firsts f JOIN pl l ON f.u IS NOT DISTINCT FROM l.user_key),
+    bc AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM within UNION ALL SELECT * FROM stitched) a
+      GROUP BY 1, 2),
+    rt AS (SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS tot FROM pc),
+    ct AS (SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS tot FROM bc),
+    panel AS (
+      SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
+        coalesce(r.next_type, c.next_type) AS next_type,
+        coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
+      FROM pc r FULL OUTER JOIN bc c
+        ON r.prev_type IS NOT DISTINCT FROM c.prev_type
+        AND r.next_type IS NOT DISTINCT FROM c.next_type)
+    SELECT prev_type, next_type, ref_n, curr_n,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(abs(ref_share - curr_share), {ROUND}) AS share_abs_diff,
+      ROUND(abs(ref_share - curr_share), 5) > CAST({thr!r} AS DOUBLE)
+        AS drift_detected
+    FROM (
+      SELECT p.*,
+        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS ref_share,
+        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS curr_share
+      FROM panel p CROSS JOIN rt CROSS JOIN ct) s"""
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 three-step user paths over the events stream: one lag
     window pass per user (ts order, event_id tie-break), path counts,
@@ -7332,6 +7406,7 @@ def _oracle_queries() -> dict[str, str]:
         "group_keywords": _group_keywords_sql(),
         "mix_sample_tokens": _mix_sample_tokens_sql(),
         "event_paths": _event_paths_sql(),
+        "transition_incremental": _transition_incremental_sql(),
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
@@ -8333,6 +8408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_keywords": q_group_keywords,
         "mix_sample_tokens": q_mix_sample_tokens,
         "event_paths": q_event_paths,
+        "transition_incremental": q_transition_incremental,
         "transition_drift": q_transition_drift,
         "snapshot_diff": q_snapshot_diff,
         "fit_bpe": q_fit_bpe,

@@ -1162,3 +1162,155 @@ def event_paths(
     FROM c CROSS JOIN tot
     ORDER BY n_occurrences DESC, path ASC LIMIT {int(top_k)}"""
     return df.sparkSession.sql(query, src=df)
+
+
+def transition_pair_state(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Additive behavioral state for one ingest batch: WITHIN-batch
+    transition counts (``prev_type, next_type, n``) — the events-side
+    member of the vet-the-increment state family (token_share_state /
+    embedding_state / cluster_share_state). Append one per time-ordered
+    batch; :func:`transition_incremental` emits the batch's pairs
+    INCLUDING the cross-batch stitch, so appending ITS counts keeps the
+    rolled-up SUM exactly equal to the transition counts of the full
+    stream. O(distinct pairs) rows per batch."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col, order_col])
+    u, t = f"`{user_col}`", f"`{type_col}`"
+    ts, o = f"`{ts_col}`", f"`{order_col}`"
+    query = f"""
+    WITH w AS (
+      SELECT {t} AS et,
+        LAG({t}) OVER (PARTITION BY {u} ORDER BY {ts}, {o}) AS p
+      FROM {{src}})
+    SELECT p AS prev_type, et AS next_type,
+      CAST(count(1) AS BIGINT) AS n
+    FROM w WHERE p IS NOT NULL GROUP BY p, et"""
+    return df.sparkSession.sql(query, src=df)
+
+
+def transition_last_state(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Each user's LAST event type in the batch (``user_key,
+    last_type``) — the carry state that lets the next batch's first
+    event stitch into a cross-batch transition. Latest-wins by
+    ``(ts, order_col)`` via ROW_NUMBER (arg_max with composite keys is
+    not engine-portable); per-user window state is bounded. Replace
+    (not append) a user's row when rolling state forward."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col, order_col])
+    u, t = f"`{user_col}`", f"`{type_col}`"
+    ts, o = f"`{ts_col}`", f"`{order_col}`"
+    query = f"""
+    WITH r AS (
+      SELECT {u} AS user_key, {t} AS last_type,
+        ROW_NUMBER() OVER (PARTITION BY {u}
+                           ORDER BY {ts} DESC, {o} DESC) AS rn
+      FROM {{src}})
+    SELECT user_key, last_type FROM r WHERE rn = 1"""
+    return df.sparkSession.sql(query, src=df)
+
+
+def transition_incremental(
+    batch: DataFrame,
+    prior_pairs: DataFrame,
+    prior_last: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Behavioral tripwire for one time-ordered ingest batch: the
+    batch's transition mix — within-batch lag pairs PLUS the cross-batch
+    stitch (each user's prior last event into their first batch event) —
+    vetted against the rolled-up prior pair state, without re-reading
+    any prior events. The events-side member of the vet-the-increment
+    family ("did user behavior change in THIS batch?").
+
+    ``prior_pairs`` is the appended :func:`transition_pair_state` /
+    previous-increment output (re-aggregated here, so appended
+    fragments are fine); ``prior_last`` the rolled-forward
+    :func:`transition_last_state`. Invariant: prior counts + this
+    output's ``curr_n`` = the full stream's transition counts, exactly.
+
+    Output mirrors :func:`transition_drift` (``ref_* = state``,
+    ``curr_* = batch``): per pair counts, shares, ``share_abs_diff``
+    and the ``round(diff, 5) > threshold`` flag; a side with no
+    transitions contributes share 0. Plan: one lag window + one
+    first-event window over the batch (user-key partitions), a
+    broadcast-able join of O(users) last-state, and an
+    O(distinct pairs) panel.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col, order_col])
+    thr = float(threshold)
+    if not 0 <= thr <= 1:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    u, t = f"`{user_col}`", f"`{type_col}`"
+    ts, o = f"`{ts_col}`", f"`{order_col}`"
+    query = f"""
+    WITH b AS (SELECT {u} AS u, {t} AS et, {ts} AS ts, {o} AS o
+               FROM {{batch}}),
+    w AS (SELECT et,
+            LAG(et) OVER (PARTITION BY u ORDER BY ts, o) AS p
+          FROM b),
+    within AS (SELECT p AS prev_type, et AS next_type
+               FROM w WHERE p IS NOT NULL),
+    firsts AS (
+      SELECT u, et FROM (
+        SELECT u, et, ROW_NUMBER() OVER (PARTITION BY u
+                                         ORDER BY ts, o) AS rn
+        FROM b) x
+      WHERE rn = 1),
+    stitched AS (
+      SELECT l.last_type AS prev_type, f.et AS next_type
+      FROM firsts f JOIN {{last}} l ON f.u <=> l.user_key),
+    bc AS (
+      SELECT prev_type, next_type, CAST(count(1) AS BIGINT) AS n
+      FROM (SELECT * FROM within UNION ALL SELECT * FROM stitched) a
+      GROUP BY prev_type, next_type),
+    pc AS (
+      SELECT prev_type, next_type, CAST(sum(n) AS BIGINT) AS n
+      FROM {{pairs}} GROUP BY prev_type, next_type),
+    rt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM pc),
+    ct AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM bc),
+    panel AS (
+      SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
+        coalesce(r.next_type, c.next_type) AS next_type,
+        coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
+      FROM pc r FULL OUTER JOIN bc c
+        ON r.prev_type <=> c.prev_type AND r.next_type <=> c.next_type)
+    SELECT prev_type, next_type, ref_n, curr_n,
+      ref_share, curr_share,
+      abs(ref_share - curr_share) AS share_abs_diff,
+      round(abs(ref_share - curr_share), 5) > {thr!r}D AS drift_detected
+    FROM (
+      SELECT p.*,
+        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS ref_share,
+        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS curr_share
+      FROM panel p CROSS JOIN rt CROSS JOIN ct) s"""
+    return batch.sparkSession.sql(
+        query, batch=batch, pairs=prior_pairs, last=prior_last
+    )

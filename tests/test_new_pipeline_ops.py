@@ -2789,3 +2789,64 @@ def test_event_paths_mining(spark):
         event_paths(df, n=1)
     with _pytest.raises(ValueError, match="top_k"):
         event_paths(df, top_k=0)
+
+
+def test_transition_incremental_stitch(spark):
+    """The events-side increment vet: cross-batch transitions stitch
+    from the prior last-event state, and prior counts + increment
+    counts EXACTLY equal the full stream's transition counts (the
+    additive-state invariant of the family)."""
+    import datetime as dt
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_drift,
+        transition_incremental,
+        transition_last_state,
+        transition_pair_state,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # prior: u1 a->b, u2 a; batch: u1 c (stitch b->c), u2 b then c,
+        # u3 x->y (new user, no stitch)
+        (1, 1, "a", T(1)), (2, 1, "b", T(2)),
+        (3, 2, "a", T(3)),
+        (4, 1, "c", T(10)),
+        (5, 2, "b", T(11)), (6, 2, "c", T(12)),
+        (7, 3, "x", T(10)), (8, 3, "y", T(11)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, event_type string, ts timestamp"
+    )
+    prior = df.filter("ts < TIMESTAMP '2026-01-01 00:00:05'")
+    batch = df.filter("ts >= TIMESTAMP '2026-01-01 00:00:05'")
+    pairs = transition_pair_state(prior)
+    last = transition_last_state(prior)
+    assert {(r["user_key"], r["last_type"]) for r in last.collect()} == {
+        (1, "b"), (2, "a")
+    }
+    out = {(r["prev_type"], r["next_type"]): r for r in
+           transition_incremental(batch, pairs, last,
+                                  threshold=0.5).collect()}
+    # batch pairs: stitched b->c (u1), stitched a->b (u2),
+    # within b->c (u2), within x->y (u3)
+    assert out[("b", "c")]["curr_n"] == 2
+    assert out[("a", "b")]["curr_n"] == 1
+    assert out[("x", "y")]["curr_n"] == 1
+    assert out[("a", "b")]["ref_n"] == 1   # the one prior transition
+    assert out[("a", "b")]["ref_share"] == 1.0
+    assert out[("b", "c")]["curr_share"] == pytest.approx(0.5)
+    assert out[("b", "c")]["drift_detected"] is False  # 0.5 - 0 = 0.5
+
+    # invariant: prior state + increment == full-stream transitions
+    whole = transition_drift(df, df.filter("1=0"), threshold=0.5)
+    whole_counts = {(r["prev_type"], r["next_type"]): r["ref_n"]
+                    for r in whole.collect() if r["ref_n"] > 0}
+    merged: dict = {}
+    for r in pairs.collect():
+        k = (r["prev_type"], r["next_type"])
+        merged[k] = merged.get(k, 0) + r["n"]
+    for k, r in out.items():
+        if r["curr_n"]:
+            merged[k] = merged.get(k, 0) + r["curr_n"]
+    assert merged == whole_counts
