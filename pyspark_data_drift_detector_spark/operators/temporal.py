@@ -1204,12 +1204,15 @@ def transition_last_state(
     ts_col: str = "ts",
     order_col: str = "event_id",
 ) -> DataFrame:
-    """Each user's LAST event type in the batch (``user_key,
-    last_type``) — the carry state that lets the next batch's first
-    event stitch into a cross-batch transition. Latest-wins by
+    """Each user's LAST event in the batch (``user_key, last_type,
+    last_ts, last_order``) — the carry state that lets the next batch's
+    first event stitch into a cross-batch transition. Latest-wins by
     ``(ts, order_col)`` via ROW_NUMBER (arg_max with composite keys is
-    not engine-portable); per-user window state is bounded. Replace
-    (not append) a user's row when rolling state forward."""
+    not engine-portable); per-user window state is bounded. The state
+    is APPEND-mergeable: carrying the ordering columns lets any reader
+    (and :func:`transition_incremental`) re-derive the per-user latest
+    row over appended fragments — the family's reader-re-aggregates
+    convention, no read-modify-write."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
@@ -1219,11 +1222,12 @@ def transition_last_state(
     ts, o = f"`{ts_col}`", f"`{order_col}`"
     query = f"""
     WITH r AS (
-      SELECT {u} AS user_key, {t} AS last_type,
+      SELECT {u} AS user_key, {t} AS last_type, {ts} AS last_ts,
+        {o} AS last_order,
         ROW_NUMBER() OVER (PARTITION BY {u}
                            ORDER BY {ts} DESC, {o} DESC) AS rn
       FROM {{src}})
-    SELECT user_key, last_type FROM r WHERE rn = 1"""
+    SELECT user_key, last_type, last_ts, last_order FROM r WHERE rn = 1"""
     return df.sparkSession.sql(query, src=df)
 
 
@@ -1245,9 +1249,10 @@ def transition_incremental(
     family ("did user behavior change in THIS batch?").
 
     ``prior_pairs`` is the appended :func:`transition_pair_state` /
-    previous-increment output (re-aggregated here, so appended
-    fragments are fine); ``prior_last`` the rolled-forward
-    :func:`transition_last_state`. Invariant: prior counts + this
+    previous-increment output; ``prior_last`` the appended
+    :func:`transition_last_state` fragments — BOTH are re-aggregated
+    here (counts summed, latest-per-user wins), so plain parquet
+    appends roll the state forward. Invariant: prior counts + this
     output's ``curr_n`` = the full stream's transition counts, exactly.
 
     Output mirrors :func:`transition_drift` (``ref_* = state``,
@@ -1282,9 +1287,16 @@ def transition_incremental(
                                          ORDER BY ts, o) AS rn
         FROM b) x
       WHERE rn = 1),
+    lastagg AS (
+      SELECT user_key, last_type FROM (
+        SELECT user_key, last_type,
+          ROW_NUMBER() OVER (PARTITION BY user_key
+            ORDER BY last_ts DESC, last_order DESC) AS rn
+        FROM {{last}}) x
+      WHERE rn = 1),
     stitched AS (
       SELECT l.last_type AS prev_type, f.et AS next_type
-      FROM firsts f JOIN {{last}} l ON f.u <=> l.user_key),
+      FROM firsts f JOIN lastagg l ON f.u <=> l.user_key),
     bc AS (
       SELECT prev_type, next_type, CAST(count(1) AS BIGINT) AS n
       FROM (SELECT * FROM within UNION ALL SELECT * FROM stitched) a

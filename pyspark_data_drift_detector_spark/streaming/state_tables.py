@@ -694,3 +694,73 @@ def embedding_vetting_sink(
         adv_mix(batch_df, batch_id)
 
     return write_batch
+
+
+def transition_vetting_sink(
+    pair_state_path: str,
+    last_state_path: str,
+    report_path: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    threshold: float = 0.02,
+) -> Callable[[DataFrame, int], None]:
+    """The events-side nightly vetting automation — the behavioral twin
+    of :func:`ingest_vetting_sink`: each time-ordered micro-batch of
+    events is VETTED against the corpus-so-far transition-pair state
+    (``transition_incremental``: within-batch lags plus the cross-batch
+    stitch from the last-event state), the stamped panel appends to
+    ``report_path``, and only then do both states advance. First batch
+    bootstraps silently (states seeded, no report).
+
+    State maintenance is pure parquet APPEND on both tables: the pair
+    delta appended is the increment's own ``curr_n`` rows (so stitched
+    transitions are never lost and the rolled-up SUM stays exactly the
+    full stream's counts), and the last-event fragments carry their
+    ordering columns so every reader re-derives latest-per-user —
+    no read-modify-write, crash-safe by construction.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_incremental,
+        transition_last_state,
+        transition_pair_state,
+    )
+
+    cols = dict(
+        user_col=user_col, type_col=type_col,
+        ts_col=ts_col, order_col=order_col,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # bootstrap = the state paths don't exist yet (first batch); an
+        # EXISTING state with zero transitions still vets — the batch is
+        # then all-new behavior, shares 0 on the reference side
+        try:
+            pairs = spark.read.parquet(pair_state_path)
+            last = spark.read.parquet(last_state_path)
+            bootstrap = False
+        except AnalysisException:
+            bootstrap = True
+        if bootstrap:
+            transition_pair_state(batch_df, **cols).write.mode(
+                "append"
+            ).parquet(pair_state_path)
+        else:
+            panel = transition_incremental(
+                batch_df, pairs, last, threshold=threshold, **cols
+            ).localCheckpoint(eager=True)  # vet BEFORE states advance
+            panel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+            panel.filter("curr_n > 0").selectExpr(
+                "prev_type", "next_type", "curr_n AS n"
+            ).write.mode("append").parquet(pair_state_path)
+        transition_last_state(batch_df, **cols).write.mode(
+            "append"
+        ).parquet(last_state_path)
+
+    return write_batch

@@ -2850,3 +2850,63 @@ def test_transition_incremental_stitch(spark):
         if r["curr_n"]:
             merged[k] = merged.get(k, 0) + r["curr_n"]
     assert merged == whole_counts
+
+
+def test_transition_vetting_sink(spark, tmp_path):
+    """Two time-ordered batches through the events vetting sink: batch 1
+    bootstraps silently (states only), batch 2 produces the panel with
+    the cross-batch stitch, and the rolled-up pair state after both
+    batches EXACTLY equals the full stream's transition counts."""
+    import datetime as dt
+
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        transition_vetting_sink,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_pair_state,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    schema = "event_id int, user_id int, event_type string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", T(1)), (2, 1, "b", T(2)), (3, 2, "a", T(3))], schema
+    )
+    b2 = spark.createDataFrame(
+        [(4, 1, "c", T(10)), (5, 2, "b", T(11)), (6, 2, "c", T(12))], schema
+    )
+    pair_p = str(tmp_path / "pairs")
+    last_p = str(tmp_path / "last")
+    report_p = str(tmp_path / "report")
+    sink = transition_vetting_sink(pair_p, last_p, report_p, threshold=0.5)
+
+    sink(b1, 0)
+    import os
+
+    assert not os.path.exists(report_p)  # bootstrap: no report
+    assert {(r["prev_type"], r["next_type"], r["n"]) for r in
+            spark.read.parquet(pair_p).collect()} == {("a", "b", 1)}
+
+    sink(b2, 1)
+    rep = spark.read.parquet(report_p)
+    out = {(r["prev_type"], r["next_type"]): r for r in rep.collect()}
+    # batch 2 pairs: stitched b->c (u1), stitched a->b (u2), within b->c
+    assert out[("b", "c")]["curr_n"] == 2
+    assert out[("a", "b")]["curr_n"] == 1
+    assert out[("a", "b")]["ref_n"] == 1
+    assert all(r["batch_id"] == 1 for r in rep.collect())
+
+    # invariant: rolled-up pair state == full-stream transition counts
+    rolled = {}
+    for r in spark.read.parquet(pair_p).collect():
+        k = (r["prev_type"], r["next_type"])
+        rolled[k] = rolled.get(k, 0) + r["n"]
+    full = {(r["prev_type"], r["next_type"]): r["n"] for r in
+            transition_pair_state(b1.unionByName(b2)).collect()}
+    assert rolled == full
+
+    # last-event state re-aggregates to the true latest per user
+    last = spark.read.parquet(last_p)
+    latest = {}
+    for r in last.orderBy("last_ts", "last_order").collect():
+        latest[r["user_key"]] = r["last_type"]
+    assert latest == {1: "c", 2: "c"}
