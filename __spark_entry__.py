@@ -6816,13 +6816,11 @@ def _event_paths_sql(n: int = 3, top_k: int = 15) -> str:
     c AS (
       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
-      FROM paths GROUP BY 1),
-    tot AS (SELECT CAST(coalesce(SUM(n_occurrences), 0) AS BIGINT) AS total
-            FROM c)
+      FROM paths GROUP BY 1)
     SELECT path, n_occurrences, n_users,
-      ROUND(CASE WHEN total > 0 THEN n_occurrences / CAST(total AS DOUBLE)
-            ELSE CAST(0 AS DOUBLE) END, {ROUND}) AS share
-    FROM c CROSS JOIN tot
+      ROUND(n_occurrences / CAST(SUM(n_occurrences) OVER () AS DOUBLE),
+            {ROUND}) AS share
+    FROM c
     ORDER BY n_occurrences DESC, path ASC LIMIT {top_k}"""
 
 

@@ -1010,10 +1010,13 @@ def transition_drift(
       WHERE prev_et IS NOT NULL),
     {name}_c AS (
       SELECT prev_type, next_type, CAST(COUNT(1) AS BIGINT) AS n
-      FROM {name}_t GROUP BY prev_type, next_type),
-    {name}_tot AS (
-      SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS tot FROM {name}_c)"""
+      FROM {name}_t GROUP BY prev_type, next_type)"""
 
+    # totals as windows over the O(pairs) PANEL, not separate _tot CTEs:
+    # Spark re-instantiates a CTE per reference, so a side CTE referenced
+    # by both its total and the panel would lag-window the event stream
+    # TWICE (each side's counts appear exactly once in the full-outer
+    # panel, so the panel-level sum equals the side total)
     query = f"""
     WITH {side('r', 'ref')},
     {side('c', 'curr')},
@@ -1029,11 +1032,13 @@ def transition_drift(
       round(abs(ref_share - curr_share), 5) > {thr!r}D AS drift_detected
     FROM (
       SELECT p.*,
-        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+        CASE WHEN SUM(ref_n) OVER () > 0
+             THEN ref_n / CAST(SUM(ref_n) OVER () AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS ref_share,
-        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+        CASE WHEN SUM(curr_n) OVER () > 0
+             THEN curr_n / CAST(SUM(curr_n) OVER () AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS curr_share
-      FROM panel p CROSS JOIN r_tot rt CROSS JOIN c_tot ct) s"""
+      FROM panel p) s"""
     return ref.sparkSession.sql(query, ref=ref, curr=curr)
 
 
@@ -1124,8 +1129,11 @@ def event_paths(
     tie-break — a heap (TakeOrderedAndProject), never a global sort.
 
     Plan: ``n-1`` lag columns in ONE window pass partitioned by user
-    (bounded state), one groupBy(path) aggregate, one O(1) total. The
-    event stream shuffles once, on the user key.
+    (bounded state), one groupBy(path) aggregate, then the share's
+    global sum as a window over the AGGREGATED path table (O(distinct
+    paths) rows — the zipf_fit tiny-frame convention; a separate total
+    CTE would re-instantiate the corpus window, scanning events twice).
+    The event stream shuffles once, on the user key.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -1153,13 +1161,10 @@ def event_paths(
     c AS (
       SELECT path, CAST(count(1) AS BIGINT) AS n_occurrences,
         CAST(count(DISTINCT u) AS BIGINT) AS n_users
-      FROM paths GROUP BY path),
-    tot AS (SELECT CAST(coalesce(sum(n_occurrences), 0) AS BIGINT) AS total
-            FROM c)
+      FROM paths GROUP BY path)
     SELECT path, n_occurrences, n_users,
-      CASE WHEN total > 0 THEN n_occurrences / CAST(total AS DOUBLE)
-           ELSE CAST(0 AS DOUBLE) END AS share
-    FROM c CROSS JOIN tot
+      n_occurrences / CAST(sum(n_occurrences) OVER () AS DOUBLE) AS share
+    FROM c
     ORDER BY n_occurrences DESC, path ASC LIMIT {int(top_k)}"""
     return df.sparkSession.sql(query, src=df)
 
@@ -1273,20 +1278,19 @@ def transition_incremental(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     u, t = f"`{user_col}`", f"`{type_col}`"
     ts, o = f"`{ts_col}`", f"`{order_col}`"
+    # ONE window pass over the batch: LAG is NULL exactly on each user's
+    # first batch event, so the stitch is `coalesce(lag, prior_last)`
+    # after a broadcast-able left join of the O(users) last-state — no
+    # separate firsts/stitched CTEs (Spark re-instantiates a CTE per
+    # reference; the two-CTE shape scanned and windowed the batch
+    # twice). Totals are windows over the O(pairs) panel for the same
+    # reason (each side's counts appear exactly once in the full-outer
+    # panel, so the panel-level sum equals the side total).
     query = f"""
-    WITH b AS (SELECT {u} AS u, {t} AS et, {ts} AS ts, {o} AS o
-               FROM {{batch}}),
-    w AS (SELECT et,
-            LAG(et) OVER (PARTITION BY u ORDER BY ts, o) AS p
-          FROM b),
-    within AS (SELECT p AS prev_type, et AS next_type
-               FROM w WHERE p IS NOT NULL),
-    firsts AS (
-      SELECT u, et FROM (
-        SELECT u, et, ROW_NUMBER() OVER (PARTITION BY u
-                                         ORDER BY ts, o) AS rn
-        FROM b) x
-      WHERE rn = 1),
+    WITH w AS (
+      SELECT u, et, LAG(et) OVER (PARTITION BY u ORDER BY ts, o) AS p
+      FROM (SELECT {u} AS u, {t} AS et, {ts} AS ts, {o} AS o
+            FROM {{batch}}) b),
     lastagg AS (
       SELECT user_key, last_type FROM (
         SELECT user_key, last_type,
@@ -1294,18 +1298,16 @@ def transition_incremental(
             ORDER BY last_ts DESC, last_order DESC) AS rn
         FROM {{last}}) x
       WHERE rn = 1),
-    stitched AS (
-      SELECT l.last_type AS prev_type, f.et AS next_type
-      FROM firsts f JOIN lastagg l ON f.u <=> l.user_key),
     bc AS (
       SELECT prev_type, next_type, CAST(count(1) AS BIGINT) AS n
-      FROM (SELECT * FROM within UNION ALL SELECT * FROM stitched) a
+      FROM (SELECT coalesce(w.p, l.last_type) AS prev_type,
+              w.et AS next_type
+            FROM w LEFT JOIN lastagg l ON w.u <=> l.user_key) z
+      WHERE prev_type IS NOT NULL
       GROUP BY prev_type, next_type),
     pc AS (
       SELECT prev_type, next_type, CAST(sum(n) AS BIGINT) AS n
       FROM {{pairs}} GROUP BY prev_type, next_type),
-    rt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM pc),
-    ct AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM bc),
     panel AS (
       SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
         coalesce(r.next_type, c.next_type) AS next_type,
@@ -1318,11 +1320,13 @@ def transition_incremental(
       round(abs(ref_share - curr_share), 5) > {thr!r}D AS drift_detected
     FROM (
       SELECT p.*,
-        CASE WHEN rt.tot > 0 THEN p.ref_n / CAST(rt.tot AS DOUBLE)
+        CASE WHEN SUM(ref_n) OVER () > 0
+             THEN ref_n / CAST(SUM(ref_n) OVER () AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS ref_share,
-        CASE WHEN ct.tot > 0 THEN p.curr_n / CAST(ct.tot AS DOUBLE)
+        CASE WHEN SUM(curr_n) OVER () > 0
+             THEN curr_n / CAST(SUM(curr_n) OVER () AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS curr_share
-      FROM panel p CROSS JOIN rt CROSS JOIN ct) s"""
+      FROM panel p) s"""
     return batch.sparkSession.sql(
         query, batch=batch, pairs=prior_pairs, last=prior_last
     )

@@ -896,3 +896,46 @@ def test_round10_session_operators_plan_contracts(spark, sf_dir):
     # already checkpointed: the returned frame re-reads O(n_buckets)
     # rows, never the corpus
     assert count_scans(tc) == 0 and count_shuffles(tc) == 0
+
+
+def test_round10_session2_plan_contracts(spark, sf_dir):
+    """Scale shapes of the path/keyword/increment operators: event_paths
+    is one user-partitioned window pass + one path aggregate;
+    group_keywords' checkpointed result never re-reads the corpus (its
+    tf table is persisted exactly once); transition_incremental windows
+    only on the user key and shuffles the tiny pair tables."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        group_keywords,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        event_paths,
+        transition_incremental,
+        transition_last_state,
+        transition_pair_state,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        sorted_windows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ep = event_paths(ev, n=3, top_k=10)
+    for arity, sort in sorted_windows(ep):
+        assert arity >= 1, f"corpus-wide sorted window: {sort}"
+    # user-key exchange + path aggregate + total + the top-k heap
+    assert count_shuffles(ep) <= 6
+    assert count_scans(ep) == 1
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gk = group_keywords(docs, "lang", k=3)
+    assert count_scans(gk) == 0 and count_shuffles(gk) == 0  # checkpointed
+
+    prior = ev.filter("ts < TIMESTAMP '2024-01-15'")
+    batch = ev.filter("ts >= TIMESTAMP '2024-01-15'")
+    ti = transition_incremental(
+        batch, transition_pair_state(prior), transition_last_state(prior)
+    )
+    for arity, sort in sorted_windows(ti):
+        assert arity >= 1, f"corpus-wide sorted window: {sort}"
+    assert count_shuffles(ti) <= 14  # lag/first/last windows + panels
