@@ -6709,7 +6709,7 @@ def _bpe_fixed_sql(name: str, src: str, b: str) -> str:
               list_filter(range(1, len({src}.sym)),
                           i -> {src}.sym[i] = {b}.l
                                AND {src}.sym[i+1] = {b}.r)[1] AS pos
-            FROM {src}, {b}) q
+            FROM {src} LEFT JOIN {b} ON TRUE) q
       WHERE pos IS NULL)"""
 
 
@@ -6883,7 +6883,8 @@ def _cluster_silhouette_sql(dim: int = 64) -> str:
       FROM embeddings ORDER BY vec_id LIMIT 8),
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     sc AS (
       SELECT v.vec_id, cents.cid,
         list_dot_product(v.e, cents.e)
@@ -6954,7 +6955,8 @@ def _transition_drift_sql(thr: float = 0.02) -> str:
         coalesce(r.next_type, c.next_type) AS next_type,
         coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
       FROM r_c r FULL OUTER JOIN c_c c
-        ON r.prev_type = c.prev_type AND r.next_type = c.next_type)
+        ON r.prev_type IS NOT DISTINCT FROM c.prev_type
+        AND r.next_type IS NOT DISTINCT FROM c.next_type)
     SELECT prev_type, next_type, ref_n, curr_n,
       ROUND(ref_share, {ROUND}) AS ref_share,
       ROUND(curr_share, {ROUND}) AS curr_share,
@@ -7146,7 +7148,7 @@ def _bpe_two_merge_words_sql() -> str:
     w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM toks GROUP BY 1),
     w0 AS (SELECT word, string_split(word, '') AS sym, wc FROM w),
     {_bpe_pairs_sql('p1', 'w0')},
-    b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    b1 AS (SELECT l, r, c FROM p1 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
     r1 AS (
       SELECT word, sym, wc FROM w0
       UNION ALL
@@ -7163,10 +7165,10 @@ def _bpe_two_merge_words_sql() -> str:
               list_filter(range(1, len(r1.sym)),
                           i -> r1.sym[i] = b1.l
                                AND r1.sym[i+1] = b1.r)[1] AS pos
-            FROM r1, b1) q
+            FROM r1 LEFT JOIN b1 ON TRUE) q
       WHERE pos IS NULL),
     {_bpe_pairs_sql('p2', 'w1')},
-    b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    b2 AS (SELECT l, r, c FROM p2 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
     r2 AS (
       SELECT word, sym, wc FROM w1
       UNION ALL
@@ -7183,7 +7185,7 @@ def _bpe_two_merge_words_sql() -> str:
               list_filter(range(1, len(r2.sym)),
                           i -> r2.sym[i] = b2.l
                                AND r2.sym[i+1] = b2.r)[1] AS pos
-            FROM r2, b2) q
+            FROM r2 LEFT JOIN b2 ON TRUE) q
       WHERE pos IS NULL)"""
 
 
@@ -7229,6 +7231,15 @@ def _bpe_vocab_sql(top_k: int = 30) -> str:
 
 
 def _fit_bpe_sql() -> str:
+    """Three unrolled merges. Each best-pair CTE carries
+    ``WHERE c >= 2`` to mirror fit_bpe's ``min_pair_count`` early stop:
+    best counts are non-increasing (a post-merge pair either existed
+    before with the same or a lower count, or contains the fused symbol
+    and is bounded by the fused pair's count), so filtering ``b_i``
+    implies every later ``b_j`` filters too — the unroll truncates at
+    exactly the step the Spark loop breaks. The fixed-point CTEs use
+    LEFT JOIN ON TRUE so an EMPTY best-pair CTE passes words through
+    unchanged instead of wiping the table."""
     return f"""
     WITH RECURSIVE
     w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
@@ -7237,15 +7248,15 @@ def _fit_bpe_sql() -> str:
           WHERE word <> '' GROUP BY 1),
     w0 AS (SELECT string_split(word, '') AS sym, wc FROM w),
     {_bpe_pairs_sql('p1', 'w0')},
-    b1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    b1 AS (SELECT l, r, c FROM p1 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
     {_bpe_rec_sql('w0', 'b1', 'r1')},
     {_bpe_fixed_sql('w1', 'r1', 'b1')},
     {_bpe_pairs_sql('p2', 'w1')},
-    b2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    b2 AS (SELECT l, r, c FROM p2 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
     {_bpe_rec_sql('w1', 'b2', 'r2')},
     {_bpe_fixed_sql('w2', 'r2', 'b2')},
     {_bpe_pairs_sql('p3', 'w2')},
-    b3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1)
+    b3 AS (SELECT l, r, c FROM p3 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1)
     SELECT CAST(1 AS BIGINT) AS merge_rank, l AS pair_left, r AS pair_right,
       l||r AS merged, c AS pair_count FROM b1
     UNION ALL

@@ -262,9 +262,11 @@ def mix_sample(
     scan → broadcast-join → filter, never shuffled.
 
     Groups absent from ``target_shares`` (including NULL) are dropped —
-    a share-0 group. A target group absent from the data contributes no
-    rows (the realized mix then undershoots that group; the caller sees
-    it via the ``group_count`` column of the survivors).
+    a share-0 group. A target group absent from the data — or with zero
+    mass (all weights 0/NULL in weight mode) — contributes no rows and
+    does not constrain the cap (the realized mix then undershoots that
+    group; the caller sees it via the ``group_count`` column of the
+    survivors).
 
     Output: sampled rows + ``group_count`` (rows or weight sum),
     ``target_share``, ``sample_rate``.
@@ -285,7 +287,12 @@ def mix_sample(
         if weight_col is None
         else F.sum(F.col(weight_col).cast("double"))
     )
-    counts = df.groupBy(group_col).agg(mass.alias("__mass"))
+    # a targeted group whose mass is 0 (no rows, or all weights 0/NULL
+    # in weight mode) is treated as absent from the data — keeping it
+    # would pin N_max to 0 and (under ANSI mode) abort on the 0/0 rate
+    counts = df.groupBy(group_col).agg(mass.alias("__mass")).filter(
+        "__mass > 0"
+    )
     targets = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in target_shares.items()],
         [group_col, "target_share"],

@@ -1610,7 +1610,8 @@ def cluster_silhouette(
 
     Output: one row per cluster (``cluster_id, n_vectors,
     mean_silhouette``) plus the overall row (``cluster_id`` NULL).
-    NULL/ragged vectors carry no geometry and are excluded.
+    NULL, ragged, and zero-norm vectors carry no geometry and are
+    excluded; a zero-norm CENTROID is rejected up front.
 
     Plan: the ``semantic_decontaminate`` narrow-map shape — the
     centroid matrix inlines as one plan literal (capped by
@@ -1623,6 +1624,11 @@ def cluster_silhouette(
     rows = _centroid_rows(centroids)
     if len(rows) < 2:
         raise ValueError("silhouette needs at least 2 centroids")
+    for r in rows:
+        if not any(x != 0.0 for x in r["ce"]):
+            raise ValueError(
+                f"centroid {r['cid']} has zero norm — cosine undefined"
+            )
     dim = len(rows[0]["ce"])
     cells = len(rows) * dim
     if cells > max_cells:
@@ -1635,9 +1641,14 @@ def cluster_silhouette(
         for r in rows
     ) + ")"
     ids = "array(" + ", ".join(str(int(r["cid"])) for r in rows) + ")"
+    # zero-norm vectors carry no geometry: under ANSI mode the cosine's
+    # 0-denominator would abort the job, so exclude them like NULL/ragged
     valid = df.selectExpr(
         f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
-    ).filter(f"e IS NOT NULL AND size(e) = {dim}")
+    ).filter(
+        f"e IS NOT NULL AND size(e) = {dim}"
+        " AND aggregate(e, 0.0D, (s, x) -> s + x * x) > 0.0D"
+    )
     scored = valid.selectExpr(
         f"""zip_with(
           transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),

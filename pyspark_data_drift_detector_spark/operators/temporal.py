@@ -903,15 +903,17 @@ def funnel_conversion(
     ``share_of_prev`` (step-over-step conversion). Shares are NULL when
     the denominator is 0.
 
-    Plan: step 0 is one groupBy(user) min; each later step is one
-    hash join of the step's events against the previous step's O(users)
-    completion table (every join and groupBy hashes on the SAME user
-    key, so AQE reuses the exchange) followed by a min — no per-user
-    sort window, no event-list buffering. NULL users are matched
-    null-safely (one anonymous funnel row). Expressed as one spark.sql
-    CTE chain: the dependent self-joins trip Spark 4.1's DataFrame
-    resolution ambiguity (see t_closeness_profile), and SQL CTE
-    references don't.
+    Plan: step 0 is one groupBy(user) min; each later step is one hash
+    join of the step's events against the previous step's O(users)
+    completion table followed by a min. Each step table is EAGERLY
+    checkpointed before the next step reads it — a pure CTE chain would
+    re-instantiate every prior step per reference (Spark re-runs a CTE
+    per reference), turning k steps into ~2^k event scans; checkpointed
+    steps keep it at exactly one pushed-filter scan of the events per
+    step, and the per-step counts are O(1) driver values. NULL users
+    are matched null-safely (one anonymous funnel row). The joins are
+    spark.sql CTEs because dependent DataFrame self-joins trip Spark
+    4.1's resolution ambiguity (see t_closeness_profile).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -922,39 +924,38 @@ def funnel_conversion(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     u, t, ts = f"`{user_col}`", f"`{type_col}`", f"`{ts_col}`"
-    ctes = [
-        f"ev AS (SELECT {u} AS u, {t} AS et, {ts} AS ts FROM {{src}})",
-        f"s0 AS (SELECT u, MIN(ts) AS t0 FROM ev"
-        f" WHERE et = {qs(steps[0])} GROUP BY u)",
-    ]
-    for i, step in enumerate(steps[1:], start=1):
-        ctes.append(
-            f"s{i} AS (SELECT e.u AS u, MIN(e.ts) AS t{i}"
-            f" FROM ev e JOIN s{i-1} p ON e.u <=> p.u"
-            f" WHERE e.et = {qs(step)} AND e.ts > p.t{i-1}"
-            f" GROUP BY e.u)"
-        )
-    ctes.append(
-        "counts AS (SELECT "
-        + ", ".join(
-            f"(SELECT CAST(COUNT(1) AS BIGINT) FROM s{i}) AS n{i}"
-            for i in range(len(steps))
-        )
-        + ")"
-    )
+    spark = df.sparkSession
+    cur = spark.sql(
+        f"SELECT {u} AS u, MIN({ts}) AS t FROM {{src}}"
+        f" WHERE {t} = {qs(steps[0])} GROUP BY {u}",
+        src=df,
+    ).localCheckpoint(eager=True)
+    counts = [cur.count()]
+    for step in steps[1:]:
+        cur = spark.sql(
+            f"SELECT e.u AS u, MIN(e.ts) AS t FROM"
+            f" (SELECT {u} AS u, {t} AS et, {ts} AS ts FROM {{src}}) e"
+            " JOIN {prev} p ON e.u <=> p.u"
+            f" WHERE e.et = {qs(step)} AND e.ts > p.t"
+            " GROUP BY e.u",
+            src=df,
+            prev=cur,
+        ).localCheckpoint(eager=True)
+        counts.append(cur.count())
     selects = []
     for i, step in enumerate(steps):
-        prev = f"n{i-1}" if i > 0 else "n0"
+        n0, ni, prev = counts[0], counts[i], counts[max(i - 1, 0)]
         selects.append(
             f"SELECT CAST({i} AS BIGINT) AS step_index,"
-            f" {qs(step)} AS step, n{i} AS n_users,"
-            f" CASE WHEN n0 > 0 THEN n{i} / CAST(n0 AS DOUBLE) END"
+            f" {qs(step)} AS step, CAST({ni} AS BIGINT) AS n_users,"
+            f" CASE WHEN {n0} > 0"
+            f" THEN CAST({ni} AS BIGINT) / CAST({n0} AS DOUBLE) END"
             f" AS share_of_first,"
-            f" CASE WHEN {prev} > 0 THEN n{i} / CAST({prev} AS DOUBLE) END"
-            f" AS share_of_prev FROM counts"
+            f" CASE WHEN {prev} > 0"
+            f" THEN CAST({ni} AS BIGINT) / CAST({prev} AS DOUBLE) END"
+            f" AS share_of_prev"
         )
-    query = "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
-    return df.sparkSession.sql(query, src=df)
+    return spark.sql("\nUNION ALL\n".join(selects))
 
 
 def transition_drift(
@@ -1012,20 +1013,29 @@ def transition_drift(
       SELECT prev_type, next_type, CAST(COUNT(1) AS BIGINT) AS n
       FROM {name}_t GROUP BY prev_type, next_type)"""
 
-    # totals as windows over the O(pairs) PANEL, not separate _tot CTEs:
-    # Spark re-instantiates a CTE per reference, so a side CTE referenced
-    # by both its total and the panel would lag-window the event stream
-    # TWICE (each side's counts appear exactly once in the full-outer
-    # panel, so the panel-level sum equals the side total)
     query = f"""
     WITH {side('r', 'ref')},
-    {side('c', 'curr')},
-    panel AS (
+    {side('c', 'curr')}
+    {_transition_panel_sql('r_c', 'c_c', thr)}"""
+    return ref.sparkSession.sql(query, ref=ref, curr=curr)
+
+
+def _transition_panel_sql(ref_cte: str, curr_cte: str, thr: float) -> str:
+    """Shared tail of the transition family: the null-safe full-outer
+    pair panel (NULL event types align like any other value), shares as
+    global-sum windows over the O(pairs) panel (a total in its own CTE
+    would re-instantiate — and re-window — the corpus-scale CTE feeding
+    it; each side's counts appear exactly once in the full-outer panel,
+    so the panel-level sum equals the side total), and the rounded
+    drift flag. One definition so :func:`transition_drift` and
+    :func:`transition_incremental` cannot diverge."""
+    return f"""
+    , panel AS (
       SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
         coalesce(r.next_type, c.next_type) AS next_type,
         coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
-      FROM r_c r FULL OUTER JOIN c_c c
-        ON r.prev_type = c.prev_type AND r.next_type = c.next_type)
+      FROM {ref_cte} r FULL OUTER JOIN {curr_cte} c
+        ON r.prev_type <=> c.prev_type AND r.next_type <=> c.next_type)
     SELECT prev_type, next_type, ref_n, curr_n,
       ref_share, curr_share,
       abs(ref_share - curr_share) AS share_abs_diff,
@@ -1039,7 +1049,6 @@ def transition_drift(
              THEN curr_n / CAST(SUM(curr_n) OVER () AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS curr_share
       FROM panel p) s"""
-    return ref.sparkSession.sql(query, ref=ref, curr=curr)
 
 
 def retention_cohorts(
@@ -1083,6 +1092,8 @@ def retention_cohorts(
             f"`{user_col}` AS u",
             f"CAST(date_trunc('{bucket}', `{ts_col}`) AS DATE) AS wk",
         )
+        .filter("wk IS NOT NULL")  # a NULL timestamp is not activity —
+        # it would otherwise emit a phantom (cohort, NULL-offset) row
         .distinct()
         .persist()
     )
@@ -1253,11 +1264,14 @@ def transition_incremental(
     any prior events. The events-side member of the vet-the-increment
     family ("did user behavior change in THIS batch?").
 
-    ``prior_pairs`` is the appended :func:`transition_pair_state` /
-    previous-increment output; ``prior_last`` the appended
-    :func:`transition_last_state` fragments — BOTH are re-aggregated
-    here (counts summed, latest-per-user wins), so plain parquet
-    appends roll the state forward. Invariant: prior counts + this
+    ``prior_pairs`` is the appended :func:`transition_pair_state`
+    fragments (columns ``prev_type, next_type, n`` — when appending a
+    previous increment's panel instead, rename ``curr_n AS n`` first,
+    as :func:`streaming.state_tables.transition_vetting_sink` does);
+    ``prior_last`` the appended :func:`transition_last_state`
+    fragments. BOTH are re-aggregated here (counts summed,
+    latest-per-user wins), so plain parquet appends roll the state
+    forward. Invariant: prior counts + this
     output's ``curr_n`` = the full stream's transition counts, exactly.
 
     Output mirrors :func:`transition_drift` (``ref_* = state``,
@@ -1307,26 +1321,8 @@ def transition_incremental(
       GROUP BY prev_type, next_type),
     pc AS (
       SELECT prev_type, next_type, CAST(sum(n) AS BIGINT) AS n
-      FROM {{pairs}} GROUP BY prev_type, next_type),
-    panel AS (
-      SELECT coalesce(r.prev_type, c.prev_type) AS prev_type,
-        coalesce(r.next_type, c.next_type) AS next_type,
-        coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS curr_n
-      FROM pc r FULL OUTER JOIN bc c
-        ON r.prev_type <=> c.prev_type AND r.next_type <=> c.next_type)
-    SELECT prev_type, next_type, ref_n, curr_n,
-      ref_share, curr_share,
-      abs(ref_share - curr_share) AS share_abs_diff,
-      round(abs(ref_share - curr_share), 5) > {thr!r}D AS drift_detected
-    FROM (
-      SELECT p.*,
-        CASE WHEN SUM(ref_n) OVER () > 0
-             THEN ref_n / CAST(SUM(ref_n) OVER () AS DOUBLE)
-             ELSE CAST(0 AS DOUBLE) END AS ref_share,
-        CASE WHEN SUM(curr_n) OVER () > 0
-             THEN curr_n / CAST(SUM(curr_n) OVER () AS DOUBLE)
-             ELSE CAST(0 AS DOUBLE) END AS curr_share
-      FROM panel p) s"""
+      FROM {{pairs}} GROUP BY prev_type, next_type)
+    {_transition_panel_sql('pc', 'bc', thr)}"""
     return batch.sparkSession.sql(
         query, batch=batch, pairs=prior_pairs, last=prior_last
     )

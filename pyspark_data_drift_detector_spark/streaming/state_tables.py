@@ -718,8 +718,13 @@ def transition_vetting_sink(
     delta appended is the increment's own ``curr_n`` rows (so stitched
     transitions are never lost and the rolled-up SUM stays exactly the
     full stream's counts), and the last-event fragments carry their
-    ordering columns so every reader re-derives latest-per-user —
-    no read-modify-write, crash-safe by construction.
+    ordering columns so every reader re-derives latest-per-user — no
+    read-modify-write. Caveat (all sinks in this family): the three
+    appends are not one atomic transaction — a crash between them, or a
+    foreachBatch RETRY of a partially written batch, can double-append
+    or skew the stitch; the report's ``batch_id`` column supports
+    replay dedup downstream, and an exactly-once table format (Delta)
+    is the upgrade path when it is available.
     """
     from pyspark.sql.utils import AnalysisException
 

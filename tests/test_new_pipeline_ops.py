@@ -2910,3 +2910,87 @@ def test_transition_vetting_sink(spark, tmp_path):
     for r in last.orderBy("last_ts", "last_order").collect():
         latest[r["user_key"]] = r["last_type"]
     assert latest == {1: "c", 2: "c"}
+
+
+def test_review_fix_regressions(spark):
+    """Round-10 review fixes, pinned: NULL event types align in the
+    transition panel; zero-norm vectors/centroids don't crash the
+    silhouette; a zero-mass target group doesn't crash (or constrain)
+    the mix sampler; NULL timestamps produce no phantom retention row;
+    the funnel result is step-linear (eagerly computed literals)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.sampling import mix_sample
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+        retention_cohorts,
+        transition_drift,
+    )
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    schema = "event_id int, user_id int, event_type string, ts timestamp"
+
+    # 1. NULL event_type transitions align into ONE matched panel row
+    side = [(1, 1, "a", T(1)), (2, 1, None, T(2))]
+    ref = spark.createDataFrame(side, schema)
+    curr = spark.createDataFrame(
+        [(3, 2, "a", T(1)), (4, 2, None, T(2))], schema
+    )
+    rows = transition_drift(ref, curr, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["prev_type"] == "a" and r["next_type"] is None
+    assert r["ref_n"] == 1 and r["curr_n"] == 1
+    assert r["share_abs_diff"] == 0.0 and r["drift_detected"] is False
+
+    # 2. zero-norm vectors are excluded, zero-norm centroids rejected
+    vdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["cluster_id"]: r for r in
+           cluster_silhouette(vdf, cents).collect()}
+    assert out[None]["n_vectors"] == 1  # the zero vector is excluded
+    with _pytest.raises(ValueError, match="zero norm"):
+        cluster_silhouette(vdf, [(0, [0.0, 0.0]), (1, [0.0, 1.0])])
+
+    # 3. a targeted group with zero mass neither crashes nor caps N_max
+    wdf = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "b", 100.0), (3, "b", 100.0)],
+        "doc_id long, lang string, tok double",
+    )
+    wout = mix_sample(wdf, "lang", {"a": 0.5, "b": 0.5}, weight_col="tok")
+    got = {r["lang"]: r["sample_rate"] for r in
+           wout.select("lang", "sample_rate").distinct().collect()}
+    assert got == {"b": 1.0}  # a contributes nothing; b unconstrained
+
+    # 4. NULL timestamps are not activity: no phantom offset row
+    rdf = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 5, 10)), (1, None),
+         (2, dt.datetime(2026, 1, 5, 11))],
+        "user_id int, ts timestamp",
+    )
+    rows = retention_cohorts(rdf).collect()
+    assert all(r["offset"] is not None for r in rows)
+    assert len(rows) == 1 and rows[0]["n_active"] == 2
+
+    # 5. funnel is eager literals now: its plan re-scans nothing
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a", T(1)), (2, 1, "b", T(2)), (3, 1, "c", T(3)),
+         (4, 1, "d", T(4))], schema
+    )
+    fc = funnel_conversion(ev, ["a", "b", "c", "d"])
+    assert count_scans(fc) == 0 and count_shuffles(fc) == 0
+    out = {r["step_index"]: r["n_users"] for r in fc.collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1}
