@@ -1179,7 +1179,10 @@ def _quality_classifier_core_sql(d: int = 256) -> str:
       SELECT doc_id,
         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                     x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents
+      -- mirror Spark's `__y IS NOT NULL` guard: a NULL label must not
+      -- count in the gradient normalizer n
+      WHERE text IS NOT NULL AND lang IS NOT NULL),
     g AS (
       SELECT doc_id, unnest(list_concat(tk,
         list_transform(range(1, greatest(len(tk), 1)),
@@ -1249,7 +1252,10 @@ def _fit_quality_classifier_sql(d: int = 64, lr: float = 0.5) -> str:
       SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                     x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents
+      -- mirror Spark's `__y IS NOT NULL` guard: a NULL label must not
+      -- count in the gradient normalizer n
+      WHERE text IS NOT NULL AND lang IS NOT NULL),
     g AS (
       SELECT doc_id, unnest(list_concat(tk,
         list_transform(range(1, greatest(len(tk), 1)),
@@ -1386,16 +1392,18 @@ def _classifier_sweep_sql() -> str:
     per_t = "\nUNION ALL\n".join(
         f"""SELECT CAST({t!r} AS DOUBLE) AS threshold, n_scored, k{i} AS n_keep,
       ROUND(k{i} / CAST(NULLIF(n_scored, 0) AS DOUBLE), {ROUND}) AS keep_rate,
-      tp{i} AS tp, k{i} - tp{i} AS fp, fn{i} AS fn,
-      ROUND(tp{i} / CAST(NULLIF(k{i}, 0) AS DOUBLE), {ROUND}) AS precision,
+      tp{i} AS tp, kl{i} - tp{i} AS fp, fn{i} AS fn,
+      ROUND(tp{i} / CAST(NULLIF(kl{i}, 0) AS DOUBLE), {ROUND}) AS precision,
       ROUND(tp{i} / CAST(NULLIF(tp{i} + fn{i}, 0) AS DOUBLE), {ROUND}) AS recall,
-      ROUND(2.0 * tp{i} / CAST(NULLIF(k{i} + tp{i} + fn{i}, 0) AS DOUBLE),
+      ROUND(2.0 * tp{i} / CAST(NULLIF(kl{i} + tp{i} + fn{i}, 0) AS DOUBLE),
             {ROUND}) AS f1
     FROM agg"""
         for i, t in enumerate(ts)
     )
     sums = ",\n".join(
         f"""CAST(SUM(CASE WHEN score >= {t!r} THEN 1 ELSE 0 END) AS BIGINT) AS k{i},
+      CAST(SUM(CASE WHEN score >= {t!r} AND y IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS kl{i},
       CAST(SUM(CASE WHEN score >= {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp{i},
       CAST(SUM(CASE WHEN score < {t!r} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn{i}"""
         for i, t in enumerate(ts)
@@ -1542,7 +1550,8 @@ def _embedding_incremental_sql(dim: int = 64, n_features: int = 48) -> str:
         SUM(CASE WHEN NOT is_b THEN list_extract(e, i.i) ELSE 0 END) AS dr,
         SUM(CASE WHEN is_b THEN list_extract(e, i.i) ELSE 0 END) AS dc
       FROM v CROSS JOIN range(1, {dim + 1}) i(i) GROUP BY 1),
-    cc AS (SELECT SUM(dr * dc) / (sqrt(SUM(dr * dr)) * sqrt(SUM(dc * dc)))
+    cc AS (SELECT SUM(dr * dc)
+             / NULLIF(sqrt(SUM(dr * dr)) * sqrt(SUM(dc * dc)), 0)
              AS cosv FROM d),
     feats AS (SELECT is_b, {fexprs} FROM v),
     rf AS (SELECT {rsums} FROM feats),
@@ -8208,7 +8217,8 @@ def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = {dim}
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
       FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),

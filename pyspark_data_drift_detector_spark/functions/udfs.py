@@ -133,9 +133,17 @@ def make_matrix_topcos_udf(matrix, ids):
             with np.errstate(invalid="ignore", divide="ignore"):
                 xn = np.sqrt((X * X).sum(axis=1))
                 cos = (X @ M.T) / (xn[:, None] * norms[None, :])
-            best = np.argmax(cos, axis=1)
-            max_cos[mask] = cos[np.arange(len(best)), best]
-            near[mask] = idarr[best]
+            # zero-norm rows/centroids produce NaN cosines; plain argmax
+            # treats NaN as maximal and would "assign" to the first
+            # centroid — mask NaN to -inf and NULL out rows with no
+            # finite cosine, matching the expression path's nullif
+            cosf = np.where(np.isnan(cos), -np.inf, cos)
+            best = np.argmax(cosf, axis=1)
+            bv = cosf[np.arange(len(best)), best]
+            ok = np.isfinite(bv)
+            idx = np.flatnonzero(mask)
+            max_cos[idx[ok]] = bv[ok]
+            near[idx[ok]] = idarr[best[ok]]
         return pd.DataFrame({"max_cosine": max_cos, "nearest_id": near})
 
     return topcos_udf

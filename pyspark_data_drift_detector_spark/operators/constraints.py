@@ -322,24 +322,34 @@ def k_anonymity_profile(
         raise ValueError("quasi_cols must be non-empty")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    qcols = ", ".join(f"`{c}`" for c in quasi_cols)
     classes = df.selectExpr(*[f"`{c}`" for c in quasi_cols]).groupBy(
         *quasi_cols
     ).agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
-    # bucket = floor(log2(n)): 1, 2, 3-4, 5-8, ... (clamped)
-    bucketed = classes.selectExpr(
+    # bucket = floor(log2(n)): 1, 2, 3-4, 5-8, ... (clamped). ONE pass
+    # over the (potentially huge) class table: aggregate per
+    # (bucket, at-risk) cell — risk can split inside a bucket when k is
+    # not a power of two — then derive the histogram AND the risk
+    # summary from the eagerly-checkpointed O(buckets) cell frame
+    # (deriving both straight from `classes` would re-run the
+    # quasi-identifier groupBy, Spark re-instantiating per reference).
+    cells = classes.selectExpr(
         f"least(CAST(floor(log2(n)) AS INT), {int(max_buckets) - 1}) AS b",
+        f"n < {int(k)} AS at_risk",
         "n",
-    ).groupBy("b").agg(
+    ).groupBy("b", "at_risk").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_classes"),
         F.expr("CAST(sum(n) AS BIGINT) AS n_rows"),
+    ).localCheckpoint(eager=True)
+    bucketed = cells.groupBy("b").agg(
+        F.expr("CAST(sum(n_classes) AS BIGINT) AS n_classes"),
+        F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
     )
-    total = classes.agg(
-        F.expr("CAST(sum(n) AS BIGINT) AS total_rows"),
-        F.expr(f"CAST(sum(CASE WHEN n < {int(k)} THEN 1 ELSE 0 END) AS BIGINT)"
-               " AS risk_classes"),
-        F.expr(f"CAST(sum(CASE WHEN n < {int(k)} THEN n ELSE 0 END) AS BIGINT)"
-               " AS risk_rows"),
+    total = cells.agg(
+        F.expr("CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS total_rows"),
+        F.expr("CAST(coalesce(sum(CASE WHEN at_risk THEN n_classes END), 0)"
+               " AS BIGINT) AS risk_classes"),
+        F.expr("CAST(coalesce(sum(CASE WHEN at_risk THEN n_rows END), 0)"
+               " AS BIGINT) AS risk_rows"),
     )
     buckets = bucketed.crossJoin(F.broadcast(total)).selectExpr(
         "CAST(pow(2, b) AS BIGINT) AS class_size_lo",
@@ -399,16 +409,19 @@ def l_diversity_profile(
         F.expr("CAST(count(1) AS BIGINT) AS diversity"),
         F.expr("CAST(sum(n) AS BIGINT) AS n_rows"),
     )
+    # ONE pass over the class table (risk = diversity < l is a function
+    # of the per_d key, so totals derive from the checkpointed O(distinct
+    # diversities) frame instead of re-running the class aggregation)
     per_d = classes.groupBy("diversity").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_classes"),
         F.expr("CAST(sum(n_rows) AS BIGINT) AS n_rows"),
-    )
-    total = classes.agg(
-        F.expr("CAST(sum(n_rows) AS BIGINT) AS total_rows"),
-        F.expr(f"CAST(sum(CASE WHEN diversity < {int(l)} THEN 1 ELSE 0 END)"
-               " AS BIGINT) AS risk_classes"),
-        F.expr(f"CAST(sum(CASE WHEN diversity < {int(l)} THEN n_rows ELSE 0 END)"
-               " AS BIGINT) AS risk_rows"),
+    ).localCheckpoint(eager=True)
+    total = per_d.agg(
+        F.expr("CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS total_rows"),
+        F.expr(f"CAST(coalesce(sum(CASE WHEN diversity < {int(l)}"
+               " THEN n_classes END), 0) AS BIGINT) AS risk_classes"),
+        F.expr(f"CAST(coalesce(sum(CASE WHEN diversity < {int(l)}"
+               " THEN n_rows END), 0) AS BIGINT) AS risk_rows"),
     )
     rows = per_d.crossJoin(F.broadcast(total)).selectExpr(
         "diversity",

@@ -762,6 +762,12 @@ def classifier_threshold_sweep(
     for i, t in enumerate(ts):
         aggs.append(F.expr(f"sum(CASE WHEN score >= {t!r}D THEN 1L ELSE 0L END) AS k{i}"))
         if label_col is not None:
+            # label metrics are computed over LABELED rows only — a kept
+            # document with a NULL label is unknown, not a false positive
+            aggs.append(F.expr(
+                f"sum(CASE WHEN score >= {t!r}D AND __y IS NOT NULL"
+                f" THEN 1L ELSE 0L END) AS kl{i}"
+            ))
             aggs.append(F.expr(
                 f"sum(CASE WHEN score >= {t!r}D AND __y = 1.0D THEN 1L ELSE 0L END) AS tp{i}"
             ))
@@ -781,11 +787,11 @@ def classifier_threshold_sweep(
         if label_col is not None:
             fields += [
                 f"'tp', tp{i}",
-                f"'fp', k{i} - tp{i}",
+                f"'fp', kl{i} - tp{i}",
                 f"'fn', fn{i}",
-                f"'precision', tp{i} / CAST(nullif(k{i}, 0) AS DOUBLE)",
+                f"'precision', tp{i} / CAST(nullif(kl{i}, 0) AS DOUBLE)",
                 f"'recall', tp{i} / CAST(nullif(tp{i} + fn{i}, 0) AS DOUBLE)",
-                f"'f1', 2.0D * tp{i} / CAST(nullif(k{i} + tp{i} + fn{i}, 0) AS DOUBLE)",
+                f"'f1', 2.0D * tp{i} / CAST(nullif(kl{i} + tp{i} + fn{i}, 0) AS DOUBLE)",
             ]
         structs.append("named_struct(" + ", ".join(fields) + ")")
     return wide.selectExpr(f"inline(array({', '.join(structs)}))")

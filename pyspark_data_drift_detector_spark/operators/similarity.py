@@ -1112,11 +1112,16 @@ def _assign_cluster_ids(
         )
         .selectExpr(
             *keep_quoted,
+            # nullif: a zero-norm vector (no direction) or a zero-norm
+            # centroid (a Lloyd mean CAN cancel to zero) yields NULL
+            # cosine -> array_max skips it -> NULL cluster_id, instead
+            # of an ANSI DIVIDE_BY_ZERO aborting the job
             f"""zip_with(
               transform({mat}, p -> aggregate(zip_with(e, p, (x, y) -> x * y),
                                               0.0D, (s, x) -> s + x)),
               transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
-              (d, nc) -> d / (sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc)
+              (d, nc) -> d / nullif(
+                sqrt(aggregate(e, 0.0D, (s, x) -> s + x * x)) * nc, 0.0D)
             ) AS __cos""",
         )
         .selectExpr(
@@ -1302,24 +1307,36 @@ def fit_kmeans(
     valid = base.filter(
         f"ce IS NOT NULL AND size(ce) = {dim}"
         " AND NOT exists(ce, __x -> __x IS NULL)"
+        # zero-norm vectors have no direction: they cannot seed, assign,
+        # or move a spherical centroid
+        " AND aggregate(ce, 0.0D, (s, x) -> s + x * x) > 0.0D"
     )
     if init not in ("first_k", "spread"):
         raise ValueError(f"init must be 'first_k' or 'spread', got {init!r}")
     if init == "spread":
+        if valid.limit(k).count() < k:  # BEFORE paying k-1 seed passes
+            raise ValueError(f"fewer than {k} valid vectors for k={k}")
         seeds = [list(first[0]["ce"])]
+        chosen = [int(first[0]["__fid"])]
         for _ in range(k - 1):
             mat = "array(" + ", ".join(
                 "array(" + ", ".join(f"{float(x)!r}D" for x in s) + ")"
                 for s in seeds
             ) + ")"
-            far = valid.selectExpr(
+            # exclude already-chosen seeds: on an all-ties corpus the
+            # id tie-break would otherwise re-pick the same vector and
+            # silently return duplicate centroids
+            far = valid.filter(
+                "__fid NOT IN (" + ", ".join(str(c) for c in chosen) + ")"
+            ).selectExpr(
                 "__fid",
                 "ce",
                 f"""array_max(zip_with(
                   transform({mat}, p -> aggregate(zip_with(ce, p, (x, y) -> x * y),
                                                   0.0D, (s, x) -> s + x)),
                   transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
-                  (d, nc) -> d / (sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nc)
+                  (d, nc) -> d / nullif(
+                    sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nc, 0.0D)
                 )) AS __mc""",
             ).orderBy(
                 # nulls LAST: a zero-norm vector has NULL cosine (no
@@ -1327,9 +1344,8 @@ def fit_kmeans(
                 F.asc_nulls_last("__mc"), F.asc("__fid")
             ).limit(1).collect()
             seeds.append(list(far[0]["ce"]))
+            chosen.append(int(far[0]["__fid"]))
         centroids = {i: s for i, s in enumerate(seeds)}
-        if valid.limit(k).count() < k:
-            raise ValueError(f"fewer than {k} valid vectors for k={k}")
     else:
         seed = valid.orderBy("__fid").limit(k).collect()
         if len(seed) < k:
@@ -1348,6 +1364,8 @@ def fit_kmeans(
             )
         ).collect()
         for r in updated:
+            if r["cluster_id"] is None:  # degenerate zero-norm centroid
+                continue
             centroids[int(r["cluster_id"])] = [
                 float(r[f"m{i}"]) for i in range(dim)
             ]
@@ -1507,12 +1525,19 @@ def embedding_incremental(
     batch = embedding_state(
         new_vecs, embedding_col, dim, n_features, seed, sigma
     ).groupBy("kind", "pos").agg(F.expr("sum(val) AS val"))
+    # persisted: the panels below reference `joined` four times (wide
+    # scalars, dim_sum, rff_sum, the n broadcast), and Spark would
+    # re-instantiate it per reference — re-running the batch's full RFF
+    # projection and shuffle each time. `joined` is O(dim + n_features)
+    # rows; the output is checkpointed (4 panel rows) and the cache
+    # released before returning (the counts-mode convention).
     joined = (
         prior.selectExpr("kind", "pos", "val AS rv")
         .join(batch.selectExpr("kind", "pos", "val AS cv"), ["kind", "pos"], "full_outer")
         .selectExpr(
             "kind", "pos", "coalesce(rv, 0.0D) AS rv", "coalesce(cv, 0.0D) AS cv"
         )
+        .persist()
     )
     scale = 2.0 / float(n_features)
     wide = joined.agg(
@@ -1552,13 +1577,16 @@ def embedding_incremental(
         float(norm_threshold),
         float(mmd_threshold),
     )
-    return wide.selectExpr(
+    out_frame = wide.selectExpr(
         "CAST(nr AS DOUBLE) AS nr",
         "CAST(nc AS DOUBLE) AS nc",
         "invr", "invc",
         "nsr / nullif(nr, 0.0D) AS ref_mean_norm",
         "nsc / nullif(nc, 0.0D) AS curr_mean_norm",
-        "dot / (sqrt(r2) * sqrt(c2)) AS centroid_cosine",
+        # nullif: a massless side (no valid vectors, or cancelling dim
+        # sums) has no centroid direction — NULL cosine, not an ANSI
+        # DIVIDE_BY_ZERO that aborts the nightly sink
+        "dot / nullif(sqrt(r2) * sqrt(c2), 0.0D) AS centroid_cosine",
         f"{scale!r}D * __sq AS mmd2",
     ).selectExpr(
         "*",
@@ -1587,6 +1615,9 @@ def embedding_incremental(
         f" 'diff', round(mmd2, {r}),"
         f" 'drift_detected', round(mmd2, {r}) > {mmd_t!r}D)))"
     )
+    out = out_frame.localCheckpoint(eager=True)
+    joined.unpersist(blocking=False)
+    return out
 
 
 def cluster_silhouette(

@@ -614,9 +614,15 @@ def compact_state(
     tmp = state_path.rstrip("/") + ".__compact_tmp"
     bak = state_path.rstrip("/") + ".__compact_bak"
     # Spark cannot overwrite a path it is reading from; stage, then swap
-    # via a backup rename so NO window exists where the state is gone —
-    # a crash mid-swap leaves either the old table (plus a stale tmp) or
-    # the new table (plus a stale bak), never nothing
+    # via a backup rename. Data is never LOST — a crash mid-swap leaves
+    # the old table at .__compact_bak and/or the new one at
+    # .__compact_tmp — but the two renames are not one atomic
+    # operation: in the instant between them state_path itself is
+    # absent, and a concurrently running vetting sink would read that
+    # absence as a bootstrap. For live pipelines prefer target_path
+    # (write new, repoint); run the in-place swap only with the sink
+    # quiesced, and recover a crashed swap by renaming the
+    # .__compact_bak/.__compact_tmp leftover back into place.
     compacted.write.mode("overwrite").parquet(tmp)
     if os.path.exists(bak):
         shutil.rmtree(bak)
@@ -670,7 +676,13 @@ def embedding_vetting_sink(
         try:
             geo_state = spark.read.parquet(embedding_state_path)
             mix_state = spark.read.parquet(cluster_state_path)
-            bootstrap = geo_state.filter("kind = 'n'").isEmpty()
+            # gate on actual vector MASS, not row existence: an empty /
+            # all-invalid first batch writes an 'n' row with val 0, and
+            # vetting against a massless state raises before the states
+            # advance — which would wedge the sink forever
+            bootstrap = geo_state.filter(
+                "kind = 'n' AND val > 0"
+            ).isEmpty()
         except AnalysisException:
             bootstrap = True
         if not bootstrap:

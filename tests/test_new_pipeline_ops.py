@@ -2994,3 +2994,87 @@ def test_review_fix_regressions(spark):
     assert count_scans(fc) == 0 and count_shuffles(fc) == 0
     out = {r["step_index"]: r["n_users"] for r in fc.collect()}
     assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_review_fix_regressions_session1_ops(spark, tmp_path):
+    """Second review batch, pinned: massless embedding batches yield a
+    NULL centroid cosine instead of an ANSI abort (and the vetting sink
+    keeps bootstrapping until real mass arrives); zero-norm vectors are
+    excluded from k-means fits and spread seeding picks distinct ids;
+    unlabeled documents are not false positives in the sweep."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        embedding_incremental,
+        embedding_state,
+        fit_kmeans,
+    )
+
+    # 1. batch with zero valid vectors: panel emitted, cosine NULL
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    state = embedding_state(good, dim=2, n_features=4)
+    bad_batch = spark.createDataFrame(
+        [(3, None), (4, [1.0])], "vec_id long, embedding array<double>"
+    )
+    panel = {r["metric"]: r for r in embedding_incremental(
+        bad_batch, state, dim=2, n_features=4
+    ).collect()}
+    assert panel["centroid_cosine"]["curr_value"] is None
+    assert panel["n_vectors"]["curr_value"] == 0.0
+
+    # 2. zero-norm vectors excluded from the fit; spread seeds distinct
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0]),
+         (4, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = dict(fit_kmeans(vecs, k=2, iters=1, id_col="vec_id"))
+    assert len(cents) == 2
+    ties = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    tied = fit_kmeans(ties, k=2, iters=1, id_col="vec_id", init="spread")
+    assert len(tied) == 2  # distinct seed ids even when all cosines tie
+    with _pytest.raises(ValueError, match="fewer than"):
+        fit_kmeans(ties.limit(1), k=2, iters=1, id_col="vec_id",
+                   init="spread")
+
+    # 3. the vetting sink does not wedge on a degenerate first batch
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        embedding_vetting_sink,
+    )
+
+    sink = embedding_vetting_sink(
+        str(tmp_path / "geo"), str(tmp_path / "mix"),
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], str(tmp_path / "rep"),
+        dim=2, n_features=4,
+    )
+    sink(bad_batch, 0)          # massless: seeds state, no report
+    sink(good, 1)               # still bootstrap (no prior mass)
+    import os
+    assert not os.path.exists(str(tmp_path / "rep"))
+    sink(good, 2)               # now vets against real mass
+    assert spark.read.parquet(str(tmp_path / "rep")).count() > 0
+
+    # 4. NULL labels are excluded from the sweep's precision/fp
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        classifier_threshold_sweep,
+        fit_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good good text", 1.0), (2, "bad stuff", 0.0),
+         (3, "unlabeled words", None)],
+        "doc_id long, text string, y double",
+    )
+    w, b = fit_quality_classifier(docs, "y", weights_dim=16, iters=1)
+    rows = classifier_threshold_sweep(
+        docs, w, bias=b, label_col="y", thresholds=[0.0]
+    ).collect()
+    r = rows[0]
+    assert r["n_keep"] == 3            # volume counts all scored docs
+    assert r["tp"] + r["fp"] == 2      # label metrics: labeled rows only
