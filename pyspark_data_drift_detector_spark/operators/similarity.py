@@ -824,7 +824,8 @@ def semantic_decontaminate(
           transform({mat}, p -> aggregate(zip_with(ce, p, (x, y) -> x * y),
                                           0.0D, (s, x) -> s + x)),
           transform({mat}, p -> sqrt(aggregate(p, 0.0D, (s, x) -> s + x * x))),
-          (d, nb) -> d / (sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nb)
+          (d, nb) -> d / nullif(
+            sqrt(aggregate(ce, 0.0D, (s, x) -> s + x * x)) * nb, 0.0D)
         ) AS __cos""",
     ).selectExpr(
         "vec_id",

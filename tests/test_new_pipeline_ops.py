@@ -3060,6 +3060,18 @@ def test_review_fix_regressions_session1_ops(spark, tmp_path):
     sink(good, 2)               # now vets against real mass
     assert spark.read.parquet(str(tmp_path / "rep")).count() > 0
 
+    # 3b. semantic_decontaminate's expression path: zero-norm corpus
+    # vectors get the NULL verdict (like NULL/ragged), not an ANSI abort
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    sd = {r["vec_id"]: r for r in semantic_decontaminate(
+        vecs, good.filter("vec_id = 1"), threshold=0.9
+    ).collect()}
+    assert sd[2]["contaminated"] is None      # the zero-norm vector
+    assert sd[1]["contaminated"] is True
+
     # 4. NULL labels are excluded from the sweep's precision/fp
     from pyspark_data_drift_detector_spark.operators.quality import (
         classifier_threshold_sweep,
