@@ -6434,7 +6434,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _weighted_sample_sql() -> str:
     return f"""
     WITH u AS (SELECT doc_id, n_chars,
-        (({_md5_u_sql("wsample")}) + 0.5) / 1000000.0 AS uu FROM documents)
+        (({_md5_u_sql("wsample")}) + 0.5) / 1000000.0 AS uu
+      FROM documents WHERE n_chars > 0)
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            ROUND(LN(uu) / n_chars, {ROUND}) AS sample_key
     FROM u ORDER BY LN(uu) / n_chars DESC, doc_id LIMIT 50"""

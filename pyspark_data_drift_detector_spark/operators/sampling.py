@@ -89,7 +89,11 @@ def weighted_sample(
     u = (uniform_variate(F.col(id_col), salt) + 0.5) / _U_MOD
     key = F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("sample_key", key)
+        # zero-weight rows can never win (key -> -inf) but their 0
+        # denominator aborts the job under ANSI mode — drop them, which
+        # is the identical sample; NULL weights already sort last
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
