@@ -8411,67 +8411,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness harness records only the
-    # first 50 entries. Round-10 rotation policy (VERDICT r9 task 1):
-    # queries are sorted strictly by the round of their most recent
-    # driver verdict, oldest first (ties alphabetical), so the 50-query
-    # window always gates the longest-unverified cohort. Brand-new
-    # operators (no driver verdict yet) sort to the FRONT (round 0).
-    # After each round, re-sort against the refreshed CORRECTNESS_r*.json
-    # set; the target invariant is "every query's latest driver verdict
-    # is <= 2 rounds old". Every query stays covered locally by
-    # tests/test_oracle_parity.py and tools/verify_oracle.py regardless
-    # of window position.
+    # first 50 entries. Rotation policy (VERDICT r9 task 1, restated
+    # r11): queries are sorted strictly by the round of their most
+    # recent driver verdict, oldest first (ties alphabetical), so the
+    # 50-query window always gates the longest-unverified cohort.
+    # Brand-new operators are inserted right after the oldest cohort so
+    # they are driver-gated in their first round. After each round,
+    # re-sort against the refreshed CORRECTNESS_r*.json set. With N
+    # queries and a 50-slot window the achievable invariant is "every
+    # query's latest driver verdict is <= ceil(N/50) rounds old" (= 4
+    # rounds at the current ~160-query count); "<= 2 rounds" is
+    # arithmetically impossible past 100 queries. Every query stays
+    # covered locally by tests/test_oracle_parity.py and
+    # tools/verify_oracle.py regardless of window position.
     return {
-        "funnel": q_funnel,
-        "cluster_silhouette": q_cluster_silhouette,
-        "retention_cohorts": q_retention_cohorts,
-        "group_keywords": q_group_keywords,
-        "mix_sample_tokens": q_mix_sample_tokens,
-        "event_paths": q_event_paths,
-        "transition_incremental": q_transition_incremental,
-        "transition_drift": q_transition_drift,
-        "snapshot_diff": q_snapshot_diff,
-        "fit_bpe": q_fit_bpe,
-        "bpe_segment": q_bpe_segment,
-        "bpe_vocab": q_bpe_vocab,
-        "mix_sample": q_mix_sample,
-        "t_closeness": q_t_closeness,
-        "quality_classifier": q_quality_classifier,
-        "image_decode": q_image_decode,
-        "corpus_report_incremental": q_corpus_report_incremental,
-        "kmeans_fit": q_kmeans_fit,
-        "fit_quality_classifier": q_fit_quality_classifier,
-        "corpus_clean_funnel": q_corpus_clean_funnel,
-        "classifier_sweep": q_classifier_sweep,
-        "embedding_report": q_embedding_report,
-        "embedding_incremental": q_embedding_incremental,
-        "k_anonymity": q_k_anonymity,
-        "l_diversity": q_l_diversity,
-        "embedding_report_incremental": q_embedding_report_incremental,
-        "js_full_support": q_js_full_support,
-        "json_drift": q_json_drift,
-        "multimodal_meta": q_multimodal_meta,
-        "numeric_drift": q_numeric_drift,
-        "numeric_drift_rowpath": q_numeric_drift_rowpath,
-        "numeric_profile": q_numeric_profile,
-        "pii_scrub": q_pii_scrub,
-        "robust_outlier_drift": q_robust_outlier_drift,
-        "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "temperature_sample": q_temperature_sample,
-        "top_categories": q_top_categories,
-        "vocab_drift": q_vocab_drift,
-        "weighted_sample": q_weighted_sample,
-        "windowed_drift": q_windowed_drift,
-        "tfidf_keywords": q_tfidf_keywords,
-        "unigram_logprob": q_unigram_logprob,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "chunk_documents": q_chunk_documents,
-        "decontaminate": q_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_best": q_dedup_survivors_best,
         "doc_fingerprint": q_doc_fingerprint,
@@ -8581,6 +8534,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_share_drift": q_token_share_drift,
         "token_share_incremental": q_token_share_incremental,
         "type_inference": q_type_inference,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "bpe_segment": q_bpe_segment,
+        "bpe_vocab": q_bpe_vocab,
+        "chunk_documents": q_chunk_documents,
+        "classifier_sweep": q_classifier_sweep,
+        "cluster_silhouette": q_cluster_silhouette,
+        "corpus_clean_funnel": q_corpus_clean_funnel,
+        "corpus_report_incremental": q_corpus_report_incremental,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_incremental": q_embedding_incremental,
+        "embedding_report": q_embedding_report,
+        "embedding_report_incremental": q_embedding_report_incremental,
+        "event_paths": q_event_paths,
+        "fit_bpe": q_fit_bpe,
+        "fit_quality_classifier": q_fit_quality_classifier,
+        "funnel": q_funnel,
+        "group_keywords": q_group_keywords,
+        "image_decode": q_image_decode,
+        "js_full_support": q_js_full_support,
+        "json_drift": q_json_drift,
+        "k_anonymity": q_k_anonymity,
+        "kmeans_fit": q_kmeans_fit,
+        "l_diversity": q_l_diversity,
+        "mix_sample": q_mix_sample,
+        "mix_sample_tokens": q_mix_sample_tokens,
+        "multimodal_meta": q_multimodal_meta,
+        "numeric_drift": q_numeric_drift,
+        "numeric_drift_rowpath": q_numeric_drift_rowpath,
+        "numeric_profile": q_numeric_profile,
+        "pii_scrub": q_pii_scrub,
+        "quality_classifier": q_quality_classifier,
+        "retention_cohorts": q_retention_cohorts,
+        "robust_outlier_drift": q_robust_outlier_drift,
+        "sessionize": q_sessionize,
+        "snapshot_diff": q_snapshot_diff,
+        "stratified_sample": q_stratified_sample,
+        "t_closeness": q_t_closeness,
+        "temperature_sample": q_temperature_sample,
+        "tfidf_keywords": q_tfidf_keywords,
+        "top_categories": q_top_categories,
+        "transition_drift": q_transition_drift,
+        "transition_incremental": q_transition_incremental,
+        "unigram_logprob": q_unigram_logprob,
+        "vocab_drift": q_vocab_drift,
+        "weighted_sample": q_weighted_sample,
+        "windowed_drift": q_windowed_drift,
     }
 
 
