@@ -7144,6 +7144,26 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_segment_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow scale path of :func:`q_bpe_segment`: same fit, same
+    oracle, but segmentation runs as ONE ``mapInPandas`` pass applying
+    the whole merge list per distinct word (constant plan size at
+    32k-merge production tables) instead of the per-merge expression
+    fold. Sharing the fold path's oracle SQL pins the two engines
+    equal at the driver gate."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        bpe_segment,
+        fit_bpe,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = bpe_segment(docs, fit_bpe(docs, n_merges=2), apply_mode="arrow")
+    return _round_cols(
+        out.withColumn("doc_id", F.col("doc_id").cast("long")),
+        ["compression"],
+    )
+
+
 def _bpe_two_merge_words_sql() -> str:
     """Shared oracle prefix: word counts, the first two learned merges
     (re-derived), and the merged word table ``w2`` (word, sym, wc) —
@@ -7430,6 +7450,7 @@ def _oracle_queries() -> dict[str, str]:
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
+        "bpe_segment_arrow": _bpe_segment_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8434,6 +8455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
         "text_stats": q_text_stats,
+        # --- new in r11 (no driver verdict yet): gate this round ---
+        "bpe_segment_arrow": q_bpe_segment_arrow,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -727,11 +727,99 @@ def _bpe_merge_expr(sym_col: str, left: str, right: str) -> str:
     )
 
 
+def _apply_bpe_merges_py(
+    sym: list[str],
+    merges: list[tuple[str, str]],
+    pair_ranks: dict[tuple[str, str], tuple[int, ...]],
+) -> list[str]:
+    """Pure-Python replay of the rank-order fold chain (see
+    :func:`_bpe_merge_expr`): apply every merge in rank order, one
+    canonical left-to-right sweep each, EXACTLY matching the
+    expression-fold semantics.
+
+    Speed comes from never sweeping inapplicable merges: instead of
+    iterating all ``n_merges`` ranks, each round finds the
+    minimum-rank pair currently adjacent in the word that is >= the
+    monotone pointer (a merge's sweep happens at most once, like the
+    fold chain), sweeps it, and advances the pointer. Per-word cost is
+    O(len(word)^2) independent of the merge-table size — a 32k-merge
+    production vocabulary costs the same per word as an 8-merge one.
+    ``pair_ranks`` maps each pair to its ascending rank tuple (a pair
+    can recur at a later rank if earlier merges re-create adjacency).
+    """
+    from bisect import bisect_left
+
+    ptr = 0
+    while len(sym) > 1:
+        best = None
+        for a, b in zip(sym, sym[1:]):
+            ranks = pair_ranks.get((a, b))
+            if ranks is None:
+                continue
+            i = bisect_left(ranks, ptr)
+            if i < len(ranks) and (best is None or ranks[i] < best):
+                best = ranks[i]
+        if best is None:
+            break
+        left, right = merges[best]
+        out: list[str] = []
+        for x in sym:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        sym = out
+        ptr = best + 1
+    return sym
+
+
+def _bpe_vocab_arrow(toks: DataFrame, merges: list[tuple[str, str]]):
+    """Segment each DISTINCT word with the full merge list in one
+    Arrow-batched ``mapInPandas`` pass (the ``image_decode`` codec
+    pattern, ``operators/multimodal.py:344``) — the scale path for
+    tokenizer-real merge tables (32k-100k merges), where the
+    expression-fold chain would be a 32k-deep codegen tree.
+
+    Input: the exploded token frame; output: ``word, __n_chars,
+    __n_bpe`` for every distinct word. The merge list rides to
+    executors inside the closure (O(n_merges) strings — a 32k-merge
+    table is ~1 MB, far below broadcast-worry size). Characters are
+    Python code points, matching Spark's ``split(word, '')`` for all
+    BMP text (supplementary-plane text would need the fold path).
+    """
+    pair_ranks: dict[tuple[str, str], list[int]] = {}
+    for rank, pair in enumerate(merges):
+        pair_ranks.setdefault(pair, []).append(rank)
+    frozen = {p: tuple(r) for p, r in pair_ranks.items()}
+
+    def _segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            n_bpe = [
+                len(_apply_bpe_merges_py(list(w), merges, frozen))
+                for w in words
+            ]
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "__n_chars": [len(w) for w in words],
+                    "__n_bpe": n_bpe,
+                }
+            )
+
+    return toks.select("word").distinct().mapInPandas(
+        _segment, schema="word string, __n_chars long, __n_bpe long"
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: DataFrame | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    apply_mode: str = "fold",
 ) -> DataFrame:
     """APPLY a learned BPE merge table (:func:`fit_bpe` output, or a
     plain ``[(left, right), ...]`` list in rank order) to the corpus —
@@ -742,13 +830,31 @@ def bpe_segment(
     ratio (chars per BPE token — the fertility metric a tokenizer
     ablation tracks).
 
-    Scale shape: each DISTINCT word is segmented once — the fold chain
-    runs on the vocabulary table (one shuffle), which then joins back
-    to the exploded tokens (AQE broadcasts it while it fits, and a
-    vocabulary too big to broadcast shuffle-joins on the same key the
-    vocab aggregate just produced). Documents with NULL/empty text have
-    no tokens and are absent from the output.
+    Scale shape: each DISTINCT word is segmented once — on the
+    vocabulary table (one shuffle), which then joins back to the
+    exploded tokens (AQE broadcasts it while it fits, and a vocabulary
+    too big to broadcast shuffle-joins on the same key the vocab
+    aggregate just produced). Documents with NULL/empty text have no
+    tokens and are absent from the output.
+
+    ``apply_mode`` picks the segmentation engine:
+
+    - ``"fold"`` (default, the oracle path): one ``aggregate``-fold
+      expression per merge, chained. Whole-stage-codegen'd and
+      SQL-replayable, but the plan depth grows with the merge count —
+      fine for ablation-size tables, NOT for a 32k-merge production
+      tokenizer (analyzer/codegen blowup long before data size
+      matters).
+    - ``"arrow"``: one Arrow-batched ``mapInPandas`` pass applies the
+      ENTIRE merge list per distinct word (:func:`_bpe_vocab_arrow`) —
+      constant plan size regardless of merge count; bit-identical
+      output to the fold path (pinned in
+      ``tests/test_new_pipeline_ops.py``). Use this past ~100 merges.
     """
+    if apply_mode not in ("fold", "arrow"):
+        raise ValueError(
+            f"apply_mode must be 'fold' or 'arrow', got {apply_mode!r}"
+        )
     if isinstance(merges, DataFrame):
         merges = [
             (r["pair_left"], r["pair_right"])
@@ -760,18 +866,21 @@ def bpe_segment(
         f"`{id_col}`",
         f"explode(split(trim(`{text_col}`), '\\\\s+')) AS word",
     ).filter("word <> ''")
-    vocab = toks.select("word").distinct().selectExpr(
-        "word", "filter(split(word, ''), ch -> ch <> '') AS sym"
-    )
-    for left, right in merges:
-        vocab = vocab.withColumn(
-            "sym", F.expr(_bpe_merge_expr("sym", left, right))
+    if apply_mode == "arrow":
+        vocab = _bpe_vocab_arrow(toks, [tuple(m) for m in merges])
+    else:
+        vocab = toks.select("word").distinct().selectExpr(
+            "word", "filter(split(word, ''), ch -> ch <> '') AS sym"
         )
-    vocab = vocab.selectExpr(
-        "word",
-        "CAST(length(word) AS BIGINT) AS __n_chars",
-        "CAST(size(sym) AS BIGINT) AS __n_bpe",
-    )
+        for left, right in merges:
+            vocab = vocab.withColumn(
+                "sym", F.expr(_bpe_merge_expr("sym", left, right))
+            )
+        vocab = vocab.selectExpr(
+            "word",
+            "CAST(length(word) AS BIGINT) AS __n_chars",
+            "CAST(size(sym) AS BIGINT) AS __n_bpe",
+        )
     return (
         toks.join(vocab, "word")
         .groupBy(id_col)

@@ -2450,6 +2450,107 @@ def test_bpe_segment_counts(spark):
         bpe_segment(df, [])
 
 
+def _bpe_brute_force(word: str, merges: list) -> list:
+    """Spec replay: every merge in rank order, one canonical
+    left-to-right sweep each — the semantics of the fold chain."""
+    sym = list(word)
+    for left, right in merges:
+        out = []
+        for x in sym:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        sym = out
+    return sym
+
+
+def test_apply_bpe_merges_py_matches_spec():
+    """The monotone min-rank segmenter equals the rank-order sweep spec,
+    including recurring pairs (same pair at two ranks) and merges whose
+    pair only becomes adjacent after later fusions never firing
+    retroactively."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        _apply_bpe_merges_py,
+    )
+
+    cases = [
+        ("low", [("l", "o"), ("lo", "w")]),
+        ("aaaa", [("a", "a"), ("aa", "aa")]),
+        ("ababab", [("a", "b"), ("ab", "ab"), ("a", "b")]),
+        # pair (b,c) becomes adjacent only AFTER rank-2 fuses (a,b) away:
+        # rank-0 (b,c) must NOT fire retroactively
+        ("abc", [("b", "c"), ("x", "y"), ("a", "b")]),
+        ("mississippi", [("s", "s"), ("i", "ss"), ("p", "p"), ("i", "p")]),
+        ("", [("a", "b")]),
+        ("q", [("a", "b")]),
+    ]
+    for word, merges in cases:
+        ranks: dict = {}
+        for rk, pr in enumerate(merges):
+            ranks.setdefault(pr, []).append(rk)
+        frozen = {p: tuple(r) for p, r in ranks.items()}
+        assert _apply_bpe_merges_py(list(word), merges, frozen) == \
+            _bpe_brute_force(word, merges), (word, merges)
+
+
+def test_bpe_segment_arrow_matches_fold(spark):
+    """apply_mode='arrow' is bit-identical to the fold chain on a
+    fitted merge table (the oracle-parity guarantee for the scale
+    path)."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        bpe_segment,
+        fit_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest widest west"), (3, "low west"),
+         (4, None), (5, "aaaa abab mississippi")],
+        "doc_id long, text string",
+    )
+    fitted = fit_bpe(df, n_merges=6, min_pair_count=1)
+    fold = sorted(map(tuple, bpe_segment(df, fitted).collect()))
+    arrow = sorted(map(tuple, bpe_segment(
+        df, fitted, apply_mode="arrow").collect()))
+    assert fold == arrow and len(fold) == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="apply_mode"):
+        bpe_segment(df, fitted, apply_mode="heap")
+
+
+def test_bpe_segment_arrow_thousand_merges(spark):
+    """The VERDICT r10 scale criterion: a >=1,000-merge table segments
+    without plan blowup (constant-size plan — the fold chain would be a
+    1,000-deep expression tree), and every per-word BPE count matches
+    the pure rank-order-sweep spec."""
+    import itertools
+
+    from pyspark_data_drift_detector_spark.operators.corpus import bpe_segment
+
+    # 676 letter-pair merges + a doubling chain + inert filler = 1,200
+    merges = [(a, b) for a, b in itertools.product("abcdefghijklm", repeat=2)]
+    chain = "ab"
+    for _ in range(8):
+        merges.append((chain, chain))
+        chain += chain
+    merges += [(f"z{i}", "q") for i in range(1200 - len(merges))]
+    assert len(merges) == 1200
+
+    words = ["abab" * 8, "mississippi", "deadbeef", "cabbage", "lkjhgf",
+             "aaaabbbb", "abcdefgh", "hello"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_segment(df, merges, apply_mode="arrow").collect()}
+    assert len(out) == len(words)
+    for i, w in enumerate(words):
+        assert out[i]["n_bpe_tokens"] == len(_bpe_brute_force(w, merges)), w
+        assert out[i]["n_chars"] == len(w)
+
+
 def test_snapshot_diff_reconciliation(spark):
     """Hand-checked added/removed/changed/unchanged split with NULL-key
     matching and IS-DISTINCT-FROM value semantics; per-column
