@@ -7451,6 +7451,7 @@ def _oracle_queries() -> dict[str, str]:
         "fit_bpe": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8204,6 +8205,59 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["centroid"])
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings against the
+    frozen first-8-by-id centroid set (the ``cluster_balance_incremental``
+    convention — deterministic, no Lloyd unroll needed), then drop any
+    vector whose cluster has a FARTHER-from-centroid member within
+    cosine 0.4 (the synthetic corpus's non-vacuous threshold — see
+    ``q_embedding_neardup``; 19 of 500 vectors fall at sf0.01). The
+    oracle replays assignment (row_number max-cosine), the
+    (centroid_cosine, id) keep order, and the greedy earlier-member
+    predicate in plain SQL."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    out = semantic_dedup(emb, cents, threshold=0.4, scoring="expr")
+    return _round_cols(out, ["centroid_cosine"])
+
+
+def _semantic_dedup_sql(threshold: float = 0.4, k: int = 8) -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings ORDER BY vec_id ASC LIMIT {k}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE embedding IS NOT NULL),
+    assign AS (
+      SELECT vec_id, e, cid, cos FROM (
+        SELECT v.vec_id, v.e, cent.cid,
+          list_cosine_similarity(v.e, cent.ce) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_cosine_similarity(v.e, cent.ce) DESC,
+                     cent.cid ASC) AS rn
+        FROM v CROSS JOIN cent) WHERE rn = 1),
+    n AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_n
+          FROM assign GROUP BY cid),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid
+       AND (b.cos < a.cos OR (b.cos = a.cos AND b.vec_id < a.vec_id))
+       AND list_cosine_similarity(a.e, b.e) >= {threshold})
+    SELECT a.vec_id, a.cid AS cluster_id,
+      ROUND(a.cos, {ROUND}) AS centroid_cosine,
+      n.cluster_n, d.vec_id IS NULL AS is_kept
+    FROM assign a JOIN n USING (cid)
+    LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+
+
 def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
     """Unrolled 2-iteration Lloyd replay: assignment = max cosine with
     row_number tie-break to the smallest cluster id (Spark's
@@ -8457,6 +8511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         # --- new in r11 (no driver verdict yet): gate this round ---
         "bpe_segment_arrow": q_bpe_segment_arrow,
+        "semantic_dedup": q_semantic_dedup,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1080,6 +1080,7 @@ def _assign_cluster_ids(
     mode: str,
     embedding_col: str,
     keep: list[str] | None = None,
+    with_cosine: bool = False,
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (``rows`` = sorted
     ``{cid, ce}`` dicts) — the ``semantic_decontaminate`` narrow-map
@@ -1088,7 +1089,9 @@ def _assign_cluster_ids(
     ``cluster_id`` column (NULL for NULL/ragged vectors — get(), never
     plain indexing, see semantic_decontaminate) plus any ``keep``
     passthrough columns (``fit_kmeans`` keeps the vector itself for the
-    update step)."""
+    update step). ``with_cosine`` additionally emits the winning
+    cosine as ``centroid_cosine`` (``semantic_dedup``'s keep-order
+    key) at zero extra passes — it is computed either way."""
     keep = list(keep or [])
     keep_quoted = [f"`{c}`" for c in keep]
     if mode == "gemm":
@@ -1099,9 +1102,13 @@ def _assign_cluster_ids(
         tc = make_matrix_topcos_udf(
             [r["ce"] for r in rows], [int(r["cid"]) for r in rows]
         )
-        return df.selectExpr(
+        scored = df.selectExpr(
             *keep_quoted, f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS e"
-        ).select(*keep, tc(F.col("e"))["nearest_id"].alias("cluster_id"))
+        ).select(*keep, tc(F.col("e")).alias("__tc"))
+        cols = [*keep, F.col("__tc.nearest_id").alias("cluster_id")]
+        if with_cosine:
+            cols.append(F.col("__tc.max_cosine").alias("centroid_cosine"))
+        return scored.select(*cols)
     mat = "array(" + ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in r["ce"]) + ")"
         for r in rows
@@ -1129,6 +1136,11 @@ def _assign_cluster_ids(
             *keep_quoted,
             f"CAST(get({ids}, CAST(array_position(__cos, array_max(__cos))"
             " AS INT) - 1) AS BIGINT) AS cluster_id",
+            *(
+                ["array_max(__cos) AS centroid_cosine"]
+                if with_cosine
+                else []
+            ),
         )
     )
 
@@ -1403,6 +1415,121 @@ def kmeans_fit_report(
     return melted.join(F.broadcast(counts), "cluster_id").selectExpr(
         "cluster_id", "pos", "centroid", "CAST(n AS BIGINT) AS n_members"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    scoring: str = "auto",
+    max_cluster_size: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering THEN within-cluster cosine
+    thresholding — the dedup family's embedding-space member that scales
+    where exact all-pairs (``dedup.embedding_neardup_pairs``) cannot,
+    because pairs are only ever formed INSIDE a cluster, never across
+    the corpus.
+
+    ``centroids`` is the frozen ``[(cluster_id, vector), ...]`` set every
+    ``centroids=`` consumer takes (:func:`fit_kmeans` output, or any
+    deterministic set — fit on a sample at 100 TB, apply corpus-wide).
+    Within each cluster, members are ordered FARTHEST-from-centroid
+    first (``centroid_cosine`` ascending, id ascending on ties — the
+    paper's keep-outliers policy: the cluster's most prototypical
+    members are the redundant ones); a member is a duplicate iff some
+    EARLIER member has cosine >= ``threshold`` to it, exactly the
+    paper's max-over-earlier-rows reading of the per-cluster similarity
+    matrix (greedy, not transitive closure).
+
+    Output: one verdict row per input vector — ``(id, cluster_id,
+    centroid_cosine, cluster_n, is_kept)``. Invalid vectors (NULL /
+    ragged / zero-norm) carry NULL cluster_id and are kept — they have
+    no geometry to match on.
+
+    Scale shape: one narrow assignment map (inlined centroid matrix or
+    Arrow GEMM — :func:`_assign_cluster_ids`), then ONE shuffle grouping
+    by ``cluster_id`` into an Arrow ``applyInPandas`` pass that runs the
+    per-cluster similarity GEMM (BLAS, O(n_c^2 * dim) per cluster) and
+    the greedy scan. ``max_cluster_size`` is the hot-cluster cap (the
+    ``minhash_lsh_pairs.max_bucket_size`` convention): a cluster larger
+    than the cap skips pair generation entirely — every member is kept
+    and reported with its true ``cluster_n``, so oversized clusters are
+    visible to the caller rather than silently quadratic. Size the cap
+    so cap^2 * dim FLOPs fits one task (the 20k default is ~25 GFLOP at
+    dim 64); a corpus whose clusters overflow it needs a larger k, not a
+    larger cap.
+    """
+    if not 0.0 < float(threshold) <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_cluster_size < 2:
+        raise ValueError(
+            f"max_cluster_size must be >= 2, got {max_cluster_size}"
+        )
+    rows = _centroid_rows(centroids)
+    mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
+    assigned = _assign_cluster_ids(
+        df.select(
+            F.col(id_col).cast("long").alias("__sid"), F.col(embedding_col)
+        ),
+        rows,
+        mode,
+        embedding_col,
+        keep=["__sid", embedding_col],
+        with_cosine=True,
+    ).selectExpr(
+        "__sid",
+        f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>) AS __e",
+        "cluster_id",
+        "centroid_cosine",
+    )
+
+    import pandas as pd
+
+    thr = float(threshold)
+    cap = int(max_cluster_size)
+
+    def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        out = pd.DataFrame(
+            {
+                "id": pdf["__sid"].to_numpy(),
+                # NULL-cluster groups arrive as NaN floats: nullable Int64
+                # round-trips them as proper SQL NULLs
+                "cluster_id": pdf["cluster_id"].astype("Int64"),
+                "centroid_cosine": pdf["centroid_cosine"],
+                "cluster_n": np.int64(n),
+                "is_kept": True,
+            }
+        )
+        # NULL cluster (invalid vectors) or over-cap cluster: no pairs
+        if key[0] is None or n > cap or n < 2:
+            return out
+        order = np.lexsort(
+            (out["id"].to_numpy(), out["centroid_cosine"].to_numpy())
+        )
+        E = np.stack(pdf["__e"].to_numpy())[order].astype(np.float64)
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+        sim = E @ E.T
+        # duplicate iff any strictly-earlier (farther-from-centroid) row
+        # is within threshold: max over the strict lower triangle
+        dup = (np.tril(sim >= thr, -1)).any(axis=1)
+        kept = out["is_kept"].to_numpy(copy=True)
+        kept[order] = ~dup
+        out["is_kept"] = kept
+        return out
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        schema=(
+            "id long, cluster_id long, centroid_cosine double,"
+            " cluster_n long, is_kept boolean"
+        ),
+    ).withColumnRenamed("id", id_col)
 
 
 def _rff_cos_expr(dim: int, n_features: int, seed: int, sigma: float | None) -> str:

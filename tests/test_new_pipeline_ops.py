@@ -2551,6 +2551,66 @@ def test_bpe_segment_arrow_thousand_merges(spark):
         assert out[i]["n_chars"] == len(w)
 
 
+def test_semantic_dedup_hand_checked(spark):
+    """SemDeDup on hand-placed 2D vectors: cluster assignment, the
+    farthest-from-centroid-first keep order, greedy (non-transitive)
+    duplicate marking, NULL-vector passthrough, and the hot-cluster
+    cap."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # cluster 0, prototypical
+            (2, [0.999, 0.01]),    # cluster 0, ~dup of 1
+            (3, [0.9, 0.3]),       # cluster 0, far from centroid
+            (4, [0.0, 1.0]),       # cluster 1, prototypical
+            (5, [0.1, 0.95]),      # cluster 1, ~dup of 4
+            (6, None),             # invalid: NULL cluster, kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, cents, threshold=0.98, scoring="expr"
+        ).collect()
+    }
+    assert len(out) == 6
+    assert {i: out[i]["cluster_id"] for i in (1, 2, 3, 4, 5)} == \
+        {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    assert out[6]["cluster_id"] is None and out[6]["is_kept"]
+    # cluster 0 keep order: 3 (cc .949), 2 (cc .99995), 1 (cc 1.0);
+    # only sim(1,2) >= .98, so 1 (later than 2) is the duplicate
+    assert [out[i]["is_kept"] for i in (1, 2, 3)] == [False, True, True]
+    # cluster 1: 5 is farther, 4 is its prototypical duplicate
+    assert not out[4]["is_kept"] and out[5]["is_kept"]
+    assert out[1]["cluster_n"] == 3 and out[4]["cluster_n"] == 2
+    assert out[1]["centroid_cosine"] == pytest.approx(1.0)
+    assert out[3]["centroid_cosine"] == pytest.approx(0.9 / (0.9**2 + 0.3**2) ** 0.5)
+
+    # hot-cluster cap: cluster 0 (n=3) exceeds cap=2 -> no pairs, all
+    # kept and still reported with the true cluster_n; cluster 1 dedups
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, cents, threshold=0.98, scoring="expr", max_cluster_size=2
+        ).collect()
+    }
+    assert [capped[i]["is_kept"] for i in (1, 2, 3)] == [True, True, True]
+    assert capped[1]["cluster_n"] == 3
+    assert not capped[4]["is_kept"]
+
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, cents, threshold=1.5)
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(df, cents, max_cluster_size=1)
+
+
 def test_snapshot_diff_reconciliation(spark):
     """Hand-checked added/removed/changed/unchanged split with NULL-key
     matching and IS-DISTINCT-FROM value semantics; per-column
