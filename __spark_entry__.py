@@ -1323,13 +1323,14 @@ def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(ann)
 
 
-def _corpus_clean_funnel_sql() -> str:
-    """Composed replay: per-doc quality + classifier verdicts (member
-    oracle bodies), canonical-text dedup among pre-stage survivors, the
-    4-gram benchmark semi-join, first-failing-stage attribution, stage
-    counts."""
-    return f"""
-    WITH q AS (SELECT doc_id, passes FROM ({_quality_filter_sql()}) s),
+def _clean_corpus_ann_sql() -> str:
+    """Shared WITH-body replaying ``clean_corpus``'s per-document
+    first-failing-stage annotation (quality + classifier verdicts from
+    the member oracle bodies, canonical-text dedup among pre-stage
+    survivors, 4-gram benchmark semi-join) up to the ``ann(doc_id,
+    stage)`` CTE — consumed by both the funnel and the
+    training-mix-report oracles."""
+    return f"""q AS (SELECT doc_id, passes FROM ({_quality_filter_sql()}) s),
     clf AS (SELECT doc_id, keep FROM ({_quality_classifier_sql()}) s),
     pre AS (
       SELECT d.doc_id, d.text,
@@ -1359,10 +1360,127 @@ def _corpus_clean_funnel_sql() -> str:
                WHEN c.doc_id IS NOT NULL THEN 'contaminated' END) AS stage
       FROM pre
       LEFT JOIN dup d USING (doc_id)
-      LEFT JOIN con c ON c.doc_id = pre.doc_id)
+      LEFT JOIN con c ON c.doc_id = pre.doc_id)"""
+
+
+def _corpus_clean_funnel_sql() -> str:
+    """Composed replay: the shared per-doc stage annotation
+    (:func:`_clean_corpus_ann_sql`) aggregated to stage counts."""
+    return f"""
+    WITH {_clean_corpus_ann_sql()}
     SELECT COALESCE(stage, 'kept') AS stage,
       CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM ann GROUP BY 1"""
+
+
+def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end "make me a pretraining mix" flagship: clean (the
+    q_corpus_clean_funnel gate config) → rebalance survivors to an
+    explicit lang token mixture → pack into 256-token windows, reported
+    as ONE long frame (funnel counts, requested-vs-achieved token
+    shares, pack-fill stats) in the shared report schema."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        training_mix_report,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = training_mix_report(
+        docs,
+        {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1},
+        budget=256,
+        clean_kwargs=dict(
+            benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+            weights=_qc_weights(),
+            bias=-0.25,
+            decontaminate_n=4,
+            classifier_hash_family="md5",
+        ),
+    )
+    return _round_cols(out, ["ref_value", "curr_value", "diff"])
+
+
+def _training_mix_report_sql(
+    budget: int = 256, tolerance: float = 0.02
+) -> str:
+    """Composed replay: the shared clean-corpus annotation, survivor
+    whitespace-token masses, the mix_sample rate/variate math
+    (``_mix_sample_tokens_sql`` body over survivors), a window-cumsum
+    packing replay (``_pack_documents_sql`` body over the mix), melted
+    into the report rows."""
+    return f"""
+    WITH {_clean_corpus_ann_sql()},
+    sv AS (
+      SELECT d.doc_id, d.lang,
+        CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS w
+      FROM ann a JOIN documents d USING (doc_id) WHERE a.stage IS NULL),
+    c AS (SELECT lang, SUM(CAST(w AS DOUBLE)) AS mass
+          FROM sv GROUP BY 1 HAVING SUM(CAST(w AS DOUBLE)) > 0),
+    t(lang, target_share) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+      ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+      ('es', CAST(0.1 AS DOUBLE))),
+    j AS (SELECT c.lang, c.mass, t.target_share FROM c JOIN t USING (lang)),
+    m AS (SELECT MIN(mass / target_share) AS nmax FROM j),
+    r AS (SELECT lang, CAST(mass AS BIGINT) AS avail, target_share,
+            LEAST(CAST(1.0 AS DOUBLE), target_share * nmax / mass)
+              AS sample_rate
+          FROM j CROSS JOIN m),
+    u AS (SELECT doc_id, lang, w, {_md5_u_sql("mix")} AS uu FROM sv),
+    mixed AS (
+      SELECT u.doc_id, u.lang, u.w, r.avail, r.target_share, r.sample_rate
+      FROM u JOIN r USING (lang)
+      WHERE u.uu < FLOOR(r.sample_rate * 1000000)),
+    shares AS (
+      SELECT lang, CAST(SUM(w) AS BIGINT) AS tok,
+        CAST(COUNT(*) AS BIGINT) AS docs,
+        ANY_VALUE(target_share) AS ts, ANY_VALUE(sample_rate) AS rate,
+        ANY_VALUE(avail) AS avail
+      FROM mixed GROUP BY 1),
+    sh AS (SELECT *, tok / NULLIF(SUM(tok) OVER (), 0.0) AS ach
+           FROM shares),
+    funnel AS (SELECT COALESCE(stage, 'kept') AS stage,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM ann GROUP BY 1),
+    cum AS (SELECT doc_id, w,
+              SUM(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+            FROM mixed),
+    packs AS (SELECT CAST((cw - w) // {budget} AS BIGINT) AS pack_id,
+                CAST(SUM(w) AS BIGINT) AS pt
+              FROM cum GROUP BY 1),
+    psum AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               AVG(CAST(pt AS DOUBLE) / {budget}) AS fill,
+               AVG(CASE WHEN pt > {budget} THEN 1.0 ELSE 0.0 END) AS osh,
+               CAST(SUM(pt) AS BIGINT) AS ptok
+             FROM packs)
+    SELECT 'mix' AS family, lang AS key, 'token_share' AS metric,
+      ROUND(ts, {ROUND}) AS ref_value, ROUND(ach, {ROUND}) AS curr_value,
+      ROUND(ABS(ach - ts), {ROUND}) AS diff,
+      ROUND(ABS(ach - ts), {ROUND}) > {tolerance} AS drift_detected
+    FROM sh
+    UNION ALL
+    SELECT 'mix', lang, 'tokens', CAST(avail AS DOUBLE), CAST(tok AS DOUBLE),
+      CAST(tok - avail AS DOUBLE), FALSE FROM sh
+    UNION ALL
+    SELECT 'mix', lang, 'sample_rate', NULL, ROUND(rate, {ROUND}), NULL,
+      FALSE FROM sh
+    UNION ALL
+    SELECT 'mix', lang, 'n_docs', NULL, CAST(docs AS DOUBLE), NULL, FALSE
+    FROM sh
+    UNION ALL
+    SELECT 'funnel', stage, 'n_docs', NULL, CAST(n AS DOUBLE), NULL, FALSE
+    FROM funnel
+    UNION ALL
+    SELECT 'packing', 'all', 'n_packs', NULL, CAST(np AS DOUBLE), NULL,
+      FALSE FROM psum
+    UNION ALL
+    SELECT 'packing', 'all', 'mean_fill', 1.0, ROUND(fill, {ROUND}),
+      ROUND(1.0 - fill, {ROUND}), FALSE FROM psum
+    UNION ALL
+    SELECT 'packing', 'all', 'overflow_share', 0.0, ROUND(osh, {ROUND}),
+      ROUND(osh, {ROUND}), FALSE FROM psum
+    UNION ALL
+    SELECT 'packing', 'all', 'total_tokens', NULL, CAST(ptok AS DOUBLE),
+      NULL, FALSE FROM psum"""
 
 
 def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7452,6 +7570,7 @@ def _oracle_queries() -> dict[str, str]:
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "training_mix_report": _training_mix_report_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8512,6 +8631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11 (no driver verdict yet): gate this round ---
         "bpe_segment_arrow": q_bpe_segment_arrow,
         "semantic_dedup": q_semantic_dedup,
+        "training_mix_report": q_training_mix_report,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -432,6 +432,149 @@ def clean_corpus(
     ).drop(*drop_cols)
 
 
+def training_mix_report(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    share_tolerance: float = 0.02,
+    salt: str = "mix",
+    clean_kwargs: dict | None = None,
+) -> DataFrame:
+    """The end-to-end "make me a pretraining mix" run — the artifact a
+    data team ships next to a training corpus, composing the pipeline's
+    stages the way :func:`corpus_funnel` composed cleaning:
+
+    1. :func:`clean_corpus` annotates every document with its first
+       failing gate (``clean_kwargs`` forwards the gate config);
+    2. survivors are rebalanced to the EXPLICIT ``target_shares`` token
+       mixture (``operators.sampling.mix_sample`` with whitespace-token
+       weights — the token-budget spec an LM data recipe pins);
+    3. the sampled mix is packed into ``budget``-token context windows
+       (``operators.text.pack_documents``).
+
+    Output: ONE long-format frame in the shared flagship report schema
+    (``family, key, metric, ref_value, curr_value, diff,
+    drift_detected``):
+
+    - ``funnel``  rows — per-stage document counts of the cleaning run;
+    - ``mix``     rows — per group: requested vs ACHIEVED token share
+      (flagged when the rounded gap exceeds ``share_tolerance`` — a
+      scarce group that capped the mix shows up here), available vs
+      sampled tokens, the sample rate, sampled doc count;
+    - ``packing`` rows — pack count, mean fill ratio vs the ideal 1.0,
+      overflow share (boundary-straddling documents), total packed
+      tokens.
+
+    Scale shape: the annotated corpus and the sampled mix are the only
+    corpus-scale frames; both are persisted once and released after the
+    O(groups + stages + 1)-row report is eagerly checkpointed (the
+    counts-mode convention — Spark would otherwise re-instantiate the
+    cleaning plan for every branch that reads it). Everything reported
+    is a keyed aggregate or an O(groups) panel window; the corpus is
+    never globally sorted (packing is the two-phase bucketed prefix
+    sum).
+    """
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        mix_sample,
+    )
+    from pyspark_data_drift_detector_spark.operators.text import (
+        pack_documents,
+        packing_stats,
+        tokens_expr,
+    )
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ann = clean_corpus(
+        docs, text_col=text_col, id_col=id_col, **(clean_kwargs or {})
+    ).persist()
+    mixed = None
+    try:
+        funnel = corpus_funnel(ann)
+        surv = ann.filter("drop_stage IS NULL").select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(text_col),
+            F.size(tokens_expr(F.col(text_col))).cast("long").alias("__w"),
+        )
+        mixed = mix_sample(
+            surv,
+            group_col,
+            target_shares,
+            id_col=id_col,
+            salt=salt,
+            weight_col="__w",
+        ).persist()
+        shares = (
+            mixed.groupBy(group_col)
+            .agg(
+                F.expr("CAST(sum(__w) AS BIGINT) AS __tok"),
+                F.expr("CAST(count(1) AS BIGINT) AS __docs"),
+                F.expr("first(target_share) AS __target"),
+                F.expr("first(sample_rate) AS __rate"),
+                F.expr("CAST(first(group_count) AS BIGINT) AS __avail"),
+            )
+            # O(groups) panel: the unpartitioned total window is bounded
+            .selectExpr(
+                "*", "__tok / nullif(sum(__tok) OVER (), 0.0D) AS __ach"
+            )
+        )
+        tol = float(share_tolerance)
+        mix_rows = _melt(
+            shares,
+            [
+                ("'mix'", f"`{group_col}`", "'token_share'", "__target",
+                 "__ach", f"round(abs(__ach - __target), {_ROUND})",
+                 f"round(abs(__ach - __target), {_ROUND}) > {tol!r}D"),
+                ("'mix'", f"`{group_col}`", "'tokens'", "__avail", "__tok",
+                 "__tok - __avail", "false"),
+                ("'mix'", f"`{group_col}`", "'sample_rate'", "NULL",
+                 "__rate", "NULL", "false"),
+                ("'mix'", f"`{group_col}`", "'n_docs'", "NULL", "__docs",
+                 "NULL", "false"),
+            ],
+        )
+        fun_rows = _melt(
+            funnel,
+            [("'funnel'", "stage", "'n_docs'", "NULL", "n_docs", "NULL",
+              "false")],
+        )
+        psum = packing_stats(
+            pack_documents(
+                mixed, budget, text_col=text_col, id_col=id_col,
+                token_col="__w",
+            ),
+            budget,
+        ).agg(
+            F.expr("CAST(count(1) AS BIGINT) AS __packs"),
+            F.expr("avg(fill_ratio) AS __fill"),
+            F.expr("avg(CAST(overflowed AS INT)) AS __over"),
+            F.expr("CAST(sum(pack_tokens) AS BIGINT) AS __ptok"),
+        )
+        pack_rows = _melt(
+            psum,
+            [
+                ("'packing'", "'all'", "'n_packs'", "NULL", "__packs",
+                 "NULL", "false"),
+                ("'packing'", "'all'", "'mean_fill'", "1.0D", "__fill",
+                 f"round(1.0D - __fill, {_ROUND})", "false"),
+                ("'packing'", "'all'", "'overflow_share'", "0.0D",
+                 "__over", f"round(__over, {_ROUND})", "false"),
+                ("'packing'", "'all'", "'total_tokens'", "NULL", "__ptok",
+                 "NULL", "false"),
+            ],
+        )
+        report = mix_rows.unionByName(fun_rows).unionByName(pack_rows)
+        return report.localCheckpoint()  # eager: O(rows) tiny
+    finally:
+        if mixed is not None:
+            mixed.unpersist()
+        ann.unpersist()
+
+
 def corpus_funnel(annotated: DataFrame, group_col: str | None = None) -> DataFrame:
     """Per-stage loss report over :func:`clean_corpus` output: one row
     per drop stage plus ``kept`` — the numbers a pipeline run records

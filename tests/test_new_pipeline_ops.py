@@ -2551,6 +2551,43 @@ def test_bpe_segment_arrow_thousand_merges(spark):
         assert out[i]["n_chars"] == len(w)
 
 
+def test_training_mix_report_invariants(spark, sf_dir):
+    """Structural invariants of the mix flagship: the three families are
+    present; achieved token shares sum to 1 over the sampled groups;
+    funnel counts sum to the corpus size; packed total tokens equal the
+    mix's sampled tokens; mean_fill matches total/(packs*budget)."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        training_mix_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = training_mix_report(
+        docs, {"en": 0.5, "de": 0.3, "fr": 0.2}, budget=64
+    ).collect()
+    fams = {r["family"] for r in out}
+    assert fams == {"mix", "funnel", "packing"}
+    shares = [r for r in out if r["family"] == "mix"
+              and r["metric"] == "token_share"]
+    assert shares and sum(r["curr_value"] for r in shares) == pytest.approx(1.0)
+    assert all(r["ref_value"] in (0.5, 0.3, 0.2) for r in shares)
+    funnel_n = sum(r["curr_value"] for r in out
+                   if r["family"] == "funnel")
+    assert funnel_n == docs.count()
+    mix_tokens = sum(r["curr_value"] for r in out if r["family"] == "mix"
+                     and r["metric"] == "tokens")
+    packing = {r["metric"]: r for r in out if r["family"] == "packing"}
+    assert packing["total_tokens"]["curr_value"] == mix_tokens
+    assert packing["mean_fill"]["ref_value"] == 1.0
+    assert packing["n_packs"]["curr_value"] >= 1
+    # every group kept at most what was available
+    toks = [r for r in out if r["family"] == "mix" and r["metric"] == "tokens"]
+    assert all(r["curr_value"] <= r["ref_value"] for r in toks)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        training_mix_report(docs, {"en": 1.0}, budget=0)
+
+
 def test_semantic_dedup_hand_checked(spark):
     """SemDeDup on hand-placed 2D vectors: cluster assignment, the
     farthest-from-centroid-first keep order, greedy (non-transitive)

@@ -939,3 +939,47 @@ def test_round10_session2_plan_contracts(spark, sf_dir):
     for arity, sort in sorted_windows(ti):
         assert arity >= 1, f"corpus-wide sorted window: {sort}"
     assert count_shuffles(ti) <= 14  # lag/first/last windows + panels
+
+
+def test_round11_plan_contracts(spark, sf_dir):
+    """Scale shapes of the r11 operators: semantic_dedup is one scan +
+    ONE cluster_id shuffle (pairs only ever form inside a cluster);
+    training_mix_report's checkpointed result never re-reads the corpus;
+    the Arrow BPE apply mode's plan does NOT grow with the merge-table
+    size (the whole point — the fold chain would)."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        training_mix_report,
+    )
+    from pyspark_data_drift_detector_spark.operators.corpus import bpe_segment
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        simple_plan,
+        sorted_windows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    sd = semantic_dedup(emb, cents, threshold=0.4, scoring="expr")
+    assert count_scans(sd) == 1
+    assert count_shuffles(sd) <= 1, "semantic_dedup must shuffle once"
+    assert not sorted_windows(sd)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmr = training_mix_report(docs, {"en": 0.5, "de": 0.5}, budget=128)
+    assert count_scans(tmr) == 0 and count_shuffles(tmr) == 0
+
+    merges_small = [("a", chr(98 + i % 20)) for i in range(10)]
+    merges_big = [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(1000)]
+    p_small = simple_plan(bpe_segment(docs, merges_small, apply_mode="arrow"))
+    p_big = simple_plan(bpe_segment(docs, merges_big, apply_mode="arrow"))
+    assert len(p_big) < len(p_small) + 500, (
+        "arrow BPE plan grew with the merge count — the merge list must "
+        "ride in the closure, not the plan"
+    )
