@@ -1142,6 +1142,105 @@ def _image_decode_sql(w: int = 8, h: int = 4) -> str:
     JOIN l USING (doc_id)"""
 
 
+def q_image_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal drift closed end-to-end: decode REAL synthetic PPM
+    payloads on both sides (ref docs at 8x4, curr docs at 12x4 — the
+    "someone changed the resize config" scenario), extract per-image
+    numeric features (dims, channel means, luma), and feed them through
+    the SAME weighted numeric-drift scorer the tabular pipeline uses —
+    the multimodal sibling of text_quality_drift. The width feature
+    drifts hard (8 → 12); the pixel-statistic features shift subtly with
+    the doc_id parity. Payload bytes never shuffle (plan-pinned in
+    test_plans.py)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    feat_cols = [
+        "width", "height", "r_mean", "g_mean", "b_mean",
+        "luma_mean", "luma_std",
+    ]
+
+    def feats(parity: int, w: int) -> DataFrame:
+        payload = attach_synthetic_image(
+            ids.filter(f"doc_id % 2 = {parity}"), width=w, height=4,
+            fmt="ppm",
+        )
+        return decode_images(payload, codec="auto").selectExpr(
+            "CAST(width AS DOUBLE) AS width",
+            "CAST(height AS DOUBLE) AS height",
+            "channel_mean[0] AS r_mean",
+            "channel_mean[1] AS g_mean",
+            "channel_mean[2] AS b_mean",
+            "luma_mean",
+            "luma_std",
+        )
+
+    drift = numeric_drift_pair(
+        feats(0, 8), feats(1, 12), columns=feat_cols,
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    rounded = [
+        "mean_relative_diff", "median_relative_diff",
+        "std_dev_relative_diff", "iqr_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score",
+    ]
+    return _round_cols(
+        drift.select("column_name", *rounded, "drift_detected"), rounded
+    )
+
+
+def _image_feats_src_sql(w: int, h: int, parity: int) -> str:
+    """FROM-able subquery replaying one side's decoded image features
+    (the `_image_decode_sql` closed form, projected to the drift
+    feature columns)."""
+    n = w * h * 3
+    return f"""(WITH px AS (
+      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+             r.i % 3 AS ch, r.i // 3 AS pix
+      FROM (SELECT DISTINCT doc_id FROM documents
+            WHERE doc_id % 2 = {parity}) d
+      CROSS JOIN range({n}) r(i)),
+    chan AS (SELECT doc_id, ch, AVG(v) AS m FROM px GROUP BY 1, 2),
+    lpx AS (
+      SELECT doc_id, pix,
+        SUM(v * CASE ch WHEN 0 THEN 0.299 WHEN 1 THEN 0.587
+                 ELSE 0.114 END) AS luma
+      FROM px GROUP BY 1, 2),
+    l AS (SELECT doc_id, AVG(luma) AS m, STDDEV_POP(luma) AS sd
+          FROM lpx GROUP BY 1)
+    SELECT c0.doc_id, CAST({w} AS DOUBLE) AS width,
+      CAST({h} AS DOUBLE) AS height,
+      c0.m AS r_mean, c1.m AS g_mean, c2.m AS b_mean,
+      l.m AS luma_mean, l.sd AS luma_std
+    FROM (SELECT * FROM chan WHERE ch = 0) c0
+    JOIN (SELECT * FROM chan WHERE ch = 1) c1 USING (doc_id)
+    JOIN (SELECT * FROM chan WHERE ch = 2) c2 USING (doc_id)
+    JOIN l USING (doc_id))"""
+
+
+def _image_feature_drift_sql() -> str:
+    feat_cols = [
+        "width", "height", "r_mean", "g_mean", "b_mean",
+        "luma_mean", "luma_std",
+    ]
+    return _numeric_drift_body_sql(
+        _profile_cte(
+            "ref", "TRUE", cols=feat_cols,
+            src=_image_feats_src_sql(8, 4, 0),
+        ),
+        _profile_cte(
+            "curr", "TRUE", cols=feat_cols,
+            src=_image_feats_src_sql(12, 4, 1),
+        ),
+    )
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -2224,8 +2323,16 @@ def _profile_sql_one(col: str, table: str, where: str = "TRUE") -> str:
     FROM {table} WHERE {where}"""
 
 
-def _profile_cte(name: str, where: str) -> str:
-    """Un-rounded per-column profile CTE for drift math."""
+def _profile_cte(
+    name: str,
+    where: str,
+    cols: list[str] | None = None,
+    src: str = "lineitem",
+) -> str:
+    """Un-rounded per-column profile CTE for drift math. ``src`` may be
+    any FROM-able SQL (a table name or a parenthesized subquery — DuckDB
+    accepts ``FROM (WITH ... SELECT ...)``), so the same replay serves
+    lineitem and derived feature frames (``image_feature_drift``)."""
     parts = [
         f"""SELECT '{c}' AS column_name,
           CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2237,8 +2344,8 @@ def _profile_cte(name: str, where: str) -> str:
           CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS p25,
           CAST(quantile_cont({c}, 0.50) AS DOUBLE) AS p50,
           CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS p75
-        FROM lineitem WHERE {where}"""
-        for c in LINEITEM_NUMERIC
+        FROM {src} AS __src WHERE {where}"""
+        for c in (cols if cols is not None else LINEITEM_NUMERIC)
     ]
     return f"{name} AS ({' UNION ALL '.join(parts)})"
 
@@ -2425,7 +2532,10 @@ def _numeric_drift_rowpath_sql() -> str:
     FROM scored"""
 
 
-def _numeric_drift_sql() -> str:
+def _numeric_drift_body_sql(ref_cte: str, curr_cte: str) -> str:
+    """The weighted-score numeric-drift replay over any pair of profile
+    CTEs named ``ref``/``curr`` (:func:`_profile_cte` shape) — shared by
+    the lineitem oracle and the image-feature oracle."""
     rel = {
         "mean": _REL.format(rv="mean", cv="mean"),
         "median": _REL.format(rv="p50", cv="p50"),
@@ -2449,8 +2559,8 @@ def _numeric_drift_sql() -> str:
         f" OR ABS({rel['iqr']}) > 0.1 OR ABS({null_diff}) > 0.005 OR ABS({rel['range']}) > 0.1)"
     )
     return f"""
-    WITH {_profile_cte('ref', 'l_orderkey % 2 = 0')},
-         {_profile_cte('curr', 'l_orderkey % 2 = 1')}
+    WITH {ref_cte},
+         {curr_cte}
     SELECT r.column_name,
       ROUND({rel['mean']}, {ROUND}) AS mean_relative_diff,
       ROUND({rel['median']}, {ROUND}) AS median_relative_diff,
@@ -2461,6 +2571,13 @@ def _numeric_drift_sql() -> str:
       ROUND({score}, {ROUND}) AS drift_score,
       {detected} AS drift_detected
     FROM ref r JOIN curr c USING (column_name)"""
+
+
+def _numeric_drift_sql() -> str:
+    return _numeric_drift_body_sql(
+        _profile_cte("ref", "l_orderkey % 2 = 0"),
+        _profile_cte("curr", "l_orderkey % 2 = 1"),
+    )
 
 
 def _melt_sql(cols: list[str], table: str, where: str = "TRUE") -> str:
@@ -7571,6 +7688,7 @@ def _oracle_queries() -> dict[str, str]:
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "training_mix_report": _training_mix_report_sql(),
+        "image_feature_drift": _image_feature_drift_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8632,6 +8750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_arrow": q_bpe_segment_arrow,
         "semantic_dedup": q_semantic_dedup,
         "training_mix_report": q_training_mix_report,
+        "image_feature_drift": q_image_feature_drift,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

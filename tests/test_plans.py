@@ -975,6 +975,19 @@ def test_round11_plan_contracts(spark, sf_dir):
     tmr = training_mix_report(docs, {"en": 0.5, "de": 0.5}, budget=128)
     assert count_scans(tmr) == 0 and count_shuffles(tmr) == 0
 
+    # image_feature_drift: the decode stage is a narrow map — no
+    # exchange may sit below the pandas decode, so payload bytes never
+    # cross the wire; the only shuffle is the O(columns) profile agg
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    imgs = attach_synthetic_image(
+        docs.select("doc_id"), width=8, height=4, fmt="ppm"
+    )
+    assert count_shuffles(decode_images(imgs, codec="auto")) == 0
+
     merges_small = [("a", chr(98 + i % 20)) for i in range(10)]
     merges_big = [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(1000)]
     p_small = simple_plan(bpe_segment(docs, merges_small, apply_mode="arrow"))
