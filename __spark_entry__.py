@@ -692,6 +692,55 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["jaccard"])
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dups (|A∩B| / min set size):
+    the corpus plus synthetic 8-word excerpt docs (doc_id+1e6 for every
+    doc_id%5==0) — an excerpt scores ~1.0 containment against its source
+    while its Jaccard is tiny, the truncated-scrape case. Integer-ratio
+    math, so the 0.5 cutoff is exact in both engines."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    excerpts = docs.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "array_join(slice(split(trim(text), '\\\\s+'), 1, 8), ' ') AS text",
+    )
+    out = containment_pairs(docs.unionByName(excerpts), threshold=0.5)
+    return _round_cols(out, ["containment"])
+
+
+def _dedup_containment_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, array_to_string(t[1:8], ' ')
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id % 5 = 0)),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM src),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+      CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+      ROUND(CAST(shared AS DOUBLE) / LEAST(s1.n, s2.n), {ROUND})
+        AS containment
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = pairs.id1
+    JOIN sizes s2 ON s2.doc_id = pairs.id2
+    WHERE CAST(shared AS DOUBLE) / LEAST(s1.n, s2.n) >= {threshold}"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs (min-label
     propagation; what survivor selection consumes). The md5 hash family
@@ -7689,6 +7738,7 @@ def _oracle_queries() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "training_mix_report": _training_mix_report_sql(),
         "image_feature_drift": _image_feature_drift_sql(),
+        "dedup_containment": _dedup_containment_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8751,6 +8801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "training_mix_report": q_training_mix_report,
         "image_feature_drift": q_image_feature_drift,
+        "dedup_containment": q_dedup_containment,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

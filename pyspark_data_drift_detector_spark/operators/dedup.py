@@ -189,6 +189,74 @@ def jaccard_pairs(
     return out.select("id1", "id2", F.col("shared").cast("long").alias("shared"), "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-duplicates: pairs where the
+    smaller document's shingle set is mostly inside the other's —
+    ``|A∩B| / min(|A|, |B|)`` ≥ ``threshold`` (Broder's containment
+    coefficient). The dedup case Jaccard structurally misses: a
+    truncated scrape inside the full article scores ``|A|/|B|`` on
+    Jaccard (tiny when B is long) but ~1.0 on containment. Real corpora
+    are full of prefix scrapes, quote-with-commentary pages, and
+    syndicated excerpts — this is the operator that catches them.
+
+    Same exact inverted-index plan as :func:`jaccard_pairs` (hashed
+    shingle self-join → shared counts → per-doc sizes), same
+    ``max_shingle_df`` hot-shingle skew guard with the same documented
+    bounded underestimate; only the final expression differs. Output:
+    ``id1 < id2`` with ``shared``, both set sizes, and ``containment``.
+    """
+    index = _reuse(_hashed_shingle_index(df, text_col, id_col, k))
+    sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_shingle_df is not None:
+        rare = index.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).filter(F.col("__df") <= max_shingle_df)
+        index = index.join(rare.select("shingle"), "shingle", "left_semi")
+    a = index.select(F.col("id").alias("id1"), "shingle")
+    b = index.select(F.col("id").alias("id2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id1")
+                .withColumnRenamed("n_shingles", "n1")
+            ),
+            "id1",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id2")
+                .withColumnRenamed("n_shingles", "n2")
+            ),
+            "id2",
+        )
+        .withColumn(
+            "containment", F.col("shared") / F.least("n1", "n2")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select(
+        "id1",
+        "id2",
+        F.col("shared").cast("long").alias("shared"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "containment",
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -531,3 +531,30 @@ def test_neardup_incremental_estimate_tracks_true_jaccard(spark):
         num_hashes=256, bands=64,
     ).collect()[0]["est_jaccard"]
     assert abs(est - exact) <= 2 / (256 ** 0.5)  # 2 sigma
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    """An 8-word excerpt inside a long document: containment ~1.0 while
+    Jaccard is small (the asymmetric near-dup case); unrelated docs make
+    no pair; min-set-size denominator and both sizes are reported."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "zz yy xx vv uu tt")],
+        "doc_id long, text string",
+    )
+    out = {(r["id1"], r["id2"]): r
+           for r in containment_pairs(df, threshold=0.5).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # long doc: 38 distinct 3-gram shingles; excerpt: 6, all shared
+    assert r["n1"] == 38 and r["n2"] == 6 and r["shared"] == 6
+    assert r["containment"] == 1.0
+    # jaccard on the same pair is 6/38 — far below any dedup threshold
+    j = jaccard_pairs(df, threshold=0.0).filter("id1 = 1 AND id2 = 2")
+    assert abs(j.collect()[0]["jaccard"] - 6 / 38) < 1e-12
