@@ -7317,6 +7317,57 @@ def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "signup",
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step time-to-convert over the view -> click -> signup ->
+    purchase funnel: exact-microsecond deltas between a user's
+    consecutive step completion times, aggregated to mean/p50/p90/
+    min/max seconds per step. Same step semantics (and user sets) as
+    q_funnel."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_latency,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_latency(ev, ["view", "click", "signup", "purchase"])
+    return _round_cols(
+        out,
+        ["mean_seconds", "p50_seconds", "p90_seconds", "min_seconds",
+         "max_seconds"],
+    )
+
+
+def _funnel_latency_sql(steps: tuple[str, ...] = ("view", "click",
+                                                  "signup",
+                                                  "purchase")) -> str:
+    ctes = [
+        "ev AS (SELECT user_id AS u, event_type AS et, ts FROM events)",
+        f"s0 AS (SELECT u, MIN(ts) AS t FROM ev"
+        f" WHERE et = '{steps[0]}' GROUP BY u)",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.u AS u, MIN(e.ts) AS t"
+            f" FROM ev e JOIN s{i-1} p ON e.u IS NOT DISTINCT FROM p.u"
+            f" WHERE e.et = '{step}' AND e.ts > p.t"
+            f" GROUP BY e.u)"
+        )
+    selects = []
+    for i, step in enumerate(steps[1:], start=1):
+        selects.append(
+            f"""SELECT CAST({i} AS BIGINT) AS step_index, '{step}' AS step,
+              CAST(COUNT(1) AS BIGINT) AS n_users,
+              ROUND(AVG(d), {ROUND}) AS mean_seconds,
+              ROUND(quantile_cont(d, 0.5), {ROUND}) AS p50_seconds,
+              ROUND(quantile_cont(d, 0.9), {ROUND}) AS p90_seconds,
+              ROUND(MIN(d), {ROUND}) AS min_seconds,
+              ROUND(MAX(d), {ROUND}) AS max_seconds
+            FROM (SELECT (epoch_us(c.t) - epoch_us(p.t)) / 1000000.0 AS d
+                  FROM s{i} c JOIN s{i-1} p
+                    ON c.u IS NOT DISTINCT FROM p.u)"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level version reconciliation on a simulated re-crawl: ref =
     doc_id%7!=0, curr = doc_id%5!=0 with text mutated on %3==0 and
@@ -7739,6 +7790,7 @@ def _oracle_queries() -> dict[str, str]:
         "training_mix_report": _training_mix_report_sql(),
         "image_feature_drift": _image_feature_drift_sql(),
         "dedup_containment": _dedup_containment_sql(),
+        "funnel_latency": _funnel_latency_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8802,6 +8854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_report": q_training_mix_report,
         "image_feature_drift": q_image_feature_drift,
         "dedup_containment": q_dedup_containment,
+        "funnel_latency": q_funnel_latency,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -958,6 +958,83 @@ def funnel_conversion(
     return spark.sql("\nUNION ALL\n".join(selects))
 
 
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution per funnel step — the companion
+    question to :func:`funnel_conversion`'s "how many?": for users who
+    completed step ``k``, how long after completing step ``k-1``? The
+    number a growth team watches to find WHERE a funnel stalls (not just
+    where it leaks).
+
+    Semantics mirror ``funnel_conversion`` exactly (strictly-after first
+    qualifying event; equal timestamps don't advance), so each step's
+    user set here is the same set the conversion report counts. Output:
+    one row per step k >= 1 — ``step_index, step, n_users`` plus
+    ``mean/p50/p90/min/max`` latency in SECONDS (exact-microsecond
+    integer deltas divided by 1e6; timezone-free). A step nobody
+    reached keeps its row with NULL stats.
+
+    Plan: the same eagerly-checkpointed O(users) step tables as the
+    conversion funnel (one pushed-filter event scan per step, no 2^k
+    CTE re-instantiation — see funnel_conversion), then per step ONE
+    O(users) join of two checkpointed tables and ONE single-row exact
+    percentile aggregate; the union is O(steps) rows.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+        qs,
+    )
+
+    ensure_safe_columns([user_col, type_col, ts_col])
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    u, t, ts = f"`{user_col}`", f"`{type_col}`", f"`{ts_col}`"
+    spark = df.sparkSession
+    prev = spark.sql(
+        f"SELECT {u} AS u, MIN({ts}) AS t FROM {{src}}"
+        f" WHERE {t} = {qs(steps[0])} GROUP BY {u}",
+        src=df,
+    ).localCheckpoint(eager=True)
+    panels = []
+    for i, step in enumerate(steps[1:], start=1):
+        cur = spark.sql(
+            f"SELECT e.u AS u, MIN(e.ts) AS t FROM"
+            f" (SELECT {u} AS u, {t} AS et, {ts} AS ts FROM {{src}}) e"
+            " JOIN {prev} p ON e.u <=> p.u"
+            f" WHERE e.et = {qs(step)} AND e.ts > p.t"
+            " GROUP BY e.u",
+            src=df,
+            prev=prev,
+        ).localCheckpoint(eager=True)
+        panels.append(
+            spark.sql(
+                f"""SELECT CAST({i} AS BIGINT) AS step_index,
+                  {qs(step)} AS step,
+                  CAST(count(1) AS BIGINT) AS n_users,
+                  avg(d) AS mean_seconds,
+                  percentile(d, 0.5) AS p50_seconds,
+                  percentile(d, 0.9) AS p90_seconds,
+                  min(d) AS min_seconds,
+                  max(d) AS max_seconds
+                FROM (SELECT
+                  timestampdiff(MICROSECOND, p.t, c.t) / 1000000.0D AS d
+                  FROM {{cur}} c JOIN {{prev}} p ON c.u <=> p.u)""",
+                cur=cur,
+                prev=prev,
+            )
+        )
+        prev = cur
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def transition_drift(
     ref: DataFrame,
     curr: DataFrame,

@@ -3288,3 +3288,54 @@ def test_review_fix_regressions_session1_ops(spark, tmp_path):
     r = rows[0]
     assert r["n_keep"] == 3            # volume counts all scored docs
     assert r["tp"] + r["fp"] == 2      # label metrics: labeled rows only
+
+
+def test_funnel_latency_hand_checked(spark):
+    """Hand-placed event times: per-step deltas use each user's FIRST
+    qualifying strictly-after event (the funnel_conversion semantics);
+    exact mean/median; a step nobody reaches keeps a NULL-stat row."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_latency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, et, sec):
+        return (uid, et, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        # user 1: view@0 -> click@10 (an earlier click@-5 must not count)
+        ev(1, "click", -5), ev(1, "view", 0), ev(1, "click", 10),
+        ev(1, "signup", 10),   # equal ts: does NOT advance
+        # user 2: view@0 -> click@30 -> signup@90
+        ev(2, "view", 0), ev(2, "click", 30), ev(2, "signup", 90),
+        # user 3: view only
+        ev(3, "view", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    out = {r["step_index"]: r
+           for r in funnel_latency(df, ["view", "click", "signup"]).collect()}
+    assert set(out) == {1, 2}
+    c = out[1]
+    assert c["step"] == "click" and c["n_users"] == 2
+    assert c["mean_seconds"] == pytest.approx(20.0)   # (10 + 30) / 2
+    assert c["p50_seconds"] == pytest.approx(20.0)
+    assert c["min_seconds"] == 10.0 and c["max_seconds"] == 30.0
+    s = out[2]
+    assert s["step"] == "signup" and s["n_users"] == 1
+    assert s["mean_seconds"] == pytest.approx(60.0)   # 90 - 30
+
+    # nobody purchases: the row survives with NULL stats
+    out4 = {r["step_index"]: r for r in funnel_latency(
+        df, ["view", "click", "signup", "purchase"]).collect()}
+    p = out4[3]
+    assert p["n_users"] == 0 and p["mean_seconds"] is None
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel_latency(df, ["view"])
