@@ -7791,6 +7791,7 @@ def _oracle_queries() -> dict[str, str]:
         "image_feature_drift": _image_feature_drift_sql(),
         "dedup_containment": _dedup_containment_sql(),
         "funnel_latency": _funnel_latency_sql(),
+        "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8597,23 +8598,28 @@ def _semantic_dedup_sql(threshold: float = 0.4, k: int = 8) -> str:
     LEFT JOIN dups d ON d.vec_id = a.vec_id"""
 
 
-def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
-    """Unrolled 2-iteration Lloyd replay: assignment = max cosine with
-    row_number tie-break to the smallest cluster id (Spark's
-    array_position-of-max convention), update = per-dimension AVG,
-    empty clusters keep the prior centroid, plus one final assignment
-    pass for member counts."""
-    assign = (
-        "SELECT vec_id, cid FROM ("
-        "  SELECT vec_id, cid,"
-        "    row_number() OVER (PARTITION BY vec_id"
-        "      ORDER BY cos DESC, cid ASC) AS rn"
-        "  FROM {d}) WHERE rn = 1"
-    )
-    cos = f"""
+_KM_ASSIGN = (
+    "SELECT vec_id, cid FROM ("
+    "  SELECT vec_id, cid,"
+    "    row_number() OVER (PARTITION BY vec_id"
+    "      ORDER BY cos DESC, cid ASC) AS rn"
+    "  FROM {d}) WHERE rn = 1"
+)
+
+
+def _km_cos_sql(dim: int) -> str:
+    return f"""
     list_sum(list_transform(range(1, {dim + 1}), i -> v.e[i] * c.e[i]))
       / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
          * sqrt(list_sum(list_transform(c.e, x -> x * x))))"""
+
+
+def _kmeans_c2_ctes_sql(k: int = 4, dim: int = 64) -> str:
+    """WITH-body CTEs replaying a 2-iteration Lloyd fit up to the final
+    centroid table ``c2(cid, e)`` (valid vectors in ``v``) — shared by
+    the kmeans_fit oracle and the semantic_dedup_kmeans oracle."""
+    assign = _KM_ASSIGN
+    cos = _km_cos_sql(dim)
 
     def it(n: int, prev: str) -> str:
         return f"""
@@ -8628,8 +8634,7 @@ def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
     c{n} AS (SELECT p.cid, COALESCE(c{n}m.e, p.e) AS e
              FROM {prev} p LEFT JOIN c{n}m USING (cid))"""
 
-    return f"""
-    WITH v AS (
+    return f"""v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = {dim}
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
@@ -8638,10 +8643,64 @@ def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e
       FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),
     {it(1, 'c0')},
-    {it(2, 'c1')},
-    df AS (SELECT v.vec_id, c.cid, {cos} AS cos
+    {it(2, 'c1')}"""
+
+
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup recipe (Abbas et al. 2023) driver-gated
+    end-to-end: FIT the clustering (2-iteration spherical Lloyd, k=4 —
+    the kmeans_fit configuration) and dedup within the fitted clusters
+    (q_semantic_dedup's greedy farthest-first policy, threshold 0.4).
+    The oracle chains the unrolled Lloyd replay into the dedup
+    replay."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        fit_kmeans,
+        semantic_dedup,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = fit_kmeans(emb, k=4, iters=2, scoring="expr")
+    out = semantic_dedup(emb, cents, threshold=0.4, scoring="expr")
+    return _round_cols(out, ["centroid_cosine"])
+
+
+def _semantic_dedup_kmeans_sql(
+    threshold: float = 0.4, k: int = 4, dim: int = 64
+) -> str:
+    return f"""
+    WITH {_kmeans_c2_ctes_sql(k, dim)},
+    assign AS (
+      SELECT vec_id, e, cid, cos FROM (
+        SELECT v.vec_id, v.e, c.cid, {_km_cos_sql(dim)} AS cos,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY {_km_cos_sql(dim)} DESC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1),
+    n AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_n
+          FROM assign GROUP BY cid),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid
+       AND (b.cos < a.cos OR (b.cos = a.cos AND b.vec_id < a.vec_id))
+       AND list_cosine_similarity(a.e, b.e) >= {threshold})
+    SELECT a.vec_id, a.cid AS cluster_id,
+      ROUND(a.cos, {ROUND}) AS centroid_cosine,
+      n.cluster_n, d.vec_id IS NULL AS is_kept
+    FROM assign a JOIN n USING (cid)
+    LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+
+
+def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:
+    """Unrolled 2-iteration Lloyd replay: assignment = max cosine with
+    row_number tie-break to the smallest cluster id (Spark's
+    array_position-of-max convention), update = per-dimension AVG,
+    empty clusters keep the prior centroid, plus one final assignment
+    pass for member counts."""
+    return f"""
+    WITH {_kmeans_c2_ctes_sql(k, dim)},
+    df AS (SELECT v.vec_id, c.cid, {_km_cos_sql(dim)} AS cos
            FROM v CROSS JOIN c2 c),
-    af AS ({assign.format(d='df')}),
+    af AS ({_KM_ASSIGN.format(d='df')}),
     cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM af GROUP BY cid)
     SELECT c2.cid AS cluster_id, CAST(i.i - 1 AS INT) AS pos,
       ROUND(list_extract(c2.e, i.i), {ROUND}) AS centroid,
@@ -8855,6 +8914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feature_drift": q_image_feature_drift,
         "dedup_containment": q_dedup_containment,
         "funnel_latency": q_funnel_latency,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,
