@@ -7554,6 +7554,124 @@ def _bpe_two_merge_words_sql() -> str:
       WHERE pos IS NULL)"""
 
 
+def _bpe_apply_step_sql(rname: str, wname: str, src: str, best: str) -> str:
+    """One recursive repeated-first-merge application of ``best``'s
+    (l, r) pair to the word table ``src`` → terminal states in
+    ``wname`` (the `_bpe_two_merge_words_sql` block, parametrized for
+    reuse by the fertility-drift oracle). An empty ``best`` passes every
+    word through via the LEFT JOIN fixed point."""
+    return f"""{rname} AS (
+      SELECT word, sym, wc FROM {src}
+      UNION ALL
+      SELECT word, sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
+      FROM (SELECT {rname}.word AS word, {rname}.sym AS sym,
+              {rname}.wc AS wc, {best}.l AS l, {best}.r AS r,
+              list_filter(range(1, len({rname}.sym)),
+                          i -> {rname}.sym[i] = {best}.l
+                               AND {rname}.sym[i+1] = {best}.r)[1] AS pos
+            FROM {rname}, {best}) q
+      WHERE pos IS NOT NULL),
+    {wname} AS (SELECT word, sym, wc
+      FROM (SELECT {rname}.word AS word, {rname}.sym AS sym,
+              {rname}.wc AS wc,
+              list_filter(range(1, len({rname}.sym)),
+                          i -> {rname}.sym[i] = {best}.l
+                               AND {rname}.sym[i+1] = {best}.r)[1] AS pos
+            FROM {rname} LEFT JOIN {best} ON TRUE) q
+      WHERE pos IS NULL)"""
+
+
+def _bpe_fertility_src_sql(parity: int) -> str:
+    """FROM-able subquery: per-doc token/BPE-token/compression features
+    for one corpus side, under the 2-merge table fit on the REF side
+    only (the tokenizer-rot scenario)."""
+    return f"""(WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents) t
+      WHERE word <> ''),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM toks
+           WHERE doc_id % 2 = 0 GROUP BY 1),
+    w0f AS (SELECT word, string_split(word, '') AS sym, wc FROM wf),
+    {_bpe_pairs_sql('p1f', 'w0f')},
+    b1 AS (SELECT l, r, c FROM p1f WHERE c >= 2
+           ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    {_bpe_apply_step_sql('r1f', 'w1f', 'w0f', 'b1')},
+    {_bpe_pairs_sql('p2f', 'w1f')},
+    b2 AS (SELECT l, r, c FROM p2f WHERE c >= 2
+           ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w0a AS (SELECT word, string_split(word, '') AS sym,
+              CAST(1 AS BIGINT) AS wc
+            FROM (SELECT DISTINCT word FROM toks
+                  WHERE doc_id % 2 = {parity})),
+    {_bpe_apply_step_sql('r1a', 'w1a', 'w0a', 'b1')},
+    {_bpe_apply_step_sql('r2a', 'w2a', 'w1a', 'b2')},
+    seg AS (SELECT word, CAST(length(word) AS BIGINT) AS nc,
+              CAST(len(sym) AS BIGINT) AS nb FROM w2a)
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS DOUBLE) AS n_tokens,
+      CAST(SUM(seg.nb) AS DOUBLE) AS n_bpe_tokens,
+      CAST(SUM(seg.nc) AS DOUBLE) / SUM(seg.nb) AS compression
+    FROM toks t JOIN seg USING (word)
+    WHERE t.doc_id % 2 = {parity}
+    GROUP BY t.doc_id)"""
+
+
+def q_bpe_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer rot check: fit the 2-merge BPE table on the REF half of
+    the corpus only, segment BOTH halves with it, and drift-score the
+    per-doc token count / BPE token count / compression (fertility)
+    features — the ablation a tokenizer owner runs when the corpus mix
+    moves under a frozen vocabulary. Composes the oracled trainer
+    (fit_bpe), applier (bpe_segment) and the weighted numeric-drift
+    scorer."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        bpe_segment,
+        fit_bpe,
+    )
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    docs = _documents(spark, sf_dir)
+    ref = docs.filter("doc_id % 2 = 0")
+    curr = docs.filter("doc_id % 2 = 1")
+    merges = fit_bpe(ref, n_merges=2)
+
+    def feats(side: DataFrame) -> DataFrame:
+        return bpe_segment(side, merges).selectExpr(
+            "CAST(n_tokens AS DOUBLE) AS n_tokens",
+            "CAST(n_bpe_tokens AS DOUBLE) AS n_bpe_tokens",
+            "compression",
+        )
+
+    drift = numeric_drift_pair(
+        feats(ref), feats(curr),
+        columns=["n_tokens", "n_bpe_tokens", "compression"],
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    rounded = [
+        "mean_relative_diff", "median_relative_diff",
+        "std_dev_relative_diff", "iqr_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score",
+    ]
+    return _round_cols(
+        drift.select("column_name", *rounded, "drift_detected"), rounded
+    )
+
+
+def _bpe_fertility_drift_sql() -> str:
+    cols = ["n_tokens", "n_bpe_tokens", "compression"]
+    return _numeric_drift_body_sql(
+        _profile_cte("ref", "TRUE", cols=cols,
+                     src=_bpe_fertility_src_sql(0)),
+        _profile_cte("curr", "TRUE", cols=cols,
+                     src=_bpe_fertility_src_sql(1)),
+    )
+
+
 def _bpe_segment_sql() -> str:
     return f"""
     {_bpe_two_merge_words_sql()},
@@ -7792,6 +7910,7 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_containment": _dedup_containment_sql(),
         "funnel_latency": _funnel_latency_sql(),
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(),
+        "bpe_fertility_drift": _bpe_fertility_drift_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8915,6 +9034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "funnel_latency": q_funnel_latency,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "bpe_fertility_drift": q_bpe_fertility_drift,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,
