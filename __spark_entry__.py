@@ -6913,6 +6913,61 @@ def _mix_sample_tokens_sql() -> str:
     WHERE u.uu < FLOOR(r.sample_rate * 1000000)"""
 
 
+def q_mix_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling mixer: hit the explicit lang token mixture by
+    REPEATING scarce groups (epochs > 1, capped at 16) and thinning
+    abundant ones (epochs < 1), expected total mass preserved — the
+    multi-epoch data recipe. copy_idx distinguishes repeats."""
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        mix_sample_epochs,
+    )
+
+    out = mix_sample_epochs(
+        _documents(spark, sf_dir),
+        "lang",
+        {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1},
+        weight_col="n_chars",
+    )
+    return _round_cols(
+        out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "copy_idx",
+            "group_count",
+            "target_share",
+            "epochs",
+        ),
+        ["target_share", "epochs"],
+    )
+
+
+def _mix_sample_epochs_sql(max_epochs: float = 16.0) -> str:
+    return f"""
+    WITH c AS (SELECT lang, SUM(CAST(n_chars AS DOUBLE)) AS mass
+               FROM documents GROUP BY 1
+               HAVING SUM(CAST(n_chars AS DOUBLE)) > 0),
+    t(lang, target_share) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+      ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+      ('es', CAST(0.1 AS DOUBLE))),
+    j AS (SELECT c.lang, c.mass, t.target_share FROM c JOIN t USING (lang)),
+    m AS (SELECT SUM(mass) AS tot FROM j),
+    r AS (SELECT lang, CAST(mass AS BIGINT) AS group_count, target_share,
+            LEAST(CAST({max_epochs!r} AS DOUBLE),
+                  target_share * tot / mass) AS epochs
+          FROM j CROSS JOIN m),
+    u AS (SELECT doc_id, lang, {_md5_u_sql("mix")} AS uu FROM documents)
+    SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang,
+      CAST(i.i AS INT) AS copy_idx, r.group_count,
+      ROUND(r.target_share, {ROUND}) AS target_share,
+      ROUND(r.epochs, {ROUND}) AS epochs
+    FROM u JOIN r USING (lang)
+    CROSS JOIN range({int(max_epochs) + 1}) i(i)
+    WHERE i.i < FLOOR(r.epochs)
+       OR (i.i = FLOOR(r.epochs)
+           AND u.uu < FLOOR((r.epochs - FLOOR(r.epochs)) * 1000000))"""
+
+
 def _mix_sample_sql() -> str:
     return f"""
     WITH c AS (SELECT lang, COUNT(*) AS group_count FROM documents GROUP BY 1),
@@ -7911,6 +7966,7 @@ def _oracle_queries() -> dict[str, str]:
         "funnel_latency": _funnel_latency_sql(),
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(),
         "bpe_fertility_drift": _bpe_fertility_drift_sql(),
+        "mix_sample_epochs": _mix_sample_epochs_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9035,6 +9091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "bpe_fertility_drift": q_bpe_fertility_drift,
+        "mix_sample_epochs": q_mix_sample_epochs,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -320,6 +320,105 @@ def mix_sample(
     )
 
 
+def mix_sample_epochs(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    weight_col: str | None = None,
+    max_epochs: float = 16.0,
+) -> DataFrame:
+    """Rebalance to an explicit target mixture allowing REPETITION — the
+    upsampling sibling of :func:`mix_sample`. LM data recipes routinely
+    repeat scarce high-quality sources for multiple epochs ("4 passes
+    over books, 0.5 over web") rather than discarding web mass to match
+    them; this operator emits each row ``epochs_g`` times in
+    expectation, where ``epochs_g = target_share_g · total_mass /
+    mass_g`` and ``total_mass`` is the targeted groups' combined input
+    mass — so the expected OUTPUT mass equals the input mass with the
+    mix exactly on target (downsampled groups get ``epochs < 1``).
+
+    Each row emits ``floor(epochs)`` whole copies plus one extra iff its
+    deterministic variate clears the fractional part — reproducible on
+    any layout, appends never re-roll old rows. ``copy_idx`` (0-based)
+    distinguishes the repeats so downstream packing/shuffling sees
+    distinct rows. ``weight_col`` switches masses to weight sums (token
+    budgets), the form recipes actually pin.
+
+    ``max_epochs`` caps the repeat factor (quality-data folklore caps
+    repetition well below ~dozens of epochs; a near-empty group would
+    otherwise explode). A capped group undershoots its target share —
+    visible to the caller via the ``epochs`` column sitting at the cap.
+
+    Scale shape: one tiny ``groupBy(group_col)`` mass aggregate,
+    broadcast back; the corpus side is scan → broadcast-join →
+    ``explode(sequence(...))`` — a narrow fan-out bounded by
+    ``ceil(epochs)``, never a shuffle of the corpus.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(v <= 0 for v in target_shares.values()):
+        raise ValueError(
+            "every target share must be > 0 — omit a group to drop it"
+        )
+    if None in target_shares:
+        raise ValueError("NULL group cannot carry a target share")
+    total = sum(target_shares.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares sum to {total}, expected 1")
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    mass = (
+        F.count(F.lit(1)).cast("double")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
+    counts = df.groupBy(group_col).agg(mass.alias("__mass")).filter(
+        "__mass > 0"
+    )
+    targets = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        [group_col, "target_share"],
+    )
+    joined = counts.join(F.broadcast(targets), group_col, "inner")
+    tot = joined.agg(F.sum("__mass").alias("__tot"))
+    rates = joined.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("__mass").cast("bigint").alias("group_count"),
+        "target_share",
+        F.least(
+            F.lit(float(max_epochs)),
+            F.col("target_share") * F.col("__tot") / F.col("__mass"),
+        ).alias("epochs"),
+    )
+    u = uniform_variate(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), group_col, "inner")
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.col("epochs")).cast("int") - 1
+                )
+            ),
+        )
+        .filter(
+            (F.col("copy_idx") < F.floor(F.col("epochs")))
+            | (
+                (F.col("copy_idx") == F.floor(F.col("epochs")))
+                & (
+                    u
+                    < F.floor(
+                        (F.col("epochs") - F.floor(F.col("epochs")))
+                        * _U_MOD
+                    )
+                )
+            )
+        )
+    )
+
+
 def uniform_sample_k(
     df: DataFrame,
     k: int,

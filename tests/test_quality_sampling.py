@@ -643,3 +643,46 @@ def test_quality_classifier_is_streaming_legal(spark, tmp_path):
         for r in quality_classifier(docs, w, bias=0.25, hash_family="md5").collect()
     }
     assert streamed == batch
+
+
+def test_mix_sample_epochs_repeats_scarce_groups(spark):
+    """Upsampling mixer: a scarce group repeats (epochs > 1, whole
+    copies guaranteed, copy_idx distinguishes them), an abundant group
+    thins (epochs < 1); expected total mass is preserved; the cap
+    clamps runaway repetition; validation rejects bad specs."""
+    import pytest
+
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        mix_sample_epochs,
+    )
+
+    # 90 'web' rows vs 10 'books' rows, 50/50 target: books epochs = 5,
+    # web epochs = 5/9 ≈ 0.556
+    rows = [(i, "web") for i in range(90)] + \
+           [(1000 + i, "books") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = mix_sample_epochs(
+        df, "grp", {"web": 0.5, "books": 0.5}, max_epochs=16.0
+    ).collect()
+    books = [r for r in out if r["grp"] == "books"]
+    web = [r for r in out if r["grp"] == "web"]
+    # epochs=5 exactly: every books row appears exactly 5 times
+    assert len(books) == 50
+    assert {r["epochs"] for r in books} == {5.0}
+    assert sorted(r["copy_idx"] for r in books if r["doc_id"] == 1000) == \
+        [0, 1, 2, 3, 4]
+    # web thins to ~50 expected; deterministic so just sanity-bound it
+    assert all(r["copy_idx"] == 0 for r in web)
+    assert 30 <= len(web) <= 70
+    assert all(r["epochs"] == pytest.approx(5 / 9) for r in web)
+
+    # cap: books would need epochs 5 but cap=2 clamps -> exactly 2 copies
+    capped = mix_sample_epochs(
+        df, "grp", {"web": 0.5, "books": 0.5}, max_epochs=2.0
+    ).collect()
+    assert len([r for r in capped if r["grp"] == "books"]) == 20
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        mix_sample_epochs(df, "grp", {"web": 1.0}, max_epochs=0.5)
+    with pytest.raises(ValueError, match="sum"):
+        mix_sample_epochs(df, "grp", {"web": 0.5, "books": 0.4})
