@@ -703,6 +703,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
+    # offset sits far above any shipped SF's max doc_id (~5e3 at sf0.1);
+    # a >=1e6-doc corpus would collide excerpt ids with real ones
     excerpts = docs.filter("doc_id % 5 = 0").selectExpr(
         "doc_id + 1000000 AS doc_id",
         "array_join(slice(split(trim(text), '\\\\s+'), 1, 8), ' ') AS text",
@@ -2381,7 +2383,16 @@ def _profile_cte(
     """Un-rounded per-column profile CTE for drift math. ``src`` may be
     any FROM-able SQL (a table name or a parenthesized subquery — DuckDB
     accepts ``FROM (WITH ... SELECT ...)``), so the same replay serves
-    lineitem and derived feature frames (``image_feature_drift``)."""
+    lineitem and derived feature frames (``image_feature_drift``,
+    ``bpe_fertility_drift``). A derived subquery is hoisted into ONE
+    MATERIALIZED side CTE — the per-column UNION branches would
+    otherwise each re-instantiate it (DuckDB does not CSE a repeated
+    FROM-subquery; the fertility oracle's recursive fit ran 6x before
+    this)."""
+    prefix = ""
+    if src.lstrip().startswith("("):
+        prefix = f"{name}_src AS MATERIALIZED {src},\n    "
+        src = f"{name}_src"
     parts = [
         f"""SELECT '{c}' AS column_name,
           CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2396,7 +2407,7 @@ def _profile_cte(
         FROM {src} AS __src WHERE {where}"""
         for c in (cols if cols is not None else LINEITEM_NUMERIC)
     ]
-    return f"{name} AS ({' UNION ALL '.join(parts)})"
+    return f"{prefix}{name} AS ({' UNION ALL '.join(parts)})"
 
 
 _REL = (
@@ -7569,44 +7580,10 @@ def _bpe_two_merge_words_sql() -> str:
     w0 AS (SELECT word, string_split(word, '') AS sym, wc FROM w),
     {_bpe_pairs_sql('p1', 'w0')},
     b1 AS (SELECT l, r, c FROM p1 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    r1 AS (
-      SELECT word, sym, wc FROM w0
-      UNION ALL
-      SELECT word, sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
-      FROM (SELECT r1.word AS word, r1.sym AS sym, r1.wc AS wc,
-              b1.l AS l, b1.r AS r,
-              list_filter(range(1, len(r1.sym)),
-                          i -> r1.sym[i] = b1.l
-                               AND r1.sym[i+1] = b1.r)[1] AS pos
-            FROM r1, b1) q
-      WHERE pos IS NOT NULL),
-    w1 AS (SELECT word, sym, wc
-      FROM (SELECT r1.word AS word, r1.sym AS sym, r1.wc AS wc,
-              list_filter(range(1, len(r1.sym)),
-                          i -> r1.sym[i] = b1.l
-                               AND r1.sym[i+1] = b1.r)[1] AS pos
-            FROM r1 LEFT JOIN b1 ON TRUE) q
-      WHERE pos IS NULL),
+    {_bpe_apply_step_sql('r1', 'w1', 'w0', 'b1')},
     {_bpe_pairs_sql('p2', 'w1')},
     b2 AS (SELECT l, r, c FROM p2 WHERE c >= 2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    r2 AS (
-      SELECT word, sym, wc FROM w1
-      UNION ALL
-      SELECT word, sym[:pos-1] || [l || r] || sym[pos+2:] AS sym, wc
-      FROM (SELECT r2.word AS word, r2.sym AS sym, r2.wc AS wc,
-              b2.l AS l, b2.r AS r,
-              list_filter(range(1, len(r2.sym)),
-                          i -> r2.sym[i] = b2.l
-                               AND r2.sym[i+1] = b2.r)[1] AS pos
-            FROM r2, b2) q
-      WHERE pos IS NOT NULL),
-    w2 AS (SELECT word, sym, wc
-      FROM (SELECT r2.word AS word, r2.sym AS sym, r2.wc AS wc,
-              list_filter(range(1, len(r2.sym)),
-                          i -> r2.sym[i] = b2.l
-                               AND r2.sym[i+1] = b2.r)[1] AS pos
-            FROM r2 LEFT JOIN b2 ON TRUE) q
-      WHERE pos IS NULL)"""
+    {_bpe_apply_step_sql('r2', 'w2', 'w1', 'b2')}"""
 
 
 def _bpe_apply_step_sql(rname: str, wname: str, src: str, best: str) -> str:
@@ -8743,13 +8720,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["centroid_cosine"])
 
 
-def _semantic_dedup_sql(threshold: float = 0.4, k: int = 8) -> str:
+def _semantic_dedup_sql(
+    threshold: float = 0.4, k: int = 8, dim: int = 64
+) -> str:
     return f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
       FROM embeddings ORDER BY vec_id ASC LIMIT {k}),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-          WHERE embedding IS NOT NULL),
+          WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+            AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            AND list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0),
     assign AS (
       SELECT vec_id, e, cid, cos FROM (
         SELECT v.vec_id, v.e, cent.cid,
@@ -8770,7 +8752,8 @@ def _semantic_dedup_sql(threshold: float = 0.4, k: int = 8) -> str:
       ROUND(a.cos, {ROUND}) AS centroid_cosine,
       n.cluster_n, d.vec_id IS NULL AS is_kept
     FROM assign a JOIN n USING (cid)
-    LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+    LEFT JOIN dups d ON d.vec_id = a.vec_id
+    {_semantic_dedup_invalid_branch_sql()}"""
 
 
 _KM_ASSIGN = (
@@ -8862,7 +8845,27 @@ def _semantic_dedup_kmeans_sql(
       ROUND(a.cos, {ROUND}) AS centroid_cosine,
       n.cluster_n, d.vec_id IS NULL AS is_kept
     FROM assign a JOIN n USING (cid)
-    LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+    LEFT JOIN dups d ON d.vec_id = a.vec_id
+    {_semantic_dedup_invalid_branch_sql()}"""
+
+
+def _semantic_dedup_invalid_branch_sql() -> str:
+    """UNION-ALL tail mirroring the operator's invalid-vector rows:
+    NULL/ragged/zero-norm embeddings carry no geometry, land in the
+    single NULL cluster, and are always kept (``semantic_dedup``'s
+    NULL-group passthrough). Zero rows on today's all-valid synthetic
+    embeddings, but the branch keeps the oracle honest the moment an
+    invalid vector appears (consumed by both semantic_dedup oracles,
+    whose ``v`` CTEs define validity)."""
+    return """
+    UNION ALL
+    SELECT e.vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+      CAST(NULL AS DOUBLE) AS centroid_cosine,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e2
+       WHERE e2.vec_id NOT IN (SELECT vec_id FROM v)) AS cluster_n,
+      TRUE AS is_kept
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM v)"""
 
 
 def _kmeans_fit_sql(k: int = 4, dim: int = 64) -> str:

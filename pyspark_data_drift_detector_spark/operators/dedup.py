@@ -793,7 +793,7 @@ def embedding_neardup_pairs(
 
     import pandas as pd
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key, pdf):
         import numpy as np
 
         bi, bj = key

@@ -1458,9 +1458,11 @@ def semantic_dedup(
     than the cap skips pair generation entirely — every member is kept
     and reported with its true ``cluster_n``, so oversized clusters are
     visible to the caller rather than silently quadratic. Size the cap
-    so cap^2 * dim FLOPs fits one task (the 20k default is ~25 GFLOP at
-    dim 64); a corpus whose clusters overflow it needs a larger k, not a
-    larger cap.
+    by FLOPs (the 20k default is ~25 GFLOP at dim 64 — seconds of
+    BLAS); task memory stays bounded because the similarity scan runs
+    in 1024-row strips (O(block*n), ~160 MB at the cap — never the
+    3.2 GB full n^2 matrix). A corpus whose clusters overflow the cap
+    needs a larger k, not a larger cap.
     """
     if not 0.0 < float(threshold) <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1491,7 +1493,7 @@ def semantic_dedup(
     thr = float(threshold)
     cap = int(max_cluster_size)
 
-    def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def dedup_cluster(key, pdf):
         import numpy as np
 
         n = len(pdf)
@@ -1514,10 +1516,19 @@ def semantic_dedup(
         )
         E = np.stack(pdf["__e"].to_numpy())[order].astype(np.float64)
         E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
-        sim = E @ E.T
         # duplicate iff any strictly-earlier (farther-from-centroid) row
-        # is within threshold: max over the strict lower triangle
-        dup = (np.tril(sim >= thr, -1)).any(axis=1)
+        # is within threshold. Blockwise: a full n^2 sim matrix at the
+        # 20k cap is 3.2 GB/task; a (block x n) strip is ~160 MB peak
+        # and the GEMM FLOPs are identical
+        dup = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            strip = E[s:e] @ E[:e].T  # rows s..e vs all earlier-or-self
+            earlier = (
+                np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            )
+            dup[s:e] = ((strip >= thr) & earlier).any(axis=1)
         kept = out["is_kept"].to_numpy(copy=True)
         kept[order] = ~dup
         out["is_kept"] = kept

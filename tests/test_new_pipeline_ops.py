@@ -2551,6 +2551,42 @@ def test_bpe_segment_arrow_thousand_merges(spark):
         assert out[i]["n_chars"] == len(w)
 
 
+def test_semantic_dedup_blockwise_matches_full_matrix(spark):
+    """The strip-wise earlier-neighbor scan must equal the full n^2
+    lower-triangle scan across block boundaries: one cluster with more
+    than 1024 members, verdicts pinned against a brute-force numpy
+    replay of the same ordering."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, thr = 1500, 8, 0.97
+    base = rng.normal(size=(n, dim))
+    # plant near-dups across the 1024 boundary so the strip join matters
+    base[1100] = base[5] + rng.normal(scale=1e-3, size=dim)
+    base[1301] = base[900] + rng.normal(scale=1e-3, size=dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = [(0, [1.0] + [0.0] * (dim - 1))]  # k=1: one giant cluster
+    got = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup(df, cent, threshold=thr,
+                                   scoring="expr").collect()}
+
+    # brute force with the SAME keep order (centroid cosine asc, id asc)
+    E = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cc = E[:, 0]
+    order = np.lexsort((np.arange(n), cc))
+    Eo = E[order]
+    sim = Eo @ Eo.T
+    dup = (np.tril(sim >= thr, -1)).any(axis=1)
+    want = dict(zip(order.tolist(), (~dup).tolist()))
+    assert got == want
+    assert sum(1 for v in got.values() if not v) >= 2  # planted dups died
+
+
 def test_training_mix_report_invariants(spark, sf_dir):
     """Structural invariants of the mix flagship: the three families are
     present; achieved token shares sum to 1 over the sampled groups;
