@@ -743,6 +743,48 @@ def _dedup_containment_sql(threshold: float = 0.5) -> str:
     WHERE CAST(shared AS DOUBLE) / LEAST(s1.n, s2.n) >= {threshold}"""
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run's headline panel: cluster-size histogram (incl. the
+    singleton row), per-size doc mass, would-drop count under keep-one,
+    and corpus share — over the same md5-family MinHash-LSH clustering
+    q_dedup_clusters gates."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_cluster_stats,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+
+    docs = _documents(spark, sf_dir)
+    clusters = neardup_clusters(
+        minhash_lsh_pairs(docs, threshold=0.3, hash_family="md5")
+    )
+    return _round_cols(
+        dedup_cluster_stats(docs, clusters), ["corpus_share"]
+    )
+
+
+def _dedup_report_sql(threshold: float = 0.3) -> str:
+    return f"""
+    WITH cc AS ({_dedup_clusters_sql(threshold)}),
+    sizes AS (SELECT cluster_id, COUNT(*) AS s FROM cc GROUP BY 1),
+    hist AS (
+      SELECT CAST(s AS BIGINT) AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(s * COUNT(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY s),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM documents),
+    cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cc),
+    panel AS (
+      SELECT * FROM hist
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), corpus_docs - c, corpus_docs - c
+      FROM tot, cl WHERE corpus_docs > c)
+    SELECT cluster_size, n_clusters, n_docs,
+      CAST(n_docs - n_clusters AS BIGINT) AS would_drop,
+      ROUND(n_docs / CAST(corpus_docs AS DOUBLE), {ROUND}) AS corpus_share
+    FROM panel, tot"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs (min-label
     propagation; what survivor selection consumes). The md5 hash family
@@ -7944,6 +7986,7 @@ def _oracle_queries() -> dict[str, str]:
         "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(),
         "bpe_fertility_drift": _bpe_fertility_drift_sql(),
         "mix_sample_epochs": _mix_sample_epochs_sql(),
+        "dedup_report": _dedup_report_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9095,6 +9138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "bpe_fertility_drift": q_bpe_fertility_drift,
         "mix_sample_epochs": q_mix_sample_epochs,
+        "dedup_report": q_dedup_report,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -833,6 +833,63 @@ def embedding_neardup_pairs(
     )
 
 
+def dedup_cluster_stats(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup run's summary artifact: a cluster-SIZE histogram over
+    :func:`neardup_clusters` output plus the singleton row — "how much
+    of the corpus is duplicated, in how many groups, and how much would
+    keep-one-per-cluster drop?" (the numbers a dedup run is judged by
+    before anyone looks at individual pairs).
+
+    Output: one row per observed cluster size (size 1 = unclustered
+    documents) with ``n_clusters``, ``n_docs``, ``would_drop`` (docs
+    beyond each cluster's survivor) and ``corpus_share``. SUM(would_drop)
+    is the corpus's duplicate mass under the min-id survivor policy.
+
+    Plan: the cluster table is already O(clustered docs) and
+    checkpointed by neardup_clusters; everything here is two tiny keyed
+    aggregates, two 1-row counts, and a broadcast — no corpus shuffle
+    beyond the count.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(F.expr("count(1) AS s"))
+    hist = (
+        sizes.groupBy("s")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n_clusters"))
+        .selectExpr(
+            "CAST(s AS BIGINT) AS cluster_size",
+            "n_clusters",
+            "CAST(s * n_clusters AS BIGINT) AS n_docs",
+        )
+    )
+    tot = df.select(id_col).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS corpus_docs")
+    )
+    clustered = clusters.agg(F.expr("CAST(count(1) AS BIGINT) AS c"))
+    singles = (
+        tot.crossJoin(clustered)
+        .filter("corpus_docs > c")  # no singleton row on a fully-dup corpus
+        .selectExpr(
+            "CAST(1 AS BIGINT) AS cluster_size",
+            "CAST(corpus_docs - c AS BIGINT) AS n_clusters",
+            "CAST(corpus_docs - c AS BIGINT) AS n_docs",
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "CAST(n_docs - n_clusters AS BIGINT) AS would_drop",
+            "n_docs / CAST(corpus_docs AS DOUBLE) AS corpus_share",
+        )
+    )
+
+
 def dedup_survivors_by(
     df: DataFrame,
     clusters: DataFrame,

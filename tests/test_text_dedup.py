@@ -558,3 +558,35 @@ def test_containment_catches_excerpts_jaccard_misses(spark):
     # jaccard on the same pair is 6/38 — far below any dedup threshold
     j = jaccard_pairs(df, threshold=0.0).filter("id1 = 1 AND id2 = 2")
     assert abs(j.collect()[0]["jaccard"] - 6 / 38) < 1e-12
+
+
+def test_dedup_cluster_stats_panel(spark):
+    """Hand-built clustering: histogram rows, the singleton row, the
+    would-drop arithmetic, and shares; no singleton row on a fully
+    clustered corpus."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        dedup_cluster_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2} -> 0 ; {3,4} -> 3 ; 5..9 unclustered
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)], "id long, cluster_id long"
+    )
+    out = {r["cluster_size"]: r
+           for r in dedup_cluster_stats(docs, clusters).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[3]["would_drop"] == 2 and out[3]["corpus_share"] == 0.3
+    assert out[2]["would_drop"] == 1
+    assert out[1]["n_clusters"] == 5 and out[1]["would_drop"] == 0
+    assert sum(r["n_docs"] for r in out.values()) == 10
+    assert sum(r["would_drop"] for r in out.values()) == 3
+
+    # fully clustered corpus: no singleton row
+    full = dedup_cluster_stats(
+        docs.filter("doc_id < 5"), clusters
+    ).collect()
+    assert all(r["cluster_size"] > 1 for r in full)
