@@ -6050,6 +6050,67 @@ def _windowed_distinct_sql() -> str:
     FROM events GROUP BY 1"""
 
 
+def q_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: o_totalprice vs the TPC-H rollup of
+    its lineitems (sum of extendedprice*(1-discount)*(1+tax)), with
+    match/mismatch/orphan counts and mismatch magnitudes in one summary
+    row — the fact-vs-summary consistency gate."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_rollup_consistency,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    out = check_rollup_consistency(
+        orders, li, "o_orderkey", "l_orderkey", "o_totalprice",
+        "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))",
+        tolerance=0.01,
+    )
+    return _round_cols(out, ["max_abs_diff", "mean_abs_diff"])
+
+
+def _rollup_consistency_sql(tolerance: float = 0.01) -> str:
+    return f"""
+    WITH rollup AS (
+      SELECT l_orderkey AS k,
+        CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             AS DOUBLE) AS rv,
+        TRUE AS has_c
+      FROM lineitem GROUP BY 1),
+    par AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS pv,
+              TRUE AS has_p
+            FROM orders),
+    j AS (SELECT p.has_p, r.has_c, p.pv, r.rv
+          FROM par p FULL OUTER JOIN rollup r
+            ON p.k IS NOT DISTINCT FROM r.k),
+    cells AS (
+      SELECT has_p, has_c,
+        CASE WHEN has_p AND has_c THEN
+          CAST(COALESCE(ABS(pv - rv) <= {tolerance}, FALSE) AS INT)
+        END AS ok,
+        CASE WHEN has_p AND has_c THEN ABS(pv - rv) END AS ad
+      FROM j)
+    SELECT
+      CAST(SUM(CASE WHEN has_p THEN 1 ELSE 0 END) AS BIGINT) AS n_parent,
+      CAST(SUM(CASE WHEN has_c THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_child_keys,
+      CAST(SUM(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_matched,
+      CAST(SUM(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_mismatched,
+      CAST(SUM(CASE WHEN has_p AND has_c IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_parent_only,
+      CAST(SUM(CASE WHEN has_c AND has_p IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_child_only,
+      ROUND(MAX(CASE WHEN ok = 0 THEN ad END), {ROUND}) AS max_abs_diff,
+      ROUND(AVG(CASE WHEN ok = 0 THEN ad END), {ROUND}) AS mean_abs_diff,
+      SUM(CASE WHEN ok = 0 THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN has_p AND has_c IS NULL THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN has_c AND has_p IS NULL THEN 1 ELSE 0 END) = 0
+        AS consistent
+    FROM cells"""
+
+
 def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style acceptance gate over orders + lineitem: completeness,
     uniqueness, accepted domain, value range, minimum batch size, a
@@ -7987,6 +8048,7 @@ def _oracle_queries() -> dict[str, str]:
         "bpe_fertility_drift": _bpe_fertility_drift_sql(),
         "mix_sample_epochs": _mix_sample_epochs_sql(),
         "dedup_report": _dedup_report_sql(),
+        "rollup_consistency": _rollup_consistency_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9139,6 +9201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility_drift": q_bpe_fertility_drift,
         "mix_sample_epochs": q_mix_sample_epochs,
         "dedup_report": q_dedup_report,
+        "rollup_consistency": q_rollup_consistency,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -213,6 +213,84 @@ def check_referential_integrity(
     )
 
 
+def check_rollup_consistency(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_col: str,
+    child_agg_expr: str,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Cross-table AGGREGATE consistency: does the parent's denormalized
+    column equal the rollup of its children (``o_totalprice`` vs the sum
+    of its lineitems' extended prices)? The reconciliation check every
+    warehouse runs between a fact table and its pre-aggregated summary —
+    drift detectors catch distribution moves, this catches the pipeline
+    writing the two tables from diverging logic.
+
+    ``child_agg_expr`` is a SQL aggregate over the child frame's columns
+    (e.g. ``"sum(l_extendedprice * (1 - l_discount))"``). Keys compare
+    null-safely; a parent key absent from the child (or vice versa)
+    counts separately from a value mismatch. A pair matches when
+    ``|parent - rollup| <= tolerance``; a NULL on either side of a
+    compared pair is a mismatch (it contributes no magnitude).
+
+    Output (one row): key/match/mismatch/orphan counts plus the
+    mismatch magnitudes (``max_abs_diff``, ``mean_abs_diff`` over the
+    MISMATCHED pairs — over all pairs they'd round to the tolerance). Plan: ONE keyed aggregate over the child (map-side
+    partials), one full-outer join on the key — Spark co-partitions
+    both sides on the same key the aggregate just produced — and one
+    O(1)-row summary aggregate. Nothing wider than (key, value) ever
+    shuffles.
+    """
+    ensure_safe_columns([parent_key, child_key, parent_col])
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    rollup = (
+        child.groupBy(F.col(child_key).alias("__ck"))
+        .agg(F.expr(f"CAST(({child_agg_expr}) AS DOUBLE) AS __rollup"))
+        .withColumn("__has_c", F.lit(True))
+    )
+    par = parent.select(
+        F.col(parent_key).alias("__pk"),
+        F.expr(f"CAST(`{parent_col}` AS DOUBLE) AS __pv"),
+        F.lit(True).alias("__has_p"),
+    )
+    joined = par.join(
+        rollup, F.expr("__pk <=> __ck"), "full_outer"
+    )
+    return joined.selectExpr(
+        "CAST(__has_p AS INT) AS p",
+        "CAST(__has_c AS INT) AS c",
+        "__pv",
+        "__rollup",
+        f"CASE WHEN __has_p AND __has_c THEN"
+        f" CAST(coalesce(abs(__pv - __rollup) <= {float(tolerance)!r}D,"
+        " FALSE) AS INT)"
+        " END AS ok",
+        "CASE WHEN __has_p AND __has_c THEN abs(__pv - __rollup)"
+        " END AS ad",
+    ).groupBy().agg(
+        F.expr("CAST(sum(coalesce(p, 0)) AS BIGINT) AS n_parent"),
+        F.expr("CAST(sum(coalesce(c, 0)) AS BIGINT) AS n_child_keys"),
+        F.expr("CAST(sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n_matched"),
+        F.expr("CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n_mismatched"),
+        F.expr("CAST(sum(CASE WHEN p = 1 AND c IS NULL THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS n_parent_only"),
+        F.expr("CAST(sum(CASE WHEN c = 1 AND p IS NULL THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS n_child_only"),
+        F.expr("max(CASE WHEN ok = 0 THEN ad END) AS max_abs_diff"),
+        F.expr("avg(CASE WHEN ok = 0 THEN ad END) AS mean_abs_diff"),
+    ).selectExpr(
+        "*",
+        "n_mismatched = 0 AND n_parent_only = 0 AND n_child_only = 0"
+        " AS consistent",
+    )
+
+
 def check_functional_dependencies(
     df: DataFrame,
     dependencies: list[tuple],

@@ -3375,3 +3375,47 @@ def test_funnel_latency_hand_checked(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         funnel_latency(df, ["view"])
+
+
+def test_rollup_consistency_hand_checked(spark):
+    """Parent/child reconciliation: in-tolerance match, out-of-tolerance
+    mismatch with magnitudes, NULL parent value = mismatch without
+    magnitude, and both orphan directions."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_rollup_consistency,
+    )
+
+    parent = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, None), (4, 5.0)],
+        "k long, total double",
+    )
+    child = spark.createDataFrame(
+        [(1, 4.0), (1, 6.005), (2, 50.0), (3, 1.0), (5, 7.0)],
+        "k long, v double",
+    )
+    r = check_rollup_consistency(
+        parent, child, "k", "k", "total", "sum(v)", tolerance=0.01
+    ).collect()[0]
+    # key 1: 10 vs 10.005 -> match (|diff|=0.005 <= 0.01)
+    # key 2: 99 vs 50 -> mismatch, diff 49
+    # key 3: NULL vs 1 -> mismatch, no magnitude
+    # key 4: parent-only; key 5: child-only
+    assert r["n_parent"] == 4 and r["n_child_keys"] == 4
+    assert r["n_matched"] == 1 and r["n_mismatched"] == 2
+    assert r["n_parent_only"] == 1 and r["n_child_only"] == 1
+    assert r["max_abs_diff"] == pytest.approx(49.0)
+    assert r["mean_abs_diff"] == pytest.approx(49.0)  # NULL pair adds none
+    assert r["consistent"] is False
+
+    ok = check_rollup_consistency(
+        parent.filter("k = 1"), child.filter("k = 1"),
+        "k", "k", "total", "sum(v)", tolerance=0.01,
+    ).collect()[0]
+    assert ok["consistent"] is True and ok["max_abs_diff"] is None
+
+    with _pytest.raises(ValueError, match="tolerance"):
+        check_rollup_consistency(
+            parent, child, "k", "k", "total", "sum(v)", tolerance=-1
+        )
