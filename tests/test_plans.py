@@ -996,3 +996,31 @@ def test_round11_plan_contracts(spark, sf_dir):
         "arrow BPE plan grew with the merge count — the merge list must "
         "ride in the closure, not the plan"
     )
+
+    # mix_sample_epochs: the corpus side is broadcast-join + bounded
+    # explode — its only shuffle is the tiny group-mass aggregate
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        mix_sample_epochs,
+    )
+
+    # <= 4 exchanges, all on the O(groups)/1-row panels (mass aggregate,
+    # total, rate build); the corpus reaches the explode via a broadcast
+    # join, never an exchange of its own rows
+    mse = mix_sample_epochs(docs, "lang", {"en": 0.5, "de": 0.5})
+    assert count_shuffles(mse) <= 4
+    assert "BroadcastHashJoin" in simple_plan(mse) or \
+        "BroadcastNestedLoopJoin" in simple_plan(mse)
+
+    # rollup_consistency: ONE keyed child aggregate; the full-outer join
+    # rides the same key partitioning; summary is a 1-row aggregate
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_rollup_consistency,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rc = check_rollup_consistency(
+        orders, li, "o_orderkey", "l_orderkey", "o_totalprice", "sum(1)"
+    )
+    assert count_scans(rc) == 2
+    assert not sorted_windows(rc)
