@@ -6111,6 +6111,56 @@ def _rollup_consistency_sql(tolerance: float = 0.01) -> str:
     FROM cells"""
 
 
+def q_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic format mixture per column (first-match regex ladder):
+    orders' key (integer), order date (datetime), and the two status
+    strings (other) — the malformed-share companion to type
+    inference."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        format_profile,
+    )
+
+    # NTZ-free timestamp rendering must agree with the oracle's naive
+    # strings regardless of host timezone (q_events_windowed convention)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    out = format_profile(
+        orders,
+        ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"],
+    )
+    return _round_cols(out, ["share"])
+
+
+def _format_profile_sql() -> str:
+    from pyspark_data_drift_detector_spark.operators.text import (
+        _FORMAT_LADDER,
+    )
+
+    cases = " ".join(
+        f"WHEN regexp_matches(v, '{pat}') THEN '{name}'"
+        for name, pat in _FORMAT_LADDER
+    )
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"]
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v"
+        f" FROM orders"
+        for c in cols
+    )
+    return f"""
+    WITH m AS ({melt}),
+    cls AS (SELECT column_name,
+              CASE WHEN v IS NULL THEN 'null'
+                   WHEN trim(v) = '' THEN 'empty'
+                   {cases} ELSE 'other' END AS format
+            FROM m),
+    agg AS (SELECT column_name, format, CAST(COUNT(*) AS BIGINT) AS n
+            FROM cls GROUP BY 1, 2)
+    SELECT column_name, format, n,
+      ROUND(n / CAST(SUM(n) OVER (PARTITION BY column_name) AS DOUBLE),
+            {ROUND}) AS share
+    FROM agg"""
+
+
 def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style acceptance gate over orders + lineitem: completeness,
     uniqueness, accepted domain, value range, minimum batch size, a
@@ -8049,6 +8099,8 @@ def _oracle_queries() -> dict[str, str]:
         "mix_sample_epochs": _mix_sample_epochs_sql(),
         "dedup_report": _dedup_report_sql(),
         "rollup_consistency": _rollup_consistency_sql(),
+        "format_profile": _format_profile_sql(),
+        "cluster_label_purity": _cluster_label_purity_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -8954,6 +9006,59 @@ def _semantic_dedup_kmeans_sql(
     {_semantic_dedup_invalid_branch_sql()}"""
 
 
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validity: per first-8-by-id cluster, member
+    count, distinct labels, majority label + purity, label entropy —
+    the labels-vs-clusters report beside the internal silhouette."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_label_purity,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    out = cluster_label_purity(emb, cents, scoring="expr")
+    return _round_cols(out, ["purity", "label_entropy"])
+
+
+def _cluster_label_purity_sql(k: int = 8) -> str:
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings ORDER BY vec_id ASC LIMIT {k}),
+    assign AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT v.vec_id, v.label, cent.cid,
+          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+            ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                            cent.ce) DESC,
+                     cent.cid ASC) AS rn
+        FROM embeddings v CROSS JOIN cent
+        WHERE v.embedding IS NOT NULL) WHERE rn = 1),
+    cells AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+              FROM assign GROUP BY 1, 2),
+    c2 AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY cid) AS DOUBLE)
+             AS tot FROM cells),
+    agg AS (
+      SELECT cid AS cluster_id, CAST(SUM(n) AS BIGINT) AS n_members,
+        CAST(COUNT(*) AS BIGINT) AS n_labels,
+        ROUND(MAX(n) / MAX(tot), {ROUND}) AS purity,
+        ROUND(-SUM((n / tot) * LN(n / tot)), {ROUND}) AS label_entropy
+      FROM c2 GROUP BY cid),
+    maj AS (
+      SELECT cid AS cluster_id, CAST(label AS VARCHAR) AS majority_label
+      FROM (SELECT cid, label,
+              ROW_NUMBER() OVER (PARTITION BY cid
+                ORDER BY n DESC,
+                  COALESCE(CAST(label AS VARCHAR), '') ASC) AS rn
+            FROM cells) WHERE rn = 1)
+    SELECT a.cluster_id, a.n_members, a.n_labels, m.majority_label,
+      a.purity, a.label_entropy
+    FROM agg a JOIN maj m USING (cluster_id)"""
+
+
 def _semantic_dedup_invalid_branch_sql() -> str:
     """UNION-ALL tail mirroring the operator's invalid-vector rows:
     NULL/ragged/zero-norm embeddings carry no geometry, land in the
@@ -9202,6 +9307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample_epochs": q_mix_sample_epochs,
         "dedup_report": q_dedup_report,
         "rollup_consistency": q_rollup_consistency,
+        "format_profile": q_format_profile,
+        "cluster_label_purity": q_cluster_label_purity,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

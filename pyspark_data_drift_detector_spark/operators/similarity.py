@@ -1543,6 +1543,59 @@ def semantic_dedup(
     ).withColumnRenamed("id", id_col)
 
 
+def cluster_label_purity(
+    df: DataFrame,
+    centroids: list,
+    label_col: str = "label",
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Clustering-vs-labels quality panel: assign every vector to its
+    max-cosine centroid and report, per cluster, the member count,
+    distinct label count, majority label and its share (purity), and
+    the label entropy — the external-validity check a clustering run
+    ships when ground-truth labels exist (complements the internal
+    ``cluster_silhouette``).
+
+    NULL labels form their own label class (their tie-break key is the
+    empty string); invalid vectors land under the NULL cluster row (the
+    ``semantic_dedup`` convention). Ties on the majority label break to
+    the smallest label string. One narrow assignment map + ONE
+    ``groupBy(cluster, label)`` → O(clusters x labels) cells; the
+    per-cluster rollup, purity, and entropy ride that panel (the
+    cluster-partitioned total window is bounded by the label count).
+    """
+    rows = _centroid_rows(centroids)
+    mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
+    cells = (
+        _assign_cluster_ids(df, rows, mode, embedding_col, keep=[label_col])
+        .groupBy("cluster_id", F.col(label_col).alias("__lbl"))
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS __n"))
+        .selectExpr(
+            "*",
+            "CAST(sum(__n) OVER (PARTITION BY cluster_id) AS DOUBLE)"
+            " AS __tot",
+        )
+    )
+    return (
+        cells.groupBy("cluster_id")
+        .agg(
+            F.expr("CAST(sum(__n) AS BIGINT) AS n_members"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_labels"),
+            # largest count wins; ties to the smallest label string
+            F.expr(
+                "CAST(min_by(__lbl, named_struct('nn', -__n, 'l',"
+                " coalesce(CAST(__lbl AS STRING), ''))) AS STRING)"
+                " AS majority_label"
+            ),
+            F.expr("max(__n) / max(__tot) AS purity"),
+            F.expr(
+                "-sum((__n / __tot) * ln(__n / __tot)) AS label_entropy"
+            ),
+        )
+    )
+
+
 def _rff_cos_expr(dim: int, n_features: int, seed: int, sigma: float | None) -> str:
     """SQL text for the raw RFF cosine array over column ``e`` (no
     √(2/D) scaling — sums of these are the additive MMD state)."""

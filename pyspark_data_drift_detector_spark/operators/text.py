@@ -333,6 +333,77 @@ def pii_scrub(
     ).withColumn("n_pii_total", total.cast("long"))
 
 
+_FORMAT_LADDER: list[tuple[str, str]] = [
+    # first-match-wins; ASCII classes only so Java regex and RE2 (the
+    # DuckDB oracle) agree — the normalize_text_expr convention
+    ("integer", r"^[+-]?[0-9]+$"),
+    ("decimal", r"^[+-]?[0-9]+\.[0-9]+$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("datetime",
+     r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?$"),
+    ("uuid",
+     r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+     r"[0-9a-fA-F]{12}$"),
+    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"),
+    ("url", r"^https?://[^\s]+$"),
+    ("tagged_id", r"^[A-Za-z]+#[0-9]+$"),
+]
+
+
+def format_profile(
+    df: DataFrame,
+    columns: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Semantic FORMAT profile of string columns: classify every value
+    against a fixed first-match regex ladder (integer / decimal / date /
+    datetime / uuid / email / url / tagged-id / empty / other) and
+    report per-(column, format) counts and shares. The companion to
+    ``infer_column_types``: where inference names the column's dominant
+    type, this shows the full mixture — the 0.1% of malformed dates in
+    an otherwise clean column is exactly what a format-drift alarm
+    needs and what a dominant-type label hides.
+
+    NULLs report as the ``null`` class (completeness lives here too, so
+    shares sum to 1 per column over ALL rows). One scan, one melted
+    ``groupBy(column, format)``; shares from a SUM window over the
+    O(columns x formats) panel.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    ensure_safe_columns(columns)
+    cases = " ".join(
+        f"WHEN v RLIKE '{pat}' THEN '{name}'"
+        for name, pat in _FORMAT_LADDER
+    )
+    classify = (
+        "CASE WHEN v IS NULL THEN 'null'"
+        " WHEN trim(v) = '' THEN 'empty'"
+        f" {cases} ELSE 'other' END"
+    )
+    stacks = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in columns
+    )
+    melted = df.selectExpr(
+        f"stack({len(columns)}, {stacks}) AS (column_name, v)"
+    )
+    return (
+        melted.selectExpr("column_name", f"{classify} AS format")
+        .groupBy("column_name", "format")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+        # O(columns x formats) panel — the total window is bounded
+        .selectExpr(
+            "*",
+            "n / CAST(sum(n) OVER (PARTITION BY column_name) AS DOUBLE)"
+            " AS share",
+        )
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,

@@ -3419,3 +3419,68 @@ def test_rollup_consistency_hand_checked(spark):
         check_rollup_consistency(
             parent, child, "k", "k", "total", "sum(v)", tolerance=-1
         )
+
+
+def test_format_profile_ladder(spark):
+    """First-match classification: every ladder class, NULL/empty
+    handling, shares summing to 1 per column over ALL rows."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.text import (
+        format_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("42",), ("-7",), ("3.14",), ("2024-01-02",),
+         ("2024-01-02 10:30:00",), ("a@b.co",), ("https://x.io/p",),
+         ("Customer#001",), ("550e8400-e29b-41d4-a716-446655440000",),
+         ("plain words",), ("",), (None,)],
+        "v string",
+    )
+    out = {(r["format"]): r for r in format_profile(df, ["v"]).collect()}
+    assert {k for k in out} == {
+        "integer", "decimal", "date", "datetime", "email", "url",
+        "tagged_id", "uuid", "other", "empty", "null",
+    }
+    assert out["integer"]["n"] == 2  # 42 and -7
+    assert sum(r["n"] for r in out.values()) == 12
+    assert sum(r["share"] for r in out.values()) == pytest.approx(1.0)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        format_profile(df, [])
+
+
+def test_cluster_label_purity_hand_checked(spark):
+    """Purity/entropy arithmetic on a hand-assigned clustering: majority
+    with smallest-label tie-break, NULL labels as their own class."""
+    import math
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        cluster_label_purity,
+    )
+
+    # 2D: cluster 0 = x-axis, cluster 1 = y-axis
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"), (3, [0.95, 0.05], "b"),
+        (4, [0.0, 1.0], "c"), (5, [0.1, 0.9], "d"),  # tie: c vs d -> c
+        (6, [0.05, 0.95], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["cluster_id"]: r
+           for r in cluster_label_purity(df, cents, scoring="expr").collect()}
+    c0 = out[0]
+    assert c0["n_members"] == 3 and c0["n_labels"] == 2
+    assert c0["majority_label"] == "a"
+    assert c0["purity"] == pytest.approx(2 / 3)
+    assert c0["label_entropy"] == pytest.approx(
+        -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    )
+    c1 = out[1]
+    # three singleton labels (c, d, NULL): tie -> NULL's '' key sorts
+    # first, so the NULL class wins the majority slot
+    assert c1["n_members"] == 3 and c1["n_labels"] == 3
+    assert c1["majority_label"] is None
+    assert c1["purity"] == pytest.approx(1 / 3)
