@@ -178,3 +178,47 @@ class TestThresholdFactors:
     )
     def test_cardinality_factor_bounded(self, distinct, total):
         assert 0.8 <= cardinality_factor(distinct, total) <= 1.5
+
+
+class TestBpeApplyEquivalence:
+    """The monotone min-rank segmenter (`_apply_bpe_merges_py`, the
+    Arrow apply path's core) must equal the rank-order one-sweep-each
+    spec — the fold chain's semantics — on arbitrary words and merge
+    tables, including recurring pairs and self-merges."""
+
+    words = st.text(alphabet="abcd", min_size=0, max_size=24)
+    pairs = st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    @staticmethod
+    def _spec(word, merges):
+        sym = list(word)
+        for left, right in merges:
+            out = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            sym = out
+        return sym
+
+    @given(words, pairs)
+    @settings(max_examples=500)
+    def test_matches_rank_order_sweeps(self, word, merges):
+        from pyspark_data_drift_detector_spark.operators.corpus import (
+            _apply_bpe_merges_py,
+        )
+
+        ranks: dict = {}
+        for rk, pr in enumerate(merges):
+            ranks.setdefault(pr, []).append(rk)
+        frozen = {p: tuple(r) for p, r in ranks.items()}
+        assert _apply_bpe_merges_py(list(word), merges, frozen) == \
+            self._spec(word, merges)
