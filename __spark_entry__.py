@@ -6161,6 +6161,117 @@ def _format_profile_sql() -> str:
     FROM agg"""
 
 
+def q_format_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-mixture increment vetting: the o_orderkey%3==0 ingest
+    batch's per-column format mixture against the rolled-up state of
+    the rest — the data-quality member of the vet-the-increment family
+    (prior batches never re-read)."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        format_drift_incremental,
+        format_state,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"]
+    state = format_state(orders.filter("o_orderkey % 3 != 0"), cols)
+    out = format_drift_incremental(
+        orders.filter("o_orderkey % 3 = 0"), state, cols
+    )
+    return _round_cols(out, ["ref_share", "curr_share", "share_abs_diff"])
+
+
+def _format_incremental_sql(threshold: float = 0.02) -> str:
+    from pyspark_data_drift_detector_spark.operators.text import (
+        _FORMAT_LADDER,
+    )
+
+    cases = " ".join(
+        f"WHEN regexp_matches(v, '{pat}') THEN '{name}'"
+        for name, pat in _FORMAT_LADDER
+    )
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"]
+
+    def side(name: str, where: str) -> str:
+        melt = " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v"
+            f" FROM orders WHERE {where}"
+            for c in cols
+        )
+        return f"""{name} AS (
+      SELECT column_name,
+        CASE WHEN v IS NULL THEN 'null' WHEN trim(v) = '' THEN 'empty'
+             {cases} ELSE 'other' END AS format,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({melt}) GROUP BY 1, 2)"""
+
+    return f"""
+    WITH {side('prior', 'o_orderkey % 3 != 0')},
+    {side('batch', 'o_orderkey % 3 = 0')},
+    aligned AS (
+      SELECT COALESCE(p.column_name, b.column_name) AS column_name,
+        COALESCE(p.format, b.format) AS format,
+        COALESCE(p.n, 0) AS ref_n, COALESCE(b.n, 0) AS curr_n
+      FROM prior p FULL OUTER JOIN batch b
+        ON p.column_name = b.column_name AND p.format = b.format),
+    sh AS (
+      SELECT *,
+        ref_n / CAST(NULLIF(SUM(ref_n) OVER (PARTITION BY column_name),
+                            0) AS DOUBLE) AS ref_share,
+        curr_n / CAST(NULLIF(SUM(curr_n) OVER (PARTITION BY
+                             column_name), 0) AS DOUBLE) AS curr_share
+      FROM aligned)
+    SELECT column_name, format, CAST(ref_n AS BIGINT) AS ref_n,
+      CAST(curr_n AS BIGINT) AS curr_n,
+      ROUND(ref_share, {ROUND}) AS ref_share,
+      ROUND(curr_share, {ROUND}) AS curr_share,
+      ROUND(ABS(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)),
+            {ROUND}) AS share_abs_diff,
+      ROUND(ABS(COALESCE(curr_share, 0) - COALESCE(ref_share, 0)), 5)
+        > {threshold} AS drift_detected
+    FROM sh"""
+
+
+def q_rollup_mismatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconciliation drill-down: the 20 orders whose o_totalprice
+    diverges most from their lineitem rollup (heap top-k, ties to the
+    smallest key) — what an on-call engineer opens after
+    q_rollup_consistency fires."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        rollup_mismatch_topk,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    out = rollup_mismatch_topk(
+        orders, _lineitem(spark, sf_dir), "o_orderkey", "l_orderkey",
+        "o_totalprice",
+        "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", k=20,
+    )
+    return _round_cols(
+        out, ["parent_value", "rollup_value", "abs_diff"]
+    )
+
+
+def _rollup_mismatch_topk_sql(k: int = 20, tolerance: float = 0.01) -> str:
+    return f"""
+    WITH rollup AS (
+      SELECT l_orderkey AS k,
+        CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+             AS DOUBLE) AS rv
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey AS key, CAST(o.o_totalprice AS DOUBLE)
+          AS parent_value, r.rv AS rollup_value,
+        ABS(CAST(o.o_totalprice AS DOUBLE) - r.rv) AS abs_diff
+      FROM orders o JOIN rollup r
+        ON o.o_orderkey IS NOT DISTINCT FROM r.k)
+    SELECT key, ROUND(parent_value, {ROUND}) AS parent_value,
+      ROUND(rollup_value, {ROUND}) AS rollup_value,
+      ROUND(abs_diff, {ROUND}) AS abs_diff
+    FROM j WHERE abs_diff > {tolerance}
+    ORDER BY abs_diff DESC, key ASC LIMIT {k}"""
+
+
 def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style acceptance gate over orders + lineitem: completeness,
     uniqueness, accepted domain, value range, minimum batch size, a
@@ -8101,6 +8212,8 @@ def _oracle_queries() -> dict[str, str]:
         "rollup_consistency": _rollup_consistency_sql(),
         "format_profile": _format_profile_sql(),
         "cluster_label_purity": _cluster_label_purity_sql(),
+        "format_incremental": _format_incremental_sql(),
+        "rollup_mismatch_topk": _rollup_mismatch_topk_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9309,6 +9422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_consistency": q_rollup_consistency,
         "format_profile": q_format_profile,
         "cluster_label_purity": q_cluster_label_purity,
+        "format_incremental": q_format_incremental,
+        "rollup_mismatch_topk": q_rollup_mismatch_topk,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -291,6 +291,47 @@ def check_rollup_consistency(
     )
 
 
+def rollup_mismatch_topk(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_col: str,
+    child_agg_expr: str,
+    k: int = 20,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """The drill-down beside :func:`check_rollup_consistency`'s summary:
+    the ``k`` keys whose parent value and child rollup disagree the
+    MOST — what an on-call engineer actually opens. Compared pairs
+    only (orphans carry no magnitude; the summary counts them); ties
+    break to the smallest key. Top-k is a heap
+    (``TakeOrderedAndProject``), never a global sort.
+    """
+    ensure_safe_columns([parent_key, child_key, parent_col])
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rollup = child.groupBy(F.col(child_key).alias("__ck")).agg(
+        F.expr(f"CAST(({child_agg_expr}) AS DOUBLE) AS __rollup")
+    )
+    par = parent.select(
+        F.col(parent_key).alias("__pk"),
+        F.expr(f"CAST(`{parent_col}` AS DOUBLE) AS __pv"),
+    )
+    return (
+        par.join(rollup, F.expr("__pk <=> __ck"), "inner")
+        .selectExpr(
+            "__pk AS key",
+            "__pv AS parent_value",
+            "__rollup AS rollup_value",
+            "abs(__pv - __rollup) AS abs_diff",
+        )
+        .filter(f"abs_diff > {float(tolerance)!r}D")
+        .orderBy(F.col("abs_diff").desc(), F.col("key").asc())
+        .limit(int(k))
+    )
+
+
 def check_functional_dependencies(
     df: DataFrame,
     dependencies: list[tuple],

@@ -404,6 +404,71 @@ def format_profile(
     )
 
 
+def format_state(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Additive per-(column, format) counts for one ingest batch — the
+    format member of the vet-the-increment state tables
+    (``token_share_state`` convention): long rows that SUM across
+    appends, so the corpus-so-far format mixture never re-reads prior
+    batches."""
+    return format_profile(df, columns).select("column_name", "format", "n")
+
+
+def format_drift_incremental(
+    new_df: DataFrame,
+    state: DataFrame,
+    columns: list[str],
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Does THIS ingest batch's format mixture match the corpus-so-far
+    mixture? The data-quality tripwire for continuous ingestion — an
+    upstream producer switching date formats, or a parser starting to
+    emit empty strings, rotates the batch mixture immediately. Batch
+    shares compare against the rolled-up :func:`format_state`; prior
+    batches are never re-read.
+
+    Output per (column, format): ``ref_n, curr_n, ref_share,
+    curr_share, share_abs_diff, drift_detected`` (flag on the
+    5-decimal-rounded diff). Formats seen on only one side align via a
+    full-outer join (keys are never NULL — ``'null'`` is itself a
+    class). Raises on an empty state.
+    """
+    prior = state.groupBy("column_name", "format").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS ref_n")
+    )
+    if prior.isEmpty():
+        raise ValueError(
+            "format state is empty — append at least one batch of"
+            " format_state before vetting an increment against it"
+        )
+    batch = format_state(new_df, columns).selectExpr(
+        "column_name", "format", "n AS curr_n"
+    )
+    counts = (
+        prior.join(batch, ["column_name", "format"], "full_outer")
+        .selectExpr(
+            "column_name",
+            "format",
+            "coalesce(ref_n, 0L) AS ref_n",
+            "coalesce(curr_n, 0L) AS curr_n",
+        )
+    )
+    # O(columns x formats) panel: the per-column total windows are bounded
+    return counts.selectExpr(
+        "*",
+        "ref_n / CAST(nullif(sum(ref_n) OVER (PARTITION BY column_name),"
+        " 0) AS DOUBLE) AS ref_share",
+        "curr_n / CAST(nullif(sum(curr_n) OVER (PARTITION BY"
+        " column_name), 0) AS DOUBLE) AS curr_share",
+    ).selectExpr(
+        "*",
+        "round(abs(coalesce(curr_share, 0.0D) - coalesce(ref_share,"
+        f" 0.0D)), 5) AS share_abs_diff",
+    ).selectExpr(
+        "*",
+        f"share_abs_diff > {float(threshold)!r}D AS drift_detected",
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,

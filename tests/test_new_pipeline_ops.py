@@ -3484,3 +3484,64 @@ def test_cluster_label_purity_hand_checked(spark):
     assert c1["n_members"] == 3 and c1["n_labels"] == 3
     assert c1["majority_label"] is None
     assert c1["purity"] == pytest.approx(1 / 3)
+
+
+def test_format_drift_incremental_vetting(spark):
+    """The format member of the vet-the-increment family: additive
+    state rollup, one-side-only format alignment, share flags on the
+    rounded diff, empty-state rejection."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.text import (
+        format_drift_incremental,
+        format_state,
+    )
+
+    prior1 = spark.createDataFrame([("1",), ("2",)], "v string")
+    prior2 = spark.createDataFrame([("3",), ("2024-01-01",)], "v string")
+    state = format_state(prior1, ["v"]).unionByName(
+        format_state(prior2, ["v"])
+    )
+    # batch: all dates -> 'integer' vanished (ref 3/4), 'date' exploded
+    batch = spark.createDataFrame(
+        [("2024-02-02",), ("2024-03-03",)], "v string"
+    )
+    out = {r["format"]: r
+           for r in format_drift_incremental(batch, state, ["v"]).collect()}
+    assert out["integer"]["ref_n"] == 3 and out["integer"]["curr_n"] == 0
+    assert out["integer"]["ref_share"] == pytest.approx(0.75)
+    assert out["integer"]["curr_share"] == 0.0
+    assert out["integer"]["share_abs_diff"] == pytest.approx(0.75)
+    assert out["integer"]["drift_detected"]
+    assert out["date"]["curr_share"] == 1.0 and out["date"]["drift_detected"]
+
+    with _pytest.raises(ValueError, match="empty"):
+        format_drift_incremental(batch, state.filter("1 = 0"), ["v"])
+
+
+def test_rollup_mismatch_topk_ordering(spark):
+    """Worst offenders first, smallest-key tie-break, in-tolerance and
+    orphan keys excluded, k-bound respected."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        rollup_mismatch_topk,
+    )
+
+    parent = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 7.0), (4, 100.0), (5, 1.0)],
+        "k long, total double",
+    )
+    child = spark.createDataFrame(
+        [(1, 10.005), (2, 10.0), (3, 27.0), (4, 80.0), (9, 1.0)],
+        "k long, v double",
+    )
+    rows = rollup_mismatch_topk(
+        parent, child, "k", "k", "total", "sum(v)", k=2
+    ).collect()
+    # diffs: k2=20, k3=20, k4=20... wait k2=20, k3=20, k4=20
+    assert [r["key"] for r in rows] == [2, 3]  # all diff 20, key tie-break
+    assert all(r["abs_diff"] == pytest.approx(20.0) for r in rows)
+
+    with _pytest.raises(ValueError, match="k must"):
+        rollup_mismatch_topk(parent, child, "k", "k", "total", "sum(v)", k=0)
