@@ -396,6 +396,71 @@ def cluster_share_state_sink(
     return write_batch
 
 
+def format_state_sink(
+    state_path: str,
+    columns: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive format-mixture
+    state (``column_name, format, n`` per micro-batch) that
+    :func:`operators.text.format_drift_incremental` vets new ingest
+    against; the reader re-aggregates, so repeated cells across appends
+    simply sum. The SAME column list must build every append and the
+    vetting call (a column added later would look like a brand-new
+    all-drifted column)."""
+    from pyspark_data_drift_detector_spark.operators.text import format_state
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        format_state(batch_df, columns).write.mode("append").parquet(
+            state_path
+        )
+
+    return write_batch
+
+
+def format_vetting_sink(
+    state_path: str,
+    report_path: str,
+    columns: list[str],
+    threshold: float = 0.02,
+) -> Callable[[DataFrame, int], None]:
+    """The format-quality nightly automation as ONE ``foreachBatch``
+    sink (the ``ingest_vetting_sink`` contract): each micro-batch is
+    first VETTED against the corpus-so-far format mixture
+    (:func:`operators.text.format_drift_incremental`, stamped with
+    ``batch_id`` and appended to ``report_path``), and only then does
+    the state advance with the batch's own counts. Vet-before-advance:
+    a batch compared against a state containing itself would dilute
+    every shift it introduced. The FIRST batch (state missing or
+    massless) bootstraps silently — states are seeded, no report row
+    is written."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.text import (
+        format_drift_incremental,
+    )
+
+    advance = format_state_sink(state_path, columns)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = None
+        # mass, not row existence: a present-but-all-zero state is still
+        # a bootstrap (the vetting-sink gate convention)
+        if state is not None and not state.filter("n > 0").isEmpty():
+            format_drift_incremental(
+                batch_df, state, columns, threshold=threshold
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
 def ingest_vetting_sink(
     fingerprint_path: str,
     passage_path: str,
@@ -549,6 +614,9 @@ _STATE_COMPACTORS = {
     "embedding": lambda df: df.groupBy("kind", "pos").agg(
         F.expr("sum(val) AS val")
     ),
+    "format": lambda df: df.groupBy("column_name", "format").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS n")
+    ),
 }
 
 
@@ -562,6 +630,7 @@ _STATE_COLUMNS = {
     "token_share": {"group_key", "n_docs", "n_tokens"},
     "cluster_share": {"cluster_id", "n"},
     "embedding": {"kind", "pos", "val"},
+    "format": {"column_name", "format", "n"},
 }
 
 

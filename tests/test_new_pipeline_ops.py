@@ -3545,3 +3545,48 @@ def test_rollup_mismatch_topk_ordering(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         rollup_mismatch_topk(parent, child, "k", "k", "total", "sum(v)", k=0)
+
+
+def test_format_vetting_sink(spark, tmp_path):
+    """Vet-before-advance for the format member: batch 0 bootstraps
+    silently; batch 1 is vetted against batch 0 ONLY (its own rows not
+    in the reference); state accumulates additively; compaction is
+    verdict-identical."""
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        compact_state,
+        format_vetting_sink,
+    )
+
+    state_p = str(tmp_path / "fmt_state")
+    report_p = str(tmp_path / "fmt_report")
+    sink = format_vetting_sink(state_p, report_p, ["v"], threshold=0.1)
+
+    b0 = spark.createDataFrame([("1",), ("2",), ("3",)], "v string")
+    sink(b0, 0)
+    import os
+    assert not os.path.exists(report_p)  # bootstrap: no report
+    assert spark.read.parquet(state_p).count() == 1  # one (v, integer)
+
+    b1 = spark.createDataFrame([("2024-01-01",), ("7",)], "v string")
+    sink(b1, 1)
+    rep = {r["format"]: r for r in spark.read.parquet(report_p).collect()}
+    # vetted against batch 0 only: ref integer share 1.0, curr 0.5
+    assert rep["integer"]["ref_n"] == 3 and rep["integer"]["curr_n"] == 1
+    assert rep["integer"]["share_abs_diff"] == pytest.approx(0.5)
+    assert rep["integer"]["drift_detected"]
+    assert rep["date"]["ref_n"] == 0 and rep["date"]["drift_detected"]
+    assert all(r["batch_id"] == 1 for r in rep.values())
+
+    # state now holds both batches additively
+    state = spark.read.parquet(state_p)
+    assert state.groupBy().agg(F.expr("sum(n)")).collect()[0][0] == 5
+
+    # compaction: row count shrinks, rolled-up counts identical
+    before = {(r["column_name"], r["format"]): r["n"]
+              for r in state.groupBy("column_name", "format")
+              .agg(F.expr("CAST(sum(n) AS BIGINT) AS n")).collect()}
+    res = compact_state(spark, state_p, "format")
+    assert res["rows_after"] <= res["rows_before"]
+    after = {(r["column_name"], r["format"]): r["n"]
+             for r in spark.read.parquet(state_p).collect()}
+    assert before == after
