@@ -7610,18 +7610,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["share_of_first", "share_of_prev"])
 
 
-def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "signup",
-                                          "purchase")) -> str:
+def _funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "signup", "purchase"),
+    max_lag_seconds: int | None = None,
+) -> str:
     ctes = [
         "ev AS (SELECT user_id AS u, event_type AS et, ts FROM events)",
         f"s0 AS (SELECT u, MIN(ts) AS t0 FROM ev"
         f" WHERE et = '{steps[0]}' GROUP BY u)",
     ]
     for i, step in enumerate(steps[1:], start=1):
+        lag = (
+            ""
+            if max_lag_seconds is None
+            else f" AND e.ts <= p.t{i-1}"
+            f" + INTERVAL {int(max_lag_seconds)} SECOND"
+        )
         ctes.append(
             f"s{i} AS (SELECT e.u AS u, MIN(e.ts) AS t{i}"
             f" FROM ev e JOIN s{i-1} p ON e.u IS NOT DISTINCT FROM p.u"
-            f" WHERE e.et = '{step}' AND e.ts > p.t{i-1}"
+            f" WHERE e.et = '{step}' AND e.ts > p.t{i-1}{lag}"
             f" GROUP BY e.u)"
         )
     ctes.append(
@@ -7696,6 +7704,23 @@ def _funnel_latency_sql(steps: tuple[str, ...] = ("view", "click",
                     ON c.u IS NOT DISTINCT FROM p.u)"""
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each step only counts within 2 days of
+    the previous step's completion (median step latency ≈ 1.5 days, so
+    the window bites on roughly half the conversions) — "purchased
+    within 48h", the form funnel metrics actually ship in."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = funnel_conversion(
+        ev, ["view", "click", "signup", "purchase"],
+        max_lag_seconds=172_800,
+    )
+    return _round_cols(out, ["share_of_first", "share_of_prev"])
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8214,6 +8239,7 @@ def _oracle_queries() -> dict[str, str]:
         "cluster_label_purity": _cluster_label_purity_sql(),
         "format_incremental": _format_incremental_sql(),
         "rollup_mismatch_topk": _rollup_mismatch_topk_sql(),
+        "funnel_windowed": _funnel_sql(max_lag_seconds=172_800),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9424,6 +9450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_label_purity": q_cluster_label_purity,
         "format_incremental": q_format_incremental,
         "rollup_mismatch_topk": q_rollup_mismatch_topk,
+        "funnel_windowed": q_funnel_windowed,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -889,6 +889,7 @@ def funnel_conversion(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_lag_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel over an event stream: a user completes
     step ``k`` when an event of type ``steps[k]`` occurs STRICTLY after
@@ -897,6 +898,14 @@ def funnel_conversion(
     product-analytics question — "of the users who viewed, how many
     clicked, then signed up, then purchased, in that order?" — which no
     unordered groupBy can answer.
+
+    ``max_lag_seconds`` adds the conversion-window variant every funnel
+    tool offers: step ``k`` only counts if it lands within that many
+    seconds AFTER the step ``k-1`` completion (strictly-after still
+    applies) — "purchased within 24h of signing up". A user whose only
+    qualifying events fall outside the window does not convert, and
+    later steps measure from the windowed completion time. ``None``
+    (default) keeps the unbounded behavior.
 
     Output: one row per step — ``step_index, step, n_users,
     share_of_first`` (conversion from the funnel's entry),
@@ -923,6 +932,16 @@ def funnel_conversion(
     ensure_safe_columns([user_col, type_col, ts_col])
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if max_lag_seconds is not None and max_lag_seconds <= 0:
+        raise ValueError(
+            f"max_lag_seconds must be positive, got {max_lag_seconds}"
+        )
+    lag_pred = (
+        ""
+        if max_lag_seconds is None
+        else f" AND e.ts <= timestampadd(SECOND, {int(max_lag_seconds)},"
+        " p.t)"
+    )
     u, t, ts = f"`{user_col}`", f"`{type_col}`", f"`{ts_col}`"
     spark = df.sparkSession
     cur = spark.sql(
@@ -936,7 +955,7 @@ def funnel_conversion(
             f"SELECT e.u AS u, MIN(e.ts) AS t FROM"
             f" (SELECT {u} AS u, {t} AS et, {ts} AS ts FROM {{src}}) e"
             " JOIN {prev} p ON e.u <=> p.u"
-            f" WHERE e.et = {qs(step)} AND e.ts > p.t"
+            f" WHERE e.et = {qs(step)} AND e.ts > p.t{lag_pred}"
             " GROUP BY e.u",
             src=df,
             prev=cur,

@@ -3590,3 +3590,40 @@ def test_format_vetting_sink(spark, tmp_path):
     after = {(r["column_name"], r["format"]): r["n"]
              for r in spark.read.parquet(state_p).collect()}
     assert before == after
+
+
+def test_funnel_conversion_window(spark):
+    """max_lag_seconds: a step landing outside the window does not
+    convert even when a later out-of-window event exists; within-window
+    conversions use the first qualifying event; validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, et, sec):
+        return (uid, et, t0 + dt.timedelta(seconds=sec))
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 50),          # inside 60s
+        ev(2, "view", 0), ev(2, "click", 100),          # outside
+        ev(3, "view", 0), ev(3, "click", 60),           # boundary: inside
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    out = {r["step_index"]: r["n_users"] for r in funnel_conversion(
+        df, ["view", "click"], max_lag_seconds=60).collect()}
+    assert out == {0: 3, 1: 2}
+    # unbounded still converts everyone
+    out2 = {r["step_index"]: r["n_users"]
+            for r in funnel_conversion(df, ["view", "click"]).collect()}
+    assert out2 == {0: 3, 1: 3}
+
+    with _pytest.raises(ValueError, match="max_lag_seconds"):
+        funnel_conversion(df, ["view", "click"], max_lag_seconds=0)
