@@ -7706,6 +7706,80 @@ def _funnel_latency_sql(steps: tuple[str, ...] = ("view", "click",
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_watermark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing: how much data would a delay of 0/10min/30min/
+    1h/2h drop? The events stream is time-ordered in the synthetic
+    corpus, so the query simulates a realistic ingest sequence — each
+    event's arrival is its event time plus a deterministic md5 jitter
+    of up to 2h (replayed exactly in SQL) — and the planner measures
+    lateness against the running event-time max in arrival order (the
+    distributed two-phase prefix-max)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import md5_hash60
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        watermark_planner,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    jitter = md5_hash60(
+        F.concat_ws("|", F.col("event_id").cast("string"), F.lit("wm"))
+    ) % 7200
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # unique arrival key: jittered second resolution + event_id tiebreak
+    ev = ev.withColumn(
+        "arrival", (epoch_s + jitter) * F.lit(10_000_000) + F.col("event_id")
+    )
+    out = watermark_planner(
+        ev, [0, 600, 1800, 3600, 7200], ts_col="ts", order_col="arrival"
+    )
+    return _round_cols(
+        out,
+        ["late_share", "p50_lateness", "p90_lateness", "p99_lateness",
+         "max_lateness"],
+    )
+
+
+def _watermark_planner_sql() -> str:
+    delays = [0, 600, 1800, 3600, 7200]
+    md5v = ("('0x'||substring(md5(CAST(event_id AS VARCHAR)||'|wm'),1,15))"
+            "::BIGINT % 7200")
+    nl = ", ".join(
+        f"CAST(SUM(CASE WHEN late > {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nl{i}"
+        for i, d in enumerate(delays)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS delay_seconds, n_events,
+      nl{i} AS n_late,
+      ROUND(nl{i} / CAST(n_events AS DOUBLE), {ROUND}) AS late_share,
+      p50_lateness, p90_lateness, p99_lateness, max_lateness FROM agg"""
+        for i, d in enumerate(delays)
+    )
+    return f"""
+    WITH base AS (
+      -- floor division of integer micros: Spark's timestampdiff(SECOND)
+      -- FLOORS fractional seconds while epoch(ts)::BIGINT would round
+      SELECT ((epoch_us(ts) // 1000000) + {md5v}) * 10000000 + event_id
+        AS o,
+        ts AS t
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+    wm AS (SELECT t, MAX(t) OVER (ORDER BY o
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM base),
+    l AS (SELECT (epoch_us(m) - epoch_us(t)) / 1000000.0 AS late FROM wm),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(quantile_cont(late, 0.5), {ROUND}) AS p50_lateness,
+      ROUND(quantile_cont(late, 0.9), {ROUND}) AS p90_lateness,
+      ROUND(quantile_cont(late, 0.99), {ROUND}) AS p99_lateness,
+      ROUND(MAX(late), {ROUND}) AS max_lateness,
+      {nl}
+    FROM l)
+    {rows}"""
+
+
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-window funnel: each step only counts within 2 days of
     the previous step's completion (median step latency ≈ 1.5 days, so
@@ -8240,6 +8314,7 @@ def _oracle_queries() -> dict[str, str]:
         "format_incremental": _format_incremental_sql(),
         "rollup_mismatch_topk": _rollup_mismatch_topk_sql(),
         "funnel_windowed": _funnel_sql(max_lag_seconds=172_800),
+        "watermark_planner": _watermark_planner_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9451,6 +9526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_incremental": q_format_incremental,
         "rollup_mismatch_topk": q_rollup_mismatch_topk,
         "funnel_windowed": q_funnel_windowed,
+        "watermark_planner": q_watermark_planner,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1054,6 +1054,114 @@ def funnel_latency(
     return out
 
 
+def watermark_planner(
+    df: DataFrame,
+    delays: list[int],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """How late does this stream's data actually arrive — and what would
+    a given watermark DROP? Per event, lateness = (max event-time seen
+    at or before its arrival) − (its own event time), where arrival is
+    ``order_col`` (ingest sequence / offset). For every candidate
+    watermark delay the planner reports how many events exceed it — the
+    measurement that sizes ``withWatermark()`` before a streaming job
+    silently discards data, plus the lateness distribution
+    (p50/p90/p99/max) for context.
+
+    Scale shape: the naive plan is ONE unpartitioned ordered window
+    (every event through one task). Here the running max is the
+    two-phase distributed prefix-max (the ``bucketed_cumsum`` recipe —
+    max is associative, so bucket-prefix offsets combine exactly):
+    equi-depth arrival-order buckets via ``percentile_approx`` edges
+    (approximation skews only balance, never the result), per-bucket
+    maxima → exclusive running offsets over the O(buckets) table,
+    within-bucket ordered windows, ``greatest(offset, within)``. Events
+    with NULL arrival or NULL event time are excluded (they carry no
+    order / no time).
+
+    Output: one row per candidate delay — ``delay_seconds, n_events,
+    n_late, late_share`` plus the constant distribution columns
+    (``p50/p90/p99/max_lateness`` in seconds).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, order_col])
+    if not delays:
+        raise ValueError("delays must be non-empty")
+    if any(d < 0 for d in delays):
+        raise ValueError(f"delays must be >= 0, got {sorted(delays)}")
+    base = df.selectExpr(
+        f"`{order_col}` AS __o", f"`{ts_col}` AS __t"
+    ).filter("__o IS NOT NULL AND __t IS NOT NULL")
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    edges = base.agg(
+        F.percentile_approx(
+            F.col("__o"), F.array(*[F.lit(p) for p in probs]), F.lit(1000)
+        ).alias("__edges")
+    )
+    with_b = base.crossJoin(F.broadcast(edges)).selectExpr(
+        "__o",
+        "__t",
+        "aggregate(__edges, 0, (b, e) -> b + CAST(__o > e AS INT)) AS __b",
+    ).drop("__edges")
+    bmax = with_b.groupBy("__b").agg(F.expr("max(__t) AS __bm"))
+    offsets = bmax.selectExpr(
+        "__b",
+        # exclusive prefix max over the O(buckets) panel
+        "max(__bm) OVER (ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND 1 PRECEDING) AS __off",
+    )
+    w = Window.partitionBy("__b").orderBy("__o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = (
+        with_b.withColumn("__wm", F.max("__t").over(w))
+        .join(F.broadcast(offsets), "__b")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, __t,"
+            " greatest(coalesce(__off, __t), __wm)) / 1000000.0D AS __late"
+        )
+    )
+    aggs = [
+        "CAST(count(1) AS BIGINT) AS n_events",
+        "percentile(__late, 0.5D) AS p50_lateness",
+        "percentile(__late, 0.9D) AS p90_lateness",
+        "percentile(__late, 0.99D) AS p99_lateness",
+        "max(__late) AS max_lateness",
+    ] + [
+        f"CAST(sum(CAST(__late > {int(d)} AS BIGINT)) AS BIGINT)"
+        f" AS __n_late_{i}"
+        for i, d in enumerate(delays)
+    ]
+    one = late.groupBy().agg(*[F.expr(a) for a in aggs])
+    rows = ", ".join(
+        f"named_struct('delay_seconds', CAST({int(d)} AS BIGINT),"
+        f" 'n_late', __n_late_{i})"
+        for i, d in enumerate(delays)
+    )
+    return one.selectExpr(
+        "n_events",
+        "p50_lateness",
+        "p90_lateness",
+        "p99_lateness",
+        "max_lateness",
+        f"inline(array({rows}))",
+    ).selectExpr(
+        "delay_seconds",
+        "n_events",
+        "n_late",
+        "n_late / CAST(n_events AS DOUBLE) AS late_share",
+        "p50_lateness",
+        "p90_lateness",
+        "p99_lateness",
+        "max_lateness",
+    )
+
+
 def transition_drift(
     ref: DataFrame,
     curr: DataFrame,

@@ -3627,3 +3627,50 @@ def test_funnel_conversion_window(spark):
 
     with _pytest.raises(ValueError, match="max_lag_seconds"):
         funnel_conversion(df, ["view", "click"], max_lag_seconds=0)
+
+
+def test_watermark_planner_hand_checked(spark):
+    """Running-max lateness on a hand-ordered stream, cross-checking the
+    two-phase prefix max against known per-event lateness; per-delay
+    drop counts; validation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        watermark_planner,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(order, sec):
+        return (order, t0 + dt.timedelta(seconds=sec))
+
+    # arrival order vs event time: lateness = runmax - own
+    rows = [
+        ev(1, 100),   # runmax 100, late 0
+        ev(2, 50),    # late 50
+        ev(3, 200),   # late 0
+        ev(4, 120),   # late 80
+        ev(5, 199),   # late 1
+        (6, None),    # excluded
+        (None, t0),   # excluded
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = {r["delay_seconds"]: r for r in watermark_planner(
+        df, [0, 10, 60, 100], ts_col="ts", order_col="event_id",
+        num_buckets=2,
+    ).collect()}
+    assert all(r["n_events"] == 5 for r in out.values())
+    assert out[0]["n_late"] == 3      # 50, 80, 1
+    assert out[10]["n_late"] == 2     # 50, 80
+    assert out[60]["n_late"] == 1     # 80
+    assert out[100]["n_late"] == 0
+    assert out[0]["late_share"] == pytest.approx(0.6)
+    assert out[0]["max_lateness"] == 80.0
+    assert out[0]["p50_lateness"] == 1.0  # median of [0,0,1,50,80]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        watermark_planner(df, [])
+    with _pytest.raises(ValueError, match=">= 0"):
+        watermark_planner(df, [-5])
