@@ -7767,7 +7767,7 @@ def _watermark_planner_sql() -> str:
         ts AS t
       FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
     wm AS (SELECT t, MAX(t) OVER (ORDER BY o
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
            FROM base),
     l AS (SELECT (epoch_us(m) - epoch_us(t)) / 1000000.0 AS late FROM wm),
     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -9237,22 +9237,37 @@ def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["purity", "label_entropy"])
 
 
-def _cluster_label_purity_sql(k: int = 8) -> str:
+def _cluster_label_purity_sql(k: int = 8, dim: int = 64) -> str:
     return f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
       FROM embeddings ORDER BY vec_id ASC LIMIT {k}),
+    v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND list_dot_product(embedding::DOUBLE[],
+                             embedding::DOUBLE[]) > 0),
     assign AS (
       SELECT vec_id, label, cid FROM (
         SELECT v.vec_id, v.label, cent.cid,
           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-            ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
-                                            cent.ce) DESC,
+            ORDER BY list_cosine_similarity(v.e, cent.ce) DESC,
                      cent.cid ASC) AS rn
-        FROM embeddings v CROSS JOIN cent
-        WHERE v.embedding IS NOT NULL) WHERE rn = 1),
-    cells AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
-              FROM assign GROUP BY 1, 2),
+        FROM v CROSS JOIN cent) WHERE rn = 1),
+    -- invalid vectors (NULL/ragged/zero-norm) form the operator's
+    -- NULL-cluster row (the semantic_dedup convention): zero rows on
+    -- today's all-valid synthetic embeddings, honest the moment one
+    -- appears
+    cells AS (
+      SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assign GROUP BY 1, 2
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS cid, e.label,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM v)
+      GROUP BY 2),
     c2 AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY cid) AS DOUBLE)
              AS tot FROM cells),
     agg AS (
@@ -9270,7 +9285,8 @@ def _cluster_label_purity_sql(k: int = 8) -> str:
             FROM cells) WHERE rn = 1)
     SELECT a.cluster_id, a.n_members, a.n_labels, m.majority_label,
       a.purity, a.label_entropy
-    FROM agg a JOIN maj m USING (cluster_id)"""
+    FROM agg a JOIN maj m
+      ON a.cluster_id IS NOT DISTINCT FROM m.cluster_id"""
 
 
 def _semantic_dedup_invalid_branch_sql() -> str:

@@ -311,6 +311,8 @@ def rollup_mismatch_topk(
     ensure_safe_columns([parent_key, child_key, parent_col])
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     rollup = child.groupBy(F.col(child_key).alias("__ck")).agg(
         F.expr(f"CAST(({child_agg_expr}) AS DOUBLE) AS __rollup")
     )

@@ -1079,7 +1079,10 @@ def watermark_planner(
     maxima → exclusive running offsets over the O(buckets) table,
     within-bucket ordered windows, ``greatest(offset, within)``. Events
     with NULL arrival or NULL event time are excluded (they carry no
-    order / no time).
+    order / no time). ``order_col`` must be NUMERIC; equal arrival
+    values are treated as simultaneous — every tied event sees the max
+    over ALL ties (a RANGE frame), so the result is deterministic even
+    for a seconds-resolution ingest timestamp with collisions.
 
     Output: one row per candidate delay — ``delay_seconds, n_events,
     n_late, late_share`` plus the constant distribution columns
@@ -1115,7 +1118,9 @@ def watermark_planner(
         "max(__bm) OVER (ORDER BY __b ROWS BETWEEN UNBOUNDED PRECEDING"
         " AND 1 PRECEDING) AS __off",
     )
-    w = Window.partitionBy("__b").orderBy("__o").rowsBetween(
+    # RANGE, not ROWS: ties on the arrival key are simultaneous — every
+    # tied event scores against the max over all ties, deterministically
+    w = Window.partitionBy("__b").orderBy("__o").rangeBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     late = (

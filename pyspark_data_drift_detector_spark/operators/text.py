@@ -353,7 +353,6 @@ _FORMAT_LADDER: list[tuple[str, str]] = [
 def format_profile(
     df: DataFrame,
     columns: list[str],
-    id_col: str | None = None,
 ) -> DataFrame:
     """Semantic FORMAT profile of string columns: classify every value
     against a fixed first-match regex ladder (integer / decimal / date /
@@ -376,23 +375,23 @@ def format_profile(
     if not columns:
         raise ValueError("columns must be non-empty")
     ensure_safe_columns(columns)
-    cases = " ".join(
-        f"WHEN v RLIKE '{pat}' THEN '{name}'"
-        for name, pat in _FORMAT_LADDER
-    )
-    classify = (
-        "CASE WHEN v IS NULL THEN 'null'"
-        " WHEN trim(v) = '' THEN 'empty'"
-        f" {cases} ELSE 'other' END"
-    )
     stacks = ", ".join(
         f"'{c}', CAST(`{c}` AS STRING)" for c in columns
     )
     melted = df.selectExpr(
         f"stack({len(columns)}, {stacks}) AS (column_name, v)"
     )
+    # Column-API rlike, NOT an embedded SQL string: selectExpr would
+    # re-parse the pattern as a SQL string literal and STRIP the regex
+    # backslashes ('\\.' -> any char, '[^\\s]' -> "not the letter s") —
+    # silently corrupting the decimal/email/url classes
+    v = F.col("v")
+    classify = F.when(v.isNull(), "null").when(F.trim(v) == "", "empty")
+    for name, pat in _FORMAT_LADDER:
+        classify = classify.when(v.rlike(pat), name)
+    classify = classify.otherwise("other")
     return (
-        melted.selectExpr("column_name", f"{classify} AS format")
+        melted.select("column_name", classify.alias("format"))
         .groupBy("column_name", "format")
         .agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
         # O(columns x formats) panel — the total window is bounded

@@ -3434,7 +3434,11 @@ def test_format_profile_ladder(spark):
         [("42",), ("-7",), ("3.14",), ("2024-01-02",),
          ("2024-01-02 10:30:00",), ("a@b.co",), ("https://x.io/p",),
          ("Customer#001",), ("550e8400-e29b-41d4-a716-446655440000",),
-         ("plain words",), ("",), (None,)],
+         ("plain words",), ("",), (None,),
+         # regex-backslash adversaries: '12a34' matched the DECIMAL class
+         # and any URL containing 's' missed URL when the patterns were
+         # round-tripped through a SQL string literal (r11 review find)
+         ("12a34",), ("https://s.example.com/stuff",)],
         "v string",
     )
     out = {(r["format"]): r for r in format_profile(df, ["v"]).collect()}
@@ -3443,7 +3447,10 @@ def test_format_profile_ladder(spark):
         "tagged_id", "uuid", "other", "empty", "null",
     }
     assert out["integer"]["n"] == 2  # 42 and -7
-    assert sum(r["n"] for r in out.values()) == 12
+    assert out["decimal"]["n"] == 1  # 3.14 only — NOT 12a34
+    assert out["url"]["n"] == 2      # incl. the 's'-bearing URL
+    assert out["other"]["n"] == 2    # plain words, 12a34
+    assert sum(r["n"] for r in out.values()) == 14
     assert sum(r["share"] for r in out.values()) == pytest.approx(1.0)
 
     with _pytest.raises(ValueError, match="non-empty"):
@@ -3539,8 +3546,9 @@ def test_rollup_mismatch_topk_ordering(spark):
     rows = rollup_mismatch_topk(
         parent, child, "k", "k", "total", "sum(v)", k=2
     ).collect()
-    # diffs: k2=20, k3=20, k4=20... wait k2=20, k3=20, k4=20
-    assert [r["key"] for r in rows] == [2, 3]  # all diff 20, key tie-break
+    # keys 2, 3, 4 all diverge by exactly 20; k=2 plus the ascending-key
+    # tie-break selects [2, 3]
+    assert [r["key"] for r in rows] == [2, 3]
     assert all(r["abs_diff"] == pytest.approx(20.0) for r in rows)
 
     with _pytest.raises(ValueError, match="k must"):
@@ -3653,7 +3661,11 @@ def test_watermark_planner_hand_checked(spark):
         ev(3, 200),   # late 0
         ev(4, 120),   # late 80
         ev(5, 199),   # late 1
-        (6, None),    # excluded
+        # tied arrival: simultaneous events both see the max over ALL
+        # ties (RANGE frame) — deterministic regardless of row order
+        ev(7, 300),   # late 0
+        ev(7, 250),   # late 50 (vs the tied 300, not order-dependent)
+        (8, None),    # excluded
         (None, t0),   # excluded
     ]
     df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
@@ -3661,14 +3673,14 @@ def test_watermark_planner_hand_checked(spark):
         df, [0, 10, 60, 100], ts_col="ts", order_col="event_id",
         num_buckets=2,
     ).collect()}
-    assert all(r["n_events"] == 5 for r in out.values())
-    assert out[0]["n_late"] == 3      # 50, 80, 1
-    assert out[10]["n_late"] == 2     # 50, 80
+    assert all(r["n_events"] == 7 for r in out.values())
+    assert out[0]["n_late"] == 4      # 50, 80, 1, 50
+    assert out[10]["n_late"] == 3     # 50, 80, 50
     assert out[60]["n_late"] == 1     # 80
     assert out[100]["n_late"] == 0
-    assert out[0]["late_share"] == pytest.approx(0.6)
+    assert out[0]["late_share"] == pytest.approx(4 / 7)
     assert out[0]["max_lateness"] == 80.0
-    assert out[0]["p50_lateness"] == 1.0  # median of [0,0,1,50,80]
+    assert out[0]["p50_lateness"] == 1.0  # median of [0,0,0,1,50,50,80]
 
     with _pytest.raises(ValueError, match="non-empty"):
         watermark_planner(df, [])
