@@ -6161,6 +6161,109 @@ def _format_profile_sql() -> str:
     FROM agg"""
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty of the doc_id%3==0 batch against the
+    rest of the corpus as reference — the freshness signal per ingest
+    batch (decontaminate's complement). Hash-keyed distinct-gram join;
+    DuckDB replays with plain string grams (counts are hash-invariant)."""
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        doc_novelty,
+    )
+
+    docs = _documents(spark, sf_dir)
+    out = doc_novelty(
+        docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 != 0")
+    )
+    return _round_cols(
+        out.withColumn("doc_id", F.col("doc_id").cast("long")),
+        ["novelty"],
+    )
+
+
+def _doc_novelty_sql(n: int = 3) -> str:
+    return f"""
+    WITH bg AS (SELECT DISTINCT doc_id, gram
+                FROM ({_ngram_sql(n)}) WHERE doc_id % 3 = 0
+                  AND gram <> ''),
+    rg AS (SELECT DISTINCT gram FROM ({_ngram_sql(n)})
+           WHERE doc_id % 3 != 0 AND gram <> '')
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS unseen_grams,
+      ROUND(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), {ROUND}) AS novelty
+    FROM bg b LEFT JOIN rg r USING (gram)
+    GROUP BY b.doc_id"""
+
+
+def q_embedding_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-column acceptance gate over the embeddings table:
+    completeness, exact dim, element NULLs, zero norms, and a tight
+    norm window ([1-5e-8, 1+5e-8]) that the synthetic unit-normalized
+    vectors straddle — non-vacuous violations with bit-exact fold
+    math on both engines."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_embedding_constraints,
+    )
+
+    out = check_embedding_constraints(
+        _embeddings(spark, sf_dir),
+        dim=64,
+        norm_min=0.99999995,
+        norm_max=1.00000005,
+    )
+    return _round_cols(out, ["metric", "threshold"])
+
+
+def _embedding_constraints_sql(
+    dim: int = 64,
+    norm_min: float = 0.99999995,
+    norm_max: float = 1.00000005,
+) -> str:
+    wf = (f"embedding IS NOT NULL AND len(embedding) = {dim}"
+          " AND len(list_filter(embedding, x -> x IS NULL)) = 0")
+    norm = ("sqrt(list_dot_product(embedding::DOUBLE[],"
+            " embedding::DOUBLE[]))")
+    return f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS nulls,
+        CAST(SUM(CASE WHEN embedding IS NOT NULL
+          AND len(embedding) != {dim} THEN 1 ELSE 0 END) AS BIGINT)
+          AS baddims,
+        CAST(SUM(CASE WHEN embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS elnulls,
+        CAST(SUM(CASE WHEN {wf} AND {norm} = 0.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS zeros,
+        CAST(SUM(CASE WHEN {wf} AND {norm} > 0.0
+          AND ({norm} < {norm_min!r} OR {norm} > {norm_max!r})
+          THEN 1 ELSE 0 END) AS BIGINT) AS badnorms
+      FROM embeddings)
+    SELECT 'embedding_completeness' AS constraint, 'embedding' AS column,
+      ROUND(nulls / GREATEST(CAST(n AS DOUBLE), 1.0), {ROUND}) AS metric,
+      CAST(0.0 AS DOUBLE) AS threshold, nulls AS violations,
+      nulls / GREATEST(CAST(n AS DOUBLE), 1.0) <= 0.0 AS passed
+    FROM agg
+    UNION ALL
+    SELECT 'embedding_dim', 'embedding', CAST(baddims AS DOUBLE),
+      CAST(0.0 AS DOUBLE), baddims, baddims = 0 FROM agg
+    UNION ALL
+    SELECT 'embedding_element_nulls', 'embedding',
+      CAST(elnulls AS DOUBLE), CAST(0.0 AS DOUBLE), elnulls,
+      elnulls = 0 FROM agg
+    UNION ALL
+    SELECT 'embedding_zero_norm', 'embedding',
+      ROUND(zeros / GREATEST(CAST(n - nulls AS DOUBLE), 1.0), {ROUND}),
+      CAST(0.0 AS DOUBLE), zeros,
+      zeros / GREATEST(CAST(n - nulls AS DOUBLE), 1.0) <= 0.0 FROM agg
+    UNION ALL
+    SELECT 'embedding_norm_range', 'embedding',
+      CAST(badnorms AS DOUBLE), CAST(0.0 AS DOUBLE), badnorms,
+      badnorms = 0 FROM agg"""
+
+
 def q_format_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-mixture increment vetting: the o_orderkey%3==0 ingest
     batch's per-column format mixture against the rolled-up state of
@@ -8315,6 +8418,8 @@ def _oracle_queries() -> dict[str, str]:
         "rollup_mismatch_topk": _rollup_mismatch_topk_sql(),
         "funnel_windowed": _funnel_sql(max_lag_seconds=172_800),
         "watermark_planner": _watermark_planner_sql(),
+        "doc_novelty": _doc_novelty_sql(),
+        "embedding_constraints": _embedding_constraints_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9543,6 +9648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_mismatch_topk": q_rollup_mismatch_topk,
         "funnel_windowed": q_funnel_windowed,
         "watermark_planner": q_watermark_planner,
+        "doc_novelty": q_doc_novelty,
+        "embedding_constraints": q_embedding_constraints,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -213,6 +213,101 @@ def check_referential_integrity(
     )
 
 
+def check_embedding_constraints(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    dim: int | None = None,
+    max_null_ratio: float = 0.0,
+    norm_min: float | None = None,
+    norm_max: float | None = None,
+    max_zero_norm_ratio: float = 0.0,
+) -> DataFrame:
+    """The acceptance gate for a VECTOR column — what ``check_constraints``
+    is to scalars: before an embedding batch feeds ANN indexing /
+    clustering / drift scoring, verify it is structurally sound. Checks
+    (all from ONE wide aggregate over one narrow map):
+
+    - ``embedding_completeness`` — NULL-vector share <= ``max_null_ratio``;
+    - ``embedding_dim`` — every non-null vector has exactly ``dim``
+      elements (skipped when ``dim`` is None);
+    - ``embedding_element_nulls`` — no non-null vector carries NULL
+      elements (the silently-poisoned-cosine case);
+    - ``embedding_zero_norm`` — zero-norm share (no direction — every
+      cosine consumer NULLs them) <= ``max_zero_norm_ratio``;
+    - ``embedding_norm_range`` — norms inside [``norm_min``,
+      ``norm_max``] (skipped when both None; an un-normalized batch
+      from the wrong encoder version is the classic failure).
+
+    Output rows in the :func:`check_constraints` shape (``constraint,
+    column, metric, threshold, violations, passed``), so vector and
+    scalar gates union into one suite result.
+    """
+    ensure_safe_columns([embedding_col])
+    e = f"CAST(`{embedding_col}` AS ARRAY<DOUBLE>)"
+    wellformed = (
+        f"{e} IS NOT NULL"
+        + (f" AND size({e}) = {int(dim)}" if dim is not None else "")
+        + f" AND NOT exists({e}, __x -> __x IS NULL)"
+    )
+    norm = f"sqrt(aggregate({e}, 0.0D, (s, x) -> s + x * x))"
+    flags = df.selectExpr(
+        f"CAST({e} IS NULL AS INT) AS __null",
+        f"CAST({e} IS NOT NULL AND size({e}) != {int(dim)} AS INT)"
+        " AS __baddim"
+        if dim is not None
+        else "CAST(0 AS INT) AS __baddim",
+        f"CAST({e} IS NOT NULL AND exists({e}, __x -> __x IS NULL)"
+        " AS INT) AS __elnull",
+        f"CAST({wellformed} AND {norm} = 0.0D AS INT) AS __zeronorm",
+        f"CASE WHEN {wellformed} AND {norm} > 0.0D THEN {norm} END"
+        " AS __norm",
+    )
+    nmin = "NULL" if norm_min is None else f"{float(norm_min)!r}D"
+    nmax = "NULL" if norm_max is None else f"{float(norm_max)!r}D"
+    agg = flags.groupBy().agg(
+        F.expr("CAST(count(1) AS BIGINT) AS __n"),
+        F.expr("CAST(sum(__null) AS BIGINT) AS __nulls"),
+        F.expr("CAST(sum(__baddim) AS BIGINT) AS __baddims"),
+        F.expr("CAST(sum(__elnull) AS BIGINT) AS __elnulls"),
+        F.expr("CAST(sum(__zeronorm) AS BIGINT) AS __zeros"),
+        F.expr(
+            f"CAST(sum(CASE WHEN __norm IS NOT NULL AND"
+            f" (({nmin} IS NOT NULL AND __norm < {nmin}) OR"
+            f" ({nmax} IS NOT NULL AND __norm > {nmax}))"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS __badnorms"
+        ),
+    )
+    rows = [
+        ("'embedding_completeness'",
+         "__nulls / greatest(CAST(__n AS DOUBLE), 1.0D)",
+         f"{float(max_null_ratio)!r}D", "__nulls",
+         f"__nulls / greatest(CAST(__n AS DOUBLE), 1.0D)"
+         f" <= {float(max_null_ratio)!r}D"),
+        ("'embedding_element_nulls'", "CAST(__elnulls AS DOUBLE)",
+         "0.0D", "__elnulls", "__elnulls = 0"),
+        ("'embedding_zero_norm'",
+         "__zeros / greatest(CAST(__n - __nulls AS DOUBLE), 1.0D)",
+         f"{float(max_zero_norm_ratio)!r}D", "__zeros",
+         f"__zeros / greatest(CAST(__n - __nulls AS DOUBLE), 1.0D)"
+         f" <= {float(max_zero_norm_ratio)!r}D"),
+    ]
+    if dim is not None:
+        rows.insert(1, ("'embedding_dim'", "CAST(__baddims AS DOUBLE)",
+                        "0.0D", "__baddims", "__baddims = 0"))
+    if norm_min is not None or norm_max is not None:
+        rows.append(("'embedding_norm_range'",
+                     "CAST(__badnorms AS DOUBLE)", "0.0D", "__badnorms",
+                     "__badnorms = 0"))
+    structs = ", ".join(
+        f"named_struct('constraint', {c}, 'column', '{embedding_col}',"
+        f" 'metric', CAST({m} AS DOUBLE),"
+        f" 'threshold', CAST({t} AS DOUBLE),"
+        f" 'violations', CAST({v} AS BIGINT), 'passed', {p})"
+        for c, m, t, v, p in rows
+    )
+    return agg.selectExpr(f"inline(array({structs}))")
+
+
 def check_rollup_consistency(
     parent: DataFrame,
     child: DataFrame,

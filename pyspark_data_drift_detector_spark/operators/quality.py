@@ -261,6 +261,95 @@ def boilerplate_ngrams(
     )
 
 
+def doc_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus: the share of a
+    document's DISTINCT word n-grams that the reference has never seen.
+    The freshness signal an ingest pipeline tracks per batch — a
+    scraper stuck re-crawling old pages shows novelty collapsing to ~0,
+    a synthetic-data leak shows it pinned near 1 with repetitive
+    internals; :func:`decontaminate`'s complement (overlap with a
+    benchmark is bad; overlap with your own corpus is just old news).
+
+    Output: ``id, n_grams`` (distinct), ``unseen_grams``, ``novelty``
+    (unseen/distinct; documents with no grams — NULL/empty text — are
+    absent, matching the tokenize-explode members). Grams compare as
+    xxhash64 keys (the ``_hashed_shingle_index`` argument: counts are
+    hash-invariant, the join ships 8-byte longs).
+
+    Scale shape: the reference reduces to its DISTINCT gram-hash set
+    (one shuffle, then reusable); the batch explodes to distinct
+    (id, gram) pairs and LEFT-JOINs the reference set on the gram key —
+    Spark co-partitions both sides; a reference too big to broadcast
+    shuffle-joins, never collected. ``max_gram_df``: the boilerplate
+    guard — batch grams with document frequency above the cap are
+    counted as SEEN without consulting the reference (a gram shared by
+    thousands of batch documents is boilerplate, not novelty, and its
+    join fan-out is exactly the hot-shingle skew ``minhash_lsh_pairs``
+    caps).
+    """
+    from pyspark_data_drift_detector_spark.operators.parallelism import (
+        ensure_min_partitions,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(ngrams_expr(F.col(text_col), n)).alias("g"),
+        )
+        # trim: a whitespace-only document's tokens concat_ws into a
+        # bare-space gram that a <> '' check would keep
+        .filter("trim(g) <> ''")
+        .select("id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    ref_set = (
+        ensure_min_partitions(reference)
+        .select(F.explode(ngrams_expr(F.col(text_col), n)).alias("g"))
+        .filter("trim(g) <> ''")
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.expr("count(1) AS __df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("gh")
+            .withColumn("__hot", F.lit(True))
+        )
+        grams = grams.join(F.broadcast(hot), "gh", "left")
+    else:
+        grams = grams.withColumn("__hot", F.lit(None).cast("boolean"))
+    return (
+        grams.join(ref_set, "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_grams"),
+            F.expr(
+                "CAST(sum(CASE WHEN __seen IS NULL AND __hot IS NULL"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS unseen_grams"
+            ),
+        )
+        .selectExpr(
+            f"id AS `{id_col}`",
+            "n_grams",
+            "unseen_grams",
+            "unseen_grams / CAST(n_grams AS DOUBLE) AS novelty",
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

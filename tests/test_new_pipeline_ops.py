@@ -3686,3 +3686,85 @@ def test_watermark_planner_hand_checked(spark):
         watermark_planner(df, [])
     with _pytest.raises(ValueError, match=">= 0"):
         watermark_planner(df, [-5])
+
+
+def test_doc_novelty_hand_checked(spark):
+    """Known gram overlaps: full novelty for an unseen doc, zero for a
+    verbatim re-crawl, fractional for a partial match; the hot-gram cap
+    treats boilerplate as seen; empty docs absent."""
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        doc_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),     # verbatim: novelty 0
+            (2, "totally unseen text here now"),  # novelty 1
+            # 4 distinct 3-grams, first 2 seen: novelty 0.5
+            (3, "quick brown fox jumps high today"),
+            (4, None),
+            (5, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_novelty(batch, ref).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["n_grams"] == 4 and out[3]["unseen_grams"] == 2
+    assert out[3]["novelty"] == pytest.approx(0.5)
+
+    # hot-gram cap: a gram in >1 batch docs counts as seen, not novel
+    boiler = spark.createDataFrame(
+        [(10, "subscribe to our newsletter"), (11, "subscribe to our newsletter")],
+        "doc_id long, text string",
+    )
+    capped = {r["doc_id"]: r
+              for r in doc_novelty(boiler, ref, max_gram_df=1).collect()}
+    assert all(r["novelty"] == 0.0 for r in capped.values())
+
+    with _pytest.raises(ValueError, match="n must"):
+        doc_novelty(batch, ref, n=0)
+
+
+def test_embedding_constraints_gate(spark):
+    """Each vector-gate rule fires on a crafted violation and passes on
+    a clean batch; the output rows union with the scalar suite shape."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_embedding_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),        # clean
+            (2, None),                    # null vector
+            (3, [1.0, 0.0]),              # bad dim
+            (4, [1.0, None, 0.0]),        # element null
+            (5, [0.0, 0.0, 0.0]),         # zero norm
+            (6, [3.0, 4.0, 0.0]),         # norm 5: out of range
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["constraint"]: r for r in check_embedding_constraints(
+        df, dim=3, norm_min=0.5, norm_max=2.0).collect()}
+    assert set(out) == {
+        "embedding_completeness", "embedding_dim",
+        "embedding_element_nulls", "embedding_zero_norm",
+        "embedding_norm_range",
+    }
+    assert not out["embedding_completeness"]["passed"]  # 1/6 > 0.0
+    assert out["embedding_dim"]["violations"] == 1
+    assert out["embedding_element_nulls"]["violations"] == 1
+    assert out["embedding_zero_norm"]["violations"] == 1
+    assert out["embedding_norm_range"]["violations"] == 1
+    assert all(not r["passed"] for r in out.values())
+
+    clean = check_embedding_constraints(
+        df.filter("vec_id = 1"), dim=3, norm_min=0.5, norm_max=2.0
+    ).collect()
+    assert all(r["passed"] for r in clean)
