@@ -1565,6 +1565,36 @@ def _corpus_clean_funnel_sql() -> str:
     FROM ann GROUP BY 1"""
 
 
+def q_corpus_funnel_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language loss attribution for the cleaning run: the same
+    gate config as q_corpus_clean_funnel, broken out by lang — WHICH
+    slice of the corpus pays the quality/classifier/dedup tax."""
+    from pyspark_data_drift_detector_spark.corpus_pipeline import (
+        clean_corpus,
+        corpus_funnel,
+    )
+
+    docs = _documents(spark, sf_dir)
+    ann = clean_corpus(
+        docs,
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        weights=_qc_weights(),
+        bias=-0.25,
+        decontaminate_n=4,
+        classifier_hash_family="md5",
+    )
+    return corpus_funnel(ann, group_col="lang")
+
+
+def _corpus_funnel_grouped_sql() -> str:
+    return f"""
+    WITH {_clean_corpus_ann_sql()}
+    SELECT COALESCE(a.stage, 'kept') AS stage, d.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ann a JOIN documents d USING (doc_id)
+    GROUP BY 1, 2"""
+
+
 def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end "make me a pretraining mix" flagship: clean (the
     q_corpus_clean_funnel gate config) → rebalance survivors to an
@@ -8420,6 +8450,7 @@ def _oracle_queries() -> dict[str, str]:
         "watermark_planner": _watermark_planner_sql(),
         "doc_novelty": _doc_novelty_sql(),
         "embedding_constraints": _embedding_constraints_sql(),
+        "corpus_funnel_grouped": _corpus_funnel_grouped_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9650,6 +9681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_planner": q_watermark_planner,
         "doc_novelty": q_doc_novelty,
         "embedding_constraints": q_embedding_constraints,
+        "corpus_funnel_grouped": q_corpus_funnel_grouped,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,
