@@ -1024,3 +1024,43 @@ def test_round11_plan_contracts(spark, sf_dir):
     )
     assert count_scans(rc) == 2
     assert not sorted_windows(rc)
+
+
+def test_round11_wave3_plan_contracts(spark, sf_dir):
+    """watermark_planner must not sort the corpus through one task: the
+    only unpartitioned sorted window rides the O(buckets) offsets panel;
+    the per-event running max is partitioned by bucket. doc_novelty is
+    windowless; the embedding gate is one narrow map + one aggregate."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        check_embedding_constraints,
+    )
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        doc_novelty,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        watermark_planner,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        sorted_windows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wp = watermark_planner(ev, [0, 60], order_col="event_id")
+    sw = sorted_windows(wp)
+    unpartitioned = [s for a, s in sw if a == 0]
+    assert len(unpartitioned) <= 1, (
+        "watermark_planner may sort only the O(buckets) offsets panel "
+        f"unpartitioned, found: {unpartitioned}"
+    )
+    assert any(a >= 1 for a, _ in sw), "bucketed running max missing"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dn = doc_novelty(docs.filter("doc_id % 2 = 0"),
+                     docs.filter("doc_id % 2 = 1"))
+    assert not sorted_windows(dn)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ec = check_embedding_constraints(emb, dim=64, norm_min=0.5,
+                                     norm_max=2.0)
+    assert count_scans(ec) == 1 and not sorted_windows(ec)
