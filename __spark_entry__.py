@@ -7114,6 +7114,36 @@ def _pack_documents_sql() -> str:
       CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id FROM cum"""
 
 
+def q_pack_documents_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-per-source packing: 512-token context windows filled
+    contiguously WITHIN each lang (pack_id restarts per group — no pack
+    mixes languages); the oracle replays per-group window cumsums."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        pack_documents,
+    )
+
+    return pack_documents(
+        _documents(spark, sf_dir), budget=512, group_col="lang"
+    )
+
+
+def _pack_documents_grouped_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS g, doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT g, doc_id, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY g ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks)
+    SELECT CASE WHEN g = '__null__' THEN NULL ELSE g END AS lang,
+      doc_id, n_tokens,
+      CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id FROM cum"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis deterministic weighted sample (k=50, weight =
     n_chars) — TakeOrderedAndProject top-k, no global sort."""
@@ -8451,6 +8481,7 @@ def _oracle_queries() -> dict[str, str]:
         "doc_novelty": _doc_novelty_sql(),
         "embedding_constraints": _embedding_constraints_sql(),
         "corpus_funnel_grouped": _corpus_funnel_grouped_sql(),
+        "pack_documents_grouped": _pack_documents_grouped_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "mix_sample": _mix_sample_sql(),
         "t_closeness": _t_closeness_sql(),
@@ -9682,6 +9713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "embedding_constraints": q_embedding_constraints,
         "corpus_funnel_grouped": q_corpus_funnel_grouped,
+        "pack_documents_grouped": q_pack_documents_grouped,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -475,6 +475,7 @@ def pack_documents(
     id_col: str = "doc_id",
     token_col: str | None = None,
     num_buckets: int = 32,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing for training-data prep: assign each
     document to a fixed-token-budget pack (context window) by contiguous
@@ -498,6 +499,14 @@ def pack_documents(
     ever sorts the whole corpus, and the integer sums are bit-exact (the
     oracle replays a plain window cumsum). One scan, one groupBy-free
     pass over O(docs) rows.
+
+    ``group_col`` packs WITHIN each group instead (pack_id restarts per
+    group — the shard-per-source layout pretraining runs actually
+    write, so one pack never mixes sources); the group key rides the
+    prefix sum's key slot, so parallelism becomes groups × buckets. The
+    group is restored in the output AS A STRING (NULL groups pack
+    together via an internal sentinel — a real group literally named
+    ``'__null__'`` would collide with it).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -508,25 +517,45 @@ def pack_documents(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    ensure_safe_columns([id_col, token_col or text_col])
+    ensure_safe_columns(
+        [id_col, token_col or text_col]
+        + ([group_col] if group_col else [])
+    )
     if token_col is not None:
         toks = F.col(token_col).cast("long")
     else:
         toks = F.size(tokens_expr(F.col(text_col))).cast("long")
+    key_expr = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        if group_col
+        else F.lit("all")
+    )
     docs = df.select(
-        F.lit("all").alias("__corpus"),
+        key_expr.alias("__corpus"),
         F.col(id_col).alias("doc_id"),
         toks.alias("n_tokens"),
     )
     cum = bucketed_cumsum(
-        docs, key="__corpus", order="doc_id", counts=["n_tokens"],
+        docs.select("__corpus", "doc_id", "n_tokens"),
+        key="__corpus", order="doc_id", counts=["n_tokens"],
         num_buckets=num_buckets,
     )
-    return cum.selectExpr(
+    out = cum.selectExpr(
+        "__corpus",
         "doc_id",
         "n_tokens",
         f"(cum_n_tokens - n_tokens) DIV {int(budget)} AS pack_id",
     )
+    if group_col:
+        # restore the group (incl. NULL) from the sentinel-coalesced key
+        return out.selectExpr(
+            f"CASE WHEN __corpus = '__null__' THEN NULL ELSE __corpus END"
+            f" AS `{group_col}`",
+            "doc_id",
+            "n_tokens",
+            "pack_id",
+        )
+    return out.drop("__corpus")
 
 
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:

@@ -3768,3 +3768,35 @@ def test_embedding_constraints_gate(spark):
         df.filter("vec_id = 1"), dim=3, norm_min=0.5, norm_max=2.0
     ).collect()
     assert all(r["passed"] for r in clean)
+
+
+def test_pack_documents_grouped(spark):
+    """Per-group packing: pack_id restarts per group, NULL groups pack
+    together, overfill stays within a group, ungrouped behavior is
+    unchanged."""
+    from pyspark_data_drift_detector_spark.operators.text import (
+        pack_documents,
+    )
+
+    # a doc starts in the pack where its exclusive prefix lands (budget 4)
+    df = spark.createDataFrame(
+        [
+            (1, "a", "w1 w2 w3 w4 w5"),   # a: prefix 0 -> pack 0
+            (2, "a", "w1"),               # a: prefix 5 -> pack 1
+            (3, "b", "w1"),               # b: prefix 0 -> pack 0 (restart)
+            (4, None, "w1 w2 w3 w4 w5"),  # NULL group: prefix 0 -> pack 0
+            (5, None, "w1"),              # NULL: prefix 5 -> pack 1
+        ],
+        "doc_id long, grp string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_documents(
+        df, budget=4, group_col="grp").collect()}
+    assert out[1]["pack_id"] == 0 and out[2]["pack_id"] == 1
+    assert out[3]["pack_id"] == 0 and out[3]["grp"] == "b"
+    assert out[4]["grp"] is None and out[4]["pack_id"] == 0
+    assert out[5]["grp"] is None and out[5]["pack_id"] == 1
+
+    ungrouped = {r["doc_id"]: r["pack_id"]
+                 for r in pack_documents(df, budget=4).collect()}
+    # global contiguous fill: prefixes 0,5,6,7,12 -> packs 0,1,1,1,3
+    assert ungrouped == {1: 0, 2: 1, 3: 1, 4: 1, 5: 3}
