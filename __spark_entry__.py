@@ -8498,6 +8498,9 @@ def _oracle_queries() -> dict[str, str]:
         "functional_dependencies": _functional_dependencies_sql(),
         "benford_deviation": _benford_deviation_sql(),
         "completeness_timeseries": _completeness_timeseries_sql(),
+        "dedup_fuzzy": _dedup_fuzzy_sql(),
+        "cube_profile": _cube_profile_sql(),
+        "ewma_chart": _ewma_chart_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -9657,6 +9660,146 @@ def _passage_excise_sql(keep_one: bool = False) -> str:
 # Contract functions
 # --------------------------------------------------------------------------
 
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicates (operators.dedup.fuzzy_pairs):
+    the corpus plus typo twins (doc_id+2e6 for every doc_id%7==0, one char
+    substituted at position 61) — the OCR-noise/one-keystroke case that
+    shingle Jaccard over-fragments. Blocking key (8-char normalized
+    prefix, 16-char length band) and the 200-char Levenshtein window are
+    part of the spec, replayed verbatim in the oracle."""
+    from pyspark_data_drift_detector_spark.operators.dedup import fuzzy_pairs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    # offset sits far above any shipped SF's max doc_id (~5e3 at sf0.1)
+    # and above the containment excerpts' +1e6 block
+    twins = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 2000000 AS doc_id",
+        "concat(substring(text, 1, 60), 'q',"
+        " CASE WHEN length(text) >= 62 THEN substring(text, 62) ELSE '' END)"
+        " AS text",
+    )
+    return fuzzy_pairs(docs.unionByName(twins))
+
+
+def _dedup_fuzzy_sql(max_distance: int = 5) -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substring(text, 1, 60) || 'q' ||
+             CASE WHEN length(text) >= 62 THEN substring(text, 62) ELSE '' END
+      FROM documents WHERE doc_id % 7 = 0),
+    n AS (SELECT doc_id AS id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm
+          FROM src),
+    b AS (SELECT id, nrm, length(nrm) AS len,
+                 substring(nrm, 1, 8) || '#' ||
+                 CAST(CAST(FLOOR(length(nrm) / 16.0) AS BIGINT) AS VARCHAR)
+                   AS blk
+          FROM n)
+    SELECT a.id AS id1, c.id AS id2,
+           CAST(a.len AS BIGINT) AS len1, CAST(c.len AS BIGINT) AS len2,
+           CAST(levenshtein(substring(a.nrm, 1, 200),
+                            substring(c.nrm, 1, 200)) AS BIGINT) AS distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+    WHERE levenshtein(substring(a.nrm, 1, 200),
+                      substring(c.nrm, 1, 200)) <= {max_distance}"""
+
+
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^d rollup levels in ONE shuffle (operators.groups.cube_profile,
+    GROUP BY CUBE): per (returnflag, linestatus), each dim alone, and the
+    grand total — the reference's per-dimension group loop collapsed into
+    a single aggregation. `level` is the ANSI grouping bitmask."""
+    from pyspark_data_drift_detector_spark.operators.groups import cube_profile
+
+    out = cube_profile(
+        _lineitem(spark, sf_dir),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+    return _round_cols(
+        out, ["sum_value", "avg_value", "min_value", "max_value"]
+    )
+
+
+def _cube_profile_sql() -> str:
+    return f"""
+    SELECT
+      CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+           ELSE l_returnflag END AS l_returnflag,
+      CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+           ELSE l_linestatus END AS l_linestatus,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        AS level,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(SUM(l_quantity), {ROUND}) AS sum_value,
+      ROUND(AVG(l_quantity), {ROUND}) AS avg_value,
+      ROUND(MIN(l_quantity), {ROUND}) AS min_value,
+      ROUND(MAX(l_quantity), {ROUND}) AS max_value
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-value means
+    (operators.temporal.ewma_control): the smoothed slow-drift detector
+    complementing cusum_changepoint's abrupt-shift scan. The z_t
+    recursion runs as a closed-form r^{-i} weighted prefix sum, so the
+    DuckDB oracle replays the chart exactly."""
+    from pyspark_data_drift_detector_spark.operators.temporal import ewma_control
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir).select("ts", "value")
+    out = ewma_control(ev, lam=0.2, limit_sigma=3.0)
+    return _round_cols(
+        out.select(
+            F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+            "x",
+            "t",
+            "z",
+            "ucl",
+            "lcl",
+            "out_of_control",
+        ),
+        ["x", "z", "ucl", "lcl"],
+    )
+
+
+def _ewma_chart_sql(lam: float = 0.2, limit_sigma: float = 3.0) -> str:
+    r = 1.0 - lam
+    var_fac = lam / (2.0 - lam)
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, AVG(value) AS x
+      FROM events GROUP BY 1),
+    base AS (SELECT AVG(x) AS mu0, STDDEV_SAMP(x) AS sigma0 FROM daily),
+    t AS (SELECT day, x,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+          FROM daily),
+    w AS (SELECT *,
+            SUM(x * POWER({r!r}, -t)) OVER (
+              ORDER BY day ROWS UNBOUNDED PRECEDING) AS wsum
+          FROM t),
+    z AS (SELECT day, x, t,
+            POWER({r!r}, t) * (mu0 + {lam!r} * wsum) AS z,
+            mu0 + {limit_sigma!r} * sigma0 *
+              SQRT({var_fac!r} * (1.0 - POWER({r!r}, 2.0 * t))) AS ucl,
+            mu0 - {limit_sigma!r} * sigma0 *
+              SQRT({var_fac!r} * (1.0 - POWER({r!r}, 2.0 * t))) AS lcl
+          FROM w CROSS JOIN base)
+    SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day,
+           ROUND(x, {ROUND}) AS x,
+           CAST(t AS BIGINT) AS t,
+           ROUND(z, {ROUND}) AS z,
+           ROUND(ucl, {ROUND}) AS ucl,
+           ROUND(lcl, {ROUND}) AS lcl,
+           (z > ucl OR z < lcl) AS out_of_control
+    FROM z"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -9714,6 +9857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_constraints": q_embedding_constraints,
         "corpus_funnel_grouped": q_corpus_funnel_grouped,
         "pack_documents_grouped": q_pack_documents_grouped,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "cube_profile": q_cube_profile,
+        "ewma_chart": q_ewma_chart,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1558,3 +1558,100 @@ def passage_decontaminate_excise(
         )
     )
     return _excise_with_spans(corpus, spans, text_col, id_col)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    band_width: int = 16,
+    max_distance: int = 5,
+    compare_len: int = 200,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance (Levenshtein) near-duplicates — the classic
+    record-linkage strategy for typo-level duplicates that shingle
+    methods over-fragment: OCR noise, one-character edits, trailing
+    whitespace variants. Reference analogue: the categorical "new vs
+    known value" matching in categorical_analyzer.py treats any byte
+    difference as a new value; this operator is the fuzzy upgrade.
+
+    Scale shape (the part that matters at 100 TB):
+
+    - **Blocking, never all-pairs.** Candidates must share the blocking
+      key ``(first prefix_len chars, floor(len / band_width))`` of the
+      whitespace-normalized text. One shuffle on the block key; block
+      sizes follow the corpus's prefix distribution, and
+      ``max_block_size`` drops degenerate hot blocks (boilerplate
+      prefixes) with the same documented bounded-recall tradeoff as
+      ``max_shingle_df`` in :func:`jaccard_pairs`.
+    - **Bounded verify cost.** ``levenshtein`` is O(m·n) per pair, so the
+      comparison window is capped at ``compare_len`` chars — an edit
+      budget of ``max_distance`` over the first 200 chars is the
+      industry-standard "same document modulo typos" test, and keeps
+      per-pair cost constant regardless of document length.
+    - **JVM-side end to end.** Normalization (lower/trim/regexp), the
+      block self-join, and ``F.levenshtein`` are all codegen'd built-ins;
+      no Python in the path.
+
+    Blocking recall caveat (documented, inherent to blocked linkage):
+    edits inside the first ``prefix_len`` chars, or length changes that
+    cross a band boundary, move a document to a different block and the
+    pair is missed. Run with two salted band offsets for higher recall.
+
+    Output: ``id1 < id2`` pairs with both normalized lengths and the
+    capped-window edit ``distance`` ≤ ``max_distance``.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("__norm"),
+        F.length(norm).alias("__len"),
+    ).withColumn(
+        "__block",
+        F.concat_ws(
+            "#",
+            F.substring("__norm", 1, prefix_len),
+            F.floor(F.col("__len") / band_width).cast("string"),
+        ),
+    )
+    if max_block_size is not None:
+        small = (
+            base.groupBy("__block")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_block_size)
+        )
+        base = base.join(small.select("__block"), "__block", "left_semi")
+    base = _reuse(base)
+    a = base.select(
+        F.col("id").alias("id1"),
+        F.col("__norm").alias("__n1"),
+        F.col("__len").alias("len1"),
+        "__block",
+    )
+    b = base.select(
+        F.col("id").alias("id2"),
+        F.col("__norm").alias("__n2"),
+        F.col("__len").alias("len2"),
+        "__block",
+    )
+    pairs = (
+        a.join(b, "__block")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "distance",
+            F.levenshtein(
+                F.substring("__n1", 1, compare_len),
+                F.substring("__n2", 1, compare_len),
+            ),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+    return pairs.select(
+        "id1",
+        "id2",
+        F.col("len1").cast("long").alias("len1"),
+        F.col("len2").cast("long").alias("len2"),
+        F.col("distance").cast("long").alias("distance"),
+    )

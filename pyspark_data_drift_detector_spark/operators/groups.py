@@ -475,3 +475,52 @@ def group_drift(
         | F.coalesce(F.col("any_distinct"), F.lit(False))
     )
     return out.withColumn("drift_detected", drifted).drop("__raw_score")
+
+
+def cube_profile(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    total_label: str = "(all)",
+) -> DataFrame:
+    """Every dimensional rollup level in ONE shuffle via ``GROUP BY CUBE``.
+
+    The reference's group analyzer (group_analyzer's per-dimension loop)
+    profiles one dimension at a time — d dimensions = d full scans. A
+    drill-down dashboard actually wants every combination: per
+    (dim1, dim2), per dim1 alone, per dim2 alone, and the grand total.
+    ``df.cube(*dims)`` computes all 2^d grouping sets in a single
+    aggregation: Spark expands the grouping-set id as a synthetic key
+    inside the same hash-aggregate, so partial (map-side) aggregation
+    still applies and the corpus is read and shuffled ONCE — at 100 TB
+    the difference between one pass and 2^d passes.
+
+    ``level`` is the standard grouping-id bitmask (bit per dim, 1 =
+    aggregated away; 0 = the finest level, 2^d - 1 = grand total) — the
+    same integer ``GROUPING(dims...)`` yields in DuckDB/ANSI engines, so
+    the oracle replays it verbatim. Aggregated-away dimension values are
+    rendered as ``total_label`` to keep them distinguishable from real
+    NULL categories.
+    """
+    aggs = [
+        F.grouping_id(*dims).cast("long").alias("level"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).alias("sum_value"),
+        F.avg(value_col).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    out = df.cube(*dims).agg(*aggs)
+    for i, d in enumerate(dims):
+        # The grouping bitmask (not NULL-ness) marks the aggregated level,
+        # so real NULL category values survive as NULLs rather than
+        # totals. grouping()/grouping_id() are only valid inside the agg;
+        # after it, re-derive each dim's bit from the emitted mask (first
+        # dim = most significant bit, the ANSI GROUPING() convention).
+        bit = F.shiftright(F.col("level"), len(dims) - 1 - i).bitwiseAND(
+            F.lit(1)
+        )
+        out = out.withColumn(
+            d, F.when(bit == 1, F.lit(total_label)).otherwise(F.col(d))
+        )
+    return out

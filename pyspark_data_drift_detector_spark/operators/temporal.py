@@ -1535,3 +1535,86 @@ def transition_incremental(
     return batch.sparkSession.sql(
         query, batch=batch, pairs=prior_pairs, last=prior_last
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lam: float = 0.2,
+    limit_sigma: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart over the daily-mean series — the smoothed
+    complement to :func:`cusum_changepoint` (CUSUM reacts to abrupt
+    level shifts; EWMA to slow drifts). Reference analogue: the
+    numerical analyzer's single ref-vs-curr mean comparison, upgraded
+    to a per-day monitored series with proper control limits.
+
+    The textbook recursion ``z_t = λ·x_t + (1-λ)·z_{t-1}`` (z_0 = μ₀)
+    is sequential; the distributed form uses the closed-form prefix
+    sum: with r = 1-λ,
+
+        ``z_t = r^t · (μ₀ + λ · Σ_{i=1..t} x_i · r^{-i})``
+
+    — ONE window running sum over the daily panel. Numerics: r^{-i}
+    grows as e^{0.22·i} at λ=0.2, so doubles overflow past ~3000 days;
+    daily-grain monitoring windows are bounded far below that, and the
+    relative error of the rescaled sum stays O(n·ε) because the final
+    r^t multiply cancels the growth. The whole chart is window algebra
+    over the O(days) daily panel — the raw corpus is touched once by
+    the groupBy(day) aggregate, everything after is negligible.
+
+    Control limits are the standard steady-state-corrected EWMA bands
+    ``μ₀ ± Lσ₀·sqrt(λ/(2-λ)·(1-r^{2t}))`` with μ₀/σ₀ estimated from
+    the full daily series (Phase-I convention). Output: one row per
+    day with ``x`` (daily mean), ``z``, ``ucl``/``lcl``, and the
+    ``out_of_control`` flag.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    daily = df.groupBy(day).agg(F.avg(value_col).alias("x"))
+    base = daily.agg(
+        F.avg("x").alias("mu0"), F.stddev_samp("x").alias("sigma0")
+    )
+    r = 1.0 - lam
+    w = Window.orderBy("day")
+    # O(days) panel: the unpartitioned window rides ~hundreds of rows,
+    # never the corpus (same documented shape as cusum_changepoint).
+    out = (
+        daily.crossJoin(F.broadcast(base))
+        .withColumn("t", F.row_number().over(w).cast("double"))
+        .withColumn(
+            "__wsum",
+            F.sum(F.col("x") * F.pow(F.lit(r), -F.col("t"))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "z",
+            F.pow(F.lit(r), F.col("t"))
+            * (F.col("mu0") + F.lit(lam) * F.col("__wsum")),
+        )
+        .withColumn(
+            "__band",
+            F.lit(limit_sigma)
+            * F.col("sigma0")
+            * F.sqrt(
+                F.lit(lam / (2.0 - lam))
+                * (F.lit(1.0) - F.pow(F.lit(r), 2.0 * F.col("t")))
+            ),
+        )
+        .withColumn("ucl", F.col("mu0") + F.col("__band"))
+        .withColumn("lcl", F.col("mu0") - F.col("__band"))
+        .withColumn(
+            "out_of_control",
+            (F.col("z") > F.col("ucl")) | (F.col("z") < F.col("lcl")),
+        )
+    )
+    return out.select(
+        "day",
+        "x",
+        F.col("t").cast("long").alias("t"),
+        "z",
+        "ucl",
+        "lcl",
+        "out_of_control",
+    )

@@ -3800,3 +3800,111 @@ def test_pack_documents_grouped(spark):
                  for r in pack_documents(df, budget=4).collect()}
     # global contiguous fill: prefixes 0,5,6,7,12 -> packs 0,1,1,1,3
     assert ungrouped == {1: 0, 2: 1, 3: 1, 4: 1, 5: 3}
+
+
+# ------------------------------------------------- round-11 wave-4 ops
+
+
+def test_fuzzy_pairs_hand_checked(spark):
+    from pyspark_data_drift_detector_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "The quick brown fox jumps over the lazy dot"),  # 1 edit
+            (3, "Xhe quick brown fox jumps over the lazy dog"),  # prefix edit
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.id1, r.id2): r for r in fuzzy_pairs(df).collect()}
+    # the typo twin pairs with its source at distance 1
+    assert (1, 2) in rows and rows[(1, 2)].distance == 1
+    # documented blocking recall caveat: an edit inside the prefix moves
+    # the doc to another block, so (1,3) is NOT a candidate
+    assert (1, 3) not in rows
+    # unrelated text never pairs
+    assert not any(4 in k for k in rows)
+
+
+def test_fuzzy_pairs_block_cap_and_window(spark):
+    from pyspark_data_drift_detector_spark.operators.dedup import fuzzy_pairs
+
+    base = "same prefix here with body variant number %d and padding"
+    df = spark.createDataFrame(
+        [(i, base % i) for i in range(3)], "doc_id long, text string"
+    )
+    # all three share the block; uncapped they all pair up
+    assert fuzzy_pairs(df, max_distance=2).count() == 3
+    # a hot-block cap of 2 drops the whole 3-doc block (bounded recall,
+    # same semantics as max_shingle_df)
+    assert fuzzy_pairs(df, max_distance=2, max_block_size=2).count() == 0
+    # the comparison window bounds cost: distances beyond compare_len
+    # chars are invisible by design
+    long_a = "prefix00 " + "x" * 300
+    long_b = "prefix00 " + "x" * 290 + "yyyyyyyyyy"
+    df2 = spark.createDataFrame(
+        [(10, long_a), (11, long_b)], "doc_id long, text string"
+    )
+    got = fuzzy_pairs(df2, compare_len=200, band_width=1000).collect()
+    assert len(got) == 1 and got[0].distance == 0
+
+
+def test_cube_profile_hand_checked(spark):
+    from pyspark_data_drift_detector_spark.operators.groups import cube_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 1.0),
+            ("a", "y", 2.0),
+            ("b", "x", 4.0),
+            ("b", None, 8.0),
+        ],
+        "d1 string, d2 string, v double",
+    )
+    out = cube_profile(df, ["d1", "d2"], "v")
+    rows = {(r.d1, r.d2, r.level): r for r in out.collect()}
+    # grand total: both dims aggregated away, bitmask 0b11
+    gt = rows[("(all)", "(all)", 3)]
+    assert gt.n == 4 and gt.sum_value == 15.0
+    # one dim aggregated: level bit order is (d1 msb, d2 lsb)
+    assert rows[("a", "(all)", 1)].sum_value == 3.0
+    assert rows[("(all)", "x", 2)].sum_value == 5.0
+    # a real NULL category at the finest level stays NULL, not "(all)"
+    assert rows[("b", None, 0)].sum_value == 8.0
+    # 2^2 grouping sets over this data: 4 finest + 2 d1 values + 3 d2
+    # values (x, y, and the real NULL category) + 1 grand total
+    assert out.count() == 10
+
+
+def test_ewma_control_matches_recurrence(spark):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import ewma_control
+
+    # a stable base then a sustained +3σ-ish level shift; Phase-I μ₀/σ₀
+    # come from the WHOLE series (contaminated), so the shift must be
+    # large and sustained to clear the inflated band — which it does at
+    # the last point (verified against the recurrence offline)
+    vals = [
+        10.0, 10.2, 9.9, 10.1, 10.0, 9.8, 10.2, 10.1,
+        9.9, 10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.0,
+    ] + [13.0] * 6
+    rows = [
+        (datetime.datetime(2024, 1, 1 + i, 12, 0, 0), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ewma_control(df, lam=0.2, limit_sigma=3.0)
+    got = sorted(out.collect(), key=lambda r: r.t)
+    assert [r.x for r in got] == vals
+
+    mu0 = sum(vals) / len(vals)
+    z = mu0
+    for r, x in zip(got, vals):
+        z = 0.2 * x + 0.8 * z
+        assert abs(r.z - z) < 1e-9, (r.t, r.z, z)
+        # the flag is exactly the band comparison
+        assert r.out_of_control == (r.z > r.ucl or r.z < r.lcl)
+    # the sustained level shift at t=5..7 must push the EWMA out of band
+    assert any(r.out_of_control for r in got)

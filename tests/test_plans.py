@@ -1064,3 +1064,44 @@ def test_round11_wave3_plan_contracts(spark, sf_dir):
     ec = check_embedding_constraints(emb, dim=64, norm_min=0.5,
                                      norm_max=2.0)
     assert count_scans(ec) == 1 and not sorted_windows(ec)
+
+
+def test_round11_wave4_plan_contracts(spark, sf_dir):
+    """fuzzy_pairs: the block self-join is the only shuffle surface and
+    the Levenshtein verify is a JVM built-in — no windows, no Python.
+    cube_profile: all 2^d grouping sets in ONE aggregation (a single
+    Expand feeding one shuffle), one scan. ewma_control: the corpus is
+    reduced by groupBy(day) first; unpartitioned sorted windows ride
+    only the O(days) panel."""
+    from pyspark_data_drift_detector_spark.operators.dedup import fuzzy_pairs
+    from pyspark_data_drift_detector_spark.operators.groups import cube_profile
+    from pyspark_data_drift_detector_spark.operators.temporal import ewma_control
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = fuzzy_pairs(docs)
+    assert not sorted_windows(fp), "fuzzy_pairs must not sort anything"
+    plan = formatted_plan(fp)
+    assert "levenshtein" in plan.lower(), "verify step must be the JVM builtin"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cp = cube_profile(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    assert count_scans(cp) == 1
+    assert count_shuffles(cp) <= 1, "CUBE must be one aggregation pass"
+    assert "Expand" in formatted_plan(cp), "grouping-set Expand missing"
+    assert not sorted_windows(cp)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ew = ewma_control(ev)
+    assert count_scans(ew) == 1
+    unpartitioned = [s for a, s in sorted_windows(ew) if a == 0]
+    # row_number + running weighted sum over the O(days) daily panel
+    assert len(unpartitioned) <= 2
+    p = formatted_plan(ew)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
