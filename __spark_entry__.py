@@ -8501,6 +8501,9 @@ def _oracle_queries() -> dict[str, str]:
         "dedup_fuzzy": _dedup_fuzzy_sql(),
         "cube_profile": _cube_profile_sql(),
         "ewma_chart": _ewma_chart_sql(),
+        "chi2_cells": _chi2_cells_sql(),
+        "seasonality_drift": _seasonality_drift_sql(),
+        "dedup_savings": _dedup_savings_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -9800,6 +9803,154 @@ def _ewma_chart_sql(lam: float = 0.2, limit_sigma: float = 3.0) -> str:
     FROM z"""
 
 
+def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi² drill-down (operators.categorical_drift.
+    chi2_cell_residuals): adjusted standardized residuals of the 2×C
+    ref/curr table per categorical column — WHICH category drives a
+    significant chi², the question the per-column p-value (M6) leaves
+    open."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        chi2_cell_residuals,
+    )
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = chi2_cell_residuals(ref, curr, LINEITEM_CATEGORICAL)
+    return _round_cols(out, ["expected_curr", "std_residual"])
+
+
+def _chi2_cells_sql(significance: float = 2.0) -> str:
+    return f"""
+    WITH u AS (
+      SELECT 'l_returnflag' AS column_name, l_returnflag AS value,
+             l_orderkey % 2 AS side
+      FROM lineitem WHERE l_returnflag IS NOT NULL
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus, l_orderkey % 2
+      FROM lineitem WHERE l_linestatus IS NOT NULL),
+    cells AS (
+      SELECT column_name, value,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM u GROUP BY 1, 2),
+    tot AS (SELECT column_name, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
+            FROM cells GROUP BY 1),
+    e AS (
+      SELECT c.column_name, c.value, c.ref_cnt, c.curr_cnt,
+        CAST(t.ct AS DOUBLE) * CAST(c.ref_cnt + c.curr_cnt AS DOUBLE)
+          / CAST(t.rt + t.ct AS DOUBLE) AS e_curr,
+        SQRT(CAST(t.ct AS DOUBLE) * CAST(c.ref_cnt + c.curr_cnt AS DOUBLE)
+               / CAST(t.rt + t.ct AS DOUBLE)
+             * (1.0 - CAST(t.ct AS DOUBLE) / CAST(t.rt + t.ct AS DOUBLE))
+             * (1.0 - CAST(c.ref_cnt + c.curr_cnt AS DOUBLE)
+                    / CAST(t.rt + t.ct AS DOUBLE))) AS denom
+      FROM cells c JOIN tot t USING (column_name))
+    SELECT column_name, value, ref_cnt, curr_cnt,
+      ROUND(e_curr, {ROUND}) AS expected_curr,
+      ROUND(CASE WHEN denom > 0 THEN (curr_cnt - e_curr) / denom END,
+            {ROUND}) AS std_residual,
+      CASE WHEN denom > 0
+           THEN ABS((curr_cnt - e_curr) / denom) > {significance!r}
+           ELSE FALSE END AS significant
+    FROM e"""
+
+
+def q_seasonality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week + hour-of-day activity-mix drift between the even/odd
+    user cohorts (operators.temporal.seasonality_drift): the temporal
+    twin of categorical PSI, one O(31)-bucket panel per side with the
+    standard zero-bin epsilon clamp."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_drift,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    out = seasonality_drift(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+    return _round_cols(out, ["ref_freq", "curr_freq", "psi_term"])
+
+
+def _seasonality_drift_sql(epsilon: float = 1e-4) -> str:
+    return f"""
+    WITH u AS (
+      SELECT g.grain, g.bucket, e.user_id % 2 AS side
+      FROM events e CROSS JOIN LATERAL (
+        SELECT 'dow' AS grain,
+               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
+        UNION ALL
+        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
+    cells AS (
+      SELECT grain, bucket,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM u GROUP BY 1, 2),
+    tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
+            FROM cells GROUP BY 1),
+    pq AS (
+      SELECT c.grain, c.bucket, c.ref_cnt, c.curr_cnt,
+        GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
+                 {epsilon!r}) AS p,
+        GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1),
+                 {epsilon!r}) AS q
+      FROM cells c JOIN tot t USING (grain))
+    SELECT grain, bucket, ref_cnt, curr_cnt,
+      ROUND(p, {ROUND}) AS ref_freq,
+      ROUND(q, {ROUND}) AS curr_freq,
+      ROUND((q - p) * LN(q / p), {ROUND}) AS psi_term
+    FROM pq"""
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings sheet (operators.dedup.dedup_savings):
+    documents plus cross-source mirror copies (doc_id+3e6 for every
+    doc_id%6==0, re-sourced to 'mirror') — the mirror source must show
+    ~100% dropped token share while origins keep their mass (keep-min-id
+    attribution)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_savings
+
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    mirror = docs.filter("doc_id % 6 = 0").selectExpr(
+        "doc_id + 3000000 AS doc_id", "'mirror' AS source", "text"
+    )
+    out = dedup_savings(docs.unionByName(mirror))
+    return _round_cols(out, ["dropped_token_share"])
+
+
+def _dedup_savings_sql() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, 'mirror', text
+      FROM documents WHERE doc_id % 6 = 0),
+    keyed AS (
+      SELECT doc_id, source,
+        md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+              '\\s+', ' ', 'g'))) AS content_key,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens
+      FROM src),
+    groups AS (SELECT content_key, MIN(doc_id) AS survivor_id
+               FROM keyed GROUP BY 1),
+    flagged AS (
+      SELECT k.*, k.doc_id <> g.survivor_id AS is_dup
+      FROM keyed k JOIN groups g USING (content_key))
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_dropped,
+      CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      CAST(SUM(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS tokens_dropped,
+      ROUND(CAST(SUM(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS DOUBLE)
+              / SUM(n_tokens), {ROUND}) AS dropped_token_share
+    FROM flagged GROUP BY source"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -9860,6 +10011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "cube_profile": q_cube_profile,
         "ewma_chart": q_ewma_chart,
+        "chi2_cells": q_chi2_cells,
+        "seasonality_drift": q_seasonality_drift,
+        "dedup_savings": q_dedup_savings,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -483,3 +483,72 @@ def key_overlap_drift(
             f" > {float(churn_threshold)!r}D AS drift_detected",
         )
     )
+
+
+def chi2_cell_residuals(
+    ref: DataFrame,
+    curr: DataFrame,
+    columns: list[str],
+    significance: float = 2.0,
+) -> DataFrame:
+    """Per-cell drill-down of the chi² homogeneity test: WHICH categories
+    drive the statistic. The reference stops at the per-column p-value
+    (categorical_analyzer.py:410-470 ladder); the question an analyst asks
+    next — "which value shifted?" — is answered by the adjusted
+    standardized residuals (Haberman 1973) of the 2×C ref/curr table:
+
+        ``r = (o − e) / sqrt(e · (1 − row_total/N) · (1 − col_total/N))``
+
+    computed for the *curr* cell of each category (the ref cell's residual
+    is its exact negation in a 2-row table, so one row per category
+    carries the full picture). ``|r| > 2`` ≈ the cell individually
+    significant at ~95%.
+
+    Plan shape: both sides reduce to O(categories) frequency tables in
+    one groupBy each (map-side partials), the full-outer align shuffles
+    on (column, value) so single-category volume skew never concentrates,
+    and the per-column totals ride a broadcast O(columns) panel. Nothing
+    downstream of the two aggregates touches corpus-sized data.
+    """
+    from pyspark_data_drift_detector_spark.operators.frequency import (
+        frequency_table,
+    )
+
+    aligned = align_frequencies(
+        frequency_table(ref, columns), frequency_table(curr, columns)
+    )
+    totals = aligned.groupBy("column_name").agg(
+        F.sum("ref_cnt").alias("__rt"), F.sum("curr_cnt").alias("__ct")
+    )
+    cells = aligned.join(F.broadcast(totals), "column_name").withColumn(
+        "__n", (F.col("__rt") + F.col("__ct")).cast("double")
+    )
+    col_total = (F.col("ref_cnt") + F.col("curr_cnt")).cast("double")
+    e_curr = F.col("__ct").cast("double") * col_total / F.col("__n")
+    denom = F.sqrt(
+        e_curr
+        * (F.lit(1.0) - F.col("__ct") / F.col("__n"))
+        * (F.lit(1.0) - col_total / F.col("__n"))
+    )
+    resid = F.when(
+        denom > 0, (F.col("curr_cnt") - e_curr) / denom
+    )  # single-category columns (col_total == N) → undefined → NULL
+    return (
+        cells.withColumn("expected_curr", e_curr)
+        .withColumn("std_residual", resid)
+        .withColumn(
+            "significant",
+            F.when(
+                resid.isNotNull(), F.abs(resid) > F.lit(significance)
+            ).otherwise(F.lit(False)),
+        )
+        .select(
+            "column_name",
+            "value",
+            F.col("ref_cnt").cast("long").alias("ref_cnt"),
+            F.col("curr_cnt").cast("long").alias("curr_cnt"),
+            "expected_curr",
+            "std_residual",
+            "significant",
+        )
+    )

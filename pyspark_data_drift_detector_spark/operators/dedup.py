@@ -1655,3 +1655,62 @@ def fuzzy_pairs(
         F.col("len2").cast("long").alias("len2"),
         F.col("distance").cast("long").alias("distance"),
     )
+
+
+def dedup_savings(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source attribution of what normalized exact dedup saves — the
+    budget sheet a data team reads before buying another crawl: for each
+    ``group_col`` value, how many documents and tokens are duplicate mass
+    under the keep-min-id survivor policy. Complements
+    :func:`dedup_cluster_stats` (corpus-wide size histogram) with the
+    WHO: which source carries the duplication.
+
+    Duplicate groups may span sources; a copy is attributed to the source
+    that holds the *copy*, the survivor to the source that holds the
+    min-id original — so a mirror site shows up with ~100% dropped share
+    while the origin keeps its mass. That cross-source attribution is the
+    point of the report.
+
+    Plan: one narrow map (normalize + md5 + token count), one
+    groupBy(content_key) with map-side partials (never a
+    Window.partitionBy(key) — hot boilerplate keys have millions of
+    copies), join back on the key, one O(sources) aggregate.
+    """
+    from pyspark_data_drift_detector_spark.operators.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("content_key"),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    groups = keyed.groupBy("content_key").agg(F.min("id").alias("survivor_id"))
+    flagged = keyed.join(groups, "content_key").withColumn(
+        "is_dup", F.col("id") != F.col("survivor_id")
+    )
+    out = flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("docs_dropped"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_dropped"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "docs_dropped",
+        "tokens_total",
+        "tokens_dropped",
+        (F.col("tokens_dropped") / F.col("tokens_total")).alias(
+            "dropped_token_share"
+        ),
+    )

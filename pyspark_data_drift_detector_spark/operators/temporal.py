@@ -1618,3 +1618,68 @@ def ewma_control(
         "lcl",
         "out_of_control",
     )
+
+
+def seasonality_drift(
+    ref: DataFrame,
+    curr: DataFrame,
+    ts_col: str = "ts",
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Activity-mix drift across the two canonical seasonal grains —
+    day-of-week and hour-of-day — in one panel: did traffic move from
+    weekdays to weekends, from business hours to nights? This is the
+    temporal twin of the categorical PSI: the "category" is the seasonal
+    bucket, and the per-bucket ``psi_term`` uses the same zero-bin
+    epsilon clamp as :func:`frequency.population_stability_index` so
+    terms stay finite when a bucket is empty on one side.
+
+    Each side reduces to an O(7 + 24) panel with ONE grouped aggregate
+    (both grains unioned through a single unpivot projection, so the
+    corpus is scanned once per side); everything downstream is
+    broadcast-sized. ``bucket`` is 0-based (dow: 0 = Sunday, matching
+    ANSI ``date_part('dow')``; hour: 0-23).
+    """
+
+    def panel(df: DataFrame, side: str) -> DataFrame:
+        ts = F.col(ts_col)
+        grains = F.array(
+            F.struct(
+                F.lit("dow").alias("grain"),
+                (F.dayofweek(ts) - 1).cast("long").alias("bucket"),
+            ),
+            F.struct(
+                F.lit("hour").alias("grain"),
+                F.hour(ts).cast("long").alias("bucket"),
+            ),
+        )
+        return (
+            df.select(F.explode(grains).alias("g"))
+            .groupBy(F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"{side}_cnt"))
+        )
+    r = panel(ref, "ref")
+    c = panel(curr, "curr")
+    aligned = (
+        r.join(c, ["grain", "bucket"], "full_outer")
+        .fillna({"ref_cnt": 0, "curr_cnt": 0})
+    )
+    totals = aligned.groupBy("grain").agg(
+        F.sum("ref_cnt").alias("__rt"), F.sum("curr_cnt").alias("__ct")
+    )
+    enr = aligned.join(F.broadcast(totals), "grain")
+    p = F.greatest(
+        F.col("ref_cnt") / F.greatest(F.col("__rt"), F.lit(1)), F.lit(epsilon)
+    )
+    q = F.greatest(
+        F.col("curr_cnt") / F.greatest(F.col("__ct"), F.lit(1)), F.lit(epsilon)
+    )
+    return enr.select(
+        "grain",
+        "bucket",
+        F.col("ref_cnt").cast("long").alias("ref_cnt"),
+        F.col("curr_cnt").cast("long").alias("curr_cnt"),
+        p.alias("ref_freq"),
+        q.alias("curr_freq"),
+        ((q - p) * F.log(q / p)).alias("psi_term"),
+    )

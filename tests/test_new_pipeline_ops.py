@@ -3908,3 +3908,73 @@ def test_ewma_control_matches_recurrence(spark):
         assert r.out_of_control == (r.z > r.ucl or r.z < r.lcl)
     # the sustained level shift at t=5..7 must push the EWMA out of band
     assert any(r.out_of_control for r in got)
+
+
+def test_chi2_cell_residuals_hand_checked(spark):
+    import math
+
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        chi2_cell_residuals,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 10, "cat string"
+    )
+    curr = spark.createDataFrame(
+        [("a",)] * 18 + [("b",)] * 2, "cat string"
+    )
+    rows = {r.value: r for r in chi2_cell_residuals(ref, curr, ["cat"]).collect()}
+    # hand computation: N=40, curr row total 20, col totals a=28 b=12
+    # e(a,curr) = 20*28/40 = 14; denom = sqrt(14 * (1-0.5) * (1-0.7))
+    e_a = 14.0
+    denom_a = math.sqrt(e_a * 0.5 * (1 - 28 / 40))
+    assert abs(rows["a"].std_residual - (18 - e_a) / denom_a) < 1e-9
+    # the 2-row table's residuals are symmetric: b's is a's negation
+    assert abs(rows["a"].std_residual + rows["b"].std_residual) < 1e-9
+    assert rows["a"].significant and rows["b"].significant
+    # a single-category column has an undefined residual, not a crash
+    one = spark.createDataFrame([("only",)] * 5, "solo string")
+    solo = chi2_cell_residuals(one, one, ["solo"]).collect()
+    assert solo[0].std_residual is None and solo[0].significant is False
+
+
+def test_seasonality_drift_hand_checked(spark):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_drift,
+    )
+
+    # 2024-01-07 was a Sunday
+    sun = datetime.datetime(2024, 1, 7, 9, 0, 0)
+    mon = datetime.datetime(2024, 1, 8, 22, 0, 0)
+    ref = spark.createDataFrame([(sun,), (mon,)], "ts timestamp")
+    curr = spark.createDataFrame([(mon,), (mon,)], "ts timestamp")
+    rows = {(r.grain, r.bucket): r for r in seasonality_drift(ref, curr).collect()}
+    assert rows[("dow", 0)].ref_cnt == 1  # Sunday is bucket 0
+    assert rows[("dow", 1)].curr_cnt == 2
+    assert rows[("hour", 9)].curr_cnt == 0
+    assert rows[("hour", 22)].curr_freq == 1.0
+    # identical sides → every psi_term is exactly 0
+    same = seasonality_drift(ref, ref)
+    assert all(r.psi_term == 0.0 for r in same.collect())
+
+
+def test_dedup_savings_attribution(spark):
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_savings
+
+    df = spark.createDataFrame(
+        [
+            (1, "origin", "alpha beta gamma"),
+            (2, "origin", "alpha beta gamma"),   # in-source dup (3 tokens)
+            (3, "mirror", "alpha beta gamma"),   # cross-source dup
+            (4, "mirror", "unique text here now"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in dedup_savings(df).collect()}
+    o, m = rows["origin"], rows["mirror"]
+    # survivor is min doc_id (1, in origin); copies attributed to holders
+    assert (o.n_docs, o.docs_dropped, o.tokens_total, o.tokens_dropped) == (2, 1, 6, 3)
+    assert (m.n_docs, m.docs_dropped, m.tokens_total, m.tokens_dropped) == (2, 1, 7, 3)
+    assert abs(m.dropped_token_share - 3 / 7) < 1e-12

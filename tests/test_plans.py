@@ -1105,3 +1105,39 @@ def test_round11_wave4_plan_contracts(spark, sf_dir):
     assert len(unpartitioned) <= 2
     p = formatted_plan(ew)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_round11_wave5_plan_contracts(spark, sf_dir):
+    """chi2_cell_residuals / seasonality_drift: corpus reduces to
+    O(categories)/O(31)-bucket panels through grouped aggregates with
+    map-side partials; per-key totals ride broadcasts, never
+    unpartitioned windows. dedup_savings: groupBy(content_key)+join —
+    no Window.partitionBy(key), no Python in any of the three plans."""
+    from pyspark_data_drift_detector_spark.operators.categorical_drift import (
+        chi2_cell_residuals,
+    )
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_savings
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_drift,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        formatted_plan,
+        sorted_windows,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cc = chi2_cell_residuals(
+        li.filter("l_orderkey % 2 = 0"),
+        li.filter("l_orderkey % 2 = 1"),
+        ["l_returnflag", "l_linestatus"],
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sd = seasonality_drift(
+        ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = dedup_savings(docs)
+    for name, df in [("chi2_cells", cc), ("seasonality", sd), ("savings", ds)]:
+        assert not sorted_windows(df), f"{name} must be window-free"
+        p = formatted_plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
