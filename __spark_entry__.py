@@ -8504,6 +8504,7 @@ def _oracle_queries() -> dict[str, str]:
         "chi2_cells": _chi2_cells_sql(),
         "seasonality_drift": _seasonality_drift_sql(),
         "dedup_savings": _dedup_savings_sql(),
+        "events_report": _events_report_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -9951,6 +9952,134 @@ def _dedup_savings_sql() -> str:
     FROM flagged GROUP BY source"""
 
 
+def q_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed events-side flagship (events_pipeline.events_drift_report):
+    volume / event-mix / seasonality families between the even/odd user
+    cohorts in one long-format frame — the nightly artifact an event
+    pipeline ships, sibling of corpus_report and embedding_report."""
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        events_drift_report,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    return events_drift_report(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
+
+
+def _events_report_sql() -> str:
+    relchange = (
+        "CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
+        " WHEN {b} != 0 THEN 1.0 ELSE 0.0 END"
+    )
+    epd_rc = relchange.format(
+        a="(ref_events / CAST(GREATEST(ref_days, 1) AS DOUBLE))",
+        b="(curr_events / CAST(GREATEST(curr_days, 1) AS DOUBLE))",
+    )
+    users_rc = relchange.format(a="ref_users", b="curr_users")
+    mean_rc = relchange.format(a="ref_mean_value", b="curr_mean_value")
+    null_rc = relchange.format(a="ref_null_rate", b="curr_null_rate")
+    return f"""
+    WITH tagged AS (SELECT *, user_id % 2 AS side FROM events),
+    vol AS (
+      SELECT
+        COUNT(*) FILTER (WHERE side = 0) AS ref_events,
+        COUNT(*) FILTER (WHERE side = 1) AS curr_events,
+        COUNT(DISTINCT CASE WHEN side = 0
+                            THEN date_trunc('day', ts) END) AS ref_days,
+        COUNT(DISTINCT CASE WHEN side = 1
+                            THEN date_trunc('day', ts) END) AS curr_days,
+        COUNT(DISTINCT CASE WHEN side = 0 THEN user_id END) AS ref_users,
+        COUNT(DISTINCT CASE WHEN side = 1 THEN user_id END) AS curr_users,
+        AVG(CASE WHEN side = 0 THEN value END) AS ref_mean_value,
+        AVG(CASE WHEN side = 1 THEN value END) AS curr_mean_value,
+        AVG(CASE WHEN side = 0
+                 THEN CAST(value IS NULL AS DOUBLE) END) AS ref_null_rate,
+        AVG(CASE WHEN side = 1
+                 THEN CAST(value IS NULL AS DOUBLE) END) AS curr_null_rate
+      FROM tagged),
+    mix AS (
+      SELECT event_type AS value,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM tagged GROUP BY 1),
+    mixtot AS (SELECT SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct FROM mix),
+    shares AS (
+      SELECT value,
+        ref_cnt / CAST(GREATEST(rt, 1) AS DOUBLE) AS ref_share,
+        curr_cnt / CAST(GREATEST(ct, 1) AS DOUBLE) AS curr_share
+      FROM mix CROSS JOIN mixtot),
+    jsd AS (
+      SELECT SQRT(GREATEST(0.0, (
+        SUM(CASE WHEN ref_share > 0 AND (ref_share + curr_share) / 2 > 0
+                 THEN ref_share *
+                      LOG2(ref_share / ((ref_share + curr_share) / 2))
+                 ELSE 0.0 END) +
+        SUM(CASE WHEN curr_share > 0 AND (ref_share + curr_share) / 2 > 0
+                 THEN curr_share *
+                      LOG2(curr_share / ((ref_share + curr_share) / 2))
+                 ELSE 0.0 END)) / 2)) AS js_distance
+      FROM shares),
+    season_u AS (
+      SELECT g.grain, g.bucket, e.side
+      FROM tagged e CROSS JOIN LATERAL (
+        SELECT 'dow' AS grain,
+               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
+        UNION ALL
+        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
+    season_cells AS (
+      SELECT grain, bucket,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM season_u GROUP BY 1, 2),
+    season_tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
+                   FROM season_cells GROUP BY 1),
+    season AS (
+      SELECT c.grain,
+        SUM((GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+             - GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1), 1e-04))
+            * LN(GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+                 / GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
+                            1e-04))) AS psi
+      FROM season_cells c JOIN season_tot t USING (grain) GROUP BY 1)
+    SELECT 'volume' AS family, '' AS key, 'events_per_day' AS metric,
+      ROUND(ref_events / CAST(GREATEST(ref_days, 1) AS DOUBLE), {ROUND})
+        AS ref_value,
+      ROUND(curr_events / CAST(GREATEST(curr_days, 1) AS DOUBLE), {ROUND})
+        AS curr_value,
+      ROUND({epd_rc}, {ROUND}) AS diff,
+      ROUND({epd_rc}, {ROUND}) > 0.1 AS drift_detected FROM vol
+    UNION ALL
+    SELECT 'volume', '', 'active_users',
+      CAST(ROUND(ref_users, {ROUND}) AS DOUBLE),
+      CAST(ROUND(curr_users, {ROUND}) AS DOUBLE),
+      ROUND({users_rc}, {ROUND}), ROUND({users_rc}, {ROUND}) > 0.1 FROM vol
+    UNION ALL
+    SELECT 'volume', '', 'mean_value',
+      ROUND(ref_mean_value, {ROUND}), ROUND(curr_mean_value, {ROUND}),
+      ROUND({mean_rc}, {ROUND}), ROUND({mean_rc}, {ROUND}) > 0.1 FROM vol
+    UNION ALL
+    SELECT 'volume', '', 'value_null_rate',
+      ROUND(ref_null_rate, {ROUND}), ROUND(curr_null_rate, {ROUND}),
+      ROUND({null_rc}, {ROUND}), ROUND({null_rc}, {ROUND}) > 0.1 FROM vol
+    UNION ALL
+    SELECT 'event_mix',
+      CASE WHEN value IS NULL THEN '<null>' ELSE CAST(value AS VARCHAR) END,
+      'share',
+      ROUND(ref_share, {ROUND}), ROUND(curr_share, {ROUND}),
+      ROUND(ABS(curr_share - ref_share), {ROUND}),
+      ROUND(ABS(curr_share - ref_share), {ROUND}) > 0.05 FROM shares
+    UNION ALL
+    SELECT 'event_mix', '', 'js_distance', NULL, NULL,
+      ROUND(js_distance, {ROUND}), ROUND(js_distance, {ROUND}) > 0.1 FROM jsd
+    UNION ALL
+    SELECT 'seasonality', grain, 'psi', NULL, NULL,
+      ROUND(psi, {ROUND}), ROUND(psi, {ROUND}) > 0.1 FROM season"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -10014,6 +10143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_cells": q_chi2_cells,
         "seasonality_drift": q_seasonality_drift,
         "dedup_savings": q_dedup_savings,
+        "events_report": q_events_report,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1660,7 +1660,11 @@ def seasonality_drift(
         )
     r = panel(ref, "ref")
     c = panel(curr, "curr")
-    aligned = (
+    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
+
+    # the O(31)-bucket panel feeds both the totals aggregate and the
+    # output projection; persist so each side's corpus scan runs once
+    aligned = _reuse(
         r.join(c, ["grain", "bucket"], "full_outer")
         .fillna({"ref_cnt": 0, "curr_cnt": 0})
     )

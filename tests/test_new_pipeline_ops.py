@@ -3978,3 +3978,40 @@ def test_dedup_savings_attribution(spark):
     assert (o.n_docs, o.docs_dropped, o.tokens_total, o.tokens_dropped) == (2, 1, 6, 3)
     assert (m.n_docs, m.docs_dropped, m.tokens_total, m.tokens_dropped) == (2, 1, 7, 3)
     assert abs(m.dropped_token_share - 3 / 7) < 1e-12
+
+
+def test_events_drift_report_families_and_flags(spark):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        events_drift_report,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, h, 0, 0), u, t, v)
+        for d in range(3)
+        for h, u, t, v in [
+            (9, 1, "click", 1.0),
+            (14, 2, "view", 2.0),
+            (20, 3, "click", None),
+        ]
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    # identical sides → every drift flag false, diffs zero
+    out = events_drift_report(ev, ev).collect()
+    fams = {r.family for r in out}
+    assert fams == {"volume", "event_mix", "seasonality"}
+    assert not any(r.drift_detected for r in out)
+    vol = {r.metric: r for r in out if r.family == "volume"}
+    assert vol["events_per_day"].ref_value == 3.0
+    assert vol["active_users"].ref_value == 3.0
+    assert abs(vol["value_null_rate"].ref_value - 1 / 3) < 1e-4  # 5-dp rounded
+    shares = {r.key: r for r in out if r.metric == "share"}
+    assert abs(shares["click"].ref_value - 2 / 3) < 1e-4  # 5-dp rounded
+    # a divergent current side must flag the mix family
+    curr = ev.withColumn("event_type", F.lit("purchase"))
+    out2 = events_drift_report(ev, curr).collect()
+    js = [r for r in out2 if r.metric == "js_distance"][0]
+    assert js.drift_detected and js.diff == 1.0

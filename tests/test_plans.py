@@ -1141,3 +1141,35 @@ def test_round11_wave5_plan_contracts(spark, sf_dir):
         assert not sorted_windows(df), f"{name} must be window-free"
         p = formatted_plan(df)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_events_report_plan_contract(spark, sf_dir):
+    """events_drift_report: every family reduces to a broadcast-sized
+    panel via grouped aggregates — no sorted windows anywhere, no
+    Python eval, and the whole report stays within a bounded number of
+    source scans (volume 2 via the tagged union, mix 2, seasonality 2)."""
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        events_drift_report,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rep = events_drift_report(
+        ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")
+    )
+    assert not sorted_windows(rep)
+    p = formatted_plan(rep)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the O(types)/O(31) panels are persisted; their multi-consumer
+    # replays ride InMemoryTableScan, so the corpus materializes at most
+    # twice per family (6 total) even though the plan TEXT prints each
+    # cached builder's file scan per consumer (hence the loose raw cap)
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    sp = simple_plan(rep)
+    assert sp.count("InMemoryTableScan") >= 5, "panel caches missing"
+    assert count_scans(rep) <= 14
