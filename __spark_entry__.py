@@ -8505,6 +8505,9 @@ def _oracle_queries() -> dict[str, str]:
         "seasonality_drift": _seasonality_drift_sql(),
         "dedup_savings": _dedup_savings_sql(),
         "events_report": _events_report_sql(),
+        "seasonality_incremental": _seasonality_drift_sql(
+            side_expr="CASE WHEN e.event_id % 3 = 0 THEN 1 ELSE 0 END"
+        ),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -9874,10 +9877,12 @@ def q_seasonality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["ref_freq", "curr_freq", "psi_term"])
 
 
-def _seasonality_drift_sql(epsilon: float = 1e-4) -> str:
+def _seasonality_drift_sql(
+    epsilon: float = 1e-4, side_expr: str = "e.user_id % 2"
+) -> str:
     return f"""
     WITH u AS (
-      SELECT g.grain, g.bucket, e.user_id % 2 AS side
+      SELECT g.grain, g.bucket, {side_expr} AS side
       FROM events e CROSS JOIN LATERAL (
         SELECT 'dow' AS grain,
                CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
@@ -9902,6 +9907,25 @@ def _seasonality_drift_sql(epsilon: float = 1e-4) -> str:
       ROUND(q, {ROUND}) AS curr_freq,
       ROUND((q - p) * LN(q / p), {ROUND}) AS psi_term
     FROM pq"""
+
+
+def q_seasonality_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal member of the vet-the-increment family: the event_id%3==0
+    ingest batch's dow/hour mix checked against the rolled-up
+    seasonality_state of the prior corpus (operators.temporal.
+    seasonality_incremental) — exactly equal to the batch comparison by
+    count additivity, prior events never re-read."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_incremental,
+        seasonality_state,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    state = seasonality_state(ev.filter(F.col("event_id") % 3 != 0))
+    out = seasonality_incremental(ev.filter(F.col("event_id") % 3 == 0), state)
+    return _round_cols(out, ["ref_freq", "curr_freq", "psi_term"])
 
 
 def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10144,6 +10168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_drift": q_seasonality_drift,
         "dedup_savings": q_dedup_savings,
         "events_report": q_events_report,
+        "seasonality_incremental": q_seasonality_incremental,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1570,8 +1570,12 @@ def ewma_control(
     day with ``x`` (daily mean), ``z``, ``ucl``/``lcl``, and the
     ``out_of_control`` flag.
     """
+    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
+
     day = F.date_trunc("day", F.col(ts_col)).alias("day")
-    daily = df.groupBy(day).agg(F.avg(value_col).alias("x"))
+    # the O(days) panel feeds the Phase-I baseline aggregate AND the
+    # windowed chart chain; persist so the corpus reduces exactly once
+    daily = _reuse(df.groupBy(day).agg(F.avg(value_col).alias("x")))
     base = daily.agg(
         F.avg("x").alias("mu0"), F.stddev_samp("x").alias("sigma0")
     )
@@ -1640,32 +1644,43 @@ def seasonality_drift(
     broadcast-sized. ``bucket`` is 0-based (dow: 0 = Sunday, matching
     ANSI ``date_part('dow')``; hour: 0-23).
     """
+    return _seasonality_compare(
+        _seasonality_cells(ref, ts_col, "ref_cnt"),
+        _seasonality_cells(curr, ts_col, "curr_cnt"),
+        epsilon,
+    )
 
-    def panel(df: DataFrame, side: str) -> DataFrame:
-        ts = F.col(ts_col)
-        grains = F.array(
-            F.struct(
-                F.lit("dow").alias("grain"),
-                (F.dayofweek(ts) - 1).cast("long").alias("bucket"),
-            ),
-            F.struct(
-                F.lit("hour").alias("grain"),
-                F.hour(ts).cast("long").alias("bucket"),
-            ),
-        )
-        return (
-            df.select(F.explode(grains).alias("g"))
-            .groupBy(F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias(f"{side}_cnt"))
-        )
-    r = panel(ref, "ref")
-    c = panel(curr, "curr")
+
+def _seasonality_cells(df: DataFrame, ts_col: str, cnt_name: str) -> DataFrame:
+    """Per-(grain, bucket) event counts for both seasonal grains in one
+    grouped aggregate — the additive panel everything seasonal builds on."""
+    ts = F.col(ts_col)
+    grains = F.array(
+        F.struct(
+            F.lit("dow").alias("grain"),
+            (F.dayofweek(ts) - 1).cast("long").alias("bucket"),
+        ),
+        F.struct(
+            F.lit("hour").alias("grain"),
+            F.hour(ts).cast("long").alias("bucket"),
+        ),
+    )
+    return (
+        df.select(F.explode(grains).alias("g"))
+        .groupBy(F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(cnt_name))
+    )
+
+
+def _seasonality_compare(
+    ref_cells: DataFrame, curr_cells: DataFrame, epsilon: float
+) -> DataFrame:
     from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
     # the O(31)-bucket panel feeds both the totals aggregate and the
     # output projection; persist so each side's corpus scan runs once
     aligned = _reuse(
-        r.join(c, ["grain", "bucket"], "full_outer")
+        ref_cells.join(curr_cells, ["grain", "bucket"], "full_outer")
         .fillna({"ref_cnt": 0, "curr_cnt": 0})
     )
     totals = aligned.groupBy("grain").agg(
@@ -1686,4 +1701,34 @@ def seasonality_drift(
         p.alias("ref_freq"),
         q.alias("curr_freq"),
         ((q - p) * F.log(q / p)).alias("psi_term"),
+    )
+
+
+def seasonality_state(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The mergeable seasonal-mix state: additive per-(grain, bucket)
+    counts (O(31) rows per append). SUM-merging any number of state
+    appends then comparing equals the batch comparison over the unioned
+    raw events EXACTLY — counts are the sufficient statistic for the
+    whole PSI panel, so the prior corpus is never re-read."""
+    return _seasonality_cells(df, ts_col, "cnt")
+
+
+def seasonality_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    ts_col: str = "ts",
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Vet an ingest batch's seasonal mix against the rolled-up
+    :func:`seasonality_state` of the prior corpus — the seasonal member
+    of the vet-the-increment family (did the new feed arrive with a
+    different day-of-week/hour shape than history?). Output is
+    identical in shape and semantics to :func:`seasonality_drift` with
+    the prior corpus as ref and the batch as curr, and EXACTLY equal to
+    it by the additive-counts argument on :func:`seasonality_state`."""
+    ref_cells = state.groupBy("grain", "bucket").agg(
+        F.sum("cnt").alias("ref_cnt")
+    )
+    return _seasonality_compare(
+        ref_cells, _seasonality_cells(batch, ts_col, "curr_cnt"), epsilon
     )

@@ -850,3 +850,35 @@ def transition_vetting_sink(
         ).parquet(last_state_path)
 
     return write_batch
+
+
+def seasonality_state_sink(
+    state_path: str,
+    ts_col: str = "ts",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the seasonal-mix state: each
+    micro-batch appends its additive per-(grain, bucket) counts
+    (O(31) rows per batch — the benford_state_sink shape), so
+    :func:`operators.temporal.seasonality_incremental` over the rolled
+    state vets the NEXT batch's day-of-week/hour shape against all
+    history without re-reading it."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seasonality_state(batch_df, ts_col).write.mode("append").parquet(
+            state_path
+        )
+
+    return write_batch
+
+
+def read_seasonality_state(spark, state_path: str) -> DataFrame:
+    """Merge the appended seasonal state back to one row per (grain,
+    bucket) — counts are additive, so SUM is the exact merge."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("grain", "bucket")
+        .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
+    )

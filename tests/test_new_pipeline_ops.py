@@ -4015,3 +4015,40 @@ def test_events_drift_report_families_and_flags(spark):
     out2 = events_drift_report(ev, curr).collect()
     js = [r for r in out2 if r.metric == "js_distance"][0]
     assert js.drift_detected and js.diff == 1.0
+
+
+def test_seasonality_incremental_equals_batch(spark, tmp_path):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_drift,
+        seasonality_incremental,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        read_seasonality_state,
+        seasonality_state_sink,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + (i % 9), (7 * i) % 24, 0, 0), i)
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_id long")
+    prior = ev.filter("event_id % 3 != 0")
+    batch = ev.filter("event_id % 3 = 0")
+
+    # state maintained across two micro-batch appends (the sink path)
+    path = str(tmp_path / "season_state")
+    sink = seasonality_state_sink(path)
+    sink(prior.filter("event_id % 2 = 0"), 0)
+    sink(prior.filter("event_id % 2 = 1"), 1)
+    state = read_seasonality_state(spark, path)
+
+    inc = seasonality_incremental(batch, state)
+    full = seasonality_drift(prior, batch)
+    key = lambda r: (r.grain, r.bucket)
+    inc_rows = sorted(inc.collect(), key=key)
+    full_rows = sorted(full.collect(), key=key)
+    # additive counts are the sufficient statistic: EXACT equality
+    assert [tuple(r) for r in inc_rows] == [tuple(r) for r in full_rows]
+    assert len(inc_rows) > 0

@@ -1099,7 +1099,13 @@ def test_round11_wave4_plan_contracts(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ew = ewma_control(ev)
-    assert count_scans(ew) == 1
+    # the O(days) panel is persisted: its two consumers (baseline agg +
+    # window chain) ride the cache, so the corpus reduces once even
+    # though the plan text prints the cached builder's scan per consumer
+    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
+
+    assert "InMemoryTableScan" in simple_plan(ew), "daily panel not cached"
+    assert count_scans(ew) <= 2
     unpartitioned = [s for a, s in sorted_windows(ew) if a == 0]
     # row_number + running weighted sum over the O(days) daily panel
     assert len(unpartitioned) <= 2
