@@ -8508,6 +8508,8 @@ def _oracle_queries() -> dict[str, str]:
         "seasonality_incremental": _seasonality_drift_sql(
             side_expr="CASE WHEN e.event_id % 3 = 0 THEN 1 ELSE 0 END"
         ),
+        "transition_stationary": _transition_stationary_sql(),
+        "touch_attribution": _touch_attribution_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -10104,6 +10106,115 @@ def _events_report_sql() -> str:
       ROUND(psi, {ROUND}), ROUND(psi, {ROUND}) > 0.1 FROM season"""
 
 
+def q_transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationarity check (operators.temporal.transition_stationary):
+    power-iterated stationary distribution of the per-user transition
+    chain vs the observed event mix — 8 renormalized iterations over the
+    O(types²) panel, replayed CTE-for-CTE in the oracle."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_stationary,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = transition_stationary(load_events(spark, sf_dir), n_iter=8)
+    return _round_cols(
+        out, ["stationary_share", "observed_share", "divergence"]
+    )
+
+
+def _transition_stationary_sql(n_iter: int = 8) -> str:
+    its = []
+    prev = "it0"
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""
+    f{k} AS (
+      SELECT p.next_type AS state, SUM(i.pi * p.prob) AS v
+      FROM {prev} i JOIN pmat p ON p.prev_type = i.state GROUP BY 1),
+    r{k} AS MATERIALIZED (
+      SELECT s.state, COALESCE(f{k}.v, 0.0) AS v
+      FROM states s LEFT JOIN f{k} USING (state)),
+    it{k} AS (
+      SELECT state, v / t.tv AS pi
+      FROM r{k} CROSS JOIN (SELECT SUM(v) AS tv FROM r{k}) t)"""
+        )
+        prev = f"it{k}"
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS et,
+        LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_et
+      FROM events),
+    pr AS (SELECT prev_et AS prev_type, et AS next_type, COUNT(*) AS n
+           FROM seq WHERE prev_et IS NOT NULL GROUP BY 1, 2),
+    tots AS (SELECT prev_type, SUM(n) AS tot FROM pr GROUP BY 1),
+    pmat AS MATERIALIZED (SELECT p.prev_type, p.next_type,
+                    CAST(p.n AS DOUBLE) / t.tot AS prob
+             FROM pr p JOIN tots t USING (prev_type)),
+    states AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM pmat),
+    it0 AS (SELECT state, CAST(1.0 AS DOUBLE) / s.s AS pi
+            FROM states CROSS JOIN (SELECT COUNT(*) AS s FROM states) s),
+    {",".join(its)},
+    obs AS (SELECT event_type AS state, COUNT(*) AS cnt
+            FROM events GROUP BY 1),
+    n_ev AS (SELECT COUNT(*) AS n FROM events)
+    SELECT s.state,
+      ROUND(i.pi, {ROUND}) AS stationary_share,
+      ROUND(COALESCE(o.cnt, 0) / CAST(e.n AS DOUBLE), {ROUND})
+        AS observed_share,
+      ROUND(ABS(i.pi - COALESCE(o.cnt, 0) / CAST(e.n AS DOUBLE)), {ROUND})
+        AS divergence
+    FROM states s
+    JOIN {prev} i USING (state)
+    LEFT JOIN obs o USING (state)
+    CROSS JOIN n_ev e"""
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution for 'purchase' conversions
+    (operators.temporal.touch_attribution): one window pass carries both
+    models; conversions with no prior touch land in '<none>'."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        touch_attribution,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = touch_attribution(load_events(spark, sf_dir), "purchase")
+    return _round_cols(out, ["share"])
+
+
+def _touch_attribution_sql(conversion: str = "purchase") -> str:
+    return f"""
+    WITH t AS (
+      SELECT event_type,
+        first_value(CASE WHEN event_type <> '{conversion}'
+                         THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS first_t,
+        last_value(CASE WHEN event_type <> '{conversion}'
+                        THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_t
+      FROM events),
+    conv AS (SELECT * FROM t WHERE event_type = '{conversion}'),
+    m AS (
+      SELECT 'first_touch' AS model,
+             COALESCE(first_t, '<none>') AS touch_type FROM conv
+      UNION ALL
+      SELECT 'last_touch', COALESCE(last_t, '<none>') FROM conv),
+    c AS (SELECT model, touch_type,
+                 CAST(COUNT(*) AS BIGINT) AS conversions
+          FROM m GROUP BY 1, 2),
+    tt AS (SELECT model, SUM(conversions) AS tot FROM c GROUP BY 1)
+    SELECT c.model, c.touch_type, c.conversions,
+      ROUND(c.conversions / CAST(t.tot AS DOUBLE), {ROUND}) AS share
+    FROM c JOIN tt t USING (model)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -10169,6 +10280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "events_report": q_events_report,
         "seasonality_incremental": q_seasonality_incremental,
+        "transition_stationary": q_transition_stationary,
+        "touch_attribution": q_touch_attribution,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1732,3 +1732,167 @@ def seasonality_incremental(
     return _seasonality_compare(
         ref_cells, _seasonality_cells(batch, ts_col, "curr_cnt"), epsilon
     )
+
+
+def transition_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Long-run event mix implied by the first-order Markov transition
+    matrix vs the mix actually observed — a STATIONARITY check on the
+    behavioral process behind :func:`transition_drift`: when the chain's
+    stationary distribution disagrees with today's observed mix, the
+    stream is still converging (ramp-up, migration, incident recovery)
+    and per-type frequency baselines will keep drifting on their own.
+
+    The ``fit_kmeans`` pattern (similarity.py trainer family): the
+    corpus reduces ONCE to the O(types²) transition-count panel via one
+    per-user lag window + one grouped aggregate; that panel — bounded by
+    the event-type vocabulary squared, a few thousand rows even for rich
+    schemas, NEVER corpus-sized — is collected and power-iterated
+    driver-side (an earlier all-DataFrame loop re-instantiated the
+    un-materialized iteration subtree twice per step, the 2^k CTE
+    blowup funnel_conversion checkpoints against; at O(types²) the
+    collect is strictly cheaper than 8 tiny Spark jobs). States with no
+    outgoing transitions absorb mass, so every iteration renormalizes —
+    the same convention replayed in the oracle. At 5-30 event types, 8
+    iterations converge to well under the 5-dp reporting precision
+    (|λ₂| ≪ 1 for real clickstreams).
+
+    Output per state (event types with outgoing transitions):
+    ``stationary_share``, ``observed_share`` (of ALL events), and their
+    absolute ``divergence``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    # O(types²) rows — the documented driver-traffic bound
+    pmat = [
+        (r.prev_type, r.next_type, r.prob)
+        for r in pairs.join(row_tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("n") / F.col("tot")).alias("prob"),
+        )
+        .collect()
+    ]
+    pmat.sort()  # deterministic accumulation order across runs
+    states = sorted({p for p, _, _ in pmat})
+    if not states:
+        return df.sparkSession.createDataFrame(
+            [],
+            "state string, stationary_share double, "
+            "observed_share double, divergence double",
+        )
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(n_iter):
+        flow: dict[str, float] = {s: 0.0 for s in states}
+        for prev, nxt, prob in pmat:
+            if nxt in flow:
+                flow[nxt] += pi[prev] * prob
+            # mass flowing to states with no outgoing edges is dropped
+            # and restored by the renormalization below (oracle twin:
+            # the LEFT JOIN onto the outgoing-states frame)
+        total = sum(flow.values())
+        pi = {s: v / total for s, v in flow.items()}
+    pi_df = df.sparkSession.createDataFrame(
+        [(s, pi[s]) for s in states], "state string, pi double"
+    )
+    n_events = df.agg(F.count(F.lit(1)).alias("__n"))
+    observed = df.groupBy(F.col(type_col).alias("state")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        pi_df.join(observed, "state", "left")
+        .fillna({"__cnt": 0})
+        .crossJoin(F.broadcast(n_events))
+        .select(
+            "state",
+            F.col("pi").alias("stationary_share"),
+            (F.col("__cnt") / F.col("__n")).alias("observed_share"),
+            F.abs(
+                F.col("pi") - F.col("__cnt") / F.col("__n")
+            ).alias("divergence"),
+        )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, which NON-conversion event type opened the path
+    (first touch) and which one immediately preceded it (last touch) —
+    the two textbook attribution models, reported side by side per
+    touch type. A conversion with no prior touch (the user's first
+    event) lands in the ``<none>`` bucket so counts always total the
+    conversion count.
+
+    ONE window pass carries both models: per user in (ts, order) order,
+    ``first/last(non-conversion type, ignore nulls)`` over the
+    rows-preceding frame — per-user state is bounded by a user's own
+    history (the sessionize partition premise), and the corpus reduces
+    to an O(models × types) panel in one aggregate. No self-joins: the
+    naive "join conversions to all earlier events" shape is quadratic
+    in events-per-user and is exactly what this window form avoids.
+
+    Output: ``model ('first_touch'|'last_touch'), touch_type,
+    conversions, share`` (share of all conversions).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    conv = (
+        df.withColumn("__first", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("__last", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    melted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("__first", F.lit("<none>")).alias(
+                        "touch_type"
+                    ),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("__last", F.lit("<none>")).alias("touch_type"),
+                ),
+            )
+        ).alias("a")
+    ).select("a.model", "a.touch_type")
+    counts = melted.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions")
+    )
+    totals = counts.groupBy("model").agg(
+        F.sum("conversions").alias("__tot")
+    )
+    return counts.join(F.broadcast(totals), "model").select(
+        "model",
+        "touch_type",
+        "conversions",
+        (F.col("conversions") / F.col("__tot")).alias("share"),
+    )

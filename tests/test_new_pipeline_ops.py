@@ -4052,3 +4052,72 @@ def test_seasonality_incremental_equals_batch(spark, tmp_path):
     # additive counts are the sufficient statistic: EXACT equality
     assert [tuple(r) for r in inc_rows] == [tuple(r) for r in full_rows]
     assert len(inc_rows) > 0
+
+
+def test_transition_stationary_matches_recurrence(spark):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_stationary,
+    )
+
+    # single user, sequence a a b a b a → P(a→a)=1/3, P(a→b)=2/3, P(b→a)=1
+    seq = ["a", "a", "b", "a", "b", "a"]
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, i, 0), 1, i, t)
+        for i, t in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    got = {r.state: r for r in transition_stationary(ev, n_iter=8).collect()}
+
+    pmat = {("a", "a"): 1 / 3, ("a", "b"): 2 / 3, ("b", "a"): 1.0}
+    pi = {"a": 0.5, "b": 0.5}
+    for _ in range(8):
+        flow = {s: 0.0 for s in pi}
+        for (p_, n_), prob in sorted(pmat.items()):
+            flow[n_] += pi[p_] * prob
+        tot = sum(flow.values())
+        pi = {s: v / tot for s, v in flow.items()}
+    assert abs(got["a"].stationary_share - pi["a"]) < 1e-12
+    assert abs(got["b"].stationary_share - pi["b"]) < 1e-12
+    # theoretical stationary of this chain is (3/5, 2/5); 8 renormalized
+    # iterations land within |λ2|^8 of it
+    assert abs(got["a"].stationary_share - 0.6) < 0.01
+    assert abs(got["a"].observed_share - 4 / 6) < 1e-12
+    assert abs(
+        got["a"].divergence
+        - abs(got["a"].stationary_share - got["a"].observed_share)
+    ) < 1e-12
+
+
+def test_touch_attribution_hand_checked(spark):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        touch_attribution,
+    )
+
+    def ev(i, u, t):
+        return (datetime.datetime(2024, 1, 1, 0, i, 0), u, i, t)
+
+    rows = [
+        ev(0, 1, "view"),
+        ev(1, 1, "click"),
+        ev(2, 1, "purchase"),
+        ev(3, 1, "purchase"),   # prior conversions never count as touches
+        ev(4, 2, "purchase"),   # no prior touch → <none>
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    got = {
+        (r.model, r.touch_type): r
+        for r in touch_attribution(df, "purchase").collect()
+    }
+    assert got[("first_touch", "view")].conversions == 2
+    assert got[("last_touch", "click")].conversions == 2
+    assert got[("first_touch", "<none>")].conversions == 1
+    assert got[("last_touch", "<none>")].conversions == 1
+    assert abs(got[("last_touch", "click")].share - 2 / 3) < 1e-12

@@ -1179,3 +1179,33 @@ def test_events_report_plan_contract(spark, sf_dir):
     sp = simple_plan(rep)
     assert sp.count("InMemoryTableScan") >= 5, "panel caches missing"
     assert count_scans(rep) <= 14
+
+
+def test_round11_wave6_plan_contracts(spark, sf_dir):
+    """touch_attribution: ONE user-partitioned window pass (never an
+    events self-join), O(models×types) output. transition_stationary:
+    the returned frame is panel-sized — the corpus lag window runs
+    before the documented O(types²) collect, so the output plan carries
+    no windows at all."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        touch_attribution,
+        transition_stationary,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        formatted_plan,
+        sorted_windows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ta = touch_attribution(ev, "purchase")
+    sw = sorted_windows(ta)
+    assert sw and all(a >= 1 for a, _ in sw), (
+        "touch windows must stay user-partitioned"
+    )
+    p = formatted_plan(ta)
+    assert "BroadcastHashJoin" in p, "totals panel must broadcast"
+    assert "SortMergeJoin" not in p, "no corpus-sized join in attribution"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    ts = transition_stationary(ev, n_iter=2)
+    assert not sorted_windows(ts), "stationary output must be panel-only"
