@@ -8510,6 +8510,7 @@ def _oracle_queries() -> dict[str, str]:
         ),
         "transition_stationary": _transition_stationary_sql(),
         "touch_attribution": _touch_attribution_sql(),
+        "events_report_incremental": _events_report_incremental_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -10215,6 +10216,137 @@ def _touch_attribution_sql(conversion: str = "purchase") -> str:
     FROM c JOIN tt t USING (model)"""
 
 
+def q_events_report_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-side ingest-vetting flagship (events_pipeline.
+    events_report_incremental): the last-10-days batch vetted against
+    the first-20-days rolled-up states (volume / type-mix / seasonality
+    counts + transition pair/last state) — prior events never re-read;
+    completes the incremental-flagship trio with corpus_report_ and
+    embedding_report_incremental."""
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        event_type_state,
+        events_report_incremental,
+        events_volume_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_state,
+        transition_last_state,
+        transition_pair_state,
+    )
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir)
+    prior = ev.filter("ts < TIMESTAMP '2024-01-21'")
+    batch = ev.filter("ts >= TIMESTAMP '2024-01-21'")
+    return events_report_incremental(
+        batch,
+        events_volume_state(prior),
+        event_type_state(prior),
+        seasonality_state(prior),
+        transition_pair_state(prior),
+        transition_last_state(prior),
+    )
+
+
+def _events_report_incremental_sql(trans_thr: float = 0.02) -> str:
+    relchange = (
+        "CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
+        " WHEN {b} != 0 THEN 1.0 ELSE 0.0 END"
+    )
+    epd_ref = "(rn / CAST(GREATEST(rd, 1) AS DOUBLE))"
+    epd_curr = "(cn / CAST(GREATEST(cd, 1) AS DOUBLE))"
+    epd_rc = relchange.format(a=epd_ref, b=epd_curr)
+    return f"""
+    WITH pvol AS (
+      SELECT SUM(n) AS rn, COUNT(*) AS rd FROM (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1)),
+    bvol AS (
+      SELECT COUNT(*) AS cn,
+             COUNT(DISTINCT date_trunc('day', ts)) AS cd
+      FROM events WHERE ts >= TIMESTAMP '2024-01-21'),
+    mix AS MATERIALIZED (
+      SELECT event_type AS value,
+        CAST(COUNT(*) FILTER (
+          WHERE ts < TIMESTAMP '2024-01-21') AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (
+          WHERE ts >= TIMESTAMP '2024-01-21') AS BIGINT) AS curr_cnt
+      FROM events GROUP BY 1),
+    mixtot AS (SELECT SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct FROM mix),
+    shares AS MATERIALIZED (
+      SELECT value,
+        ref_cnt / CAST(GREATEST(rt, 1) AS DOUBLE) AS ref_share,
+        curr_cnt / CAST(GREATEST(ct, 1) AS DOUBLE) AS curr_share
+      FROM mix CROSS JOIN mixtot),
+    jsd AS (
+      SELECT SQRT(GREATEST(0.0, (
+        SUM(CASE WHEN ref_share > 0 AND (ref_share + curr_share) / 2 > 0
+                 THEN ref_share *
+                      LOG2(ref_share / ((ref_share + curr_share) / 2))
+                 ELSE 0.0 END) +
+        SUM(CASE WHEN curr_share > 0 AND (ref_share + curr_share) / 2 > 0
+                 THEN curr_share *
+                      LOG2(curr_share / ((ref_share + curr_share) / 2))
+                 ELSE 0.0 END)) / 2)) AS js_distance
+      FROM shares),
+    season_u AS (
+      SELECT g.grain, g.bucket,
+        CASE WHEN e.ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END AS side
+      FROM events e CROSS JOIN LATERAL (
+        SELECT 'dow' AS grain,
+               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
+        UNION ALL
+        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
+    season_cells AS (
+      SELECT grain, bucket,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM season_u GROUP BY 1, 2),
+    season_tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
+                   FROM season_cells GROUP BY 1),
+    season AS (
+      SELECT c.grain,
+        SUM((GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+             - GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1), 1e-04))
+            * LN(GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+                 / GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
+                            1e-04))) AS psi
+      FROM season_cells c JOIN season_tot t USING (grain) GROUP BY 1),
+    trans AS MATERIALIZED ({_transition_incremental_sql(trans_thr)}),
+    transagg AS (
+      SELECT MAX(share_abs_diff) AS mx,
+        CAST(SUM(CASE WHEN drift_detected THEN 1 ELSE 0 END) AS BIGINT)
+          AS nf
+      FROM trans)
+    SELECT 'volume' AS family, '' AS key, 'events_per_day' AS metric,
+      ROUND({epd_ref}, {ROUND}) AS ref_value,
+      ROUND({epd_curr}, {ROUND}) AS curr_value,
+      ROUND({epd_rc}, {ROUND}) AS diff,
+      ROUND({epd_rc}, {ROUND}) > 0.1 AS drift_detected
+    FROM pvol CROSS JOIN bvol
+    UNION ALL
+    SELECT 'event_mix',
+      CASE WHEN value IS NULL THEN '<null>' ELSE CAST(value AS VARCHAR) END,
+      'share',
+      ROUND(ref_share, {ROUND}), ROUND(curr_share, {ROUND}),
+      ROUND(ABS(curr_share - ref_share), {ROUND}),
+      ROUND(ABS(curr_share - ref_share), {ROUND}) > 0.05 FROM shares
+    UNION ALL
+    SELECT 'event_mix', '', 'js_distance', NULL, NULL,
+      ROUND(js_distance, {ROUND}), ROUND(js_distance, {ROUND}) > 0.1 FROM jsd
+    UNION ALL
+    SELECT 'seasonality', grain, 'psi', NULL, NULL,
+      ROUND(psi, {ROUND}), ROUND(psi, {ROUND}) > 0.1 FROM season
+    UNION ALL
+    SELECT 'transitions', '', 'max_share_diff', NULL, NULL,
+      ROUND(mx, {ROUND}),
+      ROUND(mx, {ROUND}) > CAST({trans_thr!r} AS DOUBLE) FROM transagg
+    UNION ALL
+    SELECT 'transitions', '', 'flagged_pairs', NULL,
+      CAST(nf AS DOUBLE), CAST(nf AS DOUBLE), false FROM transagg"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -10282,6 +10414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_incremental": q_seasonality_incremental,
         "transition_stationary": q_transition_stationary,
         "touch_attribution": q_touch_attribution,
+        "events_report_incremental": q_events_report_incremental,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -135,71 +135,17 @@ def events_drift_report(
     volume = _melt(vol, vol_rows)
 
     # ---- event_mix: O(types) aligned share panel ----------------------
-    mix = (
+    ref_counts = (
         df_ref.select(F.col(type_col).alias("value"))
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("ref_cnt"))
-        .join(
-            df_curr.select(F.col(type_col).alias("value"))
-            .groupBy("value")
-            .agg(F.count(F.lit(1)).alias("curr_cnt")),
-            "value",
-            "full_outer",
-        )
-        .fillna({"ref_cnt": 0, "curr_cnt": 0})
     )
-    # the O(types) panel feeds three consumers (per-type rows, totals,
-    # JS aggregate) — persist it so the corpus isn't re-scanned per
-    # consumer (the dedup._reuse rationale, panel is broadcast-sized)
-    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
-
-    mix = _reuse(mix)
-    mix_tot = mix.groupBy().agg(
-        F.sum("ref_cnt").alias("__rt"), F.sum("curr_cnt").alias("__ct")
+    curr_counts = (
+        df_curr.select(F.col(type_col).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("curr_cnt"))
     )
-    mix = mix.crossJoin(F.broadcast(mix_tot)).selectExpr(
-        "value",
-        "ref_cnt / CAST(greatest(__rt, 1) AS DOUBLE) AS ref_share",
-        "curr_cnt / CAST(greatest(__ct, 1) AS DOUBLE) AS curr_share",
-    )
-    per_type = _melt(
-        mix,
-        [
-            (
-                "'event_mix'",
-                "CASE WHEN value IS NULL THEN '<null>'"
-                " ELSE CAST(value AS STRING) END",
-                "'share'",
-                f"round(ref_share, {r})",
-                f"round(curr_share, {r})",
-                f"round(abs(curr_share - ref_share), {r})",
-                f"round(abs(curr_share - ref_share), {r}) > {sh!r}D",
-            )
-        ],
-    )
-    p, q = F.col("ref_share"), F.col("curr_share")
-    m = (p + q) / 2
-    kl_p = F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
-    kl_q = F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
-    js_panel = mix.groupBy().agg(
-        F.sqrt(
-            F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)
-        ).alias("js_distance")
-    )
-    js_row = _melt(
-        js_panel,
-        [
-            (
-                "'event_mix'",
-                "''",
-                "'js_distance'",
-                "NULL",
-                "NULL",
-                f"round(js_distance, {r})",
-                f"round(js_distance, {r}) > {js!r}D",
-            )
-        ],
-    )
+    per_type, js_row = _mix_rows(ref_counts, curr_counts, sh, js)
 
     # ---- seasonality: per-grain PSI from the O(31)-bucket panel -------
     from pyspark_data_drift_detector_spark.operators.temporal import (
@@ -228,6 +174,278 @@ def events_drift_report(
 
     out = volume.unionByName(per_type).unionByName(js_row).unionByName(
         season_rows
+    )
+    return out.selectExpr(
+        "family",
+        "key",
+        "metric",
+        f"round(ref_value, {r}) AS ref_value",
+        f"round(curr_value, {r}) AS curr_value",
+        f"round(diff, {r}) AS diff",
+        "drift_detected",
+    )
+
+
+def _mix_rows(
+    ref_counts: DataFrame,
+    curr_counts: DataFrame,
+    share_threshold: float,
+    js_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared event-mix tail: align two O(types) count frames
+    (``value, ref_cnt`` / ``value, curr_cnt``), emit per-type share rows
+    plus the Jensen-Shannon distance row. The aligned panel feeds three
+    consumers (per-type rows, totals, JS aggregate) — persisted so the
+    inputs aren't recomputed per consumer (the dedup._reuse rationale;
+    the panel is broadcast-sized)."""
+    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
+
+    r = _ROUND
+    mix = _reuse(
+        ref_counts.join(curr_counts, "value", "full_outer").fillna(
+            {"ref_cnt": 0, "curr_cnt": 0}
+        )
+    )
+    mix_tot = mix.groupBy().agg(
+        F.sum("ref_cnt").alias("__rt"), F.sum("curr_cnt").alias("__ct")
+    )
+    shares = mix.crossJoin(F.broadcast(mix_tot)).selectExpr(
+        "value",
+        "ref_cnt / CAST(greatest(__rt, 1) AS DOUBLE) AS ref_share",
+        "curr_cnt / CAST(greatest(__ct, 1) AS DOUBLE) AS curr_share",
+    )
+    per_type = _melt(
+        shares,
+        [
+            (
+                "'event_mix'",
+                "CASE WHEN value IS NULL THEN '<null>'"
+                " ELSE CAST(value AS STRING) END",
+                "'share'",
+                f"round(ref_share, {r})",
+                f"round(curr_share, {r})",
+                f"round(abs(curr_share - ref_share), {r})",
+                f"round(abs(curr_share - ref_share), {r})"
+                f" > {share_threshold!r}D",
+            )
+        ],
+    )
+    p, q = F.col("ref_share"), F.col("curr_share")
+    m = (p + q) / 2
+    kl_p = F.when((p > 0) & (m > 0), p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when((q > 0) & (m > 0), q * F.log2(q / m)).otherwise(F.lit(0.0))
+    js_panel = shares.groupBy().agg(
+        F.sqrt(
+            F.greatest(F.lit(0.0), (F.sum(kl_p) + F.sum(kl_q)) / 2)
+        ).alias("js_distance")
+    )
+    js_row = _melt(
+        js_panel,
+        [
+            (
+                "'event_mix'",
+                "''",
+                "'js_distance'",
+                "NULL",
+                "NULL",
+                f"round(js_distance, {r})",
+                f"round(js_distance, {r}) > {js_threshold!r}D",
+            )
+        ],
+    )
+    return per_type, js_row
+
+
+def events_volume_state(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Additive per-day event counts — the volume member's mergeable
+    state (O(days) rows per append; SUM is the exact merge)."""
+    return df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def event_type_state(df: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """Additive per-type event counts — the mix member's mergeable
+    state (O(types) rows per append; SUM is the exact merge)."""
+    return df.groupBy(F.col(type_col).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def events_report_incremental(
+    batch: DataFrame,
+    volume_state: DataFrame,
+    type_state: DataFrame,
+    season_state: DataFrame,
+    transition_pairs_state: DataFrame,
+    transition_last_state: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    rel_threshold: float = 0.1,
+    share_threshold: float = 0.05,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.1,
+    transition_threshold: float = 0.02,
+    transition_panel: DataFrame | None = None,
+) -> DataFrame:
+    """The events-side nightly ingest-vetting flagship — the increment
+    sibling of :func:`events_drift_report`, completing the trio with
+    ``corpus_report_incremental`` and ``embedding_report_incremental``:
+    ONE long-format report vetting an ingest batch's volume, event mix,
+    seasonal shape, and transition behavior against the rolled-up states
+    of ALL prior history, which is never re-read.
+
+    States (each additive or latest-wins, maintainable by plain parquet
+    appends / the ``streaming.state_tables`` sinks):
+    :func:`events_volume_state` (per-day counts),
+    :func:`event_type_state` (per-type counts),
+    :func:`operators.temporal.seasonality_state` (per-bucket counts),
+    :func:`operators.temporal.transition_pair_state` +
+    ``transition_last_state`` (pair counts + latest event per user, for
+    the cross-batch stitch).
+
+    Report rows (``family, key, metric, ref_value, curr_value, diff,
+    drift_detected`` — the shared flagship schema):
+
+    - ``volume``      — events/day, batch vs history (relative-change flag).
+    - ``event_mix``   — per-type share rows + one JS-distance row.
+    - ``seasonality`` — per-grain PSI rows (dow / hour).
+    - ``transitions`` — max per-pair share move (flagged) and the
+      flagged-pair count (informational).
+
+    Every member reduces the batch to an O(panel) aggregate; the melt is
+    expression-only.
+    """
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_incremental,
+        transition_incremental,
+    )
+
+    r = _ROUND
+    rel = float(rel_threshold)
+
+    def relchange(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
+            f" WHEN {b} != 0 THEN 1.0D ELSE 0.0D END"
+        )
+
+    # ---- volume: two 1-row aggregates over O(days) panels --------------
+    ref_vol = (
+        volume_state.groupBy("day")
+        .agg(F.sum("n").alias("n"))
+        .agg(
+            F.sum("n").alias("__rn"),
+            F.count(F.lit(1)).alias("__rd"),
+        )
+    )
+    curr_vol = batch.agg(
+        F.count(F.lit(1)).alias("__cn"),
+        F.countDistinct(F.date_trunc("day", F.col(ts_col))).alias("__cd"),
+    )
+    epd_ref = "__rn / CAST(greatest(__rd, 1) AS DOUBLE)"
+    epd_curr = "__cn / CAST(greatest(__cd, 1) AS DOUBLE)"
+    epd_rc = relchange(f"({epd_ref})", f"({epd_curr})")
+    volume = _melt(
+        ref_vol.crossJoin(F.broadcast(curr_vol)),
+        [
+            (
+                "'volume'",
+                "''",
+                "'events_per_day'",
+                f"round({epd_ref}, {r})",
+                f"round({epd_curr}, {r})",
+                f"round({epd_rc}, {r})",
+                f"round({epd_rc}, {r}) > {rel!r}D",
+            )
+        ],
+    )
+
+    # ---- event_mix: rolled type state vs batch counts ------------------
+    ref_counts = type_state.groupBy("value").agg(
+        F.sum("n").alias("ref_cnt")
+    )
+    curr_counts = (
+        batch.select(F.col(type_col).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("curr_cnt"))
+    )
+    per_type, js_row = _mix_rows(
+        ref_counts, curr_counts, float(share_threshold), float(js_threshold)
+    )
+
+    # ---- seasonality: the increment member, summed per grain -----------
+    season = (
+        seasonality_incremental(batch, season_state, ts_col)
+        .groupBy("grain")
+        .agg(F.sum("psi_term").alias("psi"))
+    )
+    season_rows = _melt(
+        season,
+        [
+            (
+                "'seasonality'",
+                "grain",
+                "'psi'",
+                "NULL",
+                "NULL",
+                f"round(psi, {r})",
+                f"round(psi, {r}) > {float(psi_threshold)!r}D",
+            )
+        ],
+    )
+
+    # ---- transitions: the increment member's panel, summarized ---------
+    # a sink that already computed (and checkpointed) the panel for its
+    # own state advance passes it in; the two consumers then share one
+    # computation instead of re-running the lag window
+    trans_panel = (
+        transition_panel
+        if transition_panel is not None
+        else transition_incremental(
+            batch,
+            transition_pairs_state,
+            transition_last_state,
+            user_col=user_col,
+            type_col=type_col,
+            ts_col=ts_col,
+            threshold=float(transition_threshold),
+        )
+    )
+    trans_agg = trans_panel.agg(
+        F.max("share_abs_diff").alias("__mx"),
+        F.sum(F.col("drift_detected").cast("long")).alias("__nf"),
+    )
+    trans_rows = _melt(
+        trans_agg,
+        [
+            (
+                "'transitions'",
+                "''",
+                "'max_share_diff'",
+                "NULL",
+                "NULL",
+                f"round(__mx, {r})",
+                f"round(__mx, {r}) > {float(transition_threshold)!r}D",
+            ),
+            (
+                "'transitions'",
+                "''",
+                "'flagged_pairs'",
+                "NULL",
+                "__nf",
+                "__nf",
+                "false",
+            ),
+        ],
+    )
+
+    out = (
+        volume.unionByName(per_type)
+        .unionByName(js_row)
+        .unionByName(season_rows)
+        .unionByName(trans_rows)
     )
     return out.selectExpr(
         "family",

@@ -882,3 +882,105 @@ def read_seasonality_state(spark, state_path: str) -> DataFrame:
         .groupBy("grain", "bucket")
         .agg(F.expr("CAST(sum(cnt) AS BIGINT) AS cnt"))
     )
+
+
+def events_vetting_sink(
+    volume_path: str,
+    type_path: str,
+    season_path: str,
+    pair_state_path: str,
+    last_state_path: str,
+    report_path: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    report_kwargs: dict | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The full events-side nightly vetting automation — the flagship
+    sibling of :func:`ingest_vetting_sink` (corpus) and
+    :func:`embedding_vetting_sink` (vectors): each time-ordered
+    micro-batch is VETTED against ALL the corpus-so-far event states
+    (``events_pipeline.events_report_incremental`` — volume, type mix,
+    seasonality, transitions in one long-format report, stamped with
+    ``batch_id``), and only then do the five states advance. The
+    transition panel is computed ONCE (checkpointed) and shared between
+    the report and the pair-state advance, the
+    ``transition_vetting_sink`` invariant — stitched pairs are never
+    lost, so the rolled-up SUM stays exactly the full stream's counts.
+
+    First batch bootstraps silently (states seeded, no report — there
+    is no history to vet against). Same non-atomicity caveat as every
+    sink in this family (``transition_vetting_sink`` docstring): the
+    appends are not one transaction; ``batch_id`` supports replay dedup
+    downstream.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        event_type_state,
+        events_report_incremental,
+        events_volume_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_state,
+        transition_incremental,
+        transition_last_state,
+        transition_pair_state,
+    )
+
+    cols = dict(
+        user_col=user_col, type_col=type_col,
+        ts_col=ts_col, order_col=order_col,
+    )
+    kwargs = dict(report_kwargs or {})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _read(path: str) -> DataFrame | None:
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:  # path absent — bootstrap batch
+                return None
+
+        vol = _read(volume_path)
+        typ = _read(type_path)
+        sea = _read(season_path)
+        pairs = _read(pair_state_path)
+        last = _read(last_state_path)
+        bootstrap = any(s is None for s in (vol, typ, sea, pairs, last))
+        if not bootstrap:
+            panel = transition_incremental(
+                batch_df, pairs, last,
+                threshold=float(kwargs.get("transition_threshold", 0.02)),
+                **cols,
+            ).localCheckpoint(eager=True)  # vet BEFORE states advance
+            events_report_incremental(
+                batch_df, vol, typ, sea, pairs, last,
+                ts_col=ts_col, user_col=user_col, type_col=type_col,
+                transition_panel=panel, **kwargs,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+            panel.filter("curr_n > 0").selectExpr(
+                "prev_type", "next_type", "curr_n AS n"
+            ).write.mode("append").parquet(pair_state_path)
+        else:
+            transition_pair_state(batch_df, **cols).write.mode(
+                "append"
+            ).parquet(pair_state_path)
+        events_volume_state(batch_df, ts_col).write.mode("append").parquet(
+            volume_path
+        )
+        event_type_state(batch_df, type_col).write.mode("append").parquet(
+            type_path
+        )
+        seasonality_state(batch_df, ts_col).write.mode("append").parquet(
+            season_path
+        )
+        transition_last_state(batch_df, **cols).write.mode("append").parquet(
+            last_state_path
+        )
+
+    return write_batch

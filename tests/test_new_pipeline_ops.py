@@ -4121,3 +4121,86 @@ def test_touch_attribution_hand_checked(spark):
     assert got[("first_touch", "<none>")].conversions == 1
     assert got[("last_touch", "<none>")].conversions == 1
     assert abs(got[("last_touch", "click")].share - 2 / 3) < 1e-12
+
+
+def test_events_vetting_sink_roundtrip(spark, tmp_path):
+    import datetime
+
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        event_type_state,
+        events_report_incremental,
+        events_volume_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        seasonality_state,
+        transition_last_state,
+        transition_pair_state,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        events_vetting_sink,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = [
+        (
+            datetime.datetime(2024, 1, 1 + i // 8, (3 * i) % 24, i % 60, 0),
+            i % 7,
+            i,
+            types[i % 3],
+        )
+        for i in range(80)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    b1 = ev.filter("event_id < 40")
+    b2 = ev.filter("event_id >= 40")
+
+    paths = {k: str(tmp_path / k) for k in
+             ("vol", "typ", "sea", "pairs", "last", "report")}
+    sink = events_vetting_sink(
+        paths["vol"], paths["typ"], paths["sea"],
+        paths["pairs"], paths["last"], paths["report"],
+    )
+    sink(b1, 0)
+    # bootstrap: states seeded, NO report yet
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        spark.read.parquet(paths["report"])
+
+    sink(b2, 1)
+    report = spark.read.parquet(paths["report"])
+    assert set(r.family for r in report.collect()) == {
+        "volume", "event_mix", "seasonality", "transitions"
+    }
+    assert report.filter("batch_id = 1").count() == report.count()
+
+    # the sink's report equals the directly composed increment report
+    direct = events_report_incremental(
+        b2,
+        events_volume_state(b1),
+        event_type_state(b1),
+        seasonality_state(b1),
+        transition_pair_state(b1),
+        transition_last_state(b1),
+    )
+    key = lambda r: (r.family, r.key, r.metric)
+    got = sorted(report.drop("batch_id").collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # state invariant: rolled pair counts == full-stream transition counts
+    rolled = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.read.parquet(paths["pairs"])
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    full = {
+        (r.prev_type, r.next_type): r.n
+        for r in transition_pair_state(ev).collect()
+    }
+    assert rolled == full
