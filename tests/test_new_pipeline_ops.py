@@ -4204,3 +4204,80 @@ def test_events_vetting_sink_roundtrip(spark, tmp_path):
         for r in transition_pair_state(ev).collect()
     }
     assert rolled == full
+
+
+def test_wave46_invariants_randomized(spark):
+    """Seeded randomized invariants for the round-11 wave-4/5/6 ops —
+    the Spark-side complement of test_properties.py (hypothesis over
+    Spark jobs is too slow; one seeded sweep pins the same algebra)."""
+    import datetime
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.dedup import dedup_savings
+    from pyspark_data_drift_detector_spark.operators.groups import cube_profile
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ewma_control,
+        touch_attribution,
+    )
+
+    rng = random.Random(61)
+
+    # cube_profile: every aggregation level must total the grand total
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.choice(["x", "y"]),
+         rng.uniform(0, 100))
+        for _ in range(200)
+    ]
+    cp = cube_profile(
+        spark.createDataFrame(rows, "d1 string, d2 string, v double"),
+        ["d1", "d2"],
+        "v",
+    ).collect()
+    by_level = {}
+    for r in cp:
+        by_level.setdefault(r.level, []).append(r)
+    grand = by_level[3][0]
+    assert grand.n == 200
+    for lvl in (0, 1, 2):
+        assert sum(r.n for r in by_level[lvl]) == grand.n, lvl
+        assert abs(sum(r.sum_value for r in by_level[lvl])
+                   - grand.sum_value) < 1e-6, lvl
+
+    # ewma_control: z is a convex combination of {mu0} ∪ series → bounded
+    vals = [rng.uniform(-50, 50) for _ in range(40)]
+    ev = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1) +
+          datetime.timedelta(days=i), v) for i, v in enumerate(vals)],
+        "ts timestamp, value double",
+    )
+    ew = ewma_control(ev).collect()
+    mu0 = sum(vals) / len(vals)
+    lo, hi = min(vals + [mu0]), max(vals + [mu0])
+    assert all(lo - 1e-9 <= r.z <= hi + 1e-9 for r in ew)
+
+    # dedup_savings: dropped mass is total minus distinct content keys
+    texts = [rng.choice(["t one", "t two", "t three", "t four"])
+             for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(i, rng.choice(["s1", "s2", "s3"]), t)
+         for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    sav = dedup_savings(docs).collect()
+    assert sum(r.docs_dropped for r in sav) == 120 - len(set(texts))
+    assert all(0 <= r.tokens_dropped <= r.tokens_total for r in sav)
+
+    # touch_attribution: each model's conversions total the conversion count
+    evs = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+         rng.randrange(9), i, rng.choice(["view", "click", "buy"]))
+        for i in range(150)
+    ]
+    edf = spark.createDataFrame(
+        evs, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    n_conv = sum(1 for e in evs if e[3] == "buy")
+    ta = touch_attribution(edf, "buy").collect()
+    for model in ("first_touch", "last_touch"):
+        assert sum(r.conversions for r in ta if r.model == model) == n_conv
+        assert abs(sum(r.share for r in ta if r.model == model) - 1.0) < 1e-9
