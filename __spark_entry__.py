@@ -8511,6 +8511,7 @@ def _oracle_queries() -> dict[str, str]:
         "transition_stationary": _transition_stationary_sql(),
         "touch_attribution": _touch_attribution_sql(),
         "events_report_incremental": _events_report_incremental_sql(),
+        "psi_cells": _psi_cells_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -10347,6 +10348,79 @@ def _events_report_incremental_sql(trans_thr: float = 0.02) -> str:
       CAST(nf AS DOUBLE), CAST(nf AS DOUBLE), false FROM transagg"""
 
 
+def q_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI drill-down (operators.distribution.psi_numeric_cells):
+    which reference-decile band drives a hot numeric PSI — the numeric
+    twin of chi2_cells, with both sides' counts, clamped frequencies,
+    signed psi_term, and the bin's quantile edges."""
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        psi_numeric_cells,
+    )
+
+    ref, curr = _split(_lineitem(spark, sf_dir))
+    out = psi_numeric_cells(
+        ref, curr, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return _round_cols(
+        out,
+        ["lo_edge", "hi_edge", "ref_freq", "curr_freq", "psi_term"],
+    )
+
+
+def _psi_cells_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    probs = ", ".join(str(i / bins) for i in range(1, bins))
+    counts, grids = [], []
+    for c in cols:
+        bin_expr = " + ".join(
+            f"(CASE WHEN {c} > ROUND(e.q[{i}], 9) THEN 1 ELSE 0 END)"
+            for i in range(1, bins)
+        )
+        counts.append(f"""
+        SELECT '{c}' AS column_name, {bin_expr} AS bin,
+          CAST(SUM(CASE WHEN {_REF_W} THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+          CAST(SUM(CASE WHEN {_CURR_W} THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        FROM lineitem CROSS JOIN
+          (SELECT quantile_cont({c}, [{probs}]) AS q
+           FROM lineitem WHERE {_REF_W}) e
+        WHERE {c} IS NOT NULL GROUP BY 1, 2""")
+        grids.append(f"""
+        SELECT '{c}' AS column_name, r.bin,
+          CASE WHEN r.bin = 0 THEN NULL
+               ELSE ROUND(e.q[CAST(r.bin AS INT)], 9) END AS lo_edge,
+          CASE WHEN r.bin >= {bins - 1} THEN NULL
+               ELSE ROUND(e.q[CAST(r.bin AS INT) + 1], 9) END AS hi_edge
+        FROM range({bins}) r(bin) CROSS JOIN
+          (SELECT quantile_cont({c}, [{probs}]) AS q
+           FROM lineitem WHERE {_REF_W}) e""")
+    return f"""
+    WITH counts AS ({' UNION ALL '.join(counts)}),
+    grid AS ({' UNION ALL '.join(grids)}),
+    tot AS (SELECT column_name, SUM(rc) AS rt, SUM(cc) AS ct
+            FROM counts GROUP BY 1)
+    SELECT g.column_name, CAST(g.bin AS BIGINT) AS bin,
+      ROUND(g.lo_edge, {ROUND}) AS lo_edge,
+      ROUND(g.hi_edge, {ROUND}) AS hi_edge,
+      CAST(COALESCE(c.rc, 0) AS BIGINT) AS ref_n,
+      CAST(COALESCE(c.cc, 0) AS BIGINT) AS curr_n,
+      ROUND(GREATEST(CAST(COALESCE(c.rc, 0) AS DOUBLE) / GREATEST(t.rt, 1),
+                     {epsilon}), {ROUND}) AS ref_freq,
+      ROUND(GREATEST(CAST(COALESCE(c.cc, 0) AS DOUBLE) / GREATEST(t.ct, 1),
+                     {epsilon}), {ROUND}) AS curr_freq,
+      ROUND((GREATEST(CAST(COALESCE(c.cc, 0) AS DOUBLE) / GREATEST(t.ct, 1),
+                      {epsilon})
+             - GREATEST(CAST(COALESCE(c.rc, 0) AS DOUBLE) / GREATEST(t.rt, 1),
+                        {epsilon}))
+            * LN(GREATEST(CAST(COALESCE(c.cc, 0) AS DOUBLE) / GREATEST(t.ct, 1),
+                          {epsilon})
+                 / GREATEST(CAST(COALESCE(c.rc, 0) AS DOUBLE)
+                            / GREATEST(t.rt, 1), {epsilon})), {ROUND})
+        AS psi_term
+    FROM grid g
+    JOIN tot t ON t.column_name = g.column_name
+    LEFT JOIN counts c ON c.column_name = g.column_name AND c.bin = g.bin"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -10415,6 +10489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_stationary": q_transition_stationary,
         "touch_attribution": q_touch_attribution,
         "events_report_incremental": q_events_report_incremental,
+        "psi_cells": q_psi_cells,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -305,26 +305,19 @@ def _round_half_away(x: float, decimals: int = 9) -> float:
     return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
 
 
-def psi_numeric(
+def _psi_wide(
     df_ref: DataFrame,
     df_curr: DataFrame,
     columns: list[str],
-    bins: int = 10,
-    epsilon: float = 1e-4,
-    exact_quantiles: bool = True,
-    quantile_mode: str = "auto",
-) -> DataFrame:
-    """PSI for numeric columns over reference-quantile bins.
-
-    The standard model-monitoring recipe: bin edges are the REFERENCE
-    side's ``1/bins … (bins−1)/bins`` quantiles (so ref mass is ~uniform
-    per bin), both sides are counted into those fixed bins, and
-    ``PSI = Σ (q−p)·ln(q/p)`` with ε-clamped empty bins. Two jobs: one
-    aggregate for the O(columns×bins) edge table (collected — same driver
-    O(columns) pattern as the outlier operators), one side-tagged pass for
-    all bin counts of all columns. Bin membership is ``Σ (v > edge)`` —
-    identical arithmetic in the SQL oracle.
-    """
+    bins: int,
+    exact_quantiles: bool,
+    quantile_mode: str,
+) -> tuple[DataFrame, dict]:
+    """Shared front of the numeric-PSI family: reference-quantile bin
+    edges (collected, O(columns×bins) — the outlier-operator driver
+    pattern) and the ONE side-tagged wide aggregate holding every
+    (side, column, bin) count. ``psi_numeric`` sums it into per-column
+    PSI; ``psi_numeric_cells`` melts it into the per-bin drill-down."""
     from pyspark_data_drift_detector_spark.operators.profile import _qname, numeric_profile
 
     probs = [i / bins for i in range(1, bins)]
@@ -371,7 +364,74 @@ def psi_numeric(
                     f"sum(CAST(({cond} AND ({bin_expr}) = {b}) AS BIGINT))"
                     f" AS `__{pre}__{c}__b{b}`"
                 )
-    wide = tagged.selectExpr(*aggs)
+    return tagged.selectExpr(*aggs), edges
+
+
+def psi_numeric_cells(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+    epsilon: float = 1e-4,
+    exact_quantiles: bool = True,
+    quantile_mode: str = "auto",
+) -> DataFrame:
+    """Per-bin drill-down of :func:`psi_numeric` — WHICH quantile band
+    drives a hot PSI, the numeric twin of
+    ``categorical_drift.chi2_cell_residuals``: one row per (column, bin)
+    with both sides' counts, ε-clamped frequencies, the signed
+    ``psi_term``, and the bin's reference-quantile edges (``lo_edge``
+    NULL for the first bin, ``hi_edge`` NULL for the last). Same two
+    jobs as ``psi_numeric`` (edge collect + one side-tagged wide
+    aggregate); only the melt differs.
+    """
+    wide, edges = _psi_wide(
+        df_ref, df_curr, columns, bins, exact_quantiles, quantile_mode
+    )
+    eps = f"{float(epsilon)!r}D"
+    structs = []
+    for c, es in edges.items():
+        es_clean = [float(e) for e in es if e is not None]
+        for b in range(bins):
+            p = f"greatest(`__ref__{c}__b{b}` / greatest(`__ref__{c}__n`, 1), {eps})"
+            q = f"greatest(`__curr__{c}__b{b}` / greatest(`__curr__{c}__n`, 1), {eps})"
+            lo = "CAST(NULL AS DOUBLE)" if b == 0 or b - 1 >= len(es_clean) \
+                else f"{es_clean[b - 1]!r}D"
+            hi = "CAST(NULL AS DOUBLE)" if b >= len(es_clean) \
+                else f"{es_clean[b]!r}D"
+            structs.append(
+                f"named_struct('column_name', '{c}', 'bin', CAST({b} AS BIGINT),"
+                f" 'lo_edge', {lo}, 'hi_edge', {hi},"
+                f" 'ref_n', `__ref__{c}__b{b}`, 'curr_n', `__curr__{c}__b{b}`,"
+                f" 'ref_freq', {p}, 'curr_freq', {q},"
+                f" 'psi_term', (({q}) - ({p})) * ln(({q}) / ({p})))"
+            )
+    return wide.selectExpr("inline(array(" + ", ".join(structs) + "))")
+
+
+def psi_numeric(
+    df_ref: DataFrame,
+    df_curr: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+    epsilon: float = 1e-4,
+    exact_quantiles: bool = True,
+    quantile_mode: str = "auto",
+) -> DataFrame:
+    """PSI for numeric columns over reference-quantile bins.
+
+    The standard model-monitoring recipe: bin edges are the REFERENCE
+    side's ``1/bins … (bins−1)/bins`` quantiles (so ref mass is ~uniform
+    per bin), both sides are counted into those fixed bins, and
+    ``PSI = Σ (q−p)·ln(q/p)`` with ε-clamped empty bins. Two jobs: one
+    aggregate for the O(columns×bins) edge table (collected — same driver
+    O(columns) pattern as the outlier operators), one side-tagged pass for
+    all bin counts of all columns. Bin membership is ``Σ (v > edge)`` —
+    identical arithmetic in the SQL oracle.
+    """
+    wide, edges = _psi_wide(
+        df_ref, df_curr, columns, bins, exact_quantiles, quantile_mode
+    )
     eps = f"{float(epsilon)!r}D"
     structs = []
     for c in edges:

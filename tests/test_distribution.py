@@ -314,3 +314,32 @@ def test_equidepth_histogram_balanced_and_tied(spark):
     rows = {r["bin"]: r["cnt"] for r in equidepth_histogram(tied, ["v"], bins=4).collect()}
     assert max(rows.values()) >= 90  # the tie group stays together
     assert sum(rows.values()) == 100
+
+
+def test_psi_cells_sum_to_psi(spark, sf_dir):
+    from pyspark_data_drift_detector_spark.operators.distribution import (
+        psi_numeric,
+        psi_numeric_cells,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = li.filter("l_orderkey % 2 = 0")
+    curr = li.filter("l_orderkey % 2 = 1")
+    cols = ["l_quantity", "l_discount"]
+    psi = {r.column_name: r.psi for r in psi_numeric(ref, curr, cols).collect()}
+    cells = psi_numeric_cells(ref, curr, cols).collect()
+    by_col = {}
+    for r in cells:
+        by_col.setdefault(r.column_name, []).append(r)
+    for c in cols:
+        rows = by_col[c]
+        assert len(rows) == 10
+        # drill-down terms total the rolled-up PSI exactly
+        assert abs(sum(r.psi_term for r in rows) - psi[c]) < 1e-9
+        # counts total each side's non-null rows
+        assert sum(r.ref_n for r in rows) == ref.filter(
+            f"{c} IS NOT NULL").count()
+        # edges are monotone where defined
+        defined = [r for r in sorted(rows, key=lambda r: r.bin)
+                   if r.lo_edge is not None and r.hi_edge is not None]
+        assert all(r.lo_edge <= r.hi_edge for r in defined)
