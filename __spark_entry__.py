@@ -10442,7 +10442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-sort against the refreshed CORRECTNESS_r*.json set. With N
     # queries and a 50-slot window the achievable invariant is "every
     # query's latest driver verdict is <= ceil(N/50) rounds old" (= 4
-    # rounds at the current ~160-query count); "<= 2 rounds" is
+    # rounds at the current 192-query count); "<= 2 rounds" is
     # arithmetically impossible past 100 queries. Every query stays
     # covered locally by tests/test_oracle_parity.py and
     # tools/verify_oracle.py regardless of window position.

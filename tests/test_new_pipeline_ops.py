@@ -4281,3 +4281,62 @@ def test_wave46_invariants_randomized(spark):
     for model in ("first_touch", "last_touch"):
         assert sum(r.conversions for r in ta if r.model == model) == n_conv
         assert abs(sum(r.share for r in ta if r.model == model) - 1.0) < 1e-9
+
+
+def test_events_vetting_sink_via_real_stream(spark, tmp_path):
+    """The sink through ACTUAL Structured Streaming machinery
+    (readStream → foreachBatch, availableNow) — not just direct calls:
+    per-file micro-batches must bootstrap on the first and vet every
+    subsequent one against the rolled state."""
+    import datetime
+
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        events_vetting_sink,
+    )
+
+    types = ["view", "click", "purchase"]
+    rows = [
+        (
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            i % 5,
+            i,
+            types[i % 3],
+        )
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    ingest = tmp_path / "ev_ingest"
+    # two files → two deterministic time-ordered micro-batches
+    ev.filter("event_id < 30").coalesce(1).write.parquet(
+        str(ingest), mode="append"
+    )
+    ev.filter("event_id >= 30").coalesce(1).write.parquet(
+        str(ingest), mode="append"
+    )
+    paths = {k: str(tmp_path / k) for k in
+             ("vol", "typ", "sea", "pairs", "last", "report")}
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            events_vetting_sink(
+                paths["vol"], paths["typ"], paths["sea"],
+                paths["pairs"], paths["last"], paths["report"],
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = spark.read.parquet(paths["report"])
+    # exactly one vetted (non-bootstrap) batch produced report rows
+    assert report.select("batch_id").distinct().count() == 1
+    assert {r.family for r in report.collect()} == {
+        "volume", "event_mix", "seasonality", "transitions"
+    }
+    # states carry the whole stream after both batches
+    vol = spark.read.parquet(paths["vol"])
+    assert vol.groupBy().sum("n").collect()[0][0] == 60
