@@ -9998,6 +9998,34 @@ def q_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _season_psi_ctes(side_expr: str) -> str:
+    """Shared oracle CTE chain for the per-grain seasonal PSI (dow/hour
+    buckets, epsilon-clamped) — used by both events-report oracles so the
+    bucket arithmetic can never diverge between them."""
+    return f"""season_u AS (
+      SELECT g.grain, g.bucket, {side_expr} AS side
+      FROM events e CROSS JOIN LATERAL (
+        SELECT 'dow' AS grain,
+               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
+        UNION ALL
+        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
+    season_cells AS (
+      SELECT grain, bucket,
+        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
+        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
+      FROM season_u GROUP BY 1, 2),
+    season_tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
+                   FROM season_cells GROUP BY 1),
+    season AS (
+      SELECT c.grain,
+        SUM((GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+             - GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1), 1e-04))
+            * LN(GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
+                 / GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
+                            1e-04))) AS psi
+      FROM season_cells c JOIN season_tot t USING (grain) GROUP BY 1)"""
+
+
 def _events_report_sql() -> str:
     relchange = (
         "CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
@@ -10051,28 +10079,7 @@ def _events_report_sql() -> str:
                       LOG2(curr_share / ((ref_share + curr_share) / 2))
                  ELSE 0.0 END)) / 2)) AS js_distance
       FROM shares),
-    season_u AS (
-      SELECT g.grain, g.bucket, e.side
-      FROM tagged e CROSS JOIN LATERAL (
-        SELECT 'dow' AS grain,
-               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
-        UNION ALL
-        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
-    season_cells AS (
-      SELECT grain, bucket,
-        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
-        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
-      FROM season_u GROUP BY 1, 2),
-    season_tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
-                   FROM season_cells GROUP BY 1),
-    season AS (
-      SELECT c.grain,
-        SUM((GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
-             - GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1), 1e-04))
-            * LN(GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
-                 / GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
-                            1e-04))) AS psi
-      FROM season_cells c JOIN season_tot t USING (grain) GROUP BY 1)
+    {_season_psi_ctes("e.user_id % 2")}
     SELECT 'volume' AS family, '' AS key, 'events_per_day' AS metric,
       ROUND(ref_events / CAST(GREATEST(ref_days, 1) AS DOUBLE), {ROUND})
         AS ref_value,
@@ -10126,6 +10133,9 @@ def q_transition_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _transition_stationary_sql(n_iter: int = 8) -> str:
+    # terminal states (observed only as targets) carry an implicit
+    # self-loop; every join is null-safe because NULL event types are
+    # valid states — both conventions mirror the Spark operator exactly
     its = []
     prev = "it0"
     for k in range(1, n_iter + 1):
@@ -10133,10 +10143,16 @@ def _transition_stationary_sql(n_iter: int = 8) -> str:
             f"""
     f{k} AS (
       SELECT p.next_type AS state, SUM(i.pi * p.prob) AS v
-      FROM {prev} i JOIN pmat p ON p.prev_type = i.state GROUP BY 1),
+      FROM {prev} i JOIN pmat p
+        ON p.prev_type IS NOT DISTINCT FROM i.state GROUP BY 1),
     r{k} AS MATERIALIZED (
-      SELECT s.state, COALESCE(f{k}.v, 0.0) AS v
-      FROM states s LEFT JOIN f{k} USING (state)),
+      SELECT s.state,
+        COALESCE(f.v, 0.0)
+          + CASE WHEN o.is_out IS NULL THEN i.pi ELSE 0.0 END AS v
+      FROM states s
+      LEFT JOIN f{k} f ON f.state IS NOT DISTINCT FROM s.state
+      LEFT JOIN outg o ON o.state IS NOT DISTINCT FROM s.state
+      JOIN {prev} i ON i.state IS NOT DISTINCT FROM s.state),
     it{k} AS (
       SELECT state, v / t.tv AS pi
       FROM r{k} CROSS JOIN (SELECT SUM(v) AS tv FROM r{k}) t)"""
@@ -10146,15 +10162,23 @@ def _transition_stationary_sql(n_iter: int = 8) -> str:
     WITH seq AS (
       SELECT event_type AS et,
         LAG(event_type) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS prev_et
+                              ORDER BY ts, event_id) AS prev_et,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
       FROM events),
     pr AS (SELECT prev_et AS prev_type, et AS next_type, COUNT(*) AS n
-           FROM seq WHERE prev_et IS NOT NULL GROUP BY 1, 2),
+           FROM seq WHERE rn > 1 GROUP BY 1, 2),
     tots AS (SELECT prev_type, SUM(n) AS tot FROM pr GROUP BY 1),
     pmat AS MATERIALIZED (SELECT p.prev_type, p.next_type,
                     CAST(p.n AS DOUBLE) / t.tot AS prob
-             FROM pr p JOIN tots t USING (prev_type)),
-    states AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM pmat),
+             FROM pr p JOIN tots t
+               ON t.prev_type IS NOT DISTINCT FROM p.prev_type),
+    outg AS MATERIALIZED (
+      SELECT DISTINCT prev_type AS state, 1 AS is_out FROM pmat),
+    states AS MATERIALIZED (
+      SELECT DISTINCT prev_type AS state FROM pmat
+      UNION
+      SELECT DISTINCT next_type FROM pmat),
     it0 AS (SELECT state, CAST(1.0 AS DOUBLE) / s.s AS pi
             FROM states CROSS JOIN (SELECT COUNT(*) AS s FROM states) s),
     {",".join(its)},
@@ -10168,8 +10192,8 @@ def _transition_stationary_sql(n_iter: int = 8) -> str:
       ROUND(ABS(i.pi - COALESCE(o.cnt, 0) / CAST(e.n AS DOUBLE)), {ROUND})
         AS divergence
     FROM states s
-    JOIN {prev} i USING (state)
-    LEFT JOIN obs o USING (state)
+    JOIN {prev} i ON i.state IS NOT DISTINCT FROM s.state
+    LEFT JOIN obs o ON o.state IS NOT DISTINCT FROM s.state
     CROSS JOIN n_ev e"""
 
 
@@ -10291,29 +10315,7 @@ def _events_report_incremental_sql(trans_thr: float = 0.02) -> str:
                       LOG2(curr_share / ((ref_share + curr_share) / 2))
                  ELSE 0.0 END)) / 2)) AS js_distance
       FROM shares),
-    season_u AS (
-      SELECT g.grain, g.bucket,
-        CASE WHEN e.ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END AS side
-      FROM events e CROSS JOIN LATERAL (
-        SELECT 'dow' AS grain,
-               CAST(date_part('dow', e.ts) AS BIGINT) AS bucket
-        UNION ALL
-        SELECT 'hour', CAST(date_part('hour', e.ts) AS BIGINT)) g),
-    season_cells AS (
-      SELECT grain, bucket,
-        CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS ref_cnt,
-        CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS curr_cnt
-      FROM season_u GROUP BY 1, 2),
-    season_tot AS (SELECT grain, SUM(ref_cnt) AS rt, SUM(curr_cnt) AS ct
-                   FROM season_cells GROUP BY 1),
-    season AS (
-      SELECT c.grain,
-        SUM((GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
-             - GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1), 1e-04))
-            * LN(GREATEST(CAST(c.curr_cnt AS DOUBLE) / GREATEST(t.ct, 1), 1e-04)
-                 / GREATEST(CAST(c.ref_cnt AS DOUBLE) / GREATEST(t.rt, 1),
-                            1e-04))) AS psi
-      FROM season_cells c JOIN season_tot t USING (grain) GROUP BY 1),
+    {_season_psi_ctes("CASE WHEN e.ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END")},
     trans AS MATERIALIZED ({_transition_incremental_sql(trans_thr)}),
     transagg AS (
       SELECT MAX(share_abs_diff) AS mx,

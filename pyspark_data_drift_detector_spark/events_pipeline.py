@@ -25,6 +25,15 @@ from pyspark_data_drift_detector_spark.corpus_pipeline import _melt
 _ROUND = 5
 
 
+def _relchange(a: str, b: str) -> str:
+    """Relative-change SQL fragment — the corpus_report convention shared
+    by every report family (a==0 and b!=0 counts as 100% change)."""
+    return (
+        f"CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
+        f" WHEN {b} != 0 THEN 1.0D ELSE 0.0D END"
+    )
+
+
 def events_drift_report(
     df_ref: DataFrame,
     df_curr: DataFrame,
@@ -59,12 +68,6 @@ def events_drift_report(
         float(js_threshold),
         float(psi_threshold),
     )
-
-    def relchange(a: str, b: str) -> str:
-        return (
-            f"CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
-            f" WHEN {b} != 0 THEN 1.0D ELSE 0.0D END"
-        )
 
     # ---- volume: ONE side-tagged aggregate (map-side partials) --------
     tagged = df_ref.select(
@@ -120,7 +123,7 @@ def events_drift_report(
         ("mean_value", "ref_mean_value", "curr_mean_value"),
         ("value_null_rate", "ref_null_rate", "curr_null_rate"),
     ]:
-        diff = relchange(f"({refe})", f"({cure})")
+        diff = _relchange(f"({refe})", f"({cure})")
         vol_rows.append(
             (
                 "'volume'",
@@ -201,9 +204,20 @@ def _mix_rows(
     from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
     r = _ROUND
+    # NULL-SAFE alignment: a NULL event type is one category and must
+    # land in ONE panel row (the oracle's GROUP BY convention) — a plain
+    # equi-join would split it into two half-rows and inflate the JS
     mix = _reuse(
-        ref_counts.join(curr_counts, "value", "full_outer").fillna(
-            {"ref_cnt": 0, "curr_cnt": 0}
+        ref_counts.alias("rc")
+        .join(
+            curr_counts.alias("cc"),
+            F.expr("rc.value <=> cc.value"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("rc.value"), F.col("cc.value")).alias("value"),
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).alias("ref_cnt"),
+            F.coalesce(F.col("curr_cnt"), F.lit(0)).alias("curr_cnt"),
         )
     )
     mix_tot = mix.groupBy().agg(
@@ -282,6 +296,7 @@ def events_report_incremental(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    order_col: str = "event_id",
     rel_threshold: float = 0.1,
     share_threshold: float = 0.05,
     js_threshold: float = 0.1,
@@ -325,12 +340,6 @@ def events_report_incremental(
     r = _ROUND
     rel = float(rel_threshold)
 
-    def relchange(a: str, b: str) -> str:
-        return (
-            f"CASE WHEN {a} != 0 THEN abs(({b} - {a}) / CAST({a} AS DOUBLE))"
-            f" WHEN {b} != 0 THEN 1.0D ELSE 0.0D END"
-        )
-
     # ---- volume: two 1-row aggregates over O(days) panels --------------
     ref_vol = (
         volume_state.groupBy("day")
@@ -346,7 +355,7 @@ def events_report_incremental(
     )
     epd_ref = "__rn / CAST(greatest(__rd, 1) AS DOUBLE)"
     epd_curr = "__cn / CAST(greatest(__cd, 1) AS DOUBLE)"
-    epd_rc = relchange(f"({epd_ref})", f"({epd_curr})")
+    epd_rc = _relchange(f"({epd_ref})", f"({epd_curr})")
     volume = _melt(
         ref_vol.crossJoin(F.broadcast(curr_vol)),
         [
@@ -410,6 +419,7 @@ def events_report_incremental(
             user_col=user_col,
             type_col=type_col,
             ts_col=ts_col,
+            order_col=order_col,
             threshold=float(transition_threshold),
         )
     )

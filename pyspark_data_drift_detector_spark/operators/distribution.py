@@ -344,6 +344,10 @@ def _psi_wide(
         for c in columns
         if c in edge_rows
     }
+    # a column that is all-NULL on the reference side has no quantile
+    # edges at all — drop it (no PSI is definable) instead of emitting
+    # an empty bin expression that fails to parse
+    edges = {c: es for c, es in edges.items() if any(e is not None for e in es)}
 
     tagged = df_ref.select(F.lit("r").alias("__side"), *columns).unionByName(
         df_curr.select(F.lit("c").alias("__side"), *columns)
@@ -388,6 +392,13 @@ def psi_numeric_cells(
     wide, edges = _psi_wide(
         df_ref, df_curr, columns, bins, exact_quantiles, quantile_mode
     )
+    if not edges:  # every requested column all-NULL on ref — no PSI definable
+        return df_ref.sparkSession.createDataFrame(
+            [],
+            "column_name string, bin long, lo_edge double, hi_edge double,"
+            " ref_n long, curr_n long, ref_freq double, curr_freq double,"
+            " psi_term double",
+        )
     eps = f"{float(epsilon)!r}D"
     structs = []
     for c, es in edges.items():
@@ -432,6 +443,10 @@ def psi_numeric(
     wide, edges = _psi_wide(
         df_ref, df_curr, columns, bins, exact_quantiles, quantile_mode
     )
+    if not edges:  # every requested column all-NULL on ref — no PSI definable
+        return df_ref.sparkSession.createDataFrame(
+            [], "column_name string, psi double, stability string"
+        )
     eps = f"{float(epsilon)!r}D"
     structs = []
     for c in edges:

@@ -500,7 +500,11 @@ def cube_profile(
     same integer ``GROUPING(dims...)`` yields in DuckDB/ANSI engines, so
     the oracle replays it verbatim. Aggregated-away dimension values are
     rendered as ``total_label`` to keep them distinguishable from real
-    NULL categories.
+    NULL categories. Two rendering caveats: the relabel makes every
+    output dim column STRING (non-string dims are coerced — keep the
+    original typed frame for downstream joins), and a genuine category
+    equal to ``total_label`` itself is distinguishable only via
+    ``level`` (the bitmask, not the label, is authoritative).
     """
     aggs = [
         F.grouping_id(*dims).cast("long").alias("level"),

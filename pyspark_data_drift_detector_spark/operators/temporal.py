@@ -1678,10 +1678,23 @@ def _seasonality_compare(
     from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
     # the O(31)-bucket panel feeds both the totals aggregate and the
-    # output projection; persist so each side's corpus scan runs once
+    # output projection; persist so each side's corpus scan runs once.
+    # bucket joins NULL-SAFELY: a NULL timestamp buckets to NULL on both
+    # sides and must align into ONE row (the oracle's GROUP BY
+    # convention), not two half-rows each faking drift
     aligned = _reuse(
-        ref_cells.join(curr_cells, ["grain", "bucket"], "full_outer")
-        .fillna({"ref_cnt": 0, "curr_cnt": 0})
+        ref_cells.alias("r")
+        .join(
+            curr_cells.alias("c"),
+            F.expr("r.grain <=> c.grain AND r.bucket <=> c.bucket"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("r.grain"), F.col("c.grain")).alias("grain"),
+            F.coalesce(F.col("r.bucket"), F.col("c.bucket")).alias("bucket"),
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).alias("ref_cnt"),
+            F.coalesce(F.col("curr_cnt"), F.lit(0)).alias("curr_cnt"),
+        )
     )
     totals = aligned.groupBy("grain").agg(
         F.sum("ref_cnt").alias("__rt"), F.sum("curr_cnt").alias("__ct")
@@ -1757,40 +1770,61 @@ def transition_stationary(
     driver-side (an earlier all-DataFrame loop re-instantiated the
     un-materialized iteration subtree twice per step, the 2^k CTE
     blowup funnel_conversion checkpoints against; at O(types²) the
-    collect is strictly cheaper than 8 tiny Spark jobs). States with no
-    outgoing transitions absorb mass, so every iteration renormalizes —
-    the same convention replayed in the oracle. At 5-30 event types, 8
-    iterations converge to well under the 5-dp reporting precision
-    (|λ₂| ≪ 1 for real clickstreams).
+    collect is strictly cheaper than 8 tiny Spark jobs). TERMINAL states
+    (types observed only as a transition target — the absorbing end of a
+    funnel) get the standard implicit self-loop, making the matrix
+    properly stochastic over every observed type: mass is conserved
+    exactly, so the per-iteration renormalization is a float-hygiene
+    no-op and can never divide by zero even on fully absorbing chains
+    (a plain A→B→C funnel converges to all mass on C). The same
+    convention is replayed in the oracle. NULL event types are valid
+    states (the transition_drift null-safe alignment convention). At
+    5-30 event types, 8 iterations converge to well under the 5-dp
+    reporting precision for mixing chains (|λ₂| ≪ 1 for real
+    clickstreams); absorbing chains converge geometrically to the
+    absorption distribution.
 
-    Output per state (event types with outgoing transitions):
-    ``stationary_share``, ``observed_share`` (of ALL events), and their
-    absolute ``divergence``.
+    Output per observed state: ``stationary_share``, ``observed_share``
+    (of ALL events), and their absolute ``divergence``.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     pairs = (
         df.select(
             F.col(type_col).alias("next_type"),
             F.lag(type_col).over(w).alias("prev_type"),
+            F.row_number().over(w).alias("__rn"),
         )
-        .filter(F.col("prev_type").isNotNull())
+        # structural first-row test, NOT prev_type IS NOT NULL: a NULL
+        # event type is a valid state and its outgoing pairs must count
+        .filter(F.col("__rn") > 1)
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
-    # O(types²) rows — the documented driver-traffic bound
+    # O(types²) rows — the documented driver-traffic bound; null-safe
+    # join so a NULL-type state's row total attaches like any other
     pmat = [
         (r.prev_type, r.next_type, r.prob)
-        for r in pairs.join(row_tot, "prev_type")
+        for r in pairs.alias("p")
+        .join(
+            row_tot.alias("t"),
+            F.expr("p.prev_type <=> t.prev_type"),
+        )
         .select(
-            "prev_type",
+            F.col("p.prev_type").alias("prev_type"),
             "next_type",
             (F.col("n") / F.col("tot")).alias("prob"),
         )
         .collect()
     ]
-    pmat.sort()  # deterministic accumulation order across runs
-    states = sorted({p for p, _, _ in pmat})
+    # deterministic accumulation order across runs (NULL types sort first)
+    pmat.sort(key=lambda t: ((t[0] is not None, t[0] or ""),
+                             (t[1] is not None, t[1] or "")))
+    outgoing = {p for p, _, _ in pmat}
+    states = sorted(
+        outgoing | {n for _, n, _ in pmat},
+        key=lambda s: (s is not None, s or ""),
+    )
     if not states:
         return df.sparkSession.createDataFrame(
             [],
@@ -1799,15 +1833,17 @@ def transition_stationary(
         )
     pi = {s: 1.0 / len(states) for s in states}
     for _ in range(n_iter):
-        flow: dict[str, float] = {s: 0.0 for s in states}
+        flow: dict = {s: 0.0 for s in states}
         for prev, nxt, prob in pmat:
-            if nxt in flow:
-                flow[nxt] += pi[prev] * prob
-            # mass flowing to states with no outgoing edges is dropped
-            # and restored by the renormalization below (oracle twin:
-            # the LEFT JOIN onto the outgoing-states frame)
-        total = sum(flow.values())
-        pi = {s: v / total for s, v in flow.items()}
+            flow[nxt] += pi[prev] * prob
+        for s in states:
+            if s not in outgoing:  # terminal: implicit self-loop
+                flow[s] += pi[s]
+        # mass is conserved exactly (stochastic matrix + self-loops);
+        # renormalize anyway to pin the float total at 1, mirroring the
+        # oracle — total can never be 0 now
+        total = sum(flow[s] for s in states)
+        pi = {s: flow[s] / total for s in states}
     pi_df = df.sparkSession.createDataFrame(
         [(s, pi[s]) for s in states], "state string, pi double"
     )
@@ -1816,15 +1852,16 @@ def transition_stationary(
         F.count(F.lit(1)).alias("__cnt")
     )
     return (
-        pi_df.join(observed, "state", "left")
+        pi_df.alias("s")
+        .join(observed.alias("o"), F.expr("s.state <=> o.state"), "left")
         .fillna({"__cnt": 0})
         .crossJoin(F.broadcast(n_events))
         .select(
-            "state",
-            F.col("pi").alias("stationary_share"),
+            F.col("s.state").alias("state"),
+            F.col("s.pi").alias("stationary_share"),
             (F.col("__cnt") / F.col("__n")).alias("observed_share"),
             F.abs(
-                F.col("pi") - F.col("__cnt") / F.col("__n")
+                F.col("s.pi") - F.col("__cnt") / F.col("__n")
             ).alias("divergence"),
         )
     )

@@ -949,20 +949,27 @@ def events_vetting_sink(
         sea = _read(season_path)
         pairs = _read(pair_state_path)
         last = _read(last_state_path)
-        bootstrap = any(s is None for s in (vol, typ, sea, pairs, last))
-        if not bootstrap:
+        # bootstrap is PER FAMILY: when the transition state exists but
+        # another state is missing (migration from transition_vetting_sink,
+        # crash between appends), the pair advance must STILL go through
+        # the stitched panel — the within-batch-only path would lose the
+        # prior-last→batch-first transitions and break the exact
+        # full-stream count invariant; only the report needs all states
+        if pairs is not None and last is not None:
             panel = transition_incremental(
                 batch_df, pairs, last,
                 threshold=float(kwargs.get("transition_threshold", 0.02)),
                 **cols,
             ).localCheckpoint(eager=True)  # vet BEFORE states advance
-            events_report_incremental(
-                batch_df, vol, typ, sea, pairs, last,
-                ts_col=ts_col, user_col=user_col, type_col=type_col,
-                transition_panel=panel, **kwargs,
-            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(report_path)
+            if all(s is not None for s in (vol, typ, sea)):
+                events_report_incremental(
+                    batch_df, vol, typ, sea, pairs, last,
+                    ts_col=ts_col, user_col=user_col, type_col=type_col,
+                    order_col=order_col,
+                    transition_panel=panel, **kwargs,
+                ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(report_path)
             panel.filter("curr_n > 0").selectExpr(
                 "prev_type", "next_type", "curr_n AS n"
             ).write.mode("append").parquet(pair_state_path)

@@ -4340,3 +4340,130 @@ def test_events_vetting_sink_via_real_stream(spark, tmp_path):
     # states carry the whole stream after both batches
     vol = spark.read.parquet(paths["vol"])
     assert vol.groupBy().sum("n").collect()[0][0] == 60
+
+
+def test_transition_stationary_absorbing_and_null_types(spark):
+    """Review-fix pins: a pure funnel (absorbing chain) must not divide
+    by zero — terminal states get the implicit self-loop and absorb all
+    mass; NULL event types are valid states (null-safe joins, null-safe
+    sort)."""
+    import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_stationary,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "ts timestamp, user_id long, event_id long, event_type string",
+        )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    # plain A→B→C funnel for three users: C is terminal
+    funnel = mk([
+        (t0 + datetime.timedelta(minutes=3 * u + i), u, 3 * u + i, t)
+        for u in range(3)
+        for i, t in enumerate(["view", "cart", "purchase"])
+    ])
+    got = {r.state: r for r in transition_stationary(funnel, n_iter=20).collect()}
+    assert set(got) == {"view", "cart", "purchase"}
+    # all mass absorbs into the terminal state
+    assert got["purchase"].stationary_share > 0.99
+    assert abs(sum(r.stationary_share for r in got.values()) - 1.0) < 1e-9
+
+    # NULL event type participates as a real state, no crash
+    withnull = mk([
+        (t0 + datetime.timedelta(minutes=i), 1, i, t)
+        for i, t in enumerate(["a", None, "a", None, "a"])
+    ])
+    got2 = {r.state: r for r in transition_stationary(withnull).collect()}
+    assert set(got2) == {"a", None}
+    assert abs(got2[None].observed_share - 2 / 5) < 1e-9
+    assert abs(sum(r.stationary_share for r in got2.values()) - 1.0) < 1e-9
+
+
+def test_events_report_null_type_and_null_ts_alignment(spark):
+    """Review-fix pins: NULL event types align into ONE '<null>' mix row
+    (null-safe panel join), NULL timestamps into one NULL seasonal
+    bucket — identical sides must show zero drift everywhere."""
+    import datetime
+
+    from pyspark_data_drift_detector_spark.events_pipeline import (
+        events_drift_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (t0, 1, "click", 1.0),
+            (t0, 2, None, 2.0),
+            (None, 3, None, 3.0),
+        ],
+        "ts timestamp, user_id long, event_type string, value double",
+    )
+    out = events_drift_report(ev, ev).collect()
+    assert not any(r.drift_detected for r in out)
+    null_rows = [r for r in out if r.metric == "share" and r.key == "<null>"]
+    assert len(null_rows) == 1, "NULL type must be ONE aligned panel row"
+    assert abs(null_rows[0].ref_value - 2 / 3) < 1e-4
+    js = [r for r in out if r.metric == "js_distance"][0]
+    assert js.diff == 0.0
+
+
+def test_events_vetting_sink_migration_keeps_stitch(spark, tmp_path):
+    """Review-fix pin: when transition state already exists but another
+    state is missing (migration from transition_vetting_sink), the pair
+    advance must still route through the stitched panel — the exact
+    full-stream count invariant survives, and no report is written."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        transition_last_state,
+        transition_pair_state,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        events_vetting_sink,
+    )
+
+    types = ["a", "b", "c"]
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+         i % 4, i, types[i % 3])
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    b1, b2 = ev.filter("event_id < 20"), ev.filter("event_id >= 20")
+    paths = {k: str(tmp_path / k) for k in
+             ("vol", "typ", "sea", "pairs", "last", "report")}
+    # migration scenario: ONLY the transition states exist (seeded by a
+    # prior transition_vetting_sink deployment)
+    transition_pair_state(b1).write.parquet(paths["pairs"])
+    transition_last_state(b1).write.parquet(paths["last"])
+
+    sink = events_vetting_sink(
+        paths["vol"], paths["typ"], paths["sea"],
+        paths["pairs"], paths["last"], paths["report"],
+    )
+    sink(b2, 7)
+    # no report (volume/type/season states were absent)...
+    with _pytest.raises(AnalysisException):
+        spark.read.parquet(paths["report"])
+    # ...but the stitched pairs were NOT lost
+    rolled = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.read.parquet(paths["pairs"])
+        .groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    full = {
+        (r.prev_type, r.next_type): r.n
+        for r in transition_pair_state(ev).collect()
+    }
+    assert rolled == full
