@@ -8512,6 +8512,7 @@ def _oracle_queries() -> dict[str, str]:
         "touch_attribution": _touch_attribution_sql(),
         "events_report_incremental": _events_report_incremental_sql(),
         "psi_cells": _psi_cells_sql(),
+        "ewma_grouped": _ewma_grouped_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -10197,6 +10198,70 @@ def _transition_stationary_sql(n_iter: int = 8) -> str:
     CROSS JOIN n_ev e"""
 
 
+def q_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA charts (operators.temporal.ewma_control with
+    by=['event_type']): one control chart per event type — the
+    production monitoring shape; every window partitions on the series
+    key, Phase-I baselines per series."""
+    from pyspark_data_drift_detector_spark.operators.temporal import ewma_control
+    from pyspark_data_drift_detector_spark.sources.snapshot import load_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_events(spark, sf_dir).select("ts", "event_type", "value")
+    out = ewma_control(ev, lam=0.2, limit_sigma=3.0, by=["event_type"])
+    return _round_cols(
+        out.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+            "x",
+            "t",
+            "z",
+            "ucl",
+            "lcl",
+            "out_of_control",
+        ),
+        ["x", "z", "ucl", "lcl"],
+    )
+
+
+def _ewma_grouped_sql(lam: float = 0.2, limit_sigma: float = 3.0) -> str:
+    r = 1.0 - lam
+    var_fac = lam / (2.0 - lam)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT *,
+            AVG(x) OVER (PARTITION BY event_type) AS mu0,
+            STDDEV_SAMP(x) OVER (PARTITION BY event_type) AS sigma0
+          FROM daily),
+    t AS (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS DOUBLE) AS t
+          FROM b),
+    w AS (SELECT *,
+            SUM(x * POWER({r!r}, -t)) OVER (
+              PARTITION BY event_type
+              ORDER BY day ROWS UNBOUNDED PRECEDING) AS wsum
+          FROM t),
+    z AS (SELECT event_type, day, x, t,
+            POWER({r!r}, t) * (mu0 + {lam!r} * wsum) AS z,
+            mu0 + {limit_sigma!r} * sigma0 *
+              SQRT({var_fac!r} * (1.0 - POWER({r!r}, 2.0 * t))) AS ucl,
+            mu0 - {limit_sigma!r} * sigma0 *
+              SQRT({var_fac!r} * (1.0 - POWER({r!r}, 2.0 * t))) AS lcl
+          FROM w)
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d %H:%M:%S') AS day,
+           ROUND(x, {ROUND}) AS x,
+           CAST(t AS BIGINT) AS t,
+           ROUND(z, {ROUND}) AS z,
+           ROUND(ucl, {ROUND}) AS ucl,
+           ROUND(lcl, {ROUND}) AS lcl,
+           (z > ucl OR z < lcl) AS out_of_control
+    FROM z"""
+
+
 def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch conversion attribution for 'purchase' conversions
     (operators.temporal.touch_attribution): one window pass carries both
@@ -10492,6 +10557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "events_report_incremental": q_events_report_incremental,
         "psi_cells": q_psi_cells,
+        "ewma_grouped": q_ewma_grouped,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

@@ -1543,6 +1543,7 @@ def ewma_control(
     value_col: str = "value",
     lam: float = 0.2,
     limit_sigma: float = 3.0,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """EWMA control chart over the daily-mean series — the smoothed
     complement to :func:`cusum_changepoint` (CUSUM reacts to abrupt
@@ -1569,22 +1570,32 @@ def ewma_control(
     the full daily series (Phase-I convention). Output: one row per
     day with ``x`` (daily mean), ``z``, ``ucl``/``lcl``, and the
     ``out_of_control`` flag.
-    """
-    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
+    ``by`` turns the single chart into a chart PER SERIES (one per
+    event type, per source, per metric — the production monitoring
+    shape): the daily reduction groups by ``by + day``, the Phase-I
+    baselines become an O(series) broadcast panel, and every window
+    partitions on ``by`` — parallelism is series × (tiny per-series
+    panels), never a single-task sort of all series.
+    """
+    keys = list(by or [])
     day = F.date_trunc("day", F.col(ts_col)).alias("day")
-    # the O(days) panel feeds the Phase-I baseline aggregate AND the
-    # windowed chart chain; persist so the corpus reduces exactly once
-    daily = _reuse(df.groupBy(day).agg(F.avg(value_col).alias("x")))
-    base = daily.agg(
-        F.avg("x").alias("mu0"), F.stddev_samp("x").alias("sigma0")
-    )
+    # ONE corpus reduction; everything downstream (baselines + chart) is
+    # window algebra over the O(series × days) panel in a single linear
+    # chain — no second consumer, so no persist needed
+    daily = df.groupBy(*keys, day).agg(F.avg(value_col).alias("x"))
     r = 1.0 - lam
-    w = Window.orderBy("day")
-    # O(days) panel: the unpartitioned window rides ~hundreds of rows,
-    # never the corpus (same documented shape as cusum_changepoint).
+    w = Window.partitionBy(*keys).orderBy("day")
+    # Phase-I baselines ride an UNSORTED whole-series window over the
+    # panel (no join — NULL series keys partition natively); per-series
+    # panels are O(days) rows; ungrouped, the windows ride ~hundreds of
+    # rows, never the corpus (same documented shape as cusum_changepoint)
+    wb = Window.partitionBy(*keys)
+    enr = daily.withColumn("mu0", F.avg("x").over(wb)).withColumn(
+        "sigma0", F.stddev_samp("x").over(wb)
+    )
     out = (
-        daily.crossJoin(F.broadcast(base))
+        enr
         .withColumn("t", F.row_number().over(w).cast("double"))
         .withColumn(
             "__wsum",
@@ -1614,6 +1625,7 @@ def ewma_control(
         )
     )
     return out.select(
+        *keys,
         "day",
         "x",
         F.col("t").cast("long").alias("t"),

@@ -1099,16 +1099,19 @@ def test_round11_wave4_plan_contracts(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ew = ewma_control(ev)
-    # the O(days) panel is persisted: its two consumers (baseline agg +
-    # window chain) ride the cache, so the corpus reduces once even
-    # though the plan text prints the cached builder's scan per consumer
-    from pyspark_data_drift_detector_spark.plans.inspect import simple_plan
-
-    assert "InMemoryTableScan" in simple_plan(ew), "daily panel not cached"
-    assert count_scans(ew) <= 2
+    # baselines + chart are one linear window chain over the O(days)
+    # panel: exactly ONE corpus scan, no cache needed
+    assert count_scans(ew) == 1
     unpartitioned = [s for a, s in sorted_windows(ew) if a == 0]
     # row_number + running weighted sum over the O(days) daily panel
+    # (the baseline window is unsorted and doesn't count)
     assert len(unpartitioned) <= 2
+    # the per-series variant partitions every window on the series keys
+    grouped = ewma_control(ev, by=["event_type"])
+    assert count_scans(grouped) == 1
+    assert not [s for a, s in sorted_windows(grouped) if a == 0], (
+        "grouped charts must never sort through one task"
+    )
     p = formatted_plan(ew)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
