@@ -8513,6 +8513,7 @@ def _oracle_queries() -> dict[str, str]:
         "events_report_incremental": _events_report_incremental_sql(),
         "psi_cells": _psi_cells_sql(),
         "ewma_grouped": _ewma_grouped_sql(),
+        "fuzzy_incremental": _fuzzy_incremental_sql(),
         "pack_documents": _pack_documents_sql(),
         "packing_stats": _packing_stats_sql(),
         "semantic_decontaminate": _semantic_decontaminate_sql(),
@@ -9719,6 +9720,72 @@ def _dedup_fuzzy_sql(max_distance: int = 5) -> str:
                       substring(c.nrm, 1, 200)) <= {max_distance}"""
 
 
+def q_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy member of the vet-the-increment family (operators.dedup.
+    fuzzy_dedup_incremental): the doc_id%3==0 ingest batch — every 6th
+    doc replaced by a one-char typo of its successor (which lives in the
+    prior corpus) — blocked against the prior corpus's fuzzy_state;
+    typo twins must flag dup_of_state, prior text never re-read."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        fuzzy_state,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    prior = docs.filter("doc_id % 3 != 0")
+    nxt = docs.selectExpr("doc_id - 1 AS doc_id", "text AS next_text")
+    batch = (
+        docs.filter("doc_id % 3 = 0")
+        .join(nxt, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 6 = 0 AND next_text IS NOT NULL THEN"
+            " concat(substring(next_text, 1, 60), 'q',"
+            " CASE WHEN length(next_text) >= 62 THEN substring(next_text, 62)"
+            " ELSE '' END)"
+            " ELSE text END AS text",
+        )
+    )
+    return fuzzy_dedup_incremental(batch, fuzzy_state(prior))
+
+
+def _fuzzy_incremental_sql(max_distance: int = 5) -> str:
+    key = """SELECT doc_id AS id,
+        substring(nrm, 1, 200) AS probe,
+        substring(nrm, 1, 8) || '#' ||
+          CAST(CAST(FLOOR(length(nrm) / 16.0) AS BIGINT) AS VARCHAR) AS blk
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm
+            FROM {src})"""
+    return f"""
+    WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT b.doc_id,
+        CASE WHEN b.doc_id % 6 = 0 AND n.text IS NOT NULL THEN
+          substring(n.text, 1, 60) || 'q' ||
+          CASE WHEN length(n.text) >= 62 THEN substring(n.text, 62)
+               ELSE '' END
+        ELSE b.text END AS text
+      FROM documents b LEFT JOIN documents n ON n.doc_id = b.doc_id + 1
+      WHERE b.doc_id % 3 = 0),
+    pk AS ({key.format(src='prior')}),
+    bk AS MATERIALIZED ({key.format(src='batch')}),
+    state_hits AS (
+      SELECT DISTINCT b.id FROM bk b JOIN pk s ON b.blk = s.blk
+      WHERE levenshtein(b.probe, s.probe) <= {max_distance}),
+    batch_hits AS (
+      SELECT DISTINCT c.id FROM bk c JOIN bk e ON c.blk = e.blk
+      WHERE e.id < c.id
+        AND levenshtein(c.probe, e.probe) <= {max_distance})
+    SELECT b.id AS doc_id,
+      s.id IS NOT NULL AS dup_of_state,
+      h.id IS NOT NULL AS dup_in_batch,
+      s.id IS NULL AND h.id IS NULL AS keep
+    FROM bk b
+    LEFT JOIN state_hits s ON s.id = b.id
+    LEFT JOIN batch_hits h ON h.id = b.id"""
+
+
 def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^d rollup levels in ONE shuffle (operators.groups.cube_profile,
     GROUP BY CUBE): per (returnflag, linestatus), each dim alone, and the
@@ -10558,6 +10625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_report_incremental": q_events_report_incremental,
         "psi_cells": q_psi_cells,
         "ewma_grouped": q_ewma_grouped,
+        "fuzzy_incremental": q_fuzzy_incremental,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
         "benford_deviation": q_benford_deviation,

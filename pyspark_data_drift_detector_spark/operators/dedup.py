@@ -1560,6 +1560,33 @@ def passage_decontaminate_excise(
     return _excise_with_spans(corpus, spans, text_col, id_col)
 
 
+def _fuzzy_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix_len: int,
+    band_width: int,
+    compare_len: int,
+) -> DataFrame:
+    """Shared keyed projection of the fuzzy-dedup family: per document
+    ``id``, the blocking key (normalized prefix + length band), the full
+    normalized length, and the capped comparison window (``__probe``,
+    the first ``compare_len`` normalized chars) — everything the verify
+    step needs, ~compare_len bytes per doc, so it doubles as the
+    incremental state row."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, compare_len).alias("__probe"),
+        F.length(norm).alias("__len"),
+        F.concat_ws(
+            "#",
+            F.substring(norm, 1, prefix_len),
+            F.floor(F.length(norm) / band_width).cast("string"),
+        ).alias("__block"),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1603,19 +1630,7 @@ def fuzzy_pairs(
     Output: ``id1 < id2`` pairs with both normalized lengths and the
     capped-window edit ``distance`` ≤ ``max_distance``.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        norm.alias("__norm"),
-        F.length(norm).alias("__len"),
-    ).withColumn(
-        "__block",
-        F.concat_ws(
-            "#",
-            F.substring("__norm", 1, prefix_len),
-            F.floor(F.col("__len") / band_width).cast("string"),
-        ),
-    )
+    base = _fuzzy_keyed(df, text_col, id_col, prefix_len, band_width, compare_len)
     if max_block_size is not None:
         small = (
             base.groupBy("__block")
@@ -1626,26 +1641,20 @@ def fuzzy_pairs(
     base = _reuse(base)
     a = base.select(
         F.col("id").alias("id1"),
-        F.col("__norm").alias("__n1"),
+        F.col("__probe").alias("__p1"),
         F.col("__len").alias("len1"),
         "__block",
     )
     b = base.select(
         F.col("id").alias("id2"),
-        F.col("__norm").alias("__n2"),
+        F.col("__probe").alias("__p2"),
         F.col("__len").alias("len2"),
         "__block",
     )
     pairs = (
         a.join(b, "__block")
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn(
-            "distance",
-            F.levenshtein(
-                F.substring("__n1", 1, compare_len),
-                F.substring("__n2", 1, compare_len),
-            ),
-        )
+        .withColumn("distance", F.levenshtein("__p1", "__p2"))
         .filter(F.col("distance") <= max_distance)
     )
     return pairs.select(
@@ -1713,4 +1722,107 @@ def dedup_savings(
         (F.col("tokens_dropped") / F.col("tokens_total")).alias(
             "dropped_token_share"
         ),
+    )
+
+
+def fuzzy_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    band_width: int = 16,
+    compare_len: int = 200,
+) -> DataFrame:
+    """Compact state for incremental fuzzy dedup: one row per ingested
+    document with its blocking key and comparison window (``block,
+    probe`` — ~``compare_len`` bytes/doc, never the full text). Append
+    per batch; :func:`fuzzy_dedup_incremental` blocks new batches
+    against it. The blocking parameters are part of the state contract:
+    every append and every probe must share one configuration."""
+    return _fuzzy_keyed(
+        df, text_col, id_col, prefix_len, band_width, compare_len
+    ).select(
+        F.col("__block").alias("block"), F.col("__probe").alias("probe")
+    )
+
+
+def fuzzy_dedup_incremental(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 8,
+    band_width: int = 16,
+    max_distance: int = 5,
+    compare_len: int = 200,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Typo-level incremental-ingest dedup — the fuzzy member of the
+    vet-the-increment family (exact fingerprints, MinHash, and passage
+    windows already have one): which NEW documents are within
+    ``max_distance`` edits of the already-ingested corpus
+    (``dup_of_state``) or of an earlier-id document in THIS batch
+    (``dup_in_batch``)? The prior corpus is never re-read: candidates
+    come from the O(state) ``fuzzy_state`` rows sharing the batch doc's
+    blocking key, verified with the same capped-window Levenshtein as
+    :func:`fuzzy_pairs` — per-pair cost constant, blocking recall
+    caveats identical (edits inside the prefix or across a length band
+    escape).
+
+    ``max_block_size`` drops hot blocks on BOTH sides (boilerplate
+    prefixes), the usual documented bounded-recall guard. Output per
+    new document: ``dup_of_state``, ``dup_in_batch``, and the combined
+    first-occurrence ``keep`` decision (ties by smallest id, so the
+    same batch always keeps the same rows).
+    """
+    b = _fuzzy_keyed(
+        new_docs, text_col, id_col, prefix_len, band_width, compare_len
+    )
+    s = state.select(F.col("block").alias("__block"), F.col("probe"))
+    if max_block_size is not None:
+        b_small = (
+            b.groupBy("__block")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_block_size)
+            .select("__block")
+        )
+        s_small = (
+            s.groupBy("__block")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= max_block_size)
+            .select("__block")
+        )
+        b = b.join(b_small, "__block", "left_semi")
+        s = s.join(s_small, "__block", "left_semi")
+    b = _reuse(b)
+    state_hits = (
+        b.join(s, "__block")
+        .filter(F.levenshtein(F.col("__probe"), F.col("probe")) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_state", F.lit(True))
+    )
+    earlier = b.select(
+        F.col("id").alias("__eid"), F.col("__probe").alias("__ep"), "__block"
+    )
+    batch_hits = (
+        b.join(earlier, "__block")
+        .filter(F.col("__eid") < F.col("id"))
+        .filter(F.levenshtein(F.col("__probe"), F.col("__ep")) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        b.select("id")
+        .join(state_hits, "id", "left")
+        .join(batch_hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__in_state", F.lit(False)).alias("dup_of_state"),
+            F.coalesce("__in_batch", F.lit(False)).alias("dup_in_batch"),
+            (
+                F.col("__in_state").isNull() & F.col("__in_batch").isNull()
+            ).alias("keep"),
+        )
     )

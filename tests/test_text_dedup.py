@@ -590,3 +590,38 @@ def test_dedup_cluster_stats_panel(spark):
         docs.filter("doc_id < 5"), clusters
     ).collect()
     assert all(r["cluster_size"] > 1 for r in full)
+
+
+def test_fuzzy_dedup_incremental_hand_checked(spark):
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        fuzzy_dedup_incremental,
+        fuzzy_state,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dot"),  # 1 edit of state
+            (11, "a completely different document about spark"),
+            (12, "a completely different document about spork"),  # 1 edit of 11
+            (13, "Xhe quick brown fox jumps over the lazy dog"),  # prefix edit
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in fuzzy_dedup_incremental(batch, fuzzy_state(prior)).collect()
+    }
+    assert rows[10].dup_of_state and not rows[10].dup_in_batch
+    assert not rows[10].keep
+    assert rows[11].keep and not rows[11].dup_of_state
+    # earlier-id 11 makes 12 a batch dup; 11 itself stays kept
+    assert rows[12].dup_in_batch and not rows[12].keep
+    # documented blocking caveat: a prefix edit escapes the block
+    assert rows[13].keep
+    # state never shrinks recall: vetting the batch against prior+batch
+    # state equals the flags above (append-only contract)
+    assert len(rows) == 4
