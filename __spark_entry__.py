@@ -8991,7 +8991,7 @@ def _token_share_drift_sql() -> str:
         source AS group_key,
         -- tokens_expr convention: trim + whitespace-run split, blank = 0
         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-             ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
       FROM documents),
     counts AS (
       SELECT group_key,
@@ -10576,62 +10576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-sort against the refreshed CORRECTNESS_r*.json set. With N
     # queries and a 50-slot window the achievable invariant is "every
     # query's latest driver verdict is <= ceil(N/50) rounds old" (= 4
-    # rounds at the current 192-query count); "<= 2 rounds" is
+    # rounds at ~200 queries); "<= 2 rounds" is
     # arithmetically impossible past 100 queries. Every query stays
     # covered locally by tests/test_oracle_parity.py and
     # tools/verify_oracle.py regardless of window position.
     return {
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_survivors_best": q_dedup_survivors_best,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "knn_cosine": q_knn_cosine,
-        "lang_id": q_lang_id,
-        "repetition_stats": q_repetition_stats,
-        "text_stats": q_text_stats,
-        # --- new in r11 (no driver verdict yet): gate this round ---
-        "bpe_segment_arrow": q_bpe_segment_arrow,
-        "semantic_dedup": q_semantic_dedup,
-        "training_mix_report": q_training_mix_report,
-        "image_feature_drift": q_image_feature_drift,
-        "dedup_containment": q_dedup_containment,
-        "funnel_latency": q_funnel_latency,
-        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
-        "bpe_fertility_drift": q_bpe_fertility_drift,
-        "mix_sample_epochs": q_mix_sample_epochs,
-        "dedup_report": q_dedup_report,
-        "rollup_consistency": q_rollup_consistency,
-        "format_profile": q_format_profile,
-        "cluster_label_purity": q_cluster_label_purity,
-        "format_incremental": q_format_incremental,
-        "rollup_mismatch_topk": q_rollup_mismatch_topk,
-        "funnel_windowed": q_funnel_windowed,
-        "watermark_planner": q_watermark_planner,
-        "doc_novelty": q_doc_novelty,
-        "embedding_constraints": q_embedding_constraints,
-        "corpus_funnel_grouped": q_corpus_funnel_grouped,
-        "pack_documents_grouped": q_pack_documents_grouped,
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "cube_profile": q_cube_profile,
-        "ewma_chart": q_ewma_chart,
-        "chi2_cells": q_chi2_cells,
-        "seasonality_drift": q_seasonality_drift,
-        "dedup_savings": q_dedup_savings,
-        "events_report": q_events_report,
-        "seasonality_incremental": q_seasonality_incremental,
-        "transition_stationary": q_transition_stationary,
-        "touch_attribution": q_touch_attribution,
-        "events_report_incremental": q_events_report_incremental,
-        "psi_cells": q_psi_cells,
-        "ewma_grouped": q_ewma_grouped,
-        "fuzzy_incremental": q_fuzzy_incremental,
-        "ann_pq": q_ann_pq,
-        "asof_join": q_asof_join,
-        "benford_deviation": q_benford_deviation,
-        "bigram_logprob": q_bigram_logprob,
-        "c4_line_filter": q_c4_line_filter,
-        "cluster_balance": q_cluster_balance,
+        # --- cohort: last driver-gated r8 ---
         "completeness_timeseries": q_completeness_timeseries,
         "constraint_suite": q_constraint_suite,
         "dedup_exact": q_dedup_exact,
@@ -10676,6 +10626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": q_windowed_distinct,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "zipf_fit": q_zipf_fit,
+        # --- cohort: last driver-gated r9 ---
+        # --- new in r12 (no driver verdict yet): gate this round ---
+        # (r12 additions are inserted here, before the r9 cohort)
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,
@@ -10726,6 +10679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_share_drift": q_token_share_drift,
         "token_share_incremental": q_token_share_incremental,
         "type_inference": q_type_inference,
+        # --- cohort: last driver-gated r10 ---
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -10776,6 +10730,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
+        # --- cohort: last driver-gated r11 ---
+        "ann_pq": q_ann_pq,
+        "asof_join": q_asof_join,
+        "benford_deviation": q_benford_deviation,
+        "bigram_logprob": q_bigram_logprob,
+        "bpe_fertility_drift": q_bpe_fertility_drift,
+        "bpe_segment_arrow": q_bpe_segment_arrow,
+        "c4_line_filter": q_c4_line_filter,
+        "chi2_cells": q_chi2_cells,
+        "cluster_balance": q_cluster_balance,
+        "cluster_label_purity": q_cluster_label_purity,
+        "corpus_funnel_grouped": q_corpus_funnel_grouped,
+        "cube_profile": q_cube_profile,
+        "dedup_containment": q_dedup_containment,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "dedup_report": q_dedup_report,
+        "dedup_savings": q_dedup_savings,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_best": q_dedup_survivors_best,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_novelty": q_doc_novelty,
+        "embedding_constraints": q_embedding_constraints,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "events_report": q_events_report,
+        "events_report_incremental": q_events_report_incremental,
+        "ewma_chart": q_ewma_chart,
+        "ewma_grouped": q_ewma_grouped,
+        "format_incremental": q_format_incremental,
+        "format_profile": q_format_profile,
+        "funnel_latency": q_funnel_latency,
+        "funnel_windowed": q_funnel_windowed,
+        "fuzzy_incremental": q_fuzzy_incremental,
+        "image_feature_drift": q_image_feature_drift,
+        "knn_cosine": q_knn_cosine,
+        "lang_id": q_lang_id,
+        "mix_sample_epochs": q_mix_sample_epochs,
+        "pack_documents_grouped": q_pack_documents_grouped,
+        "psi_cells": q_psi_cells,
+        "repetition_stats": q_repetition_stats,
+        "rollup_consistency": q_rollup_consistency,
+        "rollup_mismatch_topk": q_rollup_mismatch_topk,
+        "seasonality_drift": q_seasonality_drift,
+        "seasonality_incremental": q_seasonality_incremental,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "text_stats": q_text_stats,
+        "touch_attribution": q_touch_attribution,
+        "training_mix_report": q_training_mix_report,
+        "transition_stationary": q_transition_stationary,
+        "watermark_planner": q_watermark_planner,
     }
 
 
