@@ -9710,7 +9710,8 @@ def _dedup_fuzzy_sql(max_distance: int = 5) -> str:
                  substring(nrm, 1, 8) || '#' ||
                  CAST(CAST(FLOOR(length(nrm) / 16.0) AS BIGINT) AS VARCHAR)
                    AS blk
-          FROM n)
+          FROM n
+          WHERE length(nrm) > 0)
     SELECT a.id AS id1, c.id AS id2,
            CAST(a.len AS BIGINT) AS len1, CAST(c.len AS BIGINT) AS len2,
            CAST(levenshtein(substring(a.nrm, 1, 200),
@@ -9772,10 +9773,12 @@ def _fuzzy_incremental_sql(max_distance: int = 5) -> str:
     bk AS MATERIALIZED ({key.format(src='batch')}),
     state_hits AS (
       SELECT DISTINCT b.id FROM bk b JOIN pk s ON b.blk = s.blk
-      WHERE levenshtein(b.probe, s.probe) <= {max_distance}),
+      WHERE length(b.probe) > 0 AND length(s.probe) > 0
+        AND levenshtein(b.probe, s.probe) <= {max_distance}),
     batch_hits AS (
       SELECT DISTINCT c.id FROM bk c JOIN bk e ON c.blk = e.blk
       WHERE e.id < c.id
+        AND length(c.probe) > 0 AND length(e.probe) > 0
         AND levenshtein(c.probe, e.probe) <= {max_distance})
     SELECT b.id AS doc_id,
       s.id IS NOT NULL AS dup_of_state,
@@ -10044,7 +10047,7 @@ def _dedup_savings_sql() -> str:
       CAST(SUM(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
         AS tokens_dropped,
       ROUND(CAST(SUM(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS DOUBLE)
-              / SUM(n_tokens), {ROUND}) AS dropped_token_share
+              / GREATEST(SUM(n_tokens), 1), {ROUND}) AS dropped_token_share
     FROM flagged GROUP BY source"""
 
 

@@ -1629,8 +1629,17 @@ def fuzzy_pairs(
 
     Output: ``id1 < id2`` pairs with both normalized lengths and the
     capped-window edit ``distance`` ≤ ``max_distance``.
+
+    Empty/whitespace-only texts are excluded BEFORE the block self-join:
+    they all normalize to ``''`` and would land in one block at distance
+    0, an O(n²) pair blowup on corpora with many blank rows — and "two
+    blank documents" is not a useful fuzzy-duplicate verdict (exact
+    dedup already collapses them). Same rationale as the zero-norm guard
+    in the embedding near-dup family.
     """
-    base = _fuzzy_keyed(df, text_col, id_col, prefix_len, band_width, compare_len)
+    base = _fuzzy_keyed(
+        df, text_col, id_col, prefix_len, band_width, compare_len
+    ).filter(F.col("__len") > 0)
     if max_block_size is not None:
         small = (
             base.groupBy("__block")
@@ -1719,9 +1728,12 @@ def dedup_savings(
         "docs_dropped",
         "tokens_total",
         "tokens_dropped",
-        (F.col("tokens_dropped") / F.col("tokens_total")).alias(
-            "dropped_token_share"
-        ),
+        # greatest(total, 1): a source whose every text is empty has
+        # tokens_total = 0 — its share is 0.0 (no token mass to drop),
+        # never NULL, so downstream threshold comparisons don't skip it
+        (
+            F.col("tokens_dropped") / F.greatest(F.col("tokens_total"), F.lit(1))
+        ).alias("dropped_token_share"),
     )
 
 
@@ -1774,11 +1786,19 @@ def fuzzy_dedup_incremental(
     new document: ``dup_of_state``, ``dup_in_batch``, and the combined
     first-occurrence ``keep`` decision (ties by smallest id, so the
     same batch always keeps the same rows).
+
+    Empty/whitespace-only texts never match (same guard as
+    :func:`fuzzy_pairs`: they all share one block at distance 0 — an
+    O(n²) blowup — and blank-vs-blank is exact dedup's job, not a typo
+    verdict). They still appear in the output with ``keep = true``; the
+    join sides are filtered, not the batch row list.
     """
     b = _fuzzy_keyed(
         new_docs, text_col, id_col, prefix_len, band_width, compare_len
     )
-    s = state.select(F.col("block").alias("__block"), F.col("probe"))
+    s = state.select(
+        F.col("block").alias("__block"), F.col("probe")
+    ).filter(F.length("probe") > 0)
     if max_block_size is not None:
         b_small = (
             b.groupBy("__block")
@@ -1795,18 +1815,19 @@ def fuzzy_dedup_incremental(
         b = b.join(b_small, "__block", "left_semi")
         s = s.join(s_small, "__block", "left_semi")
     b = _reuse(b)
+    probing = b.filter(F.col("__len") > 0)
     state_hits = (
-        b.join(s, "__block")
+        probing.join(s, "__block")
         .filter(F.levenshtein(F.col("__probe"), F.col("probe")) <= max_distance)
         .select("id")
         .distinct()
         .withColumn("__in_state", F.lit(True))
     )
-    earlier = b.select(
+    earlier = probing.select(
         F.col("id").alias("__eid"), F.col("__probe").alias("__ep"), "__block"
     )
     batch_hits = (
-        b.join(earlier, "__block")
+        probing.join(earlier, "__block")
         .filter(F.col("__eid") < F.col("id"))
         .filter(F.levenshtein(F.col("__probe"), F.col("__ep")) <= max_distance)
         .select("id")

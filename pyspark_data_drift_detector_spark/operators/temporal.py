@@ -25,6 +25,8 @@ plain SQL arithmetic, so the driver query replays in the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1552,16 +1554,20 @@ def ewma_control(
     to a per-day monitored series with proper control limits.
 
     The textbook recursion ``z_t = λ·x_t + (1-λ)·z_{t-1}`` (z_0 = μ₀)
-    is sequential; the distributed form uses the closed-form prefix
-    sum: with r = 1-λ,
-
-        ``z_t = r^t · (μ₀ + λ · Σ_{i=1..t} x_i · r^{-i})``
-
-    — ONE window running sum over the daily panel. Numerics: r^{-i}
-    grows as e^{0.22·i} at λ=0.2, so doubles overflow past ~3000 days;
-    daily-grain monitoring windows are bounded far below that, and the
-    relative error of the rescaled sum stays O(n·ε) because the final
-    r^t multiply cancels the growth. The whole chart is window algebra
+    is sequential; the distributed form uses a RE-ANCHORED closed-form
+    prefix sum: with r = 1-λ, the naive rescaling
+    ``z_t = r^t·(μ₀ + λ·Σ x_i·r^{-i})`` overflows doubles once
+    ``t·(-ln r) > ~709`` (a λ-dependent bound: ~3500 days at λ=0.2 but
+    only ~1000 at λ=0.5), so the series is chunked every
+    ``k = ⌈400/(-ln r)⌉`` rows and the sum re-anchored per chunk:
+    within a chunk the rescale exponent is bounded by 400
+    (``r^{-u} ≤ e^400``, never overflows for |x| < ~1e130), and the
+    prior chunk's mass carries over as ``r^k·(chunk partial)`` via one
+    range-frame window over the chunk index. Chunks older than one carry
+    a true weight ≤ e^{-400} (~1e-174 relative) — dropped, which is the
+    same order as what the sequential recursion retains below double
+    precision; the chart is exact to far beyond any display rounding
+    for UNBOUNDED series length. The whole chart is window algebra
     over the O(days) daily panel — the raw corpus is touched once by
     the groupBy(day) aggregate, everything after is negligible.
 
@@ -1594,19 +1600,42 @@ def ewma_control(
     enr = daily.withColumn("mu0", F.avg("x").over(wb)).withColumn(
         "sigma0", F.stddev_samp("x").over(wb)
     )
+    # chunk size: exponent budget 400 nats keeps r^{-u} ≤ e^400 (finite
+    # for |x| < ~1e130) while r^{2k} ≈ e^{-800} underflows to exact 0 —
+    # so one lagged carry per chunk reconstructs the full-history sum
+    # with relative error ≤ e^{-400}, unconditionally in series length
+    k_rows = max(1, int(math.ceil(400.0 / -math.log(r)))) if r > 0 else 1
+    keyed = (
+        enr.withColumn("t", F.row_number().over(w).cast("double"))
+        .withColumn("__c", F.floor((F.col("t") - 1) / k_rows))
+        .withColumn("__u", F.col("t") - F.col("__c") * k_rows)
+        .withColumn("__rx", F.col("x") * F.pow(F.lit(r), -F.col("__u")))
+    )
+    wc = Window.partitionBy(*keys, "__c").orderBy("day")
+    # prior chunk's full rescaled sum via ONE range-frame window
+    # (rangeBetween(-1, -1) over the chunk index = "all rows of chunk
+    # c-1"), re-anchored by r^k — no carry-panel join, so the chart
+    # stays one linear window chain over the daily panel; chunk 0's
+    # empty frame is NULL → 0 (the μ₀ term below already covers the
+    # z_0 seed)
+    wprev = (
+        Window.partitionBy(*keys).orderBy(F.col("__c")).rangeBetween(-1, -1)
+    )
     out = (
-        enr
-        .withColumn("t", F.row_number().over(w).cast("double"))
+        keyed.withColumn(
+            "__ws",
+            F.sum("__rx").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
         .withColumn(
-            "__wsum",
-            F.sum(F.col("x") * F.pow(F.lit(r), -F.col("t"))).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            "__anchor",
+            F.sum("__rx").over(wprev) * F.lit(float(r) ** k_rows),
         )
         .withColumn(
             "z",
-            F.pow(F.lit(r), F.col("t"))
-            * (F.col("mu0") + F.lit(lam) * F.col("__wsum")),
+            F.pow(F.lit(r), F.col("t")) * F.col("mu0")
+            + F.lit(lam)
+            * F.pow(F.lit(r), F.col("__u"))
+            * (F.col("__ws") + F.coalesce(F.col("__anchor"), F.lit(0.0))),
         )
         .withColumn(
             "__band",

@@ -954,8 +954,19 @@ def events_vetting_sink(
         # crash between appends), the pair advance must STILL go through
         # the stitched panel — the within-batch-only path would lose the
         # prior-last→batch-first transitions and break the exact
-        # full-stream count invariant; only the report needs all states
-        if pairs is not None and last is not None:
+        # full-stream count invariant; only the report needs all states.
+        # A HALF-present transition state (crash between the pair-state
+        # append and the last-state append, or vice versa) substitutes an
+        # empty frame for the missing half: the stitch then contributes
+        # nothing (LEFT JOIN against zero rows) but the pair advance stays
+        # panel-derived, so no within-batch transition is double-counted
+        # on replay and the count invariant holds for everything durably
+        # appended. Only the both-absent case is a true bootstrap.
+        if pairs is not None or last is not None:
+            if pairs is None:
+                pairs = transition_pair_state(batch_df.limit(0), **cols)
+            if last is None:
+                last = transition_last_state(batch_df.limit(0), **cols)
             panel = transition_incremental(
                 batch_df, pairs, last,
                 threshold=float(kwargs.get("transition_threshold", 0.02)),

@@ -3910,6 +3910,37 @@ def test_ewma_control_matches_recurrence(spark):
     assert any(r.out_of_control for r in got)
 
 
+def test_ewma_control_long_series_no_overflow(spark):
+    """The re-anchored chunked prefix sum (ADVICE r11): at λ=0.5 the
+    naive r^{-t} rescaling overflows doubles near t≈1000; a 4000-day
+    series must still match the sequential recursion everywhere — the
+    chunk-boundary carry (k = ⌈400/−ln r⌉ = 577 rows at λ=0.5, so this
+    crosses 6 boundaries) is exercised, and no z/ucl is NaN/Inf."""
+    import datetime
+    import math as _math
+
+    from pyspark_data_drift_detector_spark.operators.temporal import ewma_control
+
+    n = 4000
+    vals = [10.0 + 0.5 * _math.sin(i / 7.0) for i in range(n)]
+    base = datetime.datetime(2000, 1, 1, 12, 0, 0)
+    rows = [
+        (base + datetime.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = sorted(
+        ewma_control(df, lam=0.5, limit_sigma=3.0).collect(),
+        key=lambda r: r.t,
+    )
+    assert len(got) == n
+    mu0 = sum(vals) / n
+    z = mu0
+    for r, x in zip(got, vals):
+        z = 0.5 * x + 0.5 * z
+        assert _math.isfinite(r.z) and _math.isfinite(r.ucl), r.t
+        assert abs(r.z - z) < 1e-9 * max(1.0, abs(z)), (r.t, r.z, z)
+
+
 def test_chi2_cell_residuals_hand_checked(spark):
     import math
 
