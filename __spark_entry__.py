@@ -7460,6 +7460,17 @@ def q_fit_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_bpe(_documents(spark, sf_dir), n_merges=3)
 
 
+def q_fit_bpe_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 scale path of the BPE trainer (operators.corpus.fit_bpe
+    with fit_mode='driver'): the Heaps-law word-count table is collected
+    ONCE and the classic heap-based pair-count trainer runs driver-side
+    — zero Spark jobs per merge, merge-for-merge identical to the
+    DataFrame path, so it shares q_fit_bpe's recursive DuckDB oracle."""
+    from pyspark_data_drift_detector_spark.operators.corpus import fit_bpe
+
+    return fit_bpe(_documents(spark, sf_dir), n_merges=3, fit_mode="driver")
+
+
 def _bpe_rec_sql(prev_w: str, b: str, r: str) -> str:
     """One recursive merge-application CTE: repeatedly fuse the FIRST
     remaining (l, r) adjacency per word — equivalent to the canonical
@@ -8460,6 +8471,7 @@ def _oracle_queries() -> dict[str, str]:
         "transition_drift": _transition_drift_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
+        "fit_bpe_driver": _fit_bpe_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -10632,6 +10644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- cohort: last driver-gated r9 ---
         # --- new in r12 (no driver verdict yet): gate this round ---
         # (r12 additions are inserted here, before the r9 cohort)
+        "fit_bpe_driver": q_fit_bpe_driver,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

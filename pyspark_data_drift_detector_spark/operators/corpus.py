@@ -627,6 +627,8 @@ def fit_bpe(
     n_merges: int = 8,
     text_col: str = "text",
     min_pair_count: int = 2,
+    fit_mode: str = "dataframe",
+    max_vocab_rows: int = 5_000_000,
 ) -> DataFrame:
     """TRAIN a byte-pair-encoding merge table over the corpus (Sennrich
     et al. 2016) — the tokenizer-fitting step of a training-data
@@ -653,12 +655,30 @@ def fit_bpe(
     engines on chained matches.
 
     Scale shape: ONE corpus-wide shuffle (the word count) reduces 100 TB
-    of text to the distinct-word table (Heaps' law: ~millions of rows);
-    every iteration after that is a narrow map + one O(vocab) pair
-    aggregate, with exactly one 1-row ``limit(1).collect()`` per merge.
-    The word table is cached once and unpersisted on exit; lineage
-    grows by one fold per merge (fine for tokenizer-scale
-    ``n_merges``; checkpoint externally for thousands of merges).
+    of text to the distinct-word table (Heaps' law: ~millions of rows).
+    Two fit modes over that table:
+
+    - ``fit_mode="dataframe"`` (the oracle path, default): every
+      iteration is a narrow map + one O(vocab) pair aggregate, with
+      exactly one 1-row ``limit(1).collect()`` per merge. The word
+      table is cached once and unpersisted on exit; lineage grows by
+      one fold per merge — fine for oracle-scale ``n_merges``, but a
+      32k-merge production fit would be 32k tiny Spark jobs on an
+      ever-deeper plan.
+    - ``fit_mode="driver"`` (the scale path, the trainer twin of
+      ``bpe_segment``'s ``apply_mode="arrow"``): collect the word
+      table ONCE (capped at ``max_vocab_rows`` rows by
+      ``(count DESC, word ASC)`` — Heaps' law keeps real vocabularies
+      in the low millions, and the words a cap drops are the count-1
+      tail that can never win a merge before ``min_pair_count`` stops
+      training anyway) and run the classic heap-based pair-count
+      trainer driver-side: incremental pair-delta updates touch only
+      the words containing the merged pair, a lazy-deletion heap pops
+      the next best pair in O(log pairs) — zero Spark jobs after the
+      one collect, merge-for-merge IDENTICAL output to the DataFrame
+      path (integer-exact counts, same ``(count DESC, left ASC,
+      right ASC)`` tie-break; UTF-8 byte order equals code-point
+      order, so Spark and Python string comparisons agree).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import qs
 
@@ -668,16 +688,37 @@ def fit_bpe(
         raise ValueError(
             f"min_pair_count must be >= 1, got {min_pair_count}"
         )
+    if fit_mode not in ("dataframe", "driver"):
+        raise ValueError(
+            f"fit_mode must be 'dataframe' or 'driver', got {fit_mode!r}"
+        )
     spark = df.sparkSession
-    words = (
+    word_counts = (
         ensure_min_partitions(df)
         .selectExpr(f"explode(split(trim(`{text_col}`), '\\\\s+')) AS word")
         .filter("word <> ''")
         .groupBy("word")
         .agg(F.expr("CAST(count(1) AS BIGINT) AS wc"))
-        .selectExpr("filter(split(word, ''), ch -> ch <> '') AS sym", "wc")
-        .cache()
     )
+    if fit_mode == "driver":
+        rows = (
+            word_counts.orderBy(F.col("wc").desc(), F.col("word").asc())
+            .limit(int(max_vocab_rows))
+            .collect()
+        )
+        merges = _bpe_train_driver(
+            [(list(r["word"]), int(r["wc"])) for r in rows],
+            int(n_merges),
+            int(min_pair_count),
+        )
+        return spark.createDataFrame(
+            merges,
+            "merge_rank long, pair_left string, pair_right string,"
+            " merged string, pair_count long",
+        )
+    words = word_counts.selectExpr(
+        "filter(split(word, ''), ch -> ch <> '') AS sym", "wc"
+    ).cache()
     merges: list[tuple[int, str, str, str, int]] = []
     cur = words
     try:
@@ -725,6 +766,92 @@ def _bpe_merge_expr(sym_col: str, left: str, right: str) -> str:
         f" array({qs(left + right)}))"
         " ELSE concat(acc, array(x)) END)"
     )
+
+
+def _bpe_train_driver(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """Classic heap-based BPE trainer over the collected distinct-word
+    count table — the driver-side scale path of :func:`fit_bpe`
+    (``fit_mode="driver"``), pure Python, ZERO Spark jobs.
+
+    Exactly replays the DataFrame path merge for merge: integer pair
+    counts summed over word frequencies, best pair by ``(count DESC,
+    left ASC, right ASC)`` (the heap orders ``(-count, left, right)``
+    tuples, which is the same total order), early stop when the best
+    count falls below ``min_pair_count``, and each chosen merge applied
+    with the same canonical one-sweep greedy scan as
+    :func:`_bpe_merge_expr`'s fold (a fused symbol never re-merges
+    within its own sweep).
+
+    Cost per merge: O(words containing the pair) for the delta updates
+    plus O(log pairs) heap traffic — the per-merge Spark-job loop and
+    its ever-deepening lineage are gone, so 32k-merge production fits
+    are a driver-side loop over a Heaps-law-bounded table. The heap is
+    lazy-deletion: entries go stale when a pair's count changes and are
+    dropped (or re-keyed) on pop by comparing against the live count.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    syms = [list(s) for s, _ in words]
+    wcs = [int(c) for _, c in words]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    occ: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, s in enumerate(syms):
+        for p in zip(s, s[1:]):
+            pair_counts[p] += wcs[wi]
+            occ[p].add(wi)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    rank = 0
+    while rank < n_merges and heap:
+        negc, l, r = heapq.heappop(heap)
+        c = pair_counts.get((l, r), 0)
+        if -negc != c:  # stale: count changed since push
+            if c > 0:
+                heapq.heappush(heap, (-c, l, r))
+            continue
+        if c < min_pair_count:
+            break
+        rank += 1
+        merges.append((rank, l, r, l + r, c))
+        fused = l + r
+        for wi in sorted(occ[(l, r)]):
+            s = syms[wi]
+            w = wcs[wi]
+            old_pairs = Counter(zip(s, s[1:]))
+            out: list[str] = []
+            i, n = 0, len(s)
+            while i < n:  # canonical one-sweep greedy scan
+                if i + 1 < n and s[i] == l and s[i + 1] == r:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wi] = out
+            new_pairs = Counter(zip(out, out[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs[p] - old_pairs[p]
+                if d:
+                    pair_counts[p] += d * w
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+                    else:
+                        heapq.heappush(
+                            heap, (-pair_counts[p], p[0], p[1])
+                        )
+                if p in old_pairs and p not in new_pairs:
+                    occ[p].discard(wi)
+                elif p in new_pairs and p not in old_pairs:
+                    occ[p].add(wi)
+        pair_counts.pop((l, r), None)
+        occ.pop((l, r), None)
+    return merges
 
 
 def _apply_bpe_merges_py(

@@ -2412,6 +2412,81 @@ def test_fit_bpe_canonical_merges(spark):
         fit_bpe(df, n_merges=0)
     with _pytest.raises(ValueError, match="min_pair_count"):
         fit_bpe(df, min_pair_count=0)
+    with _pytest.raises(ValueError, match="fit_mode"):
+        fit_bpe(df, fit_mode="mapreduce")
+
+
+def test_fit_bpe_driver_mode_matches_dataframe(spark, sf_dir):
+    """fit_mode='driver' (the heap trainer over the collected word
+    table) must be merge-for-merge IDENTICAL to the DataFrame oracle
+    path — same counts, same tie-breaks, same early stop — on the real
+    documents corpus and on the hand-checked Sennrich fixture."""
+    from pyspark_data_drift_detector_spark.operators.corpus import fit_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = [tuple(r) for r in fit_bpe(docs, n_merges=12).collect()]
+    got = [
+        tuple(r) for r in fit_bpe(docs, n_merges=12, fit_mode="driver").collect()
+    ]
+    assert got == want and len(got) == 12
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert (
+        [tuple(r) for r in fit_bpe(df, n_merges=5, fit_mode="driver").collect()]
+        == [tuple(r) for r in fit_bpe(df, n_merges=5).collect()]
+    )
+    # early stop applies in driver mode too
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    assert fit_bpe(tiny, n_merges=4, min_pair_count=2,
+                   fit_mode="driver").count() == 0
+
+
+def test_fit_bpe_driver_mode_thousand_merges_no_spark_jobs(spark):
+    """The r11 verdict's scale criterion: >=1,000 merges WITHOUT
+    per-merge Spark jobs. The heap trainer is a pure function — 1,000
+    merges over a 1,100-symbol chain run with no SparkSession at all —
+    and the Spark-facing fit_mode='driver' wrapper issues only the
+    word-count collect (job count pinned via a job group), not one job
+    per merge."""
+    from pyspark_data_drift_detector_spark.operators.corpus import (
+        _bpe_train_driver,
+        fit_bpe,
+    )
+
+    # 1,100 distinct symbols, every adjacent pair count 5: each merge
+    # fuses the lexicographically-smallest pair and re-creates exactly
+    # one new pair, so the chain supports 1,099 merges
+    chain = [chr(0x4E00 + i) for i in range(1100)]
+    merges = _bpe_train_driver([(chain, 5)], 1000, 2)
+    assert len(merges) == 1000
+    assert all(c == 5 for _, _, _, _, c in merges)
+    # every merge fuses the current lexicographic minimum: rank 1 is
+    # the first two chain symbols fused
+    assert merges[0][:3] == (1, chain[0], chain[1])
+    # replaying the merge table greedily on the chain must telescope:
+    # rank k's merged symbol is the chain prefix of length k+1
+    assert merges[999][3] == "".join(chain[:1001])
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fit_bpe_driver_probe", "job-count pin")
+    try:
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+            "doc_id long, text string",
+        )
+        out = fit_bpe(df, n_merges=40, min_pair_count=1, fit_mode="driver")
+        n = out.count()
+        jobs = sc.statusTracker().getJobIdsForGroup("fit_bpe_driver_probe")
+    finally:
+        sc.setJobGroup("", "")
+    # the pangram exhausts at 24 merges (32 chars across 8 distinct
+    # words): training runs to exhaustion, not to the n_merges cap
+    assert n == 24
+    # word-count collect + result count: a handful of jobs, NOT one per
+    # merge (the DataFrame path would issue >= 24 here)
+    assert len(jobs) < 10, jobs
 
 
 def test_bpe_segment_counts(spark):
