@@ -1334,6 +1334,80 @@ def _image_feature_drift_sql() -> str:
     )
 
 
+def q_alignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment drift (operators.multimodal.alignment_drift):
+    paired image/text embeddings where the ref side's image vectors are a
+    0.9·e + 0.1·reverse(e) mix of the text vector and the curr side
+    degrades to 0.5/0.5 — the "image encoder checkpoint swapped" incident.
+    Per-pair cosines via one narrow zip map (embeddings never shuffled),
+    then the SAME weighted numeric-drift scorer as the tabular pipeline;
+    the oracle replays the cosine fold bit-exactly (left-folded 64-dim
+    sums, the _ann_pq_sql convention)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_drift,
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def side(parity: int, w_self: float, w_rev: float) -> DataFrame:
+        mixed = F.zip_with(
+            F.col("e"),
+            F.reverse(F.col("e")),
+            lambda a, b: F.lit(w_self) * a + F.lit(w_rev) * b,
+        )
+        return emb.filter(f"vec_id % 2 = {parity}").select(
+            F.col("e").alias("text_embedding"),
+            mixed.alias("image_embedding"),
+        )
+
+    out = alignment_drift(
+        side(0, 0.9, 0.1), side(1, 0.5, 0.5), quantiles=(0.25, 0.5, 0.75)
+    )
+    rounded = [
+        "mean_relative_diff", "median_relative_diff",
+        "std_dev_relative_diff", "iqr_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score",
+    ]
+    return _round_cols(
+        out.select("column_name", *rounded, "drift_detected"), rounded
+    )
+
+
+def _alignment_side_sql(parity: int, w_self: float, w_rev: float) -> str:
+    """FROM-able subquery replaying one side's per-pair alignment
+    cosines: the image vector is the w_self·e + w_rev·reverse(e) mix,
+    and the cosine's dot/norm sums are left-folded over all 64 dims in
+    Spark's aggregate order so every double is bit-comparable."""
+    dim = 64
+    dot = _fold_sql([f"img[{i}] * t[{i}]" for i in range(1, dim + 1)])
+    n_img = _fold_sql([f"img[{i}] * img[{i}]" for i in range(1, dim + 1)])
+    n_txt = _fold_sql([f"t[{i}] * t[{i}]" for i in range(1, dim + 1)])
+    return f"""(WITH s AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS t FROM embeddings
+      WHERE vec_id % 2 = {parity}),
+    p AS (
+      SELECT t, list_transform(range(1, {dim + 1}),
+        i -> {w_self!r} * t[i] + {w_rev!r} * t[{dim + 1} - i]) AS img
+      FROM s)
+    SELECT {dot} / (SQRT({n_img}) * SQRT({n_txt})) AS alignment_cosine
+    FROM p)"""
+
+
+def _alignment_drift_sql() -> str:
+    return _numeric_drift_body_sql(
+        _profile_cte(
+            "ref", "TRUE", cols=["alignment_cosine"],
+            src=_alignment_side_sql(0, 0.9, 0.1),
+        ),
+        _profile_cte(
+            "curr", "TRUE", cols=["alignment_cosine"],
+            src=_alignment_side_sql(1, 0.5, 0.5),
+        ),
+    )
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -8472,6 +8546,7 @@ def _oracle_queries() -> dict[str, str]:
         "snapshot_diff": _snapshot_diff_sql(),
         "fit_bpe": _fit_bpe_sql(),
         "fit_bpe_driver": _fit_bpe_sql(),
+        "alignment_drift": _alignment_drift_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -10645,6 +10720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r12 (no driver verdict yet): gate this round ---
         # (r12 additions are inserted here, before the r9 cohort)
         "fit_bpe_driver": q_fit_bpe_driver,
+        "alignment_drift": q_alignment_drift,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

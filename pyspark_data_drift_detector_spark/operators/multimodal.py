@@ -487,3 +487,77 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _frames, schema=FRAME_SCHEMA
     )
+
+
+def alignment_cosines(
+    df: DataFrame,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+) -> DataFrame:
+    """Per-pair cross-modal cosine alignment — ONE narrow zip map over
+    the paired embedding columns, no shuffle, no Python: ``zip_with``
+    products folded with ``aggregate`` (the same expression math as
+    ``dedup.cosine_expr``), guarded so a NULL vector, a zero-norm
+    vector, or a dimension mismatch (``zip_with`` NULL-pads the shorter
+    side) yields a NULL cosine instead of a NaN/error — NULLs then show
+    up in the drift panel's ``null_diff``, which is exactly where a
+    "half the pairs lost their image embedding" incident belongs.
+
+    Output: the input row's ``alignment_cosine`` (plus any passthrough
+    columns are dropped — this is the projection the profile consumes).
+    """
+    lft = F.col(left_col).cast("array<double>")
+    rgt = F.col(right_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(lft, rgt, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    nl = F.sqrt(F.aggregate(lft, F.lit(0.0), lambda s, x: s + x * x))
+    nr = F.sqrt(F.aggregate(rgt, F.lit(0.0), lambda s, x: s + x * x))
+    denom = nl * nr
+    cos = F.when(
+        lft.isNull() | rgt.isNull() | (denom == 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(dot / denom)
+    return df.select(cos.alias("alignment_cosine"))
+
+
+def alignment_drift(
+    ref: DataFrame,
+    curr: DataFrame,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+    thresholds: dict[str, float] | None = None,
+    score_mode: str = "weighted",
+    **profile_kwargs,
+) -> DataFrame:
+    """Cross-modal alignment drift — the CLIP-style alignment-health
+    panel: given rows pairing an image embedding with its caption/text
+    embedding, did the per-pair cosine distribution move between the
+    reference and current snapshots? A falling alignment mean is the
+    canonical symptom of a broken image pipeline, a swapped encoder
+    checkpoint, or caption/image mispairing upstream — caught here
+    BEFORE the pairs are spent on training.
+
+    Reuses the SAME weighted numeric-drift scorer as the tabular
+    pipeline (``numeric_drift_pair``, the ``image_feature_drift``
+    pattern): per-pair cosines via :func:`alignment_cosines` (one
+    narrow zip map per side — the embedding arrays are consumed in
+    place and NEVER shuffled; the only exchange downstream carries the
+    O(1) scalar profile partials), then mean/median/stddev/IQR/range
+    relative diffs, null-rate diff, weighted ``drift_score`` and the
+    ``drift_detected`` verdict, one row per metric column.
+    """
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    return numeric_drift_pair(
+        alignment_cosines(ref, left_col, right_col),
+        alignment_cosines(curr, left_col, right_col),
+        columns=["alignment_cosine"],
+        thresholds=thresholds,
+        score_mode=score_mode,
+        **profile_kwargs,
+    )

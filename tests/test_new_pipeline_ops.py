@@ -4573,3 +4573,60 @@ def test_events_vetting_sink_migration_keeps_stitch(spark, tmp_path):
         for r in transition_pair_state(ev).collect()
     }
     assert rolled == full
+
+
+def test_alignment_cosines_guards_and_values(spark):
+    """Hand-checked per-pair cosines plus every guard: NULL vector,
+    zero-norm vector, and a dimension mismatch (zip_with NULL-pads) all
+    yield NULL — never NaN or an ANSI error."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_cosines,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),     # identical -> 1.0
+        (2, [1.0, 0.0], [0.0, 1.0]),     # orthogonal -> 0.0
+        (3, [1.0, 0.0], [-1.0, 0.0]),    # opposite -> -1.0
+        (4, None, [1.0, 0.0]),           # NULL image -> NULL
+        (5, [0.0, 0.0], [1.0, 0.0]),     # zero norm -> NULL
+        (6, [1.0, 0.0, 0.0], [1.0, 0.0]),  # dim mismatch -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, image_embedding array<double>,"
+        " text_embedding array<double>",
+    )
+    got = [
+        r.alignment_cosine
+        for r in alignment_cosines(df.orderBy("pair_id")).collect()
+    ]
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == -1.0
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_alignment_drift_detects_encoder_swap(spark):
+    """A curr side whose image embeddings decorrelate from the text
+    embeddings must trip drift_detected on the alignment_cosine row;
+    identical sides must not."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_drift,
+    )
+
+    import math as _math
+
+    def mk(n, w_self):
+        rows = []
+        for i in range(n):
+            t = [_math.sin(i + j / 7.0) for j in range(8)]
+            img = [w_self * a + (1 - w_self) * b
+                   for a, b in zip(t, reversed(t))]
+            rows.append((t, img))
+        return spark.createDataFrame(
+            rows, "text_embedding array<double>, image_embedding array<double>"
+        )
+
+    out = alignment_drift(mk(64, 0.95), mk(64, 0.3)).collect()
+    assert len(out) == 1 and out[0].column_name == "alignment_cosine"
+    assert out[0].drift_detected and out[0].drift_score > 0.1
+    same = alignment_drift(mk(64, 0.95), mk(64, 0.95)).collect()
+    assert not same[0].drift_detected and same[0].drift_score == 0.0

@@ -1212,3 +1212,42 @@ def test_round11_wave6_plan_contracts(spark, sf_dir):
 
     ts = transition_stationary(ev, n_iter=2)
     assert not sorted_windows(ts), "stationary output must be panel-only"
+
+
+def test_round12_plan_contracts(spark, sf_dir):
+    """alignment_drift: the per-pair cosine is ONE narrow zip map per
+    side — embeddings are consumed in place and never cross an
+    exchange; the only shuffles carry the O(columns) side-tagged
+    profile partials. No join, no sorted window, no Python."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_drift,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref = emb.filter("vec_id % 2 = 0").select(
+        F.col("embedding").alias("text_embedding"),
+        F.reverse("embedding").alias("image_embedding"),
+    )
+    curr = emb.filter("vec_id % 2 = 1").select(
+        F.col("embedding").alias("text_embedding"),
+        F.reverse("embedding").alias("image_embedding"),
+    )
+    ad = alignment_drift(ref, curr)
+    # the standard numeric_profile_pair shape: each side is scanned by
+    # the moments hash-agg AND the percentile object-agg (2 sides x 2)
+    assert count_scans(ad) == 4
+    # side-tagged union profile: partial agg before every exchange, so
+    # only O(1) scalar/percentile partials shuffle — never the
+    # embedding arrays (the cosine map is fused into the scan project)
+    assert count_shuffles(ad) <= 3
+    assert not sorted_windows(ad)
+    p = formatted_plan(ad)
+    assert "SortMergeJoin" not in p, "profile pair must not join"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "zip_with" in p or "aggregate" in p.lower()
