@@ -8547,6 +8547,7 @@ def _oracle_queries() -> dict[str, str]:
         "fit_bpe": _fit_bpe_sql(),
         "fit_bpe_driver": _fit_bpe_sql(),
         "alignment_drift": _alignment_drift_sql(),
+        "ann_incremental": _ann_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -9652,6 +9653,86 @@ def _cluster_balance_incremental_sql() -> str:
     FROM shares"""
 
 
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health tripwire (operators.similarity.
+    ann_index_incremental): the vec_id%3==0 ingest batch assigns against
+    the FROZEN first-8-by-id centroid index and its per-list occupancy +
+    assignment-tightness (mean winning cosine) compare against the
+    rolled-up ivf_state of the rest of the corpus — the indexed
+    embeddings are never re-read. Lists whose share grows, brand-new
+    lists, and falling mean cosine are the re-fit signals."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ann_index_incremental,
+        ivf_state,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    state = ivf_state(emb.filter("vec_id % 3 != 0"), cents)
+    out = ann_index_incremental(emb.filter("vec_id % 3 = 0"), state, cents)
+    return _round_cols(
+        out,
+        [
+            "ref_share", "curr_share", "share_abs_diff",
+            "ref_mean_cosine", "curr_mean_cosine", "mean_cosine_diff",
+        ],
+    )
+
+
+def _ann_incremental_sql(threshold: float = 0.05) -> str:
+    # the cosine replays Spark's dot/(sqrt*sqrt) shape via
+    # list_inner_product; the winner per vector is the max cosine with
+    # ties to the smallest centroid id (array_position-of-max semantics)
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+    sims AS (
+      SELECT v.vec_id, v.vec_id % 3 = 0 AS is_batch, cent.cid,
+        list_inner_product(v.embedding::DOUBLE[], cent.ce) /
+          (sqrt(list_inner_product(v.embedding::DOUBLE[],
+                                   v.embedding::DOUBLE[])) *
+           sqrt(list_inner_product(cent.ce, cent.ce))) AS sim
+      FROM embeddings v CROSS JOIN cent
+      WHERE v.embedding IS NOT NULL),
+    win AS (
+      SELECT vec_id, is_batch, cid, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, cid ASC) AS r
+        FROM sims) WHERE r = 1),
+    cnt AS (
+      SELECT CAST(cid AS BIGINT) AS list_id,
+        CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+          AS ref_n,
+        CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+          AS curr_n,
+        SUM(CASE WHEN NOT is_batch THEN sim END) AS ref_sum,
+        SUM(CASE WHEN is_batch THEN sim END) AS curr_sum
+      FROM win GROUP BY 1),
+    sh AS (
+      SELECT list_id, ref_n, curr_n,
+        CAST(ref_n AS DOUBLE) / NULLIF(SUM(ref_n) OVER (), 0) AS rs,
+        CAST(curr_n AS DOUBLE) / NULLIF(SUM(curr_n) OVER (), 0) AS cs,
+        ref_sum / NULLIF(CAST(ref_n AS DOUBLE), 0.0) AS rmc,
+        curr_sum / NULLIF(CAST(curr_n AS DOUBLE), 0.0) AS cmc
+      FROM cnt)
+    SELECT list_id, ref_n, curr_n,
+      ROUND(rs, {ROUND}) AS ref_share,
+      ROUND(cs, {ROUND}) AS curr_share,
+      ROUND(rmc, {ROUND}) AS ref_mean_cosine,
+      ROUND(cmc, {ROUND}) AS curr_mean_cosine,
+      ROUND(abs(COALESCE(cs, 0) - COALESCE(rs, 0)), {ROUND})
+        AS share_abs_diff,
+      ROUND(cmc - rmc, {ROUND}) AS mean_cosine_diff,
+      (ref_n = 0 AND curr_n > 0) AS new_list,
+      ROUND(abs(COALESCE(cs, 0) - COALESCE(rs, 0)), 5) > {threshold!r}
+        AS drift_detected
+    FROM sh"""
+
+
 def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing duplicated passages — pair expansion runs
     ONLY for window hashes in 2..cap documents (the join-explosion guard);
@@ -10721,6 +10802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r12 additions are inserted here, before the r9 cohort)
         "fit_bpe_driver": q_fit_bpe_driver,
         "alignment_drift": q_alignment_drift,
+        "ann_incremental": q_ann_incremental,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

@@ -1249,6 +1249,122 @@ def cluster_balance_incremental(
     )
 
 
+def ivf_state(
+    df: DataFrame,
+    centroids: list,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Additive IVF-index health state for one ingest batch: per
+    inverted list (FIXED frozen centroid set — the same ``[(list_id,
+    vector), ...]`` the ``ivf_topk(centroids=)`` index was built with),
+    the batch's occupancy count AND the sum of winning assignment
+    cosines (``list_id, n, sum_cosine``) — the ANN member of the
+    additive-state family (``cluster_share_state`` + tightness).
+    Both columns are additive, so the SUM over parquet appends is the
+    exact corpus-so-far inverted-file occupancy and cosine mass; the
+    mean assignment cosine per list (``sum_cosine / n``) is the
+    index-tightness signal a recall dashboard plots. NULL/zero-norm
+    vectors land under the NULL ``list_id`` with NULL ``sum_cosine``.
+
+    One narrow map (inlined centroid matrix or Arrow GEMM) + one
+    O(lists) aggregate — embeddings never shuffle, nothing is collected.
+    """
+    rows = _centroid_rows(centroids)
+    mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
+    return (
+        _assign_cluster_ids(df, rows, mode, embedding_col, with_cosine=True)
+        .groupBy(F.col("cluster_id").alias("list_id"))
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n"),
+            F.expr("sum(centroid_cosine) AS sum_cosine"),
+        )
+    )
+
+
+def ann_index_incremental(
+    new_vecs: DataFrame,
+    state: DataFrame,
+    centroids: list,
+    threshold: float = 0.05,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> DataFrame:
+    """Is the frozen IVF index still healthy for THIS ingest batch? The
+    ANN member of the vet-the-increment family: the batch assigns
+    against the SAME frozen centroid set the index was built with, and
+    two per-list recall-health signals compare against the rolled-up
+    :func:`ivf_state` — the indexed corpus is never re-read:
+
+    - **occupancy drift** (``ref_share``/``curr_share``/
+      ``share_abs_diff`` + the ``drift_detected`` flag on the rounded
+      diff): a list whose share grows is absorbing the new data — its
+      scan cost rises and, at a fixed ``nprobe``, recall for the rest
+      falls; a list at ``ref_n = 0`` that suddenly fills
+      (``new_list``) means the new data lives where the index has no
+      history at all — the canonical re-fit tripwire.
+    - **tightness drift** (``ref_mean_cosine``/``curr_mean_cosine``/
+      ``mean_cosine_diff``): falling winning-assignment cosine means
+      new vectors sit FAR from every centroid — quantization error is
+      growing even if shares look stable (the drifting-embedding-space
+      failure occupancy alone misses).
+
+    Output: one row per list (NULL ``list_id`` = invalid vectors; the
+    eqNullSafe full-outer keeps it ONE row, the
+    ``cluster_balance_incremental`` convention). Raises on an empty
+    state. Plan: one narrow batch map + one O(lists) aggregate per
+    side, a full-outer join of two O(lists) panels, bounded-frame
+    totals windows — nothing corpus-sized shuffles.
+    """
+    rows = _centroid_rows(centroids)
+    prior = state.groupBy("list_id").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS ref_n"),
+        F.expr("sum(sum_cosine) AS ref_sum_cos"),
+    )
+    if prior.isEmpty():
+        raise ValueError(
+            "IVF state is empty — append at least one batch of ivf_state"
+            " before vetting an increment against it"
+        )
+    batch = ivf_state(
+        new_vecs, centroids, embedding_col, scoring
+    ).selectExpr(
+        "list_id", "n AS curr_n", "sum_cosine AS curr_sum_cos"
+    )
+    counts = prior.join(
+        batch, prior["list_id"].eqNullSafe(batch["list_id"]), "full_outer"
+    ).select(
+        F.coalesce(prior["list_id"], batch["list_id"]).alias("list_id"),
+        F.expr("coalesce(ref_n, 0L)").alias("ref_n"),
+        F.expr("coalesce(curr_n, 0L)").alias("curr_n"),
+        F.col("ref_sum_cos"),
+        F.col("curr_sum_cos"),
+    )
+    # O(lists) rows: the unpartitioned totals windows ride a bounded frame
+    return counts.selectExpr(
+        "list_id",
+        "ref_n",
+        "curr_n",
+        "CAST(ref_n AS DOUBLE) / nullif(sum(ref_n) OVER (), 0) AS ref_share",
+        "CAST(curr_n AS DOUBLE) / nullif(sum(curr_n) OVER (), 0)"
+        " AS curr_share",
+        "ref_sum_cos / nullif(CAST(ref_n AS DOUBLE), 0.0D)"
+        " AS ref_mean_cosine",
+        "curr_sum_cos / nullif(CAST(curr_n AS DOUBLE), 0.0D)"
+        " AS curr_mean_cosine",
+    ).selectExpr(
+        "*",
+        "abs(coalesce(curr_share, 0.0D) - coalesce(ref_share, 0.0D))"
+        " AS share_abs_diff",
+        "curr_mean_cosine - ref_mean_cosine AS mean_cosine_diff",
+        "ref_n = 0 AND curr_n > 0 AS new_list",
+    ).selectExpr(
+        "*",
+        f"round(share_abs_diff, 5) > {float(threshold)!r}D"
+        " AS drift_detected",
+    )
+
+
 def fit_kmeans(
     df: DataFrame,
     k: int = 8,

@@ -396,6 +396,80 @@ def cluster_share_state_sink(
     return write_batch
 
 
+def ivf_state_sink(
+    state_path: str,
+    centroids: list,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive IVF-index health
+    state (``list_id, n, sum_cosine`` per micro-batch against the FROZEN
+    index centroids) that
+    :func:`operators.similarity.ann_index_incremental` vets new ingest
+    against; the reader re-aggregates, so repeated list ids across
+    appends simply sum. The same frozen centroid set must build every
+    append and the vetting call (a re-fit invalidates the whole state —
+    start a new state path)."""
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ivf_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_state(
+            batch_df, centroids, embedding_col=embedding_col, scoring=scoring
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def ann_vetting_sink(
+    state_path: str,
+    report_path: str,
+    centroids: list,
+    threshold: float = 0.05,
+    embedding_col: str = "embedding",
+    scoring: str = "auto",
+) -> Callable[[DataFrame, int], None]:
+    """The ANN index-health nightly automation as ONE ``foreachBatch``
+    sink (the ``ingest_vetting_sink`` contract): each micro-batch of
+    new vectors is first VETTED against the corpus-so-far inverted-file
+    occupancy/tightness state
+    (:func:`operators.similarity.ann_index_incremental`, stamped with
+    ``batch_id`` and appended to ``report_path``), and only then does
+    the state advance with the batch's own assignments.
+    Vet-before-advance: a batch compared against a state containing
+    itself would dilute every occupancy shift it introduced. The FIRST
+    batch (state missing or massless) bootstraps silently — the state
+    is seeded, no report row is written."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ann_index_incremental,
+    )
+
+    advance = ivf_state_sink(state_path, centroids, embedding_col, scoring)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = None
+        # mass, not row existence: a present-but-all-zero state is still
+        # a bootstrap (the vetting-sink gate convention)
+        if state is not None and not state.filter("n > 0").isEmpty():
+            ann_index_incremental(
+                batch_df, state, centroids, threshold=threshold,
+                embedding_col=embedding_col, scoring=scoring,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
 def format_state_sink(
     state_path: str,
     columns: list[str],

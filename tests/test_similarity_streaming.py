@@ -1542,3 +1542,185 @@ def test_fit_kmeans_spread_init(spark):
 
     with _pytest.raises(ValueError, match="init must be"):
         fit_kmeans(df, k=2, init="random")
+
+
+def test_ivf_state_and_ann_index_incremental(spark, tmp_path):
+    """The ANN vet-the-increment member: occupancy drift + tightness
+    drift against the frozen index, additive appends == one-shot,
+    NULL vectors surface under the NULL list, empty state raises."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ann_index_incremental,
+        ivf_state,
+    )
+
+    rng = random.Random(41)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    cents = [(i, anchors[i]) for i in range(3)]
+
+    def near(anchor, eps=0.05):
+        return [x + rng.gauss(0, eps) for x in anchor]
+
+    # index fit population: 10 vectors per list, tight assignments
+    fit = spark.createDataFrame(
+        [(i, near(anchors[i % 3])) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    state = ivf_state(fit, cents)
+    rows = {r["list_id"]: r for r in state.collect()}
+    assert {k: r["n"] for k, r in rows.items()} == {0: 10, 1: 10, 2: 10}
+    # winning cosines of near-anchor vectors are ~1: mean in (0.9, 1]
+    for r in rows.values():
+        assert 0.9 < r["sum_cosine"] / r["n"] <= 1.0
+
+    # a balanced, tight batch: no drift, no new lists, stable cosine
+    balanced = spark.createDataFrame(
+        [(100 + i, near(anchors[i % 3])) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    )
+    quiet = ann_index_incremental(balanced, state, cents).collect()
+    assert all(not r["drift_detected"] and not r["new_list"] for r in quiet)
+
+    # a skewed, LOOSE batch (all near list 0, heavy noise): occupancy
+    # drift on lists 0 and 1, and list 0's mean cosine drops
+    skewed_rows = [(200 + i, near(anchors[0], eps=0.8)) for i in range(9)]
+    skewed_rows.append((300, None))
+    skewed = spark.createDataFrame(
+        skewed_rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["list_id"]: r
+        for r in ann_index_incremental(skewed, state, cents).collect()
+    }
+    assert out[0]["drift_detected"]
+    assert out[0]["curr_mean_cosine"] < out[0]["ref_mean_cosine"]
+    assert out[0]["mean_cosine_diff"] < 0
+    assert out[None]["curr_n"] == 1  # invalid vectors surface, not vanish
+    assert out[None]["ref_mean_cosine"] is None
+    # a list with no batch vectors: curr side empty, mean NULL, no flag
+    empty_lists = [r for r in out.values() if r["curr_n"] == 0]
+    assert empty_lists and all(
+        r["curr_mean_cosine"] is None for r in empty_lists
+    )
+
+    # new_list: an index that never saw list 2 flags it on first fill
+    part_state = ivf_state(fit.filter("vec_id % 3 != 2"), cents)
+    nl = {
+        r["list_id"]: r
+        for r in ann_index_incremental(balanced, part_state, cents).collect()
+    }
+    assert nl[2]["new_list"] and nl[2]["ref_n"] == 0 and nl[2]["curr_n"] > 0
+
+    # additive appends == one-shot state
+    ivf_state(fit.filter("vec_id < 15"), cents).write.mode("append").parquet(
+        str(tmp_path / "ivf_state")
+    )
+    ivf_state(fit.filter("vec_id >= 15"), cents).write.mode("append").parquet(
+        str(tmp_path / "ivf_state")
+    )
+    appended = spark.read.parquet(str(tmp_path / "ivf_state"))
+
+    def key(df):
+        return sorted(
+            tuple(
+                -1 if v is None else (round(v, 9) if isinstance(v, float) else v)
+                for v in r
+            )
+            for r in df.collect()
+        )
+
+    assert key(ann_index_incremental(skewed, appended, cents)) == key(
+        ann_index_incremental(skewed, state, cents)
+    )
+
+    with _pytest.raises(ValueError, match="IVF state is empty"):
+        ann_index_incremental(
+            skewed,
+            spark.createDataFrame(
+                [], "list_id long, n long, sum_cosine double"
+            ),
+            cents,
+        )
+
+
+def test_ann_vetting_sink_batch_parity(spark, tmp_path):
+    """ann_vetting_sink through REAL Structured Streaming: the streamed
+    state equals the batch-built state, the first batch bootstraps
+    silently, and every later batch's report row matches a hand-run
+    ann_index_incremental against the state-so-far."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ann_index_incremental,
+        ivf_state,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        ann_vetting_sink,
+    )
+
+    rng = random.Random(43)
+    anchors = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    cents = [(i, anchors[i]) for i in range(3)]
+
+    def near(anchor):
+        return [x + rng.gauss(0, 0.05) for x in anchor]
+
+    vecs = spark.createDataFrame(
+        [(i, near(anchors[i % 3])) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    ingest = tmp_path / "ann_ingest"
+    # two files -> two deterministic micro-batches (maxFilesPerTrigger=1)
+    vecs.filter("vec_id < 12").coalesce(1).write.parquet(
+        str(ingest), mode="append"
+    )
+    vecs.filter("vec_id >= 12").coalesce(1).write.parquet(
+        str(ingest), mode="append"
+    )
+    state_p = str(tmp_path / "ann_state")
+    report_p = str(tmp_path / "ann_report")
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ann_vetting_sink(state_p, report_p, cents, threshold=0.05)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # state parity: streamed appends == one-shot batch state
+    streamed = (
+        spark.read.parquet(state_p)
+        .groupBy("list_id")
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS n"))
+    )
+    oneshot = ivf_state(vecs, cents).select("list_id", "n")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    # exactly ONE report (bootstrap batch wrote none), and it equals the
+    # hand-run vet of the second file against the first file's state
+    report = spark.read.parquet(report_p)
+    assert report.select("batch_id").distinct().count() == 1
+    first_state = ivf_state(vecs.filter("vec_id < 12"), cents)
+    want = ann_index_incremental(
+        vecs.filter("vec_id >= 12"), first_state, cents, threshold=0.05
+    )
+    got = report.drop("batch_id")
+    cols = want.columns
+    norm = lambda df: sorted(
+        tuple(
+            round(v, 9) if isinstance(v, float) else v for v in r
+        )
+        for r in df.select(*cols).collect()
+    )
+    assert norm(got) == norm(want)
