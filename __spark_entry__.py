@@ -1375,7 +1375,7 @@ def q_alignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _alignment_side_sql(parity: int, w_self: float, w_rev: float) -> str:
+def _alignment_side_sql(where: str, w_self: float, w_rev: float) -> str:
     """FROM-able subquery replaying one side's per-pair alignment
     cosines: the image vector is the w_self·e + w_rev·reverse(e) mix,
     and the cosine's dot/norm sums are left-folded over all 64 dims in
@@ -1386,7 +1386,7 @@ def _alignment_side_sql(parity: int, w_self: float, w_rev: float) -> str:
     n_txt = _fold_sql([f"t[{i}] * t[{i}]" for i in range(1, dim + 1)])
     return f"""(WITH s AS (
       SELECT CAST(embedding AS DOUBLE[]) AS t FROM embeddings
-      WHERE vec_id % 2 = {parity}),
+      WHERE {where}),
     p AS (
       SELECT t, list_transform(range(1, {dim + 1}),
         i -> {w_self!r} * t[i] + {w_rev!r} * t[{dim + 1} - i]) AS img
@@ -1399,13 +1399,88 @@ def _alignment_drift_sql() -> str:
     return _numeric_drift_body_sql(
         _profile_cte(
             "ref", "TRUE", cols=["alignment_cosine"],
-            src=_alignment_side_sql(0, 0.9, 0.1),
+            src=_alignment_side_sql("vec_id % 2 = 0", 0.9, 0.1),
         ),
         _profile_cte(
             "curr", "TRUE", cols=["alignment_cosine"],
-            src=_alignment_side_sql(1, 0.5, 0.5),
+            src=_alignment_side_sql("vec_id % 2 = 1", 0.5, 0.5),
         ),
     )
+
+
+def q_alignment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal vet-the-increment (operators.multimodal.
+    alignment_incremental): the vec_id%3==0 ingest batch of image/text
+    pairs — its image mix degraded from the corpus's 0.9/0.1 to 0.7/0.3
+    — vetted against the rolled-up additive alignment moments state
+    (mergeable partitioned_profile shape); prior pairs never re-read.
+    The mean-cosine drop must trip the absolute-diff flag."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_incremental,
+        alignment_state,
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def pairs(pred: str, w_self: float, w_rev: float) -> DataFrame:
+        mixed = F.zip_with(
+            F.col("e"),
+            F.reverse(F.col("e")),
+            lambda a, b: F.lit(w_self) * a + F.lit(w_rev) * b,
+        )
+        return emb.filter(pred).select(
+            F.col("e").alias("text_embedding"),
+            mixed.alias("image_embedding"),
+        )
+
+    state = alignment_state(pairs("vec_id % 3 != 0", 0.9, 0.1))
+    out = alignment_incremental(pairs("vec_id % 3 = 0", 0.7, 0.3), state)
+    return _round_cols(
+        out,
+        [
+            "ref_mean", "curr_mean", "mean_abs_diff",
+            "ref_stddev", "curr_stddev", "stddev_abs_diff",
+            "ref_null_ratio", "curr_null_ratio", "null_ratio_diff",
+        ],
+    )
+
+
+def _alignment_incremental_sql(threshold: float = 0.05) -> str:
+    # the moments replay mirrors mergeable.merge_profiles exactly,
+    # including the greatest(0, ...) cancellation clamp in stddev
+    def mom(side: str, src: str) -> str:
+        return f"""{side} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(alignment_cosine) AS BIGINT) AS n,
+        CAST(COUNT(*) - COUNT(alignment_cosine) AS BIGINT) AS nulls,
+        SUM(alignment_cosine) AS s,
+        SUM(alignment_cosine * alignment_cosine) AS ss
+      FROM {src} AS __{side})"""
+
+    std = (
+        "CASE WHEN {p}.n > 1 THEN sqrt(GREATEST(0.0,"
+        " ({p}.ss - {p}.s * {p}.s / {p}.n) / ({p}.n - 1))) END"
+    )
+    return f"""
+    WITH {mom('r', _alignment_side_sql('vec_id % 3 <> 0', 0.9, 0.1))},
+    {mom('c', _alignment_side_sql('vec_id % 3 = 0', 0.7, 0.3))}
+    SELECT r.n AS ref_n, c.n AS curr_n,
+      ROUND(r.s / r.n, {ROUND}) AS ref_mean,
+      ROUND(c.s / c.n, {ROUND}) AS curr_mean,
+      ROUND(abs(c.s / c.n - r.s / r.n), {ROUND}) AS mean_abs_diff,
+      ROUND({std.format(p='r')}, {ROUND}) AS ref_stddev,
+      ROUND({std.format(p='c')}, {ROUND}) AS curr_stddev,
+      ROUND(abs({std.format(p='c')} - {std.format(p='r')}), {ROUND})
+        AS stddev_abs_diff,
+      ROUND(CAST(r.nulls AS DOUBLE) / r.n_rows, {ROUND}) AS ref_null_ratio,
+      ROUND(CAST(c.nulls AS DOUBLE) / c.n_rows, {ROUND}) AS curr_null_ratio,
+      ROUND(CAST(c.nulls AS DOUBLE) / c.n_rows
+            - CAST(r.nulls AS DOUBLE) / r.n_rows, {ROUND})
+        AS null_ratio_diff,
+      ROUND(abs(c.s / c.n - r.s / r.n), 5) > {threshold!r} AS drift_detected
+    FROM r CROSS JOIN c"""
 
 
 def _qc_weights(d: int = 256) -> list[float]:
@@ -8548,6 +8623,7 @@ def _oracle_queries() -> dict[str, str]:
         "fit_bpe_driver": _fit_bpe_sql(),
         "alignment_drift": _alignment_drift_sql(),
         "ann_incremental": _ann_incremental_sql(),
+        "alignment_incremental": _alignment_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -10803,6 +10879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_bpe_driver": q_fit_bpe_driver,
         "alignment_drift": q_alignment_drift,
         "ann_incremental": q_ann_incremental,
+        "alignment_incremental": q_alignment_incremental,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

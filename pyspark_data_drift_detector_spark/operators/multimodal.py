@@ -561,3 +561,94 @@ def alignment_drift(
         score_mode=score_mode,
         **profile_kwargs,
     )
+
+
+def alignment_state(
+    df: DataFrame,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+) -> DataFrame:
+    """Additive cross-modal alignment-health state for one ingest batch
+    — the multimodal member of the vet-the-increment state family: the
+    mergeable moments state (``mergeable.partitioned_profile`` shape:
+    ``n_rows, n, null_count, sum, sumsq, min, max``) over the per-pair
+    :func:`alignment_cosines`. Append one per batch (or via
+    ``streaming.state_tables.alignment_state_sink``); every column is
+    additive (min/max via min/max), so ``mergeable.merge_profiles``
+    over the appended rows is the exact corpus-so-far alignment
+    profile. NULL cosines (missing/zero/ragged vectors) stay visible in
+    ``null_count`` — the "pairs are silently losing one side" signal.
+
+    One narrow zip map + one 1-row aggregate; embeddings never shuffle.
+    """
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        partitioned_profile,
+    )
+
+    return partitioned_profile(
+        alignment_cosines(df, left_col, right_col),
+        ["alignment_cosine"],
+        F.lit("all"),
+    ).drop("partition_id")
+
+
+def alignment_incremental(
+    new_pairs: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.05,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+) -> DataFrame:
+    """Is THIS batch of image/text pairs still aligned like the corpus
+    so far? The cross-modal member of the vet-the-increment family
+    (:func:`alignment_drift` is the two-snapshot twin): the batch's
+    per-pair cosines reduce to one moments row and compare against the
+    rolled-up :func:`alignment_state` — prior pairs never re-read.
+
+    Cosine lives in [-1, 1], so the drift flag is on the ABSOLUTE mean
+    diff (``abs(curr_mean - ref_mean) > threshold``), not a relative
+    diff (a relative diff explodes when the reference mean sits near 0,
+    which for cross-modal cosines is the "already broken" regime, not a
+    sensible scale). Output: ONE row — ref/curr n, mean, stddev,
+    null_ratio, their diffs, and ``drift_detected``. Raises on an empty
+    state. Plan: one narrow map + one 1-row aggregate per side, a 1×1
+    cross join of the two panels.
+    """
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_profiles,
+    )
+
+    prior = merge_profiles(state)
+    if prior.isEmpty():
+        raise ValueError(
+            "alignment state is empty — append at least one batch of"
+            " alignment_state before vetting an increment against it"
+        )
+    ref = prior.selectExpr(
+        "n AS ref_n",
+        "null_count / n_rows AS ref_null_ratio",
+        "mean AS ref_mean",
+        "stddev AS ref_stddev",
+    )
+    curr = merge_profiles(alignment_state(new_pairs, left_col, right_col)).selectExpr(
+        "n AS curr_n",
+        "null_count / n_rows AS curr_null_ratio",
+        "mean AS curr_mean",
+        "stddev AS curr_stddev",
+    )
+    return ref.crossJoin(curr).selectExpr(
+        "ref_n",
+        "curr_n",
+        "ref_mean",
+        "curr_mean",
+        "abs(curr_mean - ref_mean) AS mean_abs_diff",
+        "ref_stddev",
+        "curr_stddev",
+        "abs(curr_stddev - ref_stddev) AS stddev_abs_diff",
+        "ref_null_ratio",
+        "curr_null_ratio",
+        "curr_null_ratio - ref_null_ratio AS null_ratio_diff",
+    ).selectExpr(
+        "*",
+        f"round(mean_abs_diff, 5) > {float(threshold)!r}D AS drift_detected",
+    )

@@ -470,6 +470,72 @@ def ann_vetting_sink(
     return write_batch
 
 
+def alignment_state_sink(
+    state_path: str,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the additive cross-modal
+    alignment moments state (one ``partitioned_profile``-shape row per
+    micro-batch) that
+    :func:`operators.multimodal.alignment_incremental` vets new ingest
+    against; the reader merges, so appended rows simply combine."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        alignment_state(batch_df, left_col, right_col).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return write_batch
+
+
+def alignment_vetting_sink(
+    state_path: str,
+    report_path: str,
+    threshold: float = 0.05,
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+) -> Callable[[DataFrame, int], None]:
+    """The cross-modal alignment nightly automation as ONE
+    ``foreachBatch`` sink (the ``ingest_vetting_sink`` contract): each
+    micro-batch of image/text pairs is first VETTED against the
+    corpus-so-far alignment profile
+    (:func:`operators.multimodal.alignment_incremental`, stamped with
+    ``batch_id`` and appended to ``report_path``), and only then does
+    the state advance. The FIRST batch (state missing or massless)
+    bootstraps silently."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_incremental,
+    )
+
+    advance = alignment_state_sink(state_path, left_col, right_col)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = None
+        # mass, not row existence: a present-but-all-zero state is still
+        # a bootstrap (the vetting-sink gate convention)
+        if state is not None and not state.filter("n_rows > 0").isEmpty():
+            alignment_incremental(
+                batch_df, state, threshold=threshold,
+                left_col=left_col, right_col=right_col,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
 def format_state_sink(
     state_path: str,
     columns: list[str],

@@ -1724,3 +1724,144 @@ def test_ann_vetting_sink_batch_parity(spark, tmp_path):
         for r in df.select(*cols).collect()
     )
     assert norm(got) == norm(want)
+
+
+def test_alignment_state_and_incremental(spark, tmp_path):
+    """The cross-modal vet-the-increment member: additive appends ==
+    one-shot, degraded batch alignment trips the absolute-diff flag,
+    NULL pairs surface in null ratios, empty state raises."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_incremental,
+        alignment_state,
+    )
+
+    rng = random.Random(47)
+
+    def mk(n, w_self, with_null=False):
+        rows = []
+        for i in range(n):
+            t = [rng.gauss(0, 1) for _ in range(8)]
+            img = [w_self * a + (1 - w_self) * b
+                   for a, b in zip(t, reversed(t))]
+            rows.append((t, img))
+        if with_null:
+            rows.append(([1.0] * 8, None))
+        return spark.createDataFrame(
+            rows, "text_embedding array<double>, image_embedding array<double>"
+        )
+
+    prior = mk(40, 0.95)
+    state = alignment_state(prior)
+    srow = state.collect()[0]
+    assert srow["n_rows"] == 40 and srow["null_count"] == 0
+
+    # a same-mix batch stays quiet; a degraded batch trips the flag
+    quiet = alignment_incremental(mk(12, 0.95), state).collect()[0]
+    assert not quiet["drift_detected"]
+    loud = alignment_incremental(mk(12, 0.3, with_null=True), state).collect()[0]
+    assert loud["drift_detected"] and loud["curr_mean"] < loud["ref_mean"]
+    assert loud["curr_null_ratio"] > 0 and loud["null_ratio_diff"] > 0
+
+    # additive appends == one-shot state
+    alignment_state(prior.limit(15)).write.mode("append").parquet(
+        str(tmp_path / "al_state")
+    )
+    alignment_state(prior.subtract(prior.limit(15))).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "al_state"))
+    appended = spark.read.parquet(str(tmp_path / "al_state"))
+    batch = mk(12, 0.5)
+    a = alignment_incremental(batch, appended).collect()[0]
+    b = alignment_incremental(batch, state).collect()[0]
+    for f in ("ref_n", "curr_n", "drift_detected"):
+        assert a[f] == b[f]
+    # split-vs-one-shot sums associate differently; the mean of random
+    # cosines sits near 0, so compare with an absolute tolerance too
+    for f in ("ref_mean", "ref_stddev", "curr_mean"):
+        assert math.isclose(a[f], b[f], rel_tol=1e-6, abs_tol=1e-9)
+
+    with _pytest.raises(ValueError, match="alignment state is empty"):
+        alignment_incremental(batch, appended.limit(0))
+
+
+def test_alignment_vetting_sink_batch_parity(spark, tmp_path):
+    """alignment_vetting_sink through real Structured Streaming:
+    bootstrap writes no report, the second batch's report equals the
+    hand-run vet against the first batch's state, and the streamed
+    state merges to the full corpus profile."""
+    import math
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.mergeable import (
+        merge_profiles,
+    )
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_incremental,
+        alignment_state,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        alignment_vetting_sink,
+    )
+
+    rng = random.Random(53)
+
+    def mk(ids, w_self):
+        rows = []
+        for i in ids:
+            t = [rng.gauss(0, 1) for _ in range(8)]
+            img = [w_self * a + (1 - w_self) * b
+                   for a, b in zip(t, reversed(t))]
+            rows.append((i, t, img))
+        return spark.createDataFrame(
+            rows,
+            "pair_id long, text_embedding array<double>,"
+            " image_embedding array<double>",
+        )
+
+    first = mk(range(20), 0.95)
+    second = mk(range(20, 32), 0.4)
+    ingest = tmp_path / "al_ingest"
+    first.coalesce(1).write.parquet(str(ingest), mode="append")
+    second.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p = str(tmp_path / "al_s2")
+    report_p = str(tmp_path / "al_report")
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            alignment_vetting_sink(state_p, report_p, threshold=0.05)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    report = spark.read.parquet(report_p)
+    assert report.select("batch_id").distinct().count() == 1
+    # parquet file order == batch order is not guaranteed; identify the
+    # bootstrap batch from the report's own ref_n
+    rrow = report.collect()[0]
+    boot, vetted = (first, second) if rrow["ref_n"] == 20 else (second, first)
+    want = alignment_incremental(
+        vetted, alignment_state(boot), threshold=0.05
+    ).collect()[0]
+    got = report.drop("batch_id").collect()[0]
+    for f in want.asDict():
+        w, g = want[f], got[f]
+        if isinstance(w, float):
+            assert math.isclose(w, g, rel_tol=1e-9), (f, w, g)
+        else:
+            assert w == g, (f, w, g)
+    # streamed state merges to the full-corpus profile
+    merged = merge_profiles(spark.read.parquet(state_p)).collect()[0]
+    full = merge_profiles(alignment_state(first.union(second))).collect()[0]
+    assert merged["n_rows"] == full["n_rows"] == 32
+    assert math.isclose(merged["mean"], full["mean"], rel_tol=1e-9)
