@@ -1251,3 +1251,59 @@ def test_round12_plan_contracts(spark, sf_dir):
     assert "SortMergeJoin" not in p, "profile pair must not join"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "zip_with" in p or "aggregate" in p.lower()
+
+
+def test_round12_incremental_plan_contracts(spark, sf_dir):
+    """ivf_state / ann_index_incremental: the batch assignment is one
+    narrow inlined-matrix map + one O(lists) aggregate; the state join
+    is a full-outer of two O(lists) panels (no corpus-sized join); the
+    totals windows ride the bounded panel. alignment_state: one narrow
+    zip map + ONE 1-row aggregate, embeddings never shuffled."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_state,
+    )
+    from pyspark_data_drift_detector_spark.operators.similarity import (
+        ann_index_incremental,
+        ivf_state,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_scans,
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    st = ivf_state(emb.filter("vec_id % 3 != 0"), cents, scoring="expr")
+    assert count_scans(st) == 1
+    assert count_shuffles(st) <= 1, "ivf_state is one grouped aggregate"
+    assert not sorted_windows(st)
+    p = formatted_plan(st)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    inc = ann_index_incremental(
+        emb.filter("vec_id % 3 = 0"), st, cents, scoring="expr"
+    )
+    # BOTH join inputs are grouped aggregates — O(lists) rows — so the
+    # full-outer join (SMJ: Spark cannot broadcast full-outer) and the
+    # bounded-frame totals windows ride tiny panels; the contract is
+    # that each corpus side ENDS at its grouped aggregate: exactly 2
+    # scans, bounded exchanges, no window over pre-aggregate rows
+    assert count_scans(inc) == 2
+    assert count_shuffles(inc) <= 8
+    for _, sort in sorted_windows(inc):
+        assert "list_id" in sort or not sort, (
+            f"unexpected sorted window over non-panel rows: {sort}"
+        )
+
+    al = alignment_state(
+        emb.selectExpr(
+            "embedding AS text_embedding", "reverse(embedding) AS image_embedding"
+        )
+    )
+    assert count_scans(al) == 1 and count_shuffles(al) <= 1
+    assert not sorted_windows(al)
