@@ -1483,6 +1483,78 @@ def _alignment_incremental_sql(threshold: float = 0.05) -> str:
     FROM r CROSS JOIN c"""
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (operators.multimodal.image_neardup_pairs):
+    synthetic PPM payloads for doc_id < 200 plus EXACT mirror copies
+    (doc_id+4e6 re-using the original's pixel seed, the re-uploaded-image
+    case) — aHash fingerprints through the same banded-Hamming blocking
+    as text SimHash. The hash's block-luma bit test is integer-exact
+    (cross-multiplied channel sums), so DuckDB replays every bit from the
+    closed-form pixel formula; mirrors must land at hamming 0, and the
+    pixel pattern's natural near-twins (seed pairs whose byte shift is
+    tiny) surface at small distances."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        image_neardup_pairs,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    base = ids.selectExpr("doc_id", "doc_id AS seed")
+    mirrors = ids.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 4000000 AS doc_id", "doc_id AS seed"
+    )
+    imgs = attach_synthetic_image(
+        base.unionByName(mirrors), width=8, height=4, fmt="ppm",
+        seed_col="seed",
+    )
+    out = image_neardup_pairs(imgs, grid=8, max_distance=3, bands=4)
+    return out.selectExpr(
+        "id1", "id2", "CAST(hamming AS BIGINT) AS hamming"
+    )
+
+
+def _image_neardup_sql(max_distance: int = 3) -> str:
+    # replay: pixel v = (seed*31 + i*7) % 256 over the 8x4x3 array;
+    # block b = (2y)*8 + x; vb = Rec601-weighted integer sum; the bit
+    # test is the same cross-multiplied integer comparison as the
+    # operator — bit-exact by construction
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id AS seed FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id FROM documents
+      WHERE doc_id < 200 AND doc_id % 5 = 0),
+    px AS (
+      SELECT s.doc_id,
+        (s.seed * 31 + r.i * 7) % 256 AS v,
+        r.i % 3 AS ch,
+        ((r.i // 3) // 8) * 2 * 8 + ((r.i // 3) % 8) AS b
+      FROM src s CROSS JOIN range(96) r(i)),
+    blk AS (
+      SELECT doc_id, b,
+        SUM(CASE ch WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+            ELSE 114 * v END) AS vb,
+        COUNT(*) AS cb
+      FROM px GROUP BY 1, 2),
+    tot AS (
+      SELECT doc_id, SUM(vb) AS s_tot, SUM(cb) AS c_tot
+      FROM blk GROUP BY 1),
+    sig AS (
+      SELECT blk.doc_id,
+        CAST(SUM(CASE WHEN vb * c_tot > s_tot * cb
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                 ELSE 0 END) AS BIGINT) AS h
+      FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+    banded AS (
+      SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig CROSS JOIN range(4) r(i))
+    SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+      CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+    WHERE a.doc_id < c.doc_id
+      AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -8624,6 +8696,7 @@ def _oracle_queries() -> dict[str, str]:
         "alignment_drift": _alignment_drift_sql(),
         "ann_incremental": _ann_incremental_sql(),
         "alignment_incremental": _alignment_incremental_sql(),
+        "image_neardup": _image_neardup_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -10880,6 +10953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_drift": q_alignment_drift,
         "ann_incremental": q_ann_incremental,
         "alignment_incremental": q_alignment_incremental,
+        "image_neardup": q_image_neardup,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

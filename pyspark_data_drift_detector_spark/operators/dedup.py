@@ -682,6 +682,70 @@ def hamming_distance_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_band_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str = "id",
+    max_distance: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-pairs of any 64-bit-or-narrower signature column by banded
+    Hamming blocking — the blocking core shared by :func:`simhash_pairs`
+    (text signatures) and ``multimodal.image_neardup_pairs`` (perceptual
+    hashes). Signatures split into ``bands`` equal bit bands; by
+    pigeonhole, any pair within Hamming distance < ``bands`` agrees on
+    ≥1 band — candidates come from band-equality joins, then exact XOR
+    popcount verifies. One shuffle on (band, key); ``max_bucket_size``
+    drops degenerate hot buckets (e.g. the all-zero signature of blank
+    inputs) with the usual documented bounded-recall tradeoff.
+
+    Output: distinct ``id1 < id2`` pairs with ``hamming`` ≤
+    ``max_distance``.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = ", ".join(
+        f"named_struct('band', {b},"
+        f" 'key', shiftrightunsigned(`{sig_col}`, {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        f"`{id_col}` AS id", f"`{sig_col}` AS __sig",
+        f"inline(array({band_structs}))",
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = (
+            banded.join(sizes, ["band", "key"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    banded = _reuse(banded)
+    a = banded.select(
+        F.col("id").alias("id1"), F.col("__sig").alias("sig1"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id2"), F.col("__sig").alias("sig2"), "band", "key"
+    )
+    # hamming is a pure function of the pair, so filtering BEFORE the
+    # distinct is equivalent — and the dedup shuffle then carries only the
+    # surviving near pairs instead of every band collision (VERDICT r3 #3)
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            hamming_distance_expr(F.col("sig1"), F.col("sig2")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -702,27 +766,9 @@ def simhash_pairs(
     """
     bits = 60 if hash_family == "md5" else 64
     sig = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family)
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_structs = ", ".join(
-        f"named_struct('band', {b},"
-        f" 'key', shiftrightunsigned(simhash, {b * width}) & {mask})"
-        for b in range(bands)
-    )
-    banded = _reuse(
-        sig.selectExpr("id", "simhash", f"inline(array({band_structs}))")
-    )
-    a = banded.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"), "band", "key")
-    b = banded.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"), "band", "key")
-    # hamming is a pure function of the pair, so filtering BEFORE the
-    # distinct is equivalent — and the dedup shuffle then carries only the
-    # surviving near pairs instead of every band collision (VERDICT r3 #3)
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", hamming_distance_expr(F.col("sig1"), F.col("sig2")).alias("hamming"))
-        .filter(F.col("hamming") <= max_distance)
-        .distinct()
+    return hamming_band_pairs(
+        sig, "simhash", "id", max_distance=max_distance, bands=bands,
+        bits=bits,
     )
 
 

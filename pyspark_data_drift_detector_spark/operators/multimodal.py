@@ -418,17 +418,21 @@ def attach_synthetic_image(
     width: int = 8,
     height: int = 4,
     fmt: str = "ppm",
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Attach a REAL (decodable) deterministic image payload per row.
 
-    Pixel bytes follow the closed form ``p[i] = (doc_id*31 + i*7) % 256``
+    Pixel bytes follow the closed form ``p[i] = (seed*31 + i*7) % 256``
     over the row-major flattened ``(height, width, 3)`` array — chosen so an
-    external oracle can recompute every decoded statistic from ``doc_id``
+    external oracle can recompute every decoded statistic from the seed
     alone, without a PPM/BMP parser (the driver's DuckDB oracle does exactly
-    this). ``fmt`` picks the container: ``'ppm'`` or ``'bmp'``.
+    this). ``fmt`` picks the container: ``'ppm'`` or ``'bmp'``. The seed is
+    ``id_col`` by default; pass ``seed_col`` to generate IDENTICAL payloads
+    under distinct ids (the duplicate-image fixture shape).
     """
     if fmt not in ("ppm", "bmp"):
         raise ValueError(f"fmt must be 'ppm' or 'bmp', got {fmt!r}")
+    seed_col = seed_col or id_col
 
     def _gen(iterator):
         import numpy as np
@@ -439,13 +443,17 @@ def attach_synthetic_image(
         enc = encode_ppm if fmt == "ppm" else encode_bmp
         for batch in iterator:
             ids = batch[id_col].to_numpy()
+            seeds = batch[seed_col].to_numpy()
             payloads = [
                 enc(((int(d) * 31 + i * 7) % 256).astype(np.uint8).reshape(height, width, 3))
-                for d in ids
+                for d in seeds
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return df.select(F.col(id_col)).mapInPandas(
+    cols = [F.col(id_col)]
+    if seed_col != id_col:
+        cols.append(F.col(seed_col))
+    return df.select(*cols).mapInPandas(
         _gen,
         schema=T.StructType(
             [
@@ -651,4 +659,123 @@ def alignment_incremental(
     ).selectExpr(
         "*",
         f"round(mean_abs_diff, 5) > {float(threshold)!r}D AS drift_detected",
+    )
+
+
+IMAGE_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode, reduce to a
+    ``grid × grid`` block-luma map, set bit ``by·grid + bx`` iff the
+    block's mean luma exceeds the whole-image mean — resolution- and
+    (mostly) brightness-scale-invariant, the classic first-pass
+    image-dedup fingerprint (pHash's cheaper sibling).
+
+    The comparison is INTEGER-EXACT, hence engine-portable for oracles:
+    block luma mass is ``v_b = 299·Σr + 587·Σg + 114·Σb`` over exact
+    uint8 channel sums (Rec. 601 weights ×1000), and the bit test is the
+    cross-multiplied ``v_b · C_tot > S_tot · c_b`` (c = channel-sample
+    counts, S/C = whole-image totals) — no float mean whose summation
+    order could flip a boundary bit between engines. Blocks are the
+    standard resize map ``bx = x·grid // w`` (uneven block sizes handled
+    exactly by the cross-multiply; empty blocks hash to 0). Bit
+    ``grid²-1`` can reach the sign bit at grid 8 — packed with the same
+    overflow-free two-literal form as ``dedup.simhash``.
+
+    Same plan shape as :func:`decode_images`: one ``mapInPandas`` where
+    the payload was read (bytes never shuffle), O(1) output per image.
+    Corrupt payloads yield a NULL hash + ``decode_error`` row.
+    """
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(f"grid must be in [1, 8], got {grid}")
+
+    def _hash(iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(data: bytes):
+            fmt = codec if codec != "auto" else _sniff_format(data)
+            if fmt is None:
+                raise ValueError("unrecognized image magic")
+            rgb = _MAGIC_PARSERS[fmt](data)
+            h, w, _ = rgb.shape
+            ys, xs = np.divmod(np.arange(h * w, dtype=np.int64), w)
+            block = (ys * grid // h) * grid + (xs * grid // w)
+            flat = rgb.reshape(-1, 3).astype(np.int64)
+            v = 299 * flat[:, 0] + 587 * flat[:, 1] + 114 * flat[:, 2]
+            vb = np.bincount(block, weights=v, minlength=grid * grid)
+            vb = vb.astype(np.int64)  # exact: v < 2^18, h*w*2^18 << 2^63
+            cb = 3 * np.bincount(block, minlength=grid * grid).astype(np.int64)
+            s_tot, c_tot = int(vb.sum()), int(cb.sum())
+            acc = 0
+            for b in range(grid * grid):
+                if int(vb[b]) * c_tot > s_tot * int(cb[b]):
+                    acc |= 1 << b
+            if acc >= 1 << 63:  # two's-complement into int64
+                acc -= 1 << 64
+            return acc, int(w), int(h), None
+
+        for batch in iterator:
+            out = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    row = one(data)
+                except (ValueError, IndexError) as exc:
+                    row = (None, None, None, str(exc))
+                out.append((doc_id,) + row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_AHASH_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=IMAGE_AHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: :func:`image_ahash` fingerprints fed
+    through the same banded-Hamming blocking as text SimHash
+    (``dedup.hamming_band_pairs``) — re-encoded, resized, or
+    slightly-retouched copies collide on ≥1 band (pigeonhole for
+    distance < ``bands``) and verify by exact XOR popcount. The dedup ×
+    multimodal bridge: payload bytes never shuffle (the hash is computed
+    in the scan partitions), only 8-byte signatures enter the band join;
+    ``max_bucket_size`` guards degenerate buckets (e.g. flat-color
+    images all hashing to 0). Undecodable payloads drop out (NULL hash).
+    """
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sig = image_ahash(df, payload_col, id_col, codec, grid).filter(
+        F.col("ahash").isNotNull()
+    )
+    return hamming_band_pairs(
+        sig, "ahash", "doc_id", max_distance=max_distance, bands=bands,
+        bits=grid * grid, max_bucket_size=max_bucket_size,
     )

@@ -180,3 +180,81 @@ def test_codec_fuzz_never_crashes():
         assert np.array_equal(_parse_bmp(encode_bmp(arr)), arr)
 
     roundtrip()
+
+
+def test_image_ahash_semantics(spark):
+    """aHash invariants: identical images hash identically; a RESIZED
+    copy (same pattern at 2x resolution) keeps the same hash (the
+    block map is scale-invariant); flipping a few pixels moves only a
+    few bits; corrupt payloads yield NULL hash + decode_error."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    # a structured image (smooth gradient, like a real photo): blocks
+    # sit far from the global mean, so the hash is stable under small
+    # edits — random noise would be aHash's worst case (every block at
+    # the boundary), which is a property of aHash, not of this code
+    gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+    base = np.stack([gx * 12, gy * 12, (gx + gy) * 6], axis=2).astype(np.uint8)
+    # 2x nearest-neighbor upscale: every block's mean luma is unchanged
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    tweaked = base.copy()
+    tweaked[0:2, 0:2] = 255 - tweaked[0:2, 0:2]  # invert ONE 2x2 block
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(base))),       # identical copy
+        (3, bytearray(encode_ppm(big))),        # 2x resize
+        (4, bytearray(encode_ppm(tweaked))),    # near copy
+        (5, bytearray(b"NOTANIMAGE")),          # corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_ahash(df, codec="auto").collect()}
+    assert got[1].ahash == got[2].ahash
+    assert got[1].ahash == got[3].ahash, "resize must preserve the hash"
+    near = bin((got[1].ahash ^ got[4].ahash) & ((1 << 64) - 1)).count("1")
+    assert 0 < near <= 3, f"one-block edit moved {near} bits"
+    assert got[5].ahash is None and got[5].decode_error is not None
+    assert got[1].width == 16 and got[3].width == 32
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid"):
+        image_ahash(df, grid=9)
+
+
+def test_image_neardup_pairs_banding_recall(spark):
+    """Pigeonhole guarantee: every pair within hamming < bands is found
+    through the band join; far images are not paired; undecodable
+    payloads drop out instead of pairing at distance 0 with each other."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        encode_ppm,
+        image_neardup_pairs,
+    )
+
+    gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+    base = np.stack([gx * 12, gy * 12, (gx + gy) * 6], axis=2).astype(np.uint8)
+    far = 255 - base  # inverted gradient: every block flips side
+    tweaked = base.copy()
+    tweaked[2:4, 2:4] = 255 - tweaked[2:4, 2:4]  # invert one block
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(base))),
+        (3, bytearray(encode_ppm(tweaked))),
+        (4, bytearray(encode_ppm(far))),
+        (5, bytearray(b"garbage")),
+        (6, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in image_neardup_pairs(df, max_distance=3, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)

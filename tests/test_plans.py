@@ -1307,3 +1307,32 @@ def test_round12_incremental_plan_contracts(spark, sf_dir):
     )
     assert count_scans(al) == 1 and count_shuffles(al) <= 1
     assert not sorted_windows(al)
+
+
+def test_image_neardup_plan_contract(spark, sf_dir):
+    """image_ahash is a pure narrow map (payload bytes consumed in the
+    scan partitions — zero shuffles below the Arrow stage); the pair
+    join shuffles only (band, key, 8-byte signature) rows."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        image_ahash,
+        image_neardup_pairs,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    imgs = attach_synthetic_image(docs.select("doc_id"), width=8, height=4)
+    assert count_shuffles(image_ahash(imgs)) == 0
+    pairs = image_neardup_pairs(imgs, max_distance=3, bands=4)
+    # band self-join + the distinct collapse; nothing else may shuffle
+    assert count_shuffles(pairs) <= 3
+    assert not sorted_windows(pairs)
+    p = formatted_plan(pairs)
+    # the payload column must not appear in any exchange's output
+    for seg in p.split("Exchange")[1:]:
+        head = seg[:400]
+        assert "payload" not in head, "payload bytes crossed an exchange"
