@@ -1555,6 +1555,107 @@ def _image_neardup_sql(max_distance: int = 3) -> str:
       AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
 
 
+def q_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image member of the vet-the-increment family (operators.multimodal.
+    image_neardup_incremental): the doc_id%3==0 ingest batch of synthetic
+    PPMs — plus re-uploads of PRIOR-corpus images (doc_id+4e6 re-using the
+    successor's pixel seed, which lives in the state side) — blocked
+    against the prior corpus's 8-byte aHash state; re-uploads must flag
+    dup_of_state, prior payloads never re-read."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        image_ahash_state,
+        image_neardup_incremental,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    prior = ids.filter("doc_id % 3 != 0").selectExpr("doc_id", "doc_id AS seed")
+    batch_base = ids.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id", "doc_id AS seed"
+    )
+    succ = ids.selectExpr("doc_id - 1 AS doc_id")
+    mirrors = (
+        ids.filter("doc_id % 3 = 0")
+        .join(succ, "doc_id", "left_semi")
+        .selectExpr("doc_id + 4000000 AS doc_id", "doc_id + 1 AS seed")
+    )
+    mk = lambda src: attach_synthetic_image(
+        src, width=8, height=4, fmt="ppm", seed_col="seed"
+    )
+    state = image_ahash_state(mk(prior))
+    return image_neardup_incremental(
+        mk(batch_base.unionByName(mirrors)), state,
+        grid=8, max_distance=3, bands=4,
+    )
+
+
+def _ahash_chain_sql(prefix: str, src: str) -> str:
+    """CTE chain computing the integer-exact aHash for every (doc_id,
+    seed) row of ``src`` — ends in ``sig_{prefix}(doc_id, h)``. Same
+    closed form as _image_neardup_sql."""
+    p = prefix
+    return f"""px_{p} AS (
+      SELECT s.doc_id,
+        (s.seed * 31 + r.i * 7) % 256 AS v,
+        r.i % 3 AS ch,
+        ((r.i // 3) // 8) * 2 * 8 + ((r.i // 3) % 8) AS b
+      FROM {src} s CROSS JOIN range(96) r(i)),
+    blk_{p} AS (
+      SELECT doc_id, b,
+        SUM(CASE ch WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v
+            ELSE 114 * v END) AS vb,
+        COUNT(*) AS cb
+      FROM px_{p} GROUP BY 1, 2),
+    tot_{p} AS (
+      SELECT doc_id, SUM(vb) AS s_tot, SUM(cb) AS c_tot
+      FROM blk_{p} GROUP BY 1),
+    sig_{p} AS (
+      SELECT blk_{p}.doc_id,
+        CAST(SUM(CASE WHEN vb * c_tot > s_tot * cb
+                 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                 ELSE 0 END) AS BIGINT) AS h
+      FROM blk_{p} JOIN tot_{p} USING (doc_id) GROUP BY 1)"""
+
+
+def _image_incremental_sql(max_distance: int = 3) -> str:
+    return f"""
+    WITH prior_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 <> 0),
+    batch_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT d.doc_id + 4000000, d.doc_id + 1 FROM documents d
+      WHERE d.doc_id < 200 AND d.doc_id % 3 = 0
+        AND EXISTS (SELECT 1 FROM documents e
+                    WHERE e.doc_id = d.doc_id + 1 AND e.doc_id < 200)),
+    {_ahash_chain_sql('p', 'prior_src')},
+    {_ahash_chain_sql('b', 'batch_src')},
+    pb AS (
+      SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_b CROSS JOIN range(4) r(i)),
+    sb AS (
+      SELECT h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_p CROSS JOIN range(4) r(i)),
+    state_hits AS (
+      SELECT DISTINCT b.doc_id FROM pb b JOIN sb s
+        ON b.band = s.band AND b.key = s.key
+      WHERE bit_count(xor(b.h, s.h)) <= {max_distance}),
+    batch_hits AS (
+      SELECT DISTINCT c.doc_id FROM pb c JOIN pb e
+        ON c.band = e.band AND c.key = e.key
+      WHERE e.doc_id < c.doc_id
+        AND bit_count(xor(c.h, e.h)) <= {max_distance})
+    SELECT b.doc_id,
+      s.doc_id IS NOT NULL AS dup_of_state,
+      h.doc_id IS NOT NULL AS dup_in_batch,
+      s.doc_id IS NULL AND h.doc_id IS NULL AS keep
+    FROM sig_b b
+    LEFT JOIN state_hits s ON s.doc_id = b.doc_id
+    LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -8697,6 +8798,7 @@ def _oracle_queries() -> dict[str, str]:
         "ann_incremental": _ann_incremental_sql(),
         "alignment_incremental": _alignment_incremental_sql(),
         "image_neardup": _image_neardup_sql(),
+        "image_incremental": _image_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -10954,6 +11056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_incremental": q_ann_incremental,
         "alignment_incremental": q_alignment_incremental,
         "image_neardup": q_image_neardup,
+        "image_incremental": q_image_incremental,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

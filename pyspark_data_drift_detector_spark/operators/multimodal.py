@@ -779,3 +779,112 @@ def image_neardup_pairs(
         sig, "ahash", "doc_id", max_distance=max_distance, bands=bands,
         bits=grid * grid, max_bucket_size=max_bucket_size,
     )
+
+
+def image_ahash_state(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+) -> DataFrame:
+    """Compact state for incremental image dedup: ONE 8-byte aHash row
+    per ingested image (``ahash`` — never the payload), the multimodal
+    twin of ``dedup.fuzzy_state``. Append per batch (or via
+    ``streaming.state_tables.image_ahash_state_sink``);
+    :func:`image_neardup_incremental` blocks new batches against it.
+    The grid/codec parameters are part of the state contract: every
+    append and every probe must share one configuration. Undecodable
+    payloads contribute no state row."""
+    return image_ahash(df, payload_col, id_col, codec, grid).filter(
+        F.col("ahash").isNotNull()
+    ).select("ahash")
+
+
+def image_neardup_incremental(
+    new_imgs: DataFrame,
+    state: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Which NEW images are near-duplicates of the already-ingested
+    corpus (``dup_of_state``) or of an earlier-id image in THIS batch
+    (``dup_in_batch``)? The image member of the vet-the-increment
+    family, shaped exactly like ``dedup.fuzzy_dedup_incremental``: the
+    prior corpus is never re-read — candidates come from the O(state)
+    8-byte aHash rows sharing a band with the batch image (pigeonhole
+    for distance < ``bands``), verified by exact XOR popcount.
+    ``max_bucket_size`` drops hot bands on BOTH sides (flat-color
+    signatures), the usual documented bounded-recall guard.
+
+    Output per new image: ``dup_of_state``, ``dup_in_batch``, and the
+    combined first-occurrence ``keep`` decision (ties by smallest id).
+    Undecodable batch payloads never match and keep ``keep = true`` —
+    route them by ``decode_error`` via :func:`image_ahash` separately.
+    """
+    width = (grid * grid) // bands
+    mask = (1 << width) - 1
+    band_structs = ", ".join(
+        f"named_struct('band', {b},"
+        f" 'key', shiftrightunsigned(ahash, {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    sig = image_ahash(new_imgs, payload_col, id_col, codec, grid)
+    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
+
+    sig = _reuse(sig)
+    b = sig.filter(F.col("ahash").isNotNull()).selectExpr(
+        "doc_id AS id", "ahash", f"inline(array({band_structs}))"
+    )
+    s = state.selectExpr(
+        "ahash AS s_hash",
+        f"inline(array({band_structs}))",
+    )
+    if max_bucket_size is not None:
+        b_small = (
+            b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
+        )
+        s_small = (
+            s.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
+        )
+        b = b.join(b_small, ["band", "key"], "left_semi")
+        s = s.join(s_small, ["band", "key"], "left_semi")
+    b = _reuse(b)
+    state_hits = (
+        b.join(s, ["band", "key"])
+        .filter(F.bit_count(F.col("ahash").bitwiseXOR(F.col("s_hash"))) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_state", F.lit(True))
+    )
+    earlier = b.select(
+        F.col("id").alias("__eid"), F.col("ahash").alias("__eh"), "band", "key"
+    )
+    batch_hits = (
+        b.join(earlier, ["band", "key"])
+        .filter(F.col("__eid") < F.col("id"))
+        .filter(F.bit_count(F.col("ahash").bitwiseXOR(F.col("__eh"))) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        sig.selectExpr("doc_id AS id")
+        .join(state_hits, "id", "left")
+        .join(batch_hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__in_state", F.lit(False)).alias("dup_of_state"),
+            F.coalesce("__in_batch", F.lit(False)).alias("dup_in_batch"),
+            (
+                F.col("__in_state").isNull() & F.col("__in_batch").isNull()
+            ).alias("keep"),
+        )
+    )

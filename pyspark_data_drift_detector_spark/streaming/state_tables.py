@@ -536,6 +536,79 @@ def alignment_vetting_sink(
     return write_batch
 
 
+def image_ahash_state_sink(
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the 8-byte-per-image aHash
+    signature state that
+    :func:`operators.multimodal.image_neardup_incremental` blocks new
+    ingest against. The grid/codec parameters are part of the state
+    contract — every append and every probe must share one
+    configuration."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        image_ahash_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        image_ahash_state(
+            batch_df, payload_col, id_col, codec, grid
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def image_dedup_vetting_sink(
+    state_path: str,
+    report_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec: str = "auto",
+    grid: int = 8,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental image dedup as ONE ``foreachBatch`` sink (the
+    ``ingest_vetting_sink`` contract): each micro-batch of image
+    payloads is VETTED against the corpus-so-far signature state
+    (:func:`operators.multimodal.image_neardup_incremental` — per-image
+    ``dup_of_state`` / ``dup_in_batch`` / ``keep`` verdicts, stamped
+    with ``batch_id`` and appended to ``report_path``), and only then
+    does the state advance with the batch's own signatures. The FIRST
+    batch bootstraps: no prior state, so every image is vetted against
+    an empty frame (within-batch dups still flagged) — unlike the
+    drift-report sinks there IS a meaningful bootstrap report here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        image_neardup_incremental,
+    )
+
+    advance = image_ahash_state_sink(
+        state_path, payload_col, id_col, codec, grid
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = spark.createDataFrame([], "ahash bigint")
+        image_neardup_incremental(
+            batch_df, state, payload_col, id_col, codec, grid,
+            max_distance=max_distance, bands=bands,
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
 def format_state_sink(
     state_path: str,
     columns: list[str],

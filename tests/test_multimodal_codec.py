@@ -258,3 +258,87 @@ def test_image_neardup_pairs_banding_recall(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
     assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_image_neardup_incremental_and_sink(spark, tmp_path):
+    """Image vet-the-increment semantics: re-ingested images flag
+    dup_of_state, within-batch copies flag dup_in_batch (earliest id
+    keeps), undecodable payloads keep with no match; the vetting sink
+    replays the same verdicts through real Structured Streaming,
+    INCLUDING a bootstrap report (within-batch dups matter on batch 0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        encode_ppm,
+        image_ahash_state,
+        image_neardup_incremental,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        image_dedup_vetting_sink,
+    )
+
+    gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+
+    def img(a, b, invert=False):
+        px = np.stack(
+            [gx * a % 256, gy * b % 256, (gx + gy) * 5], axis=2
+        ).astype(np.uint8)
+        # gradients with positive slopes all aHash alike (same half-plane
+        # bit pattern) — "brand new" images must INVERT the gradient
+        return bytearray(encode_ppm(255 - px if invert else px))
+
+    prior = spark.createDataFrame(
+        [(1, img(11, 3)), (2, img(5, 13))], "doc_id long, payload binary"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, img(11, 3)),   # re-upload of state image 1
+            (11, img(2, 9, invert=True)),    # brand new (inverted)
+            (12, img(2, 9, invert=True)),    # within-batch copy of 11
+            (13, bytearray(b"corrupt")),
+        ],
+        "doc_id long, payload binary",
+    )
+    state = image_ahash_state(prior)
+    out = {
+        r.doc_id: r for r in image_neardup_incremental(batch, state).collect()
+    }
+    assert out[10].dup_of_state and not out[10].keep
+    assert out[11].keep and not out[11].dup_in_batch
+    assert out[12].dup_in_batch and not out[12].keep
+    assert out[13].keep and not out[13].dup_of_state  # undecodable: kept
+
+    # sink: two files -> bootstrap batch reports within-batch dups, the
+    # second batch vets against the first's signatures
+    ingest = tmp_path / "img_ingest"
+    b1 = spark.createDataFrame(
+        [(1, img(11, 3)), (2, img(11, 3))], "doc_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(3, img(11, 3)), (4, img(7, 7, invert=True))], "doc_id long, payload binary"
+    )
+    b1.coalesce(1).write.parquet(str(ingest), mode="append")
+    b2.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p = str(tmp_path / "img_state")
+    report_p = str(tmp_path / "img_report")
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            image_dedup_vetting_sink(state_p, report_p)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = {r.doc_id: r for r in spark.read.parquet(report_p).collect()}
+    assert len(report) == 4  # bootstrap batch reported too
+    # whichever file ran first, the copy pair {1,2} resolves within one
+    # batch (min id keeps) and image 3 dups whatever state held image 1
+    assert report[1].keep and report[2].dup_in_batch and not report[2].keep
+    assert report[3].dup_of_state and not report[3].keep
+    assert report[4].keep
+    # streamed state is one 8-byte row per decodable image
+    assert spark.read.parquet(state_p).count() == 4
