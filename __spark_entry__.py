@@ -1408,6 +1408,97 @@ def _alignment_drift_sql() -> str:
     )
 
 
+def q_alignment_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cross-modal alignment drift (operators.multimodal.
+    alignment_drift_grouped): the curr side's image mix degrades ONLY for
+    even labels (0.9/0.1 → 0.5/0.5), so exactly those label rows must
+    flag — WHICH shard broke, the question the corpus-level verdict
+    leaves open. Weights are independent literals on both sides (never
+    1-w, whose float residue would diverge between engines)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_drift_grouped,
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def side(parity: int, degrade: bool) -> DataFrame:
+        if degrade:
+            ws = F.when(F.col("label") % 2 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.9)
+            )
+            wr = F.when(F.col("label") % 2 == 0, F.lit(0.5)).otherwise(
+                F.lit(0.1)
+            )
+        else:
+            ws, wr = F.lit(0.9), F.lit(0.1)
+        mixed = F.zip_with(
+            F.col("e"), F.reverse(F.col("e")),
+            lambda a, b: ws * a + wr * b,
+        )
+        return emb.filter(f"vec_id % 2 = {parity}").select(
+            "label",
+            F.col("e").alias("text_embedding"),
+            mixed.alias("image_embedding"),
+        )
+
+    out = alignment_drift_grouped(
+        side(0, False), side(1, True), by="label"
+    )
+    return _round_cols(
+        out,
+        [
+            "ref_mean", "curr_mean", "mean_abs_diff",
+            "ref_stddev", "curr_stddev", "stddev_abs_diff",
+        ],
+    )
+
+
+def _alignment_grouped_sql(threshold: float = 0.05) -> str:
+    dim = 64
+    dot = _fold_sql([f"img[{i}] * t[{i}]" for i in range(1, dim + 1)])
+    n_img = _fold_sql([f"img[{i}] * img[{i}]" for i in range(1, dim + 1)])
+    n_txt = _fold_sql([f"t[{i}] * t[{i}]" for i in range(1, dim + 1)])
+    return f"""
+    WITH s AS (
+      SELECT label, vec_id % 2 = 0 AS is_ref,
+        CAST(embedding AS DOUBLE[]) AS t,
+        CASE WHEN vec_id % 2 = 0 THEN 0.9
+             WHEN label % 2 = 0 THEN 0.5 ELSE 0.9 END AS ws,
+        CASE WHEN vec_id % 2 = 0 THEN 0.1
+             WHEN label % 2 = 0 THEN 0.5 ELSE 0.1 END AS wr
+      FROM embeddings),
+    p AS (
+      SELECT label, is_ref, t,
+        list_transform(range(1, {dim + 1}),
+          i -> ws * t[i] + wr * t[{dim + 1} - i]) AS img
+      FROM s),
+    g AS (
+      SELECT label, is_ref,
+        {dot} / (SQRT({n_img}) * SQRT({n_txt})) AS cos
+      FROM p),
+    rp AS (SELECT label, CAST(COUNT(cos) AS BIGINT) AS n,
+             AVG(cos) AS m, STDDEV_SAMP(cos) AS sd
+           FROM g WHERE is_ref GROUP BY 1),
+    cp AS (SELECT label, CAST(COUNT(cos) AS BIGINT) AS n,
+             AVG(cos) AS m, STDDEV_SAMP(cos) AS sd
+           FROM g WHERE NOT is_ref GROUP BY 1)
+    SELECT COALESCE(rp.label, cp.label) AS label,
+      COALESCE(rp.n, 0) AS ref_n,
+      COALESCE(cp.n, 0) AS curr_n,
+      ROUND(rp.m, {ROUND}) AS ref_mean,
+      ROUND(cp.m, {ROUND}) AS curr_mean,
+      ROUND(abs(cp.m - rp.m), {ROUND}) AS mean_abs_diff,
+      ROUND(rp.sd, {ROUND}) AS ref_stddev,
+      ROUND(cp.sd, {ROUND}) AS curr_stddev,
+      ROUND(abs(cp.sd - rp.sd), {ROUND}) AS stddev_abs_diff,
+      COALESCE(ROUND(abs(cp.m - rp.m), 5) > {threshold!r}, TRUE)
+        AS drift_detected
+    FROM rp FULL OUTER JOIN cp
+      ON rp.label IS NOT DISTINCT FROM cp.label"""
+
+
 def q_alignment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal vet-the-increment (operators.multimodal.
     alignment_incremental): the vec_id%3==0 ingest batch of image/text
@@ -8799,6 +8890,7 @@ def _oracle_queries() -> dict[str, str]:
         "alignment_incremental": _alignment_incremental_sql(),
         "image_neardup": _image_neardup_sql(),
         "image_incremental": _image_incremental_sql(),
+        "alignment_grouped": _alignment_grouped_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11057,6 +11149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_incremental": q_alignment_incremental,
         "image_neardup": q_image_neardup,
         "image_incremental": q_image_incremental,
+        # --- r12 additions past the 50-slot window (driver-gated r13;
+        # judge full-run + tools/verify_oracle.py cover them now) ---
+        "alignment_grouped": q_alignment_grouped,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

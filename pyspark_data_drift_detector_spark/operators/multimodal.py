@@ -17,6 +17,14 @@ real and tested. Two codec tiers exist:
   untrustworthy — the ``mapInPandas`` slot they'd fill is the same one
   the PPM/BMP decoders occupy.
 
+Beyond decode/feature plumbing, the module carries the multimodal members
+of the engine's drift and dedup families: cross-modal alignment drift
+(``alignment_drift`` + the ``alignment_state``/``alignment_incremental``
+vet-the-increment pair) and perceptual-hash image dedup (``image_ahash`` →
+``image_neardup_pairs`` banded-Hamming blocking, plus the
+``image_ahash_state``/``image_neardup_incremental`` incremental pair —
+8 bytes of state per ingested image, never the payload).
+
 Scale notes: payload bytes never pass through the driver; feature extraction
 is ``mapInPandas`` (Arrow-batched), so adding real decoders later only
 changes the per-batch Python function, not the plan shape. Batch size is
@@ -501,6 +509,7 @@ def alignment_cosines(
     df: DataFrame,
     left_col: str = "image_embedding",
     right_col: str = "text_embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-pair cross-modal cosine alignment — ONE narrow zip map over
     the paired embedding columns, no shuffle, no Python: ``zip_with``
@@ -511,8 +520,9 @@ def alignment_cosines(
     up in the drift panel's ``null_diff``, which is exactly where a
     "half the pairs lost their image embedding" incident belongs.
 
-    Output: the input row's ``alignment_cosine`` (plus any passthrough
-    columns are dropped — this is the projection the profile consumes).
+    Output: the input row's ``alignment_cosine`` plus any ``keep``
+    passthrough columns (the grouped panel keeps its group key; the
+    ungrouped profile consumes the bare projection).
     """
     lft = F.col(left_col).cast("array<double>")
     rgt = F.col(right_col).cast("array<double>")
@@ -528,7 +538,9 @@ def alignment_cosines(
         lft.isNull() | rgt.isNull() | (denom == 0.0),
         F.lit(None).cast("double"),
     ).otherwise(dot / denom)
-    return df.select(cos.alias("alignment_cosine"))
+    return df.select(
+        *[F.col(c) for c in (keep or [])], cos.alias("alignment_cosine")
+    )
 
 
 def alignment_drift(
@@ -887,4 +899,80 @@ def image_neardup_incremental(
                 F.col("__in_state").isNull() & F.col("__in_batch").isNull()
             ).alias("keep"),
         )
+    )
+
+
+def alignment_drift_grouped(
+    ref: DataFrame,
+    curr: DataFrame,
+    by: str = "source",
+    left_col: str = "image_embedding",
+    right_col: str = "text_embedding",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-GROUP cross-modal alignment drift — WHICH source/label/shard
+    broke, the question the corpus-level :func:`alignment_drift` verdict
+    leaves open (the ``ewma_grouped`` convention: same chart, one row
+    per series). One grouped aggregate per side over the per-pair
+    cosines (map-side partials, O(groups) panel), an eqNullSafe
+    full-outer on the group key (NULL group keys align into ONE row),
+    then the same absolute-mean-diff flag as
+    :func:`alignment_incremental`.
+
+    A group present on only one side reports NULL means and flags
+    ``drift_detected`` — appearing or vanishing wholesale IS an
+    alignment incident. Output per group: ``ref_n, curr_n, ref_mean,
+    curr_mean, mean_abs_diff, ref_stddev, curr_stddev, stddev_abs_diff,
+    drift_detected``.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([by])
+
+    def panel(df: DataFrame, pre: str) -> DataFrame:
+        # the group key is renamed per side BEFORE the join: both panels
+        # share the input lineage when ref/curr are slices of one frame,
+        # and r[by]/c[by] would be ambiguous on that self-join
+        return (
+            alignment_cosines(df, left_col, right_col, keep=[by])
+            .groupBy(by)
+            .agg(
+                F.expr(
+                    f"CAST(count(alignment_cosine) AS BIGINT) AS {pre}_n"
+                ),
+                F.expr(f"avg(alignment_cosine) AS {pre}_mean"),
+                F.expr(f"stddev_samp(alignment_cosine) AS {pre}_stddev"),
+            )
+            .withColumnRenamed(by, f"__gk_{pre}")
+        )
+
+    r, c = panel(ref, "ref"), panel(curr, "curr")
+    joined = r.join(
+        c, F.col("__gk_ref").eqNullSafe(F.col("__gk_curr")), "full_outer"
+    ).select(
+        F.coalesce(F.col("__gk_ref"), F.col("__gk_curr")).alias(by),
+        F.expr("coalesce(ref_n, 0L)").alias("ref_n"),
+        F.expr("coalesce(curr_n, 0L)").alias("curr_n"),
+        "ref_mean",
+        "curr_mean",
+        "ref_stddev",
+        "curr_stddev",
+    )
+    return joined.selectExpr(
+        f"`{by}`",
+        "ref_n",
+        "curr_n",
+        "ref_mean",
+        "curr_mean",
+        "abs(curr_mean - ref_mean) AS mean_abs_diff",
+        "ref_stddev",
+        "curr_stddev",
+        "abs(curr_stddev - ref_stddev) AS stddev_abs_diff",
+    ).selectExpr(
+        "*",
+        # a one-sided group has NULL mean_abs_diff — that IS drift
+        f"coalesce(round(mean_abs_diff, 5) > {float(threshold)!r}D, true)"
+        " AS drift_detected",
     )

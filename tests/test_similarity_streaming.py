@@ -1865,3 +1865,45 @@ def test_alignment_vetting_sink_batch_parity(spark, tmp_path):
     full = merge_profiles(alignment_state(first.union(second))).collect()[0]
     assert merged["n_rows"] == full["n_rows"] == 32
     assert math.isclose(merged["mean"], full["mean"], rel_tol=1e-9)
+
+
+def test_alignment_drift_grouped(spark):
+    """Per-group panel semantics: only the degraded group flags; a group
+    present on one side reports NULL means and still flags (appearing or
+    vanishing wholesale IS drift); NULL group keys align into one row."""
+    import random
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        alignment_drift_grouped,
+    )
+
+    rng = random.Random(59)
+
+    def mk(rows_spec):
+        rows = []
+        for grp, n, w_self in rows_spec:
+            for _ in range(n):
+                t = [rng.gauss(0, 1) for _ in range(8)]
+                img = [w_self * a + (1 - w_self) * b
+                       for a, b in zip(t, reversed(t))]
+                rows.append((grp, t, img))
+        return spark.createDataFrame(
+            rows,
+            "src string, text_embedding array<double>,"
+            " image_embedding array<double>",
+        )
+
+    ref = mk([("a", 20, 0.95), ("b", 20, 0.95), ("gone", 5, 0.95),
+              (None, 5, 0.95)])
+    curr = mk([("a", 12, 0.95), ("b", 12, 0.3), ("new", 5, 0.95),
+               (None, 5, 0.95)])
+    out = {r["src"]: r for r in
+           alignment_drift_grouped(ref, curr, by="src").collect()}
+    assert not out["a"].drift_detected
+    assert out["b"].drift_detected and out["b"].curr_mean < out["b"].ref_mean
+    assert out["gone"].curr_n == 0 and out["gone"].drift_detected
+    assert out["gone"].curr_mean is None
+    assert out["new"].ref_n == 0 and out["new"].drift_detected
+    # NULL group key: one aligned row, both sides populated, quiet
+    nrow = out[None]
+    assert nrow.ref_n == 5 and nrow.curr_n == 5 and not nrow.drift_detected
