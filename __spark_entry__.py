@@ -1638,7 +1638,8 @@ def _image_neardup_sql(max_distance: int = 3) -> str:
       FROM blk JOIN tot USING (doc_id) GROUP BY 1),
     banded AS (
       SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
-      FROM sig CROSS JOIN range(4) r(i))
+      FROM sig CROSS JOIN range(4) r(i)
+      WHERE h <> 0)
     SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
       CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
     FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
@@ -1725,10 +1726,12 @@ def _image_incremental_sql(max_distance: int = 3) -> str:
     {_ahash_chain_sql('b', 'batch_src')},
     pb AS (
       SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
-      FROM sig_b CROSS JOIN range(4) r(i)),
+      FROM sig_b CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
     sb AS (
       SELECT h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
-      FROM sig_p CROSS JOIN range(4) r(i)),
+      FROM sig_p CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
     state_hits AS (
       SELECT DISTINCT b.doc_id FROM pb b JOIN sb s
         ON b.band = s.band AND b.key = s.key

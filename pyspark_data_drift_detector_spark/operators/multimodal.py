@@ -777,15 +777,20 @@ def image_neardup_pairs(
     distance < ``bands``) and verify by exact XOR popcount. The dedup ×
     multimodal bridge: payload bytes never shuffle (the hash is computed
     in the scan partitions), only 8-byte signatures enter the band join;
-    ``max_bucket_size`` guards degenerate buckets (e.g. flat-color
-    images all hashing to 0). Undecodable payloads drop out (NULL hash).
+    ``max_bucket_size`` guards degenerate hot buckets. Undecodable
+    payloads drop out (NULL hash), and so do FLAT images (``ahash = 0``:
+    no block above the mean — solid colors, black frames): they would
+    all land in one bucket at distance 0, an O(n²) blowup on a corpus
+    with many blank thumbnails, and "two flat images are the same" is
+    exact byte dedup's verdict to make, not a perceptual one (the
+    ``fuzzy_pairs`` empty-text rationale).
     """
     from pyspark_data_drift_detector_spark.operators.dedup import (
         hamming_band_pairs,
     )
 
     sig = image_ahash(df, payload_col, id_col, codec, grid).filter(
-        F.col("ahash").isNotNull()
+        F.col("ahash").isNotNull() & (F.col("ahash") != 0)
     )
     return hamming_band_pairs(
         sig, "ahash", "doc_id", max_distance=max_distance, bands=bands,
@@ -838,6 +843,9 @@ def image_neardup_incremental(
     combined first-occurrence ``keep`` decision (ties by smallest id).
     Undecodable batch payloads never match and keep ``keep = true`` —
     route them by ``decode_error`` via :func:`image_ahash` separately.
+    FLAT images (``ahash = 0``) also never match, on both sides — the
+    same O(n²) blank-bucket guard as :func:`image_neardup_pairs`; they
+    stay in the output with ``keep = true``.
     """
     width = (grid * grid) // bands
     mask = (1 << width) - 1
@@ -850,10 +858,12 @@ def image_neardup_incremental(
     from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
     sig = _reuse(sig)
-    b = sig.filter(F.col("ahash").isNotNull()).selectExpr(
+    b = sig.filter(
+        F.col("ahash").isNotNull() & (F.col("ahash") != 0)
+    ).selectExpr(
         "doc_id AS id", "ahash", f"inline(array({band_structs}))"
     )
-    s = state.selectExpr(
+    s = state.filter(F.col("ahash") != 0).selectExpr(
         "ahash AS s_hash",
         f"inline(array({band_structs}))",
     )
