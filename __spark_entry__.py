@@ -1750,6 +1750,133 @@ def _image_incremental_sql(max_distance: int = 3) -> str:
     LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode (operators.multimodal.decode_audio): synthetic
+    RIFF/PCM payloads per document, parsed by the actual chunk-walk
+    parser, reduced to the waveform health panel (duration, rms, peak,
+    zero-cross rate, clip ratio). The sample closed form replays in
+    DuckDB — including the zero-cross count via the closed-form
+    previous sample, no parser needed."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        decode_audio,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    out = decode_audio(attach_synthetic_audio(ids, n_samples=256))
+    return _round_cols(
+        out.select(
+            "doc_id", "n_bytes", "sample_rate", "n_samples",
+            "duration_ms", "rms", "peak", "zero_cross_rate", "clip_ratio",
+        ),
+        ["duration_ms", "rms", "zero_cross_rate", "clip_ratio"],
+    )
+
+
+def _audio_feats_sql(n: int = 256, rate: int = 16000) -> str:
+    # s[i] = ((doc_id*37 + i*11) % 4001) - 2000; the zero-cross count
+    # uses the CLOSED-FORM previous sample (i-1), so no window is needed
+    return f"""
+    WITH sm AS (
+      SELECT d.doc_id, r.i,
+        (d.doc_id * 37 + r.i * 11) % 4001 - 2000 AS s,
+        CASE WHEN r.i > 0
+             THEN (d.doc_id * 37 + (r.i - 1) * 11) % 4001 - 2000 END AS sp
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range({n}) r(i)),
+    agg AS (
+      SELECT doc_id,
+        SUM(s * s) AS ss,
+        MAX(ABS(s)) AS peak,
+        SUM(CASE WHEN sp IS NOT NULL AND sign(s) * sign(sp) < 0
+            THEN 1 ELSE 0 END) AS zc,
+        SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END) AS clip
+      FROM sm GROUP BY 1)
+    SELECT doc_id,
+      CAST({44 + 2 * n} AS BIGINT) AS n_bytes,
+      CAST({rate} AS INT) AS sample_rate,
+      CAST({n} AS BIGINT) AS n_samples,
+      ROUND(1000.0 * {n} / {rate}, {ROUND}) AS duration_ms,
+      ROUND(SQRT(CAST(ss AS DOUBLE) / {n}), {ROUND}) AS rms,
+      CAST(peak AS INT) AS peak,
+      ROUND(CAST(zc AS DOUBLE) / {n - 1}, {ROUND}) AS zero_cross_rate,
+      ROUND(CAST(clip AS DOUBLE) / {n}, {ROUND}) AS clip_ratio
+    FROM agg"""
+
+
+def q_audio_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio drift closed end-to-end (the image_feature_drift twin):
+    even-doc payloads at 256 samples vs odd-doc at 320 (the "resample
+    config changed" incident), decoded features through the SAME
+    weighted numeric-drift scorer — duration drifts hard, waveform
+    statistics shift subtly with the seed parity."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        decode_audio,
+    )
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id")
+    feat_cols = ["duration_ms", "rms", "peak", "zero_cross_rate"]
+
+    def feats(parity: int, n: int) -> DataFrame:
+        payload = attach_synthetic_audio(
+            ids.filter(f"doc_id % 2 = {parity}"), n_samples=n
+        )
+        return decode_audio(payload).selectExpr(
+            "duration_ms",
+            "rms",
+            "CAST(peak AS DOUBLE) AS peak",
+            "zero_cross_rate",
+        )
+
+    drift = numeric_drift_pair(
+        feats(0, 256), feats(1, 320), columns=feat_cols,
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    rounded = [
+        "mean_relative_diff", "median_relative_diff",
+        "std_dev_relative_diff", "iqr_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score",
+    ]
+    return _round_cols(
+        drift.select("column_name", *rounded, "drift_detected"), rounded
+    )
+
+
+def _audio_side_sql(parity: int, n: int, rate: int = 16000) -> str:
+    """FROM-able subquery: one side's per-doc audio features."""
+    return f"""(WITH sm AS (
+      SELECT d.doc_id, r.i,
+        (d.doc_id * 37 + r.i * 11) % 4001 - 2000 AS s,
+        CASE WHEN r.i > 0
+             THEN (d.doc_id * 37 + (r.i - 1) * 11) % 4001 - 2000 END AS sp
+      FROM (SELECT DISTINCT doc_id FROM documents
+            WHERE doc_id % 2 = {parity}) d
+      CROSS JOIN range({n}) r(i))
+    SELECT doc_id,
+      1000.0 * {n} / {rate} AS duration_ms,
+      SQRT(CAST(SUM(s * s) AS DOUBLE) / {n}) AS rms,
+      CAST(MAX(ABS(s)) AS DOUBLE) AS peak,
+      CAST(SUM(CASE WHEN sp IS NOT NULL AND sign(s) * sign(sp) < 0
+               THEN 1 ELSE 0 END) AS DOUBLE) / {n - 1} AS zero_cross_rate
+    FROM sm GROUP BY 1)"""
+
+
+def _audio_feature_drift_sql() -> str:
+    feat_cols = ["duration_ms", "rms", "peak", "zero_cross_rate"]
+    return _numeric_drift_body_sql(
+        _profile_cte(
+            "ref", "TRUE", cols=feat_cols, src=_audio_side_sql(0, 256),
+        ),
+        _profile_cte(
+            "curr", "TRUE", cols=feat_cols, src=_audio_side_sql(1, 320),
+        ),
+    )
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -8894,6 +9021,8 @@ def _oracle_queries() -> dict[str, str]:
         "image_neardup": _image_neardup_sql(),
         "image_incremental": _image_incremental_sql(),
         "alignment_grouped": _alignment_grouped_sql(),
+        "audio_features": _audio_feats_sql(),
+        "audio_feature_drift": _audio_feature_drift_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11155,6 +11284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r12 additions past the 50-slot window (driver-gated r13;
         # judge full-run + tools/verify_oracle.py cover them now) ---
         "alignment_grouped": q_alignment_grouped,
+        "audio_features": q_audio_features,
+        "audio_feature_drift": q_audio_feature_drift,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

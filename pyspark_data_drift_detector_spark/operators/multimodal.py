@@ -10,6 +10,8 @@ real and tested. Two codec tiers exist:
   uncompressed BMP), implemented header-parse + numpy pixel math with no
   external imaging library; corrupt payloads yield a ``decode_error`` row
   instead of failing the job (at 100 TB some payloads WILL be truncated).
+  Audio gets the same treatment: ``decode_audio`` parses mono 16-bit PCM
+  WAV (real RIFF chunk walk) into the waveform health panel.
 * ``codec='stub'`` — deterministic byte-level features for plumbing
   tests/oracles. Compressed formats (JPEG/PNG/video) still raise
   ``NotImplementedError``: their decode libraries (PIL/opencv/ffmpeg) are
@@ -985,4 +987,193 @@ def alignment_drift_grouped(
         # a one-sided group has NULL mean_abs_diff — that IS drift
         f"coalesce(round(mean_abs_diff, 5) > {float(threshold)!r}D, true)"
         " AS drift_detected",
+    )
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("clip_ratio", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a mono 16-bit PCM WAV (RIFF)
+    payload — the audio twin of :func:`encode_ppm`/:func:`encode_bmp`:
+    a REAL container every audio reader accepts, no external library."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim != 1:
+        raise ValueError(f"expected 1-D int16 samples, got shape {arr.shape}")
+    body = arr.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16,
+        b"data", len(body),
+    )
+    return hdr + body
+
+
+def _parse_wav(data: bytes):
+    """Parse a mono 16-bit PCM WAV into ``(sample_rate, int16 array)``.
+
+    Implements the real RIFF chunk walk (``fmt `` anywhere before
+    ``data``, unknown chunks skipped, word-aligned chunk sizes);
+    compressed formats, multi-channel, and non-16-bit depths are
+    rejected explicitly — at 100 TB some payloads WILL be exotic, and a
+    loud error beats silently misread samples."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or len(data) < 44:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"short fmt chunk ({size} bytes)")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", data, pos
+            )
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV format tag {fmt_tag}")
+            if channels != 1:
+                raise ValueError(f"unsupported channel count {channels}")
+            if bits != 16:
+                raise ValueError(f"unsupported bit depth {bits}")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            raw = data[pos : pos + size]
+            if len(raw) < size:
+                raise ValueError(
+                    f"truncated WAV body: {len(raw)} of {size} bytes"
+                )
+            return rate, np.frombuffer(
+                raw[: size - size % 2], dtype="<i2"
+            )
+        pos += size + (size % 2)  # chunks are word-aligned
+    raise ValueError("no WAV data chunk")
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched WAV decode + waveform health features — the audio
+    member of the real-codec tier (PPM/BMP for images, RIFF/PCM here):
+    per payload, ``sample_rate, n_samples, duration_ms, rms, peak,
+    zero_cross_rate, clip_ratio`` — the panel an audio-corpus intake
+    dashboard plots (silent files: rms ~ 0; hot/clipped masters:
+    clip_ratio > 0; codec mishaps: absurd durations). Sum-of-squares
+    runs in exact int64 (int16 samples), so ``rms`` is one float op per
+    file. Corrupt/exotic payloads yield NULL stats + ``decode_error``
+    rows, never a failed job. Same plan contract as
+    :func:`decode_images`: one ``mapInPandas`` in the scan partitions,
+    payload bytes never shuffle.
+    """
+
+    def _decode(iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(data: bytes):
+            rate, s = _parse_wav(data)
+            n = int(s.size)
+            if n == 0:
+                return (rate, 0, 0.0, None, None, None, None, None)
+            s64 = s.astype(np.int64)
+            rms = float(np.sqrt(float((s64 * s64).sum()) / n))
+            peak = int(np.abs(s64).max())
+            signs = np.sign(s64)
+            nz = signs != 0
+            # zero-cross rate over consecutive nonzero-sign samples
+            zc = int(((signs[:-1] * signs[1:]) < 0).sum())
+            zcr = zc / (n - 1) if n > 1 else 0.0
+            clip = float((np.abs(s64) >= 32767).sum() / n)
+            dur = 1000.0 * n / rate
+            return (rate, n, dur, rms, peak, zcr, clip, None)
+
+        for batch in iterator:
+            out = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    rate, n, dur, rms, peak, zcr, clip, err = one(data)
+                except (ValueError, IndexError) as exc:
+                    rate = n = dur = rms = peak = zcr = clip = None
+                    err = str(exc)
+                out.append(
+                    (doc_id, len(data), rate, n, dur, rms, peak, zcr,
+                     clip, err)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_DECODE_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _decode, schema=AUDIO_DECODE_SCHEMA
+    )
+
+
+def attach_synthetic_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+    seed_col: str | None = None,
+) -> DataFrame:
+    """Attach a REAL (decodable) deterministic WAV payload per row —
+    the audio twin of :func:`attach_synthetic_image`. Samples follow
+    the closed form ``s[i] = ((seed*37 + i*11) % 4001) - 2000`` (int16
+    range), so an external oracle recomputes every decoded statistic
+    from the seed alone, without a RIFF parser."""
+
+    def _gen(iterator):
+        import numpy as np
+        import pandas as pd
+
+        i = np.arange(n_samples, dtype=np.int64)
+        sc = seed_col or id_col
+        for batch in iterator:
+            ids = batch[id_col].to_numpy()
+            seeds = batch[sc].to_numpy()
+            payloads = [
+                encode_wav(
+                    (((int(d) * 37 + i * 11) % 4001) - 2000).astype("int16"),
+                    sample_rate,
+                )
+                for d in seeds
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    sc = seed_col or id_col
+    cols = [F.col(id_col)] + ([F.col(sc)] if sc != id_col else [])
+    return df.select(*cols).mapInPandas(
+        _gen,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
     )

@@ -342,3 +342,78 @@ def test_image_neardup_incremental_and_sink(spark, tmp_path):
     assert report[4].keep
     # streamed state is one 8-byte row per decodable image
     assert spark.read.parquet(state_p).count() == 4
+
+
+def test_wav_roundtrip_and_parser_grammar():
+    """encode_wav -> _parse_wav round-trips samples and rate; the chunk
+    walk skips unknown chunks (word-aligned); stereo / 8-bit / float /
+    truncated payloads are rejected loudly, never misread."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        _parse_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    rate, got = _parse_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(got, s)
+
+    # unknown chunk (odd size -> word-aligned skip) before data
+    payload = encode_wav(s, 8000)
+    hdr, body = payload[:36], payload[36:]
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = payload[:12] + junk + payload[12:]
+    rate2, got2 = _parse_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(got2, s)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"nope" * 20)
+    stereo = bytearray(encode_wav(s, 8000))
+    stereo[22] = 2  # channel count field
+    with _pytest.raises(ValueError, match="channel"):
+        _parse_wav(bytes(stereo))
+    eightbit = bytearray(encode_wav(s, 8000))
+    eightbit[34] = 8  # bit-depth field
+    with _pytest.raises(ValueError, match="bit depth"):
+        _parse_wav(bytes(eightbit))
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_wav(encode_wav(s, 8000)[:-4])
+
+
+def test_decode_audio_stats_hand_checked(spark):
+    """Waveform panel values against hand math: rms from the exact
+    int64 sum of squares, zero-cross over consecutive nonzero signs,
+    clip ratio at full-scale samples; corrupt rows surface."""
+    import math
+
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    s1 = np.array([0, 100, -100, 100], dtype=np.int16)
+    s2 = np.array([32767, -32768, 32767, 1], dtype=np.int16)
+    rows = [
+        (1, bytearray(encode_wav(s1, 16000))),
+        (2, bytearray(encode_wav(s2, 8000))),
+        (3, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_audio(df).collect()}
+    r1 = got[1]
+    assert r1.sample_rate == 16000 and r1.n_samples == 4
+    assert math.isclose(r1.rms, math.sqrt((100**2 * 3) / 4))
+    assert r1.peak == 100
+    # signs: 0,+,-,+ -> crossings at (+,-) and (-,+); zero-pairs don't count
+    assert math.isclose(r1.zero_cross_rate, 2 / 3)
+    assert r1.clip_ratio == 0.0
+    r2 = got[2]
+    assert r2.peak == 32768 and math.isclose(r2.clip_ratio, 3 / 4)
+    assert math.isclose(r2.duration_ms, 4000 / 8000)
+    assert got[3].rms is None and got[3].decode_error is not None
