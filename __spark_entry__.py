@@ -1877,6 +1877,73 @@ def _audio_feature_drift_sql() -> str:
     )
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup (operators.multimodal.audio_neardup_pairs):
+    synthetic WAVs for doc_id < 200 plus exact re-uploads (doc_id+4e6
+    re-using the original's sample seed) — energy-profile aHash through
+    the shared banded-Hamming blocking; the integer-exact bit test
+    replays in DuckDB from the closed-form samples, re-uploads land at
+    hamming 0."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        audio_neardup_pairs,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    base = ids.selectExpr("doc_id", "doc_id AS seed")
+    mirrors = ids.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 4000000 AS doc_id", "doc_id AS seed"
+    )
+    wavs = attach_synthetic_audio(
+        base.unionByName(mirrors), n_samples=256, seed_col="seed"
+    )
+    out = audio_neardup_pairs(wavs, grid=64, max_distance=3, bands=4)
+    return out.selectExpr(
+        "id1", "id2", "CAST(hamming AS BIGINT) AS hamming"
+    )
+
+
+def _audio_neardup_sql(max_distance: int = 3) -> str:
+    # n=256 samples, grid 64 -> 4-sample segments (c_j = 4 exactly);
+    # segment j = i * 64 // 256 = i // 4
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id AS seed FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id FROM documents
+      WHERE doc_id < 200 AND doc_id % 5 = 0),
+    sm AS (
+      SELECT s.doc_id,
+        (s.seed * 37 + r.i * 11) % 4001 - 2000 AS v,
+        r.i // 4 AS j
+      FROM src s CROSS JOIN range(256) r(i)),
+    seg AS (
+      SELECT doc_id, j, SUM(v * v) AS e, COUNT(*) AS c
+      FROM sm GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(e) AS e_tot, SUM(c) AS n_tot
+            FROM seg GROUP BY 1),
+    sig AS (
+      -- bit 63 IS the sign bit: DuckDB raises on 1::BIGINT << 63, so it
+      -- contributes the overflow-free two-literal long-min (disjoint
+      -- bits make the signed sum equal the two's-complement pack)
+      SELECT seg.doc_id,
+        CAST(SUM(CASE WHEN e * n_tot <= e_tot * c THEN 0
+                 WHEN j = 63 THEN -9223372036854775807 - 1
+                 ELSE CAST(1 AS BIGINT) << CAST(j AS INT)
+                 END) AS BIGINT) AS h
+      FROM seg JOIN tot USING (doc_id) GROUP BY 1),
+    banded AS (
+      SELECT doc_id, h, r.i AS band,
+        ((h >> (r.i * 16)) & 65535) AS key
+      FROM sig CROSS JOIN range(4) r(i)
+      WHERE h <> 0)
+    SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+      CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+    WHERE a.doc_id < c.doc_id
+      AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9023,6 +9090,7 @@ def _oracle_queries() -> dict[str, str]:
         "alignment_grouped": _alignment_grouped_sql(),
         "audio_features": _audio_feats_sql(),
         "audio_feature_drift": _audio_feature_drift_sql(),
+        "audio_neardup": _audio_neardup_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11286,6 +11354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_grouped": q_alignment_grouped,
         "audio_features": q_audio_features,
         "audio_feature_drift": q_audio_feature_drift,
+        "audio_neardup": q_audio_neardup,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

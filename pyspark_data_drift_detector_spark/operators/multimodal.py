@@ -1177,3 +1177,108 @@ def attach_synthetic_audio(
             ]
         ),
     )
+
+
+AUDIO_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> DataFrame:
+    """Energy-profile fingerprint per audio payload — the waveform twin
+    of :func:`image_ahash`: samples split into ``grid`` equal time
+    segments, bit ``j`` set iff segment ``j``'s energy density exceeds
+    the whole-file energy density. Duration- and volume-scale-robust
+    (the bit test compares DENSITIES cross-multiplied), so a re-encoded
+    or resampled copy of the same recording keeps its energy envelope
+    and lands within a few bits.
+
+    INTEGER-EXACT like the image hash: segment energy is the exact
+    int64 sum of squares of int16 samples and the bit test is
+    ``e_j · n_tot > E_tot · n_j`` — no float mean whose summation order
+    could flip a boundary bit between engines. Same plan shape: one
+    ``mapInPandas``, payload bytes never shuffle; corrupt payloads
+    yield NULL hash + ``decode_error``.
+    """
+    if grid < 1 or grid > 64:
+        raise ValueError(f"grid must be in [1, 64], got {grid}")
+
+    def _hash(iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(data: bytes):
+            _, s = _parse_wav(data)
+            n = int(s.size)
+            if n == 0:
+                return 0, 0, None
+            seg = np.arange(n, dtype=np.int64) * grid // n
+            s64 = s.astype(np.int64)
+            e = np.bincount(seg, weights=s64 * s64, minlength=grid)
+            e = e.astype(np.int64)
+            c = np.bincount(seg, minlength=grid).astype(np.int64)
+            e_tot, n_tot = int(e.sum()), int(c.sum())
+            acc = 0
+            for j in range(grid):
+                if int(e[j]) * n_tot > e_tot * int(c[j]):
+                    acc |= 1 << j
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            return acc, n, None
+
+        for batch in iterator:
+            out = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    row = one(data)
+                except (ValueError, IndexError) as exc:
+                    row = (None, None, str(exc))
+                out.append((doc_id,) + row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_AHASH_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=AUDIO_AHASH_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: :func:`audio_ahash` energy
+    fingerprints through the shared banded-Hamming blocking
+    (``dedup.hamming_band_pairs``) — re-encoded, re-leveled, or
+    resampled copies of a recording collide on ≥1 band and verify by
+    exact XOR popcount. Flat signatures (``ahash = 0``: silence — no
+    segment above the mean energy) are excluded for the same O(n²)
+    blank-bucket reason as flat images and empty texts; silence dedup
+    belongs to exact byte dedup."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sig = audio_ahash(df, payload_col, id_col, grid).filter(
+        F.col("ahash").isNotNull() & (F.col("ahash") != 0)
+    )
+    return hamming_band_pairs(
+        sig, "ahash", "doc_id", max_distance=max_distance, bands=bands,
+        bits=grid, max_bucket_size=max_bucket_size,
+    )

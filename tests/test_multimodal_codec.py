@@ -417,3 +417,49 @@ def test_decode_audio_stats_hand_checked(spark):
     assert r2.peak == 32768 and math.isclose(r2.clip_ratio, 3 / 4)
     assert math.isclose(r2.duration_ms, 4000 / 8000)
     assert got[3].rms is None and got[3].decode_error is not None
+
+
+def test_audio_ahash_and_neardup(spark):
+    """Energy-fingerprint invariants: identical recordings hash equal; a
+    2x-resampled copy (every sample doubled) keeps the hash (density
+    cross-multiply); a re-leveled copy (half volume) keeps the hash
+    (energy RATIOS unchanged); silence is excluded from pairing."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        audio_ahash,
+        audio_neardup_pairs,
+        encode_wav,
+    )
+
+    t = np.arange(256)
+    # a bursty envelope: loud first quarter, quiet rest
+    base = (np.where(t < 64, 8000, 500) * np.sin(t / 3.0)).astype(np.int16)
+    resampled = np.repeat(base, 2)         # 2x duration, same envelope
+    releveled = (base // 2).astype(np.int16)  # -6 dB, same envelope
+    silence = np.zeros(256, dtype=np.int16)
+    rows = [
+        (1, bytearray(encode_wav(base))),
+        (2, bytearray(encode_wav(base))),
+        (3, bytearray(encode_wav(resampled))),
+        (4, bytearray(encode_wav(releveled))),
+        (5, bytearray(encode_wav(silence))),
+        (6, bytearray(encode_wav(silence))),
+        (7, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in audio_ahash(df).collect()}
+    assert got[1].ahash == got[2].ahash != 0
+    assert got[1].ahash == got[3].ahash, "resample must keep the envelope"
+    assert got[1].ahash == got[4].ahash, "re-leveling must keep the hash"
+    assert got[5].ahash == 0  # silence: no segment above mean energy
+    assert got[7].ahash is None and got[7].decode_error is not None
+
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in audio_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(1, 4)] == 0
+    # silence pair excluded (flat-signature guard), corrupt rows drop out
+    assert (5, 6) not in pairs
+    assert not any(7 in p for p in pairs)
