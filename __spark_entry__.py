@@ -1944,6 +1944,71 @@ def _audio_neardup_sql(max_distance: int = 3) -> str:
       AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL y4m video decode (operators.multimodal.decode_video): 8-frame
+    4:2:0 streams per document (every 4th frame carries a +96 luma jump —
+    the scene-cut fixture), parsed by the actual YUV4MPEG2 grammar and
+    reduced to the temporal panel: luma mean, integer-exact scene-cut
+    count, motion proxy. The oracle recomputes every frame's exact luma
+    sum from the closed form — no parser needed."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        decode_video,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 500")
+    vids = attach_synthetic_video(
+        ids, width=16, height=8, n_frames=8, cut_every=4
+    )
+    out = decode_video(vids, cut_threshold=8)
+    return _round_cols(
+        out.select(
+            "doc_id", "n_bytes", "width", "height", "fps", "n_frames",
+            "duration_ms", "luma_mean", "scene_cuts", "motion",
+        ),
+        ["fps", "duration_ms", "luma_mean", "motion"],
+    )
+
+
+def _video_features_sql(
+    w: int = 16, h: int = 8, nf: int = 8, cut_every: int = 4,
+    fps: float = 25.0, thr: int = 8,
+) -> str:
+    npix = w * h
+    # payload size: header (len varies with W/H digits) + per frame
+    # "FRAME\n" + luma + chroma; header text mirrors encode_y4m exactly
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n"
+    frame_bytes = 6 + npix + (w // 2) * (h // 2) * 2
+    n_bytes = len(header) + nf * frame_bytes
+    return f"""
+    WITH fs AS (
+      SELECT d.doc_id, f.f,
+        SUM((d.doc_id * 13 + f.f * 29 + r.i * 3 +
+             CASE WHEN {cut_every} > 0 AND f.f % {cut_every} = 0
+                  THEN 96 ELSE 0 END) % 256) AS s
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500) d
+      CROSS JOIN range({nf}) f(f)
+      CROSS JOIN range({npix}) r(i)
+      GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, f, s,
+        ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+      FROM fs)
+    SELECT doc_id,
+      CAST({n_bytes} AS BIGINT) AS n_bytes,
+      CAST({w} AS INT) AS width,
+      CAST({h} AS INT) AS height,
+      CAST({fps!r} AS DOUBLE) AS fps,
+      CAST({nf} AS BIGINT) AS n_frames,
+      ROUND(1000.0 * {nf} / {fps!r}, {ROUND}) AS duration_ms,
+      ROUND(CAST(SUM(s) AS DOUBLE) / {npix * nf}, {ROUND}) AS luma_mean,
+      CAST(SUM(CASE WHEN d > {thr * npix} THEN 1 ELSE 0 END) AS BIGINT)
+        AS scene_cuts,
+      ROUND(CAST(SUM(COALESCE(d, 0)) AS DOUBLE) / {npix * (nf - 1)},
+            {ROUND}) AS motion
+    FROM dl GROUP BY 1"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9091,6 +9156,7 @@ def _oracle_queries() -> dict[str, str]:
         "audio_features": _audio_feats_sql(),
         "audio_feature_drift": _audio_feature_drift_sql(),
         "audio_neardup": _audio_neardup_sql(),
+        "video_features": _video_features_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11355,6 +11421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_feature_drift": q_audio_feature_drift,
         "audio_neardup": q_audio_neardup,
+        "video_features": q_video_features,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

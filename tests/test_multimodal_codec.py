@@ -463,3 +463,56 @@ def test_audio_ahash_and_neardup(spark):
     # silence pair excluded (flat-signature guard), corrupt rows drop out
     assert (5, 6) not in pairs
     assert not any(7 in p for p in pairs)
+
+
+def test_y4m_roundtrip_and_video_features(spark):
+    """encode_y4m -> _parse_y4m round-trips luma planes and fps; the
+    decode panel's scene-cut count is exact on a hand-built clip (two
+    hard cuts), motion separates static from changing footage; exotic
+    colorspaces and truncated frames are rejected loudly."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        _parse_y4m,
+        decode_video,
+        encode_y4m,
+    )
+
+    static = np.full((4, 8, 16), 60, dtype=np.uint8)
+    w, h, fps, frames = _parse_y4m(encode_y4m(static, 30, 1))
+    assert (w, h, fps) == (16, 8, 30.0) and len(frames) == 4
+    assert all(np.array_equal(f, static[0].ravel()) for f in frames)
+
+    # dark, dark, BRIGHT, BRIGHT, dark -> cuts at 1->2 and 3->4
+    clip = np.stack([
+        np.full((8, 16), 40, dtype=np.uint8),
+        np.full((8, 16), 42, dtype=np.uint8),
+        np.full((8, 16), 200, dtype=np.uint8),
+        np.full((8, 16), 202, dtype=np.uint8),
+        np.full((8, 16), 41, dtype=np.uint8),
+    ])
+    rows = [
+        (1, bytearray(encode_y4m(clip, 25, 1))),
+        (2, bytearray(encode_y4m(static, 30, 1))),
+        (3, bytearray(b"RIFFnope")),
+        (4, bytearray(encode_y4m(clip, 25, 1)[:-10])),  # truncated frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_video(df, cut_threshold=8).collect()}
+    assert got[1].scene_cuts == 2 and got[1].n_frames == 5
+    assert math.isclose(got[1].duration_ms, 5000 / 25)
+    assert got[2].scene_cuts == 0 and got[2].motion == 0.0
+    assert got[1].motion > got[2].motion
+    assert math.isclose(got[2].luma_mean, 60.0)
+    assert got[3].decode_error is not None and got[3].n_frames is None
+    assert "truncated frame" in got[4].decode_error
+
+    with _pytest.raises(ValueError, match="colorspace"):
+        _parse_y4m(
+            encode_y4m(static).replace(b"C420", b"C444")
+        )
+    with _pytest.raises(ValueError, match="even dims"):
+        encode_y4m(np.zeros((1, 3, 5), dtype=np.uint8))
