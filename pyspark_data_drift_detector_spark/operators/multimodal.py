@@ -11,9 +11,11 @@ real and tested. Two codec tiers exist:
   external imaging library; corrupt payloads yield a ``decode_error`` row
   instead of failing the job (at 100 TB some payloads WILL be truncated).
   Audio gets the same treatment: ``decode_audio`` parses mono 16-bit PCM
-  WAV (real RIFF chunk walk) into the waveform health panel.
+  WAV (real RIFF chunk walk) into the waveform health panel; video too:
+  ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0 streams into the temporal
+  panel (scene cuts, motion, exposure).
 * ``codec='stub'`` — deterministic byte-level features for plumbing
-  tests/oracles. Compressed formats (JPEG/PNG/video) still raise
+  tests/oracles. Compressed formats (JPEG/PNG/H.26x) still raise
   ``NotImplementedError``: their decode libraries (PIL/opencv/ffmpeg) are
   not available in this container, and a hand-rolled JPEG would be
   untrustworthy — the ``mapInPandas`` slot they'd fill is the same one
