@@ -2009,6 +2009,87 @@ def _video_features_sql(
     FROM dl GROUP BY 1"""
 
 
+def q_video_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video drift closed end-to-end (the image/audio twin): even-doc
+    clips cut every 4 frames vs odd-doc clips cut every 2 (the "editing
+    style changed" incident — e.g. a new source of fast-cut shorts),
+    decoded temporal features through the SAME weighted numeric-drift
+    scorer; scene_cuts and motion drift hard, exposure shifts subtly."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        decode_video,
+    )
+    from pyspark_data_drift_detector_spark.operators.numeric_drift import (
+        numeric_drift_pair,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 500")
+    feat_cols = ["luma_mean", "scene_cuts", "motion"]
+
+    def feats(parity: int, cut_every: int) -> DataFrame:
+        vids = attach_synthetic_video(
+            ids.filter(f"doc_id % 2 = {parity}"), width=16, height=8,
+            n_frames=8, cut_every=cut_every,
+        )
+        return decode_video(vids, cut_threshold=8).selectExpr(
+            "luma_mean", "CAST(scene_cuts AS DOUBLE) AS scene_cuts",
+            "motion",
+        )
+
+    drift = numeric_drift_pair(
+        feats(0, 4), feats(1, 2), columns=feat_cols,
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    rounded = [
+        "mean_relative_diff", "median_relative_diff",
+        "std_dev_relative_diff", "iqr_relative_diff",
+        "range_relative_diff", "null_diff", "drift_score",
+    ]
+    return _round_cols(
+        drift.select("column_name", *rounded, "drift_detected"), rounded
+    )
+
+
+def _video_side_sql(
+    parity: int, cut_every: int, w: int = 16, h: int = 8, nf: int = 8,
+    thr: int = 8,
+) -> str:
+    """FROM-able subquery: one side's per-doc video temporal features."""
+    npix = w * h
+    return f"""(WITH fs AS (
+      SELECT d.doc_id, f.f,
+        SUM((d.doc_id * 13 + f.f * 29 + r.i * 3 +
+             CASE WHEN f.f % {cut_every} = 0 THEN 96 ELSE 0 END)
+            % 256) AS s
+      FROM (SELECT DISTINCT doc_id FROM documents
+            WHERE doc_id < 500 AND doc_id % 2 = {parity}) d
+      CROSS JOIN range({nf}) f(f)
+      CROSS JOIN range({npix}) r(i)
+      GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, s,
+        ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+      FROM fs)
+    SELECT doc_id,
+      CAST(SUM(s) AS DOUBLE) / {npix * nf} AS luma_mean,
+      CAST(SUM(CASE WHEN d > {thr * npix} THEN 1 ELSE 0 END) AS DOUBLE)
+        AS scene_cuts,
+      CAST(SUM(COALESCE(d, 0)) AS DOUBLE) / {npix * (nf - 1)} AS motion
+    FROM dl GROUP BY 1)"""
+
+
+def _video_feature_drift_sql() -> str:
+    feat_cols = ["luma_mean", "scene_cuts", "motion"]
+    return _numeric_drift_body_sql(
+        _profile_cte(
+            "ref", "TRUE", cols=feat_cols, src=_video_side_sql(0, 4),
+        ),
+        _profile_cte(
+            "curr", "TRUE", cols=feat_cols, src=_video_side_sql(1, 2),
+        ),
+    )
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9157,6 +9238,7 @@ def _oracle_queries() -> dict[str, str]:
         "audio_feature_drift": _audio_feature_drift_sql(),
         "audio_neardup": _audio_neardup_sql(),
         "video_features": _video_features_sql(),
+        "video_feature_drift": _video_feature_drift_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11422,6 +11504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feature_drift": q_audio_feature_drift,
         "audio_neardup": q_audio_neardup,
         "video_features": q_video_features,
+        "video_feature_drift": q_video_feature_drift,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,
