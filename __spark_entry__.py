@@ -2090,6 +2090,109 @@ def _video_feature_drift_sql() -> str:
     )
 
 
+def q_multimodal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal intake flagship (operators.multimodal.
+    multimodal_intake_report): synthetic image/audio/video payloads for
+    doc_id < 500 with every 50th payload corrupted to junk — ONE
+    long-format health panel (volume, decode-error rate, per-modality
+    content stats), every value replayed in DuckDB from the three
+    closed forms."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        multimodal_intake_report,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 500")
+
+    def corrupt(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "payload",
+            F.when(F.col("doc_id") % 50 == 0, F.lit(b"junk")).otherwise(
+                F.col("payload")
+            ),
+        )
+
+    out = multimodal_intake_report(
+        corrupt(attach_synthetic_image(ids, width=8, height=4)),
+        corrupt(attach_synthetic_audio(ids, n_samples=256)),
+        corrupt(attach_synthetic_video(ids, width=16, height=8,
+                                       n_frames=8, cut_every=4)),
+    )
+    return _round_cols(out, ["value"])
+
+
+def _multimodal_report_sql() -> str:
+    # clean = decodable payloads; every 50th doc is corrupted junk
+    base = "SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500"
+    clean = f"{base} AND doc_id % 50 <> 0"
+    counts = f"""
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS errs
+      FROM ({base})"""
+    return f"""
+    WITH cnt AS ({counts}),
+    ipx AS (
+      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+        r.i % 3 AS ch, r.i // 3 AS pix
+      FROM ({clean}) d CROSS JOIN range(96) r(i)),
+    ilp AS (
+      SELECT doc_id, pix,
+        SUM(v * CASE ch WHEN 0 THEN 0.299 WHEN 1 THEN 0.587
+                 ELSE 0.114 END) AS luma
+      FROM ipx GROUP BY 1, 2),
+    idoc AS (SELECT doc_id, AVG(luma) AS lm FROM ilp GROUP BY 1),
+    img AS (SELECT AVG(lm) AS luma_avg FROM idoc),
+    asm AS (
+      SELECT d.doc_id, (d.doc_id * 37 + r.i * 11) % 4001 - 2000 AS s
+      FROM ({clean}) d CROSS JOIN range(256) r(i)),
+    adoc AS (
+      SELECT doc_id, SQRT(CAST(SUM(s * s) AS DOUBLE) / 256) AS rms
+      FROM asm GROUP BY 1),
+    aud AS (SELECT AVG(rms) AS rms_avg FROM adoc),
+    vfs AS (
+      SELECT d.doc_id, f.f,
+        SUM((d.doc_id * 13 + f.f * 29 + r.i * 3 +
+             CASE WHEN f.f % 4 = 0 THEN 96 ELSE 0 END) % 256) AS s
+      FROM ({clean}) d
+      CROSS JOIN range(8) f(f) CROSS JOIN range(128) r(i)
+      GROUP BY 1, 2),
+    vdl AS (
+      SELECT doc_id, s,
+        ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY f)) AS dd
+      FROM vfs),
+    vdoc AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN dd > {8 * 128} THEN 1 ELSE 0 END) AS DOUBLE)
+          AS cuts,
+        CAST(SUM(COALESCE(dd, 0)) AS DOUBLE) / {128 * 7} AS motion
+      FROM vdl GROUP BY 1),
+    vid AS (SELECT AVG(cuts) AS cuts_avg, AVG(motion) AS motion_avg
+            FROM vdoc)
+    SELECT 'image' AS modality, 'n_payloads' AS metric,
+           ROUND(n, {ROUND}) AS value FROM cnt
+    UNION ALL SELECT 'image', 'decode_error_rate', ROUND(errs / n, {ROUND})
+      FROM cnt
+    UNION ALL SELECT 'image', 'luma_mean_avg', ROUND(luma_avg, {ROUND})
+      FROM img
+    UNION ALL SELECT 'image', 'width_avg', CAST(8.0 AS DOUBLE) FROM cnt
+    UNION ALL SELECT 'audio', 'n_payloads', ROUND(n, {ROUND}) FROM cnt
+    UNION ALL SELECT 'audio', 'decode_error_rate', ROUND(errs / n, {ROUND})
+      FROM cnt
+    UNION ALL SELECT 'audio', 'rms_avg', ROUND(rms_avg, {ROUND}) FROM aud
+    UNION ALL SELECT 'audio', 'duration_ms_avg', CAST(16.0 AS DOUBLE)
+      FROM cnt
+    UNION ALL SELECT 'video', 'n_payloads', ROUND(n, {ROUND}) FROM cnt
+    UNION ALL SELECT 'video', 'decode_error_rate', ROUND(errs / n, {ROUND})
+      FROM cnt
+    UNION ALL SELECT 'video', 'scene_cuts_avg', ROUND(cuts_avg, {ROUND})
+      FROM vid
+    UNION ALL SELECT 'video', 'motion_avg', ROUND(motion_avg, {ROUND})
+      FROM vid"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9239,6 +9342,7 @@ def _oracle_queries() -> dict[str, str]:
         "audio_neardup": _audio_neardup_sql(),
         "video_features": _video_features_sql(),
         "video_feature_drift": _video_feature_drift_sql(),
+        "multimodal_report": _multimodal_report_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11505,6 +11609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "video_features": q_video_features,
         "video_feature_drift": q_video_feature_drift,
+        "multimodal_report": q_multimodal_report,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

@@ -1491,3 +1491,66 @@ def attach_synthetic_video(
             ]
         ),
     )
+
+
+def multimodal_intake_report(
+    images: DataFrame,
+    audio: DataFrame,
+    video: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The multimodal intake-health flagship — the modality sibling of
+    ``corpus_report``/``events_report``: ONE long-format frame
+    (``modality, metric, value``) summarizing every payload stream a
+    training-data intake receives. Per modality: volume
+    (``n_payloads``), pipeline health (``decode_error_rate`` — the
+    first number that moves when an upstream transcoder breaks), and
+    the modality's headline content stats (images: exposure + width;
+    audio: level + duration; video: cut rate + motion).
+
+    Plan shape: each modality is ONE ``mapInPandas`` decode in its scan
+    partitions feeding ONE 1-row aggregate (conditional aggs skip
+    failed decodes), unpivoted to the long panel — payload bytes never
+    shuffle, the union is O(metrics) rows. Any input may be empty
+    (rates are ``nullif``-guarded)."""
+
+    def panel(df: DataFrame, modality: str, stats: list[tuple[str, str]]):
+        agg = df.selectExpr(
+            "CAST(count(1) AS BIGINT) AS n",
+            "CAST(sum(CAST(decode_error IS NOT NULL AS BIGINT)) AS BIGINT)"
+            " AS errs",
+            *[f"avg(`{col}`) AS `{name}`" for name, col in stats],
+        )
+        metrics = ", ".join(
+            [
+                "named_struct('metric', 'n_payloads',"
+                " 'value', CAST(n AS DOUBLE))",
+                "named_struct('metric', 'decode_error_rate',"
+                " 'value', errs / nullif(CAST(n AS DOUBLE), 0.0D))",
+            ]
+            + [
+                f"named_struct('metric', '{name}', 'value', `{name}`)"
+                for name, _ in stats
+            ]
+        )
+        return agg.selectExpr(
+            f"'{modality}' AS modality", f"inline(array({metrics}))"
+        )
+
+    img = panel(
+        decode_images(images, payload_col, id_col, codec="auto"),
+        "image",
+        [("luma_mean_avg", "luma_mean"), ("width_avg", "width")],
+    )
+    aud = panel(
+        decode_audio(audio, payload_col, id_col),
+        "audio",
+        [("rms_avg", "rms"), ("duration_ms_avg", "duration_ms")],
+    )
+    vid = panel(
+        decode_video(video, payload_col, id_col),
+        "video",
+        [("scene_cuts_avg", "scene_cuts"), ("motion_avg", "motion")],
+    )
+    return img.unionByName(aud).unionByName(vid)
