@@ -1336,3 +1336,40 @@ def test_image_neardup_plan_contract(spark, sf_dir):
     for seg in p.split("Exchange")[1:]:
         head = seg[:400]
         assert "payload" not in head, "payload bytes crossed an exchange"
+
+
+def test_multimodal_codec_plan_contracts(spark, sf_dir):
+    """Every real-codec decode (audio WAV, video y4m, image aHash) is a
+    pure narrow map — zero shuffles, payload bytes consumed in the scan
+    partitions; the intake flagship adds only 1-row aggregates and an
+    O(metrics) union (payloads never cross an exchange)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        audio_ahash,
+        decode_audio,
+        decode_video,
+        multimodal_intake_report,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    wavs = attach_synthetic_audio(ids, n_samples=64)
+    assert count_shuffles(decode_audio(wavs)) == 0
+    assert count_shuffles(audio_ahash(wavs)) == 0
+    vids = attach_synthetic_video(ids, width=8, height=4, n_frames=3)
+    assert count_shuffles(decode_video(vids)) == 0
+
+    rep = multimodal_intake_report(
+        attach_synthetic_image(ids, width=8, height=4), wavs, vids
+    )
+    # one partial->final exchange per modality's 1-row aggregate
+    assert count_shuffles(rep) <= 3
+    assert not sorted_windows(rep)
+    for seg in formatted_plan(rep).split("Exchange")[1:]:
+        assert "payload" not in seg[:400], "payload bytes crossed an exchange"
