@@ -2193,6 +2193,160 @@ def _multimodal_report_sql() -> str:
       FROM vid"""
 
 
+def q_multimodal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake vet-the-increment (operators.multimodal.
+    multimodal_report_incremental): the doc_id%3==0 batch arrives with
+    EVERY modality misconfigured — images resized 8→12, audio resampled
+    256→320 samples, video re-cut every 4→2 frames — plus every 30th
+    payload corrupted to junk; vetted against the rolled multimodal
+    state of the rest of the corpus (prior payloads never re-read). All
+    three modality rows must flag."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        multimodal_report_incremental,
+        multimodal_state,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 500")
+    prior_ids = ids.filter("doc_id % 3 != 0")
+    batch_ids = ids.filter("doc_id % 3 = 0")
+
+    def corrupt(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "payload",
+            F.when(F.col("doc_id") % 30 == 0, F.lit(b"junk")).otherwise(
+                F.col("payload")
+            ),
+        )
+
+    state = multimodal_state(
+        attach_synthetic_image(prior_ids, width=8, height=4),
+        attach_synthetic_audio(prior_ids, n_samples=256),
+        attach_synthetic_video(prior_ids, width=16, height=8,
+                               n_frames=8, cut_every=4),
+    )
+    out = multimodal_report_incremental(
+        corrupt(attach_synthetic_image(batch_ids, width=12, height=4)),
+        corrupt(attach_synthetic_audio(batch_ids, n_samples=320)),
+        corrupt(attach_synthetic_video(batch_ids, width=16, height=8,
+                                       n_frames=8, cut_every=2)),
+        state,
+    )
+    return _round_cols(
+        out,
+        [
+            "ref_error_rate", "curr_error_rate", "error_rate_diff",
+            "ref_s1_mean", "curr_s1_mean", "s1_rel_diff",
+            "ref_s2_mean", "curr_s2_mean", "s2_rel_diff",
+        ],
+    )
+
+
+def _multimodal_incremental_sql(
+    err_thr: float = 0.02, stat_thr: float = 0.05,
+) -> str:
+    prior = ("SELECT DISTINCT doc_id FROM documents"
+             " WHERE doc_id < 500 AND doc_id % 3 <> 0")
+    batch_all = ("SELECT DISTINCT doc_id FROM documents"
+                 " WHERE doc_id < 500 AND doc_id % 3 = 0")
+    batch_ok = f"{batch_all} AND doc_id % 30 <> 0"
+
+    def image_docs(name: str, src: str, w: int, h: int) -> str:
+        n = w * h * 3
+        return f"""{name}_px AS (
+      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+        r.i % 3 AS ch, r.i // 3 AS pix
+      FROM ({src}) d CROSS JOIN range({n}) r(i)),
+    {name}_lp AS (
+      SELECT doc_id, pix, SUM(v * CASE ch WHEN 0 THEN 0.299
+        WHEN 1 THEN 0.587 ELSE 0.114 END) AS luma
+      FROM {name}_px GROUP BY 1, 2),
+    {name} AS (
+      SELECT doc_id, AVG(luma) AS s1, CAST({w} AS DOUBLE) AS s2
+      FROM {name}_lp GROUP BY 1)"""
+
+    def audio_docs(name: str, src: str, n: int, rate: int = 16000) -> str:
+        return f"""{name} AS (
+      SELECT d.doc_id,
+        SQRT(CAST(SUM(((d.doc_id * 37 + r.i * 11) % 4001 - 2000) *
+                      ((d.doc_id * 37 + r.i * 11) % 4001 - 2000))
+             AS DOUBLE) / {n}) AS s1,
+        CAST(1000.0 * {n} / {rate} AS DOUBLE) AS s2
+      FROM ({src}) d CROSS JOIN range({n}) r(i) GROUP BY 1)"""
+
+    def video_docs(name: str, src: str, ce: int, npix: int = 128,
+                   nf: int = 8, thr: int = 8) -> str:
+        return f"""{name}_fs AS (
+      SELECT d.doc_id, f.f,
+        SUM((d.doc_id * 13 + f.f * 29 + r.i * 3 +
+             CASE WHEN f.f % {ce} = 0 THEN 96 ELSE 0 END) % 256) AS s
+      FROM ({src}) d CROSS JOIN range({nf}) f(f)
+      CROSS JOIN range({npix}) r(i) GROUP BY 1, 2),
+    {name}_dl AS (
+      SELECT doc_id, ABS(s - LAG(s) OVER (PARTITION BY doc_id
+        ORDER BY f)) AS dd
+      FROM {name}_fs),
+    {name} AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN dd > {thr * npix} THEN 1 ELSE 0 END)
+             AS DOUBLE) AS s1,
+        CAST(SUM(COALESCE(dd, 0)) AS DOUBLE) / {npix * (nf - 1)} AS s2
+      FROM {name}_dl GROUP BY 1)"""
+
+    rel = (
+        "CASE WHEN {r} = 0 THEN (CASE WHEN {c} <> 0 THEN 1.0 ELSE 0.0 END)"
+        " ELSE ({c} - {r}) / ABS({r}) END"
+    )
+    row = f"""
+      SELECT '{{m}}' AS modality,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ({prior})) AS ref_n,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ({batch_all})) AS curr_n,
+        CAST(0.0 AS DOUBLE) AS ref_error_rate,
+        (SELECT COUNT(*) FROM ({batch_all}) WHERE doc_id % 30 = 0)
+          / CAST((SELECT COUNT(*) FROM ({batch_all})) AS DOUBLE)
+          AS curr_error_rate,
+        (SELECT AVG(s1) FROM {{rn}}) AS ref_s1_mean,
+        (SELECT AVG(s1) FROM {{cn}}) AS curr_s1_mean,
+        (SELECT AVG(s2) FROM {{rn}}) AS ref_s2_mean,
+        (SELECT AVG(s2) FROM {{cn}}) AS curr_s2_mean"""
+    body = " UNION ALL ".join(
+        row.format(m=m, rn=f"{m[:2]}_ref", cn=f"{m[:2]}_cur")
+        for m in ("image", "audio", "video")
+    )
+    return f"""
+    WITH {image_docs('im_ref', prior, 8, 4)},
+    {image_docs('im_cur', batch_ok, 12, 4)},
+    {audio_docs('au_ref', prior, 256)},
+    {audio_docs('au_cur', batch_ok, 320)},
+    {video_docs('vi_ref', prior, 4)},
+    {video_docs('vi_cur', batch_ok, 2)},
+    panel AS ({body}),
+    diffed AS (
+      SELECT *,
+        curr_error_rate - ref_error_rate AS error_rate_diff,
+        {rel.format(r='ref_s1_mean', c='curr_s1_mean')} AS s1_rel_diff,
+        {rel.format(r='ref_s2_mean', c='curr_s2_mean')} AS s2_rel_diff
+      FROM panel)
+    SELECT modality, ref_n, curr_n,
+      ROUND(ref_error_rate, {ROUND}) AS ref_error_rate,
+      ROUND(curr_error_rate, {ROUND}) AS curr_error_rate,
+      ROUND(ref_s1_mean, {ROUND}) AS ref_s1_mean,
+      ROUND(curr_s1_mean, {ROUND}) AS curr_s1_mean,
+      ROUND(ref_s2_mean, {ROUND}) AS ref_s2_mean,
+      ROUND(curr_s2_mean, {ROUND}) AS curr_s2_mean,
+      ROUND(error_rate_diff, {ROUND}) AS error_rate_diff,
+      ROUND(s1_rel_diff, {ROUND}) AS s1_rel_diff,
+      ROUND(s2_rel_diff, {ROUND}) AS s2_rel_diff,
+      ROUND(ABS(error_rate_diff), 5) > {err_thr!r}
+        OR COALESCE(ROUND(ABS(s1_rel_diff), 5) > {stat_thr!r},
+                    ref_n = 0 OR curr_n = 0)
+        OR COALESCE(ROUND(ABS(s2_rel_diff), 5) > {stat_thr!r}, FALSE)
+        AS drift_detected
+    FROM diffed"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9343,6 +9497,7 @@ def _oracle_queries() -> dict[str, str]:
         "video_features": _video_features_sql(),
         "video_feature_drift": _video_feature_drift_sql(),
         "multimodal_report": _multimodal_report_sql(),
+        "multimodal_incremental": _multimodal_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11610,6 +11765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "video_feature_drift": q_video_feature_drift,
         "multimodal_report": q_multimodal_report,
+        "multimodal_incremental": q_multimodal_incremental,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

@@ -1554,3 +1554,138 @@ def multimodal_intake_report(
         [("scene_cuts_avg", "scene_cuts"), ("motion_avg", "motion")],
     )
     return img.unionByName(aud).unionByName(vid)
+
+
+def multimodal_state(
+    images: DataFrame,
+    audio: DataFrame,
+    video: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Additive intake-health state for one multimodal ingest batch —
+    the state twin of :func:`multimodal_intake_report`: one row per
+    modality with ``n, errs`` (decode failures) and the modality's two
+    headline stat masses (``s1_sum, s2_sum`` — the per-payload stats
+    summed over decodable payloads, with ``stat_n`` the count they
+    cover). Every column is additive, so parquet appends roll the
+    corpus-so-far intake health forward; image s1/s2 = luma_mean/width,
+    audio = rms/duration_ms, video = scene_cuts/motion (the
+    :func:`multimodal_intake_report` panel's stats, as sums)."""
+
+    def panel(df: DataFrame, modality: str, s1: str, s2: str) -> DataFrame:
+        return df.selectExpr(
+            f"'{modality}' AS modality",
+            "CAST(count(1) AS BIGINT) AS n",
+            "CAST(sum(CAST(decode_error IS NOT NULL AS BIGINT)) AS BIGINT)"
+            " AS errs",
+            f"CAST(count(`{s1}`) AS BIGINT) AS stat_n",
+            f"sum(CAST(`{s1}` AS DOUBLE)) AS s1_sum",
+            f"sum(CAST(`{s2}` AS DOUBLE)) AS s2_sum",
+        )
+
+    return (
+        panel(
+            decode_images(images, payload_col, id_col, codec="auto"),
+            "image", "luma_mean", "width",
+        )
+        .unionByName(
+            panel(decode_audio(audio, payload_col, id_col),
+                  "audio", "rms", "duration_ms")
+        )
+        .unionByName(
+            panel(decode_video(video, payload_col, id_col),
+                  "video", "scene_cuts", "motion")
+        )
+    )
+
+
+def multimodal_report_incremental(
+    new_images: DataFrame,
+    new_audio: DataFrame,
+    new_video: DataFrame,
+    state: DataFrame,
+    error_rate_threshold: float = 0.02,
+    stat_threshold: float = 0.05,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Does THIS multimodal ingest batch look like the corpus so far?
+    The intake flagship's vet-the-increment member (the
+    ``corpus_report_incremental`` shape): the batch's per-modality
+    decode panel compares against the rolled-up :func:`multimodal_state`
+    — prior payloads never re-read. Two tripwires per modality:
+
+    - ``error_rate_diff`` (flag at ``error_rate_threshold``): the first
+      number that moves when an upstream transcoder breaks — decode
+      failures are cheap to count and modality-specific;
+    - ``s1/s2_rel_diff`` (flag at ``stat_threshold``, relative): content
+      stats moving — resolution changed, audio re-leveled, cut rate
+      jumped.
+
+    Output: one row per modality with ref/curr rates and stat means,
+    diffs, and ``drift_detected``. Raises on an empty state; a modality
+    absent from the state (new pipeline) flags. O(modality) panels
+    end to end."""
+    prior = state.groupBy("modality").agg(
+        F.expr("CAST(sum(n) AS BIGINT) AS ref_n"),
+        F.expr("CAST(sum(errs) AS BIGINT) AS ref_errs"),
+        F.expr("CAST(sum(stat_n) AS BIGINT) AS ref_stat_n"),
+        F.expr("sum(s1_sum) AS ref_s1"),
+        F.expr("sum(s2_sum) AS ref_s2"),
+    )
+    if prior.isEmpty():
+        raise ValueError(
+            "multimodal state is empty — append at least one batch of"
+            " multimodal_state before vetting an increment against it"
+        )
+    batch = multimodal_state(
+        new_images, new_audio, new_video, payload_col, id_col
+    ).selectExpr(
+        "modality",
+        "n AS curr_n",
+        "errs AS curr_errs",
+        "stat_n AS curr_stat_n",
+        "s1_sum AS curr_s1",
+        "s2_sum AS curr_s2",
+    )
+    rel = (
+        "CASE WHEN {r} IS NULL OR {c} IS NULL THEN CAST(NULL AS DOUBLE)"
+        " WHEN {r} = 0 THEN CASE WHEN {c} <> 0 THEN 1.0D ELSE 0.0D END"
+        " ELSE ({c} - {r}) / abs({r}) END"
+    )
+    out = (
+        prior.join(batch, "modality", "full_outer")
+        .selectExpr(
+            "modality",
+            "coalesce(ref_n, 0L) AS ref_n",
+            "coalesce(curr_n, 0L) AS curr_n",
+            "coalesce(ref_errs, 0L) / nullif(CAST(coalesce(ref_n, 0L)"
+            " AS DOUBLE), 0.0D) AS ref_error_rate",
+            "coalesce(curr_errs, 0L) / nullif(CAST(coalesce(curr_n, 0L)"
+            " AS DOUBLE), 0.0D) AS curr_error_rate",
+            "ref_s1 / nullif(CAST(ref_stat_n AS DOUBLE), 0.0D) AS ref_s1_mean",
+            "curr_s1 / nullif(CAST(curr_stat_n AS DOUBLE), 0.0D)"
+            " AS curr_s1_mean",
+            "ref_s2 / nullif(CAST(ref_stat_n AS DOUBLE), 0.0D) AS ref_s2_mean",
+            "curr_s2 / nullif(CAST(curr_stat_n AS DOUBLE), 0.0D)"
+            " AS curr_s2_mean",
+        )
+        .selectExpr(
+            "*",
+            "coalesce(curr_error_rate, 0.0D) - coalesce(ref_error_rate,"
+            " 0.0D) AS error_rate_diff",
+            rel.format(r="ref_s1_mean", c="curr_s1_mean") + " AS s1_rel_diff",
+            rel.format(r="ref_s2_mean", c="curr_s2_mean") + " AS s2_rel_diff",
+        )
+    )
+    return out.selectExpr(
+        "*",
+        # a modality on only one side (ref_n or curr_n = 0) always flags
+        f"round(abs(error_rate_diff), 5) > {float(error_rate_threshold)!r}D"
+        f" OR coalesce(round(abs(s1_rel_diff), 5) >"
+        f" {float(stat_threshold)!r}D, ref_n = 0 OR curr_n = 0)"
+        f" OR coalesce(round(abs(s2_rel_diff), 5) >"
+        f" {float(stat_threshold)!r}D, false)"
+        " AS drift_detected",
+    )

@@ -609,6 +609,61 @@ def image_dedup_vetting_sink(
     return write_batch
 
 
+def multimodal_vetting_sink(
+    state_path: str,
+    report_path: str,
+    error_rate_threshold: float = 0.02,
+    stat_threshold: float = 0.05,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    modality_col: str = "modality",
+) -> Callable[[DataFrame, int], None]:
+    """The multimodal intake automation as ONE ``foreachBatch`` sink
+    (the ``ingest_vetting_sink`` contract) over a MIXED payload stream:
+    each micro-batch carries a ``modality_col`` ('image'/'audio'/
+    'video') routing every payload to its decoder, is VETTED against
+    the corpus-so-far intake state
+    (:func:`operators.multimodal.multimodal_report_incremental`, stamped
+    with ``batch_id``), and only then does the state advance. The FIRST
+    batch (state missing or massless) bootstraps silently."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        multimodal_report_incremental,
+        multimodal_state,
+    )
+
+    def split(batch_df: DataFrame):
+        return (
+            batch_df.filter(F.col(modality_col) == "image"),
+            batch_df.filter(F.col(modality_col) == "audio"),
+            batch_df.filter(F.col(modality_col) == "video"),
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        img, aud, vid = split(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = None
+        if state is not None and not state.filter("n > 0").isEmpty():
+            multimodal_report_incremental(
+                img, aud, vid, state,
+                error_rate_threshold=error_rate_threshold,
+                stat_threshold=stat_threshold,
+                payload_col=payload_col, id_col=id_col,
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(report_path)
+        multimodal_state(
+            img, aud, vid, payload_col, id_col
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
 def format_state_sink(
     state_path: str,
     columns: list[str],

@@ -516,3 +516,115 @@ def test_y4m_roundtrip_and_video_features(spark):
         )
     with _pytest.raises(ValueError, match="even dims"):
         encode_y4m(np.zeros((1, 3, 5), dtype=np.uint8))
+
+
+def test_multimodal_state_and_vetting_sink(spark, tmp_path):
+    """Intake increment semantics: a misconfigured batch (resized
+    images, corrupt payloads) flags against the rolled state; additive
+    appends == one-shot; the mixed-stream vetting sink replays the
+    verdicts through real Structured Streaming with a silent bootstrap."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        multimodal_report_incremental,
+        multimodal_state,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        multimodal_vetting_sink,
+    )
+
+    ids = spark.range(0, 30).selectExpr("id AS doc_id")
+    mk = lambda src, w: attach_synthetic_image(src, width=w, height=4)
+    # >=1024 samples: the modular sample ramp wraps ~3x, so per-doc rms is
+    # stable across id ranges (at 64 samples it is a position-dependent
+    # ramp segment and any two id ranges "drift" spuriously)
+    au = lambda src, n: attach_synthetic_audio(src, n_samples=n)
+    vi = lambda src, ce: attach_synthetic_video(
+        src, width=8, height=4, n_frames=4, cut_every=ce
+    )
+    state = multimodal_state(mk(ids, 8), au(ids, 1024), vi(ids, 2))
+    batch_ids = spark.range(100, 112).selectExpr("id AS doc_id")
+
+    # same configs -> quiet everywhere
+    quiet = multimodal_report_incremental(
+        mk(batch_ids, 8), au(batch_ids, 1024), vi(batch_ids, 2), state
+    ).collect()
+    assert all(not r.drift_detected for r in quiet)
+
+    # resized images + corrupt audio payloads -> image and audio flag
+    bad_audio = au(batch_ids, 1024).withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(b"junk")).otherwise(
+            F.col("payload")
+        ),
+    )
+    loud = {
+        r.modality: r
+        for r in multimodal_report_incremental(
+            mk(batch_ids, 12), bad_audio, vi(batch_ids, 2), state
+        ).collect()
+    }
+    assert loud["image"].drift_detected and loud["image"].s2_rel_diff == 0.5
+    assert loud["audio"].drift_detected
+    assert math.isclose(loud["audio"].curr_error_rate, 0.5)
+    assert not loud["video"].drift_detected
+
+    # additive appends == one-shot
+    h1, h2 = ids.filter("doc_id < 15"), ids.filter("doc_id >= 15")
+    for h in (h1, h2):
+        multimodal_state(mk(h, 8), au(h, 1024), vi(h, 2)).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "mm_state"))
+    appended = spark.read.parquet(str(tmp_path / "mm_state"))
+    a = {r.modality: r for r in multimodal_report_incremental(
+        mk(batch_ids, 12), bad_audio, vi(batch_ids, 2), appended
+    ).collect()}
+    for m, r in loud.items():
+        assert a[m].drift_detected == r.drift_detected
+        assert math.isclose(a[m].ref_s1_mean, r.ref_s1_mean, rel_tol=1e-9)
+
+    # mixed-stream sink: modality column routes payloads
+    mixed1 = (
+        mk(ids, 8).withColumn("modality", F.lit("image"))
+        .unionByName(au(ids, 1024).withColumn("modality", F.lit("audio")))
+        .unionByName(vi(ids, 2).withColumn("modality", F.lit("video")))
+    )
+    mixed2 = (
+        mk(batch_ids, 12).withColumn("modality", F.lit("image"))
+        .unionByName(
+            au(batch_ids, 1024).withColumn("modality", F.lit("audio")))
+        .unionByName(
+            vi(batch_ids, 2).withColumn("modality", F.lit("video")))
+    )
+    ingest = tmp_path / "mm_ingest"
+    mixed1.coalesce(1).write.parquet(str(ingest), mode="append")
+    mixed2.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p, report_p = str(tmp_path / "mm_s2"), str(tmp_path / "mm_rep")
+    q = (
+        spark.readStream.schema(mixed1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            multimodal_vetting_sink(state_p, report_p)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = spark.read.parquet(report_p)
+    assert report.select("batch_id").distinct().count() == 1
+    # whichever file was batch 0, the vetted batch has 3 modality rows
+    assert report.count() == 3
+    # streamed state rolls to 42 payloads per modality (30 + 12)
+    merged = (
+        spark.read.parquet(state_p).groupBy("modality")
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS n"))
+    )
+    assert {r.modality: r.n for r in merged.collect()} == {
+        "image": 42, "audio": 42, "video": 42,
+    }
