@@ -2347,6 +2347,104 @@ def _multimodal_incremental_sql(
     FROM diffed"""
 
 
+def q_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio member of the vet-the-increment family (operators.multimodal.
+    audio_neardup_incremental): the doc_id%3==0 ingest batch of WAVs —
+    plus re-uploads of PRIOR-corpus recordings (doc_id+4e6 re-using the
+    successor's sample seed) — blocked against the prior corpus's 8-byte
+    energy-fingerprint state; re-uploads must flag dup_of_state, prior
+    waveforms never re-read."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        audio_ahash_state,
+        audio_neardup_incremental,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    prior = ids.filter("doc_id % 3 != 0").selectExpr("doc_id", "doc_id AS seed")
+    batch_base = ids.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id", "doc_id AS seed"
+    )
+    succ = ids.selectExpr("doc_id - 1 AS doc_id")
+    mirrors = (
+        ids.filter("doc_id % 3 = 0")
+        .join(succ, "doc_id", "left_semi")
+        .selectExpr("doc_id + 4000000 AS doc_id", "doc_id + 1 AS seed")
+    )
+    mk = lambda src: attach_synthetic_audio(src, n_samples=256, seed_col="seed")
+    state = audio_ahash_state(mk(prior))
+    return audio_neardup_incremental(
+        mk(batch_base.unionByName(mirrors)), state,
+        grid=64, max_distance=3, bands=4,
+    )
+
+
+def _audio_sig_chain_sql(prefix: str, src: str) -> str:
+    """CTE chain computing the integer-exact audio energy fingerprint
+    for every (doc_id, seed) row of ``src`` — ends in
+    ``sig_{prefix}(doc_id, h)``; same closed form as _audio_neardup_sql
+    (n=256, grid 64, sign-bit packed via the two-literal long-min)."""
+    p = prefix
+    return f"""sm_{p} AS (
+      SELECT s.doc_id,
+        (s.seed * 37 + r.i * 11) % 4001 - 2000 AS v,
+        r.i // 4 AS j
+      FROM {src} s CROSS JOIN range(256) r(i)),
+    seg_{p} AS (
+      SELECT doc_id, j, SUM(v * v) AS e, COUNT(*) AS c
+      FROM sm_{p} GROUP BY 1, 2),
+    tot_{p} AS (SELECT doc_id, SUM(e) AS e_tot, SUM(c) AS n_tot
+                FROM seg_{p} GROUP BY 1),
+    sig_{p} AS (
+      SELECT seg_{p}.doc_id,
+        CAST(SUM(CASE WHEN e * n_tot <= e_tot * c THEN 0
+                 WHEN j = 63 THEN -9223372036854775807 - 1
+                 ELSE CAST(1 AS BIGINT) << CAST(j AS INT)
+                 END) AS BIGINT) AS h
+      FROM seg_{p} JOIN tot_{p} USING (doc_id) GROUP BY 1)"""
+
+
+def _audio_incremental_sql(max_distance: int = 3) -> str:
+    return f"""
+    WITH prior_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 <> 0),
+    batch_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT d.doc_id + 4000000, d.doc_id + 1 FROM documents d
+      WHERE d.doc_id < 200 AND d.doc_id % 3 = 0
+        AND EXISTS (SELECT 1 FROM documents e
+                    WHERE e.doc_id = d.doc_id + 1 AND e.doc_id < 200)),
+    {_audio_sig_chain_sql('p', 'prior_src')},
+    {_audio_sig_chain_sql('b', 'batch_src')},
+    pb AS (
+      SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_b CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
+    sb AS (
+      SELECT h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_p CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
+    state_hits AS (
+      SELECT DISTINCT b.doc_id FROM pb b JOIN sb s
+        ON b.band = s.band AND b.key = s.key
+      WHERE bit_count(xor(b.h, s.h)) <= {max_distance}),
+    batch_hits AS (
+      SELECT DISTINCT c.doc_id FROM pb c JOIN pb e
+        ON c.band = e.band AND c.key = e.key
+      WHERE e.doc_id < c.doc_id
+        AND bit_count(xor(c.h, e.h)) <= {max_distance})
+    SELECT b.doc_id,
+      s.doc_id IS NOT NULL AS dup_of_state,
+      h.doc_id IS NOT NULL AS dup_in_batch,
+      s.doc_id IS NULL AND h.doc_id IS NULL AS keep
+    FROM sig_b b
+    LEFT JOIN state_hits s ON s.doc_id = b.doc_id
+    LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9498,6 +9596,7 @@ def _oracle_queries() -> dict[str, str]:
         "video_feature_drift": _video_feature_drift_sql(),
         "multimodal_report": _multimodal_report_sql(),
         "multimodal_incremental": _multimodal_incremental_sql(),
+        "audio_incremental": _audio_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11766,6 +11865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_feature_drift": q_video_feature_drift,
         "multimodal_report": q_multimodal_report,
         "multimodal_incremental": q_multimodal_incremental,
+        "audio_incremental": q_audio_incremental,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,

@@ -746,6 +746,97 @@ def hamming_band_pairs(
     )
 
 
+def hamming_dedup_incremental(
+    batch_sig: DataFrame,
+    state_sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_distance: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Signature-level vet-the-increment core shared by the perceptual
+    dedup families (``multimodal.image_neardup_incremental`` /
+    ``audio_neardup_incremental``): which batch signatures are within
+    ``max_distance`` of the already-ingested state (``dup_of_state``)
+    or of an earlier-id signature in THIS batch (``dup_in_batch``)?
+    Candidates come from the banded-Hamming pigeonhole on both sides
+    (``hamming_band_pairs`` blocking), verified by exact XOR popcount;
+    ``max_bucket_size`` drops hot bands on BOTH sides. NULL batch
+    signatures (undecodable payloads) never match and keep
+    ``keep = true``; callers exclude degenerate all-zero signatures
+    before the call (their documented flat-input guard).
+
+    ``batch_sig``: ``(id_col, sig_col)`` rows; ``state_sig``: appended
+    state rows with ``sig_col``. Output: one row per batch id with
+    ``dup_of_state, dup_in_batch, keep`` (ties by smallest id).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = ", ".join(
+        f"named_struct('band', {b},"
+        f" 'key', shiftrightunsigned(`{sig_col}`, {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    sig = _reuse(batch_sig.selectExpr(f"`{id_col}` AS id", f"`{sig_col}` AS __h"))
+    b = sig.filter(F.col("__h").isNotNull()).selectExpr(
+        "id",
+        "__h",
+        "inline(array(" + band_structs.replace(f"`{sig_col}`", "__h") + "))",
+    )
+    # band keys reference the ORIGINAL column: referencing the __sh alias
+    # from the same projection is a lateral-alias-in-generator, which
+    # Spark rejects
+    s = state_sig.selectExpr(
+        f"`{sig_col}` AS __sh",
+        f"inline(array({band_structs}))",
+    )
+    if max_bucket_size is not None:
+        b_small = (
+            b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
+        )
+        s_small = (
+            s.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
+        )
+        b = b.join(b_small, ["band", "key"], "left_semi")
+        s = s.join(s_small, ["band", "key"], "left_semi")
+    b = _reuse(b)
+    state_hits = (
+        b.join(s, ["band", "key"])
+        .filter(F.bit_count(F.col("__h").bitwiseXOR(F.col("__sh"))) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_state", F.lit(True))
+    )
+    earlier = b.select(
+        F.col("id").alias("__eid"), F.col("__h").alias("__eh"), "band", "key"
+    )
+    batch_hits = (
+        b.join(earlier, ["band", "key"])
+        .filter(F.col("__eid") < F.col("id"))
+        .filter(F.bit_count(F.col("__h").bitwiseXOR(F.col("__eh"))) <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        sig.select("id")
+        .join(state_hits, "id", "left")
+        .join(batch_hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__in_state", F.lit(False)).alias("dup_of_state"),
+            F.coalesce("__in_batch", F.lit(False)).alias("dup_in_batch"),
+            (
+                F.col("__in_state").isNull() & F.col("__in_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

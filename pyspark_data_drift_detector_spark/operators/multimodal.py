@@ -851,68 +851,22 @@ def image_neardup_incremental(
     same O(n²) blank-bucket guard as :func:`image_neardup_pairs`; they
     stay in the output with ``keep = true``.
     """
-    width = (grid * grid) // bands
-    mask = (1 << width) - 1
-    band_structs = ", ".join(
-        f"named_struct('band', {b},"
-        f" 'key', shiftrightunsigned(ahash, {b * width}) & {mask})"
-        for b in range(bands)
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_dedup_incremental,
     )
-    sig = image_ahash(new_imgs, payload_col, id_col, codec, grid)
-    from pyspark_data_drift_detector_spark.operators.dedup import _reuse
 
-    sig = _reuse(sig)
-    b = sig.filter(
-        F.col("ahash").isNotNull() & (F.col("ahash") != 0)
-    ).selectExpr(
-        "doc_id AS id", "ahash", f"inline(array({band_structs}))"
+    sig = image_ahash(new_imgs, payload_col, id_col, codec, grid).selectExpr(
+        "doc_id",
+        # flat hashes (0) become NULL: the shared core treats NULL as
+        # never-matching, keep=true — exactly the flat-image guard
+        "CASE WHEN ahash = 0 THEN CAST(NULL AS BIGINT) ELSE ahash END"
+        " AS sig",
     )
-    s = state.filter(F.col("ahash") != 0).selectExpr(
-        "ahash AS s_hash",
-        f"inline(array({band_structs}))",
-    )
-    if max_bucket_size is not None:
-        b_small = (
-            b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
-        )
-        s_small = (
-            s.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size).select("band", "key")
-        )
-        b = b.join(b_small, ["band", "key"], "left_semi")
-        s = s.join(s_small, ["band", "key"], "left_semi")
-    b = _reuse(b)
-    state_hits = (
-        b.join(s, ["band", "key"])
-        .filter(F.bit_count(F.col("ahash").bitwiseXOR(F.col("s_hash"))) <= max_distance)
-        .select("id")
-        .distinct()
-        .withColumn("__in_state", F.lit(True))
-    )
-    earlier = b.select(
-        F.col("id").alias("__eid"), F.col("ahash").alias("__eh"), "band", "key"
-    )
-    batch_hits = (
-        b.join(earlier, ["band", "key"])
-        .filter(F.col("__eid") < F.col("id"))
-        .filter(F.bit_count(F.col("ahash").bitwiseXOR(F.col("__eh"))) <= max_distance)
-        .select("id")
-        .distinct()
-        .withColumn("__in_batch", F.lit(True))
-    )
-    return (
-        sig.selectExpr("doc_id AS id")
-        .join(state_hits, "id", "left")
-        .join(batch_hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("__in_state", F.lit(False)).alias("dup_of_state"),
-            F.coalesce("__in_batch", F.lit(False)).alias("dup_in_batch"),
-            (
-                F.col("__in_state").isNull() & F.col("__in_batch").isNull()
-            ).alias("keep"),
-        )
+    st = state.filter(F.col("ahash") != 0).selectExpr("ahash AS sig")
+    return hamming_dedup_incremental(
+        sig, st, id_col="doc_id", sig_col="sig",
+        max_distance=max_distance, bands=bands, bits=grid * grid,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -1688,4 +1642,55 @@ def multimodal_report_incremental(
         f" OR coalesce(round(abs(s2_rel_diff), 5) >"
         f" {float(stat_threshold)!r}D, false)"
         " AS drift_detected",
+    )
+
+
+def audio_ahash_state(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> DataFrame:
+    """Compact state for incremental audio dedup: ONE 8-byte energy
+    fingerprint row per ingested recording (``ahash`` — never the
+    waveform), the audio twin of :func:`image_ahash_state`. Append per
+    batch; :func:`audio_neardup_incremental` blocks new batches against
+    it. ``grid`` is part of the state contract. Undecodable payloads
+    contribute no state row."""
+    return audio_ahash(df, payload_col, id_col, grid).filter(
+        F.col("ahash").isNotNull()
+    ).select("ahash")
+
+
+def audio_neardup_incremental(
+    new_wavs: DataFrame,
+    state: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Which NEW recordings are near-duplicates of the already-ingested
+    corpus (``dup_of_state``) or of an earlier-id recording in THIS
+    batch (``dup_in_batch``)? The audio member of the vet-the-increment
+    family, via the shared ``dedup.hamming_dedup_incremental`` core —
+    prior waveforms never re-read, silence (``ahash = 0``) never
+    matches (mapped to NULL, the flat-signature guard), undecodable
+    batch rows keep with ``keep = true``."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_dedup_incremental,
+    )
+
+    sig = audio_ahash(new_wavs, payload_col, id_col, grid).selectExpr(
+        "doc_id",
+        "CASE WHEN ahash = 0 THEN CAST(NULL AS BIGINT) ELSE ahash END"
+        " AS sig",
+    )
+    st = state.filter(F.col("ahash") != 0).selectExpr("ahash AS sig")
+    return hamming_dedup_incremental(
+        sig, st, id_col="doc_id", sig_col="sig",
+        max_distance=max_distance, bands=bands, bits=grid,
+        max_bucket_size=max_bucket_size,
     )
