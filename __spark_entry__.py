@@ -2445,6 +2445,49 @@ def _audio_incremental_sql(max_distance: int = 3) -> str:
     LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
 
 
+def q_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup closed to CLUSTERS: the q_image_neardup pair graph
+    (aHash banded-Hamming, mirrors + natural near-twins) through the
+    generic pointer-jumping connected components (operators.dedup.
+    neardup_clusters) — the same composition the text corpus runs, over
+    perceptual-hash edges. Oracle: recursive transitive closure,
+    cluster_id = min reachable id."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        neardup_clusters,
+    )
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        image_neardup_pairs,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    base = ids.selectExpr("doc_id", "doc_id AS seed")
+    mirrors = ids.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 4000000 AS doc_id", "doc_id AS seed"
+    )
+    imgs = attach_synthetic_image(
+        base.unionByName(mirrors), width=8, height=4, fmt="ppm",
+        seed_col="seed",
+    )
+    pairs = image_neardup_pairs(imgs, grid=8, max_distance=3, bands=4)
+    return neardup_clusters(pairs)
+
+
+def _image_clusters_sql() -> str:
+    return f"""
+    WITH p AS (SELECT * FROM ({_image_neardup_sql()})),
+    edges AS (SELECT id1 AS a, id2 AS b FROM p
+              UNION ALL SELECT id2 AS a, id1 AS b FROM p),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    walk AS (
+      WITH RECURSIVE w(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT w.src, e.b FROM w JOIN edges e ON e.a = w.dst)
+      SELECT * FROM w)
+    SELECT src AS id, MIN(dst) AS cluster_id FROM walk GROUP BY 1"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9597,6 +9640,7 @@ def _oracle_queries() -> dict[str, str]:
         "multimodal_report": _multimodal_report_sql(),
         "multimodal_incremental": _multimodal_incremental_sql(),
         "audio_incremental": _audio_incremental_sql(),
+        "image_clusters": _image_clusters_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11866,6 +11910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_report": q_multimodal_report,
         "multimodal_incremental": q_multimodal_incremental,
         "audio_incremental": q_audio_incremental,
+        "image_clusters": q_image_clusters,
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,
