@@ -628,3 +628,56 @@ def test_multimodal_state_and_vetting_sink(spark, tmp_path):
     assert {r.modality: r.n for r in merged.collect()} == {
         "image": 42, "audio": 42, "video": 42,
     }
+
+
+def test_hamming_band_pairs_hot_bucket_guard(spark):
+    """max_bucket_size drops degenerate hot bands (bounded-recall
+    contract): 12 identical signatures in one bucket emit 66 pairs
+    unguarded and ZERO pairs with max_bucket_size below the bucket;
+    signatures in small buckets are unaffected."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    rows = [(i, 0x0F0F0F0F) for i in range(12)]  # one hot signature
+    rows += [(100, 0x7000000000000001), (101, 0x7000000000000003)]
+    sig = spark.createDataFrame(rows, "id long, h long")
+    free = hamming_band_pairs(sig, "h", "id", max_distance=3, bands=4)
+    assert free.count() == 66 + 1  # C(12,2) hot pairs + the small pair
+    capped = hamming_band_pairs(
+        sig, "h", "id", max_distance=3, bands=4, max_bucket_size=4
+    )
+    got = [(r.id1, r.id2) for r in capped.collect()]
+    assert got == [(100, 101)], got
+
+
+def test_multimodal_incremental_one_sided_modality_flags(spark):
+    """A modality that vanishes from the batch (or appears with no
+    state) must flag: one-sided rows are drift, not silence."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        multimodal_report_incremental,
+        multimodal_state,
+    )
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    batch = spark.range(100, 106).selectExpr("id AS doc_id")
+    empty = ids.filter("doc_id < 0")
+    mk = lambda s: attach_synthetic_image(s, width=8, height=4)
+    au = lambda s: attach_synthetic_audio(s, n_samples=1024)
+    vi = lambda s: attach_synthetic_video(
+        s, width=8, height=4, n_frames=4, cut_every=2
+    )
+    state = multimodal_state(mk(ids), au(ids), vi(ids))
+    out = {
+        r.modality: r
+        for r in multimodal_report_incremental(
+            mk(batch), au(batch), vi(empty), state
+        ).collect()
+    }
+    # video vanished from the batch: curr_n = 0, stats NULL, flagged
+    assert out["video"].curr_n == 0 and out["video"].drift_detected
+    assert out["video"].curr_s1_mean is None
+    assert not out["image"].drift_detected
