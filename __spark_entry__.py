@@ -1570,7 +1570,10 @@ def _alignment_incremental_sql(threshold: float = 0.05) -> str:
       ROUND(CAST(c.nulls AS DOUBLE) / c.n_rows
             - CAST(r.nulls AS DOUBLE) / r.n_rows, {ROUND})
         AS null_ratio_diff,
-      ROUND(abs(c.s / c.n - r.s / r.n), 5) > {threshold!r} AS drift_detected
+      coalesce(ROUND(abs(c.s / c.n - r.s / r.n), 5) > {threshold!r}, TRUE)
+        OR coalesce(ROUND(abs(CAST(c.nulls AS DOUBLE) / c.n_rows
+             - CAST(r.nulls AS DOUBLE) / r.n_rows), 5) > {threshold!r},
+             FALSE) AS drift_detected
     FROM r CROSS JOIN c"""
 
 

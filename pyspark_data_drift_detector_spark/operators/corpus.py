@@ -669,16 +669,21 @@ def fit_bpe(
       ``bpe_segment``'s ``apply_mode="arrow"``): collect the word
       table ONCE (capped at ``max_vocab_rows`` rows by
       ``(count DESC, word ASC)`` — Heaps' law keeps real vocabularies
-      in the low millions, and the words a cap drops are the count-1
-      tail that can never win a merge before ``min_pair_count`` stops
-      training anyway) and run the classic heap-based pair-count
+      in the low millions) and run the classic heap-based pair-count
       trainer driver-side: incremental pair-delta updates touch only
       the words containing the merged pair, a lazy-deletion heap pops
       the next best pair in O(log pairs) — zero Spark jobs after the
-      one collect, merge-for-merge IDENTICAL output to the DataFrame
-      path (integer-exact counts, same ``(count DESC, left ASC,
-      right ASC)`` tie-break; UTF-8 byte order equals code-point
-      order, so Spark and Python string comparisons agree).
+      one collect. When the vocabulary FITS ``max_vocab_rows`` the
+      output is merge-for-merge IDENTICAL to the DataFrame path
+      (integer-exact counts, same ``(count DESC, left ASC, right ASC)``
+      tie-break; UTF-8 byte order equals code-point order, so Spark
+      and Python string comparisons agree). When it does NOT fit, the
+      dropped tail words still contribute mass to pair counts shared
+      with surviving words, so merges/counts MAY diverge from the
+      DataFrame path — the trainer detects the truncation (it collects
+      one sentinel row past the cap) and emits a ``UserWarning``
+      naming the cap; raise ``max_vocab_rows`` or accept the
+      tail-truncated fit.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import qs
 
@@ -701,11 +706,27 @@ def fit_bpe(
         .agg(F.expr("CAST(count(1) AS BIGINT) AS wc"))
     )
     if fit_mode == "driver":
+        # one sentinel row past the cap: its presence proves truncation
+        # (a capped collect alone cannot distinguish "exactly at the cap"
+        # from "silently dropped tail mass")
         rows = (
             word_counts.orderBy(F.col("wc").desc(), F.col("word").asc())
-            .limit(int(max_vocab_rows))
+            .limit(int(max_vocab_rows) + 1)
             .collect()
         )
+        if len(rows) > int(max_vocab_rows):
+            import warnings
+
+            warnings.warn(
+                f"fit_bpe(fit_mode='driver'): vocabulary exceeds"
+                f" max_vocab_rows={int(max_vocab_rows)}; the dropped tail"
+                " words still contribute pair mass shared with surviving"
+                " words, so merges/counts may diverge from the DataFrame"
+                " path — raise max_vocab_rows for an exact fit",
+                UserWarning,
+                stacklevel=2,
+            )
+            rows = rows[: int(max_vocab_rows)]
         merges = _bpe_train_driver(
             [(list(r["word"]), int(r["wc"])) for r in rows],
             int(n_merges),

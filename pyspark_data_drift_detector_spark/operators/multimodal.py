@@ -620,6 +620,7 @@ def alignment_incremental(
     new_pairs: DataFrame,
     state: DataFrame,
     threshold: float = 0.05,
+    null_ratio_threshold: float = 0.05,
     left_col: str = "image_embedding",
     right_col: str = "text_embedding",
 ) -> DataFrame:
@@ -633,7 +634,13 @@ def alignment_incremental(
     diff (``abs(curr_mean - ref_mean) > threshold``), not a relative
     diff (a relative diff explodes when the reference mean sits near 0,
     which for cross-modal cosines is the "already broken" regime, not a
-    sensible scale). Output: ONE row — ref/curr n, mean, stddev,
+    sensible scale). A side with NO computable cosines (every pair lost
+    an embedding — the worst alignment incident) makes the mean diff
+    NULL; that verdict coalesces to ``true`` (the
+    :func:`alignment_drift_grouped` one-sided convention), and a
+    ``null_ratio_diff`` beyond ``null_ratio_threshold`` ORs in — pairs
+    silently losing one side flags even while the surviving cosines
+    still average fine. Output: ONE row — ref/curr n, mean, stddev,
     null_ratio, their diffs, and ``drift_detected``. Raises on an empty
     state. Plan: one narrow map + one 1-row aggregate per side, a 1×1
     cross join of the two panels.
@@ -674,7 +681,12 @@ def alignment_incremental(
         "curr_null_ratio - ref_null_ratio AS null_ratio_diff",
     ).selectExpr(
         "*",
-        f"round(mean_abs_diff, 5) > {float(threshold)!r}D AS drift_detected",
+        # NULL mean diff (a side with pairs but zero computable cosines)
+        # IS the incident — coalesce to true; a null-ratio jump flags
+        # even when the surviving cosines still average fine
+        f"coalesce(round(mean_abs_diff, 5) > {float(threshold)!r}D, true)"
+        f" OR coalesce(round(abs(null_ratio_diff), 5) >"
+        f" {float(null_ratio_threshold)!r}D, false) AS drift_detected",
     )
 
 
@@ -734,8 +746,11 @@ def image_ahash(
             block = (ys * grid // h) * grid + (xs * grid // w)
             flat = rgb.reshape(-1, 3).astype(np.int64)
             v = 299 * flat[:, 0] + 587 * flat[:, 1] + 114 * flat[:, 2]
-            vb = np.bincount(block, weights=v, minlength=grid * grid)
-            vb = vb.astype(np.int64)  # exact: v < 2^18, h*w*2^18 << 2^63
+            # int64 indexed adds, not bincount(weights=) — bincount
+            # accumulates in float64 (exact only below 2^53); per-block
+            # luma mass on gigapixel scans can exceed that
+            vb = np.zeros(grid * grid, dtype=np.int64)
+            np.add.at(vb, block, v)
             cb = 3 * np.bincount(block, minlength=grid * grid).astype(np.int64)
             s_tot, c_tot = int(vb.sum()), int(cb.sum())
             acc = 0
@@ -1061,8 +1076,8 @@ def decode_audio(
             rms = float(np.sqrt(float((s64 * s64).sum()) / n))
             peak = int(np.abs(s64).max())
             signs = np.sign(s64)
-            nz = signs != 0
-            # zero-cross rate over consecutive nonzero-sign samples
+            # sign flips across consecutive samples; a zero sample
+            # breaks a crossing (sign 0 never multiplies negative)
             zc = int(((signs[:-1] * signs[1:]) < 0).sum())
             zcr = zc / (n - 1) if n > 1 else 0.0
             clip = float((np.abs(s64) >= 32767).sum() / n)
@@ -1180,8 +1195,11 @@ def audio_ahash(
                 return 0, 0, None
             seg = np.arange(n, dtype=np.int64) * grid // n
             s64 = s.astype(np.int64)
-            e = np.bincount(seg, weights=s64 * s64, minlength=grid)
-            e = e.astype(np.int64)
+            # int64 indexed adds, not bincount(weights=) — bincount
+            # accumulates in float64, exact only below 2^53; multi-hour
+            # high-rate audio can carry more per-segment energy mass
+            e = np.zeros(grid, dtype=np.int64)
+            np.add.at(e, seg, s64 * s64)
             c = np.bincount(seg, minlength=grid).astype(np.int64)
             e_tot, n_tot = int(e.sum()), int(c.sum())
             acc = 0

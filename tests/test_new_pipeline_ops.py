@@ -2442,6 +2442,24 @@ def test_fit_bpe_driver_mode_matches_dataframe(spark, sf_dir):
     assert fit_bpe(tiny, n_merges=4, min_pair_count=2,
                    fit_mode="driver").count() == 0
 
+    # a vocabulary exceeding max_vocab_rows warns (the dropped tail can
+    # shift pair counts, so the exact-replay claim no longer holds);
+    # a vocabulary exactly AT the cap stays silent
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    caps = spark.createDataFrame(
+        [(1, "aa bb cc dd")], "doc_id long, text string"
+    )
+    with _pytest.warns(UserWarning, match="max_vocab_rows"):
+        fit_bpe(caps, n_merges=1, min_pair_count=1, fit_mode="driver",
+                max_vocab_rows=3)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        fit_bpe(caps, n_merges=1, min_pair_count=1, fit_mode="driver",
+                max_vocab_rows=4).collect()
+
 
 def test_fit_bpe_driver_mode_thousand_merges_no_spark_jobs(spark):
     """The r11 verdict's scale criterion: >=1,000 merges WITHOUT

@@ -1767,6 +1767,25 @@ def test_alignment_state_and_incremental(spark, tmp_path):
     assert loud["drift_detected"] and loud["curr_mean"] < loud["ref_mean"]
     assert loud["curr_null_ratio"] > 0 and loud["null_ratio_diff"] > 0
 
+    # the headline incident: a batch whose pairs ALL lost one embedding
+    # side has NO computable cosines — curr_mean is NULL, and the
+    # verdict must coalesce to True, not propagate NULL
+    dead = spark.createDataFrame(
+        [([1.0] * 8, None)] * 5,
+        "text_embedding array<double>, image_embedding array<double>",
+    )
+    drow = alignment_incremental(dead, state).collect()[0]
+    assert drow["curr_mean"] is None
+    assert drow["drift_detected"] is True
+
+    # a null-ratio jump flags even when the surviving cosines still
+    # average like the corpus (mean diff under threshold)
+    leaky = alignment_incremental(
+        mk(20, 0.95).unionByName(dead), state
+    ).collect()[0]
+    assert abs(leaky["mean_abs_diff"]) < 0.05 < leaky["null_ratio_diff"]
+    assert leaky["drift_detected"] is True
+
     # additive appends == one-shot state
     alignment_state(prior.limit(15)).write.mode("append").parquet(
         str(tmp_path / "al_state")
