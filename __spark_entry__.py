@@ -2491,6 +2491,167 @@ def _image_clusters_sql() -> str:
     SELECT src AS id, MIN(dst) AS cluster_id FROM walk GROUP BY 1"""
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal-fingerprint dedup (operators.multimodal.
+    video_neardup_pairs): 17-frame synthetic y4m clips for doc_id < 200
+    plus exact re-uploads (doc_id+4e6 re-using the original's seed) —
+    frame-delta activity aHash through the shared banded-Hamming
+    blocking; the integer-exact bit test replays in DuckDB from the
+    closed-form per-frame luma sums, re-uploads land at hamming 0."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        video_neardup_pairs,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    base = ids.selectExpr("doc_id", "doc_id AS seed")
+    mirrors = ids.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 4000000 AS doc_id", "doc_id AS seed"
+    )
+    vids = attach_synthetic_video(
+        base.unionByName(mirrors), width=16, height=8, n_frames=17,
+        cut_every=4, seed_col="seed",
+    )
+    out = video_neardup_pairs(vids, grid=64, max_distance=3, bands=4)
+    return out.selectExpr(
+        "id1", "id2", "CAST(hamming AS BIGINT) AS hamming"
+    )
+
+
+def _video_sig_chain_sql(
+    prefix: str, src: str, nf: int = 17, npix: int = 128,
+    cut_every: int = 4, grid: int = 64,
+) -> str:
+    """CTE chain computing the integer-exact video temporal fingerprint
+    for every (doc_id, seed) row of ``src`` — ends in
+    ``sig_{prefix}(doc_id, h)``. Replays multimodal.video_ahash from
+    the attach_synthetic_video closed form: exact per-frame luma sums,
+    absolute frame deltas split into ``grid`` time segments, the
+    cross-multiplied density bit test, sign bit packed via the
+    overflow-free two-literal long-min."""
+    p = prefix
+    nd = nf - 1
+    return f"""fs_{p} AS (
+      SELECT s.doc_id, f.f,
+        SUM((s.seed * 13 + f.f * 29 + r.i * 3 +
+             CASE WHEN {cut_every} > 0 AND f.f % {cut_every} = 0
+                  THEN 96 ELSE 0 END) % 256) AS sm
+      FROM {src} s CROSS JOIN range({nf}) f(f)
+      CROSS JOIN range({npix}) r(i)
+      GROUP BY 1, 2),
+    dl_{p} AS (
+      SELECT doc_id, f - 1 AS di,
+        ABS(sm - LAG(sm) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+      FROM fs_{p}),
+    seg_{p} AS (
+      SELECT doc_id, di * {grid} // {nd} AS j, SUM(d) AS m, COUNT(*) AS c
+      FROM dl_{p} WHERE d IS NOT NULL GROUP BY 1, 2),
+    tot_{p} AS (SELECT doc_id, SUM(m) AS m_tot, SUM(c) AS n_tot
+                FROM seg_{p} GROUP BY 1),
+    sig_{p} AS (
+      SELECT seg_{p}.doc_id,
+        CAST(SUM(CASE WHEN m * n_tot <= m_tot * c THEN 0
+                 WHEN j = 63 THEN -9223372036854775807 - 1
+                 ELSE CAST(1 AS BIGINT) << CAST(j AS INT)
+                 END) AS BIGINT) AS h
+      FROM seg_{p} JOIN tot_{p} USING (doc_id) GROUP BY 1)"""
+
+
+def _video_neardup_sql(max_distance: int = 3) -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id AS seed FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 4000000, doc_id FROM documents
+      WHERE doc_id < 200 AND doc_id % 5 = 0),
+    {_video_sig_chain_sql('v', 'src')},
+    banded AS (
+      SELECT doc_id, h, r.i AS band,
+        ((h >> (r.i * 16)) & 65535) AS key
+      FROM sig_v CROSS JOIN range(4) r(i)
+      WHERE h <> 0)
+    SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+      CAST(bit_count(xor(a.h, c.h)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key
+    WHERE a.doc_id < c.doc_id
+      AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
+
+
+def q_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video member of the vet-the-increment family (operators.multimodal.
+    video_neardup_incremental): the doc_id%3==0 ingest batch of y4m clips
+    — plus re-uploads of PRIOR-corpus clips (doc_id+4e6 re-using the
+    successor's seed) — blocked against the prior corpus's 8-byte
+    temporal-fingerprint state; re-uploads must flag dup_of_state, prior
+    frames never re-read."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        video_ahash_state,
+        video_neardup_incremental,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    prior = ids.filter("doc_id % 3 != 0").selectExpr("doc_id", "doc_id AS seed")
+    batch_base = ids.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id", "doc_id AS seed"
+    )
+    succ = ids.selectExpr("doc_id - 1 AS doc_id")
+    mirrors = (
+        ids.filter("doc_id % 3 = 0")
+        .join(succ, "doc_id", "left_semi")
+        .selectExpr("doc_id + 4000000 AS doc_id", "doc_id + 1 AS seed")
+    )
+    mk = lambda src: attach_synthetic_video(
+        src, width=16, height=8, n_frames=17, cut_every=4, seed_col="seed"
+    )
+    state = video_ahash_state(mk(prior))
+    return video_neardup_incremental(
+        mk(batch_base.unionByName(mirrors)), state,
+        grid=64, max_distance=3, bands=4,
+    )
+
+
+def _video_incremental_sql(max_distance: int = 3) -> str:
+    return f"""
+    WITH prior_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 <> 0),
+    batch_src AS (
+      SELECT doc_id, doc_id AS seed FROM documents
+      WHERE doc_id < 200 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT d.doc_id + 4000000, d.doc_id + 1 FROM documents d
+      WHERE d.doc_id < 200 AND d.doc_id % 3 = 0
+        AND EXISTS (SELECT 1 FROM documents e
+                    WHERE e.doc_id = d.doc_id + 1 AND e.doc_id < 200)),
+    {_video_sig_chain_sql('p', 'prior_src')},
+    {_video_sig_chain_sql('b', 'batch_src')},
+    pb AS (
+      SELECT doc_id, h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_b CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
+    sb AS (
+      SELECT h, r.i AS band, (h >> (r.i * 16)) & 65535 AS key
+      FROM sig_p CROSS JOIN range(4) r(i)
+      WHERE h <> 0),
+    state_hits AS (
+      SELECT DISTINCT b.doc_id FROM pb b JOIN sb s
+        ON b.band = s.band AND b.key = s.key
+      WHERE bit_count(xor(b.h, s.h)) <= {max_distance}),
+    batch_hits AS (
+      SELECT DISTINCT c.doc_id FROM pb c JOIN pb e
+        ON c.band = e.band AND c.key = e.key
+      WHERE e.doc_id < c.doc_id
+        AND bit_count(xor(c.h, e.h)) <= {max_distance})
+    SELECT b.doc_id,
+      s.doc_id IS NOT NULL AS dup_of_state,
+      h.doc_id IS NOT NULL AS dup_in_batch,
+      s.doc_id IS NULL AND h.doc_id IS NULL AS keep
+    FROM sig_b b
+    LEFT JOIN state_hits s ON s.doc_id = b.doc_id
+    LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
+
+
 def _qc_weights(d: int = 256) -> list[float]:
     """Deterministic stand-in for a trained fastText weight vector: every
     weight is an exact multiple of 1/1024, so Spark's sequential aggregate
@@ -9644,6 +9805,8 @@ def _oracle_queries() -> dict[str, str]:
         "multimodal_incremental": _multimodal_incremental_sql(),
         "audio_incremental": _audio_incremental_sql(),
         "image_clusters": _image_clusters_sql(),
+        "video_neardup": _video_neardup_sql(),
+        "video_incremental": _video_incremental_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -11848,72 +12011,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered locally by tests/test_oracle_parity.py and
     # tools/verify_oracle.py regardless of window position.
     return {
-        # --- cohort: last driver-gated r8 ---
-        "completeness_timeseries": q_completeness_timeseries,
-        "constraint_suite": q_constraint_suite,
-        "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_normalized": q_dedup_normalized,
-        "dedup_simhash": q_dedup_simhash,
-        "equidepth_histogram": q_equidepth_histogram,
-        "equidepth_histogram_counts": q_equidepth_histogram_counts,
-        "functional_dependencies": q_functional_dependencies,
-        "image_features": q_image_features,
-        "incremental_pipeline": q_incremental_pipeline,
-        "join_explosion": q_join_explosion,
-        "json_profile": q_json_profile,
-        "key_overlap": q_key_overlap,
-        "key_skew_profile": q_key_skew_profile,
-        "merged_categorical_drift": q_merged_categorical_drift,
-        "merged_distinct": q_merged_distinct,
-        "merged_drift": q_merged_drift,
-        "merged_drift_quantiles": q_merged_drift_quantiles,
-        "merged_group_drift": q_merged_group_drift,
-        "merged_heavy_hitters": q_merged_heavy_hitters,
-        "merged_profile": q_merged_profile,
-        "merged_quantiles": q_merged_quantiles,
-        "mmd_drift": q_mmd_drift,
-        "mutual_information_drift": q_mutual_information_drift,
-        "ngram_overlap": q_ngram_overlap,
-        "pack_documents": q_pack_documents,
-        "packing_stats": q_packing_stats,
-        "pca_anomaly": q_pca_anomaly,
-        "pca_contributions": q_pca_contributions,
-        "quality_filter": q_quality_filter,
-        "robust_profile": q_robust_profile,
-        "robust_profile_counts": q_robust_profile_counts,
-        "rollup_timeseries": q_rollup_timeseries,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "session_drift": q_session_drift,
-        "token_budget_sample": q_token_budget_sample,
-        "uniform_sample": q_uniform_sample,
-        "windowed_distinct": q_windowed_distinct,
-        "windowed_heavy_hitters": q_windowed_heavy_hitters,
-        "zipf_fit": q_zipf_fit,
-        # --- cohort: last driver-gated r9 ---
-        # --- new in r12 (no driver verdict yet): gate this round ---
-        # (r12 additions are inserted here, before the r9 cohort)
-        "fit_bpe_driver": q_fit_bpe_driver,
-        "alignment_drift": q_alignment_drift,
-        "ann_incremental": q_ann_incremental,
-        "alignment_incremental": q_alignment_incremental,
-        "image_neardup": q_image_neardup,
-        "image_incremental": q_image_incremental,
-        # --- r12 additions past the 50-slot window (driver-gated r13;
-        # judge full-run + tools/verify_oracle.py cover them now) ---
+        # --- never driver-gated (r12 additions past the r12 window): FIRST ---
         "alignment_grouped": q_alignment_grouped,
         "audio_features": q_audio_features,
         "audio_feature_drift": q_audio_feature_drift,
         "audio_neardup": q_audio_neardup,
+        "audio_incremental": q_audio_incremental,
         "video_features": q_video_features,
         "video_feature_drift": q_video_feature_drift,
         "multimodal_report": q_multimodal_report,
         "multimodal_incremental": q_multimodal_incremental,
-        "audio_incremental": q_audio_incremental,
         "image_clusters": q_image_clusters,
+        # --- new in r13 (no driver verdict yet): gate this round ---
+        "video_neardup": q_video_neardup,
+        "video_incremental": q_video_incremental,
+        # --- cohort: last driver-gated r9 (oldest; first 38 fill the
+        #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
         "categorical_distances": q_categorical_distances,
@@ -11952,6 +12065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_pairs": q_passage_pairs,
         "psi": q_psi,
         "psi_numeric": q_psi_numeric,
+        # ---------- driver window boundary (position 50) ----------
         "quantile_shift": q_quantile_shift,
         "rare_categories": q_rare_categories,
         "rare_values": q_rare_values,
@@ -12066,6 +12180,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_report": q_training_mix_report,
         "transition_stationary": q_transition_stationary,
         "watermark_planner": q_watermark_planner,
+        # --- cohort: last driver-gated r12 (newest) ---
+        "alignment_drift": q_alignment_drift,
+        "alignment_incremental": q_alignment_incremental,
+        "ann_incremental": q_ann_incremental,
+        "completeness_timeseries": q_completeness_timeseries,
+        "constraint_suite": q_constraint_suite,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_normalized": q_dedup_normalized,
+        "dedup_simhash": q_dedup_simhash,
+        "equidepth_histogram": q_equidepth_histogram,
+        "equidepth_histogram_counts": q_equidepth_histogram_counts,
+        "fit_bpe_driver": q_fit_bpe_driver,
+        "functional_dependencies": q_functional_dependencies,
+        "image_features": q_image_features,
+        "image_incremental": q_image_incremental,
+        "image_neardup": q_image_neardup,
+        "incremental_pipeline": q_incremental_pipeline,
+        "join_explosion": q_join_explosion,
+        "json_profile": q_json_profile,
+        "key_overlap": q_key_overlap,
+        "key_skew_profile": q_key_skew_profile,
+        "merged_categorical_drift": q_merged_categorical_drift,
+        "merged_distinct": q_merged_distinct,
+        "merged_drift": q_merged_drift,
+        "merged_drift_quantiles": q_merged_drift_quantiles,
+        "merged_group_drift": q_merged_group_drift,
+        "merged_heavy_hitters": q_merged_heavy_hitters,
+        "merged_profile": q_merged_profile,
+        "merged_quantiles": q_merged_quantiles,
+        "mmd_drift": q_mmd_drift,
+        "mutual_information_drift": q_mutual_information_drift,
+        "ngram_overlap": q_ngram_overlap,
+        "pack_documents": q_pack_documents,
+        "packing_stats": q_packing_stats,
+        "pca_anomaly": q_pca_anomaly,
+        "pca_contributions": q_pca_contributions,
+        "quality_filter": q_quality_filter,
+        "robust_profile": q_robust_profile,
+        "robust_profile_counts": q_robust_profile_counts,
+        "rollup_timeseries": q_rollup_timeseries,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "session_drift": q_session_drift,
+        "token_budget_sample": q_token_budget_sample,
+        "uniform_sample": q_uniform_sample,
+        "windowed_distinct": q_windowed_distinct,
+        "windowed_heavy_hitters": q_windowed_heavy_hitters,
+        "zipf_fit": q_zipf_fit,
     }
 
 

@@ -1712,3 +1712,178 @@ def audio_neardup_incremental(
         max_distance=max_distance, bands=bands, bits=grid,
         max_bucket_size=max_bucket_size,
     )
+
+
+VIDEO_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> DataFrame:
+    """Temporal activity fingerprint per video payload — the motion
+    twin of :func:`audio_ahash`'s energy profile: the clip's
+    frame-to-frame luma-delta masses (``|S_f − S_{f−1}|`` over exact
+    per-frame int64 luma sums — :func:`decode_video`'s scene-cut
+    arithmetic) split into ``grid`` equal time segments, bit ``j`` set
+    iff segment ``j``'s delta density exceeds the whole-clip delta
+    density. Where the action happens in time survives re-encoding,
+    resolution changes, and brightness shifts far better than any
+    single frame's pixels, so a re-encoded copy of the same clip lands
+    within a few bits.
+
+    INTEGER-EXACT like its image/audio siblings: segment mass is an
+    exact int64 sum of absolute luma-sum deltas and the bit test is the
+    cross-multiplied ``m_j · d_tot > M_tot · c_j`` (c = per-segment
+    delta counts, M/d = whole-clip totals) — no float mean whose
+    summation order could flip a boundary bit between engines. Clips
+    with fewer than 2 frames have no deltas and hash to 0, joining
+    STATIC clips (all deltas equal — slideshows, test cards: no segment
+    above the mean) in the flat-signature class that
+    :func:`video_neardup_pairs` excludes. Same plan shape as
+    :func:`decode_video`: one ``mapInPandas`` in the scan partitions,
+    payload bytes never shuffle; corrupt payloads yield NULL hash +
+    ``decode_error``.
+    """
+    if grid < 1 or grid > 64:
+        raise ValueError(f"grid must be in [1, 64], got {grid}")
+
+    def _hash(iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(data: bytes):
+            _, _, _, frames = _parse_y4m(data)
+            nf = len(frames)
+            if nf < 2:
+                return 0, nf, None
+            sums = np.array(
+                [int(f.astype(np.int64).sum()) for f in frames],
+                dtype=np.int64,
+            )
+            d = np.abs(np.diff(sums))
+            nd = nf - 1
+            seg = np.arange(nd, dtype=np.int64) * grid // nd
+            # int64 indexed adds (the bincount-weights float64 trap)
+            m = np.zeros(grid, dtype=np.int64)
+            np.add.at(m, seg, d)
+            c = np.bincount(seg, minlength=grid).astype(np.int64)
+            m_tot, d_tot = int(m.sum()), int(c.sum())
+            acc = 0
+            for j in range(grid):
+                if int(m[j]) * d_tot > m_tot * int(c[j]):
+                    acc |= 1 << j
+            if acc >= 1 << 63:  # two's-complement into int64
+                acc -= 1 << 64
+            return acc, nf, None
+
+        for batch in iterator:
+            out = []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    row = one(data)
+                except (ValueError, IndexError) as exc:
+                    row = (None, None, str(exc))
+                out.append((doc_id,) + row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_AHASH_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=VIDEO_AHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: :func:`video_ahash` temporal
+    fingerprints through the shared banded-Hamming blocking
+    (``dedup.hamming_band_pairs``) — a re-encoded, rescaled, or
+    re-graded copy of the same clip keeps its activity-over-time
+    envelope, collides on ≥1 band, and verifies by exact XOR popcount.
+    Closes the dedup × video bridge the way image (aHash) and audio
+    (energy profile) already close theirs: payload bytes never shuffle,
+    only 8-byte signatures enter the band join. Flat signatures
+    (``ahash = 0``: static/single-frame clips) are excluded for the
+    same O(n²) blank-bucket reason as flat images and silence — "two
+    test cards are the same" is exact byte dedup's verdict to make."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sig = video_ahash(df, payload_col, id_col, grid).filter(
+        F.col("ahash").isNotNull() & (F.col("ahash") != 0)
+    )
+    return hamming_band_pairs(
+        sig, "ahash", "doc_id", max_distance=max_distance, bands=bands,
+        bits=grid, max_bucket_size=max_bucket_size,
+    )
+
+
+def video_ahash_state(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> DataFrame:
+    """Compact state for incremental video dedup: ONE 8-byte temporal
+    fingerprint row per ingested clip (``ahash`` — never the frames),
+    the video twin of :func:`image_ahash_state`. Append per batch (or
+    via ``streaming.state_tables.video_ahash_state_sink``);
+    :func:`video_neardup_incremental` blocks new batches against it.
+    ``grid`` is part of the state contract. Undecodable payloads
+    contribute no state row."""
+    return video_ahash(df, payload_col, id_col, grid).filter(
+        F.col("ahash").isNotNull()
+    ).select("ahash")
+
+
+def video_neardup_incremental(
+    new_clips: DataFrame,
+    state: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Which NEW clips are near-duplicates of the already-ingested
+    corpus (``dup_of_state``) or of an earlier-id clip in THIS batch
+    (``dup_in_batch``)? The video member of the vet-the-increment
+    family, via the shared ``dedup.hamming_dedup_incremental`` core —
+    prior frames never re-read, static/single-frame clips
+    (``ahash = 0``) never match (mapped to NULL, the flat-signature
+    guard), undecodable batch rows keep with ``keep = true``."""
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        hamming_dedup_incremental,
+    )
+
+    sig = video_ahash(new_clips, payload_col, id_col, grid).selectExpr(
+        "doc_id",
+        "CASE WHEN ahash = 0 THEN CAST(NULL AS BIGINT) ELSE ahash END"
+        " AS sig",
+    )
+    st = state.filter(F.col("ahash") != 0).selectExpr("ahash AS sig")
+    return hamming_dedup_incremental(
+        sig, st, id_col="doc_id", sig_col="sig",
+        max_distance=max_distance, bands=bands, bits=grid,
+        max_bucket_size=max_bucket_size,
+    )

@@ -609,6 +609,144 @@ def image_dedup_vetting_sink(
     return write_batch
 
 
+def audio_ahash_state_sink(
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the 8-byte-per-recording energy
+    fingerprint state that
+    :func:`operators.multimodal.audio_neardup_incremental` blocks new
+    ingest against — the audio twin of :func:`image_ahash_state_sink`.
+    ``grid`` is part of the state contract: every append and every
+    probe must share one configuration."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        audio_ahash_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        audio_ahash_state(
+            batch_df, payload_col, id_col, grid
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def audio_dedup_vetting_sink(
+    state_path: str,
+    report_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental audio dedup as ONE ``foreachBatch`` sink (the
+    ``ingest_vetting_sink`` contract, the audio twin of
+    :func:`image_dedup_vetting_sink`): each micro-batch of WAV payloads
+    is VETTED against the corpus-so-far fingerprint state
+    (:func:`operators.multimodal.audio_neardup_incremental` — per-clip
+    ``dup_of_state`` / ``dup_in_batch`` / ``keep`` verdicts, stamped
+    with ``batch_id`` and appended to ``report_path``), and only then
+    does the state advance with the batch's own fingerprints. The FIRST
+    batch bootstraps against an empty frame — within-batch dups still
+    flagged, so there IS a meaningful bootstrap report."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        audio_neardup_incremental,
+    )
+
+    advance = audio_ahash_state_sink(state_path, payload_col, id_col, grid)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = spark.createDataFrame([], "ahash bigint")
+        audio_neardup_incremental(
+            batch_df, state, payload_col, id_col, grid,
+            max_distance=max_distance, bands=bands,
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
+def video_ahash_state_sink(
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink maintaining the 8-byte-per-clip temporal
+    fingerprint state that
+    :func:`operators.multimodal.video_neardup_incremental` blocks new
+    ingest against — the video twin of :func:`image_ahash_state_sink`.
+    ``grid`` is part of the state contract: every append and every
+    probe must share one configuration."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        video_ahash_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        video_ahash_state(
+            batch_df, payload_col, id_col, grid
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def video_dedup_vetting_sink(
+    state_path: str,
+    report_path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 64,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental video dedup as ONE ``foreachBatch`` sink (the
+    ``ingest_vetting_sink`` contract, the video twin of
+    :func:`image_dedup_vetting_sink`): each micro-batch of y4m payloads
+    is VETTED against the corpus-so-far temporal-fingerprint state
+    (:func:`operators.multimodal.video_neardup_incremental` — per-clip
+    ``dup_of_state`` / ``dup_in_batch`` / ``keep`` verdicts, stamped
+    with ``batch_id`` and appended to ``report_path``), and only then
+    does the state advance with the batch's own fingerprints. The FIRST
+    batch bootstraps against an empty frame — within-batch dups still
+    flagged, so there IS a meaningful bootstrap report."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        video_neardup_incremental,
+    )
+
+    advance = video_ahash_state_sink(state_path, payload_col, id_col, grid)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = spark.createDataFrame([], "ahash bigint")
+        video_neardup_incremental(
+            batch_df, state, payload_col, id_col, grid,
+            max_distance=max_distance, bands=bands,
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(report_path)
+        advance(batch_df, batch_id)
+
+    return write_batch
+
+
 def multimodal_vetting_sink(
     state_path: str,
     report_path: str,

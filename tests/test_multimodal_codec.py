@@ -681,3 +681,198 @@ def test_multimodal_incremental_one_sided_modality_flags(spark):
     assert out["video"].curr_n == 0 and out["video"].drift_detected
     assert out["video"].curr_s1_mean is None
     assert not out["image"].drift_detected
+
+
+def test_video_ahash_and_neardup(spark):
+    """Temporal-fingerprint invariants: identical clips hash equal; a
+    re-graded copy (constant luma shift) keeps the hash EXACTLY (frame
+    deltas unchanged); a 2x spatially-upscaled copy keeps the hash
+    (delta densities cross-multiply); static and single-frame clips
+    hash 0 and are excluded from pairing; corrupt payloads yield NULL."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        encode_y4m,
+        video_ahash,
+        video_neardup_pairs,
+    )
+
+    # bursty activity envelope: calm first half, hard cuts in the second
+    vals = [40, 41, 40, 42, 41, 40, 42, 41, 200, 40, 210, 35, 190, 45,
+            220, 30, 40]
+    def clip(luma_vals, shift=0, scale=1):
+        return np.stack([
+            np.full((8 * scale, 16 * scale), v + shift, dtype=np.uint8)
+            for v in luma_vals
+        ])
+
+    base = clip(vals)
+    rows = [
+        (1, bytearray(encode_y4m(base))),
+        (2, bytearray(encode_y4m(base))),                 # exact copy
+        (3, bytearray(encode_y4m(clip(vals, shift=20)))),  # re-graded
+        (4, bytearray(encode_y4m(clip(vals, scale=2)))),   # upscaled 2x
+        (5, bytearray(encode_y4m(clip([60] * 8)))),        # static
+        (6, bytearray(encode_y4m(clip([60] * 8)))),        # static copy
+        (7, bytearray(encode_y4m(clip([60])))),            # single frame
+        (8, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in video_ahash(df).collect()}
+    assert got[1].ahash == got[2].ahash != 0
+    assert got[1].ahash == got[3].ahash, "re-grade must keep deltas"
+    assert got[1].ahash == got[4].ahash, "upscale must keep densities"
+    assert got[5].ahash == 0 and got[7].ahash == 0
+    assert got[8].ahash is None and got[8].decode_error is not None
+    assert got[1].n_frames == 17 and got[7].n_frames == 1
+
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in video_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(1, 4)] == 0
+    # static pair excluded (flat-signature guard), corrupt rows drop out
+    assert (5, 6) not in pairs
+    assert not any(8 in p for p in pairs)
+
+
+def test_video_neardup_incremental_and_sink(spark, tmp_path):
+    """Video vet-the-increment semantics: re-ingested clips flag
+    dup_of_state, within-batch copies flag dup_in_batch (earliest id
+    keeps), static and undecodable clips keep with no match; the
+    vetting sink replays the same verdicts through real Structured
+    Streaming, including a bootstrap report."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        encode_y4m,
+        video_ahash_state,
+        video_neardup_incremental,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        video_dedup_vetting_sink,
+    )
+
+    def clip(luma_vals):
+        return bytearray(encode_y4m(np.stack([
+            np.full((8, 16), v, dtype=np.uint8) for v in luma_vals
+        ])))
+
+    a = [40, 41, 40, 42, 41, 40, 42, 41, 200, 40, 210, 35, 190, 45, 220,
+         30, 40]
+    b = list(reversed(a))  # activity at the START: a different envelope
+    prior = spark.createDataFrame(
+        [(1, clip(a))], "doc_id long, payload binary"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, clip(a)),            # re-upload of state clip 1
+            (11, clip(b)),            # brand new envelope
+            (12, clip(b)),            # within-batch copy of 11
+            (13, clip([60] * 8)),     # static: flat guard, keeps
+            (14, bytearray(b"nope")),  # undecodable: keeps
+        ],
+        "doc_id long, payload binary",
+    )
+    state = video_ahash_state(prior)
+    out = {
+        r.doc_id: r for r in video_neardup_incremental(batch, state).collect()
+    }
+    assert out[10].dup_of_state and not out[10].keep
+    assert out[11].keep and not out[11].dup_in_batch
+    assert out[12].dup_in_batch and not out[12].keep
+    assert out[13].keep and out[14].keep
+
+    # sink: bootstrap batch reports within-batch dups, the second batch
+    # vets against the first's fingerprints
+    ingest = tmp_path / "vid_ingest"
+    b1 = spark.createDataFrame(
+        [(1, clip(a)), (2, clip(a))], "doc_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(3, clip(a)), (4, clip(b))], "doc_id long, payload binary"
+    )
+    b1.coalesce(1).write.parquet(str(ingest), mode="append")
+    b2.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p = str(tmp_path / "vid_state")
+    report_p = str(tmp_path / "vid_report")
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            video_dedup_vetting_sink(state_p, report_p)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = {r.doc_id: r for r in spark.read.parquet(report_p).collect()}
+    assert len(report) == 4
+    assert report[1].keep and report[2].dup_in_batch and not report[2].keep
+    assert report[3].dup_of_state and not report[3].keep
+    assert report[4].keep
+    assert spark.read.parquet(state_p).count() == 4
+
+
+def test_audio_dedup_vetting_sink_batch_parity(spark, tmp_path):
+    """audio_dedup_vetting_sink through real Structured Streaming — the
+    sink symmetry twin of test_image_neardup_incremental_and_sink:
+    bootstrap reports within-batch dups, the second batch's verdicts
+    equal the hand-run vet against the first batch's state."""
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        audio_ahash_state,
+        audio_neardup_incremental,
+        encode_wav,
+    )
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        audio_dedup_vetting_sink,
+    )
+
+    t = np.arange(256)
+    loud_start = (np.where(t < 64, 8000, 500) * np.sin(t / 3.0)).astype(
+        np.int16
+    )
+    loud_end = loud_start[::-1].copy()
+    wav = lambda s: bytearray(encode_wav(s))
+    b1 = spark.createDataFrame(
+        [(1, wav(loud_start)), (2, wav(loud_start))],
+        "doc_id long, payload binary",
+    )
+    b2 = spark.createDataFrame(
+        [(3, wav(loud_start)), (4, wav(loud_end))],
+        "doc_id long, payload binary",
+    )
+    ingest = tmp_path / "wav_ingest"
+    b1.coalesce(1).write.parquet(str(ingest), mode="append")
+    b2.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p = str(tmp_path / "wav_state")
+    report_p = str(tmp_path / "wav_report")
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            audio_dedup_vetting_sink(state_p, report_p)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = {r.doc_id: r for r in spark.read.parquet(report_p).collect()}
+    assert len(report) == 4
+    assert report[1].keep and report[2].dup_in_batch and not report[2].keep
+    assert report[3].dup_of_state and not report[3].keep
+    assert report[4].keep
+    # streamed verdicts == hand-run batch vet against the same state
+    hand = {
+        r.doc_id: r
+        for r in audio_neardup_incremental(b2, audio_ahash_state(b1)).collect()
+    }
+    for i in (3, 4):
+        assert (report[i].dup_of_state, report[i].dup_in_batch,
+                report[i].keep) == (
+            hand[i].dup_of_state, hand[i].dup_in_batch, hand[i].keep
+        )

@@ -1338,6 +1338,34 @@ def test_image_neardup_plan_contract(spark, sf_dir):
         assert "payload" not in head, "payload bytes crossed an exchange"
 
 
+def test_video_neardup_plan_contract(spark, sf_dir):
+    """video_ahash is a pure narrow map (frames consumed in the scan
+    partitions — zero shuffles below the Arrow stage); the pair join
+    shuffles only (band, key, 8-byte signature) rows."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        video_ahash,
+        video_neardup_pairs,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+        formatted_plan,
+        sorted_windows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vids = attach_synthetic_video(
+        docs.select("doc_id"), width=8, height=4, n_frames=5, cut_every=2
+    )
+    assert count_shuffles(video_ahash(vids)) == 0
+    pairs = video_neardup_pairs(vids, max_distance=3, bands=4)
+    # band self-join + the distinct collapse; nothing else may shuffle
+    assert count_shuffles(pairs) <= 3
+    assert not sorted_windows(pairs)
+    for seg in formatted_plan(pairs).split("Exchange")[1:]:
+        assert "payload" not in seg[:400], "payload bytes crossed an exchange"
+
+
 def test_multimodal_codec_plan_contracts(spark, sf_dir):
     """Every real-codec decode (audio WAV, video y4m, image aHash) is a
     pure narrow map — zero shuffles, payload bytes consumed in the scan
