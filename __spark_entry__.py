@@ -2095,52 +2095,103 @@ def _video_feature_drift_sql() -> str:
 
 def q_multimodal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal intake flagship (operators.multimodal.
-    multimodal_intake_report): synthetic image/audio/video payloads for
-    doc_id < 500 with every 50th payload corrupted to junk — ONE
-    long-format health panel (volume, decode-error rate, per-modality
-    content stats), every value replayed in DuckDB from the three
-    closed forms."""
+    multimodal_intake_report): a doc_id < 40 ingest batch per modality
+    plus explicit re-uploads (doc_id%4==0 mirrored at doc_id+1000 with
+    the ORIGINAL's seed) and every doc_id%10==3 payload corrupted to
+    junk, vetted against a 20-clip fingerprint state whose seeds overlap
+    the batch's 20..39 range — ONE long-format health panel (volume,
+    decode-error rate, per-modality content stats, and the r13
+    ``neardup_rate``: the share of the batch whose fingerprint already
+    exists in the state or earlier in the batch, at max_distance 0 so
+    DuckDB replays the dup test by hash equality). Every value replayed
+    from the three closed forms."""
     from pyspark_data_drift_detector_spark.operators.multimodal import (
         attach_synthetic_audio,
         attach_synthetic_image,
         attach_synthetic_video,
+        audio_ahash_state,
+        image_ahash_state,
         multimodal_intake_report,
+        video_ahash_state,
     )
 
-    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 500")
+    docs = _documents(spark, sf_dir).select("doc_id")
+    ids = docs.filter("doc_id < 40")
+    batch_src = ids.selectExpr("doc_id", "doc_id AS seed").unionByName(
+        ids.filter("doc_id % 4 = 0").selectExpr(
+            "doc_id + 1000 AS doc_id", "doc_id AS seed"
+        )
+    )
+    state_src = docs.filter("doc_id >= 40 AND doc_id < 60").selectExpr(
+        "doc_id", "doc_id - 20 AS seed"
+    )
 
     def corrupt(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "payload",
-            F.when(F.col("doc_id") % 50 == 0, F.lit(b"junk")).otherwise(
+            F.when(F.col("doc_id") % 10 == 3, F.lit(b"junk")).otherwise(
                 F.col("payload")
             ),
         )
 
+    mk_img = lambda src: attach_synthetic_image(
+        src, width=8, height=4, fmt="ppm", seed_col="seed"
+    )
+    mk_aud = lambda src: attach_synthetic_audio(
+        src, n_samples=256, seed_col="seed"
+    )
+    mk_vid = lambda src: attach_synthetic_video(
+        src, width=16, height=8, n_frames=8, cut_every=4, seed_col="seed"
+    )
+    exact = {"max_distance": 0}
     out = multimodal_intake_report(
-        corrupt(attach_synthetic_image(ids, width=8, height=4)),
-        corrupt(attach_synthetic_audio(ids, n_samples=256)),
-        corrupt(attach_synthetic_video(ids, width=16, height=8,
-                                       n_frames=8, cut_every=4)),
+        corrupt(mk_img(batch_src)),
+        corrupt(mk_aud(batch_src)),
+        corrupt(mk_vid(batch_src)),
+        image_state=image_ahash_state(mk_img(state_src)),
+        audio_state=audio_ahash_state(mk_aud(state_src)),
+        video_state=video_ahash_state(mk_vid(state_src)),
+        image_opts=exact, audio_opts=exact, video_opts=exact,
     )
     return _round_cols(out, ["value"])
 
 
 def _multimodal_report_sql() -> str:
-    # clean = decodable payloads; every 50th doc is corrupted junk
-    base = "SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500"
-    clean = f"{base} AND doc_id % 50 <> 0"
+    # batch = doc_id < 40 plus +1000 re-upload mirrors of doc_id%4==0
+    # (mirror ids are never % 10 = 3, so corruption hits base docs only);
+    # clean = decodable payloads; state seeds 20..39 overlap the batch
+    batch = """
+      SELECT doc_id, doc_id AS seed FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 1000, doc_id FROM documents
+      WHERE doc_id < 40 AND doc_id % 4 = 0"""
+    clean = f"SELECT * FROM ({batch}) WHERE doc_id % 10 <> 3"
+    state = """
+      SELECT doc_id, doc_id - 20 AS seed FROM documents
+      WHERE doc_id >= 40 AND doc_id < 60"""
     counts = f"""
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS DOUBLE)
           AS errs
-      FROM ({base})"""
+      FROM ({batch})"""
+    # exact-match (max_distance 0) dup share: batch fingerprints equal to
+    # a state fingerprint or an earlier-id batch fingerprint; flat (0)
+    # hashes never match — same guard as the operator
+    dup = """
+      SELECT CAST((SELECT COUNT(*) FROM sig_{b} x
+        WHERE x.h <> 0 AND (
+          EXISTS (SELECT 1 FROM sig_{p} p WHERE p.h = x.h)
+          OR EXISTS (SELECT 1 FROM sig_{b} e
+                     WHERE e.doc_id < x.doc_id AND e.h = x.h)))
+        AS DOUBLE) / (SELECT n FROM cnt) AS rate"""
     return f"""
     WITH cnt AS ({counts}),
+    cb AS ({clean}),
+    st AS ({state}),
     ipx AS (
-      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+      SELECT d.doc_id, CAST((d.seed * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
         r.i % 3 AS ch, r.i // 3 AS pix
-      FROM ({clean}) d CROSS JOIN range(96) r(i)),
+      FROM cb d CROSS JOIN range(96) r(i)),
     ilp AS (
       SELECT doc_id, pix,
         SUM(v * CASE ch WHEN 0 THEN 0.299 WHEN 1 THEN 0.587
@@ -2149,17 +2200,17 @@ def _multimodal_report_sql() -> str:
     idoc AS (SELECT doc_id, AVG(luma) AS lm FROM ilp GROUP BY 1),
     img AS (SELECT AVG(lm) AS luma_avg FROM idoc),
     asm AS (
-      SELECT d.doc_id, (d.doc_id * 37 + r.i * 11) % 4001 - 2000 AS s
-      FROM ({clean}) d CROSS JOIN range(256) r(i)),
+      SELECT d.doc_id, (d.seed * 37 + r.i * 11) % 4001 - 2000 AS s
+      FROM cb d CROSS JOIN range(256) r(i)),
     adoc AS (
       SELECT doc_id, SQRT(CAST(SUM(s * s) AS DOUBLE) / 256) AS rms
       FROM asm GROUP BY 1),
     aud AS (SELECT AVG(rms) AS rms_avg FROM adoc),
     vfs AS (
       SELECT d.doc_id, f.f,
-        SUM((d.doc_id * 13 + f.f * 29 + r.i * 3 +
+        SUM((d.seed * 13 + f.f * 29 + r.i * 3 +
              CASE WHEN f.f % 4 = 0 THEN 96 ELSE 0 END) % 256) AS s
-      FROM ({clean}) d
+      FROM cb d
       CROSS JOIN range(8) f(f) CROSS JOIN range(128) r(i)
       GROUP BY 1, 2),
     vdl AS (
@@ -2173,7 +2224,16 @@ def _multimodal_report_sql() -> str:
         CAST(SUM(COALESCE(dd, 0)) AS DOUBLE) / {128 * 7} AS motion
       FROM vdl GROUP BY 1),
     vid AS (SELECT AVG(cuts) AS cuts_avg, AVG(motion) AS motion_avg
-            FROM vdoc)
+            FROM vdoc),
+    {_ahash_chain_sql('ib', 'cb')},
+    {_ahash_chain_sql('ip', 'st')},
+    {_audio_sig_chain_sql('ab', 'cb')},
+    {_audio_sig_chain_sql('ap', 'st')},
+    {_video_sig_chain_sql('vb', 'cb', nf=8)},
+    {_video_sig_chain_sql('vp', 'st', nf=8)},
+    img_dup AS ({dup.format(b='ib', p='ip')}),
+    aud_dup AS ({dup.format(b='ab', p='ap')}),
+    vid_dup AS ({dup.format(b='vb', p='vp')})
     SELECT 'image' AS modality, 'n_payloads' AS metric,
            ROUND(n, {ROUND}) AS value FROM cnt
     UNION ALL SELECT 'image', 'decode_error_rate', ROUND(errs / n, {ROUND})
@@ -2193,7 +2253,13 @@ def _multimodal_report_sql() -> str:
     UNION ALL SELECT 'video', 'scene_cuts_avg', ROUND(cuts_avg, {ROUND})
       FROM vid
     UNION ALL SELECT 'video', 'motion_avg', ROUND(motion_avg, {ROUND})
-      FROM vid"""
+      FROM vid
+    UNION ALL SELECT 'image', 'neardup_rate', ROUND(rate, {ROUND})
+      FROM img_dup
+    UNION ALL SELECT 'audio', 'neardup_rate', ROUND(rate, {ROUND})
+      FROM aud_dup
+    UNION ALL SELECT 'video', 'neardup_rate', ROUND(rate, {ROUND})
+      FROM vid_dup"""
 
 
 def q_multimodal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

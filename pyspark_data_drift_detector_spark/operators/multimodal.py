@@ -770,8 +770,19 @@ def image_ahash(
                 except (ValueError, IndexError) as exc:
                     row = (None, None, None, str(exc))
                 out.append((doc_id,) + row)
+            # the hash column is built as nullable Int64 BEFORE the
+            # DataFrame exists: tuple-list construction infers float64
+            # for a batch mixing hashes with NULLs (decode errors),
+            # silently rounding hashes above 2^53 at construction time
+            # and breaking the integer-exact oracle contract
             yield pd.DataFrame(
-                out, columns=[f.name for f in IMAGE_AHASH_SCHEMA.fields]
+                {
+                    "doc_id": [r[0] for r in out],
+                    "ahash": pd.array([r[1] for r in out], dtype="Int64"),
+                    "width": pd.array([r[2] for r in out], dtype="Int32"),
+                    "height": pd.array([r[3] for r in out], dtype="Int32"),
+                    "decode_error": [r[4] for r in out],
+                }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -1219,8 +1230,17 @@ def audio_ahash(
                 except (ValueError, IndexError) as exc:
                     row = (None, None, str(exc))
                 out.append((doc_id,) + row)
+            # nullable Int64 at construction (see image_ahash): float64
+            # inference on error-mixed batches rounds hashes above 2^53
             yield pd.DataFrame(
-                out, columns=[f.name for f in AUDIO_AHASH_SCHEMA.fields]
+                {
+                    "doc_id": [r[0] for r in out],
+                    "ahash": pd.array([r[1] for r in out], dtype="Int64"),
+                    "n_samples": pd.array(
+                        [r[2] for r in out], dtype="Int64"
+                    ),
+                    "decode_error": [r[3] for r in out],
+                }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -1471,6 +1491,12 @@ def multimodal_intake_report(
     video: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    image_state: DataFrame | None = None,
+    audio_state: DataFrame | None = None,
+    video_state: DataFrame | None = None,
+    image_opts: dict | None = None,
+    audio_opts: dict | None = None,
+    video_opts: dict | None = None,
 ) -> DataFrame:
     """The multimodal intake-health flagship — the modality sibling of
     ``corpus_report``/``events_report``: ONE long-format frame
@@ -1481,11 +1507,26 @@ def multimodal_intake_report(
     the modality's headline content stats (images: exposure + width;
     audio: level + duration; video: cut rate + motion).
 
+    Passing a modality's fingerprint state (``image_state`` /
+    ``audio_state`` / ``video_state`` — the appended
+    :func:`image_ahash_state` / :func:`audio_ahash_state` /
+    :func:`video_ahash_state` tables) adds that modality's
+    ``neardup_rate`` metric: the share of the batch flagged by the
+    vet-the-increment member (``dup_of_state OR dup_in_batch``) — the
+    "is today's ingest mostly copies?" number the nightly panel needs
+    next to volume and error rate. ``*_opts`` forward fingerprint knobs
+    (``grid``, ``max_distance``, ``bands``, ``max_bucket_size``) to the
+    respective ``*_neardup_incremental``; state and probe must share
+    one configuration (the state contract).
+
     Plan shape: each modality is ONE ``mapInPandas`` decode in its scan
     partitions feeding ONE 1-row aggregate (conditional aggs skip
     failed decodes), unpivoted to the long panel — payload bytes never
-    shuffle, the union is O(metrics) rows. Any input may be empty
-    (rates are ``nullif``-guarded)."""
+    shuffle, the union is O(metrics) rows. Each requested dup panel
+    adds one capped banded-Hamming join of 8-byte signatures (batch vs
+    O(state) rows) reduced to one more 1-row aggregate. Any input may
+    be empty (rates are ``nullif``-guarded; an empty batch's
+    ``neardup_rate`` is NULL)."""
 
     def panel(df: DataFrame, modality: str, stats: list[tuple[str, str]]):
         agg = df.selectExpr(
@@ -1525,7 +1566,45 @@ def multimodal_intake_report(
         "video",
         [("scene_cuts_avg", "scene_cuts"), ("motion_avg", "motion")],
     )
-    return img.unionByName(aud).unionByName(vid)
+    out = img.unionByName(aud).unionByName(vid)
+
+    def dup_panel(inc: DataFrame, modality: str) -> DataFrame:
+        # global agg, not groupBy: an EMPTY batch still yields one row
+        # (value NULL), keeping the panel's modality set stable
+        return (
+            inc.selectExpr("CAST(dup_of_state OR dup_in_batch AS DOUBLE) AS __d")
+            .agg(F.expr("avg(__d) AS value"))
+            .selectExpr(
+                f"'{modality}' AS modality", "'neardup_rate' AS metric",
+                "value",
+            )
+        )
+
+    if image_state is not None:
+        out = out.unionByName(dup_panel(
+            image_neardup_incremental(
+                images, image_state, payload_col, id_col,
+                **(image_opts or {}),
+            ),
+            "image",
+        ))
+    if audio_state is not None:
+        out = out.unionByName(dup_panel(
+            audio_neardup_incremental(
+                audio, audio_state, payload_col, id_col,
+                **(audio_opts or {}),
+            ),
+            "audio",
+        ))
+    if video_state is not None:
+        out = out.unionByName(dup_panel(
+            video_neardup_incremental(
+                video, video_state, payload_col, id_col,
+                **(video_opts or {}),
+            ),
+            "video",
+        ))
+    return out
 
 
 def multimodal_state(
@@ -1795,8 +1874,17 @@ def video_ahash(
                 except (ValueError, IndexError) as exc:
                     row = (None, None, str(exc))
                 out.append((doc_id,) + row)
+            # nullable Int64 at construction (see image_ahash): float64
+            # inference on error-mixed batches rounds hashes above 2^53
             yield pd.DataFrame(
-                out, columns=[f.name for f in VIDEO_AHASH_SCHEMA.fields]
+                {
+                    "doc_id": [r[0] for r in out],
+                    "ahash": pd.array([r[1] for r in out], dtype="Int64"),
+                    "n_frames": pd.array(
+                        [r[2] for r in out], dtype="Int64"
+                    ),
+                    "decode_error": [r[3] for r in out],
+                }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(

@@ -876,3 +876,52 @@ def test_audio_dedup_vetting_sink_batch_parity(spark, tmp_path):
                 report[i].keep) == (
             hand[i].dup_of_state, hand[i].dup_in_batch, hand[i].keep
         )
+
+
+def test_ahash_exact_above_2_53_with_error_rows(spark):
+    """Regression: a batch mixing decode errors (NULL hash) with real
+    fingerprints must NOT round hashes through float64 — tuple-list
+    pandas construction infers float64 for int+None columns and silently
+    rounds values above 2^53 (caught as a 2-ulp hash shift that broke
+    engine-portable dedup in batches containing any corrupt payload).
+    The hash of every decodable payload must be identical whether or not
+    a corrupt row shares its batch."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        attach_synthetic_image,
+        attach_synthetic_video,
+        audio_ahash,
+        image_ahash,
+        video_ahash,
+    )
+
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    fixtures = [
+        (image_ahash, attach_synthetic_image(ids, width=8, height=4)),
+        (audio_ahash, attach_synthetic_audio(ids, n_samples=256)),
+        (video_ahash, attach_synthetic_video(
+            ids, width=16, height=8, n_frames=8, cut_every=4)),
+    ]
+    from pyspark.sql import functions as F
+
+    for hash_fn, payloads in fixtures:
+        payloads = payloads.coalesce(1)  # one Arrow batch: errors share it
+        clean = {r.doc_id: r.ahash for r in hash_fn(payloads).collect()}
+        poisoned = payloads.withColumn(
+            "payload",
+            F.when(F.col("doc_id") % 10 == 3, F.lit(b"junk")).otherwise(
+                F.col("payload")
+            ),
+        )
+        mixed = {r.doc_id: r.ahash for r in hash_fn(poisoned).collect()}
+        assert any(
+            h is not None and abs(h) > (1 << 53) for h in clean.values()
+        ), "fixture must exercise hashes above float64's exact range"
+        for d, h in clean.items():
+            if d % 10 == 3:
+                assert mixed[d] is None
+            else:
+                assert mixed[d] == h, (
+                    f"{hash_fn.__name__}: doc {d} hash changed when a"
+                    f" corrupt row joined the batch: {h} -> {mixed[d]}"
+                )

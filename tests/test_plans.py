@@ -1401,3 +1401,22 @@ def test_multimodal_codec_plan_contracts(spark, sf_dir):
     assert not sorted_windows(rep)
     for seg in formatted_plan(rep).split("Exchange")[1:]:
         assert "payload" not in seg[:400], "payload bytes crossed an exchange"
+
+    # with fingerprint states, the dup panels add capped banded joins of
+    # 8-byte signatures — payload bytes still never cross an exchange
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        audio_ahash_state,
+        image_ahash_state,
+        video_ahash_state,
+    )
+
+    imgs = attach_synthetic_image(ids, width=8, height=4)
+    rep2 = multimodal_intake_report(
+        imgs, wavs, vids,
+        image_state=image_ahash_state(imgs.filter("doc_id < 50")),
+        audio_state=audio_ahash_state(wavs.filter("doc_id < 50")),
+        video_state=video_ahash_state(vids.filter("doc_id < 50")),
+    )
+    assert not sorted_windows(rep2)
+    for seg in formatted_plan(rep2).split("Exchange")[1:]:
+        assert "payload" not in seg[:400], "payload bytes crossed an exchange"
