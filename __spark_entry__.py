@@ -1160,6 +1160,134 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_DECODE_ROWS = [
+    (0, 837, 'jpeg', 16, 16, 127.81211, 70.27942, False),
+    (1, 832, 'jpeg', 16, 16, 127.82524, 70.26573, False),
+    (2, 839, 'jpeg', 16, 16, 127.77611, 69.8087, False),
+    (3, 7, None, None, None, None, None, True),
+    (4, 834, 'jpeg', 16, 16, 127.76348, 70.185, False),
+    (5, 829, 'jpeg', 16, 16, 127.74095, 70.10041, False),
+    (6, 837, 'jpeg', 16, 16, 127.81124, 70.06096, False),
+    (7, 839, 'jpeg', 16, 16, 127.67836, 69.83923, False),
+    (8, 835, 'jpeg', 16, 16, 127.81673, 70.13004, False),
+    (9, 821, 'jpeg', 16, 16, 127.73487, 69.69721, False),
+    (10, 835, 'jpeg', 16, 16, 127.79825, 70.19452, False),
+    (11, 841, 'jpeg', 16, 16, 127.682, 70.22112, False),
+    (12, 833, 'jpeg', 16, 16, 127.73717, 70.03258, False),
+    (13, 7, None, None, None, None, None, True),
+    (14, 838, 'jpeg', 16, 16, 127.76563, 70.15543, False),
+    (15, 838, 'jpeg', 16, 16, 127.79358, 69.95774, False),
+    (16, 824, 'jpeg', 16, 16, 127.84698, 70.07668, False),
+    (17, 834, 'jpeg', 16, 16, 127.77251, 70.199, False),
+    (18, 834, 'jpeg', 16, 16, 127.74348, 70.23509, False),
+    (19, 836, 'jpeg', 16, 16, 127.816, 69.98449, False),
+    (20, 829, 'jpeg', 16, 16, 127.82431, 69.82536, False),
+    (21, 838, 'jpeg', 16, 16, 127.81683, 70.07082, False),
+    (22, 838, 'jpeg', 16, 16, 127.82414, 69.71361, False),
+    (23, 7, None, None, None, None, None, True),
+    (24, 834, 'jpeg', 16, 16, 127.70218, 69.99317, False),
+    (25, 837, 'jpeg', 16, 16, 127.628, 70.10574, False),
+    (26, 837, 'jpeg', 16, 16, 127.78356, 70.04477, False),
+    (27, 835, 'jpeg', 16, 16, 127.81798, 70.05215, False),
+    (28, 835, 'jpeg', 16, 16, 127.63623, 70.02793, False),
+    (29, 837, 'jpeg', 16, 16, 127.61029, 69.89547, False),
+    (30, 832, 'jpeg', 16, 16, 127.66522, 70.03334, False),
+    (31, 833, 'jpeg', 16, 16, 127.84032, 70.09466, False),
+    (32, 838, 'jpeg', 16, 16, 127.73492, 70.41162, False),
+    (33, 7, None, None, None, None, None, True),
+    (34, 834, 'jpeg', 16, 16, 127.89801, 70.15068, False),
+    (35, 836, 'jpeg', 16, 16, 127.70855, 70.04937, False),
+    (36, 839, 'jpeg', 16, 16, 127.82068, 70.07522, False),
+    (37, 833, 'jpeg', 16, 16, 127.72853, 70.18976, False),
+    (38, 825, 'jpeg', 16, 16, 127.75297, 69.73138, False),
+    (39, 839, 'jpeg', 16, 16, 127.73315, 70.33528, False),
+    (40, 836, 'jpeg', 16, 16, 127.74833, 69.66738, False),
+    (41, 831, 'jpeg', 16, 16, 127.77934, 70.14726, False),
+    (42, 825, 'jpeg', 16, 16, 127.6336, 69.83854, False),
+    (43, 7, None, None, None, None, None, True),
+    (44, 841, 'jpeg', 16, 16, 127.8615, 70.24333, False),
+    (45, 833, 'jpeg', 16, 16, 127.76278, 70.30749, False),
+    (46, 832, 'jpeg', 16, 16, 127.75946, 69.90061, False),
+    (47, 836, 'jpeg', 16, 16, 127.66652, 69.92654, False),
+    (48, 839, 'jpeg', 16, 16, 127.72339, 69.98606, False),
+    (49, 826, 'jpeg', 16, 16, 127.77482, 69.82816, False),
+    (50, 833, 'jpeg', 16, 16, 127.73648, 70.27822, False),
+    (51, 839, 'jpeg', 16, 16, 127.65232, 70.31332, False),
+    (52, 835, 'jpeg', 16, 16, 127.79407, 70.03322, False),
+    (53, 7, None, None, None, None, None, True),
+    (54, 835, 'jpeg', 16, 16, 127.81538, 70.15833, False),
+    (55, 838, 'jpeg', 16, 16, 127.79329, 69.93286, False),
+    (56, 838, 'jpeg', 16, 16, 127.74143, 70.1847, False),
+    (57, 834, 'jpeg', 16, 16, 127.77532, 70.10983, False),
+    (58, 835, 'jpeg', 16, 16, 127.78772, 70.09956, False),
+    (59, 835, 'jpeg', 16, 16, 127.76083, 70.02684, False),
+]
+
+
+def _jpeg_decode_sql() -> str:
+    """Precomputed-oracle table for q_jpeg_decode (see
+    tools/gen_jpeg_oracle.py): JPEG is lossy, so the oracle pins the
+    deterministic decoder output instead of a pixel closed form."""
+    vals = []
+    for d, n, fmt, w, h, lm, ls, failed in _JPEG_DECODE_ROWS:
+        fmt_s = f"'{fmt}'" if fmt else "CAST(NULL AS VARCHAR)"
+        w_s = str(w) if w is not None else "CAST(NULL AS INT)"
+        h_s = str(h) if h is not None else "CAST(NULL AS INT)"
+        lm_s = (f"CAST({lm!r} AS DOUBLE)" if lm is not None
+                else "CAST(NULL AS DOUBLE)")
+        ls_s = (f"CAST({ls!r} AS DOUBLE)" if ls is not None
+                else "CAST(NULL AS DOUBLE)")
+        vals.append(
+            f"({d}, CAST({n} AS BIGINT), {fmt_s}, {w_s}, {h_s},"
+            f" {lm_s}, {ls_s}, {str(failed).upper()})"
+        )
+    body = ",\n      ".join(vals)
+    # join against documents so the row set tracks the fixture predicate
+    return f"""
+    SELECT t.* FROM (VALUES
+      {body})
+      AS t(doc_id, n_bytes, fmt, width, height, luma_mean, luma_std,
+           failed)
+    WHERE t.doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 60)"""
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: a genuine baseline-sequential JPEG
+    (4:2:0, quality 90) is built per doc_id < 60 from the closed-form
+    pixels (functions.jpeg.encode_jpeg — pure NumPy, no image library),
+    every doc_id%10==3 payload corrupted after the magic, and parsed
+    back by the pure-NumPy Huffman+IDCT decoder inside
+    decode_images(codec='auto'). JPEG is lossy, so no SQL closed form
+    exists; the oracle pins a PRECOMPUTED table of the decoder's
+    deterministic output (regenerate with tools/gen_jpeg_oracle.py) —
+    any drift in marker parsing, Huffman tables, dequantization, IDCT
+    rounding, upsampling, or color conversion breaks the hash."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 60")
+    jpgs = attach_synthetic_image(ids, width=16, height=16, fmt="jpeg")
+    jpgs = jpgs.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.lit(b"\xff\xd8\xffjunk")
+        ).otherwise(F.col("payload")),
+    )
+    out = decode_images(jpgs, codec="auto").selectExpr(
+        "doc_id",
+        "n_bytes",
+        "format AS fmt",
+        "CAST(width AS INT) AS width",
+        "CAST(height AS INT) AS height",
+        "luma_mean",
+        "luma_std",
+        "CAST(decode_error IS NOT NULL AS BOOLEAN) AS failed",
+    )
+    return _round_cols(out, ["luma_mean", "luma_std"])
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode: a genuine binary P6 PPM payload is built per doc
     (pixel bytes follow the closed form (doc_id*31 + i*7) % 256 — see
@@ -9873,6 +10001,7 @@ def _oracle_queries() -> dict[str, str]:
         "image_clusters": _image_clusters_sql(),
         "video_neardup": _video_neardup_sql(),
         "video_incremental": _video_incremental_sql(),
+        "jpeg_decode": _jpeg_decode_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12091,7 +12220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r13 (no driver verdict yet): gate this round ---
         "video_neardup": q_video_neardup,
         "video_incremental": q_video_incremental,
-        # --- cohort: last driver-gated r9 (oldest; first 38 fill the
+        "jpeg_decode": q_jpeg_decode,
+        # --- cohort: last driver-gated r9 (oldest; the first 37 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
@@ -12130,8 +12260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_incremental": q_passage_incremental,
         "passage_pairs": q_passage_pairs,
         "psi": q_psi,
-        "psi_numeric": q_psi_numeric,
         # ---------- driver window boundary (position 50) ----------
+        "psi_numeric": q_psi_numeric,
         "quantile_shift": q_quantile_shift,
         "rare_categories": q_rare_categories,
         "rare_values": q_rare_values,

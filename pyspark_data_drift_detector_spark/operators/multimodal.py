@@ -5,21 +5,22 @@ Images/audio/video are carried as ``binary`` columns with a metadata struct
 — schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning — is
 real and tested. Two codec tiers exist:
 
-* ``codec='ppm'`` / ``'bmp'`` / ``'auto'`` — REAL decoders for the two
-  standard uncompressed raster formats (binary P6 PPM and 24-bit
-  uncompressed BMP), implemented header-parse + numpy pixel math with no
-  external imaging library; corrupt payloads yield a ``decode_error`` row
-  instead of failing the job (at 100 TB some payloads WILL be truncated).
-  Audio gets the same treatment: ``decode_audio`` parses mono 16-bit PCM
-  WAV (real RIFF chunk walk) into the waveform health panel; video too:
-  ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0 streams into the temporal
-  panel (scene cuts, motion, exposure).
+* ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'auto'`` — REAL decoders:
+  the two standard uncompressed raster formats (binary P6 PPM and 24-bit
+  uncompressed BMP) as header-parse + numpy pixel math, and
+  baseline-sequential JPEG via the pure-NumPy Huffman+IDCT codec in
+  :mod:`..functions.jpeg` (no external imaging library anywhere);
+  corrupt payloads yield a ``decode_error`` row instead of failing the
+  job (at 100 TB some payloads WILL be truncated). Audio gets the same
+  treatment: ``decode_audio`` parses mono 16-bit PCM WAV (real RIFF
+  chunk walk) into the waveform health panel; video too:
+  ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0 streams into the
+  temporal panel (scene cuts, motion, exposure).
 * ``codec='stub'`` — deterministic byte-level features for plumbing
-  tests/oracles. Compressed formats (JPEG/PNG/H.26x) still raise
-  ``NotImplementedError``: their decode libraries (PIL/opencv/ffmpeg) are
-  not available in this container, and a hand-rolled JPEG would be
-  untrustworthy — the ``mapInPandas`` slot they'd fill is the same one
-  the PPM/BMP decoders occupy.
+  tests/oracles. The remaining compressed formats (PNG/H.26x) still
+  raise ``NotImplementedError``: they need zlib/LZW/motion-codec stacks
+  absent in this container — the ``mapInPandas`` slot they'd fill is
+  the same one the PPM/BMP/JPEG decoders occupy.
 
 Beyond decode/feature plumbing, the module carries the multimodal members
 of the engine's drift and dedup families: cross-modal alignment drift
@@ -214,7 +215,19 @@ def _parse_bmp(data: bytes):
     return bgr[:, :, ::-1]  # BGR → RGB
 
 
-_MAGIC_PARSERS = {"ppm": _parse_ppm, "bmp": _parse_bmp}
+def _parse_jpeg(data: bytes):
+    """Baseline-sequential JPEG → ``(h, w, 3)`` uint8 RGB via the
+    pure-NumPy decoder in :mod:`..functions.jpeg` (this environment has
+    no image library, so the most common compressed format is closed
+    from the public spec alone). Grayscale replicates into 3 channels;
+    progressive/arithmetic/12-bit/exotic streams are rejected loudly
+    there — the ``_parse_wav`` convention."""
+    from pyspark_data_drift_detector_spark.functions.jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+_MAGIC_PARSERS = {"ppm": _parse_ppm, "bmp": _parse_bmp, "jpeg": _parse_jpeg}
 
 
 def _sniff_format(data: bytes) -> str | None:
@@ -222,6 +235,8 @@ def _sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -260,22 +275,26 @@ def decode_images(
     256 bytes, and an ``n_features``-bucket byte-value histogram
     (normalized), in :data:`IMAGE_FEATURE_SCHEMA`.
 
-    ``codec='ppm'`` / ``'bmp'`` / ``'auto'`` (sniff per payload by magic)
-    REALLY decode the payload — header parse + pixel extraction — and emit
-    :data:`IMAGE_DECODE_SCHEMA`: dimensions, per-channel mean/std, Rec. 601
-    luma mean/std, and an ``n_features``-bucket luma histogram. A payload
-    that fails to decode yields NULL stats + ``decode_error`` rather than
-    failing the job. Compressed codecs (jpeg/png/...) raise
-    ``NotImplementedError`` — their libraries are absent here; a real
-    decoder slots into the same ``mapInPandas`` without touching the plan.
+    ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'auto'`` (sniff per
+    payload by magic) REALLY decode the payload — header parse + pixel
+    extraction; JPEG via the pure-NumPy baseline-sequential decoder in
+    :mod:`..functions.jpeg` — and emit :data:`IMAGE_DECODE_SCHEMA`:
+    dimensions, per-channel mean/std, Rec. 601 luma mean/std, and an
+    ``n_features``-bucket luma histogram. A payload that fails to decode
+    yields NULL stats + ``decode_error`` rather than failing the job.
+    Remaining compressed codecs (png/gif/webp) raise
+    ``NotImplementedError`` — their formats need zlib/LZW stacks absent
+    here; a real decoder slots into the same ``mapInPandas`` without
+    touching the plan.
     """
-    if codec in ("ppm", "bmp", "auto"):
+    if codec in ("ppm", "bmp", "jpeg", "auto"):
         return _decode_images_real(df, payload_col, id_col, codec, n_features)
     if codec != "stub":
         raise NotImplementedError(
-            f"codec={codec!r}: compressed-format decoders are not available "
-            "in this environment; implemented codecs: 'ppm', 'bmp', 'auto' "
-            "(real), 'stub' (deterministic byte features)"
+            f"codec={codec!r}: this compressed format's decoder is not "
+            "available in this environment; implemented codecs: 'ppm', "
+            "'bmp', 'jpeg', 'auto' (real), 'stub' (deterministic byte "
+            "features)"
         )
 
     def _decode(iterator):
@@ -438,12 +457,16 @@ def attach_synthetic_image(
     over the row-major flattened ``(height, width, 3)`` array — chosen so an
     external oracle can recompute every decoded statistic from the seed
     alone, without a PPM/BMP parser (the driver's DuckDB oracle does exactly
-    this). ``fmt`` picks the container: ``'ppm'`` or ``'bmp'``. The seed is
+    this). ``fmt`` picks the container: ``'ppm'``, ``'bmp'``, or
+    ``'jpeg'`` (baseline 4:2:0 at quality 90 via
+    :func:`..functions.jpeg.encode_jpeg` — NOTE: jpeg is LOSSY, so the
+    decoded stats are deterministic but NOT the closed form; oracles for
+    jpeg fixtures pin a precomputed table instead). The seed is
     ``id_col`` by default; pass ``seed_col`` to generate IDENTICAL payloads
     under distinct ids (the duplicate-image fixture shape).
     """
-    if fmt not in ("ppm", "bmp"):
-        raise ValueError(f"fmt must be 'ppm' or 'bmp', got {fmt!r}")
+    if fmt not in ("ppm", "bmp", "jpeg"):
+        raise ValueError(f"fmt must be 'ppm', 'bmp', or 'jpeg', got {fmt!r}")
     seed_col = seed_col or id_col
 
     def _gen(iterator):
@@ -452,7 +475,14 @@ def attach_synthetic_image(
 
         n = width * height * 3
         i = np.arange(n, dtype=np.int64)
-        enc = encode_ppm if fmt == "ppm" else encode_bmp
+        if fmt == "jpeg":
+            from pyspark_data_drift_detector_spark.functions.jpeg import (
+                encode_jpeg,
+            )
+
+            enc = lambda px: encode_jpeg(px, quality=90, subsampling="420")
+        else:
+            enc = encode_ppm if fmt == "ppm" else encode_bmp
         for batch in iterator:
             ids = batch[id_col].to_numpy()
             seeds = batch[seed_col].to_numpy()
