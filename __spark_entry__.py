@@ -1363,6 +1363,77 @@ def _image_decode_sql(w: int = 8, h: int = 4) -> str:
     JOIN l USING (doc_id)"""
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode: a genuine non-interlaced 8-bit PNG is built per
+    doc (functions.png.encode_png over the closed-form pixels, with the
+    'mixed' filter cycling all five scanline filters — at 5 rows every
+    image exercises every unfilter path: None/Sub/Up/Average/Paeth) and
+    parsed back by the stdlib-zlib decoder in decode_images(codec='auto').
+    PNG is LOSSLESS, so unlike jpeg_decode the oracle replays every
+    statistic from the pixel formula alone — wrong filter math, palette
+    handling, or CRC walk would diverge. n_bytes is excluded: the DEFLATE
+    stream length is zlib-version-specific, pixels are not."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 150")
+    payloads = attach_synthetic_image(ids, width=8, height=5, fmt="png")
+    out = decode_images(payloads, codec="auto").selectExpr(
+        "doc_id",
+        "format AS fmt",
+        "CAST(width AS INT) AS width",
+        "CAST(height AS INT) AS height",
+        "CAST(channels AS INT) AS channels",
+        "channel_mean[0] AS r_mean",
+        "channel_mean[1] AS g_mean",
+        "channel_mean[2] AS b_mean",
+        "channel_std[0] AS r_std",
+        "luma_mean",
+        "luma_std",
+    )
+    return _round_cols(
+        out, ["r_mean", "g_mean", "b_mean", "r_std", "luma_mean", "luma_std"]
+    )
+
+
+def _png_decode_sql(w: int = 8, h: int = 5) -> str:
+    """Closed-form replay of the synthetic-PNG decode — identical pixel
+    math to _image_decode_sql (PNG is lossless), minus the n_bytes
+    column (DEFLATE length is zlib-version-specific)."""
+    n = w * h * 3
+    return f"""
+    WITH px AS (
+      SELECT d.doc_id, CAST((d.doc_id * 31 + r.i * 7) % 256 AS DOUBLE) AS v,
+             r.i % 3 AS ch, r.i // 3 AS pix
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 150) d
+      CROSS JOIN range({n}) r(i)),
+    chan AS (
+      SELECT doc_id, ch, AVG(v) AS m, STDDEV_POP(v) AS sd
+      FROM px GROUP BY 1, 2),
+    lpx AS (
+      SELECT doc_id, pix,
+        SUM(v * CASE ch WHEN 0 THEN 0.299 WHEN 1 THEN 0.587 ELSE 0.114 END) AS luma
+      FROM px GROUP BY 1, 2),
+    l AS (SELECT doc_id, AVG(luma) AS m, STDDEV_POP(luma) AS sd
+          FROM lpx GROUP BY 1)
+    SELECT c0.doc_id,
+      'png' AS fmt,
+      CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+      CAST(3 AS INT) AS channels,
+      ROUND(c0.m, {ROUND}) AS r_mean,
+      ROUND(c1.m, {ROUND}) AS g_mean,
+      ROUND(c2.m, {ROUND}) AS b_mean,
+      ROUND(c0.sd, {ROUND}) AS r_std,
+      ROUND(l.m, {ROUND}) AS luma_mean,
+      ROUND(l.sd, {ROUND}) AS luma_std
+    FROM (SELECT * FROM chan WHERE ch = 0) c0
+    JOIN (SELECT * FROM chan WHERE ch = 1) c1 USING (doc_id)
+    JOIN (SELECT * FROM chan WHERE ch = 2) c2 USING (doc_id)
+    JOIN l USING (doc_id)"""
+
+
 def q_image_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal drift closed end-to-end: decode REAL synthetic PPM
     payloads on both sides (ref docs at 8x4, curr docs at 12x4 — the
@@ -10002,6 +10073,7 @@ def _oracle_queries() -> dict[str, str]:
         "video_neardup": _video_neardup_sql(),
         "video_incremental": _video_incremental_sql(),
         "jpeg_decode": _jpeg_decode_sql(),
+        "png_decode": _png_decode_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12221,7 +12293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "video_incremental": q_video_incremental,
         "jpeg_decode": q_jpeg_decode,
-        # --- cohort: last driver-gated r9 (oldest; the first 37 fill the
+        "png_decode": q_png_decode,
+        # --- cohort: last driver-gated r9 (oldest; the first 36 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
@@ -12259,8 +12332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_incremental": q_passage_incremental,
         "passage_pairs": q_passage_pairs,
-        "psi": q_psi,
         # ---------- driver window boundary (position 50) ----------
+        "psi": q_psi,
         "psi_numeric": q_psi_numeric,
         "quantile_shift": q_quantile_shift,
         "rare_categories": q_rare_categories,

@@ -5,22 +5,23 @@ Images/audio/video are carried as ``binary`` columns with a metadata struct
 — schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning — is
 real and tested. Two codec tiers exist:
 
-* ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'auto'`` — REAL decoders:
-  the two standard uncompressed raster formats (binary P6 PPM and 24-bit
-  uncompressed BMP) as header-parse + numpy pixel math, and
-  baseline-sequential JPEG via the pure-NumPy Huffman+IDCT codec in
-  :mod:`..functions.jpeg` (no external imaging library anywhere);
-  corrupt payloads yield a ``decode_error`` row instead of failing the
-  job (at 100 TB some payloads WILL be truncated). Audio gets the same
-  treatment: ``decode_audio`` parses mono 16-bit PCM WAV (real RIFF
-  chunk walk) into the waveform health panel; video too:
-  ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0 streams into the
-  temporal panel (scene cuts, motion, exposure).
+* ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'png'`` / ``'auto'`` —
+  REAL decoders: the two standard uncompressed raster formats (binary
+  P6 PPM and 24-bit uncompressed BMP) as header-parse + numpy pixel
+  math, baseline-sequential JPEG via the pure-NumPy Huffman+IDCT codec
+  in :mod:`..functions.jpeg`, and non-interlaced PNG via the
+  stdlib-zlib codec in :mod:`..functions.png` (no external imaging
+  library anywhere); corrupt payloads yield a ``decode_error`` row
+  instead of failing the job (at 100 TB some payloads WILL be
+  truncated). Audio gets the same treatment: ``decode_audio`` parses
+  mono 16-bit PCM WAV (real RIFF chunk walk) into the waveform health
+  panel; video too: ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0
+  streams into the temporal panel (scene cuts, motion, exposure).
 * ``codec='stub'`` — deterministic byte-level features for plumbing
-  tests/oracles. The remaining compressed formats (PNG/H.26x) still
-  raise ``NotImplementedError``: they need zlib/LZW/motion-codec stacks
-  absent in this container — the ``mapInPandas`` slot they'd fill is
-  the same one the PPM/BMP/JPEG decoders occupy.
+  tests/oracles. The remaining compressed formats (gif/webp/H.26x)
+  still raise ``NotImplementedError``: they need LZW/VP8/motion-codec
+  stacks absent in this container — the ``mapInPandas`` slot they'd
+  fill is the same one the PPM/BMP/JPEG/PNG decoders occupy.
 
 Beyond decode/feature plumbing, the module carries the multimodal members
 of the engine's drift and dedup families: cross-modal alignment drift
@@ -227,7 +228,23 @@ def _parse_jpeg(data: bytes):
     return decode_jpeg(data)
 
 
-_MAGIC_PARSERS = {"ppm": _parse_ppm, "bmp": _parse_bmp, "jpeg": _parse_jpeg}
+def _parse_png(data: bytes):
+    """Non-interlaced 8-bit PNG → ``(h, w, 3)`` uint8 RGB via the
+    pure-Python/NumPy codec in :mod:`..functions.png` (stdlib zlib is
+    the only dependency PNG actually needs). Gray replicates, palettes
+    resolve, alpha drops; interlaced/16-bit streams are rejected
+    loudly there."""
+    from pyspark_data_drift_detector_spark.functions.png import decode_png
+
+    return decode_png(data)
+
+
+_MAGIC_PARSERS = {
+    "ppm": _parse_ppm,
+    "bmp": _parse_bmp,
+    "jpeg": _parse_jpeg,
+    "png": _parse_png,
+}
 
 
 def _sniff_format(data: bytes) -> str | None:
@@ -237,6 +254,8 @@ def _sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -275,26 +294,27 @@ def decode_images(
     256 bytes, and an ``n_features``-bucket byte-value histogram
     (normalized), in :data:`IMAGE_FEATURE_SCHEMA`.
 
-    ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'auto'`` (sniff per
-    payload by magic) REALLY decode the payload — header parse + pixel
-    extraction; JPEG via the pure-NumPy baseline-sequential decoder in
-    :mod:`..functions.jpeg` — and emit :data:`IMAGE_DECODE_SCHEMA`:
-    dimensions, per-channel mean/std, Rec. 601 luma mean/std, and an
-    ``n_features``-bucket luma histogram. A payload that fails to decode
-    yields NULL stats + ``decode_error`` rather than failing the job.
-    Remaining compressed codecs (png/gif/webp) raise
-    ``NotImplementedError`` — their formats need zlib/LZW stacks absent
-    here; a real decoder slots into the same ``mapInPandas`` without
-    touching the plan.
+    ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'png'`` / ``'auto'``
+    (sniff per payload by magic) REALLY decode the payload — header
+    parse + pixel extraction; JPEG via the pure-NumPy baseline
+    Huffman+IDCT decoder in :mod:`..functions.jpeg`, PNG via the
+    stdlib-zlib codec in :mod:`..functions.png` — and emit
+    :data:`IMAGE_DECODE_SCHEMA`: dimensions, per-channel mean/std,
+    Rec. 601 luma mean/std, and an ``n_features``-bucket luma
+    histogram. A payload that fails to decode yields NULL stats +
+    ``decode_error`` rather than failing the job. Remaining compressed
+    codecs (gif/webp) raise ``NotImplementedError`` — they need LZW/VP8
+    stacks absent here; a real decoder slots into the same
+    ``mapInPandas`` without touching the plan.
     """
-    if codec in ("ppm", "bmp", "jpeg", "auto"):
+    if codec in ("ppm", "bmp", "jpeg", "png", "auto"):
         return _decode_images_real(df, payload_col, id_col, codec, n_features)
     if codec != "stub":
         raise NotImplementedError(
             f"codec={codec!r}: this compressed format's decoder is not "
             "available in this environment; implemented codecs: 'ppm', "
-            "'bmp', 'jpeg', 'auto' (real), 'stub' (deterministic byte "
-            "features)"
+            "'bmp', 'jpeg', 'png', 'auto' (real), 'stub' (deterministic "
+            "byte features)"
         )
 
     def _decode(iterator):
@@ -457,7 +477,8 @@ def attach_synthetic_image(
     over the row-major flattened ``(height, width, 3)`` array — chosen so an
     external oracle can recompute every decoded statistic from the seed
     alone, without a PPM/BMP parser (the driver's DuckDB oracle does exactly
-    this). ``fmt`` picks the container: ``'ppm'``, ``'bmp'``, or
+    this). ``fmt`` picks the container: ``'ppm'``, ``'bmp'``, ``'png'``
+    (lossless — the closed form still replays decoded stats exactly), or
     ``'jpeg'`` (baseline 4:2:0 at quality 90 via
     :func:`..functions.jpeg.encode_jpeg` — NOTE: jpeg is LOSSY, so the
     decoded stats are deterministic but NOT the closed form; oracles for
@@ -465,8 +486,10 @@ def attach_synthetic_image(
     ``id_col`` by default; pass ``seed_col`` to generate IDENTICAL payloads
     under distinct ids (the duplicate-image fixture shape).
     """
-    if fmt not in ("ppm", "bmp", "jpeg"):
-        raise ValueError(f"fmt must be 'ppm', 'bmp', or 'jpeg', got {fmt!r}")
+    if fmt not in ("ppm", "bmp", "jpeg", "png"):
+        raise ValueError(
+            f"fmt must be 'ppm', 'bmp', 'jpeg', or 'png', got {fmt!r}"
+        )
     seed_col = seed_col or id_col
 
     def _gen(iterator):
@@ -481,6 +504,14 @@ def attach_synthetic_image(
             )
 
             enc = lambda px: encode_jpeg(px, quality=90, subsampling="420")
+        elif fmt == "png":
+            from pyspark_data_drift_detector_spark.functions.png import (
+                encode_png,
+            )
+
+            # 'mixed' cycles all five scanline filters: every decode of
+            # a synthetic corpus exercises every unfilter path
+            enc = lambda px: encode_png(px, filter_mode="mixed")
         else:
             enc = encode_ppm if fmt == "ppm" else encode_bmp
         for batch in iterator:
