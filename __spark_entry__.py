@@ -1398,10 +1398,10 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _png_decode_sql(w: int = 8, h: int = 5) -> str:
-    """Closed-form replay of the synthetic-PNG decode — identical pixel
-    math to _image_decode_sql (PNG is lossless), minus the n_bytes
-    column (DEFLATE length is zlib-version-specific)."""
+def _png_decode_sql(w: int = 8, h: int = 5, fmt: str = "png") -> str:
+    """Closed-form replay of a synthetic LOSSLESS compressed-image decode
+    (png and gif share it) — identical pixel math to _image_decode_sql,
+    minus the n_bytes column (compressed length is library-specific)."""
     n = w * h * 3
     return f"""
     WITH px AS (
@@ -1419,7 +1419,7 @@ def _png_decode_sql(w: int = 8, h: int = 5) -> str:
     l AS (SELECT doc_id, AVG(luma) AS m, STDDEV_POP(luma) AS sd
           FROM lpx GROUP BY 1)
     SELECT c0.doc_id,
-      'png' AS fmt,
+      '{fmt}' AS fmt,
       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
       CAST(3 AS INT) AS channels,
       ROUND(c0.m, {ROUND}) AS r_mean,
@@ -1432,6 +1432,40 @@ def _png_decode_sql(w: int = 8, h: int = 5) -> str:
     JOIN (SELECT * FROM chan WHERE ch = 1) c1 USING (doc_id)
     JOIN (SELECT * FROM chan WHERE ch = 2) c2 USING (doc_id)
     JOIN l USING (doc_id)"""
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: a genuine interlaced GIF89a is built per doc
+    (functions.gif.encode_gif — real dictionary-building LZW over the
+    closed-form pixels' palette) and parsed back by the pure-Python LZW
+    decoder inside decode_images(codec='auto'), including the
+    four-pass interlace reorder. GIF is LOSSLESS for <=256-color
+    frames, so the oracle replays every statistic from the pixel
+    formula alone — wrong LZW width bumps, palette order, or interlace
+    math would diverge."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 150")
+    payloads = attach_synthetic_image(ids, width=8, height=5, fmt="gif")
+    out = decode_images(payloads, codec="auto").selectExpr(
+        "doc_id",
+        "format AS fmt",
+        "CAST(width AS INT) AS width",
+        "CAST(height AS INT) AS height",
+        "CAST(channels AS INT) AS channels",
+        "channel_mean[0] AS r_mean",
+        "channel_mean[1] AS g_mean",
+        "channel_mean[2] AS b_mean",
+        "channel_std[0] AS r_std",
+        "luma_mean",
+        "luma_std",
+    )
+    return _round_cols(
+        out, ["r_mean", "g_mean", "b_mean", "r_std", "luma_mean", "luma_std"]
+    )
 
 
 def q_image_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10074,6 +10108,7 @@ def _oracle_queries() -> dict[str, str]:
         "video_incremental": _video_incremental_sql(),
         "jpeg_decode": _jpeg_decode_sql(),
         "png_decode": _png_decode_sql(),
+        "gif_decode": _png_decode_sql(fmt="gif"),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12294,7 +12329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_incremental": q_video_incremental,
         "jpeg_decode": q_jpeg_decode,
         "png_decode": q_png_decode,
-        # --- cohort: last driver-gated r9 (oldest; the first 36 fill the
+        "gif_decode": q_gif_decode,
+        # --- cohort: last driver-gated r9 (oldest; the first 35 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
@@ -12331,8 +12367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_excise": q_passage_excise,
         "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_incremental": q_passage_incremental,
-        "passage_pairs": q_passage_pairs,
         # ---------- driver window boundary (position 50) ----------
+        "passage_pairs": q_passage_pairs,
         "psi": q_psi,
         "psi_numeric": q_psi_numeric,
         "quantile_shift": q_quantile_shift,

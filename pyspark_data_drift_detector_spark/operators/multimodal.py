@@ -18,10 +18,12 @@ real and tested. Two codec tiers exist:
   panel; video too: ``decode_video`` parses YUV4MPEG2 (y4m) 4:2:0
   streams into the temporal panel (scene cuts, motion, exposure).
 * ``codec='stub'`` — deterministic byte-level features for plumbing
-  tests/oracles. The remaining compressed formats (gif/webp/H.26x)
-  still raise ``NotImplementedError``: they need LZW/VP8/motion-codec
-  stacks absent in this container — the ``mapInPandas`` slot they'd
-  fill is the same one the PPM/BMP/JPEG/PNG decoders occupy.
+  tests/oracles. GIF87a/89a decodes too (pure-Python LZW,
+  :mod:`..functions.gif` — first frame of animations). The remaining
+  compressed formats (webp/H.26x) still raise ``NotImplementedError``:
+  they need VP8/motion-codec stacks absent in this container — the
+  ``mapInPandas`` slot they'd fill is the same one the five real image
+  decoders occupy.
 
 Beyond decode/feature plumbing, the module carries the multimodal members
 of the engine's drift and dedup families: cross-modal alignment drift
@@ -239,11 +241,22 @@ def _parse_png(data: bytes):
     return decode_png(data)
 
 
+def _parse_gif(data: bytes):
+    """GIF87a/89a → ``(h, w, 3)`` uint8 RGB via the pure-Python LZW
+    codec in :mod:`..functions.gif` (first frame of animations — the
+    analytics convention; palettes resolve, interlace reorders).
+    Corrupt streams and out-of-range codes are rejected loudly there."""
+    from pyspark_data_drift_detector_spark.functions.gif import decode_gif
+
+    return decode_gif(data)
+
+
 _MAGIC_PARSERS = {
     "ppm": _parse_ppm,
     "bmp": _parse_bmp,
     "jpeg": _parse_jpeg,
     "png": _parse_png,
+    "gif": _parse_gif,
 }
 
 
@@ -256,6 +269,8 @@ def _sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -294,27 +309,28 @@ def decode_images(
     256 bytes, and an ``n_features``-bucket byte-value histogram
     (normalized), in :data:`IMAGE_FEATURE_SCHEMA`.
 
-    ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'png'`` / ``'auto'``
-    (sniff per payload by magic) REALLY decode the payload — header
-    parse + pixel extraction; JPEG via the pure-NumPy baseline
+    ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'png'`` / ``'gif'`` /
+    ``'auto'`` (sniff per payload by magic) REALLY decode the payload —
+    header parse + pixel extraction; JPEG via the pure-NumPy baseline
     Huffman+IDCT decoder in :mod:`..functions.jpeg`, PNG via the
-    stdlib-zlib codec in :mod:`..functions.png` — and emit
+    stdlib-zlib codec in :mod:`..functions.png`, GIF via the
+    pure-Python LZW codec in :mod:`..functions.gif` — and emit
     :data:`IMAGE_DECODE_SCHEMA`: dimensions, per-channel mean/std,
     Rec. 601 luma mean/std, and an ``n_features``-bucket luma
     histogram. A payload that fails to decode yields NULL stats +
     ``decode_error`` rather than failing the job. Remaining compressed
-    codecs (gif/webp) raise ``NotImplementedError`` — they need LZW/VP8
-    stacks absent here; a real decoder slots into the same
+    codecs (webp/heif) raise ``NotImplementedError`` — they need
+    VP8/HEVC stacks absent here; a real decoder slots into the same
     ``mapInPandas`` without touching the plan.
     """
-    if codec in ("ppm", "bmp", "jpeg", "png", "auto"):
+    if codec in ("ppm", "bmp", "jpeg", "png", "gif", "auto"):
         return _decode_images_real(df, payload_col, id_col, codec, n_features)
     if codec != "stub":
         raise NotImplementedError(
             f"codec={codec!r}: this compressed format's decoder is not "
             "available in this environment; implemented codecs: 'ppm', "
-            "'bmp', 'jpeg', 'png', 'auto' (real), 'stub' (deterministic "
-            "byte features)"
+            "'bmp', 'jpeg', 'png', 'gif', 'auto' (real), 'stub' "
+            "(deterministic byte features)"
         )
 
     def _decode(iterator):
@@ -478,7 +494,8 @@ def attach_synthetic_image(
     external oracle can recompute every decoded statistic from the seed
     alone, without a PPM/BMP parser (the driver's DuckDB oracle does exactly
     this). ``fmt`` picks the container: ``'ppm'``, ``'bmp'``, ``'png'``
-    (lossless — the closed form still replays decoded stats exactly), or
+    / ``'gif'`` (lossless — the closed form still replays decoded stats
+    exactly; gif interlaced, exercising the reorder path), or
     ``'jpeg'`` (baseline 4:2:0 at quality 90 via
     :func:`..functions.jpeg.encode_jpeg` — NOTE: jpeg is LOSSY, so the
     decoded stats are deterministic but NOT the closed form; oracles for
@@ -486,9 +503,10 @@ def attach_synthetic_image(
     ``id_col`` by default; pass ``seed_col`` to generate IDENTICAL payloads
     under distinct ids (the duplicate-image fixture shape).
     """
-    if fmt not in ("ppm", "bmp", "jpeg", "png"):
+    if fmt not in ("ppm", "bmp", "jpeg", "png", "gif"):
         raise ValueError(
-            f"fmt must be 'ppm', 'bmp', 'jpeg', or 'png', got {fmt!r}"
+            f"fmt must be 'ppm', 'bmp', 'jpeg', 'png', or 'gif',"
+            f" got {fmt!r}"
         )
     seed_col = seed_col or id_col
 
@@ -512,6 +530,12 @@ def attach_synthetic_image(
             # 'mixed' cycles all five scanline filters: every decode of
             # a synthetic corpus exercises every unfilter path
             enc = lambda px: encode_png(px, filter_mode="mixed")
+        elif fmt == "gif":
+            from pyspark_data_drift_detector_spark.functions.gif import (
+                encode_gif,
+            )
+
+            enc = lambda px: encode_gif(px, interlace=True)
         else:
             enc = encode_ppm if fmt == "ppm" else encode_bmp
         for batch in iterator:
