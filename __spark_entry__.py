@@ -1986,6 +1986,108 @@ def _image_incremental_sql(max_distance: int = 3) -> str:
     LEFT JOIN batch_hits h ON h.doc_id = b.doc_id"""
 
 
+def q_wav_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-corpus WAV format zoo (operators.multimodal._parse_wav):
+    doc_id % 5 cycles mono PCM16, unsigned PCM8, G.711 u-law, G.711
+    A-law, and STEREO PCM16 (exact floor-mean downmix) — all decoded by
+    the same RIFF chunk walk into the waveform panel. The oracle
+    replays every variant from the seed closed form, including the
+    G.711 expansions as pure integer bit math — wrong companding
+    tables, offset-128 handling, or downmix rounding would diverge."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio_variants,
+        decode_audio,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 120")
+    out = decode_audio(attach_synthetic_audio_variants(ids))
+    return _round_cols(
+        out.select(
+            "doc_id", "n_bytes", "sample_rate", "n_samples", "duration_ms",
+            "rms", "peak", "zero_cross_rate", "clip_ratio",
+        ),
+        ["duration_ms", "rms", "zero_cross_rate", "clip_ratio"],
+    )
+
+
+def _wav_formats_sql(n: int = 256, rate: int = 16000) -> str:
+    # G.711 expansions as integer bit math (ITU formulas): u-law
+    # complements the byte, A-law toggles even bits with 0x55
+    return f"""
+    WITH docs AS (
+      SELECT doc_id FROM documents WHERE doc_id < 120),
+    s0 AS (
+      SELECT d.doc_id, r.i,
+        CAST((d.doc_id * 37 + r.i * 11) % 4001 - 2000 AS BIGINT) AS s
+      FROM docs d CROSS JOIN range({n}) r(i) WHERE d.doc_id % 5 = 0),
+    s1 AS (
+      SELECT d.doc_id, r.i,
+        CAST((((d.doc_id * 37 + r.i * 11) % 256) - 128) * 256 AS BIGINT) AS s
+      FROM docs d CROSS JOIN range({n}) r(i) WHERE d.doc_id % 5 = 1),
+    bu AS (
+      SELECT d.doc_id, r.i, (d.doc_id * 37 + r.i * 11) % 256 AS b,
+        d.doc_id % 5 AS v
+      FROM docs d CROSS JOIN range({n}) r(i) WHERE d.doc_id % 5 IN (2, 3)),
+    s2 AS (
+      SELECT doc_id, i,
+        CAST(CASE WHEN ((255 - b) & 128) > 0 THEN 132 - t
+             ELSE t - 132 END AS BIGINT) AS s
+      FROM (SELECT doc_id, i, b,
+              ((((255 - b) & 15) * 8) + 132)
+                * (CAST(1 AS BIGINT) << CAST(((255 - b) >> 4) & 7 AS INT))
+                AS t
+            FROM bu WHERE v = 2)),
+    s3 AS (
+      SELECT doc_id, i,
+        CAST(CASE WHEN (a & 128) > 0 THEN t ELSE -t END AS BIGINT) AS s
+      FROM (SELECT doc_id, i, a,
+              CASE (a & 112) // 16
+                WHEN 0 THEN (a & 15) * 16 + 8
+                WHEN 1 THEN (a & 15) * 16 + 264
+                ELSE ((a & 15) * 16 + 264)
+                  * (CAST(1 AS BIGINT)
+                     << CAST((a & 112) // 16 - 1 AS INT))
+              END AS t
+            FROM (SELECT doc_id, i, xor(b, 85) AS a FROM bu WHERE v = 3))),
+    s4 AS (
+      SELECT d.doc_id, r.i,
+        CAST(floor((
+          (d.doc_id * 37 + (2 * r.i) * 11) % 4001 - 2000
+          + (d.doc_id * 37 + (2 * r.i + 1) * 11) % 4001 - 2000
+        ) / 2.0) AS BIGINT) AS s
+      FROM docs d CROSS JOIN range({n}) r(i) WHERE d.doc_id % 5 = 4),
+    samples AS (
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      UNION ALL SELECT * FROM s4),
+    st AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS ns,
+        SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms,
+        CAST(MAX(ABS(s)) AS INT) AS peak,
+        CAST(SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS clip
+      FROM samples GROUP BY 1),
+    zc AS (
+      SELECT doc_id,
+        SUM(CASE WHEN sign(s) * sign(prev) < 0 THEN 1 ELSE 0 END) AS z
+      FROM (SELECT doc_id, s,
+              LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM samples)
+      GROUP BY 1)
+    SELECT st.doc_id,
+      CAST(CASE st.doc_id % 5 WHEN 0 THEN {44 + 2 * n}
+           WHEN 4 THEN {44 + 4 * n} ELSE {44 + n} END AS BIGINT) AS n_bytes,
+      CAST({rate} AS INT) AS sample_rate,
+      ns AS n_samples,
+      ROUND(1000.0 * ns / {rate}, {ROUND}) AS duration_ms,
+      ROUND(rms, {ROUND}) AS rms,
+      peak,
+      ROUND(CAST(z AS DOUBLE) / (ns - 1), {ROUND}) AS zero_cross_rate,
+      ROUND(clip, {ROUND}) AS clip_ratio
+    FROM st JOIN zc USING (doc_id)"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode (operators.multimodal.decode_audio): synthetic
     RIFF/PCM payloads per document, parsed by the actual chunk-walk
@@ -10109,6 +10211,7 @@ def _oracle_queries() -> dict[str, str]:
         "jpeg_decode": _jpeg_decode_sql(),
         "png_decode": _png_decode_sql(),
         "gif_decode": _png_decode_sql(fmt="gif"),
+        "wav_formats": _wav_formats_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12330,7 +12433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
-        # --- cohort: last driver-gated r9 (oldest; the first 35 fill the
+        "wav_formats": q_wav_formats,
+        # --- cohort: last driver-gated r9 (oldest; the first 34 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
@@ -12366,8 +12470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": q_passage_dedup,
         "passage_excise": q_passage_excise,
         "passage_excise_keep_one": q_passage_excise_keep_one,
-        "passage_incremental": q_passage_incremental,
         # ---------- driver window boundary (position 50) ----------
+        "passage_incremental": q_passage_incremental,
         "passage_pairs": q_passage_pairs,
         "psi": q_psi,
         "psi_numeric": q_psi_numeric,

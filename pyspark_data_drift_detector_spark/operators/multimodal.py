@@ -1073,34 +1073,92 @@ AUDIO_DECODE_SCHEMA = T.StructType(
 )
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """Encode an int16 sample array as a mono 16-bit PCM WAV (RIFF)
-    payload — the audio twin of :func:`encode_ppm`/:func:`encode_bmp`:
-    a REAL container every audio reader accepts, no external library."""
+def encode_wav(
+    samples, sample_rate: int = 16000, fmt: str = "pcm16", channels: int = 1
+) -> bytes:
+    """Encode a sample array as a WAV (RIFF) payload — the audio twin of
+    :func:`encode_ppm`/:func:`encode_bmp`: a REAL container every audio
+    reader accepts, no external library. ``fmt`` picks the sample
+    encoding: ``'pcm16'`` (int16 samples, default), ``'pcm8'`` (uint8,
+    offset-128 per the WAV spec), ``'float32'`` (floats in [-1, 1]),
+    ``'ulaw'`` / ``'alaw'`` (uint8 G.711 COMPANDED bytes, written as-is
+    — fixtures supply companded bytes and assert the decoder's G.711
+    expansion). ``channels > 1`` writes the flat array as interleaved
+    frames (its length must divide evenly)."""
     import struct
 
     import numpy as np
 
-    arr = np.asarray(samples, dtype=np.int16)
+    spec = {
+        "pcm16": (1, 16, np.int16),
+        "pcm8": (1, 8, np.uint8),
+        "float32": (3, 32, "<f4"),
+        "alaw": (6, 8, np.uint8),
+        "ulaw": (7, 8, np.uint8),
+    }
+    if fmt not in spec:
+        raise ValueError(f"fmt must be one of {sorted(spec)}, got {fmt!r}")
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    tag, bits, dtype = spec[fmt]
+    arr = np.asarray(samples, dtype=dtype)
     if arr.ndim != 1:
-        raise ValueError(f"expected 1-D int16 samples, got shape {arr.shape}")
+        raise ValueError(f"expected 1-D samples, got shape {arr.shape}")
+    if arr.size % channels:
+        raise ValueError(
+            f"{arr.size} samples do not divide into {channels} channels"
+        )
     body = arr.tobytes()
-    byte_rate = sample_rate * 2
+    block_align = (bits // 8) * channels
+    byte_rate = sample_rate * block_align
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(body), b"WAVE",
-        b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16,
+        b"fmt ", 16, tag, channels, sample_rate, byte_rate, block_align,
+        bits,
         b"data", len(body),
     )
     return hdr + body
 
 
+def _g711_luts():
+    """256-entry μ-law / A-law → linear int16 decode tables from the
+    public ITU-T G.711 formulas (the classic telecom codecs — still the
+    second-most-common WAV payload after PCM)."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int64)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int64)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
 def _parse_wav(data: bytes):
-    """Parse a mono 16-bit PCM WAV into ``(sample_rate, int16 array)``.
+    """Parse a WAV payload into ``(sample_rate, mono int16-domain
+    samples)``.
 
     Implements the real RIFF chunk walk (``fmt `` anywhere before
-    ``data``, unknown chunks skipped, word-aligned chunk sizes);
-    compressed formats, multi-channel, and non-16-bit depths are
+    ``data``, unknown chunks skipped, word-aligned chunk sizes) and the
+    four format tags a real audio corpus actually carries: PCM (tag 1,
+    8-bit unsigned or 16-bit signed), IEEE float32 (tag 3), A-law (tag
+    6) and μ-law (tag 7, both via the G.711 tables). Multi-channel
+    audio downmixes by the exact floor-mean across channels (integer
+    floor division — oracle-replayable). Everything else (ADPCM, MP3
+    tags, 24-bit, extensible without a recognizable subformat) is
     rejected explicitly — at 100 TB some payloads WILL be exotic, and a
     loud error beats silently misread samples."""
     import struct
@@ -1111,6 +1169,7 @@ def _parse_wav(data: bytes):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     rate = None
+    fmt_tag = channels = bits = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
@@ -1120,12 +1179,15 @@ def _parse_wav(data: bytes):
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, pos
             )
-            if fmt_tag != 1:
+            if fmt_tag not in (1, 3, 6, 7):
                 raise ValueError(f"unsupported WAV format tag {fmt_tag}")
-            if channels != 1:
-                raise ValueError(f"unsupported channel count {channels}")
-            if bits != 16:
-                raise ValueError(f"unsupported bit depth {bits}")
+            if channels < 1:
+                raise ValueError(f"bad channel count {channels}")
+            want_bits = {1: (8, 16), 3: (32,), 6: (8,), 7: (8,)}[fmt_tag]
+            if bits not in want_bits:
+                raise ValueError(
+                    f"unsupported bit depth {bits} for format tag {fmt_tag}"
+                )
         elif cid == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
@@ -1134,9 +1196,30 @@ def _parse_wav(data: bytes):
                 raise ValueError(
                     f"truncated WAV body: {len(raw)} of {size} bytes"
                 )
-            return rate, np.frombuffer(
-                raw[: size - size % 2], dtype="<i2"
-            )
+            bpf = (bits // 8) * channels  # bytes per frame
+            raw = raw[: size - size % bpf]
+            if fmt_tag == 1 and bits == 16:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            elif fmt_tag == 1:  # 8-bit PCM is UNSIGNED, offset 128
+                s = (
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    - 128
+                ) << 8
+            elif fmt_tag == 3:  # IEEE float32 in [-1, 1]
+                f = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+                s = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(
+                    np.int64
+                )
+            else:  # G.711 companded bytes
+                ulaw, alaw = _g711_luts()
+                lut = alaw if fmt_tag == 6 else ulaw
+                s = lut[np.frombuffer(raw, dtype=np.uint8)]
+            if channels > 1:
+                n = s.size - s.size % channels
+                # exact floor-mean downmix (numpy // floors negatives
+                # toward -inf, same as SQL floor(sum/ch))
+                s = s[:n].reshape(-1, channels).sum(axis=1) // channels
+            return rate, s.astype(np.int16)
         pos += size + (size % 2)  # chunks are word-aligned
     raise ValueError("no WAV data chunk")
 
@@ -1236,6 +1319,60 @@ def attach_synthetic_audio(
     sc = seed_col or id_col
     cols = [F.col(id_col)] + ([F.col(sc)] if sc != id_col else [])
     return df.select(*cols).mapInPandas(
+        _gen,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def attach_synthetic_audio_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Attach a REAL WAV payload per row cycling through the five
+    format flavors :func:`_parse_wav` supports, keyed by
+    ``doc_id % 5``: 0 → mono PCM16 (the :func:`attach_synthetic_audio`
+    closed form ``((seed*37 + i*11) % 4001) - 2000``), 1 → PCM8
+    (``(seed*37 + i*11) % 256`` unsigned bytes), 2 → μ-law and 3 →
+    A-law (the same byte closed form, written as G.711 companded
+    bytes), 4 → STEREO PCM16 (``2·n_samples`` interleaved closed-form
+    samples — the decoder's floor-mean downmix halves them back). Every
+    variant is replayable by an external oracle from the seed alone
+    (the G.711 expansion is pure integer bit math)."""
+
+    def _gen(iterator):
+        import numpy as np
+        import pandas as pd
+
+        i16 = np.arange(n_samples, dtype=np.int64)
+        i2 = np.arange(2 * n_samples, dtype=np.int64)
+        for batch in iterator:
+            ids = batch[id_col].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                v = d % 5
+                if v == 0:
+                    s = (((d * 37 + i16 * 11) % 4001) - 2000).astype("int16")
+                    payloads.append(encode_wav(s, sample_rate))
+                elif v == 4:
+                    s = (((d * 37 + i2 * 11) % 4001) - 2000).astype("int16")
+                    payloads.append(
+                        encode_wav(s, sample_rate, channels=2)
+                    )
+                else:
+                    b = ((d * 37 + i16 * 11) % 256).astype("uint8")
+                    fmt = {1: "pcm8", 2: "ulaw", 3: "alaw"}[v]
+                    payloads.append(encode_wav(b, sample_rate, fmt=fmt))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
         _gen,
         schema=T.StructType(
             [

@@ -372,16 +372,69 @@ def test_wav_roundtrip_and_parser_grammar():
 
     with _pytest.raises(ValueError, match="RIFF"):
         _parse_wav(b"nope" * 20)
-    stereo = bytearray(encode_wav(s, 8000))
-    stereo[22] = 2  # channel count field
-    with _pytest.raises(ValueError, match="channel"):
-        _parse_wav(bytes(stereo))
-    eightbit = bytearray(encode_wav(s, 8000))
-    eightbit[34] = 8  # bit-depth field
-    with _pytest.raises(ValueError, match="bit depth"):
-        _parse_wav(bytes(eightbit))
+    adpcm = bytearray(encode_wav(s, 8000))
+    adpcm[20] = 2  # format tag field -> MS ADPCM
+    with _pytest.raises(ValueError, match="format tag 2"):
+        _parse_wav(bytes(adpcm))
+    wide = bytearray(encode_wav(s, 8000))
+    wide[34] = 24  # bit-depth field
+    with _pytest.raises(ValueError, match="bit depth 24"):
+        _parse_wav(bytes(wide))
     with _pytest.raises(ValueError, match="truncated"):
         _parse_wav(encode_wav(s, 8000)[:-4])
+
+
+def test_wav_format_variants_decode():
+    """The four real-corpus WAV flavors beyond mono PCM16: stereo
+    downmixes by exact floor-mean, 8-bit PCM is unsigned offset-128,
+    float32 scales/rounds to the int16 domain, and G.711 u-law/A-law
+    bytes expand through the ITU tables (spot-checked against known
+    codec values)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        _g711_luts,
+        _parse_wav,
+        encode_wav,
+    )
+
+    # stereo: interleaved L/R -> floor((l+r)/2), exact for negatives too
+    inter = np.array([100, 200, -5, -6, 32767, 32767, -1, 2], dtype=np.int16)
+    rate, got = _parse_wav(encode_wav(inter, 8000, channels=2))
+    assert np.array_equal(got, np.array([150, -6, 32767, 0], dtype=np.int16))
+
+    # 8-bit PCM: unsigned, offset 128, scaled <<8
+    b8 = np.array([0, 128, 255, 129], dtype=np.uint8)
+    _, got8 = _parse_wav(encode_wav(b8, 8000, fmt="pcm8"))
+    assert np.array_equal(
+        got8, np.array([-32768, 0, 32512, 256], dtype=np.int16)
+    )
+
+    # float32: clip to [-1, 1], scale x32767, round
+    f = np.array([0.0, 1.0, -1.0, 0.5, 2.0, -3.0], dtype=np.float32)
+    _, gotf = _parse_wav(encode_wav(f, 8000, fmt="float32"))
+    assert np.array_equal(
+        gotf,
+        np.array([0, 32767, -32767, 16384, 32767, -32767], dtype=np.int16),
+    )
+
+    # G.711: spot-check the canonical table values
+    ulaw, alaw = _g711_luts()
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == -0  # +0 / -0 both decode 0
+    assert ulaw[0x80] == 32124 and ulaw[0x00] == -32124  # full scale
+    assert alaw[0xD5] == 8 and alaw[0x55] == -8  # smallest magnitudes
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256  # full scale
+    comp = np.array([0xFF, 0x80, 0x00, 0x42], dtype=np.uint8)
+    _, gotu = _parse_wav(encode_wav(comp, 8000, fmt="ulaw"))
+    assert np.array_equal(gotu, ulaw[comp].astype(np.int16))
+    _, gota = _parse_wav(encode_wav(comp, 8000, fmt="alaw"))
+    assert np.array_equal(gota, alaw[comp].astype(np.int16))
+
+    with _pytest.raises(ValueError, match="fmt must be"):
+        encode_wav(b8, 8000, fmt="mp3")
+    with _pytest.raises(ValueError, match="divide"):
+        encode_wav(inter[:3], 8000, channels=2)
 
 
 def test_decode_audio_stats_hand_checked(spark):
