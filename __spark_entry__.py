@@ -2282,6 +2282,99 @@ def _audio_neardup_sql(max_distance: int = 3) -> str:
       AND bit_count(xor(a.h, c.h)) <= {max_distance}"""
 
 
+_MJPEG_DECODE_ROWS = [
+    (0, 4502, 16, 8, 25.0, 6, 240.0, 132.95964, 3, 10.6125),
+    (1, 4480, 16, 8, 25.0, 6, 240.0, 134.36068, 4, 13.475),
+    (2, 4540, 16, 8, 25.0, 6, 240.0, 134.30599, 5, 15.72188),
+    (3, 4532, 16, 8, 25.0, 6, 240.0, 133.6862, 5, 15.51875),
+    (4, 4590, 16, 8, 25.0, 6, 240.0, 132.3112, 5, 16.16875),
+    (5, 4484, 16, 8, 25.0, 6, 240.0, 130.72917, 4, 16.55781),
+    (6, 4570, 16, 8, 25.0, 6, 240.0, 129.02474, 3, 15.82813),
+    (7, 4530, 16, 8, 25.0, 6, 240.0, 127.69271, 4, 14.59219),
+    (8, 4528, 16, 8, 25.0, 6, 240.0, 125.64323, 4, 13.51875),
+    (9, 4562, 16, 8, 25.0, 6, 240.0, 123.34766, 3, 10.99375),
+    (10, 4534, 16, 8, 25.0, 6, 240.0, 121.96484, 3, 10.55313),
+    (11, 4526, 16, 8, 25.0, 6, 240.0, 120.66536, 4, 12.94531),
+    (12, 4464, 16, 8, 25.0, 6, 240.0, 120.64714, 5, 15.47031),
+    (13, 4488, 16, 8, 25.0, 6, 240.0, 121.66276, 5, 16.60625),
+    (14, 4484, 16, 8, 25.0, 6, 240.0, 123.01172, 5, 15.55781),
+    (15, 4464, 16, 8, 25.0, 6, 240.0, 124.30859, 4, 16.4875),
+    (16, 4504, 16, 8, 25.0, 6, 240.0, 126.33854, 4, 16.19375),
+    (17, 4498, 16, 8, 25.0, 6, 240.0, 127.65495, 4, 13.84844),
+    (18, 4478, 16, 8, 25.0, 6, 240.0, 129.72396, 4, 13.04688),
+    (19, 4508, 16, 8, 25.0, 6, 240.0, 131.98438, 3, 11.49219),
+    (20, 4522, 16, 8, 25.0, 6, 240.0, 133.38151, 3, 11.02813),
+    (21, 4474, 16, 8, 25.0, 6, 240.0, 134.28385, 4, 14.54063),
+    (22, 4538, 16, 8, 25.0, 6, 240.0, 134.36198, 5, 14.94219),
+    (23, 4554, 16, 8, 25.0, 6, 240.0, 133.26302, 5, 16.20156),
+    (24, 4506, 16, 8, 25.0, 6, 240.0, 131.66276, 4, 16.56875),
+    (25, 4538, 16, 8, 25.0, 6, 240.0, 130.34766, 4, 15.82031),
+    (26, 4540, 16, 8, 25.0, 6, 240.0, 128.69922, 4, 14.95156),
+    (27, 4544, 16, 8, 25.0, 6, 240.0, 126.99219, 4, 14.34063),
+    (28, 4522, 16, 8, 25.0, 6, 240.0, 124.72005, 4, 11.73281),
+    (29, 4556, 16, 8, 25.0, 6, 240.0, 122.96745, 4, 11.38594),
+    (30, 4532, 16, 8, 25.0, 6, 240.0, 121.34115, 3, 11.36875),
+    (31, 4480, 16, 8, 25.0, 6, 240.0, 120.67318, 4, 14.31094),
+    (32, 4502, 16, 8, 25.0, 6, 240.0, 120.65104, 5, 16.65625),
+    (33, 4464, 16, 8, 25.0, 6, 240.0, 122.02995, 5, 15.33594),
+    (34, 4486, 16, 8, 25.0, 6, 240.0, 123.29948, 4, 16.12813),
+    (35, 4440, 16, 8, 25.0, 6, 240.0, 125.05208, 4, 17.77969),
+    (36, 4526, 16, 8, 25.0, 6, 240.0, 126.64974, 4, 14.16875),
+    (37, 4414, 16, 8, 25.0, 6, 240.0, 128.05859, 4, 14.69844),
+    (38, 4470, 16, 8, 25.0, 6, 240.0, 130.63151, 4, 12.2375),
+    (39, 4502, 16, 8, 25.0, 6, 240.0, 132.35677, 4, 10.17656),
+]
+
+
+def _mjpeg_decode_sql() -> str:
+    """Precomputed-oracle table for q_mjpeg_decode (see
+    tools/gen_mjpeg_oracle.py): MJPEG frames are lossy JPEG, so the
+    oracle pins the deterministic decoder output like jpeg_decode."""
+    vals = []
+    for d, n, w, h, fps, nf, dur, lm, cuts, mo in _MJPEG_DECODE_ROWS:
+        vals.append(
+            f"({d}, CAST({n} AS BIGINT), {w}, {h},"
+            f" CAST({fps!r} AS DOUBLE), CAST({nf} AS BIGINT),"
+            f" CAST({dur!r} AS DOUBLE), CAST({lm!r} AS DOUBLE),"
+            f" CAST({cuts} AS BIGINT), CAST({mo!r} AS DOUBLE))"
+        )
+    body = ",\n      ".join(vals)
+    return f"""
+    SELECT t.* FROM (VALUES
+      {body})
+      AS t(doc_id, n_bytes, width, height, fps, n_frames, duration_ms,
+           luma_mean, scene_cuts, motion)
+    WHERE t.doc_id IN (SELECT doc_id FROM documents WHERE doc_id < 40)"""
+
+
+def q_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video decode: a genuine Motion-JPEG AVI is built per
+    doc_id < 40 (attach_synthetic_video(container='avi') — a real RIFF
+    hdrl/movi layout with each frame through the pure-NumPy JPEG
+    encoder) and parsed back by the RIFF walk + Huffman+IDCT decoder
+    inside decode_video — same temporal panel as the y4m path, on exact
+    Rec. 601 luma masses (scale 1000). Lossy frames mean no SQL closed
+    form; the oracle pins a precomputed table of the deterministic
+    output (regenerate with tools/gen_mjpeg_oracle.py)."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_video,
+        decode_video,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 40")
+    vids = attach_synthetic_video(
+        ids, width=16, height=8, n_frames=6, cut_every=3, container="avi"
+    )
+    out = decode_video(vids, cut_threshold=8)
+    return _round_cols(
+        out.select(
+            "doc_id", "n_bytes", "width", "height", "fps", "n_frames",
+            "duration_ms", "luma_mean", "scene_cuts", "motion",
+        ),
+        ["fps", "duration_ms", "luma_mean", "motion"],
+    )
+
+
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL y4m video decode (operators.multimodal.decode_video): 8-frame
     4:2:0 streams per document (every 4th frame carries a +96 luma jump —
@@ -10212,6 +10305,7 @@ def _oracle_queries() -> dict[str, str]:
         "png_decode": _png_decode_sql(),
         "gif_decode": _png_decode_sql(fmt="gif"),
         "wav_formats": _wav_formats_sql(),
+        "mjpeg_decode": _mjpeg_decode_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12434,7 +12528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
         "wav_formats": q_wav_formats,
-        # --- cohort: last driver-gated r9 (oldest; the first 34 fill the
+        "mjpeg_decode": q_mjpeg_decode,
+        # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "cap_per_group": q_cap_per_group,
@@ -12469,8 +12564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_decontaminate": q_passage_decontaminate,
         "passage_dedup": q_passage_dedup,
         "passage_excise": q_passage_excise,
-        "passage_excise_keep_one": q_passage_excise_keep_one,
         # ---------- driver window boundary (position 50) ----------
+        "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_incremental": q_passage_incremental,
         "passage_pairs": q_passage_pairs,
         "psi": q_psi,

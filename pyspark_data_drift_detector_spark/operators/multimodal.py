@@ -1590,22 +1590,177 @@ def _parse_y4m(data: bytes):
     return w, h, fps, frames
 
 
+def encode_avi_mjpeg(
+    frames, fps: int = 25, quality: int = 90, subsampling: str = "420"
+) -> bytes:
+    """Encode an ``(n, h, w, 3)`` uint8 RGB array as a Motion-JPEG AVI
+    — the compressed twin of :func:`encode_y4m`: a real RIFF container
+    (``hdrl`` with ``avih``/``strh``/``strf``, ``movi`` with one
+    ``00dc`` JPEG per frame) every MJPEG reader accepts, with each
+    frame through :func:`..functions.jpeg.encode_jpeg`. No external
+    library anywhere."""
+    import struct
+
+    import numpy as np
+
+    from pyspark_data_drift_detector_spark.functions.jpeg import encode_jpeg
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (frames, h, w, 3) RGB, got {arr.shape}")
+    n, h, w, _ = arr.shape
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+    jpegs = [encode_jpeg(arr[f], quality, subsampling) for f in range(n)]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    buf = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, buf, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, buf, -1, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _parse_avi_mjpeg(data: bytes):
+    """Parse a Motion-JPEG AVI into ``(w, h, fps, [jpeg frame bytes])``
+    — the real RIFF walk: ``avih`` for dimensions, ``strh`` (fccType
+    ``vids``) for the rate/scale fps fraction, ``movi`` for the
+    ``00dc``/``00db`` frame chunks. Non-MJPEG video streams and
+    missing/truncated structures are rejected loudly."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    dims = None
+    fps = None
+    handler_ok = False
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, in_movi: bool):
+        nonlocal dims, fps, handler_ok
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            pos += 8
+            if pos + size > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                subtype = data[pos : pos + 4]
+                walk(pos + 4, pos + size, subtype == b"movi")
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("short avih chunk")
+                vals = struct.unpack_from("<10I", data, pos)
+                dims = (int(vals[8]), int(vals[9]))
+            elif cid == b"strh":
+                if size < 32:
+                    raise ValueError("short strh chunk")
+                fcc_type, fcc_handler = struct.unpack_from("<4s4s", data, pos)
+                if fcc_type == b"vids":
+                    if fcc_handler not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"unsupported AVI video codec {fcc_handler!r}"
+                            " (only MJPG)"
+                        )
+                    handler_ok = True
+                    scale, rate = struct.unpack_from("<II", data, pos + 20)
+                    if scale == 0:
+                        raise ValueError("zero strh scale")
+                    fps = rate / scale
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append(data[pos : pos + size])
+            pos += size + (size % 2)  # chunks are word-aligned
+
+    walk(12, len(data), False)
+    if dims is None or fps is None or not handler_ok:
+        raise ValueError("AVI missing avih/strh video headers")
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return dims[0], dims[1], fps, frames
+
+
+def _video_luma_sums(data: bytes):
+    """Container-dispatching core shared by :func:`decode_video` and
+    :func:`video_ahash`: per-frame EXACT integer luma masses. For y4m,
+    the mass is the plain luma-byte sum (scale 1); for MJPEG AVI, each
+    frame decodes through the pure-NumPy JPEG codec and the mass is the
+    Rec. 601 integer form ``299R+587G+114B`` (scale 1000). All
+    downstream math uses mass/scale ratios or cross-multiplies, so both
+    containers feed one panel and one fingerprint."""
+    import numpy as np
+
+    if data[:9] == b"YUV4MPEG2":
+        w, h, fps, frames = _parse_y4m(data)
+        sums = np.array(
+            [int(f.astype(np.int64).sum()) for f in frames], dtype=np.int64
+        )
+        return w, h, fps, sums, 1
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from pyspark_data_drift_detector_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+
+        w, h, fps, jpegs = _parse_avi_mjpeg(data)
+        sums = []
+        for j in jpegs:
+            rgb = decode_jpeg(j).astype(np.int64)
+            if rgb.shape[0] != h or rgb.shape[1] != w:
+                raise ValueError(
+                    f"AVI frame dims {rgb.shape[1]}x{rgb.shape[0]} differ"
+                    f" from header {w}x{h}"
+                )
+            sums.append(
+                int(
+                    (
+                        299 * rgb[:, :, 0]
+                        + 587 * rgb[:, :, 1]
+                        + 114 * rgb[:, :, 2]
+                    ).sum()
+                )
+            )
+        return w, h, fps, np.array(sums, dtype=np.int64), 1000
+    raise ValueError("unrecognized video container (y4m or MJPEG AVI)")
+
+
 def decode_video(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     cut_threshold: int = 8,
 ) -> DataFrame:
-    """Arrow-batched y4m decode + temporal features — the video member
-    of the real-codec tier: per payload, dimensions/fps/frame count
+    """Arrow-batched video decode + temporal features — the video
+    member of the real-codec tier, over BOTH supported containers: raw
+    YUV4MPEG2 (y4m) and Motion-JPEG AVI (each frame through the
+    pure-NumPy JPEG codec). Per payload, dimensions/fps/frame count
     plus the temporal panel a video-corpus intake needs: ``luma_mean``
     (exposure health), ``scene_cuts`` (count of frame-to-frame mean-luma
     jumps above ``cut_threshold`` levels — INTEGER-EXACT via
-    ``|S_f − S_{f−1}| > threshold · n_pixels`` on exact luma sums, so
-    oracles replay it bit-for-bit), and ``motion`` (mean absolute
-    frame-to-frame luma-mean delta — the static-slideshow vs
-    action-footage separator). Corrupt/truncated/exotic payloads yield
-    NULL stats + ``decode_error``; payload bytes never shuffle.
+    ``|S_f − S_{f−1}| > threshold · n_pixels · mass_scale`` on exact
+    per-frame luma masses, so oracles replay it bit-for-bit), and
+    ``motion`` (mean absolute frame-to-frame luma-mean delta — the
+    static-slideshow vs action-footage separator).
+    Corrupt/truncated/exotic payloads yield NULL stats +
+    ``decode_error``; payload bytes never shuffle.
     """
 
     def _decode(iterator):
@@ -1613,21 +1768,17 @@ def decode_video(
         import pandas as pd
 
         def one(data: bytes):
-            w, h, fps, frames = _parse_y4m(data)
-            nf = len(frames)
+            w, h, fps, sums, scale = _video_luma_sums(data)
+            nf = int(sums.size)
             npix = w * h
             if nf == 0:
                 return (w, h, fps, 0, 0.0, None, 0, None)
-            sums = np.array(
-                [int(f.astype(np.int64).sum()) for f in frames],
-                dtype=np.int64,
-            )
-            luma_mean = float(sums.sum()) / (npix * nf)
+            luma_mean = float(sums.sum()) / (npix * nf * scale)
             dur = 1000.0 * nf / fps if fps > 0 else None
             if nf > 1:
                 deltas = np.abs(np.diff(sums))
-                cuts = int((deltas > cut_threshold * npix).sum())
-                motion = float(deltas.sum()) / (npix * (nf - 1))
+                cuts = int((deltas > cut_threshold * npix * scale).sum())
+                motion = float(deltas.sum()) / (npix * (nf - 1) * scale)
             else:
                 cuts, motion = 0, 0.0
             return (w, h, fps, nf, dur, luma_mean, cuts, motion)
@@ -1664,13 +1815,19 @@ def attach_synthetic_video(
     fps_num: int = 25,
     seed_col: str | None = None,
     cut_every: int = 0,
+    container: str = "y4m",
 ) -> DataFrame:
-    """Attach a REAL (decodable) deterministic y4m payload per row —
+    """Attach a REAL (decodable) deterministic video payload per row —
     the video twin of :func:`attach_synthetic_image`. Luma follows the
     closed form ``Y[f][i] = (seed*13 + f*29 + i*3) % 256``; with
     ``cut_every = k > 0`` every k-th frame adds a +96 luma jump
     (mod 256) — the deterministic scene-cut fixture an oracle can
-    recompute from the seed alone."""
+    recompute from the seed alone. ``container``: ``'y4m'`` (raw,
+    lossless — the closed form IS the oracle) or ``'avi'`` (Motion-JPEG
+    at quality 90, the luma plane replicated into gray RGB — lossy, so
+    oracles pin a precomputed table like the jpeg fixtures)."""
+    if container not in ("y4m", "avi"):
+        raise ValueError(f"container must be 'y4m' or 'avi', got {container!r}")
 
     def _gen(iterator):
         import numpy as np
@@ -1691,7 +1848,12 @@ def attach_synthetic_video(
                         .astype(np.uint8)
                         .reshape(height, width)
                     )
-                payloads.append(encode_y4m(np.stack(frames), fps_num))
+                luma = np.stack(frames)
+                if container == "avi":
+                    rgb = np.repeat(luma[:, :, :, None], 3, axis=3)
+                    payloads.append(encode_avi_mjpeg(rgb, fps_num))
+                else:
+                    payloads.append(encode_y4m(luma, fps_num))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     sc = seed_col or id_col
@@ -2034,13 +2196,16 @@ def video_ahash(
     """Temporal activity fingerprint per video payload — the motion
     twin of :func:`audio_ahash`'s energy profile: the clip's
     frame-to-frame luma-delta masses (``|S_f − S_{f−1}|`` over exact
-    per-frame int64 luma sums — :func:`decode_video`'s scene-cut
-    arithmetic) split into ``grid`` equal time segments, bit ``j`` set
-    iff segment ``j``'s delta density exceeds the whole-clip delta
-    density. Where the action happens in time survives re-encoding,
-    resolution changes, and brightness shifts far better than any
-    single frame's pixels, so a re-encoded copy of the same clip lands
-    within a few bits.
+    per-frame int64 luma masses — :func:`decode_video`'s scene-cut
+    arithmetic, via the container-dispatching :func:`_video_luma_sums`
+    core, so y4m and MJPEG AVI feed the same fingerprint) split into
+    ``grid`` equal time segments, bit ``j`` set iff segment ``j``'s
+    delta density exceeds the whole-clip delta density. Where the
+    action happens in time survives re-encoding, resolution changes,
+    and brightness shifts far better than any single frame's pixels, so
+    a re-encoded copy of the same clip lands within a few bits —
+    including a y4m master re-encoded as MJPEG (the mass-scale factor
+    cancels in the cross-multiplied bit test).
 
     INTEGER-EXACT like its image/audio siblings: segment mass is an
     exact int64 sum of absolute luma-sum deltas and the bit test is the
@@ -2063,14 +2228,10 @@ def video_ahash(
         import pandas as pd
 
         def one(data: bytes):
-            _, _, _, frames = _parse_y4m(data)
-            nf = len(frames)
+            _, _, _, sums, _ = _video_luma_sums(data)
+            nf = int(sums.size)
             if nf < 2:
                 return 0, nf, None
-            sums = np.array(
-                [int(f.astype(np.int64).sum()) for f in frames],
-                dtype=np.int64,
-            )
             d = np.abs(np.diff(sums))
             nd = nf - 1
             seg = np.arange(nd, dtype=np.int64) * grid // nd

@@ -109,7 +109,8 @@ def test_decode_images_real_end_to_end(spark):
     assert "truncated PPM body" in rows[1]["decode_error"]
     assert rows[1]["luma_mean"] is None and rows[1]["n_bytes"] == 13
     assert "unrecognized" in rows[2]["decode_error"]
-    assert "unrecognized" in rows[3]["decode_error"]
+    # GIF magic now sniffs to the real decoder, which rejects the stump
+    assert "truncated GIF" in rows[3]["decode_error"]
 
 
 def test_real_codec_never_shuffles_payload(spark):
@@ -978,3 +979,63 @@ def test_ahash_exact_above_2_53_with_error_rows(spark):
                     f"{hash_fn.__name__}: doc {d} hash changed when a"
                     f" corrupt row joined the batch: {h} -> {mixed[d]}"
                 )
+
+
+def test_avi_mjpeg_container_and_cross_container_neardup(spark):
+    """Motion-JPEG AVI: the RIFF walk parses dims/fps/frames, the panel
+    matches the y4m panel of the same clip (cuts identical, luma within
+    JPEG tolerance), a y4m master and its MJPEG re-encode collide as
+    video near-duplicates (the compressed re-upload case), and exotic
+    codecs/truncations reject loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        _parse_avi_mjpeg,
+        decode_video,
+        encode_avi_mjpeg,
+        encode_y4m,
+        video_neardup_pairs,
+    )
+
+    vals = [40, 41, 40, 42, 41, 40, 42, 41, 200, 40, 210, 35, 190, 45,
+            220, 30, 40]
+    luma = np.stack([np.full((16, 16), v, dtype=np.uint8) for v in vals])
+    rgb = np.repeat(luma[:, :, :, None], 3, axis=3)
+    avi = encode_avi_mjpeg(rgb, fps=25, quality=95)
+    w, h, fps, jpegs = _parse_avi_mjpeg(avi)
+    assert (w, h, fps, len(jpegs)) == (16, 16, 25.0, 17)
+
+    rows = [
+        (1, bytearray(encode_y4m(luma, 25))),
+        (2, bytearray(avi)),
+        (3, bytearray(avi.replace(b"MJPG", b"H264"))),
+        (4, bytearray(avi[:80])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_video(df, cut_threshold=8).collect()}
+    assert got[2].n_frames == 17 and got[2].fps == 25.0
+    assert got[2].scene_cuts == got[1].scene_cuts > 0
+    assert abs(got[2].luma_mean - got[1].luma_mean) < 1.0
+    assert "H264" in got[3].decode_error
+    assert got[4].decode_error is not None
+
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in video_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert pairs.get((1, 2)) is not None and pairs[(1, 2)] <= 3
+    assert not any(3 in p or 4 in p for p in pairs)
+
+    with _pytest.raises(ValueError, match="expected"):
+        encode_avi_mjpeg(luma)  # needs RGB
+    # a header-only AVI (hdrl intact, movi removed) has no frames
+    movi_at = avi.find(b"LIST", 12 + 4)
+    while avi[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = avi.find(b"LIST", movi_at + 4)
+    import struct as _struct
+    headless = avi[:movi_at]
+    headless = (b"RIFF" + _struct.pack("<I", len(headless) - 8 + 4)
+                + b"AVI " + headless[12:])
+    with _pytest.raises(ValueError, match="no video frames"):
+        _parse_avi_mjpeg(headless)

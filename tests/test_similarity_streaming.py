@@ -129,9 +129,13 @@ def test_multimodal_stub_pipeline(spark):
     # determinism
     feats2 = {r["doc_id"]: r for r in decode_images(with_payload).collect()}
     assert feats[1]["head_hash"] == feats2[1]["head_hash"]
-    # real codec is explicitly stubbed
+    # the still-absent compressed codecs are explicitly stubbed (jpeg/
+    # png/gif are REAL now — see test_jpeg_codec/test_png_codec/
+    # test_gif_codec); these text payloads just fail jpeg's magic check
     with pytest.raises(NotImplementedError):
-        decode_images(with_payload, codec="jpeg")
+        decode_images(with_payload, codec="webp")
+    jrows = decode_images(with_payload, codec="jpeg").collect()
+    assert all(r["decode_error"] is not None for r in jrows)
     frames = sample_frames(with_payload, n_frames=3).collect()
     assert len(frames) == 6
     assert sorted({r["frame_idx"] for r in frames}) == [0, 1, 2]

@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _r(x, nd=5):
+    """Spark-compatible HALF_UP rounding on the shortest double repr
+    (Python's round() is banker's and diverges on exact boundaries)."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
 from pyspark_data_drift_detector_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -49,8 +59,8 @@ def main() -> None:
                 "jpeg",
                 WIDTH,
                 HEIGHT,
-                round(float(luma.mean()), ROUND),
-                round(float(luma.std()), ROUND),
+                _r(float(luma.mean()), ROUND),
+                _r(float(luma.std()), ROUND),
                 False,
             )
         )
