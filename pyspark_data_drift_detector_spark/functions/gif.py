@@ -154,7 +154,15 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the first image frame of a GIF87a/89a stream into an
     ``(h, w, 3)`` uint8 RGB array (palette resolved; transparency
-    ignored — panels read color statistics, not compositing)."""
+    ignored — panels read color statistics, not compositing). Malformed
+    streams always raise ValueError."""
+    try:
+        return _decode_gif(data)
+    except struct.error as exc:
+        raise ValueError(f"truncated GIF structure: {exc}") from exc
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad magic)")
     if len(data) < 13:

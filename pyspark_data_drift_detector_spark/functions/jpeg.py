@@ -247,7 +247,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     array (grayscale replicates into 3 channels). Rejects loudly:
     progressive/extended/lossless/hierarchical SOFs, arithmetic coding,
     non-8-bit precision, component counts other than 1 or 3, truncated
-    or corrupt streams."""
+    or corrupt streams — always as ValueError, so the Arrow decode
+    wrappers' error handling catches every malformed stream."""
+    try:
+        return _decode_jpeg(data)
+    except struct.error as exc:  # short segment body mid-unpack
+        raise ValueError(f"truncated JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI magic)")
 

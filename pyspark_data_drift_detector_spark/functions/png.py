@@ -49,7 +49,14 @@ def decode_png(data: bytes) -> np.ndarray:
     array (grayscale replicates; palette resolves through PLTE; alpha
     channels are dropped). Rejects loudly: bad signature, CRC mismatch,
     interlacing, non-8-bit depth, unknown color types, truncated or
-    corrupt DEFLATE streams."""
+    corrupt DEFLATE streams — always as ValueError."""
+    try:
+        return _decode_png(data)
+    except struct.error as exc:
+        raise ValueError(f"truncated PNG structure: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

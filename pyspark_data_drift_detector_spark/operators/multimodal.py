@@ -1652,6 +1652,7 @@ def _parse_avi_mjpeg(data: bytes):
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    import struct as _struct_mod  # struct.error -> ValueError below
     dims = None
     fps = None
     handler_ok = False
@@ -1691,7 +1692,10 @@ def _parse_avi_mjpeg(data: bytes):
                 frames.append(data[pos : pos + size])
             pos += size + (size % 2)  # chunks are word-aligned
 
-    walk(12, len(data), False)
+    try:
+        walk(12, len(data), False)
+    except _struct_mod.error as exc:
+        raise ValueError(f"truncated AVI structure: {exc}") from exc
     if dims is None or fps is None or not handler_ok:
         raise ValueError("AVI missing avih/strh video headers")
     if not frames:

@@ -167,3 +167,65 @@ def test_spark_decode_images_jpeg_end_to_end(spark):
     ham = bin(hashes[1] ^ hashes[2]).count("1")
     assert ham <= 3, f"jpeg re-encode drifted {ham} bits from the ppm"
     assert hashes[4] is None
+
+
+def test_compressed_codec_fuzz_never_crashes():
+    """Property: arbitrary bytes and single-byte corruptions of VALID
+    payloads fed to any compressed-format parser raise ValueError (or
+    IndexError — what the Arrow decode wrapper catches) or parse
+    cleanly; never struct.error/TypeError/segfault-shaped failures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_data_drift_detector_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from pyspark_data_drift_detector_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        _parse_avi_mjpeg,
+        _parse_wav,
+        encode_avi_mjpeg,
+    )
+
+    parsers = (decode_jpeg, decode_png, decode_gif, _parse_avi_mjpeg,
+               _parse_wav)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def fuzz_random(data):
+        for parse in parsers:
+            try:
+                parse(data)
+            except (ValueError, IndexError):
+                pass
+
+    fuzz_random()
+
+    img = _smooth(16, 16)
+    frames = np.repeat(img[None], 3, axis=0)
+    valids = [
+        (decode_jpeg, encode_jpeg(img, 85, "420")),
+        (decode_png, encode_png(img, "mixed")),
+        (decode_gif, encode_gif(np.full((9, 11), 37, dtype=np.uint8))),
+        (_parse_avi_mjpeg, encode_avi_mjpeg(frames, 25)),
+    ]
+
+    def make_flip(parse, base):
+        @settings(max_examples=150, deadline=None)
+        @given(st.integers(0, len(base) - 1), st.integers(0, 255))
+        def fuzz_flip(pos, val):
+            data = bytearray(base)
+            data[pos] = val
+            try:
+                parse(bytes(data))
+            except (ValueError, IndexError):
+                pass
+
+        return fuzz_flip
+
+    for parse, base in valids:
+        make_flip(parse, base)()
