@@ -1,0 +1,311 @@
+"""Cross-table record linkage (entity resolution).
+
+The reference has no cross-table matcher: its categorical "new vs
+known value" comparison (reference ``categorical_analyzer.py``) treats
+any byte difference as a brand-new entity, and the in-repo fuzzy dedup
+family (``operators/dedup.py:fuzzy_pairs``) resolves typo twins only
+WITHIN one table. This module closes the remaining gap: probe records
+(a new registration feed, a vendor list, an OCR batch) matched against
+a MASTER table through multi-pass blocking + bounded edit-distance
+verification + deterministic best-match selection — the classic
+master-data-management loop, re-expressed as three Spark shuffles.
+
+Scale shape (the 100 TB story):
+
+- **Multi-pass blocking, never a cross join.** A candidate pair must
+  share at least one of TWO blocking keys per record — the normalized
+  *prefix* block and the normalized *suffix* block, each concatenated
+  with a length band. Two passes are the standard recall fix for
+  single-key blocking (an edit inside the prefix escapes the prefix
+  pass but is caught by the suffix pass, and vice versa); both are
+  emitted by one ``explode`` so the keyed projection stays a single
+  narrow map.
+- **Hot-block cap on the PAIR PRODUCT.** Real master tables have
+  degenerate blocks ("customer#", "llc", ""). ``max_block_pairs``
+  drops any block whose ``probe_count * master_count`` exceeds the
+  cap — the quadratic guard is on the actual join-output size, not on
+  one side's membership. Documented bounded-recall tradeoff, same
+  contract as ``max_block_size`` in ``fuzzy_pairs`` /
+  ``max_shingle_df`` in ``jaccard_pairs``.
+- **Bounded verify.** Levenshtein runs on the first ``compare_len``
+  normalized chars (constant per-pair cost) after a free
+  length-difference prefilter (``|len1-len2| > max_distance`` cannot
+  match). All JVM builtins — no Python in the path.
+- **Deterministic winner.** Best match per probe is
+  ``min(struct(distance, master_id))``: one shuffle on ``probe_id``,
+  ties broken by smallest master id, so the same inputs always link
+  the same way (required for engine-portable oracles and idempotent
+  re-runs).
+- **State, not re-reads.** :func:`linkage_state` is the compact keyed
+  projection of the master (two ~``compare_len``-byte rows per master
+  record). Incremental batches probe the state; the master table is
+  never re-scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(text_col: str):
+    """Whitespace-collapsed lowercase normalization — byte-for-byte the
+    ``fuzzy_pairs`` convention so linkage and dedup agree on what
+    "the same string" means."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def linkage_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    compare_len: int = 64,
+    band_slack: int = 0,
+) -> DataFrame:
+    """Two-pass keyed projection: per record, one row per blocking key —
+    the pass-tagged prefix key(s) (``p#<prefix>#<band>``) and the
+    bandless suffix key (``s#<suffix>``), plus the capped comparison
+    window and the normalized length.
+
+    ``band_slack`` is the probe-side recall guarantee: with slack ``d``
+    a record emits a prefix key for EVERY band its length could land in
+    after up to ``d`` edits (``floor((len-d)/bw) .. floor((len+d)/bw)``
+    — at most 2 bands when ``d < bw``). The master side keys with slack
+    0, so any candidate whose prefix survived the edits is guaranteed
+    to share a prefix key regardless of band crossings; the suffix key
+    (deliberately unbanded for the same reason) is the backstop for
+    edits INSIDE the prefix. Only an edit set touching both the prefix
+    and the suffix escapes blocking — the documented recall bound.
+
+    Empty/whitespace-only texts are dropped here — they all share one
+    block at distance 0 (the O(n²) blank-rows blowup) and a blank
+    probe has no linkable identity."""
+    norm = _normalized(text_col)
+    prefix = F.substring(norm, 1, prefix_len)
+    lo = F.floor((F.length(norm) - band_slack) / band_width)
+    hi = F.floor((F.length(norm) + band_slack) / band_width)
+    pkeys = F.transform(
+        F.sequence(lo, hi),
+        lambda b: F.concat_ws("#", F.lit("p"), prefix, b.cast("string")),
+    )
+    skey = F.concat_ws(
+        "#", F.lit("s"),
+        F.expr(f"right({_norm_sql_col(text_col)}, {suffix_len})"),
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, compare_len).alias("probe"),
+        F.length(norm).alias("len"),
+        F.concat(pkeys, F.array(skey)).alias("__blocks"),
+    ).filter(F.col("len") > 0)
+    return keyed.select(
+        "id", "probe", "len", F.explode("__blocks").alias("block")
+    )
+
+
+def _norm_sql_col(text_col: str) -> str:
+    """SQL-string twin of :func:`_normalized` (for expressions like
+    ``right()`` that the Column API lacks)."""
+    return (
+        f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    )
+
+
+def linkage_state(
+    master: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    compare_len: int = 64,
+) -> DataFrame:
+    """Compact master-side state: ``(master_id, block, probe, mlen)``,
+    two rows per master record (one per blocking pass). Append per
+    master refresh; :func:`record_linkage_against_state` probes it
+    without ever re-reading the master table. The blocking parameters
+    are part of the state contract (every append and every probe must
+    share one configuration), same rule as ``fuzzy_state``."""
+    return linkage_keyed(
+        master, text_col, id_col, prefix_len, suffix_len, band_width,
+        compare_len,
+    ).select(
+        F.col("id").alias("master_id"),
+        "block",
+        F.col("probe").alias("mprobe"),
+        F.col("len").alias("mlen"),
+    )
+
+
+def record_linkage_against_state(
+    probe: DataFrame,
+    state: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    max_distance: int = 2,
+    compare_len: int = 64,
+    max_block_pairs: int | None = None,
+) -> DataFrame:
+    """Link every probe record to its best master match via the
+    pre-keyed ``state``. Returns ONE row per non-blank probe record::
+
+        probe_id, master_id, distance, n_candidates, matched
+
+    ``master_id``/``distance`` are NULL when nothing in the master is
+    within ``max_distance`` edits of the probe's comparison window;
+    ``n_candidates`` counts the verified (distance-passing) masters —
+    a match-ambiguity signal (n_candidates > 1 means blocking found
+    several plausible identities and review may be warranted).
+
+    Shuffle inventory: block join (1), pair dedup across the two
+    passes (2), best-match groupBy on probe_id (3) + the final
+    probe-id equi-join. Each key is either the block key or an id —
+    no full-text column ever crosses an exchange (only the capped
+    ``compare_len`` windows travel)."""
+    keyed = linkage_keyed(
+        probe, text_col, id_col, prefix_len, suffix_len, band_width,
+        compare_len, band_slack=max_distance,
+    )
+    st = state
+    if max_block_pairs is not None:
+        pc = keyed.groupBy("block").agg(F.count(F.lit(1)).alias("__pc"))
+        mc = st.groupBy("block").agg(F.count(F.lit(1)).alias("__mc"))
+        ok = (
+            pc.join(mc, "block")
+            .filter(F.col("__pc") * F.col("__mc") <= max_block_pairs)
+            .select("block")
+        )
+        keyed = keyed.join(ok, "block", "left_semi")
+        st = st.join(ok, "block", "left_semi")
+    candidates = (
+        keyed.join(st, "block")
+        # a pair found by both passes must verify once, not twice
+        .dropDuplicates(["id", "master_id"])
+        .filter(F.abs(F.col("len") - F.col("mlen")) <= max_distance)
+        .withColumn("distance", F.levenshtein("probe", "mprobe"))
+        .filter(F.col("distance") <= max_distance)
+    )
+    best = candidates.groupBy("id").agg(
+        F.min(F.struct("distance", "master_id")).alias("__best"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    all_probes = probe.select(
+        F.col(id_col).alias("id"),
+    ).filter(F.length(_normalized(text_col)) > 0)
+    return (
+        all_probes.join(best, "id", "left")
+        .select(
+            F.col("id").alias("probe_id"),
+            F.col("__best.master_id").alias("master_id"),
+            F.col("__best.distance").cast("long").alias("distance"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.col("__best").isNotNull().alias("matched"),
+        )
+    )
+
+
+def record_linkage(
+    probe: DataFrame,
+    master: DataFrame,
+    probe_text: str = "name",
+    probe_id: str = "id",
+    master_text: str = "name",
+    master_id: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    max_distance: int = 2,
+    compare_len: int = 64,
+    max_block_pairs: int | None = None,
+) -> DataFrame:
+    """One-shot cross-table linkage: key the master in place and match
+    the probe feed against it. See
+    :func:`record_linkage_against_state` for the output contract."""
+    state = linkage_state(
+        master, master_text, master_id, prefix_len, suffix_len,
+        band_width, compare_len,
+    )
+    return record_linkage_against_state(
+        probe, state, probe_text, probe_id, prefix_len, suffix_len,
+        band_width, max_distance, compare_len, max_block_pairs,
+    )
+
+
+def record_linkage_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    max_distance: int = 2,
+    compare_len: int = 64,
+    max_block_pairs: int | None = None,
+) -> DataFrame:
+    """Vet-the-increment member for entity resolution: which records of
+    a NEW batch resolve to an existing master identity, which are
+    duplicate registrations WITHIN the batch (an earlier-id batch
+    record within ``max_distance`` edits — the "same new entity signed
+    up twice today" case), and which are genuinely new entities that
+    should mint master rows?
+
+    Output per non-blank batch record::
+
+        probe_id, master_id, distance, matched_master, dup_in_batch,
+        is_new
+
+    ``is_new = NOT matched_master AND NOT dup_in_batch`` is the
+    mint-a-master decision; ties inside the batch keep the smallest
+    id, so re-running the same batch mints the same rows. The master
+    table is never re-read — masters are represented solely by the
+    O(state) keyed rows."""
+    linked = record_linkage_against_state(
+        batch, state, text_col, id_col, prefix_len, suffix_len,
+        band_width, max_distance, compare_len, max_block_pairs,
+    )
+    keyed = linkage_keyed(
+        batch, text_col, id_col, prefix_len, suffix_len, band_width,
+        compare_len, band_slack=max_distance,
+    )
+    earlier = keyed.select(
+        F.col("id").alias("__eid"),
+        F.col("probe").alias("__ep"),
+        F.col("len").alias("__el"),
+        "block",
+    )
+    batch_hits = (
+        keyed.join(earlier, "block")
+        .filter(F.col("__eid") < F.col("id"))
+        .filter(F.abs(F.col("len") - F.col("__el")) <= max_distance)
+        .filter(F.levenshtein("probe", "__ep") <= max_distance)
+        .select("id")
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        linked.join(
+            batch_hits.select(F.col("id").alias("probe_id"), "__in_batch"),
+            "probe_id",
+            "left",
+        )
+        .select(
+            "probe_id",
+            "master_id",
+            "distance",
+            F.col("matched").alias("matched_master"),
+            F.coalesce("__in_batch", F.lit(False)).alias("dup_in_batch"),
+            (
+                (~F.col("matched"))
+                & F.col("__in_batch").isNull()
+            ).alias("is_new"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Cross-table record linkage (operators/linkage.py).
+
+Semantics the blocked matcher must honor: typo-level probes resolve to
+the right master, normalization-only variants match at distance 0,
+band-crossing deletions are still caught (the band-slack recall
+guarantee), blanks never link, ties break deterministically, and the
+incremental path distinguishes matched-master / dup-in-batch / new."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_data_drift_detector_spark.operators.linkage import (
+    linkage_keyed,
+    linkage_state,
+    record_linkage,
+    record_linkage_against_state,
+    record_linkage_incremental,
+)
+
+MASTER = [
+    (1, "Acme Corporation"),
+    (2, "Globex LLC"),
+    (3, "Initech Inc"),
+    (4, "Umbrella Corp"),
+    (5, "Stark Industries"),
+]
+
+
+def _master(spark):
+    return spark.createDataFrame(MASTER, "id long, name string")
+
+
+def test_record_linkage_basic(spark):
+    probe = spark.createDataFrame(
+        [
+            (101, "Acme Corporaton"),    # deletion near the end: 1 edit,
+                                          # crosses a length band AND moves
+                                          # the suffix — band slack catches it
+            (102, "globex  llc"),         # case/whitespace only: distance 0
+            (103, "Initech Incx"),        # trailing insertion: 1 edit
+            (104, "Wayne Enterprises"),   # no master within distance
+            (105, "Stork Industries"),    # edit INSIDE the prefix: suffix
+                                          # pass catches it
+            (106, "   "),                 # blank: excluded entirely
+        ],
+        "id long, name string",
+    )
+    rows = {
+        r["probe_id"]: r
+        for r in record_linkage(probe, _master(spark), max_distance=2).collect()
+    }
+    assert set(rows) == {101, 102, 103, 104, 105}  # blank 106 dropped
+    assert (rows[101]["master_id"], rows[101]["distance"]) == (1, 1)
+    assert (rows[102]["master_id"], rows[102]["distance"]) == (2, 0)
+    assert (rows[103]["master_id"], rows[103]["distance"]) == (3, 1)
+    assert rows[104]["master_id"] is None and not rows[104]["matched"]
+    assert rows[104]["n_candidates"] == 0
+    assert (rows[105]["master_id"], rows[105]["distance"]) == (5, 1)
+    assert all(rows[i]["matched"] for i in (101, 102, 103, 105))
+
+
+def test_record_linkage_deterministic_tiebreak(spark):
+    # two masters both at distance 1 from the probe -> smallest master id
+    master = spark.createDataFrame(
+        [(7, "abcdefgh"), (9, "abcdefgi"), (8, "abcdefgj")],
+        "id long, name string",
+    )
+    probe = spark.createDataFrame([(50, "abcdefg")], "id long, name string")
+    row = record_linkage(probe, master, max_distance=2).collect()[0]
+    assert row["n_candidates"] == 3
+    assert row["master_id"] == 7 and row["distance"] == 1
+
+
+def test_record_linkage_hot_block_cap(spark):
+    # every record shares prefix AND suffix blocks; a pair-product cap
+    # below n*m drops all blocks -> nothing links (the documented
+    # bounded-recall tradeoff, preferred to the quadratic join)
+    master = spark.createDataFrame(
+        [(i, "same name here") for i in range(10)], "id long, name string"
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, "same name here") for i in range(10)],
+        "id long, name string",
+    )
+    capped = record_linkage(probe, master, max_distance=2, max_block_pairs=50)
+    assert capped.filter("matched").count() == 0
+    uncapped = record_linkage(probe, master, max_distance=2)
+    assert uncapped.filter("matched").count() == 10
+
+
+def test_linkage_keyed_band_slack(spark):
+    df = spark.createDataFrame([(1, "a" * 16)], "id long, name string")
+    no_slack = linkage_keyed(df, "name", "id").collect()
+    slack = linkage_keyed(df, "name", "id", band_slack=2).collect()
+    # slack 2 across the 16-char band boundary emits bands 1 and 2
+    assert len(no_slack) == 2  # one prefix key + one suffix key
+    assert len(slack) == 3
+    pkeys = sorted(r["block"] for r in slack if r["block"].startswith("p#"))
+    assert pkeys == ["p#aaaaaa#1", "p#aaaaaa#2"]
+
+
+def test_record_linkage_incremental_verdicts(spark):
+    state = linkage_state(_master(spark))
+    batch = spark.createDataFrame(
+        [
+            (201, "Acme Corporaton"),     # resolves to master 1
+            (202, "Wayne Enterprises"),   # new entity, minted
+            (203, "Wayne Enterprizes"),   # dup of 202 within the batch
+            (204, "Globex LLC"),          # exact master hit
+        ],
+        "id long, name string",
+    )
+    rows = {
+        r["probe_id"]: r
+        for r in record_linkage_incremental(batch, state, max_distance=2).collect()
+    }
+    assert rows[201]["matched_master"] and rows[201]["master_id"] == 1
+    assert rows[202]["is_new"] and not rows[202]["dup_in_batch"]
+    assert rows[203]["dup_in_batch"] and not rows[203]["is_new"]
+    assert rows[204]["matched_master"] and rows[204]["distance"] == 0
+    # exactly one row of the duplicate registration pair mints a master
+    assert sum(1 for r in rows.values() if r["is_new"]) == 1
+
+
+def test_record_linkage_state_never_rereads_master(spark):
+    # the state frame alone must be enough: feed a state built once,
+    # then link against it with the master DataFrame discarded
+    state_rows = linkage_state(_master(spark)).collect()
+    state = spark.createDataFrame(
+        state_rows, "master_id long, block string, mprobe string, mlen int"
+    )
+    probe = spark.createDataFrame(
+        [(301, "Umbrella Corpx")], "id long, name string"
+    )
+    out = record_linkage_against_state(probe, state, max_distance=2).collect()
+    assert out[0]["master_id"] == 4 and out[0]["distance"] == 1
+
+
+def test_record_linkage_no_raw_text_in_exchange(spark, sf_dir):
+    # the raw name column must never cross a shuffle: only the capped
+    # compare windows (aliased `probe`/`mprobe`) travel. Check every
+    # Exchange's column list for the source column.
+    from pyspark_data_drift_detector_spark.plans.inspect import formatted_plan
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    master = customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("full_name")
+    )
+    probe = customer.select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.upper("c_name").alias("full_name"),
+    )
+    out = record_linkage(
+        probe, master, probe_text="full_name", master_text="full_name",
+        compare_len=12, max_distance=2,
+    )
+    plan = formatted_plan(out)
+    assert "Exchange" in plan
+    for seg in plan.split("Exchange")[1:]:
+        assert "full_name" not in seg[:400], "raw text crossed an exchange"
+    # semantics on the real table: case-only variants all link at 0
+    assert out.filter("matched AND distance = 0").count() == customer.count()
