@@ -10306,6 +10306,11 @@ def _oracle_queries() -> dict[str, str]:
         "gif_decode": _png_decode_sql(fmt="gif"),
         "wav_formats": _wav_formats_sql(),
         "mjpeg_decode": _mjpeg_decode_sql(),
+        "record_linkage": _record_linkage_sql(),
+        "linkage_incremental": _linkage_incremental_sql(),
+        "survival_curve": _survival_curve_sql(),
+        "ohlc_downsample": _ohlc_downsample_sql(),
+        "audio_segments": _audio_segments_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12484,6 +12489,372 @@ def _psi_cells_sql(bins: int = 10, epsilon: float = 1e-4) -> str:
     LEFT JOIN counts c ON c.column_name = g.column_name AND c.bin = g.bin"""
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (operators.linkage.record_linkage):
+    the customer table is the master; the probe feed is a deterministic
+    "dirty registration" derivation — one char deleted (custkey%3=0),
+    one char substituted (custkey%3=1), case/whitespace noise only
+    (else), and an unlinkable 'Unreg' identity every 11th key. The
+    pair-product cap drops the degenerate shared-prefix block
+    ('customer#...' puts EVERY record in one prefix block — the classic
+    hot-block case), so matching flows through the bandless suffix pass;
+    band slack keeps the deletion probes (which cross a length band)
+    linkable. Output: per-probe best master, distance, candidate count."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        record_linkage,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    master = cust.selectExpr("c_custkey AS id", "c_name AS name")
+    probe = cust.selectExpr(
+        "c_custkey + 1000000 AS id",
+        "CASE WHEN c_custkey % 11 = 0"
+        " THEN concat('Unreg ', CAST(c_custkey * 7 AS STRING))"
+        " WHEN c_custkey % 3 = 0"
+        " THEN concat(substring(c_name, 1, 10), substring(c_name, 12))"
+        " WHEN c_custkey % 3 = 1"
+        " THEN concat(substring(c_name, 1, 11), 'x', substring(c_name, 13))"
+        " ELSE concat(upper(c_name), '  ') END AS name",
+    )
+    return record_linkage(
+        probe, master, prefix_len=6, suffix_len=6, band_width=8,
+        max_distance=2, compare_len=32, max_block_pairs=50000,
+    )
+
+
+def _record_linkage_sql(
+    cap: int = 50000, dist: int = 2, pre: int = 6, suf: int = 6,
+    bw: int = 8, cmp_len: int = 32,
+) -> str:
+    return f"""
+    WITH master AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    probe AS (
+      SELECT c_custkey + 1000000 AS id,
+        CASE WHEN c_custkey % 11 = 0
+             THEN 'Unreg ' || CAST(c_custkey * 7 AS VARCHAR)
+             WHEN c_custkey % 3 = 0
+             THEN substring(c_name, 1, 10) || substring(c_name, 12)
+             WHEN c_custkey % 3 = 1
+             THEN substring(c_name, 1, 11) || 'x' || substring(c_name, 13)
+             ELSE upper(c_name) || '  ' END AS name
+      FROM customer),
+    mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM master),
+    pn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM probe),
+    mk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb, length(nrm) AS len,
+        UNNEST(['p#' || substring(nrm, 1, {pre}) || '#' ||
+                  CAST(CAST(FLOOR(length(nrm) / {bw}.0) AS BIGINT) AS VARCHAR),
+                's#' || right(nrm, {suf})]) AS blk
+      FROM mn WHERE length(nrm) > 0),
+    pk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb, length(nrm) AS len,
+        UNNEST(list_append(
+          list_transform(
+            generate_series(
+              CAST(FLOOR((length(nrm) - {dist}) / {bw}.0) AS BIGINT),
+              CAST(FLOOR((length(nrm) + {dist}) / {bw}.0) AS BIGINT)),
+            b -> 'p#' || substring(nrm, 1, {pre}) || '#' ||
+                 CAST(b AS VARCHAR)),
+          's#' || right(nrm, {suf}))) AS blk
+      FROM pn WHERE length(nrm) > 0),
+    pc AS (SELECT blk, COUNT(*) AS c FROM pk GROUP BY 1),
+    mc AS (SELECT blk, COUNT(*) AS c FROM mk GROUP BY 1),
+    ok AS (SELECT pc.blk FROM pc JOIN mc ON pc.blk = mc.blk
+           WHERE pc.c * mc.c <= {cap}),
+    cand AS (
+      SELECT DISTINCT p.id AS pid, m.id AS mid, p.prb AS pp, m.prb AS mp,
+                      p.len AS pl, m.len AS ml
+      FROM pk p JOIN ok o ON p.blk = o.blk JOIN mk m ON m.blk = p.blk),
+    ver AS (
+      SELECT pid, mid, levenshtein(pp, mp) AS distance
+      FROM cand
+      WHERE ABS(pl - ml) <= {dist} AND levenshtein(pp, mp) <= {dist}),
+    best AS (
+      SELECT pid, mid, distance,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY distance, mid) AS rn,
+        COUNT(*) OVER (PARTITION BY pid) AS ncand
+      FROM ver)
+    SELECT pr.id AS probe_id, b.mid AS master_id,
+      CAST(b.distance AS BIGINT) AS distance,
+      CAST(COALESCE(b.ncand, 0) AS BIGINT) AS n_candidates,
+      (b.mid IS NOT NULL) AS matched
+    FROM (SELECT id FROM pn WHERE length(nrm) > 0) pr
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON pr.id = b.pid"""
+
+
+def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution member of the vet-the-increment family
+    (operators.linkage.record_linkage_incremental): today's
+    registration batch — typo'd re-registrations of existing masters
+    (custkey%7=0), genuinely new entities ('Newco', custkey%13=0) and
+    a duplicate registration of each even Newco (custkey%26=0, one
+    trailing edit) — resolved against the customer master's compact
+    linkage_state. Masters match, batch twins flag dup_in_batch, and
+    exactly one row per new entity mints (is_new)."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        linkage_state,
+        record_linkage_incremental,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    master = cust.selectExpr("c_custkey AS id", "c_name AS name")
+    state = linkage_state(
+        master, "name", "id", prefix_len=6, suffix_len=6, band_width=8,
+        compare_len=32,
+    )
+    typos = cust.filter("c_custkey % 7 = 0").selectExpr(
+        "c_custkey + 2000000 AS id",
+        "concat(substring(c_name, 1, 11), 'x', substring(c_name, 13))"
+        " AS name",
+    )
+    newcos = cust.filter("c_custkey % 13 = 0").selectExpr(
+        "c_custkey + 3000000 AS id",
+        "concat('Newco ', CAST(c_custkey AS STRING)) AS name",
+    )
+    dup_regs = cust.filter("c_custkey % 26 = 0").selectExpr(
+        "c_custkey + 4000000 AS id",
+        "concat('Newco ', CAST(c_custkey AS STRING), 'x') AS name",
+    )
+    batch = typos.unionByName(newcos).unionByName(dup_regs)
+    return record_linkage_incremental(
+        batch, state, "name", "id", prefix_len=6, suffix_len=6,
+        band_width=8, max_distance=2, compare_len=32,
+        max_block_pairs=50000,
+    )
+
+
+def _linkage_incremental_sql(
+    cap: int = 50000, dist: int = 2, pre: int = 6, suf: int = 6,
+    bw: int = 8, cmp_len: int = 32,
+) -> str:
+    return f"""
+    WITH master AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    batch AS (
+      SELECT c_custkey + 2000000 AS id,
+             substring(c_name, 1, 11) || 'x' || substring(c_name, 13) AS name
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000,
+             'Newco ' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey + 4000000,
+             'Newco ' || CAST(c_custkey AS VARCHAR) || 'x'
+      FROM customer WHERE c_custkey % 26 = 0),
+    mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM master),
+    pn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM batch),
+    mk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb, length(nrm) AS len,
+        UNNEST(['p#' || substring(nrm, 1, {pre}) || '#' ||
+                  CAST(CAST(FLOOR(length(nrm) / {bw}.0) AS BIGINT) AS VARCHAR),
+                's#' || right(nrm, {suf})]) AS blk
+      FROM mn WHERE length(nrm) > 0),
+    pk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb, length(nrm) AS len,
+        UNNEST(list_append(
+          list_transform(
+            generate_series(
+              CAST(FLOOR((length(nrm) - {dist}) / {bw}.0) AS BIGINT),
+              CAST(FLOOR((length(nrm) + {dist}) / {bw}.0) AS BIGINT)),
+            b -> 'p#' || substring(nrm, 1, {pre}) || '#' ||
+                 CAST(b AS VARCHAR)),
+          's#' || right(nrm, {suf}))) AS blk
+      FROM pn WHERE length(nrm) > 0),
+    pc AS (SELECT blk, COUNT(*) AS c FROM pk GROUP BY 1),
+    mc AS (SELECT blk, COUNT(*) AS c FROM mk GROUP BY 1),
+    ok AS (SELECT pc.blk FROM pc JOIN mc ON pc.blk = mc.blk
+           WHERE pc.c * mc.c <= {cap}),
+    cand AS (
+      SELECT DISTINCT p.id AS pid, m.id AS mid, p.prb AS pp, m.prb AS mp,
+                      p.len AS pl, m.len AS ml
+      FROM pk p JOIN ok o ON p.blk = o.blk JOIN mk m ON m.blk = p.blk),
+    ver AS (
+      SELECT pid, mid, levenshtein(pp, mp) AS distance
+      FROM cand
+      WHERE ABS(pl - ml) <= {dist} AND levenshtein(pp, mp) <= {dist}),
+    best AS (
+      SELECT pid, mid, distance,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY distance, mid) AS rn
+      FROM ver),
+    selfhits AS (
+      SELECT DISTINCT a.id
+      FROM pk a JOIN pk e ON a.blk = e.blk AND e.id < a.id
+      WHERE ABS(a.len - e.len) <= {dist}
+        AND levenshtein(a.prb, e.prb) <= {dist}),
+    linked AS (
+      SELECT pr.id AS probe_id, b.mid AS master_id,
+        CAST(b.distance AS BIGINT) AS distance,
+        (b.mid IS NOT NULL) AS matched_master
+      FROM (SELECT id FROM pn WHERE length(nrm) > 0) pr
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON pr.id = b.pid)
+    SELECT l.probe_id, l.master_id, l.distance, l.matched_master,
+      (s.id IS NOT NULL) AS dup_in_batch,
+      (NOT l.matched_master AND s.id IS NULL) AS is_new
+    FROM linked l LEFT JOIN selfhits s ON l.probe_id = s.id"""
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (operators.temporal.survival_curve): user
+    lifetime measured on purchase activity — a user has churned when
+    their last purchase is > 2 days before the observation end,
+    otherwise they are right-censored (still buying). Output: the
+    product-limit table per duration day."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_curve,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    return _round_cols(survival_curve(ev, censor_days=2), ["survival"])
+
+
+def _survival_curve_sql(censor_days: int = 2) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+      FROM events
+      WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+    users AS (SELECT u, MIN(e) AS e0, MAX(e) AS e1 FROM ev GROUP BY u),
+    b AS (SELECT MAX(e1) AS obs_end FROM users),
+    lt AS (
+      SELECT
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN (u.e1 - u.e0) // 86400
+             ELSE (b.obs_end - u.e0) // 86400 END AS duration_days,
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN 1 ELSE 0 END AS churned
+      FROM users u CROSS JOIN b),
+    bd AS (
+      SELECT duration_days,
+        CAST(SUM(churned) AS BIGINT) AS n_churned,
+        CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
+        COUNT(*) AS n_total
+      FROM lt GROUP BY 1),
+    r AS (
+      SELECT duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER (ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS at_risk
+      FROM bd)
+    SELECT CAST(duration_days AS BIGINT) AS duration_days, at_risk,
+      n_churned, n_censored,
+      ROUND(exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+            OVER (ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            {ROUND}) AS survival
+    FROM r"""
+
+
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bucket downsampling (operators.temporal.
+    ohlc_downsample): per (event_type, hour) candlesticks over the
+    events stream — first/last by (ts, event_id), extremes, count,
+    mean. One hash exchange feeds both row_number windows and the
+    final groupBy."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round_cols(
+        ohlc_downsample(ev, bucket="hour"),
+        ["open", "high", "low", "close", "mean"],
+    )
+
+
+def _ohlc_downsample_sql() -> str:
+    return f"""
+    WITH src AS (
+      SELECT event_type AS k, value AS v, event_id AS i, ts AS t,
+             date_trunc('hour', ts) AS b
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    rn AS (
+      SELECT k, b, v,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t, i) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t DESC, i DESC) AS rd
+      FROM src)
+    SELECT k AS event_type,
+      strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      ROUND(MAX(CASE WHEN ra = 1 THEN v END), {ROUND}) AS open,
+      ROUND(MAX(v), {ROUND}) AS high,
+      ROUND(MIN(v), {ROUND}) AS low,
+      ROUND(MAX(CASE WHEN rd = 1 THEN v END), {ROUND}) AS close,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(AVG(v), {ROUND}) AS mean
+    FROM rn GROUP BY k, b"""
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/activity segmentation (operators.multimodal.
+    audio_segments): real WAV payloads (the attach_synthetic_audio
+    closed form, 2000 samples) decoded by the RIFF walk and reduced to
+    the VAD-style structural panel — qualifying silence runs, active
+    segments after closing sub-min_run gaps, edge silences. Counts are
+    exact integers, so the oracle replays them with gaps-and-islands
+    SQL over the closed form."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_audio,
+        audio_segments,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 300")
+    aud = attach_synthetic_audio(ids, n_samples=2000)
+    out = audio_segments(aud, silence_threshold=200, min_run=16)
+    return _round_cols(
+        out.select(
+            "doc_id", "n_samples", "silence_ratio", "n_silence_runs",
+            "longest_silence", "n_segments", "leading_silence",
+            "trailing_silence",
+        ),
+        ["silence_ratio"],
+    )
+
+
+def _audio_segments_sql(
+    n: int = 2000, thr: int = 200, min_run: int = 16,
+) -> str:
+    return f"""
+    WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 300),
+    s AS (
+      SELECT d.doc_id, r.i,
+        (ABS(((d.doc_id * 37 + r.i * 11) % 4001) - 2000) < {thr}) AS sil
+      FROM ids d CROSS JOIN range({n}) r(i)),
+    runs AS (
+      SELECT doc_id, sil, MIN(i) AS st, COUNT(*) AS len,
+             MIN(i) + COUNT(*) AS en
+      FROM (SELECT doc_id, i, sil,
+              i - ROW_NUMBER() OVER (PARTITION BY doc_id, sil ORDER BY i)
+                AS g
+            FROM s) t
+      GROUP BY doc_id, sil, g),
+    agg AS (
+      SELECT doc_id,
+        SUM(CASE WHEN sil THEN len ELSE 0 END) AS n_sil,
+        COALESCE(MAX(CASE WHEN sil THEN len END), 0) AS longest,
+        SUM(CASE WHEN sil AND len >= {min_run} THEN 1 ELSE 0 END) AS nruns,
+        SUM(CASE WHEN NOT sil THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN sil AND len < {min_run} AND st > 0 AND en < {n}
+                     THEN 1 ELSE 0 END) AS nseg,
+        COALESCE(MAX(CASE WHEN sil AND st = 0 THEN len END), 0) AS lead,
+        COALESCE(MAX(CASE WHEN sil AND en = {n} THEN len END), 0) AS trail
+      FROM runs GROUP BY doc_id)
+    SELECT doc_id, CAST({n} AS BIGINT) AS n_samples,
+      ROUND(n_sil / {n}.0, {ROUND}) AS silence_ratio,
+      CAST(nruns AS BIGINT) AS n_silence_runs,
+      CAST(longest AS BIGINT) AS longest_silence,
+      CAST(nseg AS BIGINT) AS n_segments,
+      CAST(lead AS BIGINT) AS leading_silence,
+      CAST(trail AS BIGINT) AS trailing_silence
+    FROM agg"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -12529,6 +12900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "wav_formats": q_wav_formats,
         "mjpeg_decode": q_mjpeg_decode,
+        "record_linkage": q_record_linkage,
+        "linkage_incremental": q_linkage_incremental,
+        "survival_curve": q_survival_curve,
+        "ohlc_downsample": q_ohlc_downsample,
+        "audio_segments": q_audio_segments,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -1974,3 +1974,141 @@ def touch_attribution(
         "conversions",
         (F.col("conversions") / F.col("__tot")).alias("share"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve for user lifetime ("time until
+    churn") — the product-limit estimator the retention matrix cannot
+    give, because :func:`retention_cohorts` treats every silent bucket
+    as churn while KM handles RIGHT-CENSORING: a user still active near
+    the end of the observation window hasn't churned, they just haven't
+    been observed long enough.
+
+    Definitions (all in whole days, floor of epoch-second differences
+    so both engines agree bit-for-bit):
+
+    - a user's lifetime starts at their first event;
+    - a user has CHURNED if their last event is more than
+      ``censor_days`` before the global observation end (the table's
+      max timestamp); their duration is ``last - first``;
+    - otherwise they are CENSORED at ``obs_end - first`` (alive for at
+      least that long; KM removes them from the risk set without
+      counting a death).
+
+    Output: one row per distinct duration day present in the data —
+    ``duration_days, at_risk, n_churned, n_censored, survival`` where
+    ``survival`` is the running product ``Π (1 - d_i / n_i)`` over
+    churn durations ≤ t, computed as ``exp(sum(ln(...)))`` (identical
+    formula in the DuckDB oracle, so ULP behavior matches).
+
+    Plan shape: one corpus-scale groupBy(user) → one tiny
+    groupBy(duration) → two cumulative windows over the O(days) panel
+    (documented O(panel) unpartitioned windows, the house convention
+    for ≤ thousands of rows). NULL users/timestamps are dropped up
+    front — a NULL identity has no lifetime.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, ts_col])
+    query = f"""
+    WITH ev AS (
+      SELECT `{user_col}` AS u, unix_timestamp(`{ts_col}`) AS e
+      FROM {{src}}
+      WHERE `{user_col}` IS NOT NULL AND `{ts_col}` IS NOT NULL),
+    users AS (
+      SELECT u, MIN(e) AS e0, MAX(e) AS e1 FROM ev GROUP BY u),
+    bounds AS (SELECT MAX(e1) AS obs_end FROM users),
+    lifetimes AS (
+      SELECT
+        CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
+             THEN CAST((u.e1 - u.e0) div 86400 AS BIGINT)
+             ELSE CAST((b.obs_end - u.e0) div 86400 AS BIGINT) END
+          AS duration_days,
+        CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
+             THEN 1 ELSE 0 END AS churned
+      FROM users u CROSS JOIN bounds b),
+    by_day AS (
+      SELECT duration_days,
+        CAST(SUM(churned) AS BIGINT) AS n_churned,
+        CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
+        CAST(COUNT(1) AS BIGINT) AS n_total
+      FROM lifetimes GROUP BY duration_days),
+    risk AS (
+      SELECT duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER (ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS at_risk
+      FROM by_day)
+    SELECT duration_days, at_risk, n_churned, n_censored,
+      exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+          OVER (ORDER BY duration_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        AS survival
+    FROM risk"""
+    return df.sparkSession.sql(query, src=df)
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Open-high-low-close time-bucket downsampling — the classic
+    timeseries rollup (candlesticks, sensor decimation, metric
+    pre-aggregation). For each ``(key, date_trunc(bucket, ts))`` cell:
+    the first value (by ``(ts, id)`` — the id breaks timestamp ties so
+    re-runs are deterministic), the max, the min, the last value, the
+    row count and the mean.
+
+    Plan shape: ONE hash exchange on ``(key, bucket)`` feeds both
+    row_number windows (ascending and descending sorts reuse the same
+    partitioning) and the final groupBy on the same keys — Spark
+    inserts no second exchange. Window functions are used instead of
+    ``min_by/max_by(value, struct(...))`` deliberately: composite
+    ordering keys for arg-extremes are not portable across engines
+    (DuckDB's ``arg_min`` takes scalar keys only), and the window
+    formulation replays verbatim in the oracle.
+
+    NULL timestamps/keys are dropped (no bucket to land in); NULL
+    values participate in ``n_events`` but not in open/close (windows
+    order by time, not value, so a NULL value can legitimately be the
+    open — that is faithful to "first observation").
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([ts_col, key_col, val_col, id_col])
+    if bucket not in ("minute", "hour", "day", "week"):
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    query = f"""
+    WITH src AS (
+      SELECT `{key_col}` AS k, `{val_col}` AS v, `{id_col}` AS i,
+             `{ts_col}` AS t, date_trunc('{bucket}', `{ts_col}`) AS b
+      FROM {{src}}
+      WHERE `{ts_col}` IS NOT NULL AND `{key_col}` IS NOT NULL),
+    rn AS (
+      SELECT k, b, v,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t, i) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t DESC, i DESC) AS rd
+      FROM src)
+    SELECT k AS `{key_col}`,
+      date_format(b, 'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+      MAX(CASE WHEN ra = 1 THEN v END) AS open,
+      MAX(v) AS high,
+      MIN(v) AS low,
+      MAX(CASE WHEN rd = 1 THEN v END) AS close,
+      CAST(COUNT(1) AS BIGINT) AS n_events,
+      AVG(v) AS mean
+    FROM rn GROUP BY k, b"""
+    return df.sparkSession.sql(query, src=df)

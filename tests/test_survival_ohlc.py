@@ -1,0 +1,130 @@
+"""Kaplan-Meier survival_curve + ohlc_downsample (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_data_drift_detector_spark.operators.temporal import (
+    ohlc_downsample,
+    survival_curve,
+)
+from pyspark_data_drift_detector_spark.plans.inspect import count_shuffles
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_survival_curve_product_limit(spark):
+    from datetime import datetime
+
+    day = lambda d: datetime(2024, 1, 1 + d)  # noqa: E731
+    rows = [
+        # user 1: active day 0..2, silent after -> churned at duration 2
+        (1, day(0), 1, 1.0),
+        (2, day(2), 1, 1.0),
+        # user 2: active through the end -> censored at duration 29
+        (3, day(0), 2, 1.0),
+        (4, day(29), 2, 1.0),
+        # user 3: one event day 5 -> churned at duration 0
+        (5, day(5), 3, 1.0),
+    ]
+    out = {
+        r["duration_days"]: r
+        for r in survival_curve(
+            _events(spark, rows), censor_days=7
+        ).collect()
+    }
+    assert set(out) == {0, 2, 29}
+    # duration 0: 3 at risk, 1 churn -> S = 2/3
+    assert out[0]["at_risk"] == 3 and out[0]["n_churned"] == 1
+    assert out[0]["survival"] == pytest.approx(2 / 3)
+    # duration 2: 2 at risk, 1 churn -> S = 2/3 * 1/2 = 1/3
+    assert out[2]["at_risk"] == 2 and out[2]["n_churned"] == 1
+    assert out[2]["survival"] == pytest.approx(1 / 3)
+    # duration 29: censoring only -> survival unchanged
+    assert out[29]["n_churned"] == 0 and out[29]["n_censored"] == 1
+    assert out[29]["survival"] == pytest.approx(1 / 3)
+
+
+def test_survival_curve_all_censored_is_flat_one(spark):
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 100 + i, 1.0) for i in range(5)
+    ]
+    # every user's single event is within the censor window of obs_end
+    out = survival_curve(_events(spark, rows), censor_days=10).collect()
+    assert all(r["survival"] == pytest.approx(1.0) for r in out)
+    assert sum(r["n_censored"] for r in out) == 5
+
+
+def test_survival_curve_null_users_dropped(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, 1.0),
+        (2, datetime(2024, 1, 20), None, 1.0),
+    ]
+    out = survival_curve(_events(spark, rows), censor_days=2).collect()
+    assert sum(r["at_risk"] for r in out if r["duration_days"] == 0) == 1
+
+
+def _ohlc_rows(spark):
+    from datetime import datetime
+
+    t = lambda h, m, s: datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    return spark.createDataFrame(
+        [
+            # hour 0, key 'a': ordered values 10 (open), 99 (high), 5
+            (1, t(0, 5, 0), "a", 10.0),
+            (2, t(0, 10, 0), "a", 99.0),
+            (3, t(0, 50, 0), "a", 5.0),
+            # timestamp TIE at the open of hour 1: id 4 < id 5 wins
+            (4, t(1, 0, 0), "a", 7.0),
+            (5, t(1, 0, 0), "a", 8.0),
+            # other key
+            (6, t(0, 30, 0), "b", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def test_ohlc_downsample_semantics(spark):
+    out = {
+        (r["event_type"], r["bucket_start"]): r
+        for r in ohlc_downsample(_ohlc_rows(spark), bucket="hour").collect()
+    }
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (
+        10.0, 99.0, 5.0, 5.0,
+    )
+    assert a0["n_events"] == 3
+    a1 = out[("a", "2024-01-01 01:00:00")]
+    # deterministic tie-break on event_id: open is id 4, close id 5
+    assert (a1["open"], a1["close"]) == (7.0, 8.0)
+    assert out[("b", "2024-01-01 00:00:00")]["n_events"] == 1
+
+
+def test_ohlc_downsample_rejects_bad_bucket(spark):
+    with pytest.raises(ValueError, match="unsupported bucket"):
+        ohlc_downsample(_ohlc_rows(spark), bucket="fortnight")
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    # the window partition keys equal the groupBy keys: Spark must plan
+    # exactly ONE hash exchange (plus nothing else) for the whole op
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert count_shuffles(ohlc_downsample(ev, bucket="hour")) == 1
+
+
+def test_survival_shuffle_budget(spark, sf_dir):
+    # the CORPUS crosses an exchange exactly once (groupBy user); the
+    # remaining exchanges — the 1-row obs_end aggregate, the O(users)
+    # duration groupBy, and the O(days) panel windows — move scalar or
+    # tiny frames only. Budget pins the total so a plan regression
+    # (e.g. the corpus re-shuffling for the window) fails loudly.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert count_shuffles(survival_curve(ev)) <= 5
