@@ -10311,6 +10311,8 @@ def _oracle_queries() -> dict[str, str]:
         "survival_curve": _survival_curve_sql(),
         "ohlc_downsample": _ohlc_downsample_sql(),
         "audio_segments": _audio_segments_sql(),
+        "survival_incremental": _survival_incremental_sql(),
+        "ohlc_rollup": _ohlc_rollup_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12855,6 +12857,141 @@ def _audio_segments_sql(
     FROM agg"""
 
 
+def q_survival_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis as MERGEABLE STATE (operators.temporal.
+    survival_state / merge_survival_states / survival_from_state):
+    per-user (first, last) activity epochs are additive under min/max,
+    so the nightly KM refresh merges the prior state with the day
+    batch's state and redraws the curve from O(users) rows — the event
+    corpus is read once per batch, never historically. The oracle is
+    the FULL single-pass KM over the union: merge-equals-recompute is
+    the correctness claim."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        merge_survival_states,
+        survival_from_state,
+        survival_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'error'"
+    )
+    prior = survival_state(ev.filter("ts < TIMESTAMP '2024-01-21'"))
+    batch = survival_state(ev.filter("ts >= TIMESTAMP '2024-01-21'"))
+    merged = merge_survival_states(prior, batch)
+    return _round_cols(
+        survival_from_state(merged, censor_days=3), ["survival"]
+    )
+
+
+def _survival_incremental_sql(censor_days: int = 3) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
+      FROM events
+      WHERE event_type = 'error'
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+    users AS (SELECT u, MIN(e) AS e0, MAX(e) AS e1 FROM ev GROUP BY u),
+    b AS (SELECT MAX(e1) AS obs_end FROM users),
+    lt AS (
+      SELECT
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN (u.e1 - u.e0) // 86400
+             ELSE (b.obs_end - u.e0) // 86400 END AS duration_days,
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN 1 ELSE 0 END AS churned
+      FROM users u CROSS JOIN b),
+    bd AS (
+      SELECT duration_days,
+        CAST(SUM(churned) AS BIGINT) AS n_churned,
+        CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
+        COUNT(*) AS n_total
+      FROM lt GROUP BY 1),
+    r AS (
+      SELECT duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER (ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS at_risk
+      FROM bd)
+    SELECT CAST(duration_days AS BIGINT) AS duration_days, at_risk,
+      n_churned, n_censored,
+      ROUND(exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+            OVER (ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            {ROUND}) AS survival
+    FROM r"""
+
+
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample cascade (operators.temporal.ohlc_rollup): the
+    hourly candlestick panel rolled up to days WITHOUT re-reading raw
+    events — cells are mergeable (open-of-earliest, close-of-latest,
+    extreme of extremes, count-weighted mean). The oracle replays the
+    same two-stage computation, pinning that the cascade loses
+    nothing vs a day-level pass."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ohlc_downsample,
+        ohlc_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # roll up from the ROUNDED panel — the at-rest scenario (stored
+    # candlesticks carry 5-decimal floats), and the rounding is the
+    # cross-engine equality proven by the ohlc_downsample oracle
+    hourly = _round_cols(
+        ohlc_downsample(ev, bucket="hour"),
+        ["open", "high", "low", "close", "mean"],
+    )
+    rolled = ohlc_rollup(hourly, to_bucket="day")
+    # the weighted day mean can land within one ulp of a 5-decimal
+    # midpoint (x.xxxxx5), where Spark's BigDecimal HALF_UP and
+    # DuckDB's float-domain round disagree; round through 7 decimals
+    # first (both sides identically) to step off the knife edge
+    rolled = rolled.withColumn("mean", F.round(F.round("mean", 7), ROUND))
+    return _round_cols(rolled, ["open", "high", "low", "close"])
+
+
+def _ohlc_rollup_sql() -> str:
+    return f"""
+    WITH src AS (
+      SELECT event_type AS k, value AS v, event_id AS i, ts AS t,
+             date_trunc('hour', ts) AS b
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    rn AS (
+      SELECT k, b, v,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t, i) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY t DESC, i DESC) AS rd
+      FROM src),
+    hourly AS (
+      SELECT k, b AS hb,
+        ROUND(MAX(CASE WHEN ra = 1 THEN v END), {ROUND}) AS open,
+        ROUND(MAX(v), {ROUND}) AS high, ROUND(MIN(v), {ROUND}) AS low,
+        ROUND(MAX(CASE WHEN rd = 1 THEN v END), {ROUND}) AS close,
+        COUNT(*) AS n_events, ROUND(AVG(v), {ROUND}) AS mean
+      FROM rn GROUP BY k, b),
+    rn2 AS (
+      SELECT k, date_trunc('day', hb) AS db, open, high, low, close,
+        n_events, mean,
+        ROW_NUMBER() OVER (PARTITION BY k, date_trunc('day', hb)
+                           ORDER BY hb) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY k, date_trunc('day', hb)
+                           ORDER BY hb DESC) AS rd,
+        SUM(mean * n_events) OVER (
+          PARTITION BY k, date_trunc('day', hb) ORDER BY hb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwm
+      FROM hourly)
+    SELECT k AS event_type,
+      strftime(db, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      ROUND(MAX(CASE WHEN ra = 1 THEN open END), {ROUND}) AS open,
+      ROUND(MAX(high), {ROUND}) AS high,
+      ROUND(MIN(low), {ROUND}) AS low,
+      ROUND(MAX(CASE WHEN rd = 1 THEN close END), {ROUND}) AS close,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      ROUND(ROUND(MAX(CASE WHEN rd = 1 THEN cwm END)
+              / CAST(SUM(n_events) AS DOUBLE), 7), {ROUND}) AS mean
+    FROM rn2 GROUP BY k, db"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -12905,6 +13042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "ohlc_downsample": q_ohlc_downsample,
         "audio_segments": q_audio_segments,
+        "survival_incremental": q_survival_incremental,
+        "ohlc_rollup": q_ohlc_rollup,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -2112,3 +2112,136 @@ def ohlc_downsample(
       AVG(v) AS mean
     FROM rn GROUP BY k, b"""
     return df.sparkSession.sql(query, src=df)
+
+
+def survival_state(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mergeable state for incremental survival analysis: per user, the
+    first/last activity epochs (``u, e0, e1``). min/max are additive —
+    merging any partition of the event history (day batches, region
+    shards) through :func:`merge_survival_states` reproduces exactly
+    the state of one pass over the union, so the KM curve can be
+    re-drawn nightly from O(users) rows without ever re-reading the
+    event corpus."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([user_col, ts_col])
+    return (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.unix_timestamp(ts_col)).alias("e0"),
+            F.max(F.unix_timestamp(ts_col)).alias("e1"),
+        )
+    )
+
+
+def merge_survival_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two survival states (same shape in, same shape out)."""
+    return (
+        a.unionByName(b)
+        .groupBy("u")
+        .agg(F.min("e0").alias("e0"), F.max("e1").alias("e1"))
+    )
+
+
+def survival_from_state(
+    state: DataFrame,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier table from a (merged) survival state — identical
+    output contract to :func:`survival_curve`, pinned by the
+    state-vs-batch parity test. The observation end is the state's max
+    ``e1`` (the merged view of "now")."""
+    query = f"""
+    WITH users AS (SELECT u, e0, e1 FROM {{src}}),
+    bounds AS (SELECT MAX(e1) AS obs_end FROM users),
+    lifetimes AS (
+      SELECT
+        CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
+             THEN CAST((u.e1 - u.e0) div 86400 AS BIGINT)
+             ELSE CAST((b.obs_end - u.e0) div 86400 AS BIGINT) END
+          AS duration_days,
+        CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
+             THEN 1 ELSE 0 END AS churned
+      FROM users u CROSS JOIN bounds b),
+    by_day AS (
+      SELECT duration_days,
+        CAST(SUM(churned) AS BIGINT) AS n_churned,
+        CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
+        CAST(COUNT(1) AS BIGINT) AS n_total
+      FROM lifetimes GROUP BY duration_days),
+    risk AS (
+      SELECT duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER (ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS at_risk
+      FROM by_day)
+    SELECT duration_days, at_risk, n_churned, n_censored,
+      exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+          OVER (ORDER BY duration_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        AS survival
+    FROM risk"""
+    return state.sparkSession.sql(query, src=state)
+
+
+def ohlc_rollup(
+    panel: DataFrame,
+    key_col: str = "event_type",
+    to_bucket: str = "day",
+) -> DataFrame:
+    """Roll an OHLC panel up to a coarser bucket WITHOUT re-reading raw
+    events — the downsample cascade (minute → hour → day) every metrics
+    store runs. OHLC cells are themselves mergeable: the coarser open
+    is the open of the earliest fine bucket, close the close of the
+    latest, high/low the extremes, count the sum, mean the
+    count-weighted mean. Input is :func:`ohlc_downsample` output (or a
+    previous rollup); ``bucket_start`` strings parse back with
+    ``to_timestamp`` so panels stay engine-portable at rest."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([key_col])
+    if to_bucket not in ("hour", "day", "week"):
+        raise ValueError(f"unsupported rollup bucket {to_bucket!r}")
+    query = f"""
+    WITH src AS (
+      SELECT `{key_col}` AS k,
+        to_timestamp(bucket_start, 'yyyy-MM-dd HH:mm:ss') AS fb,
+        open, high, low, close, n_events, mean
+      FROM {{src}}),
+    rn AS (
+      SELECT k, date_trunc('{to_bucket}', fb) AS b, open, high, low,
+        close, n_events, mean,
+        ROW_NUMBER() OVER (PARTITION BY k, date_trunc('{to_bucket}', fb)
+                           ORDER BY fb) AS ra,
+        ROW_NUMBER() OVER (PARTITION BY k, date_trunc('{to_bucket}', fb)
+                           ORDER BY fb DESC) AS rd,
+        -- the weighted-mean numerator accumulates through an ORDERED
+        -- running sum (not a bare SUM): float addition is not
+        -- associative, and only a pinned order makes the rollup
+        -- bit-reproducible across runs and engines
+        SUM(mean * n_events) OVER (
+          PARTITION BY k, date_trunc('{to_bucket}', fb) ORDER BY fb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwm
+      FROM src)
+    SELECT k AS `{key_col}`,
+      date_format(b, 'yyyy-MM-dd HH:mm:ss') AS bucket_start,
+      MAX(CASE WHEN ra = 1 THEN open END) AS open,
+      MAX(high) AS high,
+      MIN(low) AS low,
+      MAX(CASE WHEN rd = 1 THEN close END) AS close,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      MAX(CASE WHEN rd = 1 THEN cwm END)
+        / CAST(SUM(n_events) AS DOUBLE) AS mean
+    FROM rn GROUP BY k, b"""
+    return panel.sparkSession.sql(query, src=panel)

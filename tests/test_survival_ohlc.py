@@ -128,3 +128,62 @@ def test_survival_shuffle_budget(spark, sf_dir):
     # (e.g. the corpus re-shuffling for the window) fails loudly.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert count_shuffles(survival_curve(ev)) <= 5
+
+
+def test_survival_state_merge_equals_recompute(spark, sf_dir):
+    # min/max state is additive: KM from merged day-batch states must
+    # equal KM from one pass over the union — bit for bit
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        merge_survival_states,
+        survival_from_state,
+        survival_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = survival_state(ev.filter("ts < TIMESTAMP '2024-01-15'"))
+    b = survival_state(ev.filter("ts >= TIMESTAMP '2024-01-15'"))
+    merged = survival_from_state(
+        merge_survival_states(a, b), censor_days=3
+    ).collect()
+    full = survival_from_state(survival_state(ev), censor_days=3).collect()
+    assert sorted(map(tuple, merged), key=lambda t: t[0]) == sorted(
+        map(tuple, full), key=lambda t: t[0]
+    )
+
+
+def test_ohlc_rollup_matches_direct_day_pass(spark, sf_dir):
+    # hour -> day cascade must agree with a direct day-level pass on
+    # everything order-exact (open/high/low/close/n); the weighted mean
+    # agrees to float tolerance
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ohlc_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rolled = {
+        (r["event_type"], r["bucket_start"]): r
+        for r in ohlc_rollup(
+            ohlc_downsample(ev, bucket="hour"), to_bucket="day"
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket_start"]): r
+        for r in ohlc_downsample(ev, bucket="day").collect()
+    }
+    assert set(rolled) == set(direct)
+    for k, d in direct.items():
+        r = rolled[k]
+        assert (r["open"], r["high"], r["low"], r["close"]) == (
+            d["open"], d["high"], d["low"], d["close"],
+        )
+        assert r["n_events"] == d["n_events"]
+        assert r["mean"] == pytest.approx(d["mean"], rel=1e-9)
+
+
+def test_ohlc_rollup_rejects_bad_bucket(spark):
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ohlc_rollup,
+    )
+
+    with pytest.raises(ValueError, match="unsupported rollup bucket"):
+        ohlc_rollup(ohlc_downsample(_ohlc_rows(spark)), to_bucket="minute")
