@@ -1408,3 +1408,96 @@ def events_vetting_sink(
         )
 
     return write_batch
+
+
+def linkage_state_sink(
+    state_path: str,
+    text_col: str = "name",
+    id_col: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    compare_len: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink appending master records' keyed linkage
+    rows (:func:`operators.linkage.linkage_state`) — two
+    ~``compare_len``-byte rows per record. The blocking parameters are
+    part of the state contract: every append and every probe must
+    share one configuration."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        linkage_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        linkage_state(
+            batch_df, text_col, id_col, prefix_len, suffix_len,
+            band_width, compare_len,
+        ).write.mode("append").parquet(state_path)
+
+    return write_batch
+
+
+def linkage_vetting_sink(
+    state_path: str,
+    report_path: str,
+    text_col: str = "name",
+    id_col: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    max_distance: int = 2,
+    compare_len: int = 64,
+    max_block_pairs: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental entity resolution as ONE ``foreachBatch`` sink — the
+    master-data-management loop over a registration stream: each
+    micro-batch is resolved against the master-so-far linkage state
+    (:func:`operators.linkage.record_linkage_incremental` —
+    ``matched_master`` / ``dup_in_batch`` / ``is_new`` verdicts,
+    stamped with ``batch_id``, appended to ``report_path``), and then
+    ONLY the ``is_new`` rows mint master identities: their keyed rows
+    (under their probe ids) append to the state. Matched or
+    batch-duplicate registrations never extend the master — that
+    selective advance is what distinguishes linkage from the dedup
+    vetting sinks, whose state absorbs every batch row.
+
+    The first batch bootstraps against an empty state (everything
+    unmatched; within-batch duplicate registrations still collapse to
+    the smallest id, which then mints)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        linkage_state,
+        record_linkage_incremental,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # path absent — bootstrap batch
+            state = spark.createDataFrame(
+                [], "master_id long, block string, mprobe string, mlen int"
+            )
+        verdicts = record_linkage_incremental(
+            batch_df, state, text_col, id_col, prefix_len, suffix_len,
+            band_width, max_distance, compare_len, max_block_pairs,
+        ).persist()
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(report_path)
+        minted = batch_df.join(
+            verdicts.filter("is_new").select(
+                F.col("probe_id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        linkage_state(
+            minted, text_col, id_col, prefix_len, suffix_len,
+            band_width, compare_len,
+        ).write.mode("append").parquet(state_path)
+        verdicts.unpersist(blocking=False)
+
+    return write_batch

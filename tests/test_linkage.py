@@ -161,3 +161,68 @@ def test_record_linkage_no_raw_text_in_exchange(spark, sf_dir):
         assert "full_name" not in seg[:400], "raw text crossed an exchange"
     # semantics on the real table: case-only variants all link at 0
     assert out.filter("matched AND distance = 0").count() == customer.count()
+
+
+def test_linkage_vetting_sink_mints_only_new(spark, tmp_path):
+    """The MDM loop through real Structured Streaming: batch 1
+    bootstraps (everything new, within-batch twins collapse to the
+    smallest id, which mints); batch 2 resolves against the masters
+    batch 1 minted — matches do NOT extend the state, new entities
+    do."""
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        linkage_vetting_sink,
+    )
+
+    ingest = tmp_path / "reg_ingest"
+    b1 = spark.createDataFrame(
+        [
+            (1, "Acme Corporation"),
+            (2, "Acme Corporaton"),   # within-batch twin of 1
+            (3, "Globex LLC"),
+        ],
+        "id long, name string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "acme  corporation"),  # resolves to minted master 1
+            (11, "Hooli Inc"),          # new entity
+            (12, "Acme Corporaton"),    # resolves to master 1 (NOT 2 —
+                                        # 2 never minted)
+        ],
+        "id long, name string",
+    )
+    b1.coalesce(1).write.parquet(str(ingest), mode="append")
+    b2.coalesce(1).write.parquet(str(ingest), mode="append")
+    state_p = str(tmp_path / "master_state")
+    report_p = str(tmp_path / "reg_report")
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ingest))
+        .writeStream.foreachBatch(
+            linkage_vetting_sink(state_p, report_p, max_distance=2)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    report = {
+        r["probe_id"]: r for r in spark.read.parquet(report_p).collect()
+    }
+    assert len(report) == 6
+    # file order isn't guaranteed; identify the bootstrap batch by id 1
+    boot_bid = report[1]["batch_id"]
+    assert report[2]["batch_id"] == boot_bid
+    # bootstrap: 1 mints, 2 is its within-batch twin, 3 mints
+    assert report[1]["is_new"] and report[3]["is_new"]
+    assert report[2]["dup_in_batch"] and not report[2]["is_new"]
+    # second batch: 10 and 12 resolve to master 1 (2 never minted),
+    # 11 mints
+    assert report[10]["matched_master"] and report[10]["master_id"] == 1
+    assert report[12]["matched_master"] and report[12]["master_id"] == 1
+    assert report[11]["is_new"]
+    # state carries exactly the minted masters: 1, 3, 11
+    state = spark.read.parquet(state_p)
+    assert set(
+        r["master_id"] for r in state.select("master_id").distinct().collect()
+    ) == {1, 3, 11}
