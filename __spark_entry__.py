@@ -10313,6 +10313,8 @@ def _oracle_queries() -> dict[str, str]:
         "audio_segments": _audio_segments_sql(),
         "survival_incremental": _survival_incremental_sql(),
         "ohlc_rollup": _ohlc_rollup_sql(),
+        "pagerank": _pagerank_sql(),
+        "scd2_apply": _scd2_apply_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -12992,6 +12994,171 @@ def _ohlc_rollup_sql() -> str:
     FROM rn2 GROUP BY k, db"""
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration weighted PageRank (operators.graph.pagerank):
+    supplier criticality from order flows — edges c:<custkey> →
+    s:<suppkey> weighted by line count (orders ⋈ lineitem), 3 power
+    iterations with exact dangling-mass redistribution (suppliers have
+    no out-edges, so their rank recirculates uniformly). The oracle
+    unrolls the same 3 iterations as CTEs, the kmeans_fit convention
+    for iterative operators."""
+    from pyspark_data_drift_detector_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .selectExpr(
+            "concat('c:', CAST(o_custkey AS STRING)) AS src",
+            "concat('s:', CAST(l_suppkey AS STRING)) AS dst",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = pagerank(edges, weight_col="w", damping=0.85, n_iter=3)
+    return _round_cols(out, ["rank"])
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    header = """
+    WITH e0 AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+    n AS (SELECT COUNT(*) AS nn FROM nodes),
+    ow AS (SELECT src, SUM(w) AS ow FROM e0 GROUP BY 1),
+    sh AS (SELECT e0.src, e0.dst, e0.w / ow.ow AS share
+           FROM e0 JOIN ow ON e0.src = ow.src),
+    r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes CROSS JOIN n)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        steps.append(f"""
+    c{k} AS (
+      SELECT sh.dst AS node, SUM(sh.share * r{p}.rank) AS inflow
+      FROM sh JOIN r{p} ON sh.src = r{p}.node GROUP BY 1),
+    d{k} AS (
+      SELECT COALESCE(SUM(r{p}.rank), 0) AS dm
+      FROM r{p} LEFT JOIN ow ON r{p}.node = ow.src
+      WHERE ow.src IS NULL),
+    r{k} AS (
+      SELECT nodes.node,
+        (1.0 - 0.85) / nn
+          + 0.85 * (COALESCE(c{k}.inflow, 0) + d{k}.dm / nn) AS rank
+      FROM nodes CROSS JOIN n CROSS JOIN d{k}
+      LEFT JOIN c{k} ON nodes.node = c{k}.node)""")
+    return (
+        header
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, ROUND(rank, {ROUND}) AS rank FROM r{n_iter}"""
+    )
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 apply-changes (operators.scd.scd2_apply): the
+    customer dimension versioned by a mixed CDC feed — segment
+    reassignments (custkey%3), a second later change for custkey%9
+    (multi-change chaining), a feed row equal to the ORIGINAL segment
+    for custkey%4 (a no-op unless an earlier change already moved the
+    key — then it is a genuine revert), and brand-new keys (+100000).
+    Output: the full versioned dimension with validity intervals."""
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.selectExpr(
+        "c_custkey",
+        "c_mktsegment",
+        "TIMESTAMP '2024-01-01' AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to",
+        "true AS is_current",
+    )
+    changes = (
+        cust.filter("c_custkey % 3 = 0")
+        .selectExpr(
+            "c_custkey",
+            "concat('SEG-', CAST(c_custkey % 7 AS STRING)) AS c_mktsegment",
+            "TIMESTAMP '2024-02-01' AS effective_ts",
+        )
+        .unionByName(
+            cust.filter("c_custkey % 9 = 0").selectExpr(
+                "c_custkey",
+                "concat('SEG-', CAST(c_custkey % 5 AS STRING))"
+                " AS c_mktsegment",
+                "TIMESTAMP '2024-03-01' AS effective_ts",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 4 = 0").selectExpr(
+                "c_custkey", "c_mktsegment",
+                "TIMESTAMP '2024-02-15' AS effective_ts",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 50 = 0").selectExpr(
+                "c_custkey + 100000 AS c_custkey",
+                "'NEW' AS c_mktsegment",
+                "TIMESTAMP '2024-02-10' AS effective_ts",
+            )
+        )
+    )
+    out = scd2_apply(dim, changes, "c_custkey", ["c_mktsegment"])
+    return out.selectExpr(
+        "c_custkey",
+        "c_mktsegment",
+        "date_format(valid_from, 'yyyy-MM-dd HH:mm:ss') AS valid_from",
+        "date_format(valid_to, 'yyyy-MM-dd HH:mm:ss') AS valid_to",
+        "is_current",
+    )
+
+
+def _scd2_apply_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01' AS eff, 0 AS origin
+      FROM customer),
+    feed AS (
+      SELECT c_custkey AS k,
+             'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS seg,
+             TIMESTAMP '2024-02-01' AS eff, 1 AS origin
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'SEG-' || CAST(c_custkey % 5 AS VARCHAR),
+             TIMESTAMP '2024-03-01', 1
+      FROM customer WHERE c_custkey % 9 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-02-15', 1
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, 'NEW', TIMESTAMP '2024-02-10', 1
+      FROM customer WHERE c_custkey % 50 = 0),
+    seq AS (
+      SELECT *, LAG(seg) OVER (PARTITION BY k
+                               ORDER BY eff, origin, seg) AS pseg
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM feed)),
+    kept AS (
+      SELECT * FROM seq
+      WHERE origin = 0 OR pseg IS NULL OR seg != pseg),
+    chained AS (
+      SELECT k, seg, eff,
+        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, seg) AS vt
+      FROM kept)
+    SELECT k AS c_custkey, seg AS c_mktsegment,
+      strftime(eff, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      (vt IS NULL) AS is_current
+    FROM chained"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -13044,6 +13211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "survival_incremental": q_survival_incremental,
         "ohlc_rollup": q_ohlc_rollup,
+        "pagerank": q_pagerank,
+        "scd2_apply": q_scd2_apply,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

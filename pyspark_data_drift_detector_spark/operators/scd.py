@@ -1,0 +1,124 @@
+"""Slowly-changing-dimension (SCD type 2) apply-changes.
+
+The reference diffs snapshots (``schema_analyzer.py`` row diff; in-repo
+``snapshot_diff``) but has nothing that MAINTAINS history: the
+warehouse loop of "here is today's change feed, version the dimension"
+— close the superseded row, open the new one, keep every prior version
+queryable by validity interval. That operator is table stakes for any
+engine feeding training pipelines with point-in-time-correct features
+(an as-of join against an SCD2 dimension is how features avoid
+leakage).
+
+Shape (the 100 TB story):
+
+- **One shuffle on the dimension key.** Current rows and the change
+  feed union into per-key event sequences; lag/lead windows partition
+  by key — the natural partitioning, no global sort, history rows
+  pass through untouched.
+- **Multi-change batches sequence correctly.** A batch may carry
+  several changes for one key (late-arriving CDC); they chain in
+  ``effective`` order, each closing its predecessor.
+- **No-op changes vanish.** A change whose tracked attributes equal
+  the preceding state (current row or earlier change in the same
+  batch) creates no version — equality is transitive within a run,
+  so one lag comparison removes whole no-op runs.
+- **Deterministic.** Ordering key is ``(effective, origin)`` with the
+  incumbent current row sorting first at equal timestamps; re-running
+  the same batch yields byte-identical history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    effective_col: str = "effective_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a change feed to an SCD2 dimension table and return the
+    new dimension (same schema: key, tracked columns, ``valid_from``,
+    ``valid_to`` — NULL while open — and ``is_current``).
+
+    Two changes for one key at one effective timestamp tie-break by
+    the tracked-state fingerprint — arbitrary but DETERMINISTIC (the
+    ambiguity is the CDC feed's, the resolution must at least be
+    stable).
+
+    ``dim`` rows with ``is_current = false`` are history and pass
+    through untouched. For each key, the open row plus its (possibly
+    multiple) changes re-chain: every superseded version closes at its
+    successor's effective timestamp, the last version stays open. Keys
+    absent from the feed are untouched; keys absent from the dimension
+    insert fresh chains. Changes whose tracked values equal the
+    in-effect state produce nothing.
+
+    Change rows with a NULL key or NULL effective timestamp are
+    dropped from sequencing: a NULL key names no chain and a NULL
+    timestamp has no position in one — enforce the feed contract
+    upstream (``constraint_suite`` covers exactly this shape).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns(
+        [key_col, effective_col, from_col, to_col, current_col]
+        + list(tracked_cols)
+    )
+    if not tracked_cols:
+        raise ValueError("tracked_cols must name at least one column")
+    tracked = ", ".join(f"`{c}`" for c in tracked_cols)
+    # null-safe tracked-state fingerprint for the no-op comparison:
+    # struct equality in SQL treats NULL = NULL as NULL, so compare a
+    # canonical string form with a NULL sentinel per field
+    fp = (
+        "concat_ws('\\u0001', "
+        + ", ".join(
+            f"coalesce(CAST(`{c}` AS STRING), '\\u0000')"
+            for c in tracked_cols
+        )
+        + ")"
+    )
+    query = f"""
+    WITH hist AS (
+      SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
+             `{current_col}`
+      FROM {{dim}} WHERE NOT `{current_col}`),
+    cur AS (
+      SELECT `{key_col}`, {tracked}, `{from_col}` AS eff, 0 AS origin
+      FROM {{dim}} WHERE `{current_col}`),
+    feed AS (
+      SELECT `{key_col}`, {tracked}, `{effective_col}` AS eff,
+             1 AS origin
+      FROM {{changes}}
+      WHERE `{key_col}` IS NOT NULL AND `{effective_col}` IS NOT NULL),
+    seq AS (
+      SELECT *, {fp} AS __fp,
+        LAG({fp}) OVER (PARTITION BY `{key_col}`
+                        ORDER BY eff, origin, {fp}) AS __prev_fp
+      FROM (SELECT * FROM cur UNION ALL SELECT * FROM feed)),
+    kept AS (
+      -- the incumbent always survives; a change survives only if it
+      -- alters the tracked state in effect just before it
+      SELECT * FROM seq
+      WHERE origin = 0 OR __prev_fp IS NULL OR __fp != __prev_fp),
+    chained AS (
+      SELECT `{key_col}`, {tracked}, eff AS `{from_col}`,
+        LEAD(eff) OVER (PARTITION BY `{key_col}`
+                        ORDER BY eff, origin, __fp) AS `{to_col}`
+      FROM kept)
+    SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
+           (`{to_col}` IS NULL) AS `{current_col}`
+    FROM chained
+    UNION ALL
+    SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
+           `{current_col}`
+    FROM hist"""
+    return dim.sparkSession.sql(query, dim=dim, changes=changes)

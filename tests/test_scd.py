@@ -1,0 +1,134 @@
+"""SCD type-2 apply-changes (operators/scd.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark_data_drift_detector_spark.operators.scd import scd2_apply
+
+T1 = datetime(2024, 1, 1)
+T2 = datetime(2024, 2, 1)
+T3 = datetime(2024, 3, 1)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k long, seg string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, effective_ts timestamp"
+    )
+
+
+def _apply(dim, changes):
+    return scd2_apply(dim, changes, "k", ["seg"])
+
+
+def test_scd2_change_closes_and_opens(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    out = sorted(
+        _apply(dim, _changes(spark, [(1, "B", T2)])).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert len(out) == 2
+    old, new = out
+    assert (old["seg"], old["valid_to"], old["is_current"]) == (
+        "A", T2, False,
+    )
+    assert (new["seg"], new["valid_from"], new["valid_to"],
+            new["is_current"]) == ("B", T2, None, True)
+
+
+def test_scd2_multi_change_batch_chains(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    out = sorted(
+        _apply(dim, _changes(spark, [(1, "C", T3), (1, "B", T2)])).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["seg"], r["valid_to"]) for r in out] == [
+        ("A", T2), ("B", T3), ("C", None),
+    ]
+    assert [r["is_current"] for r in out] == [False, False, True]
+
+
+def test_scd2_noop_changes_vanish_but_reverts_version(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True), (2, "X", T1, None, True)])
+    changes = _changes(
+        spark,
+        [
+            (1, "A", T2),      # no-op: equals current -> vanishes
+            (2, "Y", T2),      # real change
+            (2, "X", T3),      # REVERT to the original: a new version
+        ],
+    )
+    out = _apply(dim, changes).collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert len(k1) == 1 and k1[0]["is_current"] and k1[0]["seg"] == "A"
+    k2 = sorted((r for r in out if r["k"] == 2), key=lambda r: r["valid_from"])
+    assert [(r["seg"], r["is_current"]) for r in k2] == [
+        ("X", False), ("Y", False), ("X", True),
+    ]
+
+
+def test_scd2_new_key_inserts_chain_and_dedupes(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    changes = _changes(spark, [(9, "N", T2), (9, "N", T3)])  # dup no-op
+    out = [r for r in _apply(dim, changes).collect() if r["k"] == 9]
+    assert len(out) == 1
+    assert (out[0]["seg"], out[0]["valid_from"], out[0]["is_current"]) == (
+        "N", T2, True,
+    )
+
+
+def test_scd2_history_passes_through_untouched(spark):
+    dim = _dim(
+        spark,
+        [
+            (1, "OLD", datetime(2023, 1, 1), T1, False),  # closed history
+            (1, "A", T1, None, True),
+        ],
+    )
+    out = sorted(
+        _apply(dim, _changes(spark, [(1, "B", T2)])).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["seg"], r["is_current"]) for r in out] == [
+        ("OLD", False), ("A", False), ("B", True),
+    ]
+    assert out[0]["valid_to"] == T1  # untouched
+
+
+def test_scd2_untouched_keys_and_null_feed_rows(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True), (2, "B", T1, None, True)])
+    changes = _changes(
+        spark, [(1, "Z", T2), (None, "Q", T2), (2, "W", None)]
+    )
+    out = _apply(dim, changes).collect()
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["seg"] == "B" and k2[0]["is_current"]
+    assert not [r for r in out if r["k"] is None]
+
+
+def test_scd2_rejects_empty_tracked(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_apply(dim, _changes(spark, []), "k", [])
+
+
+def test_scd2_idempotent_reapply(spark):
+    # applying the same feed to the already-updated dimension changes
+    # nothing: every change is now a no-op against the in-effect state
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    feed = _changes(spark, [(1, "B", T2)])
+    once = _apply(dim, feed)
+    twice = _apply(once, feed)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
