@@ -10315,6 +10315,7 @@ def _oracle_queries() -> dict[str, str]:
         "ohlc_rollup": _ohlc_rollup_sql(),
         "pagerank": _pagerank_sql(),
         "scd2_apply": _scd2_apply_sql(),
+        "scd2_lookup": _scd2_lookup_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -13159,6 +13160,87 @@ def _scd2_apply_sql() -> str:
     FROM chained"""
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators.scd.scd2_lookup): the
+    customer dimension versioned by two change waves (1997-01-01 for
+    custkey%3, 1999-06-01 for custkey%9), then every order joined to
+    the segment IN EFFECT at its order date via the backward as-of
+    join — the leakage-safe feature join — and reduced to the
+    (segment, order-year) mix panel. The oracle replays the version
+    build and resolves the lookup with an equivalent validity-interval
+    range join (contiguous chains make the two formulations identical)."""
+    from pyspark_data_drift_detector_spark.operators.scd import (
+        scd2_apply,
+        scd2_lookup,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim0 = cust.selectExpr(
+        "c_custkey", "c_mktsegment",
+        "TIMESTAMP '1995-01-01' AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to",
+        "true AS is_current",
+    )
+    changes = cust.filter("c_custkey % 3 = 0").selectExpr(
+        "c_custkey",
+        "concat('SEG-', CAST(c_custkey % 7 AS STRING)) AS c_mktsegment",
+        "TIMESTAMP '1997-01-01' AS effective_ts",
+    ).unionByName(
+        cust.filter("c_custkey % 9 = 0").selectExpr(
+            "c_custkey",
+            "concat('SEG-', CAST(c_custkey % 5 AS STRING)) AS c_mktsegment",
+            "TIMESTAMP '1999-06-01' AS effective_ts",
+        )
+    )
+    dim = scd2_apply(dim0, changes, "c_custkey", ["c_mktsegment"])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate"
+    )
+    looked = scd2_lookup(
+        orders, dim, "o_custkey", "o_orderdate", "c_custkey",
+        ["c_mktsegment"],
+    )
+    return looked.groupBy(
+        F.col("c_mktsegment_at").alias("segment"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+def _scd2_lookup_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             TIMESTAMP '1995-01-01' AS eff, 0 AS origin
+      FROM customer),
+    feed AS (
+      SELECT c_custkey AS k,
+             'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS seg,
+             TIMESTAMP '1997-01-01' AS eff, 1 AS origin
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'SEG-' || CAST(c_custkey % 5 AS VARCHAR),
+             TIMESTAMP '1999-06-01', 1
+      FROM customer WHERE c_custkey % 9 = 0),
+    seq AS (
+      SELECT *, LAG(seg) OVER (PARTITION BY k
+                               ORDER BY eff, origin, seg) AS pseg
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM feed)),
+    kept AS (
+      SELECT * FROM seq
+      WHERE origin = 0 OR pseg IS NULL OR seg != pseg),
+    dim AS (
+      SELECT k, seg, eff AS vf,
+        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, seg) AS vt
+      FROM kept)
+    SELECT d.seg AS segment,
+      CAST(year(o.o_orderdate) AS INT) AS order_year,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    LEFT JOIN dim d ON d.k = o.o_custkey AND d.vf <= o.o_orderdate
+      AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+    GROUP BY 1, 2"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -13213,6 +13295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_rollup": q_ohlc_rollup,
         "pagerank": q_pagerank,
         "scd2_apply": q_scd2_apply,
+        "scd2_lookup": q_scd2_lookup,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

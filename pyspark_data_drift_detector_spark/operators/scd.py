@@ -30,6 +30,7 @@ Shape (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def scd2_apply(
@@ -122,3 +123,57 @@ def scd2_apply(
            `{current_col}`
     FROM hist"""
     return dim.sparkSession.sql(query, dim=dim, changes=changes)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key_col: str,
+    fact_ts_col: str,
+    dim_key_col: str,
+    tracked_cols: list[str],
+    from_col: str = "valid_from",
+    suffix: str = "_at",
+) -> DataFrame:
+    """Point-in-time dimension lookup — the leakage-safe feature join:
+    attach to every fact row the dimension version IN EFFECT at the
+    fact's timestamp (not today's version, which would leak future
+    attribute values into training features).
+
+    Implementation: a backward as-of join (``temporal.asof_join``) of
+    the facts against the versions keyed on ``valid_from`` — one
+    shuffle on the key, no range-join row explosion. Correctness rests
+    on the :func:`scd2_apply` invariant that a key's versions are
+    CONTIGUOUS (each ``valid_to`` equals the successor's
+    ``valid_from``): the latest version with ``valid_from <= ts``
+    therefore always covers ``ts``. Facts before a key's first version
+    (or with unknown keys) get NULL attributes — left-join semantics.
+
+    Output: every fact column plus ``<tracked><suffix>`` and
+    ``<fact_ts_col><suffix>`` (the matched version's start).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ensure_safe_columns(
+        [fact_key_col, fact_ts_col, dim_key_col, from_col]
+        + list(tracked_cols)
+    )
+    versions = dim.select(
+        F.col(dim_key_col).alias(fact_key_col),
+        F.col(from_col).alias(fact_ts_col),
+        *[F.col(c) for c in tracked_cols],
+    )
+    return asof_join(
+        facts,
+        versions,
+        ts_col=fact_ts_col,
+        by=fact_key_col,
+        value_cols=list(tracked_cols),
+        direction="backward",
+        suffix=suffix,
+    )

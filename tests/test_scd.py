@@ -132,3 +132,78 @@ def test_scd2_idempotent_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_lookup
+
+    dim = _dim(
+        spark,
+        [
+            (1, "A", T1, T2, False),
+            (1, "B", T2, T3, False),
+            (1, "C", T3, None, True),
+            (2, "X", T2, None, True),
+        ],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, datetime(2024, 1, 15)),   # during A
+            (101, 1, T2),                       # AT the boundary: B opens
+            (102, 1, datetime(2024, 2, 20)),   # during B
+            (103, 1, datetime(2024, 6, 1)),    # during open C
+            (104, 2, datetime(2024, 1, 15)),   # before key 2's first version
+            (105, 9, datetime(2024, 6, 1)),    # unknown key
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = {
+        r["fid"]: r
+        for r in scd2_lookup(
+            facts, dim, "k", "ts", "k", ["seg"]
+        ).collect()
+    }
+    assert out[100]["seg_at"] == "A"
+    assert out[101]["seg_at"] == "B"      # inclusive at valid_from
+    assert out[102]["seg_at"] == "B"
+    assert out[103]["seg_at"] == "C"
+    assert out[104]["seg_at"] is None     # no version in effect yet
+    assert out[105]["seg_at"] is None     # unknown key
+    assert out[102]["ts_at"] == T2        # matched version start reported
+
+
+def test_scd2_lookup_agrees_with_range_join(spark):
+    # the as-of formulation must equal the validity-interval range join
+    # on a dimension built by scd2_apply (contiguity invariant)
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_lookup
+
+    dim0 = _dim(spark, [(k, "A", T1, None, True) for k in range(1, 8)])
+    feed = _changes(
+        spark,
+        [(k, f"S{k % 3}", T2) for k in range(1, 8, 2)]
+        + [(k, f"Z{k % 2}", T3) for k in range(1, 8, 3)],
+    )
+    dim = _apply(dim0, feed)
+    facts = spark.createDataFrame(
+        [
+            (i, 1 + i % 7, datetime(2024, 1 + i % 4, 1 + i % 27))
+            for i in range(200)
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    asof = {
+        r["fid"]: r["seg_at"]
+        for r in scd2_lookup(facts, dim, "k", "ts", "k", ["seg"]).collect()
+    }
+    dim.createOrReplaceTempView("__scd_dim")
+    facts.createOrReplaceTempView("__scd_facts")
+    ranged = {
+        r["fid"]: r["seg"]
+        for r in spark.sql(
+            """SELECT f.fid, d.seg FROM __scd_facts f
+               LEFT JOIN __scd_dim d ON d.k = f.k
+                 AND d.valid_from <= f.ts
+                 AND (d.valid_to IS NULL OR f.ts < d.valid_to)"""
+        ).collect()
+    }
+    assert asof == ranged
