@@ -207,3 +207,24 @@ def test_scd2_lookup_agrees_with_range_join(spark):
         ).collect()
     }
     assert asof == ranged
+
+
+def test_scd2_apply_shuffle_budget(spark, sf_dir):
+    # the whole rebuild is keyed on the dimension key: one hash
+    # exchange feeds both the lag and lead windows (same partitioning,
+    # Spark reuses it); history rows union in without shuffling
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.selectExpr(
+        "c_custkey AS k", "c_mktsegment AS seg",
+        "TIMESTAMP '2024-01-01' AS valid_from",
+        "CAST(NULL AS TIMESTAMP) AS valid_to", "true AS is_current",
+    )
+    feed = cust.selectExpr(
+        "c_custkey AS k", "'Z' AS seg",
+        "TIMESTAMP '2024-02-01' AS effective_ts",
+    )
+    assert count_shuffles(scd2_apply(dim, feed, "k", ["seg"])) <= 2
