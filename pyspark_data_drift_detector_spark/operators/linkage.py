@@ -83,6 +83,13 @@ def linkage_keyed(
     Empty/whitespace-only texts are dropped here — they all share one
     block at distance 0 (the O(n²) blank-rows blowup) and a blank
     probe has no linkable identity."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    # text_col is interpolated into a SQL expression (right() has no
+    # Column-API form) — reject hostile names before they reach it
+    ensure_safe_columns([text_col, id_col])
     norm = _normalized(text_col)
     prefix = F.substring(norm, 1, prefix_len)
     lo = F.floor((F.length(norm) - band_slack) / band_width)
@@ -162,6 +169,10 @@ def record_linkage_against_state(
     ``n_candidates`` counts the verified (distance-passing) masters —
     a match-ambiguity signal (n_candidates > 1 means blocking found
     several plausible identities and review may be warranted).
+
+    Input contract: probe ids must be unique (the usual feed shape).
+    Duplicate ids would pool their candidates into one best-match row
+    — dedupe the feed first if ids can repeat.
 
     Shuffle inventory: block join (1), pair dedup across the two
     passes (2), best-match groupBy on probe_id (3) + the final

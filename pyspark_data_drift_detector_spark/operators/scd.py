@@ -52,6 +52,12 @@ def scd2_apply(
     ambiguity is the CDC feed's, the resolution must at least be
     stable).
 
+    Input contract: at most ONE open (``is_current``) row per key —
+    the defining SCD2 invariant, which this operator also preserves on
+    output (so applies compose; see the idempotence test). A malformed
+    dimension with two open rows for one key would interleave both
+    into one chain.
+
     ``dim`` rows with ``is_current = false`` are history and pass
     through untouched. For each key, the open row plus its (possibly
     multiple) changes re-chain: every superseded version closes at its
