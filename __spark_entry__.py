@@ -10316,6 +10316,8 @@ def _oracle_queries() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "scd2_apply": _scd2_apply_sql(),
         "scd2_lookup": _scd2_lookup_sql(),
+        "linkage_report": _linkage_report_sql(),
+        "graph_report": _graph_report_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -13241,6 +13243,98 @@ def _scd2_lookup_sql() -> str:
     GROUP BY 1, 2"""
 
 
+def q_linkage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage-quality panel (operators.linkage.linkage_report): the
+    O(1) long-format health report over the record_linkage demo —
+    match/exact/ambiguity rates and mean match distance; the oracle
+    aggregates over the record_linkage oracle as a subquery."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        linkage_report,
+    )
+
+    return _round_cols(
+        linkage_report(q_record_linkage(spark, sf_dir)), ["value"]
+    )
+
+
+def _linkage_report_sql() -> str:
+    return f"""
+    WITH linked AS (SELECT * FROM ({_record_linkage_sql()}) t),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+        CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS DOUBLE) AS nm,
+        CAST(COALESCE(SUM(CASE WHEN distance = 0 THEN 1 ELSE 0 END), 0)
+             AS DOUBLE) AS ne,
+        CAST(SUM(CASE WHEN n_candidates > 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS na,
+        AVG(distance) AS md
+      FROM linked)
+    SELECT 'n_probes' AS metric, ROUND(np, {ROUND}) AS value FROM agg
+    UNION ALL SELECT 'n_matched', ROUND(nm, {ROUND}) FROM agg
+    UNION ALL SELECT 'match_rate', ROUND(nm / np, {ROUND}) FROM agg
+    UNION ALL SELECT 'n_exact', ROUND(ne, {ROUND}) FROM agg
+    UNION ALL SELECT 'exact_rate', ROUND(ne / np, {ROUND}) FROM agg
+    UNION ALL SELECT 'n_ambiguous', ROUND(na, {ROUND}) FROM agg
+    UNION ALL SELECT 'ambiguity_rate', ROUND(na / np, {ROUND}) FROM agg
+    UNION ALL SELECT 'mean_distance', ROUND(md, {ROUND}) FROM agg"""
+
+
+def q_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph intake health panel (operators.graph.graph_report) over
+    the customer→supplier order-flow edges: size, density, self-loops,
+    hot-node shares, dangling share (suppliers never source an edge in
+    this feed — dangling_share pins the bipartite direction), and
+    reciprocity (0 for a bipartite flow)."""
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_report,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).selectExpr(
+        "concat('c:', CAST(o_custkey AS STRING)) AS src",
+        "concat('s:', CAST(l_suppkey AS STRING)) AS dst",
+    )
+    return _round_cols(graph_report(edges), ["value"])
+
+
+def _graph_report_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS nn,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM e) AS ne,
+        (SELECT CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END)
+                     AS DOUBLE) FROM e) AS loops,
+        (SELECT CAST(MAX(d) AS DOUBLE) FROM
+           (SELECT COUNT(*) AS d FROM e GROUP BY src)) AS mo,
+        (SELECT CAST(MAX(d) AS DOUBLE) FROM
+           (SELECT COUNT(*) AS d FROM e GROUP BY dst)) AS mi,
+        (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) FROM e) AS nsrc,
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM e
+         WHERE EXISTS (SELECT 1 FROM e r
+                       WHERE r.src = e.dst AND r.dst = e.src)) AS nrec)
+    SELECT 'n_nodes' AS metric, ROUND(nn, {ROUND}) AS value FROM agg
+    UNION ALL SELECT 'n_edges', ROUND(ne, {ROUND}) FROM agg
+    UNION ALL SELECT 'density', ROUND(ne / (nn * (nn - 1)), {ROUND})
+      FROM agg
+    UNION ALL SELECT 'n_self_loops', ROUND(loops, {ROUND}) FROM agg
+    UNION ALL SELECT 'max_out_share', ROUND(mo / ne, {ROUND}) FROM agg
+    UNION ALL SELECT 'max_in_share', ROUND(mi / ne, {ROUND}) FROM agg
+    UNION ALL SELECT 'dangling_share', ROUND((nn - nsrc) / nn, {ROUND})
+      FROM agg
+    UNION ALL SELECT 'reciprocity', ROUND(nrec / ne, {ROUND}) FROM agg"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -13296,6 +13390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
+        "linkage_report": q_linkage_report,
+        "graph_report": q_graph_report,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -141,3 +141,118 @@ def pagerank(
     share.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
     return out
+
+
+def graph_report(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Graph intake health panel — the O(1) long-format report for edge
+    tables, answering "is this relationship feed shaped like a graph or
+    like a bug?" before anything expensive (PageRank, components) runs:
+
+    - ``n_nodes`` / ``n_edges`` (distinct directed pairs after NULL
+      drop) and ``density`` (edges / n·(n−1));
+    - ``n_self_loops`` — usually a feed defect;
+    - ``max_out_share`` / ``max_in_share`` — the hot-node guard (one
+      node owning most edges is the skew that breaks the downstream
+      shuffles; same role as ``key_skew_profile`` for joins);
+    - ``dangling_share`` — nodes with no out-edges (PageRank leak
+      mass);
+    - ``reciprocity`` — share of directed edges whose reverse exists
+      (≈1 for mutual-follow graphs, ≈0 for bipartite flows; a sudden
+      change means the feed's direction convention flipped).
+
+    One distinct + two degree aggregates + one self-join on the edge
+    key — every frame after the first pass is O(nodes) or O(1).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("double").alias("n_recip")
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    base = (
+        e.agg(
+            F.count(F.lit(1)).cast("double").alias("n_edges"),
+            F.sum((F.col("src") == F.col("dst")).cast("int"))
+            .cast("double")
+            .alias("n_self_loops"),
+        )
+        .crossJoin(
+            F.broadcast(
+                nodes.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_nodes")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                out_deg.agg(
+                    F.max("d").cast("double").alias("max_out"),
+                    F.count(F.lit(1)).cast("double").alias("n_sources"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                in_deg.agg(F.max("d").cast("double").alias("max_in"))
+            )
+        )
+        .crossJoin(F.broadcast(recip))
+    )
+    melted = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in [
+                        ("n_nodes", F.col("n_nodes")),
+                        ("n_edges", F.col("n_edges")),
+                        (
+                            "density",
+                            F.col("n_edges")
+                            / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                        ),
+                        ("n_self_loops", F.col("n_self_loops")),
+                        (
+                            "max_out_share",
+                            F.col("max_out") / F.col("n_edges"),
+                        ),
+                        (
+                            "max_in_share",
+                            F.col("max_in") / F.col("n_edges"),
+                        ),
+                        (
+                            "dangling_share",
+                            (F.col("n_nodes") - F.col("n_sources"))
+                            / F.col("n_nodes"),
+                        ),
+                        (
+                            "reciprocity",
+                            F.col("n_recip") / F.col("n_edges"),
+                        ),
+                    ]
+                ]
+            )
+        ).alias("m")
+    )
+    out = melted.select("m.metric", "m.value").localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
+    return out

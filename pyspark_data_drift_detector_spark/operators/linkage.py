@@ -320,3 +320,62 @@ def record_linkage_incremental(
             ).alias("is_new"),
         )
     )
+
+
+def linkage_report(linked: DataFrame) -> DataFrame:
+    """Linkage-quality panel over a :func:`record_linkage` (or
+    :func:`record_linkage_against_state`) result — the O(1) long-format
+    health report every other family ships (``dedup_report``,
+    ``embedding_report``): one ``(metric, value)`` row per metric, ONE
+    aggregate over the match table.
+
+    Metrics: ``n_probes``, ``n_matched``, ``match_rate``, ``n_exact``
+    (distance 0), ``exact_rate``, ``n_ambiguous`` (more than one
+    verified candidate — the review queue), ``ambiguity_rate``, and
+    ``mean_distance`` over matched rows (NULL when nothing matched).
+    """
+    agg = linked.agg(
+        F.count(F.lit(1)).cast("double").alias("n_probes"),
+        F.sum(F.col("matched").cast("int")).cast("double").alias(
+            "n_matched"
+        ),
+        F.sum((F.col("distance") == 0).cast("int")).cast("double").alias(
+            "n_exact"
+        ),
+        F.sum((F.col("n_candidates") > 1).cast("int")).cast(
+            "double"
+        ).alias("n_ambiguous"),
+        F.avg("distance").alias("mean_distance"),
+    )
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in [
+                        ("n_probes", F.col("n_probes")),
+                        ("n_matched", F.col("n_matched")),
+                        (
+                            "match_rate",
+                            F.col("n_matched") / F.col("n_probes"),
+                        ),
+                        ("n_exact", F.coalesce("n_exact", F.lit(0.0))),
+                        (
+                            "exact_rate",
+                            F.coalesce("n_exact", F.lit(0.0))
+                            / F.col("n_probes"),
+                        ),
+                        ("n_ambiguous", F.col("n_ambiguous")),
+                        (
+                            "ambiguity_rate",
+                            F.col("n_ambiguous") / F.col("n_probes"),
+                        ),
+                        ("mean_distance", F.col("mean_distance")),
+                    ]
+                ]
+            )
+        ).alias("m")
+    )
+    return melted.select("m.metric", "m.value")
