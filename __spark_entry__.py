@@ -12616,13 +12616,17 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(substring(c_name, 1, 11), 'x', substring(c_name, 13))"
         " AS name",
     )
+    # the duplicate-registration twin edits the MIDDLE of the name
+    # ('o' -> '0' at position 8): prefix and suffix both survive, so
+    # the pair blocks through the SELECTIVE per-key suffix key even
+    # when the hot shared-prefix block is capped away
     newcos = cust.filter("c_custkey % 13 = 0").selectExpr(
         "c_custkey + 3000000 AS id",
-        "concat('Newco ', CAST(c_custkey AS STRING)) AS name",
+        "concat('Newco Holdings ', CAST(c_custkey AS STRING)) AS name",
     )
     dup_regs = cust.filter("c_custkey % 26 = 0").selectExpr(
         "c_custkey + 4000000 AS id",
-        "concat('Newco ', CAST(c_custkey AS STRING), 'x') AS name",
+        "concat('Newco H0ldings ', CAST(c_custkey AS STRING)) AS name",
     )
     batch = typos.unionByName(newcos).unionByName(dup_regs)
     return record_linkage_incremental(
@@ -12644,11 +12648,11 @@ def _linkage_incremental_sql(
       FROM customer WHERE c_custkey % 7 = 0
       UNION ALL
       SELECT c_custkey + 3000000,
-             'Newco ' || CAST(c_custkey AS VARCHAR)
+             'Newco Holdings ' || CAST(c_custkey AS VARCHAR)
       FROM customer WHERE c_custkey % 13 = 0
       UNION ALL
       SELECT c_custkey + 4000000,
-             'Newco ' || CAST(c_custkey AS VARCHAR) || 'x'
+             'Newco H0ldings ' || CAST(c_custkey AS VARCHAR)
       FROM customer WHERE c_custkey % 26 = 0),
     mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
                     AS nrm FROM master),
@@ -12687,9 +12691,12 @@ def _linkage_incremental_sql(
       SELECT pid, mid, distance,
         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY distance, mid) AS rn
       FROM ver),
+    self_ok AS (
+      SELECT blk FROM pc WHERE c * c <= {cap}),
+    spk AS (SELECT pk.* FROM pk JOIN self_ok USING (blk)),
     selfhits AS (
       SELECT DISTINCT a.id
-      FROM pk a JOIN pk e ON a.blk = e.blk AND e.id < a.id
+      FROM spk a JOIN spk e ON a.blk = e.blk AND e.id < a.id
       WHERE ABS(a.len - e.len) <= {dist}
         AND levenshtein(a.prb, e.prb) <= {dist}),
     linked AS (

@@ -287,6 +287,17 @@ def record_linkage_incremental(
         batch, text_col, id_col, prefix_len, suffix_len, band_width,
         compare_len, band_slack=max_distance,
     )
+    if max_block_pairs is not None:
+        # the within-batch pass is a SELF-join: its hot-block guard is
+        # the squared membership. Without it a batch whose records
+        # share a degenerate prefix ("customer#...") runs
+        # O(block²·compare_len²) Levenshtein cells in one partition —
+        # the quadratic the cross-pass cap already prevents
+        pc = keyed.groupBy("block").agg(F.count(F.lit(1)).alias("__pc"))
+        ok = pc.filter(
+            F.col("__pc") * F.col("__pc") <= max_block_pairs
+        ).select("block")
+        keyed = keyed.join(ok, "block", "left_semi")
     earlier = keyed.select(
         F.col("id").alias("__eid"),
         F.col("probe").alias("__ep"),
