@@ -10318,6 +10318,7 @@ def _oracle_queries() -> dict[str, str]:
         "scd2_lookup": _scd2_lookup_sql(),
         "linkage_report": _linkage_report_sql(),
         "graph_report": _graph_report_sql(),
+        "bucket_gaps": _bucket_gaps_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -13342,6 +13343,59 @@ def _graph_report_sql() -> str:
     UNION ALL SELECT 'reciprocity', ROUND(nrec / ne, {ROUND}) FROM agg"""
 
 
+def q_bucket_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection (operators.temporal.bucket_gaps):
+    per event_type, the hourly buckets its OWN lifespan expected vs
+    observed, missing-bucket count and longest consecutive outage —
+    the zero-row buckets completeness_timeseries structurally cannot
+    see. Pure integer arithmetic; the oracle regenerates the spine
+    with generate_series."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        bucket_gaps,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bucket_gaps(ev, "ts", "event_type", "hour")
+
+
+def _bucket_gaps_sql(step: int = 3600) -> str:
+    return f"""
+    WITH obs AS (
+      SELECT DISTINCT event_type AS k, date_trunc('hour', ts) AS b
+      FROM events WHERE ts IS NOT NULL),
+    bounds AS (SELECT k, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY k),
+    spine AS (
+      SELECT k, UNNEST(generate_series(b0, b1, INTERVAL {step} SECOND))
+               AS b
+      FROM bounds),
+    missing AS (
+      SELECT s.k, s.b FROM spine s
+      LEFT JOIN obs o ON s.k = o.k AND s.b = o.b
+      WHERE o.k IS NULL),
+    runs AS (
+      SELECT k, COUNT(*) AS run_len FROM (
+        SELECT k, b,
+          CAST(FLOOR(epoch(b)) AS BIGINT) // {step}
+            - ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS g
+        FROM missing) t
+      GROUP BY k, g),
+    gap_stats AS (
+      SELECT k, CAST(SUM(run_len) AS BIGINT) AS n_missing,
+             CAST(MAX(run_len) AS BIGINT) AS longest_gap
+      FROM runs GROUP BY k)
+    SELECT bo.k AS key,
+      CAST((CAST(FLOOR(epoch(bo.b1)) AS BIGINT)
+            - CAST(FLOOR(epoch(bo.b0)) AS BIGINT)) // {step} + 1
+           AS BIGINT) AS n_expected,
+      oc.n_observed,
+      CAST(COALESCE(g.n_missing, 0) AS BIGINT) AS n_missing,
+      CAST(COALESCE(g.longest_gap, 0) AS BIGINT) AS longest_gap
+    FROM bounds bo
+    JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_observed
+          FROM obs GROUP BY k) oc ON bo.k = oc.k
+    LEFT JOIN gap_stats g ON bo.k = g.k"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -13399,6 +13453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "linkage_report": q_linkage_report,
         "graph_report": q_graph_report,
+        "bucket_gaps": q_bucket_gaps,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

@@ -2245,3 +2245,79 @@ def ohlc_rollup(
         / CAST(SUM(n_events) AS DOUBLE) AS mean
     FROM rn GROUP BY k, b"""
     return panel.sparkSession.sql(query, src=panel)
+
+
+def bucket_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Calendar-spine gap detection — the ingest check
+    :func:`completeness_timeseries` structurally cannot do: that panel
+    profiles buckets that HAVE rows, so a bucket with ZERO rows (the
+    feed was down for three hours) is silently absent from it. Here
+    the expected spine is generated per key (``sequence`` from the
+    key's first to last observed bucket) and anti-joined against the
+    observed buckets. Output, one row per key::
+
+        key, n_expected, n_observed, n_missing, longest_gap
+
+    ``longest_gap`` is the longest run of consecutive missing buckets
+    (gaps-and-islands over the missing set); 0 when the series is
+    complete. Keys are judged against their OWN lifespan, not the
+    global range — a key that legitimately starts mid-month is not
+    "missing" its prehistory.
+
+    Scale shape: the corpus reduces to distinct (key, bucket) in one
+    pass; the spine explodes O(keys × buckets-per-key) rows — the
+    CALENDAR's size, not the data's (8,760 cells per key-year at
+    hourly grain); everything downstream is keyed windows over that
+    spine. NULL keys form their own series; NULL timestamps are
+    dropped.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    step = {"hour": 3600, "day": 86400}.get(granularity)
+    if step is None:
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    cols = [ts_col] + ([key_col] if key_col else [])
+    ensure_safe_columns(cols)
+    key_expr = f"`{key_col}`" if key_col else "'__all__'"
+    query = f"""
+    WITH obs AS (
+      SELECT DISTINCT {key_expr} AS k,
+        date_trunc('{granularity}', `{ts_col}`) AS b
+      FROM {{src}} WHERE `{ts_col}` IS NOT NULL),
+    bounds AS (SELECT k, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY k),
+    spine AS (
+      SELECT k, explode(sequence(b0, b1, interval {step} second)) AS b
+      FROM bounds),
+    missing AS (
+      SELECT s.k, s.b FROM spine s LEFT ANTI JOIN obs o
+      ON s.k <=> o.k AND s.b = o.b),
+    runs AS (
+      SELECT k, COUNT(1) AS run_len
+      FROM (
+        SELECT k, b,
+          unix_timestamp(b) div {step}
+            - ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS g
+        FROM missing)
+      GROUP BY k, g),
+    gap_stats AS (
+      SELECT k, CAST(SUM(run_len) AS BIGINT) AS n_missing,
+             CAST(MAX(run_len) AS BIGINT) AS longest_gap
+      FROM runs GROUP BY k)
+    SELECT bo.k AS key,
+      CAST((unix_timestamp(bo.b1) - unix_timestamp(bo.b0)) div {step} + 1
+           AS BIGINT) AS n_expected,
+      oc.n_observed,
+      COALESCE(g.n_missing, 0) AS n_missing,
+      COALESCE(g.longest_gap, 0) AS longest_gap
+    FROM bounds bo
+    JOIN (SELECT k, CAST(COUNT(1) AS BIGINT) AS n_observed
+          FROM obs GROUP BY k) oc ON bo.k <=> oc.k
+    LEFT JOIN gap_stats g ON bo.k <=> g.k"""
+    return df.sparkSession.sql(query, src=df)

@@ -187,3 +187,80 @@ def test_ohlc_rollup_rejects_bad_bucket(spark):
 
     with pytest.raises(ValueError, match="unsupported rollup bucket"):
         ohlc_rollup(ohlc_downsample(_ohlc_rows(spark)), to_bucket="minute")
+
+
+def test_bucket_gaps_finds_zero_row_buckets(spark):
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        bucket_gaps,
+    )
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            # key 'a': hours 0,1,4,5 observed -> 2,3 missing (gap run 2)
+            (1, t(0), "a", 1.0), (2, t(1), "a", 1.0),
+            (3, t(4), "a", 1.0), (4, t(5), "a", 1.0),
+            # key 'b': complete 0..2
+            (5, t(0), "b", 1.0), (6, t(1), "b", 1.0), (7, t(2), "b", 1.0),
+            # NULL ts dropped
+            (8, None, "a", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = {
+        r["key"]: r
+        for r in bucket_gaps(df, "ts", "event_type", "hour").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_expected"], a["n_observed"], a["n_missing"],
+            a["longest_gap"]) == (6, 4, 2, 2)
+    assert (b["n_expected"], b["n_missing"], b["longest_gap"]) == (3, 0, 0)
+
+
+def test_bucket_gaps_own_lifespan_not_global(spark):
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        bucket_gaps,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0), "old", 1.0),
+            (2, datetime(2024, 1, 1, 23), "old", 1.0),
+            # 'late' starts at hour 20 — must NOT be missing 0..19
+            (3, datetime(2024, 1, 1, 20), "late", 1.0),
+            (4, datetime(2024, 1, 1, 21), "late", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = {
+        r["key"]: r
+        for r in bucket_gaps(df, "ts", "event_type", "hour").collect()
+    }
+    assert out["late"]["n_expected"] == 2 and out["late"]["n_missing"] == 0
+    assert out["old"]["n_expected"] == 24 and out["old"]["n_missing"] == 22
+
+
+def test_bucket_gaps_global_series_and_bad_grain(spark):
+    import pytest as _pytest
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        bucket_gaps,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), "x", 1.0),
+            (2, datetime(2024, 1, 3), "y", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    rows = bucket_gaps(df, "ts", None, "day").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_expected"] == 3 and rows[0]["n_missing"] == 1
+    with _pytest.raises(ValueError, match="granularity"):
+        bucket_gaps(df, "ts", None, "fortnight")
