@@ -10319,6 +10319,7 @@ def _oracle_queries() -> dict[str, str]:
         "linkage_report": _linkage_report_sql(),
         "graph_report": _graph_report_sql(),
         "bucket_gaps": _bucket_gaps_sql(),
+        "scd2_validate": _scd2_validate_sql(),
         "bpe_segment": _bpe_segment_sql(),
         "bpe_segment_arrow": _bpe_segment_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
@@ -13396,6 +13397,107 @@ def _bucket_gaps_sql(step: int = 3600) -> str:
     LEFT JOIN gap_stats g ON bo.k = g.k"""
 
 
+def q_scd2_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 invariant checker (operators.scd.scd2_validate) over a
+    deliberately corrupted customer dimension: the clean two-wave
+    version build plus injected defects — a second open row
+    (custkey%25), an inverted interval (custkey%40), and a gap-opening
+    shift (custkey%35's second version delayed a day). Output: the
+    six-check violation panel."""
+    from pyspark_data_drift_detector_spark.operators.scd import (
+        scd2_validate,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.selectExpr(
+        "c_custkey AS k",
+        "c_mktsegment AS seg",
+        "TIMESTAMP '1995-01-01' AS valid_from",
+        "CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1997-01-01'"
+        " WHEN c_custkey % 35 = 0 THEN TIMESTAMP '1997-01-01' END"
+        " AS valid_to",
+        "c_custkey % 3 != 0 AND c_custkey % 35 != 0 AS is_current",
+    ).unionByName(
+        cust.filter("c_custkey % 3 = 0").selectExpr(
+            "c_custkey AS k", "'SEG2' AS seg",
+            "TIMESTAMP '1997-01-01' AS valid_from",
+            "CAST(NULL AS TIMESTAMP) AS valid_to", "true AS is_current",
+        )
+    ).unionByName(
+        # gap: the replacement version starts a day AFTER the close
+        cust.filter("c_custkey % 35 = 0 AND c_custkey % 3 != 0")
+        .selectExpr(
+            "c_custkey AS k", "'SEG3' AS seg",
+            "TIMESTAMP '1997-01-02' AS valid_from",
+            "CAST(NULL AS TIMESTAMP) AS valid_to", "true AS is_current",
+        )
+    ).unionByName(
+        # defect: a SECOND open row
+        cust.filter("c_custkey % 25 = 0").selectExpr(
+            "c_custkey AS k", "'DUPE' AS seg",
+            "TIMESTAMP '1998-01-01' AS valid_from",
+            "CAST(NULL AS TIMESTAMP) AS valid_to", "true AS is_current",
+        )
+    ).unionByName(
+        # defect: inverted interval
+        cust.filter("c_custkey % 40 = 0").selectExpr(
+            "c_custkey AS k", "'INV' AS seg",
+            "TIMESTAMP '1999-01-01' AS valid_from",
+            "TIMESTAMP '1998-01-01' AS valid_to", "false AS is_current",
+        )
+    )
+    return scd2_validate(dim, "k")
+
+
+def _scd2_validate_sql() -> str:
+    return """
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+        TIMESTAMP '1995-01-01' AS vf,
+        CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1997-01-01'
+             WHEN c_custkey % 35 = 0 THEN TIMESTAMP '1997-01-01' END
+          AS vt,
+        (c_custkey % 3 != 0 AND c_custkey % 35 != 0) AS cur
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'SEG2', TIMESTAMP '1997-01-01', NULL, true
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'SEG3', TIMESTAMP '1997-01-02', NULL, true
+      FROM customer WHERE c_custkey % 35 = 0 AND c_custkey % 3 != 0
+      UNION ALL
+      SELECT c_custkey, 'DUPE', TIMESTAMP '1998-01-01', NULL, true
+      FROM customer WHERE c_custkey % 25 = 0
+      UNION ALL
+      SELECT c_custkey, 'INV', TIMESTAMP '1999-01-01',
+             TIMESTAMP '1998-01-01', false
+      FROM customer WHERE c_custkey % 40 = 0),
+    seq AS (
+      SELECT k, vf, vt, cur,
+        LAG(vt) OVER (PARTITION BY k ORDER BY vf) AS pvt
+      FROM dim),
+    per_key AS (
+      SELECT k, SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS n_open
+      FROM seq GROUP BY k)
+    SELECT 'multiple_open' AS "check",
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM per_key WHERE n_open > 1)
+        AS n_violations
+    UNION ALL SELECT 'no_open',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM per_key WHERE n_open = 0)
+    UNION ALL SELECT 'open_not_null_to',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM seq
+       WHERE (cur AND vt IS NOT NULL) OR (NOT cur AND vt IS NULL))
+    UNION ALL SELECT 'overlap',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM seq
+       WHERE pvt IS NOT NULL AND vf < pvt)
+    UNION ALL SELECT 'gap',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM seq
+       WHERE pvt IS NOT NULL AND vf > pvt)
+    UNION ALL SELECT 'inverted',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM seq
+       WHERE vt IS NOT NULL AND vt <= vf)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full drift-detection pipeline on the sf0.001 lineitem
     even/odd split → long-format result rows (one per analyzed column)."""
@@ -13454,6 +13556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_report": q_linkage_report,
         "graph_report": q_graph_report,
         "bucket_gaps": q_bucket_gaps,
+        "scd2_validate": q_scd2_validate,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

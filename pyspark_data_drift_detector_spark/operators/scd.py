@@ -183,3 +183,74 @@ def scd2_lookup(
         direction="backward",
         suffix=suffix,
     )
+
+
+def scd2_validate(
+    dim: DataFrame,
+    key_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD2 invariant checker — the dimension-history member of the
+    declarative-checks family (``constraint_suite`` covers row-level
+    shapes; this covers the TEMPORAL shape a versioned dimension must
+    hold before :func:`scd2_lookup` can be trusted):
+
+    - ``multiple_open``: keys with more than one ``is_current`` row;
+    - ``no_open``: keys whose chain has no open row (fully closed —
+      legal for soft-deleted entities, so reported, not damned);
+    - ``open_not_null_to``: rows flagged current but carrying a
+      ``valid_to`` (or closed rows missing one) — flag/interval
+      disagreement;
+    - ``overlap``: consecutive versions of a key whose intervals
+      overlap (``valid_from < previous valid_to`` is fine at equality;
+      strictly inside is corruption);
+    - ``gap``: consecutive versions with uncovered time between them
+      (``valid_from > previous valid_to``) — lookups inside the hole
+      return NULL;
+    - ``inverted``: rows with ``valid_to <= valid_from``.
+
+    Output: ``(check, n_violations)`` — all BIGINT, one row per check,
+    always all six rows (0 = clean). One keyed window pass + one
+    aggregate; O(checks) output.
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([key_col, from_col, to_col, current_col])
+    query = f"""
+    WITH seq AS (
+      SELECT `{key_col}` AS k, `{from_col}` AS vf, `{to_col}` AS vt,
+        `{current_col}` AS cur,
+        LAG(`{to_col}`) OVER (PARTITION BY `{key_col}`
+                              ORDER BY `{from_col}`) AS pvt
+      FROM {{src}}),
+    per_key AS (
+      SELECT k, CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS INT)
+               AS n_open
+      FROM seq GROUP BY k),
+    agg AS (
+      SELECT
+        (SELECT COUNT(1) FROM per_key WHERE n_open > 1)
+          AS multiple_open,
+        (SELECT COUNT(1) FROM per_key WHERE n_open = 0) AS no_open,
+        (SELECT COUNT(1) FROM seq
+         WHERE (cur AND vt IS NOT NULL)
+            OR (NOT cur AND vt IS NULL)) AS open_not_null_to,
+        (SELECT COUNT(1) FROM seq
+         WHERE pvt IS NOT NULL AND vf < pvt) AS overlap,
+        (SELECT COUNT(1) FROM seq
+         WHERE pvt IS NOT NULL AND vf > pvt) AS gap,
+        (SELECT COUNT(1) FROM seq
+         WHERE vt IS NOT NULL AND vt <= vf) AS inverted)
+    SELECT t.check, CAST(t.n AS BIGINT) AS n_violations FROM agg
+    LATERAL VIEW explode(map(
+      'multiple_open', multiple_open,
+      'no_open', no_open,
+      'open_not_null_to', open_not_null_to,
+      'overlap', overlap,
+      'gap', gap,
+      'inverted', inverted)) t AS `check`, n"""
+    return dim.sparkSession.sql(query, src=dim)

@@ -228,3 +228,51 @@ def test_scd2_apply_shuffle_budget(spark, sf_dir):
         "TIMESTAMP '2024-02-01' AS effective_ts",
     )
     assert count_shuffles(scd2_apply(dim, feed, "k", ["seg"])) <= 2
+
+
+def test_scd2_validate_counts_each_violation(spark):
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_validate
+
+    T15 = datetime(2024, 1, 15)
+    dim = _dim(
+        spark,
+        [
+            (1, "A", T1, T2, False), (1, "B", T2, None, True),  # clean
+            (2, "X", T1, None, True), (2, "Y", T2, None, True),  # 2 open
+            # overlap: second version starts INSIDE the first
+            (3, "G", T1, T2, False), (3, "H", T15, None, True),
+            # gap: uncovered time between T2 and T3
+            (4, "P", T1, T2, False), (4, "Q", T3, None, True),
+            # inverted interval
+            (5, "I", T2, T1, False), (5, "J", T3, None, True),
+            (6, "D", T1, T2, False),                             # no open
+            # flag/interval disagreement: current but closed
+            (7, "E", T1, T2, True),
+        ],
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in scd2_validate(dim, "k").collect()
+    }
+    assert out["multiple_open"] == 1    # key 2
+    assert out["no_open"] == 1          # key 6 (fully closed chain)
+    assert out["overlap"] == 1
+    assert out["inverted"] == 1
+    assert out["open_not_null_to"] == 1  # key 7
+
+
+def test_scd2_validate_clean_after_apply(spark):
+    # scd2_apply output must validate clean (except no_open never
+    # fires: every chain ends open)
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_validate
+
+    dim = _dim(spark, [(k, "A", T1, None, True) for k in range(1, 6)])
+    feed = _changes(
+        spark, [(k, f"S{k}", T2) for k in range(1, 6, 2)]
+        + [(1, "Z", T3)]
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in scd2_validate(_apply(dim, feed), "k").collect()
+    }
+    assert all(v == 0 for v in out.values()), out
