@@ -12760,7 +12760,9 @@ def _survival_curve_sql(censor_days: int = 2) -> str:
       FROM bd)
     SELECT CAST(duration_days AS BIGINT) AS duration_days, at_risk,
       n_churned, n_censored,
-      ROUND(exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+      ROUND(exp(SUM(CASE WHEN n_churned >= at_risk
+                    THEN CAST('-Infinity' AS DOUBLE)
+                    ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
             OVER (ORDER BY duration_days
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
             {ROUND}) AS survival
@@ -12928,7 +12930,9 @@ def _survival_incremental_sql(censor_days: int = 3) -> str:
       FROM bd)
     SELECT CAST(duration_days AS BIGINT) AS duration_days, at_risk,
       n_churned, n_censored,
-      ROUND(exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+      ROUND(exp(SUM(CASE WHEN n_churned >= at_risk
+                    THEN CAST('-Infinity' AS DOUBLE)
+                    ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
             OVER (ORDER BY duration_days
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
             {ROUND}) AS survival

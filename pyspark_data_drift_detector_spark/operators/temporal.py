@@ -2047,7 +2047,14 @@ def survival_curve(
              AS BIGINT) AS at_risk
       FROM by_day)
     SELECT duration_days, at_risk, n_churned, n_censored,
-      exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+      -- terminal-churn guard: when the whole remaining risk set churns
+      -- at one duration, the factor is 0 and Spark's ln(0) is NULL (a
+      -- windowed SUM would SKIP it, silently reporting the previous
+      -- survival); emit -inf instead so exp(sum) collapses to exactly
+      -- 0.0 from that row onward
+      exp(SUM(CASE WHEN n_churned >= at_risk
+                   THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
           OVER (ORDER BY duration_days
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         AS survival
@@ -2185,7 +2192,11 @@ def survival_from_state(
              AS BIGINT) AS at_risk
       FROM by_day)
     SELECT duration_days, at_risk, n_churned, n_censored,
-      exp(SUM(ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)))
+      -- terminal-churn guard (see survival_curve): ln(0) is NULL in
+      -- Spark and windowed SUM skips NULLs; -inf makes survival 0.0
+      exp(SUM(CASE WHEN n_churned >= at_risk
+                   THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
           OVER (ORDER BY duration_days
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         AS survival

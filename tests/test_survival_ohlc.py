@@ -61,6 +61,43 @@ def test_survival_curve_all_censored_is_flat_one(spark):
     assert sum(r["n_censored"] for r in out) == 5
 
 
+def test_survival_curve_terminal_full_churn_hits_zero(spark):
+    # when the entire remaining risk set churns at one duration the KM
+    # factor is 0: Spark's ln(0) is NULL and a windowed SUM would SKIP
+    # it, silently reporting the previous survival — the -inf guard must
+    # drive survival to exactly 0.0 (and the state path must agree)
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_from_state,
+        survival_state,
+    )
+
+    day = lambda d: datetime(2024, 1, 1 + d)  # noqa: E731
+    rows = [
+        # user 1: active day 0..3 then silent -> churned at duration 3
+        (1, day(0), 1, 1.0),
+        (2, day(3), 1, 1.0),
+        # user 2: single event day 20 (defines obs_end) -> censored, dur 0
+        (3, day(20), 2, 1.0),
+    ]
+    ev = _events(spark, rows)
+    out = {
+        r["duration_days"]: r
+        for r in survival_curve(ev, censor_days=2).collect()
+    }
+    assert out[3]["at_risk"] == 1 and out[3]["n_churned"] == 1
+    assert out[3]["survival"] == 0.0
+    assert out[0]["survival"] == pytest.approx(1.0)
+    via_state = {
+        r["duration_days"]: r["survival"]
+        for r in survival_from_state(
+            survival_state(ev), censor_days=2
+        ).collect()
+    }
+    assert via_state[3] == 0.0
+
+
 def test_survival_curve_null_users_dropped(spark):
     from datetime import datetime
 
