@@ -10316,6 +10316,7 @@ def _oracle_queries() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "scd2_apply": _scd2_apply_sql(),
         "scd2_lookup": _scd2_lookup_sql(),
+        "graph_components": _graph_components_sql(),
         "linkage_report": _linkage_report_sql(),
         "graph_report": _graph_report_sql(),
         "bucket_gaps": _bucket_gaps_sql(),
@@ -12805,6 +12806,7 @@ def _ohlc_downsample_sql() -> str:
       ROUND(MIN(v), {ROUND}) AS low,
       ROUND(MAX(CASE WHEN rd = 1 THEN v END), {ROUND}) AS close,
       CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(v) AS BIGINT) AS n_values,
       ROUND(AVG(v), {ROUND}) AS mean
     FROM rn GROUP BY k, b"""
 
@@ -12985,16 +12987,17 @@ def _ohlc_rollup_sql() -> str:
         ROUND(MAX(CASE WHEN ra = 1 THEN v END), {ROUND}) AS open,
         ROUND(MAX(v), {ROUND}) AS high, ROUND(MIN(v), {ROUND}) AS low,
         ROUND(MAX(CASE WHEN rd = 1 THEN v END), {ROUND}) AS close,
-        COUNT(*) AS n_events, ROUND(AVG(v), {ROUND}) AS mean
+        COUNT(*) AS n_events, COUNT(v) AS n_values,
+        ROUND(AVG(v), {ROUND}) AS mean
       FROM rn GROUP BY k, b),
     rn2 AS (
       SELECT k, date_trunc('day', hb) AS db, open, high, low, close,
-        n_events, mean,
+        n_events, n_values, mean,
         ROW_NUMBER() OVER (PARTITION BY k, date_trunc('day', hb)
                            ORDER BY hb) AS ra,
         ROW_NUMBER() OVER (PARTITION BY k, date_trunc('day', hb)
                            ORDER BY hb DESC) AS rd,
-        SUM(mean * n_events) OVER (
+        SUM(mean * n_values) OVER (
           PARTITION BY k, date_trunc('day', hb) ORDER BY hb
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwm
       FROM hourly)
@@ -13005,8 +13008,10 @@ def _ohlc_rollup_sql() -> str:
       ROUND(MIN(low), {ROUND}) AS low,
       ROUND(MAX(CASE WHEN rd = 1 THEN close END), {ROUND}) AS close,
       CAST(SUM(n_events) AS BIGINT) AS n_events,
-      ROUND(ROUND(MAX(CASE WHEN rd = 1 THEN cwm END)
-              / CAST(SUM(n_events) AS DOUBLE), 7), {ROUND}) AS mean
+      CAST(SUM(n_values) AS BIGINT) AS n_values,
+      CASE WHEN SUM(n_values) = 0 THEN NULL
+           ELSE ROUND(ROUND(MAX(CASE WHEN rd = 1 THEN cwm END)
+                  / CAST(SUM(n_values) AS DOUBLE), 7), {ROUND}) END AS mean
     FROM rn2 GROUP BY k, db"""
 
 
@@ -13079,14 +13084,68 @@ def _pagerank_sql(n_iter: int = 3) -> str:
     )
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components
+    (operators.graph.graph_components): each customer's orders linked
+    into a CHAIN (consecutive orderkeys per customer — real multi-hop
+    diameter, so the O(log d) pointer jumping is genuinely exercised,
+    not a star graph it converges on in one round). Components are
+    exactly "one customer's order set" (customers with >= 2 orders),
+    which gives the oracle an INDEPENDENT semantic replay — a window
+    over orders, no graph algorithm at all — rather than a
+    re-implementation of the propagation."""
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_components,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.select(
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("src"), F.col("o_orderkey").alias("dst")
+        )
+    )
+    return graph_components(edges)
+
+
+def _graph_components_sql() -> str:
+    # independent semantic oracle: a chain connects ALL of a
+    # customer's orders, so the component of any chained order is
+    # exactly its customer's order set — min orderkey labels it, the
+    # order count sizes it; customers with a single order contribute
+    # no edge and therefore no node
+    return """
+    WITH sized AS (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+             MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS mk
+      FROM orders)
+    SELECT o_orderkey AS node, mk AS component_id,
+           CAST(n AS BIGINT) AS component_size
+    FROM sized WHERE n >= 2"""
+
+
 def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 apply-changes (operators.scd.scd2_apply): the
-    customer dimension versioned by a mixed CDC feed — segment
-    reassignments (custkey%3), a second later change for custkey%9
-    (multi-change chaining), a feed row equal to the ORIGINAL segment
-    for custkey%4 (a no-op unless an earlier change already moved the
-    key — then it is a genuine revert), and brand-new keys (+100000).
-    Output: the full versioned dimension with validity intervals."""
+    customer dimension versioned by a mixed upsert+DELETE CDC feed —
+    segment reassignments (custkey%3), a second later change for
+    custkey%9 (multi-change chaining), a feed row equal to the
+    ORIGINAL segment for custkey%4 (a no-op unless an earlier change
+    already moved the key — then it is a genuine revert), brand-new
+    keys (+100000), tombstones for custkey%5 at 02-20 (close the
+    in-effect version, open nothing), a SECOND delete for custkey%15
+    at 03-05 (no-op when already deleted, a real close when the %9
+    wave re-opened the key at 03-01), re-registrations for custkey%10
+    at 03-10 (fresh chain after absence), and deletes of keys that
+    never existed (+200000 — pure no-ops). Output: the full versioned
+    dimension with validity intervals."""
     from pyspark_data_drift_detector_spark.operators.scd import scd2_apply
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -13103,6 +13162,7 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "concat('SEG-', CAST(c_custkey % 7 AS STRING)) AS c_mktsegment",
             "TIMESTAMP '2024-02-01' AS effective_ts",
+            "'upsert' AS op",
         )
         .unionByName(
             cust.filter("c_custkey % 9 = 0").selectExpr(
@@ -13110,12 +13170,14 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat('SEG-', CAST(c_custkey % 5 AS STRING))"
                 " AS c_mktsegment",
                 "TIMESTAMP '2024-03-01' AS effective_ts",
+                "'upsert' AS op",
             )
         )
         .unionByName(
             cust.filter("c_custkey % 4 = 0").selectExpr(
                 "c_custkey", "c_mktsegment",
                 "TIMESTAMP '2024-02-15' AS effective_ts",
+                "'upsert' AS op",
             )
         )
         .unionByName(
@@ -13123,10 +13185,45 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_custkey + 100000 AS c_custkey",
                 "'NEW' AS c_mktsegment",
                 "TIMESTAMP '2024-02-10' AS effective_ts",
+                "'upsert' AS op",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 5 = 0").selectExpr(
+                "c_custkey",
+                "CAST(NULL AS STRING) AS c_mktsegment",
+                "TIMESTAMP '2024-02-20' AS effective_ts",
+                "'delete' AS op",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 15 = 0").selectExpr(
+                "c_custkey",
+                "CAST(NULL AS STRING) AS c_mktsegment",
+                "TIMESTAMP '2024-03-05' AS effective_ts",
+                "'delete' AS op",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 10 = 0").selectExpr(
+                "c_custkey",
+                "'BACK' AS c_mktsegment",
+                "TIMESTAMP '2024-03-10' AS effective_ts",
+                "'upsert' AS op",
+            )
+        )
+        .unionByName(
+            cust.filter("c_custkey % 50 = 0").selectExpr(
+                "c_custkey + 200000 AS c_custkey",
+                "CAST(NULL AS STRING) AS c_mktsegment",
+                "TIMESTAMP '2024-02-01' AS effective_ts",
+                "'delete' AS op",
             )
         )
     )
-    out = scd2_apply(dim, changes, "c_custkey", ["c_mktsegment"])
+    out = scd2_apply(
+        dim, changes, "c_custkey", ["c_mktsegment"], op_col="op"
+    )
     return out.selectExpr(
         "c_custkey",
         "c_mktsegment",
@@ -13137,53 +13234,83 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scd2_apply_sql() -> str:
+    # fingerprints mirror the operator exactly: 's'||state for
+    # upserts, 'd' for tombstones (disjoint by construction; 'd'<'s'
+    # resolves same-timestamp delete+upsert as close-then-reopen)
     return """
     WITH base AS (
       SELECT c_custkey AS k, c_mktsegment AS seg,
-             TIMESTAMP '2024-01-01' AS eff, 0 AS origin
+             TIMESTAMP '2024-01-01' AS eff, 0 AS origin,
+             's' || c_mktsegment AS fp, false AS del
       FROM customer),
     feed AS (
       SELECT c_custkey AS k,
              'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS seg,
-             TIMESTAMP '2024-02-01' AS eff, 1 AS origin
+             TIMESTAMP '2024-02-01' AS eff, 1 AS origin,
+             's' || 'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS fp,
+             false AS del
       FROM customer WHERE c_custkey % 3 = 0
       UNION ALL
       SELECT c_custkey, 'SEG-' || CAST(c_custkey % 5 AS VARCHAR),
-             TIMESTAMP '2024-03-01', 1
+             TIMESTAMP '2024-03-01', 1,
+             's' || 'SEG-' || CAST(c_custkey % 5 AS VARCHAR), false
       FROM customer WHERE c_custkey % 9 = 0
       UNION ALL
-      SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-02-15', 1
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-02-15', 1,
+             's' || c_mktsegment, false
       FROM customer WHERE c_custkey % 4 = 0
       UNION ALL
-      SELECT c_custkey + 100000, 'NEW', TIMESTAMP '2024-02-10', 1
+      SELECT c_custkey + 100000, 'NEW', TIMESTAMP '2024-02-10', 1,
+             'sNEW', false
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, TIMESTAMP '2024-02-20', 1, 'd', true
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, TIMESTAMP '2024-03-05', 1, 'd', true
+      FROM customer WHERE c_custkey % 15 = 0
+      UNION ALL
+      SELECT c_custkey, 'BACK', TIMESTAMP '2024-03-10', 1,
+             'sBACK', false
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 200000, NULL, TIMESTAMP '2024-02-01', 1,
+             'd', true
       FROM customer WHERE c_custkey % 50 = 0),
     seq AS (
-      SELECT *, LAG(seg) OVER (PARTITION BY k
-                               ORDER BY eff, origin, seg) AS pseg
+      SELECT *, LAG(fp) OVER (PARTITION BY k
+                              ORDER BY eff, origin, fp) AS pfp
       FROM (SELECT * FROM base UNION ALL SELECT * FROM feed)),
     kept AS (
       SELECT * FROM seq
-      WHERE origin = 0 OR pseg IS NULL OR seg != pseg),
+      WHERE origin = 0
+         OR (CASE WHEN del THEN pfp IS NOT NULL AND pfp != 'd'
+                  ELSE pfp IS NULL OR fp != pfp END)),
     chained AS (
-      SELECT k, seg, eff,
-        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, seg) AS vt
+      SELECT k, seg, eff, del,
+        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, fp) AS vt
       FROM kept)
     SELECT k AS c_custkey, seg AS c_mktsegment,
       strftime(eff, '%Y-%m-%d %H:%M:%S') AS valid_from,
       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
       (vt IS NULL) AS is_current
-    FROM chained"""
+    FROM chained WHERE NOT del"""
 
 
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.scd.scd2_lookup): the
     customer dimension versioned by two change waves (1997-01-01 for
-    custkey%3, 1999-06-01 for custkey%9), then every order joined to
-    the segment IN EFFECT at its order date via the backward as-of
-    join — the leakage-safe feature join — and reduced to the
-    (segment, order-year) mix panel. The oracle replays the version
-    build and resolves the lookup with an equivalent validity-interval
-    range join (contiguous chains make the two formulations identical)."""
+    custkey%3, 1999-06-01 for custkey%9) plus a TOMBSTONE wave
+    (custkey%6 deleted 1998-01-01 — %6 keys not also %9 stay closed
+    forever; %18 keys re-register at the 1999 wave), then every order
+    joined to the segment IN EFFECT at its order date via the
+    end-bounded backward as-of join — the leakage-safe feature join;
+    orders after a deletion (or inside a delete→re-register gap)
+    attach NULL segment — and reduced to the (segment, order-year) mix
+    panel. The oracle replays the version build and resolves the
+    lookup with an equivalent validity-interval range join (the
+    independent semantic check that the as-of end bound equals true
+    interval containment)."""
     from pyspark_data_drift_detector_spark.operators.scd import (
         scd2_apply,
         scd2_lookup,
@@ -13200,14 +13327,25 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "concat('SEG-', CAST(c_custkey % 7 AS STRING)) AS c_mktsegment",
         "TIMESTAMP '1997-01-01' AS effective_ts",
+        "'upsert' AS op",
     ).unionByName(
         cust.filter("c_custkey % 9 = 0").selectExpr(
             "c_custkey",
             "concat('SEG-', CAST(c_custkey % 5 AS STRING)) AS c_mktsegment",
             "TIMESTAMP '1999-06-01' AS effective_ts",
+            "'upsert' AS op",
+        )
+    ).unionByName(
+        cust.filter("c_custkey % 6 = 0").selectExpr(
+            "c_custkey",
+            "CAST(NULL AS STRING) AS c_mktsegment",
+            "TIMESTAMP '1998-01-01' AS effective_ts",
+            "'delete' AS op",
         )
     )
-    dim = scd2_apply(dim0, changes, "c_custkey", ["c_mktsegment"])
+    dim = scd2_apply(
+        dim0, changes, "c_custkey", ["c_mktsegment"], op_col="op"
+    )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_orderdate"
     )
@@ -13225,33 +13363,43 @@ def _scd2_lookup_sql() -> str:
     return """
     WITH base AS (
       SELECT c_custkey AS k, c_mktsegment AS seg,
-             TIMESTAMP '1995-01-01' AS eff, 0 AS origin
+             TIMESTAMP '1995-01-01' AS eff, 0 AS origin,
+             's' || c_mktsegment AS fp, false AS del
       FROM customer),
     feed AS (
       SELECT c_custkey AS k,
              'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS seg,
-             TIMESTAMP '1997-01-01' AS eff, 1 AS origin
+             TIMESTAMP '1997-01-01' AS eff, 1 AS origin,
+             's' || 'SEG-' || CAST(c_custkey % 7 AS VARCHAR) AS fp,
+             false AS del
       FROM customer WHERE c_custkey % 3 = 0
       UNION ALL
       SELECT c_custkey, 'SEG-' || CAST(c_custkey % 5 AS VARCHAR),
-             TIMESTAMP '1999-06-01', 1
-      FROM customer WHERE c_custkey % 9 = 0),
+             TIMESTAMP '1999-06-01', 1,
+             's' || 'SEG-' || CAST(c_custkey % 5 AS VARCHAR), false
+      FROM customer WHERE c_custkey % 9 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, TIMESTAMP '1998-01-01', 1, 'd', true
+      FROM customer WHERE c_custkey % 6 = 0),
     seq AS (
-      SELECT *, LAG(seg) OVER (PARTITION BY k
-                               ORDER BY eff, origin, seg) AS pseg
+      SELECT *, LAG(fp) OVER (PARTITION BY k
+                              ORDER BY eff, origin, fp) AS pfp
       FROM (SELECT * FROM base UNION ALL SELECT * FROM feed)),
     kept AS (
       SELECT * FROM seq
-      WHERE origin = 0 OR pseg IS NULL OR seg != pseg),
+      WHERE origin = 0
+         OR (CASE WHEN del THEN pfp IS NOT NULL AND pfp != 'd'
+                  ELSE pfp IS NULL OR fp != pfp END)),
     dim AS (
-      SELECT k, seg, eff AS vf,
-        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, seg) AS vt
+      SELECT k, seg, eff AS vf, del,
+        LEAD(eff) OVER (PARTITION BY k ORDER BY eff, origin, fp) AS vt
       FROM kept)
     SELECT d.seg AS segment,
       CAST(year(o.o_orderdate) AS INT) AS order_year,
       CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
-    LEFT JOIN dim d ON d.k = o.o_custkey AND d.vf <= o.o_orderdate
+    LEFT JOIN dim d ON d.k = o.o_custkey AND NOT d.del
+      AND d.vf <= o.o_orderdate
       AND (d.vt IS NULL OR o.o_orderdate < d.vt)
     GROUP BY 1, 2"""
 
@@ -13561,6 +13709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_report": q_graph_report,
         "bucket_gaps": q_bucket_gaps,
         "scd2_validate": q_scd2_validate,
+        "graph_components": q_graph_components,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

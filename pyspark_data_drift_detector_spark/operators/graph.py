@@ -152,6 +152,101 @@ def pagerank(
     return out
 
 
+def graph_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components over an arbitrary edge table —
+    the membership companion to :func:`graph_report` (which profiles)
+    and :func:`pagerank` (which ranks): "which entities are in the
+    same blob" is the first question of every entity-graph audit, and
+    the same machinery every dedup family already uses internally
+    (``dedup.neardup_clusters``'s O(log diameter) min-label pointer
+    jumping — delegated to directly, not reimplemented).
+
+    Returns one row per node: ``node, component_id, component_size``
+    with ``component_id`` = the MINIMUM node id in the component
+    (deterministic labels; for string ids, lexicographic min) and
+    ``component_size`` = the number of distinct nodes in it.
+
+    Nodes are every endpoint of a surviving edge; edges with a NULL
+    endpoint are dropped whole (same convention as
+    :func:`graph_report`), direction is ignored, parallel edges and
+    self-loops are harmless. Integral node ids run through the
+    pointer-jumping core directly; any other id type (strings —
+    entity-graph reality) is mapped to a surrogate integer per node
+    first (one ``monotonically_increasing_id`` over the distinct
+    nodes, pinned by an eager checkpoint so the mapping is stable
+    across the core's iterations) and mapped back at the end — labels
+    are still the min ORIGINAL id, so the surrogate never leaks.
+    ``max_iter`` bounds the pointer-jumping rounds (the core warns if
+    a component is wider than the propagation horizon).
+    """
+    from pyspark.sql import types as T
+
+    from pyspark_data_drift_detector_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    integral = isinstance(
+        e.schema["s"].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    ) and isinstance(
+        e.schema["d"].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+    if integral:
+        comp = neardup_clusters(
+            e.select(
+                F.col("s").cast("long").alias("id1"),
+                F.col("d").cast("long").alias("id2"),
+            ),
+            max_iter=max_iter,
+        )
+        sizes = comp.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("component_size")
+        )
+        return comp.join(sizes, "cluster_id").select(
+            F.col("id").alias("node"),
+            F.col("cluster_id").alias("component_id"),
+            "component_size",
+        )
+    # surrogate path: the core's min-label arithmetic (and its exact
+    # decimal convergence sum) needs integer ids
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin sid values before reuse
+    )
+    pairs = (
+        e.join(nodes.select(F.col("node").alias("s"), "sid"), "s")
+        .withColumnRenamed("sid", "id1")
+        .join(
+            nodes.select(F.col("node").alias("d"), F.col("sid").alias("id2")),
+            "d",
+        )
+        .select("id1", "id2")
+    )
+    comp = neardup_clusters(pairs, max_iter=max_iter)
+    labeled = comp.join(
+        nodes.select(F.col("sid").alias("id"), "node"), "id"
+    ).select("node", F.col("cluster_id").alias("cid"))
+    groups = labeled.groupBy("cid").agg(
+        F.min("node").alias("component_id"),
+        F.count(F.lit(1)).cast("long").alias("component_size"),
+    )
+    return labeled.join(groups, "cid").select(
+        "node", "component_id", "component_size"
+    )
+
+
 def graph_report(
     edges: DataFrame,
     src_col: str = "src",

@@ -42,6 +42,8 @@ def scd2_apply(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
     current_col: str = "is_current",
+    op_col: str | None = None,
+    delete_op: str = "delete",
 ) -> DataFrame:
     """Apply a change feed to an SCD2 dimension table and return the
     new dimension (same schema: key, tracked columns, ``valid_from``,
@@ -70,6 +72,25 @@ def scd2_apply(
     dropped from sequencing: a NULL key names no chain and a NULL
     timestamp has no position in one — enforce the feed contract
     upstream (``constraint_suite`` covers exactly this shape).
+
+    **Tombstones** (CDC delete events): pass ``op_col`` naming a
+    column in ``changes`` whose value equals ``delete_op`` on delete
+    rows (every other value — or NULL — is an upsert). A delete
+    closes the version in effect at its effective timestamp and opens
+    NOTHING: the chain ends fully closed (the shape
+    :func:`scd2_validate`'s ``no_open`` check deems legal — it is
+    reported as an audit signal, not corruption). A delete with no
+    version in effect (unknown key, already-deleted key, or a delete
+    preceding the key's first change in the batch) is a no-op. A later
+    upsert RE-OPENS a fresh chain at its own timestamp — even when its
+    tracked values equal the pre-delete state, because the entity was
+    absent in between (the re-registration case); the absence interval
+    stays uncovered, so point-in-time lookups inside it correctly
+    return NULL (and ``scd2_validate`` reports it under ``gap`` — for
+    tombstoned entities that gap is the truth, not a defect). Tracked
+    values on delete rows are ignored (they never become a version) —
+    the columns must merely exist in the schema. Re-applying a
+    delete-only feed is a no-op (each delete finds nothing open).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -77,6 +98,7 @@ def scd2_apply(
 
     ensure_safe_columns(
         [key_col, effective_col, from_col, to_col, current_col]
+        + ([op_col] if op_col is not None else [])
         + list(tracked_cols)
     )
     if not tracked_cols:
@@ -84,46 +106,70 @@ def scd2_apply(
     tracked = ", ".join(f"`{c}`" for c in tracked_cols)
     # null-safe tracked-state fingerprint for the no-op comparison:
     # struct equality in SQL treats NULL = NULL as NULL, so compare a
-    # canonical string form with a NULL sentinel per field
+    # canonical string form with a NULL sentinel per field. State
+    # fingerprints are prefixed 's' so the delete sentinel 'd' can
+    # NEVER collide with any tracked state (exact disjointness, no
+    # reserved-character caveat). 'd' < 's...' also makes a delete
+    # sort before an upsert at the same effective timestamp — the
+    # deterministic resolution of that CDC ambiguity (close, then
+    # immediately re-open: a contiguous chain, not an empty version).
     fp = (
-        "concat_ws('\\u0001', "
+        "concat('s', concat_ws('\\u0001', "
         + ", ".join(
             f"coalesce(CAST(`{c}` AS STRING), '\\u0000')"
             for c in tracked_cols
         )
-        + ")"
+        + "))"
     )
+    if op_col is None:
+        feed_fp, feed_del = f"{fp} AS __fp", "false AS __del"
+    else:
+        esc = delete_op.replace("'", "''")
+        is_del = f"coalesce(CAST(`{op_col}` AS STRING) = '{esc}', false)"
+        feed_fp = f"CASE WHEN {is_del} THEN 'd' ELSE {fp} END AS __fp"
+        feed_del = f"{is_del} AS __del"
     query = f"""
     WITH hist AS (
       SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
              `{current_col}`
       FROM {{dim}} WHERE NOT `{current_col}`),
     cur AS (
-      SELECT `{key_col}`, {tracked}, `{from_col}` AS eff, 0 AS origin
+      SELECT `{key_col}`, {tracked}, `{from_col}` AS eff, 0 AS origin,
+             {fp} AS __fp, false AS __del
       FROM {{dim}} WHERE `{current_col}`),
     feed AS (
       SELECT `{key_col}`, {tracked}, `{effective_col}` AS eff,
-             1 AS origin
+             1 AS origin, {feed_fp}, {feed_del}
       FROM {{changes}}
       WHERE `{key_col}` IS NOT NULL AND `{effective_col}` IS NOT NULL),
     seq AS (
-      SELECT *, {fp} AS __fp,
-        LAG({fp}) OVER (PARTITION BY `{key_col}`
-                        ORDER BY eff, origin, {fp}) AS __prev_fp
+      SELECT *,
+        LAG(__fp) OVER (PARTITION BY `{key_col}`
+                        ORDER BY eff, origin, __fp) AS __prev_fp
       FROM (SELECT * FROM cur UNION ALL SELECT * FROM feed)),
     kept AS (
-      -- the incumbent always survives; a change survives only if it
-      -- alters the tracked state in effect just before it
+      -- the incumbent always survives; an upsert survives only if it
+      -- alters the tracked state in effect just before it (a 'd'
+      -- predecessor always differs: re-registration after a delete is
+      -- a real change even to identical values); a delete survives
+      -- only if something is actually open to close (a NULL or 'd'
+      -- predecessor means the entity is absent -> no-op)
       SELECT * FROM seq
-      WHERE origin = 0 OR __prev_fp IS NULL OR __fp != __prev_fp),
+      WHERE origin = 0
+         OR (CASE WHEN __del
+              THEN __prev_fp IS NOT NULL AND __prev_fp != 'd'
+              ELSE __prev_fp IS NULL OR __fp != __prev_fp END)),
     chained AS (
+      -- deletes participate as LEAD targets (closing their
+      -- predecessor at the delete timestamp) but emit no version row
       SELECT `{key_col}`, {tracked}, eff AS `{from_col}`,
         LEAD(eff) OVER (PARTITION BY `{key_col}`
-                        ORDER BY eff, origin, __fp) AS `{to_col}`
+                        ORDER BY eff, origin, __fp) AS `{to_col}`,
+        __del
       FROM kept)
     SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
            (`{to_col}` IS NULL) AS `{current_col}`
-    FROM chained
+    FROM chained WHERE NOT __del
     UNION ALL
     SELECT `{key_col}`, {tracked}, `{from_col}`, `{to_col}`,
            `{current_col}`
@@ -139,6 +185,7 @@ def scd2_lookup(
     dim_key_col: str,
     tracked_cols: list[str],
     from_col: str = "valid_from",
+    to_col: str = "valid_to",
     suffix: str = "_at",
 ) -> DataFrame:
     """Point-in-time dimension lookup — the leakage-safe feature join:
@@ -154,9 +201,17 @@ def scd2_lookup(
     ``valid_from``): the latest version with ``valid_from <= ts``
     therefore always covers ``ts``. Facts before a key's first version
     (or with unknown keys) get NULL attributes — left-join semantics.
+    Fully-CLOSED chains (soft-deleted entities — legal per
+    :func:`scd2_validate`'s ``no_open`` convention, produced by
+    :func:`scd2_apply` tombstones) are end-bounded too: a fact
+    timestamped at or after the final ``valid_to`` attaches NULLs, not
+    the last version's stale attributes — "the version in effect at
+    ts" when nothing is in effect is nothing. Uncovered gaps between a
+    delete and a re-registration behave the same way.
 
     Output: every fact column plus ``<tracked><suffix>`` and
-    ``<fact_ts_col><suffix>`` (the matched version's start).
+    ``<fact_ts_col><suffix>`` (the matched version's start; NULL when
+    no version covers the fact).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -166,23 +221,39 @@ def scd2_lookup(
     )
 
     ensure_safe_columns(
-        [fact_key_col, fact_ts_col, dim_key_col, from_col]
+        [fact_key_col, fact_ts_col, dim_key_col, from_col, to_col]
         + list(tracked_cols)
     )
+    vt = "__scd_vt"
     versions = dim.select(
         F.col(dim_key_col).alias(fact_key_col),
         F.col(from_col).alias(fact_ts_col),
+        F.col(to_col).alias(vt),
         *[F.col(c) for c in tracked_cols],
     )
-    return asof_join(
+    joined = asof_join(
         facts,
         versions,
         ts_col=fact_ts_col,
         by=fact_key_col,
-        value_cols=list(tracked_cols),
+        value_cols=[vt, *tracked_cols],
         direction="backward",
         suffix=suffix,
     )
+    # end-bound: contiguity makes every NON-final version's valid_to
+    # equal its successor's valid_from, so the matched version can only
+    # "expire" before the fact when it is a chain's LAST version (or
+    # precedes an uncovered gap) — exactly the deleted-entity cases
+    covered = F.col(f"{vt}{suffix}").isNull() | (
+        F.col(fact_ts_col) < F.col(f"{vt}{suffix}")
+    )
+    out = joined
+    for c in [*tracked_cols, fact_ts_col]:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(covered, F.col(f"{c}{suffix}")),
+        )
+    return out.drop(f"{vt}{suffix}")
 
 
 def scd2_validate(

@@ -2089,7 +2089,11 @@ def ohlc_downsample(
     NULL timestamps/keys are dropped (no bucket to land in); NULL
     values participate in ``n_events`` but not in open/close (windows
     order by time, not value, so a NULL value can legitimately be the
-    open — that is faithful to "first observation").
+    open — that is faithful to "first observation"). ``n_values``
+    counts NON-NULL values — it is the mean's true denominator and the
+    weight :func:`ohlc_rollup` must use (weighting by ``n_events``
+    would bias the cascade whenever NULL values exist, because
+    ``mean × n_events ≠ sum(v)`` then).
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
@@ -2116,6 +2120,7 @@ def ohlc_downsample(
       MIN(v) AS low,
       MAX(CASE WHEN rd = 1 THEN v END) AS close,
       CAST(COUNT(1) AS BIGINT) AS n_events,
+      CAST(COUNT(v) AS BIGINT) AS n_values,
       AVG(v) AS mean
     FROM rn GROUP BY k, b"""
     return df.sparkSession.sql(query, src=df)
@@ -2214,9 +2219,13 @@ def ohlc_rollup(
     store runs. OHLC cells are themselves mergeable: the coarser open
     is the open of the earliest fine bucket, close the close of the
     latest, high/low the extremes, count the sum, mean the
-    count-weighted mean. Input is :func:`ohlc_downsample` output (or a
-    previous rollup); ``bucket_start`` strings parse back with
-    ``to_timestamp`` so panels stay engine-portable at rest."""
+    ``n_values``-weighted mean (NON-NULL value counts — weighting by
+    ``n_events`` would bias cells containing NULL values, since the
+    fine mean averages non-NULLs only; an all-NULL coarse cell yields a
+    NULL mean). Input is :func:`ohlc_downsample` output (or a previous
+    rollup — ``n_values`` passes through, so cascades compose);
+    ``bucket_start`` strings parse back with ``to_timestamp`` so panels
+    stay engine-portable at rest."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
@@ -2228,11 +2237,11 @@ def ohlc_rollup(
     WITH src AS (
       SELECT `{key_col}` AS k,
         to_timestamp(bucket_start, 'yyyy-MM-dd HH:mm:ss') AS fb,
-        open, high, low, close, n_events, mean
+        open, high, low, close, n_events, n_values, mean
       FROM {{src}}),
     rn AS (
       SELECT k, date_trunc('{to_bucket}', fb) AS b, open, high, low,
-        close, n_events, mean,
+        close, n_events, n_values, mean,
         ROW_NUMBER() OVER (PARTITION BY k, date_trunc('{to_bucket}', fb)
                            ORDER BY fb) AS ra,
         ROW_NUMBER() OVER (PARTITION BY k, date_trunc('{to_bucket}', fb)
@@ -2240,8 +2249,11 @@ def ohlc_rollup(
         -- the weighted-mean numerator accumulates through an ORDERED
         -- running sum (not a bare SUM): float addition is not
         -- associative, and only a pinned order makes the rollup
-        -- bit-reproducible across runs and engines
-        SUM(mean * n_events) OVER (
+        -- bit-reproducible across runs and engines. The weight is
+        -- n_values (the fine mean's true denominator): mean*n_values
+        -- = sum of that cell's non-NULL values exactly; an all-NULL
+        -- cell contributes NULL*0, which the running SUM skips
+        SUM(mean * n_values) OVER (
           PARTITION BY k, date_trunc('{to_bucket}', fb) ORDER BY fb
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwm
       FROM src)
@@ -2252,8 +2264,10 @@ def ohlc_rollup(
       MIN(low) AS low,
       MAX(CASE WHEN rd = 1 THEN close END) AS close,
       CAST(SUM(n_events) AS BIGINT) AS n_events,
-      MAX(CASE WHEN rd = 1 THEN cwm END)
-        / CAST(SUM(n_events) AS DOUBLE) AS mean
+      CAST(SUM(n_values) AS BIGINT) AS n_values,
+      CASE WHEN SUM(n_values) = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE MAX(CASE WHEN rd = 1 THEN cwm END)
+                / CAST(SUM(n_values) AS DOUBLE) END AS mean
     FROM rn GROUP BY k, b"""
     return panel.sparkSession.sql(query, src=panel)
 

@@ -117,3 +117,80 @@ def test_pagerank_all_dangling_uniform(spark):
     want = _reference_pagerank(rows, n_iter=8)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def _components(spark, rows, schema="src string, dst string", **kw):
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_components,
+    )
+
+    return graph_components(spark.createDataFrame(rows, schema), **kw)
+
+
+def test_components_string_ids_two_blobs(spark):
+    # two components incl. a 4-hop chain (pointer jumping must span it)
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),   # chain
+        ("x", "y"), ("y", "x"),                            # mutual pair
+    ]
+    out = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in _components(spark, rows).collect()
+    }
+    assert {k: v for k, v in out.items() if k in "abcde"} == {
+        c: ("a", 5) for c in "abcde"
+    }
+    assert out["x"] == ("x", 2) and out["y"] == ("x", 2)
+
+
+def test_components_integral_ids_direct_path(spark):
+    rows = [(1, 2), (2, 3), (10, 11), (20, 20)]  # chain, pair, self-loop
+    out = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in _components(spark, rows, "src long, dst long").collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 1),
+    }
+
+
+def test_components_null_edges_dropped_parallel_harmless(spark):
+    rows = [("a", "b"), ("a", "b"), ("b", "a"), (None, "z"), ("q", None)]
+    out = {r["node"] for r in _components(spark, rows).collect()}
+    assert out == {"a", "b"}  # z/q only appeared on NULL edges
+
+
+def test_components_match_semantic_oracle_on_order_chains(spark, sf_dir):
+    # the entry-query construction: per-customer order chains — the
+    # component of any chained order is its customer's order set
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_components,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.select(
+            "o_orderkey", F.lag("o_orderkey").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .selectExpr("prev AS src", "o_orderkey AS dst")
+    )
+    got = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in graph_components(edges).collect()
+    }
+    expect = {}
+    for r in orders.groupBy("o_custkey").agg(
+        F.collect_list("o_orderkey").alias("ks")
+    ).collect():
+        ks = sorted(r["ks"])
+        if len(ks) >= 2:
+            for k in ks:
+                expect[k] = (ks[0], len(ks))
+    assert got == expect

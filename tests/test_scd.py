@@ -276,3 +276,142 @@ def test_scd2_validate_clean_after_apply(spark):
         for r in scd2_validate(_apply(dim, feed), "k").collect()
     }
     assert all(v == 0 for v in out.values()), out
+
+
+def _changes_op(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, effective_ts timestamp, op string"
+    )
+
+
+def _apply_op(dim, changes):
+    return scd2_apply(dim, changes, "k", ["seg"], op_col="op")
+
+
+def test_scd2_tombstone_closes_chain(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    out = _apply_op(dim, _changes_op(spark, [(1, None, T2, "delete")])).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["seg"], row["valid_to"], row["is_current"]) == ("A", T2, False)
+
+
+def test_scd2_tombstone_noops(spark):
+    # delete of an unknown key, a consecutive second delete, and a
+    # delete preceding the key's first change are all no-ops
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    changes = _changes_op(
+        spark,
+        [
+            (9, None, T2, "delete"),            # unknown key
+            (1, None, T2, "delete"),            # real close
+            (1, None, T3, "delete"),            # already deleted
+            (7, None, T1, "delete"),            # precedes first change
+            (7, "N", T2, "upsert"),             # fresh chain
+        ],
+    )
+    out = _apply_op(dim, changes).collect()
+    assert not [r for r in out if r["k"] == 9]
+    k1 = [r for r in out if r["k"] == 1]
+    assert len(k1) == 1 and k1[0]["valid_to"] == T2
+    k7 = [r for r in out if r["k"] == 7]
+    assert len(k7) == 1
+    assert (k7[0]["valid_from"], k7[0]["is_current"]) == (T2, True)
+
+
+def test_scd2_delete_then_upsert_reopens_even_identical(spark):
+    # re-registration: the post-delete upsert re-opens a chain even
+    # with tracked values identical to the pre-delete state, and the
+    # absence interval [T2, T3) stays uncovered
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    changes = _changes_op(
+        spark, [(1, None, T2, "delete"), (1, "A", T3, "upsert")]
+    )
+    out = sorted(
+        _apply_op(dim, changes).collect(), key=lambda r: r["valid_from"]
+    )
+    assert [(r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out] == [("A", T1, T2, False), ("A", T3, None, True)]
+
+
+def test_scd2_delete_only_feed_reapply_idempotent(spark):
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    feed = _changes_op(spark, [(1, None, T2, "delete")])
+    once = _apply_op(dim, feed)
+    twice = _apply_op(once, feed)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_scd2_same_ts_delete_sorts_before_upsert(spark):
+    # delete + upsert at one effective timestamp: the delete closes
+    # first, the upsert immediately re-opens -> contiguous chain, no
+    # empty version, deterministic
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    changes = _changes_op(
+        spark, [(1, "B", T2, "upsert"), (1, None, T2, "delete")]
+    )
+    out = sorted(
+        _apply_op(dim, changes).collect(), key=lambda r: r["valid_from"]
+    )
+    assert [(r["seg"], r["valid_from"], r["valid_to"]) for r in out] == [
+        ("A", T1, T2), ("B", T2, None),
+    ]
+
+
+def test_scd2_validate_reports_tombstone_shapes(spark):
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_validate
+
+    dim = _dim(spark, [(1, "A", T1, None, True), (2, "B", T1, None, True)])
+    changes = _changes_op(
+        spark,
+        [
+            (1, None, T2, "delete"),            # closed chain -> no_open
+            (2, None, T2, "delete"),
+            (2, "B", T3, "upsert"),             # reopen -> gap
+        ],
+    )
+    out = {
+        r["check"]: r["n_violations"]
+        for r in scd2_validate(_apply_op(dim, changes), "k").collect()
+    }
+    assert out["no_open"] == 1          # key 1 (soft-deleted, legal)
+    assert out["gap"] == 1              # key 2's absence interval
+    assert out["multiple_open"] == 0
+    assert out["overlap"] == 0 and out["inverted"] == 0
+    assert out["open_not_null_to"] == 0
+
+
+def test_scd2_lookup_end_bounded_on_closed_chain(spark):
+    # facts at/after a fully-closed chain's final valid_to (and inside
+    # a delete->reopen gap) attach NULLs, not the stale last version
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_lookup
+
+    dim = _dim(
+        spark,
+        [
+            (1, "A", T1, T2, False),             # closed chain: deleted
+            (2, "X", T1, T2, False),             # gap [T2, T3) then reopen
+            (2, "Y", T3, None, True),
+        ],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, datetime(2024, 1, 15)),     # during A
+            (101, 1, T2),                        # AT the close: gone
+            (102, 1, datetime(2024, 6, 1)),      # long after: gone
+            (103, 2, datetime(2024, 2, 15)),     # inside the gap
+            (104, 2, datetime(2024, 6, 1)),      # during open Y
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = {
+        r["fid"]: r
+        for r in scd2_lookup(facts, dim, "k", "ts", "k", ["seg"]).collect()
+    }
+    assert out[100]["seg_at"] == "A" and out[100]["ts_at"] == T1
+    assert out[101]["seg_at"] is None and out[101]["ts_at"] is None
+    assert out[102]["seg_at"] is None
+    assert out[103]["seg_at"] is None    # absence interval
+    assert out[104]["seg_at"] == "Y"

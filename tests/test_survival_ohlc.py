@@ -191,12 +191,20 @@ def test_survival_state_merge_equals_recompute(spark, sf_dir):
 def test_ohlc_rollup_matches_direct_day_pass(spark, sf_dir):
     # hour -> day cascade must agree with a direct day-level pass on
     # everything order-exact (open/high/low/close/n); the weighted mean
-    # agrees to float tolerance
+    # agrees to float tolerance — INCLUDING under NULL values (every
+    # 7th event's value nulled): the rollup mean weights by n_values
+    # (non-null count), so mean*weight reproduces each fine cell's true
+    # value sum; weighting by n_events would diverge here
+    from pyspark.sql import functions as F
+
     from pyspark_data_drift_detector_spark.operators.temporal import (
         ohlc_rollup,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")),
+    )
     rolled = {
         (r["event_type"], r["bucket_start"]): r
         for r in ohlc_rollup(
@@ -214,7 +222,34 @@ def test_ohlc_rollup_matches_direct_day_pass(spark, sf_dir):
             d["open"], d["high"], d["low"], d["close"],
         )
         assert r["n_events"] == d["n_events"]
-        assert r["mean"] == pytest.approx(d["mean"], rel=1e-9)
+        assert r["n_values"] == d["n_values"]
+        if d["mean"] is None:
+            assert r["mean"] is None
+        else:
+            assert r["mean"] == pytest.approx(d["mean"], rel=1e-9)
+
+
+def test_ohlc_rollup_all_null_cell_yields_null_mean(spark):
+    from datetime import datetime
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        ohlc_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 5), "a", None),
+            (2, datetime(2024, 1, 1, 1, 5), "a", None),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = ohlc_rollup(
+        ohlc_downsample(df, bucket="hour"), to_bucket="day"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_events"] == 2 and row["n_values"] == 0
+    assert row["mean"] is None and row["high"] is None
 
 
 def test_ohlc_rollup_rejects_bad_bucket(spark):
