@@ -10307,8 +10307,10 @@ def _oracle_queries() -> dict[str, str]:
         "wav_formats": _wav_formats_sql(),
         "mjpeg_decode": _mjpeg_decode_sql(),
         "record_linkage": _record_linkage_sql(),
+        "linkage_tokens": _linkage_tokens_sql(),
         "linkage_incremental": _linkage_incremental_sql(),
         "survival_curve": _survival_curve_sql(),
+        "survival_grouped": _survival_grouped_sql(),
         "ohlc_downsample": _ohlc_downsample_sql(),
         "audio_segments": _audio_segments_sql(),
         "survival_incremental": _survival_incremental_sql(),
@@ -12594,6 +12596,132 @@ def _record_linkage_sql(
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON pr.id = b.pid"""
 
 
+def q_linkage_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-reorder record linkage (operators.linkage.record_linkage
+    with token_block=True): master names are '<custkey> <segment>'
+    two-token identities; the probe feed reorders them ('<segment>
+    <custkey>', custkey%3=0) or reorders AND typos the segment
+    (custkey%3=1 — one substitution at segment char 5, always outside
+    the 6-char sorted-form prefix because the leading number token is
+    at least 1 char), leaves case/whitespace noise only (else), and
+    injects an unlinkable 'Unreg' identity every 11th key. Reorders
+    defeat both the prefix and suffix passes AND plain Levenshtein;
+    the sorted-token third pass recovers them at distance 0 (pure
+    reorder) or 1 (reorder+typo)."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        record_linkage,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    master = cust.selectExpr(
+        "c_custkey AS id",
+        "concat(CAST(c_custkey AS STRING), ' ', c_mktsegment) AS name",
+    )
+    probe = cust.selectExpr(
+        "c_custkey + 3000000 AS id",
+        "CASE WHEN c_custkey % 11 = 0"
+        " THEN concat('Unreg ', CAST(c_custkey * 7 AS STRING))"
+        " WHEN c_custkey % 3 = 0"
+        " THEN concat(c_mktsegment, ' ', CAST(c_custkey AS STRING))"
+        " WHEN c_custkey % 3 = 1"
+        " THEN concat(substring(c_mktsegment, 1, 4), 'x',"
+        "             substring(c_mktsegment, 6), ' ',"
+        "             CAST(c_custkey AS STRING))"
+        " ELSE concat(upper(CAST(c_custkey AS STRING)), ' ',"
+        "             lower(c_mktsegment), '  ') END AS name",
+    )
+    return record_linkage(
+        probe, master, prefix_len=6, suffix_len=6, band_width=8,
+        max_distance=2, compare_len=32, token_block=True,
+    )
+
+
+def _linkage_tokens_sql(
+    dist: int = 2, pre: int = 6, suf: int = 6, bw: int = 8,
+    cmp_len: int = 32,
+) -> str:
+    return f"""
+    WITH master AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey AS VARCHAR) || ' ' || c_mktsegment AS name
+      FROM customer),
+    probe AS (
+      SELECT c_custkey + 3000000 AS id,
+        CASE WHEN c_custkey % 11 = 0
+             THEN 'Unreg ' || CAST(c_custkey * 7 AS VARCHAR)
+             WHEN c_custkey % 3 = 0
+             THEN c_mktsegment || ' ' || CAST(c_custkey AS VARCHAR)
+             WHEN c_custkey % 3 = 1
+             THEN substring(c_mktsegment, 1, 4) || 'x' ||
+                  substring(c_mktsegment, 6) || ' ' ||
+                  CAST(c_custkey AS VARCHAR)
+             ELSE upper(CAST(c_custkey AS VARCHAR)) || ' ' ||
+                  lower(c_mktsegment) || '  ' END AS name
+      FROM customer),
+    mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM master),
+    pn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM probe),
+    mt AS (SELECT id, nrm,
+             array_to_string(list_sort(string_split(nrm, ' ')), ' ')
+               AS srt FROM mn),
+    pt AS (SELECT id, nrm,
+             array_to_string(list_sort(string_split(nrm, ' ')), ' ')
+               AS srt FROM pn),
+    mk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb,
+        substring(srt, 1, {cmp_len}) AS tprb, length(nrm) AS len,
+        UNNEST(['p#' || substring(nrm, 1, {pre}) || '#' ||
+                  CAST(CAST(FLOOR(length(nrm) / {bw}.0) AS BIGINT)
+                       AS VARCHAR),
+                's#' || right(nrm, {suf}),
+                't#' || substring(srt, 1, {pre}) || '#' ||
+                  CAST(CAST(FLOOR(length(nrm) / {bw}.0) AS BIGINT)
+                       AS VARCHAR)]) AS blk
+      FROM mt WHERE length(nrm) > 0),
+    pk AS (
+      SELECT id, substring(nrm, 1, {cmp_len}) AS prb,
+        substring(srt, 1, {cmp_len}) AS tprb, length(nrm) AS len,
+        UNNEST(list_concat(
+          list_append(
+            list_transform(
+              generate_series(
+                CAST(FLOOR((length(nrm) - {dist}) / {bw}.0) AS BIGINT),
+                CAST(FLOOR((length(nrm) + {dist}) / {bw}.0) AS BIGINT)),
+              b -> 'p#' || substring(nrm, 1, {pre}) || '#' ||
+                   CAST(b AS VARCHAR)),
+            's#' || right(nrm, {suf})),
+          list_transform(
+            generate_series(
+              CAST(FLOOR((length(nrm) - {dist}) / {bw}.0) AS BIGINT),
+              CAST(FLOOR((length(nrm) + {dist}) / {bw}.0) AS BIGINT)),
+            b -> 't#' || substring(srt, 1, {pre}) || '#' ||
+                 CAST(b AS VARCHAR)))) AS blk
+      FROM pt WHERE length(nrm) > 0),
+    cand AS (
+      SELECT DISTINCT p.id AS pid, m.id AS mid, p.prb AS pp, m.prb AS mp,
+                      p.tprb AS ptp, m.tprb AS mtp,
+                      p.len AS pl, m.len AS ml
+      FROM pk p JOIN mk m ON m.blk = p.blk),
+    ver AS (
+      SELECT pid, mid,
+        LEAST(levenshtein(pp, mp), levenshtein(ptp, mtp)) AS distance
+      FROM cand
+      WHERE ABS(pl - ml) <= {dist}
+        AND LEAST(levenshtein(pp, mp), levenshtein(ptp, mtp)) <= {dist}),
+    best AS (
+      SELECT pid, mid, distance,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY distance, mid) AS rn,
+        COUNT(*) OVER (PARTITION BY pid) AS ncand
+      FROM ver)
+    SELECT pr.id AS probe_id, b.mid AS master_id,
+      CAST(b.distance AS BIGINT) AS distance,
+      CAST(COALESCE(b.ncand, 0) AS BIGINT) AS n_candidates,
+      (b.mid IS NOT NULL) AS matched
+    FROM (SELECT id FROM pn WHERE length(nrm) > 0) pr
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON pr.id = b.pid"""
+
+
 def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution member of the vet-the-increment family
     (operators.linkage.record_linkage_incremental): today's
@@ -12765,6 +12893,71 @@ def _survival_curve_sql(censor_days: int = 2) -> str:
                     THEN CAST('-Infinity' AS DOUBLE)
                     ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
             OVER (ORDER BY duration_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            {ROUND}) AS survival
+    FROM r"""
+
+
+def q_survival_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort Kaplan-Meier (operators.temporal.survival_curve with
+    group_col): users cohorted by their FIRST event's type (ties by
+    min type — deterministic), one product-limit curve per cohort
+    under a GLOBAL observation window. The oracle resolves the
+    first-event cohort with a row_number window (an independent
+    formulation of the operator's min-struct aggregate)."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_curve,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round_cols(
+        survival_curve(ev, censor_days=2, group_col="event_type"),
+        ["survival"],
+    )
+
+
+def _survival_grouped_sql(censor_days: int = 2) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+             event_type AS g
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    rk AS (
+      SELECT u, g,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY e, g) AS r
+      FROM ev),
+    fg AS (SELECT u, g FROM rk WHERE r = 1),
+    users AS (SELECT u, MIN(e) AS e0, MAX(e) AS e1 FROM ev GROUP BY u),
+    b AS (SELECT MAX(e1) AS obs_end FROM users),
+    lt AS (
+      SELECT fg.g,
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN (u.e1 - u.e0) // 86400
+             ELSE (b.obs_end - u.e0) // 86400 END AS duration_days,
+        CASE WHEN u.e1 < b.obs_end - {censor_days} * 86400
+             THEN 1 ELSE 0 END AS churned
+      FROM users u JOIN fg ON fg.u = u.u CROSS JOIN b),
+    bd AS (
+      SELECT g, duration_days,
+        CAST(SUM(churned) AS BIGINT) AS n_churned,
+        CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
+        COUNT(*) AS n_total
+      FROM lt GROUP BY 1, 2),
+    r AS (
+      SELECT g, duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER (PARTITION BY g ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS at_risk
+      FROM bd)
+    SELECT g AS event_type,
+      CAST(duration_days AS BIGINT) AS duration_days, at_risk,
+      n_churned, n_censored,
+      ROUND(exp(SUM(CASE WHEN n_churned >= at_risk
+                    THEN CAST('-Infinity' AS DOUBLE)
+                    ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
+            OVER (PARTITION BY g ORDER BY duration_days
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
             {ROUND}) AS survival
     FROM r"""
@@ -13710,6 +13903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_gaps": q_bucket_gaps,
         "scd2_validate": q_scd2_validate,
         "graph_components": q_graph_components,
+        "survival_grouped": q_survival_grouped,
+        "linkage_tokens": q_linkage_tokens,
         # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
         #     50-slot window, the rest re-gate next round) ---
         "adaptive_thresholds": q_adaptive_thresholds,

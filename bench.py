@@ -218,6 +218,15 @@ def main() -> None:
     # 3-rep minimums into BENCH_FLOORS.json): timing/floor per floored
     # query lets the judge separate bench-host jitter (high ratio, floor
     # unchanged, no code diff) from real regressions mechanically.
+    # Floors are RE-READ here (not reused from the jitter pass): a
+    # bench_floors run that pinned new queries' floors while the suite
+    # was executing would otherwise leave those queries without a ratio
+    # in the committed artifact (VERDICT r13 "what's wrong" #2 — the
+    # round workflow also pins floors for new queries BEFORE the suite
+    # bench, so first-run artifacts carry ratios either way).
+    if os.path.exists(floors_path):
+        with open(floors_path) as fh:
+            floors = json.load(fh)
     if floors:
         full["floor_ratios"] = {
             name: round(timings[name] / rec["floor"], 2)

@@ -64,6 +64,7 @@ def linkage_keyed(
     band_width: int = 8,
     compare_len: int = 64,
     band_slack: int = 0,
+    token_block: bool = False,
 ) -> DataFrame:
     """Two-pass keyed projection: per record, one row per blocking key —
     the pass-tagged prefix key(s) (``p#<prefix>#<band>``) and the
@@ -82,7 +83,17 @@ def linkage_keyed(
 
     Empty/whitespace-only texts are dropped here — they all share one
     block at distance 0 (the O(n²) blank-rows blowup) and a blank
-    probe has no linkable identity."""
+    probe has no linkable identity.
+
+    ``token_block`` enables the THIRD pass: a banded prefix key over
+    the SORTED-TOKEN normalized form (``t#<prefix>#<band>``) plus a
+    carried ``tprobe`` comparison window of that form. Token reorders
+    ("ACME Corp" vs "Corp ACME") defeat both the prefix and the suffix
+    pass AND the plain Levenshtein verify; the sorted form is
+    order-invariant, so reordered twins share a ``t#`` key and verify
+    at the sorted-form edit distance (0 for a pure reorder — token
+    sorting preserves total length, so the length band and prefilter
+    apply unchanged)."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
@@ -102,22 +113,43 @@ def linkage_keyed(
         "#", F.lit("s"),
         F.expr(f"right({_norm_sql_col(text_col)}, {suffix_len})"),
     )
-    keyed = df.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.substring(norm, 1, compare_len).alias("probe"),
         F.length(norm).alias("len"),
-        F.concat(pkeys, F.array(skey)).alias("__blocks"),
-    ).filter(F.col("len") > 0)
+    ]
+    blocks = F.concat(pkeys, F.array(skey))
+    if token_block:
+        sorted_norm = F.array_join(F.sort_array(F.split(norm, " ")), " ")
+        tprefix = F.substring(sorted_norm, 1, prefix_len)
+        tkeys = F.transform(
+            F.sequence(lo, hi),
+            lambda b: F.concat_ws(
+                "#", F.lit("t"), tprefix, b.cast("string")
+            ),
+        )
+        cols.append(F.substring(sorted_norm, 1, compare_len).alias("tprobe"))
+        blocks = F.concat(blocks, tkeys)
+    keyed = df.select(*cols, blocks.alias("__blocks")).filter(
+        F.col("len") > 0
+    )
+    out_cols = ["id", "probe", "len"] + (["tprobe"] if token_block else [])
     return keyed.select(
-        "id", "probe", "len", F.explode("__blocks").alias("block")
+        *out_cols, F.explode("__blocks").alias("block")
     )
 
 
 def _norm_sql_col(text_col: str) -> str:
     """SQL-string twin of :func:`_normalized` (for expressions like
-    ``right()`` that the Column API lacks)."""
+    ``right()`` that the Column API lacks). The identifier is
+    backtick-quoted (the scd/temporal SQL-builder convention):
+    ``ensure_safe_columns`` rejects quote-context escapes, but a LEGAL
+    name with spaces, hyphens or dots would otherwise misparse as
+    arithmetic or resolve to the wrong column."""
+    from pyspark_data_drift_detector_spark.functions.quoting import qi
+
     return (
-        f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+        f"regexp_replace(lower(trim({qi(text_col)})), '\\\\s+', ' ')"
     )
 
 
@@ -129,22 +161,30 @@ def linkage_state(
     suffix_len: int = 6,
     band_width: int = 8,
     compare_len: int = 64,
+    token_block: bool = False,
 ) -> DataFrame:
     """Compact master-side state: ``(master_id, block, probe, mlen)``,
-    two rows per master record (one per blocking pass). Append per
-    master refresh; :func:`record_linkage_against_state` probes it
-    without ever re-reading the master table. The blocking parameters
-    are part of the state contract (every append and every probe must
-    share one configuration), same rule as ``fuzzy_state``."""
-    return linkage_keyed(
+    two rows per master record (one per blocking pass; three with
+    ``token_block``, which also adds the ``mtprobe`` sorted-form
+    window). Append per master refresh;
+    :func:`record_linkage_against_state` probes it without ever
+    re-reading the master table. The blocking parameters — including
+    ``token_block`` — are part of the state contract (every append and
+    every probe must share one configuration), same rule as
+    ``fuzzy_state``."""
+    keyed = linkage_keyed(
         master, text_col, id_col, prefix_len, suffix_len, band_width,
-        compare_len,
-    ).select(
+        compare_len, token_block=token_block,
+    )
+    cols = [
         F.col("id").alias("master_id"),
         "block",
         F.col("probe").alias("mprobe"),
         F.col("len").alias("mlen"),
-    )
+    ]
+    if token_block:
+        cols.append(F.col("tprobe").alias("mtprobe"))
+    return keyed.select(*cols)
 
 
 def record_linkage_against_state(
@@ -158,6 +198,7 @@ def record_linkage_against_state(
     max_distance: int = 2,
     compare_len: int = 64,
     max_block_pairs: int | None = None,
+    token_block: bool = False,
 ) -> DataFrame:
     """Link every probe record to its best master match via the
     pre-keyed ``state``. Returns ONE row per non-blank probe record::
@@ -174,14 +215,24 @@ def record_linkage_against_state(
     Duplicate ids would pool their candidates into one best-match row
     — dedupe the feed first if ids can repeat.
 
+    ``token_block`` (requires a state built with the same flag) adds
+    the sorted-token third pass and verifies at ``min(lev(probe,
+    mprobe), lev(sorted, msorted))`` — ONE distance domain, so the
+    deterministic ``min(struct(distance, master_id))`` winner rule is
+    unchanged: a pure token reorder scores 0 (exact), a reorder plus k
+    typos scores k. (A token-set Jaccard verify was considered and
+    rejected: it would introduce a second, incomparable score into the
+    ranking; the sorted-form edit distance subsumes the reorder case
+    inside the existing bounded-window machinery.)
+
     Shuffle inventory: block join (1), pair dedup across the two
     passes (2), best-match groupBy on probe_id (3) + the final
     probe-id equi-join. Each key is either the block key or an id —
     no full-text column ever crosses an exchange (only the capped
-    ``compare_len`` windows travel)."""
+    ``compare_len`` windows travel; two of them with ``token_block``)."""
     keyed = linkage_keyed(
         probe, text_col, id_col, prefix_len, suffix_len, band_width,
-        compare_len, band_slack=max_distance,
+        compare_len, band_slack=max_distance, token_block=token_block,
     )
     st = state
     if max_block_pairs is not None:
@@ -194,12 +245,15 @@ def record_linkage_against_state(
         )
         keyed = keyed.join(ok, "block", "left_semi")
         st = st.join(ok, "block", "left_semi")
+    dist = F.levenshtein("probe", "mprobe")
+    if token_block:
+        dist = F.least(dist, F.levenshtein("tprobe", "mtprobe"))
     candidates = (
         keyed.join(st, "block")
-        # a pair found by both passes must verify once, not twice
+        # a pair found by several passes must verify once, not twice
         .dropDuplicates(["id", "master_id"])
         .filter(F.abs(F.col("len") - F.col("mlen")) <= max_distance)
-        .withColumn("distance", F.levenshtein("probe", "mprobe"))
+        .withColumn("distance", dist)
         .filter(F.col("distance") <= max_distance)
     )
     best = candidates.groupBy("id").agg(
@@ -236,17 +290,20 @@ def record_linkage(
     max_distance: int = 2,
     compare_len: int = 64,
     max_block_pairs: int | None = None,
+    token_block: bool = False,
 ) -> DataFrame:
     """One-shot cross-table linkage: key the master in place and match
     the probe feed against it. See
-    :func:`record_linkage_against_state` for the output contract."""
+    :func:`record_linkage_against_state` for the output contract (and
+    for what ``token_block`` — the sorted-token reorder pass — adds)."""
     state = linkage_state(
         master, master_text, master_id, prefix_len, suffix_len,
-        band_width, compare_len,
+        band_width, compare_len, token_block=token_block,
     )
     return record_linkage_against_state(
         probe, state, probe_text, probe_id, prefix_len, suffix_len,
         band_width, max_distance, compare_len, max_block_pairs,
+        token_block=token_block,
     )
 
 

@@ -1981,6 +1981,7 @@ def survival_curve(
     user_col: str = "user_id",
     ts_col: str = "ts",
     censor_days: int = 7,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Kaplan-Meier survival curve for user lifetime ("time until
     churn") — the product-limit estimator the retention matrix cannot
@@ -2011,19 +2012,46 @@ def survival_curve(
     (documented O(panel) unpartitioned windows, the house convention
     for ≤ thousands of rows). NULL users/timestamps are dropped up
     front — a NULL identity has no lifetime.
+
+    ``group_col`` draws PER-COHORT curves (acquisition channel,
+    platform — how survival is actually consumed): each user is
+    assigned the group value of their FIRST event (ties broken by the
+    minimum group value, so the assignment is deterministic — computed
+    as a ``min(struct(epoch, group))`` inside the SAME per-user
+    aggregate, no extra exchange), the observation end stays GLOBAL
+    (one study window, the standard convention), and the risk set,
+    churn counts and product-limit run PER GROUP (the panel windows
+    partition by group, so they stay O(days) per cohort). Events with
+    a NULL group are dropped up front like NULL users/timestamps.
+    Output gains the ``group_col`` column, one curve per cohort.
     """
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
 
-    ensure_safe_columns([user_col, ts_col])
+    ensure_safe_columns(
+        [user_col, ts_col] + ([group_col] if group_col is not None else [])
+    )
+    if group_col is None:
+        g_ev = g_life = g_day = g_part = g_out = ""
+        g_filter = ""
+        users_g = ""
+    else:
+        g_ev = f", `{group_col}` AS g"
+        g_filter = f" AND `{group_col}` IS NOT NULL"
+        users_g = ", MIN(named_struct('e', e, 'g', g)) AS mg"
+        g_life = ", u.mg.g AS g"
+        g_day = "g,"
+        g_part = "PARTITION BY g "
+        g_out = f"g AS `{group_col}`,"
     query = f"""
     WITH ev AS (
-      SELECT `{user_col}` AS u, unix_timestamp(`{ts_col}`) AS e
+      SELECT `{user_col}` AS u, unix_timestamp(`{ts_col}`) AS e{g_ev}
       FROM {{src}}
-      WHERE `{user_col}` IS NOT NULL AND `{ts_col}` IS NOT NULL),
+      WHERE `{user_col}` IS NOT NULL AND `{ts_col}` IS NOT NULL{g_filter}),
     users AS (
-      SELECT u, MIN(e) AS e0, MAX(e) AS e1 FROM ev GROUP BY u),
+      SELECT u, MIN(e) AS e0, MAX(e) AS e1{users_g}
+      FROM ev GROUP BY u),
     bounds AS (SELECT MAX(e1) AS obs_end FROM users),
     lifetimes AS (
       SELECT
@@ -2032,21 +2060,21 @@ def survival_curve(
              ELSE CAST((b.obs_end - u.e0) div 86400 AS BIGINT) END
           AS duration_days,
         CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
-             THEN 1 ELSE 0 END AS churned
+             THEN 1 ELSE 0 END AS churned{g_life}
       FROM users u CROSS JOIN bounds b),
     by_day AS (
-      SELECT duration_days,
+      SELECT {g_day}duration_days,
         CAST(SUM(churned) AS BIGINT) AS n_churned,
         CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
         CAST(COUNT(1) AS BIGINT) AS n_total
-      FROM lifetimes GROUP BY duration_days),
+      FROM lifetimes GROUP BY {g_day}duration_days),
     risk AS (
-      SELECT duration_days, n_churned, n_censored,
-        CAST(SUM(n_total) OVER (ORDER BY duration_days
+      SELECT {g_day}duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER ({g_part}ORDER BY duration_days
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              AS BIGINT) AS at_risk
       FROM by_day)
-    SELECT duration_days, at_risk, n_churned, n_censored,
+    SELECT {g_out}duration_days, at_risk, n_churned, n_censored,
       -- terminal-churn guard: when the whole remaining risk set churns
       -- at one duration, the factor is 0 and Spark's ln(0) is NULL (a
       -- windowed SUM would SKIP it, silently reporting the previous
@@ -2055,7 +2083,7 @@ def survival_curve(
       exp(SUM(CASE WHEN n_churned >= at_risk
                    THEN CAST('-Infinity' AS DOUBLE)
                    ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
-          OVER (ORDER BY duration_days
+          OVER ({g_part}ORDER BY duration_days
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         AS survival
     FROM risk"""
@@ -2130,6 +2158,7 @@ def survival_state(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Mergeable state for incremental survival analysis: per user, the
     first/last activity epochs (``u, e0, e1``). min/max are additive —
@@ -2137,43 +2166,87 @@ def survival_state(
     shards) through :func:`merge_survival_states` reproduces exactly
     the state of one pass over the union, so the KM curve can be
     re-drawn nightly from O(users) rows without ever re-reading the
-    event corpus."""
+    event corpus.
+
+    With ``group_col`` the state also carries ``g`` — the group value
+    at the user's first event (ties by min group). ``(e0, g)`` is a
+    lexicographic-min semilattice: each batch's ``g`` is the min-group
+    at that batch's min-epoch, so merging the pairs lexicographically
+    reproduces exactly the single-pass assignment — grouped state
+    stays additive."""
     from pyspark_data_drift_detector_spark.functions.quoting import (
         ensure_safe_columns,
     )
 
-    ensure_safe_columns([user_col, ts_col])
-    return (
-        df.filter(
-            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-        )
-        .groupBy(F.col(user_col).alias("u"))
-        .agg(
+    ensure_safe_columns(
+        [user_col, ts_col] + ([group_col] if group_col is not None else [])
+    )
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    if group_col is None:
+        return base.groupBy(F.col(user_col).alias("u")).agg(
             F.min(F.unix_timestamp(ts_col)).alias("e0"),
             F.max(F.unix_timestamp(ts_col)).alias("e1"),
         )
+    first = F.min(
+        F.struct(
+            F.unix_timestamp(ts_col).alias("e"),
+            F.col(group_col).alias("g"),
+        )
+    )
+    return (
+        base.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            first.alias("m"),
+            F.max(F.unix_timestamp(ts_col)).alias("e1"),
+        )
+        .select("u", F.col("m.e").alias("e0"), F.col("m.g").alias("g"), "e1")
     )
 
 
 def merge_survival_states(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two survival states (same shape in, same shape out)."""
+    """Merge two survival states (same shape in, same shape out —
+    grouped states merge ``(e0, g)`` lexicographically, see
+    :func:`survival_state`)."""
+    u = a.unionByName(b)
+    if "g" not in u.columns:
+        return u.groupBy("u").agg(
+            F.min("e0").alias("e0"), F.max("e1").alias("e1")
+        )
     return (
-        a.unionByName(b)
-        .groupBy("u")
-        .agg(F.min("e0").alias("e0"), F.max("e1").alias("e1"))
+        u.groupBy("u")
+        .agg(
+            F.min(F.struct(F.col("e0").alias("e"), F.col("g").alias("g")))
+            .alias("m"),
+            F.max("e1").alias("e1"),
+        )
+        .select("u", F.col("m.e").alias("e0"), F.col("m.g").alias("g"), "e1")
     )
 
 
 def survival_from_state(
     state: DataFrame,
     censor_days: int = 7,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Kaplan-Meier table from a (merged) survival state — identical
     output contract to :func:`survival_curve`, pinned by the
     state-vs-batch parity test. The observation end is the state's max
-    ``e1`` (the merged view of "now")."""
+    ``e1`` (the merged view of "now"). Pass ``group_col`` (the output
+    column name) to draw per-cohort curves from a grouped state (one
+    that carries ``g``); the observation end stays global."""
+    if group_col is None:
+        g_sel = g_life = g_day = g_part = g_out = ""
+    else:
+        g_sel = ", g"
+        g_life = ", u.g AS g"
+        g_day = "g,"
+        g_part = "PARTITION BY g "
+        g_out = f"g AS `{group_col}`,"
     query = f"""
-    WITH users AS (SELECT u, e0, e1 FROM {{src}}),
+    WITH users AS (SELECT u, e0, e1{g_sel} FROM {{src}}),
     bounds AS (SELECT MAX(e1) AS obs_end FROM users),
     lifetimes AS (
       SELECT
@@ -2182,27 +2255,27 @@ def survival_from_state(
              ELSE CAST((b.obs_end - u.e0) div 86400 AS BIGINT) END
           AS duration_days,
         CASE WHEN u.e1 < b.obs_end - {int(censor_days)} * 86400
-             THEN 1 ELSE 0 END AS churned
+             THEN 1 ELSE 0 END AS churned{g_life}
       FROM users u CROSS JOIN bounds b),
     by_day AS (
-      SELECT duration_days,
+      SELECT {g_day}duration_days,
         CAST(SUM(churned) AS BIGINT) AS n_churned,
         CAST(SUM(1 - churned) AS BIGINT) AS n_censored,
         CAST(COUNT(1) AS BIGINT) AS n_total
-      FROM lifetimes GROUP BY duration_days),
+      FROM lifetimes GROUP BY {g_day}duration_days),
     risk AS (
-      SELECT duration_days, n_churned, n_censored,
-        CAST(SUM(n_total) OVER (ORDER BY duration_days
+      SELECT {g_day}duration_days, n_churned, n_censored,
+        CAST(SUM(n_total) OVER ({g_part}ORDER BY duration_days
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              AS BIGINT) AS at_risk
       FROM by_day)
-    SELECT duration_days, at_risk, n_churned, n_censored,
+    SELECT {g_out}duration_days, at_risk, n_churned, n_censored,
       -- terminal-churn guard (see survival_curve): ln(0) is NULL in
       -- Spark and windowed SUM skips NULLs; -inf makes survival 0.0
       exp(SUM(CASE WHEN n_churned >= at_risk
                    THEN CAST('-Infinity' AS DOUBLE)
                    ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
-          OVER (ORDER BY duration_days
+          OVER ({g_part}ORDER BY duration_days
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         AS survival
     FROM risk"""

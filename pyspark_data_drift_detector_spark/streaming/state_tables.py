@@ -1477,8 +1477,29 @@ def linkage_vetting_sink(
         try:
             state = spark.read.parquet(state_path)
         except AnalysisException:  # path absent — bootstrap batch
+            # master_id's type comes from the feed's id column: a
+            # hardcoded long with a string-id feed would write batch-0
+            # report rows typed long and later batches typed string —
+            # a mixed parquet schema that fails on read
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
             state = spark.createDataFrame(
-                [], "master_id long, block string, mprobe string, mlen int"
+                [],
+                StructType(
+                    [
+                        StructField(
+                            "master_id", batch_df.schema[id_col].dataType
+                        ),
+                        StructField("block", StringType()),
+                        StructField("mprobe", StringType()),
+                        StructField("mlen", IntegerType()),
+                    ]
+                ),
             )
         verdicts = record_linkage_incremental(
             batch_df, state, text_col, id_col, prefix_len, suffix_len,

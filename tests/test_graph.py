@@ -194,3 +194,30 @@ def test_components_match_semantic_oracle_on_order_chains(spark, sf_dir):
             for k in ks:
                 expect[k] = (ks[0], len(ks))
     assert got == expect
+
+
+def test_components_shuffle_budget_after_core(spark, sf_dir):
+    # post-core plan contract: once the pointer-jumping core has
+    # converged (checkpointed, O(edge-endpoints) labels), the
+    # membership/size decoration costs at most the size groupBy and
+    # its join back — no extra corpus-scale exchanges
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_components,
+    )
+    from pyspark_data_drift_detector_spark.plans.inspect import (
+        count_shuffles,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.select(
+            "o_orderkey", F.lag("o_orderkey").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .selectExpr("prev AS src", "o_orderkey AS dst")
+    )
+    assert count_shuffles(graph_components(edges)) <= 3

@@ -226,3 +226,104 @@ def test_linkage_vetting_sink_mints_only_new(spark, tmp_path):
     assert set(
         r["master_id"] for r in state.select("master_id").distinct().collect()
     ) == {1, 3, 11}
+
+
+def test_token_block_links_reordered_names(spark):
+    # "Corp ACME" vs "Acme Corp": the reorder defeats the prefix pass,
+    # the suffix pass AND the plain Levenshtein verify — without the
+    # token pass the probe is unmatched; with it, the sorted-token
+    # forms coincide and the match is EXACT (distance 0)
+    master = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Globex LLC")], "id long, name string"
+    )
+    probe = spark.createDataFrame([(101, "Corp ACME")], "id long, name string")
+    base = record_linkage(probe, master).collect()[0]
+    assert not base["matched"]
+    tok = record_linkage(probe, master, token_block=True).collect()[0]
+    assert tok["matched"] and tok["master_id"] == 1
+    assert tok["distance"] == 0
+
+
+def test_token_block_reorder_plus_typo_scores_typos(spark):
+    # reorder + 1 substitution: sorted-form edit distance = 1; the
+    # single distance domain keeps the deterministic winner rule
+    master = spark.createDataFrame(
+        [(1, "Stark Industries")], "id long, name string"
+    )
+    probe = spark.createDataFrame(
+        [(101, "Industries Starx")], "id long, name string"
+    )
+    out = record_linkage(probe, master, token_block=True).collect()[0]
+    assert out["matched"] and out["distance"] == 1
+
+
+def test_token_block_preserves_plain_matches(spark):
+    # the third pass only ADDS recall: every verdict of the two-pass
+    # matcher is reproduced (same masters, same-or-lower distances)
+    probe = spark.createDataFrame(
+        [
+            (101, "Acme Corporaton"),
+            (102, "globex  llc"),
+            (103, "Zzyzx Ventures"),
+        ],
+        "id long, name string",
+    )
+    base = {
+        r["probe_id"]: r for r in record_linkage(probe, _master(spark)).collect()
+    }
+    tok = {
+        r["probe_id"]: r
+        for r in record_linkage(
+            probe, _master(spark), token_block=True
+        ).collect()
+    }
+    for pid, b in base.items():
+        t = tok[pid]
+        assert t["matched"] >= b["matched"]
+        if b["matched"]:
+            assert t["master_id"] == b["master_id"]
+            assert t["distance"] <= b["distance"]
+
+
+def test_norm_sql_col_quotes_awkward_legal_names(spark):
+    # a column name with spaces passes ensure_safe_columns; the SQL
+    # fragment must backtick-quote it rather than misparse
+    master = spark.createDataFrame(
+        [(1, "Acme Corporation")], "id long, `company name` string"
+    )
+    probe = spark.createDataFrame(
+        [(101, "acme  corporation")], "id long, `company name` string"
+    )
+    out = record_linkage(
+        probe, master, probe_text="company name", master_text="company name"
+    ).collect()[0]
+    assert out["matched"] and out["distance"] == 0
+
+
+def test_vetting_sink_bootstrap_respects_string_ids(spark, tmp_path):
+    # ADVICE r13: the bootstrap state schema must derive master_id's
+    # type from the feed — a hardcoded long with string ids wrote
+    # mixed-type report parquet that failed on read
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        linkage_vetting_sink,
+    )
+
+    sink = linkage_vetting_sink(
+        str(tmp_path / "state"), str(tmp_path / "report")
+    )
+    b0 = spark.createDataFrame(
+        [("r1", "Acme Corporation"), ("r2", "Globex LLC")],
+        "id string, name string",
+    )
+    b1 = spark.createDataFrame(
+        [("r3", "Acme Corporaton"), ("r4", "Wayne Enterprises")],
+        "id string, name string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    assert dict(rep.dtypes)["master_id"] == "string"
+    rows = {r["probe_id"]: r for r in rep.collect()}
+    assert rows["r1"]["is_new"] and rows["r2"]["is_new"]
+    assert rows["r3"]["matched_master"] and rows["r3"]["master_id"] == "r1"
+    assert rows["r4"]["is_new"]

@@ -336,3 +336,112 @@ def test_bucket_gaps_global_series_and_bad_grain(spark):
     assert rows[0]["n_expected"] == 3 and rows[0]["n_missing"] == 1
     with _pytest.raises(ValueError, match="granularity"):
         bucket_gaps(df, "ts", None, "fortnight")
+
+
+def test_survival_grouped_each_cohort_matches_filtered_users(spark, sf_dir):
+    # a cohort's grouped curve must equal the ungrouped curve computed
+    # over ONLY that cohort's users — with the observation end pinned
+    # globally, which "filter the events then run ungrouped" would NOT
+    # preserve; so the check recomputes per-cohort risk tables in
+    # Python from per-user (first, last, first-type) tuples
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["event_type"], r["duration_days"]): (
+            r["at_risk"], r["n_churned"], r["n_censored"], r["survival"]
+        )
+        for r in survival_curve(
+            ev, censor_days=2, group_col="event_type"
+        ).collect()
+    }
+    rows = ev.selectExpr(
+        "user_id", "CAST(unix_timestamp(ts) AS LONG) AS e", "event_type"
+    ).filter("user_id IS NOT NULL AND ts IS NOT NULL").collect()
+    users = {}
+    for r in rows:
+        u = r["user_id"]
+        cur = users.get(u)
+        pair = (r["e"], r["event_type"])
+        if cur is None:
+            users[u] = [pair, r["e"]]
+        else:
+            if pair < cur[0]:
+                cur[0] = pair
+            if r["e"] > cur[1]:
+                cur[1] = r["e"]
+    obs_end = max(v[1] for v in users.values())
+    cohorts = {}
+    for (e0, g), e1 in users.values():
+        churned = e1 < obs_end - 2 * 86400
+        dur = (e1 - e0) // 86400 if churned else (obs_end - e0) // 86400
+        cohorts.setdefault(g, []).append((dur, churned))
+    expect = {}
+    for g, lifetimes in cohorts.items():
+        days = sorted({d for d, _ in lifetimes})
+        surv = 1.0
+        for d in days:
+            at_risk = sum(1 for dd, _ in lifetimes if dd >= d)
+            n_ch = sum(1 for dd, c in lifetimes if dd == d and c)
+            n_ce = sum(1 for dd, c in lifetimes if dd == d and not c)
+            surv = 0.0 if n_ch >= at_risk else surv * math.exp(
+                math.log(1.0 - n_ch / at_risk)
+            )
+            expect[(g, d)] = (at_risk, n_ch, n_ce, surv)
+    assert set(got) == set(expect)
+    for k, (ar, nch, nce, s) in expect.items():
+        assert got[k][:3] == (ar, nch, nce), k
+        assert got[k][3] == pytest.approx(s, abs=1e-9), k
+
+
+def test_survival_grouped_state_merge_equals_recompute(spark, sf_dir):
+    # grouped state stays additive: (e0, g) merges lexicographically,
+    # so per-cohort KM from merged day-batch states equals one pass
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        merge_survival_states,
+        survival_from_state,
+        survival_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = survival_state(
+        ev.filter("ts < TIMESTAMP '2024-01-15'"), group_col="event_type"
+    )
+    b = survival_state(
+        ev.filter("ts >= TIMESTAMP '2024-01-15'"), group_col="event_type"
+    )
+    merged = survival_from_state(
+        merge_survival_states(a, b), censor_days=3, group_col="cohort"
+    ).collect()
+    full = survival_from_state(
+        survival_state(ev, group_col="event_type"),
+        censor_days=3,
+        group_col="cohort",
+    ).collect()
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    assert sorted(map(tuple, merged), key=key) == sorted(
+        map(tuple, full), key=key
+    )
+
+
+def test_survival_grouped_matches_curve_from_state(spark, sf_dir):
+    # the batch operator and the state path draw identical cohort
+    # curves over the same corpus and censoring horizon
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_from_state,
+        survival_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = survival_curve(
+        ev, censor_days=2, group_col="event_type"
+    ).collect()
+    stated = survival_from_state(
+        survival_state(ev, group_col="event_type"),
+        censor_days=2,
+        group_col="event_type",
+    ).collect()
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    assert sorted(map(tuple, direct), key=key) == sorted(
+        map(tuple, stated), key=key
+    )
