@@ -13869,63 +13869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered locally by tests/test_oracle_parity.py and
     # tools/verify_oracle.py regardless of window position.
     return {
-        # --- never driver-gated (r12 additions past the r12 window): FIRST ---
-        "alignment_grouped": q_alignment_grouped,
-        "audio_features": q_audio_features,
-        "audio_feature_drift": q_audio_feature_drift,
-        "audio_neardup": q_audio_neardup,
-        "audio_incremental": q_audio_incremental,
-        "video_features": q_video_features,
-        "video_feature_drift": q_video_feature_drift,
-        "multimodal_report": q_multimodal_report,
-        "multimodal_incremental": q_multimodal_incremental,
-        "image_clusters": q_image_clusters,
-        # --- new in r13 (no driver verdict yet): gate this round ---
-        "video_neardup": q_video_neardup,
-        "video_incremental": q_video_incremental,
-        "jpeg_decode": q_jpeg_decode,
-        "png_decode": q_png_decode,
-        "gif_decode": q_gif_decode,
-        "wav_formats": q_wav_formats,
-        "mjpeg_decode": q_mjpeg_decode,
-        "record_linkage": q_record_linkage,
-        "linkage_incremental": q_linkage_incremental,
-        "survival_curve": q_survival_curve,
-        "ohlc_downsample": q_ohlc_downsample,
-        "audio_segments": q_audio_segments,
-        "survival_incremental": q_survival_incremental,
-        "ohlc_rollup": q_ohlc_rollup,
-        "pagerank": q_pagerank,
-        "scd2_apply": q_scd2_apply,
-        "scd2_lookup": q_scd2_lookup,
-        "linkage_report": q_linkage_report,
-        "graph_report": q_graph_report,
-        "bucket_gaps": q_bucket_gaps,
-        "scd2_validate": q_scd2_validate,
-        "graph_components": q_graph_components,
-        "survival_grouped": q_survival_grouped,
-        "linkage_tokens": q_linkage_tokens,
-        # --- cohort: last driver-gated r9 (oldest; the first 33 fill the
-        #     50-slot window, the rest re-gate next round) ---
-        "adaptive_thresholds": q_adaptive_thresholds,
-        "cap_per_group": q_cap_per_group,
-        "categorical_distances": q_categorical_distances,
-        "categorical_drift": q_categorical_drift,
-        "categorical_drift_exact": q_categorical_drift_exact,
-        "cluster_balance_incremental": q_cluster_balance_incremental,
-        "complex_profile": q_complex_profile,
-        "corpus_report": q_corpus_report,
-        "corr_groups": q_corr_groups,
-        "corr_pairs": q_corr_pairs,
-        "cusum_changepoint": q_cusum_changepoint,
-        "dist_shape": q_dist_shape,
-        "drift_severity": q_drift_severity,
-        "embedding_drift": q_embedding_drift,
-        "entropy": q_entropy,
-        "events_sliding": q_events_sliding,
-        "events_windowed": q_events_windowed,
-        "feature_importance": q_feature_importance,
-        "frame_sample": q_frame_sample,
+        # --- window head: the 31 queries whose latest driver verdict
+        #     is r9 (VERDICT r13 task 1 rotation) ---
         "freq_table": q_freq_table,
         "group_drift": q_group_drift,
         "group_numeric_drift": q_group_numeric_drift,
@@ -13940,7 +13885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_decontaminate": q_passage_decontaminate,
         "passage_dedup": q_passage_dedup,
         "passage_excise": q_passage_excise,
-        # ---------- driver window boundary (position 50) ----------
         "passage_excise_keep_one": q_passage_excise_keep_one,
         "passage_incremental": q_passage_incremental,
         "passage_pairs": q_passage_pairs,
@@ -13958,7 +13902,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_share_drift": q_token_share_drift,
         "token_share_incremental": q_token_share_incremental,
         "type_inference": q_type_inference,
-        # --- cohort: last driver-gated r10 ---
+        # --- new in r14 (no driver verdict yet) ---
+        "graph_components": q_graph_components,
+        "survival_grouped": q_survival_grouped,
+        "linkage_tokens": q_linkage_tokens,
+        # --- changed in r14 (semantics/oracle updated - re-gate) ---
+        "scd2_apply": q_scd2_apply,
+        "scd2_lookup": q_scd2_lookup,
+        "ohlc_downsample": q_ohlc_downsample,
+        "ohlc_rollup": q_ohlc_rollup,
+        "survival_curve": q_survival_curve,
+        "survival_incremental": q_survival_incremental,
+        # --- fill to the 50-slot boundary: oldest r10 cohort ---
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -13969,6 +13924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_sweep": q_classifier_sweep,
         "cluster_silhouette": q_cluster_silhouette,
         "corpus_clean_funnel": q_corpus_clean_funnel,
+        # ---------- driver window boundary (position 50) ----------
+        # --- cohort: last driver-gated r10 (remainder) ---
         "corpus_report_incremental": q_corpus_report_incremental,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
@@ -14060,7 +14017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_report": q_training_mix_report,
         "transition_stationary": q_transition_stationary,
         "watermark_planner": q_watermark_planner,
-        # --- cohort: last driver-gated r12 (newest) ---
+        # --- cohort: last driver-gated r12 ---
         "alignment_drift": q_alignment_drift,
         "alignment_incremental": q_alignment_incremental,
         "ann_incremental": q_ann_incremental,
@@ -14111,6 +14068,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": q_windowed_distinct,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "zipf_fit": q_zipf_fit,
+        # --- cohort: last driver-gated r13 (newest) ---
+        "adaptive_thresholds": q_adaptive_thresholds,
+        "alignment_grouped": q_alignment_grouped,
+        "audio_feature_drift": q_audio_feature_drift,
+        "audio_features": q_audio_features,
+        "audio_incremental": q_audio_incremental,
+        "audio_neardup": q_audio_neardup,
+        "audio_segments": q_audio_segments,
+        "bucket_gaps": q_bucket_gaps,
+        "cap_per_group": q_cap_per_group,
+        "categorical_distances": q_categorical_distances,
+        "categorical_drift": q_categorical_drift,
+        "categorical_drift_exact": q_categorical_drift_exact,
+        "cluster_balance_incremental": q_cluster_balance_incremental,
+        "complex_profile": q_complex_profile,
+        "corpus_report": q_corpus_report,
+        "corr_groups": q_corr_groups,
+        "corr_pairs": q_corr_pairs,
+        "cusum_changepoint": q_cusum_changepoint,
+        "dist_shape": q_dist_shape,
+        "drift_severity": q_drift_severity,
+        "embedding_drift": q_embedding_drift,
+        "entropy": q_entropy,
+        "events_sliding": q_events_sliding,
+        "events_windowed": q_events_windowed,
+        "feature_importance": q_feature_importance,
+        "frame_sample": q_frame_sample,
+        "gif_decode": q_gif_decode,
+        "graph_report": q_graph_report,
+        "image_clusters": q_image_clusters,
+        "jpeg_decode": q_jpeg_decode,
+        "linkage_incremental": q_linkage_incremental,
+        "linkage_report": q_linkage_report,
+        "mjpeg_decode": q_mjpeg_decode,
+        "multimodal_incremental": q_multimodal_incremental,
+        "multimodal_report": q_multimodal_report,
+        "pagerank": q_pagerank,
+        "png_decode": q_png_decode,
+        "record_linkage": q_record_linkage,
+        "scd2_validate": q_scd2_validate,
+        "video_feature_drift": q_video_feature_drift,
+        "video_features": q_video_features,
+        "video_incremental": q_video_incremental,
+        "video_neardup": q_video_neardup,
+        "wav_formats": q_wav_formats,
+    
     }
 
 
