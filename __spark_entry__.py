@@ -10319,6 +10319,8 @@ def _oracle_queries() -> dict[str, str]:
         "scd2_apply": _scd2_apply_sql(),
         "scd2_lookup": _scd2_lookup_sql(),
         "graph_components": _graph_components_sql(),
+        "graph_triangles": _graph_triangles_sql(),
+        "blocking_report": _blocking_report_sql(),
         "linkage_report": _linkage_report_sql(),
         "graph_report": _graph_report_sql(),
         "bucket_gaps": _bucket_gaps_sql(),
@@ -12722,6 +12724,124 @@ def _linkage_tokens_sql(
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON pr.id = b.pid"""
 
 
+def q_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality pre-flight panel
+    (operators.linkage.blocking_report) over the record_linkage demo
+    feed: keyed-row volumes, joinable/one-sided block counts, the
+    EXACT candidate-join pair product, hot-block skew, and what the
+    50k pair cap would drop (the degenerate shared 'customer#' prefix
+    block carries nearly all of the product — capped_pair_share makes
+    that visible before the join runs)."""
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        blocking_report,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    master = cust.selectExpr("c_custkey AS id", "c_name AS name")
+    probe = cust.selectExpr(
+        "c_custkey + 1000000 AS id",
+        "CASE WHEN c_custkey % 11 = 0"
+        " THEN concat('Unreg ', CAST(c_custkey * 7 AS STRING))"
+        " WHEN c_custkey % 3 = 0"
+        " THEN concat(substring(c_name, 1, 10), substring(c_name, 12))"
+        " WHEN c_custkey % 3 = 1"
+        " THEN concat(substring(c_name, 1, 11), 'x', substring(c_name, 13))"
+        " ELSE concat(upper(c_name), '  ') END AS name",
+    )
+    return _round_cols(
+        blocking_report(
+            probe, master, prefix_len=6, suffix_len=6, band_width=8,
+            max_distance=2, compare_len=32, max_block_pairs=50000,
+        ),
+        ["value"],
+    )
+
+
+def _blocking_report_sql(
+    cap: int = 50000, dist: int = 2, pre: int = 6, suf: int = 6,
+    bw: int = 8, cmp_len: int = 32,
+) -> str:
+    return f"""
+    WITH master AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    probe AS (
+      SELECT c_custkey + 1000000 AS id,
+        CASE WHEN c_custkey % 11 = 0
+             THEN 'Unreg ' || CAST(c_custkey * 7 AS VARCHAR)
+             WHEN c_custkey % 3 = 0
+             THEN substring(c_name, 1, 10) || substring(c_name, 12)
+             WHEN c_custkey % 3 = 1
+             THEN substring(c_name, 1, 11) || 'x' || substring(c_name, 13)
+             ELSE upper(c_name) || '  ' END AS name
+      FROM customer),
+    mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM master),
+    pn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
+                    AS nrm FROM probe),
+    mk AS (
+      SELECT id,
+        UNNEST(['p#' || substring(nrm, 1, {pre}) || '#' ||
+                  CAST(CAST(FLOOR(length(nrm) / {bw}.0) AS BIGINT)
+                       AS VARCHAR),
+                's#' || right(nrm, {suf})]) AS blk
+      FROM mn WHERE length(nrm) > 0),
+    pk AS (
+      SELECT id,
+        UNNEST(list_append(
+          list_transform(
+            generate_series(
+              CAST(FLOOR((length(nrm) - {dist}) / {bw}.0) AS BIGINT),
+              CAST(FLOOR((length(nrm) + {dist}) / {bw}.0) AS BIGINT)),
+            b -> 'p#' || substring(nrm, 1, {pre}) || '#' ||
+                 CAST(b AS VARCHAR)),
+          's#' || right(nrm, {suf}))) AS blk
+      FROM pn WHERE length(nrm) > 0),
+    pc AS (SELECT blk, COUNT(*) AS c FROM pk GROUP BY 1),
+    mc AS (SELECT blk, COUNT(*) AS c FROM mk GROUP BY 1),
+    j AS (
+      SELECT pc.c AS pcc, mc.c AS mcc, pc.c * mc.c AS pp
+      FROM pc FULL OUTER JOIN mc ON pc.blk = mc.blk),
+    agg AS (
+      SELECT
+        CAST(SUM(pcc) AS DOUBLE) AS n_probe_rows,
+        CAST(SUM(mcc) AS DOUBLE) AS n_master_rows,
+        CAST(SUM(CASE WHEN pcc IS NOT NULL AND mcc IS NOT NULL
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS n_blocks_joinable,
+        CAST(SUM(CASE WHEN mcc IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          AS n_blocks_probe_only,
+        CAST(SUM(CASE WHEN pcc IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          AS n_blocks_master_only,
+        CAST(COALESCE(SUM(pp), 0) AS DOUBLE) AS total_pair_product,
+        CAST(COALESCE(MAX(pp), 0) AS DOUBLE) AS max_block_pair_product,
+        CAST(SUM(CASE WHEN pp > {cap} THEN 1 ELSE 0 END) AS DOUBLE)
+          AS n_capped_blocks,
+        CAST(COALESCE(SUM(CASE WHEN pp > {cap} THEN pp END), 0)
+             AS DOUBLE) AS capped_pair_product
+      FROM j)
+    SELECT 'n_probe_rows' AS metric, ROUND(n_probe_rows, {ROUND}) AS value
+    FROM agg
+    UNION ALL SELECT 'n_master_rows', ROUND(n_master_rows, {ROUND}) FROM agg
+    UNION ALL SELECT 'n_blocks_joinable', ROUND(n_blocks_joinable, {ROUND})
+    FROM agg
+    UNION ALL SELECT 'n_blocks_probe_only',
+      ROUND(n_blocks_probe_only, {ROUND}) FROM agg
+    UNION ALL SELECT 'n_blocks_master_only',
+      ROUND(n_blocks_master_only, {ROUND}) FROM agg
+    UNION ALL SELECT 'total_pair_product',
+      ROUND(total_pair_product, {ROUND}) FROM agg
+    UNION ALL SELECT 'max_block_pair_product',
+      ROUND(max_block_pair_product, {ROUND}) FROM agg
+    UNION ALL SELECT 'top_block_share',
+      CASE WHEN total_pair_product > 0
+           THEN ROUND(max_block_pair_product / total_pair_product,
+                      {ROUND}) END FROM agg
+    UNION ALL SELECT 'n_capped_blocks', ROUND(n_capped_blocks, {ROUND})
+    FROM agg
+    UNION ALL SELECT 'capped_pair_share',
+      CASE WHEN total_pair_product > 0
+           THEN ROUND(capped_pair_product / total_pair_product,
+                      {ROUND}) END FROM agg"""
+
+
 def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution member of the vet-the-increment family
     (operators.linkage.record_linkage_incremental): today's
@@ -13325,6 +13445,66 @@ def _graph_components_sql() -> str:
     FROM sized WHERE n >= 2"""
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering
+    (operators.graph.graph_triangles) over a ring-with-chords graph on
+    the customer keys: edges (k, k+1) everywhere and (k, k+2) when
+    k%3 != 0 — a sparse graph with an organic mix of closed and open
+    wedges (a triangle (k, k+1, k+2) exists exactly where the chord
+    does), so clustering varies node by node instead of collapsing to
+    one constant. The oracle counts triangles with the canonical
+    ordered-triple triple-join — fully independent of the operator's
+    degree-ordered orientation."""
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_triangles,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mk = cust.agg(F.max("c_custkey").alias("mk"))
+    base = cust.crossJoin(F.broadcast(mk))
+    ring = base.filter("c_custkey + 1 <= mk").selectExpr(
+        "c_custkey AS src", "c_custkey + 1 AS dst"
+    )
+    chords = base.filter(
+        "c_custkey + 2 <= mk AND c_custkey % 3 != 0"
+    ).selectExpr("c_custkey AS src", "c_custkey + 2 AS dst")
+    return _round_cols(
+        graph_triangles(ring.unionByName(chords)), ["clustering"]
+    )
+
+
+def _graph_triangles_sql() -> str:
+    return """
+    WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer, mx
+      WHERE c_custkey + 1 <= mk
+      UNION
+      SELECT c_custkey, c_custkey + 2 FROM customer, mx
+      WHERE c_custkey + 2 <= mk AND c_custkey % 3 <> 0),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1),
+    tc AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+      CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+      CASE WHEN d.degree >= 2
+           THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                      / (d.degree * (d.degree - 1.0)), 5)
+           ELSE NULL END AS clustering
+    FROM deg d LEFT JOIN tc ON tc.node = d.node"""
+
+
 def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 apply-changes (operators.scd.scd2_apply): the
     customer dimension versioned by a mixed upsert+DELETE CDC feed —
@@ -13906,6 +14086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "survival_grouped": q_survival_grouped,
         "linkage_tokens": q_linkage_tokens,
+        "graph_triangles": q_graph_triangles,
+        "blocking_report": q_blocking_report,
         # --- changed in r14 (semantics/oracle updated - re-gate) ---
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,

@@ -390,6 +390,147 @@ def record_linkage_incremental(
     )
 
 
+def blocking_report(
+    probe: DataFrame,
+    master: DataFrame,
+    probe_text: str = "name",
+    probe_id: str = "id",
+    master_text: str = "name",
+    master_id: str = "id",
+    prefix_len: int = 6,
+    suffix_len: int = 6,
+    band_width: int = 8,
+    max_distance: int = 2,
+    compare_len: int = 64,
+    max_block_pairs: int | None = None,
+    token_block: bool = False,
+) -> DataFrame:
+    """Blocking-quality panel — the pre-flight audit for
+    :func:`record_linkage`: BEFORE the candidate join runs, how much
+    work will it do, where is that work concentrated, and what would
+    the hot-block cap drop? Blocking decisions are the whole cost and
+    recall story of linkage at scale, and they are invisible in the
+    match output; this panel makes them a queryable O(1) report (the
+    ``graph_report`` convention: one ``(metric, value)`` row each).
+
+    Metrics:
+
+    - ``n_probe_rows`` / ``n_master_rows`` — keyed rows per side
+      (records × passes);
+    - ``n_blocks_joinable`` — blocks present on BOTH sides (the only
+      ones that generate candidates); ``n_blocks_probe_only`` /
+      ``n_blocks_master_only`` — selectivity diagnostics (a collapsing
+      master-only count means the feed stopped overlapping the
+      master's key space);
+    - ``total_pair_product`` — Σ probe_count·master_count over
+      joinable blocks: the EXACT candidate-join output size, the cost
+      predictor to watch round over round;
+    - ``max_block_pair_product`` and ``top_block_share`` (max / total)
+      — the hot-block skew signal;
+    - with ``max_block_pairs`` set: ``n_capped_blocks`` (blocks the
+      cap would drop) and ``capped_pair_share`` (the fraction of
+      ``total_pair_product`` they carry — high share = the cap is
+      doing real recall damage, retune the keys instead).
+
+    Plan: the two keyed projections, one groupBy(block) count each, a
+    full-outer join on the block key, ONE aggregate. O(blocks)
+    intermediate frames, O(1) output. Uses the same keying as
+    :func:`record_linkage` (including ``band_slack=max_distance`` on
+    the probe side and ``token_block``), so the numbers describe
+    exactly the join the matcher would run.
+    """
+    pk = linkage_keyed(
+        probe, probe_text, probe_id, prefix_len, suffix_len, band_width,
+        compare_len, band_slack=max_distance, token_block=token_block,
+    )
+    mk = linkage_keyed(
+        master, master_text, master_id, prefix_len, suffix_len,
+        band_width, compare_len, token_block=token_block,
+    )
+    pc = pk.groupBy("block").agg(F.count(F.lit(1)).alias("pc"))
+    mc = mk.groupBy("block").agg(F.count(F.lit(1)).alias("mc"))
+    both = pc.join(mc, "block", "full_outer").select(
+        F.col("pc"), F.col("mc"),
+        (F.col("pc") * F.col("mc")).alias("pp"),
+    )
+    agg = both.agg(
+        F.sum("pc").cast("double").alias("n_probe_rows"),
+        F.sum("mc").cast("double").alias("n_master_rows"),
+        F.sum(
+            (F.col("pc").isNotNull() & F.col("mc").isNotNull()).cast("int")
+        ).cast("double").alias("n_blocks_joinable"),
+        F.sum(F.col("mc").isNull().cast("int")).cast("double").alias(
+            "n_blocks_probe_only"
+        ),
+        F.sum(F.col("pc").isNull().cast("int")).cast("double").alias(
+            "n_blocks_master_only"
+        ),
+        F.coalesce(F.sum("pp"), F.lit(0)).cast("double").alias(
+            "total_pair_product"
+        ),
+        F.coalesce(F.max("pp"), F.lit(0)).cast("double").alias(
+            "max_block_pair_product"
+        ),
+        *(
+            []
+            if max_block_pairs is None
+            else [
+                F.sum(
+                    (F.col("pp") > max_block_pairs).cast("int")
+                ).cast("double").alias("n_capped_blocks"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("pp") > max_block_pairs, F.col("pp"))
+                    ),
+                    F.lit(0),
+                ).cast("double").alias("capped_pair_product"),
+            ]
+        ),
+    )
+    metrics = [
+        ("n_probe_rows", F.col("n_probe_rows")),
+        ("n_master_rows", F.col("n_master_rows")),
+        ("n_blocks_joinable", F.col("n_blocks_joinable")),
+        ("n_blocks_probe_only", F.col("n_blocks_probe_only")),
+        ("n_blocks_master_only", F.col("n_blocks_master_only")),
+        ("total_pair_product", F.col("total_pair_product")),
+        ("max_block_pair_product", F.col("max_block_pair_product")),
+        (
+            "top_block_share",
+            F.when(
+                F.col("total_pair_product") > 0,
+                F.col("max_block_pair_product")
+                / F.col("total_pair_product"),
+            ),
+        ),
+    ]
+    if max_block_pairs is not None:
+        metrics += [
+            ("n_capped_blocks", F.col("n_capped_blocks")),
+            (
+                "capped_pair_share",
+                F.when(
+                    F.col("total_pair_product") > 0,
+                    F.col("capped_pair_product")
+                    / F.col("total_pair_product"),
+                ),
+            ),
+        ]
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in metrics
+                ]
+            )
+        ).alias("m")
+    )
+    return melted.select("m.metric", "m.value")
+
+
 def linkage_report(linked: DataFrame) -> DataFrame:
     """Linkage-quality panel over a :func:`record_linkage` (or
     :func:`record_linkage_against_state`) result — the O(1) long-format

@@ -221,3 +221,61 @@ def test_components_shuffle_budget_after_core(spark, sf_dir):
         .selectExpr("prev AS src", "o_orderkey AS dst")
     )
     assert count_shuffles(graph_components(edges)) <= 3
+
+
+def _triangles(spark, rows, schema="src string, dst string", **kw):
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_triangles,
+    )
+
+    return {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in graph_triangles(
+            spark.createDataFrame(rows, schema), **kw
+        ).collect()
+    }
+
+
+def test_triangles_k4_all_closed(spark):
+    rows = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    out = _triangles(spark, rows)
+    assert out == {c: (3, 3, 1.0) for c in "abcd"}
+
+
+def test_triangles_one_with_pendant(spark):
+    # triangle a-b-c plus pendant d off a: a has an open wedge
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    out = _triangles(spark, rows)
+    assert out["a"] == (3, 1, pytest.approx(1 / 3))
+    assert out["b"] == (2, 1, 1.0) and out["c"] == (2, 1, 1.0)
+    assert out["d"] == (1, 0, None)  # degree < 2: no wedge to close
+
+
+def test_triangles_square_is_triangle_free(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    out = _triangles(spark, rows)
+    assert all(v == (2, 0, 0.0) for v in out.values())
+
+
+def test_triangles_canonicalization(spark):
+    # reversed duplicates, parallel edges, self-loops and NULLs must
+    # not create or destroy triangles
+    rows = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"),
+        ("c", "b"), (None, "a"), ("c", None),
+    ]
+    out = _triangles(spark, rows)
+    assert out == {
+        "a": (2, 1, 1.0), "b": (2, 1, 1.0), "c": (2, 1, 1.0)
+    }
+
+
+def test_triangles_out_degree_cap_drops_low_corner_wedges(spark):
+    # K4: every node's oriented out-degree is <= 3; capping at 1
+    # removes every wedge corner, so no triangle survives — the
+    # documented bounded-recall tradeoff fires loudly, not subtly
+    rows = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    out = _triangles(spark, rows, max_out_degree=1)
+    assert all(v[1] == 0 for v in out.values())
+    full = _triangles(spark, rows, max_out_degree=3)
+    assert all(v[1] == 3 for v in full.values())

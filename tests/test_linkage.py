@@ -8,6 +8,7 @@ incremental path distinguishes matched-master / dup-in-batch / new."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_data_drift_detector_spark.operators.linkage import (
@@ -327,3 +328,70 @@ def test_vetting_sink_bootstrap_respects_string_ids(spark, tmp_path):
     assert rows["r1"]["is_new"] and rows["r2"]["is_new"]
     assert rows["r3"]["matched_master"] and rows["r3"]["master_id"] == "r1"
     assert rows["r4"]["is_new"]
+
+
+def test_blocking_report_pair_product_is_exact_join_size(spark):
+    # total_pair_product must equal the ACTUAL candidate-join output
+    # row count (before pair dedup) — the panel predicts exactly the
+    # work record_linkage would schedule
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        blocking_report,
+    )
+
+    probe = spark.createDataFrame(
+        [
+            (101, "Acme Corporaton"),
+            (102, "globex  llc"),
+            (103, "Zzyzx Ventures"),
+            (104, "Acme Corporation"),
+        ],
+        "id long, name string",
+    )
+    rep = {
+        r["metric"]: r["value"]
+        for r in blocking_report(probe, _master(spark)).collect()
+    }
+    pk = linkage_keyed(probe, "name", "id", band_slack=2)
+    mk = linkage_keyed(_master(spark), "name", "id")
+    join_rows = pk.join(
+        mk.select(F.col("block"), F.col("id").alias("mid")), "block"
+    ).count()
+    assert rep["total_pair_product"] == float(join_rows)
+    assert rep["n_probe_rows"] == float(pk.count())
+    assert rep["n_master_rows"] == float(mk.count())
+    assert rep["max_block_pair_product"] <= rep["total_pair_product"]
+    assert 0.0 < rep["top_block_share"] <= 1.0
+    assert "n_capped_blocks" not in rep  # only reported with a cap
+
+
+def test_blocking_report_cap_metrics(spark):
+    # the degenerate shared-prefix block carries 25 of the 30 pair
+    # products -> a cap of 1 drops exactly it (the per-key suffix
+    # blocks are product-1 and survive); a cap of 0 drops everything
+    from pyspark_data_drift_detector_spark.operators.linkage import (
+        blocking_report,
+    )
+
+    master = spark.createDataFrame(
+        [(i, f"customer#00{i}") for i in range(1, 6)],
+        "id long, name string",
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, f"customer#00{i}") for i in range(1, 6)],
+        "id long, name string",
+    )
+    rep = {
+        r["metric"]: r["value"]
+        for r in blocking_report(
+            probe, master, max_block_pairs=1
+        ).collect()
+    }
+    assert rep["n_capped_blocks"] == 1.0
+    assert rep["capped_pair_share"] == pytest.approx(25 / 30)
+    all_capped = {
+        r["metric"]: r["value"]
+        for r in blocking_report(
+            probe, master, max_block_pairs=0
+        ).collect()
+    }
+    assert all_capped["capped_pair_share"] == 1.0
