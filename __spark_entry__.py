@@ -1434,6 +1434,40 @@ def _png_decode_sql(w: int = 8, h: int = 5, fmt: str = "png") -> str:
     JOIN l USING (doc_id)"""
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode: a genuine PackBits-compressed
+    2-rows-per-strip little-endian TIFF is built per doc
+    (functions.tiff.encode_tiff over the closed-form pixels) and parsed
+    back by the pure-Python strip codec in decode_images(codec='auto')
+    — IFD walk, inline-vs-offset values, multi-strip reassembly, RLE.
+    TIFF baseline is LOSSLESS, so the oracle replays every statistic
+    from the pixel formula alone — wrong PackBits runs, strip order, or
+    byte-order handling would diverge."""
+    from pyspark_data_drift_detector_spark.operators.multimodal import (
+        attach_synthetic_image,
+        decode_images,
+    )
+
+    ids = _documents(spark, sf_dir).select("doc_id").filter("doc_id < 150")
+    payloads = attach_synthetic_image(ids, width=8, height=5, fmt="tiff")
+    out = decode_images(payloads, codec="auto").selectExpr(
+        "doc_id",
+        "format AS fmt",
+        "CAST(width AS INT) AS width",
+        "CAST(height AS INT) AS height",
+        "CAST(channels AS INT) AS channels",
+        "channel_mean[0] AS r_mean",
+        "channel_mean[1] AS g_mean",
+        "channel_mean[2] AS b_mean",
+        "channel_std[0] AS r_std",
+        "luma_mean",
+        "luma_std",
+    )
+    return _round_cols(
+        out, ["r_mean", "g_mean", "b_mean", "r_std", "luma_mean", "luma_std"]
+    )
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode: a genuine interlaced GIF89a is built per doc
     (functions.gif.encode_gif — real dictionary-building LZW over the
@@ -3735,6 +3769,59 @@ def _embedding_incremental_sql(dim: int = 64, n_features: int = 48) -> str:
     UNION ALL
     SELECT 'mmd', '', 'mmd2', NULL, NULL, ROUND(mmd2, {ROUND}),
       ROUND(mmd2, {ROUND}) > 0.01 FROM full_s"""
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private aggregate release
+    (operators.constraints.dp_release): the (segment, nation) customer
+    panel published with Laplace noise — count + account-balance sum
+    clipped to [0, 1000], budget eps=1.0 split over the two statistics.
+    Noise is the keyed md5 PRF (portable inverse-CDF Laplace), so the
+    oracle replays the release bit-for-bit; the privacy guarantee
+    assumes the seed is secret (documented in the operator)."""
+    from pyspark_data_drift_detector_spark.operators.constraints import (
+        dp_release,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return _round_cols(
+        dp_release(
+            cust,
+            ["c_mktsegment", "c_nationkey"],
+            epsilon=1.0,
+            value_col="c_acctbal",
+            clip_lo=0.0,
+            clip_hi=1000.0,
+        ),
+        ["noisy_count", "noisy_sum"],
+    )
+
+
+def _dp_release_sql() -> str:
+    # eps splits 0.5 + 0.5: count scale 1/0.5 = 2, sum scale
+    # 1000/0.5 = 2000; u = ((md5_60(key|salt) % 1e6) + 0.5)/1e6 - 0.5
+    lap = (
+        "(-({b})) * sign({u}) * ln(1 - 2 * abs({u}))"
+    )
+    u = (
+        "((('0x'||substring(md5(k || '|dp|{t}'), 1, 15))::BIGINT"
+        " % 1000000 + 0.5) / 1000000.0 - 0.5)"
+    )
+    uc, us = u.format(t="c"), u.format(t="s")
+    return f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        SUM(LEAST(GREATEST(CAST(c_acctbal AS DOUBLE), 0.0), 1000.0)) AS s
+      FROM customer GROUP BY 1, 2),
+    k AS (
+      SELECT *, COALESCE(c_mktsegment, ' ') || '|' ||
+                COALESCE(CAST(c_nationkey AS VARCHAR), ' ') AS k
+      FROM g)
+    SELECT c_mktsegment, c_nationkey,
+      ROUND(n + {lap.format(b="2.0", u=uc)}, {ROUND}) AS noisy_count,
+      ROUND(s + {lap.format(b="2000.0", u=us)}, {ROUND}) AS noisy_sum
+    FROM k"""
 
 
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10304,6 +10391,7 @@ def _oracle_queries() -> dict[str, str]:
         "jpeg_decode": _jpeg_decode_sql(),
         "png_decode": _png_decode_sql(),
         "gif_decode": _png_decode_sql(fmt="gif"),
+        "tiff_decode": _png_decode_sql(fmt="tiff"),
         "wav_formats": _wav_formats_sql(),
         "mjpeg_decode": _mjpeg_decode_sql(),
         "record_linkage": _record_linkage_sql(),
@@ -10321,6 +10409,7 @@ def _oracle_queries() -> dict[str, str]:
         "graph_components": _graph_components_sql(),
         "graph_triangles": _graph_triangles_sql(),
         "blocking_report": _blocking_report_sql(),
+        "dp_release": _dp_release_sql(),
         "linkage_report": _linkage_report_sql(),
         "graph_report": _graph_report_sql(),
         "bucket_gaps": _bucket_gaps_sql(),
@@ -14088,6 +14177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_tokens": q_linkage_tokens,
         "graph_triangles": q_graph_triangles,
         "blocking_report": q_blocking_report,
+        "dp_release": q_dp_release,
+        "tiff_decode": q_tiff_decode,
         # --- changed in r14 (semantics/oracle updated - re-gate) ---
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,

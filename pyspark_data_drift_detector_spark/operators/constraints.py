@@ -798,3 +798,108 @@ def t_closeness_profile(
     )
     cells_df.unpersist(blocking=False)
     return out
+
+
+def dp_release(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+    value_col: str | None = None,
+    clip_lo: float = 0.0,
+    clip_hi: float = 1.0,
+    min_noisy_count: float | None = None,
+) -> DataFrame:
+    """Differentially-private aggregate release — the Laplace mechanism
+    over a group-by, completing the privacy family
+    (:func:`k_anonymity_profile` / ``l_diversity`` / ``t_closeness``
+    MEASURE re-identification risk; this operator produces the
+    noise-protected aggregates one actually RELEASES).
+
+    Per group: ``noisy_count = count + Lap(1/eps)`` and, when
+    ``value_col`` is given, ``noisy_sum = clipped_sum +
+    Lap(max(|lo|,|hi|)/eps)`` over values clipped to ``[clip_lo,
+    clip_hi]`` (clipping bounds each row's contribution — the
+    sensitivity). With both statistics the budget splits eps/2 + eps/2
+    (sequential composition).
+
+    **Noise is a keyed PRF, not an OS RNG — deliberately.** The
+    Laplace variate derives per group from ``md5(group_key + seed)``
+    through the inverse CDF (``-b*sign(u)*ln(1-2|u|)``, ``u in (-0.5,
+    0.5)``), the same portable md5 machinery as
+    ``sampling.uniform_variate`` — so releases are reproducible,
+    engine-portable (the DuckDB oracle replays them bit-for-bit), and
+    a re-run cannot be differenced against the first to average the
+    noise away. The privacy guarantee holds under the standard PRG
+    assumption PROVIDED the seed stays secret and is rotated per
+    release; with a public seed this is pseudo-noise, not DP —
+    documented loudly, the codec-stub honesty convention.
+
+    ``min_noisy_count`` suppresses groups whose noisy count falls
+    below the threshold — the key-release guard: publishing WHICH
+    groups exist leaks membership for rare groups, so thresholded
+    release is the standard practice for unbounded key domains.
+
+    Plan: ONE groupBy over the corpus (count + conditional clipped
+    sum), then O(groups) expression-only noise columns. NULL group
+    values form their own group (sentinel-encoded into the PRF key so
+    NULL and empty string differ).
+    """
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+    from pyspark_data_drift_detector_spark.operators.sampling import (
+        uniform_variate,
+    )
+
+    ensure_safe_columns(
+        list(group_cols) + ([value_col] if value_col is not None else [])
+    )
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    if value_col is not None and clip_hi <= clip_lo:
+        raise ValueError("clip_hi must exceed clip_lo")
+    n_stats = 2 if value_col is not None else 1
+    eps_each = epsilon / n_stats
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+            for c in group_cols
+        ],
+    )
+
+    def lap(tag: str, scale: float):
+        u = (
+            uniform_variate(key, f"{seed}|{tag}") + F.lit(0.5)
+        ) / F.lit(1000000.0) - F.lit(0.5)
+        return (
+            F.lit(-scale)
+            * F.signum(u)
+            * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+        )
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    if value_col is not None:
+        clipped = F.least(
+            F.greatest(F.col(value_col).cast("double"), F.lit(clip_lo)),
+            F.lit(clip_hi),
+        )
+        aggs.append(F.sum(clipped).alias("__s"))
+    grouped = df.groupBy(*group_cols).agg(*aggs)
+    out_cols = [*group_cols]
+    out = grouped.withColumn(
+        "noisy_count", F.col("__n") + lap("c", 1.0 / eps_each)
+    )
+    out_cols.append("noisy_count")
+    if value_col is not None:
+        sens = max(abs(clip_lo), abs(clip_hi))
+        out = out.withColumn(
+            "noisy_sum", F.col("__s") + lap("s", sens / eps_each)
+        )
+        out_cols.append("noisy_sum")
+    if min_noisy_count is not None:
+        out = out.filter(F.col("noisy_count") >= min_noisy_count)
+    return out.select(*out_cols)

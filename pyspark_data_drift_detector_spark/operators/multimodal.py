@@ -251,12 +251,22 @@ def _parse_gif(data: bytes):
     return decode_gif(data)
 
 
+def _parse_tiff(data: bytes):
+    """Baseline TIFF → ``(h, w, 3)`` uint8 RGB via the pure-Python
+    strip codec in :mod:`..functions.tiff` (both byte orders,
+    uncompressed + PackBits; tiles/LZW/palette reject loudly there)."""
+    from pyspark_data_drift_detector_spark.functions.tiff import decode_tiff
+
+    return decode_tiff(data)
+
+
 _MAGIC_PARSERS = {
     "ppm": _parse_ppm,
     "bmp": _parse_bmp,
     "jpeg": _parse_jpeg,
     "png": _parse_png,
     "gif": _parse_gif,
+    "tiff": _parse_tiff,
 }
 
 
@@ -271,6 +281,8 @@ def _sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -310,7 +322,8 @@ def decode_images(
     (normalized), in :data:`IMAGE_FEATURE_SCHEMA`.
 
     ``codec='ppm'`` / ``'bmp'`` / ``'jpeg'`` / ``'png'`` / ``'gif'`` /
-    ``'auto'`` (sniff per payload by magic) REALLY decode the payload —
+    ``'tiff'`` / ``'auto'`` (sniff per payload by magic) REALLY decode
+    the payload —
     header parse + pixel extraction; JPEG via the pure-NumPy baseline
     Huffman+IDCT decoder in :mod:`..functions.jpeg`, PNG via the
     stdlib-zlib codec in :mod:`..functions.png`, GIF via the
@@ -323,13 +336,13 @@ def decode_images(
     VP8/HEVC stacks absent here; a real decoder slots into the same
     ``mapInPandas`` without touching the plan.
     """
-    if codec in ("ppm", "bmp", "jpeg", "png", "gif", "auto"):
+    if codec in ("ppm", "bmp", "jpeg", "png", "gif", "tiff", "auto"):
         return _decode_images_real(df, payload_col, id_col, codec, n_features)
     if codec != "stub":
         raise NotImplementedError(
             f"codec={codec!r}: this compressed format's decoder is not "
             "available in this environment; implemented codecs: 'ppm', "
-            "'bmp', 'jpeg', 'png', 'gif', 'auto' (real), 'stub' "
+            "'bmp', 'jpeg', 'png', 'gif', 'tiff', 'auto' (real), 'stub' "
             "(deterministic byte features)"
         )
 
@@ -494,8 +507,10 @@ def attach_synthetic_image(
     external oracle can recompute every decoded statistic from the seed
     alone, without a PPM/BMP parser (the driver's DuckDB oracle does exactly
     this). ``fmt`` picks the container: ``'ppm'``, ``'bmp'``, ``'png'``
-    / ``'gif'`` (lossless — the closed form still replays decoded stats
-    exactly; gif interlaced, exercising the reorder path), or
+    / ``'gif'`` / ``'tiff'`` (lossless — the closed form still replays
+    decoded stats exactly; gif interlaced, exercising the reorder path;
+    tiff PackBits-compressed and 2-rows-per-strip, exercising RLE and
+    strip reassembly), or
     ``'jpeg'`` (baseline 4:2:0 at quality 90 via
     :func:`..functions.jpeg.encode_jpeg` — NOTE: jpeg is LOSSY, so the
     decoded stats are deterministic but NOT the closed form; oracles for
@@ -503,10 +518,10 @@ def attach_synthetic_image(
     ``id_col`` by default; pass ``seed_col`` to generate IDENTICAL payloads
     under distinct ids (the duplicate-image fixture shape).
     """
-    if fmt not in ("ppm", "bmp", "jpeg", "png", "gif"):
+    if fmt not in ("ppm", "bmp", "jpeg", "png", "gif", "tiff"):
         raise ValueError(
-            f"fmt must be 'ppm', 'bmp', 'jpeg', 'png', or 'gif',"
-            f" got {fmt!r}"
+            f"fmt must be 'ppm', 'bmp', 'jpeg', 'png', 'gif', or"
+            f" 'tiff', got {fmt!r}"
         )
     seed_col = seed_col or id_col
 
@@ -536,6 +551,16 @@ def attach_synthetic_image(
             )
 
             enc = lambda px: encode_gif(px, interlace=True)
+        elif fmt == "tiff":
+            from pyspark_data_drift_detector_spark.functions.tiff import (
+                encode_tiff,
+            )
+
+            # PackBits + 2-rows-per-strip: every synthetic payload
+            # exercises the RLE decoder AND multi-strip reassembly
+            enc = lambda px: encode_tiff(
+                px, rows_per_strip=2, compression="packbits"
+            )
         else:
             enc = encode_ppm if fmt == "ppm" else encode_bmp
         for batch in iterator:
