@@ -10407,6 +10407,7 @@ def _oracle_queries() -> dict[str, str]:
         "scd2_apply": _scd2_apply_sql(),
         "scd2_lookup": _scd2_lookup_sql(),
         "graph_components": _graph_components_sql(),
+        "components_incremental": _components_incremental_sql(),
         "graph_triangles": _graph_triangles_sql(),
         "blocking_report": _blocking_report_sql(),
         "dp_release": _dp_release_sql(),
@@ -13594,6 +13595,50 @@ def _graph_triangles_sql() -> str:
     FROM deg d LEFT JOIN tc ON tc.node = d.node"""
 
 
+def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components
+    (operators.graph.components_incremental): the customer-key path
+    graph with breaks at multiples of 7 (edge k→k+1 exists iff
+    k%7 != 0) arrives in two waves — the lower half builds the prior
+    label state, the upper half is the batch (new nodes AND the
+    bridging link at the boundary). The star-forest compression folds
+    the batch into O(state+batch) input; the oracle is the closed-form
+    run decomposition (component of k = k − ((k−1) mod 7)), fully
+    independent of any propagation machinery."""
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        components_incremental,
+        graph_components,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mk = cust.agg(F.max("c_custkey").alias("mk"))
+    base = cust.crossJoin(F.broadcast(mk)).filter(
+        "c_custkey % 7 != 0 AND c_custkey + 1 <= mk"
+    )
+    prior = base.filter("c_custkey <= mk DIV 2").selectExpr(
+        "c_custkey AS src", "c_custkey + 1 AS dst"
+    )
+    batch = base.filter("c_custkey > mk DIV 2").selectExpr(
+        "c_custkey AS src", "c_custkey + 1 AS dst"
+    )
+    state = graph_components(prior).drop("component_size")
+    return components_incremental(batch, state)
+
+
+def _components_incremental_sql() -> str:
+    return """
+    WITH mx AS (SELECT MAX(c_custkey) AS n FROM customer),
+    nodes AS (
+      SELECT c_custkey AS k FROM customer, mx
+      WHERE (c_custkey % 7 <> 0 AND c_custkey + 1 <= n)
+         OR (c_custkey > 1 AND (c_custkey - 1) % 7 <> 0)),
+    comp AS (SELECT k, k - ((k - 1) % 7) AS cid FROM nodes),
+    sz AS (SELECT cid, COUNT(*) AS s FROM comp GROUP BY 1)
+    SELECT comp.k AS node, comp.cid AS component_id,
+           CAST(sz.s AS BIGINT) AS component_size
+    FROM comp JOIN sz ON sz.cid = comp.cid"""
+
+
 def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 apply-changes (operators.scd.scd2_apply): the
     customer dimension versioned by a mixed upsert+DELETE CDC feed —
@@ -14179,6 +14224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_report": q_blocking_report,
         "dp_release": q_dp_release,
         "tiff_decode": q_tiff_decode,
+        "components_incremental": q_components_incremental,
         # --- changed in r14 (semantics/oracle updated - re-gate) ---
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,

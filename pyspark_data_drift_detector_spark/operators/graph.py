@@ -247,6 +247,45 @@ def graph_components(
     )
 
 
+def components_incremental(
+    batch_edges: DataFrame,
+    state: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Vet-the-increment member for graph membership: fold a NEW edge
+    batch into existing component labels WITHOUT re-reading the
+    historical edge corpus — the star-forest compression trick. Prior
+    labels ``(node, component_id)`` have exactly the connectivity of
+    every edge ever seen (each component is a star centered on its
+    label), so running :func:`graph_components` over ``batch_edges ∪
+    {node → component_id}`` reproduces, exactly, the components of the
+    FULL union — on an input of size O(state + batch), the additive
+    shape every incremental family member in this repo honors (the
+    prior corpus is never re-read; pinned by the
+    incremental-equals-full-recompute test).
+
+    ``state`` is :func:`graph_components` output (``component_size`` is
+    ignored if present). Labels stay "minimum node id in the merged
+    component" because prior labels ARE member node ids — a batch that
+    bridges two components relabels both to the smaller minimum.
+    Returns fresh ``(node, component_id, component_size)`` — the new
+    state."""
+    star = state.select(
+        F.col("node").alias(src_col),
+        F.col("component_id").alias(dst_col),
+    )
+    return graph_components(
+        batch_edges.select(
+            F.col(src_col), F.col(dst_col)
+        ).unionByName(star),
+        src_col,
+        dst_col,
+        max_iter=max_iter,
+    )
+
+
 def graph_triangles(
     edges: DataFrame,
     src_col: str = "src",

@@ -1437,6 +1437,81 @@ def linkage_state_sink(
     return write_batch
 
 
+def components_state_sink(
+    state_path: str,
+    report_path: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental connected components as ONE ``foreachBatch`` sink:
+    each micro-batch of edges folds into the component-label state via
+    the star-forest compression
+    (:func:`operators.graph.components_incremental` — O(state + batch)
+    input, the historical edge corpus is never re-read), the state is
+    REPLACED (labels are a consolidated snapshot, not an append log —
+    unlike the dedup/linkage sinks this state rewrites in place), and
+    an O(1) verdict row appends to ``report_path``: ``batch_id,
+    n_nodes, n_components, n_new_nodes, n_label_changes`` — a surging
+    ``n_label_changes`` means the feed started bridging previously
+    separate entities (the linkage-storm signal)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        components_incremental,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        src_type = batch_df.schema[src_col].dataType
+        try:
+            state = spark.read.parquet(state_path).select(
+                "node", "component_id"
+            )
+        except AnalysisException:  # path absent — bootstrap batch
+            state = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("node", src_type),
+                        StructField("component_id", src_type),
+                    ]
+                ),
+            )
+        # checkpoint BEFORE the overwrite: the new state derives from a
+        # read of the path it is about to replace
+        new_state = components_incremental(
+            batch_df, state, src_col, dst_col, max_iter
+        ).localCheckpoint(eager=True)
+        changed = (
+            state.join(
+                new_state.select(
+                    "node", F.col("component_id").alias("__new_cid")
+                ),
+                "node",
+            )
+            .filter(F.col("component_id") != F.col("__new_cid"))
+            .count()
+        )
+        n_prior = state.count()
+        row = new_state.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.countDistinct("component_id").cast("long").alias(
+                "n_components"
+            ),
+            (F.count(F.lit(1)) - n_prior).cast("long").alias("n_new_nodes"),
+            F.lit(changed).cast("long").alias("n_label_changes"),
+        )
+        row.write.mode("append").parquet(report_path)
+        new_state.write.mode("overwrite").parquet(state_path)
+
+    return write_batch
+
+
 def linkage_vetting_sink(
     state_path: str,
     report_path: str,

@@ -279,3 +279,99 @@ def test_triangles_out_degree_cap_drops_low_corner_wedges(spark):
     assert all(v[1] == 0 for v in out.values())
     full = _triangles(spark, rows, max_out_degree=3)
     assert all(v[1] == 3 for v in full.values())
+
+
+def test_components_incremental_equals_full_recompute(spark, sf_dir):
+    # the star-forest compression must reproduce EXACTLY the components
+    # of the full edge union, from O(state + batch) input — organic
+    # per-customer order chains split into two waves by orderkey parity
+    # of the chain position
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        components_incremental,
+        graph_components,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = (
+        orders.select(
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev"),
+            (F.row_number().over(w) % 2).alias("wave"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .selectExpr("prev AS src", "o_orderkey AS dst", "wave")
+    )
+    prior = chain.filter("wave = 0").drop("wave")
+    batch = chain.filter("wave = 1").drop("wave")
+    state = graph_components(prior).drop("component_size")
+    inc = {
+        (r["node"], r["component_id"], r["component_size"])
+        for r in components_incremental(batch, state).collect()
+    }
+    full = {
+        (r["node"], r["component_id"], r["component_size"])
+        for r in graph_components(chain.drop("wave")).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_components_incremental_merges_and_news(spark):
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        components_incremental,
+        graph_components,
+    )
+
+    prior = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    state = graph_components(prior).drop("component_size")
+    batch = spark.createDataFrame(
+        [("b", "x"), ("p", "q")], "src string, dst string"
+    )
+    out = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in components_incremental(batch, state).collect()
+    }
+    assert out == {
+        "a": ("a", 4), "b": ("a", 4), "x": ("a", 4), "y": ("a", 4),
+        "p": ("p", 2), "q": ("p", 2),
+    }
+
+
+def test_components_state_sink_two_batches(spark, tmp_path):
+    from pyspark_data_drift_detector_spark.streaming.state_tables import (
+        components_state_sink,
+    )
+
+    sink = components_state_sink(
+        str(tmp_path / "state"), str(tmp_path / "report")
+    )
+    b0 = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 3), (10, 11)], "src long, dst long"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    state = {
+        r["node"]: (r["component_id"], r["component_size"])
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    assert state == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+    rep = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "report")).collect()
+    }
+    assert rep[0]["n_nodes"] == 4 and rep[0]["n_components"] == 2
+    assert rep[0]["n_new_nodes"] == 4 and rep[0]["n_label_changes"] == 0
+    assert rep[1]["n_nodes"] == 6 and rep[1]["n_components"] == 2
+    assert rep[1]["n_new_nodes"] == 2
+    assert rep[1]["n_label_changes"] == 2  # 3 and 4 relabel to 1
