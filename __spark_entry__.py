@@ -14238,12 +14238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "bpe_segment": q_bpe_segment,
+        # ---------- driver window boundary (position 50) ----------
         "bpe_vocab": q_bpe_vocab,
         "chunk_documents": q_chunk_documents,
         "classifier_sweep": q_classifier_sweep,
         "cluster_silhouette": q_cluster_silhouette,
         "corpus_clean_funnel": q_corpus_clean_funnel,
-        # ---------- driver window boundary (position 50) ----------
         # --- cohort: last driver-gated r10 (remainder) ---
         "corpus_report_incremental": q_corpus_report_incremental,
         "decontaminate": q_decontaminate,

@@ -492,9 +492,19 @@ def graph_report(
                         ("n_nodes", F.col("n_nodes")),
                         ("n_edges", F.col("n_edges")),
                         (
+                            # density is UNDEFINED on a 1-node graph
+                            # (n·(n−1) = 0): an explicit guard makes the
+                            # NULL a stated convention, not a division
+                            # artifact
                             "density",
-                            F.col("n_edges")
-                            / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                            F.when(
+                                F.col("n_nodes") > 1,
+                                F.col("n_edges")
+                                / (
+                                    F.col("n_nodes")
+                                    * (F.col("n_nodes") - 1)
+                                ),
+                            ),
                         ),
                         ("n_self_loops", F.col("n_self_loops")),
                         (

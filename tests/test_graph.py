@@ -375,3 +375,18 @@ def test_components_state_sink_two_batches(spark, tmp_path):
     assert rep[1]["n_nodes"] == 6 and rep[1]["n_components"] == 2
     assert rep[1]["n_new_nodes"] == 2
     assert rep[1]["n_label_changes"] == 2  # 3 and 4 relabel to 1
+
+
+def test_graph_report_one_node_density_is_null_by_convention(spark):
+    from pyspark_data_drift_detector_spark.operators.graph import (
+        graph_report,
+    )
+
+    rep = {
+        r["metric"]: r["value"]
+        for r in graph_report(
+            spark.createDataFrame([("a", "a")], "src string, dst string")
+        ).collect()
+    }
+    assert rep["n_nodes"] == 1.0 and rep["n_self_loops"] == 1.0
+    assert rep["density"] is None  # undefined on n*(n-1) = 0, stated
