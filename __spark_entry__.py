@@ -12690,16 +12690,20 @@ def _record_linkage_sql(
 
 def q_linkage_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-reorder record linkage (operators.linkage.record_linkage
-    with token_block=True): master names are '<custkey> <segment>'
-    two-token identities; the probe feed reorders them ('<segment>
-    <custkey>', custkey%3=0) or reorders AND typos the segment
-    (custkey%3=1 — one substitution at segment char 5, always outside
-    the 6-char sorted-form prefix because the leading number token is
-    at least 1 char), leaves case/whitespace noise only (else), and
-    injects an unlinkable 'Unreg' identity every 11th key. Reorders
-    defeat both the prefix and suffix passes AND plain Levenshtein;
-    the sorted-token third pass recovers them at distance 0 (pure
-    reorder) or 1 (reorder+typo)."""
+    with token_block=True): master names are '<segment> <custkey>'
+    two-token identities (selective SUFFIX — the custkey digits; the
+    shared-segment PREFIX blocks are degenerate and the 50k pair cap
+    drops them, exactly the record_linkage hot-block story); the probe
+    feed reorders to '<custkey> <segment>' (custkey%3=0) or reorders
+    AND typos the segment (custkey%3=1 — one substitution at segment
+    char 5, always outside the 6-char sorted-form prefix because the
+    leading number token is at least 1 char), leaves case/whitespace
+    noise only (else — these match at distance 0 through the selective
+    suffix pass), and injects an unlinkable 'Unreg' identity every
+    11th key. Reorders defeat the prefix pass, the suffix pass AND
+    plain Levenshtein; the sorted-token third pass (digit-led, so
+    never degenerate) recovers them at distance 0 (pure reorder) or 1
+    (reorder+typo)."""
     from pyspark_data_drift_detector_spark.operators.linkage import (
         record_linkage,
     )
@@ -12707,48 +12711,49 @@ def q_linkage_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     master = cust.selectExpr(
         "c_custkey AS id",
-        "concat(CAST(c_custkey AS STRING), ' ', c_mktsegment) AS name",
+        "concat(c_mktsegment, ' ', CAST(c_custkey AS STRING)) AS name",
     )
     probe = cust.selectExpr(
         "c_custkey + 3000000 AS id",
         "CASE WHEN c_custkey % 11 = 0"
         " THEN concat('Unreg ', CAST(c_custkey * 7 AS STRING))"
         " WHEN c_custkey % 3 = 0"
-        " THEN concat(c_mktsegment, ' ', CAST(c_custkey AS STRING))"
+        " THEN concat(CAST(c_custkey AS STRING), ' ', c_mktsegment)"
         " WHEN c_custkey % 3 = 1"
-        " THEN concat(substring(c_mktsegment, 1, 4), 'x',"
-        "             substring(c_mktsegment, 6), ' ',"
-        "             CAST(c_custkey AS STRING))"
-        " ELSE concat(upper(CAST(c_custkey AS STRING)), ' ',"
-        "             lower(c_mktsegment), '  ') END AS name",
+        " THEN concat(CAST(c_custkey AS STRING), ' ',"
+        "             substring(c_mktsegment, 1, 4), 'x',"
+        "             substring(c_mktsegment, 6))"
+        " ELSE concat(upper(c_mktsegment), ' ',"
+        "             CAST(c_custkey AS STRING), '  ') END AS name",
     )
     return record_linkage(
         probe, master, prefix_len=6, suffix_len=6, band_width=8,
-        max_distance=2, compare_len=32, token_block=True,
+        max_distance=2, compare_len=32, max_block_pairs=50000,
+        token_block=True,
     )
 
 
 def _linkage_tokens_sql(
-    dist: int = 2, pre: int = 6, suf: int = 6, bw: int = 8,
-    cmp_len: int = 32,
+    cap: int = 50000, dist: int = 2, pre: int = 6, suf: int = 6,
+    bw: int = 8, cmp_len: int = 32,
 ) -> str:
     return f"""
     WITH master AS (
       SELECT c_custkey AS id,
-             CAST(c_custkey AS VARCHAR) || ' ' || c_mktsegment AS name
+             c_mktsegment || ' ' || CAST(c_custkey AS VARCHAR) AS name
       FROM customer),
     probe AS (
       SELECT c_custkey + 3000000 AS id,
         CASE WHEN c_custkey % 11 = 0
              THEN 'Unreg ' || CAST(c_custkey * 7 AS VARCHAR)
              WHEN c_custkey % 3 = 0
-             THEN c_mktsegment || ' ' || CAST(c_custkey AS VARCHAR)
+             THEN CAST(c_custkey AS VARCHAR) || ' ' || c_mktsegment
              WHEN c_custkey % 3 = 1
-             THEN substring(c_mktsegment, 1, 4) || 'x' ||
-                  substring(c_mktsegment, 6) || ' ' ||
-                  CAST(c_custkey AS VARCHAR)
-             ELSE upper(CAST(c_custkey AS VARCHAR)) || ' ' ||
-                  lower(c_mktsegment) || '  ' END AS name
+             THEN CAST(c_custkey AS VARCHAR) || ' ' ||
+                  substring(c_mktsegment, 1, 4) || 'x' ||
+                  substring(c_mktsegment, 6)
+             ELSE upper(c_mktsegment) || ' ' ||
+                  CAST(c_custkey AS VARCHAR) || '  ' END AS name
       FROM customer),
     mn AS (SELECT id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g')
                     AS nrm FROM master),
@@ -12790,11 +12795,16 @@ def _linkage_tokens_sql(
             b -> 't#' || substring(srt, 1, {pre}) || '#' ||
                  CAST(b AS VARCHAR)))) AS blk
       FROM pt WHERE length(nrm) > 0),
+    pc AS (SELECT blk, COUNT(*) AS c FROM pk GROUP BY 1),
+    mc AS (SELECT blk, COUNT(*) AS c FROM mk GROUP BY 1),
+    ok AS (SELECT pc.blk FROM pc JOIN mc ON pc.blk = mc.blk
+           WHERE pc.c * mc.c <= {cap}),
     cand AS (
       SELECT DISTINCT p.id AS pid, m.id AS mid, p.prb AS pp, m.prb AS mp,
                       p.tprb AS ptp, m.tprb AS mtp,
                       p.len AS pl, m.len AS ml
-      FROM pk p JOIN mk m ON m.blk = p.blk),
+      FROM pk p JOIN ok o ON p.blk = o.blk
+      JOIN mk m ON m.blk = p.blk),
     ver AS (
       SELECT pid, mid,
         LEAST(levenshtein(pp, mp), levenshtein(ptp, mtp)) AS distance
