@@ -10406,6 +10406,7 @@ def _oracle_queries() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "scd2_apply": _scd2_apply_sql(),
         "scd2_lookup": _scd2_lookup_sql(),
+        "scd2_report": _scd2_report_sql(),
         "graph_components": _graph_components_sql(),
         "components_incremental": _components_incremental_sql(),
         "graph_triangles": _graph_triangles_sql(),
@@ -13497,6 +13498,90 @@ def _pagerank_sql(n_iter: int = 3) -> str:
     )
 
 
+def q_scd2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-history health panel (operators.scd.scd2_report) over
+    a directly-constructed customer dimension: custkey%15 keys carry
+    three versions ending soft-deleted, %3 keys two versions (open),
+    %5 keys one closed version (soft-deleted), everyone else a single
+    open version — so every metric (version velocity, single-version
+    share, open vs deleted split, closed-row share, mean closed
+    lifetime) has a closed-form oracle."""
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v1 = cust.selectExpr(
+        "c_custkey AS k",
+        "c_mktsegment AS seg",
+        "TIMESTAMP '2024-01-01' AS valid_from",
+        "CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-02-01'"
+        " WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-03-01'"
+        " ELSE CAST(NULL AS TIMESTAMP) END AS valid_to",
+        "c_custkey % 3 != 0 AND c_custkey % 5 != 0 AS is_current",
+    )
+    v2 = cust.filter("c_custkey % 3 = 0").selectExpr(
+        "c_custkey AS k",
+        "'B' AS seg",
+        "TIMESTAMP '2024-02-01' AS valid_from",
+        "CASE WHEN c_custkey % 15 = 0 THEN TIMESTAMP '2024-03-01'"
+        " ELSE CAST(NULL AS TIMESTAMP) END AS valid_to",
+        "c_custkey % 15 != 0 AS is_current",
+    )
+    dim = v1.unionByName(v2)
+    return _round_cols(scd2_report(dim, "k"), ["value"])
+
+
+def _scd2_report_sql() -> str:
+    return f"""
+    WITH dim AS (
+      SELECT c_custkey AS k,
+        TIMESTAMP '2024-01-01' AS vf,
+        CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-02-01'
+             WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-03-01'
+             ELSE NULL END AS vt,
+        (c_custkey % 3 <> 0 AND c_custkey % 5 <> 0) AS cur
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+        TIMESTAMP '2024-02-01',
+        CASE WHEN c_custkey % 15 = 0 THEN TIMESTAMP '2024-03-01'
+             ELSE NULL END,
+        (c_custkey % 15 <> 0)
+      FROM customer WHERE c_custkey % 3 = 0),
+    per_key AS (
+      SELECT k, COUNT(*) AS nv,
+             MAX(CASE WHEN cur THEN 1 ELSE 0 END) AS has_open
+      FROM dim GROUP BY 1),
+    a AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS DOUBLE)
+          AS n_closed,
+        AVG(CASE WHEN vt IS NOT NULL
+            THEN (epoch(vt) - epoch(vf)) / 86400.0 END)
+          AS avg_closed_lifetime_days
+      FROM dim),
+    b AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_keys,
+        AVG(CAST(nv AS DOUBLE)) AS versions_per_key_mean,
+        CAST(MAX(nv) AS DOUBLE) AS versions_per_key_max,
+        AVG(CASE WHEN nv = 1 THEN 1.0 ELSE 0.0 END)
+          AS single_version_share,
+        AVG(CAST(has_open AS DOUBLE)) AS open_share
+      FROM per_key)
+    SELECT 'n_rows' AS metric, ROUND(n_rows, {ROUND}) AS value FROM a
+    UNION ALL SELECT 'n_keys', ROUND(n_keys, {ROUND}) FROM b
+    UNION ALL SELECT 'versions_per_key_mean',
+      ROUND(versions_per_key_mean, {ROUND}) FROM b
+    UNION ALL SELECT 'versions_per_key_max',
+      ROUND(versions_per_key_max, {ROUND}) FROM b
+    UNION ALL SELECT 'single_version_share',
+      ROUND(single_version_share, {ROUND}) FROM b
+    UNION ALL SELECT 'open_share', ROUND(open_share, {ROUND}) FROM b
+    UNION ALL SELECT 'closed_rows_share',
+      ROUND(n_closed / n_rows, {ROUND}) FROM a, b
+    UNION ALL SELECT 'avg_closed_lifetime_days',
+      ROUND(avg_closed_lifetime_days, {ROUND}) FROM a"""
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected connected components
     (operators.graph.graph_components): each customer's orders linked
@@ -14235,6 +14320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_release": q_dp_release,
         "tiff_decode": q_tiff_decode,
         "components_incremental": q_components_incremental,
+        "scd2_report": q_scd2_report,
         # --- changed in r14 (semantics/oracle updated - re-gate) ---
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
@@ -14247,8 +14333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "bloom_decontaminate": q_bloom_decontaminate,
         "boilerplate_ngrams": q_boilerplate_ngrams,
-        "bpe_segment": q_bpe_segment,
         # ---------- driver window boundary (position 50) ----------
+        "bpe_segment": q_bpe_segment,
         "bpe_vocab": q_bpe_vocab,
         "chunk_documents": q_chunk_documents,
         "classifier_sweep": q_classifier_sweep,

@@ -256,6 +256,100 @@ def scd2_lookup(
     return out.drop(f"{vt}{suffix}")
 
 
+def scd2_report(
+    dim: DataFrame,
+    key_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Dimension-history health panel — the O(1) ``(metric, value)``
+    report member of the SCD family (:func:`scd2_validate` answers "is
+    the shape legal"; this answers "what does the history LOOK like" —
+    the numbers a warehouse owner watches batch over batch):
+
+    - ``n_rows`` / ``n_keys`` — version volume vs entity count;
+    - ``versions_per_key_mean`` / ``versions_per_key_max`` — change
+      velocity (a max spike means one entity is thrashing);
+    - ``single_version_share`` — entities that never changed;
+    - ``open_share`` — keys with a live row; its complement is the
+      soft-deleted population (:func:`scd2_apply` tombstones);
+    - ``closed_rows_share`` — history depth of the table;
+    - ``avg_closed_lifetime_days`` — mean validity span of CLOSED
+      versions (NULL when none) — shrinking lifetimes mean attributes
+      are churning faster.
+
+    One per-key groupBy + one aggregate + an expression-only melt;
+    O(keys) intermediate, O(metrics) output. Deterministic: no wall
+    clock — open rows contribute no lifetime."""
+    from pyspark_data_drift_detector_spark.functions.quoting import (
+        ensure_safe_columns,
+    )
+
+    ensure_safe_columns([key_col, from_col, to_col, current_col])
+    per_key = dim.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.max(F.col(current_col).cast("int")).alias("has_open"),
+    )
+    agg = (
+        dim.agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.sum((~F.col(current_col)).cast("int"))
+            .cast("double")
+            .alias("n_closed"),
+            F.avg(
+                F.when(
+                    F.col(to_col).isNotNull(),
+                    (
+                        F.unix_timestamp(to_col)
+                        - F.unix_timestamp(from_col)
+                    )
+                    / 86400.0,
+                )
+            ).alias("avg_closed_lifetime_days"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_key.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_keys"),
+                    F.avg("nv").alias("versions_per_key_mean"),
+                    F.max("nv").cast("double").alias("versions_per_key_max"),
+                    F.avg((F.col("nv") == 1).cast("int")).alias(
+                        "single_version_share"
+                    ),
+                    F.avg("has_open").alias("open_share"),
+                )
+            )
+        )
+    )
+    metrics = [
+        ("n_rows", F.col("n_rows")),
+        ("n_keys", F.col("n_keys")),
+        ("versions_per_key_mean", F.col("versions_per_key_mean")),
+        ("versions_per_key_max", F.col("versions_per_key_max")),
+        ("single_version_share", F.col("single_version_share")),
+        ("open_share", F.col("open_share")),
+        ("closed_rows_share", F.col("n_closed") / F.col("n_rows")),
+        (
+            "avg_closed_lifetime_days",
+            F.col("avg_closed_lifetime_days"),
+        ),
+    ]
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in metrics
+                ]
+            )
+        ).alias("m")
+    )
+    return melted.select("m.metric", "m.value")
+
+
 def scd2_validate(
     dim: DataFrame,
     key_col: str,

@@ -415,3 +415,35 @@ def test_scd2_lookup_end_bounded_on_closed_chain(spark):
     assert out[102]["seg_at"] is None
     assert out[103]["seg_at"] is None    # absence interval
     assert out[104]["seg_at"] == "Y"
+
+
+def test_scd2_report_metrics(spark):
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_report
+
+    dim = _dim(
+        spark,
+        [
+            (1, "A", T1, T2, False),   # key 1: 2 versions, open
+            (1, "B", T2, None, True),
+            (2, "X", T1, None, True),  # key 2: single open version
+            (3, "D", T1, T3, False),   # key 3: soft-deleted
+        ],
+    )
+    out = {r["metric"]: r["value"] for r in scd2_report(dim, "k").collect()}
+    assert out["n_rows"] == 4.0 and out["n_keys"] == 3.0
+    assert out["versions_per_key_mean"] == pytest.approx(4 / 3)
+    assert out["versions_per_key_max"] == 2.0
+    assert out["single_version_share"] == pytest.approx(2 / 3)
+    assert out["open_share"] == pytest.approx(2 / 3)
+    assert out["closed_rows_share"] == pytest.approx(0.5)
+    # closed lifetimes: Jan (31d) and Jan+Feb (60d) -> mean 45.5
+    assert out["avg_closed_lifetime_days"] == pytest.approx(45.5)
+
+
+def test_scd2_report_no_closed_rows_null_lifetime(spark):
+    from pyspark_data_drift_detector_spark.operators.scd import scd2_report
+
+    dim = _dim(spark, [(1, "A", T1, None, True)])
+    out = {r["metric"]: r["value"] for r in scd2_report(dim, "k").collect()}
+    assert out["avg_closed_lifetime_days"] is None
+    assert out["closed_rows_share"] == 0.0
