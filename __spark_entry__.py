@@ -10399,6 +10399,7 @@ def _oracle_queries() -> dict[str, str]:
         "linkage_incremental": _linkage_incremental_sql(),
         "survival_curve": _survival_curve_sql(),
         "survival_grouped": _survival_grouped_sql(),
+        "survival_report": _survival_report_sql(),
         "ohlc_downsample": _ohlc_downsample_sql(),
         "audio_segments": _audio_segments_sql(),
         "survival_incremental": _survival_incremental_sql(),
@@ -13079,7 +13080,11 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(survival_curve(ev, censor_days=2), ["survival"])
 
 
-def _survival_curve_sql(censor_days: int = 2) -> str:
+def _survival_curve_sql(censor_days: int = 2, rounded: bool = True) -> str:
+    # rounded=False serves composing oracles (survival_report) that
+    # COMPARE survival against thresholds: they must see the same raw
+    # values the Spark operator compares, not round-5 projections
+    _r = ROUND if rounded else 12
     return f"""
     WITH ev AS (
       SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e
@@ -13115,8 +13120,55 @@ def _survival_curve_sql(censor_days: int = 2) -> str:
                     ELSE ln(1.0 - n_churned / CAST(at_risk AS DOUBLE)) END)
             OVER (ORDER BY duration_days
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-            {ROUND}) AS survival
+            {_r}) AS survival
     FROM r"""
+
+
+def q_survival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival health panel (operators.temporal.survival_report) over
+    the purchase-activity Kaplan-Meier curve: lifetimes observed,
+    churn vs censoring split, median survival (first duration at or
+    under 0.5), and the 7/30-day horizon reads. The oracle composes
+    the (unrounded) survival-curve oracle as a subquery, so the
+    threshold comparisons see the same raw values on both engines."""
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_curve,
+        survival_report,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    return _round_cols(
+        survival_report(survival_curve(ev, censor_days=2)), ["value"]
+    )
+
+
+def _survival_report_sql() -> str:
+    return f"""
+    WITH curve AS ({_survival_curve_sql(rounded=False)}),
+    a AS (
+      SELECT CAST(SUM(n_churned + n_censored) AS DOUBLE) AS n_users,
+        CAST(SUM(n_churned) AS DOUBLE) AS n_ch,
+        CAST(MIN(CASE WHEN survival <= 0.5 THEN duration_days END)
+             AS DOUBLE) AS med,
+        MAX(CASE WHEN duration_days <= 7 THEN duration_days END) AS d7,
+        MAX(CASE WHEN duration_days <= 30 THEN duration_days END) AS d30
+      FROM curve)
+    SELECT 'n_users' AS metric, ROUND(n_users, {ROUND}) AS value FROM a
+    UNION ALL SELECT 'n_churned', ROUND(n_ch, {ROUND}) FROM a
+    UNION ALL SELECT 'churn_rate', ROUND(n_ch / n_users, {ROUND}) FROM a
+    UNION ALL SELECT 'censoring_rate',
+      ROUND((n_users - n_ch) / n_users, {ROUND}) FROM a
+    UNION ALL SELECT 'median_survival_days', ROUND(med, {ROUND}) FROM a
+    UNION ALL SELECT 'survival_7d',
+      ROUND(COALESCE(
+        (SELECT survival FROM curve, a WHERE duration_days = a.d7),
+        1.0), {ROUND}) FROM a
+    UNION ALL SELECT 'survival_30d',
+      ROUND(COALESCE(
+        (SELECT survival FROM curve, a WHERE duration_days = a.d30),
+        1.0), {ROUND}) FROM a"""
 
 
 def q_survival_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14321,6 +14373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_decode": q_tiff_decode,
         "components_incremental": q_components_incremental,
         "scd2_report": q_scd2_report,
+        "survival_report": q_survival_report,
         # --- changed in r14 (semantics/oracle updated - re-gate) ---
         "scd2_apply": q_scd2_apply,
         "scd2_lookup": q_scd2_lookup,
@@ -14332,8 +14385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "bloom_decontaminate": q_bloom_decontaminate,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
         # ---------- driver window boundary (position 50) ----------
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "bpe_segment": q_bpe_segment,
         "bpe_vocab": q_bpe_vocab,
         "chunk_documents": q_chunk_documents,

@@ -2090,6 +2090,76 @@ def survival_curve(
     return df.sparkSession.sql(query, src=df)
 
 
+def survival_report(curve: DataFrame) -> DataFrame:
+    """Survival-analysis health panel — the O(1) ``(metric, value)``
+    report member of the survival family, computed FROM a
+    :func:`survival_curve` / :func:`survival_from_state` table (O(days)
+    input, so this is a panel over a panel — no corpus touch):
+
+    - ``n_users`` — total lifetimes observed (churned + censored);
+    - ``n_churned`` / ``churn_rate`` and ``censoring_rate`` — how much
+      of the curve is real events vs right-censoring (a censoring rate
+      near 1 means the observation window is too short to say
+      anything);
+    - ``median_survival_days`` — the first duration whose survival is
+      ≤ 0.5, the number product teams actually quote (NULL when the
+      curve never crosses 0.5 — more than half the population outlives
+      the window);
+    - ``survival_7d`` / ``survival_30d`` — the curve read at the
+      standard horizons (step-function convention: the value of the
+      last duration ≤ the horizon; 1.0 when nothing happened yet).
+
+    Grouped curves: call per cohort (filter) or melt externally — the
+    panel is deliberately single-curve, matching ``linkage_report``.
+    """
+    agg = curve.agg(
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .cast("double")
+        .alias("n_users"),
+        F.sum("n_churned").cast("double").alias("n_churned"),
+        F.min(
+            F.when(F.col("survival") <= 0.5, F.col("duration_days"))
+        ).cast("double").alias("median_survival_days"),
+        F.max(
+            F.when(
+                F.col("duration_days") <= 7,
+                F.struct("duration_days", "survival"),
+            )
+        )["survival"].alias("s7"),
+        F.max(
+            F.when(
+                F.col("duration_days") <= 30,
+                F.struct("duration_days", "survival"),
+            )
+        )["survival"].alias("s30"),
+    )
+    metrics = [
+        ("n_users", F.col("n_users")),
+        ("n_churned", F.col("n_churned")),
+        ("churn_rate", F.col("n_churned") / F.col("n_users")),
+        (
+            "censoring_rate",
+            (F.col("n_users") - F.col("n_churned")) / F.col("n_users"),
+        ),
+        ("median_survival_days", F.col("median_survival_days")),
+        ("survival_7d", F.coalesce("s7", F.lit(1.0))),
+        ("survival_30d", F.coalesce("s30", F.lit(1.0))),
+    ]
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), expr.alias("value")
+                    )
+                    for name, expr in metrics
+                ]
+            )
+        ).alias("m")
+    )
+    return melted.select("m.metric", "m.value")
+
+
 def ohlc_downsample(
     df: DataFrame,
     ts_col: str = "ts",

@@ -445,3 +445,52 @@ def test_survival_grouped_matches_curve_from_state(spark, sf_dir):
     assert sorted(map(tuple, direct), key=key) == sorted(
         map(tuple, stated), key=key
     )
+
+
+def test_survival_report_panel(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_report,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # users 1-6 churn at increasing lifetimes (0,2,4,8,10,40 days);
+    # user 7 stays active to the end (censored)
+    for uid, life in [(1, 0), (2, 2), (3, 4), (4, 8), (5, 10), (6, 40)]:
+        rows += [(uid, base), (uid, base + timedelta(days=life))]
+    rows += [(7, base), (7, base + timedelta(days=60))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    curve = survival_curve(ev, censor_days=7)
+    out = {
+        r["metric"]: r["value"] for r in survival_report(curve).collect()
+    }
+    assert out["n_users"] == 7.0 and out["n_churned"] == 6.0
+    assert out["churn_rate"] == pytest.approx(6 / 7)
+    assert out["censoring_rate"] == pytest.approx(1 / 7)
+    # survival: d0 6/7, d2 5/7, d4 4/7, d8 3/7 (<=0.5 first here)
+    assert out["median_survival_days"] == 8.0
+    assert out["survival_7d"] == pytest.approx(4 / 7)
+    assert out["survival_30d"] == pytest.approx(2 / 7)
+
+
+def test_survival_report_no_crossing_is_null_median(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark_data_drift_detector_spark.operators.temporal import (
+        survival_report,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(10):  # everyone censored: survival stays 1.0
+        rows += [(uid, base), (uid, base + timedelta(days=30))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["metric"]: r["value"]
+        for r in survival_report(survival_curve(ev, censor_days=7)).collect()
+    }
+    assert out["median_survival_days"] is None
+    assert out["censoring_rate"] == 1.0
+    assert out["survival_7d"] == 1.0
