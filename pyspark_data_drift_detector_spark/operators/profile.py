@@ -197,6 +197,128 @@ def _quantile_agg_sql(
     return f"percentile_approx({dc}, {probs}, {int(quantile_accuracy)})"
 
 
+def _percentile_from_sorted(v, n: int, p: float) -> float:
+    """Replicate Spark ``Percentile.getPercentile`` over a sorted vector:
+    ``pos = p·(n−1)``, order statistics at ranks ``⌊pos⌋``/``⌈pos⌉``
+    (0-indexed), interpolation ``(⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi`` with
+    the integer-position and equal-key short-circuits — every operation
+    the same IEEE double op in the same order, so values are
+    bit-identical to ``percentile`` (and the DuckDB oracle)."""
+    import math
+
+    pos = p * (n - 1)
+    lower = math.floor(pos)
+    higher = math.ceil(pos)
+    lo = float(v[lower])
+    if higher == lower:
+        return lo
+    hi = float(v[higher])
+    if lo == hi:
+        return lo
+    return (higher - pos) * lo + (pos - lower) * hi
+
+
+def _sorted_quantile_row(
+    df: DataFrame,
+    specs: list[tuple],
+    qlist: list[float],
+    side_col: str | None = None,
+) -> DataFrame:
+    """ONE-row frame of exact quantile arrays via a single NumPy sort per
+    spec — the exact-mode engine behind ``numeric_profile`` /
+    ``numeric_profile_pair`` / ``_wide_quantile_row``.
+
+    ``F.percentile`` (sort-based exact) is a TypedImperativeAggregate
+    whose buffer is a boxed per-value ``OpenHashMap``; for a
+    high-cardinality double column the final reducer merges every
+    partition's map and sorts boxed keys in ONE task — measured 3.7-4.3 s
+    for the 7-column lineitem profile at sf0.1 where a NumPy
+    ``sort`` + rank lookup over the same gathered values takes 1.1-2.0 s
+    (and a JVM ``array_sort(collect_list(..))`` rewrite measured 4.4-5.5 s,
+    so the win is the primitive float64 sort, not the gather shape).
+    This path ships the projected columns to one Arrow batch stream
+    (``groupBy().applyInPandas``) and computes every requested rank with
+    :func:`_percentile_from_sorted` — values bit-identical to
+    ``percentile``.
+
+    Scale contract (unchanged from the ``percentile`` engine it
+    replaces): exact quantiles of an unbounded-cardinality column
+    fundamentally hold one column's values in one task — ``percentile``
+    buffered them as a boxed map (~48 B/entry) where this gather holds a
+    packed float64 vector (8 B/value), so the memory wall moves OUT by
+    ~6x but remains; at 100 TB use ``quantile_mode="counts"``
+    (O(distinct) distributed state) or ``"kll"`` (mergeable sketches) —
+    the documented scale paths, both unchanged. Unlike ``percentile``'s
+    map-side partials, the gather ships raw rows; at bench scale the
+    shuffle is MB-sized and the sort dominates, which is exactly the
+    regime this engine targets.
+
+    ``specs``: ``(out_name, src_col, side_value, mad_name)`` — one
+    output array column per spec; ``side_value`` (with ``side_col``)
+    restricts the spec's rows to one side of a tagged union;
+    ``mad_name`` additionally emits the exact median absolute deviation
+    around the spec's median (the ``robust_profile`` fusion — it makes
+    the second pass a pure-codegen aggregate). NULLs are dropped per
+    column exactly like ``percentile``; a spec with zero surviving rows
+    yields a NULL array (``percentile``'s empty-input result). Zero
+    INPUT rows yield zero output rows — callers attach with a broadcast
+    left join (or already propagate emptiness), preserving the 1-row
+    aggregate's NULL semantics.
+    """
+    qvals = [float(p) for p in qlist]
+    cols = sorted({c for _, c, _, _ in specs})
+    sel = [F.col(c).cast("double").alias(c) for c in cols]
+    if side_col is not None:
+        sel = [F.col(side_col)] + sel
+    proj = df.select(*sel)
+    fields = []
+    for out, _c, _sv, madn in specs:
+        fields.append(f"`{out}` array<double>")
+        if madn:
+            fields.append(f"`{madn}` double")
+    schema = ", ".join(fields)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {}
+        for name, col, sv, madn in specs:
+            s = pdf[col]
+            if sv is not None:
+                s = s[pdf[side_col] == sv]
+            v = s.to_numpy(dtype="float64", na_value=float("nan"))
+            v = v[~np.isnan(v)]
+            v.sort()
+            n = int(v.size)
+            if n == 0:
+                out[name] = [None]
+                if madn:
+                    out[madn] = [None]
+                continue
+            out[name] = [[_percentile_from_sorted(v, n, p) for p in qvals]]
+            if madn:
+                med = _percentile_from_sorted(v, n, 0.5)
+                d = np.abs(v - med)
+                d.sort()
+                out[madn] = [_percentile_from_sorted(d, n, 0.5)]
+        return pd.DataFrame(out)
+
+    return proj.groupBy().applyInPandas(fn, schema)
+
+
+def _attach_quantile_row(wide: DataFrame, qrow: DataFrame) -> DataFrame:
+    """Attach the 1-row gather to the 1-row stats aggregate. A plain
+    crossJoin would turn ``qrow``'s zero-rows-on-empty-input into an
+    empty profile; the broadcast LEFT join keeps the stats row and NULLs
+    the quantile arrays — exactly ``percentile``'s empty-input shape."""
+    return (
+        wide.withColumn("__qk", F.lit(1))
+        .join(F.broadcast(qrow.withColumn("__qk", F.lit(1))), "__qk", "left")
+        .drop("__qk")
+    )
+
+
 def numeric_profile(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -264,15 +386,22 @@ def numeric_profile(
             )
             qaggs.append(f"{qsql} AS `{c}__q`")
 
-    # Quantiles live in their OWN aggregate subtree (cross-joined 1-row
-    # aggregates — one plan, independent stages the scheduler overlaps):
-    # percentile/percentile_approx are TypedImperativeAggregates, and ONE of
-    # them in an Aggregate node forces the whole node onto the interpreted
-    # ObjectHashAggregate path — dragging the ~100 simple stats out of
-    # whole-stage codegen (measured 3.2s → 2.5s exact, 1.9s → 1.4s approx
-    # for the pair profile at sf0.1).
+    # Quantiles live in their OWN subtree (one plan, independent stages
+    # the scheduler overlaps): percentile_approx/kll are
+    # TypedImperativeAggregates, and ONE of them in an Aggregate node
+    # forces the whole node onto the interpreted ObjectHashAggregate path
+    # — dragging the ~100 simple stats out of whole-stage codegen
+    # (measured 3.2s → 2.5s exact, 1.9s → 1.4s approx for the pair
+    # profile at sf0.1). Exact mode uses the NumPy gather engine
+    # (_sorted_quantile_row — measured 3.7-4.3s → 1.1-2.0s for this
+    # profile at sf0.1, identical values).
     wide = df.selectExpr(*aggs)
-    if qaggs:
+    if qlist and quantile_mode == "auto" and exact_quantiles:
+        qrow = _sorted_quantile_row(
+            df, [(f"{c}__q", c, None, None) for c in cols], qlist
+        )
+        wide = _attach_quantile_row(wide, qrow)
+    elif qaggs:
         wide = wide.crossJoin(df.selectExpr(*qaggs))
 
     counts_mode = bool(qlist) and quantile_mode == "counts"
@@ -377,7 +506,22 @@ def numeric_profile_pair(
 
     # quantile subtree split from the codegen-able stats — see numeric_profile
     wide = tagged.selectExpr(*aggs)
-    if qaggs:
+    if qlist and quantile_mode == "auto" and exact_quantiles:
+        # exact mode: ONE NumPy gather over the side-tagged union serves
+        # both sides' per-column quantile arrays (identical values to the
+        # conditional percentile aggregates it replaces)
+        qrow = _sorted_quantile_row(
+            tagged,
+            [
+                (f"{pre}__{c}__q", c, side_val, None)
+                for pre, side_val in (("ref", "r"), ("curr", "c"))
+                for c in cols
+            ],
+            qlist,
+            side_col="__side",
+        )
+        wide = _attach_quantile_row(wide, qrow)
+    elif qaggs:
         wide = wide.crossJoin(tagged.selectExpr(*qaggs))
     counts_mode = bool(qlist) and quantile_mode == "counts"
     structs = []
@@ -473,17 +617,22 @@ def _wide_quantile_row(
     * ``"kll"`` — Datasketches KLL sketch, mergeable bounded-rank-error
       state (the scale path when approximate ranks suffice).
     """
-    if quantile_mode in ("exact", "kll"):
+    if quantile_mode == "exact":
+        # NumPy gather engine — identical values to the sort-based
+        # ``percentile`` aggregate it replaces (see _sorted_quantile_row)
+        return _sorted_quantile_row(
+            df,
+            [(f"{prefix}{i}", c, None, None) for i, c in enumerate(columns)],
+            [float(p) for p in qlist],
+        )
+    if quantile_mode == "kll":
         probs = "array(" + ", ".join(f"{float(p)!r}D" for p in qlist) + ")"
-        if quantile_mode == "exact":
-            frag = "percentile(CAST(`{c}` AS DOUBLE), " + probs + ")"
-        else:
-            frag = (
-                "kll_sketch_get_quantile_double("
-                f"kll_sketch_agg_double(CAST(`{{c}}` AS DOUBLE), {int(kll_k)}), "
-                + probs
-                + ")"
-            )
+        frag = (
+            "kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double(CAST(`{{c}}` AS DOUBLE), {int(kll_k)}), "
+            + probs
+            + ")"
+        )
         return df.agg(
             *[
                 F.expr(frag.format(c=c) + f" AS {prefix}{i}")
@@ -588,6 +737,17 @@ def robust_profile(
                 for i, c in enumerate(columns)
             ]
         )
+    elif quantile_mode == "exact":
+        # fused gather: bounds AND the exact MAD come from the ONE NumPy
+        # sort per column (|x − median| re-sorted in the same Python
+        # task), so the second pass below is a pure-codegen conditional
+        # aggregate — the interpreted percentile(abs(x − med)) object
+        # aggregate it replaces was the pass's dominant cost
+        bounds = _sorted_quantile_row(
+            df,
+            [(f"__b{i}", c, None, f"__gmad{i}") for i, c in enumerate(columns)],
+            [lo_p, 0.5, hi_p],
+        )
     else:
         bounds = _wide_quantile_row(
             df, columns, [lo_p, 0.5, hi_p], quantile_mode, prefix="__b",
@@ -598,7 +758,7 @@ def robust_profile(
         x = f"CAST(`{c}` AS DOUBLE)"
         lo, med, hi = f"__b{i}[0]", f"__b{i}[1]", f"__b{i}[2]"
         if quantile_mode == "exact":
-            aggs.append(f"percentile(abs({x} - {med}), 0.5D) AS __mad{i}")
+            aggs.append(f"first(__gmad{i}) AS __mad{i}")
         elif quantile_mode == "kll":
             aggs.append(
                 "kll_sketch_get_quantile_double(kll_sketch_agg_double("

@@ -145,9 +145,20 @@ def main() -> None:
         import glob
         import json
 
+        paths = []
         for path in glob.glob(os.path.join(evdir, "*")):
             if path.endswith(".inprogress"):
                 continue
+            if os.path.isdir(path):
+                # Spark 4 rolling event logs: eventlog_v2_<app>/events_*
+                paths.extend(
+                    p
+                    for p in glob.glob(os.path.join(path, "events_*"))
+                    if os.path.isfile(p)
+                )
+            else:
+                paths.append(path)
+        for path in paths:
             jobs = {}
             with open(path) as fh:
                 for line in fh:
