@@ -262,24 +262,30 @@ def robust_outlier_drift(
         .unionByName(df_curr.selectExpr("'c' AS __side", f"inline(array({structs}))"))
         .where(F.col("value").isNotNull())
     )
-    from pyspark import StorageLevel
+    # ref median AND MAD from ONE NumPy gather over the ref side
+    # (_sorted_quantile_row's fused mad output) — replaces two sequential
+    # grouped percentile aggregates whose boxed per-value maps buffered
+    # each column's full ref vector in one reducer task twice (and with
+    # them the persist of the melt, which then had a single consumer).
+    # Values bit-identical: same median, same |value − median| median.
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        _sorted_quantile_row,
+    )
 
-    melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
-    ref_med = (
-        melted.where("__side = 'r'")
-        .groupBy("column_name")
-        .agg(F.expr("percentile(value, 0.5D)").alias("ref_median"))
+    gathered = _sorted_quantile_row(
+        df_ref,
+        [(f"__b{i}", c, None, f"__mad{i}") for i, c in enumerate(columns)],
+        [0.5],
     )
-    mad = (
-        melted.where("__side = 'r'")
-        .join(F.broadcast(ref_med), "column_name")
-        .groupBy("column_name")
-        .agg(
-            F.expr("percentile(abs(value - ref_median), 0.5D)").alias("ref_mad"),
-            F.expr("max(ref_median) AS ref_median_out"),
+    mad = gathered.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"named_struct('column_name', '{c}', 'ref_median', __b{i}[0],"
+            f" 'ref_mad', __mad{i})"
+            for i, c in enumerate(columns)
         )
-        .selectExpr("column_name", "ref_median_out AS ref_median", "ref_mad")
-    )
+        + "))"
+    ).where("ref_median IS NOT NULL")
     zt, rt = float(z_threshold), float(rate_change_threshold)
     enr = melted.join(F.broadcast(mad), "column_name")
     # CASE, not AND: ANSI mode evaluates both AND operands, so the division

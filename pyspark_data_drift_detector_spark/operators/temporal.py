@@ -1133,18 +1133,63 @@ def watermark_planner(
             " greatest(coalesce(__off, __t), __wm)) / 1000000.0D AS __late"
         )
     )
-    aggs = [
-        "CAST(count(1) AS BIGINT) AS n_events",
-        "percentile(__late, 0.5D) AS p50_lateness",
-        "percentile(__late, 0.9D) AS p90_lateness",
-        "percentile(__late, 0.99D) AS p99_lateness",
-        "max(__late) AS max_lateness",
-    ] + [
-        f"CAST(sum(CAST(__late > {int(d)} AS BIGINT)) AS BIGINT)"
-        f" AS __n_late_{i}"
-        for i, d in enumerate(delays)
-    ]
-    one = late.groupBy().agg(*[F.expr(a) for a in aggs])
+    # The whole final panel is order/integer statistics of ONE derived
+    # column (count, max, exact percentiles, per-delay exceedance
+    # counts) — one NumPy pass over the gathered __late vector computes
+    # all of them in a single traversal of the (window-heavy) subtree,
+    # where the previous aggregate's three sort-based percentile
+    # aggregates buffered the column in a boxed per-value map three
+    # times over. Values bit-identical: same interpolation as
+    # ``percentile`` (_percentile_from_sorted), exact integer counts,
+    # max is the sorted vector's last element.
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        _percentile_from_sorted,
+    )
+
+    delay_ints = [int(d) for d in delays]
+    gschema = (
+        "n_events bigint, p50_lateness double, p90_lateness double,"
+        " p99_lateness double, max_lateness double, "
+        + ", ".join(f"__n_late_{i} bigint" for i in range(len(delays)))
+    )
+
+    def _late_panel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["__late"].to_numpy(dtype="float64")
+        v.sort()
+        n = int(v.size)
+        row = {
+            "n_events": [n],
+            "p50_lateness": [_percentile_from_sorted(v, n, 0.5) if n else None],
+            "p90_lateness": [_percentile_from_sorted(v, n, 0.9) if n else None],
+            "p99_lateness": [_percentile_from_sorted(v, n, 0.99) if n else None],
+            "max_lateness": [float(v[-1]) if n else None],
+        }
+        for i, d in enumerate(delay_ints):
+            row[f"__n_late_{i}"] = [int(np.count_nonzero(v > d))]
+        return pd.DataFrame(row)
+
+    gathered = late.groupBy().applyInPandas(_late_panel, gschema)
+    # empty-input fallback (the gather emits zero rows where the old
+    # 1-row aggregate emitted count 0 + NULL stats): broadcast left join
+    # from a literal row, count coalesced to 0, sums stay NULL
+    one = (
+        late.sparkSession.range(1)
+        .join(F.broadcast(gathered), F.lit(True), "left")
+        .selectExpr(
+            "coalesce(n_events, 0L) AS n_events",
+            "p50_lateness",
+            "p90_lateness",
+            "p99_lateness",
+            "max_lateness",
+            *[
+                f"CAST(__n_late_{i} AS BIGINT) AS __n_late_{i}"
+                for i in range(len(delays))
+            ],
+        )
+    )
     rows = ", ".join(
         f"named_struct('delay_seconds', CAST({int(d)} AS BIGINT),"
         f" 'n_late', __n_late_{i})"
