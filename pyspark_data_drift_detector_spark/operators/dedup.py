@@ -415,6 +415,51 @@ def minhash_lsh_pairs(
     return out.select("id1", "id2", "jaccard")
 
 
+#: Edge-count gate for the single-task components fast path: below this,
+#: the whole edge list (2 ints/row, ≤ ~32 MB at the gate) is solved in
+#: ONE vectorized NumPy task instead of the distributed pointer-jumping
+#: loop whose per-iteration driver-job overhead dominates small graphs.
+#: Above it, the distributed loop — the 100 TB path — is unchanged.
+SMALL_COMPONENTS_EDGES = 2_000_000
+
+
+def _components_one_task(edges: DataFrame, id_type: str) -> DataFrame:
+    """Exact connected components of a gathered edge list in one task:
+    the same min-label pointer-jumping algorithm as the distributed
+    loop, run to its fixed point in vectorized NumPy (``np.minimum.at``
+    neighbor-min + ``label[label]`` doubling per round), so the output
+    is identical — ``(id, cluster_id = min reachable id)`` for every id
+    appearing in ≥1 edge. Rows with a NULL endpoint are ignored (a NULL
+    never equi-joins in the distributed loop either)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        valid = pdf["id1"].notna() & pdf["id2"].notna()
+        if not valid.all():
+            pdf = pdf[valid]
+        a = np.asarray(pdf["id1"].to_numpy(), dtype=np.int64)
+        b = np.asarray(pdf["id2"].to_numpy(), dtype=np.int64)
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        lab = np.arange(ids.size, dtype=np.int64)
+        while True:
+            nl = lab.copy()
+            np.minimum.at(nl, ia, lab[ib])
+            np.minimum.at(nl, ib, lab[ia])
+            nl = np.minimum(nl, nl[nl])
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        return pd.DataFrame({"id": ids, "cluster_id": ids[lab]})
+
+    return edges.groupBy().applyInPandas(
+        fn, f"id {id_type}, cluster_id {id_type}"
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     max_iter: int = 20,
@@ -460,6 +505,26 @@ def neardup_clusters(
     # count also sizes the compact index.
     edges = _reuse(pairs.select("id1", "id2"))
     n_edges = edges.count()
+    from pyspark.sql import types as T
+
+    idt = edges.schema["id1"].dataType
+    if n_edges <= SMALL_COMPONENTS_EDGES and isinstance(idt, T.IntegralType):
+        # Small-graph fast path: the distributed loop costs ~5 driver
+        # jobs PER ITERATION (3 joins + checkpoint + convergence
+        # aggregate) — pure scheduling overhead when the whole edge list
+        # is a few MB. One task runs the SAME min-label pointer-jumping
+        # algorithm in vectorized NumPy over the gathered edges
+        # (np.minimum.at + label[label] doubling, iterated to the exact
+        # fixed point), so labels are identical: min reachable id per
+        # node, every node that appears in ≥1 pair. Size-gated on the
+        # edge count already in hand (the convention of the
+        # shuffle_hash gate below); above the gate, or for non-integral
+        # id types, the distributed loop is unchanged. The checkpoint
+        # bounds what the gather reads (≤ gate rows) and releases the
+        # pair pipeline's cache before returning a lazy plan.
+        compact = edges.localCheckpoint(eager=True)
+        edges.unpersist()
+        return _components_one_task(compact, idt.simpleString())
     # sized purely from the exact edge count the materializing count just
     # produced — no .rdd.getNumPartitions() probe (it forces DataFrame→RDD
     # conversion and a full physical-planning round-trip on the driver)

@@ -177,15 +177,19 @@ def test_neardup_clusters_and_survivors(spark):
     assert kept == [1, 10, 20, 99]
 
 
-def test_neardup_clusters_pointer_jumping_log_convergence(spark):
+def test_neardup_clusters_pointer_jumping_log_convergence(spark, monkeypatch):
     """A 64-node chain needs 63 rounds of plain min-propagation but only
     ~log₂ 64 with pointer jumping — max_iter=10 must fully collapse it.
     Exhausting max_iter with labels still moving raises RuntimeWarning
-    instead of silently splitting the component."""
+    instead of silently splitting the component. The gate is forced to 0
+    so the DISTRIBUTED loop (not the small-graph one-task path) is what
+    this test exercises."""
     import warnings
 
+    from pyspark_data_drift_detector_spark.operators import dedup as dedup_mod
     from pyspark_data_drift_detector_spark.operators.dedup import neardup_clusters
 
+    monkeypatch.setattr(dedup_mod, "SMALL_COMPONENTS_EDGES", -1)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id1 long, id2 long"
     )
@@ -197,6 +201,27 @@ def test_neardup_clusters_pointer_jumping_log_convergence(spark):
 
     with pytest.warns(RuntimeWarning, match="max_iter"):
         neardup_clusters(chain, max_iter=1).collect()
+
+
+def test_components_one_task_matches_distributed_loop(spark, monkeypatch):
+    """The small-graph one-task fast path must label exactly like the
+    distributed pointer-jumping loop: same rows, same min-id labels —
+    on a shape mixing a long chain, disjoint pairs, a star and a
+    duplicate/reversed edge."""
+    from pyspark_data_drift_detector_spark.operators import dedup as dedup_mod
+    from pyspark_data_drift_detector_spark.operators.dedup import neardup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(40)]           # chain 0..40
+        + [(100, 101), (200, 201), (201, 202)]    # disjoint pairs
+        + [(300, 301), (300, 302), (300, 303)]    # star
+        + [(301, 300), (1, 0)]                    # reversed duplicates
+    )
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    fast = {(r["id"], r["cluster_id"]) for r in neardup_clusters(pairs).collect()}
+    monkeypatch.setattr(dedup_mod, "SMALL_COMPONENTS_EDGES", -1)
+    loop = {(r["id"], r["cluster_id"]) for r in neardup_clusters(pairs).collect()}
+    assert fast == loop and len(fast) == 50
 
 
 def test_embedding_neardup_lsh_recall(spark):

@@ -57,8 +57,12 @@ def main() -> None:
         import tempfile
 
         evdir = tempfile.mkdtemp(prefix="spark-profile-ev-")
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", f"file://{evdir}"
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            # plain single-file JSON so the parser below can read it
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,10 +172,15 @@ def main() -> None:
                         continue
                     if ev.get("Event") == "SparkListenerJobStart":
                         props = ev.get("Properties") or {}
+                        infos = ev.get("Stage Infos") or []
+                        last = infos[-1] if infos else {}
                         jobs[ev["Job ID"]] = {
-                            "desc": props.get(
-                                "spark.job.description", ""
-                            )[:80],
+                            "desc": (
+                                props.get("spark.job.description", "")[:40]
+                                + " | "
+                                + str(last.get("Stage Name", ""))[:60]
+                                + f" [{len(infos)} stages]"
+                            ),
                             "t0": ev["Submission Time"],
                         }
                     elif ev.get("Event") == "SparkListenerJobEnd":
