@@ -39,6 +39,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge-count gate for the single-task PageRank fast path (the
+#: dedup.SMALL_COMPONENTS_EDGES convention): below it the deduped
+#: weighted edge list is ranked in ONE vectorized NumPy task; above it
+#: the distributed per-iteration join/groupBy loop — the 100 TB path —
+#: is unchanged.
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _pagerank_one_task(
+    e: DataFrame, damping: float, n_iter: int, node_type: str
+) -> DataFrame:
+    """Power iteration over a gathered ``(src, dst, w)`` edge list in one
+    task — the same update rule as the distributed loop:
+    ``rank' = (1−d)/n + d·(Σ share·rank_src + dangling_mass/n)`` with
+    ``share = w / out_weight(src)``. Edges are sorted by (src, dst)
+    before factorization so every float accumulation runs in a fixed,
+    run-independent order."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        m = len(pdf)
+        codes, uniq = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True),
+            sort=True,
+        )
+        isrc, idst = codes[:m], codes[m:]
+        w = pdf["w"].to_numpy(dtype="float64")
+        n = len(uniq)
+        ow = np.zeros(n)
+        np.add.at(ow, isrc, w)
+        share = w / ow[isrc]
+        dangling = ow == 0.0
+        base = (1.0 - damping) / n
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            inflow = np.zeros(n)
+            np.add.at(inflow, idst, share * r[isrc])
+            dm = float(r[dangling].sum())
+            r = base + damping * (inflow + dm / n)
+        return pd.DataFrame({"node": uniq, "rank": r})
+
+    return e.groupBy().applyInPandas(fn, f"node {node_type}, rank double")
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -83,6 +130,32 @@ def pagerank(
     # cache each derivation re-executes the upstream edge build
     # (measured 3 redundant scans on a join-built edge table)
     e = e.persist()
+    from pyspark.sql import types as T
+
+    st, dt = e.schema["src"].dataType, e.schema["dst"].dataType
+    n_edges = e.count()
+    if (
+        0 < n_edges <= SMALL_GRAPH_EDGES
+        and st == dt
+        and isinstance(st, (T.IntegralType, T.StringType))
+    ):
+        # Small-graph fast path (the neardup_clusters convention): the
+        # distributed loop costs 2 shuffles + a dangling aggregate + an
+        # eager checkpoint PER ITERATION — driver-job scheduling
+        # dominates when the deduped edge list is a few MB. One task
+        # runs the SAME power iteration (identical update rule, exact
+        # dangling redistribution) in vectorized NumPy over the
+        # gathered edges, with a fixed accumulation order (edges sorted
+        # by key) — within the module's documented float contract
+        # (sums are order-sensitive at the last ulp; results compared
+        # ROUNDED). Node ids are only indexed, never ordered into the
+        # output, so string keys are safe. Above the gate the
+        # distributed loop — the 100 TB path — is unchanged.
+        compact = e.localCheckpoint(eager=True)
+        e.unpersist()
+        return _pagerank_one_task(
+            compact, damping, n_iter, st.simpleString()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
