@@ -42,7 +42,14 @@ def bucketed_cumsum(
     order: str,
     counts: list[str],
     num_buckets: int = 32,
-    edge_accuracy: int = 1000,
+    # 100, not 1000: edges only steer BALANCE (the result is a global
+    # prefix sum, bit-identical under any bucketing), and a 1%-of-cells
+    # rank error against a 1/32 bucket width skews bucket sizes by at
+    # most ~⅓ of a bucket — while the grouped percentile_approx edge
+    # fit was the counts-path's single most expensive aggregate
+    # (measured 5.88 → 4.89 s / 4.80 → 4.15 s on the 7-column sf0.1
+    # quantiles_by_counts at 1000 vs 100)
+    edge_accuracy: int = 100,
     lead_col: str | None = None,
     _persisted: list | None = None,
 ) -> DataFrame:
