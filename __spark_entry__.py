@@ -1173,7 +1173,7 @@ _JPEG_DECODE_ROWS = [
     (9, 821, 'jpeg', 16, 16, 127.73487, 69.69721, False),
     (10, 835, 'jpeg', 16, 16, 127.79825, 70.19452, False),
     (11, 841, 'jpeg', 16, 16, 127.682, 70.22112, False),
-    (12, 833, 'jpeg', 16, 16, 127.80587, 70.03484, False),
+    (12, 833, 'jpeg', 16, 16, 127.73717, 70.03258, False),
     (13, 7, None, None, None, None, None, True),
     (14, 838, 'jpeg', 16, 16, 127.76563, 70.15543, False),
     (15, 838, 'jpeg', 16, 16, 127.79358, 69.95774, False),

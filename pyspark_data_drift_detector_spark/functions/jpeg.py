@@ -499,9 +499,12 @@ def _decode_scan(data, pos, sof, scan, qtables, huff_dc, huff_ac, dri):
         q = qtables[comp["tq"]]
         coefs = (plane * q[None, None, :]).astype(np.float64)
         blocks = coefs.reshape(by, bx, 8, 8)
-        spatial = np.einsum(
-            "xu,ijuv,yv->ijxy", _DCT_A, blocks, _DCT_A, optimize=True
-        )
+        # two fixed-order contractions, optimize=False: the optimized
+        # path routes through BLAS, whose runtime CPU dispatch changes
+        # float summation order across hosts — the pinned decode oracles
+        # (_JPEG_DECODE_ROWS/_MJPEG_DECODE_ROWS) need bit-stable output
+        half = np.einsum("xu,ijuv->ijxv", _DCT_A, blocks)
+        spatial = np.einsum("ijxv,yv->ijxy", half, _DCT_A)
         pix = np.clip(np.round(spatial) + 128.0, 0.0, 255.0)
         # blocks → plane raster
         full = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
@@ -598,9 +601,10 @@ def _fdct_quant(plane, q):
         plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64)
         - 128.0
     )
-    coefs = np.einsum(
-        "ux,ijxy,vy->ijuv", _DCT_A.T, blocks, _DCT_A.T, optimize=True
-    )
+    # fixed-order contractions (no BLAS dispatch) — see the decoder's
+    # IDCT note: payload bytes must be bit-stable across hosts
+    half = np.einsum("ux,ijxy->ijuy", _DCT_A.T, blocks)
+    coefs = np.einsum("ijuy,vy->ijuv", half, _DCT_A.T)
     qf = q.reshape(8, 8).astype(np.float64)
     scaled = coefs / qf[None, None, :, :]
     return (
