@@ -228,7 +228,14 @@ def group_numeric_stats(
     # simple stats out of whole-stage codegen (measured 3.7s → 2.3s at
     # sf0.1). Both outputs are O(groups) rows — the join is broadcast-sized.
     keys = ["dimension_column", "dimension_value"]
-    wide = _gagg(aggs).join(_gagg(qaggs), on=keys, how="left")
+    # with keep_groups the medians frame is bounded by construction
+    # (≤ dims × top_k rows) — broadcast it so the O(groups) join never
+    # plans as a sort-merge of two exchanges; unbounded group counts
+    # (no keep_groups) keep the planner's choice
+    qframe = _gagg(qaggs)
+    if keep_groups is not None:
+        qframe = F.broadcast(qframe)
+    wide = _gagg(aggs).join(qframe, on=keys, how="left")
     structs = [
         "named_struct('column_name', '{c}', {fields})".format(
             c=c,
@@ -275,6 +282,15 @@ def group_numeric_stats(
     )
 
 
+#: Cells-count gate for the fused single-exchange categorical panel: at or
+#: below this many (group, column, value) cells, the per-key window chain
+#: is safe (a key's cells fit one task with room to spare) and the whole
+#: totals→top-k-membership→panel pipeline shares ONE hash exchange. Above
+#: it, the salted bounded-per-task-state shape runs — the 100 TB path.
+#: Same convention as dedup.SMALL_COMPONENTS_EDGES.
+GROUP_CELLS_WINDOW_MAX = 2_000_000
+
+
 def group_categorical_stats(
     df_ref: DataFrame,
     df_curr: DataFrame,
@@ -304,36 +320,81 @@ def group_categorical_stats(
     from pyspark import StorageLevel
 
     keys3 = ("dimension_column", "dimension_value", "column_name")
-    # persisted: totals, the pair cutoffs, and the probe all read cells,
-    # and column pruning makes their subtrees non-identical so exchange
-    # reuse does NOT apply (verified: unpersisted, the executed plan
-    # re-scans the raw table 8x — fatal at scale even though it measures
-    # ~0.8s faster on sf0.1's tiny inputs)
+    # persisted: every downstream consumer (fused-window chain, or totals +
+    # pair cutoffs + probe in the salted shape) reads cells, and column
+    # pruning makes their subtrees non-identical so exchange reuse does NOT
+    # apply (verified: unpersisted, the executed plan re-scans the raw
+    # table 8x — fatal at scale even though it measures ~0.8s faster on
+    # sf0.1's tiny inputs)
     cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
-    enr = (
-        with_key_totals(
-            cells,
-            {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")},
-            keys=keys3,
+    # Catalyst's plan-time estimate for this post-aggregate frame is wildly
+    # inflated (the melt's inline multiplies a scan-size upper bound: 43 TB
+    # estimated vs 30k actual rows at sf0.1), so the frequency helpers'
+    # estimate gate always chooses their salted multi-exchange shape. Cells
+    # is persisted anyway — one count() of the cached frame buys the TRUE
+    # cardinality, and below the gate the whole totals→cutoffs→membership→
+    # panel chain fuses onto ONE hash(keys3) exchange (window sums + two
+    # row_number ranks + the final aggregate all share it). Above the gate
+    # the salted bounded-state shape runs unchanged — a key's cells must
+    # never be buffered in one window task at 100 TB.
+    if cells.count() <= GROUP_CELLS_WINDOW_MAX:
+        from pyspark.sql import Window
+
+        w3 = Window.partitionBy(*keys3)
+        # row_number() <= k over (cnt DESC, value ASC) is exactly the
+        # cutoff-join membership predicate (cell values are unique per
+        # key, so the order is total — frequency.top_k_cutoffs contract);
+        # NULL values sort FIRST under ASC, same as the null-aware
+        # predicate replays.
+        enr = (
+            cells.repartition(*[F.col(c) for c in keys3])
+            .select(
+                "*",
+                F.sum("ref_cnt").over(w3).alias("ref_total"),
+                F.sum("curr_cnt").over(w3).alias("curr_total"),
+                F.row_number()
+                .over(w3.orderBy(F.col("ref_cnt").desc(), F.col("value").asc()))
+                .alias("__rn_ref"),
+                F.row_number()
+                .over(w3.orderBy(F.col("curr_cnt").desc(), F.col("value").asc()))
+                .alias("__rn_curr"),
+            )
+            .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+            .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+            .selectExpr(
+                "* EXCEPT (__rn_ref, __rn_curr)",
+                *[
+                    f"{pre}_cnt > 0 AND __rn_{pre} <= {int(top_k)} AS member_{pre}"
+                    for pre in ("ref", "curr")
+                ],
+            )
         )
-        .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
-        .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
-    )
-    # top-k membership via ONE pair-cutoff pass broadcast back (no
-    # per-group-cell row_number sort task). Null category values sort FIRST
-    # under asc(value) — replayed by the null-aware membership predicate.
-    cuts = pair_top_k_cutoffs(cells, top_k, keys=keys3)
-    enr = enr.join(F.broadcast(cuts), list(keys3), "left").selectExpr(
-        "* EXCEPT (ref_cnt_cut_cnt, ref_cnt_cut_value,"
-        " curr_cnt_cut_cnt, curr_cnt_cut_value)",
-        *[
-            f"{pre}_cnt > 0 AND coalesce(({pre}_cnt > {pre}_cnt_cut_cnt) OR"
-            f" ({pre}_cnt = {pre}_cnt_cut_cnt AND (value IS NULL OR"
-            f" coalesce(value <= {pre}_cnt_cut_value, false))), false)"
-            f" AS member_{pre}"
-            for pre in ("ref", "curr")
-        ],
-    )
+    else:
+        enr = (
+            with_key_totals(
+                cells,
+                {"ref_total": F.sum("ref_cnt"), "curr_total": F.sum("curr_cnt")},
+                keys=keys3,
+            )
+            .withColumn("ref_freq", F.col("ref_cnt") / F.greatest(F.col("ref_total"), F.lit(1)))
+            .withColumn("curr_freq", F.col("curr_cnt") / F.greatest(F.col("curr_total"), F.lit(1)))
+        )
+        # top-k membership via ONE pair-cutoff pass broadcast back (no
+        # per-group-cell row_number sort task). Null category values sort
+        # FIRST under asc(value) — replayed by the null-aware membership
+        # predicate.
+        cuts = pair_top_k_cutoffs(cells, top_k, keys=keys3)
+        enr = enr.join(F.broadcast(cuts), list(keys3), "left").selectExpr(
+            "* EXCEPT (ref_cnt_cut_cnt, ref_cnt_cut_value,"
+            " curr_cnt_cut_cnt, curr_cnt_cut_value)",
+            *[
+                f"{pre}_cnt > 0 AND coalesce(({pre}_cnt > {pre}_cnt_cut_cnt) OR"
+                f" ({pre}_cnt = {pre}_cnt_cut_cnt AND (value IS NULL OR"
+                f" coalesce(value <= {pre}_cnt_cut_value, false))), false)"
+                f" AS member_{pre}"
+                for pre in ("ref", "curr")
+            ],
+        )
     common = "member_ref AND member_curr"
     out = enr.groupBy("dimension_column", "dimension_value", "column_name").agg(
         *[
@@ -393,19 +454,20 @@ def group_drift(
         eager=True
     )
     keys = groups.select("dimension_column", "dimension_value")
-    parts = []
+    part_fns = []
     if numeric_columns:
-        num = group_numeric_stats(
-            df_ref,
-            df_curr,
-            dimension,
-            numeric_columns,
-            exact_median=exact_median,
-            keep_groups=keys,
-        )
-        ns = "(NOT stats_skipped)"
-        parts.append(
-            num.selectExpr(
+
+        def _numeric_part() -> DataFrame:
+            num = group_numeric_stats(
+                df_ref,
+                df_curr,
+                dimension,
+                numeric_columns,
+                exact_median=exact_median,
+                keep_groups=keys,
+            )
+            ns = "(NOT stats_skipped)"
+            return num.selectExpr(
                 "dimension_column",
                 "dimension_value",
                 f"null_drift + CASE WHEN {ns} THEN abs(mean_pct_change)"
@@ -422,18 +484,20 @@ def group_drift(
                 "false AS any_freq",
                 "false AS any_distinct",
             )
-        )
+
+        part_fns.append(_numeric_part)
     if categorical_columns:
-        cat = group_categorical_stats(
-            df_ref,
-            df_curr,
-            dimension,
-            categorical_columns,
-            top_k=top_k_values,
-            keep_groups=keys,
-        )
-        parts.append(
-            cat.selectExpr(
+
+        def _categorical_part() -> DataFrame:
+            cat = group_categorical_stats(
+                df_ref,
+                df_curr,
+                dimension,
+                categorical_columns,
+                top_k=top_k_values,
+                keep_groups=keys,
+            )
+            return cat.selectExpr(
                 "dimension_column",
                 "dimension_value",
                 "null_drift + avg_frequency_drift AS contrib_sum",
@@ -446,9 +510,24 @@ def group_drift(
                 "avg_frequency_drift >= 0.15 AS any_freq",
                 "abs(distinct_pct_change) >= 0.25 AS any_distinct",
             )
-        )
-    if not parts:
+
+        part_fns.append(_categorical_part)
+    if not part_fns:
         raise ValueError("no metric columns")
+    # Build AND materialize the metric families concurrently (the
+    # detect_drift convention): the numeric family's two aggregate passes
+    # overlap the categorical family's cells build (whose size-gate count
+    # would otherwise serialize in front of them). Each part is O(groups)
+    # rows — localCheckpoint is cheap and bounds the rollup's plan.
+    if len(part_fns) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(part_fns)) as pool:
+            parts = list(
+                pool.map(lambda fn: fn().localCheckpoint(eager=True), part_fns)
+            )
+    else:
+        parts = [part_fns[0]()]
     contribs = parts[0]
     for p in parts[1:]:
         contribs = contribs.unionByName(p)
