@@ -6269,19 +6269,23 @@ def q_merged_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merged_drift(prof_parts, ["0", "1"], ["2", "3"], quantile_parts=q_parts)
 
     # exact per-window rank bands for all six (side, col, p) estimates in
-    # ONE aggregate: a conditional array-percentile per (side, column)
-    probs = (0.25, 0.5, 0.75)
-    pcts = ", ".join(
-        f"{x!r}D"
-        for p in probs
-        for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    # ONE quantile gather: the r14 NumPy sort-gather engine
+    # (profile._sorted_quantile_row, bit-identical to the conditional
+    # `percentile(CASE WHEN side ...)` aggregates it replaces — same
+    # per-side value sets, same interpolation) with one spec per
+    # (side, column)
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        _sorted_quantile_row,
     )
-    side_pred = {"r": "pmod(l_orderkey, 4) < 2", "c": "pmod(l_orderkey, 4) >= 2"}
-    band_aggs = [
-        f"percentile(CASE WHEN {pred} THEN CAST(`{c}` AS DOUBLE) END,"
-        f" array({pcts})) AS __b_{s}_{ci}"
+
+    probs = (0.25, 0.5, 0.75)
+    band_probs = [
+        x for p in probs for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    ]
+    specs = [
+        (f"__b_{s}_{ci}", c, s == "r", None)
         for ci, c in enumerate(cols)
-        for s, pred in side_pred.items()
+        for s in ("r", "c")
     ]
     band_structs = ", ".join(
         f"named_struct('column_name', '{c}',"
@@ -6294,9 +6298,12 @@ def q_merged_drift_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
         for ci, c in enumerate(cols)
     )
-    bands = li.agg(*[F.expr(a) for a in band_aggs]).selectExpr(
-        f"inline(array({band_structs}))"
-    )
+    bands = _sorted_quantile_row(
+        li.withColumn("__side", F.expr("pmod(l_orderkey, 4) < 2")),
+        specs,
+        band_probs,
+        side_col="__side",
+    ).selectExpr(f"inline(array({band_structs}))")
     in_band = " AND ".join(
         f"{pre}_p{int(p * 100)} >= {s}{int(p * 100)}_lo"
         f" AND {pre}_p{int(p * 100)} <= {s}{int(p * 100)}_hi"
@@ -7850,27 +7857,26 @@ def q_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     parts = partitioned_quantiles(li, cols, "pmod(l_orderkey, 4)")
     est = merged_quantiles(parts, probs=probs)
-    # ONE array-percentile per column (each percentile expression buffers
-    # the column once — 12 scalar exprs cost ~10s at sf0.1, 2 array exprs
-    # ~2s), unpacked into (column_name, p, lo, hi) band rows
-    pcts = ", ".join(
-        f"{x!r}D"
-        for p in probs
-        for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    # ONE exact-quantile gather for both columns' band edges — the r14
+    # NumPy sort-gather engine (profile._sorted_quantile_row, values
+    # bit-identical to the `percentile` aggregate it replaces, which
+    # buffered each column's values in one reducer's boxed map) —
+    # unpacked into (column_name, p, lo, hi) band rows
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        _sorted_quantile_row,
     )
+
+    band_probs = [
+        x for p in probs for x in (max(p - 0.015, 0.0), min(p + 0.015, 1.0))
+    ]
     band_structs = ", ".join(
         f"named_struct('column_name', '{c}', 'p', {p}D,"
         f" 'lo', __q{ci}[{2 * pi}], 'hi', __q{ci}[{2 * pi + 1}])"
         for ci, c in enumerate(cols)
         for pi, p in enumerate(probs)
     )
-    bounds = li.agg(
-        *[
-            F.expr(
-                f"percentile(CAST(`{c}` AS DOUBLE), array({pcts})) AS __q{ci}"
-            )
-            for ci, c in enumerate(cols)
-        ]
+    bounds = _sorted_quantile_row(
+        li, [(f"__q{ci}", c, None, None) for ci, c in enumerate(cols)], band_probs
     ).selectExpr(f"inline(array({band_structs}))")
     return (
         est.join(bounds, ["column_name", "p"])
