@@ -389,7 +389,16 @@ def logprob_incremental(
     """
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
-    model = state.groupBy("token").agg(F.expr("sum(cnt) AS cnt"))
+    from pyspark import StorageLevel
+
+    # persisted BEFORE the guard: the guard's isEmpty, the model
+    # constants, and the token join otherwise each re-instantiate the
+    # whole state rollup (at bench the state is built inline from the
+    # prior corpus — a full tokenize + groupBy per reference). O(vocab)
+    # rows, disk-backed; dropped by the ContextCleaner with the frame.
+    model = state.groupBy("token").agg(F.expr("sum(cnt) AS cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # fail fast on an empty model (first ingest, or a wrong/empty state
     # path): the lazy plan would otherwise emit NULL avg_logprob for
     # every document, and a downstream gate like `avg_logprob > cutoff`
@@ -573,10 +582,13 @@ def token_share_incremental(
     )
 
     ensure_safe_columns([group_col, text_col])
+    # persisted BEFORE the guard (the logprob_incremental convention):
+    # isEmpty and the join below otherwise each re-instantiate the state
+    # rollup. O(groups) rows.
     prior = state.groupBy("group_key").agg(
         F.expr("CAST(sum(n_docs) AS BIGINT) AS ref_docs"),
         F.expr("CAST(sum(n_tokens) AS BIGINT) AS ref_tokens"),
-    )
+    ).persist()
     if prior.isEmpty():
         raise ValueError(
             "token-share state is empty — append at least one batch of"

@@ -35,6 +35,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Cell-count gate for the single-task prefix-sum fast path: below this,
+#: the whole (key, order, counts) histogram (≤ ~2M rows × a few numeric
+#: cols ≈ tens of MB packed) is sorted and prefix-summed in ONE vectorized
+#: NumPy task instead of the 4-exchange bucketed plan (edge fit + bucket
+#: join + offsets window + within-bucket windows), whose per-stage
+#: scheduling overhead dominates small histograms. Integer prefix sums
+#: are order-exact, so results are bit-identical. Above the gate the
+#: distributed two-phase path — the 100 TB path — is unchanged. Same
+#: convention as dedup.SMALL_COMPONENTS_EDGES / graph.SMALL_GRAPH_EDGES.
+SMALL_CUMSUM_CELLS = 2_000_000
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+_NUM_TYPES = _INT_TYPES + ("float", "double")
+
+
+def _cumsum_one_task(
+    cells: DataFrame,
+    key: str,
+    order: str,
+    counts: list[str],
+    lead_col: str | None,
+) -> DataFrame:
+    """One-task NumPy prefix sum over a gathered small histogram: the SAME
+    per-key running sums in ``order`` (ascending) as the bucketed windows
+    — sequential adds in the identical order, so integer sums are
+    bit-identical and the lead (next distinct order value per key) is
+    exact. NULL count cells replicate the window-sum contract: a running
+    sum is NULL until the first non-NULL value, and skips NULLs after."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    types = {f.name: f.dataType.simpleString() for f in cells.schema.fields}
+    cum_t = {c: ("bigint" if types[c] in _INT_TYPES else "double") for c in counts}
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in cells.schema.fields]
+    fields += [f"`tot_{c}` {cum_t[c]}" for c in counts]
+    fields += [f"`cum_{c}` {cum_t[c]}" for c in counts]
+    if lead_col is not None:
+        fields.append(f"`{lead_col}` {types[order]}")
+    schema = ", ".join(fields)
+    int_cum = {c: cum_t[c] == "bigint" for c in counts}
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values([key, order], kind="mergesort", ignore_index=True)
+        n = len(pdf)
+        k = pdf[key].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        gidx = np.repeat(np.arange(starts.size), sizes)
+        ends = starts + sizes - 1
+        out = {c: pdf[c] for c in pdf.columns}
+        for c in counts:
+            s = pdf[c]
+            mask = s.isna().to_numpy()
+            if int_cum[c] and mask.any():
+                # Arrow gave a float column for a nullable bigint input;
+                # hand it back as nullable Int64 so the cast is lossless
+                out[c] = s.astype("Int64")
+            filled = s.fillna(0).to_numpy(
+                dtype="int64" if int_cum[c] else "float64"
+            )
+            cs = np.cumsum(filled)
+            base = np.where(starts > 0, cs[starts - 1], 0)
+            cum = cs - base[gidx]
+            # non-null running count: the window sum is NULL until the
+            # key's first non-NULL value
+            nn = np.cumsum((~mask).astype("int64"))
+            nn_base = np.where(starts > 0, nn[starts - 1], 0)
+            seen = (nn - nn_base[gidx]) > 0
+            tot = cum[ends][gidx]
+            tot_seen = seen[ends][gidx]
+            if int_cum[c]:
+                out[f"tot_{c}"] = pd.array(tot, dtype="Int64")
+                out[f"cum_{c}"] = pd.array(cum, dtype="Int64")
+                if not tot_seen.all():
+                    out[f"tot_{c}"][~tot_seen] = None
+                if not seen.all():
+                    out[f"cum_{c}"][~seen] = None
+            else:
+                out[f"tot_{c}"] = np.where(tot_seen, tot, np.nan)
+                out[f"cum_{c}"] = np.where(seen, cum, np.nan)
+        if lead_col is not None:
+            lead = pdf[order].shift(-1)
+            lead.iloc[ends] = None
+            out[lead_col] = lead
+        return pd.DataFrame(out)
+
+    return cells.groupBy().applyInPandas(fn, schema)
+
 
 def bucketed_cumsum(
     cells: DataFrame,
@@ -52,6 +142,7 @@ def bucketed_cumsum(
     edge_accuracy: int = 100,
     lead_col: str | None = None,
     _persisted: list | None = None,
+    _n_cells: int | None = None,
 ) -> DataFrame:
     """Add ``cum_<c>`` (inclusive running sum in ``order`` within ``key``)
     and ``tot_<c>`` (per-key total) for each count column; optionally
@@ -75,6 +166,23 @@ def bucketed_cumsum(
     cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     if _persisted is not None:
         _persisted.append(cells)
+    # Single-task fast path for small histograms: the count rides the
+    # persist every downstream reference needs materialized anyway (the
+    # neardup_clusters gate convention); ``_n_cells`` lets a caller that
+    # already counted the persisted cells skip the extra action. Gated on
+    # supported types so the NumPy path only ever sees plain numeric
+    # cells; anything else takes the distributed plan below.
+    types = {f.name: f.dataType.simpleString() for f in cells.schema.fields}
+    fast_types_ok = (
+        types[order] in _NUM_TYPES
+        and all(types[c] in _NUM_TYPES for c in counts)
+        and types[key] in (("string",) + _NUM_TYPES)
+        and (lead_col is None or types[order] in ("float", "double"))
+    )
+    if fast_types_ok:
+        n_cells = _n_cells if _n_cells is not None else cells.count()
+        if n_cells <= SMALL_CUMSUM_CELLS:
+            return _cumsum_one_task(cells, key, order, counts, lead_col)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     edges = cells.groupBy(key).agg(
         F.percentile_approx(

@@ -1639,11 +1639,20 @@ def neardup_incremental(
     earlier id), ``est_jaccard``. Documents with no signature (NULL
     text → no shingles) never match anything and are absent.
     """
-    new_sig = minhash_signatures(
-        new_docs, text_col, id_col, k, num_hashes, hash_family
+    # Both signature tables are referenced by the banding AND the
+    # estimation lookup (new_sig three times: banding, doc-side lookup,
+    # the state∪batch union; state_sig twice) — without persistence the
+    # batch's shingle explode + 64-min aggregate and the state scan run
+    # once per reference (measured 12 parquet scans / ~4s at sf0.1 for
+    # the declared query). _reuse (MEMORY_AND_DISK) is the module
+    # convention for exactly this shape (minhash_lsh_pairs' banded/
+    # candidate tables); the signature rows are the COMPACT state
+    # (num_hashes longs per doc), never the corpus text.
+    new_sig = _reuse(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes, hash_family)
     )
     hcols = [f"h{i}" for i in range(num_hashes)]
-    state_sig = state.select("id", *hcols)
+    state_sig = _reuse(state.select("id", *hcols))
     new_banded = _sig_bands(new_sig, num_hashes, bands, hash_family)
     state_banded = _sig_bands(state_sig, num_hashes, bands, hash_family)
     combined = state_banded.selectExpr(

@@ -759,7 +759,10 @@ def alignment_incremental(
         merge_profiles,
     )
 
-    prior = merge_profiles(state)
+    # persisted BEFORE the guard (the logprob_incremental convention):
+    # isEmpty and the panel below otherwise each re-instantiate the
+    # state rollup. O(1) rows.
+    prior = merge_profiles(state).persist()
     if prior.isEmpty():
         raise ValueError(
             "alignment state is empty — append at least one batch of"
@@ -2091,13 +2094,16 @@ def multimodal_report_incremental(
     diffs, and ``drift_detected``. Raises on an empty state; a modality
     absent from the state (new pipeline) flags. O(modality) panels
     end to end."""
+    # persisted BEFORE the guard (the logprob_incremental convention):
+    # isEmpty and the join below otherwise each re-instantiate the state
+    # rollup. O(modalities) rows.
     prior = state.groupBy("modality").agg(
         F.expr("CAST(sum(n) AS BIGINT) AS ref_n"),
         F.expr("CAST(sum(errs) AS BIGINT) AS ref_errs"),
         F.expr("CAST(sum(stat_n) AS BIGINT) AS ref_stat_n"),
         F.expr("sum(s1_sum) AS ref_s1"),
         F.expr("sum(s2_sum) AS ref_s2"),
-    )
+    ).persist()
     if prior.isEmpty():
         raise ValueError(
             "multimodal state is empty — append at least one batch of"

@@ -115,24 +115,138 @@ def _quantile_cells(
     )
 
 
+def _counts_percentile(v, cum, n: int, p: float) -> float:
+    """Replicate the counts-mode order-statistic reconstruction over a
+    sorted unique-value vector ``v`` with inclusive cumulative counts
+    ``cum``: ``t = p·(n−1)``, ``lo = min(value where cum ≥ ⌊t⌋+1)``,
+    ``hi = min(value where cum ≥ ⌊t⌋+2)`` (falling back to ``lo`` past
+    the end), result ``lo + (t−⌊t⌋)·(hi−lo)`` — every operation the same
+    IEEE double op in the same order as the Spark expressions in
+    :func:`_quantiles_from_cells`, so values are bit-identical."""
+    import math
+
+    import numpy as np
+
+    t = p * (n - 1)
+    i = math.floor(t)
+    lo = float(v[np.searchsorted(cum, i + 1, side="left")])
+    idx_hi = int(np.searchsorted(cum, i + 2, side="left"))
+    hi = float(v[idx_hi]) if idx_hi < len(v) else lo
+    frac = t - i
+    return lo + frac * (hi - lo)
+
+
+def _counts_quantile_rows(
+    cells: DataFrame,
+    qlist: list[float],
+    sides: dict[str, "F.Column"] | None = None,
+    mad: bool = False,
+) -> DataFrame:
+    """One-task NumPy reconstruction of the counts-mode quantile rows
+    from a SMALL value histogram — the fast path of
+    :func:`_quantiles_from_cells` below ``SMALL_CUMSUM_CELLS``. Same
+    output schema (one row per column present in cells: ``column_name,
+    [<pre>_]q array<double>``), values bit-identical (the cumulative
+    counts are integer-exact under any summation order and the
+    interpolation replicates the Spark expression op-for-op; a side with
+    zero mass yields an array of NULLs exactly like the ``WHEN n > 0``
+    guard). ``mad=True`` (single-side only) additionally emits ``__mad``
+    — the median of the |value − median| DEVIATION histogram derived
+    in-task (multiplicities added when ``v = med ± d`` collide), exactly
+    the ``robust_profile`` counts-mode second pass."""
+    sides = sides if sides is not None else {"": F.lit(True)}
+    prefixes = list(sides)
+    if mad and prefixes != [""]:
+        raise ValueError("mad fusion is single-side only")
+    qvals = [float(p) for p in qlist]
+    fields = ["`column_name` string"] + [
+        f"`{pre}q` array<double>" for pre in prefixes
+    ]
+    if mad:
+        fields.append("`__mad` double")
+    schema = ", ".join(fields)
+    cnt_cols = {pre: f"__{pre}cnt" for pre in prefixes}
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {"column_name": []}
+        for pre in prefixes:
+            out[f"{pre}q"] = []
+        if mad:
+            out["__mad"] = []
+        for c in pdf["column_name"].unique():
+            sub = pdf[pdf["column_name"] == c]
+            v = sub["value"].to_numpy(dtype="float64")
+            o = np.argsort(v, kind="mergesort")
+            v = v[o]
+            out["column_name"].append(c)
+            for pre in prefixes:
+                cnt = sub[cnt_cols[pre]].to_numpy(dtype="int64")[o]
+                cum = np.cumsum(cnt)
+                n = int(cum[-1])
+                if n == 0:
+                    out[f"{pre}q"].append([None] * len(qvals))
+                    if mad:
+                        out["__mad"].append(None)
+                    continue
+                out[f"{pre}q"].append(
+                    [_counts_percentile(v, cum, n, p) for p in qvals]
+                )
+                if mad:
+                    med = _counts_percentile(v, cum, n, 0.5)
+                    d = np.abs(v - med)
+                    od = np.argsort(d, kind="mergesort")
+                    ds, dc = d[od], cnt[od]
+                    first = np.r_[True, ds[1:] != ds[:-1]]
+                    dcum = np.cumsum(dc)
+                    last = np.r_[np.flatnonzero(first)[1:] - 1, ds.size - 1]
+                    out["__mad"].append(
+                        _counts_percentile(ds[first], dcum[last], n, 0.5)
+                    )
+        return pd.DataFrame(out)
+
+    proj = cells.select(
+        "column_name", "value", *[cnt_cols[pre] for pre in prefixes]
+    )
+    return proj.groupBy().applyInPandas(fn, schema)
+
+
 def _quantiles_from_cells(
     cells: DataFrame,
     qlist: list[float],
     sides: dict[str, "F.Column"] | None = None,
     _persisted: list | None = None,
+    _n_cells: int | None = None,
 ) -> DataFrame:
     """Exact quantiles from a pre-built value histogram (the second half
     of :func:`quantiles_by_counts`): distributed prefix sum over the
     cells, then the order-statistic reconstruction per column.
     ``_persisted`` collects the prefix sum's internal cache for callers
     that release intermediates after materializing (see
-    ``bucketed_cumsum``)."""
+    ``bucketed_cumsum``). Below ``SMALL_CUMSUM_CELLS`` the whole
+    reconstruction collapses into ONE NumPy task
+    (:func:`_counts_quantile_rows`) — no edge fit, no windows, no
+    per-cell re-aggregation; ``_n_cells`` lets a caller that already
+    counted the persisted cells skip the gate's count job."""
     sides = sides if sides is not None else {"": F.lit(True)}
-    from pyspark_data_drift_detector_spark.operators.cumulative import bucketed_cumsum
+    from pyspark import StorageLevel
 
+    from pyspark_data_drift_detector_spark.operators.cumulative import (
+        SMALL_CUMSUM_CELLS,
+        bucketed_cumsum,
+    )
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    if _persisted is not None:
+        _persisted.append(cells)
+    n_cells = _n_cells if _n_cells is not None else cells.count()
+    if n_cells <= SMALL_CUMSUM_CELLS:
+        return _counts_quantile_rows(cells, qlist, sides)
     cells = bucketed_cumsum(
         cells, "column_name", "value", [f"__{pre}cnt" for pre in sides],
-        _persisted=_persisted,
+        _persisted=_persisted, _n_cells=n_cells,
     )
     aggs = []
     for pre in sides:
@@ -720,14 +834,31 @@ def robust_profile(
         # cells, so the raw table is never re-scanned for the MAD pass
         from pyspark import StorageLevel
 
+        from pyspark_data_drift_detector_spark.operators.cumulative import (
+            SMALL_CUMSUM_CELLS,
+        )
+
         caches: list = []
         cells = _quantile_cells(df, columns).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         caches.append(cells)
-        qt = _quantiles_from_cells(
-            cells, [lo_p, 0.5, hi_p], _persisted=caches
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # one count gates BOTH rank passes (it materializes the persist
+        # every pass needs anyway); below the gate the bounds AND the
+        # MAD deviation-histogram median fuse into ONE NumPy task
+        # (_counts_quantile_rows mad fusion — the counts-mode sibling of
+        # the exact-mode _sorted_quantile_row fusion), removing the
+        # second serial cumsum pass over the derived deviation cells
+        n_cells = cells.count()
+        counts_fast = n_cells <= SMALL_CUMSUM_CELLS
+        if counts_fast:
+            qt = _counts_quantile_rows(
+                cells, [lo_p, 0.5, hi_p], mad=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            qt = _quantiles_from_cells(
+                cells, [lo_p, 0.5, hi_p], _persisted=caches, _n_cells=n_cells
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         caches.append(qt)
         bounds = qt.groupBy().agg(
             *[
@@ -781,26 +912,39 @@ def robust_profile(
         # the MAD median runs on the DEVIATION value histogram — exact,
         # no per-column value buffering, and DERIVED from the same cells
         # as the bounds (|value − median| re-grouped: multiplicities add
-        # when v = med ± d collide), so no second raw scan
-        med = qt.selectExpr("column_name", "q[1] AS __med")
-        dev_cells = (
-            cells.join(F.broadcast(med), "column_name")
-            .selectExpr("column_name", "abs(value - __med) AS value", "__cnt")
-            .groupBy("column_name", "value")
-            .agg(F.sum("__cnt").alias("__cnt"))
-        )
-        mad_row = (
-            _quantiles_from_cells(dev_cells, [0.5], _persisted=caches)
-            .groupBy()
-            .agg(
+        # when v = med ± d collide), so no second raw scan. Below the
+        # gate it already rode the fused gather (qt carries __mad).
+        if counts_fast:
+            mad_row = qt.groupBy().agg(
                 *[
                     F.max(
-                        F.when(F.col("column_name") == c, F.col("q")[0])
+                        F.when(F.col("column_name") == c, F.col("__mad"))
                     ).alias(f"__mad{i}")
                     for i, c in enumerate(columns)
                 ]
             )
-        )
+        else:
+            med = qt.selectExpr("column_name", "q[1] AS __med")
+            dev_cells = (
+                cells.join(F.broadcast(med), "column_name")
+                .selectExpr(
+                    "column_name", "abs(value - __med) AS value", "__cnt"
+                )
+                .groupBy("column_name", "value")
+                .agg(F.sum("__cnt").alias("__cnt"))
+            )
+            mad_row = (
+                _quantiles_from_cells(dev_cells, [0.5], _persisted=caches)
+                .groupBy()
+                .agg(
+                    *[
+                        F.max(
+                            F.when(F.col("column_name") == c, F.col("q")[0])
+                        ).alias(f"__mad{i}")
+                        for i, c in enumerate(columns)
+                    ]
+                )
+            )
         wide = wide.join(F.broadcast(mad_row))
     structs = ", ".join(
         f"named_struct('column_name', '{c}', 'n', CAST(__n{i} AS BIGINT),"

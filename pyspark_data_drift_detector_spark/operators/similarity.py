@@ -1209,10 +1209,18 @@ def cluster_balance_incremental(
     """
     rows = _centroid_rows(centroids)
     mode = _resolve_scoring(scoring, len(rows[0]["ce"]))
-    prior = state.groupBy("cluster_id").agg(
-        F.expr("CAST(sum(n) AS BIGINT) AS ref_n")
+    # persisted BEFORE the emptiness guard: the guard's isEmpty and the
+    # full_outer join below otherwise each re-instantiate the state
+    # rollup (at bench the state is built inline from the prior
+    # embeddings — a full scan + centroid assignment per reference).
+    # O(clusters) rows; dropped by the ContextCleaner with the frame.
+    prior = (
+        state.groupBy("cluster_id")
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS ref_n"))
+        .persist()
     )
     if prior.isEmpty():
+        prior.unpersist(blocking=False)
         raise ValueError(
             "cluster-share state is empty — append at least one batch of"
             " cluster_share_state before vetting an increment against it"
@@ -1317,10 +1325,13 @@ def ann_index_incremental(
     totals windows — nothing corpus-sized shuffles.
     """
     rows = _centroid_rows(centroids)
+    # persisted BEFORE the guard (the cluster_balance_incremental
+    # convention): isEmpty and the join below otherwise each
+    # re-instantiate the state rollup. O(lists) rows.
     prior = state.groupBy("list_id").agg(
         F.expr("CAST(sum(n) AS BIGINT) AS ref_n"),
         F.expr("sum(sum_cosine) AS ref_sum_cos"),
-    )
+    ).persist()
     if prior.isEmpty():
         raise ValueError(
             "IVF state is empty — append at least one batch of ivf_state"
@@ -1824,29 +1835,33 @@ def embedding_incremental(
     built the state.
     """
     prior = state.groupBy("kind", "pos").agg(F.expr("sum(val) AS val"))
-    pn = prior.filter("kind = 'n'").agg(F.expr("sum(val)")).collect()[0][0]
-    if pn is None or pn == 0:
-        raise ValueError(
-            "embedding state is empty — append at least one batch of"
-            " embedding_state before vetting an increment against it"
-        )
     batch = embedding_state(
         new_vecs, embedding_col, dim, n_features, seed, sigma
     ).groupBy("kind", "pos").agg(F.expr("sum(val) AS val"))
-    # persisted: the panels below reference `joined` four times (wide
-    # scalars, dim_sum, rff_sum, the n broadcast), and Spark would
-    # re-instantiate it per reference — re-running the batch's full RFF
-    # projection and shuffle each time. `joined` is O(dim + n_features)
-    # rows; the output is checkpointed (4 panel rows) and the cache
-    # released before returning (the counts-mode convention).
+    # eagerly checkpointed (not just persisted): the panels below
+    # reference `joined` four times (wide scalars, dim_sum, rff_sum, the
+    # n broadcast) and the emptiness guard needs its 'n' row — with a
+    # plain persist every downstream ACTION re-analyzes the full logical
+    # tree per reference, and the inlined RFF projection is a
+    # ~dim×n_features-term expression whose Catalyst passes dominate
+    # this operator's wall-clock (driver time, not job time — measured
+    # ~2.5s of job gaps per run at sf0.1). The checkpoint truncates the
+    # lineage to an O(dim + n_features)-row LogicalRDD, so both the
+    # guard and the 4-row output plan over a trivial tree.
     joined = (
         prior.selectExpr("kind", "pos", "val AS rv")
         .join(batch.selectExpr("kind", "pos", "val AS cv"), ["kind", "pos"], "full_outer")
         .selectExpr(
             "kind", "pos", "coalesce(rv, 0.0D) AS rv", "coalesce(cv, 0.0D) AS cv"
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    pn = joined.filter("kind = 'n'").agg(F.expr("sum(rv)")).collect()[0][0]
+    if pn is None or pn == 0:
+        raise ValueError(
+            "embedding state is empty — append at least one batch of"
+            " embedding_state before vetting an increment against it"
+        )
     scale = 2.0 / float(n_features)
     wide = joined.agg(
         F.expr("sum(CASE WHEN kind = 'n' THEN rv END) AS nr"),
@@ -1923,9 +1938,9 @@ def embedding_incremental(
         f" 'diff', round(mmd2, {r}),"
         f" 'drift_detected', round(mmd2, {r}) > {mmd_t!r}D)))"
     )
-    out = out_frame.localCheckpoint(eager=True)
-    joined.unpersist(blocking=False)
-    return out
+    # out_frame plans over the checkpointed `joined` — already tiny; no
+    # second checkpoint needed, and nothing is left persisted
+    return out_frame
 
 
 def cluster_silhouette(

@@ -431,9 +431,12 @@ def format_drift_incremental(
     full-outer join (keys are never NULL — ``'null'`` is itself a
     class). Raises on an empty state.
     """
+    # persisted BEFORE the guard (the logprob_incremental convention):
+    # isEmpty and the join below otherwise each re-instantiate the state
+    # rollup. O(columns × formats) rows.
     prior = state.groupBy("column_name", "format").agg(
         F.expr("CAST(sum(n) AS BIGINT) AS ref_n")
-    )
+    ).persist()
     if prior.isEmpty():
         raise ValueError(
             "format state is empty — append at least one batch of"
