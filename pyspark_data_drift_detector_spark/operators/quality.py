@@ -687,6 +687,72 @@ def quality_classifier(
     return scored.selectExpr(f"`{id_col}`", "n_grams", "logit", *score_cols)
 
 
+#: Row gate for the single-task classifier fit: below this, the labels
+#: plus the (doc, bucket, cnt) feature table (≤ ~2M numeric rows — tens
+#: of MB packed) run the whole GD loop in ONE vectorized task. Same
+#: convention as dedup.SMALL_COMPONENTS_EDGES / graph.SMALL_GRAPH_EDGES.
+SMALL_FIT_ROWS = 2_000_000
+
+
+def _fit_one_task(
+    labels: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    d: int,
+    iters: int,
+    lr: float,
+) -> tuple[list[float], float]:
+    """Run the full-batch GD loop of :func:`fit_quality_classifier` in
+    one vectorized NumPy task over the gathered labels + sparse feature
+    counts: per iteration, per-doc logit sums (``np.add.at`` scatter of
+    ``cnt·w[bucket]``), the identical sigmoid-error expression, the mean
+    bias gradient, per-bucket weight gradients, and the identical
+    ``w - lr·g/n`` / ``b - lr·gb`` steps."""
+    lab = labels.selectExpr(
+        "0 AS __k", f"`{id_col}` AS __id", "CAST(NULL AS INT) AS bucket",
+        "__y AS v",
+    )
+    cnt = counts.selectExpr(
+        "1 AS __k", f"`{id_col}` AS __id", "bucket", "cnt AS v"
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        lrows = pdf[pdf["__k"] == 0]
+        crows = pdf[pdf["__k"] == 1]
+        y = lrows["v"].to_numpy(dtype="float64")
+        n = y.size
+        c_idx = pd.Index(lrows["__id"]).get_indexer(crows["__id"])
+        c_bucket = crows["bucket"].to_numpy(dtype="int64")
+        c_v = crows["v"].to_numpy(dtype="float64")
+        w = np.zeros(d, dtype="float64")
+        b = 0.0
+        for _ in range(iters):
+            s = np.zeros(n, dtype="float64")
+            np.add.at(s, c_idx, c_v * w[c_bucket])
+            errv = 1.0 / (1.0 + np.exp(-(b + s))) - y
+            gb = float(errv.mean())
+            gw = np.zeros(d, dtype="float64")
+            np.add.at(gw, c_bucket, c_v * errv[c_idx])
+            w = np.array([w[i] - lr * float(gw[i]) / n for i in range(d)])
+            b -= lr * gb
+        return pd.DataFrame(
+            {"bucket": [-1] + list(range(d)),
+             "weight": [b] + [float(x) for x in w]}
+        )
+
+    fitted = {
+        r["bucket"]: r["weight"]
+        for r in lab.unionByName(cnt)
+        .groupBy()
+        .applyInPandas(fn, "bucket int, weight double")
+        .collect()
+    }
+    return [fitted[i] for i in range(d)], fitted[-1]
+
+
 def fit_quality_classifier(
     df: DataFrame,
     label_col: str,
@@ -769,6 +835,25 @@ def fit_quality_classifier(
     spark = df.sparkSession
     w = [0.0] * d
     b = 0.0
+    # Single-task fast path: below the row gate (count rides the persist
+    # the loop needs anyway — the graph/components gate convention), the
+    # compact (doc, bucket, cnt) feature table plus the labels run ALL
+    # gradient-descent iterations in ONE vectorized NumPy task instead
+    # of ~4 driver-blocking jobs per iteration (doc-sum join, error
+    # materialization, two gradient collects). The update rule is
+    # identical expression-for-expression; per-doc and per-bucket float
+    # sums accumulate in a fixed row order instead of shuffle order —
+    # inside the operator's pre-existing contract (the declared query
+    # compares 5-dp-ROUNDED weights, and the distributed loop's own
+    # shuffle-order sums were already nondeterministic at the ulp).
+    # Above the gate, the distributed loop — the 100 TB path — is
+    # unchanged.
+    if n + counts.count() <= SMALL_FIT_ROWS:
+        try:
+            return _fit_one_task(labels, counts, id_col, d, iters, lr)
+        finally:
+            labels.unpersist()
+            counts.unpersist()
     try:
         for _ in range(iters):
             wdf = spark.createDataFrame(

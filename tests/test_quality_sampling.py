@@ -686,3 +686,41 @@ def test_mix_sample_epochs_repeats_scarce_groups(spark):
         mix_sample_epochs(df, "grp", {"web": 1.0}, max_epochs=0.5)
     with pytest.raises(ValueError, match="sum"):
         mix_sample_epochs(df, "grp", {"web": 0.5, "books": 0.4})
+
+
+def test_fit_quality_classifier_fast_matches_distributed(spark):
+    """The r15 one-task GD fast path must match the distributed loop:
+    identical update rule; float sums accumulate in a fixed row order
+    instead of shuffle order, so equality is pinned at the operator's
+    5-dp rounded contract (and far tighter in practice)."""
+    from pyspark_data_drift_detector_spark.operators import quality
+    from pyspark_data_drift_detector_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        txt = (
+            "good clean prose with meaningful words"
+            if i % 2
+            else "spam spam buy now click here spam"
+        )
+        rows.append((i, txt, i % 2))
+    rows.append((100, "", 1))  # gram-less: trains only the bias
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    fast = fit_quality_classifier(
+        docs, "label", weights_dim=16, iters=3, lr=0.5, hash_family="md5"
+    )
+    orig = quality.SMALL_FIT_ROWS
+    try:
+        quality.SMALL_FIT_ROWS = -1
+        dist = fit_quality_classifier(
+            docs, "label", weights_dim=16, iters=3, lr=0.5, hash_family="md5"
+        )
+    finally:
+        quality.SMALL_FIT_ROWS = orig
+    assert round(fast[1], 5) == round(dist[1], 5)
+    for a, b in zip(fast[0], dist[0]):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(a)), (a, b)
+        assert round(a, 5) == round(b, 5)
