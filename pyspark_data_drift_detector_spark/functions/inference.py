@@ -64,6 +64,27 @@ def infer_column_types(
         else:
             result[name] = "categorical"
 
+    # The numeric cardinality aggregate and the string timestamp probe are
+    # independent 1-row frames; cross-joined they cost ONE driver-blocking
+    # action instead of two serial .first() jobs (detect_drift runs this
+    # on its critical path before any analyzer is built). Names cannot
+    # collide: the numeric side emits only `col__n`/`col__d`, the probe
+    # side raw string-column names plus `__n`.
+    probe_agg = None
+    if string_cols:
+        # try_cast: malformed strings probe to NULL instead of throwing under
+        # ANSI mode (the reference predates ANSI-default Spark)
+        probe = df.selectExpr(
+            *[
+                f"CAST(try_cast(`{c}` AS TIMESTAMP) IS NOT NULL AS INT) AS `{c}`"
+                for c in string_cols
+            ],
+        ).limit(TIMESTAMP_PROBE_ROWS)
+        probe_agg = probe.selectExpr(
+            *[f"avg(`{c}`) AS `{c}`" for c in string_cols], "count(1) AS `__n`"
+        )
+
+    row = agg_row = None
     if numeric_cols:
         if exact_distinct:
             # Each exact-distinct aggregate lives in its OWN subtree
@@ -80,7 +101,7 @@ def infer_column_types(
             dist_parts = [
                 df.agg(F.count_distinct(F.col(c)).alias(f"{c}__d")) for c in numeric_cols
             ]
-            row = reduce(lambda a, b: a.crossJoin(b), dist_parts, counts).first()
+            num_agg = reduce(lambda a, b: a.crossJoin(b), dist_parts, counts)
         else:
             # approx_count_distinct is a plain HLL aggregate (no Expand):
             # everything fits in ONE wide agg over one scan
@@ -90,7 +111,15 @@ def infer_column_types(
                     f"count(`{c}`) AS `{c}__n`",
                     f"approx_count_distinct(`{c}`) AS `{c}__d`",
                 ]
-            row = df.selectExpr(*aggs).first()
+            num_agg = df.selectExpr(*aggs)
+        if probe_agg is not None:
+            row = agg_row = num_agg.crossJoin(probe_agg).first()
+        else:
+            row = num_agg.first()
+    elif probe_agg is not None:
+        agg_row = probe_agg.first()
+
+    if numeric_cols:
         for c in numeric_cols:
             n = row[f"{c}__n"]
             try:
@@ -102,17 +131,6 @@ def infer_column_types(
                 result[c] = "numerical"
 
     if string_cols:
-        # try_cast: malformed strings probe to NULL instead of throwing under
-        # ANSI mode (the reference predates ANSI-default Spark)
-        probe = df.selectExpr(
-            *[
-                f"CAST(try_cast(`{c}` AS TIMESTAMP) IS NOT NULL AS INT) AS `{c}`"
-                for c in string_cols
-            ],
-        ).limit(TIMESTAMP_PROBE_ROWS)
-        agg_row = probe.selectExpr(
-            *[f"avg(`{c}`) AS `{c}`" for c in string_cols], "count(1) AS `__n`"
-        ).first()
         for c in string_cols:
             ratio = agg_row[c] if agg_row["__n"] else None
             result[c] = (
