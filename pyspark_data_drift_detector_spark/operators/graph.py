@@ -514,17 +514,29 @@ def graph_report(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi").agg(
         F.count(F.lit(1)).cast("double").alias("n_recip")
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    # node census, out-degrees and in-degrees share ONE groupBy(node)
+    # exchange over the endpoint melt (they previously ran as three
+    # separate O(edges) shuffles: union+distinct, groupBy(src),
+    # groupBy(dst)); every downstream stat is the identical integer
+    # aggregate of the same degree multiset
+    deg = e.selectExpr(
+        "inline(array(named_struct('node', src, 'o', 1, 'i', 0),"
+        " named_struct('node', dst, 'o', 0, 'i', 1)))"
+    ).groupBy("node").agg(
+        F.expr("sum(o) AS od"), F.expr("sum(i) AS id")
+    )
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes"),
+        F.max("od").cast("double").alias("max_out"),
+        F.coalesce(F.sum((F.col("od") > 0).cast("int")), F.lit(0))
+        .cast("double")
+        .alias("n_sources"),
+        F.max("id").cast("double").alias("max_in"),
+    )
     base = (
         e.agg(
             F.count(F.lit(1)).cast("double").alias("n_edges"),
@@ -532,26 +544,7 @@ def graph_report(
             .cast("double")
             .alias("n_self_loops"),
         )
-        .crossJoin(
-            F.broadcast(
-                nodes.agg(
-                    F.count(F.lit(1)).cast("double").alias("n_nodes")
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                out_deg.agg(
-                    F.max("d").cast("double").alias("max_out"),
-                    F.count(F.lit(1)).cast("double").alias("n_sources"),
-                )
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                in_deg.agg(F.max("d").cast("double").alias("max_in"))
-            )
-        )
+        .crossJoin(F.broadcast(deg_stats))
         .crossJoin(F.broadcast(recip))
     )
     melted = base.select(
