@@ -10112,14 +10112,22 @@ def q_bpe_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     ref = docs.filter("doc_id % 2 = 0")
     curr = docs.filter("doc_id % 2 = 1")
-    merges = fit_bpe(ref, n_merges=2)
+    # driver fit mode: merge-for-merge identical below the vocab cap
+    # (fit_bpe contract, re-verified by the oracle) with one collect
+    # instead of a per-merge job loop
+    merges = fit_bpe(ref, n_merges=2, fit_mode="driver")
 
     def feats(side: DataFrame) -> DataFrame:
+        # persisted: the drift scorer's moments aggregate AND its exact-
+        # quantile gather each traverse the input, and the BPE merge-fold
+        # segmentation is the query's dominant per-pass cost (~2.5s/side
+        # at sf0.1) — cache the three tiny derived doubles per doc
+        # instead of segmenting twice
         return bpe_segment(side, merges).selectExpr(
             "CAST(n_tokens AS DOUBLE) AS n_tokens",
             "CAST(n_bpe_tokens AS DOUBLE) AS n_bpe_tokens",
             "compression",
-        )
+        ).persist()
 
     drift = numeric_drift_pair(
         feats(ref), feats(curr),
