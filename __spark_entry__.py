@@ -14344,62 +14344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered locally by tests/test_oracle_parity.py and
     # tools/verify_oracle.py regardless of window position.
     return {
-        # --- window head: the 31 queries whose latest driver verdict
-        #     is r9 (VERDICT r13 task 1 rotation) ---
-        "freq_table": q_freq_table,
-        "group_drift": q_group_drift,
-        "group_numeric_drift": q_group_numeric_drift,
-        "group_profile": q_group_profile,
-        "hash_split": q_hash_split,
-        "histogram": q_histogram,
-        "interval_join": q_interval_join,
-        "ks_wasserstein": q_ks_wasserstein,
-        "logprob_incremental": q_logprob_incremental,
-        "neardup_incremental": q_neardup_incremental,
-        "outlier_drift": q_outlier_drift,
-        "passage_decontaminate": q_passage_decontaminate,
-        "passage_dedup": q_passage_dedup,
-        "passage_excise": q_passage_excise,
-        "passage_excise_keep_one": q_passage_excise_keep_one,
-        "passage_incremental": q_passage_incremental,
-        "passage_pairs": q_passage_pairs,
-        "psi": q_psi,
-        "psi_numeric": q_psi_numeric,
-        "quantile_shift": q_quantile_shift,
-        "rare_categories": q_rare_categories,
-        "rare_values": q_rare_values,
-        "running_profile": q_running_profile,
-        "schema_drift": q_schema_drift,
-        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
-        "streaming_drift_alerts": q_streaming_drift_alerts,
-        "temporal_drift": q_temporal_drift,
-        "text_quality_drift": q_text_quality_drift,
-        "token_share_drift": q_token_share_drift,
-        "token_share_incremental": q_token_share_incremental,
-        "type_inference": q_type_inference,
-        # --- new in r14 (no driver verdict yet) ---
-        "graph_components": q_graph_components,
-        "survival_grouped": q_survival_grouped,
-        "linkage_tokens": q_linkage_tokens,
-        "graph_triangles": q_graph_triangles,
-        "blocking_report": q_blocking_report,
-        "dp_release": q_dp_release,
-        "tiff_decode": q_tiff_decode,
-        "components_incremental": q_components_incremental,
-        "scd2_report": q_scd2_report,
-        "survival_report": q_survival_report,
-        # --- changed in r14 (semantics/oracle updated - re-gate) ---
-        "scd2_apply": q_scd2_apply,
-        "scd2_lookup": q_scd2_lookup,
-        "ohlc_downsample": q_ohlc_downsample,
-        "ohlc_rollup": q_ohlc_rollup,
-        "survival_curve": q_survival_curve,
-        "survival_incremental": q_survival_incremental,
-        # --- fill to the 50-slot boundary: oldest r10 cohort ---
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        # ---------- driver window boundary (position 50) ----------
+        # --- window head: the 47 queries whose latest driver verdict
+        #     is r10 (oldest cohort, VERDICT r14 rotation policy) ---
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "bpe_segment": q_bpe_segment,
         "bpe_vocab": q_bpe_vocab,
@@ -14407,7 +14353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_sweep": q_classifier_sweep,
         "cluster_silhouette": q_cluster_silhouette,
         "corpus_clean_funnel": q_corpus_clean_funnel,
-        # --- cohort: last driver-gated r10 (remainder) ---
         "corpus_report_incremental": q_corpus_report_incremental,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
@@ -14448,9 +14393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
-        # --- cohort: last driver-gated r11 ---
+        # --- re-gate: jpeg_decode (oracle pin moved twice in r14 —
+        #     VERDICT r14 task 10) plus the head of the r11 cohort ---
+        "jpeg_decode": q_jpeg_decode,
         "ann_pq": q_ann_pq,
         "asof_join": q_asof_join,
+        # --- below the 50-slot window: ascending by last-verified
+        #     round (r11, r12, r13, r14), ties alphabetical ---
         "benford_deviation": q_benford_deviation,
         "bigram_logprob": q_bigram_logprob,
         "bpe_fertility_drift": q_bpe_fertility_drift,
@@ -14499,7 +14448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_report": q_training_mix_report,
         "transition_stationary": q_transition_stationary,
         "watermark_planner": q_watermark_planner,
-        # --- cohort: last driver-gated r12 ---
         "alignment_drift": q_alignment_drift,
         "alignment_incremental": q_alignment_incremental,
         "ann_incremental": q_ann_incremental,
@@ -14550,7 +14498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": q_windowed_distinct,
         "windowed_heavy_hitters": q_windowed_heavy_hitters,
         "zipf_fit": q_zipf_fit,
-        # --- cohort: last driver-gated r13 (newest) ---
         "adaptive_thresholds": q_adaptive_thresholds,
         "alignment_grouped": q_alignment_grouped,
         "audio_feature_drift": q_audio_feature_drift,
@@ -14580,7 +14527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": q_gif_decode,
         "graph_report": q_graph_report,
         "image_clusters": q_image_clusters,
-        "jpeg_decode": q_jpeg_decode,
         "linkage_incremental": q_linkage_incremental,
         "linkage_report": q_linkage_report,
         "mjpeg_decode": q_mjpeg_decode,
@@ -14595,7 +14541,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_incremental": q_video_incremental,
         "video_neardup": q_video_neardup,
         "wav_formats": q_wav_formats,
-    
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "blocking_report": q_blocking_report,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "components_incremental": q_components_incremental,
+        "dp_release": q_dp_release,
+        "freq_table": q_freq_table,
+        "graph_components": q_graph_components,
+        "graph_triangles": q_graph_triangles,
+        "group_drift": q_group_drift,
+        "group_numeric_drift": q_group_numeric_drift,
+        "group_profile": q_group_profile,
+        "hash_split": q_hash_split,
+        "histogram": q_histogram,
+        "interval_join": q_interval_join,
+        "ks_wasserstein": q_ks_wasserstein,
+        "linkage_tokens": q_linkage_tokens,
+        "logprob_incremental": q_logprob_incremental,
+        "neardup_incremental": q_neardup_incremental,
+        "ohlc_downsample": q_ohlc_downsample,
+        "ohlc_rollup": q_ohlc_rollup,
+        "outlier_drift": q_outlier_drift,
+        "passage_decontaminate": q_passage_decontaminate,
+        "passage_dedup": q_passage_dedup,
+        "passage_excise": q_passage_excise,
+        "passage_excise_keep_one": q_passage_excise_keep_one,
+        "passage_incremental": q_passage_incremental,
+        "passage_pairs": q_passage_pairs,
+        "psi": q_psi,
+        "psi_numeric": q_psi_numeric,
+        "quantile_shift": q_quantile_shift,
+        "rare_categories": q_rare_categories,
+        "rare_values": q_rare_values,
+        "running_profile": q_running_profile,
+        "scd2_apply": q_scd2_apply,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_report": q_scd2_report,
+        "schema_drift": q_schema_drift,
+        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
+        "streaming_drift_alerts": q_streaming_drift_alerts,
+        "survival_curve": q_survival_curve,
+        "survival_grouped": q_survival_grouped,
+        "survival_incremental": q_survival_incremental,
+        "survival_report": q_survival_report,
+        "temporal_drift": q_temporal_drift,
+        "text_quality_drift": q_text_quality_drift,
+        "tiff_decode": q_tiff_decode,
+        "token_share_drift": q_token_share_drift,
+        "token_share_incremental": q_token_share_incremental,
+        "type_inference": q_type_inference,
     }
 
 
