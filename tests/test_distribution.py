@@ -233,22 +233,94 @@ def test_bucketed_cumsum_matches_naive_window(spark):
         rows += [(key, float(v), c) for v, c in seen.items()]
     cells = spark.createDataFrame(rows, "column_name string, value double, cnt long")
 
-    out = bucketed_cumsum(
-        cells, "column_name", "value", ["cnt"], num_buckets=8, lead_col="nxt"
-    ).collect()
+    def run() -> list:
+        return bucketed_cumsum(
+            cells, "column_name", "value", ["cnt"], num_buckets=8,
+            lead_col="nxt",
+        ).collect()
 
-    by_key: dict = {}
-    for key, v, c in rows:
-        by_key.setdefault(key, {})[v] = c
-    for r in out:
-        vals = sorted(by_key[r["column_name"]])
-        expect_cum = sum(by_key[r["column_name"]][v] for v in vals if v <= r["value"])
-        assert r["cum_cnt"] == expect_cum, r
-        assert r["tot_cnt"] == sum(by_key[r["column_name"]].values())
-        i = vals.index(r["value"])
-        expect_next = vals[i + 1] if i + 1 < len(vals) else None
-        assert r["nxt"] == expect_next, r
-    assert len(out) == len(rows)
+    def check(out: list) -> None:
+        by_key: dict = {}
+        for key, v, c in rows:
+            by_key.setdefault(key, {})[v] = c
+        for r in out:
+            vals = sorted(by_key[r["column_name"]])
+            expect_cum = sum(
+                by_key[r["column_name"]][v] for v in vals if v <= r["value"]
+            )
+            assert r["cum_cnt"] == expect_cum, r
+            assert r["tot_cnt"] == sum(by_key[r["column_name"]].values())
+            i = vals.index(r["value"])
+            expect_next = vals[i + 1] if i + 1 < len(vals) else None
+            assert r["nxt"] == expect_next, r
+        assert len(out) == len(rows)
+
+    # default gate routes this small histogram to the one-task NumPy fast
+    # path; both it and the distributed two-phase plan (forced via the
+    # gate) must match the naive ground truth row-for-row
+    from pyspark_data_drift_detector_spark.operators import cumulative
+
+    fast = run()
+    check(fast)
+    orig = cumulative.SMALL_CUMSUM_CELLS
+    try:
+        cumulative.SMALL_CUMSUM_CELLS = -1
+        dist = run()
+    finally:
+        cumulative.SMALL_CUMSUM_CELLS = orig
+    check(dist)
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
+
+
+def test_counts_quantile_fast_path_matches_distributed(spark):
+    """The r15 one-task counts-quantile reconstruction
+    (profile._counts_quantile_rows, incl. the robust_profile MAD fusion)
+    must be bit-identical to the distributed bucketed-cumsum
+    reconstruction on multi-column, tied, and pair-sided cells."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_data_drift_detector_spark.operators import cumulative
+    from pyspark_data_drift_detector_spark.operators.profile import (
+        numeric_profile_pair,
+        robust_profile,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            float(rng.choice([1] * 30 + list(range(50)))),
+            round(rng.uniform(-5, 5), 2),
+            rng.choice([None, float(rng.randint(0, 3))]),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+
+    def run_all():
+        rp = robust_profile(
+            df, ["a", "b", "c"], quantile_mode="counts"
+        ).collect()
+        pair = numeric_profile_pair(
+            df.filter("id % 2 = 0"),
+            df.filter("id % 2 = 1"),
+            ["a", "b", "c"],
+            quantiles=(0.1, 0.5, 0.9),
+            quantile_mode="counts",
+        ).collect()
+        key = lambda rs: sorted((tuple(r) for r in rs))
+        return key(rp), key(pair)
+
+    fast = run_all()
+    orig = cumulative.SMALL_CUMSUM_CELLS
+    try:
+        cumulative.SMALL_CUMSUM_CELLS = -1
+        dist = run_all()
+    finally:
+        cumulative.SMALL_CUMSUM_CELLS = orig
+    assert fast == dist
 
 
 def test_top_k_cutoffs_match_row_number(spark):
@@ -343,3 +415,25 @@ def test_psi_cells_sum_to_psi(spark, sf_dir):
         defined = [r for r in sorted(rows, key=lambda r: r.bin)
                    if r.lo_edge is not None and r.hi_edge is not None]
         assert all(r.lo_edge <= r.hi_edge for r in defined)
+
+
+def test_group_categorical_salted_path_matches_fused(pair, monkeypatch):
+    """ADVICE r14: the salted bounded-state branch (the 100 TB path of
+    group_categorical_stats) must stay value-identical to the fused
+    window branch the gate routes small inputs to — force it via the
+    gate and compare row sets."""
+    from pyspark_data_drift_detector_spark.operators import groups
+
+    ref, curr = pair
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in group_categorical_stats(
+                ref, curr, "dim", ["cat"]
+            ).collect()
+        )
+
+    fused = run()
+    monkeypatch.setattr(groups, "GROUP_CELLS_WINDOW_MAX", -1)
+    assert run() == fused

@@ -55,9 +55,16 @@ def _normalize(rows, columns):
     return sorted(key(r) for r in rows)
 
 
+@pytest.fixture(scope="module")
+def oracles():
+    # built ONCE: oracle_sql() assembles ~240 large SQL strings (some via
+    # numpy parameter generators) — rebuilding it per parametrized test
+    # added minutes to the suite
+    return entry_mod.oracle_sql()
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
-def test_query_matches_oracle(name, spark, sf_dir, duck):
-    oracles = entry_mod.oracle_sql()
+def test_query_matches_oracle(name, spark, sf_dir, duck, oracles):
     if name not in oracles:
         pytest.skip(f"{name} is rows-only (no oracle)")
     sdf = entry_mod.queries()[name](spark, sf_dir)
@@ -69,6 +76,11 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     duck_rows = res.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    # a hash-match over zero rows proves nothing (the round-1
+    # embedding_neardup lesson): non-vacuousness rides the rows this
+    # test already collected, so test_query_not_vacuous below only has
+    # to re-execute the rows-only queries that have no oracle
+    assert spark_rows, f"{name} returns 0 rows at {sf_dir} — vacuous oracle check"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
     left = _normalize(spark_rows, spark_cols)
     right = _normalize(duck_rows, duck_cols)
@@ -83,10 +95,16 @@ def test_entry_smoke(spark):
     assert "drift_score" in df.columns
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+_ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_query_not_vacuous(name, spark, sf_dir):
     """A hash-match over zero rows proves nothing (the round-1
     embedding_neardup lesson): every harness query must produce rows at
-    test scale so the oracle comparison has teeth."""
+    test scale. Oracled queries get this assertion inside
+    test_query_matches_oracle (which already collects their rows — the
+    separate pass re-executed all 241 queries, ~5 minutes of suite
+    time); only the rows-only queries need their own execution here."""
     rows = entry_mod.queries()[name](spark, sf_dir).limit(1).count()
     assert rows > 0, f"{name} returns 0 rows at {sf_dir} — its oracle check is vacuous"

@@ -548,14 +548,17 @@ def test_neardup_incremental_estimate_tracks_true_jaccard(spark):
         [(1, a), (2, b)], "doc_id long, text string"
     )
     exact = jaccard_pairs(docs, threshold=0.0).collect()[0]["jaccard"]
-    # 4-row bands so a ~0.84 pair collides w.p. ≈1 (0.84⁴ per band × 64
-    # bands); all hashes are seeded, so this is deterministic once green
-    state = minhash_signatures(docs.filter("doc_id = 1"), num_hashes=256)
+    # 4-row bands so a ~0.84 pair collides w.p. ≈1 (0.84⁴ per band × 36
+    # bands); all hashes are seeded, so this is deterministic once green.
+    # 144 hashes, not 256: the statistical band only needs √n resolution,
+    # and Catalyst/codegen time for the n-column signature expressions
+    # dominated the whole test suite at 256 (~48s for this one test)
+    state = minhash_signatures(docs.filter("doc_id = 1"), num_hashes=144)
     est = neardup_incremental(
         docs.filter("doc_id = 2"), state, threshold=0.0,
-        num_hashes=256, bands=64,
+        num_hashes=144, bands=36,
     ).collect()[0]["est_jaccard"]
-    assert abs(est - exact) <= 2 / (256 ** 0.5)  # 2 sigma
+    assert abs(est - exact) <= 2 / (144 ** 0.5)  # 2 sigma
 
 
 def test_containment_catches_excerpts_jaccard_misses(spark):
